@@ -1,0 +1,360 @@
+package graft
+
+import graft.functions.EsmTokenizer
+
+/** DuckDB oracle SQL for every SQL-expressible `SparkEntry.queries` entry.
+  *
+  * Contract (SURVEY.md §5.1): the driver runs these against the same parquet
+  * tables at sf0.01 and hash-compares with the Spark output, columns sorted
+  * by name. Discipline for bitwise agreement:
+  *   - integer outputs everywhere possible (`CAST(... AS BIGINT)` mirrors
+  *     Spark `.cast("long")`); money sums as integer cents (associative);
+  *   - doubles only where derived from exact integers or identical
+  *     elementwise double ops, always `round(_, 6)`;
+  *   - md5-based pseudo-randomness (portable across engines);
+  *   - `0.33` forced to DOUBLE (DuckDB would otherwise use exact DECIMAL
+  *     arithmetic while numpy/Spark use IEEE doubles — different floors);
+  *   - every query ends in a total-order ORDER BY.
+  */
+object OracleSql {
+
+  /** Shared stratified-split CTE (mirrors `StratifiedSplit.withSplit` on
+    * orders with class = o_custkey, file order = o_orderkey).
+    */
+  private val splitCte: String =
+    """WITH s AS (
+      |  SELECT o_orderkey, o_custkey,
+      |         count(*) OVER (PARTITION BY o_custkey) AS cnt,
+      |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rnf,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |           ORDER BY md5(concat_ws('#', CAST(o_custkey AS VARCHAR), CAST(o_orderkey AS VARCHAR))), o_orderkey) AS rns
+      |  FROM orders
+      |), sp AS (
+      |  SELECT o_orderkey, o_custkey,
+      |         CASE WHEN cnt = 1 THEN 'test'
+      |              WHEN cnt = 2 THEN (CASE WHEN rnf = 1 THEN 'dev' ELSE 'test' END)
+      |              WHEN cnt = 3 THEN (CASE WHEN rnf = 1 THEN 'train' WHEN rnf = 2 THEN 'dev' ELSE 'test' END)
+      |              WHEN rns <= CAST(floor(cnt * CAST(0.33 AS DOUBLE)) AS BIGINT) THEN 'test'
+      |              WHEN rns <= CAST(floor(cnt * CAST(0.33 AS DOUBLE)) AS BIGINT)
+      |                         + CAST(floor((cnt - CAST(floor(cnt * CAST(0.33 AS DOUBLE)) AS BIGINT)) * CAST(0.33 AS DOUBLE)) AS BIGINT) THEN 'dev'
+      |              ELSE 'train' END AS split
+      |  FROM s
+      |)""".stripMargin
+
+  /** CASE mapping a character to its ESM-2 token id (generated from the same
+    * vocab table the Scala UDF uses — single source of truth).
+    */
+  private val tokenIdCase: String = {
+    val whens = EsmTokenizer.CharVocab.toSeq.sortBy(_._2)
+      .map { case (c, id) => s"WHEN '$c' THEN $id" }
+      .mkString(" ")
+    s"CASE c $whens ELSE ${EsmTokenizer.UnkId} END"
+  }
+
+  /** Shared MinHash/LSH candidate-pair CTE chain (mirrors
+    * `Dedup.minhashCandidates`: word 3-gram shingles, one md5 per shingle,
+    * Kirsch-Mitzenmacher hash family (h1 + k*h2) mod 2^48, 2 bands × 4).
+    */
+  private val minhashCte: String = {
+    val mins = (0 until 8)
+      .map(k => s"min((h1 + $k*h2) % 281474976710656) AS m$k")
+      .mkString(",\n         ")
+    def bandSig(b: Int): String = {
+      val parts = (0 until 4).map(i => s"CAST(m${b * 4 + i} AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, $b AS b, md5(concat_ws('-', $parts)) AS bsig FROM mh"
+    }
+    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(ws) >= 3
+       |         THEN [concat_ws(' ', ws[i+1], ws[i+2], ws[i+3]) for i in range(0, len(ws)-2)]
+       |         ELSE [text] END) AS s
+       |  FROM w
+       |), h AS (
+       |  SELECT doc_id,
+       |         CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS h1,
+       |         CAST(concat('0x', substr(md5(s), 13, 12)) AS BIGINT) AS h2
+       |  FROM sh
+       |), mh AS (
+       |  SELECT doc_id,
+       |         $mins
+       |  FROM h GROUP BY doc_id
+       |), bs AS (
+       |  ${bandSig(0)}
+       |  UNION ALL
+       |  ${bandSig(1)}
+       |), cand AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_bands
+       |  FROM bs x JOIN bs y ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+  }
+
+  /** Shared embedding-norm CTE (mirrors `Similarity.withNorm`). */
+  private val normCte: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |n AS (SELECT vec_id, e,
+      |             sqrt(list_sum(list_transform(range(1, len(e)+1), i -> e[i]*e[i]))) AS nrm
+      |      FROM v)""".stripMargin
+
+  private def centsSql(x: String): String = s"CAST(round(($x) * 100) AS BIGINT)"
+
+  val sql: Map[String, String] = Map(
+    "q01_stats_summary" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT lang) AS n_classes,
+        |       CAST(min(length(text)) AS BIGINT) AS min_len,
+        |       CAST(max(length(text)) AS BIGINT) AS max_len,
+        |       round(median(length(text)), 6) AS median_len
+        |FROM documents""".stripMargin,
+
+    "q02_value_counts" ->
+      "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY n DESC, lang",
+
+    "q03_group_size_stats" ->
+      """SELECT CAST(min(n) AS BIGINT) AS min_size, CAST(max(n) AS BIGINT) AS max_size,
+        |       round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS avg_size
+        |FROM (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY l_partkey)""".stripMargin,
+
+    "q04_size_histogram" ->
+      """SELECT grp_size, count(*) AS n_groups
+        |FROM (SELECT l_orderkey, count(*) AS grp_size FROM lineitem GROUP BY l_orderkey)
+        |GROUP BY grp_size ORDER BY grp_size""".stripMargin,
+
+    "q05_len_freq" ->
+      """SELECT CAST(length(text) AS BIGINT) AS len, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY len""".stripMargin,
+
+    "q06_label_encode" ->
+      """SELECT p_type, CAST(dense_rank() OVER (ORDER BY p_type) - 1 AS BIGINT) AS class_encoded
+        |FROM (SELECT DISTINCT p_type FROM part) ORDER BY p_type""".stripMargin,
+
+    "q07_encode_apply" ->
+      """WITH m AS (
+        |  SELECT p_type, CAST(dense_rank() OVER (ORDER BY p_type) - 1 AS BIGINT) AS class_encoded
+        |  FROM (SELECT DISTINCT p_type FROM part))
+        |SELECT p.p_partkey, m.class_encoded
+        |FROM part p JOIN m USING (p_type) ORDER BY p_partkey""".stripMargin,
+
+    "q08_split_assign" ->
+      s"""$splitCte
+         |SELECT o_orderkey, o_custkey, split FROM sp ORDER BY o_orderkey""".stripMargin,
+
+    "q09_split_counts" ->
+      s"""$splitCte
+         |SELECT split, count(*) AS n FROM sp GROUP BY split ORDER BY split""".stripMargin,
+
+    "q10_class_weights" ->
+      s"""$splitCte, counts AS (
+         |  SELECT o_custkey, count(*) AS n_c FROM sp WHERE split = 'train' GROUP BY o_custkey
+         |)
+         |SELECT o_custkey,
+         |       round(CAST((SELECT min(n_c) FROM counts) AS DOUBLE) / n_c, 6) AS weight
+         |FROM counts ORDER BY o_custkey""".stripMargin,
+
+    "q11_join_brand_revenue" ->
+      s"""SELECT p.p_brand, count(*) AS n_items,
+         |       CAST(sum(${centsSql("l.l_extendedprice * (1 - l.l_discount)")}) AS BIGINT) AS revenue_cents
+         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
+
+    "q12_join_nation_revenue" ->
+      s"""SELECT r.r_name, n.n_name, count(*) AS n_orders,
+         |       CAST(sum(${centsSql("o.o_totalprice")}) AS BIGINT) AS total_cents
+         |FROM orders o
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""".stripMargin,
+
+    "q13_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q14_union_accounts" ->
+      """SELECT 'c' AS side, c_custkey AS acct_key, c_acctbal AS bal FROM customer
+        |UNION ALL
+        |SELECT 's' AS side, s_suppkey AS acct_key, s_acctbal AS bal FROM supplier
+        |ORDER BY side, acct_key""".stripMargin,
+
+    "q15_filter_events" ->
+      s"""SELECT event_type, count(*) AS n, CAST(sum(${centsSql("value")}) AS BIGINT) AS value_cents
+         |FROM events
+         |WHERE props IS NOT NULL AND value IS NOT NULL AND value >= 10.0
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q16_event_hourly" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,
+         |       event_type, count(*) AS n, CAST(sum(${centsSql("value")}) AS BIGINT) AS value_cents
+         |FROM events GROUP BY 1, event_type ORDER BY hour_bucket, event_type""".stripMargin,
+
+    "q17_user_running" ->
+      s"""SELECT user_id, event_id, CAST(row_number() OVER w AS BIGINT) AS rn,
+         |       CAST(sum(${centsSql("value")}) OVER w AS BIGINT) AS cum_cents
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id)
+         |ORDER BY user_id, rn""".stripMargin,
+
+    "q19_tokenize_stats" ->
+      s"""WITH chars AS (
+         |  SELECT p_partkey, unnest(string_split(substr(upper(p_name), 1, 30), '')) AS c FROM part
+         |), ids AS (
+         |  SELECT p_partkey, $tokenIdCase AS id FROM chars
+         |), sums AS (
+         |  SELECT p_partkey, CAST(sum(id) AS BIGINT) AS body_sum, count(*) AS n_body
+         |  FROM ids GROUP BY p_partkey
+         |)
+         |SELECT p_partkey, n_body + 2 AS n_tok,
+         |       body_sum + 2 + (32 - (n_body + 2)) AS token_sum
+         |FROM sums ORDER BY p_partkey""".stripMargin,
+
+    "q20_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "q21_dedup_minhash" ->
+      s"""$minhashCte
+         |SELECT doc_a, doc_b, n_bands FROM cand ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q22_dedup_simhash" ->
+      """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |wh AS (SELECT doc_id, CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) AS h FROM words),
+        |bits AS (SELECT doc_id, h, unnest(range(0, 32)) AS j FROM wh),
+        |sb AS (
+        |  SELECT doc_id, j,
+        |         sum(CASE WHEN CAST(floor(h / power(2, j)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM bits GROUP BY doc_id, j
+        |), sh AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN s > 0 THEN CAST(floor(power(2, j)) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM sb GROUP BY doc_id
+        |), bv AS (
+        |  SELECT doc_id, simhash, b, CAST(floor(simhash / power(2, 8*b)) AS BIGINT) % 256 AS band_val
+        |  FROM (SELECT doc_id, simhash, unnest(range(0, 4)) AS b FROM sh)
+        |)
+        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+        |FROM bv x JOIN bv y ON x.b = y.b AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q23_ngram_jaccard" ->
+      s"""$minhashCte, bg AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(
+         |      CASE WHEN len(ws) >= 2
+         |           THEN [concat_ws(' ', ws[i+1], ws[i+2]) for i in range(0, len(ws)-1)]
+         |           ELSE [text] END) AS sh
+         |    FROM w)
+         |), sizes AS (SELECT doc_id, count(*) AS sz FROM bg GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN bg a ON a.doc_id = c.doc_a
+         |  JOIN bg b ON b.doc_id = c.doc_b AND b.sh = a.sh
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b,
+         |       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q24_embed_topk" ->
+      s"""$normCte,
+         |q AS (SELECT vec_id AS query_id, e AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+         |s AS (
+         |  SELECT q.query_id, n.vec_id AS neighbor_id,
+         |         round(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*n.e[i])) / (q.qn * n.nrm), 6) AS sim
+         |  FROM q, n WHERE n.vec_id <> q.query_id
+         |), r AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk
+         |  FROM s
+         |)
+         |SELECT query_id, neighbor_id, sim, rk FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
+    "q25_embed_ivf" ->
+      s"""$normCte,
+         |c AS (SELECT vec_id AS cent_id, e AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+         |a AS (
+         |  SELECT n.vec_id, n.e, n.nrm, c.cent_id,
+         |         round(list_sum(list_transform(range(1, len(n.e)+1), i -> n.e[i]*c.cv[i])) / (n.nrm * c.cn), 6) AS csim
+         |  FROM n, c
+         |), asg AS (
+         |  SELECT vec_id, e, nrm, cent_id AS bucket FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS arn FROM a)
+         |  WHERE arn = 1
+         |), q AS (SELECT vec_id AS query_id, e AS qv, nrm AS qn, bucket FROM asg WHERE vec_id < 5),
+         |s AS (
+         |  SELECT q.query_id, asg.vec_id AS neighbor_id,
+         |         round(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*asg.e[i])) / (q.qn * asg.nrm), 6) AS sim
+         |  FROM q JOIN asg USING (bucket) WHERE asg.vec_id <> q.query_id
+         |), r AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk
+         |  FROM s
+         |)
+         |SELECT query_id, neighbor_id, sim, rk FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "q26_lang_profile" ->
+      """SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+        |       round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 6) AS avg_words
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q27_quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |         CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT)
+        |         + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT)
+        |         + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4 AS BIGINT) AS n_stop,
+        |         CAST(length(text) - length(replace(replace(text, '.', ''), ',', '')) AS BIGINT) AS n_punct
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_words, n_stop, n_punct,
+        |       round(0.5 * least(CAST(n_words AS DOUBLE) / 200.0, 1.0)
+        |           + 0.3 * least(CAST(n_stop AS DOUBLE) * 5.0 / CAST(greatest(n_words, 1) AS DOUBLE), 1.0)
+        |           + 0.2 * (1.0 / (1.0 + CAST(n_punct AS DOUBLE))), 6) AS quality
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q28_langid" ->
+      """WITH p AS (SELECT doc_id, ' ' || text || ' ' AS pt FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |         CAST((length(pt) - length(replace(pt, ' the ', ''))) / 5 AS BIGINT) AS s_en,
+        |         CAST((length(pt) - length(replace(pt, ' le ', ''))) / 4 AS BIGINT) AS s_fr,
+        |         CAST((length(pt) - length(replace(pt, ' der ', ''))) / 5 AS BIGINT) AS s_de,
+        |         CAST((length(pt) - length(replace(pt, ' el ', ''))) / 4 AS BIGINT) AS s_es
+        |  FROM p
+        |)
+        |SELECT doc_id, s_en, s_fr, s_de, s_es,
+        |       CASE WHEN s_en >= greatest(s_fr, s_de, s_es) THEN 'en'
+        |            WHEN s_fr >= greatest(s_de, s_es) THEN 'fr'
+        |            WHEN s_de >= s_es THEN 'de'
+        |            ELSE 'es' END AS pred_lang
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q29_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |       CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) AS bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q30_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fp_md5,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |         (a, b) -> (a * 31 + b) % 1000000007) AS fp_poly
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q31_multimodal_meta" ->
+      """WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents)
+        |SELECT doc_id, nb AS n_bytes,
+        |       nb % 512 AS width, (nb * 7) % 512 AS height, nb % 16 AS n_frames
+        |FROM b ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,13 +1,242 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{EsmTokenizer, TextFunctions}
+import graft.operators.{Dedup, EventWindows, Similarity}
+import graft.ops.{ClassWeights, LabelEncode, Stats, StratifiedSplit}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * One entry per operator row in SURVEY.md §2 (parity) and §2.9
+  * (north-star). Every query is a pure function of the sf directory, built
+  * from the graft library, ending in a total-order `orderBy`; `OracleSql`
+  * holds the matching DuckDB SQL (all queries except the raw tokenizer
+  * array, which is not SQL-expressible at full fidelity).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    queries("q01_stats_summary")(spark, "/root/testdata/sf0.001")
+
+  // ---- shared fragments -------------------------------------------------
+
+  /** Stratified split over orders: class = o_custkey (sizes 1..25 at sf0.01
+    * — exercises all four SP1 branches), file order = o_orderkey (unique;
+    * lineitem lacks a unique natural key in this synthetic data, which would
+    * make row_number tie-breaks engine-dependent).
+    */
+  private def splitDf(s: SparkSession, dir: String): DataFrame =
+    StratifiedSplit.withSplit(Tables.orders(s, dir), "o_custkey", "o_orderkey")
+
+  /** ESM-2 tokenization of part names (FIXTURES.md §A), max_length=32. */
+  private def tokensDf(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir).select(
+      col("p_partkey"),
+      EsmTokenizer.tokenizeUdf(32)(upper(col("p_name"))).as("tokens"))
+
+  private def centsOf(x: Column): Column = EventWindows.cents(x)
+
+  // ---- the inventory ----------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+
+    // A1/A2/A5/A6 — munge_data summary (notebook cell-10/11)
+    "q01_stats_summary" -> ((s, dir) => Stats.summary(Tables.documents(s, dir), "lang", "text")),
+
+    // A3/A7 — value_counts desc with tie-break
+    "q02_value_counts" -> ((s, dir) => Stats.valueCounts(Tables.documents(s, dir), "lang")),
+
+    // A4 — agg-of-agg group-size stats
+    "q03_group_size_stats" -> ((s, dir) => Stats.groupSizeStats(Tables.lineitem(s, dir), "l_partkey")),
+
+    // A8 — histogram of group sizes
+    "q04_size_histogram" -> ((s, dir) => Stats.groupSizeHistogram(Tables.lineitem(s, dir), "l_orderkey")),
+
+    // A9/F1 — length-frequency distribution
+    "q05_len_freq" -> ((s, dir) => Stats.lengthFrequencies(Tables.documents(s, dir), "text")),
+
+    // E1/E2 — lexicographic dense label codes (sklearn LabelEncoder semantics)
+    "q06_label_encode" -> ((s, dir) =>
+      LabelEncode.mapping(Tables.part(s, dir), "p_type").orderBy("p_type")),
+
+    // E1/E3 + implied broadcast join — codes applied to the fact table
+    "q07_encode_apply" -> ((s, dir) =>
+      LabelEncode.encode(Tables.part(s, dir), "p_type")
+        .select(col("p_partkey"), col("class_encoded"))
+        .orderBy("p_partkey")),
+
+    // SP1-SP3/P6 — per-row stratified split assignment
+    "q08_split_assign" -> ((s, dir) =>
+      splitDf(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("split"))
+        .orderBy("o_orderkey")),
+
+    // SP2 — split cardinalities
+    "q09_split_counts" -> ((s, dir) =>
+      splitDf(s, dir).groupBy("split").agg(count(lit(1)).as("n")).orderBy("split")),
+
+    // A10 — inverse-frequency class weights over the train split
+    "q10_class_weights" -> ((s, dir) =>
+      ClassWeights.weights(splitDf(s, dir).filter(col("split") === "train"), "o_custkey")),
+
+    // implied join 1 — fact ⋈ small dim, broadcast hash join
+    "q11_join_brand_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(centsOf(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+        .orderBy("p_brand")),
+
+    // implied join 2 — multi-way star join (dims broadcast)
+    "q12_join_nation_revenue" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_orders"), sum(centsOf(col("o_totalprice"))).as("total_cents"))
+        .orderBy("r_name", "n_name")),
+
+    // sort + limit (deterministic top-k)
+    "q13_topk_orders" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+
+    // S2 — UNION ALL via unionByName
+    "q14_union_accounts" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .select(lit("c").as("side"), col("c_custkey").as("acct_key"), col("c_acctbal").as("bal"))
+        .unionByName(Tables.supplier(s, dir)
+          .select(lit("s").as("side"), col("s_suppkey").as("acct_key"), col("s_acctbal").as("bal")))
+        .orderBy("side", "acct_key")),
+
+    // P1 + value predicates
+    "q15_filter_events" -> ((s, dir) => EventWindows.filteredTypeStats(Tables.events(s, dir), 10.0)),
+
+    // batch time-windowing (tumbling 1h)
+    "q16_event_hourly" -> ((s, dir) => EventWindows.hourly(Tables.events(s, dir))),
+
+    // analytic windows — running totals per user
+    "q17_user_running" -> ((s, dir) => EventWindows.userRunningTotals(Tables.events(s, dir))),
+
+    // F2/F3 — ESM-2 tokens as array column (not SQL-expressible → rows-only check)
+    "q18_tokenize" -> ((s, dir) => tokensDf(s, dir).orderBy("p_partkey")),
+
+    // F2 derived facts, oracle-checkable (length/sum invariants of the UDF output)
+    "q19_tokenize_stats" -> ((s, dir) =>
+      tokensDf(s, dir)
+        .select(
+          col("p_partkey"),
+          size(filter(col("tokens"), t => t =!= EsmTokenizer.PadId)).cast("long").as("n_tok"),
+          aggregate(col("tokens"), lit(0L), (a, t) => a + t.cast("long")).as("token_sum"))
+        .orderBy("p_partkey")),
+
+    // dedup: exact content-hash
+    "q20_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
+
+    // dedup: MinHash + LSH banding
+    "q21_dedup_minhash" -> ((s, dir) => Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text")),
+
+    // dedup: SimHash + banded Hamming search
+    "q22_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text")),
+
+    // dedup: n-gram Jaccard via inverted shingle index
+    "q23_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text")),
+
+    // similarity: exact cosine top-k (baseline)
+    "q24_embed_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding", nQueries = 5, k = 10)),
+
+    // similarity: IVF-bucketed ANN (scale path)
+    "q25_embed_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        nCentroids = 8, nQueries = 5, k = 5)),
+
+    // text analysis: per-language profile
+    "q26_lang_profile" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_chars")).as("total_chars"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"),
+          round(sum(TextFunctions.wordCount(col("text"))).cast("double") / count(lit(1)), 6).as("avg_words"))
+        .orderBy("lang")),
+
+    // text analysis: quality scoring
+    "q27_quality_score" -> ((s, dir) => {
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      val nStop = TextFunctions.countMarker(padded, " the ") +
+        TextFunctions.countMarker(padded, " a ") +
+        TextFunctions.countMarker(padded, " of ")
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          TextFunctions.wordCount(col("text")).as("n_words"),
+          nStop.as("n_stop"),
+          TextFunctions.punctCount(col("text")).as("n_punct"))
+        .withColumn("quality",
+          TextFunctions.qualityScore(col("n_words"), col("n_stop"), col("n_punct")))
+        .orderBy("doc_id")
+    }),
+
+    // text analysis: heuristic language ID
+    "q28_langid" -> ((s, dir) => {
+      val scores = TextFunctions.langScores(col("text"))
+      val named  = scores.map { case (l, c) => c.as(s"s_$l") }
+      Tables.documents(s, dir)
+        .select(col("doc_id") +: named: _*)
+        .withColumn("pred_lang",
+          TextFunctions.predictedLang(col("s_en"), col("s_fr"), col("s_de"), col("s_es")))
+        .orderBy("doc_id")
+    }),
+
+    // text analysis: token counting (whitespace + BPE-ish estimate)
+    "q29_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          TextFunctions.wordCount(col("text")).as("ws_tokens"),
+          TextFunctions.bpeEstimate(col("text")).as("bpe_est"))
+        .orderBy("doc_id")),
+
+    // text analysis: document fingerprinting (md5-normalized + rolling hash)
+    "q30_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          TextFunctions.md5Fingerprint(col("text")).as("fp_md5"),
+          TextFunctions.polyFingerprint(col("text")).as("fp_poly"))
+        .orderBy("doc_id")),
+
+    // multimodal: opaque binary column + stub decode metadata
+    "q31_multimodal_meta" -> ((s, dir) => {
+      val nb = octet_length(col("text").cast("binary")).cast("long")
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          nb.as("n_bytes"),
+          (nb % 512).as("width"),
+          (nb * 7 % 512).as("height"),
+          (nb % 16).as("n_frames"))
+        .orderBy("doc_id")
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. q18 omitted (array output, not
+    * SQL-expressible at full fidelity → driver's rows-only check; its
+    * invariants are oracled via q19 instead).
+    */
+  def oracleSql: Map[String, String] = OracleSql.sql
 }

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for training-data pipelines (SURVEY.md §2.9):
+  * language-ID, quality scoring, token counting, document fingerprinting.
+  *
+  * All built from codegen'd `sql.functions` (no UDFs in the hot path) and
+  * mirrored 1:1 by DuckDB oracle SQL: integer-derived arithmetic only, so
+  * results are bitwise deterministic across engines.
+  */
+object TextFunctions {
+
+  /** Whitespace word list. Spark `split` and DuckDB `string_split` agree on
+    * single-space separators (empties kept for runs of spaces).
+    */
+  def words(text: Column): Column = split(text, " ", -1)
+
+  /** replace-based (regex-free) occurrence count; ` padded ` for word hits. */
+  def countMarker(padded: Column, marker: String): Column =
+    ((length(padded) - length(replace(padded, lit(marker), lit("")))) / lit(marker.length)).cast("long")
+
+  /** Stopword-marker languages for the heuristic language-ID. Markers are
+    * space-delimited so they hit whole words in ` text ` padding.
+    */
+  val LangMarkers: Seq[(String, String)] =
+    Seq("en" -> " the ", "fr" -> " le ", "de" -> " der ", "es" -> " el ")
+
+  /** N-gram/stopword heuristic language ID: score = marker hits; prediction
+    * by fixed priority order (en > fr > de > es) on ties.
+    */
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val padded = concat(lit(" "), text, lit(" "))
+    LangMarkers.map { case (lang, m) => lang -> countMarker(padded, m) }
+  }
+
+  def predictedLang(sEn: Column, sFr: Column, sDe: Column, sEs: Column): Column =
+    when(sEn >= greatest(sFr, sDe, sEs), lit("en"))
+      .when(sFr >= greatest(sDe, sEs), lit("fr"))
+      .when(sDe >= sEs, lit("de"))
+      .otherwise(lit("es"))
+
+  /** Whitespace token count. */
+  def wordCount(text: Column): Column = size(words(text)).cast("long")
+
+  /** BPE-ish token estimate: ceil(bytes / 4) — the usual chars-per-token
+    * heuristic; deterministic integer arithmetic.
+    */
+  def bpeEstimate(text: Column): Column =
+    ceil(octet_length(text).cast("double") / lit(4.0)).cast("long")
+
+  /** Punctuation count (period + comma) via replace, regex-free. */
+  def punctCount(text: Column): Column =
+    (length(text) - length(replace(replace(text, lit("."), lit("")), lit(","), lit("")))).cast("long")
+
+  /** Composite quality score in [0,1]: length component + stopword-density
+    * component. All inputs integer-derived → identical doubles across engines.
+    */
+  def qualityScore(nWords: Column, nStop: Column, nPunct: Column): Column = {
+    val lenComp  = least(nWords.cast("double") / lit(200.0), lit(1.0))
+    val stopComp = least(nStop.cast("double") * lit(5.0) / greatest(nWords, lit(1L)).cast("double"), lit(1.0))
+    val punctPen = lit(1.0) / (lit(1.0) + nPunct.cast("double"))
+    round(lit(0.5) * lenComp + lit(0.3) * stopComp + lit(0.2) * punctPen, 6)
+  }
+
+  /** Rolling polynomial (Rabin-Karp-style) fingerprint over characters:
+    * fold(acc = acc*31 + ascii(c) mod 1e9+7). Pure higher-order-function
+    * arithmetic — stays inside codegen, replayable in DuckDB via
+    * `list_reduce`.
+    */
+  def polyFingerprint(text: Column): Column =
+    aggregate(
+      filter(split(text, "", -1), c => length(c) > 0), // drop empty-split artifacts
+      lit(0L),
+      (acc, c) => (acc * lit(31L) + ascii(c).cast("long")) % lit(1000000007L))
+
+  /** Normalized content fingerprint (exact-dup key after normalization). */
+  def md5Fingerprint(text: Column): Column = md5(lower(trim(text)))
+}

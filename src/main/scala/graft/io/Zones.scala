@@ -1,0 +1,60 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Data-lake zone I/O (SURVEY.md §2.1 S1-S7): raw → staging → curated
+  * directory prefixes, schema'd CSV + parquet.
+  *
+  * Replaces the reference's hand-rolled boto3 GET/PUT + temp-file dance
+  * (`unpack_to_raw.py:54-68`): Spark writes directly to the sink path; with
+  * an object store the same paths are `s3a://bucket/...` and the Hadoop
+  * connector does multipart uploads from executors — no driver staging.
+  */
+final case class Zones(root: String) {
+  val raw: String     = s"$root/raw"
+  val staging: String = s"$root/staging"
+  val curated: String = s"$root/curated"
+
+  /** S6 — idempotent zone ensure (no-op on object stores). */
+  def ensure(spark: SparkSession): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(raw, staging, curated).foreach { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(conf).mkdirs(path)
+    }
+  }
+}
+
+object Zones {
+
+  /** S1 — schema'd headerless CSV scan over any number of shard paths: one
+    * job, parallelism = input splits; never `inferSchema` on a fact table
+    * (inference is a second full scan). Multi-path read is the reference's
+    * per-file loop + concat (S2) collapsed into one plan.
+    */
+  def readCsv(
+      spark: SparkSession,
+      schema: StructType,
+      header: Boolean,
+      paths: Seq[String]): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE") // malformed rows → nulls, dropped by Clean.dropNa (SURVEY §1.3)
+      .csv(paths: _*)
+
+  /** S3/S5 — CSV sink. `single` mirrors the reference's one-object-per-table
+    * S3 layout; leave false at scale (one file per partition).
+    */
+  def writeCsv(df: DataFrame, path: String, single: Boolean = false): Unit =
+    (if (single) df.coalesce(1) else df).write
+      .mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .csv(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+}

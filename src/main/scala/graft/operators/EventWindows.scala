@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch time-windowing and analytic windows over the `events` table
+  * (SURVEY.md §2.8/§2.9). Money-like doubles are summed as integer cents
+  * (`round(x*100)::long`) — integer sums are associative, so partial/final
+  * aggregation order can never change the result (and the DuckDB oracle
+  * matches bit-for-bit).
+  */
+object EventWindows {
+
+  def cents(x: Column): Column = round(x * 100, 0).cast("long")
+
+  /** Tumbling 1-hour buckets per event type. The bucket is emitted as a
+    * string so timestamp precision (ns parquet vs µs Spark) can't leak into
+    * the comparison.
+    */
+  def hourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        date_format(col("ts"), "yyyy-MM-dd HH:00:00").as("hour_bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+      .orderBy("hour_bucket", "event_type")
+
+  /** Per-user ordered running aggregates: row_number + cumulative cents.
+    * Window ordering is (ts, event_id) — event_id breaks timestamp ties
+    * deterministically.
+    */
+  def userRunningTotals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum_cents", sum(cents(col("value"))).over(w))
+      .select(col("user_id"), col("event_id"), col("rn"), col("cum_cents"))
+      .orderBy("user_id", "rn")
+  }
+
+  /** P1 + value predicates: non-null rows with value >= threshold, per type. */
+  def filteredTypeStats(events: DataFrame, minValue: Double): DataFrame =
+    events
+      .na.drop("any", Seq("props", "value"))
+      .filter(col("value") >= minValue)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+      .orderBy("event_type")
+}

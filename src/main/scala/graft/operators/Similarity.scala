@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding column
+  * (`Array[Float]`, SURVEY.md §2.9).
+  *
+  * Two tiers:
+  *   - [[bruteForceTopK]] — exact cosine top-k, query set broadcast against
+  *     a streamed corpus scan (the baseline; cost |Q|·N, fine for small Q).
+  *   - [[ivfTopK]] — IVF-style bucketed search: corpus assigned to nearest
+  *     centroid (one broadcast join), queries probe only their bucket —
+  *     the 100 TB path (cost |Q|·N/K per probe).
+  *
+  * Determinism: dot products use `zip_with`+`aggregate` (sequential fold in
+  * doubles, identical in DuckDB's `list_sum`/`list_transform`); ranking
+  * orders by the *rounded* similarity with id tie-breaks, so both engines
+  * rank identically even at float boundaries.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double arrays — codegen'd
+    * higher-order functions, no UDF.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Adds `emb_d` (double-cast embedding) and `nrm` (L2 norm). */
+  def withNorm(df: DataFrame, embCol: String): DataFrame =
+    df.withColumn("emb_d", transform(col(embCol), _.cast("double")))
+      .withColumn("nrm", sqrt(dot(col("emb_d"), col("emb_d"))))
+
+  def cosine(qv: Column, qn: Column, cv: Column, cn: Column): Column =
+    round(dot(qv, cv) / (qn * cn), 6)
+
+  /** Exact cosine top-k for queries `id < nQueries` over the whole corpus. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, embCol: String, nQueries: Int, k: Int): DataFrame = {
+    val v = withNorm(emb, embCol).select(col(idCol).as("cand_id"), col("emb_d"), col("nrm"))
+    val q = withNorm(emb, embCol)
+      .filter(col(idCol) < nQueries)
+      .select(col(idCol).as("query_id"), col("emb_d").as("qv"), col("nrm").as("qn"))
+    val sims = v
+      .join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("qn"), col("emb_d"), col("nrm")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
+    sims
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id").as("neighbor_id"), col("sim"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** IVF-bucketed ANN: vectors `id < nCentroids` serve as deterministic
+    * centroids; each vector is assigned to its max-cosine centroid; each
+    * query searches only its own bucket.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      nCentroids: Int,
+      nQueries: Int,
+      k: Int): DataFrame = {
+    val v = withNorm(emb, embCol).select(col(idCol).as("vid"), col("emb_d"), col("nrm"))
+    val cents = v
+      .filter(col("vid") < nCentroids)
+      .select(col("vid").as("cent_id"), col("emb_d").as("cv"), col("nrm").as("cn"))
+    val assignW = Window.partitionBy("vid").orderBy(col("csim").desc, col("cent_id"))
+    val assigned = v
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("cv"), col("cn"), col("emb_d"), col("nrm")))
+      .withColumn("arn", row_number().over(assignW))
+      .filter(col("arn") === 1)
+      .select(col("vid"), col("emb_d"), col("nrm"), col("cent_id").as("bucket"))
+    val q = assigned
+      .filter(col("vid") < nQueries)
+      .select(col("vid").as("query_id"), col("emb_d").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vid"))
+    assigned
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("vid") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("qn"), col("emb_d"), col("nrm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("sim"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
+}

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming over the events schema (beyond-reference; the
+  * reference is batch-only — SURVEY.md §2.8).
+  *
+  * `readStream` → watermarked tumbling-window aggregation → sink. The same
+  * aggregation as `EventWindows.hourly`, so batch and stream results are
+  * directly comparable (tested in `EventStreamSpec`). At scale this runs
+  * per-microbatch with state cleanup driven by the watermark — late events
+  * beyond 2 hours are dropped instead of accumulating state.
+  */
+object EventStream {
+
+  def hourlyCounts(spark: SparkSession, inputDir: String, schema: StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("hour_bucket"),
+        col("event_type"),
+        col("n"),
+        col("value_cents"))
+
+  /** Run the streaming query to completion over the files currently in
+    * `inputDir` (AvailableNow trigger) and return the materialized result.
+    */
+  def runAvailableNow(
+      spark: SparkSession,
+      inputDir: String,
+      schema: StructType,
+      queryName: String = "hourly_events"): DataFrame = {
+    val q = hourlyCounts(spark, inputDir, schema).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}
