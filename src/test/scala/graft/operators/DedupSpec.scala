@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),  // near dup
+    (4L, "completely different words entirely here now today")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts; keeper is min id") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .select("keeper_id", "n_dups").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("minhash: exact duplicates share all bands; disjoint docs share none") {
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toMap2
+    assert(pairs.get((1L, 2L)) === Some(2L)) // identical → both bands
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)) && !pairs.contains((3L, 4L)))
+  }
+
+  test("simhash: identical docs pair at hamming 0") {
+    val got = Dedup.simhashPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toMap2
+    assert(got.get((1L, 2L)) === Some(0L))
+  }
+
+  test("jaccard on minhash candidates: identical docs score 1.0") {
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(got.get((1L, 2L)) === Some(1.0))
+    got.get((1L, 3L)).foreach(j => assert(j > 0.5 && j < 1.0)) // near-dup, if candidate
+  }
+
+  implicit private class Pairs[V](rows: Array[(Long, Long, V)]) {
+    def toMap2: Map[(Long, Long), V] = rows.map { case (a, b, v) => (a, b) -> v }.toMap
+  }
+}

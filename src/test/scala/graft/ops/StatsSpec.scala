@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** A1-A9 goldens on a literal table (notebook cells 10-17 shapes). */
+class StatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val df = Seq(
+    ("a", "xx"), ("a", "xxxx"), ("a", "xxxxxx"),
+    ("b", "x"), ("b", "xxx")
+  ).toDF("cls", "txt")
+
+  test("summary: count, distinct classes, min/max/median length") {
+    val r = Stats.summary(df, "cls", "txt").collect()(0)
+    assert(r.getLong(0) === 5L)          // n_rows
+    assert(r.getLong(1) === 2L)          // n_classes
+    assert(r.getLong(2) === 1L)          // min_len
+    assert(r.getLong(3) === 6L)          // max_len
+    assert(r.getDouble(4) === 3.0)       // median of {2,4,6,1,3}
+  }
+
+  test("valueCounts: descending with key tie-break") {
+    val got = Stats.valueCounts(df, "cls").as[(String, Long)].collect().toSeq
+    assert(got === Seq(("a", 3L), ("b", 2L)))
+  }
+
+  test("groupSizeStats: min/max/avg of group sizes") {
+    val r = Stats.groupSizeStats(df, "cls").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) === ((2L, 3L, 2.5)))
+  }
+
+  test("groupSizeHistogram") {
+    val got = Stats.groupSizeHistogram(df, "cls").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((2L, 1L), (3L, 1L)))
+  }
+
+  test("lengthFrequencies") {
+    val got = Stats.lengthFrequencies(df, "txt").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (6L, 1L)))
+  }
+}

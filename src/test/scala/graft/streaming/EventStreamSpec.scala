@@ -1,0 +1,31 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+import graft.operators.EventWindows
+
+/** Structured Streaming ≡ batch: the watermarked hourly windowed aggregation
+  * over a file stream must produce exactly the batch `EventWindows.hourly`
+  * result once the stream drains (AvailableNow).
+  */
+class EventStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("AvailableNow stream over events matches the batch hourly aggregation") {
+    val tmp = Files.createTempDirectory("graft_stream").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    events.write.mode("overwrite").parquet(tmp)
+
+    val batch = EventWindows.hourly(spark.read.parquet(tmp))
+      .collect().map(_.toSeq).toSet
+
+    val streamed = EventStream.runAvailableNow(spark, tmp, events.schema, "hourly_events_test")
+      .collect().map(_.toSeq).toSet
+
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+}
