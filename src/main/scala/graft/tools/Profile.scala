@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Dedup
+
+/** Dev utility: time sub-pipelines of the heavy queries to localize cost.
+  * `runMain graft.tools.Profile <sfDir>`.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (rows=$n)")
+    }
+
+    val docs = Tables.documents(spark, sfDir)
+    time("warmup count")(docs.count())
+
+    val sh = Dedup.shingleRows(docs, "doc_id", "text", 3)
+    time("shingle rows (lead-window)")(sh.count())
+
+    val h = sh.select(
+      col("doc_id"),
+      conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(col("s")), 13, 12), 16, 10).cast("long").as("h2"))
+    time("+ md5/conv hashes")(h.count())
+
+    val minAggs = (0 until 8).map(k =>
+      min((col("h1") + lit(k.toLong) * col("h2")) % lit(Dedup.MinhashMod)).as(s"m$k"))
+    val mh = h.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    time("+ signature groupBy")(mh.count())
+
+    time("full minhash candidates")(Dedup.minhashCandidates(docs, "doc_id", "text").count())
+    time("full jaccard-on-cand")(Dedup.ngramJaccardPairs(docs, "doc_id", "text").count())
+    time("full simhash pairs")(Dedup.simhashPairs(docs, "doc_id", "text").count())
+    spark.stop()
+  }
+}
