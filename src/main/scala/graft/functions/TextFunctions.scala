@@ -64,16 +64,13 @@ object TextFunctions {
     round(lit(0.5) * lenComp + lit(0.3) * stopComp + lit(0.2) * punctPen, 6)
   }
 
-  /** Rolling polynomial (Rabin-Karp-style) fingerprint over characters:
-    * fold(acc = acc*31 + ascii(c) mod 1e9+7). Pure higher-order-function
-    * arithmetic — stays inside codegen, replayable in DuckDB via
-    * `list_reduce`.
+  /** Rolling polynomial (Rabin-Karp-style) fingerprint over codepoints:
+    * fold(acc = acc*31 + cp mod 1e9+7). Backed by the native codegen'd
+    * [[graft.plans.RollingHash]] expression (the interpreted
+    * `aggregate(split(text,''))` formulation allocates a per-char array and
+    * runs ~10× slower); replayable in DuckDB via `list_reduce`.
     */
-  def polyFingerprint(text: Column): Column =
-    aggregate(
-      filter(split(text, "", -1), c => length(c) > 0), // drop empty-split artifacts
-      lit(0L),
-      (acc, c) => (acc * lit(31L) + ascii(c).cast("long")) % lit(1000000007L))
+  def polyFingerprint(text: Column): Column = graft.plans.RollingHash(text)
 
   /** Normalized content fingerprint (exact-dup key after normalization). */
   def md5Fingerprint(text: Column): Column = md5(lower(trim(text)))

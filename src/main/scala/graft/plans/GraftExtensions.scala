@@ -1,0 +1,41 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface for graft's custom expressions.
+  *
+  * Two registration paths:
+  *   - cluster-wide: `--conf spark.sql.extensions=graft.plans.GraftExtensions`
+  *     (applied when the session is built);
+  *   - per-session: `GraftExtensions.register(spark)` for sessions that
+  *     already exist (e.g. handed in by a driver).
+  *
+  * After either, `SELECT graft_rolling_hash(text)` works in plain SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.rollingHashFunction)
+}
+
+object GraftExtensions {
+  private val rollingHashBuilder: Seq[Expression] => Expression = {
+    case Seq(child)      => RollingHash(child)
+    case Seq(child, mod) => RollingHash(child, mod.eval().asInstanceOf[Number].longValue())
+    case other =>
+      throw new IllegalArgumentException(
+        s"graft_rolling_hash expects 1 or 2 arguments, got ${other.size}")
+  }
+
+  val rollingHashFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_rolling_hash"),
+    new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
+    rollingHashBuilder)
+
+  /** Imperative registration on an existing session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rolling_hash", rollingHashBuilder, "built-in")
+}
