@@ -21,15 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays — codegen'd
-    * higher-order functions, no UDF.
+  /** Sequential-fold dot product — the native codegen'd
+    * [[graft.plans.VecDot]] expression (per-element double cast + multiply,
+    * summation order identical to a left fold, so values match the
+    * interpreted HOF formulation and the DuckDB oracle bit-for-bit).
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = graft.plans.VecDot(a, b)
 
-  /** Adds `emb_d` (double-cast embedding) and `nrm` (L2 norm). */
+  /** Adds `emb_d` (the embedding as passed; VecDot casts elements) and
+    * `nrm` (L2 norm).
+    */
   def withNorm(df: DataFrame, embCol: String): DataFrame =
-    df.withColumn("emb_d", transform(col(embCol), _.cast("double")))
+    df.withColumn("emb_d", col(embCol))
       .withColumn("nrm", sqrt(dot(col("emb_d"), col("emb_d"))))
 
   def cosine(qv: Column, qn: Column, cv: Column, cn: Column): Column =
