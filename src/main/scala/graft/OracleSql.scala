@@ -355,6 +355,36 @@ object OracleSql {
       """WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents)
         |SELECT doc_id, nb AS n_bytes,
         |       nb % 512 AS width, (nb * 7) % 512 AS height, nb % 16 AS n_frames
-        |FROM b ORDER BY doc_id""".stripMargin
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q32_dedup_apply" ->
+      s"""$minhashCte, losers AS (SELECT DISTINCT doc_b FROM cand)
+         |SELECT lang, count(*) AS n_kept
+         |FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_b = d.doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q33_len_quantiles" ->
+      """SELECT lang,
+        |       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+        |       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+        |       round(quantile_cont(n_chars, 0.75), 6) AS p75
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q34_pivot_lang_counts" -> {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val cols = langs
+        .map(l => s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS n_$l")
+        .mkString(",\n       ")
+      s"""SELECT source,
+         |       $cols
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "q35_event_rollup" ->
+      s"""SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n,
+         |       CAST(sum(${centsSql("value")}) AS BIGINT) AS value_cents
+         |FROM events GROUP BY ROLLUP(event_type)
+         |ORDER BY event_type""".stripMargin
   )
 }

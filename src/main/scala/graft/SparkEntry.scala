@@ -219,6 +219,40 @@ object SparkEntry {
           TextFunctions.polyFingerprint(col("text")).as("fp_poly"))
         .orderBy("doc_id")),
 
+    // dedup applied — anti join against the LSH loser set (semi/anti join coverage)
+    "q32_dedup_apply" -> ((s, dir) =>
+      Dedup.survivorsByGroup(Tables.documents(s, dir), "doc_id", "text", "lang")),
+
+    // grouped exact quantiles (interpolating percentile per language)
+    "q33_len_quantiles" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(
+          round(expr("percentile(n_chars, 0.25D)"), 6).as("p25"),
+          round(expr("percentile(n_chars, 0.5D)"), 6).as("p50"),
+          round(expr("percentile(n_chars, 0.75D)"), 6).as("p75"))
+        .orderBy("lang")),
+
+    // pivot (wide conditional aggregation over the fixed language set)
+    "q34_pivot_lang_counts" -> ((s, dir) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val piv = Tables.documents(s, dir)
+        .groupBy("source")
+        .pivot("lang", langs)
+        .count()
+      piv.select(
+        col("source") +: langs.map(l => coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
+        .orderBy("source")
+    }),
+
+    // rollup (grouping sets: per-type totals + grand total)
+    "q35_event_rollup" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .rollup("event_type")
+        .agg(count(lit(1)).as("n"), sum(centsOf(col("value"))).as("value_cents"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"), col("n"), col("value_cents"))
+        .orderBy("event_type")),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
