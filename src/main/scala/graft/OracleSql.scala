@@ -385,6 +385,28 @@ object OracleSql {
       s"""SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n,
          |       CAST(sum(${centsSql("value")}) AS BIGINT) AS value_cents
          |FROM events GROUP BY ROLLUP(event_type)
-         |ORDER BY event_type""".stripMargin
+         |ORDER BY event_type""".stripMargin,
+
+    "q36_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, value,
+         |         epoch_us(date_trunc('microseconds', ts)) AS us
+         |  FROM events
+         |), f AS (
+         |  SELECT user_id, event_id, value, us,
+         |         CASE WHEN us - lag(us) OVER w > 1800000000 THEN 1
+         |              WHEN lag(us) OVER w IS NULL THEN 1
+         |              ELSE 0 END AS is_new
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+         |), g AS (
+         |  SELECT user_id, event_id, value, us,
+         |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS sess_idx
+         |  FROM f
+         |)
+         |SELECT user_id, sess_idx, count(*) AS n_events,
+         |       CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+         |       CAST(sum(${centsSql("value")}) AS BIGINT) AS value_cents
+         |FROM g GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx""".stripMargin
   )
 }

@@ -219,6 +219,9 @@ object SparkEntry {
           TextFunctions.polyFingerprint(col("text")).as("fp_poly"))
         .orderBy("doc_id")),
 
+    // gap-based sessionization (30-min gap) via window functions
+    "q36_sessionize" -> ((s, dir) => EventWindows.sessionize(Tables.events(s, dir), 30)),
+
     // dedup applied — anti join against the LSH loser set (semi/anti join coverage)
     "q32_dedup_apply" -> ((s, dir) =>
       Dedup.survivorsByGroup(Tables.documents(s, dir), "doc_id", "text", "lang")),

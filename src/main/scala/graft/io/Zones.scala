@@ -57,4 +57,18 @@ object Zones {
 
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Bucketed + sorted catalog table: repeated equi-joins/aggregations on
+    * `bucketCol` between tables bucketed the same way run shuffle-free
+    * (Spark plans a sort-merge join over co-located buckets — verified in
+    * `BucketingSpec` by asserting the plan has no shuffle exchange). This is
+    * the 100 TB lever for fact⋈fact joins the broadcast path can't cover.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, numBuckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
 }

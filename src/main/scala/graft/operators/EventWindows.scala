@@ -39,6 +39,48 @@ object EventWindows {
       .orderBy("user_id", "rn")
   }
 
+  /** Gap-based sessionization as window functions (the oracle-able form):
+    * a session boundary opens where the gap to the previous event of the
+    * same user exceeds `gapMinutes`; session index = running sum of
+    * boundary flags. Works in exact integer microseconds (Spark
+    * `unix_micros` ≡ DuckDB `epoch_us`, both truncating) so both engines
+    * agree bit-for-bit. One shuffle on user_id serves both windows and the
+    * final per-session aggregation.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn(
+        "is_new",
+        when(col("us") - lag(col("us"), 1).over(w) > gapUs, 1L)
+          .when(lag(col("us"), 1).over(w).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("sess_idx", sum(col("is_new")).over(w))
+      .groupBy("user_id", "sess_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("duration_us"),
+        sum(cents(col("value"))).as("value_cents"))
+      .orderBy("user_id", "sess_idx")
+  }
+
+  /** The same sessions via Spark's built-in `session_window` (usable in
+    * batch and Structured Streaming; not DuckDB-expressible, so it is
+    * cross-checked against [[sessionize]] in tests instead of the oracle).
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_cents"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("sess_start"),
+        col("n_events"),
+        col("value_cents"))
+      .orderBy("user_id", "sess_start")
+
   /** P1 + value predicates: non-null rows with value >= threshold, per type. */
   def filteredTypeStats(events: DataFrame, minValue: Double): DataFrame =
     events

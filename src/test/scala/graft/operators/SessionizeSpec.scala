@@ -1,0 +1,43 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+class SessionizeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(minutes: Long) = new Timestamp(1700000000000L + minutes * 60000L)
+
+  test("gap > 30min opens a new session; duration and counts per session") {
+    val events = Seq(
+      (1L, ts(0), 7L, 10.0, "p"),
+      (2L, ts(10), 7L, 20.0, "p"),
+      (3L, ts(120), 7L, 30.0, "p"),
+      (4L, ts(125), 7L, 40.0, "p"),
+      (5L, ts(0), 8L, 50.0, "p")
+    ).toDF("event_id", "ts", "user_id", "value", "props")
+    val got = EventWindows.sessionize(events, 30)
+      .select("user_id", "sess_idx", "n_events", "duration_us", "value_cents")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (7L, 1L, 2L, 600000000L, 3000L),
+      (7L, 2L, 2L, 300000000L, 7000L),
+      (8L, 1L, 1L, 0L, 5000L)))
+  }
+
+  test("window-function sessions agree with built-in session_window") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val ours = EventWindows.sessionize(events, 30)
+      .select("user_id", "n_events", "value_cents")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val builtin = EventWindows.sessionWindowAgg(events, "30 minutes")
+      .select("user_id", "n_events", "value_cents")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(ours === builtin)
+    assert(ours.nonEmpty)
+  }
+}
