@@ -407,6 +407,16 @@ object OracleSql {
          |SELECT user_id, sess_idx, count(*) AS n_events,
          |       CAST(max(us) - min(us) AS BIGINT) AS duration_us,
          |       CAST(sum(${centsSql("value")}) AS BIGINT) AS value_cents
-         |FROM g GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx""".stripMargin
+         |FROM g GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx""".stripMargin,
+
+    "q37_sliding_window" ->
+      s"""WITH slid AS (
+         |  SELECT date_trunc('hour', ts) AS ws, value FROM events
+         |  UNION ALL
+         |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, value FROM events
+         |)
+         |SELECT strftime(ws, '%Y-%m-%d %H:00:00') AS win_start, count(*) AS n,
+         |       CAST(sum(${centsSql("value")}) AS BIGINT) AS value_cents
+         |FROM slid GROUP BY ws ORDER BY win_start""".stripMargin
   )
 }

@@ -256,6 +256,27 @@ object SparkEntry {
         .select(coalesce(col("event_type"), lit("ALL")).as("event_type"), col("n"), col("value_cents"))
         .orderBy("event_type")),
 
+    // sliding 2h windows with 1h slide (each event lands in two buckets)
+    "q37_sliding_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"), sum(centsOf(col("value"))).as("value_cents"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("win_start"),
+          col("n"),
+          col("value_cents"))
+        .orderBy("win_start")),
+
+    // HLL sketch distinct (documented scale option for A2; no exact oracle —
+    // rows-only check; exact counterpart is q26's n_sources)
+    "q38_approx_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("n_users_exact"),
+          approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+        .orderBy("event_type")),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
