@@ -97,6 +97,22 @@ object OracleSql {
       |             sqrt(list_sum(list_transform(range(1, len(e)+1), i -> e[i]*e[i]))) AS nrm
       |      FROM v)""".stripMargin
 
+  /** Shared IVF bucket-assignment CTE chain (mirrors
+    * `Similarity.assignBuckets` with 8 centroids).
+    */
+  private val ivfAssignCte: String =
+    s"""$normCte,
+       |c AS (SELECT vec_id AS cent_id, e AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+       |a AS (
+       |  SELECT n.vec_id, n.e, n.nrm, c.cent_id,
+       |         round(list_sum(list_transform(range(1, len(n.e)+1), i -> n.e[i]*c.cv[i])) / (n.nrm * c.cn), 6) AS csim
+       |  FROM n, c
+       |), asg AS (
+       |  SELECT vec_id, e, nrm, cent_id AS bucket FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS arn FROM a)
+       |  WHERE arn = 1
+       |)""".stripMargin
+
   private def centsSql(x: String): String = s"CAST(round(($x) * 100) AS BIGINT)"
 
   val sql: Map[String, String] = Map(
@@ -275,17 +291,8 @@ object OracleSql {
          |SELECT query_id, neighbor_id, sim, rk FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
 
     "q25_embed_ivf" ->
-      s"""$normCte,
-         |c AS (SELECT vec_id AS cent_id, e AS cv, nrm AS cn FROM n WHERE vec_id < 8),
-         |a AS (
-         |  SELECT n.vec_id, n.e, n.nrm, c.cent_id,
-         |         round(list_sum(list_transform(range(1, len(n.e)+1), i -> n.e[i]*c.cv[i])) / (n.nrm * c.cn), 6) AS csim
-         |  FROM n, c
-         |), asg AS (
-         |  SELECT vec_id, e, nrm, cent_id AS bucket FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS arn FROM a)
-         |  WHERE arn = 1
-         |), q AS (SELECT vec_id AS query_id, e AS qv, nrm AS qn, bucket FROM asg WHERE vec_id < 5),
+      s"""$ivfAssignCte,
+         |q AS (SELECT vec_id AS query_id, e AS qv, nrm AS qn, bucket FROM asg WHERE vec_id < 5),
          |s AS (
          |  SELECT q.query_id, asg.vec_id AS neighbor_id,
          |         round(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*asg.e[i])) / (q.qn * asg.nrm), 6) AS sim
@@ -417,6 +424,14 @@ object OracleSql {
          |)
          |SELECT strftime(ws, '%Y-%m-%d %H:00:00') AS win_start, count(*) AS n,
          |       CAST(sum(${centsSql("value")}) AS BIGINT) AS value_cents
-         |FROM slid GROUP BY ws ORDER BY win_start""".stripMargin
+         |FROM slid GROUP BY ws ORDER BY win_start""".stripMargin,
+
+    "q39_embed_neardup" ->
+      s"""$ivfAssignCte
+         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |       round(list_sum(list_transform(range(1, len(x.e)+1), i -> x.e[i]*y.e[i])) / (x.nrm * y.nrm), 6) AS sim
+         |FROM asg x JOIN asg y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE round(list_sum(list_transform(range(1, len(x.e)+1), i -> x.e[i]*y.e[i])) / (x.nrm * y.nrm), 6) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin
   )
 }

@@ -161,6 +161,11 @@ object SparkEntry {
       Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         nCentroids = 8, nQueries = 5, k = 5)),
 
+    // dedup: embedding-cosine near-dup via IVF buckets
+    "q39_embed_neardup" -> ((s, dir) =>
+      Similarity.embedNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        nCentroids = 8, threshold = 0.4)),
+
     // text analysis: per-language profile
     "q26_lang_profile" -> ((s, dir) =>
       Tables.documents(s, dir)

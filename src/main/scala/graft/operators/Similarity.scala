@@ -55,10 +55,24 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
-  /** IVF-bucketed ANN: vectors `id < nCentroids` serve as deterministic
-    * centroids; each vector is assigned to its max-cosine centroid; each
-    * query searches only its own bucket.
+  /** Assign every vector to its max-cosine centroid (vectors `id <
+    * nCentroids` are the deterministic centroids). One broadcast of the
+    * centroid set; ties broken by centroid id on the rounded similarity.
     */
+  def assignBuckets(emb: DataFrame, idCol: String, embCol: String, nCentroids: Int): DataFrame = {
+    val v = withNorm(emb, embCol).select(col(idCol).as("vid"), col("emb_d"), col("nrm"))
+    val cents = v
+      .filter(col("vid") < nCentroids)
+      .select(col("vid").as("cent_id"), col("emb_d").as("cv"), col("nrm").as("cn"))
+    val assignW = Window.partitionBy("vid").orderBy(col("csim").desc, col("cent_id"))
+    v.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("cv"), col("cn"), col("emb_d"), col("nrm")))
+      .withColumn("arn", row_number().over(assignW))
+      .filter(col("arn") === 1)
+      .select(col("vid"), col("emb_d"), col("nrm"), col("cent_id").as("bucket"))
+  }
+
+  /** IVF-bucketed ANN: each query searches only its own bucket. */
   def ivfTopK(
       emb: DataFrame,
       idCol: String,
@@ -66,17 +80,7 @@ object Similarity {
       nCentroids: Int,
       nQueries: Int,
       k: Int): DataFrame = {
-    val v = withNorm(emb, embCol).select(col(idCol).as("vid"), col("emb_d"), col("nrm"))
-    val cents = v
-      .filter(col("vid") < nCentroids)
-      .select(col("vid").as("cent_id"), col("emb_d").as("cv"), col("nrm").as("cn"))
-    val assignW = Window.partitionBy("vid").orderBy(col("csim").desc, col("cent_id"))
-    val assigned = v
-      .crossJoin(broadcast(cents))
-      .withColumn("csim", cosine(col("cv"), col("cn"), col("emb_d"), col("nrm")))
-      .withColumn("arn", row_number().over(assignW))
-      .filter(col("arn") === 1)
-      .select(col("vid"), col("emb_d"), col("nrm"), col("cent_id").as("bucket"))
+    val assigned = assignBuckets(emb, idCol, embCol, nCentroids)
     val q = assigned
       .filter(col("vid") < nQueries)
       .select(col("vid").as("query_id"), col("emb_d").as("qv"), col("nrm").as("qn"), col("bucket"))
@@ -89,5 +93,24 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("vid").as("neighbor_id"), col("sim"), col("rk"))
       .orderBy("query_id", "rk")
+  }
+
+  /** Embedding-cosine near-dup pairs: same-IVF-bucket pairs with cosine ≥
+    * `threshold`. The bucket equi-join bounds cost at Σ bucket² instead of
+    * the N² all-pairs product — the dedup counterpart of [[ivfTopK]].
+    */
+  def embedNearDupPairs(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      nCentroids: Int,
+      threshold: Double): DataFrame = {
+    val a = assignBuckets(emb, idCol, embCol, nCentroids)
+    a.as("x")
+      .join(a.as("y"), col("x.bucket") === col("y.bucket") && col("x.vid") < col("y.vid"))
+      .withColumn("sim", cosine(col("x.emb_d"), col("x.nrm"), col("y.emb_d"), col("y.nrm")))
+      .filter(col("sim") >= threshold)
+      .select(col("x.vid").as("vec_a"), col("y.vid").as("vec_b"), col("sim"))
+      .orderBy("vec_a", "vec_b")
   }
 }
