@@ -37,7 +37,7 @@ object SparkEntry {
   private def tokensDf(s: SparkSession, dir: String): DataFrame =
     Tables.part(s, dir).select(
       col("p_partkey"),
-      EsmTokenizer.tokenizeUdf(32)(upper(col("p_name"))).as("tokens"))
+      EsmTokenizer.tokenizeCol(upper(col("p_name")), 32).as("tokens"))
 
   private def centsOf(x: Column): Column = EventWindows.cents(x)
 

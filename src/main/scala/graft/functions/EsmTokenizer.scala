@@ -58,6 +58,16 @@ object EsmTokenizer {
   def tokenizeUdf(maxLength: Int = DefaultMaxLength): UserDefinedFunction =
     udf((s: String) => if (s == null) null else tokenize(s, maxLength))
 
+  /** Codegen-facing variant: packs the token ids straight into an
+    * `UnsafeArrayData` (no boxing, no Row ser/de — unlike the UDF path).
+    */
+  def tokenizeArrayData(s: String, maxLength: Int): org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(tokenize(s, maxLength))
+
+  /** Column API over the native [[graft.plans.EsmTokenizeExpr]]. */
+  def tokenizeCol(c: org.apache.spark.sql.Column, maxLength: Int = DefaultMaxLength): org.apache.spark.sql.Column =
+    graft.plans.EsmTokenizeExpr(c, maxLength)
+
   /** F3 — optional wide sink projection (reference writes 1,024 `token_i`
     * scalar columns). Engine-internal form stays the array.
     */

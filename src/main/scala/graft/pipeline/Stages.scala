@@ -77,7 +77,7 @@ object Stages {
       widePivot: Boolean = false): DataFrame = {
     Clean.requireColumns(staging, "sequence")
     val tok = staging
-      .withColumn("tokens", EsmTokenizer.tokenizeUdf(maxLength)(col("sequence")))
+      .withColumn("tokens", EsmTokenizer.tokenizeCol(col("sequence"), maxLength))
       .drop("sequence")
     val out =
       if (widePivot)

@@ -16,8 +16,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * After either, `SELECT graft_rolling_hash(text)` works in plain SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.rollingHashFunction)
+    ext.injectFunction(GraftExtensions.esmTokenizeFunction)
+  }
 }
 
 object GraftExtensions {
@@ -34,8 +36,24 @@ object GraftExtensions {
     new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
     rollingHashBuilder)
 
+  private val esmTokenizeBuilder: Seq[Expression] => Expression = {
+    case Seq(child) => EsmTokenizeExpr(child, graft.functions.EsmTokenizer.DefaultMaxLength)
+    case Seq(child, len) => EsmTokenizeExpr(child, len.eval().asInstanceOf[Number].intValue())
+    case other =>
+      throw new IllegalArgumentException(
+        s"graft_esm_tokenize expects 1 or 2 arguments, got ${other.size}")
+  }
+
+  val esmTokenizeFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_esm_tokenize"),
+    new ExpressionInfo(classOf[EsmTokenizeExpr].getName, "graft_esm_tokenize"),
+    esmTokenizeBuilder)
+
   /** Imperative registration on an existing session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rolling_hash", rollingHashBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_esm_tokenize", esmTokenizeBuilder, "built-in")
+  }
 }

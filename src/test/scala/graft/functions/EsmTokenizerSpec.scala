@@ -50,4 +50,22 @@ class EsmTokenizerSpec extends AnyFunSuite {
     assert(got(0) === Seq(0, 4, 5, 6, 2, 1, 1, 1))
     assert(got(1) === Seq(0, 24, 24, 2, 1, 1, 1, 1))
   }
+
+  test("native expression equals the UDF, including nulls and SQL registration") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(Some("LAG"), Some("XXJ"), None).toDF("seq")
+    val both = df.select(
+      tokenizeCol(col("seq"), 8).as("native"),
+      tokenizeUdf(8)(col("seq")).as("viaUdf"))
+    val rows = both.collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getSeq[Int](0) === r.getSeq[Int](1))
+    }
+    graft.plans.GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT graft_esm_tokenize('LAG', 8) AS t").as[Seq[Int]].collect()(0)
+    assert(viaSql === Seq(0, 4, 5, 6, 2, 1, 1, 1))
+  }
 }
