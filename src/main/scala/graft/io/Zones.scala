@@ -58,6 +58,14 @@ object Zones {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Hive-style partitioned parquet: queries filtering on `partitionCols`
+    * prune directories at planning time (scan shows `PartitionFilters`, and
+    * only matching files are listed) — the first lever against a 100 TB
+    * scan. Verified in `PartitionPruningSpec`.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
   /** Bucketed + sorted catalog table: repeated equi-joins/aggregations on
     * `bucketCol` between tables bucketed the same way run shuffle-free
     * (Spark plans a sort-merge join over co-located buckets — verified in

@@ -53,6 +53,15 @@ object Multimodal {
     spark.createDataFrame(out, outSchema)
   }
 
+  /** Resize step (stub): halve dimensions `factor` times, floor at 1 px —
+    * a real implementation would re-encode pixels here; the metadata
+    * arithmetic and column plumbing are the real part.
+    */
+  def resizeStub(meta: DataFrame, factor: Int): DataFrame =
+    meta
+      .withColumn("width", greatest(col("width").cast("int") / lit(1 << factor), lit(1)).cast("int"))
+      .withColumn("height", greatest(col("height").cast("int") / lit(1 << factor), lit(1)).cast("int"))
+
   /** Frame sampling: pick every `stride`-th frame index from n_frames —
     * array arithmetic only, no decode.
     */

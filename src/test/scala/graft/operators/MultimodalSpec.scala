@@ -19,6 +19,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getInt(4) === 600 % 16)          // n_frames
   }
 
+  test("resize stub halves dimensions with a 1px floor") {
+    val df   = Seq((2L, "z" * 600)).toDF("doc_id", "text")
+    val meta = Multimodal.extractMeta(Multimodal.withMediaColumn(df, "text"), "doc_id")
+    val r = Multimodal.resizeStub(meta, factor = 2).select("width", "height")
+      .as[(Int, Int)].collect()(0)
+    assert(r === (((600 % 512) / 4, (600 * 7 % 512) / 4)))
+  }
+
   test("frame sampling strides over n_frames") {
     val df   = Seq((1L, "y" * 26)).toDF("doc_id", "text") // n_frames = 26 % 16 = 10
     val meta = Multimodal.extractMeta(Multimodal.withMediaColumn(df, "text"), "doc_id")
