@@ -45,6 +45,38 @@ object Profile {
     time("full minhash candidates")(Dedup.minhashCandidates(docs, "doc_id", "text").count())
     time("full jaccard-on-cand")(Dedup.ngramJaccardPairs(docs, "doc_id", "text").count())
     time("full simhash pairs")(Dedup.simhashPairs(docs, "doc_id", "text").count())
+
+    // similarity scale stress: 100k synthetic 64-dim vectors (far beyond the
+    // test table) — IVF bucketed search must stay near-linear
+    import graft.operators.Similarity
+    val big = spark.range(100000).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(64)),
+        i => (pmod(hash(col("id") * lit(64) + i), lit(1000)).cast("float") / 500.0f - 1.0f))
+        .as("embedding"))
+      .cache() // isolate search cost from synthetic-vector generation
+    time("materialize 100k vectors")(big.count())
+    time("ANN ivf 100k vectors")(
+      Similarity.ivfTopK(big, "vec_id", "embedding", nCentroids = 64, nQueries = 5, k = 10).count())
+    time("ANN brute 100k vectors")(
+      Similarity.bruteForceTopK(big, "vec_id", "embedding", nQueries = 5, k = 10).count())
+
+    // tokenizer throughput: native expression vs UDF over 1M sequences
+    import graft.functions.EsmTokenizer
+    val seqs = spark.range(1000000)
+      .select(concat(lit("MKV"), md5(col("id").cast("string"))).as("sequence"))
+      .cache()
+    time("materialize 1M sequences")(seqs.count())
+    def tokNative(): Long =
+      seqs.select(EsmTokenizer.tokenizeCol(upper(col("sequence")), 128).as("t"))
+        .select(sum(element_at(col("t"), 2)).as("s")).collect()(0).getLong(0)
+    def tokUdf(): Long =
+      seqs.select(EsmTokenizer.tokenizeUdf(128)(upper(col("sequence"))).as("t"))
+        .select(sum(element_at(col("t"), 2)).as("s")).collect()(0).getLong(0)
+    time("tokenize 1M native (cold)")(tokNative())
+    time("tokenize 1M UDF (cold)")(tokUdf())
+    time("tokenize 1M native (warm)")(tokNative())
+    time("tokenize 1M UDF (warm)")(tokUdf())
     spark.stop()
   }
 }
