@@ -54,8 +54,9 @@ object OracleSql {
   /** Shared MinHash/LSH candidate-pair CTE chain (mirrors
     * `Dedup.minhashCandidates`: word 3-gram shingles, one md5 per shingle,
     * Kirsch-Mitzenmacher hash family (h1 + k*h2) mod 2^48, 2 bands × 4).
+    * `src` is any relation providing (doc_id, text).
     */
-  private val minhashCte: String = {
+  private def minhashChain(src: String): String = {
     val mins = (0 until 8)
       .map(k => s"min((h1 + $k*h2) % 281474976710656) AS m$k")
       .mkString(",\n         ")
@@ -63,7 +64,7 @@ object OracleSql {
       val parts = (0 until 4).map(i => s"CAST(m${b * 4 + i} AS VARCHAR)").mkString(", ")
       s"SELECT doc_id, $b AS b, md5(concat_ws('-', $parts)) AS bsig FROM mh"
     }
-    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+    s"""w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM $src),
        |sh AS (
        |  SELECT doc_id, unnest(
        |    CASE WHEN len(ws) >= 3
@@ -89,6 +90,26 @@ object OracleSql {
        |  GROUP BY 1, 2
        |)""".stripMargin
   }
+
+  private val minhashCte: String = s"WITH ${minhashChain("documents")}"
+
+  /** Quality-feature CTE (mirrors `TextFunctions.withQualityColumns`). */
+  private val qualityCte: String =
+    """qd AS (
+      |  SELECT doc_id, lang, text,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |         CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT)
+      |         + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT)
+      |         + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4 AS BIGINT) AS n_stop,
+      |         CAST(length(text) - length(replace(replace(text, '.', ''), ',', '')) AS BIGINT) AS n_punct
+      |  FROM documents
+      |), qs AS (
+      |  SELECT doc_id, lang, text, n_words, n_stop, n_punct,
+      |         round(0.5 * least(CAST(n_words AS DOUBLE) / 200.0, 1.0)
+      |             + 0.3 * least(CAST(n_stop AS DOUBLE) * 5.0 / CAST(greatest(n_words, 1) AS DOUBLE), 1.0)
+      |             + 0.2 * (1.0 / (1.0 + CAST(n_punct AS DOUBLE))), 6) AS quality
+      |  FROM qd
+      |)""".stripMargin
 
   /** Shared embedding-norm CTE (mirrors `Similarity.withNorm`). */
   private val normCte: String =
@@ -312,20 +333,8 @@ object OracleSql {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q27_quality_score" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-        |         CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT)
-        |         + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT)
-        |         + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4 AS BIGINT) AS n_stop,
-        |         CAST(length(text) - length(replace(replace(text, '.', ''), ',', '')) AS BIGINT) AS n_punct
-        |  FROM documents
-        |)
-        |SELECT doc_id, n_words, n_stop, n_punct,
-        |       round(0.5 * least(CAST(n_words AS DOUBLE) / 200.0, 1.0)
-        |           + 0.3 * least(CAST(n_stop AS DOUBLE) * 5.0 / CAST(greatest(n_words, 1) AS DOUBLE), 1.0)
-        |           + 0.2 * (1.0 / (1.0 + CAST(n_punct AS DOUBLE))), 6) AS quality
-        |FROM f ORDER BY doc_id""".stripMargin,
+      s"""WITH $qualityCte
+         |SELECT doc_id, n_words, n_stop, n_punct, quality FROM qs ORDER BY doc_id""".stripMargin,
 
     "q28_langid" ->
       """WITH p AS (SELECT doc_id, ' ' || text || ' ' AS pt FROM documents),
@@ -432,6 +441,26 @@ object OracleSql {
          |       round(list_sum(list_transform(range(1, len(x.e)+1), i -> x.e[i]*y.e[i])) / (x.nrm * y.nrm), 6) AS sim
          |FROM asg x JOIN asg y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |WHERE round(list_sum(list_transform(range(1, len(x.e)+1), i -> x.e[i]*y.e[i])) / (x.nrm * y.nrm), 6) >= 0.4
-         |ORDER BY vec_a, vec_b""".stripMargin
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q40_curation_funnel" ->
+      s"""WITH $qualityCte,
+         |qf AS (SELECT doc_id, lang, text FROM qs WHERE quality >= 0.45),
+         |${minhashChain("qf")},
+         |losers AS (SELECT DISTINCT doc_b FROM cand),
+         |fin AS (
+         |  SELECT lang, count(*) AS n_final FROM qf
+         |  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_b = qf.doc_id)
+         |  GROUP BY lang
+         |),
+         |qc AS (SELECT lang, count(*) AS n_quality FROM qf GROUP BY lang),
+         |ic AS (SELECT lang, count(*) AS n_input FROM documents GROUP BY lang)
+         |SELECT ic.lang, ic.n_input,
+         |       COALESCE(qc.n_quality, 0) AS n_quality,
+         |       COALESCE(fin.n_final, 0) AS n_final
+         |FROM ic
+         |LEFT JOIN qc ON qc.lang = ic.lang
+         |LEFT JOIN fin ON fin.lang = ic.lang
+         |ORDER BY ic.lang""".stripMargin
   )
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{EsmTokenizer, TextFunctions}
-import graft.operators.{Dedup, EventWindows, Similarity}
+import graft.operators.{Curation, Dedup, EventWindows, Similarity}
 import graft.ops.{ClassWeights, LabelEncode, Stats, StratifiedSplit}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -179,21 +179,14 @@ object SparkEntry {
         .orderBy("lang")),
 
     // text analysis: quality scoring
-    "q27_quality_score" -> ((s, dir) => {
-      val padded = concat(lit(" "), col("text"), lit(" "))
-      val nStop = TextFunctions.countMarker(padded, " the ") +
-        TextFunctions.countMarker(padded, " a ") +
-        TextFunctions.countMarker(padded, " of ")
-      Tables.documents(s, dir)
-        .select(
-          col("doc_id"),
-          TextFunctions.wordCount(col("text")).as("n_words"),
-          nStop.as("n_stop"),
-          TextFunctions.punctCount(col("text")).as("n_punct"))
-        .withColumn("quality",
-          TextFunctions.qualityScore(col("n_words"), col("n_stop"), col("n_punct")))
-        .orderBy("doc_id")
-    }),
+    "q27_quality_score" -> ((s, dir) =>
+      TextFunctions.withQualityColumns(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("n_words"), col("n_stop"), col("n_punct"), col("quality"))
+        .orderBy("doc_id")),
+
+    // composition: quality filter → near-dup removal → per-lang funnel counts
+    "q40_curation_funnel" -> ((s, dir) =>
+      Curation.funnel(Tables.documents(s, dir), "doc_id", "text", "lang", qualityThreshold = 0.45)),
 
     // text analysis: heuristic language ID
     "q28_langid" -> ((s, dir) => {

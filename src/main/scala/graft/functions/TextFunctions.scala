@@ -64,6 +64,21 @@ object TextFunctions {
     round(lit(0.5) * lenComp + lit(0.3) * stopComp + lit(0.2) * punctPen, 6)
   }
 
+  /** Adds the quality-feature and score columns (n_words, n_stop, n_punct,
+    * quality) — the single source of the scoring formula, shared by the
+    * q27 query and the curation funnel.
+    */
+  def withQualityColumns(df: org.apache.spark.sql.DataFrame, textCol: String): org.apache.spark.sql.DataFrame = {
+    val padded = concat(lit(" "), col(textCol), lit(" "))
+    val nStop = countMarker(padded, " the ") +
+      countMarker(padded, " a ") +
+      countMarker(padded, " of ")
+    df.withColumn("n_words", wordCount(col(textCol)))
+      .withColumn("n_stop", nStop)
+      .withColumn("n_punct", punctCount(col(textCol)))
+      .withColumn("quality", qualityScore(col("n_words"), col("n_stop"), col("n_punct")))
+  }
+
   /** Rolling polynomial (Rabin-Karp-style) fingerprint over codepoints:
     * fold(acc = acc*31 + cp mod 1e9+7). Backed by the native codegen'd
     * [[graft.plans.RollingHash]] expression (the interpreted

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** End-to-end corpus curation funnel — the composition the individual
+  * operators exist for: quality-score filter, then MinHash/LSH near-dup
+  * removal on the surviving set, reported as per-group stage counts
+  * (input → quality-pass → final). Every stage is the already-verified
+  * operator; this adds only composition.
+  */
+object Curation {
+
+  def funnel(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      qualityThreshold: Double): DataFrame = {
+    val passing = TextFunctions.withQualityColumns(docs, textCol)
+      .filter(col("quality") >= qualityThreshold)
+      .select(col(idCol), col(groupCol), col(textCol))
+    val losers = Dedup.minhashCandidates(passing, idCol, textCol)
+      .select(col("doc_b").as(idCol)).distinct()
+    val fin = passing.join(broadcast(losers), Seq(idCol), "left_anti")
+
+    val input = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_input"))
+    val qc    = passing.groupBy(col(groupCol)).agg(count(lit(1)).as("n_quality"))
+    val fc    = fin.groupBy(col(groupCol)).agg(count(lit(1)).as("n_final"))
+    input
+      .join(qc, Seq(groupCol), "left")
+      .join(fc, Seq(groupCol), "left")
+      .select(
+        col(groupCol),
+        col("n_input"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"))
+      .orderBy(col(groupCol))
+  }
+}
