@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards on the driver contract itself — cheap analysis-time checks that
+  * catch drift before the (slower) oracle round-trip does.
+  */
+class ContractSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries that intentionally have no DuckDB oracle (rows-only check). */
+  private val rowsOnly = Set("q18_tokenize", "q38_approx_distinct")
+
+  test("every query analyzes against the test tables with unique column names") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val schema = fn(spark, sfDir).schema // analysis only, no execution
+      val dupes  = schema.fieldNames.groupBy(identity).collect { case (c, a) if a.length > 1 => c }
+      assert(dupes.isEmpty, s"$name has duplicate columns: $dupes (driver sorts by name)")
+      assert(schema.nonEmpty, name)
+    }
+  }
+
+  test("oracle SQL covers exactly the non-rows-only queries") {
+    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet -- rowsOnly)
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
