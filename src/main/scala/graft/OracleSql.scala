@@ -461,6 +461,29 @@ object OracleSql {
          |FROM ic
          |LEFT JOIN qc ON qc.lang = ic.lang
          |LEFT JOIN fin ON fin.lang = ic.lang
-         |ORDER BY ic.lang""".stripMargin
+         |ORDER BY ic.lang""".stripMargin,
+
+    "q41_asof_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id, event_type, value
+        |  FROM events
+        |), l AS (
+        |  SELECT user_id, ts, 1 AS side, event_id AS err_id,
+        |         NULL::BIGINT AS p_id, NULL::DOUBLE AS p_value
+        |  FROM ev WHERE event_type = 'error'
+        |), r AS (
+        |  SELECT user_id, ts, 0 AS side, NULL::BIGINT AS err_id, event_id AS p_id, value AS p_value
+        |  FROM ev WHERE event_type = 'purchase'
+        |), u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        |c AS (
+        |  SELECT user_id, ts, side, err_id,
+        |         last_value(p_id IGNORE NULLS) OVER w AS asof_p_id,
+        |         last_value(p_value IGNORE NULLS) OVER w AS asof_p_value
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, p_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT user_id, epoch_us(ts) AS ts_us, err_id, asof_p_id, asof_p_value
+        |FROM c WHERE side = 1 ORDER BY user_id, ts_us, err_id""".stripMargin
   )
 }

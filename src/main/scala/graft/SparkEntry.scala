@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{EsmTokenizer, TextFunctions}
-import graft.operators.{Curation, Dedup, EventWindows, Similarity}
+import graft.operators.{AsOfJoin, Curation, Dedup, EventWindows, Similarity}
 import graft.ops.{ClassWeights, LabelEncode, Stats, StratifiedSplit}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -187,6 +187,23 @@ object SparkEntry {
     // composition: quality filter → near-dup removal → per-lang funnel counts
     "q40_curation_funnel" -> ((s, dir) =>
       Curation.funnel(Tables.documents(s, dir), "doc_id", "text", "lang", qualityThreshold = 0.45)),
+
+    // as-of join: each error event matched to the user's most recent prior purchase
+    "q41_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id").as("err_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("p_id"), col("value").as("p_value"))
+      AsOfJoin.asOf(errors, purchases, "user_id", "ts", "p_id", Seq("p_value"))
+        .select(
+          col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("err_id"),
+          col("asof_p_id"),
+          col("asof_p_value"))
+        .orderBy("user_id", "ts_us", "err_id")
+    }),
 
     // text analysis: heuristic language ID
     "q28_langid" -> ((s, dir) => {

@@ -1,0 +1,40 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+
+  test("matches the most recent right row at or before each left row") {
+    val left = Seq(
+      (7L, ts(5), 101L),   // after purchase at t=0 → matches 1
+      (7L, ts(30), 102L),  // after purchases at 0 and 20 → matches 2
+      (7L, ts(20), 103L),  // exactly at purchase t=20 → matches 2 (<=)
+      (8L, ts(5), 104L)    // user with no purchases → null
+    ).toDF("user_id", "ts", "err_id")
+    val right = Seq(
+      (7L, ts(0), 1L, 10.0),
+      (7L, ts(20), 2L, 20.0)
+    ).toDF("user_id", "ts", "p_id", "p_value")
+
+    val got = AsOfJoin.asOf(left, right, "user_id", "ts", "p_id", Seq("p_value"))
+      .select("err_id", "asof_p_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got === Map(101L -> Some(1L), 102L -> Some(2L), 103L -> Some(2L), 104L -> None))
+  }
+
+  test("tie between right rows at the same timestamp resolves to the larger id") {
+    val left  = Seq((1L, ts(10), 900L)).toDF("user_id", "ts", "err_id")
+    val right = Seq((1L, ts(0), 1L, 1.0), (1L, ts(0), 2L, 2.0)).toDF("user_id", "ts", "p_id", "p_value")
+    val got = AsOfJoin.asOf(left, right, "user_id", "ts", "p_id", Seq("p_value"))
+      .select("asof_p_id").as[Long].collect()
+    assert(got.toSeq === Seq(2L)) // ordered by p_id → last carried wins
+  }
+}
