@@ -136,6 +136,27 @@ object OracleSql {
 
   private def centsSql(x: String): String = s"CAST(round(($x) * 100) AS BIGINT)"
 
+  /** Gap-based session CTE chain (mirrors `EventWindows.sessionize`, 30-min
+    * gap): per-user boundary flags → running session index.
+    */
+  private val sessionChain: String =
+    """e AS (
+      |  SELECT user_id, event_id, value,
+      |         epoch_us(date_trunc('microseconds', ts)) AS us
+      |  FROM events
+      |), f AS (
+      |  SELECT user_id, event_id, value, us,
+      |         CASE WHEN us - lag(us) OVER w > 1800000000 THEN 1
+      |              WHEN lag(us) OVER w IS NULL THEN 1
+      |              ELSE 0 END AS is_new
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |), g AS (
+      |  SELECT user_id, event_id, value, us,
+      |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS sess_idx
+      |  FROM f
+      |)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q01_stats_summary" ->
       """SELECT count(*) AS n_rows, count(DISTINCT lang) AS n_classes,
@@ -404,23 +425,10 @@ object OracleSql {
          |ORDER BY event_type""".stripMargin,
 
     "q36_sessionize" ->
-      s"""WITH e AS (
-         |  SELECT user_id, event_id, value,
-         |         epoch_us(date_trunc('microseconds', ts)) AS us
-         |  FROM events
-         |), f AS (
-         |  SELECT user_id, event_id, value, us,
-         |         CASE WHEN us - lag(us) OVER w > 1800000000 THEN 1
-         |              WHEN lag(us) OVER w IS NULL THEN 1
-         |              ELSE 0 END AS is_new
-         |  FROM e
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
-         |), g AS (
-         |  SELECT user_id, event_id, value, us,
-         |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS sess_idx
-         |  FROM f
-         |)
+      s"""WITH $sessionChain
          |SELECT user_id, sess_idx, count(*) AS n_events,
+         |       CAST(min(us) AS BIGINT) AS start_us,
+         |       CAST(max(us) AS BIGINT) AS end_us,
          |       CAST(max(us) - min(us) AS BIGINT) AS duration_us,
          |       CAST(sum(${centsSql("value")}) AS BIGINT) AS value_cents
          |FROM g GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx""".stripMargin,
@@ -484,6 +492,21 @@ object OracleSql {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |)
         |SELECT user_id, epoch_us(ts) AS ts_us, err_id, asof_p_id, asof_p_value
-        |FROM c WHERE side = 1 ORDER BY user_id, ts_us, err_id""".stripMargin
+        |FROM c WHERE side = 1 ORDER BY user_id, ts_us, err_id""".stripMargin,
+
+    "q42_range_join" ->
+      s"""WITH $sessionChain,
+         |sess AS (
+         |  SELECT user_id, sess_idx,
+         |         CAST(min(us) AS BIGINT) AS start_us, CAST(max(us) AS BIGINT) AS end_us
+         |  FROM g GROUP BY user_id, sess_idx
+         |), err AS (
+         |  SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS us, event_id
+         |  FROM events WHERE event_type = 'error'
+         |)
+         |SELECT err.user_id, err.event_id, sess.sess_idx
+         |FROM err JOIN sess
+         |  ON err.user_id = sess.user_id AND err.us BETWEEN sess.start_us AND sess.end_us
+         |ORDER BY err.user_id, err.event_id""".stripMargin
   )
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{EsmTokenizer, TextFunctions}
-import graft.operators.{AsOfJoin, Curation, Dedup, EventWindows, Similarity}
+import graft.operators.{AsOfJoin, Curation, Dedup, EventWindows, RangeJoin, Similarity}
 import graft.ops.{ClassWeights, LabelEncode, Stats, StratifiedSplit}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -187,6 +187,19 @@ object SparkEntry {
     // composition: quality filter → near-dup removal → per-lang funnel counts
     "q40_curation_funnel" -> ((s, dir) =>
       Curation.funnel(Tables.documents(s, dir), "doc_id", "text", "lang", qualityThreshold = 0.45)),
+
+    // range join: error events located in their containing session interval
+    "q42_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      val sess = EventWindows.sessionize(ev, 30)
+        .select(col("user_id"), col("sess_idx"), col("start_us"), col("end_us"))
+      RangeJoin.pointInInterval(errors, sess, "user_id", "us", "start_us", "end_us",
+          bucketWidth = 3600000000L) // 1h buckets
+        .select(col("user_id"), col("event_id"), col("sess_idx"))
+        .orderBy("user_id", "event_id")
+    }),
 
     // as-of join: each error event matched to the user's most recent prior purchase
     "q41_asof_join" -> ((s, dir) => {

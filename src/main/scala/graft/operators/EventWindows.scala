@@ -61,6 +61,8 @@ object EventWindows {
       .groupBy("user_id", "sess_idx")
       .agg(
         count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"),
         (max(col("us")) - min(col("us"))).as("duration_us"),
         sum(cents(col("value"))).as("value_cents"))
       .orderBy("user_id", "sess_idx")
