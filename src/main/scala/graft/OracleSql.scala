@@ -377,7 +377,8 @@ object OracleSql {
     "q29_token_count" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-        |       CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) AS bpe_est
+        |       CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) AS bpe_est,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_pieces
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q30_fingerprint" ->

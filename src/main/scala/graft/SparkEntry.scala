@@ -229,13 +229,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // text analysis: token counting (whitespace + BPE-ish estimate)
+    // text analysis: token counting (whitespace, BPE-ish estimate, regex pieces)
     "q29_token_count" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(
           col("doc_id"),
           TextFunctions.wordCount(col("text")).as("ws_tokens"),
-          TextFunctions.bpeEstimate(col("text")).as("bpe_est"))
+          TextFunctions.bpeEstimate(col("text")).as("bpe_est"),
+          TextFunctions.regexPieces(col("text")).as("n_pieces"))
         .orderBy("doc_id")),
 
     // text analysis: document fingerprinting (md5-normalized + rolling hash)

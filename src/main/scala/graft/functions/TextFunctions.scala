@@ -50,6 +50,15 @@ object TextFunctions {
   def bpeEstimate(text: Column): Column =
     ceil(octet_length(text).cast("double") / lit(4.0)).cast("long")
 
+  /** BPE-ish piece pattern: letter runs, digit runs, or single symbols —
+    * simple enough that Java regex (Spark) and RE2 (DuckDB) agree.
+    */
+  val PiecePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Regex piece count — the tokenizer-shaped split of [[PiecePattern]]. */
+  def regexPieces(text: Column): Column =
+    size(regexp_extract_all(text, lit(PiecePattern), lit(0))).cast("long")
+
   /** Punctuation count (period + comma) via replace, regex-free. */
   def punctCount(text: Column): Column =
     (length(text) - length(replace(replace(text, lit("."), lit("")), lit(","), lit("")))).cast("long")

@@ -28,6 +28,25 @@ object EventStream {
         col("n"),
         col("value_cents"))
 
+  /** Streaming deduplication: drop repeated `event_id`s within the
+    * watermark horizon before aggregating — the streaming counterpart of
+    * exact dedup (state for ids older than the watermark is evicted, so
+    * memory stays bounded on an unbounded stream).
+    */
+  def dedupedHourlyCounts(spark: SparkSession, inputDir: String, schema: StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("hour_bucket"),
+        col("event_type"),
+        col("n"),
+        col("value_cents"))
+
   /** Run the streaming query to completion over the files currently in
     * `inputDir` (AvailableNow trigger) and return the materialized result.
     */
@@ -35,8 +54,13 @@ object EventStream {
       spark: SparkSession,
       inputDir: String,
       schema: StructType,
-      queryName: String = "hourly_events"): DataFrame = {
-    val q = hourlyCounts(spark, inputDir, schema).writeStream
+      queryName: String = "hourly_events"): DataFrame =
+    runToTable(hourlyCounts(spark, inputDir, schema), queryName)
+
+  /** Drain any streaming DataFrame to a memory table (AvailableNow). */
+  def runToTable(stream: DataFrame, queryName: String): DataFrame = {
+    val spark = stream.sparkSession
+    val q = stream.writeStream
       .format("memory")
       .queryName(queryName)
       .outputMode("complete")

@@ -28,4 +28,22 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming dedup within watermark collapses a duplicated input to the single-copy result") {
+    val single = Files.createTempDirectory("graft_stream_one").toString
+    val doubled = Files.createTempDirectory("graft_stream_two").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    events.write.mode("overwrite").parquet(single)
+    events.write.mode("overwrite").parquet(s"$doubled/a")
+    events.write.mode("overwrite").parquet(s"$doubled/b")
+
+    val batchOnce = EventWindows.hourly(spark.read.parquet(single))
+      .collect().map(_.toSeq).toSet
+    val schema = events.schema
+    val streamed = EventStream.runToTable(
+      EventStream.dedupedHourlyCounts(spark, s"$doubled/*", schema), "dedup_hourly_test")
+      .collect().map(_.toSeq).toSet
+
+    assert(streamed === batchOnce)
+  }
 }
