@@ -76,13 +76,26 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"), col("split"))
         .orderBy("o_orderkey")),
 
-    // SP2 — split cardinalities
-    "q09_split_counts" -> ((s, dir) =>
-      splitDf(s, dir).groupBy("split").agg(count(lit(1)).as("n")).orderBy("split")),
+    // SP2 — split cardinalities via the closed form over class sizes (no
+    // permutation materialized; the row-level oracle proves equivalence)
+    "q09_split_counts" -> ((s, dir) => {
+      val totals = StratifiedSplit.splitSizes(Tables.orders(s, dir), "o_custkey")
+        .agg(sum("n_train").as("tr"), sum("n_dev").as("de"), sum("n_test").as("te"))
+      totals.select(explode(array(
+          struct(lit("dev").as("split"), col("de").as("n")),
+          struct(lit("test").as("split"), col("te").as("n")),
+          struct(lit("train").as("split"), col("tr").as("n")))).as("r"))
+        .select(col("r.split").as("split"), col("r.n").as("n"))
+        .orderBy("split")
+    }),
 
-    // A10 — inverse-frequency class weights over the train split
+    // A10 — class weights from the closed-form per-class train counts
     "q10_class_weights" -> ((s, dir) =>
-      ClassWeights.weights(splitDf(s, dir).filter(col("split") === "train"), "o_custkey")),
+      ClassWeights.weightsFromCounts(
+        StratifiedSplit.splitSizes(Tables.orders(s, dir), "o_custkey")
+          .filter(col("n_train") > 0)
+          .select(col("o_custkey"), col("n_train")),
+        "o_custkey", "n_train")),
 
     // implied join 1 — fact ⋈ small dim, broadcast hash join
     "q11_join_brand_revenue" -> ((s, dir) =>

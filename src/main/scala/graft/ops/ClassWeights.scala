@@ -16,14 +16,20 @@ import org.apache.spark.sql.functions._
   * broadcast back (no single-partition window over data).
   */
 object ClassWeights {
-  def weights(train: DataFrame, classCol: String): DataFrame = {
-    val counts = train.groupBy(col(classCol)).agg(count(lit(1)).as("n_c"))
-    val nMin   = counts.agg(min(col("n_c")).as("n_min"))
+  def weights(train: DataFrame, classCol: String): DataFrame =
+    weightsFromCounts(
+      train.groupBy(col(classCol)).agg(count(lit(1)).as("n_c")), classCol, "n_c")
+
+  /** Closed form over precomputed per-class counts (e.g. from
+    * `StratifiedSplit.splitSizes` — avoids materializing the split rows).
+    */
+  def weightsFromCounts(counts: DataFrame, classCol: String, countCol: String): DataFrame = {
+    val nMin = counts.agg(min(col(countCol)).as("n_min"))
     counts
       .crossJoin(broadcast(nMin))
       .select(
         col(classCol),
-        round(col("n_min").cast("double") / col("n_c"), 6).as("weight"))
+        round(col("n_min").cast("double") / col(countCol), 6).as("weight"))
       .orderBy(col(classCol))
   }
 

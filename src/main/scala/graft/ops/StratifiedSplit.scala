@@ -69,4 +69,25 @@ object StratifiedSplit {
   /** One split as a filtered view (reference `iloc[indices]`, P6). */
   def split(df: DataFrame, classCol: String, orderCol: String, name: String): DataFrame =
     withSplit(df, classCol, orderCol).filter(col("split") === lit(name)).drop("split")
+
+  /** Per-class (n, n_train, n_dev, n_test) derived arithmetically from the
+    * class size alone — SP1's four branches fix the counts regardless of
+    * which rows the permutation picks, so cardinality queries need one hash
+    * aggregation, not the row-level window+sort. Row-level oracles verify
+    * the equivalence at runtime (q09/q10 vs the sp CTE).
+    */
+  def splitSizes(df: DataFrame, classCol: String): DataFrame = {
+    val n = col("n")
+    val nTest = when(n <= 2, lit(1L))
+      .when(n === 3, lit(1L))
+      .otherwise(floor(n * lit(TestRatio)))
+    val nDev = when(n === 1, lit(0L))
+      .when(n <= 3, lit(1L))
+      .otherwise(floor((n - floor(n * lit(TestRatio))) * lit(DevRatio)))
+    df.groupBy(col(classCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_test", nTest)
+      .withColumn("n_dev", nDev)
+      .withColumn("n_train", n - col("n_test") - col("n_dev"))
+  }
 }

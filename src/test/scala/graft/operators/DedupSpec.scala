@@ -41,6 +41,15 @@ class DedupSpec extends AnyFunSuite {
     got.get((1L, 3L)).foreach(j => assert(j > 0.5 && j < 1.0)) // near-dup, if candidate
   }
 
+  test("shingleRows produces the same shingle multiset as the shingles3 column form") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val fromRows = Dedup.shingleRows(docs, "doc_id", "text", 3)
+      .as[(Long, String)].collect().sorted.toSeq
+    val fromCol = docs.select(col("doc_id"), explode(Dedup.shingles3(col("text"))).as("s"))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(fromRows === fromCol)
+  }
+
   implicit private class Pairs[V](rows: Array[(Long, Long, V)]) {
     def toMap2: Map[(Long, Long), V] = rows.map { case (a, b, v) => (a, b) -> v }.toMap
   }
