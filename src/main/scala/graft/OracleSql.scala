@@ -452,6 +452,35 @@ object OracleSql {
          |WHERE round(list_sum(list_transform(range(1, len(x.e)+1), i -> x.e[i]*y.e[i])) / (x.nrm * y.nrm), 6) >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
 
+    "q43_tfidf_terms" ->
+      """WITH terms AS (
+        |  SELECT doc_id, t AS term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE length(t) > 0
+        |), tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+        |dft AS (
+        |  SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms)
+        |  GROUP BY term
+        |), nd AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         round(tf.tf * ln(CAST(nd.n_docs AS DOUBLE) / dft.df), 6) AS score
+        |  FROM tf JOIN dft USING (term), nd
+        |), ranked AS (
+        |  SELECT doc_id, term, score,
+        |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rk
+        |  FROM scored
+        |)
+        |SELECT doc_id, term, score, rk FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "q44_table_profile" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |       count(DISTINCT o_custkey) AS n_customers,
+         |       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+         |       round(CAST(sum(${centsSql("o_totalprice")}) AS DOUBLE) / count(*) / 100.0, 6) AS avg_price,
+         |       round(median(o_totalprice), 6) AS median_price
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "q40_curation_funnel" ->
       s"""WITH $qualityCte,
          |qf AS (SELECT doc_id, lang, text FROM qs WHERE quality >= 0.45),

@@ -197,6 +197,41 @@ object SparkEntry {
         .select(col("doc_id"), col("n_words"), col("n_stop"), col("n_punct"), col("quality"))
         .orderBy("doc_id")),
 
+    // text analysis: TF-IDF top-3 terms per document
+    "q43_tfidf_terms" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val terms = docs
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("term"))
+        .filter(length(col("term")) > 0)
+      val tf  = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dft = terms.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(dft, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score", round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("score"), col("rk"))
+        .orderBy("doc_id", "rk")
+    }),
+
+    // data profiling: describe-style numeric summary per group
+    "q44_table_profile" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          round(sum(centsOf(col("o_totalprice"))).cast("double") / count(lit(1)) / 100.0, 6)
+            .as("avg_price"),
+          round(expr("percentile(o_totalprice, 0.5D)"), 6).as("median_price"))
+        .orderBy("o_orderstatus")),
+
     // composition: quality filter → near-dup removal → per-lang funnel counts
     "q40_curation_funnel" -> ((s, dir) =>
       Curation.funnel(Tables.documents(s, dir), "doc_id", "text", "lang", qualityThreshold = 0.45)),
