@@ -473,6 +473,26 @@ object OracleSql {
         |)
         |SELECT doc_id, term, score, rk FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
+    "q45_pmi_cooccurrence" ->
+      """WITH dw AS (
+        |  SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0
+        |), ca AS (SELECT w, count(*) AS c FROM dw GROUP BY w),
+        |pairs AS (
+        |  SELECT a.w AS w_a, b.w AS w_b, count(*) AS c_ab
+        |  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+        |  GROUP BY 1, 2
+        |), nd AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT w_a, w_b, c_ab,
+        |       round(ln(CAST(c_ab * nd.n_docs AS DOUBLE) / (ca1.c * ca2.c)), 6) AS pmi
+        |FROM pairs
+        |JOIN ca ca1 ON ca1.w = pairs.w_a
+        |JOIN ca ca2 ON ca2.w = pairs.w_b
+        |CROSS JOIN nd
+        |WHERE c_ab * 20 >= nd.n_docs
+        |ORDER BY pmi DESC, w_a, w_b LIMIT 50""".stripMargin,
+
     "q44_table_profile" ->
       s"""SELECT o_orderstatus, count(*) AS n,
          |       count(DISTINCT o_custkey) AS n_customers,

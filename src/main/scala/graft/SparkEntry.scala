@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{EsmTokenizer, TextFunctions}
-import graft.operators.{AsOfJoin, Curation, Dedup, EventWindows, RangeJoin, Similarity}
+import graft.operators.{AsOfJoin, Cooccurrence, Curation, Dedup, EventWindows, RangeJoin, Similarity}
 import graft.ops.{ClassWeights, LabelEncode, Stats, StratifiedSplit}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -217,6 +217,10 @@ object SparkEntry {
         .select(col("doc_id"), col("term"), col("score"), col("rk"))
         .orderBy("doc_id", "rk")
     }),
+
+    // text analysis: PMI word co-occurrence (top pairs above scale-invariant support)
+    "q45_pmi_cooccurrence" -> ((s, dir) =>
+      Cooccurrence.pmiPairs(Tables.documents(s, dir), "doc_id", "text")),
 
     // data profiling: describe-style numeric summary per group
     "q44_table_profile" -> ((s, dir) =>
