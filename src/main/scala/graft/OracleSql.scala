@@ -473,6 +473,16 @@ object OracleSql {
         |)
         |SELECT doc_id, term, score, rk FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
+    "q46_deterministic_sample" ->
+      """WITH u AS (
+        |  SELECT lang,
+        |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS uv
+        |  FROM documents
+        |)
+        |SELECT lang, count(*) AS n_total,
+        |       CAST(sum(CASE WHEN uv * 10 < 844424930131968 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM u GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q45_pmi_cooccurrence" ->
       """WITH dw AS (
         |  SELECT DISTINCT doc_id, w FROM (

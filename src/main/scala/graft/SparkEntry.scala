@@ -218,6 +218,19 @@ object SparkEntry {
         .orderBy("doc_id", "rk")
     }),
 
+    // reproducible sampling: md5-uniform keep-30% (never rand() — the same
+    // rows are selected on any cluster, any partitioning, any engine)
+    "q46_deterministic_sample" -> ((s, dir) => {
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long")
+      Tables.documents(s, dir)
+        .withColumn("_u", u)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("_u") * 10 < lit(3L * Dedup.MinhashMod), 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy("lang")
+    }),
+
     // text analysis: PMI word co-occurrence (top pairs above scale-invariant support)
     "q45_pmi_cooccurrence" -> ((s, dir) =>
       Cooccurrence.pmiPairs(Tables.documents(s, dir), "doc_id", "text")),
