@@ -503,13 +503,23 @@ object OracleSql {
         |WHERE c_ab * 20 >= nd.n_docs
         |ORDER BY pmi DESC, w_a, w_b LIMIT 50""".stripMargin,
 
-    "q44_table_profile" ->
-      s"""SELECT o_orderstatus, count(*) AS n,
-         |       count(DISTINCT o_custkey) AS n_customers,
-         |       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
-         |       round(CAST(sum(${centsSql("o_totalprice")}) AS DOUBLE) / count(*) / 100.0, 6) AS avg_price,
-         |       round(median(o_totalprice), 6) AS median_price
-         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q44_table_profile" -> {
+      val c = centsSql("o_totalprice")
+      s"""WITH a AS (
+         |  SELECT o_orderstatus, count(*) AS n,
+         |         count(DISTINCT o_custkey) AS n_customers,
+         |         min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+         |         round(CAST(sum($c) AS DOUBLE) / count(*) / 100.0, 6) AS avg_price,
+         |         round(median(o_totalprice), 6) AS median_price,
+         |         sum(CAST($c AS HUGEINT)) AS sx,
+         |         sum(CAST($c AS HUGEINT) * CAST($c AS HUGEINT)) AS sxx
+         |  FROM orders GROUP BY o_orderstatus
+         |)
+         |SELECT o_orderstatus, n, n_customers, min_price, max_price, avg_price, median_price,
+         |       round(sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+         |                  / CAST(n * (n - 1) AS DOUBLE)) / 100.0, 6) AS stddev_price
+         |FROM a ORDER BY o_orderstatus""".stripMargin
+    },
 
     "q40_curation_funnel" ->
       s"""WITH $qualityCte,

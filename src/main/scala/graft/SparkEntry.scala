@@ -235,8 +235,13 @@ object SparkEntry {
     "q45_pmi_cooccurrence" -> ((s, dir) =>
       Cooccurrence.pmiPairs(Tables.documents(s, dir), "doc_id", "text")),
 
-    // data profiling: describe-style numeric summary per group
-    "q44_table_profile" -> ((s, dir) =>
+    // data profiling: describe-style numeric summary per group. stddev is
+    // computed from EXACT integer sums (decimal38 ≡ DuckDB HUGEINT) so even
+    // the variance hash-matches — float stddev aggregates are
+    // aggregation-order-dependent and could never oracle.
+    "q44_table_profile" -> ((s, dir) => {
+      val dec   = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val cents = centsOf(col("o_totalprice"))
       Tables.orders(s, dir)
         .groupBy("o_orderstatus")
         .agg(
@@ -244,10 +249,18 @@ object SparkEntry {
           countDistinct(col("o_custkey")).as("n_customers"),
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"),
-          round(sum(centsOf(col("o_totalprice"))).cast("double") / count(lit(1)) / 100.0, 6)
-            .as("avg_price"),
-          round(expr("percentile(o_totalprice, 0.5D)"), 6).as("median_price"))
-        .orderBy("o_orderstatus")),
+          round(sum(cents).cast("double") / count(lit(1)) / 100.0, 6).as("avg_price"),
+          round(expr("percentile(o_totalprice, 0.5D)"), 6).as("median_price"),
+          sum(cents.cast(dec)).as("_sx"),
+          sum((cents * cents).cast(dec)).as("_sxx"))
+        .withColumn("_num",
+          col("n").cast(dec) * col("_sxx") - col("_sx") * col("_sx"))
+        .withColumn("_den", (col("n") * (col("n") - 1)).cast(dec))
+        .withColumn("stddev_price",
+          round(sqrt(col("_num").cast("double") / col("_den").cast("double")) / 100.0, 6))
+        .drop("_sx", "_sxx", "_num", "_den")
+        .orderBy("o_orderstatus")
+    }),
 
     // composition: quality filter → near-dup removal → per-lang funnel counts
     "q40_curation_funnel" -> ((s, dir) =>
