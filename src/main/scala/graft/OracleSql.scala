@@ -473,6 +473,22 @@ object OracleSql {
         |)
         |SELECT doc_id, term, score, rk FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
+    "q47_topk_per_group" ->
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+
+    "q48_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >= 400000.0)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     "q46_deterministic_sample" ->
       """WITH u AS (
         |  SELECT lang,

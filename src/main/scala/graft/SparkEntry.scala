@@ -218,6 +218,27 @@ object SparkEntry {
         .orderBy("doc_id", "rk")
     }),
 
+    // per-group top-k: 3 priciest orders per priority class
+    "q47_topk_per_group" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderpriority", "rk")
+    }),
+
+    // semi join: customers with at least one high-value order
+    "q48_semi_join" -> ((s, dir) => {
+      val highValue = Tables.orders(s, dir).filter(col("o_totalprice") >= 400000.0)
+      Tables.customer(s, dir)
+        .join(highValue, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
     // reproducible sampling: md5-uniform keep-30% (never rand() — the same
     // rows are selected on any cluster, any partitioning, any engine)
     "q46_deterministic_sample" -> ((s, dir) => {

@@ -61,6 +61,16 @@ object Profile {
     time("ANN brute 100k vectors")(
       Similarity.bruteForceTopK(big, "vec_id", "embedding", nQueries = 5, k = 10).count())
 
+    // dedup scaling: minhash over a 50k-doc synthetic corpus (10x the sf0.1
+    // documents table) — should stay near-linear in total shingles
+    val synthDocs = spark.range(50000).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (1 to 60).map(i =>
+        substring(md5(concat(col("id").cast("string"), lit(s":$i"))), 1, 4)): _*).as("text"))
+      .cache()
+    time("materialize 50k docs")(synthDocs.count())
+    time("minhash 50k docs")(Dedup.minhashCandidates(synthDocs, "doc_id", "text").count())
+
     // tokenizer throughput: native expression vs UDF over 1M sequences
     import graft.functions.EsmTokenizer
     val seqs = spark.range(1000000)
