@@ -252,6 +252,21 @@ object OracleSql {
          |WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id)
          |ORDER BY user_id, rn""".stripMargin,
 
+    "q18_tokenize" ->
+      s"""WITH t AS (
+         |  SELECT p_partkey, substr(upper(p_name), 1, 30) AS body FROM part
+         |), ids AS (
+         |  SELECT p_partkey,
+         |         list_transform(string_split(body, ''), c -> $tokenIdCase) AS bids,
+         |         length(body) AS blen
+         |  FROM t
+         |)
+         |SELECT p_partkey,
+         |       array_to_string(
+         |         list_concat(list_concat(list_concat([0], bids), [2]),
+         |                     [1 for i in range(0, 30 - blen)]), ',') AS token_str
+         |FROM ids ORDER BY p_partkey""".stripMargin,
+
     "q19_tokenize_stats" ->
       s"""WITH chars AS (
          |  SELECT p_partkey, unnest(string_split(substr(upper(p_name), 1, 30), '')) AS c FROM part
@@ -444,6 +459,11 @@ object OracleSql {
          |       CAST(sum(${centsSql("value")}) AS BIGINT) AS value_cents
          |FROM slid GROUP BY ws ORDER BY win_start""".stripMargin,
 
+    "q38_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+        |       TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q39_embed_neardup" ->
       s"""$ivfAssignCte
          |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
@@ -500,10 +520,14 @@ object OracleSql {
         |FROM u GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q45_pmi_cooccurrence" ->
-      """WITH dw AS (
+      """WITH dw0 AS (
         |  SELECT DISTINCT doc_id, w FROM (
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
         |  WHERE length(w) > 0
+        |), dw AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY w) AS rk FROM dw0)
+        |  WHERE rk <= 64
         |), ca AS (SELECT w, count(*) AS c FROM dw GROUP BY w),
         |pairs AS (
         |  SELECT a.w AS w_a, b.w AS w_b, count(*) AS c_ab
@@ -556,6 +580,12 @@ object OracleSql {
          |LEFT JOIN qc ON qc.lang = ic.lang
          |LEFT JOIN fin ON fin.lang = ic.lang
          |ORDER BY ic.lang""".stripMargin,
+
+    "q49_skew_join" ->
+      s"""SELECT s.s_nationkey, count(*) AS n_items,
+         |       CAST(sum(${centsSql("l.l_extendedprice")}) AS BIGINT) AS revenue_cents
+         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q41_asof_join" ->
       """WITH ev AS (

@@ -14,8 +14,7 @@ import graft.ops.{ClassWeights, LabelEncode, Stats, StratifiedSplit}
   * One entry per operator row in SURVEY.md §2 (parity) and §2.9
   * (north-star). Every query is a pure function of the sf directory, built
   * from the graft library, ending in a total-order `orderBy`; `OracleSql`
-  * holds the matching DuckDB SQL (all queries except the raw tokenizer
-  * array, which is not SQL-expressible at full fidelity).
+  * holds the matching DuckDB SQL for every query.
   */
 object SparkEntry {
 
@@ -141,8 +140,15 @@ object SparkEntry {
     // analytic windows — running totals per user
     "q17_user_running" -> ((s, dir) => EventWindows.userRunningTotals(Tables.events(s, dir))),
 
-    // F2/F3 — ESM-2 tokens as array column (not SQL-expressible → rows-only check)
-    "q18_tokenize" -> ((s, dir) => tokensDf(s, dir).orderBy("p_partkey")),
+    // F2/F3 — ESM-2 tokens, emitted as the canonical comma-joined string so
+    // the driver can hash-compare (raw array columns crash its pandas sort)
+    // and DuckDB can reconstruct the exact value per row
+    "q18_tokenize" -> ((s, dir) =>
+      tokensDf(s, dir)
+        .select(
+          col("p_partkey"),
+          concat_ws(",", col("tokens").cast("array<string>")).as("token_str"))
+        .orderBy("p_partkey")),
 
     // F2 derived facts, oracle-checkable (length/sum invariants of the UDF output)
     "q19_tokenize_stats" -> ((s, dir) =>
@@ -395,15 +401,37 @@ object SparkEntry {
           col("value_cents"))
         .orderBy("win_start")),
 
-    // HLL sketch distinct (documented scale option for A2; no exact oracle —
-    // rows-only check; exact counterpart is q26's n_sources)
+    // HLL sketch distinct (the scale option for A2). Oracled: the exact
+    // column hash-matches DuckDB, and the sketch is verified *against the
+    // oracle's exact count* via the `approx_ok` bound (|approx−exact| ≤ 5%
+    // of exact, integer arithmetic) — the oracle asserts TRUE, so a drifted
+    // sketch breaks the hash. The raw estimate itself is engine-specific
+    // and deliberately not emitted.
     "q38_approx_distinct" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy("event_type")
         .agg(
           countDistinct(col("user_id")).as("n_users_exact"),
-          approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+          approx_count_distinct(col("user_id"), 0.02).as("_approx"))
+        .select(
+          col("event_type"),
+          col("n_users_exact"),
+          (abs(col("_approx") - col("n_users_exact")) * 20 <= col("n_users_exact")).as("approx_ok"))
         .orderBy("event_type")),
+
+    // salted skew join: lineitem (big, salted on a per-row column) ⋈
+    // supplier replicated saltFactor×. The oracle runs the UNSALTED SQL —
+    // proving salting is result-invariant, which is its entire contract.
+    "q49_skew_join" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"))
+      val small = Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.operators.SkewJoin.saltedJoin(big, small, "l_suppkey", saltFactor = 8, bigDistinctCol = "l_orderkey")
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"), sum(centsOf(col("l_extendedprice"))).as("revenue_cents"))
+        .orderBy("s_nationkey")
+    }),
 
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
@@ -420,9 +448,7 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. q18 omitted (array output, not
-    * SQL-expressible at full fidelity → driver's rows-only check; its
-    * invariants are oracled via q19 instead).
+    * the same parquet tables — every query is oracled.
     */
   def oracleSql: Map[String, String] = OracleSql.sql
 }

@@ -24,7 +24,9 @@ object Curation {
       .select(col(idCol), col(groupCol), col(textCol))
     val losers = Dedup.minhashCandidates(passing, idCol, textCol)
       .select(col("doc_b").as(idCol)).distinct()
-    val fin = passing.join(broadcast(losers), Seq(idCol), "left_anti")
+    // no broadcast hint — loser set is unbounded at scale; AQE still
+    // broadcasts when it is actually small (see Dedup.survivorsByGroup)
+    val fin = passing.join(losers, Seq(idCol), "left_anti")
 
     val input = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_input"))
     val qc    = passing.groupBy(col(groupCol)).agg(count(lit(1)).as("n_quality"))

@@ -9,8 +9,10 @@ class ContractSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** Queries that intentionally have no DuckDB oracle (rows-only check). */
-  private val rowsOnly = Set("q18_tokenize", "q38_approx_distinct")
+  /** Every query has a DuckDB oracle (since r2 — q18 emits a canonical
+    * token string, q38 asserts its sketch against the oracle's exact count).
+    */
+  private val rowsOnly = Set.empty[String]
 
   test("every query analyzes against the test tables with unique column names") {
     SparkEntry.queries.foreach { case (name, fn) =>
