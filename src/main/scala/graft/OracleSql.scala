@@ -361,6 +361,24 @@ object OracleSql {
          |)
          |SELECT query_id, neighbor_id, sim, rk FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
+    "q50_embed_multiprobe" ->
+      s"""$ivfAssignCte,
+         |qc AS (
+         |  SELECT vec_id AS query_id, e AS qv, nrm AS qn, cent_id AS bucket,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS prb
+         |  FROM a WHERE vec_id < 5
+         |), q AS (SELECT query_id, qv, qn, bucket FROM qc WHERE prb <= 2),
+         |s AS (
+         |  SELECT q.query_id, asg.vec_id AS neighbor_id,
+         |         round(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*asg.e[i])) / (q.qn * asg.nrm), 6) AS sim
+         |  FROM q JOIN asg USING (bucket) WHERE asg.vec_id <> q.query_id
+         |), r AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk
+         |  FROM s
+         |)
+         |SELECT query_id, neighbor_id, sim, rk FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
     "q26_lang_profile" ->
       """SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,

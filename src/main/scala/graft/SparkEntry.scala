@@ -180,6 +180,12 @@ object SparkEntry {
       Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         nCentroids = 8, nQueries = 5, k = 5)),
 
+    // similarity: multi-probe IVF (each query probes its 2 nearest
+    // centroids' buckets — the recall/skew lever over plain IVF)
+    "q50_embed_multiprobe" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        nCentroids = 8, nQueries = 5, k = 5, multiProbe = 2)),
+
     // dedup: embedding-cosine near-dup via IVF buckets
     "q39_embed_neardup" -> ((s, dir) =>
       Similarity.embedNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",

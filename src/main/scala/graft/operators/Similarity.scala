@@ -79,7 +79,16 @@ object Similarity {
       .select(col("vid"), col("emb_d"), col("nrm"), col("best.cid").as("bucket"))
   }
 
-  /** IVF-bucketed ANN: each query searches only its own bucket.
+  /** IVF-bucketed ANN: each query searches its `multiProbe` nearest
+    * centroids' buckets (default 1 = classic IVF). Multi-probe is the
+    * standard recall/skew lever: a query sitting on a Voronoi boundary
+    * recovers neighbors assigned to the adjacent centroid, and when one
+    * centroid's bucket is pathologically hot (clustered corpus), raising
+    * the centroid count + probing P buckets keeps per-bucket probe cost at
+    * ~P·N/K instead of one giant bucket. Skew in the bucket equi-join
+    * itself is handled at runtime by AQE skew-join splitting (the join is
+    * a plain equi-join on `bucket`, so Spark can split a hot bucket's
+    * partitions freely).
     *
     * Cost note (measured, 100k×64-dim): building the bucket assignment
     * costs |N|·|centroids| dot products — more than a small query batch's
@@ -94,11 +103,24 @@ object Similarity {
       embCol: String,
       nCentroids: Int,
       nQueries: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      multiProbe: Int = 1): DataFrame = {
     val assigned = assignBuckets(emb, idCol, embCol, nCentroids)
-    val q = assigned
+    val v = withNorm(emb, embCol).select(col(idCol).as("vid"), col("emb_d"), col("nrm"))
+    val cents = v
+      .filter(col("vid") < nCentroids)
+      .select(col("vid").as("cent_id"), col("emb_d").as("cv"), col("nrm").as("cn"))
+    // Rank every query's centroids; probe the top `multiProbe` buckets.
+    // The window sorts only |Q|·|centroids| rows (both bounded).
+    val wq = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cent_id"))
+    val q = v
       .filter(col("vid") < nQueries)
-      .select(col("vid").as("query_id"), col("emb_d").as("qv"), col("nrm").as("qn"), col("bucket"))
+      .select(col("vid").as("query_id"), col("emb_d").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("cv"), col("cn"), col("qv"), col("qn")))
+      .withColumn("prb", row_number().over(wq))
+      .filter(col("prb") <= multiProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cent_id").as("bucket"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vid"))
     assigned
       .join(broadcast(q), Seq("bucket"))

@@ -61,6 +61,27 @@ object Profile {
     time("ANN brute 100k vectors")(
       Similarity.bruteForceTopK(big, "vec_id", "embedding", nQueries = 5, k = 10).count())
 
+    // IVF skew stress: 100k vectors in ONE tight cluster (dominant first
+    // dim, small jitter elsewhere). Centroids are the first 64 vectors —
+    // cluster members — so the hot region must split across buckets; the
+    // printed max/min bucket sizes quantify residual skew, and the
+    // multi-probe timing shows the probe stays bounded.
+    val clustered = spark.range(100000).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(64)),
+        i => when(i === 1, lit(100.0f)).otherwise(
+          pmod(hash(col("id") * lit(64) + i), lit(1000)).cast("float") / 500.0f - 1.0f))
+        .as("embedding"))
+      .cache()
+    time("materialize clustered 100k")(clustered.count())
+    val bs = Similarity.assignBuckets(clustered, "vec_id", "embedding", 64)
+      .groupBy("bucket").count()
+      .agg(max("count").as("mx"), min("count").as("mn"), count(lit(1)).as("nb"))
+      .collect()(0)
+    println(s"[profile] clustered bucket sizes: max=${bs.getLong(0)} min=${bs.getLong(1)} buckets=${bs.getLong(2)}")
+    time("ANN ivf clustered mp=2")(
+      Similarity.ivfTopK(clustered, "vec_id", "embedding", nCentroids = 64, nQueries = 5, k = 10, multiProbe = 2).count())
+
     // dedup scaling: minhash over a 50k-doc synthetic corpus (10x the sf0.1
     // documents table) — should stay near-linear in total shingles
     val synthDocs = spark.range(50000).select(

@@ -30,4 +30,10 @@ class ContractSpec extends AnyFunSuite {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q38 HLL sketch stays within its 5% bound of the exact count") {
+    val rows = SparkEntry.queries("q38_approx_distinct")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("approx_ok")))
+  }
 }

@@ -44,4 +44,40 @@ class SimilaritySpec extends AnyFunSuite {
       .select("neighbor_id").as[Long].collect().toSeq
     assert(ivf === bf)
   }
+
+  // centroids: 0 = e_x, 1 = e_y. vec 2 (0.8, 0.6) → bucket 0;
+  // vec 3 (0.6, 0.8) → bucket 1. sim(2,3) = 0.96 — the best neighbor of
+  // query 2 lives in the OTHER bucket.
+  private val boundary = Seq(
+    (0L, Seq(1.0f, 0.0f)),
+    (1L, Seq(0.0f, 1.0f)),
+    (2L, Seq(0.8f, 0.6f)),
+    (3L, Seq(0.6f, 0.8f))
+  ).toDF("vec_id", "embedding")
+
+  test("single-probe IVF misses the cross-bucket neighbor; multi-probe recovers it") {
+    def neighborsOf2(mp: Int): Seq[Long] =
+      Similarity.ivfTopK(boundary, "vec_id", "embedding", nCentroids = 2, nQueries = 3, k = 3, multiProbe = mp)
+        .filter($"query_id" === 2L)
+        .select("neighbor_id").as[Long].collect().toSeq
+    assert(neighborsOf2(1) === Seq(0L))           // own bucket only
+    assert(neighborsOf2(2) === Seq(3L, 0L, 1L))   // 0.96 > 0.8 > 0.6
+  }
+
+  test("clustered corpus: centroids sampled from the cluster split the hot bucket") {
+    // 64 vectors all within ~6° of e_x (one tight cluster); centroids are
+    // the first 8 vectors — themselves cluster members. A single external
+    // centroid would put all 64 in one bucket (the skew case); in-cluster
+    // centroids must divide it, bounding any probe at far below N.
+    val n = 64
+    val clustered = (0 until n).map { i =>
+      val a = 0.1 * math.sin(2 * math.Pi * i / n)
+      val b = 0.1 * math.cos(2 * math.Pi * i / n)
+      (i.toLong, Seq(1.0f, a.toFloat, b.toFloat))
+    }.toDF("vec_id", "embedding")
+    val sizes = Similarity.assignBuckets(clustered, "vec_id", "embedding", nCentroids = 8)
+      .groupBy("bucket").count().select("count").as[Long].collect()
+    assert(sizes.sum === n.toLong)         // every vector assigned exactly once
+    assert(sizes.max <= n / 2, s"hot bucket ${sizes.max} of $n — cluster did not split")
+  }
 }
