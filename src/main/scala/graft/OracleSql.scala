@@ -605,6 +605,82 @@ object OracleSql {
          |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q51_set_ops" ->
+      """SELECT 'both' AS side, nk FROM
+        |  (SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'cust_only' AS side, nk FROM
+        |  (SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'supp_only' AS side, nk FROM
+        |  (SELECT s_nationkey AS nk FROM supplier EXCEPT SELECT c_nationkey FROM customer)
+        |ORDER BY side, nk""".stripMargin,
+
+    "q52_cube" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         |       coalesce(o_orderpriority, 'ALL') AS priority,
+         |       count(*) AS n,
+         |       CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS total_cents
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY status, priority""".stripMargin,
+
+    "q53_window_analytics" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events
+        |)
+        |SELECT user_id, event_id,
+        |       us - lag(us, 1) OVER w AS gap_us,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pr
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q54_corr_exact" -> {
+      val x = centsSql("l_quantity")
+      val y = centsSql("l_extendedprice")
+      s"""WITH a AS (
+         |  SELECT l_returnflag,
+         |         CAST(count(*) AS HUGEINT) AS n,
+         |         sum(CAST($x AS HUGEINT)) AS sx,
+         |         sum(CAST($y AS HUGEINT)) AS sy,
+         |         sum(CAST($x AS HUGEINT) * CAST($y AS HUGEINT)) AS sxy,
+         |         sum(CAST($x AS HUGEINT) * CAST($x AS HUGEINT)) AS sxx,
+         |         sum(CAST($y AS HUGEINT) * CAST($y AS HUGEINT)) AS syy
+         |  FROM lineitem GROUP BY l_returnflag
+         |)
+         |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+         |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
+         |             (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+         |              sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_qty_price
+         |FROM a ORDER BY l_returnflag""".stripMargin
+    },
+
+    "q55_repetition" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(ws) >= 3
+        |         THEN [concat_ws(' ', ws[i+1], ws[i+2], ws[i+3]) for i in range(0, len(ws)-2)]
+        |         ELSE [text] END) AS s
+        |  FROM w
+        |)
+        |SELECT doc_id, count(*) AS n_grams, count(DISTINCT s) AS n_uniq,
+        |       round(1.0 - CAST(count(DISTINCT s) AS DOUBLE) / count(*), 6) AS dup_ratio
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q56_word_stats" ->
+      """WITH words AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0
+        |)
+        |SELECT doc_id, count(*) AS n_words, count(DISTINCT w) AS n_uniq_words,
+        |       round(CAST(count(DISTINCT w) AS DOUBLE) / count(*), 6) AS uniq_ratio,
+        |       round(CAST(sum(length(w)) AS DOUBLE) / count(*), 6) AS mean_word_len
+        |FROM words GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q41_asof_join" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id, event_type, value

@@ -439,6 +439,103 @@ object SparkEntry {
         .orderBy("s_nationkey")
     }),
 
+    // set ops: INTERSECT / EXCEPT (distinct semantics in both engines)
+    "q51_set_ops" -> ((s, dir) => {
+      val c  = Tables.customer(s, dir).select(col("c_nationkey").as("nk"))
+      val su = Tables.supplier(s, dir).select(col("s_nationkey").as("nk"))
+      c.intersect(su).select(lit("both").as("side"), col("nk"))
+        .unionByName(c.except(su).select(lit("cust_only").as("side"), col("nk")))
+        .unionByName(su.except(c).select(lit("supp_only").as("side"), col("nk")))
+        .orderBy("side", "nk")
+    }),
+
+    // grouping sets: full CUBE over (status, priority) — q35 covers ROLLUP
+    "q52_cube" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(centsOf(col("o_totalprice"))).as("total_cents"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"),
+          col("total_cents"))
+        .orderBy("status", "priority")),
+
+    // analytic windows beyond running totals: lag gaps, ntile quartiles,
+    // percent_rank — all over the same deterministic (ts, event_id) order
+    "q53_window_analytics" -> ((s, dir) => {
+      val w  = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts"))
+      Tables.events(s, dir)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          (us - lag(us, 1).over(w)).as("gap_us"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // exact Pearson correlation from integer-cents sums (decimal38 ≡ DuckDB
+    // HUGEINT): float `corr` aggregates are aggregation-order-dependent and
+    // could never hash-match; this closed form is partition-count-invariant
+    "q54_corr_exact" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val x   = centsOf(col("l_quantity"))
+      val y   = centsOf(col("l_extendedprice"))
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast(dec).as("n"),
+          sum(x.cast(dec)).as("sx"),
+          sum(y.cast(dec)).as("sy"),
+          sum((x * y).cast(dec)).as("sxy"),
+          sum((x * x).cast(dec)).as("sxx"),
+          sum((y * y).cast(dec)).as("syy"))
+        .select(
+          col("l_returnflag"),
+          col("n").cast("long").as("n_rows"),
+          round(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+            6).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // text quality: repetition ratio (duplicate word-3-gram fraction — the
+    // Gopher-style repetition signal used to drop boilerplate/spam docs)
+    "q55_repetition" -> ((s, dir) =>
+      Dedup.shingleRows(Tables.documents(s, dir), "doc_id", "text", 3)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), countDistinct(col("s")).as("n_uniq"))
+        .select(
+          col("doc_id"),
+          col("n_grams"),
+          col("n_uniq"),
+          round(lit(1.0) - col("n_uniq").cast("double") / col("n_grams"), 6).as("dup_ratio"))
+        .orderBy("doc_id")),
+
+    // text quality: per-doc word statistics (unique-word ratio + mean word
+    // length — the lexical-diversity signals of an LLM-data quality filter)
+    "q56_word_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_words"),
+          countDistinct(col("w")).as("n_uniq_words"),
+          sum(length(col("w"))).cast("long").as("n_letters"))
+        .select(
+          col("doc_id"),
+          col("n_words"),
+          col("n_uniq_words"),
+          round(col("n_uniq_words").cast("double") / col("n_words"), 6).as("uniq_ratio"),
+          round(col("n_letters").cast("double") / col("n_words"), 6).as("mean_word_len"))
+        .orderBy("doc_id")),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan guards over EVERY query — the scale posture enforced at
+  * test time, not just by review. A new query that accidentally introduces
+  * an unbounded nested-loop join or a cartesian product fails here before
+  * it ever reaches the bench.
+  */
+class PlanGuardSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries whose plan legitimately contains BroadcastNestedLoopJoin —
+    * every one broadcasts a BOUNDED side (never corpus-sized):
+    *   - q10: the 1-row global-min aggregate (class-weight denominator)
+    *   - q24: the query set (|Q| = nQueries, fixed)
+    *   - q25/q39/q50: the centroid set (|C| = nCentroids, fixed)
+    *   - q43/q45: the 1-row corpus-count aggregate (IDF / PMI denominator)
+    */
+  private val boundedNlj = Set(
+    "q10_class_weights",
+    "q24_embed_topk",
+    "q25_embed_ivf",
+    "q39_embed_neardup",
+    "q43_tfidf_terms",
+    "q45_pmi_cooccurrence",
+    "q50_embed_multiprobe")
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("no query plan contains a CartesianProduct") {
+    SparkEntry.queries.keys.foreach { name =>
+      assert(!planOf(name).contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
+
+  test("BroadcastNestedLoopJoin appears only where the broadcast side is bounded") {
+    val withNlj = SparkEntry.queries.keys
+      .filter(planOf(_).contains("BroadcastNestedLoopJoin")).toSet
+    assert(
+      withNlj === boundedNlj,
+      s"unexpected NLJ in ${withNlj -- boundedNlj}; vanished from ${boundedNlj -- withNlj}")
+  }
+
+  test("no query plan evaluates Python or interpreted UDF-like stages") {
+    SparkEntry.queries.keys.foreach { name =>
+      val p = planOf(name)
+      assert(!p.contains("BatchEvalPython"), s"$name runs Python")
+      assert(!p.contains("ArrowEvalPython"), s"$name runs Python")
+    }
+  }
+}
