@@ -47,6 +47,37 @@ object EventStream {
         col("n"),
         col("value_cents"))
 
+  /** Stream-stream interval join: every error event matched to the same
+    * user's purchases in the preceding `windowMinutes` — the streaming
+    * counterpart of the batch range join (q42 semantics). Both sides carry
+    * watermarks AND the join condition bounds `p_ts` relative to `e_ts`,
+    * which is what lets Spark evict buffered purchase state once the
+    * watermark passes `p_ts + window` — without the interval bound the
+    * purchase buffer would grow forever on an unbounded stream.
+    */
+  def errorPurchaseJoin(
+      spark: SparkSession,
+      inputDir: String,
+      schema: StructType,
+      windowMinutes: Int = 30): DataFrame = {
+    def side(kind: String, prefix: String) =
+      spark.readStream
+        .schema(schema)
+        .parquet(inputDir)
+        .filter(col("event_type") === kind)
+        .select(
+          col("user_id").as(s"${prefix}_user"),
+          col("ts").as(s"${prefix}_ts"),
+          col("event_id").as(s"${prefix}_id"))
+        .withWatermark(s"${prefix}_ts", "2 hours")
+    side("error", "e").join(
+      side("purchase", "p"),
+      col("e_user") === col("p_user") &&
+        col("p_ts") <= col("e_ts") &&
+        col("p_ts") >= col("e_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("e_user").as("user_id"), col("e_id").as("err_id"), col("p_id"))
+  }
+
   /** Run the streaming query to completion over the files currently in
     * `inputDir` (AvailableNow trigger) and return the materialized result.
     */
@@ -57,13 +88,15 @@ object EventStream {
       queryName: String = "hourly_events"): DataFrame =
     runToTable(hourlyCounts(spark, inputDir, schema), queryName)
 
-  /** Drain any streaming DataFrame to a memory table (AvailableNow). */
-  def runToTable(stream: DataFrame, queryName: String): DataFrame = {
+  /** Drain any streaming DataFrame to a memory table (AvailableNow).
+    * Aggregations use `complete`; stream-stream joins require `append`.
+    */
+  def runToTable(stream: DataFrame, queryName: String, outputMode: String = "complete"): DataFrame = {
     val spark = stream.sparkSession
     val q = stream.writeStream
       .format("memory")
       .queryName(queryName)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -46,4 +46,31 @@ class EventStreamSpec extends AnyFunSuite {
 
     assert(streamed === batchOnce)
   }
+
+  test("stream-stream interval join matches the equivalent batch join") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_stream_join").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    events.write.mode("overwrite").parquet(tmp)
+
+    val ev = spark.read.parquet(tmp)
+    def batchSide(kind: String, p: String) =
+      ev.filter(col("event_type") === kind)
+        .select(col("user_id").as(s"${p}_user"), col("ts").as(s"${p}_ts"), col("event_id").as(s"${p}_id"))
+    val batch = batchSide("error", "e").join(
+        batchSide("purchase", "p"),
+        col("e_user") === col("p_user") &&
+          col("p_ts") <= col("e_ts") &&
+          col("p_ts") >= col("e_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("e_user").as("user_id"), col("e_id").as("err_id"), col("p_id"))
+      .collect().map(_.toSeq).toSet
+
+    val streamed = EventStream.runToTable(
+      EventStream.errorPurchaseJoin(spark, tmp, events.schema, windowMinutes = 30),
+      "err_purchase_join_test", outputMode = "append")
+      .collect().map(_.toSeq).toSet
+
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
