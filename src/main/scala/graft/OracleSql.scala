@@ -681,6 +681,13 @@ object OracleSql {
         |       round(CAST(sum(length(w)) AS DOUBLE) / count(*), 6) AS mean_word_len
         |FROM words GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "q57_csv_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+        |       count(DISTINCT doc_id) AS n_ids
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q41_asof_join" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id, event_type, value

@@ -536,6 +536,24 @@ object SparkEntry {
           round(col("n_letters").cast("double") / col("n_words"), 6).as("mean_word_len"))
         .orderBy("doc_id")),
 
+    // S1/S3 oracle exercise: round-trip documents through the CSV zone
+    // sink/scan, then aggregate the read-back frame. The oracle computes
+    // the same aggregate from the parquet original — any lossy CSV
+    // round-trip (quoting, escaping, type parse) breaks the hash.
+    "q57_csv_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tmp  = s"/tmp/graft_csv_zone_${new java.io.File(dir).getName}"
+      graft.io.Zones.writeCsv(docs, tmp)
+      graft.io.Zones.readCsv(s, docs.schema, header = true, Seq(tmp))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          sum(length(col("text"))).cast("long").as("sum_text_len"),
+          countDistinct(col("doc_id")).as("n_ids"))
+        .orderBy("lang")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
