@@ -688,6 +688,31 @@ object OracleSql {
         |       count(DISTINCT doc_id) AS n_ids
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "q58_approx_quantiles" ->
+      """SELECT lang,
+        |       round(quantile_cont(n_chars, 0.25), 6) AS p25_exact,
+        |       round(quantile_cont(n_chars, 0.75), 6) AS p75_exact,
+        |       TRUE AS approx_in_iqr
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q59_full_outer" ->
+      s"""WITH c AS (
+         |  SELECT c_nationkey AS nationkey, count(*) AS n_cust,
+         |         CAST(sum(${centsSql("c_acctbal")}) AS BIGINT) AS cust_cents
+         |  FROM customer GROUP BY 1
+         |), su AS (
+         |  SELECT s_nationkey AS nationkey, count(*) AS n_supp,
+         |         CAST(sum(${centsSql("s_acctbal")}) AS BIGINT) AS supp_cents
+         |  FROM supplier GROUP BY 1
+         |)
+         |SELECT coalesce(c.nationkey, su.nationkey) AS nationkey,
+         |       coalesce(c.n_cust, 0) AS n_cust,
+         |       coalesce(c.cust_cents, 0) AS cust_cents,
+         |       coalesce(su.n_supp, 0) AS n_supp,
+         |       coalesce(su.supp_cents, 0) AS supp_cents
+         |FROM c FULL OUTER JOIN su ON c.nationkey = su.nationkey
+         |ORDER BY nationkey""".stripMargin,
+
     "q41_asof_join" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id, event_type, value

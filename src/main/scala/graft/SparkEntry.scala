@@ -554,6 +554,44 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // approx quantile sketch (the scale option for q33's exact grouped
+    // percentiles), verified against the oracle's exact quantiles: the
+    // approx p50 must land within the exact [p25, p75] — the oracle asserts
+    // TRUE, so a broken sketch breaks the hash (same pattern as q38)
+    "q58_approx_quantiles" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(
+          round(expr("percentile(n_chars, 0.25D)"), 6).as("p25_exact"),
+          round(expr("percentile(n_chars, 0.75D)"), 6).as("p75_exact"),
+          expr("approx_percentile(n_chars, 0.5D, 1000)").as("_p50_approx"))
+        .select(
+          col("lang"),
+          col("p25_exact"),
+          col("p75_exact"),
+          (col("_p50_approx") >= col("p25_exact") && col("_p50_approx") <= col("p75_exact"))
+            .as("approx_in_iqr"))
+        .orderBy("lang")),
+
+    // full outer join: per-nation customer and supplier account totals,
+    // nations present on either side survive (completes the join-type
+    // inventory: inner/broadcast q11-q12, semi q48, anti q32, asof q41,
+    // range q42, salted q49)
+    "q59_full_outer" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"), sum(centsOf(col("c_acctbal"))).as("cust_cents"))
+      val su = Tables.supplier(s, dir).groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"), sum(centsOf(col("s_acctbal"))).as("supp_cents"))
+      c.join(su, Seq("nationkey"), "full_outer")
+        .select(
+          col("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("cust_cents"), lit(0L)).as("cust_cents"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+          coalesce(col("supp_cents"), lit(0L)).as("supp_cents"))
+        .orderBy("nationkey")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

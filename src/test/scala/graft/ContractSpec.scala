@@ -31,6 +31,19 @@ class ContractSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q54 exact-sum correlation agrees with Spark's float corr aggregate") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q54_corr_exact")(spark, sfDir)
+      .select("l_returnflag", "corr_qty_price").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ref = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity") * 100, col("l_extendedprice") * 100).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - ref(k)) < 1e-6, s"flag $k: $v vs ${ref(k)}") }
+  }
+
   test("q38 HLL sketch stays within its 5% bound of the exact count") {
     val rows = SparkEntry.queries("q38_approx_distinct")(spark, sfDir).collect()
     assert(rows.nonEmpty)
