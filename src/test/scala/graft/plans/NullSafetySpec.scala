@@ -1,0 +1,47 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Null propagation of the four custom Catalyst expressions: a null input
+  * must yield a null output (never a crash or a phantom value) in BOTH the
+  * interpreted and the whole-stage-codegen paths — library users will feed
+  * tables with null text/embeddings even though the harness tables don't.
+  */
+class NullSafetySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def textDf = Seq(Some("a b c d"), None).toDF("t")
+
+  test("WordShingles: null text -> null array") {
+    val got = textDf.select(WordShingles($"t", 3).as("s")).collect()
+    assert(got(0).getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(got(1).isNullAt(0))
+  }
+
+  test("RollingHash: null text -> null hash") {
+    val got = textDf.select(RollingHash($"t").as("h")).collect()
+    assert(!got(0).isNullAt(0))
+    assert(got(1).isNullAt(0))
+  }
+
+  test("EsmTokenizeExpr: null sequence -> null tokens") {
+    val got = textDf.select(EsmTokenizeExpr($"t", 8).as("tok")).collect()
+    assert(got(0).getSeq[Int](0).head === 0) // <cls>
+    assert(got(1).isNullAt(0))
+  }
+
+  test("VecDot: null on either side -> null") {
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f))),
+      (None, Some(Seq(3.0f, 4.0f))),
+      (Some(Seq(1.0f, 2.0f)), None)
+    ).toDF("a", "b")
+    val got = df.select(VecDot($"a", $"b").as("d")).collect()
+    assert(got(0).getDouble(0) === 11.0)
+    assert(got(1).isNullAt(0))
+    assert(got(2).isNullAt(0))
+  }
+}
