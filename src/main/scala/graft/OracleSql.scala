@@ -713,6 +713,26 @@ object OracleSql {
          |FROM c FULL OUTER JOIN su ON c.nationkey = su.nationkey
          |ORDER BY nationkey""".stripMargin,
 
+    "q60_line_dedup" ->
+      """WITH ld AS (
+        |  SELECT DISTINCT doc_id, line FROM (
+        |    SELECT doc_id, unnest(string_split(text, '. ')) AS line FROM documents)
+        |  WHERE length(line) > 0
+        |), dup AS (
+        |  SELECT line FROM ld GROUP BY line HAVING count(DISTINCT doc_id) > 1
+        |), per_doc AS (
+        |  SELECT doc_id, count(*) AS n_lines FROM ld GROUP BY doc_id
+        |), dup_per_doc AS (
+        |  SELECT doc_id, count(*) AS n_dup FROM ld
+        |  WHERE line IN (SELECT line FROM dup)
+        |  GROUP BY doc_id
+        |)
+        |SELECT p.doc_id, p.n_lines,
+        |       coalesce(d.n_dup, 0) AS n_dup_lines,
+        |       round(CAST(coalesce(d.n_dup, 0) AS DOUBLE) / p.n_lines, 6) AS dup_line_ratio
+        |FROM per_doc p LEFT JOIN dup_per_doc d ON d.doc_id = p.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
+
     "q41_asof_join" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id, event_type, value

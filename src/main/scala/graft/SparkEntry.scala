@@ -592,6 +592,34 @@ object SparkEntry {
         .orderBy("nationkey")
     }),
 
+    // line-level dedup (C4/CCNet-style): sentences occurring in more than
+    // one document are boilerplate candidates; per-doc duplicated-line
+    // fraction drives removal. Scale shape: explode lines → distinct →
+    // one groupBy on the line hash → semi join back — no all-pairs product.
+    "q60_line_dedup" -> ((s, dir) => {
+      val lineDocs = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("line"))
+        .filter(length(col("line")) > 0)
+        .distinct()
+      val dupLines = lineDocs
+        .groupBy("line").agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+        .select("line")
+      val perDoc = lineDocs.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+      val dupPerDoc = lineDocs
+        .join(dupLines, Seq("line"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      perDoc
+        .join(dupPerDoc, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          col("n_lines"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup_lines"),
+          round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_lines"), 6)
+            .as("dup_line_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
