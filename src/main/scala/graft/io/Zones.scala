@@ -66,6 +66,31 @@ object Zones {
   def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Small-files compaction: rewrite a parquet prefix into
+    * `ceil(bytes / targetFileBytes)` files (the pattern behind OPTIMIZE in
+    * table formats). At 100 TB, thousands of tiny part files — the residue
+    * of incremental appends — dominate scan cost through footer reads and
+    * task-per-file scheduling; a periodic compaction keeps file count
+    * proportional to data size. Merge is `coalesce` (partition merge, no
+    * shuffle). Returns the target file count.
+    *
+    * The swap here is delete + rename, which is atomic-enough on HDFS/local;
+    * on an object store (rename = copy) compact into a NEW prefix and flip a
+    * pointer — or use a table format whose transaction log does exactly this.
+    */
+  def compact(spark: SparkSession, path: String, targetFileBytes: Long = 128L << 20): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p    = new org.apache.hadoop.fs.Path(path)
+    val fs   = p.getFileSystem(conf)
+    val size = fs.getContentSummary(p).getLength
+    val n    = math.max(1L, (size + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp  = new org.apache.hadoop.fs.Path(path + ".compact_tmp")
+    spark.read.parquet(path).coalesce(n).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+    n
+  }
+
   /** Bucketed + sorted catalog table: repeated equi-joins/aggregations on
     * `bucketCol` between tables bucketed the same way run shuffle-free
     * (Spark plans a sort-merge join over co-located buckets — verified in
