@@ -73,4 +73,32 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("incremental ingest processes only new files per run, exactly once") {
+    import org.apache.spark.sql.functions._
+    val root   = Files.createTempDirectory("graft_incr").toString
+    val in     = s"$root/in"
+    val out    = s"$root/out"
+    val chk    = s"$root/chk"
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val half   = events.count() / 2
+
+    def run(): Unit = EventStream.incrementalIngest(spark, in, events.schema, chk, out)(
+      _.filter(col("event_type") === "purchase").select("event_id", "user_id", "value"))
+    def sinkIds = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).toSeq
+
+    events.filter(col("event_id") <= half).write.mode("append").parquet(in)
+    run()
+    val afterA = sinkIds
+    assert(afterA.nonEmpty && afterA.forall(_ <= half))
+
+    events.filter(col("event_id") > half).write.mode("append").parquet(in)
+    run()
+    val afterB = sinkIds
+    // second run appended ONLY batch_b rows: no duplicates, full coverage
+    assert(afterB.length === afterB.distinct.length)
+    val expected = events.filter(col("event_type") === "purchase").count()
+    assert(afterB.length.toLong === expected)
+  }
 }
