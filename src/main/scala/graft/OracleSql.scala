@@ -733,6 +733,24 @@ object OracleSql {
         |FROM per_doc p LEFT JOIN dup_per_doc d ON d.doc_id = p.doc_id
         |ORDER BY p.doc_id""".stripMargin,
 
+    "q61_embed_centroids" ->
+      """WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |x AS (
+        |  SELECT label,
+        |         unnest(list_transform(range(1, len(e)+1),
+        |                               i -> struct_pack(pos := i, val := e[i]))) AS u
+        |  FROM v
+        |), s AS (
+        |  SELECT label, u.pos AS pos,
+        |         sum(CAST(round(u.val * 1000000) AS BIGINT)) AS sq,
+        |         count(*) AS n
+        |  FROM x GROUP BY label, pos
+        |)
+        |SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+        |       round(sqrt(CAST(sum(CAST(sq AS HUGEINT) * CAST(sq AS HUGEINT)) AS DOUBLE))
+        |             / (max(n) * 1000000.0), 6) AS mean_norm
+        |FROM s GROUP BY label ORDER BY label""".stripMargin,
+
     "q41_asof_join" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id, event_type, value

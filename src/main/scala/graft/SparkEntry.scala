@@ -620,6 +620,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // embedding analytics: per-label mean-vector (centroid) L2 norm — the
+    // mean-pooling aggregate of a class-prototype pipeline. Elements are
+    // quantized to 1e-6 integers and summed exactly (decimal38 ≡ HUGEINT),
+    // so the result is aggregation-order-independent: norm = sqrt(Σ_pos
+    // sq²)/(n·1e6), where sq is the exact per-dimension quantized sum.
+    // A float mean would differ between engines by summation order.
+    "q61_embed_centroids" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val qsum = Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(
+          sum(round(col("v").cast("double") * 1000000, 0).cast("long")).as("sq"),
+          count(lit(1)).as("n"))
+      qsum
+        .groupBy("label")
+        .agg(
+          max(col("n")).as("n_vecs"), // constant within the label
+          sum((col("sq") * col("sq")).cast(dec)).as("ssq"))
+        .select(
+          col("label"),
+          col("n_vecs"),
+          round(sqrt(col("ssq").cast("double")) / (col("n_vecs") * 1000000.0), 6).as("mean_norm"))
+        .orderBy("label")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
