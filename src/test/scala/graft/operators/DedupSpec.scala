@@ -50,6 +50,26 @@ class DedupSpec extends AnyFunSuite {
     assert(fromRows === fromCol)
   }
 
+  test("incremental candidates against a signature store match the full-corpus pairs") {
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val old    = corpus.filter(col("doc_id") % 2 === 0)
+    val fresh  = corpus.filter(col("doc_id") % 2 === 1)
+
+    val store = Dedup.bandSignatures(old, "doc_id", "text")
+    val incremental = Dedup.incrementalCandidates(fresh, store, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+
+    // ground truth: full-corpus candidates restricted to pairs touching a new doc
+    val full = Dedup.minhashCandidates(corpus, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+      .filter { case (a, b, _) => a % 2 == 1 || b % 2 == 1 }.toSet
+
+    assert(incremental === full)
+    assert(incremental.nonEmpty) // sf0.001 documents contain near-dups across the split
+  }
+
   implicit private class Pairs[V](rows: Array[(Long, Long, V)]) {
     def toMap2: Map[(Long, Long), V] = rows.map { case (a, b, v) => (a, b) -> v }.toMap
   }
