@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.rollingHashFunction)
     ext.injectFunction(GraftExtensions.esmTokenizeFunction)
+    ext.injectFunction(GraftExtensions.wordShinglesFunction)
+    ext.injectFunction(GraftExtensions.vecDotFunction)
   }
 }
 
@@ -49,11 +51,40 @@ object GraftExtensions {
     new ExpressionInfo(classOf[EsmTokenizeExpr].getName, "graft_esm_tokenize"),
     esmTokenizeBuilder)
 
+  private val wordShinglesBuilder: Seq[Expression] => Expression = {
+    case Seq(child)    => WordShingles(child, 3)
+    case Seq(child, n) => WordShingles(child, n.eval().asInstanceOf[Number].intValue())
+    case other =>
+      throw new IllegalArgumentException(
+        s"graft_word_shingles expects 1 or 2 arguments, got ${other.size}")
+  }
+
+  val wordShinglesFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_word_shingles"),
+    new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
+    wordShinglesBuilder)
+
+  private val vecDotBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => VecDot(a, b)
+    case other =>
+      throw new IllegalArgumentException(
+        s"graft_vec_dot expects 2 arguments, got ${other.size}")
+  }
+
+  val vecDotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_vec_dot"),
+    new ExpressionInfo(classOf[VecDot].getName, "graft_vec_dot"),
+    vecDotBuilder)
+
   /** Imperative registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rolling_hash", rollingHashBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_esm_tokenize", esmTokenizeBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_word_shingles", wordShinglesBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vec_dot", vecDotBuilder, "built-in")
   }
 }
