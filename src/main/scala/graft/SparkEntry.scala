@@ -594,29 +594,26 @@ object SparkEntry {
 
     // line-level dedup (C4/CCNet-style): sentences occurring in more than
     // one document are boilerplate candidates; per-doc duplicated-line
-    // fraction drives removal. Scale shape: explode lines → distinct →
-    // one groupBy on the line hash → semi join back — no all-pairs product.
+    // fraction drives removal. Scale shape: ONE corpus scan — explode →
+    // distinct → per-line count window → per-doc aggregate (three chained
+    // exchanges; the join formulation would recompute the explode per
+    // branch). Never an all-pairs product.
     "q60_line_dedup" -> ((s, dir) => {
-      val lineDocs = Tables.documents(s, dir)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("line")
+      Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("line"))
         .filter(length(col("line")) > 0)
         .distinct()
-      val dupLines = lineDocs
-        .groupBy("line").agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") > 1)
-        .select("line")
-      val perDoc = lineDocs.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
-      val dupPerDoc = lineDocs
-        .join(dupLines, Seq("line"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
-      perDoc
-        .join(dupPerDoc, Seq("doc_id"), "left")
+        .withColumn("nd", count(lit(1)).over(w))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_lines"))
         .select(
           col("doc_id"),
           col("n_lines"),
-          coalesce(col("n_dup"), lit(0L)).as("n_dup_lines"),
-          round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_lines"), 6)
-            .as("dup_line_ratio"))
+          col("n_dup_lines"),
+          round(col("n_dup_lines").cast("double") / col("n_lines"), 6).as("dup_line_ratio"))
         .orderBy("doc_id")
     }),
 
