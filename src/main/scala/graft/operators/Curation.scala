@@ -28,16 +28,22 @@ object Curation {
     // broadcasts when it is actually small (see Dedup.survivorsByGroup)
     val fin = passing.join(losers, Seq(idCol), "left_anti")
 
-    val input = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_input"))
-    val qc    = passing.groupBy(col(groupCol)).agg(count(lit(1)).as("n_quality"))
-    val fc    = fin.groupBy(col(groupCol)).agg(count(lit(1)).as("n_final"))
-    input
-      .join(qc, Seq(groupCol), "left")
+    // input and quality-pass counts fold into ONE conditional aggregation
+    // over a single corpus scan (separate groupBys would scan docs twice);
+    // only the post-dedup count needs the second pass, which the dedup
+    // pipeline itself pays for.
+    val inputQ = TextFunctions.withQualityColumns(docs, textCol)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_input"),
+        sum(when(col("quality") >= qualityThreshold, 1L).otherwise(0L)).as("n_quality"))
+    val fc = fin.groupBy(col(groupCol)).agg(count(lit(1)).as("n_final"))
+    inputQ
       .join(fc, Seq(groupCol), "left")
       .select(
         col(groupCol),
         col("n_input"),
-        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        col("n_quality"),
         coalesce(col("n_final"), lit(0L)).as("n_final"))
       .orderBy(col(groupCol))
   }
