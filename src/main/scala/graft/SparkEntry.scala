@@ -209,15 +209,17 @@ object SparkEntry {
         .select(col("doc_id"), col("n_words"), col("n_stop"), col("n_punct"), col("quality"))
         .orderBy("doc_id")),
 
-    // text analysis: TF-IDF top-3 terms per document
+    // text analysis: TF-IDF top-3 terms per document. df derives from the
+    // tf relation (rows of tf ARE the distinct (doc, term) pairs), so the
+    // corpus is exploded once and the (doc_id, term) exchange is reused —
+    // a separate distinct-then-count pipeline would scan the corpus twice.
     "q43_tfidf_terms" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val terms = docs
         .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("term"))
         .filter(length(col("term")) > 0)
       val tf  = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dft = terms.select("doc_id", "term").distinct()
-        .groupBy("term").agg(count(lit(1)).as("df"))
+      val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
