@@ -132,22 +132,58 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
-  /** Embedding-cosine near-dup pairs: same-IVF-bucket pairs with cosine ≥
-    * `threshold`. The bucket equi-join bounds cost at Σ bucket² instead of
-    * the N² all-pairs product — the dedup counterpart of [[ivfTopK]].
+  /** Assign every vector to its `probes` nearest centroids (multi-probe
+    * assignment for recall). Top-P is computed WITHOUT a global sort: per
+    * vector, `collect_list` gathers the (bounded) centroid set into one
+    * array, `sort_array` orders those ≤|centroids| elements locally, and
+    * `slice` keeps P — a hash aggregation, never a row_number window over
+    * |N|·|centroids| rows (measured 5× slower for the argmax case).
+    */
+  def assignBucketsMulti(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      nCentroids: Int,
+      probes: Int): DataFrame = {
+    val v = withNorm(emb, embCol).select(col(idCol).as("vid"), col("emb_d"), col("nrm"))
+    val cents = v
+      .filter(col("vid") < nCentroids)
+      .select(col("vid").as("cent_id"), col("emb_d").as("cv"), col("nrm").as("cn"))
+    v.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("cv"), col("cn"), col("emb_d"), col("nrm")))
+      .groupBy("vid")
+      .agg(
+        slice(
+          sort_array(collect_list(struct((-col("csim")).as("neg"), col("cent_id").as("cid")))),
+          1, probes).as("top"),
+        first(col("emb_d")).as("emb_d"),
+        first(col("nrm")).as("nrm"))
+      .select(col("vid"), col("emb_d"), col("nrm"), explode(col("top.cid")).as("bucket"))
+  }
+
+  /** Embedding-cosine near-dup pairs: pairs sharing ANY of their `probes`
+    * nearest-centroid buckets, with cosine ≥ `threshold`. The bucket
+    * equi-join bounds cost at Σ bucket² instead of the N² all-pairs
+    * product — the dedup counterpart of [[ivfTopK]]. `probes = 1` is
+    * classic single-bucket IVF; higher values recover near-dup pairs that
+    * straddle a Voronoi boundary at ~P× the join volume.
     */
   def embedNearDupPairs(
       emb: DataFrame,
       idCol: String,
       embCol: String,
       nCentroids: Int,
-      threshold: Double): DataFrame = {
-    val a = assignBuckets(emb, idCol, embCol, nCentroids)
+      threshold: Double,
+      probes: Int = 1): DataFrame = {
+    val a =
+      if (probes == 1) assignBuckets(emb, idCol, embCol, nCentroids)
+      else assignBucketsMulti(emb, idCol, embCol, nCentroids, probes)
     a.as("x")
       .join(a.as("y"), col("x.bucket") === col("y.bucket") && col("x.vid") < col("y.vid"))
-      .withColumn("sim", cosine(col("x.emb_d"), col("x.nrm"), col("y.emb_d"), col("y.nrm")))
+      .select(col("x.vid").as("vec_a"), col("y.vid").as("vec_b"),
+        cosine(col("x.emb_d"), col("x.nrm"), col("y.emb_d"), col("y.nrm")).as("sim"))
+      .distinct() // a pair sharing several probed buckets appears once
       .filter(col("sim") >= threshold)
-      .select(col("x.vid").as("vec_a"), col("y.vid").as("vec_b"), col("sim"))
       .orderBy("vec_a", "vec_b")
   }
 }

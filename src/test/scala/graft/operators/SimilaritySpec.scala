@@ -64,6 +64,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(neighborsOf2(2) === Seq(3L, 0L, 1L))   // 0.96 > 0.8 > 0.6
   }
 
+  test("multi-probe near-dup recovers the pair straddling a bucket boundary") {
+    def pairs(p: Int): Set[(Long, Long)] =
+      Similarity.embedNearDupPairs(boundary, "vec_id", "embedding",
+        nCentroids = 2, threshold = 0.9, probes = p)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // sim(2,3) = 0.96 but they live in different single-probe buckets
+    assert(!pairs(1).contains((2L, 3L)))
+    assert(pairs(2).contains((2L, 3L)))
+  }
+
   test("clustered corpus: centroids sampled from the cluster split the hot bucket") {
     // 64 vectors all within ~6° of e_x (one tight cluster); centroids are
     // the first 8 vectors — themselves cluster members. A single external
