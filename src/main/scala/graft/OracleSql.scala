@@ -751,6 +751,13 @@ object OracleSql {
         |             / (max(n) * 1000000.0), 6) AS mean_norm
         |FROM s GROUP BY label ORDER BY label""".stripMargin,
 
+    "q62_monthly_revenue" ->
+      s"""SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+         |       count(*) AS n_orders,
+         |       CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS revenue_cents,
+         |       count(DISTINCT o_custkey) AS n_customers
+         |FROM orders GROUP BY 1 ORDER BY order_month""".stripMargin,
+
     "q41_asof_join" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id, event_type, value

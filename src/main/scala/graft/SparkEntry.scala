@@ -645,6 +645,17 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    // calendar aggregation (date-function family): monthly order volume
+    // and revenue — the classic OLAP rollup over a date dimension
+    "q62_monthly_revenue" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(centsOf(col("o_totalprice"))).as("revenue_cents"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy("order_month")),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

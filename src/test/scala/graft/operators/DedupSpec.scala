@@ -50,6 +50,19 @@ class DedupSpec extends AnyFunSuite {
     assert(fromRows === fromCol)
   }
 
+  test("exact-then-near equals full-corpus candidates with dup ids collapsed to keepers") {
+    val onUniques = Dedup.nearDupOnUniques(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // map full-corpus pairs through keeper(2) = 1, drop self/exact pairs
+    val keeper = Map(2L -> 1L).withDefault(identity)
+    val expected = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .map { case (a, b) => (keeper(a) min keeper(b), keeper(a) max keeper(b)) }
+      .filter { case (a, b) => a != b }.toSet
+    assert(onUniques === expected)
+    assert(!onUniques.exists { case (a, b) => a == 2L || b == 2L }) // 2 collapsed into 1
+  }
+
   test("incremental candidates against a signature store match the full-corpus pairs") {
     import org.apache.spark.sql.functions.col
     val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
