@@ -758,6 +758,14 @@ object OracleSql {
          |       count(DISTINCT o_custkey) AS n_customers
          |FROM orders GROUP BY 1 ORDER BY order_month""".stripMargin,
 
+    "q63_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin,
+
     "q41_asof_join" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id, event_type, value

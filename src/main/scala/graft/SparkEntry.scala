@@ -656,6 +656,20 @@ object SparkEntry {
           countDistinct(col("o_custkey")).as("n_customers"))
         .orderBy("order_month")),
 
+    // explicit GROUPING SETS via the SQL entry path (spark.sql over a temp
+    // view — the surface a SQL-first user of the library drives; rollup is
+    // q35, cube q52, this is the non-hierarchical set list)
+    "q63_grouping_sets" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |       coalesce(o_orderpriority, 'ALL') AS priority,
+          |       count(*) AS n
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+          |ORDER BY status, priority""".stripMargin)
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
