@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.esmTokenizeFunction)
     ext.injectFunction(GraftExtensions.wordShinglesFunction)
     ext.injectFunction(GraftExtensions.vecDotFunction)
+    ext.injectFunction(GraftExtensions.simHashFunction)
   }
 }
 
@@ -76,6 +77,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[VecDot].getName, "graft_vec_dot"),
     vecDotBuilder)
 
+  private val simHashBuilder: Seq[Expression] => Expression = {
+    case Seq(child) => SimHashExpr(child)
+    case other =>
+      throw new IllegalArgumentException(
+        s"graft_simhash expects 1 argument, got ${other.size}")
+  }
+
+  val simHashFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash"),
+    new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
+    simHashBuilder)
+
   /** Imperative registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -86,5 +99,7 @@ object GraftExtensions {
       "graft_word_shingles", wordShinglesBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vec_dot", vecDotBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash", simHashBuilder, "built-in")
   }
 }

@@ -63,6 +63,28 @@ class DedupSpec extends AnyFunSuite {
     assert(!onUniques.exists { case (a, b) => a == 2L || b == 2L }) // 2 collapsed into 1
   }
 
+  test("native SimHashExpr equals the explode + bit-majority aggregation formulation") {
+    import org.apache.spark.sql.functions._
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000))
+    // reference: the r1 aggregation formulation, verbatim
+    val bitSums = (0 until 32).map(j =>
+      sum(when(shiftrightunsigned(col("h"), j) % 2 === 1, lit(1L)).otherwise(lit(-1L))).as(s"s$j"))
+    val reference = corpus
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("word"))
+      .withColumn("h", Dedup.md5Long(col("word"), 8))
+      .groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val native = corpus
+      .select(col("doc_id"), graft.plans.SimHashExpr(col("text")).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    assert(native === reference)
+  }
+
   test("incremental candidates against a signature store match the full-corpus pairs") {
     import org.apache.spark.sql.functions.col
     val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")

@@ -33,18 +33,26 @@ class NullSafetySpec extends AnyFunSuite {
     assert(got(1).isNullAt(0))
   }
 
-  test("all four expressions are reachable from plain SQL after registration") {
+  test("all five expressions are reachable from plain SQL after registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
       """SELECT graft_rolling_hash('ab') AS h,
         |       graft_esm_tokenize('MK', 6) AS t,
         |       graft_word_shingles('a b c d', 2) AS s,
-        |       graft_vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d""".stripMargin)
+        |       graft_vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
+        |       graft_simhash('the quick fox') AS sh""".stripMargin)
       .collect()(0)
     assert(r.getLong(0) != 0L)
     assert(r.getSeq[Int](1).head === 0)
     assert(r.getSeq[String](2) === Seq("a b", "b c", "c d"))
     assert(r.getDouble(3) === 11.0)
+    assert(r.getLong(4) != 0L)
+  }
+
+  test("SimHashExpr: null text -> null hash") {
+    val got = textDf.select(SimHashExpr($"t").as("h")).collect()
+    assert(!got(0).isNullAt(0))
+    assert(got(1).isNullAt(0))
   }
 
   test("VecDot: null on either side -> null") {
