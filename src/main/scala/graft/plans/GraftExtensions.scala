@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.wordShinglesFunction)
     ext.injectFunction(GraftExtensions.vecDotFunction)
     ext.injectFunction(GraftExtensions.simHashFunction)
+    ext.injectFunction(GraftExtensions.minHashFunction)
   }
 }
 
@@ -89,6 +90,19 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
     simHashBuilder)
 
+  private val minHashBuilder: Seq[Expression] => Expression = {
+    case Seq(child)    => MinHashExpr(child, 8)
+    case Seq(child, n) => MinHashExpr(child, n.eval().asInstanceOf[Number].intValue())
+    case other =>
+      throw new IllegalArgumentException(
+        s"graft_minhash expects 1 or 2 arguments, got ${other.size}")
+  }
+
+  val minHashFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_minhash"),
+    new ExpressionInfo(classOf[MinHashExpr].getName, "graft_minhash"),
+    minHashBuilder)
+
   /** Imperative registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -101,5 +115,7 @@ object GraftExtensions {
       "graft_vec_dot", vecDotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash", simHashBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash", minHashBuilder, "built-in")
   }
 }

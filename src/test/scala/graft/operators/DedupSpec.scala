@@ -63,6 +63,28 @@ class DedupSpec extends AnyFunSuite {
     assert(!onUniques.exists { case (a, b) => a == 2L || b == 2L }) // 2 collapsed into 1
   }
 
+  test("native MinHashExpr equals the shingle-explode + min-aggregation formulation") {
+    import org.apache.spark.sql.functions._
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000))
+    // reference: the r1 formulation, verbatim
+    val h = Dedup.shingleRows(corpus, "doc_id", "text", 3)
+      .select(
+        col("doc_id"),
+        conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long").as("h1"),
+        conv(substring(md5(col("s")), 13, 12), 16, 10).cast("long").as("h2"))
+    val minAggs = (0 until 8).map(k =>
+      min((col("h1") + lit(k.toLong) * col("h2")) % lit(Dedup.MinhashMod)).as(s"m$k"))
+    val reference = h.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"), array((0 until 8).map(k => col(s"m$k")): _*).as("m"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val native = corpus
+      .select(col("doc_id"), graft.plans.MinHashExpr(col("text"), 8).as("m"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native === reference)
+  }
+
   test("native SimHashExpr equals the explode + bit-majority aggregation formulation") {
     import org.apache.spark.sql.functions._
     val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")

@@ -55,6 +55,15 @@ class NullSafetySpec extends AnyFunSuite {
     assert(got(1).isNullAt(0))
   }
 
+  test("MinHashExpr: null text -> null signature; SQL-registered") {
+    val got = textDf.select(MinHashExpr($"t", 8).as("m")).collect()
+    assert(got(0).getSeq[Long](0).length === 8)
+    assert(got(1).isNullAt(0))
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT graft_minhash('a b c d', 8) AS m")
+      .collect()(0).getSeq[Long](0).length === 8)
+  }
+
   test("VecDot: null on either side -> null") {
     val df = Seq(
       (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f))),
