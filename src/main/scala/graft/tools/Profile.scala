@@ -42,6 +42,12 @@ object Profile {
     val mh = h.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
     time("+ signature groupBy")(mh.count())
 
+    // native one-pass signatures (r2) vs the explode+agg pipeline above
+    time("native minhash signatures")(
+      docs.select(graft.plans.MinHashExpr(col("text"), 8).as("m")).count())
+    time("native simhash signatures")(
+      docs.select(graft.plans.SimHashExpr(col("text")).as("h")).count())
+
     time("full minhash candidates")(Dedup.minhashCandidates(docs, "doc_id", "text").count())
     time("full jaccard-on-cand")(Dedup.ngramJaccardPairs(docs, "doc_id", "text").count())
     time("full simhash pairs")(Dedup.simhashPairs(docs, "doc_id", "text").count())
