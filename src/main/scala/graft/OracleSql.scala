@@ -766,6 +766,23 @@ object OracleSql {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY status, priority""".stripMargin,
 
+    "q64_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, toks,
+        |         sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |)
+        |SELECT lang, CAST(floor((cum - 1) / 2048) AS BIGINT) AS pack_id,
+        |       count(*) AS n_docs,
+        |       CAST(sum(toks) AS BIGINT) AS pack_tokens,
+        |       min(doc_id) AS first_doc
+        |FROM c GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin,
+
     "q41_asof_join" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id, event_type, value

@@ -670,6 +670,29 @@ object SparkEntry {
           |ORDER BY status, priority""".stripMargin)
     }),
 
+    // sequence packing (concat-and-chunk): assemble docs into fixed
+    // token-budget training packs — per language, docs in deterministic id
+    // order accumulate their token estimate, and a doc lands in pack
+    // floor((cumsum-1)/budget). Whole-doc assignment (docs may straddle a
+    // boundary in byte terms; the budget bounds the pack's *starting*
+    // offset), one cumsum window — no sequential driver loop.
+    "q64_sequence_packing" -> ((s, dir) => {
+      val budget = 2048L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), TextFunctions.bpeEstimate(col("text")).as("toks"))
+        .withColumn("cum", sum(col("toks")).over(w))
+        .withColumn("pack_id", floor((col("cum") - 1) / budget))
+        .groupBy("lang", "pack_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("lang", "pack_id")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
