@@ -783,6 +783,15 @@ object OracleSql {
         |       min(doc_id) AS first_doc
         |FROM c GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin,
 
+    "q65_contamination" ->
+      s"""$minhashCte
+         |SELECT e.doc_id, count(DISTINCT t.doc_id) AS n_train_matches
+         |FROM bs e
+         |JOIN documents de ON de.doc_id = e.doc_id AND de.source = 'src0'
+         |JOIN bs t ON t.b = e.b AND t.bsig = e.bsig
+         |JOIN documents dt ON dt.doc_id = t.doc_id AND dt.source <> 'src0'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q41_asof_join" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id, event_type, value
