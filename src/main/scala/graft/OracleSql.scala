@@ -777,7 +777,7 @@ object OracleSql {
         |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM t
         |)
-        |SELECT lang, CAST(floor((cum - 1) / 2048) AS BIGINT) AS pack_id,
+        |SELECT lang, CAST(floor((greatest(cum, 1) - 1) / 2048) AS BIGINT) AS pack_id,
         |       count(*) AS n_docs,
         |       CAST(sum(toks) AS BIGINT) AS pack_tokens,
         |       min(doc_id) AS first_doc

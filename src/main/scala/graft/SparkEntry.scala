@@ -637,7 +637,7 @@ object SparkEntry {
         .groupBy("label")
         .agg(
           max(col("n")).as("n_vecs"), // constant within the label
-          sum((col("sq") * col("sq")).cast(dec)).as("ssq"))
+          sum(col("sq").cast(dec) * col("sq").cast(dec)).as("ssq"))
         .select(
           col("label"),
           col("n_vecs"),
@@ -684,7 +684,9 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), TextFunctions.bpeEstimate(col("text")).as("toks"))
         .withColumn("cum", sum(col("toks")).over(w))
-        .withColumn("pack_id", floor((col("cum") - 1) / budget))
+        // greatest(cum,1): a zero-token prefix would otherwise float the
+        // leading docs into a nonsensical pack −1
+        .withColumn("pack_id", floor((greatest(col("cum"), lit(1L)) - 1) / budget))
         .groupBy("lang", "pack_id")
         .agg(
           count(lit(1)).as("n_docs"),

@@ -80,14 +80,19 @@ object Zones {
     */
   def compact(spark: SparkSession, path: String, targetFileBytes: Long = 128L << 20): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val p    = new org.apache.hadoop.fs.Path(path)
+    // normalize: a trailing slash would make the tmp prefix a CHILD of the
+    // prefix being replaced, and the delete below would eat the new data
+    val p    = new org.apache.hadoop.fs.Path(path.replaceAll("/+$", ""))
     val fs   = p.getFileSystem(conf)
     val size = fs.getContentSummary(p).getLength
     val n    = math.max(1L, (size + targetFileBytes - 1) / targetFileBytes).toInt
-    val tmp  = new org.apache.hadoop.fs.Path(path + ".compact_tmp")
-    spark.read.parquet(path).coalesce(n).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(p, true)
-    fs.rename(tmp, p)
+    val tmp  = new org.apache.hadoop.fs.Path(p.toString + ".compact_tmp")
+    spark.read.parquet(p.toString).coalesce(n).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // the swap must not fail silently — original data is gone after delete
+    if (!fs.delete(p, true))
+      throw new java.io.IOException(s"compact: failed to delete $p (compacted data left at $tmp)")
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"compact: failed to rename $tmp to $p (data is at $tmp)")
     n
   }
 

@@ -38,6 +38,20 @@ object Similarity {
   def cosine(qv: Column, qn: Column, cv: Column, cn: Column): Column =
     round(dot(qv, cv) / (qn * cn), 6)
 
+  /** Normed corpus view (vid, emb_d, nrm) — the shared base of every
+    * search/assignment path.
+    */
+  private def normed(emb: DataFrame, idCol: String, embCol: String): DataFrame =
+    withNorm(emb, embCol).select(col(idCol).as("vid"), col("emb_d"), col("nrm"))
+
+  /** The deterministic centroid set (vid < nCentroids), single source of
+    * truth for both bucket assignment and query probe ranking — a drifted
+    * copy would silently disagree and corrupt ANN results.
+    */
+  private def centroidSet(v: DataFrame, nCentroids: Int): DataFrame =
+    v.filter(col("vid") < nCentroids)
+      .select(col("vid").as("cent_id"), col("emb_d").as("cv"), col("nrm").as("cn"))
+
   /** Exact cosine top-k for queries `id < nQueries` over the whole corpus. */
   def bruteForceTopK(emb: DataFrame, idCol: String, embCol: String, nQueries: Int, k: Int): DataFrame = {
     val v = withNorm(emb, embCol).select(col(idCol).as("cand_id"), col("emb_d"), col("nrm"))
@@ -65,10 +79,8 @@ object Similarity {
     * |vectors|·|centroids| rows (measured 5× slower at 100k×64).
     */
   def assignBuckets(emb: DataFrame, idCol: String, embCol: String, nCentroids: Int): DataFrame = {
-    val v = withNorm(emb, embCol).select(col(idCol).as("vid"), col("emb_d"), col("nrm"))
-    val cents = v
-      .filter(col("vid") < nCentroids)
-      .select(col("vid").as("cent_id"), col("emb_d").as("cv"), col("nrm").as("cn"))
+    val v = normed(emb, idCol, embCol)
+    val cents = centroidSet(v, nCentroids)
     v.crossJoin(broadcast(cents))
       .withColumn("csim", cosine(col("cv"), col("cn"), col("emb_d"), col("nrm")))
       .groupBy("vid")
@@ -106,10 +118,8 @@ object Similarity {
       k: Int,
       multiProbe: Int = 1): DataFrame = {
     val assigned = assignBuckets(emb, idCol, embCol, nCentroids)
-    val v = withNorm(emb, embCol).select(col(idCol).as("vid"), col("emb_d"), col("nrm"))
-    val cents = v
-      .filter(col("vid") < nCentroids)
-      .select(col("vid").as("cent_id"), col("emb_d").as("cv"), col("nrm").as("cn"))
+    val v = normed(emb, idCol, embCol)
+    val cents = centroidSet(v, nCentroids)
     // Rank every query's centroids; probe the top `multiProbe` buckets.
     // The window sorts only |Q|·|centroids| rows (both bounded).
     val wq = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cent_id"))
@@ -145,10 +155,8 @@ object Similarity {
       embCol: String,
       nCentroids: Int,
       probes: Int): DataFrame = {
-    val v = withNorm(emb, embCol).select(col(idCol).as("vid"), col("emb_d"), col("nrm"))
-    val cents = v
-      .filter(col("vid") < nCentroids)
-      .select(col("vid").as("cent_id"), col("emb_d").as("cv"), col("nrm").as("cn"))
+    val v = normed(emb, idCol, embCol)
+    val cents = centroidSet(v, nCentroids)
     v.crossJoin(broadcast(cents))
       .withColumn("csim", cosine(col("cv"), col("cn"), col("emb_d"), col("nrm")))
       .groupBy("vid")

@@ -63,6 +63,18 @@ class DedupSpec extends AnyFunSuite {
     assert(!onUniques.exists { case (a, b) => a == 2L || b == 2L }) // 2 collapsed into 1
   }
 
+  test("null texts produce no band signatures and no candidate pairs") {
+    val withNulls = docs.unionByName(
+      Seq((10L, null: String), (11L, null: String)).toDF("doc_id", "text"))
+    val pairs = Dedup.minhashCandidates(withNulls, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // the r1 explode formulation dropped null rows; the null-text docs must
+    // NOT pair with each other via a shared md5("") signature
+    assert(!pairs.exists { case (a, b) => a >= 10L || b >= 10L })
+    assert(pairs === Dedup.minhashCandidates(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet)
+  }
+
   test("native MinHashExpr equals the shingle-explode + min-aggregation formulation") {
     import org.apache.spark.sql.functions._
     val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")

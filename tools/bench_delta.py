@@ -36,9 +36,9 @@ def main():
     print("|---|---|---|---|")
     for name in sorted(set(qa) | set(qb)):
         x, y = qa.get(name), qb.get(name)
-        if x and y:
-            d = f"{(y - x) / x * 100:+.0f}%"
-        elif y:
+        if x is not None and y is not None:
+            d = f"{(y - x) / x * 100:+.0f}%" if x > 0 else "n/a"
+        elif y is not None:
             d = "new"
         else:
             d = "removed"
