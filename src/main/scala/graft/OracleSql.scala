@@ -401,7 +401,8 @@ object OracleSql {
         |  FROM p
         |)
         |SELECT doc_id, s_en, s_fr, s_de, s_es,
-        |       CASE WHEN s_en >= greatest(s_fr, s_de, s_es) THEN 'en'
+        |       CASE WHEN s_en IS NULL THEN NULL
+        |            WHEN s_en >= greatest(s_fr, s_de, s_es) THEN 'en'
         |            WHEN s_fr >= greatest(s_de, s_es) THEN 'fr'
         |            WHEN s_de >= s_es THEN 'de'
         |            ELSE 'es' END AS pred_lang

@@ -46,7 +46,11 @@ object EsmTokenizer {
   val DefaultMaxLength = 1024
 
   def tokenize(seq: String, maxLength: Int): Array[Int] = {
-    val body = seq.iterator.take(maxLength - 2).map(tokenId).toArray
+    require(maxLength >= 2, s"maxLength must fit <cls>+<eos>, got $maxLength")
+    // iterate CODEPOINTS, not UTF-16 chars: the HF tokenizer is per-
+    // codepoint, so a supplementary-plane char must yield ONE <unk>, not two
+    val body = seq.codePoints().limit(maxLength - 2).toArray
+      .map(cp => if (Character.isBmpCodePoint(cp)) tokenId(cp.toChar) else UnkId)
     val out  = new Array[Int](maxLength)
     java.util.Arrays.fill(out, PadId)
     out(0) = ClsId

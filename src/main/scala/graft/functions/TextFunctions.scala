@@ -17,7 +17,12 @@ object TextFunctions {
     */
   def words(text: Column): Column = split(text, " ", -1)
 
-  /** replace-based (regex-free) occurrence count; ` padded ` for word hits. */
+  /** replace-based (regex-free) occurrence count; ` padded ` for word hits.
+    * Counts NON-OVERLAPPING matches: adjacent word hits share the
+    * delimiting space, so "the the the" scores 2, not 3 — a deliberate
+    * heuristic trade (and exactly what the DuckDB oracle mirrors); use a
+    * regex count where exact word frequency matters.
+    */
   def countMarker(padded: Column, marker: String): Column =
     ((length(padded) - length(replace(padded, lit(marker), lit("")))) / lit(marker.length)).cast("long")
 
@@ -36,7 +41,8 @@ object TextFunctions {
   }
 
   def predictedLang(sEn: Column, sFr: Column, sDe: Column, sEs: Column): Column =
-    when(sEn >= greatest(sFr, sDe, sEs), lit("en"))
+    when(sEn.isNull, lit(null).cast("string")) // null text -> null, not "es"
+      .when(sEn >= greatest(sFr, sDe, sEs), lit("en"))
       .when(sFr >= greatest(sDe, sEs), lit("fr"))
       .when(sDe >= sEs, lit("de"))
       .otherwise(lit("es"))

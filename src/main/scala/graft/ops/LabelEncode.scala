@@ -15,13 +15,25 @@ import org.apache.spark.sql.functions._
   */
 object LabelEncode {
 
-  /** E1/E2: the dictionary — `keyCol` → dense `class_encoded` code. */
+  /** E1/E2: the dictionary — `keyCol` → dense `class_encoded` code. Null
+    * keys are excluded (sklearn's LabelEncoder raises on them; silently
+    * giving null code 0 would shift every real class by one).
+    */
   def mapping(df: DataFrame, keyCol: String, codeCol: String = "class_encoded"): DataFrame =
     df.select(keyCol)
+      .filter(col(keyCol).isNotNull)
       .distinct()
       .withColumn(codeCol, (dense_rank().over(Window.orderBy(col(keyCol))) - 1).cast("long"))
 
-  /** E1 applied: attach codes to the fact table via broadcast join. */
+  /** E1 applied: attach codes to the fact table via broadcast join (inner —
+    * null-key rows, having no code, are dropped).
+    */
   def encode(df: DataFrame, keyCol: String, codeCol: String = "class_encoded"): DataFrame =
-    df.join(broadcast(mapping(df, keyCol, codeCol)), Seq(keyCol))
+    encode(df, mapping(df, keyCol, codeCol), keyCol)
+
+  /** E3 with a precomputed dictionary (one mapping reused across frames —
+    * e.g. the pipeline encodes splits against the train-time dictionary).
+    */
+  def encode(df: DataFrame, mapping: DataFrame, keyCol: String): DataFrame =
+    df.join(broadcast(mapping), Seq(keyCol))
 }

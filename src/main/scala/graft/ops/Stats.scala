@@ -24,7 +24,7 @@ object Stats {
       countDistinct(col(classCol)).as("n_classes"),
       min(length(col(textCol))).cast("long").as("min_len"),
       max(length(col(textCol))).cast("long").as("max_len"),
-      round(expr(s"percentile(length($textCol), 0.5D)"), 6).as("median_len"))
+      round(expr(s"percentile(length(`$textCol`), 0.5D)"), 6).as("median_len"))
 
   /** A3/A7 — value_counts: group count, descending, deterministic tie-break. */
   def valueCounts(df: DataFrame, keyCol: String): DataFrame =

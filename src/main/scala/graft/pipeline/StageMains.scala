@@ -62,8 +62,10 @@ object ProcessToCurated {
     val spark = StageMains.session()
     val zones = Zones(args.head)
     val split = args(1)
-    val staging = spark.read.option("header", "true")
-      .csv(s"${zones.staging}/preprocessed_$split")
+    // schema'd read: an inferless CSV read would type class_encoded as
+    // string and diverge from the RunPipeline path's long
+    val staging = Zones.readCsv(
+      spark, Stages.StagingSchema, header = true, Seq(s"${zones.staging}/preprocessed_$split"))
     val out = Stages.processToCurated(staging, zones, split)
     println(s"[process] split=$split rows=${out.count()}")
     spark.stop()

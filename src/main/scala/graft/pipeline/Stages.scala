@@ -36,10 +36,27 @@ object Stages {
       labelMapping: DataFrame,
       classWeights: DataFrame)
 
+  /** Columns of the staging split CSVs (what `preprocessToStaging` writes
+    * after its drops) — [[graft.pipeline.ProcessToCurated]] reads with this
+    * schema so `class_encoded` stays a long across the CLI path, identical
+    * to the in-process `RunPipeline` path.
+    */
+  val StagingSchema: StructType = StructType(Seq(
+    StructField("sequence", StringType, nullable = true),
+    StructField("aligned_sequence", StringType, nullable = true),
+    StructField("class_encoded", LongType, nullable = true)))
+
   /** Stage 2 (`preprocess_to_staging.py`): dropna → label-encode →
     * stratified split → class weights. One logical plan fanning into five
     * sinks; the split never leaves the DataFrame domain (the reference's
     * pandas→numpy→pandas round-trip collapses into window+CASE).
+    *
+    * The split frame is PERSISTED before the fan-out: five sinks plus the
+    * returned frames would otherwise re-execute the dropna → join → window
+    * lineage once per action (~an order of magnitude of repeated work on
+    * the full dataset). Caller may `unpersist()` the returned frames'
+    * common ancestor when done; the cache is MEMORY_AND_DISK so an
+    * oversized split spills instead of evicting to recompute.
     *
     * `orderCol`: a stable per-row key standing in for file order (SP1); the
     * raw zone has none, so ingest must provide one (e.g. shard path + line).
@@ -47,21 +64,24 @@ object Stages {
   def preprocessToStaging(raw: DataFrame, zones: Zones, orderCol: String): StagingOutputs = {
     val clean   = Clean.dropNa(raw)
     val mapping = LabelEncode.mapping(clean, "family_accession")
-    val encoded = clean.join(broadcast(mapping), Seq("family_accession"))
+    val encoded = LabelEncode.encode(clean, mapping, "family_accession")
     val withSplit = StratifiedSplit
       .withSplit(encoded, "class_encoded", orderCol)
       .drop("family_id", "sequence_name") // P2 (family_accession kept until after encode)
       .drop("family_accession")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def one(name: String): DataFrame =
       withSplit.filter(col("split") === name).drop("split")
     val train   = one("train")
+    val dev     = one("dev")
+    val test    = one("test")
     val weights = ClassWeights.weights(train, "class_encoded")
     Zones.writeCsv(mapping, s"${zones.staging}/label_mapping", single = true)
     Zones.writeCsv(weights, s"${zones.staging}/class_weights", single = true)
-    Seq("train" -> train, "dev" -> one("dev"), "test" -> one("test")).foreach {
+    Seq("train" -> train, "dev" -> dev, "test" -> test).foreach {
       case (n, d) => Zones.writeCsv(d.drop(orderCol), s"${zones.staging}/preprocessed_$n")
     }
-    StagingOutputs(train, one("dev"), one("test"), mapping, weights)
+    StagingOutputs(train, dev, test, mapping, weights)
   }
 
   /** Stage 3 (`process_to_curated.py`): tokenize → drop sequence → sink.
