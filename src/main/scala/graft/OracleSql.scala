@@ -282,7 +282,8 @@ object OracleSql {
 
     "q20_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_dups
-        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY 1 ORDER BY content_hash""".stripMargin,
 
     "q21_dedup_minhash" ->
       s"""$minhashCte
@@ -807,13 +808,15 @@ object OracleSql {
         |), u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
         |c AS (
         |  SELECT user_id, ts, side, err_id,
-        |         last_value(p_id IGNORE NULLS) OVER w AS asof_p_id,
-        |         last_value(p_value IGNORE NULLS) OVER w AS asof_p_value
+        |         last_value(CASE WHEN side = 0
+        |                         THEN struct_pack(p_id := p_id, p_value := p_value) END
+        |                    IGNORE NULLS) OVER w AS carry
         |  FROM u
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, p_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |)
-        |SELECT user_id, epoch_us(ts) AS ts_us, err_id, asof_p_id, asof_p_value
+        |SELECT user_id, epoch_us(ts) AS ts_us, err_id,
+        |       carry.p_id AS asof_p_id, carry.p_value AS asof_p_value
         |FROM c WHERE side = 1 ORDER BY user_id, ts_us, err_id""".stripMargin,
 
     "q42_range_join" ->

@@ -28,8 +28,13 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FLOOR semantics: subtract the non-negative pmod remainder first, THEN
+    // integer-divide (exact multiple, so `div`'s toward-zero truncation
+    // equals floor). Bare `ts div 1000` disagrees with DuckDB's date_trunc
+    // by 1µs on pre-epoch nanos; float division would lose precision at
+    // 1e18-scale nanos (> 2^53).
     table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

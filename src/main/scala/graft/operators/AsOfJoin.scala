@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   *
   * Implementation is the scale-correct union form: tag both sides, sort
   * per key by (time, side, rightId) — right rows first on timestamp ties —
-  * and carry the latest right payload forward with an ignore-nulls
-  * `last()` over an unbounded-preceding ROWS frame. Cost is one shuffle +
-  * sort over |L|+|R| rows; a range-predicate join would explode to the
-  * per-key product before filtering. Mirrored 1:1 by DuckDB
-  * `last_value(x IGNORE NULLS)` in the oracle.
+  * and carry the latest right row forward as ONE struct with a single
+  * ignore-nulls `last()` over an unbounded-preceding ROWS frame. The
+  * struct is what makes the result a true row: per-column carries would
+  * stitch values from DIFFERENT right rows whenever a payload value is
+  * null (the newest id next to an older row's value). Cost is one
+  * shuffle + sort over |L|+|R| rows; a range-predicate join would explode
+  * to the per-key product before filtering. Mirrored 1:1 by DuckDB
+  * `last_value(struct_pack(...) IGNORE NULLS)` in the oracle.
   */
 object AsOfJoin {
 
@@ -33,23 +36,22 @@ object AsOfJoin {
       payload: Seq[String]): DataFrame = {
     val leftCols  = left.columns.filterNot(c => c == key || c == timeCol).toSeq
     val carryCols = rightIdCol +: payload
+    val structT   = org.apache.spark.sql.types.StructType(carryCols.map(c => right.schema(c)))
     val l = left.select(
-      Seq(col(key), col(timeCol), lit(1).as("_side")) ++
-        leftCols.map(col) ++
-        carryCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+      Seq(col(key), col(timeCol), lit(1).as("_side"), lit(null).cast(structT).as("_r")) ++
+        leftCols.map(col): _*)
     val r = right.select(
-      Seq(col(key), col(timeCol), lit(0).as("_side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        carryCols.map(c => col(c).as(s"_r_$c")): _*)
+      Seq(col(key), col(timeCol), lit(0).as("_side"),
+        struct(carryCols.map(col): _*).as("_r")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy(key)
-      .orderBy(col(timeCol), col("_side"), col(s"_r_$rightIdCol"))
+      .orderBy(col(timeCol), col("_side"), col("_r").getField(rightIdCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carryCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    }
-    carried
+    l.unionByName(r)
+      .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .drop("_side")
-      .drop(carryCols.map(c => s"_r_$c"): _*)
+      .select(
+        Seq(col(key), col(timeCol)) ++ leftCols.map(col) ++
+          carryCols.map(c => col("_asof").getField(c).as(s"asof_$c")): _*)
   }
 }

@@ -42,7 +42,10 @@ object Multimodal {
   def extractMeta(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(StructField(idCol, LongType) +: MediaMetaSchema.fields.toSeq)
+    // null media (e.g. a null-text row cast to binary) would NPE the
+    // decoder and kill the stage — undecodable rows are skipped
     val withMedia = df.select(col(idCol).cast("long"), col("media"))
+      .filter(col("media").isNotNull)
     val out = withMedia.rdd.mapPartitions { it =>
       // per-partition "codec init" would go here
       it.map { r =>

@@ -15,18 +15,33 @@ import org.apache.spark.sql.types.StructType
   */
 object EventStream {
 
-  def hourlyCounts(spark: SparkSession, inputDir: String, schema: StructType): DataFrame =
-    spark.readStream
+  /** Shared watermarked-read + hourly-aggregate body. The cents rule is
+    * `EventWindows.cents` — ONE definition, so batch/stream comparability
+    * (the whole point of `EventStreamSpec`) can't silently drift.
+    */
+  private def hourlyAgg(
+      spark: SparkSession,
+      inputDir: String,
+      schema: StructType,
+      dedup: Boolean): DataFrame = {
+    val in = spark.readStream
       .schema(schema)
       .parquet(inputDir)
       .withWatermark("ts", "2 hours")
+    (if (dedup) in.dropDuplicatesWithinWatermark("event_id") else in)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(graft.operators.EventWindows.cents(col("value"))).as("value_cents"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("hour_bucket"),
         col("event_type"),
         col("n"),
         col("value_cents"))
+  }
+
+  def hourlyCounts(spark: SparkSession, inputDir: String, schema: StructType): DataFrame =
+    hourlyAgg(spark, inputDir, schema, dedup = false)
 
   /** Streaming deduplication: drop repeated `event_id`s within the
     * watermark horizon before aggregating — the streaming counterpart of
@@ -34,18 +49,7 @@ object EventStream {
     * memory stays bounded on an unbounded stream).
     */
   def dedupedHourlyCounts(spark: SparkSession, inputDir: String, schema: StructType): DataFrame =
-    spark.readStream
-      .schema(schema)
-      .parquet(inputDir)
-      .withWatermark("ts", "2 hours")
-      .dropDuplicatesWithinWatermark("event_id")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
-      .select(
-        date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("hour_bucket"),
-        col("event_type"),
-        col("n"),
-        col("value_cents"))
+    hourlyAgg(spark, inputDir, schema, dedup = true)
 
   /** Stream-stream interval join: every error event matched to the same
     * user's purchases in the preceding `windowMinutes` — the streaming

@@ -22,9 +22,18 @@ object SessionStream {
   final case class CompletedSession(
       user_id: Long, start_us: Long, n_events: Long, duration_us: Long, value_cents: Long)
 
-  def usOf(t: Timestamp): Long = (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+  /** Epoch micros with floor semantics — plain `getTime / 1000` truncates
+    * toward zero pre-epoch while `getNanos` is always non-negative, which
+    * would double-count the sub-second part for pre-1970 timestamps.
+    */
+  def usOf(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
-  private def centsOf(v: Double): Long = math.round(v * 100.0)
+  /** HALF_UP away from zero — the same rule as `EventWindows.cents`
+    * (Spark `round`); `math.round` rounds -12.5 to -12, Spark to -13.
+    */
+  private def centsOf(v: Double): Long =
+    BigDecimal(v * 100.0).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
 
   def sessionize(events: Dataset[SessionEvent], gapMinutes: Int, watermark: String = "1 hour")
       : Dataset[CompletedSession] = {
@@ -52,7 +61,12 @@ object SessionStream {
               val us = usOf(e.ts)
               open match {
                 case Some(s) if us - s.lastUs <= gapUs =>
-                  open = Some(OpenSession(s.startUs, us, s.n + 1, s.cents + centsOf(e.value)))
+                  // min/max: a within-watermark late event from a later
+                  // micro-batch must not regress the session bounds (a
+                  // negative-duration session); it extends backwards instead
+                  open = Some(OpenSession(
+                    math.min(s.startUs, us), math.max(s.lastUs, us),
+                    s.n + 1, s.cents + centsOf(e.value)))
                 case Some(s) =>
                   closed += complete(uid, s)
                   open = Some(OpenSession(us, us, 1, centsOf(e.value)))

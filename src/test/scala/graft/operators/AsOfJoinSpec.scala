@@ -30,6 +30,19 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got === Map(101L -> Some(1L), 102L -> Some(2L), 103L -> Some(2L), 104L -> None))
   }
 
+  test("a null payload on the newest right row is NOT stitched with an older row's value") {
+    val left = Seq((1L, ts(30), 900L)).toDF("user_id", "ts", "err_id")
+    val right = Seq(
+      (1L, ts(0), 1L, Some(5.0)),
+      (1L, ts(20), 2L, None: Option[Double]) // newest purchase has null value
+    ).toDF("user_id", "ts", "p_id", "p_value")
+    val got = AsOfJoin.asOf(left, right, "user_id", "ts", "p_id", Seq("p_value"))
+      .select("asof_p_id", "asof_p_value")
+      .as[(Option[Long], Option[Double])].collect()(0)
+    // the whole newest ROW carries: id 2 with its null value — not (2, 5.0)
+    assert(got === ((Some(2L), None)))
+  }
+
   test("tie between right rows at the same timestamp resolves to the larger id") {
     val left  = Seq((1L, ts(10), 900L)).toDF("user_id", "ts", "err_id")
     val right = Seq((1L, ts(0), 1L, 1.0), (1L, ts(0), 2L, 2.0)).toDF("user_id", "ts", "p_id", "p_value")
