@@ -64,7 +64,8 @@ object OracleSql {
       val parts = (0 until 4).map(i => s"CAST(m${b * 4 + i} AS VARCHAR)").mkString(", ")
       s"SELECT doc_id, $b AS b, md5(concat_ws('-', $parts)) AS bsig FROM mh"
     }
-    s"""w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM $src),
+    s"""w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM $src
+       |       WHERE text IS NOT NULL),
        |sh AS (
        |  SELECT doc_id, unnest(
        |    CASE WHEN len(ws) >= 3
@@ -180,16 +181,16 @@ object OracleSql {
 
     "q05_len_freq" ->
       """SELECT CAST(length(text) AS BIGINT) AS len, count(*) AS n
-        |FROM documents GROUP BY 1 ORDER BY len""".stripMargin,
+        |FROM documents GROUP BY 1 ORDER BY len NULLS FIRST""".stripMargin,
 
     "q06_label_encode" ->
       """SELECT p_type, CAST(dense_rank() OVER (ORDER BY p_type) - 1 AS BIGINT) AS class_encoded
-        |FROM (SELECT DISTINCT p_type FROM part) ORDER BY p_type""".stripMargin,
+        |FROM (SELECT DISTINCT p_type FROM part WHERE p_type IS NOT NULL) ORDER BY p_type""".stripMargin,
 
     "q07_encode_apply" ->
       """WITH m AS (
         |  SELECT p_type, CAST(dense_rank() OVER (ORDER BY p_type) - 1 AS BIGINT) AS class_encoded
-        |  FROM (SELECT DISTINCT p_type FROM part))
+        |  FROM (SELECT DISTINCT p_type FROM part WHERE p_type IS NOT NULL))
         |SELECT p.p_partkey, m.class_encoded
         |FROM part p JOIN m USING (p_type) ORDER BY p_partkey""".stripMargin,
 
@@ -576,8 +577,10 @@ object OracleSql {
          |  FROM orders GROUP BY o_orderstatus
          |)
          |SELECT o_orderstatus, n, n_customers, min_price, max_price, avg_price, median_price,
-         |       round(sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
-         |                  / CAST(n * (n - 1) AS DOUBLE)) / 100.0, 6) AS stddev_price
+         |       CASE WHEN n > 1 THEN
+         |         round(sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+         |                    / CAST(n * (n - 1) AS DOUBLE)) / 100.0, 6)
+         |       END AS stddev_price
          |FROM a ORDER BY o_orderstatus""".stripMargin
     },
 

@@ -3,6 +3,7 @@ package graft
 import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{EsmTokenizer, TextFunctions}
@@ -39,6 +40,11 @@ object SparkEntry {
       EsmTokenizer.tokenizeCol(upper(col("p_name")), 32).as("tokens"))
 
   private def centsOf(x: Column): Column = EventWindows.cents(x)
+
+  /** Exact-integer accumulator type (≡ DuckDB HUGEINT) for the
+    * order-independent stddev/corr/norm algebra.
+    */
+  private val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
 
   // ---- the inventory ----------------------------------------------------
 
@@ -221,7 +227,7 @@ object SparkEntry {
       val tf  = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      val w = org.apache.spark.sql.expressions.Window
+      val w = Window
         .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
       tf.join(dft, "term")
         .crossJoin(broadcast(n))
@@ -234,7 +240,7 @@ object SparkEntry {
 
     // per-group top-k: 3 priciest orders per priority class
     "q47_topk_per_group" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
+      val w = Window
         .partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables.orders(s, dir)
         .withColumn("rk", row_number().over(w).cast("long"))
@@ -256,7 +262,7 @@ object SparkEntry {
     // reproducible sampling: md5-uniform keep-30% (never rand() — the same
     // rows are selected on any cluster, any partitioning, any engine)
     "q46_deterministic_sample" -> ((s, dir) => {
-      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long")
+      val u = Dedup.md5Long(col("doc_id").cast("string"), 12)
       Tables.documents(s, dir)
         .withColumn("_u", u)
         .groupBy("lang")
@@ -275,7 +281,6 @@ object SparkEntry {
     // the variance hash-matches — float stddev aggregates are
     // aggregation-order-dependent and could never oracle.
     "q44_table_profile" -> ((s, dir) => {
-      val dec   = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
       val cents = centsOf(col("o_totalprice"))
       Tables.orders(s, dir)
         .groupBy("o_orderstatus")
@@ -286,13 +291,16 @@ object SparkEntry {
           max(col("o_totalprice")).as("max_price"),
           round(sum(cents).cast("double") / count(lit(1)) / 100.0, 6).as("avg_price"),
           round(expr("percentile(o_totalprice, 0.5D)"), 6).as("median_price"),
-          sum(cents.cast(dec)).as("_sx"),
-          sum((cents * cents).cast(dec)).as("_sxx"))
+          sum(cents.cast(dec38)).as("_sx"),
+          sum((cents * cents).cast(dec38)).as("_sxx"))
         .withColumn("_num",
-          col("n").cast(dec) * col("_sxx") - col("_sx") * col("_sx"))
-        .withColumn("_den", (col("n") * (col("n") - 1)).cast(dec))
+          col("n").cast(dec38) * col("_sxx") - col("_sx") * col("_sx"))
+        .withColumn("_den", (col("n") * (col("n") - 1)).cast(dec38))
+        // n=1 guard: 0/0 would be NaN in Spark but NULL in DuckDB — make
+        // the single-row-group result explicitly NULL in both engines
         .withColumn("stddev_price",
-          round(sqrt(col("_num").cast("double") / col("_den").cast("double")) / 100.0, 6))
+          when(col("n") > 1,
+            round(sqrt(col("_num").cast("double") / col("_den").cast("double")) / 100.0, 6)))
         .drop("_sx", "_sxx", "_num", "_den")
         .orderBy("o_orderstatus")
     }),
@@ -466,7 +474,7 @@ object SparkEntry {
     // analytic windows beyond running totals: lag gaps, ntile quartiles,
     // percent_rank — all over the same deterministic (ts, event_id) order
     "q53_window_analytics" -> ((s, dir) => {
-      val w  = org.apache.spark.sql.expressions.Window
+      val w  = Window
         .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val us = unix_micros(col("ts"))
       Tables.events(s, dir)
@@ -483,18 +491,17 @@ object SparkEntry {
     // HUGEINT): float `corr` aggregates are aggregation-order-dependent and
     // could never hash-match; this closed form is partition-count-invariant
     "q54_corr_exact" -> ((s, dir) => {
-      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
       val x   = centsOf(col("l_quantity"))
       val y   = centsOf(col("l_extendedprice"))
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(
-          count(lit(1)).cast(dec).as("n"),
-          sum(x.cast(dec)).as("sx"),
-          sum(y.cast(dec)).as("sy"),
-          sum((x * y).cast(dec)).as("sxy"),
-          sum((x * x).cast(dec)).as("sxx"),
-          sum((y * y).cast(dec)).as("syy"))
+          count(lit(1)).cast(dec38).as("n"),
+          sum(x.cast(dec38)).as("sx"),
+          sum(y.cast(dec38)).as("sy"),
+          sum((x * y).cast(dec38)).as("sxy"),
+          sum((x * x).cast(dec38)).as("sxx"),
+          sum((y * y).cast(dec38)).as("syy"))
         .select(
           col("l_returnflag"),
           col("n").cast("long").as("n_rows"),
@@ -544,7 +551,10 @@ object SparkEntry {
     // round-trip (quoting, escaping, type parse) breaks the hash.
     "q57_csv_roundtrip" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val tmp  = s"/tmp/graft_csv_zone_${new java.io.File(dir).getName}"
+      // unique per invocation: a fixed path would let a concurrent run's
+      // Overwrite delete files a previous run's lazy scan already listed
+      val tmp = s"/tmp/graft_csv_zone_${new java.io.File(dir).getName}_" +
+        java.util.UUID.randomUUID().toString.take(8)
       graft.io.Zones.writeCsv(docs, tmp)
       graft.io.Zones.readCsv(s, docs.schema, header = true, Seq(tmp))
         .groupBy("lang")
@@ -601,7 +611,7 @@ object SparkEntry {
     // exchanges; the join formulation would recompute the explode per
     // branch). Never an all-pairs product.
     "q60_line_dedup" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("line")
+      val w = Window.partitionBy("line")
       Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("line"))
         .filter(length(col("line")) > 0)
@@ -626,7 +636,6 @@ object SparkEntry {
     // sq²)/(n·1e6), where sq is the exact per-dimension quantized sum.
     // A float mean would differ between engines by summation order.
     "q61_embed_centroids" -> ((s, dir) => {
-      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
       val qsum = Tables.embeddings(s, dir)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("label", "pos")
@@ -637,7 +646,7 @@ object SparkEntry {
         .groupBy("label")
         .agg(
           max(col("n")).as("n_vecs"), // constant within the label
-          sum(col("sq").cast(dec) * col("sq").cast(dec)).as("ssq"))
+          sum(col("sq").cast(dec38) * col("sq").cast(dec38)).as("ssq"))
         .select(
           col("label"),
           col("n_vecs"),
@@ -660,14 +669,17 @@ object SparkEntry {
     // view — the surface a SQL-first user of the library drives; rollup is
     // q35, cube q52, this is the non-hierarchical set list)
     "q63_grouping_sets" -> ((s, dir) => {
-      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      // unique view name: a shared "orders_v" would be last-writer-wins
+      // across concurrent invocations with different sf dirs
+      val view = s"orders_v_${java.util.UUID.randomUUID().toString.take(8)}"
+      Tables.orders(s, dir).createOrReplaceTempView(view)
       s.sql(
-        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
-          |       coalesce(o_orderpriority, 'ALL') AS priority,
-          |       count(*) AS n
-          |FROM orders_v
-          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-          |ORDER BY status, priority""".stripMargin)
+        s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           |       coalesce(o_orderpriority, 'ALL') AS priority,
+           |       count(*) AS n
+           |FROM $view
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+           |ORDER BY status, priority""".stripMargin)
     }),
 
     // sequence packing (concat-and-chunk): assemble docs into fixed
@@ -678,9 +690,9 @@ object SparkEntry {
     // offset), one cumsum window — no sequential driver loop.
     "q64_sequence_packing" -> ((s, dir) => {
       val budget = 2048L
-      val w = org.apache.spark.sql.expressions.Window
+      val w = Window
         .partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        .rowsBetween(Window.unboundedPreceding, 0)
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), TextFunctions.bpeEstimate(col("text")).as("toks"))
         .withColumn("cum", sum(col("toks")).over(w))
