@@ -714,17 +714,10 @@ object SparkEntry {
     // (see Dedup.incrementalCandidates) — never signatures×corpus re-scans.
     "q65_contamination" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val eb = Dedup.bandSignatures(
-        d.filter(col("source") === "src0").select(col("doc_id"), col("text")), "doc_id", "text")
-      val tb = Dedup.bandSignatures(
-        d.filter(col("source") =!= "src0").select(col("doc_id"), col("text")), "doc_id", "text")
-      eb.as("e")
-        .join(tb.as("t"), col("e.b") === col("t.b") && col("e.bsig") === col("t.bsig"))
-        .select(col("e.doc_id").as("doc_id"), col("t.doc_id").as("train_id"))
-        .distinct()
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_train_matches"))
-        .orderBy("doc_id")
+      Dedup.contamination(
+        d.filter(col("source") === "src0").select(col("doc_id"), col("text")),
+        d.filter(col("source") =!= "src0").select(col("doc_id"), col("text")),
+        "doc_id", "text")
     }),
 
     // multimodal: opaque binary column + stub decode metadata
