@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
   * text-analysis family): PMI(a,b) = ln(c_ab · N / (c_a · c_b)) over
   * document-level containment counts.
   *
-  * Scale shape: the pair space is generated by a self-join of the distinct
-  * (doc, word) relation on doc_id — cost Σ (words-per-doc)², bounded by
-  * `maxWordsPerDoc²` per document (first-N lexicographic words kept), never
-  * |vocab|² — a single pathological mega-document can no longer blow up the
-  * self-join. Support threshold is the integer comparison
-  * `c_ab · minSupportDenom >= N` (scale-invariant, no floating cutoff).
+  * Scale shape: pairs are generated MAP-SIDE from each doc's capped
+  * distinct-word array (first `maxWordsPerDoc` lexicographic words) — cost
+  * Σ (words-per-doc)², bounded by `maxWordsPerDoc²` per document, never
+  * |vocab|², and with no self-join: the only shuffles are one `collect_set`
+  * per doc and the two count aggregations. Support threshold is the integer
+  * comparison `c_ab · minSupportDenom >= N` (scale-invariant, no floating
+  * cutoff).
   */
 object Cooccurrence {
 
@@ -23,24 +24,32 @@ object Cooccurrence {
       minSupportDenom: Int = 20,
       topK: Int = 50,
       maxWordsPerDoc: Int = 64): DataFrame = {
-    // Cap distinct words per doc BEFORE the self-join; the cap is a
-    // deterministic first-N by lexicographic order (dw is distinct, so the
-    // order is total). Implemented as a bounded per-doc array sort inside
-    // a hash aggregation — a row_number window would SORT every (doc, word)
+    // One shuffle builds the per-doc capped word array: collect_set
+    // deduplicates within the aggregation (partial map-side merge), and the
+    // cap is a deterministic first-N by lexicographic order via a bounded
+    // per-doc array sort — a row_number window would SORT every (doc, word)
     // partition; this sorts only each doc's own (document-length-bounded)
-    // word array locally. Marginals (ca) are computed from the SAME capped
-    // relation, keeping pair and word counts consistent.
-    val dw = docs
+    // set locally. Marginals (ca) are computed from the SAME capped arrays,
+    // keeping pair and word counts consistent.
+    val capped = docs
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ", -1)).as("w"))
       .filter(length(col("w")) > 0)
-      .distinct()
       .groupBy("doc_id")
-      .agg(slice(array_sort(collect_list(col("w"))), 1, maxWordsPerDoc).as("_ws"))
-      .select(col("doc_id"), explode(col("_ws")).as("w"))
-    val ca = dw.groupBy("w").agg(count(lit(1)).as("c"))
-    val pairs = dw.as("a")
-      .join(dw.as("b"), col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
-      .select(col("a.w").as("w_a"), col("b.w").as("w_b"))
+      .agg(slice(array_sort(collect_set(col("w"))), 1, maxWordsPerDoc).as("_ws"))
+    val ca = capped
+      .select(explode(col("_ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    // Pair generation is a pure map (two chained generates, whole-stage
+    // codegen'd — no interpreted array lambdas): posexplode yields each
+    // word with its 0-based position i, and the second explode emits the
+    // (sorted-order-later) partners slice(_ws, i+2, …). Ordered arrays make
+    // every pair (a < b) exactly once — the former dw⋈dw self-join produced
+    // the same multiset by shuffling the word relation twice.
+    val pairs = capped
+      .select(posexplode(col("_ws")).as(Seq("_i", "w_a")), col("_ws"))
+      .select(
+        col("w_a"),
+        explode(slice(col("_ws"), col("_i") + 2, lit(maxWordsPerDoc))).as("w_b"))
       .groupBy("w_a", "w_b")
       .agg(count(lit(1)).as("c_ab"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
