@@ -493,6 +493,35 @@ object OracleSql {
          |WHERE round(list_sum(list_transform(range(1, len(x.e)+1), i -> x.e[i]*y.e[i])) / (x.nrm * y.nrm), 6) >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
 
+    // Random-hyperplane LSH: planes replayed from the same md5-parity ±1
+    // coefficients the Scala side ships as literals.
+    "q67_embed_lsh" ->
+      s"""$normCte,
+         |pl AS (
+         |  SELECT p, [CASE WHEN (CAST(concat('0x', substr(md5('hp-' || CAST(p AS VARCHAR) || '-' || CAST(d AS VARCHAR)), 1, 1)) AS INT) % 2) = 0
+         |                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
+         |             for d in range(0, 64)] AS c
+         |  FROM (SELECT unnest(range(0, 32)) AS p)
+         |), bits AS (
+         |  SELECT n.vec_id, pl.p,
+         |         CASE WHEN list_sum(list_transform(range(1, len(n.e)+1), i -> n.e[i]*pl.c[i])) >= 0
+         |              THEN 1 ELSE 0 END AS bit
+         |  FROM n, pl
+         |), sig AS (
+         |  SELECT vec_id, CAST(sum(bit * (1::BIGINT << p)) AS BIGINT) AS sig FROM bits GROUP BY vec_id
+         |), bands AS (
+         |  SELECT vec_id, b, (sig >> (b*8)) & 255 AS bv
+         |  FROM sig, (SELECT unnest(range(0, 4)) AS b)
+         |), cand AS (
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.vec_id < y.vec_id
+         |)
+         |SELECT c.vec_a, c.vec_b,
+         |       round(list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i])) / (a.nrm*b.nrm), 6) AS sim
+         |FROM cand c JOIN n a ON a.vec_id = c.vec_a JOIN n b ON b.vec_id = c.vec_b
+         |WHERE round(list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i])) / (a.nrm*b.nrm), 6) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
     "q43_tfidf_terms" ->
       """WITH terms AS (
         |  SELECT doc_id, t AS term FROM (
@@ -796,6 +825,59 @@ object OracleSql {
          |JOIN bs t ON t.b = e.b AND t.bsig = e.bsig
          |JOIN documents dt ON dt.doc_id = t.doc_id AND dt.source <> 'src0'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Exact-integer resampling decision replayed in HUGEINT arithmetic.
+    "q68_temperature_sample" ->
+      """WITH r AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_docs) AS n_min FROM r),
+        |u AS (
+        |  SELECT lang,
+        |         CAST(concat('0x', substr(md5('samp#' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS u
+        |  FROM documents
+        |), k AS (
+        |  SELECT u.lang, r.n_docs,
+        |         CASE WHEN CAST(u.u AS HUGEINT) * u.u * r.n_docs
+        |                 < CAST(m.n_min AS HUGEINT) * 79228162514264337593543950336
+        |              THEN 1 ELSE 0 END AS keep
+        |  FROM u JOIN r USING (lang), m
+        |)
+        |SELECT lang, CAST(min(n_docs) AS BIGINT) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_kept
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q69_event_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events
+        |), t1 AS (
+        |  SELECT user_id, min(ts) AS t FROM ev WHERE event_type = 'view' GROUP BY user_id
+        |), t2 AS (
+        |  SELECT ev.user_id, min(ev.ts) AS t FROM ev JOIN t1 USING (user_id)
+        |  WHERE ev.event_type = 'click' AND ev.ts > t1.t GROUP BY ev.user_id
+        |), t3 AS (
+        |  SELECT ev.user_id, min(ev.ts) AS t FROM ev JOIN t2 USING (user_id)
+        |  WHERE ev.event_type = 'purchase' AND ev.ts > t2.t GROUP BY ev.user_id
+        |)
+        |SELECT * FROM (
+        |  SELECT '1_view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM t1
+        |  UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM t2
+        |  UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM t3
+        |) ORDER BY step""".stripMargin,
+
+    // Reachability via recursive CTE = independent ground truth for the
+    // large-star/small-star label propagation (min reachable node id).
+    "q66_dup_clusters" ->
+      s"""WITH RECURSIVE ${minhashChain("documents")},
+         |und AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM cand
+         |  UNION
+         |  SELECT doc_b AS u, doc_a AS v FROM cand
+         |), reach(u, l) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+         |  UNION
+         |  SELECT und.u, reach.l FROM und JOIN reach ON und.v = reach.u
+         |), lbl AS (SELECT u, min(l) AS l FROM reach GROUP BY u)
+         |SELECT l AS cluster_id, count(*) AS n_docs,
+         |       string_agg(CAST(u AS VARCHAR), ',' ORDER BY u) AS members
+         |FROM lbl GROUP BY l ORDER BY cluster_id""".stripMargin,
 
     "q41_asof_join" ->
       """WITH ev AS (

@@ -198,6 +198,11 @@ object SparkEntry {
         nCentroids = 8, threshold = 0.4)),
 
     // text analysis: per-language profile
+    // random-hyperplane cosine LSH — centroid-free embedding near-dup
+    // (complements IVF-bucketed q39; signature is a pure codegen'd map)
+    "q67_embed_lsh" -> ((s, dir) =>
+      Similarity.cosineLshPairs(Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64)),
+
     "q26_lang_profile" -> ((s, dir) =>
       Tables.documents(s, dir)
         .groupBy("lang")
@@ -719,6 +724,46 @@ object SparkEntry {
         d.filter(col("source") =!= "src0").select(col("doc_id"), col("text")),
         "doc_id", "text")
     }),
+
+    // temperature-flattened language resampling (multilingual corpus
+    // balancing, α = 0.5): keep doc with p_lang = sqrt(n_min / n_lang),
+    // decided by the EXACT integer comparison u²·n_lang < n_min·2^96 over
+    // the 48-bit md5 uniform u — no doubles, no pow(), engine-independent,
+    // and scale-invariant (doubling the corpus doubles both sides' counts).
+    // Rates are a tiny per-lang aggregate → broadcast; the corpus is
+    // touched once (scan → broadcast join → final per-lang agg).
+    "q68_temperature_sample" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val rates = d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val nMin = rates.agg(min(col("n_docs")).as("n_min"))
+      val u = Dedup.md5Long(concat(lit("samp#"), col("doc_id").cast("string")), 12).cast(dec38)
+      d.select(col("doc_id"), col("lang"))
+        .join(broadcast(rates), "lang")
+        .crossJoin(broadcast(nMin))
+        .withColumn(
+          "keep",
+          u * u * col("n_docs").cast(dec38) <
+            col("n_min").cast(dec38) * lit("79228162514264337593543950336").cast(dec38))
+        .groupBy("lang")
+        .agg(
+          min(col("n_docs")).as("n_docs"), // constant within the group
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("lang")
+    }),
+
+    // ordered view→click→purchase funnel; see EventWindows.funnel scale note
+    "q69_event_funnel" -> ((s, dir) =>
+      EventWindows.funnel(Tables.events(s, dir), Seq("view", "click", "purchase"))),
+
+    // dup CLUSTERS from near-dup pairs: alternating large-star/small-star
+    // connected components (O(log) rounds, no adjacency-list collect) —
+    // pair-wise dropping over-deletes transitive chains; curation keeps
+    // one doc per cluster. Oracle: DuckDB recursive CTE reachability.
+    "q66_dup_clusters" -> ((s, dir) =>
+      graft.operators.ConnectedComponents.clusters(
+        Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text")
+          .select("doc_a", "doc_b"),
+        "doc_a", "doc_b")),
 
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {

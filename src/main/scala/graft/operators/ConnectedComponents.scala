@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over a pair list — turns near-dup
+  * candidate PAIRS (Dedup.minhashCandidates / simhashPairs / cosine LSH)
+  * into dup CLUSTERS, the form a curation pipeline actually consumes (keep
+  * one doc per cluster, not "drop doc_b of every pair": pair-wise dropping
+  * over-deletes transitively-linked chains and under-counts cluster sizes).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+  * O(log²) rounds on any graph (O(log) in practice; near-dup graphs are
+  * unions of LSH-bucket cliques with tiny diameter, converging in 1-2
+  * rounds). Each round is two (groupBy-min + same-key self join) stages —
+  * no `collect_set` of neighbor lists, so a high-degree hub (one document
+  * duplicated a million times) never materializes its adjacency in a
+  * single row.
+  *
+  * Scale notes: every stage keys by node id, so AQE coalesces/splits
+  * post-shuffle partitions; `localCheckpoint` truncates the lineage each
+  * round (iterative plans otherwise grow and re-execute from the scan —
+  * on a real cluster use `spark.sparkContext.setCheckpointDir` + reliable
+  * `checkpoint()` for executor-loss resilience). Convergence is an EXACT
+  * edge-set comparison (count + except), not a checksum.
+  */
+object ConnectedComponents {
+
+  /** Canonical directed edges (src > dst), self-loops dropped. */
+  private def canonical(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    pairs
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull && col(aCol) =!= col(bCol))
+      .select(
+        greatest(col(aCol), col(bCol)).as("src"),
+        least(col(aCol), col(bCol)).as("dst"))
+      .distinct()
+
+  /** Large-star: every node u links its strictly-larger neighbors to
+    * m(u) = min(Γ(u) ∪ {u}). Keeps src > dst (v > u ≥ m).
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val und = e.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
+    val m = und.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    und.filter(col("v") > col("u"))
+      .join(m, "u")
+      .select(col("v").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Small-star: every node u links its smaller neighbors (and itself) to
+    * m(u) = min of those neighbors. Operates on the canonical orientation
+    * directly (N(src) = {dst} already holds dst < src).
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val m = e.groupBy("src").agg(min(col("dst")).as("m"))
+    e.join(m, "src")
+      .filter(col("dst") =!= col("m"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .unionByName(m.select(col("src"), col("m").as("dst")))
+      .distinct()
+  }
+
+  /** (node, cluster_id) for every node appearing in `pairs`, where
+    * cluster_id is the minimum node id of the node's connected component
+    * (the deterministic "keeper" id).
+    */
+  def labels(pairs: DataFrame, aCol: String, bCol: String, maxRounds: Int = 50): DataFrame = {
+    var edges = canonical(pairs, aCol, bCol).localCheckpoint()
+    var converged = edges.isEmpty
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      edges = next
+      round += 1
+    }
+    require(converged, s"connected components did not converge in $maxRounds rounds")
+    // Converged edge set is a star forest (v, m); hubs m label themselves.
+    edges.select(col("src").as("node"), col("dst").as("cluster_id"))
+      .unionByName(edges.select(col("dst").as("node"), col("dst").as("cluster_id")).distinct())
+  }
+
+  /** Cluster roll-up: one row per component with ≥2 members —
+    * (cluster_id = min doc id, n_docs, comma-joined sorted member list).
+    */
+  def clusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    labels(pairs, aCol, bCol)
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        array_join(transform(array_sort(collect_list(col("node"))), _.cast("string")), ",")
+          .as("members"))
+      .orderBy("cluster_id")
+}

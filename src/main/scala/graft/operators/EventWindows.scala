@@ -91,4 +91,34 @@ object EventWindows {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
       .orderBy("event_type")
+
+  /** Ordered-sequence funnel: per step k, the users whose first `steps(k)`
+    * event is STRICTLY after their step-(k−1) time (first-touch semantics).
+    * Output: one row per step, (step label, n_users).
+    *
+    * Scale shape: step k is a filter + same-key join + groupBy, ALL keyed
+    * by user — after the step-1 aggregation every stage re-joins on the
+    * same partitioning, and the per-step count branches re-reference the
+    * identical aggregate subtree, so the physical plan reuses one exchange
+    * per step (ReusedExchange) instead of re-running the chain per count.
+    * No window over the full event stream and no per-user event-array
+    * collect — a billion-event user costs the same as any other groupBy.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(col("user_id"), col("event_type").as("et"), col("ts"))
+    var cur = e.filter(col("et") === steps.head)
+      .groupBy("user_id").agg(min(col("ts")).as("t"))
+    def stepCount(df: DataFrame, i: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users")).select(lit(s"${i + 1}_$name").as("step"), col("n_users"))
+    var out = stepCount(cur, 0, steps.head)
+    steps.tail.zipWithIndex.foreach { case (st, i) =>
+      cur = e.filter(col("et") === st)
+        .join(cur, "user_id")
+        .filter(col("ts") > col("t"))
+        .groupBy("user_id").agg(min(col("ts")).as("t"))
+      out = out.unionByName(stepCount(cur, i + 1, st))
+    }
+    out.orderBy("step")
+  }
 }

@@ -169,6 +169,73 @@ object Similarity {
       .select(col("vid"), col("emb_d"), col("nrm"), explode(col("top.cid")).as("bucket"))
   }
 
+  /** Deterministic Rademacher hyperplane coefficient: ±1 from the parity
+    * of the first hex nibble of md5("hp-<p>-<d>") — a constant per (plane,
+    * dim), computed driver-side and shipped as a literal array, and
+    * replayed bit-for-bit by the DuckDB oracle from the same md5 string.
+    * Sign-random ±1 projections satisfy the Johnson-Lindenstrauss /
+    * random-hyperplane LSH guarantees (Achlioptas 2001) without needing a
+    * portable Gaussian sampler.
+    */
+  private def planeCoef(p: Int, d: Int): Double = {
+    val b0 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hp-$p-$d".getBytes("UTF-8"))(0)
+    if (((b0 >> 4) & 1) == 0) 1.0 else -1.0
+  }
+
+  /** Random-hyperplane (SimHash-for-cosine) LSH near-dup pairs: the
+    * centroid-free counterpart of [[embedNearDupPairs]] — no k-means-style
+    * assignment pass, so it works on a corpus with no meaningful cluster
+    * structure and needs no persisted centroid state.
+    *
+    * Scale shape: the `numPlanes`-bit signature is a PURE MAP (one codegen'd
+    * [[graft.plans.VecDot]] per plane against a literal ±1 array — no
+    * shuffle, no UDF); candidates come from the banded equi-join (cost
+    * Σ bucket², never N²); exact cosine verifies only candidate pairs via
+    * joins back to the normed corpus (band rows stay skinny — vectors are
+    * not carried through the band shuffle). P[same band | angle θ] =
+    * (1−θ/π)^bandBits per band.
+    */
+  def cosineLshPairs(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      numPlanes: Int = 32,
+      bandBits: Int = 8,
+      threshold: Double = 0.4): DataFrame = {
+    require(numPlanes % bandBits == 0 && numPlanes <= 62,
+      s"numPlanes ($numPlanes) must be a multiple of bandBits ($bandBits) and fit a long")
+    val numBands = numPlanes / bandBits
+    val v = normed(emb, idCol, embCol)
+    val sig = (0 until numPlanes).map { p =>
+      val plane = typedLit((0 until dim).map(d => planeCoef(p, d)))
+      when(dot(col("emb_d"), plane) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val bands = v
+      .select(col("vid"), sig.as("sig"))
+      .select(col("vid"), explode(array((0 until numBands).map { b =>
+        struct(
+          lit(b).as("b"),
+          shiftright(col("sig"), b * bandBits).bitwiseAND(lit((1 << bandBits) - 1)).as("bv"))
+      }: _*)).as("bb"))
+      .select(col("vid"), col("bb.b").as("b"), col("bb.bv").as("bv"))
+    val cand = bands.as("x")
+      .hint("shuffle_merge") // identical shuffles on both sides → ReusedExchange
+      .join(
+        bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.vid") < col("y.vid"))
+      .select(col("x.vid").as("vec_a"), col("y.vid").as("vec_b"))
+      .distinct()
+    cand
+      .join(v.select(col("vid").as("vec_a"), col("emb_d").as("ea"), col("nrm").as("na")), "vec_a")
+      .join(v.select(col("vid").as("vec_b"), col("emb_d").as("eb"), col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("na"), col("eb"), col("nb")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Embedding-cosine near-dup pairs: pairs sharing ANY of their `probes`
     * nearest-centroid buckets, with cosine ≥ `threshold`. The bucket
     * equi-join bounds cost at Σ bucket² instead of the N² all-pairs

@@ -17,9 +17,11 @@ class PlanGuardSpec extends AnyFunSuite {
     *   - q24: the query set (|Q| = nQueries, fixed)
     *   - q25/q39/q50: the centroid set (|C| = nCentroids, fixed)
     *   - q43/q45: the 1-row corpus-count aggregate (IDF / PMI denominator)
+    *   - q68: the 1-row global-min language-count aggregate
     */
   private val boundedNlj = Set(
     "q10_class_weights",
+    "q68_temperature_sample",
     "q24_embed_topk",
     "q25_embed_ivf",
     "q39_embed_neardup",

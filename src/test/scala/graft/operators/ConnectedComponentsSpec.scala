@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+import graft.TestSpark
+import graft.GenSampling.forAllSampled
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Driver-side union-find reference. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // Path-compress to root, which is the component min by the ordered union above.
+    parent.keys.toSeq.map(k => k -> find(k)).toMap
+  }
+
+  private def ccLabels(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents
+      .labels(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+
+  test("chain graph collapses to one component labeled by its min") {
+    // Worst case for one-hop propagation: a path 0-1-2-...-19.
+    val edges = (0L until 19L).map(i => (i, i + 1))
+    val got = ccLabels(edges)
+    assert(got === (0L to 19L).map(_ -> 0L).toMap)
+  }
+
+  test("two cliques plus a bridge merge; disjoint pair stays separate") {
+    val cliqueA = for { i <- 0 to 3; j <- i + 1 to 3 } yield (i.toLong, j.toLong)
+    val cliqueB = for { i <- 10 to 13; j <- i + 1 to 13 } yield (i.toLong, j.toLong)
+    val edges = cliqueA ++ cliqueB ++ Seq((3L, 10L), (100L, 101L))
+    val got = ccLabels(edges)
+    assert((0 to 3).forall(i => got(i.toLong) == 0L))
+    assert((10 to 13).forall(i => got(i.toLong) == 0L))
+    assert(got(100L) == 100L && got(101L) == 100L)
+  }
+
+  test("empty and self-loop-only inputs yield no labels") {
+    assert(ccLabels(Seq.empty).isEmpty)
+    assert(ccLabels(Seq((5L, 5L))).isEmpty)
+  }
+
+  test("labels match union-find on random graphs") {
+    val genEdges = for {
+      n <- Gen.choose(2, 30)
+      m <- Gen.choose(1, 60)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong)
+      } yield (a, b))
+    } yield edges.filter { case (a, b) => a != b }
+
+    forAllSampled(genEdges, 8) { edges =>
+      if (edges.nonEmpty) {
+        assert(ccLabels(edges) === unionFind(edges.flatMap(e => Seq(e, e.swap))))
+      }
+    }
+  }
+
+  test("clusters roll-up counts and members") {
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 9L))
+    val rows = ConnectedComponents.clusters(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(rows === Seq((1L, 3L, "1,2,3"), (7L, 2L, "7,9")))
+  }
+}
