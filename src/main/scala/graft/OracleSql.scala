@@ -94,6 +94,30 @@ object OracleSql {
 
   private val minhashCte: String = s"WITH ${minhashChain("documents")}"
 
+  /** Reachability labels over the candidate graph `cand` (mirrors
+    * `ConnectedComponents.labels`): recursive-CTE transitive closure =
+    * independent ground truth for the large-star/small-star propagation.
+    * `lbl` is (u, l = min reachable node id). Chain after `minhashChain`
+    * under a `WITH RECURSIVE` prefix.
+    */
+  private val ccLabelChain: String =
+    """und AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM cand
+      |  UNION
+      |  SELECT doc_b AS u, doc_a AS v FROM cand
+      |), reach(u, l) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+      |  UNION
+      |  SELECT und.u, reach.l FROM und JOIN reach ON und.v = reach.u
+      |), lbl AS (SELECT u, min(l) AS l FROM reach GROUP BY u)""".stripMargin
+
+  /** Cluster-based loser set (mirrors `Dedup.clusterLosers`): every
+    * component member except the min-id keeper.
+    */
+  private val ccLosersChain: String =
+    s"""$ccLabelChain,
+       |losers AS (SELECT u AS doc_b FROM lbl WHERE u <> l)""".stripMargin
+
   /** Quality-feature CTE (mirrors `TextFunctions.withQualityColumns`). */
   private val qualityCte: String =
     """qd AS (
@@ -432,7 +456,8 @@ object OracleSql {
         |FROM b ORDER BY doc_id""".stripMargin,
 
     "q32_dedup_apply" ->
-      s"""$minhashCte, losers AS (SELECT DISTINCT doc_b FROM cand)
+      s"""WITH RECURSIVE ${minhashChain("documents")},
+         |$ccLosersChain
          |SELECT lang, count(*) AS n_kept
          |FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_b = d.doc_id)
@@ -614,10 +639,10 @@ object OracleSql {
     },
 
     "q40_curation_funnel" ->
-      s"""WITH $qualityCte,
+      s"""WITH RECURSIVE $qualityCte,
          |qf AS (SELECT doc_id, lang, text FROM qs WHERE quality >= 0.45),
          |${minhashChain("qf")},
-         |losers AS (SELECT DISTINCT doc_b FROM cand),
+         |$ccLosersChain,
          |fin AS (
          |  SELECT lang, count(*) AS n_final FROM qf
          |  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_b = qf.doc_id)
@@ -864,20 +889,25 @@ object OracleSql {
 
     // Reachability via recursive CTE = independent ground truth for the
     // large-star/small-star label propagation (min reachable node id).
+    // Members capped at the 20 smallest ids (mirrors the Spark side's
+    // bounded sample; n_docs stays exact) — aggregates skip the NULLs the
+    // CASE emits past the cap.
     "q66_dup_clusters" ->
       s"""WITH RECURSIVE ${minhashChain("documents")},
-         |und AS (
-         |  SELECT doc_a AS u, doc_b AS v FROM cand
-         |  UNION
-         |  SELECT doc_b AS u, doc_a AS v FROM cand
-         |), reach(u, l) AS (
-         |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
-         |  UNION
-         |  SELECT und.u, reach.l FROM und JOIN reach ON und.v = reach.u
-         |), lbl AS (SELECT u, min(l) AS l FROM reach GROUP BY u)
+         |$ccLabelChain,
+         |lblr AS (
+         |  SELECT u, l, row_number() OVER (PARTITION BY l ORDER BY u) AS rk FROM lbl
+         |)
          |SELECT l AS cluster_id, count(*) AS n_docs,
-         |       string_agg(CAST(u AS VARCHAR), ',' ORDER BY u) AS members
-         |FROM lbl GROUP BY l ORDER BY cluster_id""".stripMargin,
+         |       string_agg(CASE WHEN rk <= 20 THEN CAST(u AS VARCHAR) END, ',' ORDER BY u) AS members
+         |FROM lblr GROUP BY l ORDER BY cluster_id""".stripMargin,
+
+    // Exact-then-near composition: MinHash/LSH over the distinct texts'
+    // min-id keepers only (mirrors Dedup.nearDupOnUniques).
+    "q70_neardup_uniques" ->
+      s"""WITH u_docs AS (SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |${minhashChain("u_docs")}
+         |SELECT doc_a, doc_b, n_bands FROM cand ORDER BY doc_a, doc_b""".stripMargin,
 
     "q41_asof_join" ->
       """WITH ev AS (

@@ -377,9 +377,12 @@ object SparkEntry {
     // gap-based sessionization (30-min gap) via window functions
     "q36_sessionize" -> ((s, dir) => EventWindows.sessionize(Tables.events(s, dir), 30)),
 
-    // dedup applied — anti join against the LSH loser set (semi/anti join coverage)
+    // dedup applied — CLUSTER-based: connected components over the LSH
+    // candidate pairs, keep one doc (min id) per component, anti-join the
+    // rest (pair-wise doc_b dropping gets transitive chains wrong — see
+    // Dedup.clusterLosers). Oracle: recursive-CTE reachability + NOT EXISTS.
     "q32_dedup_apply" -> ((s, dir) =>
-      Dedup.survivorsByGroup(Tables.documents(s, dir), "doc_id", "text", "lang")),
+      Dedup.survivorsByCluster(Tables.documents(s, dir), "doc_id", "text", "lang")),
 
     // grouped exact quantiles (interpolating percentile per language)
     "q33_len_quantiles" -> ((s, dir) =>
@@ -556,10 +559,8 @@ object SparkEntry {
     // round-trip (quoting, escaping, type parse) breaks the hash.
     "q57_csv_roundtrip" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      // unique per invocation: a fixed path would let a concurrent run's
-      // Overwrite delete files a previous run's lazy scan already listed
-      val tmp = s"/tmp/graft_csv_zone_${new java.io.File(dir).getName}_" +
-        java.util.UUID.randomUUID().toString.take(8)
+      // unique per invocation + deleted at JVM exit — see Zones.tempDir
+      val tmp = graft.io.Zones.tempDir(s"graft_csv_zone_${new java.io.File(dir).getName}")
       graft.io.Zones.writeCsv(docs, tmp)
       graft.io.Zones.readCsv(s, docs.schema, header = true, Seq(tmp))
         .groupBy("lang")
@@ -611,17 +612,20 @@ object SparkEntry {
 
     // line-level dedup (C4/CCNet-style): sentences occurring in more than
     // one document are boilerplate candidates; per-doc duplicated-line
-    // fraction drives removal. Scale shape: ONE corpus scan — explode →
-    // distinct → per-line count window → per-doc aggregate (three chained
-    // exchanges; the join formulation would recompute the explode per
-    // branch). Never an all-pairs product.
+    // fraction drives removal. Scale shape: explode → distinct → per-line
+    // counts via groupBy + equi-join back, NOT a `count(*) over (partition
+    // by line)` window — a window sends every occurrence of one line to a
+    // single partition and its exchange is invisible to AQE skew
+    // splitting; the #1 boilerplate line of a C4-scale corpus is exactly
+    // the pathological key. A hot JOIN key AQE can split, and the
+    // distinct's exchange is reused by both branches (no re-explode).
     "q60_line_dedup" -> ((s, dir) => {
-      val w = Window.partitionBy("line")
-      Tables.documents(s, dir)
+      val lines = Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("line"))
         .filter(length(col("line")) > 0)
         .distinct()
-        .withColumn("nd", count(lit(1)).over(w))
+      val counts = lines.groupBy("line").agg(count(lit(1)).as("nd"))
+      lines.join(counts, "line")
         .groupBy("doc_id")
         .agg(
           count(lit(1)).as("n_lines"),
@@ -764,6 +768,13 @@ object SparkEntry {
         Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text")
           .select("doc_a", "doc_b"),
         "doc_a", "doc_b")),
+
+    // exact-then-near composition (the production default — see the Dedup
+    // class doc): collapse exact duplicates to their min-id keeper, then
+    // MinHash/LSH over DISTINCT texts only — the order that keeps band
+    // buckets bounded by distinct content on a dup-heavy corpus
+    "q70_neardup_uniques" -> ((s, dir) =>
+      Dedup.nearDupOnUniques(Tables.documents(s, dir), "doc_id", "text")),
 
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {

@@ -28,6 +28,26 @@ final case class Zones(root: String) {
 
 object Zones {
 
+  /** Process-lifetime temp zone path: unique per call (a FIXED path would
+    * let a concurrent invocation's Overwrite delete files a previous
+    * invocation's lazy scan already listed — a real bug this replaced),
+    * deleted recursively at JVM exit so repeated bench/verify runs don't
+    * accumulate garbage under /tmp. Deletion can't happen earlier: the
+    * returned DataFrames are lazy, so the files must outlive the call.
+    */
+  def tempDir(prefix: String): String = {
+    val path = s"/tmp/${prefix}_${java.util.UUID.randomUUID().toString.take(8)}"
+    val root = new java.io.File(path)
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(root)
+    }
+    path
+  }
+
   /** S1 — schema'd headerless CSV scan over any number of shard paths: one
     * job, parallelism = input splits; never `inferSchema` on a fact table
     * (inference is a second full scan). Multi-path read is the reference's

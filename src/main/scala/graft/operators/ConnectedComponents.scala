@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over a pair list — turns near-dup
@@ -19,13 +20,19 @@ import org.apache.spark.sql.functions._
   * single row.
   *
   * Scale notes: every stage keys by node id, so AQE coalesces/splits
-  * post-shuffle partitions; `localCheckpoint` truncates the lineage each
-  * round (iterative plans otherwise grow and re-execute from the scan —
-  * on a real cluster use `spark.sparkContext.setCheckpointDir` + reliable
-  * `checkpoint()` for executor-loss resilience). Convergence is an EXACT
-  * edge-set comparison (count + except), not a checksum.
+  * post-shuffle partitions; lineage is truncated each round (iterative
+  * plans otherwise grow and re-execute from the scan) — reliable
+  * `checkpoint()` when the session has a checkpoint dir configured
+  * (executor-loss resilience on a real cluster), `localCheckpoint`
+  * otherwise. Convergence is an EXACT edge-set comparison (a single
+  * symmetric-difference count per round), not a checksum.
   */
 object ConnectedComponents {
+
+  /** Per-round materialization — see class doc. */
+  private def persistRound(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
 
   /** Canonical directed edges (src > dst), self-loops dropped. */
   private def canonical(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
@@ -69,12 +76,22 @@ object ConnectedComponents {
     * (the deterministic "keeper" id).
     */
   def labels(pairs: DataFrame, aCol: String, bCol: String, maxRounds: Int = 50): DataFrame = {
-    var edges = canonical(pairs, aCol, bCol).localCheckpoint()
+    var edges = persistRound(canonical(pairs, aCol, bCol))
     var converged = edges.isEmpty
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      val next = persistRound(smallStar(largeStar(edges)))
+      // ONE action per round: both rounds' edge sets are distinct, so they
+      // are equal iff no (src, dst) key carries an unbalanced ±1 weight in
+      // their union — a single groupBy over two already-materialized
+      // checkpoints. The earlier count+except formulation ran three jobs
+      // per round and re-shuffled both sets for the except's distinct.
+      val changed = next.select(col("src"), col("dst"), lit(1L).as("w"))
+        .unionByName(edges.select(col("src"), col("dst"), lit(-1L).as("w")))
+        .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+        .filter(col("w") =!= 0)
+        .count()
+      converged = changed == 0L
       edges = next
       round += 1
     }
@@ -85,14 +102,27 @@ object ConnectedComponents {
   }
 
   /** Cluster roll-up: one row per component with ≥2 members —
-    * (cluster_id = min doc id, n_docs, comma-joined sorted member list).
+    * (cluster_id = min doc id, EXACT n_docs, comma-joined member SAMPLE:
+    * the `sampleK` smallest ids). The cap is the 100 TB guard: boilerplate
+    * duplicated across 10⁸ docs is ONE component, and an uncapped
+    * `collect_list` would materialize a gigabyte string in a single
+    * aggregation buffer. Here the rank filter runs in a window whose sort
+    * is external (spillable) and the aggregation buffer holds ≤ sampleK
+    * ids; `collect_list` skips the nulls the `when` emits past the cap, so
+    * one pass yields both the exact count and the bounded sample.
     */
-  def clusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+  def clusters(pairs: DataFrame, aCol: String, bCol: String, sampleK: Int = 20): DataFrame = {
+    val w = Window.partitionBy("cluster_id").orderBy("node")
     labels(pairs, aCol, bCol)
+      .withColumn("rk", row_number().over(w))
       .groupBy("cluster_id")
       .agg(
         count(lit(1)).as("n_docs"),
-        array_join(transform(array_sort(collect_list(col("node"))), _.cast("string")), ",")
-          .as("members"))
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("rk") <= sampleK, col("node")))),
+            _.cast("string")),
+          ",").as("members"))
       .orderBy("cluster_id")
+  }
 }

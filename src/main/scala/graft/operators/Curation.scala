@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
 /** End-to-end corpus curation funnel — the composition the individual
-  * operators exist for: quality-score filter, then MinHash/LSH near-dup
-  * removal on the surviving set, reported as per-group stage counts
+  * operators exist for: quality-score filter, then cluster-based
+  * MinHash/LSH near-dup removal on the surviving set (one keeper per
+  * connected component — see Dedup.clusterLosers for why pair-wise
+  * dropping is wrong), reported as per-group stage counts
   * (input → quality-pass → final). Every stage is the already-verified
   * operator; this adds only composition.
   */
@@ -22,10 +24,11 @@ object Curation {
     val passing = TextFunctions.withQualityColumns(docs, textCol)
       .filter(col("quality") >= qualityThreshold)
       .select(col(idCol), col(groupCol), col(textCol))
-    val losers = Dedup.minhashCandidates(passing, idCol, textCol)
-      .select(col("doc_b").as(idCol)).distinct()
+    val losers = Dedup.clusterLosers(
+      Dedup.minhashCandidates(passing, idCol, textCol).select("doc_a", "doc_b"))
+      .select(col("node").as(idCol))
     // no broadcast hint — loser set is unbounded at scale; AQE still
-    // broadcasts when it is actually small (see Dedup.survivorsByGroup)
+    // broadcasts when it is actually small (see Dedup.survivorsFromPairs)
     val fin = passing.join(losers, Seq(idCol), "left_anti")
 
     // input and quality-pass counts fold into ONE conditional aggregation

@@ -77,4 +77,26 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .as[(Long, Long, String)].collect().toSeq
     assert(rows === Seq((1L, 3L, "1,2,3"), (7L, 2L, "7,9")))
   }
+
+  test("clusters member sample is capped at sampleK while n_docs stays exact") {
+    val edges = (1L to 9L).map(i => (0L, i))
+    val rows = ConnectedComponents.clusters(edges.toDF("a", "b"), "a", "b", sampleK = 3)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(rows === Seq((0L, 10L, "0,1,2")))
+  }
+
+  test("mega-cluster guard: a 10^4-member star stays bounded in the capped roll-up") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // The hottest real input: one boilerplate doc paired with 10^4 others —
+    // ONE component. The roll-up must emit the exact count but only a
+    // bounded member sample (an uncapped collect_list is the OOM at 10^8).
+    val n = 10000L
+    val pairs = spark.range(1, n).select(lit(0L).as("a"), col("id").as("b"))
+    val rows = ConnectedComponents.clusters(pairs, "a", "b")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(rows.length === 1)
+    val (cid, nDocs, members) = rows.head
+    assert(cid === 0L && nDocs === n)
+    assert(members === (0L until 20L).map(_.toString).mkString(","))
+  }
 }

@@ -119,6 +119,40 @@ class DedupSpec extends AnyFunSuite {
     assert(native === reference)
   }
 
+  test("cluster-based apply keeps exactly one doc per transitive component") {
+    val d = (1L to 6L).map(i => (i, "g")).toDF("doc_id", "lang")
+    // chain 1~2~3 (no direct 1~3 pair) + pair 4~5; 6 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val got = Dedup.survivorsFromPairs(d, pairs, "doc_id", "lang")
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("g", 3L))) // keepers 1 and 4, plus unpaired 6
+  }
+
+  test("cluster-based apply drops same-cluster docs that pair-wise dropping keeps") {
+    val d = (1L to 4L).map(i => (i, "g")).toDF("doc_id", "lang")
+    // pairs (2,4),(3,4): {2,3,4} are ONE component. Pair-wise losers =
+    // {doc_b} = {4} would keep both 2 and 3; the cluster rule keeps only 2.
+    val pairs = Seq((2L, 4L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val got = Dedup.survivorsFromPairs(d, pairs, "doc_id", "lang")
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("g", 2L))) // unpaired 1 + keeper 2
+  }
+
+  test("mega-dup guard: exact-then-near collapses 10^4 copies before LSH") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // One boilerplate text duplicated 10^4× + one unrelated doc. Full-corpus
+    // LSH would put all 10^4 ids in each band bucket (Σ bucket² ≈ 10^8
+    // pairs); exact-first collapses them to ONE keeper before signaturing.
+    val dup = spark.range(0, 10000)
+      .select(col("id").as("doc_id"),
+        lit("same boilerplate text repeated over and over again everywhere").as("text"))
+      .unionByName(
+        Seq((20000L, "completely different words entirely here now today")).toDF("doc_id", "text"))
+    val uniques = dup.groupBy("text").agg(org.apache.spark.sql.functions.min(col("doc_id")).as("doc_id"))
+    assert(Dedup.bandSignatures(uniques, "doc_id", "text").count() === 4L) // 2 docs × 2 bands
+    assert(Dedup.nearDupOnUniques(dup, "doc_id", "text").count() === 0L)   // unrelated texts
+  }
+
   test("incremental candidates against a signature store match the full-corpus pairs") {
     import org.apache.spark.sql.functions.col
     val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
