@@ -29,10 +29,14 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** Per-round materialization — see class doc. */
-  private def persistRound(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+  /** Per-round materialization — see class doc. `eager = false` defers the
+    * checkpoint to the caller's next action, so a round's convergence count
+    * materializes the round's edges in the SAME job instead of paying a
+    * separate checkpoint job first.
+    */
+  private def persistRound(df: DataFrame, eager: Boolean = true): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
+    else df.localCheckpoint(eager)
 
   /** Canonical directed edges (src > dst), self-loops dropped. */
   private def canonical(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
@@ -80,12 +84,13 @@ object ConnectedComponents {
     var converged = edges.isEmpty
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = persistRound(smallStar(largeStar(edges)))
-      // ONE action per round: both rounds' edge sets are distinct, so they
-      // are equal iff no (src, dst) key carries an unbalanced ±1 weight in
-      // their union — a single groupBy over two already-materialized
-      // checkpoints. The earlier count+except formulation ran three jobs
-      // per round and re-shuffled both sets for the except's distinct.
+      val next = persistRound(smallStar(largeStar(edges)), eager = false)
+      // ONE action per round: the count below materializes `next`'s lazy
+      // checkpoint as a side effect, and both rounds' edge sets are
+      // distinct, so they are equal iff no (src, dst) key carries an
+      // unbalanced ±1 weight in their union — a single groupBy. The
+      // earlier count+except formulation ran three jobs per round and
+      // re-shuffled both sets for the except's distinct.
       val changed = next.select(col("src"), col("dst"), lit(1L).as("w"))
         .unionByName(edges.select(col("src"), col("dst"), lit(-1L).as("w")))
         .groupBy("src", "dst").agg(sum(col("w")).as("w"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -35,25 +35,29 @@ object Multimodal {
   def withMediaColumn(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("media", col(textCol).cast("binary"))
 
-  /** Decode / feature-extract over the binary column. Runs as a
-    * `mapPartitions` so a real decoder could amortize codec init per batch
-    * (the Arrow/pandas-UDF batch shape in Scala form).
+  /** Decode / feature-extract over the binary column. Runs as a TYPED
+    * `Dataset.mapPartitions` — stays on the unsafe-row path (the earlier
+    * `df.rdd` formulation exited Tungsten and round-tripped every row
+    * through `GenericRow`) while keeping the per-partition iterator hook a
+    * real decoder needs to amortize codec init per batch (the Arrow/
+    * pandas-UDF batch shape in Scala form).
     */
   def extractMeta(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
-    val outSchema = StructType(StructField(idCol, LongType) +: MediaMetaSchema.fields.toSeq)
+    import spark.implicits._
     // null media (e.g. a null-text row cast to binary) would NPE the
     // decoder and kill the stage — undecodable rows are skipped
-    val withMedia = df.select(col(idCol).cast("long"), col("media"))
+    df.select(col(idCol).cast("long"), col("media"))
       .filter(col("media").isNotNull)
-    val out = withMedia.rdd.mapPartitions { it =>
-      // per-partition "codec init" would go here
-      it.map { r =>
-        val (n, w, h, f) = decodeStub(r.getAs[Array[Byte]]("media"))
-        Row(r.getLong(0), n, w, h, f)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition "codec init" would go here
+        it.map { case (id, bytes) =>
+          val (n, w, h, f) = decodeStub(bytes)
+          (id, n, w, h, f)
+        }
       }
-    }
-    spark.createDataFrame(out, outSchema)
+      .toDF(idCol, "n_bytes", "width", "height", "n_frames")
   }
 
   /** Resize step (stub): halve dimensions `factor` times, floor at 1 px —
