@@ -902,6 +902,56 @@ object OracleSql {
          |       string_agg(CASE WHEN rk <= 20 THEN CAST(u AS VARCHAR) END, ',' ORDER BY u) AS members
          |FROM lblr GROUP BY l ORDER BY cluster_id""".stripMargin,
 
+    // Cross-doc repeated-3-gram fraction (distinct shingles per doc, shared
+    // iff present in >1 doc).
+    "q71_crossdoc_ngrams" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+        |sh0 AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(ws) >= 3
+        |         THEN [concat_ws(' ', ws[i+1], ws[i+2], ws[i+3]) for i in range(0, len(ws)-2)]
+        |         ELSE [text] END) AS s
+        |  FROM w
+        |), sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+        |nd AS (SELECT s, count(*) AS nd FROM sh GROUP BY s)
+        |SELECT sh.doc_id, count(*) AS n_grams_uniq,
+        |       CAST(sum(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |       round(CAST(sum(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS shared_ratio
+        |FROM sh JOIN nd USING (s)
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+
+    // Corpus-unigram-LM scoring: per-word natural-log prob quantized to
+    // exact 1e-6 integers (DuckDB ln = Spark log), summed exactly per doc.
+    "q72_unigram_logprob" ->
+      """WITH words AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0
+        |), dw AS (SELECT doc_id, w, count(*) AS n FROM words GROUP BY doc_id, w),
+        |wc AS (SELECT w, CAST(sum(n) AS BIGINT) AS cnt FROM dw GROUP BY w),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM wc),
+        |sc AS (
+        |  SELECT dw.doc_id, dw.n,
+        |         CAST(round(ln(CAST(wc.cnt AS DOUBLE) / t.total) * 1000000) AS BIGINT) AS lp
+        |  FROM dw JOIN wc USING (w), t
+        |)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+        |       round(CAST(sum(n * lp) AS DOUBLE) / sum(n) / 1000000.0, 6) AS mean_logprob
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Deterministic per-group top-K sample by md5 order.
+    "q73_group_sample" ->
+      """WITH u AS (
+        |  SELECT lang, doc_id,
+        |         CAST(concat('0x', substr(md5('gs#' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS u
+        |  FROM documents
+        |), r AS (
+        |  SELECT lang, doc_id,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS BIGINT) AS rk
+        |  FROM u
+        |)
+        |SELECT lang, rk, doc_id FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+
     // Exact-then-near composition: MinHash/LSH over the distinct texts'
     // min-id keepers only (mirrors Dedup.nearDupOnUniques).
     "q70_neardup_uniques" ->

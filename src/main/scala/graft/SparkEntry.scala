@@ -769,6 +769,73 @@ object SparkEntry {
           .select("doc_a", "doc_b"),
         "doc_a", "doc_b")),
 
+    // cross-doc n-gram repetition (Lee et al., "Deduplicating Training Data
+    // Makes Language Models Better"): fraction of a doc's distinct 3-grams
+    // that also appear in ANOTHER doc — the repeated-substring signal,
+    // complementing q55 (within-doc) and q60 (line-level). Same skew-safe
+    // shape as q60: shingle → distinct → groupBy + equi-join back (a hot
+    // boilerplate shingle is an AQE-splittable JOIN key, not a window key).
+    "q71_crossdoc_ngrams" -> ((s, dir) => {
+      val sh = Dedup.shingleRows(Tables.documents(s, dir), "doc_id", "text", 3).distinct()
+      val nd = sh.groupBy("s").agg(count(lit(1)).as("nd"))
+      sh.join(nd, "s")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_grams_uniq"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+        .select(
+          col("doc_id"),
+          col("n_grams_uniq"),
+          col("n_shared"),
+          round(col("n_shared").cast("double") / col("n_grams_uniq"), 6).as("shared_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // corpus-unigram-LM document scoring — the perplexity-filter shape
+    // (CCNet/Gopher quality signal) with the LM trained on the corpus
+    // itself. Scale shape mirrors q43: per-(doc, word) counts are the base
+    // relation, word totals DERIVE from it (one corpus explode, exchange
+    // reused), the grand total is a 1-row broadcast, and the vocab join is
+    // a plain equi-join whose Zipf hot keys ("the") AQE can split. Per-word
+    // log-probs are quantized to exact 1e-6 integers (q61 pattern) so the
+    // per-doc sum is aggregation-order-invariant and hash-matches.
+    "q72_unigram_logprob" -> ((s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
+        .filter(length(col("w")) > 0)
+      val dw = words.groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+      val wc = dw.groupBy("w").agg(sum(col("n")).as("cnt"))
+      val tot = wc.agg(sum(col("cnt")).as("total"))
+      dw.join(wc, "w")
+        .crossJoin(broadcast(tot))
+        .withColumn("lp",
+          round(log(col("cnt").cast("double") / col("total")) * 1000000, 0).cast("long"))
+        .groupBy("doc_id")
+        .agg(sum(col("n")).as("n_words"), sum(col("n") * col("lp")).as("_slp"))
+        .select(
+          col("doc_id"),
+          col("n_words"),
+          round(col("_slp").cast("double") / col("n_words") / 1000000.0, 6).as("mean_logprob"))
+        .orderBy("doc_id")
+    }),
+
+    // per-group deterministic fixed-size sample (the "K docs per language"
+    // curation cap): md5-uniform order + row_number ≤ K. Scale: Spark
+    // rewrites the rank filter to WindowGroupLimit — each map task keeps
+    // only its local top-K per group BEFORE the shuffle, so a 10^8-doc
+    // language shuffles K rows per task, not 10^8 (plan-asserted in
+    // PlanGuardSpec).
+    "q73_group_sample" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy(col("_u"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("_u", Dedup.md5Long(concat(lit("gs#"), col("doc_id").cast("string")), 12))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 20)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy("lang", "rk")
+    }),
+
     // exact-then-near composition (the production default — see the Dedup
     // class doc): collapse exact duplicates to their min-id keeper, then
     // MinHash/LSH over DISTINCT texts only — the order that keeps band

@@ -17,6 +17,7 @@ class PlanGuardSpec extends AnyFunSuite {
     *   - q24: the query set (|Q| = nQueries, fixed)
     *   - q25/q39/q50: the centroid set (|C| = nCentroids, fixed)
     *   - q43/q45: the 1-row corpus-count aggregate (IDF / PMI denominator)
+    *   - q72: the 1-row corpus-token-total aggregate (LM denominator)
     *   - q68: the 1-row global-min language-count aggregate
     */
   private val boundedNlj = Set(
@@ -27,7 +28,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q39_embed_neardup",
     "q43_tfidf_terms",
     "q45_pmi_cooccurrence",
-    "q50_embed_multiprobe")
+    "q50_embed_multiprobe",
+    "q72_unigram_logprob")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
@@ -44,6 +46,14 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(
       withNlj === boundedNlj,
       s"unexpected NLJ in ${withNlj -- boundedNlj}; vanished from ${boundedNlj -- withNlj}")
+  }
+
+  test("q73's rank filter is pushed to a map-side WindowGroupLimit") {
+    // The per-group sample must keep only local top-K per map task BEFORE
+    // the shuffle — without WindowGroupLimit, a 10^8-doc language would
+    // funnel every row into one window partition.
+    val p = planOf("q73_group_sample")
+    assert(p.contains("WindowGroupLimit"), "rank-filter pushdown vanished from q73")
   }
 
   test("no query plan evaluates Python or interpreted UDF-like stages") {
