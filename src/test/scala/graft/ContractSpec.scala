@@ -44,6 +44,24 @@ class ContractSpec extends AnyFunSuite {
     got.foreach { case (k, v) => assert(math.abs(v - ref(k)) < 1e-6, s"flag $k: $v vs ${ref(k)}") }
   }
 
+  test("q72 quantized unigram log-prob agrees with the float-avg formulation") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q72_unigram_logprob")(spark, sfDir)
+      .select("doc_id", "mean_logprob").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val words = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
+      .filter(length(col("w")) > 0)
+    val wc  = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val tot = wc.agg(sum("cnt").as("total"))
+    val ref = words.join(wc, "w").crossJoin(broadcast(tot))
+      .withColumn("lp", log(col("cnt").cast("double") / col("total")))
+      .groupBy("doc_id").agg(avg("lp").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - ref(k)) < 1e-5, s"doc $k: $v vs ${ref(k)}") }
+  }
+
   test("q38 HLL sketch stays within its 5% bound of the exact count") {
     val rows = SparkEntry.queries("q38_approx_distinct")(spark, sfDir).collect()
     assert(rows.nonEmpty)
