@@ -912,12 +912,15 @@ object OracleSql {
         |         THEN [concat_ws(' ', ws[i+1], ws[i+2], ws[i+3]) for i in range(0, len(ws)-2)]
         |         ELSE [text] END) AS s
         |  FROM w
-        |), sh AS (SELECT DISTINCT doc_id, s FROM sh0),
-        |nd AS (SELECT s, count(*) AS nd FROM sh GROUP BY s)
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS sk
+        |  FROM sh0
+        |), nd AS (SELECT sk, count(*) AS nd FROM sh GROUP BY sk)
         |SELECT sh.doc_id, count(*) AS n_grams_uniq,
         |       CAST(sum(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
         |       round(CAST(sum(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS shared_ratio
-        |FROM sh JOIN nd USING (s)
+        |FROM sh JOIN nd USING (sk)
         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
 
     // Corpus-unigram-LM scoring: per-word natural-log prob quantized to

@@ -776,9 +776,15 @@ object SparkEntry {
     // shape as q60: shingle → distinct → groupBy + equi-join back (a hot
     // boilerplate shingle is an AQE-splittable JOIN key, not a window key).
     "q71_crossdoc_ngrams" -> ((s, dir) => {
-      val sh = Dedup.shingleRows(Tables.documents(s, dir), "doc_id", "text", 3).distinct()
-      val nd = sh.groupBy("s").agg(count(lit(1)).as("nd"))
-      sh.join(nd, "s")
+      // shingles become 48-bit md5 hashes AT THE EXPLODE, so every
+      // downstream exchange (distinct, count, join) shuffles 8-byte keys
+      // instead of ~25-byte shingle strings; the oracle replays the same
+      // hash, so a (vanishingly rare, 2^-48) collision stays consistent
+      val sh = Dedup.shingleRows(Tables.documents(s, dir), "doc_id", "text", 3)
+        .select(col("doc_id"), Dedup.md5Long(col("s"), 12).as("sk"))
+        .distinct()
+      val nd = sh.groupBy("sk").agg(count(lit(1)).as("nd"))
+      sh.join(nd, "sk")
         .groupBy("doc_id")
         .agg(
           count(lit(1)).as("n_grams_uniq"),

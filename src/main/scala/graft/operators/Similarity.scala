@@ -142,6 +142,45 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** ANN search for an external QUERY BATCH against a persisted bucket
+    * assignment ([[assignBuckets]] output written to the lake once per
+    * corpus snapshot) — the production flow that amortizes the index build
+    * over many query batches: neither the corpus embeddings nor their
+    * centroid dot products are recomputed per batch (the ANN twin of
+    * [[Dedup.incrementalCandidates]] against the LSH signature store).
+    * Centroids are recovered from the store itself (vid < nCentroids, the
+    * same single-source-of-truth rule as [[centroidSet]]). The query batch
+    * is NOT broadcast-hinted — a nightly embedding batch is unbounded;
+    * AQE still broadcasts small batches.
+    */
+  def incrementalTopK(
+      queries: DataFrame,
+      bucketStore: DataFrame,
+      idCol: String,
+      embCol: String,
+      nCentroids: Int,
+      k: Int,
+      multiProbe: Int = 1): DataFrame = {
+    val cents = centroidSet(bucketStore.select(col("vid"), col("emb_d"), col("nrm")), nCentroids)
+    val wq = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cent_id"))
+    val q = normed(queries, idCol, embCol)
+      .select(col("vid").as("query_id"), col("emb_d").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("cv"), col("cn"), col("qv"), col("qn")))
+      .withColumn("prb", row_number().over(wq))
+      .filter(col("prb") <= multiProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cent_id").as("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vid"))
+    bucketStore
+      .join(q, Seq("bucket"))
+      .filter(col("vid") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("qn"), col("emb_d"), col("nrm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("sim"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
+
   /** Assign every vector to its `probes` nearest centroids (multi-probe
     * assignment for recall). Top-P is computed WITHOUT a global sort: per
     * vector, `collect_list` gathers the (bounded) centroid set into one

@@ -37,6 +37,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.isEmpty)
   }
 
+  test("incremental ANN against a persisted bucket store matches ivfTopK") {
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val store = Similarity.assignBuckets(corpus, "vec_id", "embedding", nCentroids = 8)
+    val inc = Similarity.incrementalTopK(
+      corpus.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding")),
+      store, "vec_id", "embedding", nCentroids = 8, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val full = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      nCentroids = 8, nQueries = 5, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(inc === full)
+    assert(inc.nonEmpty)
+  }
+
   test("IVF with one centroid reduces to brute force") {
     val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", nQueries = 1, k = 3)
       .select("neighbor_id").as[Long].collect().toSeq
