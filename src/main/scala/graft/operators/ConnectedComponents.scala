@@ -80,6 +80,10 @@ object ConnectedComponents {
     * (the deterministic "keeper" id).
     */
   def labels(pairs: DataFrame, aCol: String, bCol: String, maxRounds: Int = 50): DataFrame = {
+    // The initial checkpoint is EAGER (unlike the per-round ones): round 1
+    // references it from three places (both star orientations + the diff
+    // baseline), and a lazy checkpoint would re-run the expensive
+    // pair-generation pipeline per reference (measured +30% on q40).
     var edges = persistRound(canonical(pairs, aCol, bCol))
     var converged = edges.isEmpty
     var round = 0
