@@ -79,29 +79,38 @@ object ConnectedComponents {
     * cluster_id is the minimum node id of the node's connected component
     * (the deterministic "keeper" id).
     */
+  /** A canonically-oriented (src > dst) edge set is this algorithm's fixed
+    * point iff it is a STAR FOREST: every source has out-degree EXACTLY
+    * one AND no source is also a target. (Out-degree alone is not enough —
+    * edges 4→2, 4→3 pass the disjointness test while {2,3,4} is one
+    * uncollapsed component.) Orientation makes every star min-rooted
+    * (hub < each leaf), and largeStar/smallStar map a min-rooted star
+    * forest to itself, so the check detects convergence ON the converging
+    * round; comparing against the previous round's edges (count+except,
+    * or a symmetric difference) always pays one extra full star round to
+    * observe "no change". One cheap aggregation over the just-materialized
+    * checkpoint.
+    */
+  private def isStarForest(e: DataFrame): Boolean =
+    e.select(col("src").as("n"), lit(1L).as("w"))
+      .unionByName(e.select(col("dst").as("n"), lit(0L).as("w")))
+      .groupBy("n")
+      .agg(min(col("w")).as("mn"), max(col("w")).as("mx"), sum(col("w")).as("outd"))
+      .filter(col("mn") =!= col("mx") || col("outd") > 1)
+      .isEmpty
+
   def labels(pairs: DataFrame, aCol: String, bCol: String, maxRounds: Int = 50): DataFrame = {
-    // The initial checkpoint is EAGER (unlike the per-round ones): round 1
-    // references it from three places (both star orientations + the diff
-    // baseline), and a lazy checkpoint would re-run the expensive
-    // pair-generation pipeline per reference (measured +30% on q40).
+    // The checkpoints are EAGER: the convergence probe references each
+    // round's edges twice (src and dst projections), and a lazy checkpoint
+    // would race both union branches into re-computing the pipeline per
+    // reference (measured +30% on q40 for the initial round, whose
+    // pipeline is the whole LSH candidate generation).
     var edges = persistRound(canonical(pairs, aCol, bCol))
-    var converged = edges.isEmpty
+    var converged = isStarForest(edges) // also true for empty input
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = persistRound(smallStar(largeStar(edges)), eager = false)
-      // ONE action per round: the count below materializes `next`'s lazy
-      // checkpoint as a side effect, and both rounds' edge sets are
-      // distinct, so they are equal iff no (src, dst) key carries an
-      // unbalanced ±1 weight in their union — a single groupBy. The
-      // earlier count+except formulation ran three jobs per round and
-      // re-shuffled both sets for the except's distinct.
-      val changed = next.select(col("src"), col("dst"), lit(1L).as("w"))
-        .unionByName(edges.select(col("src"), col("dst"), lit(-1L).as("w")))
-        .groupBy("src", "dst").agg(sum(col("w")).as("w"))
-        .filter(col("w") =!= 0)
-        .count()
-      converged = changed == 0L
-      edges = next
+      edges = persistRound(smallStar(largeStar(edges)))
+      converged = isStarForest(edges)
       round += 1
     }
     require(converged, s"connected components did not converge in $maxRounds rounds")
