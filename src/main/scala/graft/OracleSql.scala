@@ -716,8 +716,12 @@ object OracleSql {
          |FROM a ORDER BY l_returnflag""".stripMargin
     },
 
+    // WHERE text IS NOT NULL mirrors the Spark side (shingle explode of a
+    // null text emits no rows); without it the CASE's ELSE [text] branch
+    // would unnest a NULL shingle row for null-text docs.
     "q55_repetition" ->
-      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+        |           WHERE text IS NOT NULL),
         |sh AS (
         |  SELECT doc_id, unnest(
         |    CASE WHEN len(ws) >= 3
@@ -905,7 +909,8 @@ object OracleSql {
     // Cross-doc repeated-3-gram fraction (distinct shingles per doc, shared
     // iff present in >1 doc).
     "q71_crossdoc_ngrams" ->
-      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+        |           WHERE text IS NOT NULL),
         |sh0 AS (
         |  SELECT doc_id, unnest(
         |    CASE WHEN len(ws) >= 3

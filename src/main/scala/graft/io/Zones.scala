@@ -34,17 +34,23 @@ object Zones {
     * deleted recursively at JVM exit so repeated bench/verify runs don't
     * accumulate garbage under /tmp. Deletion can't happen earlier: the
     * returned DataFrames are lazy, so the files must outlive the call.
+    * ONE shutdown hook drains a shared queue — registering a hook thread
+    * per call would accumulate live Threads for the process lifetime.
     */
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val tempDirHook: Unit = sys.addShutdownHook {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    var f = tempDirs.poll()
+    while (f != null) { rm(f); f = tempDirs.poll() }
+  }
+
   def tempDir(prefix: String): String = {
     val path = s"/tmp/${prefix}_${java.util.UUID.randomUUID().toString.take(8)}"
-    val root = new java.io.File(path)
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(root)
-    }
+    tempDirHook // register the single hook on first use
+    tempDirs.add(new java.io.File(path))
     path
   }
 

@@ -24,19 +24,26 @@ import org.apache.spark.sql.functions._
   * plans otherwise grow and re-execute from the scan) — reliable
   * `checkpoint()` when the session has a checkpoint dir configured
   * (executor-loss resilience on a real cluster), `localCheckpoint`
-  * otherwise. Convergence is an EXACT edge-set comparison (a single
-  * symmetric-difference count per round), not a checksum.
+  * otherwise. Convergence is an EXACT structural test on the round's own
+  * edge set (the star-forest fixed-point property, see [[isStarForest]]),
+  * not a checksum and not a diff against the previous round.
   */
 object ConnectedComponents {
 
-  /** Per-round materialization — see class doc. `eager = false` defers the
-    * checkpoint to the caller's next action, so a round's convergence count
-    * materializes the round's edges in the SAME job instead of paying a
-    * separate checkpoint job first.
+  /** Per-round materialization — see class doc. The reliable path caches
+    * the round first: `Dataset.checkpoint` runs its eager count, then the
+    * checkpoint WRITE re-executes the lineage a second time unless the
+    * blocks are persisted (round 0's lineage is the entire candidate
+    * generation). `localCheckpoint` stores computed blocks directly and
+    * needs no such guard.
     */
-  private def persistRound(df: DataFrame, eager: Boolean = true): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
-    else df.localCheckpoint(eager)
+  private def persistRound(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      df.persist()
+      val out = df.checkpoint()
+      df.unpersist()
+      out
+    } else df.localCheckpoint()
 
   /** Canonical directed edges (src > dst), self-loops dropped. */
   private def canonical(pairs: DataFrame, aCol: String, bCol: String): DataFrame =

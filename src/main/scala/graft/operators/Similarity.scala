@@ -149,9 +149,19 @@ object Similarity {
     * centroid dot products are recomputed per batch (the ANN twin of
     * [[Dedup.incrementalCandidates]] against the LSH signature store).
     * Centroids are recovered from the store itself (vid < nCentroids, the
-    * same single-source-of-truth rule as [[centroidSet]]). The query batch
-    * is NOT broadcast-hinted — a nightly embedding batch is unbounded;
-    * AQE still broadcasts small batches.
+    * same single-source-of-truth rule as [[centroidSet]]; the projection
+    * is deduplicated so a multi-probe store — [[assignBucketsMulti]], one
+    * row per (vector, bucket) — contributes each centroid once). Candidate
+    * rows are likewise deduplicated before ranking: a corpus vector
+    * assigned to two probed buckets must occupy ONE of the k slots, not
+    * two. The query batch is NOT broadcast-hinted — a nightly embedding
+    * batch is unbounded; AQE still broadcasts small batches.
+    *
+    * `excludeSelf` drops candidates whose store id equals the query id —
+    * correct ONLY when the queries are corpus members sharing the store's
+    * id space (the [[ivfTopK]] flow). For an external batch with its own
+    * id space leave it false: an accidental id collision would silently
+    * drop an unrelated corpus vector from that query's results.
     */
   def incrementalTopK(
       queries: DataFrame,
@@ -160,8 +170,10 @@ object Similarity {
       embCol: String,
       nCentroids: Int,
       k: Int,
-      multiProbe: Int = 1): DataFrame = {
-    val cents = centroidSet(bucketStore.select(col("vid"), col("emb_d"), col("nrm")), nCentroids)
+      multiProbe: Int = 1,
+      excludeSelf: Boolean = false): DataFrame = {
+    val cents = centroidSet(
+      bucketStore.select(col("vid"), col("emb_d"), col("nrm")).distinct(), nCentroids)
     val wq = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cent_id"))
     val q = normed(queries, idCol, embCol)
       .select(col("vid").as("query_id"), col("emb_d").as("qv"), col("nrm").as("qn"))
@@ -173,8 +185,10 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vid"))
     bucketStore
       .join(q, Seq("bucket"))
-      .filter(col("vid") =!= col("query_id"))
+      .filter(if (excludeSelf) col("vid") =!= col("query_id") else lit(true))
       .withColumn("sim", cosine(col("qv"), col("qn"), col("emb_d"), col("nrm")))
+      .select(col("query_id"), col("vid"), col("sim"))
+      .distinct()
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("vid").as("neighbor_id"), col("sim"), col("rk"))

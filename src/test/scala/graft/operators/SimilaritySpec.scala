@@ -43,13 +43,28 @@ class SimilaritySpec extends AnyFunSuite {
     val store = Similarity.assignBuckets(corpus, "vec_id", "embedding", nCentroids = 8)
     val inc = Similarity.incrementalTopK(
       corpus.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding")),
-      store, "vec_id", "embedding", nCentroids = 8, k = 5)
+      store, "vec_id", "embedding", nCentroids = 8, k = 5, excludeSelf = true)
       .as[(Long, Long, Double, Long)].collect().toSeq
     val full = Similarity.ivfTopK(corpus, "vec_id", "embedding",
       nCentroids = 8, nQueries = 5, k = 5)
       .as[(Long, Long, Double, Long)].collect().toSeq
     assert(inc === full)
     assert(inc.nonEmpty)
+  }
+
+  test("incremental ANN over a MULTI-probe store never repeats a neighbor") {
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // one row per (vector, bucket): vectors sit in 2 buckets each
+    val store = Similarity.assignBucketsMulti(corpus, "vec_id", "embedding",
+      nCentroids = 8, probes = 2)
+    val got = Similarity.incrementalTopK(
+      corpus.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding")),
+      store, "vec_id", "embedding", nCentroids = 8, k = 5,
+      multiProbe = 2, excludeSelf = true)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.distinct === got, "a doubly-bucketed candidate occupied two top-k slots")
   }
 
   test("IVF with one centroid reduces to brute force") {
