@@ -967,6 +967,100 @@ object OracleSql {
          |${minhashChain("u_docs")}
          |SELECT doc_a, doc_b, n_bands FROM cand ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Exact 5-gram decontamination: train docs sharing a hashed word
+    // 5-gram with any eval (src0) doc; <5-word docs contribute the whole
+    // text (mirrors WordShingles' fallback).
+    "q74_exact_decontam" ->
+      """WITH w AS (SELECT doc_id, text, source, string_split(text, ' ') AS ws FROM documents
+        |           WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, source, unnest(
+        |    CASE WHEN len(ws) >= 5
+        |         THEN [concat_ws(' ', ws[i+1], ws[i+2], ws[i+3], ws[i+4], ws[i+5])
+        |               for i in range(0, len(ws)-4)]
+        |         ELSE [text] END) AS s
+        |  FROM w
+        |), hg AS (
+        |  SELECT doc_id, source,
+        |         CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS sk
+        |  FROM g
+        |), eg AS (SELECT DISTINCT sk FROM hg WHERE source = 'src0'),
+        |tg AS (SELECT DISTINCT doc_id, sk FROM hg WHERE source <> 'src0')
+        |SELECT tg.doc_id, count(*) AS n_shared_grams
+        |FROM tg JOIN eg USING (sk)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // MinHash Jaccard estimate: fraction of the 8 signature positions
+    // agreeing, for every LSH candidate pair.
+    "q75_jaccard_estimate" ->
+      s"""$minhashCte,
+         |nm AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         (CASE WHEN a.m0 = b.m0 THEN 1 ELSE 0 END + CASE WHEN a.m1 = b.m1 THEN 1 ELSE 0 END
+         |        + CASE WHEN a.m2 = b.m2 THEN 1 ELSE 0 END + CASE WHEN a.m3 = b.m3 THEN 1 ELSE 0 END
+         |        + CASE WHEN a.m4 = b.m4 THEN 1 ELSE 0 END + CASE WHEN a.m5 = b.m5 THEN 1 ELSE 0 END
+         |        + CASE WHEN a.m6 = b.m6 THEN 1 ELSE 0 END + CASE WHEN a.m7 = b.m7 THEN 1 ELSE 0 END) AS nm
+         |  FROM cand c JOIN mh a ON c.doc_a = a.doc_id JOIN mh b ON c.doc_b = b.doc_id
+         |)
+         |SELECT doc_a, doc_b, CAST(nm AS BIGINT) AS n_match,
+         |       round(CAST(nm AS DOUBLE) / 8.0, 6) AS est_jaccard
+         |FROM nm ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Heaps'-law vocabulary growth: a word belongs to the bucket of its
+    // first-occurrence doc; integer `//` mirrors Spark `div` exactly.
+    "q76_vocab_growth" ->
+      """WITH words AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0
+        |), fw AS (SELECT w, min(doc_id) AS first_doc FROM words GROUP BY w),
+        |b AS (
+        |  SELECT first_doc // 100 AS bucket, count(*) AS n_new_words
+        |  FROM fw GROUP BY 1
+        |)
+        |SELECT bucket, n_new_words,
+        |       CAST(sum(n_new_words) OVER (ORDER BY bucket
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
+        |FROM b ORDER BY bucket""".stripMargin,
+
+    // Corpus-bigram-LM scoring: bigrams and their context word hash to
+    // 48-bit keys; ln-probs quantized to exact 1e-6 integers (q72 rule).
+    "q77_bigram_logprob" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE text IS NOT NULL),
+        |bg0 AS (
+        |  SELECT doc_id, unnest([concat_ws(' ', ws[i+1], ws[i+2]) for i in range(0, len(ws)-1)]) AS s
+        |  FROM w WHERE len(ws) >= 2
+        |), bg AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS sk,
+        |         CAST(concat('0x', substr(md5(split_part(s, ' ', 1)), 1, 12)) AS BIGINT) AS wk
+        |  FROM bg0
+        |), dbg AS (SELECT doc_id, sk, wk, count(*) AS n FROM bg GROUP BY 1, 2, 3),
+        |bc AS (SELECT sk, wk, CAST(sum(n) AS BIGINT) AS cb FROM dbg GROUP BY 1, 2),
+        |ctx AS (SELECT wk, CAST(sum(cb) AS BIGINT) AS cw FROM bc GROUP BY 1),
+        |lp AS (
+        |  SELECT bc.sk, bc.wk,
+        |         CAST(round(ln(CAST(bc.cb AS DOUBLE) / ctx.cw) * 1000000) AS BIGINT) AS lp
+        |  FROM bc JOIN ctx USING (wk)
+        |)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |       round(CAST(sum(n * lp.lp) AS DOUBLE) / sum(n) / 1000000.0, 6) AS mean_logprob
+        |FROM dbg JOIN lp USING (sk, wk)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Cross-source near-dup matrix: candidate pairs rolled up by the
+    // unordered pair of their docs' sources.
+    "q78_crosssource_dups" ->
+      s"""$minhashCte
+         |SELECT least(da.source, db.source) AS source_x,
+         |       greatest(da.source, db.source) AS source_y,
+         |       count(*) AS n_pairs
+         |FROM cand
+         |JOIN documents da ON cand.doc_a = da.doc_id
+         |JOIN documents db ON cand.doc_b = db.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q41_asof_join" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id, event_type, value

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{EsmTokenizer, TextFunctions}
-import graft.operators.{AsOfJoin, Cooccurrence, Curation, Dedup, EventWindows, RangeJoin, Similarity}
+import graft.operators.{AsOfJoin, Cooccurrence, CorpusStats, Curation, Dedup, EventWindows, RangeJoin, Similarity}
 import graft.ops.{ClassWeights, LabelEncode, Stats, StratifiedSplit}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -848,6 +848,50 @@ object SparkEntry {
     // buckets bounded by distinct content on a dup-heavy corpus
     "q70_neardup_uniques" -> ((s, dir) =>
       Dedup.nearDupOnUniques(Tables.documents(s, dir), "doc_id", "text")),
+
+    // exact n-gram decontamination (GPT-3-style benchmark overlap): train
+    // docs sharing an exact word 5-gram with any eval (src0) doc — the
+    // zero-false-negative complement of q65's LSH contamination pass
+    "q74_exact_decontam" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.exactNgramContamination(
+        d.filter(col("source") === "src0").select(col("doc_id"), col("text")),
+        d.filter(col("source") =!= "src0").select(col("doc_id"), col("text")),
+        "doc_id", "text", 5)
+    }),
+
+    // MinHash Jaccard ESTIMATE per candidate pair — signature-position
+    // agreement, computed inside the banding self-join itself (one
+    // signature pass; see Dedup.jaccardEstimates scale note)
+    "q75_jaccard_estimate" -> ((s, dir) =>
+      Dedup.jaccardEstimates(Tables.documents(s, dir), "doc_id", "text")),
+
+    // vocabulary growth (Heaps' law): new words + cumulative vocab per
+    // doc-id bucket — the source-saturation curve; cumulative window runs
+    // on the bounded bucket relation only
+    "q76_vocab_growth" -> ((s, dir) =>
+      CorpusStats.vocabGrowth(Tables.documents(s, dir), "doc_id", "text")),
+
+    // corpus-bigram-LM scoring: mean log P(w_i | w_{i-1}) per doc — the
+    // conditional-probability upgrade of q72's unigram filter
+    "q77_bigram_logprob" -> ((s, dir) =>
+      CorpusStats.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")),
+
+    // cross-source duplication matrix: near-dup candidate pairs rolled up
+    // by unordered source pair — which feeds duplicate which (the overlap
+    // diagnostic a data-mixing team reads before weighting sources)
+    "q78_crosssource_dups" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val src = d.select(col("doc_id"), col("source"))
+      Dedup.minhashCandidates(d, "doc_id", "text")
+        .select("doc_a", "doc_b")
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+        .select(least(col("sa"), col("sb")).as("source_x"), greatest(col("sa"), col("sb")).as("source_y"))
+        .groupBy("source_x", "source_y")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_x", "source_y")
+    }),
 
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class CorpusStatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("vocab growth: words bucket at first occurrence; cumulative sum is total vocab") {
+    val docs = Seq(
+      (0L, "a b c"),
+      (1L, "a b d"),     // d is new
+      (150L, "a e"),     // e is new, bucket 1
+      (250L, "b f g")    // f g new, bucket 2
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.vocabGrowth(docs, "doc_id", "text", bucketWidth = 100L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 4L, 4L), (1L, 1L, 5L), (2L, 2L, 7L)))
+  }
+
+  test("vocab growth: cumulative column is monotone and ends at the distinct word count") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = CorpusStats.vocabGrowth(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3) === rows.map(_._2).scanLeft(0L)(_ + _).tail)
+    val vocab = docs
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .where("length(w) > 0").select("w").distinct().count()
+    assert(rows.last._3 === vocab)
+  }
+
+  test("bigram log-prob matches the hand-computed LM on a 3-doc corpus") {
+    // corpus bigrams: "a b" ×2, "a c" ×1; context a ×3
+    // lp(a b) = ln(2/3), lp(a c) = ln(1/3), quantized to 1e-6 integers
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo")).toDF("doc_id", "text")
+    val got = CorpusStats.bigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toMap2
+    def q(x: Double) = math.round(math.log(x) * 1e6)
+    assert(got(1L) === (1L, q(2.0 / 3.0) / 1e6))
+    assert(got(2L) === got(1L))
+    assert(got(3L) === (1L, q(1.0 / 3.0) / 1e6))
+    assert(!got.contains(4L)) // one-word doc has no bigram
+  }
+
+  test("bigram log-prob: repeated bigram within one doc weights its count") {
+    // doc 1 has "x y" twice and "y x" once; corpus counts: "x y"×2 (ctx x=2), "y x"×1 (ctx y=1)
+    val docs = Seq((1L, "x y x y")).toDF("doc_id", "text")
+    val got = CorpusStats.bigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toMap2
+    // P(y|x) = 2/2 = 1 and P(x|y) = 1/1 = 1 → every bigram surprisal is 0
+    assert(got(1L) === (3L, 0.0))
+  }
+
+  implicit private class Rows[V](rows: Array[(Long, Long, V)]) {
+    def toMap2: Map[Long, (Long, V)] = rows.map { case (a, b, v) => a -> ((b, v)) }.toMap
+  }
+}

@@ -173,6 +173,30 @@ class DedupSpec extends AnyFunSuite {
     assert(incremental.nonEmpty) // sf0.001 documents contain near-dups across the split
   }
 
+  test("exact n-gram decontamination flags only the train doc sharing a 5-gram") {
+    import spark.implicits._
+    val eval = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix alpha beta gamma delta epsilon suffix"), // shares "alpha beta gamma delta epsilon"
+      (2L, "totally unrelated training document words here"),
+      (3L, "alpha beta gamma unrelated tail words")          // shares only a 3-gram, not a 5-gram
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactNgramContamination(eval, train, "doc_id", "text", 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L))
+  }
+
+  test("jaccard estimate: identical docs estimate 1.0 and match the banding pairs") {
+    val est = Dedup.jaccardEstimates(docs, "doc_id", "text")
+      .select("doc_a", "doc_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(est.get((1L, 2L)) === Some(1.0)) // identical texts → all 8 positions agree
+    val candPairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(est.keySet === candPairs) // estimate covers exactly the LSH candidates
+    assert(est.values.forall(e => e >= 0.0 && e <= 1.0))
+  }
+
   implicit private class Pairs[V](rows: Array[(Long, Long, V)]) {
     def toMap2: Map[(Long, Long), V] = rows.map { case (a, b, v) => (a, b) -> v }.toMap
   }
