@@ -49,9 +49,16 @@ object CorpusStats {
     *
     * Scale shape: bigrams hash to 48-bit keys at the explode (8-byte
     * shuffle rows, q71 discipline; the context word hashes separately
-    * BEFORE the bigram string is discarded). Per-(doc, bigram) counts are
-    * the base relation; bigram totals and context totals both derive from
-    * it (exchange reuse, no second corpus scan). Per-bigram log-probs are
+    * BEFORE the bigram string is discarded). Bigram TOKEN rows are the
+    * base relation — no per-(doc, bigram) pre-aggregation layer: on real
+    * text that key is nearly unique (measured ×1.04 compression at sf0.1),
+    * so the layer costs a full extra shuffle+agg and collapses nothing.
+    * The counting branch `groupBy(sk, wk)` shuffles PARTIALLY-AGGREGATED
+    * rows (Zipf-hot bigrams collapse map-side); the scoring branch
+    * shuffles raw 16-byte token rows into the ⋈log-prob join, deliberately
+    * left to ENSURE_REQUIREMENTS so AQE can skew-split the hot-bigram key
+    * (a pre-`repartition` would pin the hot key to one partition AND lose
+    * the map-side collapse — the q60 lesson). Per-bigram log-probs are
     * quantized to exact 1e-6 integers (q61/q72 pattern) so per-doc sums
     * are partition-order-invariant and hash-match DuckDB (`ln` ≡ Spark
     * `log`, bit-for-bit on identical doubles). Docs with fewer than two
@@ -66,8 +73,7 @@ object CorpusStats {
         col("doc_id"),
         Dedup.md5Long(col("s"), 12).as("sk"),
         Dedup.md5Long(substring_index(col("s"), " ", 1), 12).as("wk"))
-    val dbg = bg.groupBy("doc_id", "sk", "wk").agg(count(lit(1)).as("n"))
-    val bc = dbg.groupBy("sk", "wk").agg(sum(col("n")).as("cb"))
+    val bc = bg.groupBy("sk", "wk").agg(count(lit(1)).as("cb"))
     val ctx = bc.groupBy("wk").agg(sum(col("cb")).as("cw"))
     val lp = bc
       .join(ctx, "wk")
@@ -75,10 +81,10 @@ object CorpusStats {
         "lp",
         round(log(col("cb").cast("double") / col("cw").cast("double")) * 1000000, 0).cast("long"))
       .select(col("sk"), col("wk"), col("lp"))
-    dbg
+    bg
       .join(lp, Seq("sk", "wk"))
       .groupBy("doc_id")
-      .agg(sum(col("n")).as("n_bigrams"), sum(col("n") * col("lp")).as("_slp"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("_slp"))
       .select(
         col("doc_id"),
         col("n_bigrams"),
