@@ -1061,6 +1061,62 @@ object OracleSql {
          |JOIN documents db ON cand.doc_b = db.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Dup-cluster size distribution over the same recursive-CTE ground
+    // truth as q66: components per size, docs removable at that size.
+    "q79_cluster_sizes" ->
+      s"""WITH RECURSIVE ${minhashChain("documents")},
+         |$ccLabelChain,
+         |sizes AS (SELECT l, count(*) AS sz FROM lbl GROUP BY l)
+         |SELECT sz AS cluster_size, count(*) AS n_clusters,
+         |       CAST(sum(sz - 1) AS BIGINT) AS n_removable
+         |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Semantic decontamination: q67's hyperplane-LSH chain, restricted to
+    // eval (label 0) × train (label <> 0) band matches, then exact-cosine
+    // verified and rolled up per train vector.
+    "q80_semantic_decontam" ->
+      s"""$normCte,
+         |pl AS (
+         |  SELECT p, [CASE WHEN (CAST(concat('0x', substr(md5('hp-' || CAST(p AS VARCHAR) || '-' || CAST(d AS VARCHAR)), 1, 1)) AS INT) % 2) = 0
+         |                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
+         |             for d in range(0, 64)] AS c
+         |  FROM (SELECT unnest(range(0, 32)) AS p)
+         |), bits AS (
+         |  SELECT n.vec_id, pl.p,
+         |         CASE WHEN list_sum(list_transform(range(1, len(n.e)+1), i -> n.e[i]*pl.c[i])) >= 0
+         |              THEN 1 ELSE 0 END AS bit
+         |  FROM n, pl
+         |), sig AS (
+         |  SELECT vec_id, CAST(sum(bit * (1::BIGINT << p)) AS BIGINT) AS sig FROM bits GROUP BY vec_id
+         |), bands AS (
+         |  SELECT vec_id, b, (sig >> (b*8)) & 255 AS bv
+         |  FROM sig, (SELECT unnest(range(0, 4)) AS b)
+         |), cand AS (
+         |  SELECT DISTINCT e.vec_id AS eval_id, t.vec_id AS train_id
+         |  FROM bands e
+         |  JOIN bands t ON e.b = t.b AND e.bv = t.bv
+         |  JOIN embeddings le ON le.vec_id = e.vec_id AND le.label = 0
+         |  JOIN embeddings lt ON lt.vec_id = t.vec_id AND lt.label <> 0
+         |), ver AS (
+         |  SELECT c.train_id,
+         |         round(list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i])) / (a.nrm*b.nrm), 6) AS sim
+         |  FROM cand c JOIN n a ON a.vec_id = c.eval_id JOIN n b ON b.vec_id = c.train_id
+         |)
+         |SELECT train_id AS vec_id, count(*) AS n_eval_matches, max(sim) AS max_sim
+         |FROM ver WHERE sim >= 0.4
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Quality-threshold survival curve over the shared quality CTE; the
+    // decile-DESC running sum counts docs surviving a cut at that decile.
+    "q81_quality_survival" ->
+      s"""WITH $qualityCte,
+         |d AS (SELECT least(CAST(floor(quality * 10) AS BIGINT), 9) AS decile FROM qs),
+         |g AS (SELECT decile, count(*) AS n_docs FROM d GROUP BY 1)
+         |SELECT decile, n_docs,
+         |       CAST(sum(n_docs) OVER (ORDER BY decile DESC
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_surviving
+         |FROM g ORDER BY decile""".stripMargin,
+
     "q41_asof_join" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id, event_type, value

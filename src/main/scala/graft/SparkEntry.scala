@@ -893,6 +893,41 @@ object SparkEntry {
         .orderBy("source_x", "source_y")
     }),
 
+    // dup-cluster size distribution: components per size + docs removable
+    // at that size — the "what will dedup save" histogram; bounded output
+    // (a mega-cluster is ONE row here)
+    "q79_cluster_sizes" -> ((s, dir) =>
+      graft.operators.ConnectedComponents.sizeDistribution(
+        Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text"),
+        "doc_a", "doc_b")),
+
+    // semantic decontamination: train vectors within cosine 0.4 of any
+    // eval (label 0) vector via random-hyperplane LSH bands — catches the
+    // paraphrased benchmark leakage q74's exact n-grams can't see
+    "q80_semantic_decontam" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.semanticContamination(
+        e.filter(col("label") === 0).select(col("vec_id"), col("embedding")),
+        e.filter(col("label") =!= 0).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", dim = 64)
+    }),
+
+    // quality-threshold survival curve: docs per quality decile + docs
+    // surviving a cut at that decile — the filter-calibration readout;
+    // the cumulative window runs on the ≤11-row decile relation only
+    "q81_quality_survival" -> ((s, dir) => {
+      val deciles = TextFunctions.withQualityColumns(Tables.documents(s, dir), "text")
+        .select(least(floor(col("quality") * 10), lit(9L)).as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"))
+      val fromAbove = Window
+        .orderBy(col("decile").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deciles
+        .withColumn("n_surviving", sum(col("n_docs")).over(fromAbove))
+        .orderBy("decile")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -150,4 +150,27 @@ object ConnectedComponents {
           ",").as("members"))
       .orderBy("cluster_id")
   }
+
+  /** Duplicate-cluster SIZE distribution: how many components of each
+    * size, and how many docs cluster-based dedup would remove at that
+    * size — the "what will dedup save" histogram a curation team reads
+    * before paying for the apply pass ([[graft.operators.Dedup.survivors]]
+    * keeps one doc per component, so a size-n component removes n−1).
+    *
+    * Scale shape: two hash aggregations over the [[labels]] output (per
+    * component, then per size). The output is at most |largest component|
+    * rows — bounded and skinny no matter how pathological the dup graph;
+    * the mega-cluster that OOMs a member roll-up is ONE row here.
+    */
+  def sizeDistribution(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    labels(pairs, aCol, bCol)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(
+        col("cluster_size"),
+        col("n_clusters"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"))
+      .orderBy("cluster_size")
 }

@@ -249,6 +249,30 @@ object Similarity {
     * not carried through the band shuffle). P[same band | angle θ] =
     * (1−θ/π)^bandBits per band.
     */
+  /** Random-hyperplane band rows (vid, b, bv) for a normed corpus view —
+    * the shared candidate-generation base of [[cosineLshPairs]] (self-join)
+    * and [[semanticContamination]] (cross-set join). The signature is a
+    * pure codegen map (one [[graft.plans.VecDot]] per plane against a
+    * literal ±1 array); band rows stay skinny — vectors are never carried
+    * through the band shuffle.
+    */
+  private def lshBandRows(v: DataFrame, dim: Int, numPlanes: Int, bandBits: Int): DataFrame = {
+    require(numPlanes % bandBits == 0 && numPlanes <= 62,
+      s"numPlanes ($numPlanes) must be a multiple of bandBits ($bandBits) and fit a long")
+    val numBands = numPlanes / bandBits
+    val sig = (0 until numPlanes).map { p =>
+      val plane = typedLit((0 until dim).map(d => planeCoef(p, d)))
+      when(dot(col("emb_d"), plane) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    v.select(col("vid"), sig.as("sig"))
+      .select(col("vid"), explode(array((0 until numBands).map { b =>
+        struct(
+          lit(b).as("b"),
+          shiftright(col("sig"), b * bandBits).bitwiseAND(lit((1 << bandBits) - 1)).as("bv"))
+      }: _*)).as("bb"))
+      .select(col("vid"), col("bb.b").as("b"), col("bb.bv").as("bv"))
+  }
+
   def cosineLshPairs(
       emb: DataFrame,
       idCol: String,
@@ -257,22 +281,8 @@ object Similarity {
       numPlanes: Int = 32,
       bandBits: Int = 8,
       threshold: Double = 0.4): DataFrame = {
-    require(numPlanes % bandBits == 0 && numPlanes <= 62,
-      s"numPlanes ($numPlanes) must be a multiple of bandBits ($bandBits) and fit a long")
-    val numBands = numPlanes / bandBits
     val v = normed(emb, idCol, embCol)
-    val sig = (0 until numPlanes).map { p =>
-      val plane = typedLit((0 until dim).map(d => planeCoef(p, d)))
-      when(dot(col("emb_d"), plane) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val bands = v
-      .select(col("vid"), sig.as("sig"))
-      .select(col("vid"), explode(array((0 until numBands).map { b =>
-        struct(
-          lit(b).as("b"),
-          shiftright(col("sig"), b * bandBits).bitwiseAND(lit((1 << bandBits) - 1)).as("bv"))
-      }: _*)).as("bb"))
-      .select(col("vid"), col("bb.b").as("b"), col("bb.bv").as("bv"))
+    val bands = lshBandRows(v, dim, numPlanes, bandBits)
     val cand = bands.as("x")
       .hint("shuffle_merge") // identical shuffles on both sides → ReusedExchange
       .join(
@@ -287,6 +297,47 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("na"), col("eb"), col("nb")).as("sim"))
       .filter(col("sim") >= threshold)
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** Semantic (embedding-level) decontamination: for each TRAIN vector,
+    * how many EVAL vectors share a random-hyperplane LSH band AND clear
+    * the exact-cosine threshold — the embedding twin of
+    * [[graft.operators.Dedup.exactNgramContamination]] (q74): it catches
+    * paraphrased benchmark leakage that no n-gram overlap can see.
+    *
+    * Scale shape: signatures are pure maps on BOTH sides (no shuffle);
+    * candidates come from the banded eval⋈train equi-join — cost
+    * Σ_bucket |eval ∩ bucket|·|train ∩ bucket|, never |E|·|T| — and exact
+    * cosine verifies candidates only, via skinny-row joins back to each
+    * normed side. The eval side is benchmark-sized but unbounded across
+    * suites → no broadcast hint; AQE broadcasts it when actually small.
+    * Returns (vec_id, n_eval_matches, max_sim) per contaminated train vec.
+    */
+  def semanticContamination(
+      evalEmb: DataFrame,
+      trainEmb: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      numPlanes: Int = 32,
+      bandBits: Int = 8,
+      threshold: Double = 0.4): DataFrame = {
+    val ve = normed(evalEmb, idCol, embCol)
+    val vt = normed(trainEmb, idCol, embCol)
+    val cand = lshBandRows(ve, dim, numPlanes, bandBits).as("e")
+      .join(
+        lshBandRows(vt, dim, numPlanes, bandBits).as("t"),
+        col("e.b") === col("t.b") && col("e.bv") === col("t.bv"))
+      .select(col("e.vid").as("eval_id"), col("t.vid").as("train_id"))
+      .distinct()
+    cand
+      .join(ve.select(col("vid").as("eval_id"), col("emb_d").as("ee"), col("nrm").as("ne")), "eval_id")
+      .join(vt.select(col("vid").as("train_id"), col("emb_d").as("et"), col("nrm").as("nt")), "train_id")
+      .select(col("train_id"), cosine(col("ee"), col("ne"), col("et"), col("nt")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("train_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_eval_matches"), max(col("sim")).as("max_sim"))
+      .orderBy("vec_id")
   }
 
   /** Embedding-cosine near-dup pairs: pairs sharing ANY of their `probes`

@@ -99,4 +99,12 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(cid === 0L && nDocs === n)
     assert(members === (0L until 20L).map(_.toString).mkString(","))
   }
+
+  test("size distribution counts components per size with removable docs") {
+    // components: {1,2,3} (chain), {10,11}, {20,21} → one size-3, two size-2
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("a", "b")
+    val rows = ConnectedComponents.sizeDistribution(pairs, "a", "b")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows === Seq((2L, 2L, 2L), (3L, 1L, 2L)))
+  }
 }

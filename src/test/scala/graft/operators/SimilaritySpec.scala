@@ -120,4 +120,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sizes.sum === n.toLong)         // every vector assigned exactly once
     assert(sizes.max <= n / 2, s"hot bucket ${sizes.max} of $n — cluster did not split")
   }
+
+  test("semantic decontamination flags the train vector parallel to an eval vector") {
+    // train 10 is parallel to eval 1 (cos 1.0 — same LSH signature, always
+    // banded together); train 11 is antipodal (cos −1.0, complement
+    // signature — never shares a band); train 12 is parallel to eval 2.
+    val eval  = Seq((1L, Seq(1.0f, 0.2f, 0.0f, 0.1f)), (2L, Seq(-0.3f, 1.0f, 0.5f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val train = Seq(
+      (10L, Seq(2.0f, 0.4f, 0.0f, 0.2f)),
+      (11L, Seq(-1.0f, -0.2f, 0.0f, -0.1f)),
+      (12L, Seq(-0.6f, 2.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticContamination(eval, train, "vec_id", "embedding", dim = 4)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((10L, 1L, 1.0), (12L, 1L, 1.0)))
+  }
 }
