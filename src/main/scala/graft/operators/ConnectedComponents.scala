@@ -30,20 +30,52 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Deferred delete list for the FINAL round's checkpoint dir of each
+    * [[labels]] call: that dir backs the returned (lazy) DataFrame, so it
+    * must outlive the call — deleted by one shared JVM shutdown hook
+    * (Zones.tempDir discipline). Intermediate rounds never reach this
+    * queue; they are deleted eagerly as soon as the next round's
+    * checkpoint materializes, so a long-lived session running many dedup
+    * queries holds at most one dir per labels() result, not one per round
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints` is off by
+    * default and would anyway wait for GC of the RDD reference).
+    */
+  private val leftoverCheckpointDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[(org.apache.hadoop.conf.Configuration, String)]()
+  private lazy val checkpointCleanupHook: Unit = sys.addShutdownHook {
+    var e = leftoverCheckpointDirs.poll()
+    while (e != null) { deleteQuietly(e._1, e._2); e = leftoverCheckpointDirs.poll() }
+  }
+
+  private def deleteQuietly(conf: org.apache.hadoop.conf.Configuration, dir: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(conf).delete(p, true)
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   /** Per-round materialization — see class doc. The reliable path caches
     * the round first: `Dataset.checkpoint` runs its eager count, then the
     * checkpoint WRITE re-executes the lineage a second time unless the
     * blocks are persisted (round 0's lineage is the entire candidate
     * generation). `localCheckpoint` stores computed blocks directly and
     * needs no such guard.
+    *
+    * Each reliable round checkpoints into its OWN subdirectory of the
+    * session's checkpoint root (`setCheckpointDir` before the write), so
+    * the round's files are deletable as a unit without touching other
+    * checkpoints sharing the session.
     */
-  private def persistRound(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
-      df.persist()
-      val out = df.checkpoint()
-      df.unpersist()
-      out
-    } else df.localCheckpoint()
+  private def persistRound(df: DataFrame, roundDir: Option[String]): DataFrame =
+    roundDir match {
+      case Some(dir) =>
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        df.persist()
+        val out = df.checkpoint()
+        df.unpersist()
+        out
+      case None => df.localCheckpoint()
+    }
 
   /** Canonical directed edges (src > dst), self-loops dropped. */
   private def canonical(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
@@ -107,18 +139,41 @@ object ConnectedComponents {
       .isEmpty
 
   def labels(pairs: DataFrame, aCol: String, bCol: String, maxRounds: Int = 50): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    // Reliable-checkpoint bookkeeping: a fresh per-call prefix under the
+    // session's checkpoint root; round i's dir is deleted the moment round
+    // i+1 is checkpointed (its lineage no longer reaches round i).
+    val origCkDir = sc.getCheckpointDir
+    val ckBase = origCkDir.map(b =>
+      s"$b/graft-cc-${java.util.UUID.randomUUID().toString.take(8)}")
+    var prevDir: Option[String] = None
+    def nextRoundDir(round: Int): Option[String] = ckBase.map(b => s"$b/round-$round")
+    def dropPrev(newDir: Option[String]): Unit = {
+      prevDir.foreach(deleteQuietly(sc.hadoopConfiguration, _))
+      prevDir = newDir
+    }
     // The checkpoints are EAGER: the convergence probe references each
     // round's edges twice (src and dst projections), and a lazy checkpoint
     // would race both union branches into re-computing the pipeline per
     // reference (measured +30% on q40 for the initial round, whose
     // pipeline is the whole LSH candidate generation).
-    var edges = persistRound(canonical(pairs, aCol, bCol))
+    var edges = persistRound(canonical(pairs, aCol, bCol), nextRoundDir(0))
+    dropPrev(nextRoundDir(0))
     var converged = isStarForest(edges) // also true for empty input
     var round = 0
     while (!converged && round < maxRounds) {
-      edges = persistRound(smallStar(largeStar(edges)))
-      converged = isStarForest(edges)
       round += 1
+      edges = persistRound(smallStar(largeStar(edges)), nextRoundDir(round))
+      dropPrev(nextRoundDir(round))
+      converged = isStarForest(edges)
+    }
+    // The final round's checkpoint backs the lazy result — defer its
+    // delete to JVM exit; restore the session's checkpoint root for
+    // whoever checkpoints next.
+    ckBase.foreach { _ =>
+      checkpointCleanupHook
+      prevDir.foreach(d => leftoverCheckpointDirs.add((sc.hadoopConfiguration, d)))
+      origCkDir.foreach(sc.setCheckpointDir)
     }
     require(converged, s"connected components did not converge in $maxRounds rounds")
     // Converged edge set is a star forest (v, m); hubs m label themselves.

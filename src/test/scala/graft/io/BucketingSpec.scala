@@ -21,6 +21,11 @@ class BucketingSpec extends AnyFunSuite {
     val old    = corpus.filter(col("doc_id") % 2 === 0)
     val fresh  = corpus.filter(col("doc_id") % 2 === 1)
     graft.operators.Dedup.writeSignatureStore(old, "doc_id", "text", "sig_store_b", numBuckets = 4)
+    // save/restore the session's OWN values — hardcoding defaults in the
+    // finally block would clobber any non-default conf other specs set on
+    // the shared TestSpark session
+    val savedBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAdaptive  = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ to expose bucketing
     spark.conf.set("spark.sql.adaptive.enabled", "false")        // concrete plan for traversal
     try {
@@ -45,8 +50,8 @@ class BucketingSpec extends AnyFunSuite {
         .filter { case (a, b) => a % 2 == 1 || b % 2 == 1 }.toSet
       assert(got === full)
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", savedAdaptive)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
       spark.sql("DROP TABLE IF EXISTS sig_store_b")
     }
   }
@@ -57,6 +62,7 @@ class BucketingSpec extends AnyFunSuite {
     Zones.writeBucketed(
       Tables.customer(spark, sf).withColumnRenamed("c_custkey", "o_custkey"),
       "customer_b", "o_custkey", 4)
+    val savedBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ to expose bucketing
     val joined = spark.table("orders_b").join(spark.table("customer_b"), "o_custkey")
     val plan = joined.queryExecution.executedPlan.toString
@@ -64,7 +70,7 @@ class BucketingSpec extends AnyFunSuite {
       assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle in:\n$plan")
       assert(joined.count() === Tables.orders(spark, sf).count())
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS customer_b")
     }

@@ -100,6 +100,29 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(members === (0L until 20L).map(_.toString).mkString(","))
   }
 
+  test("reliable-checkpoint path labels correctly and deletes intermediate round dirs") {
+    // A chain needs several star rounds — exactly the case that used to
+    // leave one checkpoint dir per round on disk for the session lifetime.
+    val ckRoot = java.nio.file.Files.createTempDirectory("graft_cc_ck").toFile
+    val sc = spark.sparkContext
+    val before = sc.getCheckpointDir
+    sc.setCheckpointDir(ckRoot.getAbsolutePath)
+    try {
+      val edges = (0L until 19L).map(i => (i, i + 1))
+      val got = ccLabels(edges)
+      assert(got === (0L to 19L).map(_ -> 0L).toMap)
+      // collectFirst the per-call prefix: all round dirs but the final one
+      // must already be gone (the final backs the result until JVM exit).
+      def find(f: java.io.File): Seq[java.io.File] =
+        Seq(f) ++ Option(f.listFiles()).toSeq.flatten.flatMap(find)
+      val roundDirs = find(ckRoot).filter(_.getName.startsWith("round-"))
+      assert(roundDirs.length === 1, s"leftover round dirs: ${roundDirs.mkString(", ")}")
+    } finally {
+      sc.setCheckpointDir(before.orNull) // Option(null) → None inside Spark
+      ()
+    }
+  }
+
   test("size distribution counts components per size with removable docs") {
     // components: {1,2,3} (chain), {10,11}, {20,21} → one size-3, two size-2
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("a", "b")
