@@ -1155,6 +1155,139 @@ object OracleSql {
          |SELECT err.user_id, err.event_id, sess.sess_idx
          |FROM err JOIN sess
          |  ON err.user_id = sess.user_id AND err.us BETWEEN sess.start_us AND sess.end_us
-         |ORDER BY err.user_id, err.event_id""".stripMargin
+         |ORDER BY err.user_id, err.event_id""".stripMargin,
+
+    // JSONL round-trip: the oracle aggregates the parquet original — any
+    // lossy JSON escaping in the Spark sink/scan breaks the hash.
+    "q82_jsonl_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+        |       count(DISTINCT doc_id) AS n_ids
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // One Lloyd iteration over the shared IVF assignment: exact quantized
+    // component sums (q61 pattern) → order-invariant means.
+    "q83_kmeans_step" ->
+      s"""$ivfAssignCte,
+         |x AS (
+         |  SELECT bucket, unnest(list_transform(range(1, len(e)+1),
+         |                                       i -> struct_pack(pos := i - 1, val := e[i]))) AS u
+         |  FROM asg
+         |), s AS (
+         |  SELECT bucket AS cent_id, u.pos AS pos,
+         |         sum(CAST(round(u.val * 1000000) AS BIGINT)) AS sq,
+         |         count(*) AS n
+         |  FROM x GROUP BY 1, 2
+         |)
+         |SELECT cent_id, CAST(pos AS BIGINT) AS pos, n AS n_members,
+         |       round(CAST(sq AS DOUBLE) / (n * 1000000.0), 6) AS mean_val
+         |FROM s ORDER BY cent_id, pos""".stripMargin,
+
+    // kNN majority vote: rank cosine neighbors, count labels among top-k,
+    // argmax votes with smaller-label tie-break.
+    "q84_knn_classify" ->
+      s"""$normCte,
+         |q AS (SELECT vec_id AS query_id, e AS qv, nrm AS qn FROM n WHERE vec_id < 25),
+         |s AS (
+         |  SELECT q.query_id, n.vec_id AS cand_id, le.label AS cand_label,
+         |         round(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*n.e[i])) / (q.qn * n.nrm), 6) AS sim
+         |  FROM q CROSS JOIN n JOIN embeddings le ON le.vec_id = n.vec_id
+         |  WHERE n.vec_id <> q.query_id
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rk
+         |  FROM s
+         |), vt AS (
+         |  SELECT query_id, cand_label, count(*) AS n_votes, max(sim) AS top_sim
+         |  FROM r WHERE rk <= 10 GROUP BY 1, 2
+         |), b AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, cand_label) AS vr
+         |  FROM vt
+         |)
+         |SELECT query_id, CAST(cand_label AS BIGINT) AS pred_label, n_votes, top_sim
+         |FROM b WHERE vr = 1 ORDER BY query_id""".stripMargin,
+
+    // Median/MAD outlier flags; the threshold uses the ROUNDED mad, same
+    // as the Spark side, so the > comparison sees identical doubles.
+    "q85_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.5) AS med FROM documents GROUP BY 1
+        |), dev AS (
+        |  SELECT d.lang, abs(CAST(d.n_chars AS DOUBLE) - m.med) AS adev, m.med AS med
+        |  FROM documents d JOIN med m ON m.lang = d.lang
+        |), st AS (
+        |  SELECT lang, count(*) AS n_rows, round(min(med), 6) AS median_val,
+        |         round(quantile_cont(adev, 0.5), 6) AS mad
+        |  FROM dev GROUP BY 1
+        |)
+        |SELECT s.lang, s.n_rows, s.median_val, s.mad,
+        |       CAST(sum(CASE WHEN dev.adev > s.mad * 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN st s ON s.lang = dev.lang
+        |GROUP BY 1, 2, 3, 4 ORDER BY s.lang""".stripMargin,
+
+    // Add-one log-odds with Fightin'-Words variance; each ln quantized to
+    // a 1e-6 integer BEFORE the delta subtraction (q72 discipline).
+    "q86_logodds_terms" ->
+      """WITH wr AS (
+        |  SELECT source AS grp, unnest(string_split(text, ' ')) AS w FROM documents
+        |), wf AS (SELECT grp, w FROM wr WHERE length(w) > 0),
+        |wc AS (SELECT grp, w, count(*) AS y FROM wf GROUP BY 1, 2),
+        |wt AS (SELECT w, CAST(sum(y) AS BIGINT) AS yw FROM wc GROUP BY 1),
+        |gt AS (SELECT grp, CAST(sum(y) AS BIGINT) AS ng FROM wc GROUP BY 1),
+        |na AS (SELECT CAST(sum(y) AS BIGINT) AS nn, count(DISTINCT w) AS vv FROM wc),
+        |sc AS (
+        |  SELECT wc.grp, wc.w, wc.y,
+        |         CAST(round(ln(CAST(wc.y + 1 AS DOUBLE)
+        |                       / CAST(gt.ng + na.vv - wc.y - 1 AS DOUBLE)) * 1000000) AS BIGINT)
+        |       - CAST(round(ln(CAST(wt.yw - wc.y + 1 AS DOUBLE)
+        |                       / CAST(na.nn - gt.ng + na.vv - (wt.yw - wc.y) - 1 AS DOUBLE)) * 1000000) AS BIGINT) AS dq,
+        |         1.0 / CAST(wc.y + 1 AS DOUBLE) + 1.0 / CAST(wt.yw - wc.y + 1 AS DOUBLE) AS s2
+        |  FROM wc JOIN wt USING (w) JOIN gt USING (grp) CROSS JOIN na
+        |), z AS (
+        |  SELECT grp, w, y, round(CAST(dq AS DOUBLE) / 1000000.0 / sqrt(s2), 6) AS z FROM sc
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY grp ORDER BY z DESC, w) AS BIGINT) AS rk
+        |  FROM z
+        |)
+        |SELECT grp AS source, rk, w AS term, y AS n_occurrences, z
+        |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+
+    // Source-pair Jaccard over hashed 3-gram sets (q74's gram + 48-bit
+    // key construction at n=3).
+    "q87_source_jaccard" ->
+      """WITH w AS (
+        |  SELECT source, text, string_split(text, ' ') AS ws FROM documents WHERE text IS NOT NULL
+        |), g AS (
+        |  SELECT source, unnest(
+        |    CASE WHEN len(ws) >= 3
+        |         THEN [concat_ws(' ', ws[i+1], ws[i+2], ws[i+3]) for i in range(0, len(ws)-2)]
+        |         ELSE [text] END) AS s
+        |  FROM w
+        |), hg AS (
+        |  SELECT DISTINCT source, CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS g FROM g
+        |), sz AS (SELECT source, count(*) AS sz FROM hg GROUP BY 1),
+        |i AS (
+        |  SELECT x.source AS source_x, y.source AS source_y, count(*) AS n_shared_grams
+        |  FROM hg x JOIN hg y ON x.g = y.g AND x.source < y.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT source_x, source_y, n_shared_grams,
+        |       round(CAST(n_shared_grams AS DOUBLE) / (sx.sz + sy.sz - n_shared_grams), 6) AS jaccard
+        |FROM i JOIN sz sx ON sx.source = source_x JOIN sz sy ON sy.source = source_y
+        |ORDER BY source_x, source_y""".stripMargin,
+
+    // Weekly retention cohorts: Monday-start weeks in both engines; the
+    // offset is exact day arithmetic on week-truncated dates.
+    "q88_retention_cohorts" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(date_trunc('week', date_trunc('microseconds', ts)) AS DATE) AS week
+        |  FROM events
+        |), f AS (SELECT user_id, min(week) AS cohort FROM uw GROUP BY 1)
+        |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+        |       CAST(date_diff('day', f.cohort, uw.week) // 7 AS BIGINT) AS week_offset,
+        |       count(*) AS n_active
+        |FROM uw JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
   )
 }

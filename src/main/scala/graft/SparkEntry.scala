@@ -928,6 +928,58 @@ object SparkEntry {
         .orderBy("decile")
     }),
 
+    // S1/S3 beyond-reference format: round-trip documents through the
+    // JSONL zone sink/scan (the LLM-corpus interchange staple) and
+    // aggregate the read-back frame — JSON escaping of quotes/newlines/
+    // unicode is what's being proven lossless; the oracle reads parquet
+    "q82_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tmp = graft.io.Zones.tempDir(s"graft_jsonl_zone_${new java.io.File(dir).getName}")
+      graft.io.Zones.writeJsonl(docs, tmp)
+      graft.io.Zones.readJsonl(s, docs.schema, Seq(tmp))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          sum(length(col("text"))).cast("long").as("sum_text_len"),
+          countDistinct(col("doc_id")).as("n_ids"))
+        .orderBy("source")
+    }),
+
+    // one k-means (Lloyd) iteration: IVF assignment + exact quantized
+    // component means = refined centroids (the index-build step the q25
+    // IVF search assumes; iterate by feeding the output back)
+    "q83_kmeans_step" -> ((s, dir) =>
+      Similarity.lloydStep(Tables.embeddings(s, dir), "vec_id", "embedding", nCentroids = 8)),
+
+    // kNN majority-vote label prediction over embeddings — the
+    // label-propagation primitive (annotate the pool from its nearest
+    // labeled examples); ties → smaller label
+    "q84_knn_classify" -> ((s, dir) =>
+      Similarity.knnClassify(Tables.embeddings(s, dir), "vec_id", "embedding", "label",
+        nQueries = 25, k = 10)),
+
+    // robust per-lang length outliers: median/MAD flags (mean/stddev
+    // would let outliers drag their own threshold)
+    "q85_mad_outliers" -> ((s, dir) =>
+      Stats.madOutliers(Tables.documents(s, dir), "lang", "n_chars")),
+
+    // distinctive terms per source: add-one log-odds ratio with the
+    // Fightin'-Words variance, top-5 by z — "what does this source talk
+    // about that the rest don't"
+    "q86_logodds_terms" -> ((s, dir) =>
+      CorpusStats.logOddsTerms(Tables.documents(s, dir), "text", "source")),
+
+    // source-pair content-overlap matrix: exact Jaccard of hashed 3-gram
+    // sets — the corpus-level complement of q78's doc-level dup pairs
+    "q87_source_jaccard" -> ((s, dir) =>
+      CorpusStats.sourceNgramJaccard(Tables.documents(s, dir), "doc_id", "text", "source")),
+
+    // weekly retention cohorts over events: users by first-event Monday ×
+    // week offset — the triangular retention matrix
+    "q88_retention_cohorts" -> ((s, dir) =>
+      EventWindows.retentionCohorts(Tables.events(s, dir))),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -79,6 +79,27 @@ object Zones {
       .option("header", "true")
       .csv(path)
 
+  /** JSONL (newline-delimited JSON) sink — the interchange staple of LLM
+    * data pipelines (every open-data corpus ships as *.jsonl.zst). One
+    * JSON object per line, so the format splits at newlines and a 100 TB
+    * prefix scans with full input parallelism, unlike a single JSON array.
+    */
+  def writeJsonl(df: DataFrame, path: String, single: Boolean = false): Unit =
+    (if (single) df.coalesce(1) else df).write
+      .mode(SaveMode.Overwrite)
+      .json(path)
+
+  /** JSONL scan with an EXPLICIT schema — never infer on a fact table
+    * (inference is a second full scan, and a late malformed line would
+    * silently widen a column to string). Malformed lines null out and are
+    * droppable by the caller, mirroring [[readCsv]].
+    */
+  def readJsonl(spark: SparkSession, schema: StructType, paths: Seq[String]): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .json(paths: _*)
+
   def readParquet(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
   def writeParquet(df: DataFrame, path: String): Unit =

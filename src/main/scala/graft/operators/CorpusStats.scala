@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -90,5 +90,110 @@ object CorpusStats {
         col("n_bigrams"),
         round(col("_slp").cast("double") / col("n_bigrams") / 1000000.0, 6).as("mean_logprob"))
       .orderBy("doc_id")
+  }
+
+  /** Distinctive terms per group (source) by log-odds ratio with add-one
+    * smoothing and the Monroe et al. (2008, "Fightin' Words") variance —
+    * z = δ / √σ², δ = ln-odds(term in group) − ln-odds(term in rest).
+    * The "what does this source talk about that others don't" readout a
+    * mixing team reads per ingest source; raw counts would surface "the",
+    * tf-idf (q43) is per-DOC — this contrasts a group against the rest of
+    * the corpus with a significance weight.
+    *
+    * Determinism: every ln argument is a ratio of exact integers (IEEE
+    * division, bit-identical cross-engine) and each ln is quantized to a
+    * 1e-6 integer BEFORE the subtraction (q72 discipline — ln is the only
+    * libm call, Spark `log` ≡ DuckDB `ln` on identical doubles); the
+    * variance term is reciprocal sums of integers (pure IEEE ops). Scale
+    * shape: one word explode → hash-agg keyed (group, word); group and
+    * corpus totals DERIVE from that relation (one exchange, reused); the
+    * top-k filter is a rank over per-group word rows — Spark inserts a
+    * map-side WindowGroupLimit, so only ~k·partitions rows reach the
+    * window sort (the q73 plan shape).
+    */
+  def logOddsTerms(
+      docs: DataFrame,
+      textCol: String,
+      groupCol: String,
+      topK: Int = 5): DataFrame = {
+    val wc = docs
+      .select(col(groupCol).as("grp"), explode(split(col(textCol), " ", -1)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("grp", "w")
+      .agg(count(lit(1)).as("y"))
+    // corpus-wide totals derive from wc: per-word, per-group, vocabulary
+    val wTot = wc.groupBy("w").agg(sum(col("y")).as("yw"))
+    val gTot = wc.groupBy("grp").agg(sum(col("y")).as("ng"))
+    val nAll = wc.agg(
+      sum(col("y")).as("nn"),
+      countDistinct(col("w")).as("vv"))
+    val qln: Column => Column = x => round(log(x) * 1000000, 0).cast("long")
+    val scored = wc
+      .join(wTot, "w")
+      .join(broadcast(gTot), "grp")
+      .crossJoin(broadcast(nAll))
+      .withColumn("yRest", col("yw") - col("y"))
+      .withColumn("nRest", col("nn") - col("ng"))
+      // add-one prior: +1 per word, +V on the group total
+      .withColumn(
+        "deltaQ",
+        qln((col("y") + 1).cast("double") / (col("ng") + col("vv") - col("y") - 1).cast("double"))
+          - qln((col("yRest") + 1).cast("double") / (col("nRest") + col("vv") - col("yRest") - 1).cast("double")))
+      .withColumn(
+        "sigma2",
+        lit(1.0) / (col("y") + 1).cast("double") + lit(1.0) / (col("yRest") + 1).cast("double"))
+      .withColumn("z", round(col("deltaQ").cast("double") / 1000000.0 / sqrt(col("sigma2")), 6))
+    val w = Window.partitionBy("grp").orderBy(col("z").desc, col("w"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("grp").as(groupCol), col("rk"), col("w").as("term"), col("y").as("n_occurrences"), col("z"))
+      .orderBy(groupCol, "rk")
+  }
+
+  /** Source-pair content-overlap matrix: exact Jaccard similarity of the
+    * word n-gram SETS of every pair of sources — the corpus-level
+    * complement of q78's doc-level cross-source dup pairs ("how much of
+    * source A's content space does source B share"), the number a mixing
+    * team reads before deciding two crawls are redundant.
+    *
+    * Scale shape: grams hash to 48-bit keys at the explode (8-byte rows,
+    * q71 discipline), distinct per source (hash-agg with map-side partial
+    * collapse of Zipf-hot grams), then ONE self-equi-join on the gram key
+    * — Σ per-gram (sources sharing it)², never |grams_A|·|grams_B|; set
+    * sizes derive from the same distinct relation (exchange reused).
+    * Output is (#sources choose 2) rows — bounded.
+    */
+  def sourceNgramJaccard(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      srcCol: String,
+      n: Int = 3): DataFrame = {
+    // spread on the doc id, NOT the handful-valued source column (a
+    // repartition keyed by 5 sources would collapse the corpus onto 5
+    // partitions before the most expensive stage)
+    val spread = Dedup.spreadByKey(
+      docs.select(col(idCol).as("_id"), col(srcCol).as("src"), col(textCol).as("_t")),
+      col("_id"))
+    val grams = spread
+      .select(col("src"), explode(graft.plans.WordShingles(col("_t"), n)).as("s"))
+      .select(col("src"), Dedup.md5Long(col("s"), 12).as("g"))
+      .distinct()
+    val sizes = grams.groupBy("src").agg(count(lit(1)).as("sz"))
+    val inter = grams.as("x")
+      .join(grams.as("y"), col("x.g") === col("y.g") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("source_x"), col("y.src").as("source_y"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+    inter
+      .join(broadcast(sizes.select(col("src").as("source_x"), col("sz").as("szx"))), "source_x")
+      .join(broadcast(sizes.select(col("src").as("source_y"), col("sz").as("szy"))), "source_y")
+      .select(
+        col("source_x"),
+        col("source_y"),
+        col("n_shared_grams"),
+        round(col("n_shared_grams").cast("double") /
+          (col("szx") + col("szy") - col("n_shared_grams")), 6).as("jaccard"))
+      .orderBy("source_x", "source_y")
   }
 }

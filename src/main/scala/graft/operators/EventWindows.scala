@@ -121,4 +121,33 @@ object EventWindows {
     }
     out.orderBy("step")
   }
+
+  /** Weekly retention cohorts: users grouped by the Monday of their FIRST
+    * event; for each (cohort, week offset), how many of that cohort were
+    * active — the triangular retention matrix behind every "wk-4
+    * retention" dashboard.
+    *
+    * Exactness: weeks via `date_trunc('week', ·)` (Monday-start in both
+    * Spark and DuckDB), offsets as exact day arithmetic on DATEs divided
+    * by 7 (both dates are week-truncated, so the difference is an exact
+    * multiple — no timezone or DST drift; sessions pin UTC). Scale shape:
+    * ONE shuffle keyed user_id serves the distinct (user, week) set AND
+    * the per-user min-week derivation from it (exchange reused); the
+    * cohort roll-up aggregates the per-(user, week) relation, orders of
+    * magnitude smaller than raw events. `countDistinct(user)` after a
+    * per-user reduction is exact and cheap — each (cohort, offset) group
+    * sees each user once by construction, so no expand-distinct blowup.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val uw = events
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    val first = uw.groupBy("user_id").agg(min(col("week")).as("cohort"))
+    uw.join(first, "user_id")
+      .groupBy(
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(col("week"), col("cohort")) / 7).cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
 }

@@ -91,6 +91,82 @@ object Similarity {
       .select(col("vid"), col("emb_d"), col("nrm"), col("best.cid").as("bucket"))
   }
 
+  /** One Lloyd (k-means) iteration over the embedding corpus: assign every
+    * vector to its max-cosine centroid ([[assignBuckets]], the IVF
+    * assignment), then emit the component-wise MEAN of each bucket as the
+    * refined centroid — the index-building step that turns the arbitrary
+    * seed centroids into actual cluster centers (iterate to taste; each
+    * iteration is this operator on the previous output).
+    *
+    * Exactness (q61 discipline): components quantize to 1e-6 integers and
+    * sum as longs — the mean is aggregation-order-invariant, so the result
+    * hash-matches any engine regardless of partitioning. Scale shape: the
+    * assignment is |N|·|centroids| broadcast dot products (no shuffle),
+    * then ONE hash aggregation keyed (bucket, pos) — |N|·dim skinny rows
+    * with map-side partial aggregation; output is |centroids|·dim rows,
+    * bounded.
+    */
+  def lloydStep(emb: DataFrame, idCol: String, embCol: String, nCentroids: Int): DataFrame =
+    assignBuckets(emb, idCol, embCol, nCentroids)
+      .select(col("bucket"), posexplode(col("emb_d")).as(Seq("pos", "v")))
+      .groupBy("bucket", "pos")
+      .agg(
+        sum(round(col("v").cast("double") * 1000000, 0).cast("long")).as("sq"),
+        count(lit(1)).as("n_members"))
+      .select(
+        col("bucket").as("cent_id"),
+        col("pos").cast("long").as("pos"),
+        col("n_members"),
+        round(col("sq").cast("double") / (col("n_members") * 1000000.0), 6).as("mean_val"))
+      .orderBy("cent_id", "pos")
+
+  /** kNN majority-vote classification: for each query vector (`id <
+    * nQueries`), find its k max-cosine neighbors in the corpus and predict
+    * the label most common among them (ties → smaller label). The
+    * label-propagation / weak-annotation primitive of an embedding
+    * pipeline ("label my unlabeled pool from its nearest labeled
+    * examples").
+    *
+    * Scale shape: the bounded query set broadcasts against the corpus
+    * scan ([[bruteForceTopK]] shape — labels ride the candidate side, so
+    * no post-hoc join back to the corpus); the vote is a hash aggregation
+    * over the nQueries·k ranked rows with the argmax as `max(struct)`,
+    * not a second window. Swap the candidate generation for the IVF path
+    * when the corpus is indexed ([[ivfTopK]]); the vote is unchanged.
+    */
+  def knnClassify(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      labelCol: String,
+      nQueries: Int,
+      k: Int): DataFrame = {
+    val v = withNorm(emb, embCol)
+      .select(col(idCol).as("cand_id"), col(labelCol).as("cand_label"), col("emb_d"), col("nrm"))
+    val q = withNorm(emb, embCol)
+      .filter(col(idCol) < nQueries)
+      .select(col(idCol).as("query_id"), col("emb_d").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
+    v.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("qn"), col("emb_d"), col("nrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy("query_id", "cand_label")
+      .agg(count(lit(1)).as("n_votes"), max(col("sim")).as("top_sim"))
+      .groupBy("query_id")
+      .agg(max(struct(
+        col("n_votes"),
+        (-col("cand_label")).cast("long").as("neg"),
+        col("cand_label").cast("long").as("lbl"),
+        col("top_sim").as("ts"))).as("best"))
+      .select(
+        col("query_id"),
+        col("best.lbl").as("pred_label"),
+        col("best.n_votes").as("n_votes"),
+        col("best.ts").as("top_sim"))
+      .orderBy("query_id")
+  }
+
   /** IVF-bucketed ANN: each query searches its `multiProbe` nearest
     * centroids' buckets (default 1 = classic IVF). Multi-probe is the
     * standard recall/skew lever: a query sitting on a Voronoi boundary

@@ -54,4 +54,48 @@ object Stats {
     df.groupBy(length(col(textCol)).cast("long").as("len"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("len"))
+
+  /** Robust per-group outlier profile via median/MAD — the length-filter
+    * calibration a curation pipeline runs before cutting "too short / too
+    * long" docs (mean/stddev would let the outliers drag their own
+    * threshold; median/MAD is breakdown-point-0.5 robust). A value is an
+    * outlier when |x − median| > `cut`·MAD; with MAD = 0 (over half the
+    * group identical) any deviation at all is flagged, which is the
+    * convention that degrades gracefully instead of dividing by zero.
+    *
+    * Exactness: `valCol` is integer, so the interpolating median and MAD
+    * land on exact .0/.5/.25 binary fractions and the `>` comparison is
+    * deterministic across engines (`percentile` ≡ pandas/DuckDB
+    * `quantile_cont`, the q01 parity). Scale shape: three passes over the
+    * fact (median → deviation median → flag count), each a hash
+    * aggregation with the tiny per-group stats relation BROADCAST back —
+    * the exact-MAD lower bound (the flag threshold doesn't exist until
+    * pass 2 ends). At 100 TB swap `percentile` for `approx_percentile`:
+    * one sketch pass computes both quantiles and drops a scan.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valCol: String, cut: Double = 3.0): DataFrame = {
+    val med = df
+      .groupBy(col(groupCol))
+      .agg(expr(s"percentile(`$valCol`, 0.5D)").as("med"))
+    val dev = df
+      .join(broadcast(med), groupCol)
+      .withColumn("adev", abs(col(valCol).cast("double") - col("med")))
+    val stats = dev
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        first(col("med")).as("_med"), // constant within the group
+        expr("percentile(adev, 0.5D)").as("mad"))
+      .select(
+        col(groupCol),
+        col("n_rows"),
+        round(col("_med"), 6).as("median_val"),
+        round(col("mad"), 6).as("mad"))
+    dev
+      .select(col(groupCol), col("adev"))
+      .join(broadcast(stats), groupCol)
+      .groupBy(col(groupCol), col("n_rows"), col("median_val"), col("mad"))
+      .agg(sum(when(col("adev") > col("mad") * cut, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(groupCol)
+  }
 }

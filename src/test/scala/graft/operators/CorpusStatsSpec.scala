@@ -54,6 +54,35 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got(1L) === (3L, 0.0))
   }
 
+  test("log-odds terms: a group-exclusive word tops its group with positive z") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "g1"),
+      (2L, "alpha beta xonly", "g1"),
+      (3L, "alpha beta gamma", "g2"),
+      (4L, "alpha beta delta", "g2")
+    ).toDF("doc_id", "text", "source")
+    val got = CorpusStats.logOddsTerms(docs, "text", "source", topK = 2)
+      .as[(String, Long, String, Long, Double)].collect().toSeq
+    val byGroup = got.groupBy(_._1)
+    assert(byGroup("g1").head === (("g1", 1L, "xonly", 1L, byGroup("g1").head._5)))
+    assert(byGroup("g1").head._5 > 0.0)
+    assert(byGroup("g2").head._3 === "delta")
+    assert(got.forall(_._2 <= 2L))
+  }
+
+  test("source n-gram Jaccard: shared shingle sets give exact ratios; short texts shingle whole") {
+    // A: {"a b c","b c d"}; B: {"a b c"}; inter 1, union 2 → 0.5
+    // C: single word → whole-text shingle {"zz"}, shares nothing → no row
+    val docs = Seq(
+      (1L, "a b c d", "A"),
+      (2L, "a b c", "B"),
+      (3L, "zz", "C")
+    ).toDF("doc_id", "text", "source")
+    val got = CorpusStats.sourceNgramJaccard(docs, "doc_id", "text", "source")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got === Seq(("A", "B", 1L, 0.5)))
+  }
+
   implicit private class Rows[V](rows: Array[(Long, Long, V)]) {
     def toMap2: Map[Long, (Long, V)] = rows.map { case (a, b, v) => a -> ((b, v)) }.toMap
   }

@@ -40,4 +40,23 @@ class SessionizeSpec extends AnyFunSuite {
     assert(ours === builtin)
     assert(ours.nonEmpty)
   }
+
+  test("retention cohorts: Monday-start weeks, offsets from the user's first week") {
+    import org.apache.spark.sql.functions.to_timestamp
+    // 2024-01-01 is a Monday. u1: weeks 0 and 1 of cohort 01-01;
+    // u2: one event in the week of 01-08; u3: two events same week → one active row
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00"),
+      (1L, "2024-01-10 09:00:00"),
+      (2L, "2024-01-09 12:00:00"),
+      (3L, "2024-01-02 08:00:00"),
+      (3L, "2024-01-03 08:00:00")
+    ).toDF("user_id", "s").withColumn("ts", to_timestamp($"s"))
+    val got = EventWindows.retentionCohorts(events)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("2024-01-01", 0L, 2L), // u1 + u3 active in their cohort week
+      ("2024-01-01", 1L, 1L), // u1 returns the next week
+      ("2024-01-08", 0L, 1L)))
+  }
 }

@@ -136,4 +136,31 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSeq
     assert(got === Seq((10L, 1L, 1.0), (12L, 1L, 1.0)))
   }
+
+  test("Lloyd step: bucket means are the exact quantized component averages") {
+    // centroids 0=(1,0), 1≈(0.9,0.1): vec0→c0; vecs 1,2,3→c1 (cosine argmax)
+    // c1 mean = ((0.9+0−1)/3, (0.1+1+0)/3) with float→double quantization
+    val got = Similarity.lloydStep(emb, "vec_id", "embedding", nCentroids = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (0L, 0L, 1L, 1.0), (0L, 1L, 1L, 0.0),
+      (1L, 0L, 3L, -0.033333), (1L, 1L, 3L, 0.366667)))
+  }
+
+  test("kNN vote: majority label wins; vote ties break to the smaller label") {
+    val labeled = Seq(
+      (0L, Seq(1.0f, 0.0f), 9),
+      (1L, Seq(0.9f, 0.1f), 7),  // rank 1 from vec 0
+      (2L, Seq(0.0f, 1.0f), 5),  // rank 2
+      (3L, Seq(-1.0f, 0.0f), 5)  // rank 3
+    ).toDF("vec_id", "embedding", "label")
+    // k=3: labels {7, 5, 5} → 5 by majority
+    val maj = Similarity.knnClassify(labeled, "vec_id", "embedding", "label", nQueries = 1, k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(maj.map(r => (r._1, r._2, r._3)) === Seq((0L, 5L, 2L)))
+    // k=2: labels {7, 5} → one vote each, tie → smaller label 5
+    val tie = Similarity.knnClassify(labeled, "vec_id", "embedding", "label", nQueries = 1, k = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(tie.map(r => (r._1, r._2, r._3)) === Seq((0L, 5L, 1L)))
+  }
 }

@@ -42,4 +42,16 @@ class StatsSpec extends AnyFunSuite {
     val got = Stats.lengthFrequencies(df, "txt").as[(Long, Long)].collect().toSeq
     assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (6L, 1L)))
   }
+
+  test("madOutliers: robust flags; MAD=0 group flags any deviation at all") {
+    // a: median 3, adevs {2,1,0,1,97}, MAD 1 → only 97 exceeds 3·MAD
+    // b: >half identical → MAD 0 → the single deviating row is flagged
+    val vals = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 100L),
+      ("b", 5L), ("b", 5L), ("b", 5L), ("b", 9L)
+    ).toDF("grp", "v")
+    val got = Stats.madOutliers(vals, "grp", "v")
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    assert(got === Seq(("a", 5L, 3.0, 1.0, 1L), ("b", 4L, 5.0, 0.0, 1L)))
+  }
 }
