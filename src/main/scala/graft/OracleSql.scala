@@ -1276,6 +1276,39 @@ object OracleSql {
         |FROM i JOIN sz sx ON sx.source = source_x JOIN sz sy ON sy.source = source_y
         |ORDER BY source_x, source_y""".stripMargin,
 
+    // A-ES weighted sample: ln(u)/w keys quantized to 1e-6 integers; the
+    // md5 uniform and quality weight are both engine-portable.
+    "q89_weighted_sample" ->
+      s"""WITH $qualityCte,
+         |k AS (
+         |  SELECT lang, doc_id, quality,
+         |         CAST(round(ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1)
+         |                       / 281474976710656.0)
+         |                    / quality * 1000000) AS BIGINT) AS skey
+         |  FROM qs
+         |), r AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY skey DESC, doc_id) AS BIGINT) AS rk
+         |  FROM k
+         |)
+         |SELECT lang, rk, doc_id, quality, skey FROM r WHERE rk <= 5
+         |ORDER BY lang, rk""".stripMargin,
+
+    // Word-distribution entropy: per-term y·ln(y) quantized to 1e-6
+    // integers, summed exactly; H = ln(n) − Σ/1e6/n.
+    "q90_source_entropy" ->
+      """WITH wr AS (
+        |  SELECT source AS grp, unnest(string_split(text, ' ')) AS w FROM documents
+        |), wc AS (
+        |  SELECT grp, w, count(*) AS y FROM wr WHERE length(w) > 0 GROUP BY 1, 2
+        |), s AS (
+        |  SELECT grp, CAST(sum(y) AS BIGINT) AS n_tokens, count(*) AS n_vocab,
+        |         CAST(sum(CAST(round(CAST(y AS DOUBLE) * ln(CAST(y AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS st
+        |  FROM wc GROUP BY 1
+        |)
+        |SELECT grp AS source, n_tokens, n_vocab,
+        |       round(ln(CAST(n_tokens AS DOUBLE)) - CAST(st AS DOUBLE) / 1000000.0 / CAST(n_tokens AS DOUBLE), 6) AS entropy_nats
+        |FROM s ORDER BY source""".stripMargin,
+
     // Weekly retention cohorts: Monday-start weeks in both engines; the
     // offset is exact day arithmetic on week-truncated dates.
     "q88_retention_cohorts" ->

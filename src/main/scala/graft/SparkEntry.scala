@@ -980,6 +980,25 @@ object SparkEntry {
     "q88_retention_cohorts" -> ((s, dir) =>
       EventWindows.retentionCohorts(Tables.events(s, dir))),
 
+    // deterministic WEIGHTED sampling (Efraimidis–Spirakis A-ES): key =
+    // ln(u)/w with md5-uniform u and quality weight w; top-5 keys per
+    // lang = a quality-biased sample reproducible across engines/runs
+    // (the md5 twin of weighted reservoir sampling; key quantized to a
+    // 1e-6 integer, q72 ln discipline). Map-side WindowGroupLimit keeps
+    // the rank filter off the shuffle.
+    "q89_weighted_sample" -> ((s, dir) =>
+      ops.Sampling.weightedTopKPerGroup(
+        TextFunctions.withQualityColumns(Tables.documents(s, dir), "text")
+          .select(col("doc_id"), col("lang"), col("quality")),
+        "doc_id", "quality", "lang", k = 5)
+        .select(col("lang"), col("rk"), col("doc_id"), col("quality"), col("skey"))
+        .orderBy("lang", "rk")),
+
+    // per-source word-distribution Shannon entropy — the diversity
+    // readout separating templated/boilerplate sources from genuine text
+    "q90_source_entropy" -> ((s, dir) =>
+      CorpusStats.wordEntropy(Tables.documents(s, dir), "text", "source")),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -151,6 +151,42 @@ object CorpusStats {
       .orderBy(groupCol, "rk")
   }
 
+  /** Per-group Shannon entropy of the word distribution (nats) — the
+    * diversity readout that separates a templated/boilerplate source
+    * (entropy ≪ ln vocab) from genuine text BEFORE near-dup pays for
+    * pairwise comparisons. H = ln n − (Σ_w y_w ln y_w)/n over term
+    * frequencies y_w.
+    *
+    * Determinism: each y·ln(y) term is quantized to a 1e-6 integer and
+    * summed exactly (q72 discipline — partition-order-invariant, `ln`
+    * bit-matches across engines on identical doubles); the closing
+    * ln(n) − Σ/1e6/n is a fixed IEEE op sequence, rounded to 6. Scale
+    * shape: one word explode → hash-agg keyed (group, word) with
+    * map-side collapse of Zipf-hot terms → per-group roll-up; no windows,
+    * no joins.
+    */
+  def wordEntropy(docs: DataFrame, textCol: String, groupCol: String): DataFrame =
+    docs
+      .select(col(groupCol).as("grp"), explode(split(col(textCol), " ", -1)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("grp", "w")
+      .agg(count(lit(1)).as("y"))
+      .withColumn("t", round(col("y").cast("double") * log(col("y").cast("double")) * 1000000, 0).cast("long"))
+      .groupBy("grp")
+      .agg(
+        sum(col("y")).as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        sum(col("t")).as("_st"))
+      .select(
+        col("grp").as(groupCol),
+        col("n_tokens"),
+        col("n_vocab"),
+        round(
+          log(col("n_tokens").cast("double"))
+            - col("_st").cast("double") / 1000000.0 / col("n_tokens").cast("double"),
+          6).as("entropy_nats"))
+      .orderBy(groupCol)
+
   /** Source-pair content-overlap matrix: exact Jaccard similarity of the
     * word n-gram SETS of every pair of sources — the corpus-level
     * complement of q78's doc-level cross-source dup pairs ("how much of
@@ -158,11 +194,14 @@ object CorpusStats {
     * team reads before deciding two crawls are redundant.
     *
     * Scale shape: grams hash to 48-bit keys at the explode (8-byte rows,
-    * q71 discipline), distinct per source (hash-agg with map-side partial
-    * collapse of Zipf-hot grams), then ONE self-equi-join on the gram key
-    * — Σ per-gram (sources sharing it)², never |grams_A|·|grams_B|; set
-    * sizes derive from the same distinct relation (exchange reused).
-    * Output is (#sources choose 2) rows — bounded.
+    * q71 discipline), then ONE shuffle keyed on the gram — `collect_set`
+    * of sources is bounded by the source count, so the hottest Zipf gram
+    * costs the same as any other key (no skew lever needed). Source pairs
+    * are generated MAP-SIDE from each gram's sorted source set (the q45
+    * PMI pattern — a gram-key self-join would re-exchange the full gram
+    * relation twice for the same Σ-pairs output); set sizes derive from
+    * the same aggregate (exchange reused). Output is (#sources choose 2)
+    * rows — bounded.
     */
   def sourceNgramJaccard(
       docs: DataFrame,
@@ -176,14 +215,27 @@ object CorpusStats {
     val spread = Dedup.spreadByKey(
       docs.select(col(idCol).as("_id"), col(srcCol).as("src"), col(textCol).as("_t")),
       col("_id"))
-    val grams = spread
+    val perGram = spread
       .select(col("src"), explode(graft.plans.WordShingles(col("_t"), n)).as("s"))
       .select(col("src"), Dedup.md5Long(col("s"), 12).as("g"))
-      .distinct()
-    val sizes = grams.groupBy("src").agg(count(lit(1)).as("sz"))
-    val inter = grams.as("x")
-      .join(grams.as("y"), col("x.g") === col("y.g") && col("x.src") < col("y.src"))
-      .groupBy(col("x.src").as("source_x"), col("y.src").as("source_y"))
+      .groupBy("g")
+      .agg(sort_array(collect_set(col("src"))).as("srcs"))
+    val sizes = perGram
+      .select(explode(col("srcs")).as("src"))
+      .groupBy("src")
+      .agg(count(lit(1)).as("sz"))
+    // ordered pairs of each gram's (sorted, bounded) source set, built in
+    // the projection — the array lambdas run per gram row over ≤|sources|
+    // elements, and single-source grams contribute nothing
+    val combos = flatten(transform(
+      col("srcs"),
+      (x, i) => transform(
+        slice(col("srcs"), i + 2, size(col("srcs"))),
+        y => struct(x.as("source_x"), y.as("source_y")))))
+    val inter = perGram
+      .filter(size(col("srcs")) > 1)
+      .select(explode(combos).as("p"))
+      .groupBy(col("p.source_x").as("source_x"), col("p.source_y").as("source_y"))
       .agg(count(lit(1)).as("n_shared_grams"))
     inter
       .join(broadcast(sizes.select(col("src").as("source_x"), col("sz").as("szx"))), "source_x")

@@ -19,6 +19,9 @@ class PlanGuardSpec extends AnyFunSuite {
     *   - q43/q45: the 1-row corpus-count aggregate (IDF / PMI denominator)
     *   - q72: the 1-row corpus-token-total aggregate (LM denominator)
     *   - q68: the 1-row global-min language-count aggregate
+    *   - q83: the centroid set (Lloyd assignment, |C| = nCentroids)
+    *   - q84: the query set (kNN vote, |Q| = nQueries)
+    *   - q86: the 1-row (corpus total, vocab size) aggregate
     */
   private val boundedNlj = Set(
     "q10_class_weights",
@@ -29,7 +32,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q43_tfidf_terms",
     "q45_pmi_cooccurrence",
     "q50_embed_multiprobe",
-    "q72_unigram_logprob")
+    "q72_unigram_logprob",
+    "q83_kmeans_step",
+    "q84_knn_classify",
+    "q86_logodds_terms")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
@@ -48,12 +54,20 @@ class PlanGuardSpec extends AnyFunSuite {
       s"unexpected NLJ in ${withNlj -- boundedNlj}; vanished from ${boundedNlj -- withNlj}")
   }
 
-  test("q73's rank filter is pushed to a map-side WindowGroupLimit") {
-    // The per-group sample must keep only local top-K per map task BEFORE
+  test("rank filters plan as map-side WindowGroupLimits") {
+    // The per-group top-k must keep only local top-K per map task BEFORE
     // the shuffle — without WindowGroupLimit, a 10^8-doc language would
     // funnel every row into one window partition.
-    val p = planOf("q73_group_sample")
-    assert(p.contains("WindowGroupLimit"), "rank-filter pushdown vanished from q73")
+    Seq("q73_group_sample", "q86_logodds_terms", "q89_weighted_sample").foreach { name =>
+      assert(planOf(name).contains("WindowGroupLimit"), s"rank-filter pushdown vanished from $name")
+    }
+  }
+
+  test("q87's source-pair generation is join-free (map-side combos, one gram agg)") {
+    // The Σ-pairs output must come from per-gram array lambdas, not a
+    // gram-key self-join that re-exchanges the full gram relation twice.
+    val p = planOf("q87_source_jaccard")
+    assert(!p.contains("SortMergeJoin"), s"q87 regressed to a self-join:\n$p")
   }
 
   test("no query plan evaluates Python or interpreted UDF-like stages") {

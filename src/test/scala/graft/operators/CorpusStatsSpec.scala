@@ -70,6 +70,23 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got.forall(_._2 <= 2L))
   }
 
+  test("word entropy: uniform distribution gives ln(vocab); constant text gives zero") {
+    val docs = Seq(
+      (1L, "a b c d", "uniform"),   // 4 words once each → H = ln 4
+      (2L, "x x x x", "constant")   // one word → H = 0
+    ).toDF("doc_id", "text", "source")
+    val got = CorpusStats.wordEntropy(docs, "text", "source")
+      .as[(String, Long, Long, Double)].collect().toMap2k
+    assert(got("constant") === ((4L, 1L, 0.0)))
+    assert(got("uniform")._1 === 4L && got("uniform")._2 === 4L)
+    assert(math.abs(got("uniform")._3 - math.log(4)) < 1e-5)
+  }
+
+  implicit private class Rows3[V](rows: Array[(String, Long, Long, V)]) {
+    def toMap2k: Map[String, (Long, Long, V)] =
+      rows.map { case (k, a, b, v) => k -> ((a, b, v)) }.toMap
+  }
+
   test("source n-gram Jaccard: shared shingle sets give exact ratios; short texts shingle whole") {
     // A: {"a b c","b c d"}; B: {"a b c"}; inter 1, union 2 → 0.5
     // C: single word → whole-text shingle {"zz"}, shares nothing → no row
