@@ -1309,6 +1309,40 @@ object OracleSql {
         |       round(ln(CAST(n_tokens AS DOUBLE)) - CAST(st AS DOUBLE) / 1000000.0 / CAST(n_tokens AS DOUBLE), 6) AS entropy_nats
         |FROM s ORDER BY source""".stripMargin,
 
+    // Char-shingle decontamination: stride-1 32-char windows hashed to
+    // 48-bit keys; substr past the end yields the prefix in both engines.
+    "q91_char_decontam" ->
+      """WITH cs AS (
+        |  SELECT doc_id, source,
+        |         CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS sk
+        |  FROM (
+        |    SELECT doc_id, source,
+        |           unnest([substr(text, i, 32)
+        |                   for i in range(1, greatest(length(text) - 31, 1) + 1)]) AS s
+        |    FROM documents WHERE text IS NOT NULL)
+        |), eg AS (SELECT DISTINCT sk FROM cs WHERE source = 'src0'),
+        |tg AS (SELECT DISTINCT doc_id, sk FROM cs WHERE source <> 'src0')
+        |SELECT tg.doc_id, count(*) AS n_shared_windows
+        |FROM tg JOIN eg USING (sk)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Dedup × quality: per quality decile, docs and cluster-loser counts
+    // (losers via the recursive-CTE reachability chain, q32's rule).
+    "q92_dedup_quality" ->
+      s"""WITH RECURSIVE ${minhashChain("documents")},
+         |$ccLosersChain,
+         |$qualityCte,
+         |dd AS (
+         |  SELECT d.doc_id, least(CAST(floor(qs.quality * 10) AS BIGINT), 9) AS decile,
+         |         CASE WHEN EXISTS (SELECT 1 FROM losers l WHERE l.doc_b = d.doc_id)
+         |              THEN 1 ELSE 0 END AS lost
+         |  FROM documents d JOIN qs ON qs.doc_id = d.doc_id
+         |)
+         |SELECT decile, count(*) AS n_docs,
+         |       CAST(sum(lost) AS BIGINT) AS n_removed,
+         |       round(CAST(sum(lost) AS DOUBLE) / count(*), 6) AS removal_rate
+         |FROM dd GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Weekly retention cohorts: Monday-start weeks in both engines; the
     // offset is exact day arithmetic on week-truncated dates.
     "q88_retention_cohorts" ->

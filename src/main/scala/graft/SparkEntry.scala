@@ -999,6 +999,40 @@ object SparkEntry {
     "q90_source_entropy" -> ((s, dir) =>
       CorpusStats.wordEntropy(Tables.documents(s, dir), "text", "source")),
 
+    // character-level exact decontamination: train docs sharing any
+    // 32-char sliding window with the eval set (source src0) — catches
+    // leakage that word 5-grams (q74) miss when only tokenization differs
+    "q91_char_decontam" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.charShingleContamination(
+        d.filter(col("source") === "src0").select(col("doc_id"), col("text")),
+        d.filter(col("source") =!= "src0").select(col("doc_id"), col("text")),
+        "doc_id", "text")
+    }),
+
+    // dedup × quality interplay: which quality deciles do the near-dup
+    // LOSERS concentrate in — the readout that tells a curation team
+    // whether dedup is eating boilerplate (low deciles) or real content
+    "q92_dedup_quality" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val losers = Dedup.clusterLosers(
+        Dedup.minhashCandidates(d, "doc_id", "text").select("doc_a", "doc_b"))
+        .select(col("node").as("doc_id"), lit(1L).as("lost"))
+      TextFunctions.withQualityColumns(d, "text")
+        .select(col("doc_id"), least(floor(col("quality") * 10), lit(9L)).as("decile"))
+        .join(losers, Seq("doc_id"), "left")
+        .groupBy("decile")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(coalesce(col("lost"), lit(0L))).as("n_removed"))
+        .select(
+          col("decile"),
+          col("n_docs"),
+          col("n_removed"),
+          round(col("n_removed").cast("double") / col("n_docs"), 6).as("removal_rate"))
+        .orderBy("decile")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

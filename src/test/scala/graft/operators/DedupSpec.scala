@@ -197,6 +197,29 @@ class DedupSpec extends AnyFunSuite {
     assert(est.values.forall(e => e >= 0.0 && e <= 1.0))
   }
 
+  test("char-shingle decontamination counts exactly the shared 32-char windows") {
+    val evalText = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEF" // 42 chars
+    val eval = Seq((1L, evalText)).toDF("doc_id", "text")
+    val train = Seq(
+      // embeds chars 5..39 of the eval text (a 35-char verbatim span →
+      // 35−31 = 4 shared windows), wrapped in foreign context
+      (10L, "XX" + evalText.substring(5, 40) + "YY"),
+      (11L, "completely different content with no shared span present here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.charShingleContamination(eval, train, "doc_id", "text")
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((10L, 4L)))
+  }
+
+  test("char-shingle decontamination: short texts fall back to whole-text windows") {
+    val eval  = Seq((1L, "tiny")).toDF("doc_id", "text")
+    val train = Seq((10L, "tiny"), (11L, "tinyx")).toDF("doc_id", "text")
+    val got = Dedup.charShingleContamination(eval, train, "doc_id", "text")
+      .as[(Long, Long)].collect().toSeq
+    // only the EXACT short text matches ("tinyx"'s single window is itself)
+    assert(got === Seq((10L, 1L)))
+  }
+
   implicit private class Pairs[V](rows: Array[(Long, Long, V)]) {
     def toMap2: Map[(Long, Long), V] = rows.map { case (a, b, v) => (a, b) -> v }.toMap
   }
