@@ -1309,19 +1309,24 @@ object OracleSql {
         |       round(ln(CAST(n_tokens AS DOUBLE)) - CAST(st AS DOUBLE) / 1000000.0 / CAST(n_tokens AS DOUBLE), 6) AS entropy_nats
         |FROM s ORDER BY source""".stripMargin,
 
-    // Char-shingle decontamination: stride-1 32-char windows hashed to
-    // 48-bit keys; substr past the end yields the prefix in both engines.
+    // Char-shingle decontamination: eval windows at every position,
+    // train windows every 16th (spans >= 47 chars always detected);
+    // substr past the end yields the prefix in both engines.
     "q91_char_decontam" ->
-      """WITH cs AS (
-        |  SELECT doc_id, source,
-        |         CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS sk
+      """WITH eg AS (
+        |  SELECT DISTINCT CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS sk
         |  FROM (
-        |    SELECT doc_id, source,
-        |           unnest([substr(text, i, 32)
+        |    SELECT unnest([substr(text, i, 32)
         |                   for i in range(1, greatest(length(text) - 31, 1) + 1)]) AS s
-        |    FROM documents WHERE text IS NOT NULL)
-        |), eg AS (SELECT DISTINCT sk FROM cs WHERE source = 'src0'),
-        |tg AS (SELECT DISTINCT doc_id, sk FROM cs WHERE source <> 'src0')
+        |    FROM documents WHERE text IS NOT NULL AND source = 'src0')
+        |), tg AS (
+        |  SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS sk
+        |  FROM (
+        |    SELECT doc_id,
+        |           unnest([substr(text, i, 32)
+        |                   for i in range(1, greatest(length(text) - 31, 1) + 1, 16)]) AS s
+        |    FROM documents WHERE text IS NOT NULL AND source <> 'src0')
+        |)
         |SELECT tg.doc_id, count(*) AS n_shared_windows
         |FROM tg JOIN eg USING (sk)
         |GROUP BY 1 ORDER BY 1""".stripMargin,

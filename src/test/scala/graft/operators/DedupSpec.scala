@@ -206,9 +206,22 @@ class DedupSpec extends AnyFunSuite {
       (10L, "XX" + evalText.substring(5, 40) + "YY"),
       (11L, "completely different content with no shared span present here")
     ).toDF("doc_id", "text")
-    val got = Dedup.charShingleContamination(eval, train, "doc_id", "text")
+    val got = Dedup.charShingleContamination(eval, train, "doc_id", "text", trainStride = 1)
       .as[(Long, Long)].collect().toSeq
     assert(got === Seq((10L, 4L)))
+  }
+
+  test("char-shingle stride guarantee: a 47-char shared span is detected at every offset") {
+    // width 32, train stride 16 → any verbatim span ≥ 32+16−1 = 47 chars
+    // contains an aligned train window no matter where it starts.
+    val span = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJK" // 47+1 chars? use first 47
+    val eval = Seq((1L, span.take(47))).toDF("doc_id", "text")
+    val train = (0 until 20).map { off =>
+      (100L + off, ("Z" * off) + span.take(47) + ("Q" * 30))
+    }.toDF("doc_id", "text")
+    val flagged = Dedup.charShingleContamination(eval, train, "doc_id", "text")
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(flagged === (100L until 120L).toSet)
   }
 
   test("char-shingle decontamination: short texts fall back to whole-text windows") {
