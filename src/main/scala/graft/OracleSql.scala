@@ -1348,6 +1348,41 @@ object OracleSql {
          |       round(CAST(sum(lost) AS DOUBLE) / count(*), 6) AS removal_rate
          |FROM dd GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Zipf slope: quantized ln(rank)/ln(freq), HUGEINT regression algebra
+    // (mirrors Spark's decimal38), one rounded double division.
+    "q93_zipf_slope" ->
+      """WITH wr AS (
+        |  SELECT source AS grp, unnest(string_split(text, ' ')) AS w FROM documents
+        |), wc AS (
+        |  SELECT grp, w, count(*) AS y FROM wr WHERE length(w) > 0 GROUP BY 1, 2
+        |), r AS (
+        |  SELECT grp, y, row_number() OVER (PARTITION BY grp ORDER BY y DESC, w) AS rk
+        |  FROM wc
+        |), t AS (
+        |  SELECT grp,
+        |         CAST(round(ln(CAST(rk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+        |         CAST(round(ln(CAST(y AS DOUBLE)) * 1000000) AS BIGINT) AS yl
+        |  FROM r WHERE rk <= 500
+        |), s AS (
+        |  SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+        |         sum(CAST(x AS HUGEINT)) AS sx,
+        |         sum(CAST(yl AS HUGEINT)) AS sy,
+        |         sum(CAST(x AS HUGEINT) * CAST(yl AS HUGEINT)) AS sxy,
+        |         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+        |  FROM t GROUP BY 1
+        |)
+        |SELECT grp AS source, CAST(n AS BIGINT) AS n_terms,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+        |FROM s ORDER BY source""".stripMargin,
+
+    // IVF bucket-balance profile over the shared assignment CTE.
+    "q94_ivf_profile" ->
+      s"""$ivfAssignCte,
+         |c8 AS (SELECT bucket, count(*) AS n_vecs FROM asg GROUP BY 1)
+         |SELECT bucket, n_vecs,
+         |       round(CAST(n_vecs AS DOUBLE) / sum(n_vecs) OVER (), 6) AS frac
+         |FROM c8 ORDER BY bucket""".stripMargin,
+
     // Weekly retention cohorts: Monday-start weeks in both engines; the
     // offset is exact day arithmetic on week-truncated dates.
     "q88_retention_cohorts" ->

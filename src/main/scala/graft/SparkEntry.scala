@@ -1033,6 +1033,25 @@ object SparkEntry {
         .orderBy("decile")
     }),
 
+    // Zipf exponent per source: ln-freq vs ln-rank regression slope over
+    // the top-500 words — natural text ≈ −1; templated sources deviate
+    "q93_zipf_slope" -> ((s, dir) =>
+      CorpusStats.zipfSlope(Tables.documents(s, dir), "text", "source")),
+
+    // IVF index-balance profile: per-bucket population and share — the
+    // "is my ANN index balanced or does one Voronoi cell eat the corpus"
+    // readout before paying for a multi-probe search plan. The share
+    // window runs on the ≤nCentroids-row bucket relation only.
+    "q94_ivf_profile" -> ((s, dir) => {
+      val counts = Similarity.assignBuckets(Tables.embeddings(s, dir), "vec_id", "embedding", 8)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_vecs"))
+      counts
+        .withColumn("frac", round(col("n_vecs").cast("double") /
+          sum(col("n_vecs")).over(Window.partitionBy()), 6))
+        .orderBy("bucket")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

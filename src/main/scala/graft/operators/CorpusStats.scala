@@ -187,6 +187,54 @@ object CorpusStats {
           6).as("entropy_nats"))
       .orderBy(groupCol)
 
+  /** Zipf exponent per group: the least-squares slope of ln(frequency)
+    * against ln(rank) over the `topK` most frequent words — natural text
+    * sits near −1; templated, machine-generated, or heavily boilerplated
+    * sources flatten or steepen the curve, making this a one-number
+    * naturalness check per ingest source.
+    *
+    * Exactness: ln(rank) and ln(freq) quantize to 1e-6 integers (the only
+    * libm calls), then the regression runs entirely in decimal38 integer
+    * algebra (q54 discipline — n·Σxy − Σx·Σy over n·Σxx − Σx², exact and
+    * aggregation-order-invariant), one final double division rounded to 6.
+    * Scale shape: the (group, word) count relation feeds a per-group rank
+    * window whose `rk ≤ topK` filter plans as a map-side WindowGroupLimit
+    * (q73 shape), so the full vocabulary never sorts through one
+    * partition; the regression is a hash aggregation over group·topK rows.
+    */
+  def zipfSlope(
+      docs: DataFrame,
+      textCol: String,
+      groupCol: String,
+      topK: Int = 500): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val w = Window.partitionBy("grp").orderBy(col("y").desc, col("w"))
+    val qln: Column => Column = c => round(log(c.cast("double")) * 1000000, 0).cast("long")
+    docs
+      .select(col(groupCol).as("grp"), explode(split(col(textCol), " ", -1)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("grp", "w")
+      .agg(count(lit(1)).as("y"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("grp"), qln(col("rk")).as("x"), qln(col("y")).as("yl"))
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).cast(dec38).as("n"),
+        sum(col("x").cast(dec38)).as("sx"),
+        sum(col("yl").cast(dec38)).as("sy"),
+        sum((col("x") * col("yl")).cast(dec38)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec38)).as("sxx"))
+      .select(
+        col("grp").as(groupCol),
+        col("n").cast("long").as("n_terms"),
+        round(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+          6).as("zipf_slope"))
+      .orderBy(groupCol)
+  }
+
   /** Source-pair content-overlap matrix: exact Jaccard similarity of the
     * word n-gram SETS of every pair of sources — the corpus-level
     * complement of q78's doc-level cross-source dup pairs ("how much of

@@ -19,7 +19,7 @@ class PlanGuardSpec extends AnyFunSuite {
     *   - q43/q45: the 1-row corpus-count aggregate (IDF / PMI denominator)
     *   - q72: the 1-row corpus-token-total aggregate (LM denominator)
     *   - q68: the 1-row global-min language-count aggregate
-    *   - q83: the centroid set (Lloyd assignment, |C| = nCentroids)
+    *   - q83/q94: the centroid set (Lloyd assignment / bucket profile)
     *   - q84: the query set (kNN vote, |Q| = nQueries)
     *   - q86: the 1-row (corpus total, vocab size) aggregate
     */
@@ -35,7 +35,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q72_unigram_logprob",
     "q83_kmeans_step",
     "q84_knn_classify",
-    "q86_logodds_terms")
+    "q86_logodds_terms",
+    "q94_ivf_profile")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString

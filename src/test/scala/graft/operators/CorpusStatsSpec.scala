@@ -87,6 +87,19 @@ class CorpusStatsSpec extends AnyFunSuite {
       rows.map { case (k, a, b, v) => k -> ((a, b, v)) }.toMap
   }
 
+  test("zipf slope: an exactly 1/rank frequency profile regresses to -1") {
+    // counts 12, 6, 4, 3 = 12/rank → ln y = ln 12 − ln rank exactly,
+    // so the quantized regression slope is −1 up to 1e-6 rounding.
+    val words = Seq("aa" -> 12, "bb" -> 6, "cc" -> 4, "dd" -> 3)
+    val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val docs = Seq((1L, text, "z")).toDF("doc_id", "text", "source")
+    val got = CorpusStats.zipfSlope(docs, "text", "source")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got.length === 1)
+    assert(got.head._2 === 4L)
+    assert(math.abs(got.head._3 - (-1.0)) < 1e-4, s"slope was ${got.head._3}")
+  }
+
   test("source n-gram Jaccard: shared shingle sets give exact ratios; short texts shingle whole") {
     // A: {"a b c","b c d"}; B: {"a b c"}; inter 1, union 2 → 0.5
     // C: single word → whole-text shingle {"zz"}, shares nothing → no row
