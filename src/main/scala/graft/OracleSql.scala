@@ -1376,6 +1376,77 @@ object OracleSql {
         |FROM s ORDER BY source""".stripMargin,
 
     // IVF bucket-balance profile over the shared assignment CTE.
+    // Bloom decontamination: the oracle replays the EXACT semantics (the
+    // bloom is a prefilter whose false positives the confirm join kills,
+    // so it is invisible in the result); same shingle chain as q74.
+    "q96_bloom_decontam" ->
+      """WITH w AS (SELECT doc_id, text, source, string_split(text, ' ') AS ws FROM documents
+        |           WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, source, unnest(
+        |    CASE WHEN len(ws) >= 5
+        |         THEN [concat_ws(' ', ws[i+1], ws[i+2], ws[i+3], ws[i+4], ws[i+5])
+        |               for i in range(0, len(ws)-4)]
+        |         ELSE [text] END) AS s
+        |  FROM w
+        |), hg AS (
+        |  SELECT doc_id, source,
+        |         CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS sk
+        |  FROM g
+        |), eg AS (SELECT DISTINCT sk FROM hg WHERE source = 'src0'),
+        |tg AS (SELECT DISTINCT doc_id, sk FROM hg WHERE source <> 'src0'),
+        |hits AS (
+        |  SELECT tg.doc_id, count(*) AS nsg
+        |  FROM tg JOIN eg USING (sk) GROUP BY 1
+        |)
+        |SELECT d.source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN h.nsg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |       CAST(sum(coalesce(h.nsg, 0)) AS BIGINT) AS total_shared_grams,
+        |       round(CAST(sum(CASE WHEN h.nsg IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS contam_rate
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.source <> 'src0'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Gopher-rule battery: every rule an integer cross-multiplied
+    // comparison; list_filter/list_distinct mirror Spark's filter/
+    // array_distinct on the empties-kept single-space split.
+    "q95_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT source, text, string_split(text, ' ') AS w,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS sum_chars,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |                              x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |         CAST(list_max(list_transform(list_distinct(string_split(text, ' ')),
+        |                x -> len(list_filter(string_split(text, ' '), y -> y = x)))) AS BIGINT) AS max_rep,
+        |         CAST((length(concat(' ', text, ' ')) - length(replace(concat(' ', text, ' '), ' the ', ''))) // 5
+        |            + (length(concat(' ', text, ' ')) - length(replace(concat(' ', text, ' '), ' a ', ''))) // 3
+        |            + (length(concat(' ', text, ' ')) - length(replace(concat(' ', text, ' '), ' of ', ''))) // 4 AS BIGINT) AS n_stop
+        |  FROM documents WHERE text IS NOT NULL
+        |), f AS (
+        |  SELECT source,
+        |         (n_words BETWEEN 10 AND 100000) AS r_wordcount,
+        |         (sum_chars >= n_words * 3 AND sum_chars <= n_words * 10) AS r_meanlen,
+        |         (n_alpha * 5 >= n_words * 4) AS r_alpha,
+        |         (n_stop >= 2) AS r_stopwords,
+        |         (max_rep * 5 <= n_words) AS r_repetition,
+        |         (n_distinct * 10 >= n_words * 3) AS r_distinct
+        |  FROM d
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(CAST(r_wordcount AS BIGINT)) AS BIGINT) AS n_wordcount,
+        |       CAST(sum(CAST(r_meanlen AS BIGINT)) AS BIGINT) AS n_meanlen,
+        |       CAST(sum(CAST(r_alpha AS BIGINT)) AS BIGINT) AS n_alpha,
+        |       CAST(sum(CAST(r_stopwords AS BIGINT)) AS BIGINT) AS n_stopwords,
+        |       CAST(sum(CAST(r_repetition AS BIGINT)) AS BIGINT) AS n_repetition,
+        |       CAST(sum(CAST(r_distinct AS BIGINT)) AS BIGINT) AS n_distinct,
+        |       CAST(sum(CAST(r_wordcount AND r_meanlen AND r_alpha AND r_stopwords
+        |                AND r_repetition AND r_distinct AS BIGINT)) AS BIGINT) AS n_pass_all,
+        |       round(CAST(sum(CAST(r_wordcount AND r_meanlen AND r_alpha AND r_stopwords
+        |                      AND r_repetition AND r_distinct AS BIGINT)) AS DOUBLE) / count(*), 6) AS pass_rate
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
     "q94_ivf_profile" ->
       s"""$ivfAssignCte,
          |c8 AS (SELECT bucket, count(*) AS n_vecs FROM asg GROUP BY 1)

@@ -1052,6 +1052,53 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // Gopher-rule quality battery: per-source pass rates of the six
+    // MassiveText-style filters — the threshold-calibration readout a
+    // curation team inspects before committing a keep/drop rule; pure
+    // per-row map (no shuffle before the bounded per-source agg)
+    "q95_gopher_rules" -> ((s, dir) => {
+      val flagged = TextFunctions.gopherFlags(
+        Tables.documents(s, dir).filter(col("text").isNotNull), "text")
+      val allPass = col("r_wordcount") && col("r_meanlen") && col("r_alpha") &&
+        col("r_stopwords") && col("r_repetition") && col("r_distinct")
+      flagged
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("r_wordcount").cast("long")).as("n_wordcount"),
+          sum(col("r_meanlen").cast("long")).as("n_meanlen"),
+          sum(col("r_alpha").cast("long")).as("n_alpha"),
+          sum(col("r_stopwords").cast("long")).as("n_stopwords"),
+          sum(col("r_repetition").cast("long")).as("n_repetition"),
+          sum(col("r_distinct").cast("long")).as("n_distinct"),
+          sum(allPass.cast("long")).as("n_pass_all"))
+        .withColumn("pass_rate", round(col("n_pass_all").cast("double") / col("n_docs"), 6))
+        .orderBy("source")
+    }),
+
+    // bloom-prefiltered decontamination, rolled up per source: the eval
+    // n-gram set ships as ONE broadcast bitset and the corpus side is
+    // pruned map-side before any shuffle; the exact confirm join makes
+    // the bloom invisible in the result (oracled against plain exact SQL)
+    "q96_bloom_decontam" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val train = d.filter(col("source") =!= "src0")
+      val hits = Dedup.bloomDecontamination(
+        d.filter(col("source") === "src0").select(col("doc_id"), col("text")),
+        train.select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 5)
+      train.select(col("doc_id"), col("source"))
+        .join(hits, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_shared_grams").isNotNull, 1L).otherwise(0L)).as("n_contaminated"),
+          sum(coalesce(col("n_shared_grams"), lit(0L))).as("total_shared_grams"))
+        .withColumn("contam_rate",
+          round(col("n_contaminated").cast("double") / col("n_docs"), 6))
+        .orderBy("source")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

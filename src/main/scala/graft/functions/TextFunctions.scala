@@ -94,6 +94,46 @@ object TextFunctions {
       .withColumn("quality", qualityScore(col("n_words"), col("n_stop"), col("n_punct")))
   }
 
+  /** Gopher/MassiveText-style quality-rule battery (Rae et al. 2021, §A1.1
+    * "quality filtering", re-derived for a newline-free corpus): six boolean
+    * per-document rules, each an integer-arithmetic comparison so Spark and
+    * the DuckDB oracle agree bitwise. A production curation pass keeps docs
+    * with ALL flags true; the q95 readout aggregates pass rates per source
+    * (the calibration a curation team reads before committing thresholds).
+    *
+    * Scale shape: pure per-row map over the words array — no shuffle, no
+    * UDF, stays inside whole-stage codegen; the per-doc repetition scan is
+    * O(distinct·words) on bounded-length documents.
+    *
+    * Null text yields null flags — callers decide drop-vs-fail semantics
+    * (q95 filters nulls explicitly).
+    */
+  def gopherFlags(df: org.apache.spark.sql.DataFrame, textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val w = words(t)
+    val padded = concat(lit(" "), t, lit(" "))
+    val nWords = size(w).cast("long")
+    // Sum of word characters == chars minus separators (single-space split).
+    val sumChars = length(replace(t, lit(" "), lit(""))).cast("long")
+    val nAlpha = size(filter(w, x => x.rlike("[a-z]"))).cast("long")
+    val nDistinct = size(array_distinct(w)).cast("long")
+    // Mode count: for each distinct word, occurrences in the full list.
+    val maxRep = array_max(transform(array_distinct(w), x => size(filter(w, y => y === x)))).cast("long")
+    val nStop = countMarker(padded, " the ") + countMarker(padded, " a ") + countMarker(padded, " of ")
+    df.withColumn("n_words", nWords)
+      .withColumn("r_wordcount", nWords.between(10L, 100000L))
+      // mean word length in [3, 10] — integer cross-multiplied
+      .withColumn("r_meanlen", sumChars >= nWords * 3 && sumChars <= nWords * 10)
+      // >= 80% of words contain an alphabetic character
+      .withColumn("r_alpha", nAlpha * 5 >= nWords * 4)
+      // at least 2 stop-word hits (the/a/of)
+      .withColumn("r_stopwords", nStop >= 2L)
+      // most frequent word <= 20% of all words
+      .withColumn("r_repetition", maxRep * 5 <= nWords)
+      // >= 30% distinct words (dup-word density)
+      .withColumn("r_distinct", nDistinct * 10 >= nWords * 3)
+  }
+
   /** Rolling polynomial (Rabin-Karp-style) fingerprint over codepoints:
     * fold(acc = acc*31 + cp mod 1e9+7). Backed by the native codegen'd
     * [[graft.plans.RollingHash]] expression (the interpreted

@@ -186,6 +186,27 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L))
   }
 
+  test("bloom decontamination ≡ exact n-gram decontamination on sf0.001 docs") {
+    import spark.implicits._
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val eval  = d.filter($"doc_id" % 7 === 0)
+    val train = d.filter($"doc_id" % 7 =!= 0)
+    val viaBloom = Dedup.bloomDecontamination(eval, train, "doc_id", "text", 5)
+      .as[(Long, Long)].collect().toSet
+    val viaExact = Dedup.exactNgramContamination(eval, train, "doc_id", "text", 5)
+      .as[(Long, Long)].collect().toSet
+    assert(viaBloom === viaExact)
+    assert(viaBloom.nonEmpty) // the synthetic corpus shares 5-grams across any split
+  }
+
+  test("bloom decontamination: empty eval set contaminates nothing") {
+    import spark.implicits._
+    val eval  = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val train = Seq((1L, "some training words here that are long enough")).toDF("doc_id", "text")
+    assert(Dedup.bloomDecontamination(eval, train, "doc_id", "text", 5).count() === 0L)
+  }
+
   test("jaccard estimate: identical docs estimate 1.0 and match the banding pairs") {
     val est = Dedup.jaccardEstimates(docs, "doc_id", "text")
       .select("doc_a", "doc_b", "est_jaccard")
