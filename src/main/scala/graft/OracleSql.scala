@@ -1376,6 +1376,47 @@ object OracleSql {
         |FROM s ORDER BY source""".stripMargin,
 
     // IVF bucket-balance profile over the shared assignment CTE.
+    // Char chunking: same start sequence (1, 1+96, … ≤ max(len−32, 1)),
+    // substr clamps the tail in both engines; chunk_id = (off−1)/96.
+    "q97_doc_chunks" ->
+      """WITH st AS (
+        |  SELECT doc_id, text,
+        |         unnest([i for i in range(1, greatest(length(text) - 32, 1) + 1, 96)]) AS off
+        |  FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT doc_id,
+        |       CAST((off - 1) // 96 AS BIGINT) AS chunk_id,
+        |       CAST(off AS BIGINT) AS off,
+        |       CAST(length(substr(text, off, 128)) AS BIGINT) AS chunk_len,
+        |       md5(substr(text, off, 128)) AS chunk_md5
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Embedding covariance: identical 1e-6 quantization, HUGEINT-exact
+    // sums, identical double closed form (q61 discipline).
+    "q98_embed_covariance" ->
+      """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |           WHERE embedding IS NOT NULL),
+        |x1 AS (SELECT e, unnest(range(0, len(e))) AS i FROM v),
+        |x2 AS (SELECT i, CAST(round(e[i+1] * 1000000) AS BIGINT) AS xq,
+        |              unnest(range(i, len(e))) AS j, e
+        |       FROM x1),
+        |x AS (SELECT i, j, xq,
+        |             CAST(round(e[j+1] * 1000000) AS BIGINT) AS yq
+        |      FROM x2),
+        |s AS (
+        |  SELECT i, j, count(*) AS n_vecs,
+        |         sum(CAST(xq AS HUGEINT)) AS sx,
+        |         sum(CAST(yq AS HUGEINT)) AS sy,
+        |         sum(CAST(xq AS HUGEINT) * CAST(yq AS HUGEINT)) AS sxy
+        |  FROM x GROUP BY 1, 2
+        |)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |       CAST(n_vecs AS BIGINT) AS n_vecs,
+        |       round((CAST(sxy AS DOUBLE) / n_vecs
+        |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n_vecs / n_vecs)
+        |             / 1000000000000.0, 6) AS cov
+        |FROM s ORDER BY i, j""".stripMargin,
+
     // Bloom decontamination: the oracle replays the EXACT semantics (the
     // bloom is a prefilter whose false positives the confirm join kills,
     // so it is invisible in the result); same shingle chain as q74.

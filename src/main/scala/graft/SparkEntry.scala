@@ -1099,6 +1099,22 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // overlapping char-window chunking (context-window / RAG passage
+    // prep): gapless 128-char windows every 96 chars, tail clamped —
+    // chunk ids derive from offsets, so the whole operator is one
+    // shuffle-free posexplode map
+    "q97_doc_chunks" -> ((s, dir) =>
+      graft.operators.Chunking.charChunks(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id", "chunk_id")),
+
+    // exact embedding covariance (upper triangle): the PCA/whitening/
+    // anisotropy input — quantized integer sums (partition-invariant),
+    // pair terms generated map-side from each vector's suffix, one
+    // exchange of ≤ d(d+1)/2 partial rows
+    "q98_embed_covariance" -> ((s, dir) =>
+      graft.operators.EmbeddingStats.covarianceUpperTriangle(
+        Tables.embeddings(s, dir), "embedding")),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

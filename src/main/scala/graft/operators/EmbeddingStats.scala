@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact second-moment statistics over an embedding column — the input to
+  * PCA/whitening/anisotropy diagnostics a training-data team runs on a
+  * corpus's embedding space (q61's centroid algebra extended to cross
+  * dimensions).
+  *
+  * Determinism discipline (matches q54/q61): components are quantized to
+  * 1e-6 integers at the scan and every sum runs in DECIMAL(38,0), so the
+  * aggregates are exact integers — partition-count-invariant and
+  * bit-replayable by DuckDB HUGEINT sums; doubles appear only in the final
+  * closed-form division.
+  *
+  * Scale shape: pair terms are generated MAP-SIDE — `posexplode` of the
+  * quantized vector, then a second `posexplode` of its remaining suffix
+  * (`slice`) — so no self-join and no shuffle of vector data; partial
+  * aggregation collapses each partition to at most d(d+1)/2 rows before
+  * the single exchange. Map-side blowup is d²/2 terms per vector (the
+  * price of one-pass exactness), bounded by the embedding width, never by
+  * corpus size.
+  */
+object EmbeddingStats {
+
+  private val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+
+  /** Upper-triangle covariance entries (i ≤ j, 0-based dims): one row per
+    * dim pair with the exact quantized sums and the double `cov`.
+    */
+  def covarianceUpperTriangle(
+      embeddings: DataFrame,
+      vecCol: String,
+      quantScale: Long = 1000000L): DataFrame = {
+    val q: Column => Column = x => round(x.cast("double") * quantScale).cast(dec38)
+    // (i, xi, suffix from i): one row per dim, carrying only the tail.
+    val byDim = embeddings
+      .filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("i", "_xi")), col(vecCol).as("_v"))
+      .select(
+        col("i"), q(col("_xi")).as("xq"),
+        slice(col("_v"), col("i") + 1, greatest(size(col("_v")) - col("i"), lit(0))).as("_tail"))
+    byDim
+      .select(col("i"), col("xq"), posexplode(col("_tail")).as(Seq("k", "_xj")))
+      .select(
+        col("i").cast("long").as("i"),
+        (col("i") + col("k")).cast("long").as("j"),
+        col("xq"),
+        q(col("_xj")).as("yq"))
+      .groupBy("i", "j")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("xq")).as("sx"),
+        sum(col("yq")).as("sy"),
+        sum(col("xq") * col("yq")).as("sxy"))
+      .select(
+        col("i"), col("j"), col("n_vecs"),
+        round(
+          (col("sxy").cast("double") / col("n_vecs")
+            - col("sx").cast("double") * (col("sy").cast("double")) / col("n_vecs") / col("n_vecs"))
+            / (quantScale.toDouble * quantScale.toDouble), 6).as("cov"))
+      .orderBy("i", "j")
+  }
+}
