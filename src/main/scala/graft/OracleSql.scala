@@ -1376,6 +1376,39 @@ object OracleSql {
         |FROM s ORDER BY source""".stripMargin,
 
     // IVF bucket-balance profile over the shared assignment CTE.
+    // Mixture weights: uniform target over the observed sources; the
+    // window-free SQL form of the bounded-relation window.
+    "q99_mixture_weights" ->
+      """WITH b AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(coalesce(CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT), 0)) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1
+        |)
+        |SELECT source, n_docs, n_tokens,
+        |       round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS token_share,
+        |       round((CAST(1.0 AS DOUBLE) / count(*) OVER ())
+        |             / (CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()), 6) AS weight
+        |FROM b ORDER BY source""".stripMargin,
+
+    // Dup-rate curve over the q75 estimate chain.
+    "q100_dup_curve" ->
+      s"""$minhashCte,
+         |nm AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         (CASE WHEN a.m0 = b.m0 THEN 1 ELSE 0 END + CASE WHEN a.m1 = b.m1 THEN 1 ELSE 0 END
+         |        + CASE WHEN a.m2 = b.m2 THEN 1 ELSE 0 END + CASE WHEN a.m3 = b.m3 THEN 1 ELSE 0 END
+         |        + CASE WHEN a.m4 = b.m4 THEN 1 ELSE 0 END + CASE WHEN a.m5 = b.m5 THEN 1 ELSE 0 END
+         |        + CASE WHEN a.m6 = b.m6 THEN 1 ELSE 0 END + CASE WHEN a.m7 = b.m7 THEN 1 ELSE 0 END) AS nm
+         |  FROM cand c JOIN mh a ON c.doc_a = a.doc_id JOIN mh b ON c.doc_b = b.doc_id
+         |), d AS (
+         |  SELECT least(CAST(floor(round(CAST(nm AS DOUBLE) / 8.0, 6) * 10) AS BIGINT), 9) AS decile
+         |  FROM nm
+         |), g AS (SELECT decile, count(*) AS n_pairs FROM d GROUP BY 1)
+         |SELECT decile, n_pairs,
+         |       CAST(sum(n_pairs) OVER (ORDER BY decile DESC
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_pairs_at_or_above
+         |FROM g ORDER BY decile""".stripMargin,
+
     // Char chunking: same start sequence (1, 1+96, … ≤ max(len−32, 1)),
     // substr clamps the tail in both engines; chunk_id = (off−1)/96.
     "q97_doc_chunks" ->

@@ -1115,6 +1115,43 @@ object SparkEntry {
       graft.operators.EmbeddingStats.covarianceUpperTriangle(
         Tables.embeddings(s, dir), "embedding")),
 
+    // source-mixture reweighting: per-source token shares vs a uniform
+    // target mixture → sampling weight (the DoReMi-style "how hard do I
+    // up/down-sample each source" readout); global shares via a window
+    // over the bounded per-source relation only
+    "q99_mixture_weights" -> ((s, dir) => {
+      val bySource = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(coalesce(TextFunctions.bpeEstimate(col("text")), lit(0L))).as("n_tokens"))
+      val everything = Window.partitionBy()
+      bySource
+        .withColumn("token_share",
+          round(col("n_tokens").cast("double") / sum(col("n_tokens")).over(everything), 6))
+        .withColumn("weight",
+          round((lit(1.0) / count(lit(1)).over(everything))
+            / (col("n_tokens").cast("double") / sum(col("n_tokens")).over(everything)), 6))
+        .orderBy("source")
+    }),
+
+    // dup-rate curve: LSH candidate pairs bucketed by estimated Jaccard
+    // decile, with the from-above cumulative = pairs actioned at each
+    // threshold — the dedup threshold-calibration readout (q81's survival
+    // curve, for pairs); cumulative window on the ≤11-row relation only
+    "q100_dup_curve" -> ((s, dir) => {
+      val deciles = Dedup.jaccardEstimates(Tables.documents(s, dir), "doc_id", "text")
+        .select(least(floor(col("est_jaccard") * 10), lit(9L)).as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_pairs"))
+      val fromAbove = Window
+        .orderBy(col("decile").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deciles
+        .withColumn("n_pairs_at_or_above", sum(col("n_pairs")).over(fromAbove))
+        .orderBy("decile")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
