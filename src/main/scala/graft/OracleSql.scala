@@ -1376,6 +1376,74 @@ object OracleSql {
         |FROM s ORDER BY source""".stripMargin,
 
     // IVF bucket-balance profile over the shared assignment CTE.
+    // PII audit: RE2 mirrors of the Java patterns (common subset — no
+    // lookaround/backrefs); counts claimed in the same redaction order.
+    "q102_pii_audit" ->
+      """WITH d AS (
+        |  SELECT source, text,
+        |         regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM documents WHERE text IS NOT NULL
+        |), d2 AS (
+        |  SELECT source, text, t1,
+        |         regexp_replace(t1, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS t2
+        |  FROM d
+        |), d3 AS (
+        |  SELECT source, text, t1, t2,
+        |         regexp_replace(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t3
+        |  FROM d2
+        |), c AS (
+        |  SELECT source,
+        |         CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS ne,
+        |         CAST(len(regexp_extract_all(t1, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS ns,
+        |         CAST(len(regexp_extract_all(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS ni,
+        |         CAST(len(regexp_extract_all(t3, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS np
+        |  FROM d3
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(ne) AS BIGINT) AS n_emails,
+        |       CAST(sum(ns) AS BIGINT) AS n_ssns,
+        |       CAST(sum(ni) AS BIGINT) AS n_ips,
+        |       CAST(sum(np) AS BIGINT) AS n_phones,
+        |       CAST(sum(CASE WHEN ne + ns + ni + np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Source JSD: identical expression order (p, q, m, term), identical
+    // 1e-9 quantization of each per-word term before summation.
+    "q101_source_jsd" ->
+      """WITH wr AS (
+        |  SELECT source AS grp, unnest(string_split(text, ' ')) AS w FROM documents
+        |), sw AS (
+        |  SELECT grp, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM wr WHERE length(w) > 0 GROUP BY 1, 2
+        |), cw AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM sw GROUP BY 1),
+        |gt AS (
+        |  SELECT grp, CAST(sum(c) AS BIGINT) AS np,
+        |         CAST(sum(sum(c)) OVER () AS BIGINT) AS nn
+        |  FROM sw GROUP BY 1
+        |), grid AS (
+        |  SELECT cw.w, cw.cw, gt.grp, gt.np, gt.nn, coalesce(sw.c, 0) AS cq
+        |  FROM cw CROSS JOIN gt
+        |  LEFT JOIN sw ON sw.grp = gt.grp AND sw.w = cw.w
+        |), terms AS (
+        |  SELECT grp, np,
+        |         CASE WHEN cq > 0 THEN CAST(round(
+        |           (CAST(cq AS DOUBLE) / CAST(np AS DOUBLE))
+        |           * ln((CAST(cq AS DOUBLE) / CAST(np AS DOUBLE))
+        |                / (0.5 * ((CAST(cq AS DOUBLE) / CAST(np AS DOUBLE))
+        |                        + (CASE WHEN nn > np THEN CAST(cw - cq AS DOUBLE) / CAST(nn - np AS DOUBLE) ELSE 0.0 END))))
+        |           * 1000000000) AS BIGINT) ELSE 0 END AS tp,
+        |         CASE WHEN cw > cq THEN CAST(round(
+        |           (CASE WHEN nn > np THEN CAST(cw - cq AS DOUBLE) / CAST(nn - np AS DOUBLE) ELSE 0.0 END)
+        |           * ln((CASE WHEN nn > np THEN CAST(cw - cq AS DOUBLE) / CAST(nn - np AS DOUBLE) ELSE 0.0 END)
+        |                / (0.5 * ((CAST(cq AS DOUBLE) / CAST(np AS DOUBLE))
+        |                        + (CASE WHEN nn > np THEN CAST(cw - cq AS DOUBLE) / CAST(nn - np AS DOUBLE) ELSE 0.0 END))))
+        |           * 1000000000) AS BIGINT) ELSE 0 END AS tq
+        |  FROM grid
+        |)
+        |SELECT grp AS source, max(np) AS n_tokens,
+        |       round(CAST(sum(tp) + sum(tq) AS DOUBLE) * 0.5 / 1000000000.0, 6) AS jsd_nats
+        |FROM terms GROUP BY grp ORDER BY source""".stripMargin,
+
     // Mixture weights: uniform target over the observed sources; the
     // window-free SQL form of the bounded-relation window.
     "q99_mixture_weights" ->

@@ -1152,6 +1152,29 @@ object SparkEntry {
         .orderBy("decile")
     }),
 
+    // per-source Jensen–Shannon divergence from the rest of the corpus:
+    // the redundancy readout behind mixture decisions (q90's entropy
+    // says how diverse a source is; this says how much it adds)
+    "q101_source_jsd" -> ((s, dir) =>
+      CorpusStats.jsDivergence(Tables.documents(s, dir), "text", "source")),
+
+    // PII audit rollup: per-source detector hit counts + docs-with-PII —
+    // the compliance readout (zero on this synthetic corpus, which the
+    // oracle verifies structurally; the detectors themselves are
+    // spec-tested on crafted fixtures in PiiScrubSpec)
+    "q102_pii_audit" -> ((s, dir) =>
+      graft.operators.PiiScrub.withPiiColumns(
+        Tables.documents(s, dir).filter(col("text").isNotNull), "text")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_email")).as("n_emails"),
+          sum(col("n_ssn")).as("n_ssns"),
+          sum(col("n_ip")).as("n_ips"),
+          sum(col("n_phone")).as("n_phones"),
+          sum(when(col("n_pii") > 0, 1L).otherwise(0L)).as("n_docs_with_pii"))
+        .orderBy("source")),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -187,6 +187,62 @@ object CorpusStats {
           6).as("entropy_nats"))
       .orderBy(groupCol)
 
+  /** Jensen–Shannon divergence of each group's unigram distribution from
+    * the REST of the corpus — the "how different is this source, really"
+    * number behind mixture decisions (entropy q90 says how diverse a
+    * source is; this says how redundant it is given everything else).
+    * Computed in the KL form JSD = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m) with
+    * m = (p+q)/2, p the group's word distribution, q the rest-of-corpus
+    * distribution (derived, not re-counted). Symmetric, bounded by ln 2.
+    *
+    * Determinism: p, q, m are IEEE doubles computed from exact integer
+    * counts in a fixed expression order, each per-word term is quantized
+    * to a 1e-9 integer before summation (q72 ln discipline, finer grain
+    * because terms are probability-weighted), so group sums are
+    * aggregation-order-invariant and DuckDB-replayable.
+    *
+    * Scale shape: one word explode → (group, word) hash agg; corpus
+    * per-word totals DERIVE from that relation (exchange reused); the
+    * vocab × groups grid is a broadcast cross of the bounded group-totals
+    * row set against the per-word relation, then a co-partitioned left
+    * join back — vocab·|groups| rows, distributed, never collected. The
+    * grid is what makes words ABSENT from a group still contribute their
+    * q-side term (a one-sided join would silently drop them and
+    * underestimate the divergence).
+    */
+  def jsDivergence(docs: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val sw = docs
+      .select(col(groupCol).as("grp"), explode(split(col(textCol), " ", -1)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("grp", "w")
+      .agg(count(lit(1)).as("c"))
+    val cw = sw.groupBy("w").agg(sum(col("c")).as("cw"))
+    val everything = Window.partitionBy()
+    val gt = sw.groupBy("grp").agg(sum(col("c")).as("np"))
+      .withColumn("nn", sum(col("np")).over(everything))
+    val grid = cw
+      .crossJoin(broadcast(gt))
+      .join(sw, Seq("grp", "w"), "left")
+      .withColumn("cq", coalesce(col("c"), lit(0L)))
+    val p = col("cq").cast("double") / col("np").cast("double")
+    // single-group corpus: rest is empty → q ≡ 0 (guards the 0/0 in m)
+    val q = when(col("nn") > col("np"),
+      (col("cw") - col("cq")).cast("double") / (col("nn") - col("np")).cast("double"))
+      .otherwise(lit(0.0))
+    val m = lit(0.5) * (p + q)
+    val tp = when(col("cq") > 0, round(p * log(p / m) * 1000000000L, 0).cast("long")).otherwise(0L)
+    val tq = when(col("cw") > col("cq"), round(q * log(q / m) * 1000000000L, 0).cast("long")).otherwise(0L)
+    grid
+      .select(col("grp"), col("np"), tp.as("_tp"), tq.as("_tq"))
+      .groupBy("grp")
+      .agg(max(col("np")).as("n_tokens"), sum(col("_tp")).as("_sp"), sum(col("_tq")).as("_sq"))
+      .select(
+        col("grp").as(groupCol),
+        col("n_tokens"),
+        round((col("_sp") + col("_sq")).cast("double") * 0.5 / 1000000000.0, 6).as("jsd_nats"))
+      .orderBy(groupCol)
+  }
+
   /** Zipf exponent per group: the least-squares slope of ln(frequency)
     * against ln(rank) over the `topK` most frequent words — natural text
     * sits near −1; templated, machine-generated, or heavily boilerplated

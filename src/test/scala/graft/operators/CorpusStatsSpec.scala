@@ -113,6 +113,58 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got === Seq(("A", "B", 1L, 0.5)))
   }
 
+  test("jsd: identical distributions diverge 0; disjoint vocabularies diverge ln 2") {
+    val same = Seq(
+      (1L, "x x y", "A"),
+      (2L, "x x y", "B")).toDF("doc_id", "text", "source")
+    val gotSame = CorpusStats.jsDivergence(same, "text", "source")
+      .select("source", "jsd_nats").as[(String, Double)].collect().toMap
+    assert(gotSame.values.forall(v => math.abs(v) < 1e-6))
+
+    val disjoint = Seq(
+      (1L, "x x y", "A"),
+      (2L, "p q q", "B")).toDF("doc_id", "text", "source")
+    val gotDisj = CorpusStats.jsDivergence(disjoint, "text", "source")
+      .select("source", "jsd_nats").as[(String, Double)].collect().toMap
+    assert(gotDisj.values.forall(v => math.abs(v - math.log(2.0)) < 1e-5))
+  }
+
+  test("jsd matches an unquantized double reference on a mixed fixture") {
+    val docs = Seq(
+      (1L, "a a b c", "A"),
+      (2L, "a b b b d", "B"),
+      (3L, "a c c", "C")).toDF("doc_id", "text", "source")
+    val got = CorpusStats.jsDivergence(docs, "text", "source")
+      .select("source", "jsd_nats").as[(String, Double)].collect().toMap
+    // reference: plain-double JSD of each source vs the other two pooled
+    val counts = Map(
+      "A" -> Map("a" -> 2L, "b" -> 1L, "c" -> 1L),
+      "B" -> Map("a" -> 1L, "b" -> 3L, "d" -> 1L),
+      "C" -> Map("a" -> 1L, "c" -> 2L))
+    val vocab = counts.values.flatMap(_.keys).toSet
+    counts.keys.foreach { g =>
+      val np = counts(g).values.sum.toDouble
+      val rest = counts.filter(_._1 != g).values
+      val nq = rest.map(_.values.sum).sum.toDouble
+      val jsd = vocab.toSeq.map { w =>
+        val p = counts(g).getOrElse(w, 0L) / np
+        val q = rest.map(_.getOrElse(w, 0L)).sum / nq
+        val m = 0.5 * (p + q)
+        (if (p > 0) 0.5 * p * math.log(p / m) else 0.0) +
+          (if (q > 0) 0.5 * q * math.log(q / m) else 0.0)
+      }.sum
+      assert(math.abs(got(g) - jsd) < 1e-5, s"source $g: got ${got(g)}, want $jsd")
+    }
+  }
+
+  test("jsd: single-group corpus is finite (rest treated as the empty distribution)") {
+    // q ≡ 0 ⇒ m = p/2 ⇒ JSD degenerates to ½·Σ p·ln 2 = ½·ln 2, not NaN
+    val docs = Seq((1L, "a b c", "A")).toDF("doc_id", "text", "source")
+    val got = CorpusStats.jsDivergence(docs, "text", "source")
+      .select("jsd_nats").as[Double].collect()
+    assert(got.length === 1 && math.abs(got(0) - 0.5 * math.log(2.0)) < 1e-6)
+  }
+
   implicit private class Rows[V](rows: Array[(Long, Long, V)]) {
     def toMap2: Map[Long, (Long, V)] = rows.map { case (a, b, v) => a -> ((b, v)) }.toMap
   }
