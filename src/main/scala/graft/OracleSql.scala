@@ -1376,6 +1376,48 @@ object OracleSql {
         |FROM s ORDER BY source""".stripMargin,
 
     // IVF bucket-balance profile over the shared assignment CTE.
+    // Mixture apply: keep iff u·G·ntok_s < Ntok·2^48 in exact HUGEINT
+    // algebra (the q68 cross-multiply discipline on q99's weight).
+    "q104_mixture_apply" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         coalesce(CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT), 0) AS tok
+        |  FROM documents
+        |), b AS (SELECT source, CAST(sum(tok) AS BIGINT) AS ntok FROM d GROUP BY 1),
+        |t AS (
+        |  SELECT source, ntok,
+        |         CAST(sum(ntok) OVER () AS BIGINT) AS ntok_all,
+        |         CAST(count(*) OVER () AS BIGINT) AS n_sources
+        |  FROM b
+        |), k AS (
+        |  SELECT d.source,
+        |         CASE WHEN CAST(CAST(concat('0x', substr(md5('mix#' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS HUGEINT)
+        |                   * t.n_sources * t.ntok
+        |                 < CAST(t.ntok_all AS HUGEINT) * 281474976710656
+        |              THEN 1 ELSE 0 END AS keep
+        |  FROM d JOIN t USING (source)
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(keep) AS BIGINT) AS n_kept,
+        |       round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS keep_rate
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // JSON extraction: TRY_CAST chain ≡ Spark PERMISSIVE from_json
+    // (null / malformed / wrong-typed k all land as NULL).
+    "q103_json_extract" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT) AS k
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+        |       CAST(sum(coalesce(k, 0)) AS BIGINT) AS sum_k,
+        |       min(k) AS min_k, max(k) AS max_k,
+        |       round(CAST(sum(coalesce(k, 0)) AS DOUBLE)
+        |             / CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE), 6) AS mean_k
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // PII audit: RE2 mirrors of the Java patterns (common subset — no
     // lookaround/backrefs); counts claimed in the same redaction order.
     "q102_pii_audit" ->

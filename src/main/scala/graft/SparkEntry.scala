@@ -1175,6 +1175,54 @@ object SparkEntry {
           sum(when(col("n_pii") > 0, 1L).otherwise(0L)).as("n_docs_with_pii"))
         .orderBy("source")),
 
+    // semi-structured extraction: typed from_json over the events props
+    // payload (PERMISSIVE: malformed/missing → null, counted as
+    // unparsed) → per-type stats on the extracted field — the
+    // schema-on-read staple for instrumented-event lakes
+    "q103_json_extract" -> ((s, dir) => {
+      val kSchema = org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")
+      Tables.events(s, dir)
+        .withColumn("k", from_json(col("props"), kSchema).getField("k"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("n_parsed"),
+          sum(coalesce(col("k"), lit(0L))).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .withColumn("mean_k",
+          round(col("sum_k").cast("double") / col("n_parsed").cast("double"), 6))
+        .orderBy("event_type")
+    }),
+
+    // mixture-weight APPLY: deterministic per-doc keep test u·G·ntok_s <
+    // Ntok·2^48 — i.e. keep with probability min(w_s, 1) for q99's
+    // uniform-target weight w_s, entirely in exact integer algebra
+    // (q68's cross-multiply discipline; no doubles, no rand()); the
+    // per-source relation is bounded and broadcast
+    "q104_mixture_apply" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("_tok", coalesce(TextFunctions.bpeEstimate(col("text")), lit(0L)))
+      val bySource = d.groupBy("source").agg(sum(col("_tok")).as("ntok"))
+      val everything = Window.partitionBy()
+      val totals = bySource
+        .withColumn("ntok_all", sum(col("ntok")).over(everything))
+        .withColumn("n_sources", count(lit(1)).over(everything))
+      val u = Dedup.md5Long(concat(lit("mix#"), col("doc_id").cast("string")), 12).cast(dec38)
+      d.select(col("doc_id"), col("source"))
+        .join(broadcast(totals), "source")
+        .withColumn(
+          "keep",
+          u * col("n_sources").cast(dec38) * col("ntok").cast(dec38) <
+            col("ntok_all").cast(dec38) * lit(Dedup.MinhashMod).cast(dec38))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("keep_rate", round(col("n_kept").cast("double") / col("n_docs"), 6))
+        .orderBy("source")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
