@@ -22,8 +22,11 @@ class PlanGuardSpec extends AnyFunSuite {
     *   - q83/q94: the centroid set (Lloyd assignment / bucket profile)
     *   - q84: the query set (kNN vote, |Q| = nQueries)
     *   - q86: the 1-row (corpus total, vocab size) aggregate
+    *   - q101: the per-source totals relation (|sources| rows — the
+    *     vocab × sources grid is built against a bounded side)
     */
   private val boundedNlj = Set(
+    "q101_source_jsd",
     "q10_class_weights",
     "q68_temperature_sample",
     "q24_embed_topk",
@@ -69,6 +72,24 @@ class PlanGuardSpec extends AnyFunSuite {
     // gram-key self-join that re-exchanges the full gram relation twice.
     val p = planOf("q87_source_jaccard")
     assert(!p.contains("SortMergeJoin"), s"q87 regressed to a self-join:\n$p")
+  }
+
+  test("q96's bloom prefilter survives optimization (might_contain reaches the plan)") {
+    // The whole point of the bloom variant is the MAP-SIDE prune before
+    // the confirm join; if the filter is optimized away or reordered
+    // after the join, q96 silently degrades to q74's full-shuffle plan.
+    assert(planOf("q96_bloom_decontam").contains("might_contain"),
+      "bloom might_contain prefilter missing from q96's physical plan")
+  }
+
+  test("q97 chunking shuffles nothing but the output sort") {
+    val exchanges = "Exchange".r.findAllIn(planOf("q97_doc_chunks")).size
+    assert(exchanges === 1, s"q97 should have exactly the final sort exchange, found $exchanges")
+  }
+
+  test("q95's rule battery is a single corpus scan") {
+    val scans = "Scan parquet".r.findAllIn(planOf("q95_gopher_rules")).size
+    assert(scans === 1, s"q95 should scan documents once, found $scans scans")
   }
 
   test("no query plan evaluates Python or interpreted UDF-like stages") {
