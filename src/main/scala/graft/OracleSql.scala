@@ -94,6 +94,48 @@ object OracleSql {
 
   private val minhashCte: String = s"WITH ${minhashChain("documents")}"
 
+  /** Jensen–Shannon divergence of each group's token distribution vs the
+    * rest of the corpus (mirrors `CorpusStats.jsDivergence`): per-term
+    * contributions quantized to 1e-9 integers (single ln + round per
+    * term — the only libm calls, bit-identical across engines), summed
+    * exactly. `wrSelect` supplies the (grp, w) token relation; `outCol`
+    * names the group column in the output.
+    */
+  private def jsdSql(wrSelect: String, outCol: String): String =
+    s"""WITH wr AS (
+       |  $wrSelect
+       |), sw AS (
+       |  SELECT grp, w, CAST(count(*) AS BIGINT) AS c
+       |  FROM wr WHERE length(w) > 0 GROUP BY 1, 2
+       |), cw AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM sw GROUP BY 1),
+       |gt AS (
+       |  SELECT grp, CAST(sum(c) AS BIGINT) AS np,
+       |         CAST(sum(sum(c)) OVER () AS BIGINT) AS nn
+       |  FROM sw GROUP BY 1
+       |), grid AS (
+       |  SELECT cw.w, cw.cw, gt.grp, gt.np, gt.nn, coalesce(sw.c, 0) AS cq
+       |  FROM cw CROSS JOIN gt
+       |  LEFT JOIN sw ON sw.grp = gt.grp AND sw.w = cw.w
+       |), terms AS (
+       |  SELECT grp, np,
+       |         CASE WHEN cq > 0 THEN CAST(round(
+       |           (CAST(cq AS DOUBLE) / CAST(np AS DOUBLE))
+       |           * ln((CAST(cq AS DOUBLE) / CAST(np AS DOUBLE))
+       |                / (0.5 * ((CAST(cq AS DOUBLE) / CAST(np AS DOUBLE))
+       |                        + (CASE WHEN nn > np THEN CAST(cw - cq AS DOUBLE) / CAST(nn - np AS DOUBLE) ELSE 0.0 END))))
+       |           * 1000000000) AS BIGINT) ELSE 0 END AS tp,
+       |         CASE WHEN cw > cq THEN CAST(round(
+       |           (CASE WHEN nn > np THEN CAST(cw - cq AS DOUBLE) / CAST(nn - np AS DOUBLE) ELSE 0.0 END)
+       |           * ln((CASE WHEN nn > np THEN CAST(cw - cq AS DOUBLE) / CAST(nn - np AS DOUBLE) ELSE 0.0 END)
+       |                / (0.5 * ((CAST(cq AS DOUBLE) / CAST(np AS DOUBLE))
+       |                        + (CASE WHEN nn > np THEN CAST(cw - cq AS DOUBLE) / CAST(nn - np AS DOUBLE) ELSE 0.0 END))))
+       |           * 1000000000) AS BIGINT) ELSE 0 END AS tq
+       |  FROM grid
+       |)
+       |SELECT grp AS $outCol, max(np) AS n_tokens,
+       |       round(CAST(sum(tp) + sum(tq) AS DOUBLE) * 0.5 / 1000000000.0, 6) AS jsd_nats
+       |FROM terms GROUP BY grp ORDER BY $outCol""".stripMargin
+
   /** Reachability labels over the candidate graph `cand` (mirrors
     * `ConnectedComponents.labels`): recursive-CTE transitive closure =
     * independent ground truth for the large-star/small-star propagation.
@@ -1378,6 +1420,95 @@ object OracleSql {
     // IVF bucket-balance profile over the shared assignment CTE.
     // Mixture apply: keep iff u·G·ntok_s < Ntok·2^48 in exact HUGEINT
     // algebra (the q68 cross-multiply discipline on q99's weight).
+    // Exact φ-heavy-hitters: the CMS prefilter is internal to the Spark
+    // side (never undercounts → candidate superset → exact recount), so
+    // the oracle is the plain exact formulation. Integer threshold
+    // (N + 999) // 1000 = ⌈N/1000⌉ — no double 0.001 rounding hazard.
+    "q105_heavy_hitters" ->
+      """WITH w AS (SELECT text, string_split(text, ' ') AS ws
+        |           FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT unnest(
+        |    CASE WHEN len(ws) >= 2
+        |         THEN [concat_ws(' ', ws[i+1], ws[i+2]) for i in range(0, len(ws)-1)]
+        |         ELSE [text] END) AS gram
+        |  FROM w
+        |), t AS (SELECT count(*) AS total, (count(*) + 999) // 1000 AS thr FROM g)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS n,
+        |       round(CAST(count(*) AS DOUBLE) / (SELECT total FROM t), 6) AS share
+        |FROM g GROUP BY gram HAVING count(*) >= (SELECT thr FROM t)
+        |ORDER BY gram""".stripMargin,
+
+    "q106_shard_assignment" ->
+      """WITH s AS (
+        |  SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 64 AS shard,
+        |         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS pieces,
+        |         n_chars
+        |  FROM documents
+        |), p AS (
+        |  SELECT shard, count(*) AS n_docs, sum(pieces) AS n_tokens,
+        |         sum(n_chars) AS n_chars_total
+        |  FROM s GROUP BY shard
+        |)
+        |SELECT shard, CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(n_chars_total AS BIGINT) AS n_chars_total,
+        |       round(CAST(n_tokens AS DOUBLE) * 64 / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS load_ratio
+        |FROM p ORDER BY shard""".stripMargin,
+
+    // est (q75 chain) LEFT JOIN exact (q23 chain, inter=0 pairs KEPT as
+    // exact 0) → per-n_match calibration buckets.
+    "q107_lsh_calibration" ->
+      s"""$minhashCte,
+         |nm AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         (CASE WHEN a.m0 = b.m0 THEN 1 ELSE 0 END + CASE WHEN a.m1 = b.m1 THEN 1 ELSE 0 END
+         |        + CASE WHEN a.m2 = b.m2 THEN 1 ELSE 0 END + CASE WHEN a.m3 = b.m3 THEN 1 ELSE 0 END
+         |        + CASE WHEN a.m4 = b.m4 THEN 1 ELSE 0 END + CASE WHEN a.m5 = b.m5 THEN 1 ELSE 0 END
+         |        + CASE WHEN a.m6 = b.m6 THEN 1 ELSE 0 END + CASE WHEN a.m7 = b.m7 THEN 1 ELSE 0 END) AS nm
+         |  FROM cand c JOIN mh a ON c.doc_a = a.doc_id JOIN mh b ON c.doc_b = b.doc_id
+         |), bg AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(
+         |      CASE WHEN len(ws) >= 2
+         |           THEN [concat_ws(' ', ws[i+1], ws[i+2]) for i in range(0, len(ws)-1)]
+         |           ELSE [text] END) AS sh
+         |    FROM w)
+         |), sizes AS (SELECT doc_id, count(*) AS sz FROM bg GROUP BY doc_id),
+         |inter AS (
+         |  SELECT n.doc_a, n.doc_b, count(*) AS i
+         |  FROM nm n
+         |  JOIN bg a ON a.doc_id = n.doc_a
+         |  JOIN bg b ON b.doc_id = n.doc_b AND b.sh = a.sh
+         |  GROUP BY 1, 2
+         |), pj AS (
+         |  SELECT n.nm,
+         |         CASE WHEN i.i IS NULL THEN 0.0
+         |              ELSE round(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i), 6) END AS exact_j
+         |  FROM nm n
+         |  LEFT JOIN inter i ON i.doc_a = n.doc_a AND i.doc_b = n.doc_b
+         |  JOIN sizes sa ON sa.doc_id = n.doc_a
+         |  JOIN sizes sb ON sb.doc_id = n.doc_b
+         |)
+         |SELECT CAST(nm AS BIGINT) AS n_match,
+         |       round(CAST(nm AS DOUBLE) / 8.0, 6) AS est_jaccard,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(CASE WHEN exact_j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         |       min(exact_j) AS min_jaccard,
+         |       max(exact_j) AS max_jaccard,
+         |       round(CAST(sum(CASE WHEN exact_j >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS "precision"
+         |FROM pj GROUP BY nm ORDER BY n_match""".stripMargin,
+
+    "q108_fertility" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_pieces,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+        |       round(CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS DOUBLE)
+        |             / sum(len(string_split(text, ' '))), 6) AS fertility,
+        |       round(CAST(sum(n_chars) AS DOUBLE)
+        |             / sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 6) AS chars_per_piece
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q104_mixture_apply" ->
       """WITH d AS (
         |  SELECT doc_id, source,
@@ -1452,39 +1583,69 @@ object OracleSql {
     // Source JSD: identical expression order (p, q, m, term), identical
     // 1e-9 quantization of each per-word term before summation.
     "q101_source_jsd" ->
-      """WITH wr AS (
-        |  SELECT source AS grp, unnest(string_split(text, ' ')) AS w FROM documents
-        |), sw AS (
-        |  SELECT grp, w, CAST(count(*) AS BIGINT) AS c
-        |  FROM wr WHERE length(w) > 0 GROUP BY 1, 2
-        |), cw AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM sw GROUP BY 1),
-        |gt AS (
-        |  SELECT grp, CAST(sum(c) AS BIGINT) AS np,
-        |         CAST(sum(sum(c)) OVER () AS BIGINT) AS nn
-        |  FROM sw GROUP BY 1
-        |), grid AS (
-        |  SELECT cw.w, cw.cw, gt.grp, gt.np, gt.nn, coalesce(sw.c, 0) AS cq
-        |  FROM cw CROSS JOIN gt
-        |  LEFT JOIN sw ON sw.grp = gt.grp AND sw.w = cw.w
-        |), terms AS (
-        |  SELECT grp, np,
-        |         CASE WHEN cq > 0 THEN CAST(round(
-        |           (CAST(cq AS DOUBLE) / CAST(np AS DOUBLE))
-        |           * ln((CAST(cq AS DOUBLE) / CAST(np AS DOUBLE))
-        |                / (0.5 * ((CAST(cq AS DOUBLE) / CAST(np AS DOUBLE))
-        |                        + (CASE WHEN nn > np THEN CAST(cw - cq AS DOUBLE) / CAST(nn - np AS DOUBLE) ELSE 0.0 END))))
-        |           * 1000000000) AS BIGINT) ELSE 0 END AS tp,
-        |         CASE WHEN cw > cq THEN CAST(round(
-        |           (CASE WHEN nn > np THEN CAST(cw - cq AS DOUBLE) / CAST(nn - np AS DOUBLE) ELSE 0.0 END)
-        |           * ln((CASE WHEN nn > np THEN CAST(cw - cq AS DOUBLE) / CAST(nn - np AS DOUBLE) ELSE 0.0 END)
-        |                / (0.5 * ((CAST(cq AS DOUBLE) / CAST(np AS DOUBLE))
-        |                        + (CASE WHEN nn > np THEN CAST(cw - cq AS DOUBLE) / CAST(nn - np AS DOUBLE) ELSE 0.0 END))))
-        |           * 1000000000) AS BIGINT) ELSE 0 END AS tq
-        |  FROM grid
+      jsdSql("SELECT source AS grp, unnest(string_split(text, ' ')) AS w FROM documents",
+        "source"),
+
+    // q101's JSD machinery on a time axis: each month's event-type mix vs
+    // the rest of the stream.
+    "q111_temporal_jsd" ->
+      jsdSql("SELECT strftime(ts, '%Y-%m') AS grp, unnest(string_split(event_type, ' ')) AS w FROM events",
+        "month"),
+
+    "q109_snapshot_diff" ->
+      """WITH oldsnap AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 13 = 5 THEN text || ' v0' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 3
+        |), newsnap AS (
+        |  SELECT doc_id, source, text FROM documents WHERE doc_id % 17 <> 2
+        |), d AS (
+        |  SELECT coalesce(n.source, o.source) AS source,
+        |         CASE WHEN o.doc_id IS NULL THEN 'added'
+        |              WHEN n.doc_id IS NULL THEN 'removed'
+        |              WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+        |              ELSE 'unchanged' END AS change_status
+        |  FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
         |)
-        |SELECT grp AS source, max(np) AS n_tokens,
-        |       round(CAST(sum(tp) + sum(tq) AS DOUBLE) * 0.5 / 1000000000.0, 6) AS jsd_nats
-        |FROM terms GROUP BY grp ORDER BY source""".stripMargin,
+        |SELECT source, change_status, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM d GROUP BY 1, 2 ORDER BY source, change_status""".stripMargin,
+
+    "q110_normalized_dedup" ->
+      """WITH n AS (
+        |  SELECT source,
+        |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |                                 ' +', ' ', 'g'))) AS nh
+        |  FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT nh) AS BIGINT) AS n_normalized,
+        |       round(CAST(1.0 AS DOUBLE) - CAST(count(DISTINCT nh) AS DOUBLE) / count(*), 6) AS dup_rate
+        |FROM n GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // Per-doc char-window multiplicities (md5 48-bit keys, q91 hashing),
+    // rolled to per-source exact integers + one rounded division.
+    "q112_intra_doc_repetition" ->
+      """WITH wins AS (
+        |  SELECT source, doc_id,
+        |         CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS sk
+        |  FROM (
+        |    SELECT source, doc_id,
+        |           unnest([substr(text, i, 20)
+        |                   for i in range(1, greatest(length(text) - 19, 1) + 1)]) AS s
+        |    FROM documents WHERE text IS NOT NULL)
+        |), perwin AS (
+        |  SELECT source, doc_id, sk, count(*) AS m FROM wins GROUP BY 1, 2, 3
+        |), perdoc AS (
+        |  SELECT source, doc_id, sum(m) AS nw, count(*) AS nd, max(m) AS mx
+        |  FROM perwin GROUP BY 1, 2
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(nw) AS BIGINT) AS n_windows,
+        |       CAST(sum(nd) AS BIGINT) AS n_distinct_windows,
+        |       CAST(sum(CASE WHEN mx >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_repetitive,
+        |       round(CAST(1.0 AS DOUBLE) - CAST(sum(nd) AS DOUBLE) / CAST(sum(nw) AS DOUBLE), 6) AS dup_window_share
+        |FROM perdoc GROUP BY 1 ORDER BY source""".stripMargin,
+
 
     // Mixture weights: uniform target over the observed sources; the
     // window-free SQL form of the bounded-relation window.

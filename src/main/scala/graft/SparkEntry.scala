@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{EsmTokenizer, TextFunctions}
-import graft.operators.{AsOfJoin, Cooccurrence, CorpusStats, Curation, Dedup, EventWindows, RangeJoin, Similarity}
+import graft.operators.{AsOfJoin, Cooccurrence, CorpusStats, Curation, Dedup, EventWindows, RangeJoin, Similarity, SnapshotDiff}
 import graft.ops.{ClassWeights, LabelEncode, Stats, StratifiedSplit}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1222,6 +1222,94 @@ object SparkEntry {
         .withColumn("keep_rate", round(col("n_kept").cast("double") / col("n_docs"), 6))
         .orderBy("source")
     }),
+
+    // heavy-hitter bigrams: exact φ=1/1000 heavy hitters via a count-min
+    // sketch prefilter — the bounded-key sketch pass replaces the full
+    // vocabulary shuffle; exact recount only on sketch survivors
+    "q105_heavy_hitters" -> ((s, dir) =>
+      CorpusStats.heavyHitters(Tables.documents(s, dir), "text")),
+
+    // deterministic training-shard assignment: md5(doc_id) % 64 → per-shard
+    // doc/token/char loads + load ratio vs the mean — the output-bucketing
+    // balance readout; the global window runs on the 64-row relation only
+    "q106_shard_assignment" -> ((s, dir) => {
+      val everything = Window.partitionBy()
+      Tables.documents(s, dir)
+        .select(
+          pmod(Dedup.md5Long(col("doc_id").cast("string"), 12), lit(64L)).as("shard"),
+          TextFunctions.regexPieces(col("text")).as("_pieces"),
+          col("n_chars"))
+        .groupBy("shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("_pieces")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars_total"))
+        .withColumn(
+          "load_ratio",
+          round(col("n_tokens").cast("double") * 64 / sum(col("n_tokens")).over(everything), 6))
+        .orderBy("shard")
+    }),
+
+    // LSH calibration: MinHash estimate vs exact Jaccard per
+    // signature-agreement bucket — banding precision readout (≤9 rows out)
+    "q107_lsh_calibration" -> ((s, dir) =>
+      Dedup.lshCalibration(Tables.documents(s, dir), "doc_id", "text")),
+
+    // tokenizer fertility per language: regex-pieces per whitespace word and
+    // chars per piece — the "how expensive is this language to tokenize"
+    // readout that sizes a token budget per source
+    "q108_fertility" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextFunctions.regexPieces(col("text"))).as("n_pieces"),
+          sum(TextFunctions.wordCount(col("text"))).as("n_words"),
+          sum(col("n_chars")).as("n_chars_total"))
+        .select(
+          col("lang"),
+          col("n_docs"),
+          col("n_pieces"),
+          col("n_words"),
+          round(col("n_pieces").cast("double") / col("n_words"), 6).as("fertility"),
+          round(col("n_chars_total").cast("double") / col("n_pieces"), 6).as("chars_per_piece"))
+        .orderBy("lang")),
+
+    // snapshot diff (CDC over a versioned lake): two simulated corpus
+    // versions — old lacks doc_id%11==3 (those are "added"), new lacks
+    // doc_id%17==2 ("removed"), old's doc_id%13==5 texts differ
+    // ("changed") — hash-diffed per source; only digests shuffle
+    "q109_snapshot_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val oldSnap = d.filter(pmod(col("doc_id"), lit(11)) =!= 3)
+        .select(
+          col("doc_id"), col("source"),
+          when(pmod(col("doc_id"), lit(13)) === 5, concat(col("text"), lit(" v0")))
+            .otherwise(col("text")).as("text"))
+      val newSnap = d.filter(pmod(col("doc_id"), lit(17)) =!= 2)
+        .select(col("doc_id"), col("source"), col("text"))
+      SnapshotDiff.summary(oldSnap, newSnap, "doc_id", "source", Seq("text"))
+    }),
+
+    // normalization-then-exact dedup (CCNet first pass): case/punct/space
+    // insensitive dup rate per source at exact-dedup cost
+    "q110_normalized_dedup" -> ((s, dir) =>
+      Dedup.normalizedExact(Tables.documents(s, dir), "doc_id", "text", "source")),
+
+    // temporal distribution drift: JS divergence of each month's event-type
+    // mix vs the rest of the stream — the "did my pipeline's input shift
+    // this month" monitor (q101 machinery on a time axis)
+    "q111_temporal_jsd" -> ((s, dir) =>
+      CorpusStats.jsDivergence(
+        Tables.events(s, dir)
+          .select(date_format(col("ts"), "yyyy-MM").as("month"), col("event_type")),
+        "event_type", "month")),
+
+    // intra-document repetition: per-source share of self-repeated 20-char
+    // windows + docs with any window recurring ≥3× (Gopher repetition
+    // signal at char granularity; doc id in the agg key → skew-proof)
+    "q112_intra_doc_repetition" -> ((s, dir) =>
+      Dedup.intraDocRepetition(Tables.documents(s, dir), "doc_id", "text", "source")),
 
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {

@@ -352,4 +352,74 @@ object CorpusStats {
           (col("szx") + col("szy") - col("n_shared_grams")), 6).as("jaccard"))
       .orderBy("source_x", "source_y")
   }
+
+  /** Heavy-hitter word bigrams — every bigram occurring in more than a
+    * 1/`phiDenom` fraction of the corpus's bigram stream (the standard
+    * φ-heavy-hitter definition; these are the boilerplate phrases a
+    * curation pipeline strips or caps). The result is EXACT — the
+    * count-min sketch below is a prefilter only, never the answer.
+    *
+    * Two-pass count-min-sketch shape (Cormode & Muthukrishnan, J.Alg '05),
+    * the reason this survives 100 TB where a plain
+    * `groupBy(gram).count()` does not: a web-scale corpus has ~10¹⁰
+    * distinct n-grams, so the plain plan shuffles the full vocabulary to
+    * count a handful of heavy keys.
+    *
+    *  - Pass 1 sketches the stream into `depth × width` counters — the
+    *    groupBy key space is CAPPED at depth·width regardless of corpus
+    *    size, so map-side partial aggregation collapses each task's
+    *    contribution to ≤ depth·width rows and the shuffle is a few MB
+    *    from any input. The driver collect is the sketch itself
+    *    (depth·width longs — bounded by construction, not by data).
+    *  - Pass 2 re-scans, looks each occurrence up in the broadcast
+    *    counters (a literal array in codegen — `least` of `depth`
+    *    `element_at`s, no join), and ONLY survivors of `est ≥ T` reach
+    *    the exact groupBy. CMS never undercounts, so the candidate set is
+    *    a superset of the true heavy hitters and the final exact
+    *    `count ≥ T` filter makes the output exact; width controls the
+    *    false-candidate rate (E[overcount] ≤ stream/width per row), not
+    *    correctness.
+    *
+    * The threshold T = ⌈N/phiDenom⌉ is integer arithmetic
+    * (`(N + phiDenom − 1) / phiDenom`) — no double 1/1000 whose rounding
+    * could disagree across engines. Cell hashes are md5-prefix
+    * ([[graft.operators.Dedup.md5Long]]) — portable, seed-stable.
+    * Bigrams via [[graft.plans.WordShingles]] (texts under 2 words count
+    * as one whole-text gram, q23 convention).
+    */
+  def heavyHitters(
+      docs: DataFrame,
+      textCol: String,
+      phiDenom: Long = 1000L,
+      depth: Int = 4,
+      width: Int = 8192): DataFrame = {
+    val grams = docs
+      .filter(col(textCol).isNotNull)
+      .select(explode(graft.plans.WordShingles(col(textCol), 2)).as("g"))
+    def cell(i: Int): Column =
+      pmod(Dedup.md5Long(concat(col("g"), lit(s"#$i")), 12), lit(width.toLong)).cast("int")
+    val sketchRows = grams
+      .select(posexplode(array((0 until depth).map(cell): _*)).as(Seq("d", "cell")))
+      .groupBy("d", "cell")
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+    val counters = Array.fill(depth * width)(0L)
+    sketchRows.foreach(r => counters(r.getInt(0) * width + r.getInt(1)) = r.getLong(2))
+    val total = (0 until width).map(counters(_)).sum // depth-0 row sums the whole stream
+    val threshold = (total + phiDenom - 1L) / phiDenom
+    val countersLit = lit(counters)
+    val est = (0 until depth)
+      .map(i => element_at(countersLit, cell(i) + lit(i * width + 1)))
+      .reduce(least(_, _))
+    grams
+      .filter(est >= threshold)
+      .groupBy(col("g").as("gram"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+      .select(
+        col("gram"),
+        col("n"),
+        round(col("n").cast("double") / total, 6).as("share"))
+      .orderBy("gram")
+  }
 }

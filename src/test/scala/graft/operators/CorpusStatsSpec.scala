@@ -165,6 +165,34 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got.length === 1 && math.abs(got(0) - 0.5 * math.log(2.0)) < 1e-6)
   }
 
+  test("heavy hitters: exact vs plain groupBy formulation, even with forced CMS collisions") {
+    // 40 docs of boilerplate phrase + unique tails: "spam ham" occurs 40×
+    // (> 1/10 of the bigram stream), tails are singletons.
+    val docs = (0 until 40).map(i => (i.toLong, s"spam ham u$i v$i")).toDF("doc_id", "text")
+    def plain(phiDenom: Long): Map[String, Long] = {
+      val grams = docs.select(
+        org.apache.spark.sql.functions.explode(
+          graft.plans.WordShingles(org.apache.spark.sql.functions.col("text"), 2)).as("g"))
+      val total = grams.count()
+      val thr = (total + phiDenom - 1) / phiDenom
+      grams.groupBy("g").count().where(s"count >= $thr")
+        .as[(String, Long)].collect().toMap
+    }
+    for (width <- Seq(4, 8192)) { // width=4 forces heavy collision overcounting
+      val got = CorpusStats.heavyHitters(docs, "text", phiDenom = 10L, width = width)
+        .select("gram", "n").as[(String, Long)].collect().toMap
+      assert(got === plain(10L), s"width=$width")
+    }
+  }
+
+  test("heavy hitters: share sums the bucket counts over the exact stream total") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // bigram stream: "a b","b a","a b" + "a b","b c" → total 5; thr(φ=1/2)=3 → only "a b" (3)
+    val got = CorpusStats.heavyHitters(docs, "text", phiDenom = 2L)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got === Seq(("a b", 3L, 0.6)))
+  }
+
   implicit private class Rows[V](rows: Array[(Long, Long, V)]) {
     def toMap2: Map[Long, (Long, V)] = rows.map { case (a, b, v) => a -> ((b, v)) }.toMap
   }

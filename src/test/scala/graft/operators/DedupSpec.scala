@@ -254,6 +254,54 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Seq((10L, 1L)))
   }
 
+  test("normalized dedup: case/punct/space variants collapse; distinct texts don't") {
+    val d = Seq(
+      (1L, "Hello, World!", "A"),
+      (2L, "hello   world", "A"),
+      (3L, "HELLO WORLD.", "A"),
+      (4L, "different text", "A"),
+      (5L, "x", "B")
+    ).toDF("doc_id", "text", "src")
+    val got = Dedup.normalizedExact(d, "doc_id", "text", "src")
+      .as[(String, Long, Long, Double)].collect()
+      .map { case (g, a, b, r) => g -> ((a, b, r)) }.toMap
+    assert(got("A") === ((4L, 2L, 0.5)))
+    assert(got("B") === ((1L, 1L, 0.0)))
+  }
+
+  test("intra-doc repetition: cyclic text flags, unique text scores zero") {
+    // 20-char block ×5 → 81 windows over exactly 20 distinct values, max
+    // multiplicity 5; the 36-char pangram-ish doc has 17 distinct windows
+    val d = Seq(
+      (1L, "ABCDEFGHIJKLMNOPQRST" * 5, "loop"),
+      (2L, "abcdefghijklmnopqrstuvwxyz0123456789", "uniq")
+    ).toDF("doc_id", "text", "src")
+    val got = Dedup.intraDocRepetition(d, "doc_id", "text", "src")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got("loop") === ((1L, 81L, 20L, 1L, 0.753086)))
+    assert(got("uniq") === ((1L, 17L, 17L, 0L, 0.0)))
+  }
+
+  test("lsh calibration: buckets tally jaccardEstimates; dup pairs count as true positives") {
+    val cal = Dedup.lshCalibration(docs, "doc_id", "text").collect()
+    val est = Dedup.jaccardEstimates(docs, "doc_id", "text")
+      .groupBy("n_match").count()
+      .as[(Long, Long)].collect().toMap
+    assert(cal.nonEmpty)
+    cal.foreach { r =>
+      val nm = r.getAs[Long]("n_match")
+      assert(r.getAs[Long]("n_pairs") === est(nm), s"bucket $nm")
+      assert(r.getAs[Long]("n_true") <= r.getAs[Long]("n_pairs"))
+      assert(r.getAs[Double]("min_jaccard") <= r.getAs[Double]("max_jaccard"))
+      assert(r.getAs[Double]("est_jaccard") === nm / 8.0)
+    }
+    assert(cal.map(_.getAs[Long]("n_pairs")).sum === est.values.sum)
+    // the exact-dup pair (1,2) sits in the all-match bucket with exact 1.0
+    val full = cal.find(_.getAs[Long]("n_match") === 8L).get
+    assert(full.getAs[Long]("n_true") >= 1L && full.getAs[Double]("max_jaccard") === 1.0)
+  }
+
   implicit private class Pairs[V](rows: Array[(Long, Long, V)]) {
     def toMap2: Map[(Long, Long), V] = rows.map { case (a, b, v) => (a, b) -> v }.toMap
   }
