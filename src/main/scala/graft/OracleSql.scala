@@ -1509,6 +1509,56 @@ object OracleSql {
         |             / sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 6) AS chars_per_piece
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "q113_winsorized_stats" ->
+      """WITH p AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.05) AS plo, quantile_cont(n_chars, 0.95) AS phi
+        |  FROM documents GROUP BY lang
+        |), v AS (
+        |  SELECT d.lang, p.plo, p.phi, CAST(d.n_chars AS DOUBLE) AS v,
+        |         CAST(round(least(greatest(CAST(d.n_chars AS DOUBLE), p.plo), p.phi) * 1000000) AS BIGINT) AS wq
+        |  FROM documents d JOIN p USING (lang)
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(min(plo), 6) AS p_lo,
+        |       round(min(phi), 6) AS p_hi,
+        |       round(CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS DOUBLE) / (count(*) * 1000000.0), 6) AS raw_mean,
+        |       round(CAST(sum(wq) AS DOUBLE) / (count(*) * 1000000.0), 6) AS winsorized_mean
+        |FROM v GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q114_source_concentration" ->
+      """WITH per AS (
+        |  SELECT source,
+        |         CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS ntok
+        |  FROM documents GROUP BY source
+        |), t AS (SELECT CAST(sum(ntok) AS BIGINT) AS total, count(*) AS n_sources FROM per),
+        |q AS (
+        |  SELECT t.n_sources, t.total,
+        |         CAST(round((CAST(ntok AS DOUBLE) / t.total) * (CAST(ntok AS DOUBLE) / t.total)
+        |                    * 1000000000000.0) AS BIGINT) AS q
+        |  FROM per, t
+        |)
+        |SELECT CAST(n_sources AS BIGINT) AS n_sources, total AS total_tokens,
+        |       round(CAST(sum(q) AS DOUBLE) / 1000000000000.0, 6) AS hhi,
+        |       round(1000000000000.0 / CAST(sum(q) AS DOUBLE), 6) AS effective_sources
+        |FROM q GROUP BY n_sources, total""".stripMargin,
+
+    "q115_token_budget" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, tok,
+        |         sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN cum <= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN cum <= 5000 THEN tok ELSE 0 END) AS BIGINT) AS tokens_kept,
+        |       round(CAST(sum(CASE WHEN cum <= 5000 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS keep_rate
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
     "q104_mixture_apply" ->
       """WITH d AS (
         |  SELECT doc_id, source,

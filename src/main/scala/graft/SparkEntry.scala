@@ -1311,6 +1311,54 @@ object SparkEntry {
     "q112_intra_doc_repetition" -> ((s, dir) =>
       Dedup.intraDocRepetition(Tables.documents(s, dir), "doc_id", "text", "source")),
 
+    // robust per-language length stats: winsorized vs raw mean — the gap
+    // IS the outlier signal (clipped values quantize to 1e-6 ints before
+    // the sum, so the aggregation is order-invariant)
+    "q113_winsorized_stats" -> ((s, dir) =>
+      Stats.winsorizedStats(Tables.documents(s, dir), "n_chars", "lang")),
+
+    // corpus concentration: Herfindahl index of per-source token shares +
+    // effective source count (1/HHI) — the one-number "is my mixture
+    // dominated by a single source" diagnostic; all heavy lifting is one
+    // per-source agg, the index itself runs on the bounded relation
+    "q114_source_concentration" -> ((s, dir) => {
+      val per = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(sum(TextFunctions.regexPieces(col("text"))).as("ntok"))
+      val tot = per.agg(sum(col("ntok")).as("total"), count(lit(1)).as("n_sources"))
+      val share = col("ntok").cast("double") / col("total")
+      per.crossJoin(broadcast(tot))
+        .select(
+          col("n_sources"),
+          col("total"),
+          round(share * share * lit(1000000000000.0), 0).cast("long").as("q"))
+        .groupBy("n_sources", "total")
+        .agg(sum(col("q")).as("qq"))
+        .select(
+          col("n_sources"),
+          col("total").as("total_tokens"),
+          round(col("qq").cast("double") / 1000000000000.0, 6).as("hhi"),
+          round(lit(1000000000000.0) / col("qq").cast("double"), 6).as("effective_sources"))
+    }),
+
+    // token-budget truncation: keep each source's docs in doc_id order
+    // until a 5k-token budget — how much of the planned mixture the budget
+    // actually realizes; the cumulative window partitions by source
+    "q115_token_budget" -> ((s, dir) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), TextFunctions.regexPieces(col("text")).as("tok"))
+        .withColumn("cum", sum(col("tok")).over(w))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("cum") <= 5000L, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("cum") <= 5000L, col("tok")).otherwise(0L)).as("tokens_kept"))
+        .withColumn("keep_rate", round(col("n_kept").cast("double") / col("n_docs"), 6))
+        .orderBy("source")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

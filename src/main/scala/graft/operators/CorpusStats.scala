@@ -393,11 +393,16 @@ object CorpusStats {
       phiDenom: Long = 1000L,
       depth: Int = 4,
       width: Int = 8192): DataFrame = {
+    require(width <= (1 << 30), "width must fit a 32-bit hash chunk")
+    require(depth >= 1 && depth <= 4, "one md5 digest yields at most four 32-bit cell hashes")
     val grams = docs
       .filter(col(textCol).isNotNull)
       .select(explode(graft.plans.WordShingles(col(textCol), 2)).as("g"))
+    // depth cells from ONE md5 per occurrence: disjoint 32-bit chunks of
+    // the digest (subexpression elimination computes md5 once per row)
     def cell(i: Int): Column =
-      pmod(Dedup.md5Long(concat(col("g"), lit(s"#$i")), 12), lit(width.toLong)).cast("int")
+      pmod(conv(substring(md5(col("g")), i * 8 + 1, 8), 16, 10).cast("long"), lit(width.toLong))
+        .cast("int")
     val sketchRows = grams
       .select(posexplode(array((0 until depth).map(cell): _*)).as(Seq("d", "cell")))
       .groupBy("d", "cell")

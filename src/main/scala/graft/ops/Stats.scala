@@ -98,4 +98,59 @@ object Stats {
       .agg(sum(when(col("adev") > col("mad") * cut, 1L).otherwise(0L)).as("n_outliers"))
       .orderBy(groupCol)
   }
+
+  /** Winsorized mean per group: values clipped to the group's exact
+    * interpolating [pLo, pHi] percentiles before averaging — the robust
+    * central-tendency readout (a handful of megabyte documents shifts a
+    * plain mean arbitrarily; the winsorized mean is bounded by
+    * construction). Reported next to the raw mean so the gap itself is
+    * the outlier signal.
+    *
+    * Exactness: clipped values quantize to 1e-6 integers BEFORE the sum
+    * (each is either an exact integer·10⁶ or the rounded percentile —
+    * per-row ops, engine-identical), so the aggregation is
+    * order-invariant; the one double division happens after. Scale shape:
+    * two hash aggregations over the group key + one broadcast join of the
+    * |groups|-row percentile relation — `percentile` buffers each group's
+    * values ON THE EXECUTOR for the exact interpolation (same cost the
+    * q33 quantiles already pay; swap to `approx_percentile` when groups
+    * stop fitting).
+    */
+  def winsorizedStats(
+      df: DataFrame,
+      valCol: String,
+      groupCol: String,
+      pLo: Double = 0.05,
+      pHi: Double = 0.95): DataFrame = {
+    val pct = df
+      .groupBy(groupCol)
+      .agg(
+        expr(s"percentile($valCol, ${pLo}D)").as("_plo"),
+        expr(s"percentile($valCol, ${pHi}D)").as("_phi"))
+    df
+      .select(col(groupCol), col(valCol).cast("double").as("_v"))
+      .join(broadcast(pct), groupCol)
+      .select(
+        col(groupCol),
+        col("_plo"),
+        col("_phi"),
+        col("_v"),
+        round(least(greatest(col("_v"), col("_plo")), col("_phi")) * 1000000, 0)
+          .cast("long").as("_wq"))
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(first(col("_plo")), 6).as("p_lo"),
+        round(first(col("_phi")), 6).as("p_hi"),
+        sum(round(col("_v") * 1000000, 0).cast("long")).as("_sraw"),
+        sum(col("_wq")).as("_sw"))
+      .select(
+        col(groupCol),
+        col("n_rows"),
+        col("p_lo"),
+        col("p_hi"),
+        round(col("_sraw").cast("double") / (col("n_rows") * 1000000.0), 6).as("raw_mean"),
+        round(col("_sw").cast("double") / (col("n_rows") * 1000000.0), 6).as("winsorized_mean"))
+      .orderBy(groupCol)
+  }
 }

@@ -22,11 +22,13 @@ class PlanGuardSpec extends AnyFunSuite {
     *   - q83/q94: the centroid set (Lloyd assignment / bucket profile)
     *   - q84: the query set (kNN vote, |Q| = nQueries)
     *   - q86: the 1-row (corpus total, vocab size) aggregate
-    *   - q101: the per-source totals relation (|sources| rows — the
-    *     vocab × sources grid is built against a bounded side)
+    *   - q101/q111: the per-group totals relation (|sources| / |months|
+    *     rows — the vocab × groups grid is built against a bounded side)
     */
   private val boundedNlj = Set(
     "q101_source_jsd",
+    "q111_temporal_jsd",
+    "q114_source_concentration", // 1-row (total, n_sources) aggregate
     "q10_class_weights",
     "q68_temperature_sample",
     "q24_embed_topk",

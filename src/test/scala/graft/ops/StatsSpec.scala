@@ -54,4 +54,13 @@ class StatsSpec extends AnyFunSuite {
       .as[(String, Long, Double, Double, Long)].collect().toSeq
     assert(got === Seq(("a", 5L, 3.0, 1.0, 1L), ("b", 4L, 5.0, 0.0, 1L)))
   }
+
+  test("winsorized mean: one outlier clips to the interpolated p95, raw mean stays exposed") {
+    // 19×100 + one 10000: p95 at position 18.05 interpolates to 595.0, so
+    // winsorized = (19·100 + 595)/20 = 124.75 while raw = 595.0
+    val vals = ((1 to 19).map(_ => ("a", 100L)) :+ (("a", 10000L))).toDF("grp", "v")
+    val got = Stats.winsorizedStats(vals, "v", "grp")
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(got === Seq(("a", 20L, 100.0, 595.0, 595.0, 124.75)))
+  }
 }
