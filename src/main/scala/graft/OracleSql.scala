@@ -203,6 +203,65 @@ object OracleSql {
 
   private def centsSql(x: String): String = s"CAST(round(($x) * 100) AS BIGINT)"
 
+  /** `iters` chained Lloyd iterations (mirrors `Similarity.kmeansFit`):
+    * c0 = seed centroids (vec_id < k), each round assigns by rounded
+    * cosine (ties → smaller centroid id) and rebuilds centroids from
+    * 1e-6-quantized component means; the final SELECT re-assigns against
+    * the last centroids and reports member counts + mean cosine. Every
+    * arithmetic step replays the Spark side bit-for-bit (sequential
+    * list_sum dot products, round-then-sum quantization).
+    */
+  private def kmeansSql(k: Int, iters: Int): String = {
+    val sb = new StringBuilder(normCte)
+    sb.append(s",\nc0 AS (SELECT vec_id AS cent_id, e AS cv, nrm AS cn FROM n WHERE vec_id < $k)")
+    def assignCte(t: String, from: String): String =
+      s"""a$t AS (
+         |  SELECT n.vec_id, n.e, c.cent_id,
+         |         round(list_sum(list_transform(range(1, len(n.e)+1), i -> n.e[i]*c.cv[i])) / (n.nrm * c.cn), 6) AS csim
+         |  FROM n, $from c
+         |), asg$t AS (
+         |  SELECT vec_id, e, cent_id AS bucket, csim FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS arn FROM a$t)
+         |  WHERE arn = 1
+         |)""".stripMargin
+    for (t <- 1 to iters) {
+      sb.append(",\n").append(assignCte(t.toString, s"c${t - 1}"))
+      sb.append(s""",
+         |m$t AS (
+         |  SELECT bucket, pos, ${meanMicrosSql("sq", "nm")} AS m
+         |  FROM (
+         |    SELECT bucket, u.pos AS pos,
+         |           CAST(sum(CAST(round(u.val * 1000000) AS BIGINT)) AS BIGINT) AS sq,
+         |           count(*) AS nm
+         |    FROM (SELECT bucket,
+         |                 unnest(list_transform(range(1, len(e)+1), i -> struct_pack(pos := i - 1, val := e[i]))) AS u
+         |          FROM asg$t)
+         |    GROUP BY 1, 2)
+         |), cl$t AS (SELECT bucket AS cent_id, list(m ORDER BY pos) AS cv FROM m$t GROUP BY 1),
+         |c$t AS (SELECT cent_id, cv,
+         |               sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i]))) AS cn
+         |        FROM cl$t)""".stripMargin)
+    }
+    sb.append(",\n").append(assignCte("f", s"c$iters"))
+    sb.append(s"""
+       |SELECT cent_id, n_members, ${meanMicrosSql("ss", "n_members")} AS mean_cosine
+       |FROM (
+       |  SELECT bucket AS cent_id, CAST(count(*) AS BIGINT) AS n_members,
+       |         CAST(sum(CAST(round(csim * 1000000) AS BIGINT)) AS BIGINT) AS ss
+       |  FROM asgf GROUP BY 1)
+       |ORDER BY cent_id""".stripMargin)
+    sb.toString
+  }
+
+  /** Integer half-away-from-zero mean of 1e-6-quantized sums (mirrors
+    * `Similarity.meanMicros`): no round() call, so no Spark-BigDecimal vs
+    * DuckDB-binary-double boundary divergence. `//` on non-negative
+    * operands == SQL `div`.
+    */
+  private def meanMicrosSql(s: String, n: String): String =
+    s"(CAST(CASE WHEN $s < 0 THEN -((2 * (-$s) + $n) // (2 * $n)) " +
+      s"ELSE (2 * $s + $n) // (2 * $n) END AS DOUBLE) / 1000000.0)"
+
   /** Gap-based session CTE chain (mirrors `EventWindows.sessionize`, 30-min
     * gap): per-user boundary flags → running session index.
     */
@@ -1508,6 +1567,8 @@ object OracleSql {
         |       round(CAST(sum(n_chars) AS DOUBLE)
         |             / sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 6) AS chars_per_piece
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q116_kmeans_fit" -> kmeansSql(k = 8, iters = 3),
 
     "q113_winsorized_stats" ->
       """WITH p AS (

@@ -1359,6 +1359,13 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // full k-means fit: 3 driver-looped Lloyd iterations from the
+    // deterministic seeds, then per-cluster size + mean member cosine —
+    // the clustering-quality readout (q83 is one iteration of this)
+    "q116_kmeans_fit" -> ((s, dir) =>
+      Similarity.kmeansFit(Tables.embeddings(s, dir), "vec_id", "embedding",
+        nCentroids = 8, iters = 3)),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -120,6 +120,92 @@ object Similarity {
         round(col("sq").cast("double") / (col("n_members") * 1000000.0), 6).as("mean_val"))
       .orderBy("cent_id", "pos")
 
+  /** Full k-means fit: `iters` Lloyd iterations from the deterministic
+    * seed set (vid < nCentroids), then the converged clustering readout —
+    * per final centroid, member count and mean member-to-centroid cosine
+    * (the clustering-quality number). [[lloydStep]] is ONE iteration of
+    * this; here the driver loops, because the per-iteration result (k·dim
+    * component means) is bounded by construction — collecting it is the
+    * legitimate driver-side step of iterative ML (k·dim doubles, not
+    * data), exactly how a parameter server treats model state.
+    *
+    * Exactness end-to-end: component means quantize to 1e-6 integers
+    * before summing (lloydStep discipline) and round to 6dp; similarity
+    * re-quantizes per row before the final mean — every aggregation is
+    * order-invariant, every libm call (sqrt for the centroid norm,
+    * sequential over components) bit-matches the oracle's chained-CTE
+    * replay of the same iterations. Scale shape per iteration: one
+    * broadcast of k·dim centroid literals against the corpus scan (no
+    * shuffle for assignment), one hash agg keyed (bucket, pos). The
+    * corpus view persists across iterations (iterative ML's standard
+    * cache; unpersisted before the final pass so the returned plan owns
+    * no executor memory).
+    */
+  /** Mean of 1e-6-quantized integers, rounded HALF AWAY FROM ZERO by pure
+    * integer arithmetic — `round(sum/(n*1e6), 6)` would hit the classic
+    * cross-engine boundary bug here: quantized-cosine sums divided by
+    * member counts land EXACTLY on half-microunit boundaries (whenever
+    * 2·sum ≡ n mod 2n), where Spark's BigDecimal HALF_UP (decimal
+    * string) and DuckDB's binary-double round disagree by one ulp. The
+    * integer formula `(2·|s| + n) div (2n)` has no rounding function at
+    * all; the final division by 10⁶ maps the exact integer to an exact
+    * double identically in both engines. Requires `s`/`n` as LONG columns
+    * named in scope (expr-based for SQL `div`).
+    */
+  private def meanMicros(s: String, n: String): Column =
+    (expr(s"CASE WHEN $s < 0 THEN -((2 * (-$s) + $n) div (2 * $n)) " +
+      s"ELSE (2 * $s + $n) div (2 * $n) END").cast("double") / 1000000.0)
+
+  def kmeansFit(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      nCentroids: Int,
+      iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val v = normed(emb, idCol, embCol)
+    def assign(cents: DataFrame): DataFrame =
+      v.crossJoin(broadcast(cents))
+        .withColumn("csim", cosine(col("cv"), col("cn"), col("emb_d"), col("nrm")))
+        .groupBy("vid")
+        .agg(
+          max(struct(col("csim"), (-col("cent_id")).as("neg"), col("cent_id").as("cid"))).as("best"),
+          first(col("emb_d")).as("emb_d"))
+        .select(col("best.cid").as("bucket"), col("best.csim").as("csim"), col("emb_d"))
+    v.persist()
+    var cents = centroidSet(v, nCentroids)
+    var t = 0
+    while (t < iters) {
+      val meanRows = assign(cents)
+        .select(col("bucket"), posexplode(col("emb_d")).as(Seq("pos", "vv")))
+        .groupBy("bucket", "pos")
+        .agg(
+          sum(round(col("vv").cast("double") * 1000000, 0).cast("long")).as("sq"),
+          count(lit(1)).as("n"))
+        .select(col("bucket"), col("pos"), meanMicros("sq", "n").as("m"))
+        .collect()
+      val byCent = meanRows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (cid, rows) =>
+        val vec = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        var s = 0.0
+        vec.foreach(x => s += x * x) // sequential, mirrors the oracle's list_sum
+        (cid, vec, math.sqrt(s))
+      }
+      cents = spark.createDataFrame(byCent).toDF("cent_id", "cv", "cn")
+      t += 1
+    }
+    v.unpersist(false)
+    assign(cents)
+      .groupBy(col("bucket").as("cent_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(round(col("csim") * 1000000, 0).cast("long")).as("_ss"))
+      .select(
+        col("cent_id"),
+        col("n_members"),
+        meanMicros("_ss", "n_members").as("mean_cosine"))
+      .orderBy("cent_id")
+  }
+
   /** kNN majority-vote classification: for each query vector (`id <
     * nQueries`), find its k max-cosine neighbors in the corpus and predict
     * the label most common among them (ties → smaller label). The

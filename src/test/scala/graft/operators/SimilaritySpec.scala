@@ -163,4 +163,19 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(tie.map(r => (r._1, r._2, r._3)) === Seq((0L, 5L, 1L)))
   }
+
+  test("kmeansFit: two tight blobs keep their members and score near-1 cohesion") {
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),  // seed A
+      (1L, Seq(0.0f, 1.0f, 0.0f)),  // seed B
+      (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(0.95f, 0.0f, 0.05f)),
+      (4L, Seq(0.0f, 0.9f, 0.1f)),
+      (5L, Seq(0.1f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansFit(rows, "vec_id", "embedding", nCentroids = 2, iters = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) === Seq((0L, 3L), (1L, 3L)))
+    got.foreach(r => assert(r._3 > 0.97, s"cluster ${r._1} cohesion ${r._3}"))
+  }
 }
