@@ -211,7 +211,7 @@ object OracleSql {
     * arithmetic step replays the Spark side bit-for-bit (sequential
     * list_sum dot products, round-then-sum quantization).
     */
-  private def kmeansSql(k: Int, iters: Int): String = {
+  private def kmeansChain(k: Int, iters: Int): String = {
     val sb = new StringBuilder(normCte)
     sb.append(s",\nc0 AS (SELECT vec_id AS cent_id, e AS cv, nrm AS cn FROM n WHERE vec_id < $k)")
     def assignCte(t: String, from: String): String =
@@ -243,15 +243,38 @@ object OracleSql {
          |        FROM cl$t)""".stripMargin)
     }
     sb.append(",\n").append(assignCte("f", s"c$iters"))
-    sb.append(s"""
+    sb.toString
+  }
+
+  private def kmeansSql(k: Int, iters: Int): String =
+    kmeansChain(k, iters) + s"""
        |SELECT cent_id, n_members, ${meanMicrosSql("ss", "n_members")} AS mean_cosine
        |FROM (
        |  SELECT bucket AS cent_id, CAST(count(*) AS BIGINT) AS n_members,
        |         CAST(sum(CAST(round(csim * 1000000) AS BIGINT)) AS BIGINT) AS ss
        |  FROM asgf GROUP BY 1)
-       |ORDER BY cent_id""".stripMargin)
-    sb.toString
-  }
+       |ORDER BY cent_id""".stripMargin
+
+  /** Final-assignment label purity (mirrors the q117 rollup): majority
+    * label per fitted cluster with count-then-smaller-label tie-break;
+    * purity via the same integer half-away division.
+    */
+  private def kmeansPuritySql(k: Int, iters: Int): String =
+    kmeansChain(k, iters) + s""",
+       |lc AS (
+       |  SELECT a.bucket, e.label, count(*) AS c
+       |  FROM asgf a JOIN embeddings e ON e.vec_id = a.vec_id
+       |  GROUP BY 1, 2
+       |), mj AS (
+       |  SELECT bucket, label, CAST(c AS BIGINT) AS c,
+       |         row_number() OVER (PARTITION BY bucket ORDER BY c DESC, label) AS rn,
+       |         CAST(sum(c) OVER (PARTITION BY bucket) AS BIGINT) AS n_members
+       |  FROM lc
+       |)
+       |SELECT bucket AS cent_id, n_members,
+       |       CAST(label AS BIGINT) AS majority_label, c AS n_majority,
+       |       (CAST((2 * c * 1000000 + n_members) // (2 * n_members) AS DOUBLE) / 1000000.0) AS purity
+       |FROM mj WHERE rn = 1 ORDER BY cent_id""".stripMargin
 
   /** Integer half-away-from-zero mean of 1e-6-quantized sums (mirrors
     * `Similarity.meanMicros`): no round() call, so no Spark-BigDecimal vs
@@ -1569,6 +1592,8 @@ object OracleSql {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q116_kmeans_fit" -> kmeansSql(k = 8, iters = 3),
+
+    "q117_cluster_purity" -> kmeansPuritySql(k = 8, iters = 3),
 
     "q113_winsorized_stats" ->
       """WITH p AS (

@@ -1366,6 +1366,30 @@ object SparkEntry {
       Similarity.kmeansFit(Tables.embeddings(s, dir), "vec_id", "embedding",
         nCentroids = 8, iters = 3)),
 
+    // label purity of the fitted clusters: does unsupervised structure
+    // recover the labels — the semantic-balance readout before using
+    // clusters as sampling strata; purity uses the same integer
+    // half-away division as the k-means means (no round() boundary)
+    "q117_cluster_purity" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.kmeansAssignments(e, "vec_id", "embedding", nCentroids = 8, iters = 3)
+        .join(e.select(col("vec_id").as("vid"), col("label")), "vid")
+        .groupBy("bucket", "label")
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("bucket").as("cent_id"))
+        .agg(
+          sum(col("c")).as("n_members"),
+          max(struct(col("c"), (-col("label")).as("neg"), col("label").as("lbl"))).as("best"))
+        .select(
+          col("cent_id"),
+          col("n_members"),
+          col("best.lbl").cast("long").as("majority_label"),
+          col("best.c").as("n_majority"),
+          (expr("(2 * best.c * 1000000 + n_members) div (2 * n_members)").cast("double")
+            / 1000000.0).as("purity"))
+        .orderBy("cent_id")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

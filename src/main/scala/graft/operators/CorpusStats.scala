@@ -391,8 +391,8 @@ object CorpusStats {
       docs: DataFrame,
       textCol: String,
       phiDenom: Long = 1000L,
-      depth: Int = 4,
-      width: Int = 8192): DataFrame = {
+      depth: Int = 2,
+      width: Int = 16384): DataFrame = {
     require(width <= (1 << 30), "width must fit a 32-bit hash chunk")
     require(depth >= 1 && depth <= 4, "one md5 digest yields at most four 32-bit cell hashes")
     val grams = docs

@@ -156,7 +156,12 @@ object Similarity {
     (expr(s"CASE WHEN $s < 0 THEN -((2 * (-$s) + $n) div (2 * $n)) " +
       s"ELSE (2 * $s + $n) div (2 * $n) END").cast("double") / 1000000.0)
 
-  def kmeansFit(
+  /** The fitted assignment behind [[kmeansFit]]: (vid, bucket, csim)
+    * against the centroids of the FINAL iteration — exposed so downstream
+    * rollups (cluster purity, per-cluster sampling) compose with the same
+    * exact iteration replay the summary uses.
+    */
+  def kmeansAssignments(
       emb: DataFrame,
       idCol: String,
       embCol: String,
@@ -171,7 +176,7 @@ object Similarity {
         .agg(
           max(struct(col("csim"), (-col("cent_id")).as("neg"), col("cent_id").as("cid"))).as("best"),
           first(col("emb_d")).as("emb_d"))
-        .select(col("best.cid").as("bucket"), col("best.csim").as("csim"), col("emb_d"))
+        .select(col("vid"), col("best.cid").as("bucket"), col("best.csim").as("csim"), col("emb_d"))
     v.persist()
     var cents = centroidSet(v, nCentroids)
     var t = 0
@@ -194,7 +199,16 @@ object Similarity {
       t += 1
     }
     v.unpersist(false)
-    assign(cents)
+    assign(cents).select(col("vid"), col("bucket"), col("csim"))
+  }
+
+  def kmeansFit(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      nCentroids: Int,
+      iters: Int): DataFrame =
+    kmeansAssignments(emb, idCol, embCol, nCentroids, iters)
       .groupBy(col("bucket").as("cent_id"))
       .agg(
         count(lit(1)).as("n_members"),
@@ -204,7 +218,6 @@ object Similarity {
         col("n_members"),
         meanMicros("_ss", "n_members").as("mean_cosine"))
       .orderBy("cent_id")
-  }
 
   /** kNN majority-vote classification: for each query vector (`id <
     * nQueries`), find its k max-cosine neighbors in the corpus and predict

@@ -29,6 +29,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q101_source_jsd",
     "q111_temporal_jsd",
     "q114_source_concentration", // 1-row (total, n_sources) aggregate
+    "q116_kmeans_fit",           // k·dim fitted centroid set
+    "q117_cluster_purity",       // same fitted centroid broadcast
     "q10_class_weights",
     "q68_temperature_sample",
     "q24_embed_topk",
