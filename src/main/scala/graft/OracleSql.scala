@@ -1595,6 +1595,45 @@ object OracleSql {
 
     "q117_cluster_purity" -> kmeansPuritySql(k = 8, iters = 3),
 
+    "q118_event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events
+        |), t AS (
+        |  SELECT event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_type
+        |  FROM e
+        |), c AS (
+        |  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        |), f AS (
+        |  SELECT prev_type, event_type, n,
+        |         CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from
+        |  FROM c
+        |)
+        |SELECT prev_type, event_type, n,
+        |       (CAST((2 * n * 1000000 + n_from) // (2 * n_from) AS DOUBLE) / 1000000.0) AS p
+        |FROM f ORDER BY prev_type, event_type""".stripMargin,
+
+    // expected/contrib derive from the UNROUNDED e; `expected` rounds only
+    // at the projection (mirrors the Spark column order of operations).
+    "q119_lang_source_indep" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o FROM documents GROUP BY 1, 2
+        |), t AS (
+        |  SELECT lang, source, o,
+        |         CAST(sum(o) OVER (PARTITION BY lang) AS BIGINT) AS rl,
+        |         CAST(sum(o) OVER (PARTITION BY source) AS BIGINT) AS cl,
+        |         CAST(sum(o) OVER () AS BIGINT) AS nn
+        |  FROM cells
+        |)
+        |SELECT lang, source, o AS observed,
+        |       round(CAST(rl AS DOUBLE) * cl / nn, 6) AS expected,
+        |       round((o - CAST(rl AS DOUBLE) * cl / nn) * (o - CAST(rl AS DOUBLE) * cl / nn)
+        |             / (CAST(rl AS DOUBLE) * cl / nn), 6) AS contrib
+        |FROM t ORDER BY lang, source""".stripMargin,
+
     "q113_winsorized_stats" ->
       """WITH p AS (
         |  SELECT lang, quantile_cont(n_chars, 0.05) AS plo, quantile_cont(n_chars, 0.95) AS phi

@@ -1390,6 +1390,50 @@ object SparkEntry {
         .orderBy("cent_id")
     }),
 
+    // per-user event transition matrix (first-order Markov readout): how
+    // users move between event types, with transition probabilities by the
+    // integer half-away division (no round() boundary); the lag window
+    // partitions by user — distributed by construction
+    "q118_event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_from", sum(col("n")).over(Window.partitionBy("prev_type")))
+        .select(
+          col("prev_type"),
+          col("event_type"),
+          col("n"),
+          (expr("(2 * n * 1000000 + n_from) div (2 * n_from)").cast("double") / 1000000.0)
+            .as("p"))
+        .orderBy("prev_type", "event_type")
+    }),
+
+    // lang × source independence: chi-square cell contributions — which
+    // (language, source) cells are over/under-represented vs independence;
+    // the corpus-balance QA a mixing team runs before reweighting
+    "q119_lang_source_indep" -> ((s, dir) => {
+      val cells = Tables.documents(s, dir).groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val rowT = Window.partitionBy("lang")
+      val colT = Window.partitionBy("source")
+      val all = Window.partitionBy()
+      cells
+        .withColumn("rl", sum(col("o")).over(rowT))
+        .withColumn("cl", sum(col("o")).over(colT))
+        .withColumn("nn", sum(col("o")).over(all))
+        .withColumn("e", col("rl").cast("double") * col("cl") / col("nn"))
+        .select(
+          col("lang"),
+          col("source"),
+          col("o").as("observed"),
+          round(col("e"), 6).as("expected"),
+          round((col("o") - col("e")) * (col("o") - col("e")) / col("e"), 6).as("contrib"))
+        .orderBy("lang", "source")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
