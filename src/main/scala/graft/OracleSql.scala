@@ -1595,6 +1595,14 @@ object OracleSql {
 
     "q117_cluster_purity" -> kmeansPuritySql(k = 8, iters = 3),
 
+    // Round-trip through the ORC zone is lossless, so the oracle is the
+    // same aggregation over the parquet original (q57/q82 discipline).
+    "q120_orc_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       count(DISTINCT doc_id) AS n_ids
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q118_event_transitions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

@@ -1434,6 +1434,22 @@ object SparkEntry {
         .orderBy("lang", "source")
     }),
 
+    // ORC zone round-trip: write documents to an ORC zone, read back with
+    // the explicit schema, aggregate — oracled against the parquet
+    // original (q57/q82 discipline for the third columnar zone format)
+    "q120_orc_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tmp = graft.io.Zones.tempDir(s"graft_orc_zone_${new java.io.File(dir).getName}")
+      graft.io.Zones.writeOrc(docs, tmp)
+      graft.io.Zones.readOrc(s, docs.schema, Seq(tmp))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          countDistinct(col("doc_id")).as("n_ids"))
+        .orderBy("lang")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

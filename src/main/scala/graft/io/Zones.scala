@@ -100,6 +100,18 @@ object Zones {
       .option("mode", "PERMISSIVE")
       .json(paths: _*)
 
+  /** ORC sink/scan — the columnar alternative a Hive-heritage lake speaks;
+    * same predicate-pushdown/column-pruning story as parquet (Spark's ORC
+    * reader is vectorized), so a zone written here costs queries nothing.
+    */
+  def writeOrc(df: DataFrame, path: String, single: Boolean = false): Unit =
+    (if (single) df.coalesce(1) else df).write
+      .mode(SaveMode.Overwrite)
+      .orc(path)
+
+  def readOrc(spark: SparkSession, schema: StructType, paths: Seq[String]): DataFrame =
+    spark.read.schema(schema).orc(paths: _*)
+
   def readParquet(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
   def writeParquet(df: DataFrame, path: String): Unit =

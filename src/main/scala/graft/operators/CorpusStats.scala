@@ -387,24 +387,42 @@ object CorpusStats {
     * Bigrams via [[graft.plans.WordShingles]] (texts under 2 words count
     * as one whole-text gram, q23 convention).
     */
+  /** The word-bigram occurrence stream (q23 shingle convention). */
+  private def gramRows(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(explode(graft.plans.WordShingles(col(textCol), 2)).as("g"))
+
+  /** Cell hash `i` of a gram: disjoint 32-bit chunks of ONE md5 digest
+    * (subexpression elimination computes the digest once per row however
+    * many cells are derived).
+    */
+  private[graft] def cellOf(g: Column, i: Int, width: Int): Column =
+    pmod(conv(substring(md5(g), i * 8 + 1, 8), 16, 10).cast("long"), lit(width.toLong))
+      .cast("int")
+
+  /** (d, cell) occurrence rows of the bigram stream — the sketch substrate
+    * shared by [[heavyHitters]]' batch pass 1 and its streaming twin
+    * ([[graft.streaming.SketchStream]]). Pure map (shingle explode → md5
+    * chunks), no shuffle; works unchanged on a streaming DataFrame.
+    */
+  def sketchCellRows(docs: DataFrame, textCol: String, depth: Int, width: Int): DataFrame = {
+    require(width <= (1 << 30), "width must fit a 32-bit hash chunk")
+    require(depth >= 1 && depth <= 4, "one md5 digest yields at most four 32-bit cell hashes")
+    gramRows(docs, textCol)
+      .select(posexplode(array((0 until depth).map(i => cellOf(col("g"), i, width)): _*))
+        .as(Seq("d", "cell")))
+  }
+
   def heavyHitters(
       docs: DataFrame,
       textCol: String,
       phiDenom: Long = 1000L,
       depth: Int = 2,
       width: Int = 16384): DataFrame = {
-    require(width <= (1 << 30), "width must fit a 32-bit hash chunk")
-    require(depth >= 1 && depth <= 4, "one md5 digest yields at most four 32-bit cell hashes")
-    val grams = docs
-      .filter(col(textCol).isNotNull)
-      .select(explode(graft.plans.WordShingles(col(textCol), 2)).as("g"))
-    // depth cells from ONE md5 per occurrence: disjoint 32-bit chunks of
-    // the digest (subexpression elimination computes md5 once per row)
-    def cell(i: Int): Column =
-      pmod(conv(substring(md5(col("g")), i * 8 + 1, 8), 16, 10).cast("long"), lit(width.toLong))
-        .cast("int")
-    val sketchRows = grams
-      .select(posexplode(array((0 until depth).map(cell): _*)).as(Seq("d", "cell")))
+    val grams = gramRows(docs, textCol)
+    def cell(i: Int): Column = cellOf(col("g"), i, width)
+    val sketchRows = sketchCellRows(docs, textCol, depth, width)
       .groupBy("d", "cell")
       .agg(count(lit(1)).as("cnt"))
       .collect()
