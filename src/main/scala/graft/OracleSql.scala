@@ -1603,6 +1603,34 @@ object OracleSql {
         |       count(DISTINCT doc_id) AS n_ids
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // Bootstrap weights replay the SAME integer thresholds the Spark side
+    // uses (interpolated from Stats.PoissonCum48, not retyped).
+    "q121_bootstrap_ci" -> {
+      val cases = graft.ops.Stats.PoissonCum48.zipWithIndex
+        .map { case (t, k) => s"WHEN u < $t THEN $k" }
+        .mkString("\n         ")
+      s"""WITH r AS (
+         |  SELECT lang, doc_id,
+         |         CAST(round(CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT) AS v6,
+         |         unnest(range(0, 32)) AS b
+         |  FROM documents
+         |), wts AS (
+         |  SELECT lang, b, v6,
+         |         CASE $cases ELSE 9 END AS w
+         |  FROM (SELECT *,
+         |          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#b' || CAST(b AS VARCHAR)), 1, 12)) AS BIGINT) AS u
+         |        FROM r)
+         |), m AS (
+         |  SELECT lang, b,
+         |         (CAST(sum(w * v6) AS DOUBLE) / CAST(sum(w) AS BIGINT)) / 1000000.0 AS mean_b
+         |  FROM wts GROUP BY 1, 2 HAVING sum(w) > 0
+         |)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_reps,
+         |       round(quantile_cont(mean_b, 0.025), 6) AS ci_lo,
+         |       round(quantile_cont(mean_b, 0.975), 6) AS ci_hi
+         |FROM m GROUP BY 1 ORDER BY lang""".stripMargin
+    },
+
     "q118_event_transitions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

@@ -1450,6 +1450,12 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Poisson-bootstrap CI for the per-language mean length: deterministic
+    // md5-uniform weights against exact integer Poisson(1) thresholds —
+    // the uncertainty readout behind any corpus-metric comparison
+    "q121_bootstrap_ci" -> ((s, dir) =>
+      Stats.bootstrapMeanCI(Tables.documents(s, dir), "n_chars", "doc_id", "lang")),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

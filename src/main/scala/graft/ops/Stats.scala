@@ -99,6 +99,74 @@ object Stats {
       .orderBy(groupCol)
   }
 
+  /** Cumulative Poisson(1) probabilities scaled to 2^48 and floored to
+    * exact integer thresholds, k = 0..8 — shared verbatim (same Scala
+    * vals interpolated into the oracle SQL) so both engines draw the SAME
+    * bootstrap weights. P(K > 8) ≈ 1.1e-6 maps to weight 9.
+    */
+  val PoissonCum48: Seq[Long] = {
+    var p = math.exp(-1.0)
+    var c = 0.0
+    (0 to 8).map { k =>
+      if (k > 0) p = p / k
+      c += p
+      math.floor(c * math.pow(2.0, 48)).toLong
+    }
+  }
+
+  /** Poisson-bootstrap confidence interval for the per-group mean of
+    * `valCol` — the uncertainty readout behind any corpus metric ("is
+    * source A's mean length REALLY higher, or is that noise"). Classic
+    * multinomial bootstrap resampling doesn't distribute (each replicate
+    * needs a global draw); the Poisson(1) approximation makes each doc's
+    * per-replicate weight an INDEPENDENT function of (doc, replicate) —
+    * a pure map, which is why this is the standard bootstrap at scale.
+    * Weights come from md5-uniform u(doc, b) against the exact integer
+    * thresholds [[PoissonCum48]] — deterministic, engine-portable, and
+    * reproducible run to run.
+    *
+    * Exactness: values quantize to 1e-6 integers; each replicate mean is
+    * one double division of exact weighted sums; the CI is the exact
+    * interpolating percentile over the `reps` replicate means (a
+    * bounded-size set — the percentile buffers `reps` doubles, nothing
+    * data-sized). Scale shape: one explode ×reps (map-side), one hash agg
+    * keyed (group, replicate), then a per-group agg over reps rows.
+    */
+  def bootstrapMeanCI(
+      df: DataFrame,
+      valCol: String,
+      idCol: String,
+      groupCol: String,
+      reps: Int = 32): DataFrame = {
+    val u = graft.operators.Dedup.md5Long(
+      concat(col(idCol).cast("string"), lit("#b"), col("b").cast("string")), 12)
+    val w = PoissonCum48.zipWithIndex
+      .foldLeft(when(lit(false), lit(0L))) { case (acc, (t, k)) =>
+        acc.when(u < t, k.toLong)
+      }
+      .otherwise(lit(9L))
+    val byRep = df
+      .select(
+        col(groupCol),
+        col(idCol),
+        round(col(valCol).cast("double") * 1000000, 0).cast("long").as("_v6"),
+        explode(sequence(lit(0), lit(reps - 1))).as("b"))
+      .select(col(groupCol), col("b"), col("_v6"), w.as("_w"))
+      .groupBy(groupCol, "b")
+      .agg(sum(col("_w") * col("_v6")).as("_swv"), sum(col("_w")).as("_sw"))
+      .filter(col("_sw") > 0)
+      .select(
+        col(groupCol),
+        (col("_swv").cast("double") / col("_sw") / 1000000.0).as("mean_b"))
+    byRep
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_reps"),
+        round(expr("percentile(mean_b, 0.025D)"), 6).as("ci_lo"),
+        round(expr("percentile(mean_b, 0.975D)"), 6).as("ci_hi"))
+      .orderBy(groupCol)
+  }
+
   /** Winsorized mean per group: values clipped to the group's exact
     * interpolating [pLo, pHi] percentiles before averaging — the robust
     * central-tendency readout (a handful of megabyte documents shifts a

@@ -63,4 +63,21 @@ class StatsSpec extends AnyFunSuite {
       .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
     assert(got === Seq(("a", 20L, 100.0, 595.0, 595.0, 124.75)))
   }
+
+  test("poisson thresholds are sane and bootstrap CI degenerates on constant data") {
+    // cumulative Poisson(1): ~0.3679, 0.7358, 0.9197, ... monotone toward 2^48
+    val c = Stats.PoissonCum48
+    assert(c.length === 9 && c === c.sorted)
+    assert(math.abs(c.head.toDouble / math.pow(2, 48) - math.exp(-1.0)) < 1e-12)
+    assert(c.last.toDouble / math.pow(2, 48) > 0.999998) // P(K > 8) ~ 1.1e-6
+    // every resample of a constant column has mean exactly 42
+    val docs = (1L to 50L).map(i => (i, 42L, "a")).toDF("id", "v", "grp")
+    val got = Stats.bootstrapMeanCI(docs, "v", "id", "grp")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got === Seq(("a", 32L, 42.0, 42.0)))
+    // deterministic: a second invocation is bit-identical
+    val again = Stats.bootstrapMeanCI(docs, "v", "id", "grp")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(again === got)
+  }
 }
