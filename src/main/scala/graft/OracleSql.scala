@@ -276,6 +276,53 @@ object OracleSql {
        |       (CAST((2 * c * 1000000 + n_members) // (2 * n_members) AS DOUBLE) / 1000000.0) AS purity
        |FROM mj WHERE rn = 1 ORDER BY cent_id""".stripMargin
 
+  /** `numMerges` chained BPE iterations (mirrors `CorpusStats.bpeTrain`):
+    * v0 = char-spaced weighted vocab; each step counts adjacent symbol
+    * pairs weighted by word count, picks the argmax (count desc, pair asc
+    * — a total order), and applies the merge with plain left-to-right
+    * `replace` (same non-overlapping semantics as the Spark side).
+    */
+  private def bpeSql(numMerges: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH v0 AS MATERIALIZED (
+         |  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) > 0
+         |  GROUP BY 1
+         |)""".stripMargin)
+    for (t <- 1 to numMerges) {
+      sb.append(s""",
+         |p$t AS MATERIALIZED (
+         |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |    SELECT cnt, ss[i+1] || ' ' || ss[i+2] AS pair
+         |    FROM (SELECT cnt, string_split(sym, ' ') AS ss FROM v${t - 1}),
+         |         LATERAL unnest(range(0, len(ss) - 1)) AS t(i)
+         |    WHERE len(ss) >= 2)
+         |  GROUP BY 1
+         |), b$t AS MATERIALIZED (
+         |  SELECT $t AS step, pair, replace(pair, ' ', '') AS merged, c
+         |  FROM p$t ORDER BY c DESC, pair LIMIT 1
+         |), v$t AS MATERIALIZED (
+         |  SELECT sym, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+         |    SELECT trim(replace(' ' || sym || ' ',
+         |                        ' ' || (SELECT pair FROM b$t) || ' ',
+         |                        ' ' || (SELECT merged FROM b$t) || ' ')) AS sym,
+         |           cnt
+         |    FROM v${t - 1})
+         |  GROUP BY 1
+         |)""".stripMargin)
+    }
+    val unions = (1 to numMerges)
+      .map(t => s"SELECT step, pair, merged, c AS weighted_count FROM b$t")
+      .mkString("\nUNION ALL\n")
+    sb.append(s"""
+       |SELECT CAST(step AS BIGINT) AS step, pair, merged, weighted_count FROM (
+       |$unions)
+       |ORDER BY step""".stripMargin)
+    sb.toString
+  }
+
   /** Integer half-away-from-zero mean of 1e-6-quantized sums (mirrors
     * `Similarity.meanMicros`): no round() call, so no Spark-BigDecimal vs
     * DuckDB-binary-double boundary divergence. `//` on non-negative
@@ -1592,6 +1639,8 @@ object OracleSql {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q116_kmeans_fit" -> kmeansSql(k = 8, iters = 3),
+
+    "q122_bpe_merges" -> bpeSql(numMerges = 8),
 
     "q117_cluster_purity" -> kmeansPuritySql(k = 8, iters = 3),
 

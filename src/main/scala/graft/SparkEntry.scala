@@ -1456,6 +1456,12 @@ object SparkEntry {
     "q121_bootstrap_ci" -> ((s, dir) =>
       Stats.bootstrapMeanCI(Tables.documents(s, dir), "n_chars", "doc_id", "lang")),
 
+    // BPE merge training (tokenizer-TRAIN side of the q18/q29 appliers):
+    // 8 merges learned from the weighted vocab relation — the corpus
+    // collapses to |vocab| rows once, each merge iterates on that
+    "q122_bpe_merges" -> ((s, dir) =>
+      CorpusStats.bpeTrain(Tables.documents(s, dir), "text", numMerges = 8)),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

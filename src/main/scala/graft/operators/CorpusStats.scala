@@ -414,6 +414,90 @@ object CorpusStats {
         .as(Seq("d", "cell")))
   }
 
+  /** BPE merge training (Sennrich et al. 2016, "Neural Machine Translation
+    * of Rare Words with Subword Units"): learn `numMerges` byte-pair
+    * merges from the corpus — the tokenizer-TRAINING side of the q18/q29
+    * tokenizer-APPLY operators. Classic formulation: train on the
+    * weighted VOCABULARY (distinct word, count), not the token stream —
+    * the corpus collapses to |vocab| rows in one aggregation and every
+    * merge iteration then runs on that small relation (10⁷ rows at web
+    * scale, not 10¹²; this is why real BPE trainers are feasible at all).
+    *
+    * Per iteration: explode adjacent symbol pairs weighted by word count
+    * (one hash agg), take the argmax pair — count desc, then lexicographic
+    * pair order, a total order so both engines pick the SAME pair — and
+    * apply the merge with plain left-to-right non-overlapping `replace`
+    * (Java and DuckDB agree on those semantics, including the
+    * consumed-space edge on runs like "a a a"). The chosen pair is the
+    * bounded driver-side state (one row per step — the kmeansFit
+    * discipline); the evolving vocab stays distributed as narrow
+    * projections over ONE checkpointed aggregation (merge application
+    * cannot collide two vocab rows, so iterations need no shuffle and no
+    * re-materialization).
+    *
+    * Returns the merge table (step, pair, merged, weighted count) — the
+    * artifact a tokenizer ships.
+    */
+  def bpeTrain(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    // One corpus aggregation, checkpointed: every merge iteration reads
+    // THIS, never the corpus again. The iterations themselves add only
+    // narrow maps on top (see below), so no further checkpoints needed —
+    // 8 merges cost 8 argmax jobs over the vocab relation, not 8
+    // materializations.
+    var vocab = docs
+      .select(explode(split(col(textCol), " ", -1)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w")
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        trim(regexp_replace(col("w"), "(.)", "$1 ")).as("sym"),
+        col("cnt"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
+      val best = vocab
+        .select(col("cnt"), split(col("sym"), " ", -1).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(slice(ss, 1, size(ss) - 1), (x, i) -> concat(x, ' ', ss[i + 1]))")).as("pair"))
+        .groupBy("pair")
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("pair"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        val c = best(0).getLong(1)
+        val merged = pair.replace(" ", "")
+        merges += ((step, pair, merged, c))
+        // merge application is a NARROW map: distinct words keep distinct
+        // symbol strings under any merge (the de-spaced string is the
+        // word itself, and different words stay different), so no
+        // re-aggregation and no shuffle — the iteration lineage is 8
+        // stacked projections over the one checkpointed vocab.
+        vocab = vocab
+          .select(
+            trim(org.apache.spark.sql.functions.replace(
+              concat(lit(" "), col("sym"), lit(" ")),
+              lit(s" $pair "), lit(s" $merged "))).as("sym"),
+            col("cnt"))
+        step += 1
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("step", "pair", "merged", "weighted_count")
+      .select(col("step").cast("long").as("step"), col("pair"), col("merged"),
+        col("weighted_count"))
+      .orderBy("step")
+  }
+
   def heavyHitters(
       docs: DataFrame,
       textCol: String,

@@ -193,6 +193,19 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got === Seq(("a b", 3L, 0.6)))
   }
 
+  test("bpe merges replay the classic low/lower example, ties break lexicographically") {
+    // vocab: low ×2, lower ×1. Pair counts: (l o)=3, (o w)=3, (w e)=1, (e r)=1.
+    // Tie at 3 → lexicographic "l o" first; then "lo w"; then "e r" < "low e".
+    val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val got = CorpusStats.bpeTrain(docs, "text", numMerges = 5)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "l o", "lo", 3L),
+      (2L, "lo w", "low", 3L),
+      (3L, "e r", "er", 1L),
+      (4L, "low er", "lower", 1L)))
+  }
+
   implicit private class Rows[V](rows: Array[(Long, Long, V)]) {
     def toMap2: Map[Long, (Long, V)] = rows.map { case (a, b, v) => a -> ((b, v)) }.toMap
   }
