@@ -285,11 +285,11 @@ object OracleSql {
   private def bpeSql(numMerges: Int): String = {
     val sb = new StringBuilder(
       s"""WITH v0 AS MATERIALIZED (
-         |  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym,
+         |  SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym,
          |         CAST(count(*) AS BIGINT) AS cnt
          |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
          |  WHERE length(w) > 0
-         |  GROUP BY 1
+         |  GROUP BY 1, 2
          |)""".stripMargin)
     for (t <- 1 to numMerges) {
       sb.append(s""",
@@ -304,13 +304,11 @@ object OracleSql {
          |  SELECT $t AS step, pair, replace(pair, ' ', '') AS merged, c
          |  FROM p$t ORDER BY c DESC, pair LIMIT 1
          |), v$t AS MATERIALIZED (
-         |  SELECT sym, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
-         |    SELECT trim(replace(' ' || sym || ' ',
-         |                        ' ' || (SELECT pair FROM b$t) || ' ',
-         |                        ' ' || (SELECT merged FROM b$t) || ' ')) AS sym,
-         |           cnt
-         |    FROM v${t - 1})
-         |  GROUP BY 1
+         |  SELECT w, trim(replace(' ' || sym || ' ',
+         |                         ' ' || (SELECT pair FROM b$t) || ' ',
+         |                         ' ' || (SELECT merged FROM b$t) || ' ')) AS sym,
+         |         cnt
+         |  FROM v${t - 1}
          |)""".stripMargin)
     }
     val unions = (1 to numMerges)
@@ -322,6 +320,27 @@ object OracleSql {
        |ORDER BY step""".stripMargin)
     sb.toString
   }
+
+  /** Apply-side oracle: join the final segmentation v{numMerges} back to
+    * the corpus word stream (mirrors `CorpusStats.bpeSegmentation`).
+    */
+  private def bpeApplySql(numMerges: Int): String =
+    bpeSql(numMerges).split("\nSELECT CAST\\(step")(0) + s""",
+       |dw AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS w
+       |  FROM documents WHERE text IS NOT NULL
+       |), seg AS (
+       |  SELECT dw.source,
+       |         CAST(len(string_split(v.sym, ' ')) AS BIGINT) AS nsym,
+       |         CAST(length(dw.w) AS BIGINT) AS nch
+       |  FROM dw JOIN v$numMerges v ON v.w = dw.w
+       |  WHERE length(dw.w) > 0
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(nsym) AS BIGINT) AS n_symbols,
+       |       CAST(sum(nch) AS BIGINT) AS n_chars_total,
+       |       round(CAST(sum(nch) AS DOUBLE) / sum(nsym), 6) AS chars_per_symbol
+       |FROM seg GROUP BY 1 ORDER BY source""".stripMargin
 
   /** Integer half-away-from-zero mean of 1e-6-quantized sums (mirrors
     * `Similarity.meanMicros`): no round() call, so no Spark-BigDecimal vs
@@ -1641,6 +1660,8 @@ object OracleSql {
     "q116_kmeans_fit" -> kmeansSql(k = 8, iters = 3),
 
     "q122_bpe_merges" -> bpeSql(numMerges = 8),
+
+    "q123_bpe_apply" -> bpeApplySql(numMerges = 8),
 
     "q117_cluster_purity" -> kmeansPuritySql(k = 8, iters = 3),
 

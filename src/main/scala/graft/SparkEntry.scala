@@ -1462,6 +1462,11 @@ object SparkEntry {
     "q122_bpe_merges" -> ((s, dir) =>
       CorpusStats.bpeTrain(Tables.documents(s, dir), "text", numMerges = 8)),
 
+    // apply the learned merges back to the corpus: per-source symbol
+    // counts + chars-per-symbol compression — the train→apply loop closed
+    "q123_bpe_apply" -> ((s, dir) =>
+      CorpusStats.bpeSegmentation(Tables.documents(s, dir), "text", "source", numMerges = 8)),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

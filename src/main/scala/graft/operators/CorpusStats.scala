@@ -443,6 +443,22 @@ object CorpusStats {
       textCol: String,
       numMerges: Int): DataFrame = {
     val spark = docs.sparkSession
+    val merges = bpeLoop(docs, textCol, numMerges)._1
+    import spark.implicits._
+    merges.toDF("step", "pair", "merged", "weighted_count")
+      .select(col("step").cast("long").as("step"), col("pair"), col("merged"),
+        col("weighted_count"))
+      .orderBy("step")
+  }
+
+  /** The shared training loop: returns the merge list AND the final
+    * per-word segmentation (w, sym, cnt) — the vocab the APPLY side
+    * ([[bpeSegmentation]]) joins against.
+    */
+  private def bpeLoop(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
     // One corpus aggregation, checkpointed: every merge iteration reads
     // THIS, never the corpus again. The iterations themselves add only
     // narrow maps on top (see below), so no further checkpoints needed —
@@ -454,6 +470,7 @@ object CorpusStats {
       .groupBy("w")
       .agg(count(lit(1)).as("cnt"))
       .select(
+        col("w"),
         trim(regexp_replace(col("w"), "(.)", "$1 ")).as("sym"),
         col("cnt"))
       .localCheckpoint()
@@ -484,6 +501,7 @@ object CorpusStats {
         // stacked projections over the one checkpointed vocab.
         vocab = vocab
           .select(
+            col("w"),
             trim(org.apache.spark.sql.functions.replace(
               concat(lit(" "), col("sym"), lit(" ")),
               lit(s" $pair "), lit(s" $merged "))).as("sym"),
@@ -491,11 +509,38 @@ object CorpusStats {
         step += 1
       }
     }
-    import spark.implicits._
-    merges.result().toDF("step", "pair", "merged", "weighted_count")
-      .select(col("step").cast("long").as("step"), col("pair"), col("merged"),
-        col("weighted_count"))
-      .orderBy("step")
+    (merges.result(), vocab)
+  }
+
+  /** Apply the learned merges back to the corpus: per `groupCol`, how
+    * many BPE symbols the tokenizer emits and the chars-per-symbol
+    * compression — the "did training the tokenizer on THIS corpus pay
+    * off" readout, closing the train ([[bpeTrain]]) → apply loop. One
+    * word-explode joined to the final |vocab|-row segmentation (AQE
+    * broadcasts it while it is small; at web scale it is an equi-join on
+    * the word, exactly how fast tokenizers batch-apply a merge table).
+    */
+  def bpeSegmentation(
+      docs: DataFrame,
+      textCol: String,
+      groupCol: String,
+      numMerges: Int): DataFrame = {
+    val vocab = bpeLoop(docs, textCol, numMerges)._2
+      .select(col("w"), size(split(col("sym"), " ", -1)).cast("long").as("nsym"))
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(groupCol), explode(split(col(textCol), " ", -1)).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(vocab, "w")
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("nsym")).as("n_symbols"),
+        sum(length(col("w")).cast("long")).as("n_chars_total"))
+      .withColumn(
+        "chars_per_symbol",
+        round(col("n_chars_total").cast("double") / col("n_symbols"), 6))
+      .orderBy(groupCol)
   }
 
   def heavyHitters(
