@@ -96,6 +96,24 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(scans === 1, s"q95 should scan documents once, found $scans scans")
   }
 
+  test("q105's exact pass is join-free: the CMS prefilter stays a literal-array lookup") {
+    val p = planOf("q105_heavy_hitters")
+    assert(!p.contains("Join"), "q105 grew a join — the sketch prefilter should be broadcast counters in the projection")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"q105's exact pass should scan documents once, found $scans")
+  }
+
+  test("q112 scans the corpus once and keys its aggregations by doc id (skew-proof)") {
+    val scans = "Scan parquet".r.findAllIn(planOf("q112_intra_doc_repetition")).size
+    assert(scans === 1, s"q112 should scan documents once, found $scans scans")
+  }
+
+  test("q115's cumulative window partitions by source, never a global sort") {
+    val p = planOf("q115_token_budget")
+    assert(p.contains("Window"), "q115 lost its window")
+    assert(!p.contains("No Partition Defined"), "q115's window went global")
+  }
+
   test("no query plan evaluates Python or interpreted UDF-like stages") {
     SparkEntry.queries.keys.foreach { name =>
       val p = planOf(name)
