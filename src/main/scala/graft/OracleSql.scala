@@ -1701,6 +1701,23 @@ object OracleSql {
          |FROM m GROUP BY 1 ORDER BY lang""".stripMargin
     },
 
+    "q124_sorted_neighborhood" ->
+      """WITH k AS (
+        |  SELECT doc_id AS id,
+        |         substr(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |                                    ' +', ' ', 'g')), 1, 24) AS key
+        |  FROM documents WHERE text IS NOT NULL
+        |), r AS (
+        |  SELECT id, key, substr(key, 1, 6) AS blk,
+        |         row_number() OVER (PARTITION BY substr(key, 1, 6) ORDER BY key, id) AS rn
+        |  FROM k
+        |)
+        |SELECT a.id AS doc_a, b.id AS doc_b,
+        |       CAST(CASE WHEN a.key = b.key THEN 1 ELSE 0 END AS BIGINT) AS same_key
+        |FROM r a JOIN r b
+        |  ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "q118_event_transitions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

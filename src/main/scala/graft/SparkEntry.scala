@@ -1467,6 +1467,12 @@ object SparkEntry {
     "q123_bpe_apply" -> ((s, dir) =>
       CorpusStats.bpeSegmentation(Tables.documents(s, dir), "text", "source", numMerges = 8)),
 
+    // sorted-neighborhood blocking (record-linkage family): pairs within a
+    // rank window of the normalized sort key, per block — catches
+    // same-prefix near-dups LSH scores low; complementary candidate source
+    "q124_sorted_neighborhood" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(Tables.documents(s, dir), "doc_id", "text")),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

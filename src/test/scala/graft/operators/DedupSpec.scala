@@ -283,6 +283,18 @@ class DedupSpec extends AnyFunSuite {
     assert(got("uniq") === ((1L, 17L, 17L, 0L, 0.0)))
   }
 
+  test("sorted neighborhood pairs same-prefix docs within the rank window, blocks isolate") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),   // same 24-char key as 1
+      (3L, "alpha beta gamma DIFFERENT tail here"), // same block, different key
+      (4L, "omega psi chi phi")                     // different block — never paired
+    ).toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(d, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 1L), (1L, 3L, 0L), (2L, 3L, 0L)))
+  }
+
   test("lsh calibration: buckets tally jaccardEstimates; dup pairs count as true positives") {
     val cal = Dedup.lshCalibration(docs, "doc_id", "text").collect()
     val est = Dedup.jaccardEstimates(docs, "doc_id", "text")
