@@ -1701,6 +1701,32 @@ object OracleSql {
          |FROM m GROUP BY 1 ORDER BY lang""".stripMargin
     },
 
+    "q125_blocking_overlap" ->
+      s"""$minhashCte,
+         |lshp AS (SELECT doc_a, doc_b FROM cand),
+         |k AS (
+         |  SELECT doc_id AS id,
+         |         substr(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+         |                                    ' +', ' ', 'g')), 1, 24) AS key
+         |  FROM documents WHERE text IS NOT NULL
+         |), r AS (
+         |  SELECT id, key, substr(key, 1, 6) AS blk,
+         |         row_number() OVER (PARTITION BY substr(key, 1, 6) ORDER BY key, id) AS rn
+         |  FROM k
+         |), snmp AS (
+         |  SELECT DISTINCT least(a.id, b.id) AS doc_a, greatest(a.id, b.id) AS doc_b
+         |  FROM r a JOIN r b ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 3
+         |), agree AS (SELECT doc_a, doc_b FROM lshp INTERSECT SELECT doc_a, doc_b FROM snmp),
+         |c AS (
+         |  SELECT (SELECT count(*) FROM lshp) AS n_lsh,
+         |         (SELECT count(*) FROM snmp) AS n_snm,
+         |         (SELECT count(*) FROM agree) AS n_both
+         |)
+         |SELECT CAST(n_lsh AS BIGINT) AS n_lsh, CAST(n_snm AS BIGINT) AS n_snm,
+         |       CAST(n_both AS BIGINT) AS n_both,
+         |       round(CAST(n_both AS DOUBLE) / (n_lsh + n_snm - n_both), 6) AS pair_jaccard
+         |FROM c""".stripMargin,
+
     "q124_sorted_neighborhood" ->
       """WITH k AS (
         |  SELECT doc_id AS id,

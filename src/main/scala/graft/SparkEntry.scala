@@ -1473,6 +1473,31 @@ object SparkEntry {
     "q124_sorted_neighborhood" -> ((s, dir) =>
       Dedup.sortedNeighborhoodPairs(Tables.documents(s, dir), "doc_id", "text")),
 
+    // blocking-family agreement: LSH vs sorted-neighborhood candidate
+    // sets — pair counts, intersection, and pair-set Jaccard; the "do my
+    // candidate generators see the same dups" audit (1-row output, three
+    // bounded aggregates cross-joined)
+    "q125_blocking_overlap" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val lsh = Dedup.minhashCandidates(d, "doc_id", "text").select("doc_a", "doc_b")
+      val snm = Dedup.sortedNeighborhoodPairs(d, "doc_id", "text")
+        .select(
+          least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+        .distinct()
+      val both = lsh.intersect(snm)
+      lsh.agg(count(lit(1)).as("n_lsh"))
+        .crossJoin(snm.agg(count(lit(1)).as("n_snm")))
+        .crossJoin(both.agg(count(lit(1)).as("n_both")))
+        .select(
+          col("n_lsh"),
+          col("n_snm"),
+          col("n_both"),
+          round(
+            col("n_both").cast("double") / (col("n_lsh") + col("n_snm") - col("n_both")),
+            6).as("pair_jaccard"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

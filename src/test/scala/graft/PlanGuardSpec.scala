@@ -31,6 +31,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q114_source_concentration", // 1-row (total, n_sources) aggregate
     "q116_kmeans_fit",           // k·dim fitted centroid set
     "q117_cluster_purity",       // same fitted centroid broadcast
+    "q125_blocking_overlap",     // three 1-row count aggregates
     "q10_class_weights",
     "q68_temperature_sample",
     "q24_embed_topk",
