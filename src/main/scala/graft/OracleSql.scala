@@ -1701,6 +1701,35 @@ object OracleSql {
          |FROM m GROUP BY 1 ORDER BY lang""".stripMargin
     },
 
+    // Quality-keeper per cluster: rank members by (quality desc, id), the
+    // rank-1 row is the keeper; min-id losers come from the label itself.
+    "q126_keeper_policy" ->
+      s"""WITH RECURSIVE ${minhashChain("documents")},
+         |$ccLabelChain,
+         |$qualityCte,
+         |mem AS (
+         |  SELECT lbl.u, lbl.l, q.quality,
+         |         row_number() OVER (PARTITION BY lbl.l ORDER BY q.quality DESC, lbl.u) AS rn
+         |  FROM lbl JOIN qs q ON q.doc_id = lbl.u
+         |)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN m.u IS NOT NULL AND m.u <> m.l THEN 0 ELSE 1 END) AS BIGINT) AS n_kept_minid,
+         |       CAST(sum(CASE WHEN m.u IS NOT NULL AND m.rn > 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_kept_quality
+         |FROM documents d LEFT JOIN mem m ON m.u = d.doc_id
+         |GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "q127_dup_degree" ->
+      s"""$minhashCte,
+         |deg AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT doc_a AS node FROM cand
+         |    UNION ALL
+         |    SELECT doc_b AS node FROM cand)
+         |  GROUP BY node
+         |)
+         |SELECT deg AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin,
+
     "q125_blocking_overlap" ->
       s"""$minhashCte,
          |lshp AS (SELECT doc_a, doc_b FROM cand),

@@ -1498,6 +1498,24 @@ object SparkEntry {
             6).as("pair_jaccard"))
     }),
 
+    // keeper-policy comparison: min-id vs highest-quality keeper per dup
+    // cluster — how the survivorship policy shifts the per-source mix
+    "q126_keeper_policy" -> ((s, dir) =>
+      Curation.keeperPolicyComparison(Tables.documents(s, dir), "doc_id", "text", "source")),
+
+    // dup-graph degree distribution: how hub-y the candidate-pair graph is
+    // (the "will CC see mega-components" diagnostic, read before the apply)
+    "q127_dup_degree" -> ((s, dir) => {
+      val pairs = Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text")
+      pairs.select(col("doc_a").as("node"))
+        .unionByName(pairs.select(col("doc_b").as("node")))
+        .groupBy("node")
+        .agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg").as("degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -50,4 +50,50 @@ object Curation {
         coalesce(col("n_final"), lit(0L)).as("n_final"))
       .orderBy(col(groupCol))
   }
+
+  /** Keeper-policy comparison: cluster-based dedup always keeps ONE doc
+    * per component, but WHICH one is a policy choice — min-id (stable,
+    * reproducible) vs highest-quality (keeps the best copy; ties → smaller
+    * id). The per-`groupCol` survivor counts differ whenever a cluster
+    * spans groups, and that shift is exactly what this reports: how much
+    * the keeper policy redistributes the surviving mix across sources.
+    *
+    * Scale shape: one CC labeling ([[Dedup.minhashCandidates]] →
+    * [[ConnectedComponents.labels]]), one join of the label relation to
+    * per-doc quality, one per-cluster argmax as `max(struct)` (hash agg,
+    * no window over the corpus), two anti-join-free LEFT joins of the
+    * bounded loser sets back to the corpus rolled into one conditional
+    * aggregation.
+    */
+  def keeperPolicyComparison(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String): DataFrame = {
+    val quality = TextFunctions.withQualityColumns(docs, textCol)
+      .select(col(idCol).as("node"), col("quality"))
+    val labeled = graft.operators.ConnectedComponents
+      .labels(Dedup.minhashCandidates(docs, idCol, textCol).select("doc_a", "doc_b"),
+        "doc_a", "doc_b")
+      .join(quality, "node")
+    val keepers = labeled
+      .groupBy("cluster_id")
+      .agg(max(struct(col("quality"), (-col("node")).as("neg"), col("node").as("n"))).as("bq"))
+      .select(col("cluster_id"), col("bq.n").as("k_quality"))
+    val losers = labeled
+      .join(keepers, "cluster_id")
+      .select(
+        col("node"),
+        (col("node") =!= col("cluster_id")).as("lose_minid"),
+        (col("node") =!= col("k_quality")).as("lose_quality"))
+    docs
+      .select(col(groupCol), col(idCol).as("node"))
+      .join(losers, Seq("node"), "left")
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(coalesce(col("lose_minid"), lit(false)), 0L).otherwise(1L)).as("n_kept_minid"),
+        sum(when(coalesce(col("lose_quality"), lit(false)), 0L).otherwise(1L)).as("n_kept_quality"))
+      .orderBy(groupCol)
+  }
 }

@@ -21,4 +21,28 @@ class CurationSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(got === Seq(("en", 3L, 2L, 1L), ("fr", 1L, 1L, 1L)))
   }
+
+  test("keeper policies keep one doc per cluster: totals equal, quality keeper can differ") {
+    // cluster {1, 2, 3}: 1 and 2 identical, 3 a longer near-dup with more
+    // words → higher quality score → quality policy keeps 3, min-id keeps 1
+    val base = "the quick brown fox jumps over the lazy dog and runs far today"
+    val docs = Seq(
+      (1L, base, "A"),
+      (2L, base, "B"),
+      (3L, base + " with many more trailing words of fine text here", "C"),
+      (4L, "a completely unrelated document about other things entirely", "D")
+    ).toDF("doc_id", "text", "source")
+    val rows = Curation.keeperPolicyComparison(docs, "doc_id", "text", "source")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // every source has 1 doc; doc 4 untouched by dedup
+    assert(rows("D") === ((1L, 1L, 1L)))
+    val totalMin = rows.values.map(_._2).sum
+    val totalQ = rows.values.map(_._3).sum
+    assert(totalMin === totalQ) // one keeper per cluster under either policy
+    if (rows("A")._2 == 1L && rows("C")._2 == 0L) {
+      // {1,2,3} clustered together: min-id keeps A's doc, quality keeps C's
+      assert(rows("C")._3 === 1L && rows("A")._3 === 0L)
+    }
+  }
 }
