@@ -1773,6 +1773,32 @@ object OracleSql {
         |  ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 3
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Forward fill via IGNORE NULLS last_value; the grid starts at each
+    // user's own first hour so the fill never sees a leading null.
+    "q128_gap_fill" ->
+      s"""WITH hr AS (
+         |  SELECT user_id, date_trunc('hour', date_trunc('microseconds', ts)) AS h,
+         |         CAST(sum(${centsSql("value")}) AS BIGINT) AS v
+         |  FROM events GROUP BY 1, 2
+         |), b AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hr GROUP BY 1),
+         |grid AS (
+         |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b
+         |), j AS (
+         |  SELECT g.user_id, g.h, hr.v
+         |  FROM grid g LEFT JOIN hr ON hr.user_id = g.user_id AND hr.h = g.h
+         |), f AS (
+         |  SELECT user_id, h, v,
+         |         last_value(v IGNORE NULLS) OVER (
+         |           PARTITION BY user_id ORDER BY h
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+         |  FROM j
+         |)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_hours,
+         |       CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_present,
+         |       CAST(sum(fv) AS BIGINT) AS sum_filled_cents,
+         |       round(CAST(1.0 AS DOUBLE) - CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS gap_rate
+         |FROM f GROUP BY 1 ORDER BY user_id""".stripMargin,
+
     "q118_event_transitions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

@@ -1516,6 +1516,12 @@ object SparkEntry {
         .orderBy("degree")
     }),
 
+    // time-series gap-fill: per-user hourly series densified onto the full
+    // hour grid with forward-fill — the resample step downstream
+    // time-series consumers assume; everything partitions by user
+    "q128_gap_fill" -> ((s, dir) =>
+      EventWindows.gapFillHourly(Tables.events(s, dir))),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -26,6 +26,47 @@ object EventWindows {
       .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
       .orderBy("hour_bucket", "event_type")
 
+  /** Gap-fill / resample (time-series densification): each user's hourly
+    * value series completed onto the full hour grid between their first
+    * and last active hour, missing hours FORWARD-FILLED from the last
+    * observed value — the resample step every downstream time-series
+    * consumer (drift monitors, per-user rate limits, training-window
+    * slicers) assumes has already happened. Reported as the per-user
+    * fill profile (hours, present, forward-filled sum, gap rate).
+    *
+    * Scale shape: one hourly aggregation (cents-exact sums), a bounded
+    * per-user (min, max) agg whose `sequence()` explode generates the
+    * grid map-side, one left equi-join back, and a per-user ordered
+    * window for the fill — everything partitions by user, no global
+    * sort. The leading row is always present (the grid starts at the
+    * user's OWN first hour), so the fill never reads before the window.
+    */
+  def gapFillHourly(events: DataFrame): DataFrame = {
+    val hr = events
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(cents(col("value"))).as("v"))
+    val grid = hr
+      .groupBy("user_id")
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(
+        col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    val w = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(hr, Seq("user_id", "h"), "left")
+      .withColumn("fv", last(col("v"), ignoreNulls = true).over(w))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_present"),
+        sum(col("fv")).as("sum_filled_cents"))
+      .withColumn(
+        "gap_rate",
+        round(lit(1.0) - col("n_present").cast("double") / col("n_hours"), 6))
+      .orderBy("user_id")
+  }
+
   /** Per-user ordered running aggregates: row_number + cumulative cents.
     * Window ordering is (ts, event_id) — event_id breaks timestamp ties
     * deterministically.

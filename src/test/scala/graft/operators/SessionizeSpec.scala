@@ -59,4 +59,19 @@ class SessionizeSpec extends AnyFunSuite {
       ("2024-01-01", 1L, 1L), // u1 returns the next week
       ("2024-01-08", 0L, 1L)))
   }
+
+  test("gap-fill densifies the hour grid and forward-fills the hole") {
+    // user 7: active at hour 0 (10.00) and hour 2 (30.00) — hour 1 is a
+    // gap forward-filled with 1000 cents; user 8: one hour, no gaps
+    val events = Seq(
+      (1L, ts(0), 7L, 10.0, "p"),
+      (2L, ts(121), 7L, 30.0, "p"),
+      (3L, ts(5), 8L, 50.0, "p")
+    ).toDF("event_id", "ts", "user_id", "value", "props")
+    val got = EventWindows.gapFillHourly(events)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (7L, 3L, 2L, 1000L + 1000L + 3000L, 0.333333),
+      (8L, 1L, 1L, 5000L, 0.0)))
+  }
 }
