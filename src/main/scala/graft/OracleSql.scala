@@ -1799,6 +1799,23 @@ object OracleSql {
          |       round(CAST(1.0 AS DOUBLE) - CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS gap_rate
          |FROM f GROUP BY 1 ORDER BY user_id""".stripMargin,
 
+    // Top-10 ties broken by orderkey; revenue in exact cents so the rank
+    // order is engine-identical.
+    "q129_shipping_priority" ->
+      s"""SELECT l.l_orderkey,
+         |       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+         |       o.o_orderpriority,
+         |       CAST(sum(${centsSql("l.l_extendedprice * (1 - l.l_discount)")}) AS BIGINT) AS revenue_cents
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |WHERE c.c_mktsegment = 'BUILDING'
+         |  AND o.o_orderdate < DATE '1998-07-01'
+         |  AND l.l_shipdate > DATE '1998-07-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue_cents DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+
     "q118_event_transitions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

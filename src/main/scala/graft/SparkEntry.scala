@@ -1522,6 +1522,29 @@ object SparkEntry {
     "q128_gap_fill" -> ((s, dir) =>
       EventWindows.gapFillHourly(Tables.events(s, dir))),
 
+    // classic shipping-priority query (TPC-H Q3 shape): unshipped revenue
+    // of BUILDING-segment orders placed before / shipped after the cutoff
+    // — selective date + segment predicates push to all three scans, the
+    // customer dim broadcasts, top-10 by exact cents revenue
+    "q129_shipping_priority" -> ((s, dir) => {
+      val cutoff = "1998-07-01"
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit(cutoff))
+        .join(
+          Tables.orders(s, dir).filter(col("o_orderdate") < lit(cutoff)),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(
+          broadcast(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(
+          col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_orderpriority"))
+        .agg(sum(centsOf(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
