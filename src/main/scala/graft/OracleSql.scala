@@ -2207,6 +2207,159 @@ object OracleSql {
         |       CAST(date_diff('day', f.cohort, uw.week) // 7 AS BIGINT) AS week_offset,
         |       count(*) AS n_active
         |FROM uw JOIN f USING (user_id)
-        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // Sorted-neighborhood pairs verified with exact Levenshtein on the
+    // normalized 64-char prefix (DuckDB levenshtein ≡ Java levenshtein
+    // on ASCII).
+    "q130_linkage_verify" ->
+      """WITH k AS (
+        |  SELECT doc_id AS id,
+        |         substr(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |                                    ' +', ' ', 'g')), 1, 24) AS key,
+        |         substr(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |                                    ' +', ' ', 'g')), 1, 64) AS nk
+        |  FROM documents WHERE text IS NOT NULL
+        |), r AS (
+        |  SELECT id, key, nk, substr(key, 1, 6) AS blk,
+        |         row_number() OVER (PARTITION BY substr(key, 1, 6) ORDER BY key, id) AS rn
+        |  FROM k
+        |), p AS (
+        |  SELECT a.id AS doc_a, b.id AS doc_b, a.nk AS na, b.nk AS nb
+        |  FROM r a JOIN r b ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 3
+        |)
+        |SELECT doc_a, doc_b,
+        |       CAST(levenshtein(na, nb) AS BIGINT) AS edit_dist,
+        |       CASE WHEN greatest(length(na), length(nb)) = 0 THEN CAST(1.0 AS DOUBLE)
+        |            ELSE round(CAST(1.0 AS DOUBLE)
+        |                       - CAST(levenshtein(na, nb) AS DOUBLE)
+        |                         / greatest(length(na), length(nb)), 6) END AS prefix_sim,
+        |       CAST(CASE WHEN levenshtein(na, nb) <= 8 THEN 1 ELSE 0 END AS BIGINT) AS is_match
+        |FROM p ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Integer PageRank, 3 rounds replayed as chained CTEs (MATERIALIZED —
+    // inlined CTEs re-evaluate the chain exponentially). `//` on BIGINTs
+    // mirrors Spark's DIV on positive values.
+    "q131_pagerank" ->
+      s"""$minhashCte,
+         |e AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM cand
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM cand),
+         |d AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+         |r0 AS MATERIALIZED (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM d),
+         |r1 AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |         CAST(150000 + (850 * CAST(sum(r0.r // d.deg) AS BIGINT)) // 1000 AS BIGINT) AS r
+         |  FROM e JOIN r0 ON r0.node = e.src JOIN d ON d.src = e.src
+         |  GROUP BY e.dst),
+         |r2 AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |         CAST(150000 + (850 * CAST(sum(r1.r // d.deg) AS BIGINT)) // 1000 AS BIGINT) AS r
+         |  FROM e JOIN r1 ON r1.node = e.src JOIN d ON d.src = e.src
+         |  GROUP BY e.dst),
+         |r3 AS (
+         |  SELECT e.dst AS node,
+         |         CAST(150000 + (850 * CAST(sum(r2.r // d.deg) AS BIGINT)) // 1000 AS BIGINT) AS r
+         |  FROM e JOIN r2 ON r2.node = e.src JOIN d ON d.src = e.src
+         |  GROUP BY e.dst)
+         |SELECT node, r AS rank_micros FROM r3 ORDER BY rank_micros DESC, node""".stripMargin,
+
+    // Order-invariant table fingerprints: canonical row string → 60-bit
+    // md5 lane → xor + modular sum + count.
+    "q132_table_fingerprint" -> {
+      def fp(canonical: String, from: String): String =
+        s"""SELECT CAST(concat('0x', substr(md5(concat_ws('|', $canonical)), 1, 15)) AS BIGINT) AS fp
+           |  FROM $from""".stripMargin
+      def agg(name: String): String =
+        s"""SELECT '$name' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
+           |       CAST(sum(fp % 1000000007) AS BIGINT) AS sum_fp
+           |FROM fp_$name""".stripMargin
+      s"""WITH fp_customer AS (
+         |  ${fp(
+              "CAST(c_custkey AS VARCHAR), c_name, CAST(c_nationkey AS VARCHAR), " +
+                s"CAST(${centsSql("c_acctbal")} AS VARCHAR), c_mktsegment",
+              "customer")}
+         |), fp_nation AS (
+         |  ${fp("CAST(n_nationkey AS VARCHAR), n_name, CAST(n_regionkey AS VARCHAR)", "nation")}
+         |), fp_orders AS (
+         |  ${fp(
+              "CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus, " +
+                s"CAST(${centsSql("o_totalprice")} AS VARCHAR), " +
+                "strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority",
+              "orders")}
+         |), fp_region AS (
+         |  ${fp("CAST(r_regionkey AS VARCHAR), r_name", "region")}
+         |), fp_supplier AS (
+         |  ${fp(
+              "CAST(s_suppkey AS VARCHAR), s_name, CAST(s_nationkey AS VARCHAR), " +
+                s"CAST(${centsSql("s_acctbal")} AS VARCHAR)",
+              "supplier")}
+         |)
+         |SELECT * FROM (
+         |  ${agg("customer")}
+         |  UNION ALL
+         |  ${agg("nation")}
+         |  UNION ALL
+         |  ${agg("orders")}
+         |  UNION ALL
+         |  ${agg("region")}
+         |  UNION ALL
+         |  ${agg("supplier")}
+         |) ORDER BY table_name""".stripMargin
+    },
+
+    // TPC-H Q5 shape: regional supplier volume, customer and supplier in
+    // the same nation, exact-cents revenue.
+    "q133_regional_revenue" ->
+      s"""SELECT n.n_name AS nation,
+         |       CAST(sum(${centsSql("l.l_extendedprice * (1 - l.l_discount)")}) AS BIGINT) AS revenue_cents,
+         |       CAST(count(*) AS BIGINT) AS n_lineitems
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  AND o.o_orderdate >= '1997-01-01' AND o.o_orderdate < '1998-01-01'
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+         |GROUP BY 1 ORDER BY revenue_cents DESC, nation""".stripMargin,
+
+    // Triangle census under the degree-ordered orientation; each
+    // triangle found exactly once as a wedge closed by an oriented edge.
+    "q134_triangle_stats" ->
+      s"""$minhashCte,
+         |e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cand),
+         |dg AS MATERIALIZED (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
+         |    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+         |  GROUP BY node),
+         |oe AS MATERIALIZED (
+         |  SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b)
+         |              THEN e.a ELSE e.b END AS src,
+         |         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b)
+         |              THEN e.b ELSE e.a END AS dst,
+         |         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b)
+         |              THEN db.dg ELSE da.dg END AS ddst
+         |  FROM e JOIN dg da ON da.node = e.a JOIN dg db ON db.node = e.b),
+         |wg AS MATERIALIZED (
+         |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w2
+         |  FROM oe e1 JOIN oe e2 ON e1.src = e2.src
+         |   AND (e1.ddst < e2.ddst OR (e1.ddst = e2.ddst AND e1.dst < e2.dst))),
+         |tri AS (SELECT u, v, w2 FROM wg JOIN oe ON oe.src = wg.v AND oe.dst = wg.w2),
+         |pn AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+         |    SELECT u AS node FROM tri
+         |    UNION ALL SELECT v AS node FROM tri
+         |    UNION ALL SELECT w2 AS node FROM tri)
+         |  GROUP BY node)
+         |SELECT dg.node AS node, dg.dg AS degree,
+         |       CAST(coalesce(pn.n_tri, 0) AS BIGINT) AS n_triangles,
+         |       CASE WHEN dg.dg > 1
+         |            THEN round(CAST(coalesce(pn.n_tri, 0) * 2 AS DOUBLE)
+         |                       / (dg.dg * (dg.dg - 1)), 6)
+         |            ELSE CAST(0.0 AS DOUBLE) END AS clustering
+         |FROM dg LEFT JOIN pn ON pn.node = dg.node
+         |ORDER BY dg.node""".stripMargin
   )
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{EsmTokenizer, TextFunctions}
-import graft.operators.{AsOfJoin, Cooccurrence, CorpusStats, Curation, Dedup, EventWindows, RangeJoin, Similarity, SnapshotDiff}
+import graft.operators.{AsOfJoin, Cooccurrence, CorpusStats, Curation, Dedup, EventWindows, GraphMetrics, RangeJoin, Similarity, SnapshotDiff}
 import graft.ops.{ClassWeights, LabelEncode, Stats, StratifiedSplit}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1544,6 +1544,79 @@ object SparkEntry {
         .orderBy(col("revenue_cents").desc, col("l_orderkey"))
         .limit(10)
     }),
+
+    // record-linkage verification: exact Levenshtein on normalized
+    // 64-char prefixes of sorted-neighborhood candidate pairs — the
+    // precision stage after q124's recall stage; DP runs on a bounded
+    // key, texts gated to candidate docs by a semi join
+    "q130_linkage_verify" -> ((s, dir) =>
+      Dedup.editDistanceVerify(Tables.documents(s, dir), "doc_id", "text")),
+
+    // integer PageRank over the dup-candidate graph: which docs sit at
+    // the center of the duplicate mesh (boilerplate sources rank high).
+    // 3 synchronous rounds, all arithmetic in exact 1e-6 integer units
+    // — one equi-join + one hash agg per round, candidates generated
+    // once and checkpointed
+    "q131_pagerank" -> ((s, dir) =>
+      GraphMetrics.pageRankInt(
+        Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text"))),
+
+    // order-invariant table fingerprints (anti-entropy / replica
+    // validation): canonical row string → 60-bit md5 lane → XOR +
+    // modular-sum + count per table; one scan and a 1-row aggregate
+    // per table, comparison ships 5 rows not 100 TB
+    "q132_table_fingerprint" -> ((s, dir) => {
+      import graft.ops.Fingerprint
+      val iso = (c: Column) => date_format(c, "yyyy-MM-dd")
+      Fingerprint.ofAll(Seq(
+        ("customer", Tables.customer(s, dir), Seq(
+          col("c_custkey"), col("c_name"), col("c_nationkey"),
+          centsOf(col("c_acctbal")), col("c_mktsegment"))),
+        ("nation", Tables.nation(s, dir), Seq(
+          col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        ("orders", Tables.orders(s, dir), Seq(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          centsOf(col("o_totalprice")), iso(col("o_orderdate")), col("o_orderpriority"))),
+        ("region", Tables.region(s, dir), Seq(col("r_regionkey"), col("r_name"))),
+        ("supplier", Tables.supplier(s, dir), Seq(
+          col("s_suppkey"), col("s_name"), col("s_nationkey"), centsOf(col("s_acctbal"))))))
+    }),
+
+    // regional supplier volume (TPC-H Q5 shape): 6-way join where the
+    // customer and supplier must share a nation — the selective region
+    // filter prunes through two broadcast dims before the fact joins;
+    // revenue in exact cents
+    "q133_regional_revenue" -> ((s, dir) => {
+      val asiaNations = Tables.nation(s, dir)
+        .join(
+          broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      Tables.lineitem(s, dir)
+        .join(
+          Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= "1997-01-01" && col("o_orderdate") < "1998-01-01"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(
+          Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(
+          sum(centsOf(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy(col("revenue_cents").desc, col("nation"))
+    }),
+
+    // dup-graph triangle census: per-node triangle count + local
+    // clustering coefficient under the degree-ordered orientation
+    // (out-degree O(√m), hub-safe) — "are my candidate clusters
+    // cliques (real dup families) or hub-and-spoke false positives"
+    "q134_triangle_stats" -> ((s, dir) =>
+      GraphMetrics.triangleStats(
+        Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text"))),
 
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {

@@ -314,6 +314,21 @@ class DedupSpec extends AnyFunSuite {
     assert(full.getAs[Long]("n_true") >= 1L && full.getAs[Double]("max_jaccard") === 1.0)
   }
 
+  test("editDistanceVerify: exact Levenshtein on normalized prefixes, threshold verdict") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma DELTA!"), // normalizes identically → dist 0
+      (3L, "alpha beta gampa delta"),  // one substitution → dist 1
+      (4L, "omega psi chi phi")        // different block — never paired
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistanceVerify(d, "doc_id", "text")
+      .select("doc_a", "doc_b", "edit_dist").as[(Long, Long, Long)].collect().toMap2
+    assert(got === Map((1L, 2L) -> 0L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
+    val matches = Dedup.editDistanceVerify(d, "doc_id", "text", maxDist = 0)
+      .select("doc_a", "doc_b", "is_match").as[(Long, Long, Long)].collect().toMap2
+    assert(matches === Map((1L, 2L) -> 1L, (1L, 3L) -> 0L, (2L, 3L) -> 0L))
+  }
+
   implicit private class Pairs[V](rows: Array[(Long, Long, V)]) {
     def toMap2: Map[(Long, Long), V] = rows.map { case (a, b, v) => (a, b) -> v }.toMap
   }
