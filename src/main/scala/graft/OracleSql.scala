@@ -2360,6 +2360,87 @@ object OracleSql {
          |                       / (dg.dg * (dg.dg - 1)), 6)
          |            ELSE CAST(0.0 AS DOUBLE) END AS clustering
          |FROM dg LEFT JOIN pn ON pn.node = dg.node
-         |ORDER BY dg.node""".stripMargin
+         |ORDER BY dg.node""".stripMargin,
+
+    // Boilerplate prefix census over the normalized 32-char prefix.
+    "q135_prefix_boilerplate" ->
+      """WITH p AS (
+        |  SELECT substr(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |                                    ' +', ' ', 'g')), 1, 32) AS prefix,
+        |         doc_id, source
+        |  FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |       CAST(min(doc_id) AS BIGINT) AS min_doc
+        |FROM p GROUP BY prefix HAVING count(*) >= 2
+        |ORDER BY n_docs DESC, prefix""".stripMargin,
+
+    // Multinomial NB replay: integer-quantized log-probs, zero-count
+    // term factored out exactly as the Spark side does, argmax by
+    // (-score, label).
+    "q136_nb_attribution" ->
+      """WITH base AS (
+        |  SELECT doc_id, source AS actual, text FROM documents WHERE text IS NOT NULL
+        |), words AS (
+        |  SELECT doc_id, actual, w FROM (
+        |    SELECT doc_id, actual, unnest(string_split(text, ' ')) AS w FROM base)
+        |  WHERE length(w) > 0
+        |), dw AS (SELECT doc_id, actual, w, CAST(count(*) AS BIGINT) AS n
+        |          FROM words GROUP BY 1, 2, 3),
+        |lw AS (SELECT actual AS lbl, w, CAST(count(*) AS BIGINT) AS c
+        |       FROM words GROUP BY 1, 2),
+        |lt AS (SELECT lbl, CAST(sum(c) AS BIGINT) AS t FROM lw GROUP BY 1),
+        |vc AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM lw),
+        |nd AS (SELECT actual AS lbl, CAST(count(*) AS BIGINT) AS nd FROM base GROUP BY 1),
+        |ntot AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM base),
+        |consts AS (
+        |  SELECT lt.lbl,
+        |         CAST(round(ln(CAST(1.0 AS DOUBLE) / (lt.t + vc.v)) * 1000000) AS BIGINT) AS lp0,
+        |         CAST(round(ln(CAST(nd.nd AS DOUBLE) / ntot.ntot) * 1000000) AS BIGINT) AS prior,
+        |         lt.t, vc.v
+        |  FROM lt JOIN nd USING (lbl), vc, ntot
+        |), lp AS (
+        |  SELECT lw.lbl, lw.w,
+        |         CAST(round(ln(CAST(lw.c + 1 AS DOUBLE) / (co.t + co.v)) * 1000000) AS BIGINT)
+        |           - co.lp0 AS adj
+        |  FROM lw JOIN consts co ON co.lbl = lw.lbl
+        |), adjsum AS (
+        |  SELECT dw.doc_id, dw.actual, lp.lbl, CAST(sum(dw.n * lp.adj) AS BIGINT) AS s_adj
+        |  FROM dw JOIN lp ON lp.w = dw.w
+        |  GROUP BY 1, 2, 3
+        |), nw AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words FROM dw GROUP BY 1),
+        |scored AS (
+        |  SELECT nw.doc_id, co.lbl,
+        |         nw.n_words * co.lp0 + coalesce(a.s_adj, 0) + co.prior AS score
+        |  FROM nw CROSS JOIN consts co
+        |  LEFT JOIN adjsum a ON a.doc_id = nw.doc_id AND a.lbl = co.lbl
+        |), best AS (
+        |  SELECT doc_id, lbl AS pred FROM (
+        |    SELECT doc_id, lbl,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lbl) AS rk
+        |    FROM scored) WHERE rk = 1
+        |)
+        |SELECT b.actual AS actual_label, best.pred AS pred_label,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM base b JOIN best ON best.doc_id = b.doc_id
+        |GROUP BY 1, 2 ORDER BY actual_label, pred_label""".stripMargin,
+
+    // Rolling 7-day distinct actives via the 7-way fan-out (no range
+    // self-join), capped at the corpus max day.
+    "q137_rolling_active" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(date_trunc('day', date_trunc('microseconds', ts)) AS DATE) AS d
+        |  FROM events
+        |), mx AS (SELECT max(d) AS dmax FROM ud),
+        |fan AS (
+        |  SELECT user_id, d + CAST(off AS INTEGER) AS wday
+        |  FROM ud, unnest(range(0, 7)) AS t(off)
+        |)
+        |SELECT strftime(fan.wday, '%Y-%m-%d') AS window_end,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_7d
+        |FROM fan, mx WHERE fan.wday <= mx.dmax
+        |GROUP BY 1 ORDER BY window_end""".stripMargin
   )
 }

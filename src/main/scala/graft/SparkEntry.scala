@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{EsmTokenizer, TextFunctions}
-import graft.operators.{AsOfJoin, Cooccurrence, CorpusStats, Curation, Dedup, EventWindows, GraphMetrics, RangeJoin, Similarity, SnapshotDiff}
+import graft.operators.{AsOfJoin, Cooccurrence, CorpusStats, Curation, Dedup, EventWindows, GraphMetrics, NaiveBayes, RangeJoin, Similarity, SnapshotDiff}
 import graft.ops.{ClassWeights, LabelEncode, Stats, StratifiedSplit}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1617,6 +1617,50 @@ object SparkEntry {
     "q134_triangle_stats" -> ((s, dir) =>
       GraphMetrics.triangleStats(
         Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text"))),
+
+    // boilerplate-prefix census: normalized 32-char prefixes shared by
+    // ≥2 docs — the "which template headers dominate my corpus" readout
+    // (pairs live in q124/q130; this is the group-level census). One
+    // scan, one hash agg
+    "q135_prefix_boilerplate" -> ((s, dir) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(substring(norm, 1, 32).as("prefix"), col("doc_id"), col("source"))
+        .groupBy("prefix")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("doc_id")).as("min_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("prefix"))
+    }),
+
+    // Naive-Bayes source attribution: corpus classified by its own
+    // add-one-smoothed multinomial model, read out as the actual ×
+    // predicted confusion matrix — integer-quantized log-probs, the
+    // zero-count term factored out so the score join touches only
+    // observed (token, label) pairs
+    "q136_nb_attribution" -> ((s, dir) =>
+      NaiveBayes.sourceAttribution(Tables.documents(s, dir), "doc_id", "text", "source")),
+
+    // rolling 7-day distinct active users, map-side amplified: each
+    // (user, day) fans out to the 7 window-end days it supports, then
+    // ONE distinct-count agg — no range self-join, no window over an
+    // unbounded frame; the day-bound is a 1-row broadcast
+    "q137_rolling_active" -> ((s, dir) => {
+      val day = to_date(col("ts"))
+      val ud = Tables.events(s, dir).select(col("user_id"), day.as("d")).distinct()
+      val maxDay = ud.agg(max(col("d")).as("dmax"))
+      ud.select(col("user_id"), explode(sequence(lit(0), lit(6))).as("off"), col("d"))
+        .select(col("user_id"), expr("date_add(d, off)").as("wday"))
+        .crossJoin(broadcast(maxDay))
+        .filter(col("wday") <= col("dmax"))
+        .groupBy(date_format(col("wday"), "yyyy-MM-dd").as("window_end"))
+        .agg(countDistinct(col("user_id")).as("n_active_7d"))
+        .orderBy("window_end")
+    }),
 
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
