@@ -2441,6 +2441,87 @@ object OracleSql {
         |SELECT strftime(fan.wday, '%Y-%m-%d') AS window_end,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_7d
         |FROM fan, mx WHERE fan.wday <= mx.dmax
-        |GROUP BY 1 ORDER BY window_end""".stripMargin
+        |GROUP BY 1 ORDER BY window_end""".stripMargin,
+
+    // Stride-16 30-char window hashes; DuckDB range() excludes its stop,
+    // so stop = len-28 matches Spark's inclusive sequence(1, len-29).
+    "q138_substring_dups" ->
+      """WITH wins AS (
+        |  SELECT DISTINCT doc_id,
+        |         CAST(concat('0x', substr(md5(substr(text, CAST(pos AS INTEGER), 30)), 1, 12)) AS BIGINT) AS h
+        |  FROM documents, unnest(range(1, length(text) - 28, 16)) AS t(pos)
+        |  WHERE text IS NOT NULL AND length(text) >= 30
+        |), hc AS (SELECT h, CAST(count(*) AS BIGINT) AS nd FROM wins GROUP BY h)
+        |SELECT w2.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |       CAST(sum(CASE WHEN hc.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |       round(CAST(sum(CASE WHEN hc.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
+        |FROM wins w2 JOIN hc ON hc.h = w2.h
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // Grouped OLS from exact HUGEINT sums (q54 discipline).
+    "q139_brand_ols" -> {
+      val x = centsSql("l_quantity")
+      val y = centsSql("l_extendedprice")
+      s"""WITH a AS (
+         |  SELECT p_brand,
+         |         CAST(count(*) AS HUGEINT) AS n,
+         |         sum(CAST($x AS HUGEINT)) AS sx,
+         |         sum(CAST($y AS HUGEINT)) AS sy,
+         |         sum(CAST($x AS HUGEINT) * CAST($y AS HUGEINT)) AS sxy,
+         |         sum(CAST($x AS HUGEINT) * CAST($x AS HUGEINT)) AS sxx
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  GROUP BY p_brand
+         |)
+         |SELECT p_brand, CAST(n AS BIGINT) AS n_rows,
+         |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
+         |             CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+         |       round(CAST(sy * sxx - sx * sxy AS DOUBLE) /
+         |             CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept_cents
+         |FROM a ORDER BY p_brand""".stripMargin
+    },
+
+    // Islands of consecutive equal event_type per user; the next run's
+    // start closes each interval.
+    "q140_scd2_runs" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts, event_type
+        |  FROM events
+        |), flagged AS (
+        |  SELECT *,
+        |         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        |  FROM ev
+        |), runs AS (
+        |  SELECT *,
+        |         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+        |  FROM flagged
+        |), agg AS (
+        |  SELECT user_id, grp, event_type,
+        |         min(ts) AS from_ts, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM runs GROUP BY 1, 2, 3
+        |)
+        |SELECT user_id, grp AS run_seq, event_type,
+        |       strftime(from_ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |       coalesce(strftime(lead(from_ts) OVER (PARTITION BY user_id ORDER BY grp),
+        |                         '%Y-%m-%d %H:%M:%S.%f'), 'current') AS valid_to,
+        |       n_events
+        |FROM agg ORDER BY user_id, run_seq""".stripMargin,
+
+    // TPC-H Q7 shape: nation joined under two roles, cross-nation rows
+    // only, yearly exact-cents volume.
+    "q141_nation_trade" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         |       CAST(sum(${centsSql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS volume_cents
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1999-01-01'
+         |  AND s_nationkey <> c_nationkey
+         |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, ship_year""".stripMargin
   )
 }

@@ -1662,6 +1662,113 @@ object SparkEntry {
         .orderBy("window_end")
     }),
 
+    // cross-doc substring duplication (Lee et al. substring-dedup
+    // signal): stride-16 30-char windows hashed to 48-bit lanes; a
+    // doc's dup_frac = share of its distinct windows seen in ≥2 docs.
+    // One explode, one distinct, window counts DERIVED from the same
+    // relation (exchange reuse); the hot-hash join is AQE-splittable
+    "q138_substring_dups" -> ((s, dir) => {
+      val wins = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) >= 30)
+        .select(
+          col("doc_id"),
+          explode(sequence(lit(1), length(col("text")) - 29, lit(16))).as("pos"),
+          col("text"))
+        .select(col("doc_id"), Dedup.md5Long(expr("substring(text, pos, 30)"), 12).as("h"))
+        .distinct()
+      val hc = wins.groupBy("h").agg(count(lit(1)).as("nd"))
+      wins.join(hc, "h")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_windows"),
+          sum(when(col("nd") >= 2, lit(1L)).otherwise(lit(0L))).as("n_shared"))
+        .select(
+          col("doc_id"), col("n_windows"), col("n_shared"),
+          round(col("n_shared").cast("double") / col("n_windows"), 6).as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // grouped OLS (price ~ quantity per brand): closed-form slope /
+    // intercept from exact decimal-38 sums (q54 discipline — partition-
+    // count-invariant), part dim broadcast into the fact scan
+    "q139_brand_ols" -> ((s, dir) => {
+      val x = centsOf(col("l_quantity"))
+      val y = centsOf(col("l_extendedprice"))
+      val den = col("n") * col("sxx") - col("sx") * col("sx")
+      Tables.lineitem(s, dir)
+        .join(
+          broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).cast(dec38).as("n"),
+          sum(x.cast(dec38)).as("sx"),
+          sum(y.cast(dec38)).as("sy"),
+          sum((x * y).cast(dec38)).as("sxy"),
+          sum((x * x).cast(dec38)).as("sxx"))
+        .select(
+          col("p_brand"),
+          col("n").cast("long").as("n_rows"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            den.cast("double"), 6).as("slope"),
+          round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+            den.cast("double"), 6).as("intercept_cents"))
+        .orderBy("p_brand")
+    }),
+
+    // SCD-2 run intervals (islands of consecutive equal event_type per
+    // user): lag-change flag → running-sum run id → per-run bounds, the
+    // next run's start closing each interval — the dimension-history
+    // build a lakehouse CDC stage produces. All windows partition by
+    // user; the post-agg lead runs on bounded run rows
+    "q140_scd2_runs" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wRun = Window.partitionBy("user_id").orderBy(col("grp"))
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type"), lit(1L))
+            .otherwise(lit(0L)))
+        .withColumn("grp",
+          sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "grp", "event_type")
+        .agg(min(col("ts")).as("from_ts"), count(lit(1)).as("n_events"))
+        .withColumn("to_ts", lead(col("from_ts"), 1).over(wRun))
+        .select(
+          col("user_id"),
+          col("grp").as("run_seq"),
+          col("event_type"),
+          date_format(col("from_ts"), fmt).as("valid_from"),
+          coalesce(date_format(col("to_ts"), fmt), lit("current")).as("valid_to"),
+          col("n_events"))
+        .orderBy("user_id", "run_seq")
+    }),
+
+    // bilateral trade volume (TPC-H Q7 shape): the two-role dimension
+    // join — nation joined twice under different roles, both broadcast;
+    // cross-nation lineitems only, yearly exact-cents volume
+    "q141_nation_trade" -> ((s, dir) => {
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1999-01-01")
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("s_nationkey") =!= col("c_nationkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .groupBy(
+          col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(sum(centsOf(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("volume_cents"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
