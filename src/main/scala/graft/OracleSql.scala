@@ -2522,6 +2522,98 @@ object OracleSql {
          |JOIN nation n2 ON c_nationkey = n2.n_nationkey
          |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1999-01-01'
          |  AND s_nationkey <> c_nationkey
-         |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, ship_year""".stripMargin
+         |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, ship_year""".stripMargin,
+
+    // RRF of the LSH and sorted-neighborhood generators; pure-integer
+    // kernel 1e9 // (60+rank), ranks per generator, top-3 fused.
+    "q142_rank_fusion" ->
+      s"""$minhashCte,
+         |l0 AS (
+         |  SELECT doc_a AS d, doc_b AS nb, n_bands AS sc FROM cand
+         |  UNION ALL
+         |  SELECT doc_b AS d, doc_a AS nb, n_bands AS sc FROM cand),
+         |lr AS (
+         |  SELECT d, nb,
+         |         CAST(row_number() OVER (PARTITION BY d ORDER BY sc DESC, nb) AS BIGINT) AS rk
+         |  FROM l0),
+         |k AS (
+         |  SELECT doc_id AS id,
+         |         substr(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+         |                                    ' +', ' ', 'g')), 1, 24) AS key
+         |  FROM documents WHERE text IS NOT NULL
+         |), r AS (
+         |  SELECT id, key, substr(key, 1, 6) AS blk,
+         |         row_number() OVER (PARTITION BY substr(key, 1, 6) ORDER BY key, id) AS rn
+         |  FROM k
+         |), s0 AS (
+         |  SELECT a.id AS d, b.id AS nb,
+         |         CASE WHEN a.key = b.key THEN 1 ELSE 0 END AS sc
+         |  FROM r a JOIN r b ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 3
+         |  UNION ALL
+         |  SELECT b.id AS d, a.id AS nb,
+         |         CASE WHEN a.key = b.key THEN 1 ELSE 0 END AS sc
+         |  FROM r a JOIN r b ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 3
+         |), sr AS (
+         |  SELECT d, nb,
+         |         CAST(row_number() OVER (PARTITION BY d ORDER BY sc DESC, nb) AS BIGINT) AS rk
+         |  FROM s0),
+         |u AS (
+         |  SELECT d, nb, 1000000000 // (60 + rk) AS contrib FROM lr
+         |  UNION ALL
+         |  SELECT d, nb, 1000000000 // (60 + rk) AS contrib FROM sr),
+         |f AS (
+         |  SELECT d, nb, CAST(sum(contrib) AS BIGINT) AS rrf_score,
+         |         CAST(count(*) AS BIGINT) AS n_gens
+         |  FROM u GROUP BY 1, 2),
+         |tk AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY d ORDER BY rrf_score DESC, nb) AS BIGINT) AS rank
+         |  FROM f)
+         |SELECT d AS doc_id, rank, nb AS neighbor, rrf_score, n_gens
+         |FROM tk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // TPC-H Q4 shape: per-priority share of orders with a lineitem
+    // shipped >60 days after the order date.
+    "q143_late_orders" ->
+      """WITH late AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late
+        |  FROM orders WHERE EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |  GROUP BY 1
+        |), tot AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1
+        |)
+        |SELECT t.o_orderpriority, t.n_orders,
+        |       CAST(coalesce(l.n_late, 0) AS BIGINT) AS n_late,
+        |       round(CAST(coalesce(l.n_late, 0) AS DOUBLE) / t.n_orders, 6) AS late_frac
+        |FROM tot t LEFT JOIN late l USING (o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // Audience overlap: Jaccard between event types' distinct user sets.
+    "q144_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+        |c AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1)
+        |SELECT x.t AS type_a, y.t AS type_b, ca.n AS n_a, cb.n AS n_b,
+        |       CAST(count(*) AS BIGINT) AS n_both,
+        |       round(CAST(count(*) AS DOUBLE) / (ca.n + cb.n - count(*)), 6) AS jaccard
+        |FROM ut x JOIN ut y ON x.u = y.u AND x.t < y.t
+        |JOIN c ca ON ca.t = x.t JOIN c cb ON cb.t = y.t
+        |GROUP BY 1, 2, ca.n, cb.n
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    // Session-duration percentiles over the q36 session relation.
+    "q145_session_percentiles" ->
+      s"""WITH $sessionChain,
+         |sess AS (
+         |  SELECT user_id, sess_idx, CAST(count(*) AS BIGINT) AS n_events,
+         |         CAST(max(us) - min(us) AS BIGINT) AS duration_us
+         |  FROM g GROUP BY 1, 2)
+         |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+         |       round(quantile_cont(duration_us, 0.5), 6) AS p50_us,
+         |       round(quantile_cont(duration_us, 0.9), 6) AS p90_us,
+         |       round(quantile_cont(duration_us, 0.99), 6) AS p99_us,
+         |       round(quantile_cont(n_events, 0.5), 6) AS p50_events,
+         |       CAST(max(duration_us) AS BIGINT) AS max_us
+         |FROM sess""".stripMargin
   )
 }

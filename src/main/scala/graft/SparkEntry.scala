@@ -1769,6 +1769,93 @@ object SparkEntry {
         .orderBy("supp_nation", "cust_nation", "ship_year")
     }),
 
+    // reciprocal-rank fusion of the two blocking families: per doc,
+    // LSH neighbors (by band agreement) and sorted-neighborhood
+    // neighbors (by key equality) each ranked, fused with the pure-
+    // integer RRF kernel 1e9 DIV (60+rank) — no float accumulation —
+    // and the top-3 fused neighbors kept per doc (WindowGroupLimit:
+    // map-side top-K before the shuffle). The production "combine my
+    // candidate generators" step of record linkage
+    "q142_rank_fusion" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      def sym(pairs: DataFrame, score: Column): DataFrame = {
+        val p = pairs.select(col("doc_a"), col("doc_b"), score.as("sc"))
+        p.select(col("doc_a").as("d"), col("doc_b").as("nb"), col("sc"))
+          .unionByName(p.select(col("doc_b").as("d"), col("doc_a").as("nb"), col("sc")))
+      }
+      val wRank = Window.partitionBy("d").orderBy(col("sc").desc, col("nb"))
+      val lsh = sym(Dedup.minhashCandidates(d, "doc_id", "text"), col("n_bands"))
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+      val snm = sym(
+        Dedup.sortedNeighborhoodPairs(d, "doc_id", "text"), col("same_key"))
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+      val wTop = Window.partitionBy("d").orderBy(col("rrf_score").desc, col("nb"))
+      lsh.unionByName(snm)
+        .select(col("d"), col("nb"), expr("1000000000 DIV (60 + rk)").as("contrib"))
+        .groupBy("d", "nb")
+        .agg(sum(col("contrib")).as("rrf_score"), count(lit(1)).as("n_gens"))
+        .withColumn("rank", row_number().over(wTop).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("d").as("doc_id"), col("rank"), col("nb").as("neighbor"),
+          col("rrf_score"), col("n_gens"))
+        .orderBy("doc_id", "rank")
+    }),
+
+    // late-order service report (TPC-H Q4 shape): orders with at least
+    // one lineitem shipped >60 days after order date — the EXISTS
+    // classic as a semi join (equi key + range residual), per-priority
+    // late share
+    "q143_late_orders" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val late = o.join(
+        Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_late"))
+      o.groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+        .join(late, Seq("o_orderpriority"), "left")
+        .select(
+          col("o_orderpriority"),
+          col("n_orders"),
+          coalesce(col("n_late"), lit(0L)).as("n_late"),
+          round(coalesce(col("n_late"), lit(0L)).cast("double") / col("n_orders"), 6)
+            .as("late_frac"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // audience-overlap matrix: Jaccard between event types' user sets.
+    // Self-join on user of the distinct (type, user) relation — per-user
+    // amplification bounded by the type-set size, type totals broadcast
+    "q144_audience_overlap" -> ((s, dir) => {
+      val ut = Tables.events(s, dir)
+        .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+      val cnts = ut.groupBy("t").agg(count(lit(1)).as("n"))
+      ut.as("x").join(ut.as("y"), col("x.u") === col("y.u") && col("x.t") < col("y.t"))
+        .groupBy(col("x.t").as("type_a"), col("y.t").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+        .join(broadcast(cnts.select(col("t").as("type_a"), col("n").as("n_a"))), "type_a")
+        .join(broadcast(cnts.select(col("t").as("type_b"), col("n").as("n_b"))), "type_b")
+        .select(
+          col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+          round(col("n_both").cast("double") / (col("n_a") + col("n_b") - col("n_both")), 6)
+            .as("jaccard"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    // session-duration distribution: exact interpolating percentiles
+    // over the 30-min-gap sessions (one bounded agg over the session
+    // relation q36 builds)
+    "q145_session_percentiles" -> ((s, dir) =>
+      EventWindows.sessionize(Tables.events(s, dir), 30)
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          round(expr("percentile(duration_us, 0.5D)"), 6).as("p50_us"),
+          round(expr("percentile(duration_us, 0.9D)"), 6).as("p90_us"),
+          round(expr("percentile(duration_us, 0.99D)"), 6).as("p99_us"),
+          round(expr("percentile(n_events, 0.5D)"), 6).as("p50_events"),
+          max(col("duration_us")).as("max_us"))),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
