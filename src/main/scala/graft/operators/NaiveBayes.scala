@@ -41,8 +41,10 @@ object NaiveBayes {
       .select(col("doc_id"), col("actual"), explode(split(col("text"), " ", -1)).as("w"))
       .filter(length(col("w")) > 0)
     val dw = words.groupBy("doc_id", "actual", "w").agg(count(lit(1)).as("n"))
-    // training counts: tokens per (label, token), label totals, vocab, priors
-    val lw = words.groupBy(col("actual").as("lbl"), col("w")).agg(count(lit(1)).as("c"))
+    // training counts DERIVE from dw (q72/q43 discipline: the corpus
+    // explodes once; the second aggregation reshuffles the much smaller
+    // per-doc count relation, and dw's exchange is reused)
+    val lw = dw.groupBy(col("actual").as("lbl"), col("w")).agg(sum(col("n")).as("c"))
     val lt = lw.groupBy("lbl").agg(sum(col("c")).as("t"))
     val vocab = lw.select("w").distinct().agg(count(lit(1)).as("v"))
     val nDocs = base.groupBy(col("actual").as("lbl")).agg(count(lit(1)).as("nd"))
