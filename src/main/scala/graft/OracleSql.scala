@@ -2614,6 +2614,116 @@ object OracleSql {
          |       round(quantile_cont(duration_us, 0.99), 6) AS p99_us,
          |       round(quantile_cont(n_events, 0.5), 6) AS p50_events,
          |       CAST(max(duration_us) AS BIGINT) AS max_us
-         |FROM sess""".stripMargin
+         |FROM sess""".stripMargin,
+
+    // LSH generator eval vs exact-dup ground truth; true-pair mass from
+    // group sizes, TP via md5(text) equality on candidates.
+    "q146_lsh_eval" ->
+      s"""$minhashCte,
+         |sig AS (SELECT doc_id, md5(text) AS tmd5 FROM documents WHERE text IS NOT NULL),
+         |tg AS (
+         |  SELECT CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS n_true_pairs
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM sig GROUP BY tmd5)),
+         |cc AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+         |         CAST(sum(CASE WHEN sa.tmd5 = sb.tmd5 THEN 1 ELSE 0 END) AS BIGINT) AS n_tp
+         |  FROM cand
+         |  JOIN sig sa ON sa.doc_id = cand.doc_a
+         |  JOIN sig sb ON sb.doc_id = cand.doc_b)
+         |SELECT n_candidates, n_true_pairs, n_tp,
+         |       CASE WHEN n_candidates = 0 THEN CAST(0.0 AS DOUBLE)
+         |            ELSE round(CAST(n_tp AS DOUBLE) / n_candidates, 6) END AS prec,
+         |       CASE WHEN n_true_pairs = 0 THEN CAST(0.0 AS DOUBLE)
+         |            ELSE round(CAST(n_tp AS DOUBLE) / n_true_pairs, 6) END AS rec,
+         |       CASE WHEN n_tp = 0 THEN CAST(0.0 AS DOUBLE)
+         |            ELSE round(CAST(2.0 AS DOUBLE)
+         |                       * (CAST(n_tp AS DOUBLE) / n_candidates)
+         |                       * (CAST(n_tp AS DOUBLE) / n_true_pairs)
+         |                       / ((CAST(n_tp AS DOUBLE) / n_candidates)
+         |                          + (CAST(n_tp AS DOUBLE) / n_true_pairs)), 6) END AS f1
+         |FROM cc, tg""".stripMargin,
+
+    // RFM codes by comparison against one broadcast exact-quartile row.
+    "q147_rfm_segments" -> {
+      def c3(v: String, q1: String, q2: String, q3: String): String =
+        s"1 + CASE WHEN $v > $q1 THEN 1 ELSE 0 END" +
+          s" + CASE WHEN $v > $q2 THEN 1 ELSE 0 END" +
+          s" + CASE WHEN $v > $q3 THEN 1 ELSE 0 END"
+      s"""WITH ref AS (SELECT CAST(max(o_orderdate) AS DATE) AS refd FROM orders),
+         |rfm AS (
+         |  SELECT o_custkey,
+         |         CAST(date_diff('day', CAST(max(o_orderdate) AS DATE), ref.refd) AS BIGINT) AS rec,
+         |         CAST(count(*) AS BIGINT) AS freq,
+         |         CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS mon
+         |  FROM orders, ref GROUP BY o_custkey, ref.refd
+         |), qs AS (
+         |  SELECT quantile_cont(rec, 0.25) AS r1, quantile_cont(rec, 0.5) AS r2,
+         |         quantile_cont(rec, 0.75) AS r3,
+         |         quantile_cont(freq, 0.25) AS f1, quantile_cont(freq, 0.5) AS f2,
+         |         quantile_cont(freq, 0.75) AS f3,
+         |         quantile_cont(mon, 0.25) AS m1, quantile_cont(mon, 0.5) AS m2,
+         |         quantile_cont(mon, 0.75) AS m3
+         |  FROM rfm
+         |)
+         |SELECT concat_ws('/', ${c3("rec", "r1", "r2", "r3")},
+         |                 ${c3("freq", "f1", "f2", "f3")},
+         |                 ${c3("mon", "m1", "m2", "m3")}) AS segment,
+         |       CAST(count(*) AS BIGINT) AS n_customers,
+         |       CAST(sum(mon) AS BIGINT) AS mon_cents
+         |FROM rfm, qs GROUP BY 1 ORDER BY segment""".stripMargin
+    },
+
+    // Nearest-in-time replay: backward carry (≤, last IGNORE NULLS over
+    // preceding) + forward carry (>, first IGNORE NULLS over following),
+    // ties in |gap| to the earlier (past) row.
+    "q148_nearest_event" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id, event_type
+        |  FROM events
+        |), l AS (
+        |  SELECT user_id, ts, 1 AS side, event_id AS lid, NULL::BIGINT AS rid
+        |  FROM ev WHERE event_type = 'error'
+        |), r AS (
+        |  SELECT user_id, ts, 0 AS side, NULL::BIGINT AS lid, event_id AS rid
+        |  FROM ev WHERE event_type = 'purchase'
+        |), u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        |c AS (
+        |  SELECT user_id, ts, side, lid,
+        |         last_value(CASE WHEN side = 0 THEN struct_pack(rid := rid, t := ts) END
+        |                    IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ts, side, rid
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b,
+        |         first_value(CASE WHEN side = 0 THEN struct_pack(rid := rid, t := ts) END
+        |                     IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ts, side, rid
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f
+        |  FROM u
+        |), p AS (
+        |  SELECT user_id, lid, epoch_us(ts) AS ts_us,
+        |         b.rid AS b_rid, epoch_us(ts) - epoch_us(b.t) AS db,
+        |         f.rid AS f_rid, epoch_us(f.t) - epoch_us(ts) AS df
+        |  FROM c WHERE side = 1
+        |)
+        |SELECT user_id, lid AS event_id, ts_us,
+        |       CAST(CASE WHEN b_rid IS NULL AND f_rid IS NULL THEN NULL
+        |                 WHEN f_rid IS NULL OR (b_rid IS NOT NULL AND db <= df) THEN b_rid
+        |                 ELSE f_rid END AS BIGINT) AS nearest_event_id,
+        |       CAST(CASE WHEN b_rid IS NULL AND f_rid IS NULL THEN NULL
+        |                 WHEN f_rid IS NULL OR (b_rid IS NOT NULL AND db <= df) THEN db
+        |                 ELSE df END AS BIGINT) AS gap_us,
+        |       CASE WHEN b_rid IS NULL AND f_rid IS NULL THEN 'none'
+        |            WHEN f_rid IS NULL OR (b_rid IS NOT NULL AND db <= df) THEN 'past'
+        |            ELSE 'future' END AS direction
+        |FROM p ORDER BY user_id, event_id""".stripMargin,
+
+    // Day-of-week × hour heatmap; DuckDB dayofweek is 0-based Sunday,
+    // Spark's is 1-based.
+    "q149_hourly_heatmap" ->
+      s"""SELECT CAST(dayofweek(date_trunc('microseconds', ts)) + 1 AS BIGINT) AS dow,
+         |       CAST(hour(date_trunc('microseconds', ts)) AS BIGINT) AS hod,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |       CAST(sum(${centsSql("value")}) AS BIGINT) AS value_cents
+         |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin
   )
 }

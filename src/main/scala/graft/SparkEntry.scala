@@ -1856,6 +1856,101 @@ object SparkEntry {
           round(expr("percentile(n_events, 0.5D)"), 6).as("p50_events"),
           max(col("duration_us")).as("max_us"))),
 
+    // generator evaluation: LSH candidate pairs scored against exact-
+    // duplicate ground truth (same-text pairs). True-pair mass comes
+    // from group sizes (C(n,2) per text group — never materialized);
+    // TP via an md5(text) equality check on the bounded candidate set
+    "q146_lsh_eval" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val sig = d.select(col("doc_id"), md5(col("text")).as("tmd5"))
+      val truth = sig.groupBy("tmd5").agg(count(lit(1)).as("n"))
+        .agg(sum(expr("(n * (n - 1)) DIV 2")).as("n_true_pairs"))
+      val cand = Dedup.minhashCandidates(d, "doc_id", "text")
+        .join(sig.select(col("doc_id").as("doc_a"), col("tmd5").as("ma")), Seq("doc_a"))
+        .join(sig.select(col("doc_id").as("doc_b"), col("tmd5").as("mb")), Seq("doc_b"))
+        .agg(
+          count(lit(1)).as("n_candidates"),
+          sum(when(col("ma") === col("mb"), lit(1L)).otherwise(lit(0L))).as("n_tp"))
+      val p = col("n_tp").cast("double") / col("n_candidates")
+      val r = col("n_tp").cast("double") / col("n_true_pairs")
+      cand.crossJoin(broadcast(truth))
+        .select(
+          col("n_candidates"), col("n_true_pairs"), col("n_tp"),
+          when(col("n_candidates") === 0, lit(0.0)).otherwise(round(p, 6)).as("prec"),
+          when(col("n_true_pairs") === 0, lit(0.0)).otherwise(round(r, 6)).as("rec"),
+          when(col("n_tp") === 0, lit(0.0))
+            .otherwise(round(lit(2.0) * p * r / (p + r), 6)).as("f1"))
+    }),
+
+    // RFM segmentation, scale-safe: quartile BOUNDARIES are one exact-
+    // percentile row broadcast against the per-customer aggregates —
+    // no global ntile window; codes by comparison, 4^3 segments max
+    "q147_rfm_segments" -> ((s, dir) => {
+      val rfm = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(
+          max(col("o_orderdate")).as("last_dt"),
+          count(lit(1)).as("freq"),
+          sum(centsOf(col("o_totalprice"))).as("mon"))
+        .crossJoin(broadcast(
+          Tables.orders(s, dir).agg(max(col("o_orderdate")).as("ref_dt"))))
+        .select(
+          col("o_custkey"),
+          datediff(col("ref_dt"), col("last_dt")).cast("long").as("rec"),
+          col("freq"), col("mon"))
+      val qs = rfm.agg(
+        expr("percentile(rec, 0.25D)").as("r1"), expr("percentile(rec, 0.5D)").as("r2"),
+        expr("percentile(rec, 0.75D)").as("r3"),
+        expr("percentile(freq, 0.25D)").as("f1"), expr("percentile(freq, 0.5D)").as("f2"),
+        expr("percentile(freq, 0.75D)").as("f3"),
+        expr("percentile(mon, 0.25D)").as("m1"), expr("percentile(mon, 0.5D)").as("m2"),
+        expr("percentile(mon, 0.75D)").as("m3"))
+      def code(v: Column, q1: Column, q2: Column, q3: Column): Column =
+        lit(1L) + (v > q1).cast("long") + (v > q2).cast("long") + (v > q3).cast("long")
+      rfm.crossJoin(broadcast(qs))
+        .select(
+          concat_ws("/",
+            code(col("rec"), col("r1"), col("r2"), col("r3")),
+            code(col("freq"), col("f1"), col("f2"), col("f3")),
+            code(col("mon"), col("m1"), col("m2"), col("m3"))).as("segment"),
+          col("mon"))
+        .groupBy("segment")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(col("mon")).as("mon_cents"))
+        .orderBy("segment")
+    }),
+
+    // nearest-in-time join: each error event matched to the CLOSEST
+    // purchase of the same user, past or future — one shuffle, two
+    // window carries over the unioned relation, ties to the earlier row
+    "q148_nearest_event" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      AsOfJoin.nearest(
+        ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("event_id")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id")),
+        "user_id", "ts", "event_id", "event_id")
+        .select(
+          col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("nearest_event_id"), col("gap_us"), col("direction"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // calendar heatmap: day-of-week × hour-of-day activity grid (n,
+    // distinct users, exact cents) — one scan, one agg, 168 rows
+    "q149_hourly_heatmap" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(
+          dayofweek(col("ts")).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hod"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(centsOf(col("value"))).as("value_cents"))
+        .orderBy("dow", "hod")),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -54,4 +54,60 @@ object AsOfJoin {
         Seq(col(key), col(timeCol)) ++ leftCols.map(col) ++
           carryCols.map(c => col("_asof").getField(c).as(s"asof_$c")): _*)
   }
+
+  /** Nearest-in-time join — for each left row, the right row of the same
+    * key minimizing |Δt|, looking BOTH ways (the sensor-alignment /
+    * "closest reading" variant; [[asOf]] is backward-only). Same union
+    * form, ONE shuffle: the backward carry is `last(ignoreNulls)` over
+    * unbounded-preceding (covers Δt ≤ 0, right rows sort before left on
+    * timestamp ties so an equal-time right counts as backward), the
+    * forward carry is `first(ignoreNulls)` over unbounded-following
+    * (strictly-later rights only — equal-time rows sit before the left
+    * row in sort order and are already the backward side's). Ties in
+    * |Δt| resolve to the EARLIER right row, deterministically.
+    *
+    * Left times are compared in microseconds; output carries the chosen
+    * right id, the absolute gap, and which direction won.
+    */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      timeCol: String,
+      leftIdCol: String,
+      rightIdCol: String): DataFrame = {
+    val structT = org.apache.spark.sql.types.StructType(
+      Seq(right.schema(rightIdCol), right.schema(timeCol).copy(name = "_t")))
+    val l = left.select(
+      col(key), col(timeCol), lit(1).as("_side"),
+      col(leftIdCol).as("_lid"), lit(null).cast(structT).as("_r"))
+    val r = right.select(
+      col(key), col(timeCol), lit(0).as("_side"),
+      lit(null).cast(left.schema(leftIdCol).dataType).as("_lid"),
+      struct(col(rightIdCol), col(timeCol).as("_t")).as("_r"))
+    val ord = Window.partitionBy(key)
+      .orderBy(col(timeCol), col("_side"), col("_r").getField(rightIdCol))
+    val wBack = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd  = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val us  = unix_micros(col(timeCol))
+    val bUs = unix_micros(col("_b").getField("_t"))
+    val fUs = unix_micros(col("_f").getField("_t"))
+    val db  = us - bUs // ≥ 0 when present
+    val df  = fUs - us // > 0 when present
+    val pickBack = col("_f").isNull || (col("_b").isNotNull && db <= df)
+    l.unionByName(r)
+      .withColumn("_b", last(col("_r"), ignoreNulls = true).over(wBack))
+      .withColumn("_f", first(col("_r"), ignoreNulls = true).over(wFwd))
+      .filter(col("_side") === 1)
+      .select(
+        col(key), col("_lid").as(leftIdCol), col(timeCol),
+        when(col("_b").isNull && col("_f").isNull,
+          lit(null).cast(right.schema(rightIdCol).dataType))
+          .when(pickBack, col("_b").getField(rightIdCol))
+          .otherwise(col("_f").getField(rightIdCol)).as(s"nearest_$rightIdCol"),
+        when(col("_b").isNull && col("_f").isNull, lit(null).cast("long"))
+          .when(pickBack, db).otherwise(df).as("gap_us"),
+        when(col("_b").isNull && col("_f").isNull, lit("none"))
+          .when(pickBack, lit("past")).otherwise(lit("future")).as("direction"))
+  }
 }

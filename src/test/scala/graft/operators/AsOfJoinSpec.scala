@@ -50,4 +50,36 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select("asof_p_id").as[Long].collect()
     assert(got.toSeq === Seq(2L)) // ordered by p_id → last carried wins
   }
+
+  test("nearest picks the closer side, ties to past, equal-time counts as past") {
+    val left = Seq(
+      (1L, ts(10), 100L), // past at t0 (Δ10), future at t12 (Δ2) → future
+      (1L, ts(13), 101L), // past at t12 (Δ1), future at t15 (Δ2) → past
+      (1L, ts(12), 102L), // right row AT t12 → past, gap 0
+      (2L, ts(5), 200L),  // only a future right exists
+      (3L, ts(5), 300L))  // no right rows at all
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts(0), 1L), (1L, ts(12), 2L), (1L, ts(15), 3L),
+      (2L, ts(9), 4L))
+      .toDF("user_id", "ts", "event_id")
+    val got = AsOfJoin.nearest(left, right, "user_id", "ts", "event_id", "event_id")
+      .select("event_id", "nearest_event_id", "gap_us", "direction")
+      .as[(Long, Option[Long], Option[Long], String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val min = 60000000L // one spec-minute in µs
+    assert(got(100L) === ((Some(2L), Some(2 * min), "future")))
+    assert(got(101L) === ((Some(2L), Some(1 * min), "past")))
+    assert(got(102L) === ((Some(2L), Some(0L), "past")))
+    assert(got(200L) === ((Some(4L), Some(4 * min), "future")))
+    assert(got(300L) === ((None, None, "none")))
+  }
+
+  test("nearest equidistant past/future resolves to past") {
+    val left  = Seq((1L, ts(10), 100L)).toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, ts(5), 1L), (1L, ts(15), 2L)).toDF("user_id", "ts", "event_id")
+    val got = AsOfJoin.nearest(left, right, "user_id", "ts", "event_id", "event_id")
+      .select("nearest_event_id", "direction").as[(Long, String)].collect()
+    assert(got.toSeq === Seq((1L, "past")))
+  }
 }
