@@ -2724,6 +2724,82 @@ object OracleSql {
          |       CAST(count(*) AS BIGINT) AS n_events,
          |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
          |       CAST(sum(${centsSql("value")}) AS BIGINT) AS value_cents
-         |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin
+         |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin,
+
+    // TPC-H Q13 shape: order-count distribution including the zero
+    // bucket via the left join.
+    "q150_order_count_dist" ->
+      """SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1)
+        |GROUP BY 1 ORDER BY n_orders""".stripMargin,
+
+    // Top-20 3-step event-type paths; (n desc, t1, t2, t3) is a total
+    // order so the cut is deterministic.
+    "q151_event_trigrams" ->
+      """WITH s AS (
+        |  SELECT event_type AS t1,
+        |         lead(event_type, 1) OVER w AS t2,
+        |         lead(event_type, 2) OVER w AS t3
+        |  FROM (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts, event_type
+        |        FROM events)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+        |FROM s WHERE t3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
+
+    // int8 quantization replay: floor(x+0.5) rounding and 1e-12 error
+    // quanta are pure IEEE ops — bit-identical across engines; the mean
+    // uses the half-away integer division at pico scale.
+    "q152_quant_error" ->
+      """WITH vv AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings
+        |), el AS (SELECT vec_id, label, unnest(e) AS v FROM vv),
+        |sc AS (SELECT vec_id, max(abs(v)) AS scale FROM el GROUP BY 1),
+        |qx AS (
+        |  SELECT el.vec_id, el.label, el.v, sc.scale,
+        |         CASE WHEN sc.scale = 0 THEN 0
+        |              ELSE CAST(floor(el.v / sc.scale * 127 + 0.5) AS BIGINT) END AS q
+        |  FROM el JOIN sc USING (vec_id)
+        |), ex AS (
+        |  SELECT vec_id, label, q,
+        |         CAST(floor((v - (q * scale) / 127) * (v - (q * scale) / 127)
+        |                    * 1000000000000 + 0.5) AS BIGINT) AS e2u
+        |  FROM qx
+        |), pv AS (
+        |  SELECT vec_id, label, CAST(sum(e2u) AS BIGINT) AS se2,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN abs(q) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS sat
+        |  FROM ex GROUP BY 1, 2
+        |)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(CAST((2 * sum(se2) + sum(n)) // (2 * sum(n)) AS BIGINT) AS DOUBLE)
+        |         / 1000000000000.0 AS mean_sq_err,
+        |       CAST(sum(sat) AS BIGINT) AS n_saturated
+        |FROM pv GROUP BY label ORDER BY label""".stripMargin,
+
+    // Deletion cascade: deterministic 1% customer sample propagated by
+    // key containment.
+    "q153_delete_cascade" ->
+      """WITH delc AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE CAST(concat('0x', substr(md5('del#' || CAST(c_custkey AS VARCHAR)), 1, 12)) AS BIGINT) % 100 = 0
+        |), odel AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM delc)),
+        |ldel AS (SELECT 1 AS x FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM odel)),
+        |a AS (
+        |  SELECT 'customer' AS table_name,
+        |         (SELECT count(*) FROM customer) AS n_before,
+        |         (SELECT count(*) FROM delc) AS n_deleted
+        |  UNION ALL
+        |  SELECT 'lineitem', (SELECT count(*) FROM lineitem), (SELECT count(*) FROM ldel)
+        |  UNION ALL
+        |  SELECT 'orders', (SELECT count(*) FROM orders), (SELECT count(*) FROM odel)
+        |)
+        |SELECT table_name, CAST(n_before AS BIGINT) AS n_before,
+        |       CAST(n_deleted AS BIGINT) AS n_deleted,
+        |       CAST(n_before - n_deleted AS BIGINT) AS n_after
+        |FROM a ORDER BY table_name""".stripMargin
   )
 }

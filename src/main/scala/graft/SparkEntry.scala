@@ -1951,6 +1951,91 @@ object SparkEntry {
           sum(centsOf(col("value"))).as("value_cents"))
         .orderBy("dow", "hod")),
 
+    // customer order-count distribution INCLUDING zeros (TPC-H Q13
+    // shape): the left join is what distinguishes this from q03/q04 —
+    // never-ordered customers appear as the n_orders=0 bucket
+    "q150_order_count_dist" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy("n_orders")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_orders")),
+
+    // behavioral trigrams: top-20 3-step event-type paths across users
+    // — two leads over the per-user order, one hash agg; the sequence-
+    // mining readout one step past q118's transition matrix
+    "q151_event_trigrams" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("t1"))
+        .withColumn("t2", lead(col("t1"), 1).over(w))
+        .withColumn("t3", lead(col("t1"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .groupBy("t1", "t2", "t3")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(20)
+    }),
+
+    // int8 embedding quantization error profile: per-vector absmax
+    // scale, symmetric round-half-up quantization (floor(x+0.5) — pure
+    // IEEE ops, bit-identical across engines), reconstruction error
+    // quantized to exact 1e-12 integers, mean via the half-away integer
+    // division (meanMicros discipline at pico scale)
+    "q152_quant_error" -> ((s, dir) => {
+      val el = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("pos", "vf")))
+        .select(col("vec_id"), col("label"), col("vf").cast("double").as("v"))
+      val sc = el.groupBy("vec_id").agg(max(abs(col("v"))).as("scale"))
+      el.join(sc, "vec_id")
+        .withColumn("q",
+          when(col("scale") === 0, lit(0L))
+            .otherwise(floor(col("v") / col("scale") * 127 + 0.5)))
+        .withColumn("err", col("v") - col("q") * col("scale") / lit(127))
+        .withColumn("e2u", floor(col("err") * col("err") * 1e12 + 0.5))
+        .groupBy("vec_id", "label")
+        .agg(
+          sum(col("e2u")).as("se2"), count(lit(1)).as("n"),
+          sum(when(abs(col("q")) === 127, lit(1L)).otherwise(lit(0L))).as("sat"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          sum(col("se2")).as("s2"), sum(col("n")).as("nn"),
+          sum(col("sat")).as("n_saturated"))
+        .select(
+          col("label"), col("n_vecs"),
+          (expr("(2 * s2 + nn) div (2 * nn)").cast("double") / 1.0e12).as("mean_sq_err"),
+          col("n_saturated"))
+        .orderBy("label")
+    }),
+
+    // right-to-be-forgotten cascade audit: a deterministic 1% of
+    // customers deleted, the deletion propagated through orders and
+    // lineitems by semi joins — per-table before/deleted/after counts,
+    // the compliance readout of a lakehouse delete job
+    "q153_delete_cascade" -> ((s, dir) => {
+      val delc = Tables.customer(s, dir)
+        .filter(Dedup.md5Long(concat(lit("del#"), col("c_custkey").cast("string")), 12) % 100 === 0)
+        .select("c_custkey")
+      val oDel = Tables.orders(s, dir)
+        .join(delc, col("o_custkey") === col("c_custkey"), "left_semi")
+      val lDel = Tables.lineitem(s, dir)
+        .join(oDel.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_semi")
+      def audit(name: String, full: DataFrame, deleted: DataFrame): DataFrame =
+        full.agg(count(lit(1)).as("n_before"))
+          .crossJoin(deleted.agg(count(lit(1)).as("n_deleted")))
+          .select(
+            lit(name).as("table_name"), col("n_before"), col("n_deleted"),
+            (col("n_before") - col("n_deleted")).as("n_after"))
+      audit("customer", Tables.customer(s, dir), delc)
+        .unionByName(audit("orders", Tables.orders(s, dir), oDel))
+        .unionByName(audit("lineitem", Tables.lineitem(s, dir), lDel))
+        .orderBy("table_name")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
