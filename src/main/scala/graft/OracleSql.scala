@@ -2800,6 +2800,108 @@ object OracleSql {
         |SELECT table_name, CAST(n_before AS BIGINT) AS n_before,
         |       CAST(n_deleted AS BIGINT) AS n_deleted,
         |       CAST(n_before - n_deleted AS BIGINT) AS n_after
-        |FROM a ORDER BY table_name""".stripMargin
+        |FROM a ORDER BY table_name""".stripMargin,
+
+    "q154_forecast_revenue" ->
+      s"""SELECT CAST(sum(${centsSql("l_extendedprice * l_discount")}) AS BIGINT) AS revenue_cents,
+         |       CAST(count(*) AS BIGINT) AS n_lineitems
+         |FROM lineitem
+         |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q155_returned_items" ->
+      s"""SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+         |       CAST(sum(${centsSql("l.l_extendedprice * (1 - l.l_discount)")}) AS BIGINT) AS revenue_cents,
+         |       CAST(count(*) AS BIGINT) AS n_returns
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  AND o.o_orderdate >= '1997-01-01' AND o.o_orderdate < '1997-07-01'
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |WHERE l.l_returnflag = 'R'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue_cents DESC, c_custkey
+         |LIMIT 20""".stripMargin,
+
+    "q156_promo_share" ->
+      s"""SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         |       CAST(sum(CASE WHEN p.p_type = 'PROMO'
+         |                     THEN ${centsSql("l.l_extendedprice * (1 - l.l_discount)")}
+         |                     ELSE 0 END) AS BIGINT) AS promo_cents,
+         |       CAST(sum(${centsSql("l.l_extendedprice * (1 - l.l_discount)")}) AS BIGINT) AS total_cents,
+         |       round(CAST(sum(CASE WHEN p.p_type = 'PROMO'
+         |                     THEN ${centsSql("l.l_extendedprice * (1 - l.l_discount)")}
+         |                     ELSE 0 END) AS DOUBLE)
+         |             / sum(${centsSql("l.l_extendedprice * (1 - l.l_discount)")}), 6) AS promo_share
+         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q157_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |         CAST(sum(${centsSql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_cents
+         |  FROM lineitem
+         |  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+         |  GROUP BY 1
+         |)
+         |SELECT s.s_suppkey, s.s_name, rev.revenue_cents
+         |FROM rev
+         |JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+         |WHERE rev.revenue_cents = (SELECT max(revenue_cents) FROM rev)
+         |ORDER BY s.s_suppkey""".stripMargin,
+
+    "q158_big_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS qty_sum
+         |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
+         |)
+         |SELECT c.c_custkey, c.c_name, o.o_orderkey,
+         |       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+         |       ${centsSql("o.o_totalprice")} AS totalprice_cents, big.qty_sum
+         |FROM orders o
+         |JOIN big ON o.o_orderkey = big.l_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |ORDER BY big.qty_sum DESC, o.o_orderkey
+         |LIMIT 50""".stripMargin,
+
+    "q159_band_revenue" ->
+      s"""SELECT CAST(sum(${centsSql("l.l_extendedprice * (1 - l.l_discount)")}) AS BIGINT) AS revenue_cents,
+         |       CAST(count(*) AS BIGINT) AS n_lineitems
+         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |WHERE (p.p_type = 'PROMO' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 15)
+         |   OR (p.p_type = 'STANDARD' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 25)
+         |   OR (p.p_type = 'LARGE' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 35)""".stripMargin,
+
+    "q160_market_share" ->
+      s"""SELECT CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         |       CAST(sum(CASE WHEN s.s_nationkey = 2
+         |                     THEN ${centsSql("l.l_extendedprice * (1 - l.l_discount)")}
+         |                     ELSE 0 END) AS BIGINT) AS nation_cents,
+         |       CAST(sum(${centsSql("l.l_extendedprice * (1 - l.l_discount)")}) AS BIGINT) AS total_cents,
+         |       round(CAST(sum(CASE WHEN s.s_nationkey = 2
+         |                     THEN ${centsSql("l.l_extendedprice * (1 - l.l_discount)")}
+         |                     ELSE 0 END) AS DOUBLE)
+         |             / sum(${centsSql("l.l_extendedprice * (1 - l.l_discount)")}), 6) AS mkt_share
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey AND n.n_regionkey = 1
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q161_lapsed_wealth" ->
+      s"""WITH tot AS (
+         |  SELECT CAST(sum(${centsSql("c_acctbal")}) AS BIGINT) AS sum_cents,
+         |         count(*) AS n_cust
+         |  FROM customer
+         |)
+         |SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+         |       CAST(count(*) AS BIGINT) AS n_lapsed,
+         |       CAST(sum(${centsSql("c.c_acctbal")}) AS BIGINT) AS acctbal_cents
+         |FROM customer c, tot
+         |WHERE ${centsSql("c.c_acctbal")} * tot.n_cust > tot.sum_cents
+         |  AND NOT EXISTS (SELECT 1 FROM orders o
+         |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= '1999-01-01')
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1665,8 +1665,10 @@ object SparkEntry {
     // cross-doc substring duplication (Lee et al. substring-dedup
     // signal): stride-16 30-char windows hashed to 48-bit lanes; a
     // doc's dup_frac = share of its distinct windows seen in ≥2 docs.
-    // One explode, one distinct, window counts DERIVED from the same
-    // relation (exchange reuse); the hot-hash join is AQE-splittable
+    // The (doc, hash) relation is materialized ONCE (localCheckpoint —
+    // the signature-store discipline: 16 bytes/window ≪ re-exploding
+    // the corpus for the count side, and plan-asserted single-scan);
+    // the hot-hash join back is equi and AQE-splittable
     "q138_substring_dups" -> ((s, dir) => {
       val wins = Tables.documents(s, dir)
         .filter(col("text").isNotNull && length(col("text")) >= 30)
@@ -1676,6 +1678,7 @@ object SparkEntry {
           col("text"))
         .select(col("doc_id"), Dedup.md5Long(expr("substring(text, pos, 30)"), 12).as("h"))
         .distinct()
+        .localCheckpoint()
       val hc = wins.groupBy("h").agg(count(lit(1)).as("nd"))
       wins.join(hc, "h")
         .groupBy("doc_id")
@@ -2034,6 +2037,161 @@ object SparkEntry {
         .unionByName(audit("orders", Tables.orders(s, dir), oDel))
         .unionByName(audit("lineitem", Tables.lineitem(s, dir), lDel))
         .orderBy("table_name")
+    }),
+
+    // forecast-revenue-change (TPC-H Q6 shape): the pure-pushdown
+    // aggregate — every predicate (date range, discount band, quantity
+    // cap) reaches the parquet scan, no join, no shuffle beyond the
+    // 1-row final agg; the canonical "scan 100 TB, move nothing" query
+    "q154_forecast_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(
+          col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01" &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24)
+        .agg(
+          sum(centsOf(col("l_extendedprice") * col("l_discount"))).as("revenue_cents"),
+          count(lit(1)).as("n_lineitems"))),
+
+    // returned-item report (TPC-H Q10 shape): customers ranked by
+    // revenue they returned in a half-year — the order-date filter
+    // prunes the fact join, the nation dim broadcasts, ties broken by
+    // the unique custkey so the top-20 is a total order
+    "q155_returned_items" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .join(
+          Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= "1997-01-01" && col("o_orderdate") < "1997-07-01"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name").as("nation"))
+        .agg(
+          sum(centsOf(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"),
+          count(lit(1)).as("n_returns"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey"))
+        .limit(20)),
+
+    // promotion-revenue share (TPC-H Q14 shape): monthly fraction of
+    // revenue from PROMO parts — the part dim broadcasts into the fact
+    // scan, both legs of the ratio accumulate as exact cents in ONE
+    // pass (conditional sum, not two scans), share a single division
+    "q156_promo_share" -> ((s, dir) => {
+      val cents = centsOf(col("l_extendedprice") * (lit(1) - col("l_discount")))
+      Tables.lineitem(s, dir)
+        .join(
+          broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", cents).otherwise(lit(0L))).as("promo_cents"),
+          sum(cents).as("total_cents"))
+        .select(
+          col("month"), col("promo_cents"), col("total_cents"),
+          round(col("promo_cents").cast("double") / col("total_cents"), 6).as("promo_share"))
+        .orderBy("month")
+    }),
+
+    // top supplier(s) by quarter revenue (TPC-H Q15 shape): the
+    // per-supplier revenue relation is aggregated once, its max is a
+    // 1-row broadcast bound, and only the argmax rows join back to the
+    // supplier dim — no window over the whole relation, ties kept
+    "q157_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1997-04-01")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(centsOf(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+      val mx = rev.agg(max(col("revenue_cents")).as("mrev"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("revenue_cents") === col("mrev"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("revenue_cents"))
+        .orderBy("s_suppkey")
+    }),
+
+    // large-volume orders (TPC-H Q18 shape): the fact table aggregates
+    // FIRST (sum of integral quantities — exact in doubles, cast to
+    // long), the >150 filter prunes before any dimension joins, so the
+    // order/customer joins see only the few hundred big orders
+    "q158_big_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("qty_sum"))
+        .filter(col("qty_sum") > 150)
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(
+          col("c_custkey"), col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          centsOf(col("o_totalprice")).as("totalprice_cents"), col("qty_sum"))
+        .orderBy(col("qty_sum").desc, col("o_orderkey"))
+        .limit(50)
+    }),
+
+    // discounted-revenue OR-bands (TPC-H Q19 shape): three disjunctive
+    // (type, quantity-band, size-band) predicates — the part dim
+    // broadcasts, the OR collapses into one scan-side filter, and the
+    // answer is a 1-row exact-cents aggregate
+    "q159_band_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(
+          broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_type"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_type") === "PROMO" && col("l_quantity").between(1, 11) && col("p_size").between(1, 15)) ||
+            (col("p_type") === "STANDARD" && col("l_quantity").between(10, 20) && col("p_size").between(1, 25)) ||
+            (col("p_type") === "LARGE" && col("l_quantity").between(20, 30) && col("p_size").between(1, 35)))
+        .agg(
+          sum(centsOf(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"),
+          count(lit(1)).as("n_lineitems"))),
+
+    // national market share (TPC-H Q8 shape): within AMERICA's customer
+    // market, the yearly share supplied by NATION_2's suppliers — both
+    // legs of the ratio accumulate in ONE pass over the joined fact
+    // (conditional cents sum), dims broadcast, share a single division
+    "q160_market_share" -> ((s, dir) => {
+      val amerNations = Tables.nation(s, dir)
+        .join(
+          broadcast(Tables.region(s, dir).filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val cents = centsOf(col("l_extendedprice") * (lit(1) - col("l_discount")))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(amerNations), col("c_nationkey") === col("n_nationkey"))
+        .join(
+          Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("s_nationkey") === 2, cents).otherwise(lit(0L))).as("nation_cents"),
+          sum(cents).as("total_cents"))
+        .select(
+          col("o_year"), col("nation_cents"), col("total_cents"),
+          round(col("nation_cents").cast("double") / col("total_cents"), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // lapsed wealthy customers (TPC-H Q22 shape): above-average balance
+    // (integer cross-multiplied compare against a 1-row global bound —
+    // no doubles) with no order since 1999 (anti join) — per-nation
+    // count + balance, the "who stopped buying" readout
+    "q161_lapsed_wealth" -> ((s, dir) => {
+      val cents = centsOf(col("c_acctbal"))
+      val tot = Tables.customer(s, dir)
+        .agg(sum(cents).as("sum_cents"), count(lit(1)).as("n_cust"))
+      Tables.customer(s, dir)
+        .crossJoin(broadcast(tot))
+        .filter(cents * col("n_cust") > col("sum_cents"))
+        .join(
+          Tables.orders(s, dir).filter(col("o_orderdate") >= "1999-01-01"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n_lapsed"), sum(cents).as("acctbal_cents"))
+        .orderBy("nationkey")
     }),
 
     // multimodal: opaque binary column + stub decode metadata

@@ -26,6 +26,14 @@ class PlanGuardSpec extends AnyFunSuite {
     *     rows — the vocab × groups grid is built against a bounded side)
     */
   private val boundedNlj = Set(
+    "q161_lapsed_wealth",       // 1-row balance-sum bound
+    // (q157's 1-row max bound does NOT appear here: the equality filter
+    // over its cross join collapses into a BroadcastHashJoin condition)
+    "q136_nb_attribution",      // 1-row vocab/corpus totals + label-constant row set
+    "q137_rolling_active",      // 1-row max-day aggregate bound
+    "q146_lsh_eval",            // 1-row true-pair-count aggregate
+    "q147_rfm_segments",        // 1-row reference-date + 1-row quartile aggregates
+    "q153_delete_cascade",      // per-table 1-row before/deleted count pairs
     "q101_source_jsd",
     "q111_temporal_jsd",
     "q114_source_concentration", // 1-row (total, n_sources) aggregate
@@ -113,6 +121,51 @@ class PlanGuardSpec extends AnyFunSuite {
     val p = planOf("q115_token_budget")
     assert(p.contains("Window"), "q115 lost its window")
     assert(!p.contains("No Partition Defined"), "q115's window went global")
+  }
+
+  test("star-join dimension filters push down to the scans (q133/q141)") {
+    // The region/date predicates must reach the parquet readers — a scan
+    // that reads everything and filters post-join would read 100 TB.
+    val p133 = planOf("q133_regional_revenue")
+    assert(p133.contains("EqualTo(r_name,ASIA)"), "q133 region filter not pushed to scan")
+    assert(p133.contains("GreaterThanOrEqual(o_orderdate"), "q133 date filter not pushed to scan")
+    val p141 = planOf("q141_nation_trade")
+    assert(p141.contains("GreaterThanOrEqual(l_shipdate"), "q141 ship-date filter not pushed to scan")
+  }
+
+  test("q154's predicates all reach the parquet scan (pure-pushdown aggregate)") {
+    // Q6 shape: the whole query is scan + 1-row agg; every filter must be
+    // in PushedFilters or the scan reads the full fact table.
+    // The PushedFilters list is elided ("...") in toString for long
+    // filter sets, so assert on the scan-adjacent Filter operator text.
+    val p = planOf("q154_forecast_revenue")
+    assert("""l_shipdate#\d+ >= 1997-01-01""".r.findFirstIn(p).isDefined,
+      "q154 date filter not next to the scan")
+    assert("""l_quantity#\d+ < 24\.0""".r.findFirstIn(p).isDefined,
+      "q154 quantity filter not next to the scan")
+    assert("""l_discount#\d+ >= 0\.05""".r.findFirstIn(p).isDefined,
+      "q154 discount filter not next to the scan")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "q154 lost parquet filter pushdown entirely")
+  }
+
+  test("q142's fused top-3 plans as a map-side WindowGroupLimit") {
+    assert(planOf("q142_rank_fusion").contains("WindowGroupLimit"),
+      "rank-filter pushdown vanished from q142")
+  }
+
+  test("q143's EXISTS stays a semi join (never materializes matching lineitems)") {
+    assert(planOf("q143_late_orders").contains("LeftSemi"), "q143 lost its semi join")
+  }
+
+  test("q138 explodes the corpus once (both consumers read the checkpointed signatures)") {
+    // The (doc, hash) relation materializes once; per-doc totals and
+    // per-hash counts both read it back, so the final plan holds ZERO
+    // parquet scans — the corpus explode cannot run twice.
+    val p = planOf("q138_substring_dups")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 0, s"q138 should read only the checkpointed signatures, found $scans corpus scans")
+    assert(p.contains("ExistingRDD"), "q138 lost its checkpointed signature relation")
   }
 
   test("no query plan evaluates Python or interpreted UDF-like stages") {
