@@ -203,6 +203,67 @@ object OracleSql {
 
   private def centsSql(x: String): String = s"CAST(round(($x) * 100) AS BIGINT)"
 
+  /** α₅₁₂·m²·2⁴⁰ for the q162 HLL estimate — α from the HLL paper's
+    * m≥128 formula; the two power-of-two multiplies are exact, and the
+    * SAME double literal feeds both the Spark query and the oracle SQL
+    * below so both engines divide the identical numerator by the
+    * identical integer register sum.
+    */
+  val hllAlphaM2Scaled: Double =
+    0.7213 / (1.0 + 1.079 / 512.0) * 262144.0 * 1099511627776.0
+
+  /** `iters` chained power-iteration rounds over the exact scaled
+    * covariance A = n·Sxy − Sx·Sy (mirrors
+    * `EmbeddingStats.powerIteration`): HUGEINT matrix-vector products,
+    * renormalized by max|w| with the half-away integer rounding — no
+    * doubles until the final loading readout. MATERIALIZED is load-
+    * bearing: inlined, the chain re-evaluates exponentially.
+    */
+  private def powerIterationSql(iters: Int): String = {
+    val sb = new StringBuilder(
+      """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |           WHERE embedding IS NOT NULL),
+        |x1 AS (SELECT e, unnest(range(0, len(e))) AS i FROM v),
+        |x2 AS (SELECT i, CAST(round(e[i+1] * 1000000) AS BIGINT) AS xq,
+        |              unnest(range(i, len(e))) AS j, e
+        |       FROM x1),
+        |x AS (SELECT i, j, xq,
+        |             CAST(round(e[j+1] * 1000000) AS BIGINT) AS yq
+        |      FROM x2),
+        |s AS MATERIALIZED (
+        |  SELECT i, j, count(*) AS n_vecs,
+        |         sum(CAST(xq AS HUGEINT)) AS sx,
+        |         sum(CAST(yq AS HUGEINT)) AS sy,
+        |         sum(CAST(xq AS HUGEINT) * CAST(yq AS HUGEINT)) AS sxy
+        |  FROM x GROUP BY 1, 2
+        |),
+        |a AS MATERIALIZED (
+        |  SELECT i, j, n_vecs * sxy - sx * sy AS av FROM s
+        |  UNION ALL
+        |  SELECT j, i, n_vecs * sxy - sx * sy AS av FROM s WHERE i <> j
+        |),
+        |v0 AS (SELECT unnest(range(0, 64)) AS d, CAST(1000000 AS HUGEINT) AS vq)""".stripMargin)
+    (1 to iters).foreach { t =>
+      sb.append(s""",
+        |w$t AS MATERIALIZED (
+        |  SELECT a.i AS d, sum(a.av * p.vq) AS w
+        |  FROM a JOIN v${t - 1} p ON a.j = p.d GROUP BY 1
+        |),
+        |m$t AS (SELECT max(abs(w)) AS wm FROM w$t),
+        |v$t AS MATERIALIZED (
+        |  SELECT d, CASE WHEN w < 0
+        |                 THEN -((2 * (-w) * 1000000 + wm) // (2 * wm))
+        |                 ELSE (2 * w * 1000000 + wm) // (2 * wm) END AS vq
+        |  FROM w$t, m$t
+        |)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT CAST(d AS BIGINT) AS dim, CAST(vq AS BIGINT) AS v_q,
+      |       CAST(vq AS DOUBLE) / 1000000.0 AS loading
+      |FROM v$iters ORDER BY dim""".stripMargin)
+    sb.toString
+  }
+
   /** `iters` chained Lloyd iterations (mirrors `Similarity.kmeansFit`):
     * c0 = seed centroids (vec_id < k), each round assigns by rounded
     * cosine (ties → smaller centroid id) and rebuilds centroids from
@@ -2902,6 +2963,111 @@ object OracleSql {
          |WHERE ${centsSql("c.c_acctbal")} * tot.n_cust > tot.sum_cents
          |  AND NOT EXISTS (SELECT 1 FROM orders o
          |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= '1999-01-01')
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q162_hll_distinct" ->
+      s"""WITH p AS (SELECT DISTINCT event_type, user_id FROM events),
+         |h AS (SELECT event_type,
+         |             CAST(concat('0x', substr(md5('hll#' || CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+         |      FROM p),
+         |r AS (SELECT event_type, h // 549755813888 AS b,
+         |             CASE WHEN h % 549755813888 = 0 THEN 40
+         |                  ELSE 40 - length(bin(h % 549755813888)) END AS rho
+         |      FROM h),
+         |m AS (SELECT event_type, b, max(rho) AS mr FROM r GROUP BY 1, 2),
+         |sagg AS (SELECT event_type, count(*) AS n_present,
+         |                CAST(sum(CAST(1 AS BIGINT) << CAST(40 - mr AS INT)) AS BIGINT) AS sp
+         |         FROM m GROUP BY 1),
+         |e AS (SELECT event_type, CAST(count(*) AS BIGINT) AS exact_distinct FROM p GROUP BY 1)
+         |SELECT e.event_type, e.exact_distinct,
+         |       round($hllAlphaM2Scaled /
+         |             CAST(sagg.sp + (512 - sagg.n_present) * 1099511627776 AS DOUBLE), 3) AS hll_estimate,
+         |       CAST(512 - sagg.n_present AS BIGINT) AS n_empty
+         |FROM e JOIN sagg USING (event_type)
+         |ORDER BY event_type""".stripMargin,
+
+    "q163_power_pca" -> powerIterationSql(iters = 4),
+
+    "q164_purchase_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events
+        |), t AS (
+        |  SELECT event_type, us,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_type,
+        |         lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+        |  FROM e
+        |), c AS (
+        |  SELECT CASE WHEN prev_us >= us - 604800000000 THEN prev_type ELSE 'none' END AS touch,
+        |         CAST(count(*) AS BIGINT) AS n_purchases
+        |  FROM t WHERE event_type = 'purchase' GROUP BY 1
+        |)
+        |SELECT touch, n_purchases,
+        |       round(CAST(n_purchases AS DOUBLE) / sum(n_purchases) OVER (), 6) AS share
+        |FROM c ORDER BY touch""".stripMargin,
+
+    "q165_partition_pruning" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q166_abtest_lift" ->
+      """WITH p AS (
+        |  SELECT CAST(concat('0x', substr(md5('ab#' || CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 2 AS grp,
+        |         CAST(round(value * 1000000) AS HUGEINT) AS vq
+        |  FROM events WHERE event_type = 'purchase'
+        |), a AS (
+        |  SELECT CAST(count(CASE WHEN grp = 0 THEN 1 END) AS BIGINT) AS n_a,
+        |         CAST(count(CASE WHEN grp = 1 THEN 1 END) AS BIGINT) AS n_b,
+        |         sum(CASE WHEN grp = 0 THEN vq ELSE 0 END) AS sva,
+        |         sum(CASE WHEN grp = 1 THEN vq ELSE 0 END) AS svb,
+        |         sum(CASE WHEN grp = 0 THEN vq * vq ELSE 0 END) AS sv2a,
+        |         sum(CASE WHEN grp = 1 THEN vq * vq ELSE 0 END) AS sv2b
+        |  FROM p
+        |), m AS (
+        |  SELECT n_a, n_b,
+        |         CAST((2 * sva + n_a) // (2 * n_a) AS DOUBLE) / 1000000.0 AS mean_a,
+        |         CAST((2 * svb + n_b) // (2 * n_b) AS DOUBLE) / 1000000.0 AS mean_b,
+        |         CAST((n_a * sv2a - sva * sva) AS DOUBLE) / n_a / n_a / 1000000000000.0 AS var_a,
+        |         CAST((n_b * sv2b - svb * svb) AS DOUBLE) / n_b / n_b / 1000000000000.0 AS var_b
+        |  FROM a
+        |)
+        |SELECT n_a, n_b, mean_a, mean_b, mean_a - mean_b AS lift,
+        |       round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS z_score
+        |FROM m""".stripMargin,
+
+    "q167_vocab_pruning" ->
+      """WITH w AS (
+        |  SELECT t AS w FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE length(t) > 0
+        |), c AS (SELECT w, count(*) AS c FROM w GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM c),
+        |g AS (SELECT unnest([2, 5, 10, 25, 100]) AS threshold),
+        |k AS (
+        |  SELECT g.threshold, CAST(count(*) AS BIGINT) AS vocab_size,
+        |         CAST(sum(c.c) AS BIGINT) AS kept_tokens
+        |  FROM c JOIN g ON c.c >= g.threshold GROUP BY 1
+        |)
+        |SELECT CAST(k.threshold AS BIGINT) AS threshold, k.vocab_size, k.kept_tokens,
+        |       round(CAST(k.kept_tokens AS DOUBLE) / tot.total, 6) AS kept_share
+        |FROM k, tot ORDER BY threshold""".stripMargin,
+
+    "q168_split_leakage" ->
+      """WITH d AS (
+        |  SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |                                 ' +', ' ', 'g'))) AS nh,
+        |         CASE WHEN CAST(concat('0x', substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 10 <= 7 THEN 'train'
+        |              WHEN CAST(concat('0x', substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 10 = 8 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents WHERE text IS NOT NULL
+        |), t AS (SELECT DISTINCT nh, 1 AS hit FROM d WHERE split = 'train')
+        |SELECT d.split, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(coalesce(t.hit, 0)) AS BIGINT) AS n_leaked,
+        |       round(CAST(sum(coalesce(t.hit, 0)) AS DOUBLE) / count(*), 6) AS leak_rate
+        |FROM d LEFT JOIN t USING (nh)
+        |WHERE d.split <> 'train'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -41,6 +41,8 @@ object SparkEntry {
 
   private def centsOf(x: Column): Column = EventWindows.cents(x)
 
+  private def hllAlphaM2Scaled: Double = OracleSql.hllAlphaM2Scaled
+
   /** Exact-integer accumulator type (≡ DuckDB HUGEINT) for the
     * order-independent stddev/corr/norm algebra.
     */
@@ -2192,6 +2194,174 @@ object SparkEntry {
         .groupBy(col("c_nationkey").cast("long").as("nationkey"))
         .agg(count(lit(1)).as("n_lapsed"), sum(cents).as("acctbal_cents"))
         .orderBy("nationkey")
+    }),
+
+    // deterministic HyperLogLog (p=9, m=512): md5-derived registers, the
+    // estimate assembled from an EXACT integer register sum (Σ 2^(40-M)
+    // as a long — no floating accumulation), so the sketch value itself
+    // is oracle-able cross-engine, not just a bound like q38. Both the
+    // sketch and the exact count derive from ONE distinct-pairs relation
+    "q162_hll_distinct" -> ((s, dir) => {
+      val pairs = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id")).distinct()
+      val exact = pairs.groupBy("event_type").agg(count(lit(1)).as("exact_distinct"))
+      val regs = pairs
+        .select(
+          col("event_type"),
+          Dedup.md5Long(concat(lit("hll#"), col("user_id").cast("string")), 12).as("h"))
+        .select(
+          col("event_type"),
+          expr("h div 549755813888").as("b"),
+          when(col("h") % 549755813888L === 0, lit(40))
+            .otherwise(lit(40) - length(bin(col("h") % 549755813888L))).as("rho"))
+        .groupBy("event_type", "b")
+        .agg(max(col("rho")).as("mr"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_present"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(40 - mr AS INT))")).as("sp"))
+      exact.join(regs, "event_type")
+        .select(
+          col("event_type"), col("exact_distinct"),
+          round(
+            lit(hllAlphaM2Scaled) /
+              (col("sp") + (lit(512L) - col("n_present")) * lit(1099511627776L)).cast("double"),
+            3).as("hll_estimate"),
+          (lit(512L) - col("n_present")).as("n_empty"))
+        .orderBy("event_type")
+    }),
+
+    // top principal direction: power iteration over the exact scaled
+    // covariance n·Sxy − Sx·Sy — one distributed pass builds the d²
+    // sums, the d²-bounded iteration replays in pure integers (see
+    // EmbeddingStats.powerIteration)
+    "q163_power_pca" -> ((s, dir) =>
+      graft.operators.EmbeddingStats.powerIteration(s, Tables.embeddings(s, dir), "embedding")),
+
+    // last-touch purchase attribution: each purchase credited to the
+    // user's immediately-preceding event within 7 days (lag over the
+    // per-user timeline — partitioned window, no self-join), read out
+    // as credited-touch counts and shares
+    "q164_purchase_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(
+          when(col("prev_us") >= col("us") - 604800000000L, col("prev_type"))
+            .otherwise(lit("none")).as("touch"))
+        .groupBy("touch")
+        .agg(count(lit(1)).as("n_purchases"))
+        .select(
+          col("touch"), col("n_purchases"),
+          round(
+            col("n_purchases").cast("double") /
+              sum(col("n_purchases")).over(Window.partitionBy()), 6).as("share"))
+        .orderBy("touch")
+    }),
+
+    // hive-partitioned write + pruned read: documents laid out by lang,
+    // the lang='en' read resolved by PARTITION pruning (directory
+    // listing, zero non-en bytes read — the plan guard asserts the
+    // PartitionFilters entry)
+    "q165_partition_pruning" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tmp = graft.io.Zones.tempDir(s"graft_part_zone_${new java.io.File(dir).getName}")
+      docs.write.mode("overwrite").partitionBy("lang").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy("source")
+    }),
+
+    // A/B lift with a z-score: users hash-split 50/50, purchase values
+    // micro-quantized into exact decimal sums (n, Σv, Σv² per arm in ONE
+    // conditional-aggregate pass — no second scan, no join), the means
+    // via the integer half-away formula, variance/z as compositions of
+    // identical double ops on exact integers
+    "q166_abtest_lift" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val grp = Dedup.md5Long(concat(lit("ab#"), col("user_id").cast("string")), 12) % 2
+      val vq = round(col("value") * 1e6).cast(dec)
+      def mm(sv: String, n: String): Column =
+        expr(s"(2 * $sv + $n) div (2 * $n)").cast("double") / 1000000.0
+      def vr(n: String, sv: String, sv2: String): Column =
+        expr(s"CAST(($n * $sv2 - $sv * $sv) AS DOUBLE)")
+          ./(col(n)).cast("double")./(col(n)) / 1.0e12
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(grp.as("grp"), vq.as("vq"))
+        .agg(
+          count(when(col("grp") === 0, lit(1))).as("n_a"),
+          count(when(col("grp") === 1, lit(1))).as("n_b"),
+          sum(when(col("grp") === 0, col("vq")).otherwise(lit(0).cast(dec))).as("sva"),
+          sum(when(col("grp") === 1, col("vq")).otherwise(lit(0).cast(dec))).as("svb"),
+          sum(when(col("grp") === 0, col("vq") * col("vq")).otherwise(lit(0).cast(dec))).as("sv2a"),
+          sum(when(col("grp") === 1, col("vq") * col("vq")).otherwise(lit(0).cast(dec))).as("sv2b"))
+        .select(
+          col("n_a"), col("n_b"),
+          mm("sva", "n_a").as("mean_a"), mm("svb", "n_b").as("mean_b"),
+          vr("n_a", "sva", "sv2a").as("var_a"), vr("n_b", "svb", "sv2b").as("var_b"))
+        .select(
+          col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+          (col("mean_a") - col("mean_b")).as("lift"),
+          round(
+            (col("mean_a") - col("mean_b")) /
+              sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 6).as("z_score"))
+    }),
+
+    // vocabulary-pruning curve: for each min-count threshold, the
+    // surviving vocab size and kept-token share — ONE token-count
+    // relation fanned out map-side to the threshold grid (no per-
+    // threshold rescans), the corpus total a 1-row broadcast bound
+    "q167_vocab_pruning" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w")
+        .agg(count(lit(1)).as("c"))
+      val tot = counts.agg(sum(col("c")).cast("long").as("total"))
+      counts
+        .select(col("c"), explode(array(lit(2), lit(5), lit(10), lit(25), lit(100))).as("threshold"))
+        .filter(col("c") >= col("threshold"))
+        .groupBy(col("threshold").cast("long").as("threshold"))
+        .agg(count(lit(1)).as("vocab_size"), sum(col("c")).cast("long").as("kept_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(
+          col("threshold"), col("vocab_size"), col("kept_tokens"),
+          round(col("kept_tokens").cast("double") / col("total"), 6).as("kept_share"))
+        .orderBy("threshold")
+    }),
+
+    // train/val/test split-leakage audit: docs hash-split 80/10/10, a
+    // val/test doc "leaks" if its normalized-text hash also appears in
+    // train — the distinct train-hash relation equi-joins back (AQE-
+    // splittable), the eval-hygiene readout run before any benchmark
+    "q168_split_leakage" -> ((s, dir) => {
+      val nh = md5(trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+      val bucket = Dedup.md5Long(concat(lit("split#"), col("doc_id").cast("string")), 12) % 10
+      val d = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(
+          nh.as("nh"),
+          when(bucket <= 7, lit("train")).when(bucket === 8, lit("val"))
+            .otherwise(lit("test")).as("split"))
+      val trainH = d.filter(col("split") === "train")
+        .select("nh").distinct().withColumn("hit", lit(1))
+      d.filter(col("split") =!= "train")
+        .join(trainH, Seq("nh"), "left")
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_leaked"))
+        .select(
+          col("split"), col("n_docs"), col("n_leaked"),
+          round(col("n_leaked").cast("double") / col("n_docs"), 6).as("leak_rate"))
+        .orderBy("split")
     }),
 
     // multimodal: opaque binary column + stub decode metadata

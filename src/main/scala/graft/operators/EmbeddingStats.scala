@@ -26,10 +26,13 @@ object EmbeddingStats {
 
   private val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
 
-  /** Upper-triangle covariance entries (i ≤ j, 0-based dims): one row per
-    * dim pair with the exact quantized sums and the double `cov`.
+  /** Upper-triangle exact second-moment sums (i ≤ j, 0-based dims): one
+    * row per dim pair with the 1e-6-quantized integer sums — the shared
+    * relation under both the covariance readout and the power-iteration
+    * eigenvector (both derive from THESE sums, so they can never
+    * silently diverge).
     */
-  def covarianceUpperTriangle(
+  def secondMomentSums(
       embeddings: DataFrame,
       vecCol: String,
       quantScale: Long = 1000000L): DataFrame = {
@@ -54,6 +57,16 @@ object EmbeddingStats {
         sum(col("xq")).as("sx"),
         sum(col("yq")).as("sy"),
         sum(col("xq") * col("yq")).as("sxy"))
+  }
+
+  /** Upper-triangle covariance entries (i ≤ j, 0-based dims): one row per
+    * dim pair with the exact quantized sums and the double `cov`.
+    */
+  def covarianceUpperTriangle(
+      embeddings: DataFrame,
+      vecCol: String,
+      quantScale: Long = 1000000L): DataFrame = {
+    secondMomentSums(embeddings, vecCol, quantScale)
       .select(
         col("i"), col("j"), col("n_vecs"),
         round(
@@ -61,5 +74,58 @@ object EmbeddingStats {
             - col("sx").cast("double") * (col("sy").cast("double")) / col("n_vecs") / col("n_vecs"))
             / (quantScale.toDouble * quantScale.toDouble), 6).as("cov"))
       .orderBy("i", "j")
+  }
+
+  /** Top principal direction by power iteration over the EXACT scaled
+    * covariance A = n·Sxy − Sx·Sy (same eigenvectors as the covariance,
+    * no division — every entry an exact integer).
+    *
+    * Scale shape: the distributed part is one pass over the corpus (the
+    * [[secondMomentSums]] aggregation); what reaches the driver is the
+    * d(d+1)/2 sum rows — bounded by the embedding width squared, never
+    * by corpus size (the same bounded-state license as kmeansFit's k·d
+    * centroid means). The iteration itself is d² integer work per round.
+    *
+    * Determinism: v₀ = quantScale (all dims), each round computes
+    * w = A·v in BigInt and renormalizes by max|w| with the half-away
+    * integer rounding (2|w|·s + m) div (2m) — no doubles anywhere, so a
+    * DuckDB HUGEINT CTE chain replays it bit-for-bit.
+    */
+  def powerIteration(
+      spark: org.apache.spark.sql.SparkSession,
+      embeddings: DataFrame,
+      vecCol: String,
+      iters: Int = 4,
+      quantScale: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    val sums = secondMomentSums(embeddings, vecCol, quantScale)
+      .select(col("i"), col("j"), col("n_vecs"), col("sx"), col("sy"), col("sxy"))
+      .collect()
+    val d = sums.iterator.map(r => r.getLong(1)).max.toInt + 1
+    val a = Array.ofDim[BigInt](d, d)
+    sums.foreach { r =>
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      val n = BigInt(r.getLong(2))
+      val sx: BigInt = r.getDecimal(3).toBigInteger
+      val sy: BigInt = r.getDecimal(4).toBigInteger
+      val sxy: BigInt = r.getDecimal(5).toBigInteger
+      val v = n * sxy - sx * sy
+      a(i)(j) = v
+      a(j)(i) = v
+    }
+    var v = Array.fill(d)(BigInt(quantScale))
+    (1 to iters).foreach { _ =>
+      val w = Array.tabulate(d)(i => (0 until d).foldLeft(BigInt(0))((s, j) => s + a(i)(j) * v(j)))
+      val wm = w.iterator.map(_.abs).max
+      v = w.map { wi =>
+        val r = (2 * wi.abs * quantScale + wm) / (2 * wm)
+        if (wi.signum < 0) -r else r
+      }
+    }
+    v.zipWithIndex
+      .map { case (vq, i) => (i.toLong, vq.toLong, vq.toDouble / quantScale.toDouble) }
+      .toSeq
+      .toDF("dim", "v_q", "loading")
+      .orderBy("dim")
   }
 }

@@ -27,6 +27,7 @@ class PlanGuardSpec extends AnyFunSuite {
     */
   private val boundedNlj = Set(
     "q161_lapsed_wealth",       // 1-row balance-sum bound
+    "q167_vocab_pruning",       // 1-row corpus-token-total bound
     // (q157's 1-row max bound does NOT appear here: the equality filter
     // over its cross join collapses into a BroadcastHashJoin condition)
     "q136_nb_attribution",      // 1-row vocab/corpus totals + label-constant row set
@@ -166,6 +167,17 @@ class PlanGuardSpec extends AnyFunSuite {
     val scans = "Scan parquet".r.findAllIn(p).size
     assert(scans === 0, s"q138 should read only the checkpointed signatures, found $scans corpus scans")
     assert(p.contains("ExistingRDD"), "q138 lost its checkpointed signature relation")
+  }
+
+  test("q165's lang filter resolves as PARTITION pruning, not a data filter") {
+    // The hive-partitioned layout means lang='en' prunes whole
+    // directories at listing time — zero non-en bytes ever read.
+    val p = planOf("q165_partition_pruning")
+    assert(p.contains("PartitionFilters: [isnotnull(lang"),
+      "q165 lang filter did not become a partition filter")
+    assert("""PushedFilters: \[\], ReadSchema""".r.findFirstIn(p).isDefined ||
+      !p.contains("PushedFilters: [IsNotNull(lang)"),
+      "q165 lang filter leaked into the data-filter path")
   }
 
   test("no query plan evaluates Python or interpreted UDF-like stages") {

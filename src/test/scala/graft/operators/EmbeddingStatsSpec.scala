@@ -36,6 +36,28 @@ class EmbeddingStatsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("power iteration recovers a dominant variance direction") {
+    // dim 1 carries almost all the variance; the top eigenvector must
+    // be ±e1 (loading 1.0 by the max-abs normalization) with the other
+    // dims near zero.
+    val vecs = (1 to 60).map { k =>
+      Seq(0.01f * (k % 3), (k % 11).toFloat - 5f, 0.02f * (k % 2))
+    }.toDF("embedding")
+    val v = EmbeddingStats.powerIteration(spark, vecs, "embedding")
+      .select("dim", "loading").as[(Long, Double)].collect().toMap
+    assert(math.abs(v(1L)) === 1.0)
+    assert(math.abs(v(0L)) < 0.05 && math.abs(v(2L)) < 0.05)
+  }
+
+  test("power iteration is invariant to partitioning") {
+    val base = (1 to 50).map(k => Seq((k % 7).toFloat, (k % 5).toFloat, (k % 3).toFloat))
+    val a = EmbeddingStats.powerIteration(spark, base.toDF("embedding").coalesce(1), "embedding")
+      .select("dim", "v_q").as[(Long, Long)].collect().toSet
+    val b = EmbeddingStats.powerIteration(spark, base.toDF("embedding").repartition(11), "embedding")
+      .select("dim", "v_q").as[(Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
   test("diagonal dominates: |cov(i,j)| <= sqrt(var_i * var_j) + rounding slack") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cov = EmbeddingStats.covarianceUpperTriangle(e, "embedding")
