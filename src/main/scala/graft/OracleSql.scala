@@ -3068,6 +3068,152 @@ object OracleSql {
         |       round(CAST(sum(coalesce(t.hit, 0)) AS DOUBLE) / count(*), 6) AS leak_rate
         |FROM d LEFT JOIN t USING (nh)
         |WHERE d.split <> 'train'
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q169_quota_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |         CAST(concat('0x', substr(md5('quota#' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS _r
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang ORDER BY _r, doc_id) AS rn
+        |  FROM r
+        |)
+        |SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+        |FROM k
+        |WHERE rn <= CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+        |ORDER BY lang, rn""".stripMargin,
+
+    "q170_new_vs_returning" ->
+      """WITH um AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events),
+        |f AS (
+        |  SELECT day, min(day) OVER (PARTITION BY user_id) AS first_day FROM um
+        |), g AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+        |         CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |  FROM f GROUP BY 1
+        |)
+        |SELECT day, n_active, n_new,
+        |       CAST(n_active - n_new AS BIGINT) AS n_returning,
+        |       round(CAST(n_new AS DOUBLE) / n_active, 6) AS new_share
+        |FROM g ORDER BY day""".stripMargin,
+
+    "q171_time_to_convert" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         epoch_us(date_trunc('microseconds', ts)) AS us,
+        |         strftime(ts, '%Y-%m-%d') AS day
+        |  FROM events WHERE event_type IN ('signup', 'purchase')
+        |), u AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'signup' THEN us END) AS sus,
+        |         min(CASE WHEN event_type = 'signup' THEN day END) AS cohort,
+        |         min(CASE WHEN event_type = 'purchase' THEN us END) AS pus
+        |  FROM e GROUP BY 1
+        |), d AS (
+        |  SELECT cohort,
+        |         CASE WHEN pus >= sus THEN pus - sus END AS delta_us
+        |  FROM u WHERE sus IS NOT NULL
+        |), g AS (
+        |  SELECT cohort, CAST(count(*) AS BIGINT) AS n_signups,
+        |         CAST(count(delta_us) AS BIGINT) AS n_converted,
+        |         round(median(delta_us) / 3600000000.0, 6) AS median_hours
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT cohort, n_signups, n_converted,
+        |       round(CAST(n_converted AS DOUBLE) / n_signups, 6) AS conversion_rate,
+        |       median_hours
+        |FROM g ORDER BY cohort""".stripMargin,
+
+    "q172_reciprocal_best" ->
+      s"""$minhashCte,
+         |nm AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         (CASE WHEN a.m0 = b.m0 THEN 1 ELSE 0 END + CASE WHEN a.m1 = b.m1 THEN 1 ELSE 0 END
+         |        + CASE WHEN a.m2 = b.m2 THEN 1 ELSE 0 END + CASE WHEN a.m3 = b.m3 THEN 1 ELSE 0 END
+         |        + CASE WHEN a.m4 = b.m4 THEN 1 ELSE 0 END + CASE WHEN a.m5 = b.m5 THEN 1 ELSE 0 END
+         |        + CASE WHEN a.m6 = b.m6 THEN 1 ELSE 0 END + CASE WHEN a.m7 = b.m7 THEN 1 ELSE 0 END) AS nm
+         |  FROM cand c JOIN mh a ON c.doc_a = a.doc_id JOIN mh b ON c.doc_b = b.doc_id
+         |),
+         |u AS (
+         |  SELECT doc_a AS d, doc_b AS p, nm FROM nm
+         |  UNION ALL
+         |  SELECT doc_b AS d, doc_a AS p, nm FROM nm
+         |),
+         |best AS (
+         |  SELECT d, p, nm FROM (
+         |    SELECT d, p, nm, row_number() OVER (PARTITION BY d ORDER BY nm DESC, p) AS rn FROM u)
+         |  WHERE rn = 1
+         |)
+         |SELECT x.d AS doc_a, x.p AS doc_b, CAST(x.nm AS BIGINT) AS n_match,
+         |       round(CAST(x.nm AS DOUBLE) / 8.0, 6) AS est_jaccard
+         |FROM best x JOIN best y ON x.p = y.d AND y.p = x.d AND x.d < y.d
+         |ORDER BY doc_a""".stripMargin,
+
+    "q173_ewma_error_rate" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+        |  FROM events GROUP BY 1
+        |), k AS (
+        |  SELECT strftime(d, '%Y-%m-%d') AS day,
+        |         datediff('day', DATE '2024-01-01', d) AS k, n_events, n_errors
+        |  FROM daily
+        |), w AS (
+        |  SELECT day, n_events, n_errors,
+        |         CAST(sum(n_events << CAST(k AS INT)) OVER (ORDER BY day
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cwn,
+        |         CAST(sum(n_errors << CAST(k AS INT)) OVER (ORDER BY day
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cwe
+        |  FROM k
+        |)
+        |SELECT day, n_events, n_errors,
+        |       round(CAST(n_errors AS DOUBLE) / n_events, 6) AS rate,
+        |       round(CAST(cwe AS DOUBLE) / cwn, 6) AS ewma_rate
+        |FROM w ORDER BY day""".stripMargin,
+
+    "q174_decile_lift" ->
+      s"""WITH spend AS (
+         |  SELECT o_custkey, CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS spend_cents
+         |  FROM orders GROUP BY 1
+         |), cuts AS (
+         |  SELECT quantile_cont(spend_cents,
+         |           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c
+         |  FROM spend
+         |), dec AS (
+         |  SELECT s.spend_cents,
+         |         10 - (CASE WHEN c[1] <= CAST(s.spend_cents AS DOUBLE) THEN 1 ELSE 0 END
+         |             + CASE WHEN c[2] <= CAST(s.spend_cents AS DOUBLE) THEN 1 ELSE 0 END
+         |             + CASE WHEN c[3] <= CAST(s.spend_cents AS DOUBLE) THEN 1 ELSE 0 END
+         |             + CASE WHEN c[4] <= CAST(s.spend_cents AS DOUBLE) THEN 1 ELSE 0 END
+         |             + CASE WHEN c[5] <= CAST(s.spend_cents AS DOUBLE) THEN 1 ELSE 0 END
+         |             + CASE WHEN c[6] <= CAST(s.spend_cents AS DOUBLE) THEN 1 ELSE 0 END
+         |             + CASE WHEN c[7] <= CAST(s.spend_cents AS DOUBLE) THEN 1 ELSE 0 END
+         |             + CASE WHEN c[8] <= CAST(s.spend_cents AS DOUBLE) THEN 1 ELSE 0 END
+         |             + CASE WHEN c[9] <= CAST(s.spend_cents AS DOUBLE) THEN 1 ELSE 0 END) AS decile
+         |  FROM spend s, cuts
+         |), g AS (
+         |  SELECT CAST(decile AS BIGINT) AS decile,
+         |         CAST(count(*) AS BIGINT) AS n_customers,
+         |         CAST(sum(spend_cents) AS BIGINT) AS spend_cents
+         |  FROM dec GROUP BY 1
+         |)
+         |SELECT decile, n_customers, spend_cents,
+         |       round(CAST(spend_cents AS DOUBLE) / sum(spend_cents) OVER (), 6) AS spend_share,
+         |       round(CAST(sum(spend_cents) OVER (ORDER BY decile
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |             / sum(spend_cents) OVER (), 6) AS cum_share
+         |FROM g ORDER BY decile""".stripMargin,
+
+    "q175_copurchase_pairs" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+        |       CAST(count(*) AS BIGINT) AS n_orders
+        |FROM d x JOIN d y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, part_a, part_b
+        |LIMIT 50""".stripMargin
   )
 }

@@ -2364,6 +2364,172 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // per-stratum quota sampling: each language fills its own quota (50
+    // en / 20 otherwise) by deterministic md5 rank — per-stratum window,
+    // no global sort; the reproducible "cap every slice" sampler behind
+    // balanced eval sets
+    "q169_quota_sample" -> ((s, dir) => {
+      val quota = when(col("lang") === "en", lit(50)).otherwise(lit(20))
+      val w = Window.partitionBy("lang").orderBy(col("_r"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"), col("lang"),
+          Dedup.md5Long(concat(lit("quota#"), col("doc_id").cast("string")), 12).as("_r"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= quota)
+        .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
+        .orderBy("lang", "rn")
+    }),
+
+    // daily new-vs-returning actives: ONE distinct (user, day)
+    // relation; each user's first day comes from a per-user window
+    // (no self-join), then the day rollup splits actives into new and
+    // returning — the growth-accounting readout
+    "q170_new_vs_returning" -> ((s, dir) => {
+      val um = Tables.events(s, dir)
+        .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .distinct()
+      um.withColumn("first_day", min(col("day")).over(Window.partitionBy("user_id")))
+        .groupBy("day")
+        .agg(
+          count(lit(1)).as("n_active"),
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"))
+        .select(
+          col("day"), col("n_active"), col("n_new"),
+          (col("n_active") - col("n_new")).as("n_returning"),
+          round(col("n_new").cast("double") / col("n_active"), 6).as("new_share"))
+        .orderBy("day")
+    }),
+
+    // signup→purchase conversion funnel by cohort day: per-user
+    // signup/first-purchase times in ONE conditional-aggregate pass,
+    // conversion rate + exact interpolating median hours-to-convert per
+    // cohort (micros stay integers until the final division)
+    "q171_time_to_convert" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", unix_micros(col("ts")))).as("sus"),
+          // day string of the EARLIEST signup (string min ≡ chronological
+          // min — no timezone-dependent epoch→month reconstruction)
+          min(when(col("event_type") === "signup", date_format(col("ts"), "yyyy-MM-dd"))).as("cohort"),
+          min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("pus"))
+        .filter(col("sus").isNotNull)
+        .select(
+          col("cohort"),
+          when(col("pus") >= col("sus"), col("pus") - col("sus")).as("delta_us"))
+        .groupBy("cohort")
+        .agg(
+          count(lit(1)).as("n_signups"),
+          count(col("delta_us")).as("n_converted"),
+          round(expr("percentile(delta_us, 0.5D)") / 3.6e9, 6).as("median_hours"))
+        .select(
+          col("cohort"), col("n_signups"), col("n_converted"),
+          round(col("n_converted").cast("double") / col("n_signups"), 6).as("conversion_rate"),
+          col("median_hours"))
+        .orderBy("cohort")),
+
+    // reciprocal best matches: the record-linkage "mutual best hit" —
+    // each doc's best MinHash partner via a per-doc window over the
+    // banded candidate estimates (never all pairs), kept only when the
+    // choice is mutual; the high-precision end of the dedup family
+    "q172_reciprocal_best" -> ((s, dir) => {
+      val est = Dedup.jaccardEstimates(Tables.documents(s, dir), "doc_id", "text")
+      val u = est.select(col("doc_a").as("d"), col("doc_b").as("p"), col("n_match"))
+        .unionByName(est.select(col("doc_b").as("d"), col("doc_a").as("p"), col("n_match")))
+      val w = Window.partitionBy("d").orderBy(col("n_match").desc, col("p"))
+      val best = u.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("d"), col("p"), col("n_match"))
+      best.as("x")
+        .join(best.as("y"), col("x.p") === col("y.d") && col("y.p") === col("x.d") && col("x.d") < col("y.d"))
+        .select(
+          col("x.d").as("doc_a"), col("x.p").as("doc_b"), col("x.n_match"),
+          round(col("x.n_match").cast("double") / 8.0, 6).as("est_jaccard"))
+        .orderBy("doc_a")
+    }),
+
+    // EWMA-smoothed daily error rate, α=1/2: weights are exact powers
+    // of two (x·2^k stays integral), so the whole smoothing runs on
+    // integer cumulative sums — the 2^D normalizer cancels in the rate
+    // ratio and the only double is the final division. One scan, one
+    // 30-row windowed readout
+    "q173_ewma_error_rate" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+        .select(
+          date_format(col("d"), "yyyy-MM-dd").as("day"),
+          datediff(col("d"), to_date(lit("2024-01-01"))).as("k"),
+          col("n_events"), col("n_errors"))
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("wn", expr("shiftleft(n_events, CAST(k AS INT))"))
+        .withColumn("we", expr("shiftleft(n_errors, CAST(k AS INT))"))
+        .withColumn("cwn", sum(col("wn")).over(w))
+        .withColumn("cwe", sum(col("we")).over(w))
+        .select(
+          col("day"), col("n_events"), col("n_errors"),
+          round(col("n_errors").cast("double") / col("n_events"), 6).as("rate"),
+          round(col("cwe").cast("double") / col("cwn"), 6).as("ewma_rate"))
+        .orderBy("day")
+    }),
+
+    // customer spend-decile lift table — the SCALABLE decile: no global
+    // ntile window (that's a single-partition sort over every customer);
+    // instead the nine exact interpolating percentile cuts come from a
+    // distributed aggregate (1-row broadcast bound) and each customer
+    // map-side counts the cuts at or below its spend. Quantile-bucket
+    // semantics: ties land together, sizes near-n/10. Decile 1 = top
+    // spenders; windows beyond the per-customer agg touch only 10 rows
+    "q174_decile_lift" -> ((s, dir) => {
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("spend_cents"))
+      val cuts = spend.agg(expr(
+        "percentile(spend_cents, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))").as("cuts"))
+      val below = (1 to 9)
+        .map(i => when(element_at(col("cuts"), i) <= col("spend_cents").cast("double"), 1L)
+          .otherwise(0L))
+        .reduce(_ + _)
+      val byDecile = spend
+        .crossJoin(broadcast(cuts))
+        .select(col("spend_cents"), (lit(10L) - below).as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"), sum(col("spend_cents")).as("spend_cents"))
+      byDecile
+        .withColumn("total", sum(col("spend_cents")).over(Window.partitionBy()))
+        .withColumn(
+          "cum",
+          sum(col("spend_cents")).over(
+            Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(
+          col("decile"), col("n_customers"), col("spend_cents"),
+          round(col("spend_cents").cast("double") / col("total"), 6).as("spend_share"),
+          round(col("cum").cast("double") / col("total"), 6).as("cum_share"))
+        .orderBy("decile")
+    }),
+
+    // market-basket co-purchase pairs: distinct parts per order, pair
+    // generation bounded by the per-order line cap (never corpus-
+    // quadratic), one equi self-join with exchange reuse, top-50 by a
+    // total order
+    "q175_copurchase_pairs" -> ((s, dir) => {
+      val d = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      d.as("x")
+        .join(
+          d.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("part_a"), col("y.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+        .limit(50)
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

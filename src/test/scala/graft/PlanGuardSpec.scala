@@ -28,6 +28,7 @@ class PlanGuardSpec extends AnyFunSuite {
   private val boundedNlj = Set(
     "q161_lapsed_wealth",       // 1-row balance-sum bound
     "q167_vocab_pruning",       // 1-row corpus-token-total bound
+    "q174_decile_lift",         // 1-row percentile-cuts bound
     // (q157's 1-row max bound does NOT appear here: the equality filter
     // over its cross join collapses into a BroadcastHashJoin condition)
     "q136_nb_attribution",      // 1-row vocab/corpus totals + label-constant row set
