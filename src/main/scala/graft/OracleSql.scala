@@ -3214,6 +3214,288 @@ object OracleSql {
         |FROM d x JOIN d y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
         |GROUP BY 1, 2
         |ORDER BY n_orders DESC, part_a, part_b
-        |LIMIT 50""".stripMargin
+        |LIMIT 50""".stripMargin,
+
+    "q176_part_profit" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |       CAST(count(*) AS BIGINT) AS n_lines,
+         |       CAST(sum(${centsSql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS profit_cents
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q177_small_qty_revenue" ->
+      s"""WITH pq AS (
+         |  SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS sq,
+         |         CAST(count(*) AS BIGINT) AS nq
+         |  FROM lineitem GROUP BY 1
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_lines,
+         |       CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS total_cents,
+         |       CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) // 7 AS avg_yearly_cents
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+         |JOIN pq USING (l_partkey)
+         |WHERE CAST(l_quantity AS BIGINT) * nq * 5 < sq""".stripMargin,
+
+    "q178_sole_late_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         CAST(max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS sl
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2
+        |), po AS (
+        |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp,
+        |         CAST(sum(sl) AS BIGINT) AS n_late,
+        |         max(CASE WHEN sl = 1 THEN l_suppkey END) AS late_supp
+        |  FROM ps GROUP BY 1
+        |)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM po JOIN supplier ON late_supp = s_suppkey
+        |WHERE n_supp > 1 AND n_late = 1
+        |GROUP BY 1 ORDER BY n_orders DESC, s_name LIMIT 20""".stripMargin,
+
+    "q179_concurrency_curve" ->
+      s"""WITH $sessionChain, sess AS (
+         |  SELECT user_id, sess_idx, min(us) AS start_us, max(us) AS end_us
+         |  FROM g GROUP BY 1, 2
+         |), d AS (
+         |  SELECT start_us AS us, CAST(1 AS BIGINT) AS delta, user_id, sess_idx FROM sess
+         |  UNION ALL
+         |  SELECT end_us AS us, CAST(-1 AS BIGINT) AS delta, user_id, sess_idx FROM sess
+         |), r AS (
+         |  SELECT us, delta,
+         |         CAST(sum(delta) OVER (ORDER BY us, delta DESC, user_id, sess_idx
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+         |  FROM d
+         |)
+         |SELECT strftime(make_timestamp(us), '%Y-%m-%d') AS day,
+         |       CAST(count(*) AS BIGINT) AS n_sessions,
+         |       CAST(max(conc) AS BIGINT) AS max_concurrent
+         |FROM r WHERE delta = 1
+         |GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q180_langid_confusion" ->
+      """WITH p AS (SELECT lang, ' ' || text || ' ' AS pt FROM documents),
+        |sc AS (
+        |  SELECT lang,
+        |         CAST((length(pt) - length(replace(pt, ' the ', ''))) / 5 AS BIGINT) AS s_en,
+        |         CAST((length(pt) - length(replace(pt, ' le ', ''))) / 4 AS BIGINT) AS s_fr,
+        |         CAST((length(pt) - length(replace(pt, ' der ', ''))) / 5 AS BIGINT) AS s_de,
+        |         CAST((length(pt) - length(replace(pt, ' el ', ''))) / 4 AS BIGINT) AS s_es
+        |  FROM p
+        |), c AS (
+        |  SELECT lang,
+        |         CASE WHEN s_en IS NULL THEN NULL
+        |              WHEN s_en >= greatest(s_fr, s_de, s_es) THEN 'en'
+        |              WHEN s_fr >= greatest(s_de, s_es) THEN 'fr'
+        |              WHEN s_de >= s_es THEN 'de'
+        |              ELSE 'es' END AS pred
+        |  FROM sc
+        |), g AS (
+        |  SELECT lang, pred, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1, 2
+        |)
+        |SELECT lang, pred, n,
+        |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang), 6) AS recall
+        |FROM g ORDER BY lang, pred""".stripMargin,
+
+    "q181_split_gain" -> {
+      def ent(pos: String, n: String): String =
+        s"CASE WHEN ($pos) <= 0 OR ($pos) >= ($n) THEN 0.0 ELSE " +
+          s"-((CAST($pos AS DOUBLE)/($n))*ln(CAST($pos AS DOUBLE)/($n)) + " +
+          s"(CAST(($n) - ($pos) AS DOUBLE)/($n))*ln(CAST(($n) - ($pos) AS DOUBLE)/($n))) END"
+      s"""WITH g AS (
+         |  SELECT t, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+         |         CAST(sum(CASE WHEN n_chars < t THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+         |         CAST(sum(CASE WHEN n_chars < t AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nlpos
+         |  FROM documents
+         |  CROSS JOIN (SELECT CAST(unnest([500, 1000, 1500, 2000, 2500, 3000, 3500, 4000]) AS BIGINT) AS t) u
+         |  GROUP BY t
+         |)
+         |SELECT t, n, npos, nl, nlpos,
+         |       round(${ent("npos", "n")} -
+         |             (CAST(nl AS DOUBLE) * (${ent("nlpos", "nl")}) +
+         |              CAST(n - nl AS DOUBLE) * (${ent("npos - nlpos", "n - nl")})) / n,
+         |             6) AS gain
+         |FROM g ORDER BY t""".stripMargin
+    },
+
+    "q182_silhouette" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |x AS (
+        |  SELECT vec_id, u.pos AS pos, CAST(round(u.val * 1000) AS BIGINT) AS qv
+        |  FROM (SELECT vec_id,
+        |               unnest(list_transform(range(1, len(e)+1),
+        |                                     i -> struct_pack(pos := i, val := e[i]))) AS u
+        |        FROM v)
+        |), c AS (SELECT vec_id AS cent_id, pos, qv AS cv FROM x WHERE vec_id < 8),
+        |d AS (
+        |  SELECT x.vec_id, c.cent_id,
+        |         CAST(sum((x.qv - c.cv) * (x.qv - c.cv)) AS BIGINT) AS d2
+        |  FROM x JOIN c USING (pos) GROUP BY 1, 2
+        |), r AS (
+        |  SELECT vec_id, cent_id, d2,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+        |  FROM d
+        |), p AS (
+        |  SELECT vec_id,
+        |         min(CASE WHEN rn = 1 THEN cent_id END) AS cluster_id,
+        |         min(CASE WHEN rn = 1 THEN d2 END) AS a,
+        |         min(CASE WHEN rn = 2 THEN d2 END) AS b
+        |  FROM r GROUP BY 1
+        |), s AS (
+        |  SELECT cluster_id,
+        |         CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS BIGINT)
+        |              ELSE ((b - a) * 1000000) // greatest(a, b) END AS sm
+        |  FROM p
+        |), g AS (
+        |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+        |         CAST(sum(sm) AS BIGINT) AS ssum
+        |  FROM s GROUP BY 1
+        |)
+        |SELECT cluster_id, n_members,
+        |       CAST((2 * ssum + n_members) // (2 * n_members) AS DOUBLE) / 1000000.0
+        |         AS mean_silhouette
+        |FROM g ORDER BY cluster_id""".stripMargin,
+
+    "q183_order_gap_stats" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate,
+        |         lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders
+        |), gp AS (
+        |  SELECT o_custkey,
+        |         CAST(date_diff('day', CAST(prev AS DATE), CAST(o_orderdate AS DATE)) AS BIGINT)
+        |           AS gap_days
+        |  FROM o WHERE prev IS NOT NULL
+        |), g AS (
+        |  SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_gaps,
+        |         CAST(sum(gap_days) AS BIGINT) AS gsum,
+        |         round(quantile_cont(gap_days, 0.5), 6) AS median_gap
+        |  FROM gp JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1
+        |)
+        |SELECT segment, n_gaps,
+        |       CAST((2 * gsum * 1000000 + n_gaps) // (2 * n_gaps) AS DOUBLE) / 1000000.0
+        |         AS mean_gap,
+        |       median_gap
+        |FROM g ORDER BY segment""".stripMargin,
+
+    "q184_ngram_novelty" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+        |           WHERE text IS NOT NULL),
+        |sh0 AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(ws) >= 3
+        |         THEN [concat_ws(' ', ws[i+1], ws[i+2], ws[i+3]) for i in range(0, len(ws)-2)]
+        |         ELSE [text] END) AS s
+        |  FROM w
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS sk
+        |  FROM sh0
+        |), fo AS (SELECT sk, min(doc_id) AS fd FROM sh GROUP BY sk),
+        |pd AS (
+        |  SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS ng,
+        |         CAST(sum(CASE WHEN fo.fd = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS nn
+        |  FROM sh JOIN fo USING (sk) GROUP BY 1
+        |)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(pd.ng) AS BIGINT) AS n_grams,
+        |       CAST(sum(pd.nn) AS BIGINT) AS n_novel,
+        |       round(CAST(sum(pd.nn) AS DOUBLE) / sum(pd.ng), 6) AS novelty
+        |FROM pd JOIN documents d USING (doc_id)
+        |GROUP BY 1 ORDER BY d.source""".stripMargin,
+
+    "q185_yoy_growth" ->
+      s"""WITH rev AS (
+         |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
+         |         CAST(sum(${centsSql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS rev_cents
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  GROUP BY 1, 2
+         |), lg AS (
+         |  SELECT nation, yr, rev_cents,
+         |         lag(rev_cents) OVER (PARTITION BY nation ORDER BY yr) AS prev_cents
+         |  FROM rev
+         |)
+         |SELECT nation, yr, rev_cents, prev_cents,
+         |       CASE WHEN prev_cents IS NULL THEN NULL
+         |            ELSE CAST(CASE WHEN rev_cents < prev_cents
+         |                 THEN -(((prev_cents - rev_cents) * 2000000 + prev_cents) // (2 * prev_cents))
+         |                 ELSE ((rev_cents - prev_cents) * 2000000 + prev_cents) // (2 * prev_cents)
+         |                 END AS DOUBLE) / 1000000.0 END AS growth
+         |FROM lg ORDER BY nation, yr""".stripMargin,
+
+    "q186_char_trigram_entropy" ->
+      """WITH tg AS (
+        |  SELECT lang, substr(text, CAST(i AS INT), 3) AS g
+        |  FROM documents CROSS JOIN unnest(range(1, length(text) - 1)) AS u(i)
+        |  WHERE text IS NOT NULL AND length(text) >= 3
+        |), cnt AS (
+        |  SELECT lang, g, CAST(count(*) AS BIGINT) AS c FROM tg GROUP BY 1, 2
+        |), wt AS (
+        |  SELECT lang, c, CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS tot
+        |  FROM cnt
+        |), tn AS (
+        |  SELECT lang, tot,
+        |         CAST(round(-(CAST(c AS DOUBLE)/tot)*ln(CAST(c AS DOUBLE)/tot)*1e9) AS BIGINT) AS tn
+        |  FROM wt
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_distinct,
+        |       CAST(max(tot) AS BIGINT) AS n_trigrams,
+        |       CAST(CAST(sum(tn) AS BIGINT) AS DOUBLE) / 1e9 AS entropy_nats
+        |FROM tn GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q187_interarrival_burstiness" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events
+        |), lg AS (
+        |  SELECT event_type, us,
+        |         lag(us) OVER (PARTITION BY event_type ORDER BY us, event_id) AS prev
+        |  FROM e
+        |), gp AS (
+        |  SELECT event_type, us - prev AS gap FROM lg WHERE prev IS NOT NULL
+        |), a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |         CAST(sum(gap) AS BIGINT) AS sx,
+        |         sum(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS sxx
+        |  FROM gp GROUP BY 1
+        |)
+        |SELECT event_type, n_gaps,
+        |       CAST((2 * sx + n_gaps) // (2 * n_gaps) AS BIGINT) AS mean_gap_us,
+        |       CASE WHEN n_gaps > 1 THEN
+        |         round(sqrt(CAST(CAST(n_gaps AS HUGEINT) * sxx -
+        |                         CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) /
+        |                    CAST(n_gaps * (n_gaps - 1) AS DOUBLE)) *
+        |               CAST(n_gaps AS DOUBLE) / CAST(sx AS DOUBLE), 6)
+        |       END AS cv
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    "q188_daily_anomaly" ->
+      """WITH daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1
+        |), st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(n_events) AS BIGINT) AS sx,
+        |         CAST(sum(n_events * n_events) AS BIGINT) AS sxx
+        |  FROM daily
+        |), z AS (
+        |  SELECT day, n_events,
+        |         CAST(nd * n_events - sx AS DOUBLE) / nd /
+        |           sqrt(CAST(nd * sxx - sx * sx AS DOUBLE) / (nd * (nd - 1))) AS z
+        |  FROM daily CROSS JOIN st
+        |)
+        |SELECT day, n_events, round(z, 6) AS z, abs(z) > 2.0 AS is_anomaly
+        |FROM z ORDER BY day""".stripMargin
   )
 }

@@ -2530,6 +2530,351 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // TPC-H Q9-shaped part-family profit by nation and order year: the
+    // one shuffle join is lineitem ⋈ orders on orderkey; part (pre-
+    // filtered on the name family), supplier and nation all broadcast.
+    // Profit stays in integer cents until the sink
+    "q176_part_profit" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(
+          broadcast(Tables.part(s, dir).filter(col("p_name").contains("widget"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(
+          Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(centsOf(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("profit_cents"))
+        .orderBy(col("nation"), col("o_year").desc)),
+
+    // TPC-H Q17-shaped small-quantity revenue: the correlated per-part
+    // average becomes one per-part aggregate joined back to the fact
+    // (AQE broadcasts it when small). The 20%-of-average predicate is
+    // the integer cross-multiplication 5·qty·n < Σqty — no division, no
+    // rounding, exact in both engines; yearly average via integer div
+    "q177_small_qty_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val pq = li.groupBy("l_partkey")
+        .agg(sum(col("l_quantity")).cast("long").as("sq"), count(lit(1)).as("nq"))
+      li.join(
+          broadcast(Tables.part(s, dir).filter(col("p_type") === "ECONOMY")),
+          col("l_partkey") === col("p_partkey"))
+        .join(pq, "l_partkey")
+        .filter(col("l_quantity").cast("long") * col("nq") * 5 < col("sq"))
+        .agg(count(lit(1)).as("n_lines"), sum(centsOf(col("l_extendedprice"))).as("total_cents"))
+        .select(
+          col("n_lines"), col("total_cents"),
+          expr("total_cents div 7").as("avg_yearly_cents"))
+    }),
+
+    // TPC-H Q21-shaped sole-late supplier: orders with several suppliers
+    // where exactly ONE shipped late (>60 days after order date). The
+    // classic EXISTS / NOT EXISTS self-join pair collapses into two
+    // stacked aggregates over ONE lineitem scan — per-(order, supplier)
+    // lateness, then a per-order rollup that extracts the unique late
+    // supplier inline (when n_late = 1 the max over flagged suppliers IS
+    // that supplier) — so no self-join remains at all
+    "q178_sole_late_supplier" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(
+          Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(
+          when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L)
+            .otherwise(0L)).as("sl"))
+        .groupBy("l_orderkey")
+        .agg(
+          count(lit(1)).as("n_supp"),
+          sum(col("sl")).as("n_late"),
+          max(when(col("sl") === 1, col("l_suppkey"))).as("late_supp"))
+        .filter(col("n_supp") > 1 && col("n_late") === 1)
+        .join(broadcast(Tables.supplier(s, dir)), col("late_supp") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("s_name"))
+        .limit(20)),
+
+    // session concurrency curve: sweep-line over session [start, end]
+    // intervals — +1/-1 deltas, one running sum over a TOTAL order
+    // (us, starts-before-ends, user, sess) so ties can't diverge, then a
+    // per-day max. The global window is one ~n_sessions-row pass here; at
+    // 100 TB the same sweep runs as a range-partitioned prefix sum
+    // (per-partition presums broadcast, rank-offset added map-side)
+    "q179_concurrency_curve" -> ((s, dir) => {
+      val sess = EventWindows.sessionize(Tables.events(s, dir), 30)
+      val deltas = sess.select(
+          col("start_us").as("us"), lit(1L).as("delta"), col("user_id"), col("sess_idx"))
+        .unionByName(sess.select(
+          col("end_us").as("us"), lit(-1L).as("delta"), col("user_id"), col("sess_idx")))
+      val w = Window
+        .orderBy(col("us"), col("delta").desc, col("user_id"), col("sess_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas
+        .withColumn("conc", sum(col("delta")).over(w))
+        .filter(col("delta") === 1)
+        .groupBy(date_format(timestamp_micros(col("us")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_sessions"), max(col("conc")).as("max_concurrent"))
+        .orderBy("day")
+    }),
+
+    // language-ID confusion matrix: q28's marker heuristic evaluated
+    // against the labeled lang column — one scan, one (true, pred) agg,
+    // row-normalized by a per-true-lang window over the tiny matrix
+    "q180_langid_confusion" -> ((s, dir) => {
+      val Seq(("en", en), ("fr", fr), ("de", de), ("es", es)) =
+        TextFunctions.langScores(col("text"))
+      Tables.documents(s, dir)
+        .select(col("lang"), TextFunctions.predictedLang(en, fr, de, es).as("pred"))
+        .groupBy("lang", "pred")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("nt", sum(col("n")).over(Window.partitionBy("lang")))
+        .select(
+          col("lang"), col("pred"), col("n"),
+          round(col("n").cast("double") / col("nt"), 6).as("recall"))
+        .orderBy("lang", "pred")
+    }),
+
+    // decision-stump split finding: information gain of "n_chars < t"
+    // against the is-English label for a fixed threshold grid. The grid
+    // explodes map-side (8× row fan-out, no extra scan), counts are one
+    // hash agg, the entropy algebra is the IDENTICAL expression text fed
+    // to both engines (integer-ratio divisions then ln — bit-parity)
+    "q181_split_gain" -> ((s, dir) => {
+      val ent = (pos: String, n: String) =>
+        s"CASE WHEN ($pos) <= 0 OR ($pos) >= ($n) THEN 0.0 ELSE " +
+          s"-((CAST($pos AS DOUBLE)/($n))*ln(CAST($pos AS DOUBLE)/($n)) + " +
+          s"(CAST(($n) - ($pos) AS DOUBLE)/($n))*ln(CAST(($n) - ($pos) AS DOUBLE)/($n))) END"
+      Tables.documents(s, dir)
+        .select(
+          explode(array((500 to 4000 by 500).map(t => lit(t.toLong)): _*)).as("t"),
+          col("n_chars"),
+          (col("lang") === "en").cast("long").as("y"))
+        .groupBy("t")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("y")).as("npos"),
+          sum(when(col("n_chars") < col("t"), 1L).otherwise(0L)).as("nl"),
+          sum(when(col("n_chars") < col("t"), col("y")).otherwise(0L)).as("nlpos"))
+        .select(
+          col("t"), col("n"), col("npos"), col("nl"), col("nlpos"),
+          round(
+            expr(ent("npos", "n")) -
+              (col("nl").cast("double") * expr(ent("nlpos", "nl")) +
+                (col("n") - col("nl")).cast("double") *
+                  expr(ent("npos - nlpos", "n - nl"))) / col("n"),
+            6).as("gain"))
+        .orderBy("t")
+    }),
+
+    // centroid silhouette: cluster-quality score against the seed
+    // centroids (vec_id < 8). Components quantize to 1e-3 integers so
+    // every squared distance is an exact long; a = own-centroid d², b =
+    // best other; s = (b−a)/max(a,b) becomes integer micro-units via
+    // `div`, per-cluster mean by the half-away integer formula. One
+    // corpus explode, centroids broadcast, k·n bounded distance rows
+    "q182_silhouette" -> ((s, dir) => {
+      val q = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(
+          col("vec_id"), col("pos"),
+          round(col("v").cast("double") * 1000, 0).cast("long").as("qv"))
+      val cent = q.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("pos"), col("qv").as("cv"))
+      val dist = q.join(broadcast(cent), Seq("pos"))
+        .groupBy("vec_id", "cent_id")
+        .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("d2"))
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))
+      dist.withColumn("rn", row_number().over(w))
+        .groupBy("vec_id")
+        .agg(
+          min(when(col("rn") === 1, col("cent_id"))).as("cluster_id"),
+          min(when(col("rn") === 1, col("d2"))).as("a"),
+          min(when(col("rn") === 2, col("d2"))).as("b"))
+        .select(
+          col("cluster_id"),
+          when(greatest(col("a"), col("b")) === 0, lit(0L))
+            .otherwise(expr("((b - a) * 1000000) div greatest(a, b)")).as("sm"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"), sum(col("sm")).as("ssum"))
+        .select(
+          col("cluster_id"), col("n_members"),
+          (expr("(2 * ssum + n_members) div (2 * n_members)").cast("double") / 1000000.0)
+            .as("mean_silhouette"))
+        .orderBy("cluster_id")
+    }),
+
+    // inter-order gap distribution: per-customer lag window (orderdate,
+    // orderkey total order), day gaps rolled up per market segment —
+    // exact interpolating median plus the integer-formula mean
+    "q183_order_gap_stats" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(
+          col("o_custkey"),
+          datediff(col("o_orderdate"), col("prev")).cast("long").as("gap_days"))
+        .join(
+          broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          sum(col("gap_days")).as("gsum"),
+          round(expr("percentile(gap_days, 0.5D)"), 6).as("median_gap"))
+        .select(
+          col("segment"), col("n_gaps"),
+          (expr("(2 * gsum * 1000000 + n_gaps) div (2 * n_gaps)").cast("double") / 1000000.0)
+            .as("mean_gap"),
+          col("median_gap"))
+        .orderBy("segment")
+    }),
+
+    // n-gram novelty by source: the share of a source's distinct 3-gram
+    // occurrences whose FIRST corpus appearance (min doc_id) is in that
+    // doc — "how much genuinely new text does each source contribute".
+    // Shingles hash to 8-byte keys at the explode (q71 discipline); first
+    // owners come from one gram-keyed agg joined back with exchange reuse
+    "q184_ngram_novelty" -> ((s, dir) => {
+      val sh = Dedup.shingleRows(Tables.documents(s, dir), "doc_id", "text", 3)
+        .select(col("doc_id"), Dedup.md5Long(col("s"), 12).as("sk"))
+        .distinct()
+      val first = sh.groupBy("sk").agg(min(col("doc_id")).as("fd"))
+      sh.join(first, "sk")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("ng"),
+          sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("nn"))
+        .join(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "doc_id")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("ng")).as("n_grams"),
+          sum(col("nn")).as("n_novel"))
+        .select(
+          col("source"), col("n_docs"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+        .orderBy("source")
+    }),
+
+    // year-over-year revenue growth per customer nation: one fact join
+    // (dims broadcast), yearly rollup, then a lag window over the tiny
+    // (nation, year) grid. Growth rounds half-away by pure integer
+    // arithmetic — the CASE keeps `div` numerators non-negative so Spark
+    // `div` (truncate) and DuckDB `//` agree
+    "q185_yoy_growth" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .join(
+          Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(sum(centsOf(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev_cents"))
+      val w = Window.partitionBy("nation").orderBy("yr")
+      rev.withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+        .withColumn(
+          "growth",
+          when(col("prev_cents").isNull, lit(null).cast("double"))
+            .otherwise(expr(
+              "CAST(CASE WHEN rev_cents < prev_cents " +
+                "THEN -(((prev_cents - rev_cents) * 2000000 + prev_cents) div (2 * prev_cents)) " +
+                "ELSE ((rev_cents - prev_cents) * 2000000 + prev_cents) div (2 * prev_cents) " +
+                "END AS DOUBLE) / 1000000.0")))
+        .orderBy("nation", "yr")
+    }),
+
+    // character-trigram entropy per language: corpus "randomness" in the
+    // Shannon sense. Trigrams explode map-side from a position sequence;
+    // each −p·ln p term quantizes to 1e-9 integers BEFORE the sum so the
+    // entropy aggregate is order-invariant (a raw double sum over
+    // thousands of types could never hash-match)
+    "q186_char_trigram_entropy" -> ((s, dir) => {
+      val cnt = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) >= 3)
+        .select(
+          col("lang"),
+          explode(expr("sequence(1, length(text) - 2)")).as("i"),
+          col("text"))
+        .select(col("lang"), expr("substring(text, i, 3)").as("g"))
+        .groupBy("lang", "g")
+        .agg(count(lit(1)).as("c"))
+      cnt
+        .withColumn("tot", sum(col("c")).over(Window.partitionBy("lang")))
+        .select(
+          col("lang"), col("c"), col("tot"),
+          expr("CAST(round(-(CAST(c AS DOUBLE)/tot)*ln(CAST(c AS DOUBLE)/tot)*1e9) AS BIGINT)")
+            .as("tn"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_distinct"), max(col("tot")).as("n_trigrams"),
+          sum(col("tn")).as("snano"))
+        .select(
+          col("lang"), col("n_distinct"), col("n_trigrams"),
+          (col("snano").cast("double") / 1.0e9).as("entropy_nats"))
+        .orderBy("lang")
+    }),
+
+    // inter-arrival burstiness per event type: coefficient of variation
+    // of consecutive-event gaps. Gap sums telescope (≤ the stream's time
+    // span, long-safe); the square sum goes through decimal38 ≡ HUGEINT
+    // so the variance is exact; mean gap by the half-away integer formula
+    "q187_interarrival_burstiness" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy(col("us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"), (col("us") - col("prev")).as("gap"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          sum(col("gap")).as("sx"),
+          sum(col("gap").cast(dec38) * col("gap").cast(dec38)).as("_sxx"))
+        .withColumn("mean_gap_us", expr("(2 * sx + n_gaps) div (2 * n_gaps)"))
+        .withColumn(
+          "cv",
+          when(col("n_gaps") > 1,
+            round(
+              sqrt((col("n_gaps").cast(dec38) * col("_sxx") -
+                col("sx").cast(dec38) * col("sx").cast(dec38)).cast("double") /
+                (col("n_gaps") * (col("n_gaps") - 1)).cast("double")) *
+                col("n_gaps").cast("double") / col("sx").cast("double"),
+              6)))
+        .select(col("event_type"), col("n_gaps"), col("mean_gap_us"), col("cv"))
+        .orderBy("event_type")
+    }),
+
+    // daily-volume anomaly flags: z-score of each day's event count
+    // against the exact global mean/stddev (integer sums cross-joined as
+    // one broadcast row — no second scan, no window). The flag compares
+    // the UNROUNDED z so the boolean can't disagree with the readout
+    "q188_daily_anomaly" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val stats = daily.agg(
+        count(lit(1)).as("nd"),
+        sum(col("n_events")).as("sx"),
+        sum(col("n_events") * col("n_events")).as("sxx"))
+      daily.crossJoin(broadcast(stats))
+        .withColumn(
+          "z",
+          expr("CAST(nd * n_events - sx AS DOUBLE) / nd / " +
+            "sqrt(CAST(nd * sxx - sx * sx AS DOUBLE) / (nd * (nd - 1)))"))
+        .select(
+          col("day"), col("n_events"),
+          round(col("z"), 6).as("z"),
+          (abs(col("z")) > 2.0).as("is_anomaly"))
+        .orderBy("day")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -31,6 +31,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q174_decile_lift",         // 1-row percentile-cuts bound
     // (q157's 1-row max bound does NOT appear here: the equality filter
     // over its cross join collapses into a BroadcastHashJoin condition)
+    "q188_daily_anomaly",       // 1-row global mean/stddev aggregate bound
     "q136_nb_attribution",      // 1-row vocab/corpus totals + label-constant row set
     "q137_rolling_active",      // 1-row max-day aggregate bound
     "q146_lsh_eval",            // 1-row true-pair-count aggregate
@@ -179,6 +180,18 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("""PushedFilters: \[\], ReadSchema""".r.findFirstIn(p).isDefined ||
       !p.contains("PushedFilters: [IsNotNull(lang)"),
       "q165 lang filter leaked into the data-filter path")
+  }
+
+  test("q176's three dimension joins all broadcast (one shuffle join on orderkey)") {
+    val p = planOf("q176_part_profit")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 3, s"q176 expected part/supplier/nation broadcasts, found $bhj")
+  }
+
+  test("q178's EXISTS/NOT-EXISTS pair stays two stacked aggregates over one scan") {
+    val p = planOf("q178_sole_late_supplier")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 3, s"q178 expected lineitem+orders+supplier scans, found $scans")
   }
 
   test("no query plan evaluates Python or interpreted UDF-like stages") {
