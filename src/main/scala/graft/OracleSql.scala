@@ -3496,6 +3496,109 @@ object OracleSql {
         |  FROM daily CROSS JOIN st
         |)
         |SELECT day, n_events, round(z, 6) AS z, abs(z) > 2.0 AS is_anomaly
-        |FROM z ORDER BY day""".stripMargin
+        |FROM z ORDER BY day""".stripMargin,
+
+    "q189_changelog_apply" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, event_type, us,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_updates,
+        |         CAST(min(us) OVER (PARTITION BY user_id) AS BIGINT) AS first_us
+        |  FROM e
+        |)
+        |SELECT user_id, event_type AS last_type, us AS last_us, first_us, n_updates
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q190_centroid_drift" ->
+      """WITH v AS (SELECT CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings),
+        |x AS (
+        |  SELECT label, u.pos AS pos, CAST(round(u.val * 1000000) AS BIGINT) AS qv
+        |  FROM (SELECT label,
+        |               unnest(list_transform(range(1, len(e)+1),
+        |                                     i -> struct_pack(pos := i, val := e[i]))) AS u
+        |        FROM v)
+        |), m AS (
+        |  SELECT label, pos, CAST(sum(qv) AS BIGINT) AS sq, CAST(count(*) AS BIGINT) AS n
+        |  FROM x GROUP BY 1, 2
+        |), mm AS (
+        |  SELECT label, pos,
+        |         CASE WHEN sq < 0 THEN -((2 * (-sq) + n) // (2 * n))
+        |              ELSE (2 * sq + n) // (2 * n) END AS mm
+        |  FROM m
+        |), d AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |         CAST(sum((a.mm - b.mm) * (a.mm - b.mm)) AS BIGINT) AS d2
+        |  FROM mm a JOIN mm b ON a.pos = b.pos AND a.label < b.label
+        |  GROUP BY 1, 2
+        |)
+        |SELECT label_a, label_b, round(sqrt(CAST(d2 AS DOUBLE)) / 1000000.0, 6) AS l2_dist
+        |FROM d ORDER BY label_a, label_b""".stripMargin,
+
+    "q191_dim_variance" ->
+      """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |x AS (
+        |  SELECT CAST(u.pos - 1 AS BIGINT) AS dim,
+        |         CAST(round(u.val * 1000000) AS BIGINT) AS qv
+        |  FROM (SELECT unnest(list_transform(range(1, len(e)+1),
+        |                                     i -> struct_pack(pos := i, val := e[i]))) AS u
+        |        FROM v)
+        |), a AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n, CAST(sum(qv) AS BIGINT) AS sx,
+        |         sum(CAST(qv AS HUGEINT) * CAST(qv AS HUGEINT)) AS sxx
+        |  FROM x GROUP BY 1
+        |)
+        |SELECT dim,
+        |       round(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+        |                  AS DOUBLE) /
+        |             (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 1e12, 6) AS variance
+        |FROM a ORDER BY variance DESC, dim LIMIT 10""".stripMargin,
+
+    "q192_pricing_summary" ->
+      s"""WITH a AS (
+         |  SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |         CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_base_cents,
+         |         CAST(sum(${centsSql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS sum_disc_cents,
+         |         CAST(sum(${centsSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}) AS BIGINT) AS sum_charge_cents,
+         |         CAST(sum(CAST(round(l_discount * 1000000) AS BIGINT)) AS BIGINT) AS sd
+         |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         |  GROUP BY 1, 2
+         |)
+         |SELECT l_returnflag, l_linestatus, n_rows, sum_qty, sum_base_cents,
+         |       sum_disc_cents, sum_charge_cents,
+         |       CAST((2 * sum_qty * 1000000 + n_rows) // (2 * n_rows) AS DOUBLE) / 1000000.0 AS avg_qty,
+         |       CAST((2 * sum_base_cents * 10000 + n_rows) // (2 * n_rows) AS DOUBLE) / 1000000.0 AS avg_price,
+         |       CAST((2 * sd + n_rows) // (2 * n_rows) AS DOUBLE) / 1000000.0 AS avg_disc
+         |FROM a ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q193_supplier_diversity" ->
+      """SELECT p_brand, p_size - (p_size % 10) AS size_band,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2 ORDER BY n_suppliers DESC, p_brand, size_band""".stripMargin,
+
+    "q194_share_within_type" ->
+      s"""WITH g AS (
+         |  SELECT p_type, p_brand,
+         |         CAST(sum(${centsSql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS rev_cents
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1, 2
+         |), w AS (
+         |  SELECT p_type, p_brand, rev_cents,
+         |         CAST(sum(rev_cents) OVER (PARTITION BY p_type) AS BIGINT) AS type_cents,
+         |         CAST(sum(rev_cents) OVER () AS BIGINT) AS total_cents
+         |  FROM g
+         |)
+         |SELECT p_type, p_brand, rev_cents,
+         |       round(CAST(rev_cents AS DOUBLE) / type_cents, 6) AS share_in_type,
+         |       round(CAST(type_cents AS DOUBLE) / total_cents, 6) AS type_share
+         |FROM w ORDER BY p_type, p_brand""".stripMargin
   )
 }

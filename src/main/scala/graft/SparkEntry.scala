@@ -2875,6 +2875,138 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // CDC changelog apply: last-write-wins state materialization — the
+    // lakehouse MERGE/upsert read path. One per-key window over the
+    // (ts, event_id) total order keeps the latest row; n_updates and the
+    // first-write time come along in the same pass (no second scan)
+    "q189_changelog_apply" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .select(
+          col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_updates", count(lit(1)).over(Window.partitionBy("user_id")))
+        .withColumn("first_us", min(col("us")).over(Window.partitionBy("user_id")))
+        .filter(col("rn") === 1)
+        .select(
+          col("user_id"), col("event_type").as("last_type"), col("us").as("last_us"),
+          col("first_us"), col("n_updates"))
+        .orderBy("user_id")
+    }),
+
+    // embedding drift between class centroids: per-label means via the
+    // half-away integer formula (micro-exact), then pairwise L2 over the
+    // bounded label × label grid — the domain-shift readout. sqrt on an
+    // exact integer is the only libm call (bit-parity)
+    "q190_centroid_drift" -> ((s, dir) => {
+      val mm = Tables.embeddings(s, dir)
+        .select(col("label").cast("long").as("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(
+          sum(round(col("v").cast("double") * 1000000, 0).cast("long")).as("sq"),
+          count(lit(1)).as("n"))
+        .select(
+          col("label"), col("pos"),
+          expr("CASE WHEN sq < 0 THEN -((2 * (-sq) + n) div (2 * n)) " +
+            "ELSE (2 * sq + n) div (2 * n) END").as("mm"))
+      mm.as("a")
+        .join(mm.as("b"), col("a.pos") === col("b.pos") && col("a.label") < col("b.label"))
+        .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+        .agg(sum((col("a.mm") - col("b.mm")) * (col("a.mm") - col("b.mm"))).as("d2"))
+        .select(
+          col("label_a"), col("label_b"),
+          round(sqrt(col("d2").cast("double")) / 1000000.0, 6).as("l2_dist"))
+        .orderBy("label_a", "label_b")
+    }),
+
+    // per-dimension variance ranking: the feature-selection readout over
+    // the embedding matrix — exact decimal38 sums of micro-quantized
+    // components (order-invariant), top-10 dims by a total order
+    "q191_dim_variance" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(
+          col("pos").cast("long").as("dim"),
+          round(col("v").cast("double") * 1000000, 0).cast("long").as("qv"))
+        .groupBy("dim")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("qv")).as("sx"),
+          sum(col("qv").cast(dec38) * col("qv").cast(dec38)).as("_sxx"))
+        .select(
+          col("dim"),
+          round(
+            (col("n").cast(dec38) * col("_sxx") -
+              col("sx").cast(dec38) * col("sx").cast(dec38)).cast("double") /
+              (col("n").cast("double") * (col("n") - 1).cast("double")) / 1.0e12,
+            6).as("variance"))
+        .orderBy(col("variance").desc, col("dim"))
+        .limit(10)),
+
+    // TPC-H Q1 pricing summary: THE scan-dominated report — one pushed
+    // date filter, one hash agg over (returnflag, linestatus). Money and
+    // discounts quantize to integer units before summing; every average
+    // uses the half-away integer formula, so the whole report is
+    // aggregation-order-invariant
+    "q192_pricing_summary" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(centsOf(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(centsOf(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("sum_disc_cents"),
+          sum(centsOf(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax")))).as("sum_charge_cents"),
+          sum(round(col("l_discount") * 1000000, 0).cast("long")).as("_sd"))
+        .select(
+          col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+          col("sum_qty"), col("sum_base_cents"), col("sum_disc_cents"),
+          col("sum_charge_cents"),
+          (expr("(2 * sum_qty * 1000000 + n_rows) div (2 * n_rows)").cast("double") / 1000000.0)
+            .as("avg_qty"),
+          (expr("(2 * sum_base_cents * 10000 + n_rows) div (2 * n_rows)").cast("double") / 1000000.0)
+            .as("avg_price"),
+          (expr("(2 * _sd + n_rows) div (2 * n_rows)").cast("double") / 1000000.0)
+            .as("avg_disc"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // TPC-H Q16-shaped supplier diversity: distinct suppliers per brand ×
+    // size band, EXCLUDING the negative-balance suppliers via NOT IN —
+    // which Catalyst plans as a broadcast anti join (null-safe). The
+    // distinct agg shuffles once on the group key
+    "q193_supplier_diversity" -> ((s, dir) => {
+      val bad = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("bad_key"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(bad), col("l_suppkey") === col("bad_key"), "left_anti")
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), (col("p_size") - pmod(col("p_size"), lit(10))).as("size_band"))
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("n_suppliers").desc, col("p_brand"), col("size_band"))
+    }),
+
+    // nested ratio-to-report: each brand's revenue share WITHIN its part
+    // type, and each type's share of total — two window levels over the
+    // tiny (type, brand) grid after one fact join + rollup
+    "q194_share_within_type" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"), col("p_brand"))
+        .agg(sum(centsOf(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev_cents"))
+        .withColumn("type_cents", sum(col("rev_cents")).over(Window.partitionBy("p_type")))
+        .withColumn("total_cents", sum(col("rev_cents")).over(Window.partitionBy()))
+        .select(
+          col("p_type"), col("p_brand"), col("rev_cents"),
+          round(col("rev_cents").cast("double") / col("type_cents"), 6).as("share_in_type"),
+          round(col("type_cents").cast("double") / col("total_cents"), 6).as("type_share"))
+        .orderBy("p_type", "p_brand")),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -194,6 +194,17 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(scans === 3, s"q178 expected lineitem+orders+supplier scans, found $scans")
   }
 
+  test("q192's date filter reaches the parquet scan (Q1 is scan-dominated)") {
+    val p = planOf("q192_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      "q192 lost its ship-date pushdown")
+  }
+
+  test("q193's NOT IN plans as a broadcast anti join") {
+    val p = planOf("q193_supplier_diversity")
+    assert(p.contains("LeftAnti"), "q193 lost its anti join")
+  }
+
   test("no query plan evaluates Python or interpreted UDF-like stages") {
     SparkEntry.queries.keys.foreach { name =>
       val p = planOf(name)
