@@ -3599,6 +3599,183 @@ object OracleSql {
          |SELECT p_type, p_brand, rev_cents,
          |       round(CAST(rev_cents AS DOUBLE) / type_cents, 6) AS share_in_type,
          |       round(CAST(type_cents AS DOUBLE) / total_cents, 6) AS type_share
-         |FROM w ORDER BY p_type, p_brand""".stripMargin
+         |FROM w ORDER BY p_type, p_brand""".stripMargin,
+
+    "q195_survival_curve" ->
+      """WITH u AS (
+        |  SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS fd,
+        |         max(strftime(ts, '%Y-%m-%d')) AS ld
+        |  FROM events GROUP BY 1
+        |), st AS (SELECT fd AS day, CAST(count(*) AS BIGINT) AS ns FROM u GROUP BY 1),
+        |en AS (SELECT ld AS day, CAST(count(*) AS BIGINT) AS ne FROM u GROUP BY 1),
+        |g AS (
+        |  SELECT coalesce(st.day, en.day) AS day,
+        |         coalesce(ns, 0) AS ns, coalesce(ne, 0) AS ne
+        |  FROM st FULL OUTER JOIN en ON st.day = en.day
+        |), c AS (
+        |  SELECT day, ns, ne,
+        |         CAST(sum(ns) OVER w AS BIGINT) AS cs,
+        |         CAST(sum(ne) OVER w AS BIGINT) AS ce
+        |  FROM g
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), t AS (
+        |  SELECT day, ne, cs - ce + ne AS n_at_risk,
+        |         CASE WHEN ne < cs - ce + ne THEN
+        |           CAST(round(ln(CAST(cs - ce + ne - ne AS DOUBLE) / (cs - ce + ne)) * 1e9)
+        |                AS BIGINT) END AS term
+        |  FROM c
+        |), l AS (
+        |  SELECT day, n_at_risk, ne, term,
+        |         CAST(sum(term) OVER (ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS lognano
+        |  FROM t
+        |)
+        |SELECT day, n_at_risk, ne AS n_churned,
+        |       CASE WHEN term IS NOT NULL THEN CAST(lognano AS DOUBLE) / 1e9 END
+        |         AS km_log_survival
+        |FROM l ORDER BY day""".stripMargin,
+
+    "q196_cv_folds" ->
+      """WITH f AS (
+        |  SELECT CAST(concat('0x', substr(md5('cv#' || CAST(o_orderkey AS VARCHAR)), 1, 12))
+        |              AS BIGINT) % 5 AS fold,
+        |         o_orderpriority
+        |  FROM orders
+        |), g AS (
+        |  SELECT fold, o_orderpriority, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1, 2
+        |)
+        |SELECT fold, o_orderpriority, n,
+        |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY fold), 6) AS fold_share,
+        |       round(CAST(sum(n) OVER (PARTITION BY o_orderpriority) AS DOUBLE) /
+        |             sum(n) OVER (), 6) AS global_share
+        |FROM g ORDER BY fold, o_orderpriority""".stripMargin,
+
+    "q197_target_encode" ->
+      s"""WITH o AS (
+         |  SELECT o_orderkey, o_orderpriority,
+         |         CAST(${centsSql("o_totalprice")} AS BIGINT) AS cents
+         |  FROM orders
+         |), cat AS (
+         |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS nc,
+         |         CAST(sum(cents) AS BIGINT) AS sc
+         |  FROM o GROUP BY 1
+         |)
+         |SELECT o_orderkey, o.o_orderpriority, cents,
+         |       CASE WHEN nc > 1 THEN
+         |         CAST((2 * (sc - cents) * 10000 + (nc - 1)) // (2 * (nc - 1)) AS DOUBLE)
+         |           / 1000000.0 END AS loo_mean
+         |FROM o JOIN cat ON o.o_orderpriority = cat.o_orderpriority
+         |WHERE o_orderkey <= 20 ORDER BY o_orderkey""".stripMargin,
+
+    "q198_top_paths" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type,
+         |         epoch_us(date_trunc('microseconds', ts)) AS us
+         |  FROM events
+         |), f AS (
+         |  SELECT user_id, event_id, event_type, us,
+         |         CASE WHEN us - lag(us) OVER w > 1800000000 THEN 1
+         |              WHEN lag(us) OVER w IS NULL THEN 1
+         |              ELSE 0 END AS is_new
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+         |), g AS (
+         |  SELECT user_id, event_id, event_type, us,
+         |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id)
+         |              AS BIGINT) AS sess_idx,
+         |         lpad(CAST(us AS VARCHAR), 16, '0') || '#' ||
+         |           lpad(CAST(event_id AS VARCHAR), 8, '0') || '#' || event_type AS k
+         |  FROM f
+         |), p AS (
+         |  SELECT list_aggregate(
+         |           list_transform(list_sort(list(k))[1:4], x -> split_part(x, '#', 3)),
+         |           'string_agg', '>') AS path
+         |  FROM g GROUP BY user_id, sess_idx
+         |)
+         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+         |FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
+    "q199_partition_balance" ->
+      """WITH f AS (
+        |  SELECT CAST(concat('0x', substr(md5('pb#' || CAST(o_orderkey AS VARCHAR)), 1, 12))
+        |              AS BIGINT) % 32 AS shard
+        |  FROM orders
+        |), g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1),
+        |t AS (SELECT shard, n, CAST(sum(n) OVER () AS BIGINT) AS total FROM g)
+        |SELECT shard, n,
+        |       CAST((2 * n * 1000000 + total) // (2 * total) AS DOUBLE) / 1000000.0 AS share
+        |FROM t ORDER BY shard""".stripMargin,
+
+    "q200_funnel_latency" ->
+      """WITH ft AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'signup'
+        |                  THEN epoch_us(date_trunc('microseconds', ts)) END) AS t1,
+        |         min(CASE WHEN event_type = 'click'
+        |                  THEN epoch_us(date_trunc('microseconds', ts)) END) AS t2,
+        |         min(CASE WHEN event_type = 'purchase'
+        |                  THEN epoch_us(date_trunc('microseconds', ts)) END) AS t3
+        |  FROM events WHERE event_type IN ('signup', 'click', 'purchase')
+        |  GROUP BY 1
+        |), u AS (
+        |  SELECT 'signup' AS stage_from, 'click' AS stage_to, t2 - t1 AS delta_us
+        |  FROM ft WHERE t1 IS NOT NULL AND t2 >= t1
+        |  UNION ALL
+        |  SELECT 'click' AS stage_from, 'purchase' AS stage_to, t3 - t2 AS delta_us
+        |  FROM ft WHERE t2 IS NOT NULL AND t3 >= t2
+        |)
+        |SELECT stage_from, stage_to, CAST(count(*) AS BIGINT) AS n_users,
+        |       round(median(delta_us) / 3600000000.0, 6) AS median_hours
+        |FROM u GROUP BY 1, 2 ORDER BY stage_from, stage_to""".stripMargin,
+
+    "q201_repetition_factors" ->
+      """WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+        |m AS (SELECT lang, n_docs, CAST(max(n_docs) OVER () AS BIGINT) AS n_max FROM g)
+        |SELECT lang, n_docs,
+        |       CAST((2 * n_max * 1000000 + n_docs) // (2 * n_docs) AS DOUBLE) / 1000000.0
+        |         AS repeat_factor,
+        |       CAST((n_max + n_docs - 1) // n_docs AS BIGINT) AS epochs
+        |FROM m ORDER BY lang""".stripMargin,
+
+    "q202_join_coverage" ->
+      """SELECT CAST(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_matched,
+        |       CAST(sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_only,
+        |       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_vec_only
+        |FROM (SELECT doc_id FROM documents) d
+        |FULL OUTER JOIN (SELECT vec_id FROM embeddings) e ON doc_id = vec_id""".stripMargin,
+
+    "q203_char_classes" ->
+      """WITH a AS (
+        |  SELECT source, CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |         CAST(sum(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')))
+        |              AS BIGINT) AS n_alpha,
+        |         CAST(sum(length(text) - length(regexp_replace(text, ' ', '', 'g')))
+        |              AS BIGINT) AS n_space
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1
+        |)
+        |SELECT source, n_chars,
+        |       CAST((2 * n_alpha * 1000000 + n_chars) // (2 * n_chars) AS DOUBLE) / 1000000.0
+        |         AS alpha_frac,
+        |       CAST((2 * n_space * 1000000 + n_chars) // (2 * n_chars) AS DOUBLE) / 1000000.0
+        |         AS space_frac,
+        |       CAST((2 * (n_chars - n_alpha - n_space) * 1000000 + n_chars) // (2 * n_chars)
+        |            AS DOUBLE) / 1000000.0 AS other_frac
+        |FROM a ORDER BY source""".stripMargin,
+
+    "q204_activity_gini" ->
+      """WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT x, CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i FROM pu
+        |), a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_users, CAST(sum(x) AS BIGINT) AS total_events,
+        |         CAST(sum(i * x) AS BIGINT) AS siw
+        |  FROM r
+        |)
+        |SELECT n_users, total_events,
+        |       CAST((2 * (2 * siw - (n_users + 1) * total_events) * 1000000
+        |             + n_users * total_events) // (2 * n_users * total_events)
+        |            AS DOUBLE) / 1000000.0 AS gini
+        |FROM a""".stripMargin
   )
 }

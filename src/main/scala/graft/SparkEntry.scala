@@ -3007,6 +3007,233 @@ object SparkEntry {
           round(col("type_cents").cast("double") / col("total_cents"), 6).as("type_share"))
         .orderBy("p_type", "p_brand")),
 
+    // Kaplan–Meier churn curve (log domain): per-user [first, last] day
+    // intervals become per-day start/end counts; the risk set is a
+    // sweep-line cumulative difference (never a user × day fan-out) and
+    // the KM product turns into a cumulative sum of 1e-9-quantized
+    // ln(1 − d/n) terms — order-invariant, exp-free. The day a cohort
+    // fully churns yields a NULL term (survival reached zero)
+    "q195_survival_curve" -> ((s, dir) => {
+      val u = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          min(date_format(col("ts"), "yyyy-MM-dd")).as("fd"),
+          max(date_format(col("ts"), "yyyy-MM-dd")).as("ld"))
+      val starts = u.groupBy(col("fd").as("day")).agg(count(lit(1)).as("ns"))
+      val ends = u.groupBy(col("ld").as("day")).agg(count(lit(1)).as("ne"))
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      starts.join(ends, Seq("day"), "full_outer")
+        .select(
+          col("day"),
+          coalesce(col("ns"), lit(0L)).as("ns"),
+          coalesce(col("ne"), lit(0L)).as("ne"))
+        .withColumn("cs", sum(col("ns")).over(w))
+        .withColumn("ce", sum(col("ne")).over(w))
+        .withColumn("n_at_risk", col("cs") - col("ce") + col("ne"))
+        .withColumn(
+          "term",
+          when(col("ne") < col("n_at_risk"),
+            expr("CAST(round(ln(CAST(n_at_risk - ne AS DOUBLE) / n_at_risk) * 1e9) AS BIGINT)")))
+        .withColumn("lognano", sum(col("term")).over(w))
+        .select(
+          col("day"), col("n_at_risk"), col("ne").as("n_churned"),
+          when(col("term").isNotNull, col("lognano").cast("double") / 1.0e9)
+            .as("km_log_survival"))
+        .orderBy("day")
+    }),
+
+    // deterministic k-fold cross-validation assignment: fold =
+    // md5(key) mod 5 — reproducible across engines and runs — with the
+    // per-fold class mix vs the global mix (the balance audit that
+    // justifies hashing over stratification at this key cardinality)
+    "q196_cv_folds" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(
+          pmod(Dedup.md5Long(concat(lit("cv#"), col("o_orderkey").cast("string")), 12), lit(5L))
+            .as("fold"),
+          col("o_orderpriority"))
+        .groupBy("fold", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("fold_total", sum(col("n")).over(Window.partitionBy("fold")))
+        .withColumn("class_total", sum(col("n")).over(Window.partitionBy("o_orderpriority")))
+        .withColumn("grand", sum(col("n")).over(Window.partitionBy()))
+        .select(
+          col("fold"), col("o_orderpriority"), col("n"),
+          round(col("n").cast("double") / col("fold_total"), 6).as("fold_share"),
+          round(col("class_total").cast("double") / col("grand"), 6).as("global_share"))
+        .orderBy("fold", "o_orderpriority")),
+
+    // leave-one-out target encoding: category mean of the label with the
+    // row's own value excluded — (Σ_c − x)/(n_c − 1) per row, exact via
+    // the half-away integer formula in micro-dollars. Category stats are
+    // one tiny aggregate broadcast back onto the fact; the 20-row sample
+    // keeps the oracle output bounded
+    "q197_target_encode" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"), centsOf(col("o_totalprice")).as("cents"))
+      val cat = o.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("nc"), sum(col("cents")).as("sc"))
+      o.filter(col("o_orderkey") <= 20)
+        .join(broadcast(cat), "o_orderpriority")
+        .select(
+          col("o_orderkey"), col("o_orderpriority"), col("cents"),
+          when(col("nc") > 1,
+            expr("CAST((2 * (sc - cents) * 10000 + (nc - 1)) div (2 * (nc - 1)) AS DOUBLE)" +
+              " / 1000000.0")).as("loo_mean"))
+        .orderBy("o_orderkey")
+    }),
+
+    // top session paths: the funnel-DISCOVERY readout — first four event
+    // types of each session in arrival order, counted. Events sort
+    // inside each session by a zero-padded (us, event_id) string key so
+    // the collect is deterministic and the per-session array stays
+    // bounded (slice before concat)
+    "q198_top_paths" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        .withColumn(
+          "is_new",
+          when(col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L)
+            .when(lag(col("us"), 1).over(w).isNull, 1L)
+            .otherwise(0L))
+        .withColumn("sess_idx", sum(col("is_new")).over(w))
+        .withColumn(
+          "k",
+          concat(
+            lpad(col("us").cast("string"), 16, "0"), lit("#"),
+            lpad(col("event_id").cast("string"), 8, "0"), lit("#"),
+            col("event_type")))
+        .groupBy("user_id", "sess_idx")
+        .agg(collect_list(col("k")).as("ks"))
+        .select(
+          expr("concat_ws('>', transform(slice(array_sort(ks), 1, 4), " +
+            "x -> substring_index(x, '#', -1)))").as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
+    }),
+
+    // shard-balance audit: would this key hash evenly across 32 shards?
+    // md5-mod assignment (portable, q106 discipline), per-shard counts,
+    // share via the half-away integer formula — the pre-flight check
+    // before bucketing a 100 TB table on a candidate key
+    "q199_partition_balance" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(
+          pmod(Dedup.md5Long(concat(lit("pb#"), col("o_orderkey").cast("string")), 12), lit(32L))
+            .as("shard"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+        .select(
+          col("shard"), col("n"),
+          (expr("(2 * n * 1000000 + total) div (2 * total)").cast("double") / 1000000.0)
+            .as("share"))
+        .orderBy("shard")),
+
+    // funnel stage latency: median hours between first signup→click and
+    // click→purchase per user — ONE conditional-aggregate pass collects
+    // all three first-times, the two transitions union from it (exact
+    // interpolating median on integer µs deltas)
+    "q200_funnel_latency" -> ((s, dir) => {
+      val ft = Tables.events(s, dir)
+        .filter(col("event_type").isin("signup", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "signup", unix_micros(col("ts")))).as("t1"),
+          min(when(col("event_type") === "click", unix_micros(col("ts")))).as("t2"),
+          min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("t3"))
+      val sc = ft.filter(col("t1").isNotNull && col("t2") >= col("t1"))
+        .select(lit("signup").as("stage_from"), lit("click").as("stage_to"),
+          (col("t2") - col("t1")).as("delta_us"))
+      val cp = ft.filter(col("t2").isNotNull && col("t3") >= col("t2"))
+        .select(lit("click").as("stage_from"), lit("purchase").as("stage_to"),
+          (col("t3") - col("t2")).as("delta_us"))
+      sc.unionByName(cp)
+        .groupBy("stage_from", "stage_to")
+        .agg(
+          count(lit(1)).as("n_users"),
+          round(expr("percentile(delta_us, 0.5D)") / 3.6e9, 6).as("median_hours"))
+        .orderBy("stage_from", "stage_to")
+    }),
+
+    // data-constrained repetition factors: how many epochs of each
+    // language close the gap to the largest — the up-sampling plan
+    // (exact micro factor + ceil-div epochs, both pure integer)
+    "q201_repetition_factors" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("n_max", max(col("n_docs")).over(Window.partitionBy()))
+        .select(
+          col("lang"), col("n_docs"),
+          (expr("(2 * n_max * 1000000 + n_docs) div (2 * n_docs)").cast("double") / 1000000.0)
+            .as("repeat_factor"),
+          expr("(n_max + n_docs - 1) div n_docs").as("epochs"))
+        .orderBy("lang")),
+
+    // corpus ↔ embedding coverage audit: which documents lack a vector
+    // and which vectors lack a document — one full-outer join collapsed
+    // to a single three-counter row (the referential pre-check before
+    // any embedding-driven curation)
+    "q202_join_coverage" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(
+          Tables.embeddings(s, dir).select(col("vec_id")),
+          col("doc_id") === col("vec_id"), "full_outer")
+        .agg(
+          sum(when(col("doc_id").isNotNull && col("vec_id").isNotNull, 1L).otherwise(0L))
+            .as("n_matched"),
+          sum(when(col("vec_id").isNull, 1L).otherwise(0L)).as("n_doc_only"),
+          sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("n_vec_only"))),
+
+    // character-class composition per source: letter/space/other shares
+    // from regex strip-counts (global-flag semantics on both engines),
+    // fractions by the half-away integer formula
+    "q203_char_classes" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .groupBy("source")
+        .agg(
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          sum((length(col("text")) -
+            length(regexp_replace(col("text"), "[a-z]", ""))).cast("long")).as("n_alpha"),
+          sum((length(col("text")) -
+            length(regexp_replace(col("text"), " ", ""))).cast("long")).as("n_space"))
+        .select(
+          col("source"), col("n_chars"),
+          (expr("(2 * n_alpha * 1000000 + n_chars) div (2 * n_chars)").cast("double") / 1000000.0)
+            .as("alpha_frac"),
+          (expr("(2 * n_space * 1000000 + n_chars) div (2 * n_chars)").cast("double") / 1000000.0)
+            .as("space_frac"),
+          (expr("(2 * (n_chars - n_alpha - n_space) * 1000000 + n_chars) div (2 * n_chars)")
+            .cast("double") / 1000000.0).as("other_frac"))
+        .orderBy("source")),
+
+    // activity concentration (Gini): rank-weighted integer sums over the
+    // per-user event counts — G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx), every
+    // term exact, final ratio via the half-away micro formula. The
+    // global rank window is one ~n_users-row pass; at 100 TB the same
+    // rank comes from a range-partitioned sort
+    "q204_activity_gini" -> ((s, dir) => {
+      val pu = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("x"))
+      val w = Window.orderBy(col("x"), col("user_id"))
+      pu.withColumn("i", row_number().over(w).cast("long"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(col("x")).as("total_events"),
+          sum(col("i") * col("x")).as("siw"))
+        .select(
+          col("n_users"), col("total_events"),
+          (expr("(2 * (2 * siw - (n_users + 1) * total_events) * 1000000 " +
+            "+ n_users * total_events) div (2 * n_users * total_events)")
+            .cast("double") / 1000000.0).as("gini"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
