@@ -3776,6 +3776,108 @@ object OracleSql {
         |       CAST((2 * (2 * siw - (n_users + 1) * total_events) * 1000000
         |             + n_users * total_events) // (2 * n_users * total_events)
         |            AS DOUBLE) / 1000000.0 AS gini
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // Spearman on deterministic permutation ranks: rho = (12·Σrxry −
+    // 3n(n+1)²)/(n³−n), all HUGEINT; the CASE keeps the `//` numerator
+    // non-negative so floor ≡ truncate.
+    "q205_spearman_activity" ->
+      s"""WITH pc AS (
+         |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS x,
+         |         CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS y
+         |  FROM orders GROUP BY 1
+         |), r AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY x, o_custkey) AS HUGEINT) AS rx,
+         |         CAST(row_number() OVER (ORDER BY y, o_custkey) AS HUGEINT) AS ry
+         |  FROM pc
+         |), a AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n, sum(rx * ry) AS sxy FROM r
+         |)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |       CAST((CASE WHEN 12 * sxy - 3 * n * (n + 1) * (n + 1) >= 0
+         |             THEN (2 * (12 * sxy - 3 * n * (n + 1) * (n + 1)) * 1000000
+         |                   + (n * n * n - n)) // (2 * (n * n * n - n))
+         |             ELSE -((2 * -(12 * sxy - 3 * n * (n + 1) * (n + 1)) * 1000000
+         |                   + (n * n * n - n)) // (2 * (n * n * n - n))) END)
+         |            AS DOUBLE) / 1000000.0 AS spearman_rho
+         |FROM a""".stripMargin,
+
+    "q206_ks_price_drift" ->
+      s"""WITH src AS (
+         |  SELECT ${centsSql("o_totalprice")} AS v,
+         |         CAST(year(o_orderdate) AS VARCHAR) AS yr
+         |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+         |), pv AS (
+         |  SELECT v, CAST(sum(CASE WHEN yr = '1995' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |         CAST(sum(CASE WHEN yr = '1996' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM src GROUP BY 1
+         |), cum AS (
+         |  SELECT CAST(sum(ca) OVER w AS HUGEINT) AS cuma,
+         |         CAST(sum(cb) OVER w AS HUGEINT) AS cumb,
+         |         CAST(sum(ca) OVER () AS HUGEINT) AS na,
+         |         CAST(sum(cb) OVER () AS HUGEINT) AS nb
+         |  FROM pv WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), a AS (
+         |  SELECT max(na) AS na, max(nb) AS nb, max(abs(cuma * nb - cumb * na)) AS d FROM cum
+         |)
+         |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         |       CAST((2 * d * 1000000 + na * nb) // (2 * na * nb) AS DOUBLE) / 1000000.0 AS ks
+         |FROM a""".stripMargin,
+
+    // Rank-sum AUC: AUC = (2·Σr₊ − P(P+1)) / (2PN) on (score, doc_id)
+    // permutation ranks — numerator always ≥ 0. Positives = q21's
+    // MinHash candidate members.
+    "q207_dup_length_auc" ->
+      s"""$minhashCte,
+        |members AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_a AS doc_id FROM cand UNION ALL SELECT doc_b AS doc_id FROM cand)
+        |), s AS (
+        |  SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS score,
+        |         CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END AS label
+        |  FROM documents d LEFT JOIN members m ON d.doc_id = m.doc_id
+        |  WHERE d.text IS NOT NULL
+        |), r AS (
+        |  SELECT label, CAST(row_number() OVER (ORDER BY score, doc_id) AS HUGEINT) AS rk FROM s
+        |), a AS (
+        |  SELECT CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS p,
+        |         CAST(sum(CASE WHEN label = 1 THEN 0 ELSE 1 END) AS HUGEINT) AS nn,
+        |         CAST(sum(CASE WHEN label = 1 THEN rk ELSE 0 END) AS HUGEINT) AS rs
+        |  FROM r
+        |)
+        |SELECT CAST(p AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+        |       CAST((2 * (2 * rs - p * (p + 1)) * 1000000 + 2 * p * nn)
+        |            // (2 * (2 * p * nn)) AS DOUBLE) / 1000000.0 AS auc
+        |FROM a""".stripMargin,
+
+    // PSI with add-one smoothing; p, q are exact double ratios of
+    // integers, each (p−q)·ln(p/q) term nano-quantized (q72 discipline).
+    // DuckDB dayofweek is 0-based Sunday; Spark's is 1-based.
+    "q208_psi_event_drift" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CASE WHEN dayofweek(date_trunc('microseconds', ts)) IN (0, 6)
+        |              THEN 'wkend' ELSE 'wkday' END AS cohort
+        |  FROM events
+        |), pc AS (
+        |  SELECT event_type AS category,
+        |         CAST(sum(CASE WHEN cohort = 'wkday' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN cohort = 'wkend' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM e GROUP BY 1
+        |), t AS (
+        |  SELECT category, n_a, n_b,
+        |         CAST(sum(n_a) OVER () + count(*) OVER () AS BIGINT) AS ta,
+        |         CAST(sum(n_b) OVER () + count(*) OVER () AS BIGINT) AS tb
+        |  FROM pc
+        |), qx AS (
+        |  SELECT category, n_a, n_b,
+        |         CAST(n_a + 1 AS DOUBLE) / CAST(ta AS DOUBLE) AS p,
+        |         CAST(n_b + 1 AS DOUBLE) / CAST(tb AS DOUBLE) AS q
+        |  FROM t
+        |)
+        |SELECT category, n_a, n_b,
+        |       round(CAST(round((p - q) * ln(p / q) * 1000000000) AS BIGINT)
+        |             / 1000000000.0, 6) AS psi_term
+        |FROM qx ORDER BY category""".stripMargin
   )
 }

@@ -3234,6 +3234,58 @@ object SparkEntry {
             .cast("double") / 1000000.0).as("gini"))
     }),
 
+    // Spearman rank correlation between per-customer order count and
+    // total spend: deterministic permutation ranks reduce rho to a pure
+    // rational (see RankStats) — no sqrt, no double sums. The rank
+    // windows run over the BOUNDED per-customer relation
+    "q205_spearman_activity" -> ((s, dir) =>
+      ops.RankStats.spearman(
+        Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(
+            count(lit(1)).as("x"),
+            sum(centsOf(col("o_totalprice"))).as("y")),
+        "o_custkey", "x", "y")),
+
+    // two-sample KS drift: 1995-vs-1996 order-price distributions —
+    // cross-multiplied cumulative counts stay integral until one final
+    // division; the cumulative window runs over DISTINCT price values
+    "q206_ks_price_drift" -> ((s, dir) =>
+      operators.Drift.ksStatistic(
+        Tables.orders(s, dir)
+          .select(
+            centsOf(col("o_totalprice")).as("price_cents"),
+            year(col("o_orderdate")).cast("string").as("yr")),
+        "price_cents", "yr", "1995", "1996")),
+
+    // rank-sum AUC of document length predicting NEAR-dup membership
+    // ("are near-duplicates shorter?") — labels are q21's MinHash
+    // candidate members via a left semi-shaped join (exact-dup labels
+    // would be degenerate: this corpus has none); the rank window runs
+    // once over the per-doc relation
+    "q207_dup_length_auc" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+      val members = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+        .withColumn("label", lit(1))
+      ops.RankStats.auc(
+        docs.select(col("doc_id"), length(col("text")).cast("long").as("score"))
+          .join(members, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("score"), coalesce(col("label"), lit(0)).as("label")),
+        "doc_id", "score", "label")
+    }),
+
+    // PSI drift of the event-type mix, weekday vs weekend cohorts —
+    // per-category contributions (Laplace-smoothed, nano-quantized ln
+    // terms) so the reviewer sees WHICH event type moved
+    "q208_psi_event_drift" -> ((s, dir) =>
+      operators.Drift.psi(
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            when(dayofweek(col("ts")).isin(1, 7), "wkend").otherwise("wkday").as("cohort")),
+        "event_type", "cohort", "wkday", "wkend")),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
