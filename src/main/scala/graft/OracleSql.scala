@@ -3878,6 +3878,112 @@ object OracleSql {
         |SELECT category, n_a, n_b,
         |       round(CAST(round((p - q) * ln(p / q) * 1000000000) AS BIGINT)
         |             / 1000000000.0, 6) AS psi_term
-        |FROM qx ORDER BY category""".stripMargin
+        |FROM qx ORDER BY category""".stripMargin,
+
+    // BM25 (Lucene idf): per-term contribution = idf_micro · 44·tf·L /
+    // (20·tf·L + 6·L + 18·len·N), half-away micro BEFORE the per-doc sum.
+    "q209_bm25_topk" ->
+      """WITH words AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(w) > 0
+        |), lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM words GROUP BY 1),
+        |tot AS (SELECT CAST(sum(len) AS HUGEINT) AS big_l, CAST(count(*) AS HUGEINT) AS big_n
+        |        FROM lens),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM words
+        |       WHERE w IN ('vector', 'stream', 'filter') GROUP BY 1, 2),
+        |idf AS (
+        |  SELECT w, CAST(round(ln(1.0 + (CAST(big_n - df AS DOUBLE) + 0.5)
+        |                              / (CAST(df AS DOUBLE) + 0.5)) * 1000000)
+        |                 AS HUGEINT) AS idf_micro
+        |  FROM (SELECT w, CAST(count(*) AS HUGEINT) AS df FROM tf GROUP BY 1), tot
+        |), c AS (
+        |  SELECT tf.doc_id,
+        |         (2 * (idf.idf_micro * 44 * tf.tf * tot.big_l)
+        |          + (20 * tf.tf * tot.big_l + 6 * tot.big_l + 18 * lens.len * tot.big_n))
+        |         // (2 * (20 * tf.tf * tot.big_l + 6 * tot.big_l + 18 * lens.len * tot.big_n))
+        |           AS c
+        |  FROM tf JOIN idf USING (w) JOIN lens USING (doc_id), tot
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |       round(CAST(sum(c) AS DOUBLE) / 1000000.0, 6) AS bm25
+        |FROM c GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Containment: q23's exact-verification chain with asymmetric
+    // normalizers instead of the union size.
+    "q210_containment" ->
+      s"""$minhashCte, bg AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(
+         |      CASE WHEN len(ws) >= 2
+         |           THEN [concat_ws(' ', ws[i+1], ws[i+2]) for i in range(0, len(ws)-1)]
+         |           ELSE [text] END) AS sh
+         |    FROM w)
+         |), sizes AS (SELECT doc_id, count(*) AS sz FROM bg GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN bg a ON a.doc_id = c.doc_a
+         |  JOIN bg b ON b.doc_id = c.doc_b AND b.sh = a.sh
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b,
+         |       round(CAST(i AS DOUBLE) / sa.sz, 6) AS contain_a,
+         |       round(CAST(i AS DOUBLE) / sb.sz, 6) AS contain_b
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q211_curriculum_order" ->
+      """WITH s AS (
+        |  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS score
+        |  FROM documents WHERE text IS NOT NULL
+        |), r AS (
+        |  SELECT doc_id, source,
+        |         CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id)
+        |              AS BIGINT) AS rk
+        |  FROM s
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY rk, source) AS BIGINT) AS pos,
+        |       doc_id, source, rk
+        |FROM r ORDER BY pos LIMIT 50""".stripMargin,
+
+    "q212_padding_waste" ->
+      """WITH lens AS (
+        |  SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 0))
+        |                      AS BIGINT) AS len
+        |  FROM documents WHERE text IS NOT NULL
+        |), arrival AS (
+        |  SELECT len, (CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) - 1) // 32 AS bucket
+        |  FROM lens
+        |), bysort AS (
+        |  SELECT len, (CAST(row_number() OVER (ORDER BY len, doc_id) AS BIGINT) - 1) // 32
+        |           AS bucket
+        |  FROM lens
+        |), ba AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n, CAST(max(len) AS BIGINT) AS mx,
+        |         CAST(sum(len) AS BIGINT) AS useful
+        |  FROM arrival GROUP BY 1
+        |), bs AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n, CAST(max(len) AS BIGINT) AS mx,
+        |         CAST(sum(len) AS BIGINT) AS useful
+        |  FROM bysort GROUP BY 1
+        |), u AS (
+        |  SELECT 'arrival' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,
+        |         CAST(sum(n * mx) AS BIGINT) AS padded_tokens,
+        |         CAST(sum(useful) AS BIGINT) AS useful_tokens
+        |  FROM ba
+        |  UNION ALL
+        |  SELECT 'length_sorted' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,
+        |         CAST(sum(n * mx) AS BIGINT) AS padded_tokens,
+        |         CAST(sum(useful) AS BIGINT) AS useful_tokens
+        |  FROM bs
+        |)
+        |SELECT strategy, n_batches, padded_tokens, useful_tokens,
+        |       CAST((2 * (padded_tokens - useful_tokens) * 1000000 + padded_tokens)
+        |            // (2 * padded_tokens) AS DOUBLE) / 1000000.0 AS waste_frac
+        |FROM u ORDER BY strategy""".stripMargin
   )
 }

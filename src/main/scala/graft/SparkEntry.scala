@@ -3286,6 +3286,70 @@ object SparkEntry {
             when(dayofweek(col("ts")).isin(1, 7), "wkend").otherwise("wkday").as("cohort")),
         "event_type", "cohort", "wkday", "wkend")),
 
+    // BM25 keyword retrieval (Lucene idf variant): top-10 docs for a
+    // 3-term query — per-term integer micro contributions summed per doc
+    // (see Retrieval for the rational-form derivation)
+    "q209_bm25_topk" -> ((s, dir) =>
+      operators.Retrieval.bm25TopK(
+        Tables.documents(s, dir), "doc_id", "text",
+        Seq("vector", "stream", "filter"), k = 10)),
+
+    // asymmetric shingle containment over LSH candidates — the
+    // quote/subset signal Jaccard under-scores (containment 1 = A fully
+    // inside B); both directions per pair
+    "q210_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text")),
+
+    // curriculum interleave: quality-ranked round-robin across sources —
+    // position k·s+r holds source s's r-th best doc, so a sequential
+    // trainer sees sources evenly at every quality level; first 50
+    // positions. Per-source rank windows are bounded; the global
+    // position is a range-partitioned sort at scale
+    "q211_curriculum_order" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("score"))
+      val wSrc = Window.partitionBy("source").orderBy(col("score").desc, col("doc_id"))
+      val wPos = Window.orderBy(col("rk"), col("source"))
+      scored
+        .withColumn("rk", row_number().over(wSrc).cast("long"))
+        .withColumn("pos", row_number().over(wPos).cast("long"))
+        .select(col("pos"), col("doc_id"), col("source"), col("rk"))
+        .orderBy("pos")
+        .limit(50)
+    }),
+
+    // padding waste of length-sorted vs arrival-order batching (batch =
+    // 32 docs, padded to the batch max): the one number that justifies
+    // length bucketing in a training loader. Both bucketings derive from
+    // ONE token-length relation; integer waste sums, micro fraction
+    "q212_padding_waste" -> ((s, dir) => {
+      val lens = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(filter(split(col("text"), " ", -1), w => length(w) > 0))
+            .cast("long").as("len"))
+      def waste(ordered: DataFrame, strategy: String): DataFrame = ordered
+        .withColumn("bucket", expr("(rn - 1) div 32"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), max(col("len")).as("mx"), sum(col("len")).as("useful"))
+        .agg(
+          count(lit(1)).as("n_batches"),
+          sum(col("n") * col("mx")).as("padded_tokens"),
+          sum(col("useful")).as("useful_tokens"))
+        .select(
+          lit(strategy).as("strategy"), col("n_batches"), col("padded_tokens"),
+          col("useful_tokens"),
+          (expr("(2 * (padded_tokens - useful_tokens) * 1000000 + padded_tokens) " +
+            "div (2 * padded_tokens)").cast("double") / 1000000.0).as("waste_frac"))
+      val arrival = lens.withColumn("rn",
+        row_number().over(Window.orderBy(col("doc_id"))).cast("long"))
+      val sorted = lens.withColumn("rn",
+        row_number().over(Window.orderBy(col("len"), col("doc_id"))).cast("long"))
+      waste(arrival, "arrival").unionByName(waste(sorted, "length_sorted"))
+        .orderBy("strategy")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

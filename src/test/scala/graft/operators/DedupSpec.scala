@@ -329,6 +329,17 @@ class DedupSpec extends AnyFunSuite {
     assert(matches === Map((1L, 2L) -> 1L, (1L, 3L) -> 0L, (2L, 3L) -> 0L))
   }
 
+  test("containmentPairs: identical docs contain each other fully; asymmetric otherwise") {
+    val got = Dedup.containmentPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b", "contain_a", "contain_b")
+      .as[(Long, Long, Double, Double)].collect()
+      .map { case (a, b, ca, cb) => (a, b) -> ((ca, cb)) }.toMap
+    assert(got((1L, 2L)) === ((1.0, 1.0)))
+    // near-dup pair, if it survives LSH: one bigram of 8 differs → 7/8 each way
+    got.get((1L, 3L)).foreach { case (ca, cb) => assert(ca === 0.875 && cb === 0.875) }
+    assert(!got.contains((1L, 4L)) && !got.contains((3L, 4L)))
+  }
+
   implicit private class Pairs[V](rows: Array[(Long, Long, V)]) {
     def toMap2: Map[(Long, Long), V] = rows.map { case (a, b, v) => (a, b) -> v }.toMap
   }
