@@ -3984,6 +3984,181 @@ object OracleSql {
         |SELECT strategy, n_batches, padded_tokens, useful_tokens,
         |       CAST((2 * (padded_tokens - useful_tokens) * 1000000 + padded_tokens)
         |            // (2 * padded_tokens) AS DOUBLE) / 1000000.0 AS waste_frac
-        |FROM u ORDER BY strategy""".stripMargin
+        |FROM u ORDER BY strategy""".stripMargin,
+
+    // Pareto frontier: dominated iff a strictly-cheaper row has size ≥
+    // mine, or a same-price row has size > mine.
+    "q213_pareto_frontier" ->
+      """WITH p AS (
+        |  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+        |         CAST(p_size AS BIGINT) AS psize
+        |  FROM part
+        |), w AS (
+        |  SELECT *,
+        |         max(psize) OVER (ORDER BY price_c
+        |                          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx_cheaper,
+        |         max(psize) OVER (PARTITION BY price_c) AS mx_same
+        |  FROM p
+        |)
+        |SELECT p_partkey, price_c, psize FROM w
+        |WHERE NOT (coalesce(mx_cheaper >= psize, FALSE) OR mx_same > psize)
+        |ORDER BY price_c, p_partkey""".stripMargin,
+
+    "q214_cusum_changepoint" ->
+      """WITH d AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), t AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(rev) AS BIGINT) AS tot FROM d),
+        |c AS (
+        |  SELECT day, rev,
+        |         CAST(sum(rev * nd - tot) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |              AS BIGINT) AS cusum
+        |  FROM d, t
+        |), m AS (SELECT max(abs(cusum)) AS mx FROM c)
+        |SELECT day, rev, cusum,
+        |       CAST(CASE WHEN abs(cusum) = m.mx THEN 1 ELSE 0 END AS BIGINT) AS is_peak
+        |FROM c, m ORDER BY day""".stripMargin,
+
+    "q215_phrase_match" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL
+        |), bg AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(ws) >= 2
+        |         THEN [concat_ws(' ', ws[i+1], ws[i+2]) for i in range(0, len(ws)-1)]
+        |         ELSE [array_to_string(ws, ' ')] END) AS sh
+        |  FROM w
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM bg WHERE sh = 'hash join'
+        |GROUP BY 1 ORDER BY n_hits DESC, doc_id LIMIT 20""".stripMargin,
+
+    // PPJoin prefix filter: rarest-first bigram order, prefix length
+    // |d| − ⌈9|d|/10⌉ + 1, length filter in the join, integer
+    // cross-multiplied τ filter.
+    "q216_prefix_filter_join" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL
+        |), t AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(
+        |      CASE WHEN len(ws) >= 2
+        |           THEN [concat_ws(' ', ws[i+1], ws[i+2]) for i in range(0, len(ws)-1)]
+        |           ELSE [array_to_string(ws, ' ')] END) AS sh
+        |    FROM w)
+        |), d AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY 1),
+        |r AS (
+        |  SELECT t.doc_id, t.sh,
+        |         CAST(count(*) OVER (PARTITION BY t.doc_id) AS BIGINT) AS n,
+        |         CAST(row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.sh)
+        |              AS BIGINT) AS rn
+        |  FROM t JOIN d USING (sh)
+        |), p AS (
+        |  SELECT doc_id, sh, n FROM r WHERE rn <= n - ((9*n + 9) // 10) + 1
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |                  a.n AS sz_a, b.n AS sz_b
+        |  FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |                    AND 9 * a.n <= 10 * b.n AND 9 * b.n <= 10 * a.n
+        |), i AS (
+        |  SELECT c.doc_a, c.doc_b, c.sz_a, c.sz_b, CAST(count(*) AS BIGINT) AS inter
+        |  FROM cand c
+        |  JOIN t a ON a.doc_id = c.doc_a
+        |  JOIN t b ON b.doc_id = c.doc_b AND b.sh = a.sh
+        |  GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT doc_a, doc_b,
+        |       round(CAST(inter AS DOUBLE) / (sz_a + sz_b - inter), 6) AS jaccard
+        |FROM i WHERE inter * 19 >= (sz_a + sz_b) * 9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q217_incr_agg_maintain" ->
+      """SELECT o_custkey,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders GROUP BY 1 ORDER BY o_custkey""".stripMargin,
+
+    "q218_source_vocab_overlap" ->
+      """WITH tf AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(w) > 0 GROUP BY 1, 2
+        |), top AS (
+        |  SELECT source, w FROM (
+        |    SELECT source, w,
+        |           row_number() OVER (PARTITION BY source ORDER BY tf DESC, w) AS rn
+        |    FROM tf)
+        |  WHERE rn <= 20
+        |), sz AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM top GROUP BY 1),
+        |o AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS overlap
+        |  FROM top a JOIN top b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT source_a, source_b, overlap,
+        |       round(CAST(overlap AS DOUBLE) / (sa.sz + sb.sz - overlap), 6) AS jaccard
+        |FROM o JOIN sz sa ON sa.source = source_a JOIN sz sb ON sb.source = source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    "q219_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 100000.0) AS BIGINT) AS band,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2, 3
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |       CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        |       CAST(sum(n) AS BIGINT) AS total_rows,
+        |       CAST((2 * sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1000000 + sum(n))
+        |            // (2 * sum(n)) AS DOUBLE) / 1000000.0 AS risk_frac
+        |FROM g""".stripMargin,
+
+    "q220_mmr_rerank" -> mmrSql(5)
   )
+
+  /** Chained-CTE MMR greedy mirror (k steps, λ = 7/10): step t maximizes
+    * `7·rel_u − 3·max_pen_u` over candidates outside the selected set,
+    * min-id tie-break — the same pure-integer score as
+    * `Similarity.mmrRerank`.
+    */
+  private def mmrSql(k: Int): String = {
+    val sb = new StringBuilder(
+      s"""$normCte,
+         |q AS (SELECT e AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+         |rel AS (
+         |  SELECT n.vec_id,
+         |         CAST(round(list_sum(list_transform(range(1, len(n.e)+1), i -> n.e[i]*q.qv[i]))
+         |                    / (n.nrm * q.qn) * 1000000) AS BIGINT) AS rel_u,
+         |         n.e, n.nrm
+         |  FROM n, q WHERE n.vec_id <> 0
+         |),
+         |s1 AS (SELECT vec_id, rel_u, 7*rel_u AS score_u FROM rel
+         |       ORDER BY score_u DESC, vec_id LIMIT 1)""".stripMargin)
+    for (t <- 2 to k) {
+      val sel = (1 until t).map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ALL ")
+      sb.append(s""",
+         |p$t AS (
+         |  SELECT r.vec_id, r.rel_u,
+         |         max(CAST(round(list_sum(list_transform(range(1, len(r.e)+1), i -> r.e[i]*s.e[i]))
+         |                        / (r.nrm * s.nrm) * 1000000) AS BIGINT)) AS pen_u
+         |  FROM rel r
+         |  CROSS JOIN (SELECT e, nrm FROM rel WHERE vec_id IN ($sel)) s
+         |  WHERE r.vec_id NOT IN ($sel)
+         |  GROUP BY 1, 2
+         |),
+         |s$t AS (SELECT vec_id, rel_u, 7*rel_u - 3*pen_u AS score_u FROM p$t
+         |        ORDER BY score_u DESC, vec_id LIMIT 1)""".stripMargin)
+    }
+    val out = (1 to k)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS pos, vec_id, rel_u/1000000.0 AS rel, " +
+        s"CAST(score_u AS BIGINT) AS score_u FROM s$i")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY pos")
+    sb.append(out).toString
+  }
 }

@@ -3350,6 +3350,147 @@ object SparkEntry {
         .orderBy("strategy")
     }),
 
+    // Pareto frontier (skyline): parts no other part beats on both price
+    // (min) and size (max). Two window passes — a range frame over
+    // strictly-cheaper rows and a same-price partition max — instead of
+    // the O(n²) dominance anti-join; the global order-by-price window is
+    // a range-partitioned sort at scale
+    "q213_pareto_frontier" -> ((s, dir) => {
+      val p = Tables.part(s, dir).select(
+        col("p_partkey"),
+        centsOf(col("p_retailprice")).as("price_c"),
+        col("p_size").cast("long").as("psize"))
+      val wCheaper = Window.orderBy("price_c").rangeBetween(Window.unboundedPreceding, -1)
+      val wSame = Window.partitionBy("price_c")
+      p.withColumn("mx_cheaper", max(col("psize")).over(wCheaper))
+        .withColumn("mx_same", max(col("psize")).over(wSame))
+        .filter(!(coalesce(col("mx_cheaper") >= col("psize"), lit(false))
+          || col("mx_same") > col("psize")))
+        .select("p_partkey", "price_c", "psize")
+        .orderBy("price_c", "p_partkey")
+    }),
+
+    // CUSUM change-point scan over daily revenue: S_t = Σ(x_i·N − T)
+    // stays in exact integers (deviations scaled by the day count, no
+    // mean division); the peak |S_t| marks the level-shift day. The
+    // cumulative window runs on the DAILY relation (≤ a few k rows at
+    // any corpus scale); decimal(38) needed beyond ~sf100
+    "q214_cusum_changepoint" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("rev"))
+      val tot = daily.agg(
+        count(lit(1)).as("nd"), sum(col("rev")).as("tot"))
+      val c = daily.crossJoin(broadcast(tot))
+        .withColumn("cusum",
+          sum(col("rev") * col("nd") - col("tot"))
+            .over(Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)))
+      val mx = c.agg(max(abs(col("cusum"))).as("mx"))
+      c.crossJoin(broadcast(mx))
+        .select(col("day"), col("rev"), col("cusum"),
+          when(abs(col("cusum")) === col("mx"), 1L).otherwise(0L).as("is_peak"))
+        .orderBy("day")
+    }),
+
+    // positional phrase search: exact adjacent-bigram hit counts via the
+    // codegen shingle expression — explode + equality filter, no
+    // interpreted array lambdas; docs with zero hits drop out before the
+    // aggregation
+    "q215_phrase_match" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(graft.plans.WordShingles(col("text"), 2)).as("sh"))
+        .filter(col("sh") === "hash join")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("n_hits").desc, col("doc_id"))
+        .limit(20)),
+
+    // prefix-filtered similarity join (PPJoin family): exact-recall
+    // Jaccard ≥ 0.6 candidates from a rarest-token prefix equi-join —
+    // the LSH-free alternative when probabilistic misses are not
+    // acceptable (e.g. legal decontamination)
+    "q216_prefix_filter_join" -> ((s, dir) =>
+      Dedup.prefixFilterPairs(Tables.documents(s, dir), "doc_id", "text")),
+
+    // incremental aggregate maintenance: a stored per-customer MV (orders
+    // before the cutover) merged with the delta partition's aggregate via
+    // coalesce-sum full outer — only the delta is rescanned; oracled
+    // against the full recompute, proving the merge is lossless
+    "q217_incr_agg_maintain" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderdate"),
+        centsOf(col("o_totalprice")).as("cents"))
+      def agg(part: DataFrame): DataFrame = part.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("rev"))
+      val cut = lit("1998-01-01").cast("timestamp")
+      val base = agg(o.filter(col("o_orderdate") < cut))
+        .select(col("o_custkey"), col("n").as("bn"), col("rev").as("br"))
+      val delta = agg(o.filter(col("o_orderdate") >= cut))
+        .select(col("o_custkey"), col("n").as("dn"), col("rev").as("dr"))
+      base.join(delta, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+          (coalesce(col("br"), lit(0L)) + coalesce(col("dr"), lit(0L))).as("revenue_cents"))
+        .orderBy("o_custkey")
+    }),
+
+    // pairwise source vocabulary overlap: top-20 terms per source by
+    // frequency (word tie-break), Jaccard across the source grid — the
+    // corpus-mixing diversity readout (near-identical vocabularies mean
+    // the mixture adds volume, not coverage). S² pairs over a tiny
+    // per-source top-k relation
+    "q218_source_vocab_overlap" -> ((s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("source"), explode(split(col("text"), " ", -1)).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("source", "w")
+        .agg(count(lit(1)).as("tf"))
+      val top = tf
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("source").orderBy(col("tf").desc, col("w"))))
+        .filter(col("rn") <= 20)
+        .select("source", "w")
+      val sizes = top.groupBy("source").agg(count(lit(1)).as("sz"))
+      top.as("a").join(top.as("b"),
+          col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("overlap"))
+        .join(sizes.select(col("source").as("source_a"), col("sz").as("sa")), "source_a")
+        .join(sizes.select(col("source").as("source_b"), col("sz").as("sb")), "source_b")
+        .select(col("source_a"), col("source_b"), col("overlap"),
+          round(col("overlap").cast("double") / (col("sa") + col("sb") - col("overlap")), 6)
+            .as("jaccard"))
+        .orderBy("source_a", "source_b")
+    }),
+
+    // k-anonymity audit over quasi-identifiers (nation, segment,
+    // 1000-unit balance band): how many QI groups have < k members and
+    // how many rows they expose — the privacy gate before releasing a
+    // curated slice. One hash agg + one 1-row rollup
+    "q219_k_anonymity" -> ((s, dir) => {
+      val g = Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(centsOf(col("c_acctbal")) / 100000.0).cast("long").as("band"))
+        .groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(count(lit(1)).as("n"))
+      g.agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("n") < 5, col("n")).otherwise(0L)).as("rows_at_risk"),
+        sum(col("n")).as("total_rows"))
+        .select(col("n_groups"), col("n_violating"), col("rows_at_risk"), col("total_rows"),
+          (expr("(2 * rows_at_risk * 1000000 + total_rows) div (2 * total_rows)")
+            .cast("double") / 1000000.0).as("risk_frac"))
+    }),
+
+    // MMR diversified top-5: greedy relevance-vs-redundancy re-rank over
+    // the embedding corpus (λ = 0.7), integer micro scores end-to-end
+    "q220_mmr_rerank" -> ((s, dir) =>
+      Similarity.mmrRerank(Tables.embeddings(s, dir), "vec_id", "embedding")),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

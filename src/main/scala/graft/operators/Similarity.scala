@@ -540,4 +540,77 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98): greedy top-k that trades relevance against redundancy —
+    * step t picks `argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)`. The
+    * diversity-aware readout of a retrieval stack: plain top-k returns k
+    * near-copies of the best hit; MMR returns the best hit plus its k−1
+    * most-informative complements.
+    *
+    * Determinism discipline: relevance and pairwise cosines are
+    * micro-quantized to integers FIRST (one rounding boundary, the q72
+    * discipline), then the greedy score is the pure integer
+    * `lamNum·rel_u − (lamDen−lamNum)·pen_u` (λ as a rational) with min-id
+    * tie-break — both engines rank identically even at float boundaries.
+    *
+    * Scale shape: the greedy loop is inherently sequential in k, but each
+    * step is one distributed argmax (`max(struct)`, no sort) over the
+    * corpus with the selected set carried as k literal vectors — the same
+    * driver-paced-rounds pattern as [[kmeansFit]]. Relevance is computed
+    * once and cached; step t adds exactly one new penalty column. For
+    * k beyond ~100 the selected set should move from literals to a
+    * broadcast relation.
+    */
+  def mmrRerank(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryId: Long = 0L,
+      k: Int = 5,
+      lamNum: Int = 7,
+      lamDen: Int = 10): DataFrame = {
+    require(k >= 1 && lamNum >= 0 && lamNum <= lamDen)
+    val spark = emb.sparkSession
+    val v = normed(emb, idCol, embCol)
+    val q = v.filter(col("vid") === queryId).select("emb_d", "nrm").head()
+    val qv = q.getSeq[Float](0).toArray
+    val qn = q.getDouble(1)
+    def microSim(toVec: Array[Float], toNrm: Double): Column =
+      round(dot(col("emb_d"), typedLit(toVec)) / (col("nrm") * lit(toNrm)) * 1e6, 0)
+        .cast("long")
+    val rel = v.filter(col("vid") =!= queryId)
+      .select(col("vid"), microSim(qv, qn).as("rel_u"), col("emb_d"), col("nrm"))
+      .persist()
+    try {
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[(Array[Float], Double)]
+      while (picked.length < k) {
+        val remaining = picked.map(_._1) match {
+          case ids if ids.isEmpty => rel
+          case ids => rel.filter(!col("vid").isin(ids.toSeq: _*))
+        }
+        val penU =
+          if (pickedVecs.isEmpty) lit(0L)
+          else if (pickedVecs.length == 1) microSim(pickedVecs(0)._1, pickedVecs(0)._2)
+          else greatest(pickedVecs.toSeq.map { case (e, n) => microSim(e, n) }: _*)
+        val best = remaining
+          .select(col("vid"), col("rel_u"), col("emb_d"), col("nrm"),
+            (lit(lamNum.toLong) * col("rel_u") - lit((lamDen - lamNum).toLong) * penU)
+              .as("score_u"))
+          .select(max(struct(col("score_u"), (-col("vid")).as("ni"), col("vid"),
+            col("rel_u"), col("emb_d"), col("nrm"))).as("b"))
+          .select(col("b.vid"), col("b.rel_u"), col("b.score_u"), col("b.emb_d"), col("b.nrm"))
+          .head()
+        picked += ((best.getLong(0), best.getLong(1), best.getLong(2)))
+        pickedVecs += ((best.getSeq[Float](3).toArray, best.getDouble(4)))
+      }
+      import spark.implicits._
+      picked.toSeq.zipWithIndex
+        .map { case ((vid, relU, scoreU), i) =>
+          (i + 1L, vid, relU / 1e6, scoreU)
+        }
+        .toDF("pos", "vec_id", "rel", "score_u")
+    } finally rel.unpersist()
+  }
 }

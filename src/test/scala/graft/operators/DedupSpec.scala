@@ -340,6 +340,18 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.contains((1L, 4L)) && !got.contains((3L, 4L)))
   }
 
+  test("prefixFilterPairs: exact recall at tau — identical docs found, sub-tau pairs cut") {
+    val got = Dedup.prefixFilterPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toMap2
+    // (1,2) identical → jaccard 1.0; (1,3) shares 7 of 9 bigrams (0.778 < 0.9) → cut
+    assert(got === Map((1L, 2L) -> 1.0))
+    // at tau = 7/10 the near-dup pair qualifies too (7/9 ≥ 0.7 ⇔ 17·7 ≥ 9·16... exact check below)
+    val loose = Dedup.prefixFilterPairs(docs, "doc_id", "text", tauNum = 7, tauDen = 10)
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(loose.contains((1L, 2L)) && loose.contains((1L, 3L)))
+    assert(loose((1L, 3L)) === 0.777778)
+  }
+
   implicit private class Pairs[V](rows: Array[(Long, Long, V)]) {
     def toMap2: Map[(Long, Long), V] = rows.map { case (a, b, v) => (a, b) -> v }.toMap
   }

@@ -178,4 +178,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.map(r => (r._1, r._2)) === Seq((0L, 3L), (1L, 3L)))
     got.foreach(r => assert(r._3 > 0.97, s"cluster ${r._1} cohesion ${r._3}"))
   }
+
+  test("mmrRerank: exact duplicate of the top pick is demoted by the redundancy penalty") {
+    // query 0 = e_x; 1 and 2 duplicate e_x; 3 = e_y, 4 = e_z (both rel 0)
+    val m = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(m, "vec_id", "embedding", queryId = 0L, k = 3)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // step 1: argmax rel (min-id tie-break) = 1, score 7·1e6
+    // step 2: dup 2 scores 7e6 − 3e6 = 4e6, beats orthogonal 3 at 0
+    // step 3: 3 and 4 tie at 0 → min id 3
+    assert(got === Seq(
+      (1L, 1L, 1.0, 7000000L),
+      (2L, 2L, 1.0, 4000000L),
+      (3L, 3L, 0.0, 0L)))
+  }
+
+  test("mmrRerank step 1 equals the brute-force top-1") {
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", nQueries = 1, k = 1)
+      .select("neighbor_id").as[Long].head()
+    val mmr = Similarity.mmrRerank(emb, "vec_id", "embedding", queryId = 0L, k = 1)
+      .select("vec_id").as[Long].head()
+    assert(mmr === bf)
+  }
 }
