@@ -24,7 +24,14 @@ object Bench {
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // leftover cached relations and localCheckpoint blocks from one
+      // query otherwise pile up across the 200+ query run and tax later
+      // queries with GC pauses they didn't cause — release them OUTSIDE
+      // the timed section so each timing is that query's own cost
+      spark.catalog.clearCache()
+      System.gc()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -4119,7 +4119,130 @@ object OracleSql {
         |            // (2 * sum(n)) AS DOUBLE) / 1000000.0 AS risk_frac
         |FROM g""".stripMargin,
 
-    "q220_mmr_rerank" -> mmrSql(5)
+    "q220_mmr_rerank" -> mmrSql(5),
+
+    // Hybrid RRF: q209's BM25 chain (corpus stats include doc 0; doc 0
+    // excluded from the RANKING) fused with the dense cosine ranking.
+    "q221_hybrid_retrieval" ->
+      s"""$normCte,
+         |words AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |    FROM documents WHERE text IS NOT NULL)
+         |  WHERE length(w) > 0
+         |), lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM words GROUP BY 1),
+         |tot AS (SELECT CAST(sum(len) AS HUGEINT) AS big_l, CAST(count(*) AS HUGEINT) AS big_n
+         |        FROM lens),
+         |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM words
+         |       WHERE w IN ('vector', 'stream', 'filter') GROUP BY 1, 2),
+         |idf AS (
+         |  SELECT w, CAST(round(ln(1.0 + (CAST(big_n - df AS DOUBLE) + 0.5)
+         |                              / (CAST(df AS DOUBLE) + 0.5)) * 1000000)
+         |                 AS HUGEINT) AS idf_micro
+         |  FROM (SELECT w, CAST(count(*) AS HUGEINT) AS df FROM tf GROUP BY 1), tot
+         |), c AS (
+         |  SELECT tf.doc_id,
+         |         (2 * (idf.idf_micro * 44 * tf.tf * tot.big_l)
+         |          + (20 * tf.tf * tot.big_l + 6 * tot.big_l + 18 * lens.len * tot.big_n))
+         |         // (2 * (20 * tf.tf * tot.big_l + 6 * tot.big_l + 18 * lens.len * tot.big_n))
+         |           AS c
+         |  FROM tf JOIN idf USING (w) JOIN lens USING (doc_id), tot
+         |), bm AS (
+         |  SELECT doc_id, round(CAST(sum(c) AS DOUBLE) / 1000000.0, 6) AS bm25
+         |  FROM c WHERE doc_id <> 0 GROUP BY 1
+         |), rs AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+         |           AS r_sparse
+         |  FROM bm
+         |), q AS (SELECT e AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+         |ds AS (
+         |  SELECT n.vec_id AS doc_id,
+         |         round(list_sum(list_transform(range(1, len(n.e)+1), i -> n.e[i]*q.qv[i]))
+         |               / (n.nrm * q.qn), 6) AS sim
+         |  FROM n, q WHERE n.vec_id <> 0
+         |), rd AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS BIGINT)
+         |           AS r_dense
+         |  FROM ds
+         |)
+         |SELECT coalesce(rs.doc_id, rd.doc_id) AS doc_id,
+         |       CAST(coalesce(r_sparse, 0) AS BIGINT) AS r_sparse,
+         |       CAST(coalesce(r_dense, 0) AS BIGINT) AS r_dense,
+         |       CAST(coalesce(CAST(round(1000000000.0 / (60 + r_sparse)) AS BIGINT), 0)
+         |          + coalesce(CAST(round(1000000000.0 / (60 + r_dense)) AS BIGINT), 0)
+         |            AS BIGINT) AS rrf_u
+         |FROM rs FULL OUTER JOIN rd ON rs.doc_id = rd.doc_id
+         |ORDER BY rrf_u DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q222_dq_expectations" ->
+      """SELECT * FROM (
+        |  SELECT 'fk_custkey_missing' AS "check", CAST(count(*) AS BIGINT) AS n_violations
+        |  FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL
+        |  SELECT 'null_orderdate', CAST(count(*) AS BIGINT)
+        |  FROM orders WHERE o_orderdate IS NULL
+        |  UNION ALL
+        |  SELECT 'nonpositive_totalprice', CAST(count(*) AS BIGINT)
+        |  FROM orders WHERE o_totalprice <= 0
+        |  UNION ALL
+        |  SELECT 'dup_orderkey', CAST(coalesce(sum(n), 0) AS BIGINT) FROM (
+        |    SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+        |) ORDER BY "check"""".stripMargin,
+
+    "q223_seasonal_index" ->
+      """WITH d AS (
+        |  SELECT CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |), b AS (
+        |  SELECT dow, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS rev
+        |  FROM d GROUP BY 1
+        |), t AS (SELECT CAST(sum(n) AS HUGEINT) AS tn, CAST(sum(rev) AS HUGEINT) AS tr FROM b)
+        |SELECT dow, n, rev,
+        |       CAST((2 * CAST(rev AS HUGEINT) * tn * 1000000 + tr * n)
+        |            // (2 * tr * n) AS BIGINT) AS index_ppm
+        |FROM b, t ORDER BY dow""".stripMargin,
+
+    "q224_weighted_median" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+        |         CAST(round(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem
+        |), g AS (
+        |  SELECT l_returnflag, price_c, CAST(sum(qty) AS BIGINT) AS w FROM li GROUP BY 1, 2
+        |), c AS (
+        |  SELECT l_returnflag, price_c,
+        |         CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY price_c
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+        |         CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS totw
+        |  FROM g
+        |)
+        |SELECT l_returnflag, CAST(min(price_c) AS BIGINT) AS median_price_c,
+        |       CAST(max(totw) AS BIGINT) AS total_qty
+        |FROM c WHERE cumw * 2 >= totw GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Two synchronous LPA rounds, self-vote included, min-label ties.
+    "q225_label_propagation" ->
+      s"""$minhashCte,
+         |und AS (SELECT doc_a AS u, doc_b AS v FROM cand
+         |        UNION ALL SELECT doc_b, doc_a FROM cand),
+         |l0 AS (SELECT doc_id AS u, lang AS lbl FROM documents),
+         |v1 AS (SELECT und.u, s.lbl FROM und JOIN l0 s ON s.u = und.v
+         |       UNION ALL SELECT u, lbl FROM l0),
+         |c1 AS (SELECT u, lbl, count(*) AS c FROM v1 GROUP BY 1, 2),
+         |l1 AS (SELECT u, lbl FROM (
+         |         SELECT u, lbl, row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn
+         |         FROM c1) WHERE rn = 1),
+         |v2 AS (SELECT und.u, s.lbl FROM und JOIN l1 s ON s.u = und.v
+         |       UNION ALL SELECT u, lbl FROM l1),
+         |c2 AS (SELECT u, lbl, count(*) AS c FROM v2 GROUP BY 1, 2),
+         |l2 AS (SELECT u, lbl FROM (
+         |         SELECT u, lbl, row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn
+         |         FROM c2) WHERE rn = 1)
+         |SELECT l2.u AS doc_id, l0.lbl AS lang_before, l2.lbl AS lang_after
+         |FROM l2 JOIN l0 ON l0.u = l2.u
+         |WHERE l2.lbl <> l0.lbl ORDER BY doc_id""".stripMargin
   )
 
   /** Chained-CTE MMR greedy mirror (k steps, λ = 7/10): step t maximizes

@@ -3491,6 +3491,123 @@ object SparkEntry {
     "q220_mmr_rerank" -> ((s, dir) =>
       Similarity.mmrRerank(Tables.embeddings(s, dir), "vec_id", "embedding")),
 
+    // hybrid retrieval: BM25 keyword ranking fused with dense cosine
+    // ranking (query = doc 0's embedding) by reciprocal-rank fusion —
+    // the two-tower readout every modern retrieval stack ships; each
+    // ranking is bounded, fusion is a full outer join on doc_id
+    "q221_hybrid_retrieval" -> ((s, dir) => {
+      val sparse = operators.Retrieval
+        .bm25Scores(Tables.documents(s, dir), "doc_id", "text",
+          Seq("vector", "stream", "filter"))
+        .filter(col("doc_id") =!= 0L)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      val dense = Similarity
+        .bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+          nQueries = 1, k = Int.MaxValue)
+        .select(col("neighbor_id").as("doc_id"), col("rk").as("rank"))
+      operators.Retrieval.rrfFuse(sparse, dense, k = 10)
+    }),
+
+    // data-quality expectation suite: the contract checks a lakehouse
+    // gate runs before promoting a partition — FK integrity (anti join),
+    // null guard, range guard, key uniqueness — each one aggregate over
+    // the same scan family, reported as (check, n_violations) rows
+    "q222_dq_expectations" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val fk = o.join(c.select(col("c_custkey")), col("o_custkey") === col("c_custkey"),
+          "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("fk_custkey_missing").as("check"), col("n_violations"))
+      val nullDate = o.filter(col("o_orderdate").isNull)
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("null_orderdate").as("check"), col("n_violations"))
+      val range = o.filter(col("o_totalprice") <= 0.0)
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("nonpositive_totalprice").as("check"), col("n_violations"))
+      val dupKey = o.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n_violations"))
+        .select(lit("dup_orderkey").as("check"), col("n_violations"))
+      fk.unionByName(nullDate).unionByName(range).unionByName(dupKey)
+        .orderBy("check")
+    }),
+
+    // day-of-week seasonal index of revenue: dow mean vs overall mean as
+    // one exact half-away ppm division (index 1e6 = flat) — the
+    // seasonality readout behind the q188 anomaly z-scores. 0 = Sunday
+    // (DuckDB dayofweek convention; Spark's dayofweek() is 1-based)
+    "q223_seasonal_index" -> ((s, dir) => {
+      val d = Tables.orders(s, dir)
+        .select((dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"),
+          centsOf(col("o_totalprice")).as("cents"))
+      val byDow = d.groupBy("dow")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("rev"))
+      val tot = byDow.agg(sum(col("n")).as("tn"), sum(col("rev")).as("tr"))
+      // products reach rev·tn·1e6 ≈ 10²³ at sf0.1 — decimal(38,0), not long
+      byDow.crossJoin(broadcast(tot))
+        .select(col("dow"), col("n"), col("rev"),
+          expr("""CAST((2 * CAST(rev AS DECIMAL(38,0)) * tn * 1000000 + CAST(tr AS DECIMAL(38,0)) * n)
+                 div (2 * CAST(tr AS DECIMAL(38,0)) * n) AS BIGINT)""").as("index_ppm"))
+        .orderBy("dow")
+    }),
+
+    // weighted median price per return flag: the 50%-of-quantity price
+    // point — a cumulative-weight window over the price order, median =
+    // first price where 2·cumw ≥ total weight (exact integers, no
+    // interpolation ambiguity)
+    "q224_weighted_median" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          centsOf(col("l_extendedprice")).as("price_c"),
+          round(col("l_quantity"), 0).cast("long").as("qty"))
+        .groupBy("l_returnflag", "price_c")
+        .agg(sum(col("qty")).as("w"))
+      val wCum = Window.partitionBy("l_returnflag").orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wTot = Window.partitionBy("l_returnflag")
+      li.withColumn("cumw", sum(col("w")).over(wCum))
+        .withColumn("totw", sum(col("w")).over(wTot))
+        .filter(col("cumw") * 2 >= col("totw"))
+        .groupBy("l_returnflag")
+        .agg(min(col("price_c")).as("median_price_c"), max(col("totw")).as("total_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // label propagation over the near-dup graph: two synchronous rounds
+    // of neighbor-majority lang voting (self-vote included, ties to the
+    // lexicographically smallest label) — the semi-supervised "fill in
+    // missing metadata from duplicates" pass; each round is one edge
+    // join + one (node, label) count + one rank
+    "q225_label_propagation" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val edges = Dedup.minhashCandidates(d, "doc_id", "text").select("doc_a", "doc_b")
+      val und = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionByName(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      val init = d.select(col("doc_id").as("u"), col("lang").as("lbl"))
+      def step(labels: DataFrame): DataFrame = {
+        val votes = und
+          .join(labels.select(col("u").as("v"), col("lbl")), "v")
+          .select(col("u"), col("lbl"))
+          .unionByName(labels.select(col("u"), col("lbl"))) // self-vote
+          .groupBy("u", "lbl")
+          .agg(count(lit(1)).as("c"))
+        votes
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("u").orderBy(col("c").desc, col("lbl"))))
+          .filter(col("rn") === 1)
+          .select(col("u"), col("lbl"))
+      }
+      val r2 = step(step(init))
+      // report only nodes whose label CHANGED — the interesting output
+      r2.join(init.select(col("u"), col("lbl").as("lbl0")), "u")
+        .filter(col("lbl") =!= col("lbl0"))
+        .select(col("u").as("doc_id"), col("lbl0").as("lang_before"),
+          col("lbl").as("lang_after"))
+        .orderBy("doc_id")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Okapi BM25 document retrieval over whitespace tokens — the
@@ -30,7 +30,19 @@ object Retrieval {
       idCol: String,
       textCol: String,
       terms: Seq[String],
-      k: Int = 10): DataFrame = {
+      k: Int = 10): DataFrame =
+    bm25Scores(docs, idCol, textCol, terms)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+
+  /** Unranked BM25 scores for every doc matching ≥ 1 query term — the
+    * relation [[bm25TopK]] and the hybrid RRF fusion rank over.
+    */
+  def bm25Scores(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String]): DataFrame = {
     val words = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ", -1)).as("w"))
@@ -64,7 +76,31 @@ object Retrieval {
       .select(
         col("doc_id"), col("n_terms"),
         round(col("_score").cast("double") / 1000000.0, 6).as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id"))
+  }
+
+  /** Reciprocal-rank fusion of a sparse (BM25) and a dense (cosine)
+    * ranking: `RRF(d) = Σ_r 1/(C + rank_r(d))` with the standard C = 60,
+    * each reciprocal nano-quantized to an integer so the fused ordering
+    * has no float boundary. Docs appearing in only one ranking contribute
+    * that ranking's term alone (the union semantics of Cormack et al.,
+    * SIGIR'09). Both input rankings arrive as (doc_id, rank) relations —
+    * rank construction stays with the caller, fusion is pure.
+    *
+    * Scale shape: two bounded ranked relations full-outer-joined on
+    * doc_id; the fused top-k is one ordered limit. Nothing here touches
+    * the corpus.
+    */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame, k: Int = 10, c: Int = 60): DataFrame = {
+    def contrib(r: Column): Column =
+      coalesce(round(lit(1000000000.0) / (lit(c) + r), 0).cast("long"), lit(0L))
+    sparse.select(col("doc_id"), col("rank").as("r_sparse"))
+      .join(dense.select(col("doc_id"), col("rank").as("r_dense")), Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("r_sparse"), lit(0L)).as("r_sparse"),
+        coalesce(col("r_dense"), lit(0L)).as("r_dense"),
+        (contrib(col("r_sparse")) + contrib(col("r_dense"))).as("rrf_u"))
+      .orderBy(col("rrf_u").desc, col("doc_id"))
       .limit(k)
   }
 }

@@ -55,7 +55,11 @@ class PlanGuardSpec extends AnyFunSuite {
     "q83_kmeans_step",
     "q84_knn_classify",
     "q86_logodds_terms",
-    "q94_ivf_profile")
+    "q94_ivf_profile",
+    "q209_bm25_topk",          // 1-row (Σlen, N) corpus-totals bound
+    "q214_cusum_changepoint",  // 1-row totals + 1-row max-|cusum| bounds
+    "q221_hybrid_retrieval",   // q209's corpus-totals bound (BM25 leg)
+    "q223_seasonal_index")     // 1-row (Σn, Σrev) totals bound
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString

@@ -48,4 +48,16 @@ class RetrievalSpec extends AnyFunSuite {
   test("bm25: k limits the result") {
     assert(Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 2).count() === 2L)
   }
+
+  test("rrfFuse: union semantics, exact nano contributions, absent rank reported as 0") {
+    val sparse = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "rank")
+    val dense = Seq((2L, 1L), (3L, 2L)).toDF("doc_id", "rank")
+    val got = Retrieval.rrfFuse(sparse, dense, k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // 1e9/61 = 16393443 (rounded), 1e9/62 = 16129032
+    assert(got === Seq(
+      (2L, 2L, 1L, 16129032L + 16393443L), // in both rankings → top
+      (1L, 1L, 0L, 16393443L),
+      (3L, 0L, 2L, 16129032L)))
+  }
 }
