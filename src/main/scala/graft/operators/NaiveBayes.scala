@@ -40,10 +40,15 @@ object NaiveBayes {
     val words = base
       .select(col("doc_id"), col("actual"), explode(split(col("text"), " ", -1)).as("w"))
       .filter(length(col("w")) > 0)
+    // training counts DERIVE from dw (q72/q43 discipline), and dw feeds
+    // FOUR consumers (lw, adjSum, nWords, and lw's own derivations) whose
+    // plan subtrees diverge enough that exchange reuse never fires — the
+    // un-checkpointed DAG re-scans and re-explodes the corpus 24 times.
+    // A lazy localCheckpoint materializes the skinny per-doc count
+    // relation once, executor-local (q138's pattern), and every consumer
+    // reads the materialized blocks.
     val dw = words.groupBy("doc_id", "actual", "w").agg(count(lit(1)).as("n"))
-    // training counts DERIVE from dw (q72/q43 discipline: the corpus
-    // explodes once; the second aggregation reshuffles the much smaller
-    // per-doc count relation, and dw's exchange is reused)
+      .localCheckpoint(false)
     val lw = dw.groupBy(col("actual").as("lbl"), col("w")).agg(sum(col("n")).as("c"))
     val lt = lw.groupBy("lbl").agg(sum(col("c")).as("t"))
     val vocab = lw.select("w").distinct().agg(count(lit(1)).as("v"))
