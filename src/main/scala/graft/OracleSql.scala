@@ -4242,7 +4242,59 @@ object OracleSql {
          |         FROM c2) WHERE rn = 1)
          |SELECT l2.u AS doc_id, l0.lbl AS lang_before, l2.lbl AS lang_after
          |FROM l2 JOIN l0 ON l0.u = l2.u
-         |WHERE l2.lbl <> l0.lbl ORDER BY doc_id""".stripMargin
+         |WHERE l2.lbl <> l0.lbl ORDER BY doc_id""".stripMargin,
+
+    "q226_edit_blocking" ->
+      """WITH b AS (SELECT p_partkey AS k, p_brand, length(p_name) AS ln, p_name FROM part)
+        |SELECT a.k AS part_a, c.k AS part_b, a.p_brand AS brand,
+        |       CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS dist
+        |FROM b a JOIN b c ON a.p_brand = c.p_brand AND a.ln = c.ln AND a.k < c.k
+        |ORDER BY dist, part_a, part_b LIMIT 25""".stripMargin,
+
+    "q227_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT source, doc_id % 16 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1, 2
+        |), o AS (
+        |  SELECT *, CAST(sum(bytes) OVER (ORDER BY bytes DESC, source, shard
+        |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM f
+        |)
+        |SELECT CAST((cum - bytes) // 16384 AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |       CAST(max(bytes) AS BIGINT) AS max_file_bytes,
+        |       CAST(sum(bytes) * 1000000 // 16384 AS BIGINT) AS fill_ppm
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q228_benford_audit" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |     d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM c),
+        |     n AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |     t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM n),
+        |     e AS (SELECT * FROM (VALUES (1,301030),(2,176091),(3,124939),(4,96910),(5,79181),
+        |                                 (6,66947),(7,57992),(8,51153),(9,45757)) AS v(digit, benford_ppm))
+        |SELECT CAST(e.digit AS BIGINT) AS digit, CAST(coalesce(n.n, 0) AS BIGINT) AS n,
+        |       CAST(coalesce(n.n, 0) * 1000000 // t.tot AS BIGINT) AS actual_ppm,
+        |       CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
+        |       CAST(coalesce(n.n, 0) * 1000000 // t.tot - e.benford_ppm AS BIGINT) AS delta_ppm
+        |FROM e LEFT JOIN n ON n.digit = e.digit CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    "q229_assoc_rules" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+        |            FROM lineitem JOIN part ON p_partkey = l_partkey),
+        |     ni AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM ob GROUP BY 1),
+        |     nn AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS total FROM ob),
+        |     pr AS (SELECT a.b AS ante, c.b AS cons, CAST(count(*) AS BIGINT) AS n_ab
+        |            FROM ob a JOIN ob c ON a.o = c.o AND a.b <> c.b GROUP BY 1, 2)
+        |SELECT pr.ante, pr.cons, pr.n_ab,
+        |       CAST(pr.n_ab * 1000000 // na.n AS BIGINT) AS conf_ppm,
+        |       CAST(pr.n_ab * nn.total * 1000000 // (na.n * nc.n) AS BIGINT) AS lift_ppm
+        |FROM pr JOIN ni na ON na.b = pr.ante JOIN ni nc ON nc.b = pr.cons CROSS JOIN nn
+        |WHERE pr.n_ab >= 20
+        |ORDER BY lift_ppm DESC, ante, cons LIMIT 25""".stripMargin
   )
 
   /** Chained-CTE MMR greedy mirror (k steps, λ = 7/10): step t maximizes

@@ -3608,6 +3608,93 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // record-linkage by edit distance: block on (brand, name length) so the
+    // candidate set is Σblock² not n², then exact Levenshtein (codegen'd
+    // built-in) on survivors only — the classic cheap-key blocking +
+    // expensive-verify shape; 25 closest pairs, total-order tie-break
+    "q226_edit_blocking" -> ((s, dir) => {
+      val b = Tables.part(s, dir).select(
+        col("p_partkey").as("k"), col("p_brand"),
+        length(col("p_name")).as("ln"), col("p_name"))
+      val lhs = b.select(col("k").as("part_a"), col("p_brand").as("brand"),
+        col("ln"), col("p_name").as("name_a"))
+      val rhs = b.select(col("k").as("part_b"), col("p_brand").as("brand_b"),
+        col("ln").as("ln_b"), col("p_name").as("name_b"))
+      lhs.join(rhs, col("brand") === col("brand_b") && col("ln") === col("ln_b")
+          && col("part_a") < col("part_b"))
+        .select(col("part_a"), col("part_b"), col("brand"),
+          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+        .orderBy(col("dist"), col("part_a"), col("part_b")).limit(25)
+    }),
+
+    // small-file compaction planner: the file manifest is (source, shard)
+    // sizes — 3 orders of magnitude smaller than the data — so the
+    // global-order cumulative window runs on the manifest only; files pack
+    // greedily into 16 KiB target bins by descending size (a file joins the
+    // bin its cumulative START falls in — pure integer floor division)
+    "q227_compaction_plan" -> ((s, dir) => {
+      val files = Tables.documents(s, dir)
+        .groupBy(col("source"), (col("doc_id") % 16).as("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+      val w = Window.orderBy(col("bytes").desc, col("source"), col("shard"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      files.withColumn("cum", sum(col("bytes")).over(w))
+        .withColumn("bin", expr("(cum - bytes) div 16384"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_files"), sum(col("n_docs")).as("n_docs"),
+          sum(col("bytes")).as("total_bytes"), max(col("bytes")).as("max_file_bytes"))
+        .withColumn("fill_ppm", expr("total_bytes * 1000000 div 16384"))
+        .select("bin", "n_files", "n_docs", "total_bytes", "max_file_bytes", "fill_ppm")
+        .orderBy("bin")
+    }),
+
+    // Benford first-digit audit on order totals: leading digit read from
+    // the exact cents integer (no float log10), observed share vs the
+    // Benford expectation as ppm constants inlined identically in the
+    // oracle; LEFT join keeps absent digits as zero rows
+    "q228_benford_audit" -> ((s, dir) => {
+      import s.implicits._
+      val benford = Seq(1L -> 301030L, 2L -> 176091L, 3L -> 124939L,
+        4L -> 96910L, 5L -> 79181L, 6L -> 66947L, 7L -> 57992L,
+        8L -> 51153L, 9L -> 45757L).toDF("digit", "benford_ppm")
+      val n = Tables.orders(s, dir)
+        .select(substring(centsOf(col("o_totalprice")).cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = n.agg(sum(col("n")).as("tot"))
+      broadcast(benford).join(n, Seq("digit"), "left").na.fill(0L, Seq("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          expr("n * 1000000 div tot").as("actual_ppm"),
+          col("benford_ppm"),
+          expr("n * 1000000 div tot - benford_ppm").as("delta_ppm"))
+        .orderBy("digit")
+    }),
+
+    // association rules over per-order brand baskets: one shuffle on the
+    // basket key for the pair counts, per-item counts broadcast back, and
+    // support/confidence/lift in exact ppm integers; min-support 20 prunes
+    // the rule set before the top-25-by-lift readout
+    "q229_assoc_rules" -> ((s, dir) => {
+      val ob = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+          col("p_partkey") === col("l_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b")).distinct()
+      val ni = ob.groupBy("b").agg(count(lit(1)).as("n"))
+      val nn = ob.agg(countDistinct(col("o")).as("total"))
+      val pr = ob.as("a").join(ob.as("c"), col("a.o") === col("c.o") && col("a.b") =!= col("c.b"))
+        .groupBy(col("a.b").as("ante"), col("c.b").as("cons"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 20)
+      pr.join(broadcast(ni.select(col("b").as("ante"), col("n").as("n_a"))), "ante")
+        .join(broadcast(ni.select(col("b").as("cons"), col("n").as("n_c"))), "cons")
+        .crossJoin(broadcast(nn))
+        .select(col("ante"), col("cons"), col("n_ab"),
+          expr("n_ab * 1000000 div n_a").as("conf_ppm"),
+          expr("n_ab * total * 1000000 div (n_a * n_c)").as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("ante"), col("cons")).limit(25)
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

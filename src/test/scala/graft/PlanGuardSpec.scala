@@ -43,6 +43,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q116_kmeans_fit",           // k·dim fitted centroid set
     "q117_cluster_purity",       // same fitted centroid broadcast
     "q125_blocking_overlap",     // three 1-row count aggregates
+    "q228_benford_audit",        // 1-row digit-total aggregate bound
+    "q229_assoc_rules",          // 1-row basket-count aggregate bound
     "q10_class_weights",
     "q68_temperature_sample",
     "q24_embed_topk",
