@@ -4294,7 +4294,87 @@ object OracleSql {
         |       CAST(pr.n_ab * nn.total * 1000000 // (na.n * nc.n) AS BIGINT) AS lift_ppm
         |FROM pr JOIN ni na ON na.b = pr.ante JOIN ni nc ON nc.b = pr.cons CROSS JOIN nn
         |WHERE pr.n_ab >= 20
-        |ORDER BY lift_ppm DESC, ante, cons LIMIT 25""".stripMargin
+        |ORDER BY lift_ppm DESC, ante, cons LIMIT 25""".stripMargin,
+
+    "q230_markov_stationary" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS e,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events
+        |), tr AS (
+        |  SELECT e AS i, nxt AS j, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+        |), tot AS (SELECT i, CAST(sum(n) AS BIGINT) AS ni FROM tr GROUP BY 1),
+        |p1 AS (SELECT tr.j AS state, CAST(sum(200000 * tr.n // tot.ni) AS BIGINT) AS pi
+        |       FROM tr JOIN tot ON tot.i = tr.i GROUP BY 1),
+        |p2 AS (SELECT tr.j AS state, CAST(sum(p1.pi * tr.n // tot.ni) AS BIGINT) AS pi
+        |       FROM tr JOIN tot ON tot.i = tr.i JOIN p1 ON p1.state = tr.i GROUP BY 1),
+        |p3 AS (SELECT tr.j AS state, CAST(sum(p2.pi * tr.n // tot.ni) AS BIGINT) AS pi
+        |       FROM tr JOIN tot ON tot.i = tr.i JOIN p2 ON p2.state = tr.i GROUP BY 1)
+        |SELECT p3.state, tot.ni AS n_out, p3.pi AS pi_ppm
+        |FROM p3 JOIN tot ON tot.i = p3.state ORDER BY 1""".stripMargin,
+
+    "q231_zorder_layout" ->
+      """WITH zed AS (
+        |  SELECT CAST(o_custkey % 16 AS BIGINT) AS x,
+        |         CAST(((year(o_orderdate) * 12 + month(o_orderdate)) - 23941) % 16 AS BIGINT) AS y
+        |  FROM orders
+        |), m AS (
+        |  SELECT x, y,
+        |         (x & 1) + 2 * (y & 1) + 4 * ((x >> 1) & 1) + 8 * ((y >> 1) & 1)
+        |         + 16 * ((x >> 2) & 1) + 32 * ((y >> 2) & 1)
+        |         + 64 * ((x >> 3) & 1) + 128 * ((y >> 3) & 1) AS z
+        |  FROM zed
+        |), a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN z BETWEEN 0 AND 63 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN x BETWEEN 0 AND 7 AND y BETWEEN 0 AND 7 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+        |    CAST(sum(CASE WHEN z BETWEEN 16 AND 31 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+        |    CAST(sum(CASE WHEN x BETWEEN 4 AND 7 AND y BETWEEN 0 AND 3 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+        |    CAST(sum(CASE WHEN z BETWEEN 13 AND 198 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+        |    CAST(sum(CASE WHEN x BETWEEN 3 AND 10 AND y BETWEEN 2 AND 9 THEN 1 ELSE 0 END) AS BIGINT) AS h3
+        |  FROM m
+        |)
+        |SELECT box_id, scanned, hits, CAST(hits * 1000000 // scanned AS BIGINT) AS precision_ppm
+        |FROM (
+        |  SELECT CAST(1 AS BIGINT) AS box_id, s1 AS scanned, h1 AS hits FROM a
+        |  UNION ALL SELECT 2, s2, h2 FROM a
+        |  UNION ALL SELECT 3, s3, h3 FROM a
+        |) ORDER BY box_id""".stripMargin,
+
+    "q232_welch_ttest" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS HUGEINT) AS s,
+        |         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)
+        |                  * CAST(round(c_acctbal * 100) AS BIGINT)) AS HUGEINT) AS ss
+        |  FROM customer WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING') GROUP BY 1
+        |), a AS (SELECT * FROM g WHERE seg = 'AUTOMOBILE'),
+        |   b AS (SELECT * FROM g WHERE seg = 'BUILDING')
+        |SELECT a.n AS n_a, b.n AS n_b,
+        |  round(CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) / 100.0, 6) AS mean_a,
+        |  round(CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) / 100.0, 6) AS mean_b,
+        |  round((CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)) /
+        |        sqrt((CAST(a.n AS DOUBLE) * CAST(a.ss AS DOUBLE) - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE))
+        |             / (CAST(a.n AS DOUBLE) * CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1.0)) +
+        |             (CAST(b.n AS DOUBLE) * CAST(b.ss AS DOUBLE) - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE))
+        |             / (CAST(b.n AS DOUBLE) * CAST(b.n AS DOUBLE) * (CAST(b.n AS DOUBLE) - 1.0))), 6) AS t_stat
+        |FROM a, b""".stripMargin,
+
+    "q233_readability" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS words,
+        |    CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS BIGINT) AS syll,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS sents
+        |  FROM documents
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(words) AS BIGINT) AS words, CAST(sum(syll) AS BIGINT) AS syllables,
+        |  CAST(sum(sents) AS BIGINT) AS sentences,
+        |  CAST(206835 - 1015 * sum(words) // sum(sents) - 84600 * sum(syll) // sum(words) AS BIGINT)
+        |    AS flesch_milli
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Chained-CTE MMR greedy mirror (k steps, λ = 7/10): step t maximizes

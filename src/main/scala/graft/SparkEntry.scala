@@ -3695,6 +3695,104 @@ object SparkEntry {
         .orderBy(col("lift_ppm").desc, col("ante"), col("cons")).limit(25)
     }),
 
+    // stationary distribution of the q118 transition matrix: three exact
+    // integer power-iteration steps from the uniform ppm vector — the
+    // 25-row matrix is localCheckpoint'd once so the iteration never
+    // re-runs the event window; per-term floor division (π_i·n_ij div n_i)
+    // keeps both engines bit-identical with no float accumulation
+    "q230_markov_stationary" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trt = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type").as("e"))
+        .withColumn("nxt", lead(col("e"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("e").as("i"), col("nxt").as("j"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("ni", sum(col("n")).over(Window.partitionBy("i")))
+        .localCheckpoint()
+      val p0 = trt.select(col("i").as("state")).distinct()
+        .withColumn("pi", lit(200000L))
+      def step(p: DataFrame): DataFrame =
+        trt.join(p.withColumnRenamed("state", "i"), "i")
+          .groupBy(col("j").as("state"))
+          .agg(sum(expr("pi * n div ni")).as("pi"))
+      val p3 = step(step(step(p0)))
+      p3.join(trt.select(col("i").as("state"), col("ni").as("n_out")).distinct(), "state")
+        .select(col("state"), col("n_out"), col("pi").as("pi_ppm"))
+        .orderBy("state")
+    }),
+
+    // z-order (Morton) layout audit: interleave 4-bit (custkey bucket,
+    // month bucket) into an 8-bit z-value per order, then measure range-scan
+    // precision for three query boxes against the corner-z bounds (spread()
+    // is monotone, so corner bounds are valid but loose for unaligned
+    // boxes) — one conditional-aggregation pass, no join, unpivoted by stack
+    "q231_zorder_layout" -> ((s, dir) => {
+      val zed = Tables.orders(s, dir).select(
+        (col("o_custkey") % 16).cast("long").as("x"),
+        (((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))) - lit(1995 * 12 + 1)) % 16)
+          .cast("long").as("y"))
+        .withColumn("z", expr(
+          "(x & 1) + 2 * (y & 1) + 4 * (shiftright(x, 1) & 1) + 8 * (shiftright(y, 1) & 1)" +
+            " + 16 * (shiftright(x, 2) & 1) + 32 * (shiftright(y, 2) & 1)" +
+            " + 64 * (shiftright(x, 3) & 1) + 128 * (shiftright(y, 3) & 1)"))
+      zed.agg(
+          sum(when(col("z").between(0, 63), 1L).otherwise(0L)).as("s1"),
+          sum(when(col("x").between(0, 7) && col("y").between(0, 7), 1L).otherwise(0L)).as("h1"),
+          sum(when(col("z").between(16, 31), 1L).otherwise(0L)).as("s2"),
+          sum(when(col("x").between(4, 7) && col("y").between(0, 3), 1L).otherwise(0L)).as("h2"),
+          sum(when(col("z").between(13, 198), 1L).otherwise(0L)).as("s3"),
+          sum(when(col("x").between(3, 10) && col("y").between(2, 9), 1L).otherwise(0L)).as("h3"))
+        .selectExpr("stack(3, 1L, s1, h1, 2L, s2, h2, 3L, s3, h3) AS (box_id, scanned, hits)")
+        .withColumn("precision_ppm", expr("hits * 1000000 div scanned"))
+        .orderBy("box_id")
+    }),
+
+    // Welch's two-sample t on account balances (AUTOMOBILE vs BUILDING):
+    // count / sum / sum-of-squares in exact cents integers, the t statistic
+    // assembled in one double expression written identically in the oracle
+    // (same IEEE operation order), rounded at the end only
+    "q232_welch_ttest" -> ((s, dir) => {
+      val cents = centsOf(col("c_acctbal"))
+      val g = Tables.customer(s, dir)
+        .filter(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents.cast(dec38)).as("s"),
+          sum((cents * cents).cast(dec38)).as("ss"))
+      val a = g.filter(col("seg") === "AUTOMOBILE")
+        .select(col("n").as("n_a"), col("s").as("s_a"), col("ss").as("ss_a"))
+      val b = g.filter(col("seg") === "BUILDING")
+        .select(col("n").as("n_b"), col("s").as("s_b"), col("ss").as("ss_b"))
+      a.crossJoin(broadcast(b)).selectExpr(
+        "n_a", "n_b",
+        "round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0, 6) AS mean_a",
+        "round(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0, 6) AS mean_b",
+        "round((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / " +
+          "sqrt((CAST(n_a AS DOUBLE) * CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))" +
+          " / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) + " +
+          "(CAST(n_b AS DOUBLE) * CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))" +
+          " / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))), 6) AS t_stat")
+    }),
+
+    // Flesch-style readability per language: word / vowel-group / sentence
+    // counts via codegen'd regexp_count (identical regex semantics in
+    // DuckDB's regexp_extract_all), score in exact milli units with corpus
+    // totals — sentence count floors at 1 so fragment-only docs don't
+    // divide by zero
+    "q233_readability" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          regexp_count(col("text"), lit("[A-Za-z0-9]+")).cast("long").as("words"),
+          regexp_count(col("text"), lit("[aeiouAEIOU]+")).cast("long").as("syll"),
+          greatest(regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L)).as("sents"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("words")).as("words"),
+          sum(col("syll")).as("syllables"), sum(col("sents")).as("sentences"))
+        .withColumn("flesch_milli",
+          expr("206835 - 1015 * words div sentences - 84600 * syllables div words"))
+        .orderBy("lang")),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -45,6 +45,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q125_blocking_overlap",     // three 1-row count aggregates
     "q228_benford_audit",        // 1-row digit-total aggregate bound
     "q229_assoc_rules",          // 1-row basket-count aggregate bound
+    "q232_welch_ttest",          // 1-row per-segment moment aggregates
     "q10_class_weights",
     "q68_temperature_sample",
     "q24_embed_topk",
