@@ -4374,7 +4374,82 @@ object OracleSql {
         |  CAST(sum(sents) AS BIGINT) AS sentences,
         |  CAST(206835 - 1015 * sum(words) // sum(sents) - 84600 * sum(syll) // sum(words) AS BIGINT)
         |    AS flesch_milli
-        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q234_fd_profile" ->
+      """WITH
+        |g1 AS (SELECT CAST(p_brand AS VARCHAR) a, CAST(p_type AS VARCHAR) b,
+        |              CAST(count(*) AS BIGINT) n FROM part GROUP BY 1, 2),
+        |s1 AS (SELECT a, CAST(sum(n) AS BIGINT) tot, CAST(max(n) AS BIGINT) mx,
+        |              CAST(count(*) AS BIGINT) nb FROM g1 GROUP BY 1),
+        |r1 AS (SELECT 'part: p_brand -> p_type' AS fd, CAST(count(*) AS BIGINT) n_groups,
+        |              CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT) violating_groups,
+        |              CAST(sum(mx) * 1000000 // sum(tot) AS BIGINT) support_ppm FROM s1),
+        |g2 AS (SELECT CAST(l_partkey AS VARCHAR) a, CAST(l_suppkey AS VARCHAR) b,
+        |              CAST(count(*) AS BIGINT) n FROM lineitem GROUP BY 1, 2),
+        |s2 AS (SELECT a, CAST(sum(n) AS BIGINT) tot, CAST(max(n) AS BIGINT) mx,
+        |              CAST(count(*) AS BIGINT) nb FROM g2 GROUP BY 1),
+        |r2 AS (SELECT 'lineitem: l_partkey -> l_suppkey' AS fd, CAST(count(*) AS BIGINT),
+        |              CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |              CAST(sum(mx) * 1000000 // sum(tot) AS BIGINT) FROM s2),
+        |g3 AS (SELECT CAST(c_nationkey AS VARCHAR) a, CAST(c_mktsegment AS VARCHAR) b,
+        |              CAST(count(*) AS BIGINT) n FROM customer GROUP BY 1, 2),
+        |s3 AS (SELECT a, CAST(sum(n) AS BIGINT) tot, CAST(max(n) AS BIGINT) mx,
+        |              CAST(count(*) AS BIGINT) nb FROM g3 GROUP BY 1),
+        |r3 AS (SELECT 'customer: c_nationkey -> c_mktsegment' AS fd, CAST(count(*) AS BIGINT),
+        |              CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |              CAST(sum(mx) * 1000000 // sum(tot) AS BIGINT) FROM s3)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+        |ORDER BY fd""".stripMargin,
+
+    "q235_theilsen_slope" ->
+      """WITH p AS (SELECT p_brand, CAST(p_size AS BIGINT) x,
+        |                  CAST(round(p_retailprice * 100) AS BIGINT) y FROM part),
+        |pairs AS (
+        |  SELECT a.p_brand,
+        |    CASE WHEN (b.y - a.y) >= 0
+        |         THEN (2 * (b.y - a.y) * 1000 + (b.x - a.x)) // (2 * (b.x - a.x))
+        |         ELSE -((2 * (a.y - b.y) * 1000 + (b.x - a.x)) // (2 * (b.x - a.x))) END
+        |      AS slope_milli
+        |  FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.x < b.x
+        |), r AS (
+        |  SELECT p_brand, slope_milli,
+        |         row_number() OVER (PARTITION BY p_brand ORDER BY slope_milli) AS rn,
+        |         count(*) OVER (PARTITION BY p_brand) AS n
+        |  FROM pairs
+        |)
+        |SELECT p_brand, CAST(max(n) AS BIGINT) AS n_pairs,
+        |       CAST(min(slope_milli) AS BIGINT) AS median_slope_milli
+        |FROM r WHERE rn = (n + 1) // 2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q236_important_parts" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_c
+        |  FROM lineitem GROUP BY 1
+        |), t AS (SELECT CAST(sum(value_c) AS HUGEINT) AS tot FROM pv)
+        |SELECT pv.l_partkey AS partkey, p.p_brand AS brand, pv.value_c
+        |FROM pv JOIN part p ON p.p_partkey = pv.l_partkey CROSS JOIN t
+        |WHERE CAST(pv.value_c AS HUGEINT) * 2000 > t.tot
+        |ORDER BY pv.value_c DESC, partkey LIMIT 25""".stripMargin,
+
+    "q237_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sc,
+        |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq
+        |  FROM lineitem GROUP BY 1, 2
+        |), u AS (
+        |  SELECT pk, sk, sc // sq AS unit_c,
+        |         min(sc // sq) OVER (PARTITION BY pk) AS min_unit_c
+        |  FROM ps WHERE sq > 0
+        |)
+        |SELECT u.pk AS partkey, u.sk AS suppkey, s.s_name, n.n_name AS nation,
+        |       CAST(u.unit_c AS BIGINT) AS unit_c
+        |FROM u JOIN supplier s ON s.s_suppkey = u.sk
+        |       JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE u.unit_c = u.min_unit_c
+        |ORDER BY unit_c, partkey, suppkey LIMIT 25""".stripMargin
   )
 
   /** Chained-CTE MMR greedy mirror (k steps, λ = 7/10): step t maximizes

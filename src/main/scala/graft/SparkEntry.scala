@@ -3793,6 +3793,94 @@ object SparkEntry {
           expr("206835 - 1015 * words div sentences - 84600 * syllables div words"))
         .orderBy("lang")),
 
+    // functional-dependency profiling (the discovery side of data-quality
+    // rules): for three candidate FDs A→B, group (A,B) counts roll up to
+    // per-A (total, max, #distinct B), and the FD's support is the exact
+    // fraction of rows kept under majority repair — each FD is one narrow
+    // two-level aggregation, unioned at 3 rows
+    "q234_fd_profile" -> ((s, dir) => {
+      def fd(df: DataFrame, name: String, a: Column, b: Column): DataFrame =
+        df.select(a.cast("string").as("a"), b.cast("string").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n"))
+          .groupBy("a").agg(sum(col("n")).as("tot"), max(col("n")).as("mx"),
+            count(lit(1)).as("nb"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("nb") > 1, 1L).otherwise(0L)).as("violating_groups"),
+            expr("sum(mx) * 1000000 div sum(tot)").as("support_ppm"))
+          .select(lit(name).as("fd"), col("n_groups"), col("violating_groups"),
+            col("support_ppm"))
+      fd(Tables.part(s, dir), "part: p_brand -> p_type", col("p_brand"), col("p_type"))
+        .unionByName(fd(Tables.lineitem(s, dir), "lineitem: l_partkey -> l_suppkey",
+          col("l_partkey"), col("l_suppkey")))
+        .unionByName(fd(Tables.customer(s, dir), "customer: c_nationkey -> c_mktsegment",
+          col("c_nationkey"), col("c_mktsegment")))
+        .orderBy("fd")
+    }),
+
+    // Theil-Sen robust slope of retail price vs size per brand: all
+    // distinct-size pairs generated map-side against the broadcast dim
+    // (no shuffle for pair generation), slope as a half-away-rounded
+    // milli integer (sign split keeps floor semantics engine-identical),
+    // lower median by rank — outlier-resistant vs the q139 OLS
+    "q235_theilsen_slope" -> ((s, dir) => {
+      val p = Tables.part(s, dir).select(col("p_brand"),
+        col("p_size").cast("long").as("x"), centsOf(col("p_retailprice")).as("y"))
+      val pairs = p.as("a")
+        .join(broadcast(p.as("b")),
+          col("a.p_brand") === col("b.p_brand") && col("a.x") < col("b.x"))
+        .select(col("a.p_brand").as("p_brand"),
+          expr("CASE WHEN (b.y - a.y) >= 0" +
+            " THEN (2 * (b.y - a.y) * 1000 + (b.x - a.x)) div (2 * (b.x - a.x))" +
+            " ELSE -((2 * (a.y - b.y) * 1000 + (b.x - a.x)) div (2 * (b.x - a.x))) END")
+            .as("slope_milli"))
+      pairs
+        .withColumn("rn", row_number().over(Window.partitionBy("p_brand").orderBy("slope_milli")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("p_brand")))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .groupBy("p_brand")
+        .agg(max(col("n")).as("n_pairs"), min(col("slope_milli")).as("median_slope_milli"))
+        .orderBy("p_brand")
+    }),
+
+    // TPC-H Q11 shape — "important stock": per-part lineitem value vs a
+    // scalar grand-total threshold (value > tot/2000), the HAVING-against-
+    // subquery pattern; one fact aggregation + bounded 1-row cross join
+    "q236_important_parts" -> ((s, dir) => {
+      val pv = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(centsOf(col("l_extendedprice"))).as("value_c"))
+      val t = pv.agg(sum(col("value_c").cast(dec38)).as("tot"))
+      pv.join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+          col("p_partkey") === col("l_partkey"))
+        .crossJoin(broadcast(t))
+        .filter(expr("CAST(value_c AS DECIMAL(38,0)) * 2000 > tot"))
+        .select(col("l_partkey").as("partkey"), col("p_brand").as("brand"), col("value_c"))
+        .orderBy(col("value_c").desc, col("partkey")).limit(25)
+    }),
+
+    // TPC-H Q2 shape — min-cost supplier: per-(part, supplier) exact unit
+    // cost (floor cents), the per-part minimum via a keyed window (the
+    // correlated-subquery pattern as a partitioned min), winners joined to
+    // the broadcast supplier→nation dims
+    "q237_min_cost_supplier" -> ((s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .agg(sum(centsOf(col("l_extendedprice"))).as("sc"),
+          sum(round(col("l_quantity"), 0).cast("long")).as("sq"))
+        .filter(col("sq") > 0)
+        .withColumn("unit_c", expr("sc div sq"))
+        .withColumn("min_unit_c", min(col("unit_c")).over(Window.partitionBy("pk")))
+        .filter(col("unit_c") === col("min_unit_c"))
+      ps.join(broadcast(Tables.supplier(s, dir)
+            .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+          col("s_suppkey") === col("sk"))
+        .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))),
+          col("n_nationkey") === col("s_nationkey"))
+        .select(col("pk").as("partkey"), col("sk").as("suppkey"), col("s_name"),
+          col("n_name").as("nation"), col("unit_c"))
+        .orderBy(col("unit_c"), col("partkey"), col("suppkey")).limit(25)
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -46,6 +46,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q228_benford_audit",        // 1-row digit-total aggregate bound
     "q229_assoc_rules",          // 1-row basket-count aggregate bound
     "q232_welch_ttest",          // 1-row per-segment moment aggregates
+    "q236_important_parts",      // 1-row grand-total threshold bound
     "q10_class_weights",
     "q68_temperature_sample",
     "q24_embed_topk",
