@@ -4449,7 +4449,87 @@ object OracleSql {
         |FROM u JOIN supplier s ON s.s_suppkey = u.sk
         |       JOIN nation n ON n.n_nationkey = s.s_nationkey
         |WHERE u.unit_c = u.min_unit_c
-        |ORDER BY unit_c, partkey, suppkey LIMIT 25""".stripMargin
+        |ORDER BY unit_c, partkey, suppkey LIMIT 25""".stripMargin,
+
+    "q238_outlier_ensemble" ->
+      """WITH c AS (
+        |  SELECT c.c_mktsegment AS seg,
+        |         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x,
+        |         c.c_custkey AS k
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey GROUP BY 1, 3
+        |),
+        |r AS (SELECT seg, x, k, row_number() OVER (PARTITION BY seg ORDER BY x, k) AS rn,
+        |        count(*) OVER (PARTITION BY seg) AS n FROM c),
+        |med AS (SELECT seg, x AS med FROM r WHERE rn = (n + 1) // 2),
+        |q1 AS (SELECT seg, x AS q1 FROM r WHERE rn = greatest(1, n // 4)),
+        |q3 AS (SELECT seg, x AS q3 FROM r WHERE rn = (3 * n) // 4),
+        |dev AS (SELECT c.seg, c.x, c.k, abs(c.x - med.med) AS d
+        |        FROM c JOIN med ON med.seg = c.seg),
+        |rd AS (SELECT seg, d, row_number() OVER (PARTITION BY seg ORDER BY d, k) AS rn,
+        |              count(*) OVER (PARTITION BY seg) AS n FROM dev),
+        |mad AS (SELECT seg, d AS mad FROM rd WHERE rn = (n + 1) // 2),
+        |mom AS (SELECT seg, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS HUGEINT) AS s,
+        |               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ss FROM c GROUP BY 1),
+        |f AS (
+        |  SELECT c.seg,
+        |    CASE WHEN 2 * c.x < 2 * q1.q1 - 3 * (q3.q3 - q1.q1)
+        |           OR 2 * c.x > 2 * q3.q3 + 3 * (q3.q3 - q1.q1) THEN 1 ELSE 0 END AS f_iqr,
+        |    CASE WHEN abs(c.x - med.med) * 10000 > 44478 * mad.mad THEN 1 ELSE 0 END AS f_mad,
+        |    CASE WHEN 4 * (CAST(c.x AS HUGEINT) * mom.n - mom.s)
+        |             * (CAST(c.x AS HUGEINT) * mom.n - mom.s) * (mom.n - 1)
+        |         > 25 * mom.n * (mom.n * mom.ss - mom.s * mom.s) THEN 1 ELSE 0 END AS f_z
+        |  FROM c JOIN med ON med.seg = c.seg JOIN q1 ON q1.seg = c.seg
+        |       JOIN q3 ON q3.seg = c.seg JOIN mad ON mad.seg = c.seg
+        |       JOIN mom ON mom.seg = c.seg
+        |)
+        |SELECT seg, CAST(count(*) AS BIGINT) AS n, CAST(sum(f_iqr) AS BIGINT) AS out_iqr,
+        |  CAST(sum(f_mad) AS BIGINT) AS out_mad, CAST(sum(f_z) AS BIGINT) AS out_z,
+        |  CAST(sum(CASE WHEN f_iqr + f_mad + f_z >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS out_ensemble
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q239_abc_classification" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1
+        |), o AS (
+        |  SELECT l_partkey, rev,
+        |    CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey ROWS UNBOUNDED PRECEDING)
+        |         AS BIGINT) AS cum,
+        |    CAST(sum(rev) OVER () AS BIGINT) AS tot
+        |  FROM pv
+        |)
+        |SELECT CASE WHEN cum * 10 <= tot * 7 THEN 'A'
+        |            WHEN cum * 10 <= tot * 9 THEN 'B' ELSE 'C' END AS cls,
+        |  CAST(count(*) AS BIGINT) AS n_parts, CAST(sum(rev) AS BIGINT) AS revenue_c,
+        |  CAST(CAST(sum(rev) AS HUGEINT) * 1000000 // max(tot) AS BIGINT) AS share_ppm
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q240_rolling_revenue" ->
+      """WITH m AS (
+        |  SELECT n.n_name AS nation,
+        |         CAST((year(o.o_orderdate) * 12 + month(o.o_orderdate)) - 23941 AS BIGINT) AS mi,
+        |         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |       JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT nation, mi, rev,
+        |  CAST(sum(rev) OVER (PARTITION BY nation ORDER BY mi
+        |                      RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS rolling3_rev
+        |FROM m ORDER BY nation, mi""".stripMargin,
+
+    "q241_delay_priority" ->
+      """SELECT CAST(date_diff('day', o.o_orderdate, l.l_shipdate) // 30 AS BIGINT)
+        |         AS delay_bucket,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+        |       AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Chained-CTE MMR greedy mirror (k steps, λ = 7/10): step t maximizes

@@ -3881,6 +3881,109 @@ object SparkEntry {
         .orderBy(col("unit_c"), col("partkey"), col("suppkey")).limit(25)
     }),
 
+    // robust-outlier ensemble on per-customer total spend per segment
+    // (heavy-tailed, unlike the uniform balances): three detectors vote —
+    // Tukey-fence IQR, 3·1.4826·MAD, and a 2.5σ z-test from exact decimal
+    // moments (the σ comparison squared into integers, no sqrt) — a row is
+    // an ensemble outlier on ≥2 votes; two ranked window passes (values,
+    // then deviations) + broadcast 5-row stats
+    "q238_outlier_ensemble" -> ((s, dir) => {
+      val c = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_mktsegment")),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"), col("c_custkey").as("k"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("x"))
+        .select(col("seg"), col("x"), col("k"))
+      val wv = Window.partitionBy("seg").orderBy(col("x"), col("k"))
+      val ranked = c.withColumn("rn", row_number().over(wv))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("seg")))
+      val med = ranked.filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("seg"), col("x").as("med"))
+      val q1 = ranked.filter(col("rn") === expr("greatest(1, n div 4)"))
+        .select(col("seg"), col("x").as("q1"))
+      val q3 = ranked.filter(col("rn") === expr("(3 * n) div 4"))
+        .select(col("seg"), col("x").as("q3"))
+      val dev = c.join(broadcast(med), "seg").withColumn("d", abs(col("x") - col("med")))
+      val wd = Window.partitionBy("seg").orderBy(col("d"), col("k"))
+      val mad = dev.withColumn("rn", row_number().over(wd))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("seg")))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("seg"), col("d").as("mad"))
+      val mom = c.groupBy("seg").agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec38)).as("s"), sum((col("x") * col("x")).cast(dec38)).as("ss"))
+      c.join(broadcast(med), "seg").join(broadcast(q1), "seg").join(broadcast(q3), "seg")
+        .join(broadcast(mad), "seg").join(broadcast(mom), "seg")
+        .select(col("seg"),
+          expr("CASE WHEN 2 * x < 2 * q1 - 3 * (q3 - q1) OR 2 * x > 2 * q3 + 3 * (q3 - q1)" +
+            " THEN 1L ELSE 0L END").as("f_iqr"),
+          expr("CASE WHEN abs(x - med) * 10000 > 44478 * mad THEN 1L ELSE 0L END").as("f_mad"),
+          expr("CASE WHEN 4 * (CAST(x AS DECIMAL(38,0)) * n - s)" +
+            " * (CAST(x AS DECIMAL(38,0)) * n - s) * (n - 1)" +
+            " > 25 * n * (n * ss - s * s) THEN 1L ELSE 0L END").as("f_z"))
+        .withColumn("f_ens", when(col("f_iqr") + col("f_mad") + col("f_z") >= 2, 1L).otherwise(0L))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum(col("f_iqr")).as("out_iqr"),
+          sum(col("f_mad")).as("out_mad"), sum(col("f_z")).as("out_z"),
+          sum(col("f_ens")).as("out_ensemble"))
+        .orderBy("seg")
+    }),
+
+    // ABC (Pareto) revenue classification: rank parts by revenue, cumulative
+    // share against the grand total (exact integer comparisons at the 70/90
+    // boundaries), per-class rollup — the window runs on the per-part
+    // aggregate (|parts| rows), never the fact table
+    "q239_abc_classification" -> ((s, dir) => {
+      val pv = Tables.lineitem(s, dir).groupBy(col("l_partkey"))
+        .agg(sum(centsOf(col("l_extendedprice"))).as("rev"))
+      val wc = Window.orderBy(col("rev").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      pv.withColumn("cum", sum(col("rev")).over(wc))
+        .withColumn("tot", sum(col("rev")).over(Window.partitionBy()))
+        .withColumn("cls", expr("CASE WHEN cum * 10 <= tot * 7 THEN 'A'" +
+          " WHEN cum * 10 <= tot * 9 THEN 'B' ELSE 'C' END"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("revenue_c"),
+          expr("CAST(CAST(sum(rev) AS DECIMAL(38,0)) * 1000000 div max(tot) AS BIGINT)")
+            .as("share_ppm"))
+        .orderBy("cls")
+    }),
+
+    // rolling 3-month revenue per nation with a bounded RANGE frame over
+    // the month index — the time-range window frame (not ROWS: missing
+    // months must not widen the lookback); runs on the (nation, month)
+    // aggregate
+    "q240_rolling_revenue" -> ((s, dir) => {
+      val m = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
+          col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+          col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          ((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))) - lit(1995 * 12 + 1))
+            .cast("long").as("mi"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("rev"))
+      m.withColumn("rolling3_rev", sum(col("rev")).over(
+          Window.partitionBy("nation").orderBy("mi").rangeBetween(-2, 0)))
+        .orderBy("nation", "mi")
+    }),
+
+    // TPC-H Q12 shape — shipping-delay buckets × priority class: 30-day
+    // delay bucket via `div` (truncation toward zero — exactly DuckDB's
+    // integer `//`, including negative early-ship deltas), high/low
+    // priority counted in one conditional-aggregation pass over the join
+    "q241_delay_priority" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("o_orderkey") === col("l_orderkey"))
+        .withColumn("d", datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+        .groupBy(expr("d div 30").as("delay_bucket"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+            .as("low_line_count"))
+        .orderBy("delay_bucket")),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
