@@ -4529,8 +4529,85 @@ object OracleSql {
         |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
         |       AS BIGINT) AS low_line_count
         |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q242_kcore" ->
+      s"""$minhashCte,
+         |e0 AS (SELECT doc_a AS u, doc_b AS v FROM cand),
+         |b0 AS (SELECT u FROM e0 UNION ALL SELECT v FROM e0),
+         |d1 AS (SELECT u, count(*) AS c FROM b0 GROUP BY 1),
+         |n1 AS (SELECT u FROM d1 WHERE c >= 2),
+         |e1 AS (SELECT e0.u, e0.v FROM e0 JOIN n1 a ON a.u = e0.u JOIN n1 b ON b.u = e0.v),
+         |b1 AS (SELECT u FROM e1 UNION ALL SELECT v FROM e1),
+         |d2 AS (SELECT u, count(*) AS c FROM b1 GROUP BY 1),
+         |n2 AS (SELECT u FROM d2 WHERE c >= 2),
+         |e2 AS (SELECT e1.u, e1.v FROM e1 JOIN n2 a ON a.u = e1.u JOIN n2 b ON b.u = e1.v),
+         |b2 AS (SELECT u FROM e2 UNION ALL SELECT v FROM e2),
+         |d3 AS (SELECT u, count(*) AS c FROM b2 GROUP BY 1),
+         |n3 AS (SELECT u FROM d3 WHERE c >= 2),
+         |e3 AS (SELECT e2.u, e2.v FROM e2 JOIN n3 a ON a.u = e2.u JOIN n3 b ON b.u = e2.v)
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS round,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM d1) AS nodes,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM e0) AS edges
+         |  UNION ALL SELECT 1, (SELECT count(*) FROM n1), (SELECT count(*) FROM e1)
+         |  UNION ALL SELECT 2, (SELECT count(*) FROM n2), (SELECT count(*) FROM e2)
+         |  UNION ALL SELECT 3, (SELECT count(*) FROM n3), (SELECT count(*) FROM e3)
+         |) ORDER BY round""".stripMargin,
+
+    "q243_dataset_card" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(n_chars) * 1000000 // count(*) AS BIGINT) AS mean_chars_ppm,
+        |  CAST((count(*) - count(DISTINCT md5(text))) * 1000000 // count(*) AS BIGINT) AS dup_ppm,
+        |  CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+        |    AS long_ppm
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q244_removal_effect" -> removalEffectSql
   )
+
+  /** Markov removal-effect mirror: for each variant (none + 4 removable
+    * channels) three integer backward-induction steps toward 'purchase',
+    * every h-value a per-term floor-divided ppm — generated with the same
+    * unrolled loop as the Spark side so both engines share the structure.
+    */
+  private def removalEffectSql: String = {
+    val base =
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS e,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events
+        |), tr AS (
+        |  SELECT e AS i, nxt AS j, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+        |), tot AS (SELECT i, CAST(sum(n) AS BIGINT) AS ni FROM tr GROUP BY 1)""".stripMargin
+    val variants = Seq("none", "click", "error", "signup", "view")
+    val sb = new StringBuilder(base)
+    for ((rm, vi) <- variants.zipWithIndex) {
+      val cond = if (rm == "none") "1 = 1" else s"tr.i <> '$rm' AND tr.j <> '$rm'"
+      for (t <- 1 to 3) {
+        val (value, join) =
+          if (t == 1) ("CASE WHEN tr.j = 'purchase' THEN 1000000 ELSE 0 END", "")
+          else ("CASE WHEN tr.j = 'purchase' THEN 1000000 ELSE coalesce(p.hv, 0) END",
+            s" LEFT JOIN h${vi}_${t - 1} p ON p.state = tr.j")
+        sb.append(s""",
+           |h${vi}_$t AS (
+           |  SELECT tr.i AS state, CAST(sum(($value) * tr.n // tot.ni) AS BIGINT) AS hv
+           |  FROM tr JOIN tot ON tot.i = tr.i$join
+           |  WHERE $cond GROUP BY 1)""".stripMargin)
+      }
+    }
+    val rows = variants.zipWithIndex.map { case (rm, vi) =>
+      s"SELECT '$rm' AS removed, CAST(coalesce((SELECT hv FROM h${vi}_3 WHERE state = 'view'), 0) AS BIGINT) AS reach3_ppm"
+    }
+    sb.append(",\nv AS (" + rows.mkString("\nUNION ALL ") + ")\n")
+    sb.append("SELECT removed, reach3_ppm, " +
+      "CAST((SELECT reach3_ppm FROM v WHERE removed = 'none') - reach3_ppm AS BIGINT) AS effect_ppm " +
+      "FROM v ORDER BY removed")
+    sb.toString
+  }
 
   /** Chained-CTE MMR greedy mirror (k steps, λ = 7/10): step t maximizes
     * `7·rel_u − 3·max_pen_u` over candidates outside the selected set,

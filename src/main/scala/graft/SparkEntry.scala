@@ -3984,6 +3984,100 @@ object SparkEntry {
             .as("low_line_count"))
         .orderBy("delay_bucket")),
 
+    // 2-core decomposition of the near-dup graph by iterative peeling
+    // (3 unrolled rounds): drop nodes with degree < 2, restrict edges to
+    // survivors, repeat — the LSH candidate edges are localCheckpoint'd
+    // once so no peel re-runs the signature join; per-round (nodes, edges)
+    // readout shows convergence
+    "q242_kcore" -> ((s, dir) => {
+      val e0 = Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_a").as("u"), col("doc_b").as("v")).localCheckpoint()
+      def degs(e: DataFrame): DataFrame =
+        e.select(col("u")).unionByName(e.select(col("v").as("u")))
+          .groupBy("u").agg(count(lit(1)).as("c"))
+      def peel(e: DataFrame): DataFrame = {
+        val keep = degs(e).filter(col("c") >= 2).select("u")
+        e.join(keep.withColumnRenamed("u", "ku"), col("u") === col("ku")).drop("ku")
+          .join(keep.withColumnRenamed("u", "kv"), col("v") === col("kv")).drop("kv")
+      }
+      val e1 = peel(e0).localCheckpoint()
+      val e2 = peel(e1).localCheckpoint()
+      val e3 = peel(e2).localCheckpoint()
+      def row(r: Long, nodes: DataFrame, edges: DataFrame): DataFrame =
+        nodes.agg(count(lit(1)).as("nodes"))
+          .crossJoin(edges.agg(count(lit(1)).as("edges")))
+          .select(lit(r).as("round"), col("nodes"), col("edges"))
+      row(0L, degs(e0), e0)
+        .unionByName(row(1L, degs(e0).filter(col("c") >= 2), e1))
+        .unionByName(row(2L, degs(e1).filter(col("c") >= 2), e2))
+        .unionByName(row(3L, degs(e2).filter(col("c") >= 2), e3))
+        .orderBy("round")
+    }),
+
+    // the dataset card in one pass: per source — docs, languages, whitespace
+    // tokens, mean length, exact-dup rate, long-doc share, all exact ppm
+    // integers; this is the datasheet rollup a curation run publishes
+    "q243_dataset_card" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(size(split(col("text"), " ", -1)).cast("long")).as("ws_tokens"),
+          expr("sum(n_chars) * 1000000 div count(1)").as("mean_chars_ppm"),
+          ((count(lit(1)) - countDistinct(md5(col("text").cast("binary")))) * 1000000L)
+            .as("_dup_scaled"),
+          (sum(when(col("n_chars") >= 200, 1L).otherwise(0L)) * 1000000L).as("_long_scaled"))
+        .select(col("source"), col("n_docs"), col("n_langs"), col("ws_tokens"),
+          col("mean_chars_ppm"),
+          expr("_dup_scaled div n_docs").as("dup_ppm"),
+          expr("_long_scaled div n_docs").as("long_ppm"))
+        .orderBy("source")),
+
+    // Markov removal-effect attribution: conversion reach = probability of
+    // hitting 'purchase' within 3 transitions from 'view', computed by
+    // integer backward induction over the localCheckpoint'd transition
+    // matrix (per-term floor division, no float accumulation); each
+    // channel's effect = base reach minus reach with that channel's edges
+    // deleted — the fair-credit alternative to last-touch (q164)
+    "q244_removal_effect" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trt = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type").as("e"))
+        .withColumn("nxt", lead(col("e"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("e").as("i"), col("nxt").as("j"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("ni", sum(col("n")).over(Window.partitionBy("i")))
+        .localCheckpoint()
+      def reach(removed: Option[String]): DataFrame = {
+        val tr2 = removed.map(r => trt.filter(col("i") =!= r && col("j") =!= r)).getOrElse(trt)
+        var h: Option[DataFrame] = None
+        for (_ <- 1 to 3) {
+          val joined = h match {
+            case None => tr2.withColumn("hv", lit(0L))
+            case Some(hp) =>
+              tr2.join(broadcast(hp.select(col("state").as("j"), col("hv"))), Seq("j"), "left")
+                .na.fill(0L, Seq("hv"))
+          }
+          h = Some(joined
+            .withColumn("v", when(col("j") === "purchase", lit(1000000L)).otherwise(col("hv")))
+            .groupBy(col("i").as("state"))
+            .agg(sum(expr("v * n div ni")).as("hv")))
+        }
+        h.get.filter(col("state") === "view")
+          .agg(coalesce(sum(col("hv")), lit(0L)).as("reach3_ppm"))
+          .withColumn("removed", lit(removed.getOrElse("none")))
+      }
+      val v = Seq(None, Some("click"), Some("error"), Some("signup"), Some("view"))
+        .map(reach).reduce(_ unionByName _)
+      val base = v.filter(col("removed") === "none").select(col("reach3_ppm").as("base"))
+      v.crossJoin(broadcast(base))
+        .select(col("removed"), col("reach3_ppm"),
+          (col("base") - col("reach3_ppm")).as("effect_ppm"))
+        .orderBy("removed")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

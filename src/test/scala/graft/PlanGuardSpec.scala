@@ -47,6 +47,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q229_assoc_rules",          // 1-row basket-count aggregate bound
     "q232_welch_ttest",          // 1-row per-segment moment aggregates
     "q236_important_parts",      // 1-row grand-total threshold bound
+    "q242_kcore",                // 1-row node/edge count pairs per peel round
+    "q244_removal_effect",       // 1-row base-reach aggregate bound
     "q10_class_weights",
     "q68_temperature_sample",
     "q24_embed_topk",
