@@ -4565,7 +4565,76 @@ object OracleSql {
         |    AS long_ppm
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "q244_removal_effect" -> removalEffectSql
+    "q244_removal_effect" -> removalEffectSql,
+
+    "q245_revenue_autocorr" ->
+      """WITH d AS (
+        |  SELECT CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS day,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), l AS (
+        |  SELECT day, rev, lag(rev) OVER (ORDER BY day) AS prev FROM d
+        |), p AS (SELECT rev, prev FROM l WHERE prev IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(rev) AS HUGEINT) AS sx, CAST(sum(prev) AS HUGEINT) AS sy,
+        |         CAST(sum(CAST(rev AS HUGEINT) * prev) AS HUGEINT) AS sxy,
+        |         CAST(sum(CAST(rev AS HUGEINT) * rev) AS HUGEINT) AS sxx,
+        |         CAST(sum(CAST(prev AS HUGEINT) * prev) AS HUGEINT) AS syy
+        |  FROM p
+        |)
+        |SELECT n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |        (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |         sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |    AS acf1
+        |FROM m""".stripMargin,
+
+    "q246_simpsons_flip" ->
+      """WITH b AS (
+        |  SELECT p_brand, CAST(count(*) AS HUGEINT) n,
+        |         CAST(sum(CAST(p_size AS BIGINT)) AS HUGEINT) sx,
+        |         CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS HUGEINT) sy,
+        |         CAST(sum(CAST(p_size AS HUGEINT) * CAST(round(p_retailprice * 100) AS BIGINT))
+        |              AS HUGEINT) sxy
+        |  FROM part GROUP BY 1
+        |), g AS (
+        |  SELECT p_brand, CASE WHEN n * sxy - sx * sy > 0 THEN 1
+        |                       WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS sgn
+        |  FROM b
+        |), o AS (
+        |  SELECT CASE WHEN n * sxy - sx * sy > 0 THEN 1
+        |              WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS osgn
+        |  FROM (SELECT CAST(count(*) AS HUGEINT) n,
+        |               CAST(sum(CAST(p_size AS BIGINT)) AS HUGEINT) sx,
+        |               CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS HUGEINT) sy,
+        |               CAST(sum(CAST(p_size AS HUGEINT)
+        |                        * CAST(round(p_retailprice * 100) AS BIGINT)) AS HUGEINT) sxy
+        |        FROM part)
+        |)
+        |SELECT CAST(o.osgn AS BIGINT) AS overall_sign,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN g.sgn = o.osgn THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+        |  CAST(sum(CASE WHEN g.sgn = -o.osgn THEN 1 ELSE 0 END) AS BIGINT) AS n_flipped
+        |FROM g CROSS JOIN o GROUP BY 1""".stripMargin,
+
+    "q247_order_journey" ->
+      """WITH j AS (
+        |  SELECT o_custkey,
+        |    first_value(o_orderdate) OVER w AS first_dt,
+        |    last_value(o_orderdate) OVER w AS last_dt,
+        |    nth_value(CAST(round(o_totalprice * 100) AS BIGINT), 2) OVER w AS second_total_c,
+        |    count(*) OVER (PARTITION BY o_custkey) AS n_orders,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT o_custkey AS custkey,
+        |       CAST(date_diff('day', first_dt, last_dt) AS BIGINT) AS span_days,
+        |       coalesce(second_total_c, 0) AS second_total_c,
+        |       CAST(n_orders AS BIGINT) AS n_orders
+        |FROM j WHERE rn = 1 ORDER BY custkey LIMIT 50""".stripMargin
   )
 
   /** Markov removal-effect mirror: for each variant (none + 4 removable

@@ -4078,6 +4078,75 @@ object SparkEntry {
         .orderBy("removed")
     }),
 
+    // lag-1 autocorrelation of the daily revenue series: the lag window
+    // runs on the 2.4k-row daily aggregate, moments accumulate in exact
+    // decimal, and the Pearson ratio is one double expression written
+    // identically in the oracle
+    "q245_revenue_autocorr" -> ((s, dir) => {
+      val d = Tables.orders(s, dir)
+        .groupBy(datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+          .cast("long").as("day"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("rev"))
+      val p = d.withColumn("prev", lag(col("rev"), 1).over(Window.orderBy("day")))
+        .filter(col("prev").isNotNull)
+      p.agg(count(lit(1)).as("n"),
+          sum(col("rev").cast(dec38)).as("sx"), sum(col("prev").cast(dec38)).as("sy"),
+          sum((col("rev").cast(dec38) * col("prev"))).as("sxy"),
+          sum((col("rev").cast(dec38) * col("rev"))).as("sxx"),
+          sum((col("prev").cast(dec38) * col("prev"))).as("syy"))
+        .selectExpr("n",
+          "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+            "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+            "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf1")
+    }),
+
+    // Simpson's-paradox audit: the sign of cov(size, price) overall vs
+    // within each brand — counts of agreeing and flipped groups; all sign
+    // tests on exact decimal covariance numerators, no division anywhere
+    "q246_simpsons_flip" -> ((s, dir) => {
+      val src = Tables.part(s, dir).select(col("p_brand"),
+        col("p_size").cast("long").as("x"), centsOf(col("p_retailprice")).as("y"))
+      def mom(df: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+        df.agg(count(lit(1)).cast(dec38).as("n"),
+          sum(col("x").cast(dec38)).as("sx"), sum(col("y").cast(dec38)).as("sy"),
+          sum(col("x").cast(dec38) * col("y")).as("sxy"))
+      val g = mom(src.groupBy("p_brand"))
+        .withColumn("sgn", expr("CASE WHEN n * sxy - sx * sy > 0 THEN 1L" +
+          " WHEN n * sxy - sx * sy < 0 THEN -1L ELSE 0L END"))
+      val o = mom(src.groupBy())
+        .select(expr("CASE WHEN n * sxy - sx * sy > 0 THEN 1L" +
+          " WHEN n * sxy - sx * sy < 0 THEN -1L ELSE 0L END").as("osgn"))
+      g.crossJoin(broadcast(o))
+        .groupBy(col("osgn").as("overall_sign"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("sgn") === col("osgn"), 1L).otherwise(0L)).as("n_agree"),
+          sum(when(col("sgn") === -col("osgn"), 1L).otherwise(0L)).as("n_flipped"))
+    }),
+
+    // customer order journey via the full-frame window trio: first_value /
+    // last_value / nth_value over each customer's date-ordered orders
+    // (explicit unbounded-following frame — the default frame would make
+    // last_value the current row); one row per customer, rn=1 readout
+    "q247_order_journey" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          centsOf(col("o_totalprice")).as("total_c"))
+        .withColumn("first_dt", first(col("o_orderdate")).over(w))
+        .withColumn("last_dt", last(col("o_orderdate")).over(w))
+        .withColumn("second_total_c", nth_value(col("total_c"), 2).over(w))
+        .withColumn("n_orders", count(lit(1)).over(Window.partitionBy("o_custkey")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey").as("custkey"),
+          datediff(col("last_dt"), col("first_dt")).cast("long").as("span_days"),
+          coalesce(col("second_total_c"), lit(0L)).as("second_total_c"),
+          col("n_orders"))
+        .orderBy("custkey").limit(50)
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

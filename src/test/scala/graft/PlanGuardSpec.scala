@@ -49,6 +49,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q236_important_parts",      // 1-row grand-total threshold bound
     "q242_kcore",                // 1-row node/edge count pairs per peel round
     "q244_removal_effect",       // 1-row base-reach aggregate bound
+    "q246_simpsons_flip",        // 1-row overall-sign aggregate bound
     "q10_class_weights",
     "q68_temperature_sample",
     "q24_embed_topk",
