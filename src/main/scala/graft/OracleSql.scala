@@ -4634,8 +4634,68 @@ object OracleSql {
         |       CAST(date_diff('day', first_dt, last_dt) AS BIGINT) AS span_days,
         |       coalesce(second_total_c, 0) AS second_total_c,
         |       CAST(n_orders AS BIGINT) AS n_orders
-        |FROM j WHERE rn = 1 ORDER BY custkey LIMIT 50""".stripMargin
+        |FROM j WHERE rn = 1 ORDER BY custkey LIMIT 50""".stripMargin,
+
+    "q248_weighted_pagerank" -> weightedPagerankSql,
+
+    "q249_mutual_information" ->
+      """WITH j AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |nl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cl FROM j GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS cs FROM j GROUP BY 1),
+        |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j),
+        |terms AS (
+        |  SELECT nt.n, CAST(round((CAST(j.c AS DOUBLE) / nt.n)
+        |        * ln((CAST(j.c AS DOUBLE) * nt.n) / (CAST(nl.cl AS DOUBLE) * ns.cs))
+        |        * 1000000000) AS BIGINT) AS t9
+        |  FROM j JOIN nl ON nl.lang = j.lang JOIN ns ON ns.source = j.source CROSS JOIN nt
+        |)
+        |SELECT CAST(max(n) AS BIGINT) AS n_docs,
+        |       CAST(sum(t9) AS BIGINT) AS mi_nano,
+        |       round(CAST(sum(t9) AS DOUBLE) / 1000000000, 6) AS mi_nats
+        |FROM terms""".stripMargin,
+
+    "q250_item_similarity" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+        |            FROM lineitem JOIN part ON p_partkey = l_partkey),
+        |ni AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM ob GROUP BY 1),
+        |pr AS (SELECT a.b AS ba, c.b AS bb, CAST(count(*) AS BIGINT) AS n_ab
+        |       FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b GROUP BY 1, 2)
+        |SELECT pr.ba, pr.bb, pr.n_ab,
+        |       round(CAST(pr.n_ab AS DOUBLE)
+        |             / sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)), 6) AS cosine
+        |FROM pr JOIN ni na ON na.b = pr.ba JOIN ni nb ON nb.b = pr.bb
+        |ORDER BY cosine DESC, ba, bb LIMIT 25""".stripMargin
   )
+
+  /** Damped weighted PageRank mirror: three unrolled integer steps over
+    * the co-purchase edge list, teleport and transfer per-term floored —
+    * the same loop structure as the Spark side.
+    */
+  private def weightedPagerankSql: String = {
+    val base =
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+        |            FROM lineitem JOIN part ON p_partkey = l_partkey),
+        |pr0 AS (SELECT a.b AS u, c.b AS v, CAST(count(*) AS BIGINT) AS w
+        |        FROM ob a JOIN ob c ON a.o = c.o AND a.b <> c.b GROUP BY 1, 2),
+        |wt AS (SELECT u, CAST(sum(w) AS BIGINT) AS wu FROM pr0 GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM wt)""".stripMargin
+    val sb = new StringBuilder(base)
+    for (t <- 1 to 3) {
+      val (src, join) =
+        if (t == 1) ("CAST(1000000 // nn.n AS BIGINT)", ", nn")
+        else ("p.pr", s" JOIN p${t - 1} p ON p.state = pr0.u, nn")
+      sb.append(s""",
+         |p$t AS (
+         |  SELECT pr0.v AS state,
+         |         CAST((15 * 1000000) // (100 * max(nn.n))
+         |              + sum((85 * $src * pr0.w) // (100 * wt.wu)) AS BIGINT) AS pr
+         |  FROM pr0 JOIN wt ON wt.u = pr0.u$join
+         |  GROUP BY 1)""".stripMargin)
+    }
+    sb.append("\nSELECT state AS brand, pr AS pr_ppm FROM p3 ORDER BY pr_ppm DESC, brand LIMIT 25")
+    sb.toString
+  }
 
   /** Markov removal-effect mirror: for each variant (none + 4 removable
     * channels) three integer backward-induction steps toward 'purchase',

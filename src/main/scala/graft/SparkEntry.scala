@@ -4147,6 +4147,78 @@ object SparkEntry {
         .orderBy("custkey").limit(50)
     }),
 
+    // damped weighted PageRank over the brand co-purchase graph: edge
+    // weights = co-basket counts, three integer power-iteration steps
+    // (teleport and transfer both per-term floor divisions, d = 85/100),
+    // the 600-row weighted edge list localCheckpoint'd once — the
+    // commerce-graph twin of q131's unweighted dup-graph PageRank
+    "q248_weighted_pagerank" -> ((s, dir) => {
+      val ob = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+          col("p_partkey") === col("l_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b")).distinct()
+      val pr0 = ob.as("a").join(ob.as("c"), col("a.o") === col("c.o") && col("a.b") =!= col("c.b"))
+        .groupBy(col("a.b").as("u"), col("c.b").as("v"))
+        .agg(count(lit(1)).as("w"))
+      val wt = pr0.groupBy("u").agg(sum(col("w")).as("wu"))
+      val base = pr0.join(wt, "u").localCheckpoint()
+      val nAgg = wt.agg(count(lit(1)).as("nn"))
+      var p: DataFrame = null
+      for (_ <- 1 to 3) {
+        val withPr =
+          if (p == null) base.crossJoin(broadcast(nAgg)).withColumn("pin", expr("1000000 div nn"))
+          else base.join(broadcast(p.select(col("state").as("u"), col("pr").as("pin"))), "u")
+            .crossJoin(broadcast(nAgg))
+        p = withPr.groupBy(col("v").as("state"))
+          .agg((expr("(15 * 1000000) div (100 * max(nn))")
+            + sum(expr("(85 * pin * w) div (100 * wu)"))).as("pr"))
+      }
+      p.select(col("state").as("brand"), col("pr").as("pr_ppm"))
+        .orderBy(col("pr_ppm").desc, col("brand")).limit(25)
+    }),
+
+    // mutual information between language and source: each cell's
+    // p·ln(p/(pq)) contribution quantized to 1e-9 nats (single ln + round
+    // per cell — the q101 JSD discipline), summed exactly; near-zero MI
+    // here is itself the finding (lang ⟂ source in this corpus)
+    "q249_mutual_information" -> ((s, dir) => {
+      val j = Tables.documents(s, dir).groupBy("lang", "source")
+        .agg(count(lit(1)).as("c"))
+      val nl = j.groupBy("lang").agg(sum(col("c")).as("cl"))
+      val ns = j.groupBy("source").agg(sum(col("c")).as("cs"))
+      val nt = j.agg(sum(col("c")).as("n"))
+      j.join(broadcast(nl), "lang").join(broadcast(ns), "source")
+        .crossJoin(broadcast(nt))
+        .select(col("n"), expr(
+          "CAST(round((CAST(c AS DOUBLE) / n)" +
+            " * ln((CAST(c AS DOUBLE) * n) / (CAST(cl AS DOUBLE) * cs)) * 1000000000) AS BIGINT)")
+          .as("t9"))
+        .groupBy()
+        .agg(max(col("n")).as("n_docs"), sum(col("t9")).as("mi_nano"),
+          round(sum(col("t9")).cast("double") / 1000000000, 6).as("mi_nats"))
+    }),
+
+    // item-item cosine similarity from co-purchase counts — the
+    // collaborative-filtering neighbor score n_ab/√(n_a·n_b) (vs q229's
+    // lift: cosine is symmetric and popularity-normalized); one basket
+    // shuffle, per-item counts broadcast, single rounded double per pair
+    "q250_item_similarity" -> ((s, dir) => {
+      val ob = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+          col("p_partkey") === col("l_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b")).distinct()
+      val ni = ob.groupBy("b").agg(count(lit(1)).as("n"))
+      val pr = ob.as("a").join(ob.as("c"), col("a.o") === col("c.o") && col("a.b") < col("c.b"))
+        .groupBy(col("a.b").as("ba"), col("c.b").as("bb"))
+        .agg(count(lit(1)).as("n_ab"))
+      pr.join(broadcast(ni.select(col("b").as("ba"), col("n").as("na"))), "ba")
+        .join(broadcast(ni.select(col("b").as("bb"), col("n").as("nb"))), "bb")
+        .select(col("ba"), col("bb"), col("n_ab"),
+          round(col("n_ab").cast("double")
+            / sqrt(col("na").cast("double") * col("nb").cast("double")), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("ba"), col("bb")).limit(25)
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

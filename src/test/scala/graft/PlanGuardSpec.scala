@@ -50,6 +50,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q242_kcore",                // 1-row node/edge count pairs per peel round
     "q244_removal_effect",       // 1-row base-reach aggregate bound
     "q246_simpsons_flip",        // 1-row overall-sign aggregate bound
+    "q248_weighted_pagerank",    // 1-row node-count aggregate bound
+    "q249_mutual_information",   // 1-row corpus-total aggregate bound
     "q10_class_weights",
     "q68_temperature_sample",
     "q24_embed_topk",
