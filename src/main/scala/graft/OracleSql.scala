@@ -4665,7 +4665,68 @@ object OracleSql {
         |       round(CAST(pr.n_ab AS DOUBLE)
         |             / sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)), 6) AS cosine
         |FROM pr JOIN ni na ON na.b = pr.ba JOIN ni nb ON nb.b = pr.bb
-        |ORDER BY cosine DESC, ba, bb LIMIT 25""".stripMargin
+        |ORDER BY cosine DESC, ba, bb LIMIT 25""".stripMargin,
+
+    "q251_ipw_reweight" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |         CAST(concat('0x', substr(md5(concat('ipw#', CAST(doc_id AS VARCHAR))), 1, 12))
+        |              AS BIGINT) AS u
+        |  FROM documents
+        |), s AS (
+        |  SELECT lang, count(*) AS n_samp FROM d
+        |  WHERE lang = 'en' OR u * 4 < 281474976710656 GROUP BY 1
+        |), f AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_full FROM documents GROUP BY 1)
+        |SELECT f.lang, f.n_full, CAST(coalesce(s.n_samp, 0) AS BIGINT) AS n_sample,
+        |  CAST(coalesce(s.n_samp, 0) * (CASE WHEN f.lang = 'en' THEN 1 ELSE 4 END) AS BIGINT)
+        |    AS ipw_est,
+        |  CAST((coalesce(s.n_samp, 0) * (CASE WHEN f.lang = 'en' THEN 1 ELSE 4 END) - f.n_full)
+        |       * 1000000 // f.n_full AS BIGINT) AS err_ppm
+        |FROM f LEFT JOIN s ON s.lang = f.lang ORDER BY f.lang""".stripMargin,
+
+    "q252_top_brands_agg" ->
+      """WITH rev AS (
+        |  SELECT n.n_name AS nation, p.p_brand AS brand,
+        |         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |       JOIN customer c ON c.c_custkey = o.o_custkey
+        |       JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |       JOIN part p ON p.p_partkey = l.l_partkey
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY nation ORDER BY rev DESC, brand) AS rn
+        |  FROM rev
+        |)
+        |SELECT nation,
+        |  max(CASE WHEN rn = 1 THEN brand END) AS top1,
+        |  max(CASE WHEN rn = 2 THEN brand END) AS top2,
+        |  max(CASE WHEN rn = 3 THEN brand END) AS top3,
+        |  CAST(sum(CASE WHEN rn <= 3 THEN rev ELSE 0 END) AS BIGINT) AS top3_rev_c
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q253_session_handoff" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+        |), n AS (
+        |  SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 THEN 1
+        |                 WHEN lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), sx AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                              ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM n
+        |), ses AS (
+        |  SELECT user_id, sess,
+        |    min(struct_pack(us := us, eid := event_id, et := event_type)) AS fst,
+        |    max(struct_pack(us := us, eid := event_id, et := event_type)) AS lst
+        |  FROM sx GROUP BY 1, 2
+        |), h AS (
+        |  SELECT user_id, sess, fst.et AS first_et, lst.et AS last_et,
+        |         lag(lst.et) OVER (PARTITION BY user_id ORDER BY sess) AS prev_last
+        |  FROM ses
+        |)
+        |SELECT prev_last AS from_type, first_et AS to_type, CAST(count(*) AS BIGINT) AS n
+        |FROM h WHERE prev_last IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
   /** Damped weighted PageRank mirror: three unrolled integer steps over

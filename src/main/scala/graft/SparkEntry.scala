@@ -4219,6 +4219,81 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("ba"), col("bb")).limit(25)
     }),
 
+    // inverse-propensity reweighting after a biased downsample: English
+    // kept at 100%, other languages md5-thinned to 25%, then each
+    // language's count re-inflated by its inverse keep-rate — the exact
+    // ppm error readout proves the estimator recenters (sampling error
+    // only, no bias); the downsample test is pure integer on 48-bit
+    // md5 uniforms
+    "q251_ipw_reweight" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val d = docs.select(col("lang"),
+        Dedup.md5Long(concat(lit("ipw#"), col("doc_id").cast("string")), 12).as("u"))
+      val samp = d.filter(col("lang") === "en" || col("u") * 4 < 281474976710656L)
+        .groupBy("lang").agg(count(lit(1)).as("n_samp"))
+      val full = docs.groupBy("lang").agg(count(lit(1)).as("n_full"))
+      full.join(samp, Seq("lang"), "left").na.fill(0L, Seq("n_samp"))
+        .select(col("lang"), col("n_full"), col("n_samp").as("n_sample"),
+          expr("n_samp * (CASE WHEN lang = 'en' THEN 1 ELSE 4 END)").as("ipw_est"),
+          expr("(n_samp * (CASE WHEN lang = 'en' THEN 1 ELSE 4 END) - n_full) * 1000000" +
+            " div n_full").as("err_ppm"))
+        .orderBy("lang")
+    }),
+
+    // ordered aggregation without array-order hazards: top-3 brands per
+    // nation pivoted through rank-gated conditional MAXes (rn is unique
+    // per nation, so each MAX sees exactly one non-null) — the star join
+    // broadcasts every dim, lineitem ⋈ orders is the only shuffle
+    "q252_top_brands_agg" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
+          col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+          col("n_nationkey") === col("c_nationkey"))
+        .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("n_name").as("nation"), col("p_brand").as("brand"))
+        .agg(sum(centsOf(col("l_extendedprice"))).as("rev"))
+      rev.withColumn("rn",
+          row_number().over(Window.partitionBy("nation").orderBy(col("rev").desc, col("brand"))))
+        .groupBy("nation")
+        .agg(max(when(col("rn") === 1, col("brand"))).as("top1"),
+          max(when(col("rn") === 2, col("brand"))).as("top2"),
+          max(when(col("rn") === 3, col("brand"))).as("top3"),
+          sum(when(col("rn") <= 3, col("rev")).otherwise(0L)).as("top3_rev_c"))
+        .orderBy("nation")
+    }),
+
+    // cross-session handoff matrix: how a user's NEXT session opens given
+    // how the previous one closed — q36's gap sessionization inline, each
+    // session's first/last event by min/max over (ts, event_id, type)
+    // structs (total order), then one lag over the per-user session
+    // sequence; all windows partition by user
+    "q253_session_handoff" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val sx = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("is_new",
+          when(col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L)
+            .when(lag(col("us"), 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("sess", sum(col("is_new")).over(w))
+      val ses = sx.groupBy("user_id", "sess")
+        .agg(
+          min(struct(col("us"), col("event_id").as("eid"), col("event_type").as("et"))).as("fst"),
+          max(struct(col("us"), col("event_id").as("eid"), col("event_type").as("et"))).as("lst"))
+      ses.select(col("user_id"), col("sess"),
+          col("fst.et").as("first_et"), col("lst.et").as("last_et"))
+        .withColumn("prev_last",
+          lag(col("last_et"), 1).over(Window.partitionBy("user_id").orderBy("sess")))
+        .filter(col("prev_last").isNotNull)
+        .groupBy(col("prev_last").as("from_type"), col("first_et").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
