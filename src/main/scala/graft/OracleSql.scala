@@ -4726,7 +4726,51 @@ object OracleSql {
         |  FROM ses
         |)
         |SELECT prev_last AS from_type, first_et AS to_type, CAST(count(*) AS BIGINT) AS n
-        |FROM h WHERE prev_last IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM h WHERE prev_last IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q254_kendall_tau" ->
+      """WITH p AS (SELECT p_partkey k, p_brand, CAST(p_size AS BIGINT) x,
+        |                  CAST(round(p_retailprice * 100) AS BIGINT) y FROM part),
+        |pairs AS (
+        |  SELECT a.p_brand,
+        |    CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END AS con,
+        |    CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END AS dis,
+        |    CASE WHEN b.x = a.x THEN 1 ELSE 0 END AS tx,
+        |    CASE WHEN b.y = a.y THEN 1 ELSE 0 END AS ty
+        |  FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.k < b.k
+        |)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(con) AS BIGINT) AS concordant, CAST(sum(dis) AS BIGINT) AS discordant,
+        |  round((CAST(sum(con) AS DOUBLE) - sum(dis)) /
+        |        sqrt((CAST(count(*) AS DOUBLE) - sum(tx)) * (CAST(count(*) AS DOUBLE) - sum(ty))), 6)
+        |    AS tau_b
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q255_rare_coalesce" ->
+      """WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+        |m AS (SELECT c.source, CASE WHEN c.n * 100 >= t.tot * 15 THEN c.lang ELSE 'other' END
+        |        AS lang2, c.n
+        |      FROM c JOIN t ON t.source = c.source)
+        |SELECT source, lang2 AS lang, CAST(sum(n) AS BIGINT) AS n
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q256_ess_weights" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |         CAST(concat('0x', substr(md5(concat('ipw#', CAST(doc_id AS VARCHAR))), 1, 12))
+        |              AS BIGINT) AS u
+        |  FROM documents
+        |), s AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 4 END AS w FROM d
+        |  WHERE lang = 'en' OR u * 4 < 281474976710656
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sample,
+        |  CAST(sum(w) AS BIGINT) AS sum_w,
+        |  CAST(sum(w) * sum(w) * 1000 // sum(w * w) AS BIGINT) AS ess_milli,
+        |  CAST(count(*) * sum(w * w) * 1000000 // (sum(w) * sum(w)) AS BIGINT) AS deff_ppm
+        |FROM s""".stripMargin
   )
 
   /** Damped weighted PageRank mirror: three unrolled integer steps over

@@ -4294,6 +4294,61 @@ object SparkEntry {
         .orderBy("from_type", "to_type")
     }),
 
+    // Kendall tau-b concordance of size vs price per brand: all key-ordered
+    // pairs generated against the broadcast dim, concordant/discordant/tie
+    // counts as exact integers, tau-b's tie-corrected denominator the only
+    // double (one sqrt, rounded) — the pair-counting complement to q205's
+    // Spearman and q235's Theil-Sen
+    "q254_kendall_tau" -> ((s, dir) => {
+      val p = Tables.part(s, dir).select(col("p_partkey").as("k"), col("p_brand"),
+        col("p_size").cast("long").as("x"), centsOf(col("p_retailprice")).as("y"))
+      p.as("a").join(broadcast(p.as("b")),
+          col("a.p_brand") === col("b.p_brand") && col("a.k") < col("b.k"))
+        .select(col("a.p_brand").as("p_brand"),
+          expr("CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1L ELSE 0L END").as("con"),
+          expr("CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1L ELSE 0L END").as("dis"),
+          expr("CASE WHEN b.x = a.x THEN 1L ELSE 0L END").as("tx"),
+          expr("CASE WHEN b.y = a.y THEN 1L ELSE 0L END").as("ty"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("con")).as("concordant"),
+          sum(col("dis")).as("discordant"), sum(col("tx")).as("_tx"), sum(col("ty")).as("_ty"))
+        .select(col("p_brand"), col("n_pairs"), col("concordant"), col("discordant"),
+          expr("round((CAST(concordant AS DOUBLE) - discordant) / " +
+            "sqrt((CAST(n_pairs AS DOUBLE) - _tx) * (CAST(n_pairs AS DOUBLE) - _ty)), 6)")
+            .as("tau_b"))
+        .orderBy("p_brand")
+    }),
+
+    // rare-category coalescing: languages under 15% of their source fold
+    // into 'other' before the per-(source, lang) readout — the cardinality
+    // cap that keeps report dimensions bounded; share test exact integer,
+    // one narrow re-aggregation
+    "q255_rare_coalesce" -> ((s, dir) => {
+      val c = Tables.documents(s, dir).groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum(col("n")).over(Window.partitionBy("source")))
+      c.withColumn("lang2",
+          when(col("n") * 100 >= col("tot") * 15, col("lang")).otherwise(lit("other")))
+        .groupBy(col("source"), col("lang2").as("lang"))
+        .agg(sum(col("n")).as("n"))
+        .orderBy("source", "lang")
+    }),
+
+    // effective sample size of q251's IPW weights: ESS = (Σw)²/Σw² and the
+    // Kish design effect n·Σw²/(Σw)², both exact integer rationals — the
+    // "how much did weighting cost" readout for any reweighted estimate
+    "q256_ess_weights" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("lang"),
+        Dedup.md5Long(concat(lit("ipw#"), col("doc_id").cast("string")), 12).as("u"))
+      d.filter(col("lang") === "en" || col("u") * 4 < 281474976710656L)
+        .select(expr("CASE WHEN lang = 'en' THEN 1L ELSE 4L END").as("w"))
+        .agg(count(lit(1)).as("n_sample"), sum(col("w")).as("sum_w"),
+          sum(col("w") * col("w")).as("_sw2"))
+        .select(col("n_sample"), col("sum_w"),
+          expr("sum_w * sum_w * 1000 div _sw2").as("ess_milli"),
+          expr("n_sample * _sw2 * 1000000 div (sum_w * sum_w)").as("deff_ppm"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
