@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mathematical invariants of the late round-5 inline queries — properties
+  * the DuckDB oracle cannot see (it only proves Spark ≡ DuckDB, not that
+  * the shared formulation is self-consistent).
+  */
+class RoundFivePropertiesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def rows(name: String) =
+    SparkEntry.queries(name)(spark, sfDir).collect()
+
+  test("q230: the stationary vector stays within 1% of total ppm mass") {
+    val mass = rows("q230_markov_stationary").map(_.getAs[Long]("pi_ppm")).sum
+    // per-term floor division only loses mass (≤ 1 ppm per matrix cell)
+    assert(mass <= 1000000L, s"mass $mass exceeds 1e6")
+    assert(mass >= 990000L, s"mass $mass lost more than 1%")
+  }
+
+  test("q231: every z-order box scans at least its hits (corner bounds are sound)") {
+    rows("q231_zorder_layout").foreach { r =>
+      val (scanned, hits) = (r.getAs[Long]("scanned"), r.getAs[Long]("hits"))
+      assert(hits <= scanned, s"box ${r.getAs[Long]("box_id")}: $hits hits > $scanned scanned")
+      assert(r.getAs[Long]("precision_ppm") <= 1000000L)
+    }
+  }
+
+  test("q239: ABC classes partition the parts exactly") {
+    val r = rows("q239_abc_classification")
+    val nParts = r.map(_.getAs[Long]("n_parts")).sum
+    val expected = Tables.lineitem(spark, sfDir)
+      .select("l_partkey").distinct().count()
+    assert(nParts === expected)
+    // shares sum to ~1e6 (floor division loses at most 1 ppm per class)
+    val share = r.map(_.getAs[Long]("share_ppm")).sum
+    assert(share >= 999997L && share <= 1000000L, s"share sum $share")
+  }
+
+  test("q242: k-core peeling is monotone and lands on a min-degree-2 core") {
+    val r = rows("q242_kcore").sortBy(_.getAs[Long]("round"))
+    val nodes = r.map(_.getAs[Long]("nodes"))
+    val edges = r.map(_.getAs[Long]("edges"))
+    assert(nodes.zip(nodes.tail).forall { case (a, b) => b <= a }, nodes.toSeq.toString)
+    assert(edges.zip(edges.tail).forall { case (a, b) => b <= a }, edges.toSeq.toString)
+    // a 2-core with n nodes needs at least n edges (min degree 2 ⇒ |E| ≥ |V|)
+    assert(edges.last >= nodes.last, s"final core ${nodes.last}v/${edges.last}e")
+  }
+
+  test("q244: removing a channel never increases conversion reach") {
+    val r = rows("q244_removal_effect")
+    val base = r.find(_.getAs[String]("removed") == "none").get.getAs[Long]("reach3_ppm")
+    r.foreach { row =>
+      assert(row.getAs[Long]("reach3_ppm") <= base,
+        s"${row.getAs[String]("removed")} reach exceeds base")
+      assert(row.getAs[Long]("effect_ppm") >= 0L)
+    }
+  }
+
+  test("q246 + q254: correlation signs and tau-b bounds are consistent") {
+    val tau = rows("q254_kendall_tau")
+    tau.foreach { r =>
+      val t = r.getAs[Double]("tau_b")
+      assert(t >= -1.0 && t <= 1.0, s"${r.getAs[String]("p_brand")} tau $t")
+      assert(r.getAs[Long]("concordant") + r.getAs[Long]("discordant")
+        <= r.getAs[Long]("n_pairs"))
+    }
+    val s = rows("q246_simpsons_flip").head
+    assert(s.getAs[Long]("n_agree") + s.getAs[Long]("n_flipped")
+      <= s.getAs[Long]("n_groups"))
+  }
+
+  test("q248: weighted PageRank mass stays within floor-loss of 1e6 ppm") {
+    val mass = rows("q248_weighted_pagerank").map(_.getAs[Long]("pr_ppm")).sum
+    assert(mass <= 1000000L && mass >= 950000L, s"mass $mass")
+  }
+
+  test("q251 + q256: the biased sample is a subset and ESS ≤ n_sample") {
+    val ipw = rows("q251_ipw_reweight")
+    ipw.foreach { r =>
+      assert(r.getAs[Long]("n_sample") <= r.getAs[Long]("n_full"))
+      val en = r.getAs[String]("lang") == "en"
+      if (en) assert(r.getAs[Long]("err_ppm") === 0L, "English is kept at 100%")
+    }
+    val ess = rows("q256_ess_weights").head
+    assert(ess.getAs[Long]("ess_milli") <= ess.getAs[Long]("n_sample") * 1000)
+    assert(ess.getAs[Long]("deff_ppm") >= 1000000L, "design effect ≥ 1 for non-uniform weights")
+  }
+
+  test("q255: coalesced counts preserve the per-source totals") {
+    val co = rows("q255_rare_coalesce")
+    val bySource = co.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    val full = Tables.documents(spark, sfDir).groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    assert(bySource === full)
+  }
+
+  test("q253: handoff matrix counts equal sessions minus users (first sessions excluded)") {
+    val handoffs = rows("q253_session_handoff").map(_.getAs[Long]("n")).sum
+    val ses = graft.operators.EventWindows
+      .sessionize(Tables.events(spark, sfDir), 30)
+    val nSessions = ses.count()
+    val nUsers = ses.select("user_id").distinct().count()
+    assert(handoffs === nSessions - nUsers)
+  }
+}
