@@ -4770,7 +4770,63 @@ object OracleSql {
         |  CAST(sum(w) AS BIGINT) AS sum_w,
         |  CAST(sum(w) * sum(w) * 1000 // sum(w * w) AS BIGINT) AS ess_milli,
         |  CAST(count(*) * sum(w * w) * 1000000 // (sum(w) * sum(w)) AS BIGINT) AS deff_ppm
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    "q257_rank_panel" ->
+      """WITH rev AS (
+        |  SELECT n.n_name AS nation,
+        |         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |       JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  GROUP BY 1
+        |)
+        |SELECT nation, rev,
+        |  CAST(dense_rank() OVER (ORDER BY rev DESC) AS BIGINT) AS drank,
+        |  CAST(ntile(4) OVER (ORDER BY rev DESC, nation) AS BIGINT) AS quartile,
+        |  CAST(round(cume_dist() OVER (ORDER BY rev) * 1000000) AS BIGINT) AS cume_ppm
+        |FROM rev ORDER BY nation""".stripMargin,
+
+    "q258_multigrain_dups" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT 'doc' AS granularity, md5(text) AS h FROM docs),
+        |l AS (SELECT 'sentence' AS granularity, md5(s) AS h FROM (
+        |        SELECT unnest(string_split_regex(text, '\. ')) AS s FROM docs)
+        |      WHERE length(s) > 0),
+        |g AS (SELECT '5gram' AS granularity, md5(s) AS h FROM (
+        |        SELECT unnest(CASE WHEN len(ws) >= 5
+        |                 THEN [concat_ws(' ', ws[i+1], ws[i+2], ws[i+3], ws[i+4], ws[i+5])
+        |                       for i in range(0, len(ws)-4)]
+        |                 ELSE [text] END) AS s
+        |        FROM (SELECT text, string_split(text, ' ') AS ws FROM docs))),
+        |u AS (SELECT * FROM d UNION ALL SELECT * FROM l UNION ALL SELECT * FROM g)
+        |SELECT granularity, CAST(count(*) AS BIGINT) AS n_units,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+        |  CAST((count(*) - count(DISTINCT h)) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q259_pair_explain" ->
+      s"""$minhashCte,
+         |top AS (SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b LIMIT 10),
+         |toks AS (SELECT DISTINCT doc_id, w FROM (
+         |           SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |           FROM documents WHERE text IS NOT NULL)
+         |         WHERE length(w) > 0),
+         |nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+         |inter AS (
+         |  SELECT t.doc_a, t.doc_b, CAST(count(*) AS BIGINT) AS inter
+         |  FROM top t JOIN toks ta ON ta.doc_id = t.doc_a
+         |       JOIN toks tb ON tb.doc_id = t.doc_b AND tb.w = ta.w
+         |  GROUP BY 1, 2
+         |)
+         |SELECT t.doc_a, t.doc_b, na.n AS n_a, nb.n AS n_b,
+         |  coalesce(i.inter, 0) AS inter,
+         |  CAST(na.n - coalesce(i.inter, 0) AS BIGINT) AS only_a,
+         |  CAST(nb.n - coalesce(i.inter, 0) AS BIGINT) AS only_b,
+         |  round(CAST(coalesce(i.inter, 0) AS DOUBLE)
+         |        / (na.n + nb.n - coalesce(i.inter, 0)), 6) AS jaccard
+         |FROM top t JOIN nt na ON na.doc_id = t.doc_a JOIN nt nb ON nb.doc_id = t.doc_b
+         |     LEFT JOIN inter i ON i.doc_a = t.doc_a AND i.doc_b = t.doc_b
+         |ORDER BY t.doc_a, t.doc_b""".stripMargin
   )
 
   /** Damped weighted PageRank mirror: three unrolled integer steps over

@@ -3825,7 +3825,9 @@ object SparkEntry {
     "q235_theilsen_slope" -> ((s, dir) => {
       val p = Tables.part(s, dir).select(col("p_brand"),
         col("p_size").cast("long").as("x"), centsOf(col("p_retailprice")).as("y"))
-      val pairs = p.as("a")
+      // the single-file dim arrives as ONE partition — spread the probe
+      // side so the O(n²/brand) pair generation uses every core
+      val pairs = p.repartition(col("p_brand"), col("x")).as("a")
         .join(broadcast(p.as("b")),
           col("a.p_brand") === col("b.p_brand") && col("a.x") < col("b.x"))
         .select(col("a.p_brand").as("p_brand"),
@@ -3833,9 +3835,13 @@ object SparkEntry {
             " THEN (2 * (b.y - a.y) * 1000 + (b.x - a.x)) div (2 * (b.x - a.x))" +
             " ELSE -((2 * (a.y - b.y) * 1000 + (b.x - a.x)) div (2 * (b.x - a.x))) END")
             .as("slope_milli"))
+      // per-brand sizes come from a 25-row aggregate joined back, so the
+      // 6M-pair relation is window-sorted ONCE (the count-over-partition
+      // variant sorted it a second time — 6.7 s → ~3.5 s at sf0.1)
+      val nc = pairs.groupBy("p_brand").agg(count(lit(1)).as("n"))
       pairs
         .withColumn("rn", row_number().over(Window.partitionBy("p_brand").orderBy("slope_milli")))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("p_brand")))
+        .join(broadcast(nc), "p_brand")
         .filter(col("rn") === expr("(n + 1) div 2"))
         .groupBy("p_brand")
         .agg(max(col("n")).as("n_pairs"), min(col("slope_milli")).as("median_slope_milli"))
@@ -4347,6 +4353,75 @@ object SparkEntry {
         .select(col("n_sample"), col("sum_w"),
           expr("sum_w * sum_w * 1000 div _sw2").as("ess_milli"),
           expr("n_sample * _sw2 * 1000000 div (sum_w * sum_w)").as("deff_ppm"))
+    }),
+
+    // the remaining analytic-rank surface in one 25-row panel:
+    // dense_rank / ntile / cume_dist over nation revenue (cume_dist
+    // quantized to ppm — a count ratio, exact in both engines)
+    "q257_rank_panel" -> ((s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
+          col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+          col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("rev"))
+      rev.select(col("nation"), col("rev"),
+          dense_rank().over(Window.orderBy(col("rev").desc)).cast("long").as("drank"),
+          ntile(4).over(Window.orderBy(col("rev").desc, col("nation"))).cast("long").as("quartile"),
+          round(cume_dist().over(Window.orderBy(col("rev"))) * 1000000, 0).cast("long")
+            .as("cume_ppm"))
+        .orderBy("nation")
+    }),
+
+    // dedup census at three granularities in one report — whole doc,
+    // '. '-split sentence (q60's unit), and 5-word shingle: unit counts,
+    // distinct counts, and dup ppm per granularity; each granularity is a
+    // skinny (granularity, md5) relation, unioned before ONE distinct-agg
+    "q258_multigrain_dups" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val d = docs.select(lit("doc").as("granularity"),
+        md5(col("text").cast("binary")).as("h"))
+      val l = docs.select(explode(split(col("text"), "\\. ")).as("sent"))
+        .filter(length(col("sent")) > 0)
+        .select(lit("sentence").as("granularity"), md5(col("sent").cast("binary")).as("h"))
+      val g = docs.select(explode(graft.plans.WordShingles(col("text"), 5)).as("s5"))
+        .select(lit("5gram").as("granularity"), md5(col("s5").cast("binary")).as("h"))
+      d.unionByName(l).unionByName(g)
+        .groupBy("granularity")
+        .agg(count(lit(1)).as("n_units"), countDistinct(col("h")).as("n_distinct"))
+        .withColumn("dup_ppm", expr("(n_units - n_distinct) * 1000000 div n_units"))
+        .orderBy("granularity")
+    }),
+
+    // near-dup pair explanations: the top-10 LSH candidate pairs broken
+    // down into shared / only-A / only-B word counts + exact Jaccard —
+    // the reviewer-facing "why were these flagged" readout; token overlap
+    // via two equi-joins on the skinny (doc, word) relation, no arrays
+    "q259_pair_explain" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"))
+        .orderBy("doc_a", "doc_b").limit(10).localCheckpoint()
+      val toks = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
+        .filter(length(col("w")) > 0).distinct()
+      val nt = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(toks.select(col("doc_id").as("doc_a"), col("w")), "doc_a")
+        .join(toks.select(col("doc_id").as("doc_b"), col("w").as("w2")), "doc_b")
+        .filter(col("w") === col("w2"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      // the 10-row cand side broadcasts itself; nt is |docs|-sized, never hinted
+      cand
+        .join(nt.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+        .join(nt.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+        .join(inter, Seq("doc_a", "doc_b"), "left").na.fill(0L, Seq("inter"))
+        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("inter"),
+          (col("n_a") - col("inter")).as("only_a"), (col("n_b") - col("inter")).as("only_b"),
+          round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6)
+            .as("jaccard"))
+        .orderBy("doc_a", "doc_b")
     }),
 
     // multimodal: opaque binary column + stub decode metadata
