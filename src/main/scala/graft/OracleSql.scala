@@ -4826,7 +4826,46 @@ object OracleSql {
          |        / (na.n + nb.n - coalesce(i.inter, 0)), 6) AS jaccard
          |FROM top t JOIN nt na ON na.doc_id = t.doc_a JOIN nt nb ON nb.doc_id = t.doc_b
          |     LEFT JOIN inter i ON i.doc_a = t.doc_a AND i.doc_b = t.doc_b
-         |ORDER BY t.doc_a, t.doc_b""".stripMargin
+         |ORDER BY t.doc_a, t.doc_b""".stripMargin,
+
+    "q260_daily_conversion" ->
+      """WITH b AS (SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS d0,
+        |                  CAST(max(date_trunc('day', ts)) AS DATE) AS d1 FROM events),
+        |spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM b),
+        |e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+        |               AS views,
+        |             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |               AS purchases
+        |      FROM events GROUP BY 1)
+        |SELECT strftime(spine.day, '%Y-%m-%d') AS day, coalesce(e.views, 0) AS views,
+        |  coalesce(e.purchases, 0) AS purchases,
+        |  CAST(CASE WHEN coalesce(e.views, 0) > 0
+        |       THEN coalesce(e.purchases, 0) * 1000000 // e.views ELSE 0 END AS BIGINT)
+        |    AS conv_ppm
+        |FROM spine LEFT JOIN e ON e.day = spine.day ORDER BY 1""".stripMargin,
+
+    "q261_kwic" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT doc_id, ws, unnest(range(1, len(ws)+1)) AS pos FROM t),
+        |m AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |             array_to_string(list_slice(ws, greatest(pos-3, 1), least(pos+3, len(ws))), ' ')
+        |               AS context
+        |      FROM p WHERE ws[pos] = 'spark')
+        |SELECT * FROM m ORDER BY doc_id, pos LIMIT 20""".stripMargin,
+
+    "q262_merkle_rollup" ->
+      """WITH d AS (SELECT source, doc_id % 16 AS shard, doc_id, md5(text) AS h
+        |           FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT source, shard, md5(string_agg(h, '' ORDER BY doc_id)) AS h
+        |       FROM d GROUP BY 1, 2),
+        |so AS (SELECT source, md5(string_agg(h, '' ORDER BY shard)) AS h FROM sh GROUP BY 1),
+        |rt AS (SELECT md5(string_agg(h, '' ORDER BY source)) AS h FROM so)
+        |SELECT 'shard' AS level, concat(source, '/', CAST(shard AS VARCHAR)) AS key, h FROM sh
+        |UNION ALL SELECT 'source', source, h FROM so
+        |UNION ALL SELECT 'root', '*', h FROM rt
+        |ORDER BY level, key""".stripMargin
   )
 
   /** Damped weighted PageRank mirror: three unrolled integer steps over

@@ -4424,6 +4424,66 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // daily conversion series on a generated calendar spine: days with no
+    // events still appear as zero rows (the reporting-correctness property
+    // a bare GROUP BY silently loses); the spine explodes from the 1-row
+    // bounds aggregate and left-joins the daily conditional counts
+    "q260_daily_conversion" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(to_date(col("ts")).as("day"), col("event_type"))
+      val e = ev.groupBy("day").agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"))
+      val spine = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      spine.join(e, Seq("day"), "left").na.fill(0L, Seq("views", "purchases"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("views"), col("purchases"),
+          expr("CASE WHEN views > 0 THEN purchases * 1000000 div views ELSE 0L END")
+            .as("conv_ppm"))
+        .orderBy("day")
+    }),
+
+    // keyword-in-context (KWIC): every occurrence of the term with its
+    // ±3-word window — posexplode keeps the array column alongside the
+    // position so the context slice is one codegen expression, no
+    // re-tokenization; 1-based positions match the oracle
+    "q261_kwic" -> ((s, dir) =>
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+        .select(col("doc_id"), col("ws"), posexplode(col("ws")).as(Seq("p0", "w")))
+        .filter(col("w") === "spark")
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          expr("array_join(slice(ws, greatest(p0 + 1 - 3, 1)," +
+            " least(p0 + 1 + 3, size(ws)) - greatest(p0 + 1 - 3, 1) + 1), ' ')").as("context"))
+        .orderBy("doc_id", "pos").limit(20)),
+
+    // Merkle-style integrity rollup: per-shard hash = md5 of the doc
+    // hashes in doc_id order, per-source = md5 of shard hashes, root =
+    // md5 of source hashes — three levels in one output, so any replica
+    // divergence localizes to a shard without re-reading the corpus;
+    // ordered concatenation via array_sort(collect_list(struct)) (the
+    // deterministic string_agg ORDER BY equivalent)
+    "q262_merkle_rollup" -> ((s, dir) => {
+      def rollup(df: DataFrame, keyCols: Seq[String], ord: String): DataFrame =
+        df.groupBy(keyCols.map(col): _*)
+          .agg(collect_list(struct(col(ord), col("h"))).as("hs"))
+          .withColumn("h", md5(expr("array_join(transform(array_sort(hs), x -> x.h), '')")
+            .cast("binary")))
+          .drop("hs")
+      val d = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("source"), (col("doc_id") % 16).as("shard"), col("doc_id"),
+          md5(col("text").cast("binary")).as("h"))
+      val sh = rollup(d, Seq("source", "shard"), "doc_id")
+      val so = rollup(sh, Seq("source"), "shard")
+      val rt = so.select(lit(0L).as("one"), col("source").as("k"), col("h"))
+      val root = rollup(rt.select(col("one"), col("k"), col("h")), Seq("one"), "k")
+        .select(lit("root").as("level"), lit("*").as("key"), col("h"))
+      sh.select(lit("shard").as("level"),
+          concat(col("source"), lit("/"), col("shard").cast("string")).as("key"), col("h"))
+        .unionByName(so.select(lit("source").as("level"), col("source").as("key"), col("h")))
+        .unionByName(root)
+        .orderBy("level", "key")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
