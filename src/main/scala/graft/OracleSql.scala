@@ -4865,7 +4865,46 @@ object OracleSql {
         |SELECT 'shard' AS level, concat(source, '/', CAST(shard AS VARCHAR)) AS key, h FROM sh
         |UNION ALL SELECT 'source', source, h FROM so
         |UNION ALL SELECT 'root', '*', h FROM rt
-        |ORDER BY level, key""".stripMargin
+        |ORDER BY level, key""".stripMargin,
+
+    "q263_forecast_backtest" ->
+      """WITH m AS (
+        |  SELECT n.n_name AS nation,
+        |         CAST((year(o.o_orderdate) * 12 + month(o.o_orderdate)) - 23941 AS BIGINT) AS mi,
+        |         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |       JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  GROUP BY 1, 2
+        |), bt AS (
+        |  SELECT a.nation, a.rev, f.rev AS fc,
+        |         CAST(abs(a.rev - f.rev) * 1000000 // a.rev AS BIGINT) AS ape_ppm
+        |  FROM m a JOIN m f ON f.nation = a.nation AND f.mi = a.mi - 12
+        |)
+        |SELECT nation, CAST(count(*) AS BIGINT) AS n_months,
+        |  CAST(sum(ape_ppm) // count(*) AS BIGINT) AS mape_ppm,
+        |  CAST(sum(fc - rev) * 1000000 // sum(rev) AS BIGINT) AS bias_ppm
+        |FROM bt GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q264_modularity" ->
+      s"""WITH RECURSIVE ${minhashChain("documents")},
+         |$ccLabelChain,
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM cand),
+         |cin AS (SELECT la.l, CAST(count(*) AS BIGINT) AS in_c
+         |        FROM e JOIN lbl la ON la.u = e.u JOIN lbl lb ON lb.u = e.v
+         |        WHERE la.l = lb.l GROUP BY 1),
+         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1),
+         |cdeg AS (SELECT lbl.l, CAST(sum(deg.d) AS BIGINT) AS deg_c
+         |         FROM deg JOIN lbl ON lbl.u = deg.u GROUP BY 1),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+         |agg AS (SELECT CAST(sum(coalesce(cin.in_c, 0)) AS BIGINT) AS sin,
+         |               CAST(sum(cdeg.deg_c * cdeg.deg_c) AS BIGINT) AS sdeg2,
+         |               CAST(count(*) AS BIGINT) AS n_comm
+         |        FROM cdeg LEFT JOIN cin ON cin.l = cdeg.l)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM lbl) AS n_nodes,
+         |       mm.m AS n_edges, agg.n_comm AS n_communities,
+         |       CAST((4 * mm.m * agg.sin - agg.sdeg2) * 1000000 // (4 * mm.m * mm.m) AS BIGINT)
+         |         AS modularity_ppm
+         |FROM mm, agg""".stripMargin
   )
 
   /** Damped weighted PageRank mirror: three unrolled integer steps over

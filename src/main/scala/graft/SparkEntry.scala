@@ -4484,6 +4484,62 @@ object SparkEntry {
         .orderBy("level", "key")
     }),
 
+    // seasonal-naive forecast backtest: forecast(m) = revenue(m−12) per
+    // nation (joined on the month index, not lag — missing months must
+    // not shift the season), MAPE and bias as exact ppm integers — the
+    // honest evaluation loop behind any q154-style forecast
+    "q263_forecast_backtest" -> ((s, dir) => {
+      val m = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
+          col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+          col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          ((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))) - lit(1995 * 12 + 1))
+            .cast("long").as("mi"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("rev"))
+      val bt = m.as("a")
+        .join(m.as("f").select(col("nation"), (col("mi") + 12).as("mi"), col("rev").as("fc")),
+          Seq("nation", "mi"))
+        .select(col("nation"), col("rev"), col("fc"),
+          expr("abs(rev - fc) * 1000000 div rev").as("ape_ppm"))
+      bt.groupBy("nation")
+        .agg(count(lit(1)).as("n_months"),
+          expr("sum(ape_ppm) div count(1)").as("mape_ppm"),
+          expr("sum(fc - rev) * 1000000 div sum(rev)").as("bias_ppm"))
+        .orderBy("nation")
+    }),
+
+    // Newman modularity of the near-dup graph under its connected-component
+    // partition: Q = (4m·Σin_c − Σdeg_c²) / 4m² as one exact integer ppm —
+    // since components contain every edge, Q = 1 − Σ(deg_c/2m)², i.e. how
+    // concentrated the dup mass is in few components (the mega-cluster
+    // early warning in one number)
+    "q264_modularity" -> ((s, dir) => {
+      val cand = Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val lbl = graft.operators.ConnectedComponents.labels(cand, "doc_a", "doc_b")
+        .select(col("node").as("u"), col("cluster_id").as("l"))
+      val und = cand.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionByName(cand.select(col("doc_b").as("u"), col("doc_a").as("v"))).distinct()
+      val cin = cand
+        .join(lbl.select(col("u").as("doc_a"), col("l").as("la")), "doc_a")
+        .join(lbl.select(col("u").as("doc_b"), col("l").as("lb")), "doc_b")
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("l")).agg(count(lit(1)).as("in_c"))
+      val cdeg = und.groupBy("u").agg(count(lit(1)).as("d"))
+        .join(lbl, "u")
+        .groupBy("l").agg(sum(col("d")).as("deg_c"))
+      val agg = cdeg.join(cin, Seq("l"), "left").na.fill(0L, Seq("in_c"))
+        .agg(sum(col("in_c")).as("sin"), sum(col("deg_c") * col("deg_c")).as("sdeg2"),
+          count(lit(1)).as("n_comm"))
+      val mm = cand.agg(count(lit(1)).as("m"))
+      val nn = lbl.agg(count(lit(1)).as("n_nodes"))
+      nn.crossJoin(broadcast(mm)).crossJoin(broadcast(agg))
+        .select(col("n_nodes"), col("m").as("n_edges"), col("n_comm").as("n_communities"),
+          expr("(4 * m * sin - sdeg2) * 1000000 div (4 * m * m)").as("modularity_ppm"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -52,6 +52,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q246_simpsons_flip",        // 1-row overall-sign aggregate bound
     "q248_weighted_pagerank",    // 1-row node-count aggregate bound
     "q249_mutual_information",   // 1-row corpus-total aggregate bound
+    "q264_modularity",           // 1-row edge/moment aggregate bounds
     "q10_class_weights",
     "q68_temperature_sample",
     "q24_embed_topk",
