@@ -4904,7 +4904,56 @@ object OracleSql {
          |       mm.m AS n_edges, agg.n_comm AS n_communities,
          |       CAST((4 * mm.m * agg.sin - agg.sdeg2) * 1000000 // (4 * mm.m * mm.m) AS BIGINT)
          |         AS modularity_ppm
-         |FROM mm, agg""".stripMargin
+         |FROM mm, agg""".stripMargin,
+
+    "q265_dispersion" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(x) AS BIGINT) AS n_events,
+        |  CAST((count(*) * sum(x*x) - sum(x)*sum(x)) * 1000000 // ((count(*) - 1) * sum(x))
+        |       AS BIGINT) AS vmr_ppm
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q266_hll_union" ->
+      s"""WITH pt AS (SELECT DISTINCT event_type, user_id FROM events),
+         |hp AS (SELECT event_type,
+         |         CAST(concat('0x', substr(md5(concat('hll#', CAST(user_id AS VARCHAR))), 1, 12))
+         |              AS BIGINT) AS h
+         |       FROM pt),
+         |rp AS (SELECT event_type, h // 549755813888 AS b,
+         |         CASE WHEN h % 549755813888 = 0 THEN 40
+         |              ELSE 40 - length(bin(h % 549755813888)) END AS rho
+         |       FROM hp),
+         |perg AS (SELECT event_type, b, max(rho) AS mr FROM rp GROUP BY 1, 2),
+         |merged AS (SELECT b, max(mr) AS mr FROM perg GROUP BY 1),
+         |du AS (SELECT DISTINCT user_id FROM events),
+         |hd AS (SELECT CAST(concat('0x', substr(md5(concat('hll#', CAST(user_id AS VARCHAR))), 1, 12))
+         |              AS BIGINT) AS h FROM du),
+         |rd AS (SELECT h // 549755813888 AS b,
+         |         CASE WHEN h % 549755813888 = 0 THEN 40
+         |              ELSE 40 - length(bin(h % 549755813888)) END AS rho
+         |       FROM hd),
+         |direct AS (SELECT b, max(rho) AS mr FROM rd GROUP BY 1),
+         |mis AS (SELECT CAST(sum(CASE WHEN m1.mr IS NOT DISTINCT FROM m2.mr THEN 0 ELSE 1 END)
+         |               AS BIGINT) AS merge_mismatches
+         |        FROM merged m1 FULL OUTER JOIN direct m2 ON m1.b = m2.b),
+         |msum AS (SELECT CAST(count(*) AS BIGINT) AS n_present,
+         |                CAST(sum(CAST(1 AS BIGINT) << CAST(40 - mr AS INT)) AS BIGINT) AS sp
+         |         FROM merged),
+         |exact AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_union FROM events),
+         |est AS (SELECT round($hllAlphaM2Scaled /
+         |          CAST(msum.sp + (512 - msum.n_present) * 1099511627776 AS DOUBLE), 3) AS raw_est,
+         |          msum.n_present
+         |        FROM msum)
+         |SELECT exact.exact_union, est.n_present, mis.merge_mismatches, est.raw_est,
+         |  round(CASE WHEN est.n_present < 512 AND est.raw_est < 1280.0
+         |        THEN 512.0 * ln(512.0 / CAST(512 - est.n_present AS DOUBLE))
+         |        ELSE est.raw_est END, 3) AS corrected_est
+         |FROM exact, est, mis""".stripMargin
   )
 
   /** Damped weighted PageRank mirror: three unrolled integer steps over

@@ -4540,6 +4540,60 @@ object SparkEntry {
           expr("(4 * m * sin - sdeg2) * 1000000 div (4 * m * m)").as("modularity_ppm"))
     }),
 
+    // Poisson dispersion (variance-to-mean ratio) of daily event counts
+    // per type: VMR = (nΣx² − S²)/((n−1)·S) as one exact ppm integer —
+    // over/under-dispersion flags burstiness or throttling that a mean
+    // alone hides
+    "q265_dispersion" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum(col("x")).as("n_events"),
+          expr("(count(1) * sum(x*x) - sum(x)*sum(x)) * 1000000" +
+            " div ((count(1) - 1) * sum(x))").as("vmr_ppm"))
+        .orderBy("event_type")),
+
+    // HLL mergeability: per-type register vectors max-merge into the union
+    // sketch, asserted IDENTICAL (zero mismatches) to the sketch built
+    // directly on the union — the property that makes sketch stores
+    // shardable; the union estimate also gets the linear-counting
+    // small-range correction (one ln, rounded) that q162's raw readout
+    // omits
+    "q266_hll_union" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def regs(df: DataFrame): DataFrame = df
+        .select(Dedup.md5Long(concat(lit("hll#"), col("user_id").cast("string")), 12).as("h"))
+        .select(expr("h div 549755813888").as("b"),
+          when(col("h") % 549755813888L === 0, lit(40))
+            .otherwise(lit(40) - length(bin(col("h") % 549755813888L))).as("rho"))
+        .groupBy("b").agg(max(col("rho")).as("mr"))
+      val perType = ev.select(col("event_type"), col("user_id")).distinct()
+        .select(col("event_type"),
+          Dedup.md5Long(concat(lit("hll#"), col("user_id").cast("string")), 12).as("h"))
+        .select(col("event_type"), expr("h div 549755813888").as("b"),
+          when(col("h") % 549755813888L === 0, lit(40))
+            .otherwise(lit(40) - length(bin(col("h") % 549755813888L))).as("rho"))
+        .groupBy("event_type", "b").agg(max(col("rho")).as("mr"))
+      val merged = perType.groupBy("b").agg(max(col("mr")).as("mr"))
+      val direct = regs(ev.select(col("user_id")).distinct())
+      val mismatches = merged.withColumnRenamed("mr", "m1")
+        .join(direct.withColumnRenamed("mr", "m2"), Seq("b"), "full_outer")
+        .agg(sum(when(col("m1") <=> col("m2"), 0L).otherwise(1L)).as("merge_mismatches"))
+      val msum = merged.agg(count(lit(1)).as("n_present"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(40 - mr AS INT))")).as("sp"))
+      val exact = ev.agg(countDistinct(col("user_id")).as("exact_union"))
+      exact.crossJoin(broadcast(msum)).crossJoin(broadcast(mismatches))
+        .withColumn("raw_est",
+          round(lit(hllAlphaM2Scaled)
+            / (col("sp") + (lit(512L) - col("n_present")) * lit(1099511627776L)).cast("double"), 3))
+        .select(col("exact_union"), col("n_present"), col("merge_mismatches"),
+          col("raw_est"),
+          round(expr("CASE WHEN n_present < 512 AND raw_est < 1280.0" +
+            " THEN 512.0 * ln(512.0 / CAST(512 - n_present AS DOUBLE)) ELSE raw_est END"), 3)
+            .as("corrected_est"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -53,6 +53,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q248_weighted_pagerank",    // 1-row node-count aggregate bound
     "q249_mutual_information",   // 1-row corpus-total aggregate bound
     "q264_modularity",           // 1-row edge/moment aggregate bounds
+    "q266_hll_union",            // 1-row register-summary aggregate bounds
     "q10_class_weights",
     "q68_temperature_sample",
     "q24_embed_topk",
