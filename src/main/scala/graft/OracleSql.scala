@@ -4953,7 +4953,42 @@ object OracleSql {
          |  round(CASE WHEN est.n_present < 512 AND est.raw_est < 1280.0
          |        THEN 512.0 * ln(512.0 / CAST(512 - est.n_present AS DOUBLE))
          |        ELSE est.raw_est END, 3) AS corrected_est
-         |FROM exact, est, mis""".stripMargin
+         |FROM exact, est, mis""".stripMargin,
+
+    "q267_lateness_histogram" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         max(epoch_us(ts)) OVER (
+        |           PARTITION BY user_id
+        |           ORDER BY CAST(concat('0x', substr(md5(concat('arr#', CAST(event_id AS VARCHAR))), 1, 12)) AS BIGINT),
+        |                    event_id
+        |           ROWS UNBOUNDED PRECEDING) AS mx
+        |  FROM events
+        |), l AS (SELECT (mx - us) // 1000000 AS late_s FROM e)
+        |SELECT CAST(length(bin(late_s)) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(late_s) AS BIGINT) AS min_s, CAST(max(late_s) AS BIGINT) AS max_s
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q268_multistage_sample" ->
+      """WITH s1 AS (
+        |  SELECT DISTINCT source FROM documents
+        |  WHERE CAST(concat('0x', substr(md5(concat('ms1#', source)), 1, 12)) AS BIGINT) * 5
+        |        < 281474976710656
+        |), s2 AS (
+        |  SELECT d.source, d.doc_id, d.n_chars
+        |  FROM documents d JOIN s1 ON s1.source = d.source
+        |  WHERE CAST(concat('0x', substr(md5(concat('ms2#', CAST(d.doc_id AS VARCHAR))), 1, 12))
+        |             AS BIGINT) * 2 < 281474976710656
+        |), est AS (
+        |  SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_sources,
+        |         CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_chars) * 10 AS BIGINT) AS est_total_chars
+        |  FROM s2
+        |), tru AS (SELECT CAST(sum(n_chars) AS BIGINT) AS true_total_chars FROM documents)
+        |SELECT est.n_sources, est.n_docs, est.est_total_chars, tru.true_total_chars,
+        |  CAST((est.est_total_chars - tru.true_total_chars) * 1000000 // tru.true_total_chars
+        |       AS BIGINT) AS err_ppm
+        |FROM est, tru""".stripMargin
   )
 
   /** Damped weighted PageRank mirror: three unrolled integer steps over

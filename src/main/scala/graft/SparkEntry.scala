@@ -4594,6 +4594,47 @@ object SparkEntry {
             .as("corrected_est"))
     }),
 
+    // watermark-lateness histogram under simulated shuffled ingestion:
+    // arrival order = md5 of the event id (the events file is ts-sorted,
+    // so real arrival carries no disorder to measure), lateness = running
+    // per-user max event-time minus event-time, bucketed by bit length
+    // (log2 seconds) — the readout that sizes a streaming watermark
+    "q267_lateness_histogram" -> ((s, dir) => {
+      val arr = Dedup.md5Long(concat(lit("arr#"), col("event_id").cast("string")), 12)
+      val w = Window.partitionBy("user_id").orderBy(arr, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("mx", max(col("us")).over(w))
+        .select(expr("(mx - us) div 1000000").as("late_s"))
+        .groupBy(length(bin(col("late_s"))).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("late_s")).as("min_s"), max(col("late_s")).as("max_s"))
+        .orderBy("bucket")
+    }),
+
+    // two-stage cluster sample with design-based expansion: stage 1 keeps
+    // ~20% of sources by md5, stage 2 keeps 50% of their docs; the
+    // Horvitz-Thompson total (×10) is compared to the truth as exact ppm
+    // error — multistage completes the sampling family (uniform, group,
+    // weighted, quota, temperature, IPW)
+    "q268_multistage_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val s1 = docs.select(col("source")).distinct()
+        .filter(Dedup.md5Long(concat(lit("ms1#"), col("source")), 12) * 5 < 281474976710656L)
+      val s2 = docs.join(broadcast(s1), "source")
+        .filter(Dedup.md5Long(concat(lit("ms2#"), col("doc_id").cast("string")), 12) * 2
+          < 281474976710656L)
+      val nSrc = s1.agg(count(lit(1)).as("n_sources"))
+      val est = s2.agg(count(lit(1)).as("n_docs"),
+        (sum(col("n_chars")) * 10).as("est_total_chars"))
+      val tru = docs.agg(sum(col("n_chars")).as("true_total_chars"))
+      nSrc.crossJoin(broadcast(est)).crossJoin(broadcast(tru))
+        .select(col("n_sources"), col("n_docs"), col("est_total_chars"),
+          col("true_total_chars"),
+          expr("(est_total_chars - true_total_chars) * 1000000 div true_total_chars")
+            .as("err_ppm"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

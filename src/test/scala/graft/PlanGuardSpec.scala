@@ -54,6 +54,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q249_mutual_information",   // 1-row corpus-total aggregate bound
     "q264_modularity",           // 1-row edge/moment aggregate bounds
     "q266_hll_union",            // 1-row register-summary aggregate bounds
+    "q268_multistage_sample",    // 1-row stage-count/total aggregate bounds
     "q10_class_weights",
     "q68_temperature_sample",
     "q24_embed_topk",
