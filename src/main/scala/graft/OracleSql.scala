@@ -4988,7 +4988,36 @@ object OracleSql {
         |SELECT est.n_sources, est.n_docs, est.est_total_chars, tru.true_total_chars,
         |  CAST((est.est_total_chars - tru.true_total_chars) * 1000000 // tru.true_total_chars
         |       AS BIGINT) AS err_ppm
-        |FROM est, tru""".stripMargin
+        |FROM est, tru""".stripMargin,
+
+    "q269_threshold_sweep" ->
+      s"""$minhashCte, bg AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(
+         |      CASE WHEN len(ws) >= 2
+         |           THEN [concat_ws(' ', ws[i+1], ws[i+2]) for i in range(0, len(ws)-1)]
+         |           ELSE [text] END) AS sh
+         |    FROM w)
+         |), sizes AS (SELECT doc_id, count(*) AS sz FROM bg GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+         |  FROM cand c
+         |  JOIN bg a ON a.doc_id = c.doc_a
+         |  JOIN bg b ON b.doc_id = c.doc_b AND b.sh = a.sh
+         |  GROUP BY 1, 2
+         |), pairs AS (
+         |  SELECT inter.i, CAST(sa.sz AS BIGINT) AS sa, CAST(sb.sz AS BIGINT) AS sb
+         |  FROM inter JOIN sizes sa ON sa.doc_id = inter.doc_a
+         |       JOIN sizes sb ON sb.doc_id = inter.doc_b
+         |), t AS (SELECT unnest([500, 700, 800, 900]) AS threshold_milli)
+         |SELECT CAST(t.threshold_milli AS BIGINT) AS threshold_milli,
+         |  CAST(coalesce(sum(CASE WHEN p.i * 1000 >= t.threshold_milli * (p.sa + p.sb - p.i)
+         |                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(sum(CASE WHEN p.i * 1000 >= t.threshold_milli * (p.sa + p.sb - p.i)
+         |                    THEN least(p.sa, p.sb) ELSE 0 END), 0) AS BIGINT)
+         |    AS redundant_shingles
+         |FROM t LEFT JOIN pairs p ON true
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Damped weighted PageRank mirror: three unrolled integer steps over

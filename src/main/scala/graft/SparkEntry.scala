@@ -4635,6 +4635,41 @@ object SparkEntry {
             .as("err_ppm"))
     }),
 
+    // dedup-threshold sensitivity: the q23 exact-Jaccard pairs swept over
+    // four candidate thresholds in one conditional-aggregation pass
+    // (integer comparisons i·1000 ≥ t·(|A|+|B|−i), no recomputation per
+    // threshold) — pair counts and the redundant-shingle bound that decide
+    // where to set the near-dup cutoff
+    "q269_threshold_sweep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text").select("doc_a", "doc_b")
+      val candIds = cand.select(col("doc_a").as("doc_id"))
+        .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val sets = docs.select(col("doc_id"), col("text").as("_text"))
+        .join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), array_distinct(graft.plans.WordShingles(col("_text"), 2)).as("bg"))
+      val pairs = cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("bg").as("bg_a")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("bg").as("bg_b")), "doc_b")
+        .select(size(array_intersect(col("bg_a"), col("bg_b"))).cast("long").as("i"),
+          size(col("bg_a")).cast("long").as("sa"), size(col("bg_b")).cast("long").as("sb"))
+      def hit(t: Int): Column = col("i") * 1000 >= lit(t) * (col("sa") + col("sb") - col("i"))
+      pairs.agg(
+          sum(when(hit(500), 1L).otherwise(0L)).as("p500"),
+          sum(when(hit(500), least(col("sa"), col("sb"))).otherwise(0L)).as("r500"),
+          sum(when(hit(700), 1L).otherwise(0L)).as("p700"),
+          sum(when(hit(700), least(col("sa"), col("sb"))).otherwise(0L)).as("r700"),
+          sum(when(hit(800), 1L).otherwise(0L)).as("p800"),
+          sum(when(hit(800), least(col("sa"), col("sb"))).otherwise(0L)).as("r800"),
+          sum(when(hit(900), 1L).otherwise(0L)).as("p900"),
+          sum(when(hit(900), least(col("sa"), col("sb"))).otherwise(0L)).as("r900"))
+        .selectExpr("stack(4, 500L, p500, r500, 700L, p700, r700," +
+          " 800L, p800, r800, 900L, p900, r900)" +
+          " AS (threshold_milli, n_pairs, redundant_shingles)")
+        .na.fill(0L, Seq("n_pairs", "redundant_shingles"))
+        .orderBy("threshold_milli")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
