@@ -5017,7 +5017,39 @@ object OracleSql {
          |                    THEN least(p.sa, p.sb) ELSE 0 END), 0) AS BIGINT)
          |    AS redundant_shingles
          |FROM t LEFT JOIN pairs p ON true
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q270_dup_direction" ->
+      s"""$minhashCte,
+         |ds AS (SELECT doc_id, source FROM documents),
+         |px AS (SELECT c.doc_a, c.doc_b, sa.source AS src_a, sb.source AS src_b
+         |       FROM cand c JOIN ds sa ON sa.doc_id = c.doc_a
+         |            JOIN ds sb ON sb.doc_id = c.doc_b
+         |       WHERE sa.source <> sb.source)
+         |SELECT least(src_a, src_b) AS src_1, greatest(src_a, src_b) AS src_2,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN src_a = least(src_a, src_b) THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS keeper_in_1
+         |FROM px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q271_boxplot_stats" ->
+      """WITH c AS (SELECT lang, CAST(n_chars AS BIGINT) AS x, doc_id AS k FROM documents),
+        |r AS (SELECT lang, x, row_number() OVER (PARTITION BY lang ORDER BY x, k) AS rn,
+        |        count(*) OVER (PARTITION BY lang) AS n FROM c),
+        |q AS (SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+        |        CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+        |        CAST(min(CASE WHEN rn = greatest(1, n // 4) THEN x END) AS BIGINT) AS q1,
+        |        CAST(min(CASE WHEN rn = (n + 1) // 2 THEN x END) AS BIGINT) AS median,
+        |        CAST(min(CASE WHEN rn = (3 * n) // 4 THEN x END) AS BIGINT) AS q3
+        |      FROM r GROUP BY 1),
+        |o AS (SELECT c.lang, CAST(count(*) AS BIGINT) AS n_outliers
+        |      FROM c JOIN q ON q.lang = c.lang
+        |      WHERE 2 * c.x < 2 * q.q1 - 3 * (q.q3 - q.q1)
+        |         OR 2 * c.x > 2 * q.q3 + 3 * (q.q3 - q.q1)
+        |      GROUP BY 1)
+        |SELECT q.lang, q.n_docs, q.min_x, q.q1, q.median, q.q3, q.max_x,
+        |       coalesce(o.n_outliers, 0) AS n_outliers
+        |FROM q LEFT JOIN o ON o.lang = q.lang ORDER BY q.lang""".stripMargin
   )
 
   /** Damped weighted PageRank mirror: three unrolled integer steps over

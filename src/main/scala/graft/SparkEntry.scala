@@ -4670,6 +4670,49 @@ object SparkEntry {
         .orderBy("threshold_milli")
     }),
 
+    // cross-source dup directionality: for LSH pairs spanning two sources,
+    // who keeps the doc under the min-id policy — the per-source-pair
+    // give/take balance that shows which feeds lose content to dedup
+    "q270_dup_direction" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ds = docs.select(col("doc_id"), col("source"))
+      Dedup.minhashCandidates(docs, "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"))
+        .join(ds.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+        .join(ds.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+        .filter(col("src_a") =!= col("src_b"))
+        .groupBy(least(col("src_a"), col("src_b")).as("src_1"),
+          greatest(col("src_a"), col("src_b")).as("src_2"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("src_a") === least(col("src_a"), col("src_b")), 1L).otherwise(0L))
+            .as("keeper_in_1"))
+        .orderBy("src_1", "src_2")
+    }),
+
+    // box-plot panel of doc length per language: min/Q1/median/Q3/max by
+    // rank positions plus the Tukey-fence outlier count — one ranked
+    // window pass with rank-gated conditional MINs, fences joined back
+    // as a 5-row broadcast
+    "q271_boxplot_stats" -> ((s, dir) => {
+      val c = Tables.documents(s, dir)
+        .select(col("lang"), col("n_chars").as("x"), col("doc_id").as("k"))
+      val r = c.withColumn("rn",
+          row_number().over(Window.partitionBy("lang").orderBy(col("x"), col("k"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      val q = r.groupBy("lang").agg(
+        max(col("n")).as("n_docs"), min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(when(col("rn") === expr("greatest(1, n div 4)"), col("x"))).as("q1"),
+        min(when(col("rn") === expr("(n + 1) div 2"), col("x"))).as("median"),
+        min(when(col("rn") === expr("(3 * n) div 4"), col("x"))).as("q3"))
+      val outliers = c.join(broadcast(q.select(col("lang"), col("q1"), col("q3"))), "lang")
+        .filter(expr("2 * x < 2 * q1 - 3 * (q3 - q1) OR 2 * x > 2 * q3 + 3 * (q3 - q1)"))
+        .groupBy("lang").agg(count(lit(1)).as("n_outliers"))
+      q.join(outliers, Seq("lang"), "left").na.fill(0L, Seq("n_outliers"))
+        .select(col("lang"), col("n_docs"), col("min_x"), col("q1"), col("median"),
+          col("q3"), col("max_x"), col("n_outliers"))
+        .orderBy("lang")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
