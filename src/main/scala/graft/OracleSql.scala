@@ -5049,7 +5049,17 @@ object OracleSql {
         |      GROUP BY 1)
         |SELECT q.lang, q.n_docs, q.min_x, q.q1, q.median, q.q3, q.max_x,
         |       coalesce(o.n_outliers, 0) AS n_outliers
-        |FROM q LEFT JOIN o ON o.lang = q.lang ORDER BY q.lang""".stripMargin
+        |FROM q LEFT JOIN o ON o.lang = q.lang ORDER BY q.lang""".stripMargin,
+
+    "q272_sql_extensions" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_poly,
+        |  CAST(greatest(len(string_split(text, ' ')) - 2, 1) AS BIGINT) AS n_shingles
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id LIMIT 50""".stripMargin
   )
 
   /** Damped weighted PageRank mirror: three unrolled integer steps over

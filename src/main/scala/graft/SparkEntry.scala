@@ -4713,6 +4713,22 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // the SparkSessionExtensions SQL surface exercised through the driver
+    // contract: GraftExtensions registers the custom codegen expressions,
+    // then PLAIN SQL calls graft_rolling_hash / graft_word_shingles over a
+    // temp view — proving a SQL-only user reaches the same Catalyst
+    // expressions the DataFrame API uses (oracled against the list_reduce
+    // polynomial mirror)
+    "q272_sql_extensions" -> ((s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("g_docs")
+      s.sql("""SELECT doc_id,
+              |       graft_rolling_hash(text) AS fp_poly,
+              |       CAST(size(graft_word_shingles(text, 3)) AS BIGINT) AS n_shingles
+              |FROM g_docs WHERE text IS NOT NULL
+              |ORDER BY doc_id LIMIT 50""".stripMargin)
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
