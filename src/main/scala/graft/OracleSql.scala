@@ -5059,7 +5059,120 @@ object OracleSql {
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_poly,
         |  CAST(greatest(len(string_split(text, ' ')) - 2, 1) AS BIGINT) AS n_shingles
         |FROM documents WHERE text IS NOT NULL
-        |ORDER BY doc_id LIMIT 50""".stripMargin
+        |ORDER BY doc_id LIMIT 50""".stripMargin,
+
+    // The two-pass sketch is exact by construction (pass 2 filters the
+    // candidate superset with the true threshold), so the oracle is the
+    // plain full-vocabulary GROUP BY … HAVING it avoids at scale.
+    "q273_heavy_hitters" ->
+      """WITH words AS (
+        |  SELECT w FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |    WHERE text IS NOT NULL)
+        |  WHERE length(w) > 0
+        |), t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM words)
+        |SELECT w AS token, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(*) * 1000000 // max(t.n_total) AS BIGINT) AS freq_ppm
+        |FROM words, t GROUP BY w
+        |HAVING count(*) * 100 > max(t.n_total)
+        |ORDER BY n DESC, token""".stripMargin,
+
+    // Quantized side is pure integer arithmetic (int8 codes, exact integer
+    // sqrt of the squared norm, signed floor division in micro units), so
+    // the only float math is the exact-cosine ranking already proven
+    // portable by q24.
+    "q274_quantized_recall" ->
+      s"""$normCte,
+         |qz AS (
+         |  SELECT vec_id AS vid, e,
+         |         list_max(list_transform(e, x -> abs(x))) AS mx
+         |  FROM n
+         |), qc AS (
+         |  SELECT vid,
+         |         CASE WHEN mx = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+         |              ELSE list_transform(e, x -> CAST(round(x * 127 / mx) AS BIGINT)) END AS q
+         |  FROM qz
+         |), qn AS (
+         |  SELECT vid, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn2
+         |  FROM qc
+         |), qi AS (
+         |  SELECT vid, q, qn2,
+         |         CAST(floor(sqrt(CAST(qn2 AS DOUBLE))) AS BIGINT) AS t
+         |  FROM qn
+         |), qf AS (
+         |  SELECT vid, q,
+         |         CASE WHEN (t + 1) * (t + 1) <= qn2 THEN t + 1
+         |              WHEN t * t > qn2 THEN t - 1 ELSE t END AS s
+         |  FROM qi
+         |), b AS (
+         |  SELECT n.vec_id AS vid, n.e, n.nrm, qf.q, qf.s
+         |  FROM n JOIN qf ON qf.vid = n.vec_id
+         |), qs AS (
+         |  SELECT vid AS query_id, e AS qv, nrm AS qnrm, q AS qq, s AS qss
+         |  FROM b WHERE vid < 5
+         |), sc AS (
+         |  SELECT qs.query_id, b.vid,
+         |         round(list_sum(list_transform(range(1, len(qs.qv)+1), i -> qs.qv[i]*b.e[i]))
+         |               / (qs.qnrm * b.nrm), 6) AS sim,
+         |         CAST(list_sum(list_transform(range(1, len(qs.qq)+1), i -> qs.qq[i]*b.q[i])) AS BIGINT) AS qdot,
+         |         qs.qss * b.s AS den
+         |  FROM b, qs WHERE b.vid <> qs.query_id
+         |), r AS (
+         |  SELECT query_id, vid, sim,
+         |         CASE WHEN den = 0 THEN 0
+         |              WHEN qdot >= 0 THEN (qdot * 1000000) // den
+         |              ELSE -((-qdot * 1000000) // den) END AS qsim_u
+         |  FROM sc
+         |), rk AS (
+         |  SELECT query_id, vid,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vid) AS BIGINT) AS erk,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY qsim_u DESC, vid) AS BIGINT) AS qrk
+         |  FROM r
+         |)
+         |SELECT query_id,
+         |       CAST(sum(CASE WHEN erk <= 10 AND qrk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+         |       CAST(sum(CASE WHEN erk <= 10 AND qrk <= 10 THEN 1 ELSE 0 END) * 100 // 10 AS BIGINT) AS recall_pct,
+         |       CAST(sum(CASE WHEN erk <= 10 THEN abs(qrk - erk) ELSE 0 END) * 1000 // 10 AS BIGINT)
+         |         AS mean_disp_milli
+         |FROM rk WHERE erk <= 10 OR qrk <= 10
+         |GROUP BY query_id ORDER BY query_id""".stripMargin,
+
+    "q275_token_allocation" ->
+      """WITH srcs AS (
+        |  SELECT source,
+        |         CAST(sum(coalesce(CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT), 0)) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1
+        |), g AS (
+        |  SELECT source, n_tokens,
+        |         CAST(count(*) OVER () AS BIGINT) AS sn,
+        |         CAST(sum(n_tokens) OVER () // 2 AS BIGINT) AS budget,
+        |         CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS rn,
+        |         CAST(sum(n_tokens) OVER (ORDER BY n_tokens, source
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM srcs
+        |), g2 AS (
+        |  SELECT *,
+        |         coalesce(min(CASE WHEN NOT (n_tokens * (sn - rn + 1) <= budget - cum + n_tokens)
+        |                      THEN rn END) OVER () - 1, sn) AS p
+        |  FROM g
+        |), g3 AS (
+        |  SELECT *,
+        |         coalesce(max(CASE WHEN rn = p THEN cum END) OVER (), 0) AS cum_p
+        |  FROM g2
+        |), g4 AS (
+        |  SELECT *,
+        |         CASE WHEN p = sn THEN 0 ELSE (budget - cum_p) // (sn - p) END AS lam,
+        |         CASE WHEN p = sn THEN 0 ELSE (budget - cum_p) % (sn - p) END AS rem
+        |  FROM g3
+        |)
+        |SELECT source, n_tokens,
+        |       CAST(CASE WHEN rn <= p THEN n_tokens
+        |            ELSE lam + CASE WHEN rn - p <= rem THEN 1 ELSE 0 END END AS BIGINT) AS alloc_tokens,
+        |       CAST(CASE WHEN rn <= p THEN 1 ELSE 0 END AS BIGINT) AS capped,
+        |       CAST((CASE WHEN rn <= p THEN n_tokens
+        |             ELSE lam + CASE WHEN rn - p <= rem THEN 1 ELSE 0 END END) * 1000000 // n_tokens AS BIGINT)
+        |         AS epochs_ppm
+        |FROM g4 ORDER BY source""".stripMargin
   )
 
   /** Damped weighted PageRank mirror: three unrolled integer steps over

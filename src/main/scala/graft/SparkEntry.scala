@@ -4729,6 +4729,64 @@ object SparkEntry {
               |ORDER BY doc_id LIMIT 50""".stripMargin)
     }),
 
+    // two-pass exact heavy hitters (Misra-Gries sketch pass → exact count
+    // of the bounded candidate set): tokens with >1% corpus frequency —
+    // the full-vocabulary shuffle never happens; pass 2 shuffles candidate
+    // tokens only. Oracled against plain GROUP BY … HAVING (the sketch's
+    // false positives are provably filtered by the exact pass)
+    "q273_heavy_hitters" -> ((s, dir) =>
+      graft.operators.HeavyHitters.heavyHitters(
+        graft.operators.HeavyHitters.tokenStream(Tables.documents(s, dir), "text"),
+        "token", 100)),
+
+    // int8 scalar-quantization recall audit: per-vector max-abs quantized
+    // codes, integer dot products, recall@10 of the quantized ranking vs
+    // the exact float cosine top-10 plus mean |Δsim| — the evaluation
+    // loop that decides whether a 4×-smaller index is safe to ship
+    "q274_quantized_recall" -> ((s, dir) =>
+      graft.operators.Similarity.quantizedRecall(
+        Tables.embeddings(s, dir), "vec_id", "embedding", 5, 10)),
+
+    // token-budget waterfilling: allocate a global budget B = total/2
+    // across sources, uniform target share, each source capped at 1 epoch
+    // (its own tokens); capped prefix found by sorted cumsum, the level
+    // λ = (B − cum_p) div (S − p) with the remainder distributed +1 to the
+    // first r uncapped sources — the DoReMi-style mixture solver as exact
+    // integer window arithmetic on the bounded source dictionary
+    "q275_token_allocation" -> ((s, dir) => {
+      val srcs = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(sum(coalesce(TextFunctions.bpeEstimate(col("text")), lit(0L))).as("n_tokens"))
+      val everything = Window.partitionBy()
+      val ord = Window.orderBy("n_tokens", "source")
+      val run = ord.rowsBetween(Window.unboundedPreceding, 0)
+      // bounded dictionary-only global window (the label-encode pattern)
+      val g = srcs
+        .withColumn("sn", count(lit(1)).over(everything))
+        .withColumn("budget", expr("sum(n_tokens) over () div 2"))
+        .withColumn("rn", row_number().over(ord).cast("long"))
+        .withColumn("cum", sum(col("n_tokens")).over(run))
+        .withColumn("capped_here",
+          col("n_tokens") * (col("sn") - col("rn") + 1) <= col("budget") - col("cum") + col("n_tokens"))
+        .withColumn("p",
+          coalesce(min(when(!col("capped_here"), col("rn"))).over(everything) - 1, col("sn")))
+        .withColumn("cum_p",
+          coalesce(max(when(col("rn") === col("p"), col("cum"))).over(everything), lit(0L)))
+      g.withColumn("lam",
+          when(col("p") === col("sn"), lit(0L))
+            .otherwise(expr("(budget - cum_p) div (sn - p)")))
+        .withColumn("rem",
+          when(col("p") === col("sn"), lit(0L))
+            .otherwise(expr("(budget - cum_p) % (sn - p)")))
+        .withColumn("alloc_tokens",
+          when(col("rn") <= col("p"), col("n_tokens"))
+            .otherwise(col("lam") + when(col("rn") - col("p") <= col("rem"), 1L).otherwise(0L)))
+        .select(col("source"), col("n_tokens"), col("alloc_tokens"),
+          when(col("rn") <= col("p"), 1L).otherwise(0L).as("capped"),
+          expr("alloc_tokens * 1000000 div n_tokens").as("epochs_ppm"))
+        .orderBy("source")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -613,4 +613,81 @@ object Similarity {
         .toDF("pos", "vec_id", "rel", "score_u")
     } finally rel.unpersist()
   }
+
+  /** Int8 scalar quantization recall audit — the compressed-index
+    * evaluation loop. Each vector is quantized per-vector symmetric:
+    * `q_i = round(127 · x_i / max|x|)` (the max-abs scale every int8 ANN
+    * index family uses), which shrinks the corpus 4× and makes the dot
+    * product pure integer arithmetic. The audit ranks the corpus for each
+    * query twice — exact float cosine (the [[bruteForceTopK]] ordering)
+    * and integer quantized cosine `qdot·1e6 div (⌊√Σq_a²⌋·⌊√Σq_b²⌋)` —
+    * and reports, per query, how many of the exact top-k the quantized
+    * ranking recovers (recall@k) plus the mean rank displacement of the
+    * exact top-k under the quantized ranking (milli-positions).
+    *
+    * Scale shape: identical to brute-force search — the bounded query set
+    * broadcasts, the corpus streams; the quantized rank needs no extra
+    * shuffle (both rankings come from the same per-(query, candidate) row
+    * in one window pass). At index-build scale the quantized corpus would
+    * be materialized once; the audit's point is deciding whether recall
+    * survives the compression before committing to it.
+    */
+  def quantizedRecall(emb: DataFrame, idCol: String, embCol: String,
+      nQueries: Int, k: Int): DataFrame = {
+    // quantized view: int8 codes, exact integer squared norm, and its
+    // EXACT integer sqrt (floor(√double) plus ±1 fix-ups — qn2 is far
+    // below 2^52 so the double estimate is within one) — so the quantized
+    // similarity `qdot·1e6 div (sa·sb)` is pure integer arithmetic, no
+    // float rounding boundary for the oracle to disagree on. Negative
+    // dots divide as -((-a) div b): both engines floor toward zero.
+    val quant = emb
+      .select(col(idCol).as("vid"), col(embCol).cast("array<double>").as("v"))
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("q",
+        when(col("mx") === 0d, transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"),
+            x => round(x * 127d / col("mx")).cast("long"))))
+      .withColumn("qn2",
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+      .withColumn("t", floor(sqrt(col("qn2").cast("double"))).cast("long"))
+      .withColumn("s",
+        when((col("t") + 1) * (col("t") + 1) <= col("qn2"), col("t") + 1)
+          .when(col("t") * col("t") > col("qn2"), col("t") - 1)
+          .otherwise(col("t")))
+      .select(col("vid"), col("q"), col("s"))
+    val base = normed(emb, idCol, embCol)
+      .join(quant, "vid")
+    val queries = base
+      .filter(col("vid") < nQueries)
+      .select(col("vid").as("query_id"), col("emb_d").as("qv"), col("nrm").as("qn"),
+        col("q").as("qq"), col("s").as("qs"))
+    val scored = base
+      .join(broadcast(queries), col("vid") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("qn"), col("emb_d"), col("nrm")))
+      .withColumn("qdot",
+        aggregate(zip_with(col("qq"), col("q"), (a, b) => a * b), lit(0L),
+          (acc, x) => acc + x))
+      .withColumn("qsim_u", expr(
+        "CASE WHEN qs * s = 0 THEN 0" +
+          " WHEN qdot >= 0 THEN (qdot * 1000000) div (qs * s)" +
+          " ELSE -((-qdot * 1000000) div (qs * s)) END"))
+      .select(col("query_id"), col("vid"), col("sim"), col("qsim_u"))
+    val exactRk = row_number()
+      .over(Window.partitionBy("query_id").orderBy(col("sim").desc, col("vid")))
+    val quantRk = row_number()
+      .over(Window.partitionBy("query_id").orderBy(col("qsim_u").desc, col("vid")))
+    scored
+      .withColumn("erk", exactRk.cast("long"))
+      .withColumn("qrk", quantRk.cast("long"))
+      .filter(col("erk") <= k || col("qrk") <= k)
+      .groupBy("query_id")
+      .agg(
+        sum(when(col("erk") <= k && col("qrk") <= k, 1L).otherwise(0L)).as("n_overlap"),
+        sum(when(col("erk") <= k, abs(col("qrk") - col("erk"))).otherwise(0L))
+          .as("disp_sum"))
+      .select(col("query_id"), col("n_overlap"),
+        expr(s"n_overlap * 100 div $k").as("recall_pct"),
+        expr(s"disp_sum * 1000 div $k").as("mean_disp_milli"))
+      .orderBy("query_id")
+  }
 }

@@ -71,7 +71,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q209_bm25_topk",          // 1-row (Σlen, N) corpus-totals bound
     "q214_cusum_changepoint",  // 1-row totals + 1-row max-|cusum| bounds
     "q221_hybrid_retrieval",   // q209's corpus-totals bound (BM25 leg)
-    "q223_seasonal_index")     // 1-row (Σn, Σrev) totals bound
+    "q223_seasonal_index",     // 1-row (Σn, Σrev) totals bound
+    "q273_heavy_hitters",      // 1-row token-total aggregate bound
+    "q274_quantized_recall")   // the query set (|Q| = nQueries, fixed)
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString

@@ -106,4 +106,45 @@ class RoundFivePropertiesSpec extends AnyFunSuite {
     val nUsers = ses.select("user_id").distinct().count()
     assert(handoffs === nSessions - nUsers)
   }
+
+  test("q273: Misra-Gries candidates are a superset of the exact heavy hitters") {
+    import graft.operators.HeavyHitters
+    val toks = HeavyHitters.tokenStream(Tables.documents(spark, sfDir), "text")
+    val n = toks.count()
+    val exact = toks.groupBy("token").count()
+      .filter(org.apache.spark.sql.functions.col("count") * 100 > n)
+      .collect().map(_.getAs[String]("token")).toSet
+    val cand = HeavyHitters.candidates(toks, "token", 100)
+      .collect().map(_.getAs[String]("token")).toSet
+    assert(exact.subsetOf(cand),
+      s"missed hitters: ${exact -- cand}")
+    // and the two-pass result IS the exact answer
+    val hh = rows("q273_heavy_hitters").map(_.getAs[String]("token")).toSet
+    assert(hh === exact)
+  }
+
+  test("q274: quantized recall is bounded and overlap consistent with recall_pct") {
+    rows("q274_quantized_recall").foreach { r =>
+      val ov = r.getAs[Long]("n_overlap")
+      assert(ov >= 0L && ov <= 10L)
+      assert(r.getAs[Long]("recall_pct") === ov * 10)
+      assert(r.getAs[Long]("mean_disp_milli") >= 0L)
+    }
+  }
+
+  test("q275: waterfilling exhausts the budget exactly and respects every cap") {
+    val r = rows("q275_token_allocation")
+    val total = r.map(_.getAs[Long]("n_tokens")).sum
+    val alloc = r.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(alloc === total / 2, s"allocated $alloc != budget ${total / 2}")
+    r.foreach { row =>
+      assert(row.getAs[Long]("alloc_tokens") <= row.getAs[Long]("n_tokens"),
+        s"${row.getAs[String]("source")} allocated over its 1-epoch cap")
+      assert(row.getAs[Long]("epochs_ppm") <= 1000000L)
+    }
+    // uncapped sources all land within 1 token of the common level λ
+    val uncapped = r.filter(_.getAs[Long]("capped") == 0L).map(_.getAs[Long]("alloc_tokens"))
+    if (uncapped.nonEmpty)
+      assert(uncapped.max - uncapped.min <= 1L, s"level spread ${uncapped.toSeq}")
+  }
 }
