@@ -5172,7 +5172,76 @@ object OracleSql {
         |       CAST((CASE WHEN rn <= p THEN n_tokens
         |             ELSE lam + CASE WHEN rn - p <= rem THEN 1 ELSE 0 END END) * 1000000 // n_tokens AS BIGINT)
         |         AS epochs_ppm
-        |FROM g4 ORDER BY source""".stripMargin
+        |FROM g4 ORDER BY source""".stripMargin,
+
+    // struct-max tie-break mirrored as ORDER BY w DESC, shard DESC
+    "q276_rendezvous_shards" ->
+      """WITH w AS (
+        |  SELECT d.doc_id, d.n_chars, s.shard,
+        |         CAST(concat('0x', substr(md5(concat('hrw#', CAST(s.shard AS VARCHAR),
+        |           '#', CAST(d.doc_id AS VARCHAR))), 1, 12)) AS BIGINT) AS w
+        |  FROM documents d, (SELECT unnest(generate_series(0, 7)) AS shard) s
+        |), a8 AS (
+        |  SELECT doc_id, n_chars, shard,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, shard DESC) AS rk
+        |  FROM w
+        |), a7 AS (
+        |  SELECT doc_id, shard,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, shard DESC) AS rk
+        |  FROM w WHERE shard < 7
+        |)
+        |SELECT CAST(a8.shard AS BIGINT) AS shard,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(a8.n_chars) AS BIGINT) AS n_chars,
+        |       CAST(sum(CASE WHEN a8.shard <> a7.shard THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_if_drop7
+        |FROM a8 JOIN a7 ON a7.doc_id = a8.doc_id AND a7.rk = 1
+        |WHERE a8.rk = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q277_join_card_audit" ->
+      """WITH pk AS (
+        |  SELECT CAST(l_partkey % 16 AS BIGINT) AS bucket, l_partkey,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2
+        |), b AS (
+        |  SELECT bucket, CAST(sum(c) AS BIGINT) AS n_rows,
+        |         CAST(count(*) AS BIGINT) AS ndv,
+        |         CAST(sum(c * c) AS BIGINT) AS exact_selfjoin
+        |  FROM pk GROUP BY 1
+        |)
+        |SELECT bucket, n_rows, ndv,
+        |       CAST((n_rows * n_rows) // ndv AS BIGINT) AS est_selfjoin,
+        |       exact_selfjoin,
+        |       CAST((((n_rows * n_rows) // ndv) - exact_selfjoin) * 1000000 // exact_selfjoin AS BIGINT)
+        |         AS err_ppm
+        |FROM b ORDER BY bucket""".stripMargin,
+
+    "q278_partition_packing" ->
+      """WITH keys AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1
+        |), r AS (
+        |  SELECT o_custkey, c,
+        |         CAST(row_number() OVER (ORDER BY c DESC, o_custkey) AS BIGINT) AS rn,
+        |         CAST(sum(c) OVER () AS BIGINT) AS total
+        |  FROM keys
+        |), snake AS (
+        |  SELECT c, total,
+        |         CASE WHEN ((rn - 1) // 8) % 2 = 0 THEN (rn - 1) % 8
+        |              ELSE 7 - ((rn - 1) % 8) END AS p
+        |  FROM r
+        |), sa AS (
+        |  SELECT p, CAST(count(*) AS BIGINT) AS snake_keys,
+        |         CAST(sum(c) AS BIGINT) AS snake_rows, CAST(max(total) AS BIGINT) AS total
+        |  FROM snake GROUP BY 1
+        |), ha AS (
+        |  SELECT CAST(concat('0x', substr(md5(concat('pp#', CAST(o_custkey AS VARCHAR))), 1, 12)) AS BIGINT) % 8 AS p,
+        |         CAST(sum(c) AS BIGINT) AS hash_rows
+        |  FROM keys GROUP BY 1
+        |)
+        |SELECT sa.p, sa.snake_keys, sa.snake_rows, ha.hash_rows,
+        |       CAST(sa.snake_rows * 8 * 1000000 // sa.total AS BIGINT) AS snake_load_ppm,
+        |       CAST(ha.hash_rows * 8 * 1000000 // sa.total AS BIGINT) AS hash_load_ppm
+        |FROM sa JOIN ha ON ha.p = sa.p ORDER BY sa.p""".stripMargin
   )
 
   /** Damped weighted PageRank mirror: three unrolled integer steps over

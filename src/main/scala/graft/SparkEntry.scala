@@ -4787,6 +4787,81 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // rendezvous (highest-random-weight) sharding: each doc goes to the
+    // shard with the max md5 weight — the consistent-placement scheme
+    // where removing a shard moves ONLY that shard's docs (asserted by
+    // the n_moved_if_drop7 column: nonzero only on shard 7, spec-proven).
+    // Argmax is one max(struct) per doc — no window, no shuffle beyond
+    // the 8-way fan-out groupBy
+    "q276_rendezvous_shards" -> ((s, dir) => {
+      val w = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          explode(sequence(lit(0), lit(7))).as("shard"))
+        .withColumn("w", Dedup.md5Long(
+          concat(lit("hrw#"), col("shard").cast("string"), lit("#"),
+            col("doc_id").cast("string")), 12))
+      w.groupBy("doc_id")
+        .agg(max(col("n_chars")).as("nc"),
+          max(struct(col("w"), col("shard"))).as("m8"),
+          max(when(col("shard") < 7, struct(col("w"), col("shard")))).as("m7"))
+        .select(col("nc"), col("m8.shard").cast("long").as("shard"),
+          (col("m8.shard") =!= col("m7.shard")).as("moved"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
+          sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved_if_drop7"))
+        .orderBy("shard")
+    }),
+
+    // optimizer-stats cardinality audit: 16-bucket histogram on the fact
+    // join key with per-bucket (rows, ndv); the planner's uniformity
+    // estimate for a self-equi-join (rows²/ndv) vs the exact Σc² — the
+    // readout that says where histogram stats mislead the join planner
+    // (err > 0 ⇔ the bucket is flatter than assumed, < 0 ⇔ skewed)
+    "q277_join_card_audit" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy((col("l_partkey") % 16).cast("long").as("bucket"), col("l_partkey"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("bucket")
+        .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("ndv"),
+          sum(col("c") * col("c")).as("exact_selfjoin"))
+        .withColumn("est_selfjoin", expr("(n_rows * n_rows) div ndv"))
+        .withColumn("err_ppm",
+          expr("(est_selfjoin - exact_selfjoin) * 1000000 div exact_selfjoin"))
+        .orderBy("bucket")),
+
+    // skew-aware partition packing: group-key loads snake-assigned
+    // (boustrophedon over the count-ranked keys — the greedy LPT
+    // approximation in closed form) vs plain hash assignment, per-partition
+    // load in ppm of ideal — the readout that justifies explicit key
+    // packing over hashPartitioning for skewed aggregations. The ranked
+    // window runs on the bounded key dictionary (an agg output), never
+    // the fact table
+    "q278_partition_packing" -> ((s, dir) => {
+      val nParts = 8
+      val keys = Tables.orders(s, dir)
+        .groupBy("o_custkey").agg(count(lit(1)).as("c"))
+      val everything = Window.partitionBy()
+      val snake = keys
+        .withColumn("rn", row_number()
+          .over(Window.orderBy(col("c").desc, col("o_custkey"))).cast("long"))
+        .withColumn("total", sum(col("c")).over(everything))
+        .withColumn("p", expr(
+          s"CASE WHEN ((rn - 1) div $nParts) % 2 = 0 THEN (rn - 1) % $nParts" +
+            s" ELSE $nParts - 1 - ((rn - 1) % $nParts) END"))
+      val hashed = keys
+        .withColumn("p", Dedup.md5Long(
+          concat(lit("pp#"), col("o_custkey").cast("string")), 12) % nParts)
+        .groupBy("p").agg(sum(col("c")).as("hash_rows"))
+      snake.groupBy("p")
+        .agg(count(lit(1)).as("snake_keys"), sum(col("c")).as("snake_rows"),
+          max(col("total")).as("total"))
+        .join(hashed, "p")
+        .select(col("p"), col("snake_keys"), col("snake_rows"), col("hash_rows"),
+          expr(s"snake_rows * $nParts * 1000000 div total").as("snake_load_ppm"),
+          expr(s"hash_rows * $nParts * 1000000 div total").as("hash_load_ppm"))
+        .orderBy("p")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -132,6 +132,40 @@ class RoundFivePropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("q276: removing shard 7 moves ONLY shard 7's docs (rendezvous stability)") {
+    val r = rows("q276_rendezvous_shards")
+    r.foreach { row =>
+      val (shard, moved) = (row.getAs[Long]("shard"), row.getAs[Long]("n_moved_if_drop7"))
+      if (shard == 7L) assert(moved === row.getAs[Long]("n_docs"),
+        "every doc on the removed shard must move")
+      else assert(moved === 0L, s"shard $shard lost docs it should have kept")
+    }
+    val nDocs = r.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs === Tables.documents(spark, sfDir).count())
+  }
+
+  test("q277: uniformity estimate never undershoots (Cauchy-Schwarz) and ndv ≤ rows") {
+    rows("q277_join_card_audit").foreach { r =>
+      // Σc² ≥ (Σc)²/ndv always (equality iff perfectly uniform), so the
+      // planner's uniformity estimate is a LOWER bound up to the floor div
+      assert(r.getAs[Long]("est_selfjoin") <= r.getAs[Long]("exact_selfjoin"),
+        s"bucket ${r.getAs[Long]("bucket")}")
+      assert(r.getAs[Long]("ndv") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("err_ppm") <= 0L)
+    }
+  }
+
+  test("q278: snake packing conserves rows and beats-or-ties hash on max load") {
+    val r = rows("q278_partition_packing")
+    val snakeTotal = r.map(_.getAs[Long]("snake_rows")).sum
+    val hashTotal = r.map(_.getAs[Long]("hash_rows")).sum
+    assert(snakeTotal === hashTotal, "both assignments place every row")
+    val maxSnake = r.map(_.getAs[Long]("snake_load_ppm")).max
+    val maxHash = r.map(_.getAs[Long]("hash_load_ppm")).max
+    assert(maxSnake <= maxHash,
+      s"snake max load $maxSnake should not exceed hash max load $maxHash")
+  }
+
   test("q275: waterfilling exhausts the budget exactly and respects every cap") {
     val r = rows("q275_token_allocation")
     val total = r.map(_.getAs[Long]("n_tokens")).sum
