@@ -5241,7 +5241,57 @@ object OracleSql {
         |SELECT sa.p, sa.snake_keys, sa.snake_rows, ha.hash_rows,
         |       CAST(sa.snake_rows * 8 * 1000000 // sa.total AS BIGINT) AS snake_load_ppm,
         |       CAST(ha.hash_rows * 8 * 1000000 // sa.total AS BIGINT) AS hash_load_ppm
-        |FROM sa JOIN ha ON ha.p = sa.p ORDER BY sa.p""".stripMargin
+        |FROM sa JOIN ha ON ha.p = sa.p ORDER BY sa.p""".stripMargin,
+
+    "q279_embed_dim_profile" ->
+      """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |           WHERE embedding IS NOT NULL),
+        |x1 AS (SELECT e, unnest(range(0, len(e))) AS i FROM v),
+        |x AS (SELECT i AS dim, CAST(round(e[i+1] * 1000000) AS BIGINT) AS xq FROM x1),
+        |s AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(xq AS HUGEINT)) AS sx,
+        |         sum(CAST(xq AS HUGEINT) * CAST(xq AS HUGEINT)) AS sx2,
+        |         CAST(sum(CASE WHEN xq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |         min(xq) AS min_q, max(xq) AS max_q
+        |  FROM x GROUP BY 1
+        |)
+        |SELECT CAST(dim AS BIGINT) AS dim, n,
+        |       CAST(sx // n AS BIGINT) AS mean_micro,
+        |       CAST((n * sx2 - sx * sx) // (n * (n - 1)) AS BIGINT) AS var_micro2,
+        |       CAST(n_zero * 1000000 // n AS BIGINT) AS zero_ppm,
+        |       CAST(CASE WHEN min_q = max_q THEN 1 ELSE 0 END AS BIGINT) AS dead
+        |FROM s ORDER BY dim""".stripMargin,
+
+    "q280_join_hotkeys" ->
+      """WITH k AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS c,
+        |         CAST(count(*) AS BIGINT) * CAST(count(*) AS BIGINT) AS out_rows
+        |  FROM lineitem GROUP BY 1
+        |), r AS (
+        |  SELECT l_partkey, c, out_rows,
+        |         CAST(sum(out_rows) OVER () AS BIGINT) AS total_out,
+        |         CAST(row_number() OVER (ORDER BY out_rows DESC, l_partkey) AS BIGINT) AS rk
+        |  FROM k
+        |)
+        |SELECT rk, l_partkey AS partkey, c AS n_rows, out_rows,
+        |       CAST(out_rows * 1000000 // total_out AS BIGINT) AS share_ppm
+        |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+
+    "q281_l_diversity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |       CAST(min(l) AS BIGINT) AS min_l,
+        |       CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_diversity,
+        |       CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        |       CAST(sum(n) AS BIGINT) AS total_rows
+        |FROM g""".stripMargin
   )
 
   /** Damped weighted PageRank mirror: three unrolled integer steps over

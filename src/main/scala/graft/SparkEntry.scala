@@ -2516,19 +2516,20 @@ object SparkEntry {
     // generation bounded by the per-order line cap (never corpus-
     // quadratic), one equi self-join with exchange reuse, top-50 by a
     // total order
-    "q175_copurchase_pairs" -> ((s, dir) => {
-      val d = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      d.as("x")
-        .join(
-          d.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .groupBy(col("x.l_partkey").as("part_a"), col("y.l_partkey").as("part_b"))
+    "q175_copurchase_pairs" -> ((s, dir) =>
+      // bounded per-order part sets (≤ 7 lines/order) → map-side ordered-
+      // pair generation from collect_set arrays: one shuffle on orderkey,
+      // pairs aggregated map-side (the q45/q248 rewrite)
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("ps"))
+        .select(explode(col("ps")).as("part_a"), col("ps"))
+        .select(col("part_a"), explode(col("ps")).as("part_b"))
+        .filter(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b")
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
-        .limit(50)
-    }),
+        .limit(50)),
 
     // TPC-H Q9-shaped part-family profit by nation and order year: the
     // one shuffle join is lineitem ⋈ orders on orderkey; part (pre-
@@ -4159,12 +4160,20 @@ object SparkEntry {
     // the 600-row weighted edge list localCheckpoint'd once — the
     // commerce-graph twin of q131's unweighted dup-graph PageRank
     "q248_weighted_pagerank" -> ((s, dir) => {
+      // per-order brand sets are bounded (≤ 7 lines/order), so edge
+      // generation goes map-side from collect_set arrays (the q45 PMI
+      // rewrite): ONE shuffle on orderkey replaces the distinct + self-
+      // join + pair-shuffle chain — same (u,v,w) relation, same oracle
       val ob = Tables.lineitem(s, dir)
         .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
           col("p_partkey") === col("l_partkey"))
-        .select(col("l_orderkey").as("o"), col("p_brand").as("b")).distinct()
-      val pr0 = ob.as("a").join(ob.as("c"), col("a.o") === col("c.o") && col("a.b") =!= col("c.b"))
-        .groupBy(col("a.b").as("u"), col("c.b").as("v"))
+        .groupBy(col("l_orderkey").as("o"))
+        .agg(collect_set(col("p_brand")).as("bs"))
+      val pr0 = ob
+        .select(explode(col("bs")).as("u"), col("bs"))
+        .select(col("u"), explode(col("bs")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .groupBy("u", "v")
         .agg(count(lit(1)).as("w"))
       val wt = pr0.groupBy("u").agg(sum(col("w")).as("wu"))
       val base = pr0.join(wt, "u").localCheckpoint()
@@ -4860,6 +4869,67 @@ object SparkEntry {
           expr(s"snake_rows * $nParts * 1000000 div total").as("snake_load_ppm"),
           expr(s"hash_rows * $nParts * 1000000 div total").as("hash_load_ppm"))
         .orderBy("p")
+    }),
+
+    // embedding-dimension health profile (feature-store QA): per-dim n,
+    // mean/variance from exact 1e-6-quantized integer sums (q98's
+    // covariance discipline — decimal38 accumulators, partition-count-
+    // invariant), zero fraction, and the dead-dim flag (min = max) that
+    // catches a collapsed encoder dimension before it poisons ANN recall
+    "q279_embed_dim_profile" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .filter(col("embedding").isNotNull)
+        .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+        .select(col("dim").cast("long").as("dim"),
+          round(col("x") * 1e6).cast("long").as("xq"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          sum(col("xq").cast(dec38)).as("sx"),
+          sum((col("xq") * col("xq")).cast(dec38)).as("sx2"),
+          sum(when(col("xq") === 0L, 1L).otherwise(0L)).as("n_zero"),
+          min(col("xq")).as("min_q"), max(col("xq")).as("max_q"))
+        .select(col("dim"), col("n"),
+          expr("CAST(sx div n AS BIGINT)").as("mean_micro"),
+          expr("CAST((n * sx2 - sx * sx) div (n * (n - 1)) AS BIGINT)").as("var_micro2"),
+          expr("n_zero * 1000000 div n").as("zero_ppm"),
+          when(col("min_q") === col("max_q"), 1L).otherwise(0L).as("dead"))
+        .orderBy("dim")),
+
+    // join hot-key audit: the 20 keys contributing most self-join output
+    // (c² rows each) plus their share of the total — the per-key view
+    // behind q277's bucket histogram; the keys this surfaces are exactly
+    // the ones AQE skew-split or salting must handle
+    "q280_join_hotkeys" -> ((s, dir) => {
+      val k = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+        .select(col("l_partkey"), col("c"), (col("c") * col("c")).as("out_rows"))
+      val everything = Window.partitionBy()
+      k.withColumn("total_out", sum(col("out_rows")).over(everything))
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("out_rows").desc, col("l_partkey"))).cast("long"))
+        .filter(col("rk") <= 20)
+        .select(col("rk"), col("l_partkey").as("partkey"), col("c").as("n_rows"),
+          col("out_rows"), expr("out_rows * 1000000 div total_out").as("share_ppm"))
+        .orderBy("rk")
+    }),
+
+    // l-diversity audit (the k-anonymity follow-up, q219's quasi-identifier
+    // grid): per (nation, segment) group the count of DISTINCT sensitive
+    // values (order priority) — groups with l < 3 are attribute-disclosure
+    // risks even when k-anonymous; one distinct-agg + threshold rollup
+    "q281_l_diversity" -> ((s, dir) => {
+      val g = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+          .select("c_custkey", "c_nationkey", "c_mktsegment")),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_orderpriority")).as("l"))
+      g.agg(count(lit(1)).as("n_groups"),
+          min(col("l")).as("min_l"),
+          sum(when(col("l") < 3, 1L).otherwise(0L)).as("n_low_diversity"),
+          sum(when(col("l") < 3, col("n")).otherwise(0L)).as("rows_at_risk"),
+          sum(col("n")).as("total_rows"))
     }),
 
     // multimodal: opaque binary column + stub decode metadata

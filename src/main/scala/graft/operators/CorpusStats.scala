@@ -65,6 +65,9 @@ object CorpusStats {
     * words have no bigram and are absent, mirrored by the oracle.
     */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // the skinny (doc, bigram, context) hash relation feeds BOTH the count
+    // side and the score-back join; un-checkpointed, each consumer re-scans
+    // and re-explodes the corpus (the q136/q216 lesson) — materialize once
     val bg = Dedup
       .shingleRows(
         docs.filter(size(split(col(textCol), " ", -1)) >= 2),
@@ -73,6 +76,7 @@ object CorpusStats {
         col("doc_id"),
         Dedup.md5Long(col("s"), 12).as("sk"),
         Dedup.md5Long(substring_index(col("s"), " ", 1), 12).as("wk"))
+      .localCheckpoint(false)
     val bc = bg.groupBy("sk", "wk").agg(count(lit(1)).as("cb"))
     val ctx = bc.groupBy("wk").agg(sum(col("cb")).as("cw"))
     val lp = bc

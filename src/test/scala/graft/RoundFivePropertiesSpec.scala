@@ -166,6 +166,37 @@ class RoundFivePropertiesSpec extends AnyFunSuite {
       s"snake max load $maxSnake should not exceed hash max load $maxHash")
   }
 
+  test("q279: per-dim profile is consistent (n uniform, var ≥ 0, dead ⇒ var = 0)") {
+    val r = rows("q279_embed_dim_profile")
+    assert(r.map(_.getAs[Long]("n")).distinct.length === 1,
+      "every dimension sees the same vector count")
+    r.foreach { row =>
+      assert(row.getAs[Long]("var_micro2") >= 0L)
+      if (row.getAs[Long]("dead") == 1L)
+        assert(row.getAs[Long]("var_micro2") === 0L)
+      assert(row.getAs[Long]("zero_ppm") <= 1000000L)
+    }
+  }
+
+  test("q280: hot keys are rank-ordered with out_rows = n_rows² and shares ≤ 1e6") {
+    val r = rows("q280_join_hotkeys")
+    assert(r.length === 20)
+    r.foreach { row =>
+      assert(row.getAs[Long]("out_rows") ===
+        row.getAs[Long]("n_rows") * row.getAs[Long]("n_rows"))
+    }
+    val outs = r.map(_.getAs[Long]("out_rows"))
+    assert(outs.zip(outs.tail).forall { case (a, b) => a >= b }, "descending")
+    assert(r.map(_.getAs[Long]("share_ppm")).sum <= 1000000L)
+  }
+
+  test("q281: l-diversity bounds hold (1 ≤ min_l ≤ 5 priorities, risk ⊆ total)") {
+    val r = rows("q281_l_diversity").head
+    assert(r.getAs[Long]("min_l") >= 1L && r.getAs[Long]("min_l") <= 5L)
+    assert(r.getAs[Long]("rows_at_risk") <= r.getAs[Long]("total_rows"))
+    assert(r.getAs[Long]("n_low_diversity") <= r.getAs[Long]("n_groups"))
+  }
+
   test("q275: waterfilling exhausts the budget exactly and respects every cap") {
     val r = rows("q275_token_allocation")
     val total = r.map(_.getAs[Long]("n_tokens")).sum
