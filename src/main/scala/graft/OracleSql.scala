@@ -5291,7 +5291,92 @@ object OracleSql {
         |       CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_diversity,
         |       CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
         |       CAST(sum(n) AS BIGINT) AS total_rows
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    "q282_column_entropy" ->
+      """WITH vals AS (
+        |  SELECT 'o_orderpriority' AS col_name, o_orderpriority AS val FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', o_orderstatus FROM orders
+        |  UNION ALL
+        |  SELECT 'order_year', CAST(year(o_orderdate) AS VARCHAR) FROM orders
+        |), vc AS (
+        |  SELECT col_name, val, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY 1, 2
+        |), t AS (
+        |  SELECT col_name, c,
+        |         CAST(sum(c) OVER (PARTITION BY col_name) AS BIGINT) AS n
+        |  FROM vc
+        |), e AS (
+        |  SELECT col_name, CAST(max(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS ndv,
+        |         CAST(sum(CAST(round((CAST(c AS DOUBLE) / n)
+        |           * ln(CAST(n AS DOUBLE) / c) * 1000000000) AS BIGINT)) AS BIGINT) AS entropy_nano
+        |  FROM t GROUP BY 1
+        |)
+        |SELECT col_name, n, ndv, entropy_nano,
+        |       CASE WHEN ndv = 1 THEN 0.0
+        |            ELSE round(CAST(entropy_nano AS DOUBLE) / 1000000000.0
+        |                       / ln(CAST(ndv AS DOUBLE)), 6) END AS entropy_norm
+        |FROM e ORDER BY col_name""".stripMargin,
+
+    "q283_assortativity" ->
+      s"""$minhashCte,
+         |e2 AS (SELECT doc_a AS u, doc_b AS v FROM cand
+         |       UNION ALL
+         |       SELECT doc_b AS u, doc_a AS v FROM cand),
+         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM e2 GROUP BY 1),
+         |j AS (SELECT da.d AS du, db.d AS dv
+         |      FROM e2 JOIN deg da ON da.u = e2.u JOIN deg db ON db.u = e2.v),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+         |             sum(CAST(du AS HUGEINT)) AS sx,
+         |             sum(CAST(du AS HUGEINT) * CAST(du AS HUGEINT)) AS sx2,
+         |             sum(CAST(du AS HUGEINT) * CAST(dv AS HUGEINT)) AS sxy
+         |      FROM j)
+         |SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+         |       CAST(CASE WHEN m2 * sx2 - sx * sx = 0 THEN 0
+         |            ELSE (m2 * sxy - sx * sx) * 1000000 // (m2 * sx2 - sx * sx) END AS BIGINT)
+         |         AS assortativity_ppm
+         |FROM s""".stripMargin,
+
+    "q284_km_survival" ->
+      """WITH hz AS (SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS hz FROM events),
+        |pu AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts
+        |  FROM events GROUP BY 1
+        |), fp AS (
+        |  SELECT user_id, min(ts) AS p_raw FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1
+        |), users AS (
+        |  SELECT coalesce(
+        |           CASE WHEN fp.p_raw >= pu.s_ts
+        |                THEN CAST(date_diff('day', CAST(date_trunc('day', pu.s_ts) AS DATE),
+        |                          CAST(date_trunc('day', fp.p_raw) AS DATE)) AS BIGINT) END,
+        |           CAST(date_diff('day', CAST(date_trunc('day', pu.s_ts) AS DATE), hz.hz) AS BIGINT))
+        |           AS day,
+        |         (CASE WHEN fp.p_raw >= pu.s_ts THEN 1 ELSE 0 END) AS is_event
+        |  FROM pu LEFT JOIN fp ON fp.user_id = pu.user_id, hz
+        |  WHERE pu.s_ts IS NOT NULL
+        |), byday AS (
+        |  SELECT day,
+        |         CAST(sum(is_event) AS BIGINT) AS d_events,
+        |         CAST(sum(1 - is_event) AS BIGINT) AS n_censored
+        |  FROM users GROUP BY 1
+        |), km AS (
+        |  SELECT day, d_events, n_censored,
+        |         CAST(sum(d_events + n_censored) OVER (ORDER BY day DESC
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+        |  FROM byday
+        |), t AS (
+        |  SELECT day, d_events, n_censored, n_risk,
+        |         CASE WHEN n_risk > d_events THEN CAST(round(
+        |           ln(CAST(n_risk - d_events AS DOUBLE) / n_risk) * 1000000000) AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS t9
+        |  FROM km
+        |)
+        |SELECT day, n_risk, d_events, n_censored,
+        |       CAST(sum(t9) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |         AS ln_surv_nano
+        |FROM t WHERE d_events > 0 ORDER BY day""".stripMargin
   )
 
   /** Damped weighted PageRank mirror: three unrolled integer steps over

@@ -4932,6 +4932,101 @@ object SparkEntry {
           sum(col("n")).as("total_rows"))
     }),
 
+    // per-column categorical entropy profile: one unpivot scan (stack →
+    // (column, value) rows), Shannon entropy per column with each
+    // p·ln(1/p) term quantized to 1e-9 nats (the q249 MI discipline) and
+    // normalized by ln(ndv) — the DQ readout that flags near-constant
+    // and near-uniform columns before they mislead a partitioning choice
+    "q282_column_entropy" -> ((s, dir) => {
+      val vals = Tables.orders(s, dir).select(expr(
+        "stack(3, 'o_orderpriority', o_orderpriority," +
+          " 'o_orderstatus', o_orderstatus," +
+          " 'order_year', CAST(year(o_orderdate) AS STRING)) AS (col_name, val)"))
+      val vc = vals.groupBy("col_name", "val").agg(count(lit(1)).as("c"))
+      val wCol = Window.partitionBy("col_name")
+      vc.withColumn("n", sum(col("c")).over(wCol))
+        .select(col("col_name"), col("c"), col("n"),
+          expr("CAST(round((CAST(c AS DOUBLE) / n)" +
+            " * ln(CAST(n AS DOUBLE) / c) * 1000000000) AS BIGINT)").as("t9"))
+        .groupBy("col_name")
+        .agg(max(col("n")).as("n"), count(lit(1)).as("ndv"),
+          sum(col("t9")).as("entropy_nano"))
+        .withColumn("entropy_norm",
+          when(col("ndv") === 1L, 0d).otherwise(
+            round(col("entropy_nano").cast("double") / 1e9
+              / log(col("ndv").cast("double")), 6)))
+        .orderBy("col_name")
+    }),
+
+    // degree assortativity of the near-dup graph: Pearson r of (deg_u,
+    // deg_v) over both edge directions, exact integer sums end-to-end
+    // (marginals are symmetric, so one denominator serves both sides) —
+    // positive r says hubs link hubs (one boilerplate mega-family),
+    // negative says hubs absorb leaves (template + many variants)
+    "q283_assortativity" -> ((s, dir) => {
+      val cand = Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val und = cand.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionByName(cand.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      val deg = und.groupBy("u").agg(count(lit(1)).as("d"))
+      und
+        .join(deg, "u").withColumnRenamed("d", "du")
+        .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+        .agg(count(lit(1)).as("m2"),
+          sum(col("du").cast(dec38)).as("sx"),
+          sum((col("du") * col("du")).cast(dec38)).as("sx2"),
+          sum((col("du") * col("dv")).cast(dec38)).as("sxy"))
+        .select(expr("m2 div 2").as("n_edges"),
+          expr("CASE WHEN m2 * sx2 - sx * sx = 0 THEN CAST(0 AS BIGINT)" +
+            " ELSE CAST((m2 * sxy - sx * sx) * 1000000" +
+            " div (m2 * sx2 - sx * sx) AS BIGINT) END").as("assortativity_ppm"))
+    }),
+
+    // Kaplan-Meier signup→purchase survival: per-user first signup, first
+    // purchase AFTER it (event day offset), censoring at the corpus
+    // horizon; per-day n_at_risk from one suffix-sum window over the
+    // bounded day grid, ln-survival as a running sum of 1e-9-quantized
+    // ln((n−d)/n) terms — log-domain throughout, no exp, no float product
+    "q284_km_survival" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val horizon = ev.agg(max(to_date(col("ts"))).as("hz"))
+      val perUser = ev
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "signup", col("ts"))).as("s_ts"))
+        .filter(col("s_ts").isNotNull)
+      val firstPurchase = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(col("ts")).as("p_raw"))
+      val users = perUser
+        .join(firstPurchase, Seq("user_id"), "left")
+        .crossJoin(broadcast(horizon))
+        .select(
+          when(col("p_raw") >= col("s_ts"),
+            datediff(to_date(col("p_raw")), to_date(col("s_ts"))))
+            .cast("long").as("event_day"),
+          datediff(col("hz"), to_date(col("s_ts"))).cast("long").as("censor_day"))
+        .select(coalesce(col("event_day"), col("censor_day")).as("day"),
+          col("event_day").isNotNull.as("is_event"))
+      val byDay = users.groupBy("day")
+        .agg(sum(when(col("is_event"), 1L).otherwise(0L)).as("d_events"),
+          sum(when(!col("is_event"), 1L).otherwise(0L)).as("n_censored"))
+      val ord = Window.orderBy("day")
+      val suffix = Window.orderBy(col("day").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      // bounded day grid (≤ corpus span in days) — global windows are fine
+      byDay
+        .withColumn("n_risk", sum(col("d_events") + col("n_censored")).over(suffix))
+        .withColumn("t9", expr(
+          "CASE WHEN n_risk > d_events THEN CAST(round(" +
+            "ln(CAST(n_risk - d_events AS DOUBLE) / n_risk) * 1000000000) AS BIGINT)" +
+            " ELSE 0 END"))
+        .withColumn("ln_surv_nano",
+          sum(col("t9")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(col("d_events") > 0)
+        .select(col("day"), col("n_risk"), col("d_events"), col("n_censored"),
+          col("ln_surv_nano"))
+        .orderBy("day")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -197,6 +197,34 @@ class RoundFivePropertiesSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_low_diversity") <= r.getAs[Long]("n_groups"))
   }
 
+  test("q282: entropy is within [0, ln(ndv)] and normalization bounded by 1") {
+    rows("q282_column_entropy").foreach { r =>
+      val (ndv, e9) = (r.getAs[Long]("ndv"), r.getAs[Long]("entropy_nano"))
+      assert(e9 >= 0L)
+      // quantization adds ≤ 1 nano per term
+      val maxNano = (math.log(ndv.toDouble) * 1e9).toLong + ndv
+      assert(e9 <= maxNano, s"${r.getAs[String]("col_name")}: $e9 > $maxNano")
+      assert(r.getAs[Double]("entropy_norm") <= 1.000001)
+    }
+  }
+
+  test("q283: assortativity is a correlation (|r| ≤ 1e6 ppm)") {
+    val r = rows("q283_assortativity").head
+    assert(math.abs(r.getAs[Long]("assortativity_ppm")) <= 1000000L)
+    assert(r.getAs[Long]("n_edges") > 0L)
+  }
+
+  test("q284: KM survival is monotone non-increasing and at-risk decreases") {
+    val r = rows("q284_km_survival")
+    val surv = r.map(_.getAs[Long]("ln_surv_nano"))
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a },
+      "ln-survival must be non-increasing")
+    val risk = r.map(_.getAs[Long]("n_risk"))
+    assert(risk.zip(risk.tail).forall { case (a, b) => b < a },
+      "at-risk count strictly decreases across event days")
+    r.foreach(row => assert(row.getAs[Long]("d_events") <= row.getAs[Long]("n_risk")))
+  }
+
   test("q275: waterfilling exhausts the budget exactly and respects every cap") {
     val r = rows("q275_token_allocation")
     val total = r.map(_.getAs[Long]("n_tokens")).sum
