@@ -5376,8 +5376,79 @@ object OracleSql {
         |SELECT day, n_risk, d_events, n_censored,
         |       CAST(sum(t9) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
         |         AS ln_surv_nano
-        |FROM t WHERE d_events > 0 ORDER BY day""".stripMargin
+        |FROM t WHERE d_events > 0 ORDER BY day""".stripMargin,
+
+    "q285_decontam_sweep" -> decontamSweepSql,
+
+    "q286_latest_state" ->
+      """WITH l AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk,
+        |         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops
+        |  FROM events
+        |), f AS (
+        |  SELECT event_type AS final_state, CAST(count(*) AS BIGINT) AS n_users,
+        |         CAST(sum(n_ops) AS BIGINT) AS n_ops_folded
+        |  FROM l WHERE rk = 1 GROUP BY 1
+        |)
+        |SELECT final_state, n_users, n_ops_folded,
+        |       CAST(n_users * 1000000 // sum(n_users) OVER () AS BIGINT) AS share_ppm
+        |FROM f ORDER BY final_state""".stripMargin,
+
+    "q287_transition_entropy" ->
+      """WITH seq AS (
+        |  SELECT event_type AS i,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS j
+        |  FROM events
+        |), tr AS (
+        |  SELECT i, j, CAST(count(*) AS BIGINT) AS c
+        |  FROM seq WHERE j IS NOT NULL GROUP BY 1, 2
+        |), t AS (
+        |  SELECT i, c, CAST(sum(c) OVER (PARTITION BY i) AS BIGINT) AS ci
+        |  FROM tr
+        |)
+        |SELECT i AS state, CAST(max(ci) AS BIGINT) AS n_out,
+        |       CAST(count(*) AS BIGINT) AS n_next_states,
+        |       CAST(sum(CAST(round((CAST(c AS DOUBLE) / ci)
+        |         * ln(CAST(ci AS DOUBLE) / c) * 1000000000) AS BIGINT)) AS BIGINT) AS h_cond_nano
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
   )
+
+  /** Decontamination width sweep: one generated CTE chain per shingle
+    * width (the WordShingles list-comprehension mirror), each counting
+    * contaminated train docs against the src0 eval side.
+    */
+  private def decontamSweepSql: String = {
+    val sizes = Seq(3, 5, 8, 13)
+    def shingleExpr(n: Int): String = {
+      val parts = (1 to n).map(k => s"ws[i+$k]").mkString(", ")
+      s"CASE WHEN len(ws) >= $n THEN [concat_ws(' ', $parts) for i in range(0, len(ws)-${n - 1})]" +
+        " ELSE [text] END"
+    }
+    val sb = new StringBuilder(
+      """WITH base AS (SELECT doc_id, text, source, string_split(text, ' ') AS ws
+        |              FROM documents WHERE text IS NOT NULL),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_train FROM base WHERE source <> 'src0')"""
+        .stripMargin)
+    for (n <- sizes) {
+      sb.append(s""",
+         |ev$n AS (SELECT DISTINCT CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS h
+         |         FROM (SELECT unnest(${shingleExpr(n)}) AS s FROM base WHERE source = 'src0')),
+         |tr$n AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS h
+         |         FROM (SELECT doc_id, unnest(${shingleExpr(n)}) AS s FROM base
+         |               WHERE source <> 'src0')),
+         |c$n AS (SELECT CAST($n AS BIGINT) AS n,
+         |               CAST(count(DISTINCT tr$n.doc_id) AS BIGINT) AS n_contaminated
+         |        FROM tr$n JOIN ev$n ON ev$n.h = tr$n.h)""".stripMargin)
+    }
+    val union = sizes.map(n => s"SELECT * FROM c$n").mkString("\nUNION ALL ")
+    sb.append(s""",
+       |u AS ($union)
+       |SELECT u.n, u.n_contaminated, nt.n_train,
+       |       CAST(u.n_contaminated * 1000000 // nt.n_train AS BIGINT) AS contam_ppm
+       |FROM u, nt ORDER BY u.n""".stripMargin)
+    sb.toString
+  }
 
   /** Damped weighted PageRank mirror: three unrolled integer steps over
     * the co-purchase edge list, teleport and transfer per-term floored —

@@ -5027,6 +5027,74 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // decontamination n-gram-size sweep: exact-overlap contaminated train
+    // docs at shingle widths {3,5,8,13} — the calibration readout that
+    // picks the decontam width (small n over-flags common phrases, large
+    // n misses paraphrase edits); the width dimension rides the SAME
+    // union-explode pass, and absent widths still emit a zero row (left
+    // join from the literal width relation)
+    "q285_decontam_sweep" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val ev = d.filter(col("source") === "src0").select(col("doc_id"), col("text"))
+      val tr = d.filter(col("source") =!= "src0").select(col("doc_id"), col("text"))
+      val sizes = Seq(3, 5, 8, 13)
+      def hashes(df: DataFrame): DataFrame = sizes.map { n =>
+        df.select(lit(n.toLong).as("n"), col("doc_id"),
+            explode(array_distinct(graft.plans.WordShingles(col("text"), n))).as("s"))
+          .select(col("n"), col("doc_id"), Dedup.md5Long(col("s"), 12).as("h"))
+      }.reduce(_ unionByName _)
+      val evH = hashes(ev).select("n", "h").distinct()
+      val hits = hashes(tr)
+        .join(evH, Seq("n", "h"), "left_semi")
+        .groupBy("n").agg(countDistinct(col("doc_id")).as("n_contaminated"))
+      val nTrain = tr.agg(count(lit(1)).as("n_train"))
+      s.sql("SELECT CAST(n AS BIGINT) AS n FROM VALUES (3),(5),(8),(13) AS t(n)")
+        .join(hits, Seq("n"), "left")
+        .na.fill(0L, Seq("n_contaminated"))
+        .crossJoin(broadcast(nTrain))
+        .select(col("n"), col("n_contaminated"), col("n_train"),
+          expr("n_contaminated * 1000000 div n_train").as("contam_ppm"))
+        .orderBy("n")
+    }),
+
+    // CDC latest-wins compaction (the MERGE/upsert replay): per key the
+    // last op by (ts, event_id) via ONE max(struct) agg — no window, no
+    // sort — then the final-state census with ops-folded counts; the
+    // compaction ratio n_ops_folded/n_users is the log-to-snapshot
+    // shrink a lakehouse MERGE achieves
+    "q286_latest_state" -> ((s, dir) => {
+      val last = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"),
+          count(lit(1)).as("n_ops"))
+      last.groupBy(col("m.event_type").as("final_state"))
+        .agg(count(lit(1)).as("n_users"), sum(col("n_ops")).as("n_ops_folded"))
+        .withColumn("share_ppm", expr("n_users * 1000000 div sum(n_users) over ()"))
+        .orderBy("final_state")
+    }),
+
+    // per-state conditional entropy of the next event (the Markov-family
+    // closing readout over q230/q244's transition relation): H(next|state)
+    // from exact counts, each (c/ci)·ln(ci/c) term quantized to 1e-9 nats
+    // — high-entropy states are where a next-event predictor is blind
+    "q287_transition_entropy" -> ((s, dir) => {
+      val seqd = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("i"),
+          lead(col("event_type"), 1).over(
+            Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))).as("j"))
+        .filter(col("j").isNotNull)
+      val tr = seqd.groupBy("i", "j").agg(count(lit(1)).as("c"))
+      val wState = Window.partitionBy("i")
+      tr.withColumn("ci", sum(col("c")).over(wState))
+        .select(col("i"), col("ci"),
+          expr("CAST(round((CAST(c AS DOUBLE) / ci)" +
+            " * ln(CAST(ci AS DOUBLE) / c) * 1000000000) AS BIGINT)").as("t9"))
+        .groupBy(col("i").as("state"))
+        .agg(max(col("ci")).as("n_out"), count(lit(1)).as("n_next_states"),
+          sum(col("t9")).as("h_cond_nano"))
+        .orderBy("state")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

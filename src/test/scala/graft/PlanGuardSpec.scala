@@ -73,7 +73,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q221_hybrid_retrieval",   // q209's corpus-totals bound (BM25 leg)
     "q223_seasonal_index",     // 1-row (Σn, Σrev) totals bound
     "q273_heavy_hitters",      // 1-row token-total aggregate bound
-    "q274_quantized_recall")   // the query set (|Q| = nQueries, fixed)
+    "q274_quantized_recall",   // the query set (|Q| = nQueries, fixed)
+    "q284_km_survival",        // 1-row corpus-horizon aggregate bound
+    "q285_decontam_sweep")     // 1-row train-count aggregate bound
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString

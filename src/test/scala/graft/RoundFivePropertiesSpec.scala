@@ -225,6 +225,33 @@ class RoundFivePropertiesSpec extends AnyFunSuite {
     r.foreach(row => assert(row.getAs[Long]("d_events") <= row.getAs[Long]("n_risk")))
   }
 
+  test("q285: contamination is monotone non-increasing in shingle width") {
+    val r = rows("q285_decontam_sweep").sortBy(_.getAs[Long]("n"))
+    val cs = r.map(_.getAs[Long]("n_contaminated"))
+    assert(cs.zip(cs.tail).forall { case (a, b) => b <= a },
+      s"wider n-grams can only flag fewer docs: ${cs.toSeq}")
+    assert(r.map(_.getAs[Long]("n")).toSeq === Seq(3L, 5L, 8L, 13L))
+  }
+
+  test("q286: latest-state compaction conserves users and ops") {
+    val r = rows("q286_latest_state")
+    val ev = Tables.events(spark, sfDir)
+    assert(r.map(_.getAs[Long]("n_users")).sum ===
+      ev.select("user_id").distinct().count())
+    assert(r.map(_.getAs[Long]("n_ops_folded")).sum === ev.count())
+    assert(r.map(_.getAs[Long]("share_ppm")).sum <= 1000000L)
+  }
+
+  test("q287: conditional entropy is within [0, ln(branching) + quantization]") {
+    rows("q287_transition_entropy").foreach { r =>
+      val h = r.getAs[Long]("h_cond_nano")
+      val k = r.getAs[Long]("n_next_states")
+      assert(h >= 0L)
+      assert(h <= (math.log(k.toDouble) * 1e9).toLong + k,
+        s"state ${r.getAs[String]("state")}: H=$h exceeds ln($k)")
+    }
+  }
+
   test("q275: waterfilling exhausts the budget exactly and respects every cap") {
     val r = rows("q275_token_allocation")
     val total = r.map(_.getAs[Long]("n_tokens")).sum
