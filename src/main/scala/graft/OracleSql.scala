@@ -5411,7 +5411,74 @@ object OracleSql {
         |       CAST(count(*) AS BIGINT) AS n_next_states,
         |       CAST(sum(CAST(round((CAST(c AS DOUBLE) / ci)
         |         * ln(CAST(ci AS DOUBLE) / c) * 1000000000) AS BIGINT)) AS BIGINT) AS h_cond_nano
-        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q288_disjunctive_revenue" ->
+      s"""SELECT p.p_brand,
+         |       CAST(count(*) AS BIGINT) AS n_items,
+         |       CAST(sum(${centsSql("l.l_extendedprice * (1 - l.l_discount)")}) AS BIGINT) AS revenue_cents
+         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+         |       AND l.l_quantity BETWEEN 1 AND 11)
+         |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+         |       AND l.l_quantity BETWEEN 10 AND 20)
+         |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+         |       AND l.l_quantity BETWEEN 20 AND 30)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q289_mannwhitney" ->
+      """WITH j AS (
+        |  SELECT c.c_mktsegment AS g, CAST(round((o.o_totalprice) * 100) AS BIGINT) AS v
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |), vg AS (
+        |  SELECT v, CAST(sum(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n1v,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM j GROUP BY 1
+        |), w AS (
+        |  SELECT n1v, cnt,
+        |         CAST(coalesce(sum(cnt) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        |  FROM vg
+        |), s AS (
+        |  SELECT CAST(sum(n1v * (2 * cb + cnt + 1)) AS BIGINT) AS r1x2,
+        |         CAST(sum(n1v) AS BIGINT) AS n1,
+        |         CAST(sum(cnt) AS BIGINT) AS n,
+        |         CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+        |  FROM w
+        |), f AS (
+        |  SELECT n1, n - n1 AS n2, r1x2 - n1 * (n1 + 1) AS u1_x2, n, ties FROM s
+        |)
+        |SELECT n1, n2, u1_x2,
+        |       CAST(round((CAST(u1_x2 - n1*n2 AS DOUBLE) / 2)
+        |         / sqrt(CAST(n1 AS DOUBLE) * n2 / 12
+        |         * ((n + 1) - CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))))
+        |         * 1000000000) AS BIGINT) AS z_nano
+        |FROM f""".stripMargin,
+
+    "q290_cramers_v" ->
+      """WITH d AS (SELECT lang, source FROM documents),
+        |cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o FROM d GROUP BY 1, 2),
+        |nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l FROM d GROUP BY 1),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM d GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(round(CAST(cells.o AS DOUBLE) * cells.o
+        |           / (CAST(nl.n_l AS DOUBLE) * ns.n_s) * 1000000000) AS BIGINT) AS t9
+        |  FROM cells JOIN nl USING (lang) JOIN ns USING (source)
+        |), s AS (SELECT CAST(sum(t9) AS BIGINT) AS s9 FROM t),
+        |m AS (SELECT CAST((SELECT count(*) FROM nl) AS BIGINT) AS n_langs,
+        |             CAST((SELECT count(*) FROM ns) AS BIGINT) AS n_sources,
+        |             CAST((SELECT count(*) FROM d) AS BIGINT) AS n_total),
+        |f AS (
+        |  SELECT m.n_langs, m.n_sources, m.n_total,
+        |         CAST(m.n_total * (s.s9 - 1000000000) AS BIGINT) AS chi2_nano
+        |  FROM s, m
+        |)
+        |SELECT n_langs, n_sources, n_total, chi2_nano,
+        |       CAST(round(sqrt(greatest(CAST(chi2_nano AS DOUBLE), CAST(0 AS DOUBLE))
+        |         / 1000000000.0 / (CAST(n_total AS DOUBLE) * least(n_langs - 1, n_sources - 1)))
+        |         * 1000000) AS BIGINT) AS cramers_v_ppm
+        |FROM f""".stripMargin
   )
 
   /** Decontamination width sweep: one generated CTE chain per shingle

@@ -5095,6 +5095,91 @@ object SparkEntry {
         .orderBy("state")
     }),
 
+    // TPC-H Q19-shaped disjunctive-predicate revenue: three OR'd
+    // (brand, size-range, quantity-band) conjunctions evaluated in ONE
+    // lineitem scan + ONE broadcast hash join — never a UNION of three
+    // scans. The hull of the disjunction (brand IN set, p_size ≤ 15,
+    // l_quantity ∈ [1,30]) is applied pre-join so it reaches the parquet
+    // scans as pushed filters; the exact OR runs post-join in codegen.
+    "q288_disjunctive_revenue" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") &&
+          col("p_size").between(1, 15))
+        .select("p_partkey", "p_brand", "p_size")
+      val l = Tables.lineitem(s, dir).filter(col("l_quantity").between(1, 30))
+      val q = col("l_quantity")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size") <= 5 && q.between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size") <= 10 && q.between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size") <= 15 && q.between(20, 30)))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          sum(centsOf(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+        .orderBy("p_brand")
+    }),
+
+    // Mann-Whitney U rank-sum test (BUILDING vs MACHINERY order totals):
+    // ranks assigned on the VALUE-COMPRESSED relation — one row per
+    // distinct cent value, so ties collapse BEFORE the global rank
+    // window and the window input is |distinct values|, not |orders|.
+    // Doubled-rank integers (2·avg_rank ∈ ℤ) keep the ½-steps exact;
+    // z from the tie-corrected normal approximation, quantized to 1e-9.
+    "q289_mannwhitney" -> ((s, dir) => {
+      val seg = Tables.customer(s, dir)
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(col("c_custkey"), col("c_mktsegment").as("g"))
+      val j = Tables.orders(s, dir)
+        .join(seg, col("o_custkey") === col("c_custkey"))
+        .select(col("g"), centsOf(col("o_totalprice")).as("v"))
+      val vg = j.groupBy("v")
+        .agg(sum(when(col("g") === "BUILDING", 1L).otherwise(0L)).as("n1v"),
+          count(lit(1)).as("cnt"))
+      val before = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      vg.withColumn("cb", coalesce(sum(col("cnt")).over(before), lit(0L)))
+        .agg(
+          sum(col("n1v") * (lit(2L) * col("cb") + col("cnt") + lit(1L))).as("r1x2"),
+          sum(col("n1v")).as("n1"),
+          sum(col("cnt")).as("n"),
+          sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
+        .select(col("n1"), (col("n") - col("n1")).as("n2"),
+          (col("r1x2") - col("n1") * (col("n1") + lit(1L))).as("u1_x2"),
+          col("n"), col("ties"))
+        .select(col("n1"), col("n2"), col("u1_x2"),
+          expr("CAST(round((CAST(u1_x2 - n1*n2 AS DOUBLE) / 2)" +
+            " / sqrt(CAST(n1 AS DOUBLE) * n2 / 12" +
+            " * ((n + 1) - CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))))" +
+            " * 1000000000) AS BIGINT)").as("z_nano"))
+    }),
+
+    // χ² independence (lang × source) + Cramér's V via the zero-cell-free
+    // identity χ² = N·(Σ_observed O²/(n_l·n_s) − 1) — absent cells never
+    // materialize (at 100 TB the r×c grid is mostly empty; the observed
+    // relation is the only thing shuffled). Each cell's term is quantized
+    // to 1e-9 BEFORE the sum so the total is partition-order-independent;
+    // both marginal relations broadcast.
+    "q290_cramers_v" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("lang", "source")
+      val cells = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val nl = d.groupBy("lang").agg(count(lit(1)).as("n_l"))
+      val ns = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val s9 = cells
+        .join(broadcast(nl), "lang")
+        .join(broadcast(ns), "source")
+        .select(expr("CAST(round(CAST(o AS DOUBLE) * o / (CAST(n_l AS DOUBLE) * n_s)" +
+          " * 1000000000) AS BIGINT)").as("t9"))
+        .agg(sum(col("t9")).as("s9"))
+      s9.crossJoin(broadcast(nl.agg(count(lit(1)).as("n_langs"))))
+        .crossJoin(broadcast(ns.agg(count(lit(1)).as("n_sources"))))
+        .crossJoin(broadcast(d.agg(count(lit(1)).as("n_total"))))
+        .select(col("n_langs"), col("n_sources"), col("n_total"),
+          expr("n_total * (s9 - 1000000000)").as("chi2_nano"))
+        .select(col("n_langs"), col("n_sources"), col("n_total"), col("chi2_nano"),
+          expr("CAST(round(sqrt(greatest(CAST(chi2_nano AS DOUBLE), CAST(0 AS DOUBLE))" +
+            " / 1000000000.0 / (CAST(n_total AS DOUBLE) * least(n_langs - 1, n_sources - 1)))" +
+            " * 1000000) AS BIGINT)").as("cramers_v_ppm"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

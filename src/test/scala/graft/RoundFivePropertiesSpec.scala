@@ -267,4 +267,67 @@ class RoundFivePropertiesSpec extends AnyFunSuite {
     if (uncapped.nonEmpty)
       assert(uncapped.max - uncapped.min <= 1L, s"level spread ${uncapped.toSeq}")
   }
+
+  test("q288: the OR-of-conjunctions equals the union of its three branches") {
+    import org.apache.spark.sql.functions._
+    val r = rows("q288_disjunctive_revenue")
+      .map(x => x.getAs[String]("p_brand") -> x.getAs[Long]("n_items")).toMap
+    val l = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    val branches = Seq(
+      ("Brand#12", 5, 1, 11), ("Brand#23", 10, 10, 20), ("Brand#34", 15, 20, 30))
+    branches.foreach { case (b, sz, qLo, qHi) =>
+      val n = l.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(col("p_brand") === b && col("p_size").between(1, sz) &&
+          col("l_quantity").between(qLo, qHi))
+        .count()
+      assert(r.getOrElse(b, 0L) === n, s"branch $b")
+    }
+  }
+
+  test("q289: doubled U statistic matches a brute-force rank computation") {
+    import org.apache.spark.sql.functions._
+    val r = rows("q289_mannwhitney").head
+    // brute force at sf0.001: average ranks over the raw (group, cents) list
+    val seg = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_custkey"), col("c_mktsegment").as("g"))
+    val vals = Tables.orders(spark, sfDir)
+      .join(seg, col("o_custkey") === col("c_custkey"))
+      .select(col("g"), expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      .collect()
+      .map(x => (x.getAs[String]("g"), x.getAs[Long]("v")))
+    val sorted = vals.sortBy(_._2)
+    // 2·avg-rank of each value (1-based ranks, ties averaged)
+    val rank2 = sorted.zipWithIndex
+      .groupBy(_._1._2)
+      .map { case (v, xs) => v -> xs.map(_._2 + 1L).sum * 2L / xs.length }
+    val n1 = vals.count(_._1 == "BUILDING").toLong
+    val r1x2 = vals.filter(_._1 == "BUILDING").map(x => rank2(x._2)).sum
+    val expected = r1x2 - n1 * (n1 + 1)
+    assert(r.getAs[Long]("u1_x2") === expected)
+    val n2 = r.getAs[Long]("n2")
+    assert(r.getAs[Long]("u1_x2") >= 0L && r.getAs[Long]("u1_x2") <= 2 * n1 * n2)
+  }
+
+  test("q290: chi-square matches the classic zero-cell formulation") {
+    val r = rows("q290_cramers_v").head
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "source").collect()
+      .map(x => (x.getAs[String]("lang"), x.getAs[String]("source")))
+    val n = docs.length.toDouble
+    val byCell = docs.groupBy(identity).view.mapValues(_.length.toDouble)
+    val byLang = docs.groupBy(_._1).view.mapValues(_.length.toDouble)
+    val bySrc = docs.groupBy(_._2).view.mapValues(_.length.toDouble)
+    // classic Σ_all_cells (O−E)²/E, absent cells contributing E
+    val chi2 = (for (l <- byLang.keys; s <- bySrc.keys) yield {
+      val e = byLang(l) * bySrc(s) / n
+      val o = byCell.getOrElse((l, s), 0.0)
+      (o - e) * (o - e) / e
+    }).sum
+    val got = r.getAs[Long]("chi2_nano").toDouble / 1e9
+    assert(math.abs(got - chi2) < 1e-3, s"got $got expected $chi2")
+    val v = r.getAs[Long]("cramers_v_ppm")
+    assert(v >= 0L && v <= 1000000L)
+  }
 }
