@@ -5478,7 +5478,95 @@ object OracleSql {
         |       CAST(round(sqrt(greatest(CAST(chi2_nano AS DOUBLE), CAST(0 AS DOUBLE))
         |         / 1000000000.0 / (CAST(n_total AS DOUBLE) * least(n_langs - 1, n_sources - 1)))
         |         * 1000000) AS BIGINT) AS cramers_v_ppm
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    "q291_conformal_coverage" ->
+      """WITH o AS (
+        |  SELECT c.c_mktsegment AS segment, o.o_orderkey,
+        |         CAST(round((o.o_totalprice) * 100) AS BIGINT) AS v,
+        |         CAST(concat('0x', substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 12)) AS BIGINT) % 4 AS fold
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |), pred AS (
+        |  SELECT segment, CAST(count(*) AS BIGINT) AS n_train,
+        |         CAST(sum(v) // count(*) AS BIGINT) AS pred_cents
+        |  FROM o WHERE fold < 2 GROUP BY 1
+        |), cal AS (
+        |  SELECT o.segment, o.o_orderkey, abs(o.v - p.pred_cents) AS resid
+        |  FROM o JOIN pred p USING (segment) WHERE o.fold = 2
+        |), nc AS (
+        |  SELECT segment, CAST(count(*) AS BIGINT) AS n_cal,
+        |         CAST(least((9 * (count(*) + 1) + 9) // 10, count(*)) AS BIGINT) AS k
+        |  FROM cal GROUP BY 1
+        |), qh AS (
+        |  SELECT segment, n_cal, resid AS qhat_cents
+        |  FROM (SELECT cal.segment, cal.resid, nc.n_cal, nc.k,
+        |               row_number() OVER (PARTITION BY cal.segment
+        |                 ORDER BY cal.resid, cal.o_orderkey) AS r
+        |        FROM cal JOIN nc USING (segment))
+        |  WHERE r = k
+        |)
+        |SELECT o.segment, CAST(max(p.n_train) AS BIGINT) AS n_train,
+        |       CAST(max(qh.n_cal) AS BIGINT) AS n_cal,
+        |       CAST(count(*) AS BIGINT) AS n_test,
+        |       CAST(max(p.pred_cents) AS BIGINT) AS pred_cents,
+        |       CAST(max(qh.qhat_cents) AS BIGINT) AS qhat_cents,
+        |       CAST(sum(CASE WHEN abs(o.v - p.pred_cents) <= qh.qhat_cents
+        |                     THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS coverage_ppm
+        |FROM o JOIN pred p USING (segment) JOIN qh USING (segment)
+        |WHERE o.fold = 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q292_adamic_adar" ->
+      """WITH ob AS (
+        |  SELECT DISTINCT l_orderkey AS o, p_brand AS b
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |), pw AS (
+        |  SELECT a.b AS u, c.b AS v, CAST(count(*) AS BIGINT) AS w
+        |  FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b GROUP BY 1, 2
+        |), r AS (
+        |  SELECT u, v, w, row_number() OVER (ORDER BY w, u, v) AS rk,
+        |         CAST(count(*) OVER () AS BIGINT) AS np
+        |  FROM pw
+        |), m AS (
+        |  SELECT CAST(sum(CASE WHEN rk = (np + 1) // 2 THEN w END)
+        |           + sum(CASE WHEN rk = (np + 2) // 2 THEN w END) AS BIGINT) AS m2
+        |  FROM r
+        |), edges AS (SELECT u, v FROM pw, m WHERE w * 2 > m.m2),
+        |ed AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+        |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY 1),
+        |th AS (
+        |  SELECT e1.u AS a, e2.v AS b, e1.v AS wnode
+        |  FROM ed e1 JOIN ed e2 ON e1.v = e2.u AND e1.u < e2.v
+        |  WHERE NOT EXISTS (SELECT 1 FROM edges x WHERE x.u = e1.u AND x.v = e2.v)
+        |)
+        |SELECT th.a AS brand_a, th.b AS brand_b, CAST(count(*) AS BIGINT) AS n_common,
+        |       CAST(sum(CAST(round(1000000000 / ln(CAST(deg.deg AS DOUBLE))) AS BIGINT)) AS BIGINT)
+        |         AS aa_nano
+        |FROM th JOIN deg ON deg.node = th.wnode
+        |GROUP BY 1, 2
+        |ORDER BY aa_nano DESC, brand_a, brand_b
+        |LIMIT 25""".stripMargin,
+
+    "q293_calibration_bins" ->
+      s"""WITH $qualityCte,
+         |nn AS (SELECT doc_id, text, quality FROM qs WHERE text IS NOT NULL),
+         |dups AS (SELECT text, CAST(count(*) AS BIGINT) AS n_copies
+         |         FROM nn GROUP BY 1),
+         |j AS (
+         |  SELECT least(CAST(floor(nn.quality * 10) AS BIGINT), 9) AS decile,
+         |         CAST(round(nn.quality * 1000000) AS BIGINT) AS q_ppm,
+         |         CASE WHEN d.n_copies > 1 THEN 1 ELSE 0 END AS is_dup
+         |  FROM nn JOIN dups d USING (text)
+         |), g AS (
+         |  SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(is_dup) AS BIGINT) AS n_dups,
+         |         CAST(sum(q_ppm) // count(*) AS BIGINT) AS mean_pred_ppm,
+         |         CAST(sum(is_dup) * 1000000 // count(*) AS BIGINT) AS dup_rate_ppm
+         |  FROM j GROUP BY 1
+         |)
+         |SELECT decile, n_docs, n_dups, mean_pred_ppm, dup_rate_ppm,
+         |       abs(mean_pred_ppm - dup_rate_ppm) AS gap_ppm
+         |FROM g ORDER BY decile""".stripMargin
   )
 
   /** Decontamination width sweep: one generated CTE chain per shingle

@@ -5180,6 +5180,112 @@ object SparkEntry {
             " * 1000000) AS BIGINT)").as("cramers_v_ppm"))
     }),
 
+    // Mondrian split-conformal prediction intervals: md5-deterministic
+    // train/cal/test folds (2:1:1), per-segment mean predictor, the
+    // calibration quantile as the ⌈0.9·(n_cal+1)⌉-th ORDER STATISTIC
+    // (pure integer k — no double quantile math), coverage replayed on
+    // the held-out fold. The guarantee under exchangeability is
+    // coverage ≥ 900000 ppm; everything below the residual sort is
+    // integer-exact. The only per-segment sort is over the cal fold
+    // (¼ of the data), partitioned by segment.
+    "q291_conformal_coverage" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      val o = Tables.orders(s, dir)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("segment"), col("o_orderkey"), centsOf(col("o_totalprice")).as("v"),
+          (Dedup.md5Long(col("o_orderkey").cast("string"), 12) % 4).as("fold"))
+      val pred = o.filter(col("fold") < 2).groupBy("segment")
+        .agg(count(lit(1)).as("n_train"),
+          expr("sum(v) div count(1)").as("pred_cents"))
+      val cal = o.filter(col("fold") === 2)
+        .join(broadcast(pred.select("segment", "pred_cents")), "segment")
+        .withColumn("resid", abs(col("v") - col("pred_cents")))
+      val nCal = cal.groupBy("segment").agg(count(lit(1)).as("n_cal"))
+        .withColumn("k", expr("least((9 * (n_cal + 1) + 9) div 10, n_cal)"))
+      val rk = Window.partitionBy("segment").orderBy(col("resid"), col("o_orderkey"))
+      val qhat = cal.withColumn("r", row_number().over(rk))
+        .join(broadcast(nCal), "segment")
+        .filter(col("r") === col("k"))
+        .select(col("segment"), col("n_cal"), col("resid").as("qhat_cents"))
+      o.filter(col("fold") === 3)
+        .join(broadcast(pred), "segment")
+        .join(broadcast(qhat), "segment")
+        .groupBy("segment")
+        .agg(max(col("n_train")).as("n_train"), max(col("n_cal")).as("n_cal"),
+          count(lit(1)).as("n_test"),
+          max(col("pred_cents")).as("pred_cents"),
+          max(col("qhat_cents")).as("qhat_cents"),
+          expr("CAST(sum(CASE WHEN abs(v - pred_cents) <= qhat_cents THEN 1 ELSE 0 END)" +
+            " * 1000000 div count(1) AS BIGINT)").as("coverage_ppm"))
+        .orderBy("segment")
+    }),
+
+    // Adamic-Adar link prediction on the brand co-purchase graph:
+    // per-order brand sets are BOUNDED (≤ lines/order), so pair weights
+    // come from one map-side explode — never corpus-quadratic. Edges =
+    // pairs strictly above the median weight (2w > m2, the doubled
+    // median from two conditional order-stat sums — integer-exact both
+    // engines); scores only for two-hop NON-edges, each common
+    // neighbor contributing round(1e9/ln(deg)) pre-quantized so the
+    // sum is partition-order-independent.
+    "q292_adamic_adar" -> ((s, dir) => {
+      val ob = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("p_brand")).as("bs"))
+        .select(explode(col("bs")).as("u"), col("bs"))
+        .select(col("u"), explode(col("bs")).as("v"))
+        .filter(col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      // doubled median of the (bounded, ≤ brands²) pair-weight relation
+      val m2 = ob
+        .withColumn("rk", row_number().over(Window.orderBy(col("w"), col("u"), col("v"))))
+        .withColumn("np", count(lit(1)).over(Window.partitionBy()))
+        .agg((sum(when(col("rk") === expr("(np + 1) div 2"), col("w"))) +
+          sum(when(col("rk") === expr("(np + 2) div 2"), col("w")))).as("m2"))
+      val edges = ob.crossJoin(broadcast(m2)).filter(col("w") * 2 > col("m2"))
+        .select("u", "v")
+      val ed = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val deg = ed.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      val twoHop = ed.select(col("u").as("a"), col("v").as("wnode"))
+        .join(ed.select(col("u").as("wnode"), col("v").as("b")), "wnode")
+        .filter(col("a") < col("b"))
+        .join(edges.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"), "left_anti")
+      twoHop
+        .join(broadcast(deg), col("wnode") === col("node"))
+        .groupBy(col("a").as("brand_a"), col("b").as("brand_b"))
+        .agg(count(lit(1)).as("n_common"),
+          sum(expr("CAST(round(1000000000 / ln(CAST(deg AS DOUBLE))) AS BIGINT)")).as("aa_nano"))
+        .orderBy(col("aa_nano").desc, col("brand_a"), col("brand_b"))
+        .limit(25)
+    }),
+
+    // Quality-score calibration against exact-dup incidence: the
+    // reliability-diagram readout a curation team uses before trusting
+    // a quality filter as a dup predictor. Bins reuse q92's decile rule;
+    // per-doc predictions quantized to ppm BEFORE the bin means so
+    // every output column is an exact integer (no cross-partition
+    // double sums). One corpus scan + one text-count join.
+    "q293_calibration_bins" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val dups = d.groupBy("text").agg(count(lit(1)).as("n_copies"))
+      TextFunctions.withQualityColumns(d, "text")
+        .select(col("doc_id"), col("text"),
+          expr("CAST(round(quality * 1000000) AS BIGINT)").as("q_ppm"),
+          least(floor(col("quality") * 10), lit(9L)).as("decile"))
+        .join(dups, Seq("text"))
+        .withColumn("is_dup", when(col("n_copies") > 1, 1L).otherwise(0L))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("is_dup")).as("n_dups"),
+          expr("sum(q_ppm) div count(1)").as("mean_pred_ppm"),
+          expr("CAST(sum(is_dup) * 1000000 div count(1) AS BIGINT)").as("dup_rate_ppm"))
+        .withColumn("gap_ppm", abs(col("mean_pred_ppm") - col("dup_rate_ppm")))
+        .orderBy("decile")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

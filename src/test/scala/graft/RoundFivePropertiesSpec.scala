@@ -330,4 +330,44 @@ class RoundFivePropertiesSpec extends AnyFunSuite {
     val v = r.getAs[Long]("cramers_v_ppm")
     assert(v >= 0L && v <= 1000000L)
   }
+
+  test("q291: folds partition the orders and coverage sits near the 90% target") {
+    val r = rows("q291_conformal_coverage")
+    val total = r.map(x => x.getAs[Long]("n_train") + x.getAs[Long]("n_cal") +
+      x.getAs[Long]("n_test")).sum
+    assert(total === Tables.orders(spark, sfDir).count())
+    r.foreach { row =>
+      val cov = row.getAs[Long]("coverage_ppm")
+      // conformal guarantees E[coverage] ≥ 0.9; small per-segment folds
+      // fluctuate, so assert a loose band rather than the exact bound
+      assert(cov >= 800000L && cov <= 1000000L,
+        s"${row.getAs[String]("segment")}: coverage $cov outside [0.8, 1]")
+      assert(row.getAs[Long]("qhat_cents") >= 0L)
+    }
+  }
+
+  test("q292: every AA score is n_common terms of 1/ln(deg) with deg in [2, n)") {
+    val r = rows("q292_adamic_adar")
+    r.foreach { row =>
+      val (nc, aa) = (row.getAs[Long]("n_common"), row.getAs[Long]("aa_nano"))
+      assert(nc >= 1L)
+      // each common-neighbor term lies in (1e9/ln(n_brands), 1e9/ln(2)]
+      assert(aa <= nc * 1442695041L, s"$aa too large for $nc terms")
+      assert(aa >= nc * (1e9 / math.log(60)).toLong, s"$aa too small for $nc terms")
+    }
+  }
+
+  test("q293: calibration bins partition the non-null corpus with sane rates") {
+    val r = rows("q293_calibration_bins")
+    val nonNull = Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull).count()
+    assert(r.map(_.getAs[Long]("n_docs")).sum === nonNull)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_dups") <= row.getAs[Long]("n_docs"))
+      assert(row.getAs[Long]("dup_rate_ppm") <= 1000000L)
+      assert(row.getAs[Long]("mean_pred_ppm") <= 1000000L)
+      assert(row.getAs[Long]("gap_ppm") ===
+        math.abs(row.getAs[Long]("mean_pred_ppm") - row.getAs[Long]("dup_rate_ppm")))
+    }
+  }
 }
