@@ -5566,7 +5566,88 @@ object OracleSql {
          |)
          |SELECT decile, n_docs, n_dups, mean_pred_ppm, dup_rate_ppm,
          |       abs(mean_pred_ppm - dup_rate_ppm) AS gap_ppm
-         |FROM g ORDER BY decile""".stripMargin
+         |FROM g ORDER BY decile""".stripMargin,
+
+    "q294_ndcg_eval" ->
+      s"""$ivfAssignCte,
+         |q AS (SELECT vec_id AS query_id, e AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+         |es AS (
+         |  SELECT q.query_id, n.vec_id AS neighbor_id,
+         |         round(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*n.e[i])) / (q.qn * n.nrm), 6) AS sim
+         |  FROM q, n WHERE n.vec_id <> q.query_id
+         |), er AS (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk_exact
+         |  FROM es
+         |), ex AS (SELECT query_id, neighbor_id, rk_exact FROM er WHERE rk_exact <= 10),
+         |qb AS (SELECT vec_id AS query_id, e AS qv, nrm AS qn, bucket FROM asg WHERE vec_id < 5),
+         |as2 AS (
+         |  SELECT qb.query_id, asg.vec_id AS neighbor_id,
+         |         round(list_sum(list_transform(range(1, len(qb.qv)+1), i -> qb.qv[i]*asg.e[i])) / (qb.qn * asg.nrm), 6) AS sim
+         |  FROM qb JOIN asg USING (bucket) WHERE asg.vec_id <> qb.query_id
+         |), ar AS (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS p
+         |  FROM as2
+         |), ap AS (SELECT query_id, neighbor_id, p FROM ar WHERE p <= 10),
+         |d AS (
+         |  SELECT ap.query_id,
+         |         CAST(sum(CASE WHEN ex.rk_exact IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |         CAST(sum(CAST(round(coalesce(11 - ex.rk_exact, 0) * 1000000000
+         |             / ln(CAST(ap.p + 1 AS DOUBLE))) AS BIGINT)) AS BIGINT) AS dcg_nano
+         |  FROM ap LEFT JOIN ex USING (query_id, neighbor_id) GROUP BY 1
+         |), i AS (
+         |  SELECT query_id,
+         |         CAST(sum(CAST(round((11 - rk_exact) * 1000000000
+         |             / ln(CAST(rk_exact + 1 AS DOUBLE))) AS BIGINT)) AS BIGINT) AS idcg_nano
+         |  FROM ex GROUP BY 1
+         |)
+         |SELECT d.query_id, d.n_hits, d.dcg_nano, i.idcg_nano,
+         |       CAST(d.dcg_nano * 1000000 // i.idcg_nano AS BIGINT) AS ndcg_ppm
+         |FROM d JOIN i USING (query_id) ORDER BY d.query_id""".stripMargin,
+
+    "q295_hapax_share" ->
+      """WITH w AS (
+        |  SELECT source, w FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(w) > 0
+        |), wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1, 2),
+        |g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+        |         CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |  FROM wc GROUP BY 1
+        |)
+        |SELECT source, n_types, n_tokens, n_hapax,
+        |       CAST(n_hapax * 1000000 // n_types AS BIGINT) AS hapax_ppm
+        |FROM g ORDER BY source""".stripMargin,
+
+    "q296_wasserstein" ->
+      """WITH j AS (
+        |  SELECT c.c_mktsegment AS g, CAST(round((o.o_totalprice) * 100) AS BIGINT) AS v
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD')
+        |), vg AS (
+        |  SELECT v, CAST(sum(CASE WHEN g = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |         CAST(sum(CASE WHEN g <> 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM j GROUP BY 1
+        |), cum AS (
+        |  SELECT v,
+        |         CAST(sum(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+        |         CAST(sum(b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb,
+        |         lead(v) OVER (ORDER BY v) - v AS dv
+        |  FROM vg
+        |), tot AS (
+        |  SELECT CAST(sum(CASE WHEN g = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |         CAST(sum(CASE WHEN g <> 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM j
+        |), s AS (
+        |  SELECT tot.na, tot.nb, CAST(count(*) AS BIGINT) AS n_grid,
+        |         sum(abs(cum.ca * tot.nb - cum.cb * tot.na) * cum.dv) AS s
+        |  FROM cum, tot WHERE cum.dv IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT na, nb, n_grid, CAST(s // (na * nb) AS BIGINT) AS w1_cents FROM s""".stripMargin
   )
 
   /** Decontamination width sweep: one generated CTE chain per shingle

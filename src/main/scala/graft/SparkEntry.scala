@@ -5286,6 +5286,86 @@ object SparkEntry {
         .orderBy("decile")
     }),
 
+    // nDCG@10 of the IVF index against exact brute-force relevance — the
+    // rank-aware retrieval readout that complements q146/q274's recall:
+    // relevance of a retrieved neighbor = 11 − exact_rank (0 if outside
+    // the exact top-10), discounted by 1/ln(pos+1), each term quantized
+    // to 1e-9 pre-sum. Both rankings ride the existing bounded shapes
+    // (query broadcast / bucketed probe); the eval join is |Q|·k rows.
+    "q294_ndcg_eval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", nQueries = 5, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rk").as("rk_exact"))
+      val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
+          nCentroids = 8, nQueries = 5, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rk").as("p"))
+      val dcg = approx.join(exact, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("rel", coalesce(lit(11L) - col("rk_exact"), lit(0L)))
+        .groupBy("query_id")
+        .agg(sum(when(col("rk_exact").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+          sum(expr("CAST(round(rel * 1000000000" +
+            " / ln(CAST(p + 1 AS DOUBLE))) AS BIGINT)")).as("dcg_nano"))
+      val idcg = exact.groupBy("query_id")
+        .agg(sum(expr("CAST(round((11 - rk_exact) * 1000000000" +
+          " / ln(CAST(rk_exact + 1 AS DOUBLE))) AS BIGINT)")).as("idcg_nano"))
+      dcg.join(idcg, Seq("query_id"))
+        .select(col("query_id"), col("n_hits"), col("dcg_nano"), col("idcg_nano"),
+          expr("dcg_nano * 1000000 div idcg_nano").as("ndcg_ppm"))
+        .orderBy("query_id")
+    }),
+
+    // Hapax-legomena share per source: the vocabulary-tail readout that
+    // separates natural text (hapax-rich) from templated/boilerplate
+    // sources (hapax-poor) — a quick corpus-health screen next to q93's
+    // Zipf slope. Two hash aggregations with map-side combine; the
+    // (source, word) key space is the only shuffle.
+    "q295_hapax_share" -> ((s, dir) =>
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("source"), explode(TextFunctions.words(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("c")).as("n_tokens"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_types"), col("n_tokens"), col("n_hapax"),
+          expr("n_hapax * 1000000 div n_types").as("hapax_ppm"))
+        .orderBy("source")),
+
+    // Wasserstein-1 (earth-mover) distance between two segments' order-
+    // total distributions: W₁ = ∫|F_A−F_B| over the VALUE-COMPRESSED
+    // cent grid — per-value counts first (one hash agg), then the CDF
+    // window over distinct values only (the q205/q289 global-grid
+    // shape). The integrand |ca·nb − cb·na|·dv is exact integer algebra
+    // accumulated in decimal(38) (long would overflow at ~1e9 rows per
+    // side × wide value ranges); one division at the end.
+    "q296_wasserstein" -> ((s, dir) => {
+      val segs = Tables.customer(s, dir)
+        .filter(col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD"))
+        .select(col("c_custkey"), col("c_mktsegment").as("g"))
+      val j = Tables.orders(s, dir).join(segs, col("o_custkey") === col("c_custkey"))
+        .select(col("g"), centsOf(col("o_totalprice")).as("v"))
+      val vg = j.groupBy("v").agg(
+        sum(when(col("g") === "AUTOMOBILE", 1L).otherwise(0L)).as("a"),
+        sum(when(col("g") =!= "AUTOMOBILE", 1L).otherwise(0L)).as("b"))
+      val ord = Window.orderBy("v")
+      val cum = vg
+        .withColumn("ca", sum(col("a")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("cb", sum(col("b")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("dv", lead(col("v"), 1).over(ord) - col("v"))
+      cum.filter(col("dv").isNotNull)
+        .crossJoin(broadcast(j.agg(
+          sum(when(col("g") === "AUTOMOBILE", 1L).otherwise(0L)).as("na"),
+          sum(when(col("g") =!= "AUTOMOBILE", 1L).otherwise(0L)).as("nb"))))
+        .select(col("na"), col("nb"),
+          (abs(col("ca") * col("nb") - col("cb") * col("na")).cast(dec38) *
+            col("dv").cast(dec38)).as("t"))
+        .groupBy("na", "nb")
+        .agg(count(lit(1)).as("n_grid"), sum(col("t")).as("s"))
+        .select(col("na"), col("nb"), col("n_grid"),
+          expr("CAST(s div (na * nb) AS BIGINT)").as("w1_cents"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

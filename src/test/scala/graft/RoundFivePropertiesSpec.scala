@@ -370,4 +370,44 @@ class RoundFivePropertiesSpec extends AnyFunSuite {
         math.abs(row.getAs[Long]("mean_pred_ppm") - row.getAs[Long]("dup_rate_ppm")))
     }
   }
+
+  test("q294: nDCG is a [0,1] ratio with DCG bounded by the ideal ranking") {
+    val r = rows("q294_ndcg_eval")
+    assert(r.nonEmpty)
+    // the ideal DCG is the same constant for every query with a full top-10
+    val idcgExpected = (1 to 10).map(p =>
+      math.round((11 - p) * 1e9 / math.log(p + 1))).sum
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_hits") <= 10L)
+      assert(row.getAs[Long]("dcg_nano") <= row.getAs[Long]("idcg_nano"))
+      assert(row.getAs[Long]("ndcg_ppm") >= 0L && row.getAs[Long]("ndcg_ppm") <= 1000000L)
+      assert(row.getAs[Long]("idcg_nano") === idcgExpected)
+    }
+  }
+
+  test("q295: hapax counts nest inside types inside tokens") {
+    rows("q295_hapax_share").foreach { row =>
+      val (h, ty, tk) = (row.getAs[Long]("n_hapax"), row.getAs[Long]("n_types"),
+        row.getAs[Long]("n_tokens"))
+      assert(h <= ty && ty <= tk, s"${row.getAs[String]("source")}: $h/$ty/$tk")
+      assert(row.getAs[Long]("hapax_ppm") <= 1000000L)
+    }
+  }
+
+  test("q296: W1 dominates the mean gap (Kantorovich duality lower bound)") {
+    import org.apache.spark.sql.functions._
+    val r = rows("q296_wasserstein").head
+    val w1 = r.getAs[Long]("w1_cents")
+    val segs = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD"))
+      .select(col("c_custkey"), col("c_mktsegment").as("g"))
+    val means = Tables.orders(spark, sfDir)
+      .join(segs, col("o_custkey") === col("c_custkey"))
+      .groupBy("g").agg(avg(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("m"))
+      .collect().map(x => x.getAs[String]("g") -> x.getAs[Double]("m")).toMap
+    val meanGap = math.abs(means("AUTOMOBILE") - means("HOUSEHOLD"))
+    // f(x)=x is 1-Lipschitz, so W1 ≥ |E_A − E_B| (±1 cent of int division)
+    assert(w1 + 1 >= meanGap.floor.toLong, s"W1 $w1 below mean gap $meanGap")
+    assert(w1 >= 0L)
+  }
 }
