@@ -5647,7 +5647,66 @@ object OracleSql {
         |         sum(abs(cum.ca * tot.nb - cum.cb * tot.na) * cum.dv) AS s
         |  FROM cum, tot WHERE cum.dv IS NOT NULL GROUP BY 1, 2
         |)
-        |SELECT na, nb, n_grid, CAST(s // (na * nb) AS BIGINT) AS w1_cents FROM s""".stripMargin
+        |SELECT na, nb, n_grid, CAST(s // (na * nb) AS BIGINT) AS w1_cents FROM s""".stripMargin,
+
+    "q297_fellegi_sunter" ->
+      s"""$minhashCte,
+         |dd AS (SELECT doc_id, md5(text) AS th, lang, source, n_chars
+         |       FROM documents WHERE text IS NOT NULL),
+         |pf AS (
+         |  SELECT CASE WHEN a.th = b.th THEN 1 ELSE 0 END AS is_match,
+         |         CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END AS f_same_lang,
+         |         CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS f_same_source,
+         |         CASE WHEN abs(a.n_chars - b.n_chars) * 10 <= greatest(a.n_chars, b.n_chars)
+         |              THEN 1 ELSE 0 END AS f_len_close
+         |  FROM cand
+         |  JOIN dd a ON a.doc_id = cand.doc_a
+         |  JOIN dd b ON b.doc_id = cand.doc_b
+         |), u AS (
+         |  SELECT 'same_lang' AS feature, is_match, f_same_lang AS f FROM pf
+         |  UNION ALL SELECT 'same_source', is_match, f_same_source FROM pf
+         |  UNION ALL SELECT 'len_close', is_match, f_len_close FROM pf
+         |), g AS (
+         |  SELECT feature, CAST(sum(is_match) AS BIGINT) AS n_match,
+         |         CAST(sum(1 - is_match) AS BIGINT) AS n_nonmatch,
+         |         CAST(sum(f * is_match) AS BIGINT) AS nf_match,
+         |         CAST(sum(f * (1 - is_match)) AS BIGINT) AS nf_nonmatch
+         |  FROM u GROUP BY 1
+         |), z AS (
+         |  SELECT feature, n_match, n_nonmatch, nf_match, nf_nonmatch,
+         |         CAST((nf_match + 1) * 1000000 // (n_match + 2) AS BIGINT) AS m_ppm,
+         |         CAST((nf_nonmatch + 1) * 1000000 // (n_nonmatch + 2) AS BIGINT) AS u_ppm
+         |  FROM g
+         |)
+         |SELECT feature, n_match, n_nonmatch, nf_match, nf_nonmatch, m_ppm, u_ppm,
+         |       CAST(round(ln(CAST(m_ppm AS DOUBLE) / u_ppm) * 1000000000) AS BIGINT) AS w_nano
+         |FROM z ORDER BY feature""".stripMargin,
+
+    "q298_burstiness" ->
+      """WITH w AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(w) > 0
+        |), tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1, 2),
+        |g AS (
+        |  SELECT w, CAST(sum(c) AS BIGINT) AS cf, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY 1
+        |)
+        |SELECT w AS term, cf, df, CAST(cf * 1000000 // df AS BIGINT) AS burstiness_ppm
+        |FROM g WHERE df >= 5
+        |ORDER BY burstiness_ppm DESC, term
+        |LIMIT 25""".stripMargin,
+
+    "q299_twopass_quantiles" ->
+      """WITH v AS (SELECT CAST(round((o_totalprice) * 100) AS BIGINT) AS v FROM orders),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |p AS (SELECT CAST(unnest([50, 95, 99]) AS BIGINT) AS p),
+        |k AS (SELECT p.p, CAST((p.p * n.n + 99) // 100 AS BIGINT) AS k FROM p, n),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM v)
+        |SELECT k.p AS pct, k.k, r.v AS value_cents
+        |FROM k JOIN r ON r.rk = k.k
+        |ORDER BY pct""".stripMargin
   )
 
   /** Decontamination width sweep: one generated CTE chain per shingle

@@ -5366,6 +5366,92 @@ object SparkEntry {
           expr("CAST(s div (na * nb) AS BIGINT)").as("w1_cents"))
     }),
 
+    // Fellegi-Sunter record-linkage weights over the LSH candidate
+    // pairs: match label = exact content hash, three blocking features
+    // (same lang / same source / length within 10%), Laplace-smoothed
+    // m = P(f|match) and u = P(f|non-match) as exact ppm integers, the
+    // agreement weight ln(m/u) quantized last. The candidate relation
+    // is the bounded Σbucket² LSH output — never all pairs; doc
+    // attributes arrive by two equi-joins on doc_id.
+    "q297_fellegi_sunter" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), md5(col("text")).as("th"), col("lang"),
+          col("source"), col("n_chars"))
+      val cand = Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text")
+        .select("doc_a", "doc_b")
+      val pairs = cand
+        .join(d.select(col("doc_id").as("doc_a"), col("th").as("th_a"),
+          col("lang").as("lang_a"), col("source").as("src_a"), col("n_chars").as("len_a")),
+          Seq("doc_a"))
+        .join(d.select(col("doc_id").as("doc_b"), col("th").as("th_b"),
+          col("lang").as("lang_b"), col("source").as("src_b"), col("n_chars").as("len_b")),
+          Seq("doc_b"))
+        .select(
+          when(col("th_a") === col("th_b"), 1L).otherwise(0L).as("is_match"),
+          when(col("lang_a") === col("lang_b"), 1L).otherwise(0L).as("f_same_lang"),
+          when(col("src_a") === col("src_b"), 1L).otherwise(0L).as("f_same_source"),
+          when(abs(col("len_a") - col("len_b")) * 10 <=
+            greatest(col("len_a"), col("len_b")), 1L).otherwise(0L).as("f_len_close"))
+      pairs.selectExpr("is_match",
+          "stack(3, 'same_lang', f_same_lang, 'same_source', f_same_source," +
+            " 'len_close', f_len_close) AS (feature, f)")
+        .groupBy("feature")
+        .agg(sum(col("is_match")).as("n_match"),
+          sum(lit(1L) - col("is_match")).as("n_nonmatch"),
+          sum(col("f") * col("is_match")).as("nf_match"),
+          sum(col("f") * (lit(1L) - col("is_match"))).as("nf_nonmatch"))
+        .select(col("feature"), col("n_match"), col("n_nonmatch"),
+          col("nf_match"), col("nf_nonmatch"),
+          expr("(nf_match + 1) * 1000000 div (n_match + 2)").as("m_ppm"),
+          expr("(nf_nonmatch + 1) * 1000000 div (n_nonmatch + 2)").as("u_ppm"))
+        .withColumn("w_nano",
+          expr("CAST(round(ln(CAST(m_ppm AS DOUBLE) / u_ppm) * 1000000000) AS BIGINT)"))
+        .orderBy("feature")
+    }),
+
+    // Term burstiness (Church-Gale): collection frequency over document
+    // frequency — terms that pile up inside few documents (cf/df high)
+    // are topical/templated; evenly-sprinkled terms are function words.
+    // One corpus explode, two hash aggregations with map-side combine.
+    "q298_burstiness" -> ((s, dir) =>
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("w")
+        .agg(sum(col("c")).as("cf"), count(lit(1)).as("df"))
+        .filter(col("df") >= 5)
+        .select(col("w").as("term"), col("cf"), col("df"),
+          expr("cf * 1000000 div df").as("burstiness_ppm"))
+        .orderBy(col("burstiness_ppm").desc, col("term"))
+        .limit(25)),
+
+    // Two-pass EXACT percentiles without a global sort — the pattern
+    // that makes exact p50/p95/p99 feasible at 100 TB: pass 1 is a
+    // bounded histogram (v div 65536) with map-side combine, the cum-
+    // sum locates each target order statistic's bin, pass 2 sorts ONLY
+    // the rows of the hit bins (a ~1/bins fraction). Result provably
+    // equals the k-th order statistic, k = ⌈p·n/100⌉ — oracled against
+    // DuckDB's direct global-sort rank.
+    "q299_twopass_quantiles" -> ((s, dir) => {
+      val v = Tables.orders(s, dir).select(centsOf(col("o_totalprice")).as("v"))
+      val n = v.agg(count(lit(1)).as("n"))
+      val hist = v.groupBy(expr("v div 65536").as("bin")).agg(count(lit(1)).as("c"))
+        .withColumn("cb", coalesce(sum(col("c")).over(
+          Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val ks = s.sql("SELECT CAST(p AS BIGINT) AS p FROM VALUES (50),(95),(99) AS t(p)")
+        .crossJoin(broadcast(n))
+        .select(col("p"), expr("(p * n + 99) div 100").as("k"))
+      val tb = ks.join(broadcast(hist),
+          col("cb") < col("k") && col("cb") + col("c") >= col("k"))
+        .select(col("p"), col("k"), col("bin"), (col("k") - col("cb")).as("off"))
+      v.join(broadcast(tb), expr("v div 65536") === col("bin"))
+        .withColumn("r", row_number().over(Window.partitionBy("p").orderBy("v")).cast("long"))
+        .filter(col("r") === col("off"))
+        .select(col("p").as("pct"), col("k"), col("v").as("value_cents"))
+        .orderBy("pct")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

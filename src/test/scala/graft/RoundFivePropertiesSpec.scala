@@ -410,4 +410,39 @@ class RoundFivePropertiesSpec extends AnyFunSuite {
     assert(w1 + 1 >= meanGap.floor.toLong, s"W1 $w1 below mean gap $meanGap")
     assert(w1 >= 0L)
   }
+
+  test("q297: every feature sees the same candidate-pair universe") {
+    val r = rows("q297_fellegi_sunter")
+    assert(r.length === 3)
+    val totals = r.map(x => x.getAs[Long]("n_match") + x.getAs[Long]("n_nonmatch")).distinct
+    assert(totals.length === 1, s"pair universes differ: ${totals.toSeq}")
+    r.foreach { row =>
+      assert(row.getAs[Long]("nf_match") <= row.getAs[Long]("n_match"))
+      assert(row.getAs[Long]("nf_nonmatch") <= row.getAs[Long]("n_nonmatch"))
+      assert(row.getAs[Long]("m_ppm") > 0L && row.getAs[Long]("m_ppm") <= 1000000L)
+      assert(row.getAs[Long]("u_ppm") > 0L && row.getAs[Long]("u_ppm") <= 1000000L)
+    }
+  }
+
+  test("q298: burstiness is at least 1 (cf ≥ df by construction)") {
+    rows("q298_burstiness").foreach { row =>
+      assert(row.getAs[Long]("cf") >= row.getAs[Long]("df"))
+      assert(row.getAs[Long]("burstiness_ppm") >= 1000000L)
+      assert(row.getAs[Long]("df") >= 5L)
+    }
+  }
+
+  test("q299: the two-pass percentile equals the global-sort order statistic") {
+    import org.apache.spark.sql.functions._
+    val sorted = Tables.orders(spark, sfDir)
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      .collect().map(_.getAs[Long]("v")).sorted
+    val n = sorted.length.toLong
+    rows("q299_twopass_quantiles").foreach { row =>
+      val p = row.getAs[Long]("pct")
+      val k = (p * n + 99) / 100
+      assert(row.getAs[Long]("k") === k)
+      assert(row.getAs[Long]("value_cents") === sorted((k - 1).toInt), s"p$p")
+    }
+  }
 }
