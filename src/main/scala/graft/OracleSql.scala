@@ -5706,7 +5706,68 @@ object OracleSql {
         |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM v)
         |SELECT k.p AS pct, k.k, r.v AS value_cents
         |FROM k JOIN r ON r.rk = k.k
-        |ORDER BY pct""".stripMargin
+        |ORDER BY pct""".stripMargin,
+
+    "q300_pipeline_card" ->
+      s"""WITH RECURSIVE $qualityCte,
+         |qb AS (SELECT qs.doc_id, qs.text, qs.n_words, qs.quality, d.source
+         |       FROM qs JOIN documents d USING (doc_id)),
+         |s14 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS d1,
+         |         CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+         |         CAST(sum(CASE WHEN text IS NOT NULL AND source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+         |         CAST(sum(CASE WHEN text IS NOT NULL AND source <> 'src0' AND quality >= 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+         |         CAST(sum(coalesce(n_words, 0)) AS BIGINT) AS t1,
+         |         CAST(sum(CASE WHEN text IS NOT NULL THEN n_words ELSE 0 END) AS BIGINT) AS t2,
+         |         CAST(sum(CASE WHEN text IS NOT NULL AND source <> 'src0' THEN n_words ELSE 0 END) AS BIGINT) AS t3,
+         |         CAST(sum(CASE WHEN text IS NOT NULL AND source <> 'src0' AND quality >= 0.45 THEN n_words ELSE 0 END) AS BIGINT) AS t4
+         |  FROM qb
+         |),
+         |t4s AS (SELECT doc_id, text, n_words FROM qb
+         |        WHERE text IS NOT NULL AND source <> 'src0' AND quality >= 0.45),
+         |k5 AS (SELECT text, min(doc_id) AS keep_id FROM t4s GROUP BY 1),
+         |t5 AS (SELECT t4s.doc_id, t4s.text, t4s.n_words
+         |       FROM t4s JOIN k5 ON k5.text = t4s.text AND k5.keep_id = t4s.doc_id),
+         |${minhashChain("t5")},
+         |$ccLosersChain,
+         |t6 AS (SELECT * FROM t5 WHERE doc_id NOT IN (SELECT doc_b FROM losers)),
+         |w5 AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM t6),
+         |g5 AS (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len(ws) >= 5
+         |         THEN [concat_ws(' ', ws[i+1], ws[i+2], ws[i+3], ws[i+4], ws[i+5])
+         |               for i in range(0, len(ws)-4)]
+         |         ELSE [text] END) AS s
+         |  FROM w5
+         |), ev5 AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM qb
+         |  WHERE source = 'src0' AND text IS NOT NULL
+         |), ge5 AS (
+         |  SELECT unnest(
+         |    CASE WHEN len(ws) >= 5
+         |         THEN [concat_ws(' ', ws[i+1], ws[i+2], ws[i+3], ws[i+4], ws[i+5])
+         |               for i in range(0, len(ws)-4)]
+         |         ELSE [text] END) AS s
+         |  FROM ev5
+         |), eg5 AS (SELECT DISTINCT CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS sk FROM ge5),
+         |tg5 AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS sk FROM g5),
+         |bad AS (SELECT DISTINCT tg5.doc_id FROM tg5 JOIN eg5 USING (sk)),
+         |t7 AS (SELECT * FROM t6 WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+         |u AS (
+         |  SELECT 1 AS stage_id, 'raw' AS stage, d1 AS n_docs, t1 AS n_tokens FROM s14
+         |  UNION ALL SELECT 2, 'nonnull', d2, t2 FROM s14
+         |  UNION ALL SELECT 3, 'train_split', d3, t3 FROM s14
+         |  UNION ALL SELECT 4, 'quality', d4, t4 FROM s14
+         |  UNION ALL SELECT 5, 'exact_dedup', CAST(count(*) AS BIGINT),
+         |            CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM t5
+         |  UNION ALL SELECT 6, 'near_dedup', CAST(count(*) AS BIGINT),
+         |            CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM t6
+         |  UNION ALL SELECT 7, 'decontam', CAST(count(*) AS BIGINT),
+         |            CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM t7
+         |)
+         |SELECT CAST(stage_id AS BIGINT) AS stage_id, stage, n_docs, n_tokens,
+         |       CAST(n_docs * 1000000 // (SELECT d1 FROM s14) AS BIGINT) AS survival_ppm
+         |FROM u ORDER BY stage_id""".stripMargin
   )
 
   /** Decontamination width sweep: one generated CTE chain per shingle

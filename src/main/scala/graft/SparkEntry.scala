@@ -5452,6 +5452,65 @@ object SparkEntry {
         .orderBy("pct")
     }),
 
+    // The flagship composition: a 7-stage pretraining-data pipeline card
+    // — raw → non-null → train split (eval source held out) → quality
+    // filter → exact dedup (min-id keeper per text) → cluster near-dedup
+    // (LSH + connected components) → 5-gram decontamination vs the eval
+    // split — each stage reporting surviving docs, tokens, and ppm of
+    // raw. Stages 1-4 fold into ONE conditional aggregation over a
+    // single corpus scan; 5-7 reuse the verified dedup/decontam
+    // operators unchanged. This is the query a data-curation team runs
+    // nightly; every constituent is individually oracled elsewhere
+    // (q27/q20/q66/q32/q74), this composes them.
+    "q300_pipeline_card" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val base = TextFunctions.withQualityColumns(d, "text")
+        .select(col("doc_id"), col("text"), col("source"), col("n_words"), col("quality"))
+      val s2c = col("text").isNotNull
+      val s3c = s2c && col("source") =!= "src0"
+      val s4c = s3c && col("quality") >= 0.45
+      val s14 = base.agg(
+        count(lit(1)).as("d1"),
+        sum(when(s2c, 1L).otherwise(0L)).as("d2"),
+        sum(when(s3c, 1L).otherwise(0L)).as("d3"),
+        sum(when(s4c, 1L).otherwise(0L)).as("d4"),
+        sum(coalesce(col("n_words"), lit(0L))).as("t1"),
+        sum(when(s2c, col("n_words")).otherwise(0L)).as("t2"),
+        sum(when(s3c, col("n_words")).otherwise(0L)).as("t3"),
+        sum(when(s4c, col("n_words")).otherwise(0L)).as("t4"))
+      val s4df = base.filter(s4c)
+      val keep = s4df.groupBy("text").agg(min(col("doc_id")).as("keep_id"))
+      val s5df = s4df.join(keep, Seq("text")).filter(col("doc_id") === col("keep_id"))
+        .select("doc_id", "text", "n_words")
+      val losers = Dedup.clusterLosers(
+        Dedup.minhashCandidates(s5df, "doc_id", "text").select("doc_a", "doc_b"))
+        .select(col("node").as("doc_id"))
+      val s6df = s5df.join(losers, Seq("doc_id"), "left_anti")
+      val contam = Dedup.exactNgramContamination(
+        d.filter(col("source") === "src0").select(col("doc_id"), col("text")),
+        s6df.select(col("doc_id"), col("text")), "doc_id", "text", 5)
+        .select("doc_id")
+      val s7df = s6df.join(contam, Seq("doc_id"), "left_anti")
+      def late(df: DataFrame, id: Int, name: String): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_words")), lit(0L)).as("n_tokens"))
+          .select(lit(id.toLong).as("stage_id"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"))
+      val early = s14.selectExpr(
+        "stack(4, CAST(1 AS BIGINT), 'raw', d1, t1," +
+          " CAST(2 AS BIGINT), 'nonnull', d2, t2," +
+          " CAST(3 AS BIGINT), 'train_split', d3, t3," +
+          " CAST(4 AS BIGINT), 'quality', d4, t4) AS (stage_id, stage, n_docs, n_tokens)")
+      early
+        .unionByName(late(s5df, 5, "exact_dedup"))
+        .unionByName(late(s6df, 6, "near_dedup"))
+        .unionByName(late(s7df, 7, "decontam"))
+        .crossJoin(broadcast(s14.select(col("d1").as("n_raw"))))
+        .select(col("stage_id"), col("stage"), col("n_docs"), col("n_tokens"),
+          expr("n_docs * 1000000 div n_raw").as("survival_ppm"))
+        .orderBy("stage_id")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

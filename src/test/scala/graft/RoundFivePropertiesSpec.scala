@@ -445,4 +445,16 @@ class RoundFivePropertiesSpec extends AnyFunSuite {
       assert(row.getAs[Long]("value_cents") === sorted((k - 1).toInt), s"p$p")
     }
   }
+
+  test("q300: the pipeline card shrinks monotonically from raw to decontam") {
+    val r = rows("q300_pipeline_card").sortBy(_.getAs[Long]("stage_id"))
+    assert(r.length === 7)
+    assert(r.head.getAs[String]("stage") === "raw")
+    assert(r.head.getAs[Long]("survival_ppm") === 1000000L)
+    val docs = r.map(_.getAs[Long]("n_docs"))
+    val toks = r.map(_.getAs[Long]("n_tokens"))
+    assert(docs.zip(docs.tail).forall { case (a, b) => b <= a }, docs.toSeq.toString)
+    assert(toks.zip(toks.tail).forall { case (a, b) => b <= a }, toks.toSeq.toString)
+    assert(docs.last > 0L, "decontam stage emptied the corpus")
+  }
 }
