@@ -3832,18 +3832,44 @@ object SparkEntry {
         .join(broadcast(p.as("b")),
           col("a.p_brand") === col("b.p_brand") && col("a.x") < col("b.x"))
         .select(col("a.p_brand").as("p_brand"),
-          expr("CASE WHEN (b.y - a.y) >= 0" +
+          // outer x-guard: predicate pushdown may evaluate this expression
+          // alongside (not after) the a.x < b.x join residual — under ANSI
+          // an unguarded div would throw on the x-equal rows it never keeps
+          expr("CASE WHEN (b.x - a.x) <= 0 THEN NULL" +
+            " WHEN (b.y - a.y) >= 0" +
             " THEN (2 * (b.y - a.y) * 1000 + (b.x - a.x)) div (2 * (b.x - a.x))" +
             " ELSE -((2 * (a.y - b.y) * 1000 + (b.x - a.x)) div (2 * (b.x - a.x))) END")
             .as("slope_milli"))
-      // per-brand sizes come from a 25-row aggregate joined back, so the
-      // 6M-pair relation is window-sorted ONCE (the count-over-partition
-      // variant sorted it a second time — 6.7 s → ~3.5 s at sf0.1)
-      val nc = pairs.groupBy("p_brand").agg(count(lit(1)).as("n"))
+      // per-brand pair counts in CLOSED FORM from the (brand, size)
+      // histogram — n = (T² − Σc²)/2 — so the multi-million-row pair
+      // relation is generated once (for the median window), not twice;
+      // the count-over-partition variant additionally sorted it twice
+      val nc = p.groupBy(col("p_brand"), col("x")).agg(count(lit(1)).as("c"))
+        .groupBy("p_brand")
+        .agg(expr("(sum(c) * sum(c) - sum(c * c)) div 2").as("n"))
+      // two-pass exact median (the q299 histogram trick): pass 1 bins the
+      // pair relation (hash agg, map-side combine — no sort), the cumsum
+      // locates each brand's median bin, pass 2 regenerates the pairs but
+      // sorts ONLY the median bin's rows (~1/bins of the relation). Pair
+      // generation is a map-side broadcast join, so generating twice is
+      // far cheaper than one full per-brand sort of the 8M-row relation.
+      val hist = pairs
+        .groupBy(col("p_brand"), expr("slope_milli div 256").as("bin"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cb", coalesce(sum(col("c")).over(
+          Window.partitionBy("p_brand").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val tb = hist.join(broadcast(nc), "p_brand")
+        .filter(col("cb") < expr("(n + 1) div 2") &&
+          col("cb") + col("c") >= expr("(n + 1) div 2"))
+        .select(col("p_brand"), col("bin"), (expr("(n + 1) div 2") - col("cb")).as("off"),
+          col("n"))
       pairs
+        .join(broadcast(tb),
+          pairs("p_brand") === tb("p_brand") && expr("slope_milli div 256") === tb("bin"))
+        .drop(tb("p_brand"))
         .withColumn("rn", row_number().over(Window.partitionBy("p_brand").orderBy("slope_milli")))
-        .join(broadcast(nc), "p_brand")
-        .filter(col("rn") === expr("(n + 1) div 2"))
+        .filter(col("rn") === col("off"))
         .groupBy("p_brand")
         .agg(max(col("n")).as("n_pairs"), min(col("slope_milli")).as("median_slope_milli"))
         .orderBy("p_brand")
@@ -5480,12 +5506,17 @@ object SparkEntry {
         sum(when(s4c, col("n_words")).otherwise(0L)).as("t4"))
       val s4df = base.filter(s4c)
       val keep = s4df.groupBy("text").agg(min(col("doc_id")).as("keep_id"))
+      // lazy localCheckpoints: s5/s6 each feed 3 consumers (an aggregate,
+      // the LSH/decontam generator, the next stage's anti-join) — without
+      // them the quality+dedup lineage re-executes per consumer
       val s5df = s4df.join(keep, Seq("text")).filter(col("doc_id") === col("keep_id"))
         .select("doc_id", "text", "n_words")
+        .localCheckpoint(false)
       val losers = Dedup.clusterLosers(
         Dedup.minhashCandidates(s5df, "doc_id", "text").select("doc_a", "doc_b"))
         .select(col("node").as("doc_id"))
       val s6df = s5df.join(losers, Seq("doc_id"), "left_anti")
+        .localCheckpoint(false)
       val contam = Dedup.exactNgramContamination(
         d.filter(col("source") === "src0").select(col("doc_id"), col("text")),
         s6df.select(col("doc_id"), col("text")), "doc_id", "text", 5)
