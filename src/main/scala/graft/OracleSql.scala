@@ -5767,7 +5767,68 @@ object OracleSql {
          |)
          |SELECT CAST(stage_id AS BIGINT) AS stage_id, stage, n_docs, n_tokens,
          |       CAST(n_docs * 1000000 // (SELECT d1 FROM s14) AS BIGINT) AS survival_ppm
-         |FROM u ORDER BY stage_id""".stripMargin
+         |FROM u ORDER BY stage_id""".stripMargin,
+
+    "q301_part_leaders" ->
+      """WITH li AS (
+        |  SELECT l.l_partkey, l.l_suppkey, CAST(l.l_quantity AS BIGINT) AS q
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE p.p_name LIKE '%widget%'
+        |), ps AS (
+        |  SELECT l_partkey, l_suppkey, CAST(sum(q) AS BIGINT) AS q_ps
+        |  FROM li GROUP BY 1, 2
+        |), lead AS (
+        |  SELECT l_partkey, l_suppkey, q_ps
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY l_partkey
+        |          ORDER BY q_ps DESC, l_suppkey) AS rk FROM ps)
+        |  WHERE rk = 1
+        |), g AS (
+        |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_led,
+        |         CAST(sum(q_ps) AS BIGINT) AS led_qty
+        |  FROM lead GROUP BY 1
+        |)
+        |SELECT s.s_name, g.n_led, g.led_qty
+        |FROM g JOIN supplier s ON s.s_suppkey = g.l_suppkey
+        |ORDER BY n_led DESC, s_name
+        |LIMIT 20""".stripMargin,
+
+    "q302_part_supplier_cnt" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE l.l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 20""".stripMargin,
+
+    "q303_keeper_hops" ->
+      s"""WITH RECURSIVE ${minhashChain("documents")},
+         |$ccLabelChain,
+         |d0 AS (
+         |  SELECT u, CAST(CASE WHEN u = l THEN 0 ELSE 1000000 END AS BIGINT) AS d FROM lbl
+         |), n1 AS (
+         |  SELECT und.v AS u, CAST(min(d0.d) + 1 AS BIGINT) AS nd
+         |  FROM und JOIN d0 ON d0.u = und.u GROUP BY 1
+         |), d1 AS (
+         |  SELECT d0.u, CAST(least(d0.d, coalesce(n1.nd, 1000000)) AS BIGINT) AS d
+         |  FROM d0 LEFT JOIN n1 USING (u)
+         |), n2 AS (
+         |  SELECT und.v AS u, CAST(min(d1.d) + 1 AS BIGINT) AS nd
+         |  FROM und JOIN d1 ON d1.u = und.u GROUP BY 1
+         |), d2 AS (
+         |  SELECT d1.u, CAST(least(d1.d, coalesce(n2.nd, 1000000)) AS BIGINT) AS d
+         |  FROM d1 LEFT JOIN n2 USING (u)
+         |), n3 AS (
+         |  SELECT und.v AS u, CAST(min(d2.d) + 1 AS BIGINT) AS nd
+         |  FROM und JOIN d2 ON d2.u = und.u GROUP BY 1
+         |), d3 AS (
+         |  SELECT d2.u, CAST(least(d2.d, coalesce(n3.nd, 1000000)) AS BIGINT) AS d
+         |  FROM d2 LEFT JOIN n3 USING (u)
+         |)
+         |SELECT CAST(CASE WHEN d >= 1000000 THEN -1 ELSE d END AS BIGINT) AS hop,
+         |       CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM d3 GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Decontamination width sweep: one generated CTE chain per shingle

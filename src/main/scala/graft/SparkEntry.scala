@@ -5542,6 +5542,75 @@ object SparkEntry {
         .orderBy("stage_id")
     }),
 
+    // TPC-H Q20/Q15-family supply-leadership census: per widget part,
+    // the LEADING supplier by shipped quantity (argmax as one
+    // max(struct) hash agg — ties to the smaller suppkey, never a
+    // window over the fact), then per supplier how many parts they
+    // lead. One fact aggregation; part and supplier dims broadcast.
+    "q301_part_leaders" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_name").contains("widget")).select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+      val ps = li.groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity").cast("long")).as("q_ps"))
+      ps.groupBy("l_partkey")
+        .agg(max(struct(col("q_ps"), (-col("l_suppkey")).as("neg"),
+          col("l_suppkey").as("sk"))).as("m"))
+        .groupBy(col("m.sk").as("l_suppkey"))
+        .agg(count(lit(1)).as("n_led"), sum(col("m.q_ps")).as("led_qty"))
+        .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("n_led"), col("led_qty"))
+        .orderBy(col("n_led").desc, col("s_name"))
+        .limit(20)
+    }),
+
+    // TPC-H Q16-shaped supplier diversity per part family: distinct
+    // suppliers per (brand, type, size) with a "complaints" anti-join
+    // (negative-balance suppliers excluded) — the count-distinct +
+    // NOT-IN pattern. The exclusion runs as a broadcast semi join
+    // BEFORE the distinct aggregation, so excluded suppliers never
+    // enter the shuffle.
+    "q302_part_supplier_cnt" -> ((s, dir) => {
+      val ok = Tables.supplier(s, dir).filter(col("s_acctbal") >= 0).select("s_suppkey")
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(ok), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+        .limit(20)
+    }),
+
+    // Hops-from-keeper histogram over the dup graph: multi-source BFS
+    // seeded at every component's min-id keeper (the doc dedup KEEPS),
+    // three synchronous relaxation rounds (LSH clique-ish components
+    // converge in 1-2; sentinel 1e6 = unreached → hop −1). Each round
+    // is one equi-join + one min-aggregation — the same two-shuffle
+    // shape as a CC round, statically unrolled so both engines share
+    // the exact three-step structure.
+    "q303_keeper_hops" -> ((s, dir) => {
+      val cand = Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text")
+        .select("doc_a", "doc_b")
+      val und = cand.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(cand.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      var dist = graft.operators.ConnectedComponents.labels(cand, "doc_a", "doc_b")
+        .select(col("node").as("u"),
+          when(col("node") === col("cluster_id"), 0L).otherwise(1000000L).as("d"))
+      for (_ <- 1 to 3) {
+        val nd = und.join(dist, "u")
+          .groupBy(col("v")).agg((min(col("d")) + lit(1L)).as("nd"))
+        dist = dist.join(nd.withColumnRenamed("v", "u"), Seq("u"), "left")
+          .select(col("u"), least(col("d"), coalesce(col("nd"), lit(1000000L))).as("d"))
+      }
+      dist.groupBy(expr("CASE WHEN d >= 1000000 THEN -1 ELSE d END").as("hop"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("hop")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -39,6 +39,12 @@ class PlanGuardSpec extends AnyFunSuite {
     "q153_delete_cascade",      // per-table 1-row before/deleted count pairs
     "q101_source_jsd",
     "q111_temporal_jsd",
+    "q290_cramers_v",            // 1-row s9/r/c/n aggregates crossed
+    "q292_adamic_adar",          // 1-row doubled-median bound
+    "q294_ndcg_eval",            // q24-style 5-row query-broadcast inequality join
+    "q296_wasserstein",          // 1-row (na, nb) totals bound
+    "q299_twopass_quantiles",    // bounded histogram (value-range/65536 bins)
+    "q300_pipeline_card",        // 1-row raw-count bound for survival ppm
     "q114_source_concentration", // 1-row (total, n_sources) aggregate
     "q116_kmeans_fit",           // k·dim fitted centroid set
     "q117_cluster_purity",       // same fitted centroid broadcast

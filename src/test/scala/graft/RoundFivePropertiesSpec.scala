@@ -446,6 +446,38 @@ class RoundFivePropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("q301: leadership census conserves the widget part count") {
+    import org.apache.spark.sql.functions._
+    val nLed = rows("q301_part_leaders").map(_.getAs[Long]("n_led")).sum
+    val nParts = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir).filter(col("p_name").contains("widget")),
+        col("l_partkey") === col("p_partkey"))
+      .select("l_partkey").distinct().count()
+    // ≤ because the readout is top-20 suppliers; at sf0.001 all fit
+    assert(nLed <= nParts)
+    assert(nLed > 0L)
+  }
+
+  test("q302: supplier counts stay within the clean-supplier universe") {
+    import org.apache.spark.sql.functions._
+    val nOk = Tables.supplier(spark, sfDir).filter(col("s_acctbal") >= 0).count()
+    rows("q302_part_supplier_cnt").foreach { row =>
+      assert(row.getAs[Long]("supplier_cnt") >= 1L)
+      assert(row.getAs[Long]("supplier_cnt") <= nOk)
+    }
+  }
+
+  test("q303: hop histogram covers every dup-graph node, keepers at hop 0") {
+    val r = rows("q303_keeper_hops")
+    val total = r.map(_.getAs[Long]("n_nodes")).sum
+    val clusters = rows("q66_dup_clusters")
+    val nNodes = clusters.map(_.getAs[Long]("n_docs")).sum
+    val nKeepers = clusters.length.toLong
+    assert(total === nNodes, s"histogram covers $total of $nNodes nodes")
+    val hop0 = r.find(_.getAs[Long]("hop") == 0L).map(_.getAs[Long]("n_nodes")).getOrElse(0L)
+    assert(hop0 === nKeepers, s"$hop0 hop-0 nodes vs $nKeepers keepers")
+  }
+
   test("q300: the pipeline card shrinks monotonically from raw to decontam") {
     val r = rows("q300_pipeline_card").sortBy(_.getAs[Long]("stage_id"))
     assert(r.length === 7)
