@@ -5828,7 +5828,93 @@ object OracleSql {
          |)
          |SELECT CAST(CASE WHEN d >= 1000000 THEN -1 ELSE d END AS BIGINT) AS hop,
          |       CAST(count(*) AS BIGINT) AS n_nodes
-         |FROM d3 GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM d3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q304_heldout_nll" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+        |           WHERE text IS NOT NULL),
+        |meta AS (
+        |  SELECT doc_id, source,
+        |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 2 AS fold
+        |  FROM w
+        |), bg0 AS (
+        |  SELECT doc_id, unnest([concat_ws(' ', ws[i+1], ws[i+2]) for i in range(0, len(ws)-1)]) AS s
+        |  FROM w WHERE len(ws) >= 2
+        |), bg AS (
+        |  SELECT bg0.doc_id, meta.source, meta.fold,
+        |         CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS sk,
+        |         CAST(concat('0x', substr(md5(split_part(s, ' ', 1)), 1, 12)) AS BIGINT) AS wk
+        |  FROM bg0 JOIN meta USING (doc_id)
+        |), tr AS (SELECT * FROM bg WHERE fold = 0),
+        |te AS (SELECT * FROM bg WHERE fold = 1),
+        |bc AS (SELECT sk, CAST(count(*) AS BIGINT) AS cb FROM tr GROUP BY 1),
+        |ctx AS (SELECT wk, CAST(count(*) AS BIGINT) AS cw FROM tr GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM ctx),
+        |t AS (
+        |  SELECT te.source,
+        |         CAST(round(ln(CAST(coalesce(bc.cb, 0) + 1 AS DOUBLE)
+        |           / (coalesce(ctx.cw, 0) + v.v)) * 1000000000) AS BIGINT) AS t9,
+        |         CASE WHEN ctx.cw IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM te LEFT JOIN bc USING (sk) LEFT JOIN ctx USING (wk), v
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST((-CAST(sum(t9) AS HUGEINT)) // count(*) AS BIGINT) AS avg_nll_nano,
+        |       CAST(sum(oov) * 1000000 // count(*) AS BIGINT) AS oov_ppm
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q305_weighted_jaccard" ->
+      s"""$minhashCte,
+         |ww AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |    FROM documents WHERE text IS NOT NULL)
+         |  WHERE length(w) > 0
+         |), tf AS (SELECT doc_id, w AS wd, CAST(count(*) AS BIGINT) AS c FROM ww GROUP BY 1, 2),
+         |inter AS (
+         |  SELECT cand.doc_a, cand.doc_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS smin
+         |  FROM cand
+         |  JOIN tf a ON a.doc_id = cand.doc_a
+         |  JOIN tf b ON b.doc_id = cand.doc_b AND b.wd = a.wd
+         |  GROUP BY 1, 2
+         |), tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot FROM tf GROUP BY 1)
+         |SELECT cand.doc_a, cand.doc_b,
+         |       CAST(coalesce(inter.smin, 0) AS BIGINT) AS smin,
+         |       CAST(ta.tot + tb.tot - coalesce(inter.smin, 0) AS BIGINT) AS smax,
+         |       CAST(coalesce(inter.smin, 0) * 1000000
+         |            // (ta.tot + tb.tot - coalesce(inter.smin, 0)) AS BIGINT) AS wjaccard_ppm
+         |FROM cand
+         |LEFT JOIN inter ON inter.doc_a = cand.doc_a AND inter.doc_b = cand.doc_b
+         |JOIN tot ta ON ta.doc_id = cand.doc_a
+         |JOIN tot tb ON tb.doc_id = cand.doc_b
+         |ORDER BY cand.doc_a, cand.doc_b""".stripMargin,
+
+    "q306_did_revenue" ->
+      """WITH j AS (
+        |  SELECT c.c_mktsegment AS g,
+        |         (o.o_orderdate >= DATE '1998-01-01') AS post,
+        |         CAST(round((o.o_totalprice) * 100) AS BIGINT) AS v
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |), m AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN g = 'BUILDING' AND NOT post THEN v ELSE 0 END)
+        |      // sum(CASE WHEN g = 'BUILDING' AND NOT post THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS treat_pre_cents,
+        |    CAST(sum(CASE WHEN g = 'BUILDING' AND post THEN v ELSE 0 END)
+        |      // sum(CASE WHEN g = 'BUILDING' AND post THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS treat_post_cents,
+        |    CAST(sum(CASE WHEN g = 'MACHINERY' AND NOT post THEN v ELSE 0 END)
+        |      // sum(CASE WHEN g = 'MACHINERY' AND NOT post THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ctrl_pre_cents,
+        |    CAST(sum(CASE WHEN g = 'MACHINERY' AND post THEN v ELSE 0 END)
+        |      // sum(CASE WHEN g = 'MACHINERY' AND post THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ctrl_post_cents
+        |  FROM j
+        |)
+        |SELECT treat_pre_cents, treat_post_cents, ctrl_pre_cents, ctrl_post_cents,
+        |       CAST((treat_post_cents - treat_pre_cents)
+        |            - (ctrl_post_cents - ctrl_pre_cents) AS BIGINT) AS did_cents
+        |FROM m""".stripMargin
   )
 
   /** Decontamination width sweep: one generated CTE chain per shingle

@@ -5611,6 +5611,102 @@ object SparkEntry {
         .orderBy("hop")
     }),
 
+    // HELD-OUT bigram-LM evaluation — the honest version of q77's
+    // self-scoring: md5 folds split the corpus, the LM (add-one over
+    // the train context vocab) trains on fold 0 and scores fold 1's
+    // bigrams, reported per source as mean NLL + context-OOV rate. The
+    // shingle hash relation is built once (localCheckpoint) and both
+    // folds are slices of it; unseen bigrams/contexts survive as
+    // coalesce(0) — never dropped rows.
+    "q304_heldout_nll" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val meta = d.select(col("doc_id"), col("source"),
+        (Dedup.md5Long(col("doc_id").cast("string"), 12) % 2).as("fold"))
+      val bg = Dedup.shingleRows(d.filter(size(split(col("text"), " ", -1)) >= 2),
+          "doc_id", "text", 2)
+        .select(col("doc_id"), Dedup.md5Long(col("s"), 12).as("sk"),
+          Dedup.md5Long(substring_index(col("s"), " ", 1), 12).as("wk"))
+        .join(meta, "doc_id")
+        .localCheckpoint(false)
+      val tr = bg.filter(col("fold") === 0)
+      val te = bg.filter(col("fold") === 1)
+      val bc = tr.groupBy("sk").agg(count(lit(1)).as("cb"))
+      val ctx = tr.groupBy("wk").agg(count(lit(1)).as("cw"))
+      val v = ctx.agg(count(lit(1)).as("v"))
+      te.join(bc, Seq("sk"), "left")
+        .join(ctx, Seq("wk"), "left")
+        .crossJoin(broadcast(v))
+        .select(col("source"),
+          expr("CAST(round(ln(CAST(coalesce(cb, 0) + 1 AS DOUBLE)" +
+            " / (coalesce(cw, 0) + v)) * 1000000000) AS BIGINT)").as("t9"),
+          col("cw").isNull.cast("long").as("oov"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("(-sum(t9)) div count(1)").as("avg_nll_nano"),
+          expr("CAST(sum(oov) * 1000000 div count(1) AS BIGINT)").as("oov_ppm"))
+        .orderBy("source")
+    }),
+
+    // Weighted (multiset) Jaccard over the LSH candidate pairs — the
+    // tf-aware refinement of q23's set Jaccard: Σmin(tf_a,tf_b)/Σmax.
+    // Only the INTERSECTION is ever joined (per-pair common words);
+    // Σmax falls out of the identity Σmax = tot_a + tot_b − Σmin, so
+    // the disjoint tails never shuffle. Everything is exact integers.
+    "q305_weighted_jaccard" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val cand = Dedup.minhashCandidates(d, "doc_id", "text").select("doc_a", "doc_b")
+      val tf = d.filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val inter = cand
+        .join(tf.select(col("doc_id").as("doc_a"), col("w"), col("c").as("ca")), Seq("doc_a"))
+        .join(tf.select(col("doc_id").as("doc_b"), col("w"), col("c").as("cb2")),
+          Seq("doc_b", "w"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(least(col("ca"), col("cb2"))).as("smin"))
+      val tot = tf.groupBy("doc_id").agg(sum(col("c")).as("tot"))
+      cand
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .na.fill(0L, Seq("smin"))
+        .join(tot.select(col("doc_id").as("doc_a"), col("tot").as("tot_a")), Seq("doc_a"))
+        .join(tot.select(col("doc_id").as("doc_b"), col("tot").as("tot_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("smin"),
+          (col("tot_a") + col("tot_b") - col("smin")).as("smax"))
+        .withColumn("wjaccard_ppm", expr("smin * 1000000 div smax"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Difference-in-differences on order value: BUILDING (treated) vs
+    // MACHINERY (control), intervention at 1998-01-01 — the causal
+    // panel readout next to q166's A/B lift and q251's IPW. ONE
+    // conditional aggregation over one scan; means as exact integer
+    // cents (sum div n per cell).
+    "q306_did_revenue" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir)
+          .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+          .select(col("c_custkey"), col("c_mktsegment").as("g")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("g"), (col("o_orderdate") >= lit("1998-01-01")).as("post"),
+          centsOf(col("o_totalprice")).as("v"))
+        .agg(
+          expr("sum(CASE WHEN g = 'BUILDING' AND NOT post THEN v ELSE 0 END)" +
+            " div sum(CASE WHEN g = 'BUILDING' AND NOT post THEN 1 ELSE 0 END)")
+            .as("treat_pre_cents"),
+          expr("sum(CASE WHEN g = 'BUILDING' AND post THEN v ELSE 0 END)" +
+            " div sum(CASE WHEN g = 'BUILDING' AND post THEN 1 ELSE 0 END)")
+            .as("treat_post_cents"),
+          expr("sum(CASE WHEN g = 'MACHINERY' AND NOT post THEN v ELSE 0 END)" +
+            " div sum(CASE WHEN g = 'MACHINERY' AND NOT post THEN 1 ELSE 0 END)")
+            .as("ctrl_pre_cents"),
+          expr("sum(CASE WHEN g = 'MACHINERY' AND post THEN v ELSE 0 END)" +
+            " div sum(CASE WHEN g = 'MACHINERY' AND post THEN 1 ELSE 0 END)")
+            .as("ctrl_post_cents"))
+        .withColumn("did_cents",
+          expr("(treat_post_cents - treat_pre_cents) - (ctrl_post_cents - ctrl_pre_cents)"))),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -40,6 +40,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q101_source_jsd",
     "q111_temporal_jsd",
     "q290_cramers_v",            // 1-row s9/r/c/n aggregates crossed
+    "q304_heldout_nll",          // 1-row train-vocab-size bound
     "q292_adamic_adar",          // 1-row doubled-median bound
     "q294_ndcg_eval",            // q24-style 5-row query-broadcast inequality join
     "q296_wasserstein",          // 1-row (na, nb) totals bound

@@ -478,6 +478,36 @@ class RoundFivePropertiesSpec extends AnyFunSuite {
     assert(hop0 === nKeepers, s"$hop0 hop-0 nodes vs $nKeepers keepers")
   }
 
+  test("q304: held-out NLL is positive and OOV is a proper rate") {
+    val r = rows("q304_heldout_nll")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("avg_nll_nano") > 0L,
+        s"${row.getAs[String]("source")}: NLL must be positive")
+      val oov = row.getAs[Long]("oov_ppm")
+      assert(oov >= 0L && oov <= 1000000L)
+      assert(row.getAs[Long]("n_bigrams") > 0L)
+    }
+  }
+
+  test("q305: weighted Jaccard is bounded by the set Jaccard structure") {
+    rows("q305_weighted_jaccard").foreach { row =>
+      val (smin, smax) = (row.getAs[Long]("smin"), row.getAs[Long]("smax"))
+      assert(smin >= 0L && smin <= smax, s"min/max violated: $smin/$smax")
+      val wj = row.getAs[Long]("wjaccard_ppm")
+      assert(wj >= 0L && wj <= 1000000L)
+    }
+  }
+
+  test("q306: DiD algebra is internally consistent") {
+    val r = rows("q306_did_revenue").head
+    val did = (r.getAs[Long]("treat_post_cents") - r.getAs[Long]("treat_pre_cents")) -
+      (r.getAs[Long]("ctrl_post_cents") - r.getAs[Long]("ctrl_pre_cents"))
+    assert(r.getAs[Long]("did_cents") === did)
+    Seq("treat_pre_cents", "treat_post_cents", "ctrl_pre_cents", "ctrl_post_cents")
+      .foreach(c => assert(r.getAs[Long](c) > 0L, s"$c must be positive"))
+  }
+
   test("q300: the pipeline card shrinks monotonically from raw to decontam") {
     val r = rows("q300_pipeline_card").sortBy(_.getAs[Long]("stage_id"))
     assert(r.length === 7)
