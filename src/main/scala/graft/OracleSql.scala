@@ -5914,7 +5914,91 @@ object OracleSql {
         |SELECT treat_pre_cents, treat_post_cents, ctrl_pre_cents, ctrl_post_cents,
         |       CAST((treat_post_cents - treat_pre_cents)
         |            - (ctrl_post_cents - ctrl_pre_cents) AS BIGINT) AS did_cents
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    "q307_rbo_eval" ->
+      s"""$ivfAssignCte,
+         |q AS (SELECT vec_id AS query_id, e AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+         |es AS (
+         |  SELECT q.query_id, n.vec_id AS neighbor_id,
+         |         round(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*n.e[i])) / (q.qn * n.nrm), 6) AS sim
+         |  FROM q, n WHERE n.vec_id <> q.query_id
+         |), er AS (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk_exact
+         |  FROM es
+         |), ex AS (SELECT query_id, neighbor_id, rk_exact FROM er WHERE rk_exact <= 10),
+         |qb AS (SELECT vec_id AS query_id, e AS qv, nrm AS qn, bucket FROM asg WHERE vec_id < 5),
+         |as2 AS (
+         |  SELECT qb.query_id, asg.vec_id AS neighbor_id,
+         |         round(list_sum(list_transform(range(1, len(qb.qv)+1), i -> qb.qv[i]*asg.e[i])) / (qb.qn * asg.nrm), 6) AS sim
+         |  FROM qb JOIN asg USING (bucket) WHERE asg.vec_id <> qb.query_id
+         |), ar AS (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS p
+         |  FROM as2
+         |), ap AS (SELECT query_id, neighbor_id, p FROM ar WHERE p <= 10),
+         |mm AS (
+         |  SELECT ap.query_id, greatest(ex.rk_exact, ap.p) AS dmin
+         |  FROM ap JOIN ex USING (query_id, neighbor_id)
+         |), dd AS (
+         |  SELECT CAST(d AS BIGINT) AS d, CAST(p9 AS BIGINT) AS p9, CAST(p10d AS BIGINT) AS p10d
+         |  FROM (VALUES (1, 1, 10), (2, 9, 100), (3, 81, 1000), (4, 729, 10000),
+         |        (5, 6561, 100000), (6, 59049, 1000000), (7, 531441, 10000000),
+         |        (8, 4782969, 100000000), (9, 43046721, 1000000000),
+         |        (10, 387420489, 10000000000)) AS t(d, p9, p10d)
+         |), ov AS (
+         |  SELECT mm.query_id, dd.d, CAST(count(*) AS BIGINT) AS a
+         |  FROM mm JOIN dd ON dd.d >= mm.dmin GROUP BY 1, 2
+         |), grid AS (SELECT DISTINCT query_id FROM ex),
+         |g2 AS (
+         |  SELECT grid.query_id, dd.d, dd.p9, dd.p10d, coalesce(ov.a, 0) AS a
+         |  FROM grid CROSS JOIN dd
+         |  LEFT JOIN ov ON ov.query_id = grid.query_id AND ov.d = dd.d
+         |)
+         |SELECT query_id,
+         |       CAST(sum((a * p9 * 1000000000) // (d * p10d)) AS BIGINT) AS rbo_nano
+         |FROM g2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q308_hill_tail_index" ->
+      """WITH top AS (
+        |  SELECT CAST(round((o_totalprice) * 100) AS BIGINT) AS v
+        |  FROM orders ORDER BY v DESC LIMIT 100
+        |), xk AS (SELECT CAST(min(v) AS BIGINT) AS xk FROM top),
+        |t AS (
+        |  SELECT CAST(round(ln(CAST(top.v AS DOUBLE) / xk.xk) * 1000000000) AS BIGINT) AS t9,
+        |         xk.xk
+        |  FROM top, xk
+        |), g AS (
+        |  SELECT xk, CAST(count(*) AS BIGINT) AS k, CAST(sum(t9) AS BIGINT) AS s9
+        |  FROM t GROUP BY 1
+        |)
+        |SELECT k, xk AS xk_cents, CAST(s9 // (k - 1) AS BIGINT) AS hill_nano,
+        |       CAST(CASE WHEN s9 // (k - 1) > 0
+        |                 THEN 1000000000000000 // (s9 // (k - 1)) END AS BIGINT) AS alpha_ppm
+        |FROM g""".stripMargin,
+
+    "q309_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+        |         CAST(round((o_totalprice) * 100) AS BIGINT) AS v
+        |  FROM orders
+        |), f AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY 1),
+        |sz AS (SELECT m0, CAST(count(*) AS BIGINT) AS n_cust FROM f GROUP BY 1),
+        |rev AS (
+        |  SELECT f.m0, o.m - f.m0 AS age, CAST(sum(o.v) AS BIGINT) AS rev_cents
+        |  FROM o JOIN f USING (o_custkey) GROUP BY 1, 2
+        |), c AS (
+        |  SELECT m0, age, rev_cents,
+        |         CAST(sum(rev_cents) OVER (PARTITION BY m0 ORDER BY age
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        |  FROM rev
+        |)
+        |SELECT c.m0 AS cohort_month, c.age, sz.n_cust, c.rev_cents, c.cum_cents,
+        |       CAST(c.cum_cents // sz.n_cust AS BIGINT) AS ltv_cents
+        |FROM c JOIN sz USING (m0)
+        |ORDER BY cohort_month, age""".stripMargin
   )
 
   /** Decontamination width sweep: one generated CTE chain per shingle

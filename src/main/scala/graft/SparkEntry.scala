@@ -5707,6 +5707,88 @@ object SparkEntry {
         .withColumn("did_cents",
           expr("(treat_post_cents - treat_pre_cents) - (ctrl_post_cents - ctrl_pre_cents)"))),
 
+    // Rank-biased overlap (p = 0.9, truncated at depth 10) between the
+    // IVF and brute-force neighbor lists — the top-weighted rank
+    // agreement metric complementing q294's nDCG: each depth d
+    // contributes (1−p)p^(d−1)·|overlap@d|/d, computed as the PURE
+    // RATIONAL A_d·9^(d−1)·1e9 div (d·10^d) — no pow(), no doubles.
+    // Overlap@d falls out of one matched-pair relation exploded to the
+    // depths it supports (d ≥ max(rank_a, rank_b)).
+    "q307_rbo_eval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", nQueries = 5, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rk").as("rk_exact"))
+      val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
+          nCentroids = 8, nQueries = 5, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rk").as("p"))
+      val m = approx.join(exact, Seq("query_id", "neighbor_id"))
+        .select(col("query_id"), greatest(col("rk_exact"), col("p")).as("dmin"))
+      val overlaps = m
+        .select(col("query_id"), explode(expr("sequence(dmin, CAST(10 AS BIGINT))")).as("d"))
+        .groupBy("query_id", "d").agg(count(lit(1)).as("a"))
+      val grid = exact.select("query_id").distinct()
+        .select(col("query_id"), explode(expr("sequence(CAST(1 AS BIGINT), CAST(10 AS BIGINT))")).as("d"))
+      val pows = s.sql(
+        "SELECT CAST(d AS BIGINT) AS d, CAST(p9 AS BIGINT) AS p9, CAST(p10d AS BIGINT) AS p10d FROM VALUES " +
+          (1 to 10).map(d =>
+            s"($d, ${math.pow(9, d - 1).toLong}L, ${math.pow(10, d).toLong}L)").mkString(", ") +
+          " AS t(d, p9, p10d)")
+      grid.join(overlaps, Seq("query_id", "d"), "left")
+        .na.fill(0L, Seq("a"))
+        .join(broadcast(pows), Seq("d"))
+        .select(col("query_id"), expr("(a * p9 * 1000000000) div (d * p10d)").as("t"))
+        .groupBy("query_id")
+        .agg(sum(col("t")).as("rbo_nano"))
+        .orderBy("query_id")
+    }),
+
+    // Hill estimator of the order-value tail index: mean ln(x_i/x_k)
+    // over the global top-k=100 (a BOUNDED relation — at any corpus
+    // size the sort is a top-k TakeOrdered, never a full sort), each
+    // term ln-quantized to 1e-9; α = 1/hill in ppm via one integer
+    // division. Heavy-tail calibration next to q93's Zipf slope.
+    "q308_hill_tail_index" -> ((s, dir) => {
+      val top = Tables.orders(s, dir)
+        .select(centsOf(col("o_totalprice")).as("v"))
+        .orderBy(col("v").desc)
+        .limit(100)
+      val xk = top.agg(min(col("v")).as("xk"))
+      top.crossJoin(broadcast(xk))
+        .select(expr("CAST(round(ln(CAST(v AS DOUBLE) / xk) * 1000000000) AS BIGINT)").as("t9"),
+          col("xk"))
+        .groupBy("xk")
+        .agg(count(lit(1)).as("k"), sum(col("t9")).as("s9"))
+        .select(col("k"), col("xk").as("xk_cents"),
+          expr("s9 div (k - 1)").as("hill_nano"),
+          expr("CASE WHEN s9 div (k - 1) > 0" +
+            " THEN 1000000000000000 div (s9 div (k - 1)) ELSE NULL END").as("alpha_ppm"))
+    }),
+
+    // Cohort lifetime-value curve: customers cohorted by first-order
+    // month (linearized y·12+m), per (cohort, age) revenue, cumulative
+    // LTV per cohort member as exact integer cents. The window runs
+    // over the bounded (cohort × age) grid — the fact table only feeds
+    // two hash aggregations.
+    "q309_cohort_ltv" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("m"),
+        centsOf(col("o_totalprice")).as("v"))
+      val first = o.groupBy("o_custkey").agg(min(col("m")).as("m0"))
+      val sizes = first.groupBy("m0").agg(count(lit(1)).as("n_cust"))
+      val rev = o.join(first, "o_custkey")
+        .groupBy(col("m0"), (col("m") - col("m0")).as("age"))
+        .agg(sum(col("v")).as("rev_cents"))
+      rev
+        .withColumn("cum_cents", sum(col("rev_cents")).over(
+          Window.partitionBy("m0").orderBy("age")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .join(broadcast(sizes), "m0")
+        .select(col("m0").as("cohort_month"), col("age"), col("n_cust"),
+          col("rev_cents"), col("cum_cents"),
+          expr("cum_cents div n_cust").as("ltv_cents"))
+        .orderBy("cohort_month", "age")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

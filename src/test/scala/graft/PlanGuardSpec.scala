@@ -41,6 +41,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q111_temporal_jsd",
     "q290_cramers_v",            // 1-row s9/r/c/n aggregates crossed
     "q304_heldout_nll",          // 1-row train-vocab-size bound
+    "q307_rbo_eval",             // q24-style 5-row query-broadcast inequality join
+    "q308_hill_tail_index",      // 1-row x_k bound over the bounded top-100
     "q292_adamic_adar",          // 1-row doubled-median bound
     "q294_ndcg_eval",            // q24-style 5-row query-broadcast inequality join
     "q296_wasserstein",          // 1-row (na, nb) totals bound

@@ -508,6 +508,41 @@ class RoundFivePropertiesSpec extends AnyFunSuite {
       .foreach(c => assert(r.getAs[Long](c) > 0L, s"$c must be positive"))
   }
 
+  test("q307: RBO is a [0,1] score and caps at the truncated-sum maximum") {
+    // with A_d = d at every depth the truncated RBO sum is Σ(1−p)p^(d−1)
+    val maxRbo = (1 to 10).map(d =>
+      (d.toLong * math.pow(9, d - 1).toLong * 1000000000L) /
+        (d * math.pow(10, d).toLong)).sum
+    rows("q307_rbo_eval").foreach { row =>
+      val rbo = row.getAs[Long]("rbo_nano")
+      assert(rbo >= 0L && rbo <= maxRbo, s"rbo $rbo outside [0, $maxRbo]")
+    }
+  }
+
+  test("q308: Hill estimator internals are consistent") {
+    val r = rows("q308_hill_tail_index").head
+    assert(r.getAs[Long]("k") === 100L)
+    val hill = r.getAs[Long]("hill_nano")
+    assert(hill >= 0L)
+    if (hill > 0L)
+      assert(r.getAs[Long]("alpha_ppm") === 1000000000000000L / hill)
+  }
+
+  test("q309: cohort LTV accumulates monotonically and conserves revenue") {
+    import org.apache.spark.sql.functions._
+    val r = rows("q309_cohort_ltv")
+    r.groupBy(_.getAs[Long]("cohort_month")).foreach { case (_, xs) =>
+      val sorted = xs.sortBy(_.getAs[Long]("age"))
+      val cums = sorted.map(_.getAs[Long]("cum_cents"))
+      assert(cums.zip(cums.tail).forall { case (a, b) => b >= a })
+      assert(sorted.map(_.getAs[Long]("rev_cents")).sum === cums.last)
+    }
+    val total = Tables.orders(spark, sfDir)
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")))
+      .collect()(0).getLong(0)
+    assert(r.map(_.getAs[Long]("rev_cents")).sum === total)
+  }
+
   test("q300: the pipeline card shrinks monotonically from raw to decontam") {
     val r = rows("q300_pipeline_card").sortBy(_.getAs[Long]("stage_id"))
     assert(r.length === 7)
