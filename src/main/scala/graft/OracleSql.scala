@@ -5998,8 +5998,93 @@ object OracleSql {
         |SELECT c.m0 AS cohort_month, c.age, sz.n_cust, c.rev_cents, c.cum_cents,
         |       CAST(c.cum_cents // sz.n_cust AS BIGINT) AS ltv_cents
         |FROM c JOIN sz USING (m0)
-        |ORDER BY cohort_month, age""".stripMargin
+        |ORDER BY cohort_month, age""".stripMargin,
+
+    "q310_jaro_winkler" ->
+      """WITH b AS (SELECT p_partkey AS k, p_brand, p_type, p_name FROM part),
+        |j AS (
+        |  SELECT a.k AS part_a, c.k AS part_b, a.p_brand AS brand,
+        |         round(jaro_winkler_similarity(a.p_name, c.p_name), 6) AS jw_r6
+        |  FROM b a JOIN b c ON a.p_brand = c.p_brand AND a.p_type = c.p_type
+        |                    AND a.k < c.k AND a.p_name <> c.p_name
+        |)
+        |SELECT part_a, part_b, brand, jw_r6 FROM j WHERE jw_r6 >= 0.88
+        |ORDER BY jw_r6 DESC, part_a, part_b LIMIT 25""".stripMargin,
+
+    "q311_postings_size" ->
+      s"""$postingsCte,
+        |b AS (SELECT w, chunk, CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+        |                            WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+        |                            ELSE 5 END AS vb FROM g)
+        |SELECT w AS term, CAST(count(*) AS BIGINT) AS df,
+        |       CAST(count(DISTINCT chunk) AS BIGINT) AS n_chunks,
+        |       CAST(sum(vb) AS BIGINT) AS vbyte_bytes,
+        |       CAST(sum(vb) * 1000000 // count(*) AS BIGINT) AS bytes_per_posting_ppm
+        |FROM b GROUP BY 1 ORDER BY vbyte_bytes DESC, term LIMIT 20""".stripMargin,
+
+    "q312_bitmap_containers" ->
+      s"""$postingsCte,
+        |ch AS (SELECT w, chunk, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(run_start) AS BIGINT) AS n_runs
+        |       FROM g GROUP BY 1, 2),
+        |cost AS (
+        |  SELECT n, n*2 AS array_bytes,
+        |         CASE WHEN n*2 <= n_runs*4+2 AND n*2 <= 8192 THEN 'array'
+        |              WHEN n_runs*4+2 <= 8192 THEN 'run' ELSE 'bitmap' END AS container,
+        |         least(n*2, n_runs*4+2, 8192) AS bytes
+        |  FROM ch
+        |)
+        |SELECT container, CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(n) AS BIGINT) AS n_postings,
+        |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |       CAST(sum(array_bytes) AS BIGINT) AS array_cost_bytes,
+        |       CAST((sum(array_bytes) - sum(bytes)) * 1000000 // sum(array_bytes) AS BIGINT)
+        |         AS saving_ppm
+        |FROM cost GROUP BY 1 ORDER BY container""".stripMargin,
+
+    "q313_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+        |n AS (SELECT vec_id, label, e,
+        |             sqrt(list_sum(list_transform(range(1, len(e)+1), i -> e[i]*e[i]))) AS nrm
+        |      FROM v),
+        |q AS (SELECT vec_id AS query_id, label AS q_label, e AS qv, nrm AS qn
+        |      FROM n WHERE vec_id < 8),
+        |s AS (
+        |  SELECT q.query_id, q.q_label, n.vec_id AS cand_id, n.label AS cand_label,
+        |         round(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*n.e[i])) / (q.qn * n.nrm), 6) AS sim
+        |  FROM q, n WHERE n.vec_id <> q.query_id
+        |), p AS (
+        |  SELECT query_id, cand_id, sim, cand_label = q_label AS is_pos,
+        |         row_number() OVER (PARTITION BY query_id, cand_label = q_label
+        |                            ORDER BY sim DESC, cand_id) AS rk
+        |  FROM s
+        |)
+        |SELECT q.query_id, CAST(q.q_label AS BIGINT) AS label,
+        |       pos.cand_id AS pos_id, pos.sim AS pos_sim,
+        |       neg.cand_id AS neg_id, neg.sim AS neg_sim,
+        |       round(pos.sim - neg.sim, 6) AS margin
+        |FROM q
+        |LEFT JOIN (SELECT * FROM p WHERE is_pos AND rk = 1) pos ON pos.query_id = q.query_id
+        |LEFT JOIN (SELECT * FROM p WHERE NOT is_pos AND rk = 1) neg ON neg.query_id = q.query_id
+        |ORDER BY q.query_id""".stripMargin
   )
+
+  /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct
+    * (term, doc) postings on the 2^16-doc roaring-container grid with
+    * chunk-local delta gaps and run starts.
+    */
+  private def postingsCte: String =
+    """WITH p AS (SELECT DISTINCT w, doc_id FROM (
+      |       SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |       FROM documents WHERE text IS NOT NULL)
+      |     WHERE length(w) > 0),
+      |c AS (SELECT w, doc_id // 65536 AS chunk, doc_id % 65536 AS local FROM p),
+      |g AS (SELECT w, chunk, local,
+      |             local - coalesce(lag(local) OVER (PARTITION BY w, chunk ORDER BY local), -1) AS gap,
+      |             CASE WHEN lag(local) OVER (PARTITION BY w, chunk ORDER BY local) IS NULL
+      |                    OR local - lag(local) OVER (PARTITION BY w, chunk ORDER BY local) <> 1
+      |                  THEN 1 ELSE 0 END AS run_start
+      |      FROM c)""".stripMargin
 
   /** Decontamination width sweep: one generated CTE chain per shingle
     * width (the WordShingles list-comprehension mirror), each counting

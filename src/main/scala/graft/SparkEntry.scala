@@ -7,7 +7,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{EsmTokenizer, TextFunctions}
-import graft.operators.{AsOfJoin, Cooccurrence, CorpusStats, Curation, Dedup, EventWindows, GraphMetrics, NaiveBayes, RangeJoin, Similarity, SnapshotDiff}
+import graft.operators.{AsOfJoin, Cooccurrence, CorpusStats, Curation, Dedup, EventWindows, GraphMetrics, Indexing, NaiveBayes, RangeJoin, Similarity, SnapshotDiff}
+import graft.plans.JaroWinkler
 import graft.ops.{ClassWeights, LabelEncode, Stats, StratifiedSplit}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -5788,6 +5789,58 @@ object SparkEntry {
           expr("cum_cents div n_cust").as("ltv_cents"))
         .orderBy("cohort_month", "age")
     }),
+
+    // record linkage by Jaro-Winkler: the same cheap-block/expensive-verify
+    // shape as q226, but scored with the native codegen JaroWinkler
+    // expression (bit-identical to the oracle's jaro_winkler_similarity —
+    // operation order pinned in plans/JaroWinkler.scala, so round(6) never
+    // sits on a rounding boundary); blocks are (brand, type) — Σblock²
+    // candidates, never n² — and identical names are excluded so the
+    // readout is the near-miss tier edit distance misses
+    "q310_jaro_winkler" -> ((s, dir) => {
+      val b = Tables.part(s, dir).select(
+        col("p_partkey").as("k"), col("p_brand"), col("p_type"), col("p_name"))
+      val lhs = b.select(col("k").as("part_a"), col("p_brand").as("brand"),
+        col("p_type").as("ptype"), col("p_name").as("name_a"))
+      val rhs = b.select(col("k").as("part_b"), col("p_brand").as("brand_b"),
+        col("p_type").as("ptype_b"), col("p_name").as("name_b"))
+      lhs.join(rhs, col("brand") === col("brand_b") && col("ptype") === col("ptype_b")
+          && col("part_a") < col("part_b") && col("name_a") =!= col("name_b"))
+        .select(col("part_a"), col("part_b"), col("brand"),
+          round(JaroWinkler(col("name_a"), col("name_b")), 6).as("jw_r6"))
+        .filter(col("jw_r6") >= 0.88)
+        .orderBy(col("jw_r6").desc, col("part_a"), col("part_b")).limit(25)
+    }),
+
+    // inverted-index size planning: distinct postings split into 2^16-doc
+    // chunks (operators/Indexing.scala — no window partition ever exceeds
+    // 65,536 rows regardless of term frequency), chunk-local delta gaps,
+    // LEB128 varint width by threshold CASE; per-term compressed size +
+    // bytes/posting, top-20 heaviest terms
+    "q311_postings_size" -> ((s, dir) =>
+      Indexing.postingsChunks(Tables.documents(s, dir), "doc_id", "text")
+        .withColumn("vb", Indexing.vbyteBytes("gap"))
+        .groupBy(col("w").as("term"))
+        .agg(count(lit(1)).as("df"),
+          countDistinct(col("chunk")).as("n_chunks"),
+          sum(col("vb")).as("vbyte_bytes"))
+        .withColumn("bytes_per_posting_ppm", expr("vbyte_bytes * 1000000 div df"))
+        .orderBy(col("vbyte_bytes").desc, col("term")).limit(20)),
+
+    // roaring-container choice census over the same chunk grid: per
+    // (term, chunk) the cost model picks array (2B/posting) vs run
+    // (2+4B/run) vs bitmap (fixed 8192B); the census totals each
+    // container's postings and bytes with the saving vs all-array
+    "q312_bitmap_containers" -> ((s, dir) =>
+      Indexing.containerCensus(Tables.documents(s, dir), "doc_id", "text")),
+
+    // hard-example mining for contrastive training: per query the best
+    // same-label positive and best different-label negative from ONE
+    // corpus scan (two conditional struct-argmax aggregations — nothing
+    // sorts |corpus|·|queries| rows), margin < 0 flags label noise
+    "q313_hard_negatives" -> ((s, dir) =>
+      Similarity.hardExamples(Tables.embeddings(s, dir), "vec_id", "embedding",
+        "label", nQueries = 8)),
 
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {

@@ -69,6 +69,46 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Hard-example mining for contrastive training: for each query vector
+    * (`id < nQueries`), the most-similar SAME-label candidate (the
+    * positive) and the most-similar DIFFERENT-label candidate (the hard
+    * negative), plus the margin between them — negative margins flag label
+    * noise or impossible anchors before a training run wastes epochs on
+    * them.
+    *
+    * One corpus scan against the bounded broadcast query set; both argmaxes
+    * are conditional `max(struct)` aggregations (ties → lowest candidate id
+    * on the rounded similarity), so nothing ever sorts |corpus|·|queries|
+    * rows and the shuffle carries one row per (query, side).
+    */
+  def hardExamples(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      labelCol: String,
+      nQueries: Int): DataFrame = {
+    val v = withNorm(emb, embCol)
+      .select(col(idCol).as("cand_id"), col(labelCol).as("cand_label"),
+        col("emb_d"), col("nrm"))
+    val q = withNorm(emb, embCol)
+      .filter(col(idCol) < nQueries)
+      .select(col(idCol).as("query_id"), col(labelCol).as("q_label"),
+        col("emb_d").as("qv"), col("nrm").as("qn"))
+    val best = struct(col("sim"), (-col("cand_id")).as("neg"), col("cand_id").as("cid"))
+    v.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("qn"), col("emb_d"), col("nrm")))
+      .groupBy("query_id")
+      .agg(
+        first(col("q_label")).as("label"),
+        max(when(col("cand_label") === col("q_label"), best)).as("bp"),
+        max(when(col("cand_label") =!= col("q_label"), best)).as("bn"))
+      .select(col("query_id"), col("label").cast("long").as("label"),
+        col("bp.cid").as("pos_id"), col("bp.sim").as("pos_sim"),
+        col("bn.cid").as("neg_id"), col("bn.sim").as("neg_sim"),
+        round(col("bp.sim") - col("bn.sim"), 6).as("margin"))
+      .orderBy("query_id")
+  }
+
   /** Assign every vector to its max-cosine centroid (vectors `id <
     * nCentroids` are the deterministic centroids). One broadcast of the
     * centroid set; ties broken by centroid id on the rounded similarity.

@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vecDotFunction)
     ext.injectFunction(GraftExtensions.simHashFunction)
     ext.injectFunction(GraftExtensions.minHashFunction)
+    ext.injectFunction(GraftExtensions.jaroWinklerFunction)
   }
 }
 
@@ -103,6 +104,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[MinHashExpr].getName, "graft_minhash"),
     minHashBuilder)
 
+  private val jaroWinklerBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => JaroWinkler(a, b)
+    case other =>
+      throw new IllegalArgumentException(
+        s"graft_jaro_winkler expects 2 arguments, got ${other.size}")
+  }
+
+  val jaroWinklerFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+    jaroWinklerBuilder)
+
   /** Imperative registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -117,5 +130,7 @@ object GraftExtensions {
       "graft_simhash", simHashBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", minHashBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaro_winkler", jaroWinklerBuilder, "built-in")
   }
 }

@@ -206,4 +206,30 @@ class SimilaritySpec extends AnyFunSuite {
       .select("vec_id").as[Long].head()
     assert(mmr === bf)
   }
+
+  test("hardExamples: positive is best same-label, negative best other-label, margin signed") {
+    // label 0: vecs 0,1 (near-parallel); label 1: vecs 2,3
+    val lab = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(0.0f, 1.0f), 1), (3L, Seq(-1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardExamples(lab, "vec_id", "embedding", "label", nQueries = 1)
+      .select("query_id", "label", "pos_id", "neg_id", "margin")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got.length === 1)
+    val (q, l, pos, neg, margin) = got.head
+    assert((q, l, pos, neg) === (0L, 0L, 1L, 2L)) // neg ties (0.0 > -1.0): vec 2 wins
+    assert(margin > 0.99 && margin < 1.0)
+  }
+
+  test("hardExamples: a query whose label has no second member yields null positive") {
+    val lab = Seq(
+      (0L, Seq(1.0f, 0.0f), 7), (1L, Seq(0.9f, 0.1f), 0), (2L, Seq(0.0f, 1.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val row = Similarity.hardExamples(lab, "vec_id", "embedding", "label", nQueries = 1)
+      .collect()(0)
+    assert(row.isNullAt(row.fieldIndex("pos_id")))
+    assert(row.getLong(row.fieldIndex("neg_id")) === 1L) // best other-label
+    assert(row.isNullAt(row.fieldIndex("margin")))
+  }
 }
