@@ -6066,7 +6066,115 @@ object OracleSql {
         |FROM q
         |LEFT JOIN (SELECT * FROM p WHERE is_pos AND rk = 1) pos ON pos.query_id = q.query_id
         |LEFT JOIN (SELECT * FROM p WHERE NOT is_pos AND rk = 1) neg ON neg.query_id = q.query_id
-        |ORDER BY q.query_id""".stripMargin
+        |ORDER BY q.query_id""".stripMargin,
+
+    "q314_cuped" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate < TIMESTAMP '1998-01-01' AS pre,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |cust AS (SELECT o_custkey,
+        |                CAST(sum(CASE WHEN pre THEN v ELSE 0 END) AS BIGINT) AS x,
+        |                CAST(sum(CASE WHEN NOT pre THEN v ELSE 0 END) AS BIGINT) AS y
+        |         FROM o GROUP BY 1),
+        |g AS (SELECT x, y,
+        |             CAST(concat('0x', substr(md5('cuped#' || CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT) % 2 AS grp
+        |      FROM cust),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+        |             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n_t,
+        |             CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n_c,
+        |             CAST(sum(CASE WHEN grp = 1 THEN x ELSE 0 END) AS HUGEINT) AS sx_t,
+        |             CAST(sum(CASE WHEN grp = 0 THEN x ELSE 0 END) AS HUGEINT) AS sx_c,
+        |             CAST(sum(CASE WHEN grp = 1 THEN y ELSE 0 END) AS HUGEINT) AS sy_t,
+        |             CAST(sum(CASE WHEN grp = 0 THEN y ELSE 0 END) AS HUGEINT) AS sy_c
+        |      FROM g),
+        |d AS (SELECT *, n*sxy - sx*sy AS cov, n*sxx - sx*sx AS varx,
+        |             n*syy - sy*sy AS vary FROM m),
+        |t AS (SELECT *, cov * 1000000 // varx AS theta_ppm, sx // n AS mx FROM d),
+        |a AS (SELECT *,
+        |             sy_t // n_t - theta_ppm * (sx_t // n_t - mx) // 1000000 AS adj_t,
+        |             sy_c // n_c - theta_ppm * (sx_c // n_c - mx) // 1000000 AS adj_c
+        |      FROM t)
+        |SELECT CAST(n_t AS BIGINT) AS n_treat, CAST(n_c AS BIGINT) AS n_ctrl,
+        |       CAST(theta_ppm AS BIGINT) AS theta_ppm,
+        |       CAST(sy_t // n_t AS BIGINT) AS mean_treat_cents,
+        |       CAST(sy_c // n_c AS BIGINT) AS mean_ctrl_cents,
+        |       CAST(sy_t // n_t - sy_c // n_c AS BIGINT) AS raw_lift_cents,
+        |       CAST(adj_t - adj_c AS BIGINT) AS adj_lift_cents,
+        |       CAST((cov // 1000000000000) * (cov // 1000000000000) * 1000000
+        |            // ((varx // 1000000000000) * (vary // 1000000000000)) AS BIGINT)
+        |         AS var_reduction_ppm
+        |FROM a""".stripMargin,
+
+    "q315_isotonic_calibration" ->
+      s"""WITH $qualityCte,
+        |nn AS (SELECT doc_id, text, quality FROM qs WHERE text IS NOT NULL),
+        |dups AS (SELECT text, CAST(count(*) AS BIGINT) AS n_copies FROM nn GROUP BY 1),
+        |jj AS (
+        |  SELECT least(CAST(floor(nn.quality * 10) AS BIGINT), 9) AS decile,
+        |         CASE WHEN d.n_copies > 1 THEN 1 ELSE 0 END AS is_dup
+        |  FROM nn JOIN dups d USING (text)
+        |),
+        |bins AS (SELECT decile, CAST(count(*) AS BIGINT) AS w,
+        |                CAST(sum(is_dup) AS BIGINT) AS sdup FROM jj GROUP BY 1),
+        |pre AS (SELECT decile, w, sdup,
+        |               CAST(sum(w) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+        |               CAST(sum(sdup) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+        |        FROM bins),
+        |iv AS (SELECT l.decile AS j, r.decile AS k,
+        |              (r.cs - (l.cs - l.sdup)) * 1000000 // (r.cw - (l.cw - l.w)) AS avg_ppm
+        |       FROM pre l, pre r WHERE l.decile <= r.decile),
+        |tri AS (SELECT j, avg_ppm, unnest(range(j, k + 1)) AS i FROM iv),
+        |mn AS (SELECT i, j, min(avg_ppm) AS mn FROM tri GROUP BY 1, 2),
+        |iso AS (SELECT i, CAST(max(mn) AS BIGINT) AS iso_rate_ppm FROM mn GROUP BY 1)
+        |SELECT b.decile, b.w AS n_docs,
+        |       CAST(b.sdup * 1000000 // b.w AS BIGINT) AS raw_rate_ppm,
+        |       iso.iso_rate_ppm
+        |FROM bins b JOIN iso ON iso.i = b.decile ORDER BY b.decile""".stripMargin,
+
+    "q316_jl_distortion" ->
+      """WITH signs AS (
+        |  SELECT i, j, CASE WHEN CAST(concat('0x', substr(md5('jl#' || CAST(i AS VARCHAR) || '#' || CAST(j AS VARCHAR)), 1, 12)) AS BIGINT) % 2 = 0
+        |               THEN 1 ELSE -1 END AS sgn
+        |  FROM (SELECT x // 16 AS i, x % 16 AS j FROM range(1024) t(x))
+        |),
+        |comps AS (
+        |  SELECT vec_id, u.i,
+        |         CAST(round(CAST(embedding[u.i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS x6
+        |  FROM embeddings, (SELECT unnest(range(0, 64)) AS i) u
+        |),
+        |proj AS (SELECT vec_id, j, CAST(sum(x6 * sgn) AS BIGINT) AS p
+        |         FROM comps JOIN signs USING (i) GROUP BY 1, 2),
+        |pq AS (SELECT vec_id AS query_id, j, p AS q6 FROM proj WHERE vec_id < 8),
+        |pr AS (SELECT pq.query_id, proj.vec_id AS cand_id,
+        |              CAST(sum(pq.q6 * proj.p) AS BIGINT) AS dotp,
+        |              CAST(sum(pq.q6 * pq.q6) AS BIGINT) AS nq2,
+        |              CAST(sum(proj.p * proj.p) AS BIGINT) AS nc2
+        |       FROM proj JOIN pq USING (j) WHERE proj.vec_id <> pq.query_id
+        |       GROUP BY 1, 2),
+        |cp AS (SELECT query_id, cand_id,
+        |              round(CAST(dotp AS DOUBLE) /
+        |                    (sqrt(CAST(nq2 AS DOUBLE)) * sqrt(CAST(nc2 AS DOUBLE))), 6) AS cos_proj
+        |       FROM pr),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |             sqrt(list_sum(list_transform(range(1, len(e)+1), i -> e[i]*e[i]))) AS nrm
+        |      FROM v),
+        |q AS (SELECT vec_id AS query_id, e AS qv, nrm AS qn FROM n WHERE vec_id < 8),
+        |ex AS (
+        |  SELECT q.query_id, n.vec_id AS cand_id,
+        |         round(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*n.e[i])) / (q.qn * n.nrm), 6) AS cos_exact
+        |  FROM q, n WHERE n.vec_id <> q.query_id
+        |),
+        |e AS (SELECT cp.query_id,
+        |             abs(CAST(round((cp.cos_proj - ex.cos_exact) * 1000000) AS BIGINT)) AS err_ppm
+        |      FROM cp JOIN ex ON ex.query_id = cp.query_id AND ex.cand_id = cp.cand_id)
+        |SELECT query_id, CAST(count(*) AS BIGINT) AS n_cands,
+        |       CAST(sum(err_ppm) // count(*) AS BIGINT) AS mean_err_ppm,
+        |       CAST(max(err_ppm) AS BIGINT) AS max_err_ppm
+        |FROM e GROUP BY 1 ORDER BY query_id""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

@@ -5842,6 +5842,138 @@ object SparkEntry {
       Similarity.hardExamples(Tables.embeddings(s, dir), "vec_id", "embedding",
         "label", nQueries = 8)),
 
+    // CUPED variance reduction: pre-period customer revenue as the control
+    // covariate for the post-period A/B readout (deterministic md5 arms) —
+    // θ from pooled exact integer moments (decimal38 covariance numerators,
+    // the q54 discipline), adjusted means via floored integer steps both
+    // engines replay bit-for-bit, ρ² on 1e-12-scaled numerators. ONE scan
+    // of orders → one customer aggregate → one 1-row moment aggregate.
+    "q314_cuped" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_custkey"),
+        (col("o_orderdate") < lit("1998-01-01")).as("pre"),
+        centsOf(col("o_totalprice")).as("v"))
+      val cust = o.groupBy("o_custkey")
+        .agg(sum(when(col("pre"), col("v")).otherwise(0L)).as("x"),
+          sum(when(!col("pre"), col("v")).otherwise(0L)).as("y"))
+        .withColumn("grp",
+          Dedup.md5Long(concat(lit("cuped#"), col("o_custkey").cast("string")), 12) % 2)
+      val xd = col("x").cast(dec38)
+      val yd = col("y").cast(dec38)
+      cust.agg(
+        count(lit(1)).cast(dec38).as("n"),
+        sum(xd).as("sx"), sum(yd).as("sy"),
+        sum(xd * yd).as("sxy"), sum(xd * xd).as("sxx"), sum(yd * yd).as("syy"),
+        count(when(col("grp") === 1, lit(1))).cast(dec38).as("n_t"),
+        count(when(col("grp") === 0, lit(1))).cast(dec38).as("n_c"),
+        sum(when(col("grp") === 1, xd).otherwise(lit(0).cast(dec38))).as("sx_t"),
+        sum(when(col("grp") === 0, xd).otherwise(lit(0).cast(dec38))).as("sx_c"),
+        sum(when(col("grp") === 1, yd).otherwise(lit(0).cast(dec38))).as("sy_t"),
+        sum(when(col("grp") === 0, yd).otherwise(lit(0).cast(dec38))).as("sy_c"))
+        .withColumn("cov", expr("n * sxy - sx * sy"))
+        .withColumn("varx", expr("n * sxx - sx * sx"))
+        .withColumn("vary", expr("n * syy - sy * sy"))
+        .withColumn("theta_ppm", expr("cov * 1000000 div varx"))
+        .withColumn("mx", expr("sx div n"))
+        .withColumn("adj_t",
+          expr("sy_t div n_t - theta_ppm * (sx_t div n_t - mx) div 1000000"))
+        .withColumn("adj_c",
+          expr("sy_c div n_c - theta_ppm * (sx_c div n_c - mx) div 1000000"))
+        .select(
+          col("n_t").cast("long").as("n_treat"),
+          col("n_c").cast("long").as("n_ctrl"),
+          col("theta_ppm").cast("long").as("theta_ppm"),
+          expr("CAST(sy_t div n_t AS BIGINT)").as("mean_treat_cents"),
+          expr("CAST(sy_c div n_c AS BIGINT)").as("mean_ctrl_cents"),
+          expr("CAST(sy_t div n_t - sy_c div n_c AS BIGINT)").as("raw_lift_cents"),
+          expr("CAST(adj_t - adj_c AS BIGINT)").as("adj_lift_cents"),
+          // Spark `div` yields LONG — re-widen to decimal before squaring
+          // (the 1e-12-scaled numerators multiply to ~10^28)
+          expr("CAST(CAST(cov div 1000000000000 AS DECIMAL(38,0))" +
+            " * CAST(cov div 1000000000000 AS DECIMAL(38,0)) * 1000000" +
+            " div (CAST(varx div 1000000000000 AS DECIMAL(38,0))" +
+            " * CAST(vary div 1000000000000 AS DECIMAL(38,0))) AS BIGINT)")
+            .as("var_reduction_ppm"))
+    }),
+
+    // isotonic (PAV) calibration of the q293 quality-vs-dup-rate curve via
+    // the minimax identity iso(i) = max_{j≤i} min_{k≥i} avg(y[j..k]):
+    // everything after the one corpus aggregation runs on the ≤10-row
+    // decile grid (prefix sums → ≤55 intervals → ≤1000 triples), and the
+    // interval averages are floored ppm integers — floor commutes with
+    // min/max, so the result is EXACTLY the floor of the true PAV fit
+    "q315_isotonic_calibration" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val dups = d.groupBy("text").agg(count(lit(1)).as("n_copies"))
+      val bins = TextFunctions.withQualityColumns(d, "text")
+        .select(col("text"), least(floor(col("quality") * 10), lit(9L)).as("decile"))
+        .join(dups, Seq("text"))
+        .withColumn("is_dup", when(col("n_copies") > 1, 1L).otherwise(0L))
+        .groupBy("decile").agg(count(lit(1)).as("w"), sum(col("is_dup")).as("sdup"))
+      val win = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+      val pre = bins
+        .withColumn("cw", sum(col("w")).over(win))
+        .withColumn("cs", sum(col("sdup")).over(win))
+      val lj = pre.select(col("decile").as("j"),
+        (col("cw") - col("w")).as("w0"), (col("cs") - col("sdup")).as("s0"))
+      val rk = pre.select(col("decile").as("k"), col("cw").as("w1"), col("cs").as("s1"))
+      val iv = lj.crossJoin(rk).filter(col("j") <= col("k"))
+        .select(col("j"), col("k"),
+          expr("(s1 - s0) * 1000000 div (w1 - w0)").as("avg_ppm"))
+      val iso = iv
+        .select(col("j"), col("avg_ppm"), explode(expr("sequence(j, k)")).as("i"))
+        .groupBy("i", "j").agg(min(col("avg_ppm")).as("mn"))
+        .groupBy("i").agg(max(col("mn")).as("iso_rate_ppm"))
+      bins.join(iso, col("decile") === col("i"))
+        .select(col("decile"), col("w").as("n_docs"),
+          expr("sdup * 1000000 div w").as("raw_rate_ppm"),
+          col("iso_rate_ppm"))
+        .orderBy("decile")
+    }),
+
+    // Johnson-Lindenstrauss distortion audit: 64→16 random ±1 projection
+    // (signs from md5 parity — portable, no RNG), projections as EXACT
+    // integer sums over 1e-6-quantized components (commutative — no float
+    // association order anywhere before the final rounded division); per
+    // query the cosine error of the projected space vs the exact cosine,
+    // the readout that calibrates how small a sketch the ANN tier can use
+    "q316_jl_distortion" -> ((s, dir) => {
+      val signs = s.range(64L * 16L).select(
+        expr("id div 16").as("i"), expr("id % 16").as("j"))
+        .withColumn("sgn",
+          when(Dedup.md5Long(concat(lit("jl#"), col("i"), lit("#"), col("j")), 12) % 2 === 0,
+            1L).otherwise(-1L))
+      val comps = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i").cast("long").as("i"),
+          expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").as("x6"))
+      val proj = comps.join(broadcast(signs), Seq("i"))
+        .groupBy("vec_id", "j").agg(sum(col("x6") * col("sgn")).as("p"))
+      val pq = proj.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("j"), col("p").as("q6"))
+      val pairs = proj.join(pq, Seq("j"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id").as("cand_id"))
+        .agg(sum(col("q6") * col("p")).as("dotp"),
+          sum(col("q6") * col("q6")).as("nq2"), sum(col("p") * col("p")).as("nc2"))
+        .withColumn("cos_proj",
+          round(col("dotp").cast("double") / (sqrt(col("nq2").cast("double")) *
+            sqrt(col("nc2").cast("double"))), 6))
+      val emb = Similarity.withNorm(Tables.embeddings(s, dir), "embedding")
+      val qv = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("emb_d").as("qv"), col("nrm").as("qn"))
+      val exact = emb.join(broadcast(qv), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("cand_id"),
+          Similarity.cosine(col("qv"), col("qn"), col("emb_d"), col("nrm")).as("cos_exact"))
+      pairs.join(exact, Seq("query_id", "cand_id"))
+        .withColumn("err_ppm",
+          expr("abs(CAST(round((cos_proj - cos_exact) * 1000000) AS BIGINT))"))
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_cands"),
+          expr("sum(err_ppm) div count(1)").as("mean_err_ppm"),
+          max(col("err_ppm")).as("max_err_ppm"))
+        .orderBy("query_id")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

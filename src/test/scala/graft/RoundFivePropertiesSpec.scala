@@ -554,4 +554,74 @@ class RoundFivePropertiesSpec extends AnyFunSuite {
     assert(toks.zip(toks.tail).forall { case (a, b) => b <= a }, toks.toSeq.toString)
     assert(docs.last > 0L, "decontam stage emptied the corpus")
   }
+
+  test("q314: CUPED arms are non-empty, ρ² ∈ [0, 1e6], lift columns consistent") {
+    val r = rows("q314_cuped")(0)
+    assert(r.getAs[Long]("n_treat") > 0 && r.getAs[Long]("n_ctrl") > 0)
+    val vr = r.getAs[Long]("var_reduction_ppm")
+    assert(vr >= 0L && vr <= 1000000L, s"rho2 ppm $vr outside [0, 1e6]")
+    assert(r.getAs[Long]("raw_lift_cents") ===
+      r.getAs[Long]("mean_treat_cents") - r.getAs[Long]("mean_ctrl_cents"))
+    // both arms' md5 assignment should split ~50/50 (sf0.001 has only
+    // ~150 customers → binomial σ ≈ 4%, so allow 5σ)
+    val (nt, nc) = (r.getAs[Long]("n_treat"), r.getAs[Long]("n_ctrl"))
+    assert(math.abs(nt - nc).toDouble / (nt + nc) < 0.2, s"arm skew: $nt vs $nc")
+  }
+
+  test("q315: the isotonic fit is non-decreasing and bounded by the raw range") {
+    val r = rows("q315_isotonic_calibration")
+    val iso = r.map(_.getAs[Long]("iso_rate_ppm"))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b }, iso.toSeq.toString)
+    val raw = r.map(_.getAs[Long]("raw_rate_ppm"))
+    assert(iso.min >= raw.min - 1 && iso.max <= raw.max + 1,
+      s"iso ${iso.toSeq} escapes raw range ${raw.toSeq}")
+  }
+
+  test("q315: the minimax identity equals sequential pool-adjacent-violators") {
+    // the identity q315 relies on — iso(i) = max_{j≤i} min_{k≥i} avg(j..k)
+    // — checked against a literal PAV merge loop on deterministic data
+    // (exact rational comparisons via cross-multiplication)
+    val cases = Seq(
+      Seq((5L, 3L), (2L, 1L), (3L, 3L), (4L, 0L), (6L, 6L)), // (weight, sum)
+      Seq((1L, 1L), (1L, 0L), (1L, 1L), (1L, 0L), (1L, 1L), (1L, 0L)),
+      Seq((10L, 0L), (10L, 5L), (10L, 10L)), // already isotonic
+      Seq((10L, 10L), (10L, 5L), (10L, 0L))) // fully reversed → one pool
+    for (bins <- cases) {
+      val n = bins.length
+      def avg(j: Int, k: Int): (Long, Long) = { // (num, den) of pooled mean
+        val s = bins.slice(j, k + 1)
+        (s.map(_._2).sum, s.map(_._1).sum)
+      }
+      val minimax = (0 until n).map { i =>
+        (0 to i).map { j =>
+          (i until n).map(k => avg(j, k))
+            .minBy { case (s, w) => BigDecimal(s) / BigDecimal(w) }
+        }.maxBy { case (s, w) => BigDecimal(s) / BigDecimal(w) }
+      }.map { case (s, w) => s * 1000000L / w }
+      // sequential PAV: merge while the previous block's mean exceeds this one's
+      case class B(w: Long, s: Long, span: Int)
+      val pav = bins.foldLeft(List.empty[B]) { case (acc, (w, s)) =>
+        var cur = B(w, s, 1)
+        var rest = acc
+        while (rest.nonEmpty && rest.head.s * cur.w >= cur.s * rest.head.w) {
+          cur = B(rest.head.w + cur.w, rest.head.s + cur.s, rest.head.span + cur.span)
+          rest = rest.tail
+        }
+        cur :: rest
+      }.reverse.flatMap(b => List.fill(b.span)(b.s * 1000000L / b.w))
+      assert(minimax === pav, s"bins $bins: minimax $minimax vs PAV $pav")
+    }
+  }
+
+  test("q316: JL distortion is small but non-zero, and every query is audited") {
+    val r = rows("q316_jl_distortion")
+    assert(r.length === 8)
+    r.foreach { row =>
+      val mean = row.getAs[Long]("mean_err_ppm")
+      val max  = row.getAs[Long]("max_err_ppm")
+      assert(mean <= max)
+      // 16 of 64 dims: typical cosine error well under 0.5, never ≥ 2.0
+      assert(max < 2000000L, s"query ${row.getAs[Long]("query_id")}: max err $max")
+    }
+  }
 }
