@@ -6174,7 +6174,99 @@ object OracleSql {
         |SELECT query_id, CAST(count(*) AS BIGINT) AS n_cands,
         |       CAST(sum(err_ppm) // count(*) AS BIGINT) AS mean_err_ppm,
         |       CAST(max(err_ppm) AS BIGINT) AS max_err_ppm
-        |FROM e GROUP BY 1 ORDER BY query_id""".stripMargin
+        |FROM e GROUP BY 1 ORDER BY query_id""".stripMargin,
+
+    "q317_corpus_diversity" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |hh AS (SELECT doc_id,
+        |              CAST(concat('0x', substr(md5('div#' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+        |       FROM base),
+        |bk AS (SELECT doc_id, h, h % 256 AS bucket FROM hh),
+        |lo AS (SELECT bucket, doc_id AS doc_a FROM (
+        |         SELECT bucket, doc_id,
+        |                row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS rk
+        |         FROM bk) WHERE rk = 1),
+        |hi AS (SELECT bucket, doc_id AS doc_b FROM (
+        |         SELECT bucket, doc_id,
+        |                row_number() OVER (PARTITION BY bucket ORDER BY h DESC, doc_id DESC) AS rk
+        |         FROM bk) WHERE rk = 1),
+        |pairs AS (SELECT lo.bucket, doc_a, doc_b FROM lo JOIN hi USING (bucket)
+        |          WHERE doc_a <> doc_b),
+        |w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM base),
+        |g AS (SELECT DISTINCT doc_id, s FROM (
+        |        SELECT doc_id, unnest(
+        |          CASE WHEN len(ws) >= 3
+        |               THEN [concat_ws(' ', ws[i+1], ws[i+2], ws[i+3]) for i in range(0, len(ws)-2)]
+        |               ELSE [text] END) AS s
+        |        FROM w)),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM g GROUP BY 1),
+        |inter AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS inter
+        |          FROM pairs p JOIN g ga ON ga.doc_id = p.doc_a
+        |                       JOIN g gb ON gb.doc_id = p.doc_b AND gb.s = ga.s
+        |          GROUP BY 1, 2),
+        |jj AS (SELECT coalesce(i.inter, 0) * 1000000
+        |                // (sa.sz + sb.sz - coalesce(i.inter, 0)) AS jac_ppm
+        |       FROM pairs p
+        |       LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        |       JOIN sizes sa ON sa.doc_id = p.doc_a
+        |       JOIN sizes sb ON sb.doc_id = p.doc_b)
+        |SELECT CAST(CASE WHEN jac_ppm = 0 THEN 0
+        |                 WHEN jac_ppm < 1000 THEN 1 WHEN jac_ppm < 10000 THEN 2
+        |                 WHEN jac_ppm < 100000 THEN 3 ELSE 4 END AS BIGINT) AS band,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(jac_ppm) // count(*) AS BIGINT) AS mean_jac_ppm
+        |FROM jj GROUP BY 1 ORDER BY band""".stripMargin,
+
+    "q318_negative_sampling" ->
+      """WITH words AS (SELECT unnest(string_split(text, ' ')) AS w
+        |               FROM documents WHERE text IS NOT NULL),
+        |cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM words
+        |        WHERE length(w) > 0 GROUP BY 1),
+        |vocab AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 256),
+        |wt AS (SELECT w, c, CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1000) AS BIGINT) AS wt
+        |       FROM vocab),
+        |rg AS (SELECT w, c, wt,
+        |              CAST(coalesce(sum(wt) OVER (ORDER BY c DESC, w
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS lo
+        |       FROM wt),
+        |tt AS (SELECT CAST(sum(wt) AS BIGINT) AS t FROM wt),
+        |dr AS (SELECT x AS draw,
+        |              CAST(concat('0x', substr(md5('ns#' || CAST(x AS VARCHAR)), 1, 12)) AS BIGINT) % tt.t AS u
+        |       FROM range(1000) r(x), tt),
+        |hits AS (SELECT rg.w, rg.wt, CAST(count(*) AS BIGINT) AS drawn
+        |         FROM dr JOIN rg ON dr.u >= rg.lo AND dr.u < rg.lo + rg.wt
+        |         GROUP BY 1, 2)
+        |SELECT h.w AS token,
+        |       CAST(h.wt * 1000000 // tt.t AS BIGINT) AS expected_ppm,
+        |       h.drawn,
+        |       CAST(h.drawn * 1000 AS BIGINT) AS drawn_ppm,
+        |       CAST(abs(h.drawn * 1000 - h.wt * 1000000 // tt.t) AS BIGINT) AS gap_ppm
+        |FROM hits h, tt ORDER BY drawn DESC, token LIMIT 20""".stripMargin,
+
+    "q319_index_formats" ->
+      s"""$postingsCte,
+        |vb AS (SELECT 'vbyte' AS format,
+        |              CAST(sum(CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+        |                            WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+        |                            ELSE 5 END) AS BIGINT) AS total_bytes,
+        |              CAST(count(*) AS BIGINT) AS n_postings
+        |       FROM g),
+        |efc AS (SELECT w, chunk, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1, 2),
+        |ef AS (SELECT 'elias_fano' AS format,
+        |              CAST(sum((n * (length(bin(65536 // n)) - 1 + 2) + 7) // 8) AS BIGINT)
+        |                AS total_bytes,
+        |              CAST(sum(n) AS BIGINT) AS n_postings
+        |       FROM efc),
+        |rc AS (SELECT w, chunk, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(run_start) AS BIGINT) AS n_runs FROM g GROUP BY 1, 2),
+        |ro AS (SELECT 'roaring' AS format,
+        |              CAST(sum(least(n*2, n_runs*4+2, 8192)) AS BIGINT) AS total_bytes,
+        |              CAST(sum(n) AS BIGINT) AS n_postings
+        |       FROM rc),
+        |u AS (SELECT * FROM vb UNION ALL SELECT * FROM ef UNION ALL SELECT * FROM ro)
+        |SELECT format, total_bytes, n_postings,
+        |       CAST(total_bytes * 1000000 // n_postings AS BIGINT) AS bytes_per_posting_ppm
+        |FROM u ORDER BY format""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

@@ -5974,6 +5974,105 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // corpus diversity panel (Self-BLEU-style): 256 deterministic doc pairs
+    // (min-h vs max-h per md5 bucket — two aggregates, no global sort, no
+    // all-pairs), exact 3-gram Jaccard per pair, banded histogram — the
+    // generated-data diversity readout dedup can't see (it only flags the
+    // near-1 tail; this measures the whole distribution)
+    "q317_corpus_diversity" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val pairs = base
+        .select(col("doc_id"),
+          Dedup.md5Long(concat(lit("div#"), col("doc_id").cast("string")), 12).as("h"))
+        .withColumn("bucket", col("h") % 256)
+        .groupBy("bucket")
+        .agg(min(struct(col("h"), col("doc_id"))).as("lo"),
+          max(struct(col("h"), col("doc_id"))).as("hi"))
+        .select(col("bucket"), col("lo.doc_id").as("doc_a"), col("hi.doc_id").as("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b"))
+      val grams = Dedup.shingleRows(base, "doc_id", "text", 3).distinct()
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = pairs
+        .join(grams.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+        .join(grams.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      pairs
+        .join(inter, Seq("doc_a", "doc_b"), "left").na.fill(0L, Seq("inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+        .withColumn("jac_ppm", expr("inter * 1000000 div (sza + szb - inter)"))
+        // log-decade bands: a diverse corpus piles up near zero, so linear
+        // 0.1-wide bands would collapse to one row
+        .withColumn("band", expr("CASE WHEN jac_ppm = 0 THEN 0" +
+          " WHEN jac_ppm < 1000 THEN 1 WHEN jac_ppm < 10000 THEN 2" +
+          " WHEN jac_ppm < 100000 THEN 3 ELSE 4 END").cast("long"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(jac_ppm) div count(1)").as("mean_jac_ppm"))
+        .orderBy("band")
+    }),
+
+    // word2vec-style negative-sampling table: sqrt-smoothed unigram weights
+    // (sqrt IS correctly-rounded IEEE — pow(c, 0.75) is not portable across
+    // libms) over the bounded top-256 vocab, cumulative ranges from one
+    // dictionary-only window, then 1000 deterministic md5 draws resolved by
+    // range containment against the broadcast table — the sampling-table
+    // build + goodness-of-fit check a training loader runs before an epoch
+    "q318_negative_sampling" -> ((s, dir) => {
+      val vocab = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ", -1)).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(256)
+        .withColumn("wt", floor(sqrt(col("c").cast("double")) * 1000).cast("long"))
+      val win = Window.orderBy(col("c").desc, col("w"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranges = vocab.withColumn("lo", coalesce(sum(col("wt")).over(win), lit(0L)))
+      val tot = ranges.agg(sum(col("wt")).as("t"))
+      val draws = s.range(1000).select(col("id").as("draw"))
+        .crossJoin(broadcast(tot))
+        .withColumn("u",
+          Dedup.md5Long(concat(lit("ns#"), col("draw").cast("string")), 12) % col("t"))
+      draws
+        .join(broadcast(ranges),
+          col("u") >= col("lo") && col("u") < col("lo") + col("wt"))
+        .groupBy("w", "wt").agg(count(lit(1)).as("drawn"))
+        .crossJoin(broadcast(tot))
+        .select(col("w").as("token"),
+          expr("wt * 1000000 div t").as("expected_ppm"),
+          col("drawn"),
+          (col("drawn") * 1000).as("drawn_ppm"))
+        .withColumn("gap_ppm", abs(col("drawn_ppm") - col("expected_ppm")))
+        .orderBy(col("drawn").desc, col("token")).limit(20)
+    }),
+
+    // index-format bake-off over the same chunked postings: varint deltas
+    // (q311) vs an Elias-Fano cost model (l = floor(log2(65536 div n)) low
+    // bits per posting + 2 upper bits, via the exact bin-length trick) vs
+    // the roaring container census (q312) — the one-page answer to "which
+    // postings encoding do we ship"
+    "q319_index_formats" -> ((s, dir) => {
+      val chunks = Indexing.postingsChunks(Tables.documents(s, dir), "doc_id", "text")
+        .localCheckpoint(false)
+      val vb = chunks.withColumn("vbb", Indexing.vbyteBytes("gap"))
+        .agg(sum(col("vbb")).as("total_bytes"), count(lit(1)).as("n_postings"))
+        .select(lit("vbyte").as("format"), col("total_bytes"), col("n_postings"))
+      val ef = chunks.groupBy("w", "chunk").agg(count(lit(1)).as("n"))
+        .withColumn("l", (length(expr("bin(65536 div n)")) - 1).cast("long"))
+        .withColumn("bytes", expr("(n * (l + 2) + 7) div 8"))
+        .agg(sum(col("bytes")).as("total_bytes"), sum(col("n")).as("n_postings"))
+        .select(lit("elias_fano").as("format"), col("total_bytes"), col("n_postings"))
+      val roaring = chunks
+        .groupBy("w", "chunk")
+        .agg(count(lit(1)).as("n"), sum(col("run_start")).as("n_runs"))
+        .withColumn("bytes", least(col("n") * 2, col("n_runs") * 4 + 2, lit(8192L)))
+        .agg(sum(col("bytes")).as("total_bytes"), sum(col("n")).as("n_postings"))
+        .select(lit("roaring").as("format"), col("total_bytes"), col("n_postings"))
+      vb.unionAll(ef).unionAll(roaring)
+        .withColumn("bytes_per_posting_ppm", expr("total_bytes * 1000000 div n_postings"))
+        .orderBy("format")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -613,6 +613,32 @@ class RoundFivePropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("q317: every md5 bucket contributes at most one pair, bands partition pairs") {
+    val r = rows("q317_corpus_diversity")
+    val n = r.map(_.getAs[Long]("n_pairs")).sum
+    assert(n >= 1L && n <= 256L, s"$n pairs from 256 buckets")
+    r.foreach { row =>
+      val (b, m) = (row.getAs[Long]("band"), row.getAs[Long]("mean_jac_ppm"))
+      val hi = Seq(0L, 1000L, 10000L, 100000L, 1000000L)(b.toInt)
+      assert(m <= hi, s"band $b mean $m above band ceiling $hi")
+    }
+  }
+
+  test("q318: the sampling table's expected shares are positive and draws conserved") {
+    val r = rows("q318_negative_sampling")
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Long]("expected_ppm") > 0))
+    assert(r.forall(_.getAs[Long]("drawn") > 0))
+    assert(r.map(_.getAs[Long]("drawn")).sum <= 1000L) // top-20 of the 1000 draws
+  }
+
+  test("q319: all index formats account for the same postings") {
+    val r = rows("q319_index_formats")
+    assert(r.length === 3)
+    assert(r.map(_.getAs[Long]("n_postings")).distinct.length === 1)
+    assert(r.forall(_.getAs[Long]("total_bytes") > 0))
+  }
+
   test("q316: JL distortion is small but non-zero, and every query is audited") {
     val r = rows("q316_jl_distortion")
     assert(r.length === 8)
