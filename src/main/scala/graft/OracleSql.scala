@@ -6266,7 +6266,91 @@ object OracleSql {
         |u AS (SELECT * FROM vb UNION ALL SELECT * FROM ef UNION ALL SELECT * FROM ro)
         |SELECT format, total_bytes, n_postings,
         |       CAST(total_bytes * 1000000 // n_postings AS BIGINT) AS bytes_per_posting_ppm
-        |FROM u ORDER BY format""".stripMargin
+        |FROM u ORDER BY format""".stripMargin,
+
+    "q320_damerau_linkage" ->
+      """WITH b AS (SELECT p_partkey AS k, p_brand, p_type, p_name FROM part)
+        |SELECT a.k AS part_a, c.k AS part_b, a.p_brand AS brand,
+        |       CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS lev,
+        |       CAST(damerau_levenshtein(a.p_name, c.p_name) AS BIGINT) AS dl
+        |FROM b a JOIN b c ON a.p_brand = c.p_brand AND a.p_type = c.p_type AND a.k < c.k
+        |WHERE damerau_levenshtein(a.p_name, c.p_name) < levenshtein(a.p_name, c.p_name)
+        |ORDER BY dl, part_a, part_b LIMIT 25""".stripMargin,
+
+    "q321_cluster_sharding" ->
+      s"""WITH RECURSIVE ${minhashChain("documents")},
+        |$ccLabelChain,
+        |base AS (SELECT d.doc_id, coalesce(lbl.l, d.doc_id) AS cluster
+        |         FROM documents d LEFT JOIN lbl ON lbl.u = d.doc_id),
+        |asg AS (SELECT doc_id, cluster,
+        |               CAST(concat('0x', substr(md5('shard#' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 8 AS shard_doc,
+        |               CAST(concat('0x', substr(md5('shard#' || CAST(cluster AS VARCHAR)), 1, 12)) AS BIGINT) % 8 AS shard_cl
+        |        FROM base),
+        |ca AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz,
+        |              CAST(count(DISTINCT shard_doc) AS BIGINT) AS ns FROM asg GROUP BY 1),
+        |cb AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz,
+        |              CAST(count(DISTINCT shard_cl) AS BIGINT) AS ns FROM asg GROUP BY 1),
+        |sa AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+        |              CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
+        |              CAST(sum(CASE WHEN sz > 1 AND ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_split
+        |       FROM ca),
+        |sb AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+        |              CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
+        |              CAST(sum(CASE WHEN sz > 1 AND ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_split
+        |       FROM cb),
+        |la AS (SELECT CAST(max(n) AS BIGINT) AS max_n, CAST(sum(n) AS BIGINT) AS t
+        |       FROM (SELECT count(*) AS n FROM asg GROUP BY shard_doc)),
+        |lb AS (SELECT CAST(max(n) AS BIGINT) AS max_n, CAST(sum(n) AS BIGINT) AS t
+        |       FROM (SELECT count(*) AS n FROM asg GROUP BY shard_cl)),
+        |u AS (
+        |  SELECT 'by_doc' AS policy, sa.n_clusters, sa.n_multi, sa.n_split,
+        |         CAST(CASE WHEN sa.n_multi > 0 THEN sa.n_split * 1000000 // sa.n_multi
+        |              ELSE 0 END AS BIGINT) AS split_ppm,
+        |         CAST(la.max_n * 8 * 1000000 // la.t AS BIGINT) AS max_shard_ppm
+        |  FROM sa, la
+        |  UNION ALL
+        |  SELECT 'by_cluster', sb.n_clusters, sb.n_multi, sb.n_split,
+        |         CAST(CASE WHEN sb.n_multi > 0 THEN sb.n_split * 1000000 // sb.n_multi
+        |              ELSE 0 END AS BIGINT),
+        |         CAST(lb.max_n * 8 * 1000000 // lb.t AS BIGINT)
+        |  FROM sb, lb)
+        |SELECT * FROM u ORDER BY policy""".stripMargin,
+
+    "q322_mrr_eval" ->
+      s"""$ivfAssignCte,
+        |q AS (SELECT vec_id AS query_id, e AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+        |es AS (
+        |  SELECT q.query_id, n.vec_id AS neighbor_id,
+        |         round(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*n.e[i])) / (q.qn * n.nrm), 6) AS sim
+        |  FROM q, n WHERE n.vec_id <> q.query_id
+        |), er AS (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk_exact
+        |  FROM es
+        |), ex AS (SELECT query_id, neighbor_id FROM er WHERE rk_exact <= 10),
+        |qb AS (SELECT vec_id AS query_id, e AS qv, nrm AS qn, bucket FROM asg WHERE vec_id < 5),
+        |as2 AS (
+        |  SELECT qb.query_id, asg.vec_id AS neighbor_id,
+        |         round(list_sum(list_transform(range(1, len(qb.qv)+1), i -> qb.qv[i]*asg.e[i])) / (qb.qn * asg.nrm), 6) AS sim
+        |  FROM qb JOIN asg USING (bucket) WHERE asg.vec_id <> qb.query_id
+        |), ar AS (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS p
+        |  FROM as2
+        |), ap AS (SELECT query_id, neighbor_id, p FROM ar WHERE p <= 10),
+        |h AS (SELECT ap.query_id, ap.p,
+        |             CAST(row_number() OVER (PARTITION BY ap.query_id ORDER BY ap.p) AS BIGINT) AS rhit
+        |      FROM ap JOIN ex USING (query_id, neighbor_id)),
+        |agg AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |               CAST(min(p) AS BIGINT) AS first_hit_rank,
+        |               CAST(sum(rhit * 1000000000 // p) AS BIGINT) AS sum_prec_nano
+        |        FROM h GROUP BY 1)
+        |SELECT q.query_id, coalesce(agg.n_hits, 0) AS n_hits, agg.first_hit_rank,
+        |       CASE WHEN agg.first_hit_rank IS NOT NULL
+        |            THEN CAST(1000000000 // agg.first_hit_rank AS BIGINT) END AS mrr_nano,
+        |       CAST(coalesce(agg.sum_prec_nano // 10, 0) AS BIGINT) AS ap_nano
+        |FROM (SELECT DISTINCT query_id FROM ex) q
+        |LEFT JOIN agg USING (query_id) ORDER BY q.query_id""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

@@ -6073,6 +6073,95 @@ object SparkEntry {
         .orderBy("format")
     }),
 
+    // transposition-aware linkage: pairs where UNRESTRICTED Damerau-
+    // Levenshtein (native codegen expression, Lowrance-Wagner — pure
+    // integer DP, exact by construction) beats plain Levenshtein — the
+    // swapped-token near-misses an edit-distance-only matcher under-ranks;
+    // same (brand, type) blocking as q226/q310
+    "q320_damerau_linkage" -> ((s, dir) => {
+      val b = Tables.part(s, dir).select(
+        col("p_partkey").as("k"), col("p_brand"), col("p_type"), col("p_name"))
+      val lhs = b.select(col("k").as("part_a"), col("p_brand").as("brand"),
+        col("p_type").as("ptype"), col("p_name").as("name_a"))
+      val rhs = b.select(col("k").as("part_b"), col("p_brand").as("brand_b"),
+        col("p_type").as("ptype_b"), col("p_name").as("name_b"))
+      lhs.join(rhs, col("brand") === col("brand_b") && col("ptype") === col("ptype_b")
+          && col("part_a") < col("part_b"))
+        .select(col("part_a"), col("part_b"), col("brand"),
+          levenshtein(col("name_a"), col("name_b")).cast("long").as("lev"),
+          graft.plans.DamerauLevenshtein(col("name_a"), col("name_b")).as("dl"))
+        .filter(col("dl") < col("lev"))
+        .orderBy(col("dl"), col("part_a"), col("part_b")).limit(25)
+    }),
+
+    // cluster-coherent sharding audit: if training shards are assigned by
+    // doc id, a near-dup cluster straddles shards (duplicate gradient
+    // steps land in different workers' epochs — the dedup guarantee
+    // silently weakens); assigning by CLUSTER id keeps components whole
+    // with near-identical balance. One row per policy, split rate + the
+    // max-shard load in ppm of ideal.
+    "q321_cluster_sharding" -> ((s, dir) => {
+      val lbl = graft.operators.ConnectedComponents.labels(
+        Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text"),
+        "doc_a", "doc_b")
+      val asg = Tables.documents(s, dir).select(col("doc_id"))
+        .join(lbl, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster"))
+        .withColumn("shard_doc",
+          Dedup.md5Long(concat(lit("shard#"), col("doc_id").cast("string")), 12) % 8)
+        .withColumn("shard_cl",
+          Dedup.md5Long(concat(lit("shard#"), col("cluster").cast("string")), 12) % 8)
+        .localCheckpoint(false)
+      def policy(name: String, shardCol: String): DataFrame = {
+        val byCl = asg.groupBy("cluster")
+          .agg(count(lit(1)).as("sz"), countDistinct(col(shardCol)).as("ns"))
+        val stats = byCl.agg(
+          count(lit(1)).as("n_clusters"),
+          sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_multi"),
+          sum(when(col("sz") > 1 && col("ns") > 1, 1L).otherwise(0L)).as("n_split"))
+        val load = asg.groupBy(shardCol).agg(count(lit(1)).as("n"))
+          .agg(max(col("n")).as("max_n"), sum(col("n")).as("t"))
+        stats.crossJoin(load)
+          .select(lit(name).as("policy"), col("n_clusters"), col("n_multi"),
+            col("n_split"),
+            expr("CASE WHEN n_multi > 0 THEN n_split * 1000000 div n_multi ELSE 0 END")
+              .as("split_ppm"),
+            expr("max_n * 8 * 1000000 div t").as("max_shard_ppm"))
+      }
+      policy("by_doc", "shard_doc").unionAll(policy("by_cluster", "shard_cl"))
+        .orderBy("policy")
+    }),
+
+    // MRR + MAP@10 of the IVF index against brute-force relevance — the
+    // remaining classic retrieval metrics next to q294's nDCG and q307's
+    // RBO: reciprocal first-hit rank and mean precision-at-hit, both as
+    // exact integer rationals on the bounded |Q|·k hit relation
+    "q322_mrr_eval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", nQueries = 5, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
+          nCentroids = 8, nQueries = 5, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rk").as("p"))
+      val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
+        .withColumn("rhit", row_number().over(
+          Window.partitionBy("query_id").orderBy("p")).cast("long"))
+      val agg = hits.groupBy("query_id").agg(
+        count(lit(1)).as("n_hits"),
+        min(col("p")).as("first_hit_rank"),
+        sum(expr("rhit * 1000000000 div p")).as("sum_prec_nano"))
+      exact.select("query_id").distinct()
+        .join(agg, Seq("query_id"), "left")
+        .na.fill(0L, Seq("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          col("first_hit_rank"),
+          expr("CASE WHEN first_hit_rank IS NOT NULL" +
+            " THEN 1000000000 div first_hit_rank END").as("mrr_nano"),
+          expr("CASE WHEN sum_prec_nano IS NOT NULL" +
+            " THEN sum_prec_nano div 10 ELSE 0 END").as("ap_nano"))
+        .orderBy("query_id")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

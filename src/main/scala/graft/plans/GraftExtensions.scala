@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simHashFunction)
     ext.injectFunction(GraftExtensions.minHashFunction)
     ext.injectFunction(GraftExtensions.jaroWinklerFunction)
+    ext.injectFunction(GraftExtensions.damerauFunction)
   }
 }
 
@@ -116,6 +117,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
     jaroWinklerBuilder)
 
+  private val damerauBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => DamerauLevenshtein(a, b)
+    case other =>
+      throw new IllegalArgumentException(
+        s"graft_damerau_levenshtein expects 2 arguments, got ${other.size}")
+  }
+
+  val damerauFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_damerau_levenshtein"),
+    new ExpressionInfo(classOf[DamerauLevenshtein].getName, "graft_damerau_levenshtein"),
+    damerauBuilder)
+
   /** Imperative registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -132,5 +145,7 @@ object GraftExtensions {
       "graft_minhash", minHashBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaro_winkler", jaroWinklerBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_damerau_levenshtein", damerauBuilder, "built-in")
   }
 }

@@ -639,6 +639,37 @@ class RoundFivePropertiesSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Long]("total_bytes") > 0))
   }
 
+  test("q320: Damerau never exceeds Levenshtein, and the readout is the strict-win set") {
+    rows("q320_damerau_linkage").foreach { r =>
+      assert(r.getAs[Long]("dl") < r.getAs[Long]("lev"),
+        s"pair ${r.getAs[Long]("part_a")}-${r.getAs[Long]("part_b")} not a strict win")
+    }
+  }
+
+  test("q321: sharding by cluster id never splits a component; by doc id may") {
+    val r = rows("q321_cluster_sharding").map(x => x.getAs[String]("policy") -> x).toMap
+    assert(r("by_cluster").getAs[Long]("n_split") === 0L)
+    assert(r("by_cluster").getAs[Long]("split_ppm") === 0L)
+    // both policies see the same cluster census
+    assert(r("by_doc").getAs[Long]("n_clusters") === r("by_cluster").getAs[Long]("n_clusters"))
+    assert(r("by_doc").getAs[Long]("n_multi") === r("by_cluster").getAs[Long]("n_multi"))
+    // load stays within 8× of ideal (one shard holding everything)
+    assert(r("by_cluster").getAs[Long]("max_shard_ppm") <= 8000000L)
+  }
+
+  test("q322: MRR and AP stay within their rank bounds") {
+    rows("q322_mrr_eval").foreach { r =>
+      val nHits = r.getAs[Long]("n_hits")
+      assert(nHits >= 0L && nHits <= 10L)
+      if (!r.isNullAt(r.fieldIndex("mrr_nano"))) {
+        val mrr = r.getAs[Long]("mrr_nano")
+        assert(mrr >= 100000000L && mrr <= 1000000000L) // 1/10 .. 1/1
+      }
+      val ap = r.getAs[Long]("ap_nano")
+      assert(ap >= 0L && ap <= 1000000000L)
+    }
+  }
+
   test("q316: JL distortion is small but non-zero, and every query is audited") {
     val r = rows("q316_jl_distortion")
     assert(r.length === 8)
