@@ -6350,7 +6350,88 @@ object OracleSql {
         |            THEN CAST(1000000000 // agg.first_hit_rank AS BIGINT) END AS mrr_nano,
         |       CAST(coalesce(agg.sum_prec_nano // 10, 0) AS BIGINT) AS ap_nano
         |FROM (SELECT DISTINCT query_id FROM ex) q
-        |LEFT JOIN agg USING (query_id) ORDER BY q.query_id""".stripMargin
+        |LEFT JOIN agg USING (query_id) ORDER BY q.query_id""".stripMargin,
+
+    "q323_trending_terms" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |bd AS (SELECT max(doc_id) AS mx FROM base),
+        |words AS (SELECT b.doc_id * 2 <= bd.mx AS first_half,
+        |                 unnest(string_split(b.text, ' ')) AS w
+        |          FROM base b, bd),
+        |cnt AS (SELECT w,
+        |               CAST(sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |               CAST(sum(CASE WHEN NOT first_half THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |        FROM words WHERE length(w) > 0 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb,
+        |               CAST(count(*) AS BIGINT) AS v FROM cnt),
+        |sc AS (SELECT w, ca, cb,
+        |              CAST(CAST(cb + 1 AS HUGEINT) * (ta + v) * 1000000
+        |                   // (CAST(ca + 1 AS HUGEINT) * (tb + v)) AS BIGINT) AS score_ppm
+        |       FROM cnt, tot),
+        |u AS (
+        |  SELECT 'rising' AS direction, * FROM
+        |    (SELECT * FROM sc ORDER BY score_ppm DESC, w LIMIT 10)
+        |  UNION ALL
+        |  SELECT 'falling', * FROM
+        |    (SELECT * FROM sc ORDER BY score_ppm ASC, w LIMIT 10))
+        |SELECT direction, w AS term, ca, cb, score_ppm
+        |FROM u ORDER BY direction, score_ppm, term""".stripMargin,
+
+    "q324_event_debounce" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events
+        |), f AS (
+        |  SELECT event_type,
+        |         CASE WHEN lag(us) OVER w IS NULL THEN TRUE
+        |              WHEN us - lag(us) OVER w >= 5000000 THEN TRUE
+        |              ELSE FALSE END AS kept
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY us, event_id)
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+        |         AS keep_ppm
+        |FROM f GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q325_pareto_layers" ->
+      """WITH p0 AS (
+        |  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+        |         CAST(p_size AS BIGINT) AS psize
+        |  FROM part
+        |), w1 AS (
+        |  SELECT *, max(psize) OVER (ORDER BY price_c
+        |              RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mxc,
+        |         max(psize) OVER (PARTITION BY price_c) AS mxs
+        |  FROM p0
+        |), f1 AS (SELECT p_partkey, price_c, psize,
+        |                 NOT (coalesce(mxc >= psize, FALSE) OR mxs > psize) AS onf FROM w1),
+        |p1 AS (SELECT p_partkey, price_c, psize FROM f1 WHERE NOT onf),
+        |w2 AS (
+        |  SELECT *, max(psize) OVER (ORDER BY price_c
+        |              RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mxc,
+        |         max(psize) OVER (PARTITION BY price_c) AS mxs
+        |  FROM p1
+        |), f2 AS (SELECT p_partkey, price_c, psize,
+        |                 NOT (coalesce(mxc >= psize, FALSE) OR mxs > psize) AS onf FROM w2),
+        |p2 AS (SELECT p_partkey, price_c, psize FROM f2 WHERE NOT onf),
+        |w3 AS (
+        |  SELECT *, max(psize) OVER (ORDER BY price_c
+        |              RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mxc,
+        |         max(psize) OVER (PARTITION BY price_c) AS mxs
+        |  FROM p2
+        |), f3 AS (SELECT p_partkey, price_c, psize,
+        |                 NOT (coalesce(mxc >= psize, FALSE) OR mxs > psize) AS onf FROM w3),
+        |u AS (
+        |  SELECT 1 AS layer, price_c, psize FROM f1 WHERE onf
+        |  UNION ALL SELECT 2, price_c, psize FROM f2 WHERE onf
+        |  UNION ALL SELECT 3, price_c, psize FROM f3 WHERE onf)
+        |SELECT CAST(layer AS BIGINT) AS layer, CAST(count(*) AS BIGINT) AS n_parts,
+        |       CAST(min(price_c) AS BIGINT) AS min_price_c,
+        |       CAST(max(psize) AS BIGINT) AS max_size
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

@@ -6162,6 +6162,87 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // trending terms between ingestion-order halves (heavy-change
+    // detection): per-term Laplace-smoothed share ratio second-half vs
+    // first-half in exact ppm (decimal38 cross-products — the counts
+    // alone overflow long beyond ~sf10), top-10 risers + fallers — the
+    // corpus-drift monitor next to q111's temporal JSD
+    "q323_trending_terms" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val bound = base.agg(max(col("doc_id")).as("mx"))
+      val counts = base.crossJoin(broadcast(bound))
+        .select((col("doc_id") * 2 <= col("mx")).as("first_half"),
+          explode(split(col("text"), " ", -1)).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(
+          sum(when(col("first_half"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("first_half"), 1L).otherwise(0L)).as("cb"))
+        .localCheckpoint(false)
+      val tot = counts.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"),
+        count(lit(1)).as("v"))
+      val scored = counts.crossJoin(broadcast(tot))
+        .withColumn("score_ppm",
+          expr("CAST((cb + 1) AS DECIMAL(38,0)) * (ta + v) * 1000000" +
+            " div (CAST((ca + 1) AS DECIMAL(38,0)) * (tb + v))"))
+      scored.orderBy(col("score_ppm").desc, col("w")).limit(10)
+        .withColumn("direction", lit("rising"))
+        .unionAll(scored.orderBy(col("score_ppm").asc, col("w")).limit(10)
+          .withColumn("direction", lit("falling")))
+        .select(col("direction"), col("w").as("term"), col("ca"), col("cb"),
+          col("score_ppm"))
+        .orderBy("direction", "score_ppm", "term")
+    }),
+
+    // event debouncing: suppress same-(user, type) events closer than 5 s
+    // to their predecessor — the stream-cleaning rule that kills double
+    // clicks and retry storms before aggregation; per-type keep rate.
+    // Same per-key lag window shape as q36's sessionize (skew-bounded by
+    // the (user, type) key)
+    "q324_event_debounce" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type").orderBy(col("us"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("kept", col("prev").isNull || col("us") - col("prev") >= 5000000L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("keep_ppm", expr("n_kept * 1000000 div n_events"))
+        .orderBy("event_type")
+    }),
+
+    // Pareto onion peeling: q213's frontier removed and recomputed 3
+    // times (bounded unrolled loop, each layer the same two-window
+    // dominance test — never the O(n²) anti-join); per-layer census.
+    // Layer depth is the "how many rounds of best-offers exist" readout
+    "q325_pareto_layers" -> ((s, dir) => {
+      def frontier(p: DataFrame): DataFrame = {
+        val wCheaper = Window.orderBy("price_c").rangeBetween(Window.unboundedPreceding, -1)
+        val wSame = Window.partitionBy("price_c")
+        p.withColumn("mx_cheaper", max(col("psize")).over(wCheaper))
+          .withColumn("mx_same", max(col("psize")).over(wSame))
+          .withColumn("on_front",
+            !(coalesce(col("mx_cheaper") >= col("psize"), lit(false))
+              || col("mx_same") > col("psize")))
+      }
+      var rest = Tables.part(s, dir).select(col("p_partkey"),
+        centsOf(col("p_retailprice")).as("price_c"),
+        col("p_size").cast("long").as("psize"))
+      var out: DataFrame = null
+      for (layer <- 1 to 3) {
+        val f = frontier(rest).localCheckpoint(false)
+        val front = f.filter(col("on_front"))
+          .select(lit(layer.toLong).as("layer"), col("p_partkey"),
+            col("price_c"), col("psize"))
+        out = if (out == null) front else out.unionAll(front)
+        rest = f.filter(!col("on_front")).select("p_partkey", "price_c", "psize")
+      }
+      out.groupBy("layer")
+        .agg(count(lit(1)).as("n_parts"), min(col("price_c")).as("min_price_c"),
+          max(col("psize")).as("max_size"))
+        .orderBy("layer")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -670,6 +670,32 @@ class RoundFivePropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("q323: trending panel is 10 risers + 10 fallers with opposite score sides") {
+    val r = rows("q323_trending_terms")
+    val byDir = r.groupBy(_.getAs[String]("direction"))
+    assert(byDir("rising").length === 10 && byDir("falling").length === 10)
+    val minRise = byDir("rising").map(_.getAs[Long]("score_ppm")).min
+    val maxFall = byDir("falling").map(_.getAs[Long]("score_ppm")).max
+    assert(maxFall <= minRise, s"falling max $maxFall above rising min $minRise")
+  }
+
+  test("q324: debounce keeps at least one event per non-empty type") {
+    rows("q324_event_debounce").foreach { r =>
+      val (n, k) = (r.getAs[Long]("n_events"), r.getAs[Long]("n_kept"))
+      assert(k >= 1L && k <= n)
+      assert(r.getAs[Long]("keep_ppm") === k * 1000000L / n)
+    }
+  }
+
+  test("q325: pareto layers are disjoint, exhaustive down to layer 3, and dominated in order") {
+    val r = rows("q325_pareto_layers").sortBy(_.getAs[Long]("layer"))
+    assert(r.map(_.getAs[Long]("layer")).toSeq === Seq(1L, 2L, 3L))
+    // each deeper layer's best size cannot beat the shallower frontier's
+    val maxSizes = r.map(_.getAs[Long]("max_size"))
+    assert(maxSizes.zip(maxSizes.tail).forall { case (a, b) => b <= a },
+      s"deeper layer dominates shallower: $maxSizes")
+  }
+
   test("q316: JL distortion is small but non-zero, and every query is audited") {
     val r = rows("q316_jl_distortion")
     assert(r.length === 8)
