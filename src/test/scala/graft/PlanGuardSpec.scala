@@ -84,7 +84,14 @@ class PlanGuardSpec extends AnyFunSuite {
     "q273_heavy_hitters",      // 1-row token-total aggregate bound
     "q274_quantized_recall",   // the query set (|Q| = nQueries, fixed)
     "q284_km_survival",        // 1-row corpus-horizon aggregate bound
-    "q285_decontam_sweep")     // 1-row train-count aggregate bound
+    "q285_decontam_sweep",     // 1-row train-count aggregate bound
+    "q313_hard_negatives",     // fixed nQueries-row broadcast query set
+    "q315_isotonic_calibration", // ≤10-row decile grid interval lattice
+    "q316_jl_distortion",      // bounded sign matrix + query-row broadcast
+    "q318_negative_sampling",  // 1-row corpus-total bounds (×2)
+    "q321_cluster_sharding",   // 1-row total-load aggregate bound
+    "q322_mrr_eval",           // fixed nQueries-row broadcast query set
+    "q323_trending_terms")     // 1-row max-id + corpus-total bounds
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
