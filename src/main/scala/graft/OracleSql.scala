@@ -6431,7 +6431,151 @@ object OracleSql {
         |SELECT CAST(layer AS BIGINT) AS layer, CAST(count(*) AS BIGINT) AS n_parts,
         |       CAST(min(price_c) AS BIGINT) AS min_price_c,
         |       CAST(max(psize) AS BIGINT) AS max_size
-        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q326_encoding_planner" ->
+      """WITH m AS (
+        |  SELECT l_orderkey, l_linenumber, 'returnflag' AS col_name, l_returnflag AS v FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'linestatus', l_linestatus FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'quantity',
+        |                   CAST(CAST(round(l_quantity, 0) AS BIGINT) AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+        |), g AS (SELECT *, l_orderkey // 4096 AS rg FROM m),
+        |r AS (
+        |  SELECT col_name, v,
+        |         CASE WHEN lag(v) OVER (PARTITION BY col_name, rg
+        |                ORDER BY l_orderkey, l_linenumber, v) IS DISTINCT FROM v
+        |              THEN 1 ELSE 0 END AS run_start
+        |  FROM g
+        |), agg AS (
+        |  SELECT col_name, CAST(count(*) AS BIGINT) AS n_values,
+        |         CAST(sum(run_start) AS BIGINT) AS n_runs,
+        |         CAST(sum(length(v)) AS BIGINT) AS plain_bytes
+        |  FROM r GROUP BY 1
+        |), d AS (
+        |  SELECT col_name, CAST(count(*) AS BIGINT) AS ndv,
+        |         CAST(sum(length(v)) AS BIGINT) AS dict_char_bytes
+        |  FROM (SELECT DISTINCT col_name, v FROM m) GROUP BY 1
+        |), j AS (
+        |  SELECT *, CAST(CASE WHEN ndv <= 2 THEN 1 WHEN ndv <= 4 THEN 2
+        |                      WHEN ndv <= 16 THEN 4 WHEN ndv <= 256 THEN 8
+        |                      WHEN ndv <= 65536 THEN 16 ELSE 32 END AS BIGINT) AS bit_width
+        |  FROM agg JOIN d USING (col_name)
+        |), k AS (
+        |  SELECT *, CAST(dict_char_bytes + (n_values * bit_width + 7) // 8 AS BIGINT) AS dict_bytes,
+        |         CAST(dict_char_bytes + n_runs * (4 + (bit_width + 7) // 8) AS BIGINT) AS rle_bytes
+        |  FROM j
+        |)
+        |SELECT col_name, n_values, ndv, n_runs, bit_width, plain_bytes, dict_bytes, rle_bytes,
+        |       CASE WHEN rle_bytes <= dict_bytes AND rle_bytes <= plain_bytes THEN 'rle'
+        |            WHEN dict_bytes <= plain_bytes THEN 'dict' ELSE 'plain' END AS chosen
+        |FROM k ORDER BY col_name""".stripMargin,
+
+    "q327_front_coding" ->
+      ("""WITH t AS (
+        |  SELECT DISTINCT c_custkey // 4096 AS rg, c_name AS term FROM customer
+        |), l AS (
+        |  SELECT rg, term, lag(term) OVER (PARTITION BY rg ORDER BY term) AS prev
+        |  FROM t
+        |), x AS (
+        |  SELECT rg, term,
+        |         CASE WHEN prev IS NULL THEN 0 ELSE greatest(""" +
+        (1 to 16).map(l =>
+          s"CASE WHEN substring(term, 1, $l) = substring(prev, 1, $l) THEN $l ELSE 0 END")
+          .mkString(", ") +
+        """) END AS lcp
+        |  FROM l
+        |), a AS (
+        |  SELECT rg, CAST(count(*) AS BIGINT) AS n_terms,
+        |         CAST(sum(length(term)) AS BIGINT) AS raw_bytes,
+        |         CAST(sum(lcp) AS BIGINT) AS saved_bytes
+        |  FROM x GROUP BY 1
+        |)
+        |SELECT CAST(rg AS BIGINT) AS rg, n_terms, raw_bytes, saved_bytes,
+        |       CAST(raw_bytes - saved_bytes + n_terms AS BIGINT) AS front_bytes,
+        |       CAST((saved_bytes - n_terms) * 1000000 // raw_bytes AS BIGINT) AS savings_ppm
+        |FROM a ORDER BY rg""").stripMargin,
+
+    "q328_red_specialists" ->
+      """WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+        |per AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CASE WHEN r.p_partkey IS NOT NULL
+        |                       THEN CAST(round(l_quantity, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS red_qty,
+        |         CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem LEFT JOIN red r ON l_partkey = r.p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1
+        |)
+        |SELECT s_name, n_name AS nation, red_qty, total_qty,
+        |       CAST(red_qty * 1000000 // total_qty AS BIGINT) AS red_share_ppm
+        |FROM per JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY red_share_ppm DESC, s_name LIMIT 10""".stripMargin,
+
+    "q329_bloom_sizing" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_keys
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT * FROM (VALUES (CAST(10000 AS BIGINT), CAST(9585058 AS BIGINT), CAST(7 AS BIGINT)),
+        |                            (1000, 14377588, 10),
+        |                            (100, 19170117, 13))
+        |      AS t(fpp_ppm, bits_per_key_ppm, k_hashes)),
+        |x AS (SELECT source, n_keys, fpp_ppm, bits_per_key_ppm, k_hashes,
+        |             CAST((n_keys * bits_per_key_ppm + 999999) // 1000000 AS BIGINT) AS m_bits
+        |      FROM s, t)
+        |SELECT source, n_keys, fpp_ppm, bits_per_key_ppm, k_hashes, m_bits,
+        |       CAST((m_bits + 7) // 8 AS BIGINT) AS m_bytes
+        |FROM x ORDER BY source, fpp_ppm""".stripMargin,
+
+    "q330_zonemap_power" ->
+      """WITH o AS (
+        |  SELECT o_orderkey // 4096 AS blk,
+        |         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS od,
+        |         o_custkey AS ck, o_orderkey AS ok
+        |  FROM orders
+        |), m AS (
+        |  SELECT blk, 'o_orderdate' AS col_name, od AS v FROM o
+        |  UNION ALL SELECT blk, 'o_custkey', ck FROM o
+        |  UNION ALL SELECT blk, 'o_orderkey', ok FROM o
+        |), b AS (
+        |  SELECT col_name, blk, min(v) AS mn, max(v) AS mx FROM m GROUP BY 1, 2
+        |), a AS (
+        |  SELECT col_name, CAST(count(*) AS BIGINT) AS n_blocks,
+        |         CAST(sum(mx - mn) AS BIGINT) AS sum_width,
+        |         CAST(max(mx) - min(mn) AS BIGINT) AS global_width
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT col_name, n_blocks, global_width,
+        |       CAST(sum_width * 1000000 // (n_blocks * global_width) AS BIGINT) AS avg_width_ppm,
+        |       CAST(1000000 - sum_width * 1000000 // (n_blocks * global_width) AS BIGINT)
+        |         AS pruning_power_ppm
+        |FROM a ORDER BY col_name""".stripMargin,
+
+    "q331_shuffle_planner" ->
+      """WITH m AS (
+        |  SELECT 68 + length(l_returnflag) + length(l_linestatus) AS rb, key_name, key_val
+        |  FROM lineitem, LATERAL (VALUES ('l_orderkey', l_orderkey),
+        |                                 ('l_partkey', l_partkey),
+        |                                 ('l_suppkey', l_suppkey)) AS k(key_name, key_val)
+        |), pk AS (
+        |  SELECT key_name, key_val, CAST(count(*) AS BIGINT) AS c, CAST(sum(rb) AS BIGINT) AS b
+        |  FROM m GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key_name
+        |              ORDER BY c DESC, key_val DESC) AS rn
+        |  FROM pk
+        |), a AS (
+        |  SELECT key_name, CAST(count(*) AS BIGINT) AS n_keys,
+        |         CAST(sum(c) AS BIGINT) AS n_rows, CAST(sum(b) AS BIGINT) AS est_bytes
+        |  FROM pk GROUP BY 1
+        |)
+        |SELECT a.key_name, a.n_keys, a.n_rows, a.est_bytes,
+        |       CAST((a.est_bytes + 67108863) // 67108864 AS BIGINT) AS parts_64mib,
+        |       r.key_val AS hot_key, r.c AS hot_rows,
+        |       CAST(r.c * 1000000 // a.n_rows AS BIGINT) AS hot_ppm,
+        |       r.c * ((a.est_bytes + 67108863) // 67108864) > a.n_rows AS skew_flag
+        |FROM a JOIN rk r ON a.key_name = r.key_name AND r.rn = 1
+        |ORDER BY a.key_name""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

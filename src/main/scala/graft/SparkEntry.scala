@@ -6243,6 +6243,186 @@ object SparkEntry {
         .orderBy("layer")
     }),
 
+    // storage-encoding planner: per column of lineitem in storage order
+    // ((l_orderkey, l_linenumber) within ~4k-order row groups — the
+    // parquet-page view), value runs, ndv, and exact byte estimates for
+    // plain vs dictionary vs RLE; the planner picks the cheapest. The melt
+    // is map-side (stack), windows are bounded by the row-group grid (no
+    // global sort), and the dictionary pass runs on the tiny distinct sets
+    "q326_encoding_planner" -> ((s, dir) => {
+      val melted = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        expr("stack(4," +
+          " 'returnflag', l_returnflag," +
+          " 'linestatus', l_linestatus," +
+          " 'quantity', CAST(CAST(round(l_quantity, 0) AS BIGINT) AS STRING)," +
+          " 'suppkey', CAST(l_suppkey AS STRING)) AS (col_name, v)"))
+        .withColumn("rg", expr("l_orderkey div 4096"))
+      // (l_orderkey, l_linenumber) is NOT unique in this synthetic lineitem
+      // — v as the final tie-break makes the storage order total per column
+      // (equal triples are interchangeable for run counting)
+      val w = Window.partitionBy("col_name", "rg")
+        .orderBy("l_orderkey", "l_linenumber", "v")
+      val runs = melted
+        .withColumn("run_start",
+          coalesce(lag(col("v"), 1).over(w) =!= col("v"), lit(true)))
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n_values"),
+          sum(when(col("run_start"), 1L).otherwise(0L)).as("n_runs"),
+          sum(length(col("v")).cast("long")).as("plain_bytes"))
+      val dict = melted.select("col_name", "v").distinct()
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("ndv"),
+          sum(length(col("v")).cast("long")).as("dict_char_bytes"))
+      runs.join(dict, Seq("col_name"))
+        .withColumn("bit_width", expr(
+          "CAST(CASE WHEN ndv <= 2 THEN 1 WHEN ndv <= 4 THEN 2" +
+            " WHEN ndv <= 16 THEN 4 WHEN ndv <= 256 THEN 8" +
+            " WHEN ndv <= 65536 THEN 16 ELSE 32 END AS BIGINT)"))
+        .withColumn("dict_bytes",
+          expr("dict_char_bytes + (n_values * bit_width + 7) div 8"))
+        .withColumn("rle_bytes",
+          expr("dict_char_bytes + n_runs * (4 + (bit_width + 7) div 8)"))
+        .withColumn("chosen", expr(
+          "CASE WHEN rle_bytes <= dict_bytes AND rle_bytes <= plain_bytes" +
+            " THEN 'rle' WHEN dict_bytes <= plain_bytes THEN 'dict'" +
+            " ELSE 'plain' END"))
+        .select("col_name", "n_values", "ndv", "n_runs", "bit_width",
+          "plain_bytes", "dict_bytes", "rle_bytes", "chosen")
+        .orderBy("col_name")
+    }),
+
+    // front-coded dictionary audit: the customer-name dictionary built per
+    // 4096-key row group (parquet-style block-local dictionaries — every
+    // window partition is bounded, no global sort), LCP vs the previous
+    // sorted term via a 16-way unrolled prefix compare (pure codegen CASE
+    // chain, no UDF), per-block raw vs front-coded bytes (1-byte shared-
+    // prefix length per entry). Zero-padded id-style names are the classic
+    // front-coding win; savings_ppm quantifies it exactly
+    "q327_front_coding" -> ((s, dir) => {
+      val terms = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name").as("term"))
+        .withColumn("rg", expr("c_custkey div 4096"))
+        .select("rg", "term").distinct()
+      val w = Window.partitionBy("rg").orderBy("term")
+      val lcpExpr = (1 to 16).map(l =>
+        s"CASE WHEN substring(term, 1, $l) = substring(prev, 1, $l)" +
+          s" THEN ${l}L ELSE 0L END").mkString("greatest(", ", ", ")")
+      terms.withColumn("prev", lag(col("term"), 1).over(w))
+        .withColumn("lcp",
+          when(col("prev").isNull, 0L).otherwise(expr(lcpExpr)))
+        .groupBy("rg")
+        .agg(count(lit(1)).as("n_terms"),
+          sum(length(col("term")).cast("long")).as("raw_bytes"),
+          sum(col("lcp")).as("saved_bytes"))
+        .withColumn("front_bytes", expr("raw_bytes - saved_bytes + n_terms"))
+        .withColumn("savings_ppm",
+          expr("(saved_bytes - n_terms) * 1000000 div raw_bytes"))
+        .orderBy("rg")
+    }),
+
+    // TPC-H Q20 shape on this schema (no partsupp): suppliers whose 1997
+    // shipments of red-named parts dominate their total 1997 volume —
+    // filtered part dictionary broadcast-joined as a flag (the semi-join
+    // side), ONE conditional aggregate per supplier, bounded dim joins for
+    // the readout; top-10 red-specialists by exact ppm share
+    "q328_red_specialists" -> ((s, dir) => {
+      val red = Tables.part(s, dir)
+        .filter(col("p_name").startsWith("red"))
+        .select(col("p_partkey").as("l_partkey"), lit(true).as("is_red"))
+      val qty = expr("CAST(round(l_quantity, 0) AS BIGINT)")
+      val per = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01")
+          && col("l_shipdate") < lit("1998-01-01"))
+        .join(broadcast(red), Seq("l_partkey"), "left")
+        .groupBy("l_suppkey")
+        .agg(sum(when(col("is_red"), qty).otherwise(0L)).as("red_qty"),
+          sum(qty).as("total_qty"))
+        .withColumn("red_share_ppm", expr("red_qty * 1000000 div total_qty"))
+      per.join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name").as("nation"),
+          col("red_qty"), col("total_qty"), col("red_share_ppm"))
+        .orderBy(col("red_share_ppm").desc, col("s_name")).limit(10)
+    }),
+
+    // Bloom-filter sizing planner for per-source membership filters: the
+    // optimal bits/key is the CONSTANT ln(1/p)/ln²2 per fpp tier —
+    // precomputed as scaled-ppm integer literals so both engines do pure
+    // integer arithmetic (no runtime ln/pow), k = round(ln(1/p)/ln 2).
+    // One tiny groupBy over the source dictionary, map-side tier fan-out
+    "q329_bloom_sizing" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("source").agg(count(lit(1)).as("n_keys"))
+        .select(col("source"), col("n_keys"),
+          expr("stack(3," +
+            " 10000L,  9585058L,  7L," +
+            "  1000L, 14377588L, 10L," +
+            "   100L, 19170117L, 13L) AS (fpp_ppm, bits_per_key_ppm, k_hashes)"))
+        .withColumn("m_bits", expr("(n_keys * bits_per_key_ppm + 999999) div 1000000"))
+        .withColumn("m_bytes", expr("(m_bits + 7) div 8"))
+        .orderBy("source", "fpp_ppm")),
+
+    // zone-map pruning-power audit: per candidate layout column of orders,
+    // 4096-key blocks in storage order carry [min, max]; pruning power =
+    // 1 − avg block width / global width (ppm) — the fraction of the
+    // domain a point predicate skips via min-max stats alone. Dates become
+    // epoch-day integers; two tiny groupBys, no windows. o_orderkey (the
+    // layout key — contiguous block ranges) is the built-in positive
+    // control (~1.0); this synthetic data stores dates and custkeys in
+    // random order, so the audit must report BOTH as unclustered (~0)
+    "q330_zonemap_power" -> ((s, dir) => {
+      val melted = Tables.orders(s, dir).select(
+        expr("o_orderkey div 4096").as("blk"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("od"),
+        col("o_custkey").as("ck"), col("o_orderkey").as("ok"))
+        .select(col("blk"),
+          expr("stack(3, 'o_orderdate', od, 'o_custkey', ck," +
+            " 'o_orderkey', ok) AS (col_name, v)"))
+      melted.groupBy("col_name", "blk")
+        .agg(min("v").as("mn"), max("v").as("mx"))
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(col("mx") - col("mn")).as("sum_width"),
+          min(col("mn")).as("gmin"), max(col("mx")).as("gmax"))
+        .withColumn("global_width", expr("gmax - gmin"))
+        .withColumn("avg_width_ppm",
+          expr("sum_width * 1000000 div (n_blocks * global_width)"))
+        .withColumn("pruning_power_ppm", expr("1000000 - avg_width_ppm"))
+        .select("col_name", "n_blocks", "global_width", "avg_width_ppm",
+          "pruning_power_ppm")
+        .orderBy("col_name")
+    }),
+
+    // shuffle-partition planner: per candidate join key of lineitem, the
+    // estimated shuffled bytes (fixed-width column model + measured string
+    // lengths), the 64 MiB-target partition count, and the hottest key —
+    // the skew flag is exactly the AQE skew criterion (hot key bigger than
+    // the average partition). Two aggregations over map-side melted
+    // (key, value) pairs; the hot key falls out of one struct-argmax
+    "q331_shuffle_planner" -> ((s, dir) => {
+      val melted = Tables.lineitem(s, dir).select(
+        expr("68L + length(l_returnflag) + length(l_linestatus)").as("rb"),
+        expr("stack(3, 'l_orderkey', l_orderkey, 'l_partkey', l_partkey," +
+          " 'l_suppkey', l_suppkey) AS (key_name, key_val)"))
+      melted.groupBy("key_name", "key_val")
+        .agg(count(lit(1)).as("c"), sum(col("rb")).as("b"))
+        .groupBy("key_name")
+        .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+          sum(col("b")).as("est_bytes"),
+          max(struct(col("c"), col("key_val"))).as("top"))
+        .select(col("key_name"), col("n_keys"), col("n_rows"),
+          col("est_bytes"),
+          expr("(est_bytes + 67108863) div 67108864").as("parts_64mib"),
+          col("top.key_val").as("hot_key"), col("top.c").as("hot_rows"),
+          expr("top.c * 1000000 div n_rows").as("hot_ppm"),
+          expr("top.c * ((est_bytes + 67108863) div 67108864) > n_rows")
+            .as("skew_flag"))
+        .orderBy("key_name")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
