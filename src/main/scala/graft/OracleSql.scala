@@ -6575,7 +6575,91 @@ object OracleSql {
         |       CAST(r.c * 1000000 // a.n_rows AS BIGINT) AS hot_ppm,
         |       r.c * ((a.est_bytes + 67108863) // 67108864) > a.n_rows AS skew_flag
         |FROM a JOIN rk r ON a.key_name = r.key_name AND r.rn = 1
-        |ORDER BY a.key_name""".stripMargin
+        |ORDER BY a.key_name""".stripMargin,
+
+    "q332_pq_codebook" ->
+      """WITH x AS (
+        |  SELECT vec_id, unnest(list_transform(range(1, len(embedding)+1),
+        |           i -> struct_pack(pos := i - 1, val := embedding[i]))) AS u
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id, u.pos // 8 AS sub, u.pos AS pos,
+        |         CAST(round(CAST(u.val AS DOUBLE) * 1000000) AS BIGINT) AS qv
+        |  FROM x
+        |), c AS (SELECT vec_id AS cid, sub, pos, qv AS qc FROM q WHERE vec_id < 16),
+        |d AS (
+        |  SELECT q.vec_id, q.sub, c.cid,
+        |         CAST(sum((q.qv - c.qc) * (q.qv - c.qc)) AS BIGINT) AS d2
+        |  FROM q JOIN c ON q.sub = c.sub AND q.pos = c.pos
+        |  GROUP BY 1, 2, 3
+        |), b AS (
+        |  SELECT vec_id, sub, cid, d2,
+        |         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+        |  FROM d
+        |)
+        |SELECT CAST(sub AS BIGINT) AS subspace, CAST(count(*) AS BIGINT) AS n_vectors,
+        |       CAST(count(DISTINCT cid) AS BIGINT) AS codes_used,
+        |       CAST(sum(d2) AS BIGINT) AS sum_sqerr_q,
+        |       CAST(sum(d2) // count(*) AS BIGINT) AS avg_sqerr_q
+        |FROM b WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q333_histogram_quantiles" ->
+      """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |mm AS (SELECT CAST(min(v) AS BIGINT) AS gmin, CAST(max(v) AS BIGINT) AS gmax,
+        |              CAST(count(*) AS BIGINT) AS n FROM v),
+        |mg AS (SELECT (v - gmin) * 64 // (gmax - gmin + 1) AS bin,
+        |              CAST(count(*) AS BIGINT) AS c
+        |       FROM v, mm GROUP BY 1),
+        |mc AS (SELECT bin, c, CAST(coalesce(sum(c) OVER (ORDER BY bin
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        |       FROM mg),
+        |ks AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS p),
+        |kk AS (SELECT p, (p * n + 99) // 100 AS k, gmin, gmax FROM ks, mm),
+        |est AS (SELECT kk.p, kk.k, mc.bin, mc.cb, mc.c, kk.gmin, kk.gmax,
+        |               kk.gmin + (mc.bin * (kk.gmax - kk.gmin + 1)) // 64
+        |                 + ((kk.k - mc.cb) * ((kk.gmax - kk.gmin + 1) // 64)) // mc.c
+        |                 AS est_cents
+        |        FROM kk JOIN mc ON mc.cb < kk.k AND mc.cb + mc.c >= kk.k),
+        |vb AS (SELECT v.v, (v.v - mm.gmin) * 64 // (mm.gmax - mm.gmin + 1) AS vbin
+        |       FROM v, mm),
+        |ex AS (SELECT e.p, vb.v,
+        |              row_number() OVER (PARTITION BY e.p ORDER BY vb.v) AS r,
+        |              e.k - e.cb AS off
+        |       FROM vb JOIN est e ON vb.vbin = e.bin)
+        |SELECT e.p AS pct, e.k, e.est_cents, x.v AS exact_cents,
+        |       CAST(abs(e.est_cents - x.v) * 1000000 // (e.gmax - e.gmin + 1) AS BIGINT)
+        |         AS err_domain_ppm
+        |FROM est e JOIN (SELECT p, v FROM ex WHERE r = off) x ON e.p = x.p
+        |ORDER BY pct""".stripMargin,
+
+    "q334_join_estimate" ->
+      """WITH
+        |lo AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+        |oo AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1),
+        |lp AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+        |pp AS (SELECT p_partkey AS k, CAST(count(*) AS BIGINT) AS c FROM part GROUP BY 1),
+        |lsu AS (SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+        |ss AS (SELECT s_suppkey AS k, CAST(count(*) AS BIGINT) AS c FROM supplier GROUP BY 1),
+        |p1 AS (SELECT 'lineitem_orders' AS join_name, l.n_left, l.ndv_left,
+        |              r.n_right, r.ndv_right, j.actual_rows
+        |       FROM (SELECT CAST(sum(c) AS BIGINT) AS n_left, CAST(count(*) AS BIGINT) AS ndv_left FROM lo) l,
+        |            (SELECT CAST(sum(c) AS BIGINT) AS n_right, CAST(count(*) AS BIGINT) AS ndv_right FROM oo) r,
+        |            (SELECT CAST(sum(lo.c * oo.c) AS BIGINT) AS actual_rows FROM lo JOIN oo USING (k)) j),
+        |p2 AS (SELECT 'lineitem_part', l.n_left, l.ndv_left, r.n_right, r.ndv_right, j.actual_rows
+        |       FROM (SELECT CAST(sum(c) AS BIGINT) AS n_left, CAST(count(*) AS BIGINT) AS ndv_left FROM lp) l,
+        |            (SELECT CAST(sum(c) AS BIGINT) AS n_right, CAST(count(*) AS BIGINT) AS ndv_right FROM pp) r,
+        |            (SELECT CAST(sum(lp.c * pp.c) AS BIGINT) AS actual_rows FROM lp JOIN pp USING (k)) j),
+        |p3 AS (SELECT 'lineitem_supplier', l.n_left, l.ndv_left, r.n_right, r.ndv_right, j.actual_rows
+        |       FROM (SELECT CAST(sum(c) AS BIGINT) AS n_left, CAST(count(*) AS BIGINT) AS ndv_left FROM lsu) l,
+        |            (SELECT CAST(sum(c) AS BIGINT) AS n_right, CAST(count(*) AS BIGINT) AS ndv_right FROM ss) r,
+        |            (SELECT CAST(sum(lsu.c * ss.c) AS BIGINT) AS actual_rows FROM lsu JOIN ss USING (k)) j),
+        |u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3),
+        |e AS (SELECT *, CAST(CAST(n_left AS HUGEINT) * n_right
+        |                     // greatest(ndv_left, ndv_right) AS BIGINT) AS est_rows
+        |      FROM u)
+        |SELECT join_name, n_left, n_right, ndv_left, ndv_right, est_rows, actual_rows,
+        |       CAST(est_rows * 1000000 // actual_rows AS BIGINT) AS est_over_actual_ppm
+        |FROM e ORDER BY join_name""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

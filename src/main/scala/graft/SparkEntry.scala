@@ -5222,6 +5222,10 @@ object SparkEntry {
         .join(cust, col("o_custkey") === col("c_custkey"))
         .select(col("segment"), col("o_orderkey"), centsOf(col("o_totalprice")).as("v"),
           (Dedup.md5Long(col("o_orderkey").cast("string"), 12) % 4).as("fold"))
+        // five consumers (train agg, calibration ×2, test pass) — without
+        // materializing, each replays the fact join + md5 folds: 7.5 s →
+        // ~1 s at sf0.1
+        .localCheckpoint(false)
       val pred = o.filter(col("fold") < 2).groupBy("segment")
         .agg(count(lit(1)).as("n_train"),
           expr("sum(v) div count(1)").as("pred_cents"))
@@ -5266,6 +5270,11 @@ object SparkEntry {
         .select(col("u"), explode(col("bs")).as("v"))
         .filter(col("u") < col("v"))
         .groupBy("u", "v").agg(count(lit(1)).as("w"))
+        // the corpus pass feeds the median AND the edge filter — without
+        // materializing the ≤ brands² pair relation, every downstream
+        // consumer (median, edges×3, degrees, two-hop×2) replays the
+        // lineitem scan+aggregation: measured 14 s → ~1 s at sf0.1
+        .localCheckpoint(false)
       // doubled median of the (bounded, ≤ brands²) pair-weight relation
       val m2 = ob
         .withColumn("rk", row_number().over(Window.orderBy(col("w"), col("u"), col("v"))))
@@ -5273,7 +5282,7 @@ object SparkEntry {
         .agg((sum(when(col("rk") === expr("(np + 1) div 2"), col("w"))) +
           sum(when(col("rk") === expr("(np + 2) div 2"), col("w")))).as("m2"))
       val edges = ob.crossJoin(broadcast(m2)).filter(col("w") * 2 > col("m2"))
-        .select("u", "v")
+        .select("u", "v").localCheckpoint(false)
       val ed = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val deg = ed.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
       val twoHop = ed.select(col("u").as("a"), col("v").as("wnode"))
@@ -6421,6 +6430,104 @@ object SparkEntry {
           expr("top.c * ((est_bytes + 67108863) div 67108864) > n_rows")
             .as("skew_flag"))
         .orderBy("key_name")
+    }),
+
+    // product-quantization codebook audit (the IVF-PQ compression
+    // decision): 64-dim vectors → 8 subspaces × 16 codes, exact integer
+    // squared-error assignment against the broadcast codebook, per-subspace
+    // utilization + distortion (operators/Similarity.pqCodebookAudit)
+    "q332_pq_codebook" -> ((s, dir) =>
+      Similarity.pqCodebookAudit(Tables.embeddings(s, dir), "vec_id",
+        "embedding", subDim = 8, nCodes = 16)),
+
+    // mergeable-histogram quantile estimator audit: per-month 64-bin
+    // global-grid histograms merge by pure addition (the distributed
+    // sketch shape — merged ≡ direct is spec-asserted), the merged
+    // histogram answers p50/p90/p99 by in-bin linear interpolation, and
+    // the audit reports the exact error vs the true order statistic
+    // (q299's two-pass trick) in ppm of the domain. The only full-data
+    // sort is the one-bin second pass; everything else is bounded
+    "q333_histogram_quantiles" -> ((s, dir) => {
+      val v = Tables.orders(s, dir).select(
+        centsOf(col("o_totalprice")).as("v"),
+        expr("date_trunc('month', o_orderdate)").as("mon"))
+      val mm = v.agg(min(col("v")).as("gmin"), max(col("v")).as("gmax"),
+        count(lit(1)).as("n"))
+      val binned = v.crossJoin(broadcast(mm))
+        .withColumn("bin", expr("(v - gmin) * 64 div (gmax - gmin + 1)"))
+      // per-month histograms, merged by addition on the shared global grid
+      val merged = binned.groupBy("mon", "bin").agg(count(lit(1)).as("c"))
+        .groupBy("bin").agg(sum(col("c")).as("c"))
+        .withColumn("cb", coalesce(sum(col("c")).over(
+          Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      val ks = s.sql("SELECT CAST(p AS BIGINT) AS p FROM VALUES (50),(90),(99) AS t(p)")
+        .crossJoin(broadcast(mm))
+        .select(col("p"), expr("(p * n + 99) div 100").as("k"),
+          col("gmin"), col("gmax"))
+      val est = ks.join(broadcast(merged),
+          col("cb") < col("k") && col("cb") + col("c") >= col("k"))
+        .withColumn("est_cents", expr(
+          "gmin + (bin * (gmax - gmin + 1)) div 64" +
+            " + ((k - cb) * ((gmax - gmin + 1) div 64)) div c"))
+        .select(col("p"), col("k"), col("est_cents"), col("gmax"), col("gmin"),
+          col("bin"), col("cb"))
+      // exact order statistic: restrict the full sort to the target bin
+      val exact = Tables.orders(s, dir).select(centsOf(col("o_totalprice")).as("v"))
+        .crossJoin(broadcast(mm))
+        .withColumn("vbin", expr("(v - gmin) * 64 div (gmax - gmin + 1)"))
+        .join(broadcast(est.select(col("p"), col("bin"), (col("k") - col("cb")).as("off"))),
+          col("vbin") === col("bin"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("p").orderBy("v")).cast("long"))
+        .filter(col("r") === col("off"))
+        .select(col("p"), col("v").as("exact_cents"))
+      est.join(exact, Seq("p"))
+        .select(col("p").as("pct"), col("k"), col("est_cents"),
+          col("exact_cents"),
+          expr("abs(est_cents - exact_cents) * 1000000 div (gmax - gmin + 1)")
+            .as("err_domain_ppm"))
+        .orderBy("pct")
+    }),
+
+    // join-cardinality planner audit, two-relation edition (q277 is the
+    // self-join one): for each candidate lineitem join, the textbook
+    // uniform estimate |L|·|R| / max(ndv_L, ndv_R) vs the EXACT join size
+    // Σ c_L(k)·c_R(k) — computed from per-key count relations (never by
+    // materializing the join). est/actual ratio in ppm is the planner's
+    // error the optimizer would act on
+    "q334_join_estimate" -> ((s, dir) => {
+      def side(df: DataFrame, key: String): DataFrame =
+        df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+      def audit(name: String, l: DataFrame, lk: String,
+          r: DataFrame, rk: String): DataFrame = {
+        val ls = side(l, lk).withColumnRenamed("c", "ls_c").localCheckpoint(false)
+        val rs = side(r, rk).withColumnRenamed("c", "rs_c").localCheckpoint(false)
+        val actual = ls.join(rs, Seq("k"))
+          .agg(sum(expr("ls_c * rs_c")).as("actual_rows"))
+        val stats = ls.agg(sum(col("ls_c")).as("n_left"),
+            count(lit(1)).as("ndv_left"))
+          .crossJoin(rs.agg(sum(col("rs_c")).as("n_right"),
+            count(lit(1)).as("ndv_right")))
+        stats.crossJoin(actual)
+          .select(lit(name).as("join_name"), col("n_left"), col("n_right"),
+            col("ndv_left"), col("ndv_right"),
+            // decimal38 cross-product: |L|·|R| overflows long at ~sf30
+            expr("CAST(CAST(n_left AS DECIMAL(38,0)) * n_right" +
+              " div greatest(ndv_left, ndv_right) AS BIGINT)").as("est_rows"),
+            col("actual_rows"))
+      }
+      val li = Tables.lineitem(s, dir)
+      val a1 = audit("lineitem_orders", li, "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey")
+      val a2 = audit("lineitem_part", li, "l_partkey",
+        Tables.part(s, dir), "p_partkey")
+      val a3 = audit("lineitem_supplier", li, "l_suppkey",
+        Tables.supplier(s, dir), "s_suppkey")
+      a1.unionAll(a2).unionAll(a3)
+        .withColumn("est_over_actual_ppm",
+          expr("est_rows * 1000000 div actual_rows"))
+        .orderBy("join_name")
     }),
 
     // multimodal: opaque binary column + stub decode metadata

@@ -730,4 +730,47 @@ object Similarity {
         expr(s"disp_sum * 1000 div $k").as("mean_disp_milli"))
       .orderBy("query_id")
   }
+
+  /** Product-quantization codebook audit — the IVF-PQ building block: the
+    * vector splits into dim/`subDim` contiguous subspaces, each quantized
+    * against its own `nCodes`-entry codebook (here the deterministic seed
+    * vectors `id < nCodes`, the [[assignBuckets]] convention). Per
+    * subspace the audit reports codebook utilization and the exact total
+    * squared quantization error in 1e-6-quantized units — the
+    * distortion-per-subspace readout that decides nSub/nCodes before
+    * committing to a compressed index.
+    *
+    * Exactness: components quantize to 1e-6 longs first; squared
+    * distances and the argmin tie-break (lowest code id) are pure integer
+    * arithmetic, so any engine reproduces the assignment bit-for-bit.
+    * Scale shape: the codebook (nSub·nCodes·subDim values) broadcasts;
+    * distances accumulate in ONE hash aggregation over |N|·dim skinny
+    * exploded rows (map-side combine on (vid, sub, code)), then two
+    * bounded aggregations — no window ever sees more than nCodes rows per
+    * (vector, subspace).
+    */
+  def pqCodebookAudit(emb: DataFrame, idCol: String, embCol: String,
+      subDim: Int, nCodes: Int): DataFrame = {
+    val q = emb.select(col(idCol).as("vid"),
+        posexplode(col(embCol).cast("array<double>")).as(Seq("pos", "x")))
+      .select(col("vid"), expr(s"pos div $subDim").as("sub"), col("pos"),
+        round(col("x") * 1000000, 0).cast("long").as("qv"))
+    val codes = q.filter(col("vid") < nCodes)
+      .select(col("vid").as("cid"), col("sub").as("csub"),
+        col("pos").as("cpos"), col("qv").as("qc"))
+    val dist = q.join(broadcast(codes),
+        col("sub") === col("csub") && col("pos") === col("cpos"))
+      .groupBy("vid", "sub", "cid")
+      .agg(sum(expr("(qv - qc) * (qv - qc)")).as("d2"))
+    dist.groupBy("vid", "sub")
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .groupBy("sub")
+      .agg(count(lit(1)).as("n_vectors"),
+        countDistinct(col("best.cid")).as("codes_used"),
+        sum(col("best.d2")).as("sum_sqerr_q"))
+      .withColumn("avg_sqerr_q", expr("sum_sqerr_q div n_vectors"))
+      .select(col("sub").cast("long").as("subspace"), col("n_vectors"),
+        col("codes_used"), col("sum_sqerr_q"), col("avg_sqerr_q"))
+      .orderBy("subspace")
+  }
 }

@@ -91,7 +91,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q318_negative_sampling",  // 1-row corpus-total bounds (×2)
     "q321_cluster_sharding",   // 1-row total-load aggregate bound
     "q322_mrr_eval",           // fixed nQueries-row broadcast query set
-    "q323_trending_terms")     // 1-row max-id + corpus-total bounds
+    "q323_trending_terms",     // 1-row max-id + corpus-total bounds
+    "q333_histogram_quantiles", // 1-row min/max/n + 64-bin histogram bounds
+    "q334_join_estimate")      // 1-row per-side stat aggregate bounds
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString

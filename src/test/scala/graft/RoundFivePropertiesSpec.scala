@@ -772,6 +772,40 @@ class RoundFivePropertiesSpec extends AnyFunSuite {
       s"random columns reported as clustered: $byCol")
   }
 
+  test("q332: PQ audit covers every subspace with a discriminative codebook") {
+    val r = rows("q332_pq_codebook")
+    assert(r.map(_.getAs[Long]("subspace")).toSeq === (0L to 7L))
+    val ns = r.map(_.getAs[Long]("n_vectors")).distinct
+    assert(ns.length === 1, s"subspaces saw different corpora: $ns")
+    r.foreach { row =>
+      val used = row.getAs[Long]("codes_used")
+      assert(used >= 2L && used <= 16L, s"degenerate codebook: $used codes")
+      assert(row.getAs[Long]("avg_sqerr_q") <= row.getAs[Long]("sum_sqerr_q"))
+    }
+  }
+
+  test("q333: the histogram estimate lands within one bin of the true order statistic") {
+    val r = rows("q333_histogram_quantiles")
+    assert(r.map(_.getAs[Long]("pct")).toSeq.sorted === Seq(50L, 90L, 99L))
+    r.foreach { row =>
+      // est and exact share a bin by construction: error ≤ 1/64 of the
+      // domain (+ integer-floor slack)
+      assert(row.getAs[Long]("err_domain_ppm") <= 16000L,
+        s"p${row.getAs[Long]("pct")}: ${row.getAs[Long]("err_domain_ppm")} ppm off")
+    }
+  }
+
+  test("q334: FK joins with a unique right key make the uniform estimate an upper bound") {
+    val r = rows("q334_join_estimate")
+    assert(r.length === 3)
+    r.foreach { row =>
+      // right keys unique ⇒ est = |L|·|R|/|R| = |L| ≥ matched rows
+      assert(row.getAs[Long]("est_rows") >= row.getAs[Long]("actual_rows"),
+        s"${row.getAs[String]("join_name")}: uniform estimate undershot")
+      assert(row.getAs[Long]("actual_rows") > 0L)
+    }
+  }
+
   test("q331: the shuffle planner's hot key is real and the byte model is conserved") {
     val r = rows("q331_shuffle_planner")
     assert(r.length === 3)
