@@ -6659,7 +6659,67 @@ object OracleSql {
         |      FROM u)
         |SELECT join_name, n_left, n_right, ndv_left, ndv_right, est_rows, actual_rows,
         |       CAST(est_rows * 1000000 // actual_rows AS BIGINT) AS est_over_actual_ppm
-        |FROM e ORDER BY join_name""".stripMargin
+        |FROM e ORDER BY join_name""".stripMargin,
+
+    "q335_frame_schedule" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) % 16 AS BIGINT) AS n_frames
+        |  FROM documents WHERE text IS NOT NULL
+        |), f AS (
+        |  SELECT doc_id, n_frames,
+        |         CASE WHEN n_frames > 0 THEN range(0, n_frames, 4)
+        |              ELSE CAST([] AS BIGINT[]) END AS fr
+        |  FROM m
+        |)
+        |SELECT doc_id, n_frames, CAST(len(fr) AS BIGINT) AS n_sampled,
+        |       coalesce(array_to_string(fr, ','), '') AS frames
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q336_resize_plan" ->
+      """WITH m AS (
+        |  SELECT CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |  FROM documents WHERE text IS NOT NULL
+        |), d AS (
+        |  SELECT nb % 512 AS w, (nb * 7) % 512 AS h FROM m
+        |), b AS (
+        |  SELECT CASE WHEN w * 1000 // greatest(h, 1) < 800 THEN 'portrait'
+        |              WHEN w * 1000 // greatest(h, 1) < 1250 THEN 'square'
+        |              ELSE 'landscape' END AS bucket,
+        |         CAST(w * h AS BIGINT) AS px_before,
+        |         CAST(greatest(w // 2, 1) * greatest(h // 2, 1) AS BIGINT) AS px_after
+        |  FROM d
+        |), a AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_images,
+        |         CAST(sum(px_before) AS BIGINT) AS sum_px_before,
+        |         CAST(sum(px_after) AS BIGINT) AS sum_px_after
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT bucket, n_images, CAST((n_images + 31) // 32 AS BIGINT) AS n_batches,
+        |       CAST((n_images + 31) // 32 * 32 - n_images AS BIGINT) AS pad_waste,
+        |       sum_px_before, sum_px_after,
+        |       CAST(sum_px_after * 1000000 // greatest(sum_px_before, 1) AS BIGINT)
+        |         AS px_ratio_ppm
+        |FROM a ORDER BY bucket""".stripMargin,
+
+    "q337_audio_chunks" ->
+      """WITH m AS (
+        |  SELECT doc_id, source, CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |  FROM documents WHERE text IS NOT NULL
+        |), c AS (
+        |  SELECT source, nb * 1000 // 32 AS dur_ms,
+        |         CASE WHEN nb * 1000 // 32 <= 0 THEN 0
+        |              WHEN nb * 1000 // 32 <= 30000 THEN 1
+        |              ELSE 1 + (nb * 1000 // 32 - 30000 + 28999) // 29000 END AS n_chunks
+        |  FROM m
+        |), a AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(dur_ms) AS BIGINT) AS total_dur_ms,
+        |         CAST(sum(n_chunks) AS BIGINT) AS total_chunks
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT source, n_docs, total_dur_ms, total_chunks,
+        |       CAST(total_dur_ms // greatest(total_chunks, 1) AS BIGINT) AS avg_chunk_ms
+        |FROM a ORDER BY source""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

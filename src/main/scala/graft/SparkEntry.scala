@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{EsmTokenizer, TextFunctions}
-import graft.operators.{AsOfJoin, Cooccurrence, CorpusStats, Curation, Dedup, EventWindows, GraphMetrics, Indexing, NaiveBayes, RangeJoin, Similarity, SnapshotDiff}
+import graft.operators.{AsOfJoin, Cooccurrence, CorpusStats, Curation, Dedup, EventWindows, GraphMetrics, Indexing, Multimodal, NaiveBayes, RangeJoin, Similarity, SnapshotDiff}
 import graft.plans.JaroWinkler
 import graft.ops.{ClassWeights, LabelEncode, Stats, StratifiedSplit}
 
@@ -6541,6 +6541,75 @@ object SparkEntry {
         .withColumn("est_over_actual_ppm",
           expr("est_rows * 1000000 div actual_rows"))
         .orderBy("join_name")
+    }),
+
+    // multimodal frame-sampling schedule: the REAL plumbing end-to-end —
+    // binary media column → typed mapPartitions decode (Multimodal
+    // .extractMeta, the codec-batch shape) → every-4th-frame schedule
+    // (Multimodal.sampleFrames, pure array arithmetic). The oracle replays
+    // the deterministic stub from byte length; a real codec changes ONE
+    // function and this query's shape is unchanged
+    "q335_frame_schedule" -> ((s, dir) => {
+      val media = Multimodal.withMediaColumn(
+        Tables.documents(s, dir).filter(col("text").isNotNull), "text")
+      val meta = Multimodal.extractMeta(media, "doc_id")
+      Multimodal.sampleFrames(meta, stride = 4)
+        .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+          size(col("sampled_frames")).cast("long").as("n_sampled"),
+          array_join(col("sampled_frames"), ",").as("frames"))
+        .orderBy("doc_id")
+    }),
+
+    // multimodal resize batching: aspect-ratio buckets (the vision-model
+    // preprocessing grid), per-bucket GPU batches of 32 with padding
+    // waste, and the pixel budget before/after one resizeStub halving —
+    // the "what does a resize pass save" readout. Decode via the same
+    // typed mapPartitions path; everything downstream is a bounded groupBy
+    "q336_resize_plan" -> ((s, dir) => {
+      val media = Multimodal.withMediaColumn(
+        Tables.documents(s, dir).filter(col("text").isNotNull), "text")
+      val meta = Multimodal.extractMeta(media, "doc_id")
+        .withColumn("bucket", expr(
+          "CASE WHEN width * 1000 div greatest(height, 1) < 800 THEN 'portrait'" +
+            " WHEN width * 1000 div greatest(height, 1) < 1250 THEN 'square'" +
+            " ELSE 'landscape' END"))
+        .withColumn("px_before", expr("CAST(width AS BIGINT) * height"))
+      Multimodal.resizeStub(meta, factor = 1)
+        .withColumn("px_after", expr("CAST(width AS BIGINT) * height"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_images"),
+          sum(col("px_before")).as("sum_px_before"),
+          sum(col("px_after")).as("sum_px_after"))
+        .withColumn("n_batches", expr("(n_images + 31) div 32"))
+        .withColumn("pad_waste", expr("n_batches * 32 - n_images"))
+        .withColumn("px_ratio_ppm",
+          expr("sum_px_after * 1000000 div greatest(sum_px_before, 1)"))
+        .select("bucket", "n_images", "n_batches", "pad_waste",
+          "sum_px_before", "sum_px_after", "px_ratio_ppm")
+        .orderBy("bucket")
+    }),
+
+    // multimodal audio chunking plan: byte length → duration (32 B/ms
+    // stub codec), 30 s windows with 1 s overlap (29 s stride — the
+    // Whisper-style segmentation), per-source chunk budget. The chunk
+    // count is closed-form integer arithmetic — the planner never
+    // materializes per-chunk rows until a downstream stage asks
+    "q337_audio_chunks" -> ((s, dir) => {
+      val media = Multimodal.withMediaColumn(
+        Tables.documents(s, dir).filter(col("text").isNotNull), "text")
+      Multimodal.extractMeta(media, "doc_id")
+        .join(Tables.documents(s, dir).select("doc_id", "source"), Seq("doc_id"))
+        .withColumn("dur_ms", expr("n_bytes * 1000 div 32"))
+        .withColumn("n_chunks", expr(
+          "CASE WHEN dur_ms <= 0 THEN 0 WHEN dur_ms <= 30000 THEN 1" +
+            " ELSE 1 + (dur_ms - 30000 + 28999) div 29000 END"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("dur_ms")).as("total_dur_ms"),
+          sum(col("n_chunks")).as("total_chunks"))
+        .withColumn("avg_chunk_ms",
+          expr("total_dur_ms div greatest(total_chunks, 1)"))
+        .orderBy("source")
     }),
 
     // multimodal: opaque binary column + stub decode metadata
