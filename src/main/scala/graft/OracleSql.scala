@@ -6719,7 +6719,89 @@ object OracleSql {
         |)
         |SELECT source, n_docs, total_dur_ms, total_chunks,
         |       CAST(total_dur_ms // greatest(total_chunks, 1) AS BIGINT) AS avg_chunk_ms
-        |FROM a ORDER BY source""".stripMargin
+        |FROM a ORDER BY source""".stripMargin,
+
+    "q338_golden_record" ->
+      s"""WITH RECURSIVE b AS (
+         |  SELECT p_partkey AS k, p_brand, p_type, p_name,
+         |         CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+         |         CAST(p_size AS BIGINT) AS psize
+         |  FROM part
+         |), cand AS (
+         |  SELECT a.k AS doc_a, c.k AS doc_b
+         |  FROM b a JOIN b c ON a.p_brand = c.p_brand AND a.p_type = c.p_type
+         |                    AND a.k < c.k
+         |  WHERE round(jaro_winkler_similarity(a.p_name, c.p_name), 6) >= 0.88
+         |), $ccLabelChain
+         |SELECT l.l AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         |       CAST(count(DISTINCT b.p_name) AS BIGINT) AS n_names,
+         |       CAST(min(b.price_c) AS BIGINT) AS min_price_c,
+         |       CAST(max(b.psize) AS BIGINT) AS max_size
+         |FROM lbl l JOIN b ON l.u = b.k
+         |GROUP BY 1 ORDER BY n_members DESC, cluster_id LIMIT 25""".stripMargin,
+
+    "q339_attribution_models" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events
+        |), p AS (SELECT user_id, event_id AS p_id, us AS p_us
+        |         FROM ev WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS t_id, event_type AS touch, us AS t_us
+        |      FROM ev WHERE event_type <> 'purchase'),
+        |j AS (
+        |  SELECT p.p_id, t.t_id, t.touch, t.t_us
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |  WHERE t.t_us < p.p_us AND t.t_us >= p.p_us - 604800000000
+        |), pp AS (
+        |  SELECT p_id, n_touches, f_touch, l_touch FROM (
+        |    SELECT p_id,
+        |           CAST(count(*) OVER w0 AS BIGINT) AS n_touches,
+        |           first_value(touch) OVER wf AS f_touch,
+        |           last_value(touch) OVER wf AS l_touch,
+        |           row_number() OVER wf AS rn
+        |    FROM j
+        |    WINDOW w0 AS (PARTITION BY p_id),
+        |           wf AS (PARTITION BY p_id ORDER BY t_us, t_id, touch
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |  ) WHERE rn = 1
+        |), fa AS (SELECT f_touch AS touch, CAST(count(*) AS BIGINT) AS first_purchases
+        |          FROM pp GROUP BY 1),
+        |la AS (SELECT l_touch AS touch, CAST(count(*) AS BIGINT) AS last_purchases
+        |       FROM pp GROUP BY 1),
+        |ln AS (SELECT j.touch, CAST(sum(1000000 // pp.n_touches) AS BIGINT) AS linear_u
+        |       FROM j JOIN pp USING (p_id) GROUP BY 1)
+        |SELECT coalesce(fa.touch, la.touch, ln.touch) AS touch,
+        |       coalesce(first_purchases, 0) AS first_purchases,
+        |       coalesce(last_purchases, 0) AS last_purchases,
+        |       coalesce(linear_u, 0) AS linear_u
+        |FROM fa FULL OUTER JOIN la ON fa.touch = la.touch
+        |FULL OUTER JOIN ln ON coalesce(fa.touch, la.touch) = ln.touch
+        |ORDER BY touch""".stripMargin,
+
+    "q340_runtime_filter_plan" ->
+      """WITH bld AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+        |), c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_probe,
+        |         CAST(sum(CASE WHEN b.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+        |  FROM lineitem LEFT JOIN bld b ON l_orderkey = b.o_orderkey
+        |), nb AS (SELECT CAST(count(*) AS BIGINT) AS n_build FROM bld),
+        |tiers AS (SELECT * FROM (VALUES (CAST(10000 AS BIGINT), CAST(9585058 AS BIGINT)),
+        |                                (1000, 14377588), (100, 19170117))
+        |          AS t(fpp_ppm, bits_per_key_ppm)),
+        |x AS (
+        |  SELECT fpp_ppm, n_probe, n_match, n_build,
+        |         ((n_build * bits_per_key_ppm + 999999) // 1000000 + 7) // 8 AS bloom_bytes,
+        |         n_match + (n_probe - n_match) * fpp_ppm // 1000000 AS expected_scanned
+        |  FROM c, nb, tiers
+        |)
+        |SELECT fpp_ppm, n_probe, n_match, n_build,
+        |       CAST(bloom_bytes AS BIGINT) AS bloom_bytes,
+        |       CAST(expected_scanned AS BIGINT) AS expected_scanned,
+        |       CAST((n_probe - expected_scanned) * 1000000 // n_probe AS BIGINT) AS saved_ppm
+        |FROM x ORDER BY fpp_ppm""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

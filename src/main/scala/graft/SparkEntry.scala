@@ -6612,6 +6612,109 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // golden-record entity resolution, end-to-end: (brand, type) blocking
+    // → name-similarity edges (Jaro-Winkler ≥ 0.88 computed ONCE on the
+    // bounded name dictionary, q320's trick; same-name pairs link via
+    // JW = 1) → connected components → one canonical record per cluster
+    // (min-id keeper carrying min price / max size / name variety). The
+    // q226/q297/q310 linkage pieces composed the way an MDM pipeline
+    // actually runs them; oracled against the recursive-CTE closure
+    "q338_golden_record" -> ((s, dir) => {
+      val b = Tables.part(s, dir).select(col("p_partkey").as("k"),
+        col("p_brand"), col("p_type"), col("p_name"),
+        centsOf(col("p_retailprice")).as("price_c"),
+        col("p_size").cast("long").as("psize"))
+      val names = b.select(col("p_name").as("na")).distinct()
+      val simNames = names
+        .join(broadcast(names.select(col("na").as("nb"))), col("na") <= col("nb"))
+        .filter(round(JaroWinkler(col("na"), col("nb")), 6) >= 0.88)
+        .select("na", "nb")
+      val edges = b.select(col("k").as("doc_a"), col("p_brand").as("brand"),
+          col("p_type").as("ptype"), col("p_name").as("name_a"))
+        .join(b.select(col("k").as("doc_b"), col("p_brand").as("brand_b"),
+          col("p_type").as("ptype_b"), col("p_name").as("name_b")),
+          col("brand") === col("brand_b") && col("ptype") === col("ptype_b")
+            && col("doc_a") < col("doc_b"))
+        .withColumn("na", least(col("name_a"), col("name_b")))
+        .withColumn("nb", greatest(col("name_a"), col("name_b")))
+        .join(broadcast(simNames), Seq("na", "nb"))
+        .select("doc_a", "doc_b")
+      graft.operators.ConnectedComponents.labels(edges, "doc_a", "doc_b")
+        .join(b, col("node") === col("k"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("p_name")).as("n_names"),
+          min(col("price_c")).as("min_price_c"),
+          max(col("psize")).as("max_size"))
+        .orderBy(col("n_members").desc, col("cluster_id")).limit(25)
+    }),
+
+    // attribution model comparison: for each purchase, the 7-day
+    // lookback touch set per user — first-touch and last-touch credit a
+    // single type (struct-argmin/argmax, no window), linear credit
+    // splits 1e6 micro-credits by floor division. The three models side
+    // by side is the readout marketing actually argues over (q164 is
+    // last-prev-event only; q244 is the Markov counterfactual)
+    "q339_attribution_models" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("us").as("p_us"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_id").as("t_id"),
+          col("event_type").as("touch"), col("us").as("t_us"))
+      val joined = purchases.join(touches, Seq("user_id"))
+        .filter(col("t_us") < col("p_us")
+          && col("t_us") >= col("p_us") - 604800000000L)
+        .localCheckpoint(false)
+      val perPurchase = joined.groupBy("p_id")
+        .agg(count(lit(1)).as("n_touches"),
+          min(struct(col("t_us"), col("t_id"), col("touch"))).as("f"),
+          max(struct(col("t_us"), col("t_id"), col("touch"))).as("l"))
+        .localCheckpoint(false)
+      val firstAgg = perPurchase.groupBy(col("f.touch").as("touch"))
+        .agg(count(lit(1)).as("first_purchases"))
+      val lastAgg = perPurchase.groupBy(col("l.touch").as("touch"))
+        .agg(count(lit(1)).as("last_purchases"))
+      val linAgg = joined.join(perPurchase.select("p_id", "n_touches"), Seq("p_id"))
+        .groupBy("touch")
+        .agg(sum(expr("1000000 div n_touches")).as("linear_u"))
+      firstAgg.join(lastAgg, Seq("touch"), "full_outer")
+        .join(linAgg, Seq("touch"), "full_outer")
+        .na.fill(0L, Seq("first_purchases", "last_purchases", "linear_u"))
+        .orderBy("touch")
+    }),
+
+    // runtime-filter (bloom semi-join) planning: the 1997-H1 orders build
+    // side against the lineitem probe — exact match/non-match counts from
+    // ONE conditional aggregate, then per-fpp-tier expected scan size and
+    // filter bytes (q329's scaled-ppm constants). This is the number AQE's
+    // runtime row-filter decision needs before shuffling the probe side
+    "q340_runtime_filter_plan" -> ((s, dir) => {
+      val build = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01")
+          && col("o_orderdate") < lit("1997-07-01"))
+        .select(col("o_orderkey").as("l_orderkey"), lit(true).as("hit"))
+      val counts = Tables.lineitem(s, dir)
+        .join(broadcast(build), Seq("l_orderkey"), "left")
+        .agg(count(lit(1)).as("n_probe"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_match"))
+      val nb = build.agg(count(lit(1)).as("n_build"))
+      counts.crossJoin(broadcast(nb))
+        .select(col("n_probe"), col("n_match"), col("n_build"),
+          expr("stack(3, 10000L, 9585058L, 1000L, 14377588L, 100L, 19170117L)" +
+            " AS (fpp_ppm, bits_per_key_ppm)"))
+        .withColumn("bloom_bytes",
+          expr("((n_build * bits_per_key_ppm + 999999) div 1000000 + 7) div 8"))
+        .withColumn("expected_scanned",
+          expr("n_match + (n_probe - n_match) * fpp_ppm div 1000000"))
+        .withColumn("saved_ppm",
+          expr("(n_probe - expected_scanned) * 1000000 div n_probe"))
+        .select("fpp_ppm", "n_probe", "n_match", "n_build", "bloom_bytes",
+          "expected_scanned", "saved_ppm")
+        .orderBy("fpp_ppm")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

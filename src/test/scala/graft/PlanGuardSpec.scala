@@ -93,7 +93,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q322_mrr_eval",           // fixed nQueries-row broadcast query set
     "q323_trending_terms",     // 1-row max-id + corpus-total bounds
     "q333_histogram_quantiles", // 1-row min/max/n + 64-bin histogram bounds
-    "q334_join_estimate")      // 1-row per-side stat aggregate bounds
+    "q334_join_estimate",      // 1-row per-side stat aggregate bounds
+    "q338_golden_record",      // bounded name-dictionary pair broadcast
+    "q320_damerau_linkage",    // bounded name-dictionary pair broadcast
+    "q340_runtime_filter_plan") // 1-row build-count aggregate bound
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
