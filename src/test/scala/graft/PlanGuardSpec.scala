@@ -43,7 +43,6 @@ class PlanGuardSpec extends AnyFunSuite {
     "q304_heldout_nll",          // 1-row train-vocab-size bound
     "q307_rbo_eval",             // q24-style 5-row query-broadcast inequality join
     "q308_hill_tail_index",      // 1-row x_k bound over the bounded top-100
-    "q292_adamic_adar",          // 1-row doubled-median bound
     "q294_ndcg_eval",            // q24-style 5-row query-broadcast inequality join
     "q296_wasserstein",          // 1-row (na, nb) totals bound
     "q299_twopass_quantiles",    // bounded histogram (value-range/65536 bins)
@@ -94,7 +93,6 @@ class PlanGuardSpec extends AnyFunSuite {
     "q323_trending_terms",     // 1-row max-id + corpus-total bounds
     "q333_histogram_quantiles", // 1-row min/max/n + 64-bin histogram bounds
     "q334_join_estimate",      // 1-row per-side stat aggregate bounds
-    "q338_golden_record",      // bounded name-dictionary pair broadcast
     "q320_damerau_linkage",    // bounded name-dictionary pair broadcast
     "q340_runtime_filter_plan") // 1-row build-count aggregate bound
 
