@@ -6801,7 +6801,71 @@ object OracleSql {
         |       CAST(bloom_bytes AS BIGINT) AS bloom_bytes,
         |       CAST(expected_scanned AS BIGINT) AS expected_scanned,
         |       CAST((n_probe - expected_scanned) * 1000000 // n_probe AS BIGINT) AS saved_ppm
-        |FROM x ORDER BY fpp_ppm""".stripMargin
+        |FROM x ORDER BY fpp_ppm""".stripMargin,
+
+    "q341_optimize_planner" ->
+      """WITH o AS (
+        |  SELECT o_orderkey // 4096 AS blk,
+        |         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+        |  FROM orders
+        |), b AS (
+        |  SELECT blk, min(d) AS mn, max(d) AS mx, CAST(count(*) AS BIGINT) AS c
+        |  FROM o GROUP BY 1
+        |), preds AS (
+        |  SELECT * FROM (VALUES ('month', CAST(9862 AS BIGINT), CAST(9893 AS BIGINT)),
+        |                        ('quarter', 9862, 9952),
+        |                        ('year', 9862, 10227)) AS t(pred, lo, hi)
+        |), now_ AS (
+        |  SELECT pred, CAST(count(*) AS BIGINT) AS blocks_now,
+        |         CAST(sum(c) AS BIGINT) AS rows_now
+        |  FROM preds JOIN b ON b.mn < preds.hi AND b.mx >= preds.lo GROUP BY 1
+        |), dd AS (SELECT d, CAST(count(*) AS BIGINT) AS c FROM o GROUP BY 1),
+        |dc AS (
+        |  SELECT d, c, CAST(coalesce(sum(c) OVER (ORDER BY d
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        |  FROM dd
+        |), srt AS (
+        |  SELECT pred, CAST(sum(c) AS BIGINT) AS matched_rows,
+        |         CAST(min(cb + 1) AS BIGINT) AS first_rk,
+        |         CAST(max(cb + c) AS BIGINT) AS last_rk
+        |  FROM preds JOIN dc ON dc.d >= preds.lo AND dc.d < preds.hi GROUP BY 1
+        |), s2 AS (
+        |  SELECT pred, matched_rows,
+        |         (last_rk - 1) // 4096 - (first_rk - 1) // 4096 + 1 AS blocks_sorted
+        |  FROM srt
+        |)
+        |SELECT n.pred, s.matched_rows, n.rows_now, n.blocks_now,
+        |       CAST(s.blocks_sorted AS BIGINT) AS blocks_sorted,
+        |       CAST((n.blocks_now - s.blocks_sorted) * 1000000 // n.blocks_now AS BIGINT)
+        |         AS io_saved_ppm
+        |FROM now_ n JOIN s2 s USING (pred) ORDER BY pred""".stripMargin,
+
+    "q342_sort_spill_plan" ->
+      """WITH t AS (
+        |  SELECT CAST(sum(68 + length(l_returnflag) + length(l_linestatus)) AS BIGINT) AS total_bytes,
+        |         CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM lineitem
+        |), m AS (SELECT CAST(unnest([16777216, 67108864, 268435456]) AS BIGINT) AS mem_bytes),
+        |x AS (SELECT mem_bytes, n_rows, total_bytes,
+        |             (total_bytes + 31) // 32 AS part_bytes FROM t, m),
+        |y AS (SELECT *, greatest((part_bytes + mem_bytes - 1) // mem_bytes, 1) AS segments FROM x),
+        |z AS (SELECT *, CAST(CASE WHEN segments <= 1 THEN 0 WHEN segments <= 16 THEN 1
+        |                          WHEN segments <= 256 THEN 2 ELSE 3 END AS BIGINT) AS merge_passes
+        |      FROM y)
+        |SELECT mem_bytes, n_rows, total_bytes, CAST(part_bytes AS BIGINT) AS part_bytes,
+        |       CAST(segments AS BIGINT) AS segments, merge_passes,
+        |       CAST(CASE WHEN segments <= 1 THEN 0
+        |                 ELSE total_bytes * merge_passes END AS BIGINT) AS spilled_bytes
+        |FROM z ORDER BY mem_bytes""".stripMargin,
+
+    "q343_incremental_clusters" ->
+      s"""WITH RECURSIVE ${minhashChain("documents")},
+         |$ccLabelChain,
+         |sizes AS (SELECT l, count(*) AS sz FROM lbl GROUP BY l)
+         |SELECT CAST(sz AS BIGINT) AS cluster_size,
+         |       CAST(count(*) AS BIGINT) AS n_clusters,
+         |       CAST(sum(sz - 1) AS BIGINT) AS n_removable
+         |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

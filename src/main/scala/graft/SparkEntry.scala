@@ -6715,6 +6715,98 @@ object SparkEntry {
         .orderBy("fpp_ppm")
     }),
 
+    // OPTIMIZE planner (the table-rewrite decision): for three date
+    // predicates, blocks scanned under the CURRENT layout (zone-map
+    // overlap on q330's 4096-key grid) vs under a rewrite SORTED by
+    // o_orderdate — where matching rows are rank-contiguous, so the
+    // sorted block count is closed-form from the date histogram's prefix
+    // sums (the global window runs on the bounded date dictionary only).
+    // io_saved_ppm is the number that justifies (or kills) the rewrite
+    "q341_optimize_planner" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        expr("o_orderkey div 4096").as("blk"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("d"))
+        .localCheckpoint(false)
+      val blocks = o.groupBy("blk").agg(min(col("d")).as("mn"),
+        max(col("d")).as("mx"), count(lit(1)).as("c"))
+      // [lo, hi) in epoch days: 1997-01-01=9862, +month, +quarter, +year —
+      // integer literals on BOTH engines, no date-math divergence possible
+      val preds = s.sql("SELECT * FROM VALUES" +
+        " ('month', CAST(9862 AS BIGINT), CAST(9893 AS BIGINT))," +
+        " ('quarter', 9862, 9952), ('year', 9862, 10227) AS t(pred, lo, hi)")
+      val now = preds
+        .join(broadcast(blocks), col("mn") < col("hi") && col("mx") >= col("lo"))
+        .groupBy("pred")
+        .agg(count(lit(1)).as("blocks_now"), sum(col("c")).as("rows_now"))
+      val dd = o.groupBy("d").agg(count(lit(1)).as("c"))
+        .withColumn("cb", coalesce(sum(col("c")).over(
+          Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      val srt = preds
+        .join(broadcast(dd), col("d") >= col("lo") && col("d") < col("hi"))
+        .groupBy("pred")
+        .agg(sum(col("c")).as("matched_rows"),
+          min(col("cb") + 1).as("first_rk"), max(col("cb") + col("c")).as("last_rk"))
+        .withColumn("blocks_sorted",
+          expr("(last_rk - 1) div 4096 - (first_rk - 1) div 4096 + 1"))
+      now.join(srt, Seq("pred"))
+        .select(col("pred"), col("matched_rows"), col("rows_now"),
+          col("blocks_now"), col("blocks_sorted"),
+          expr("(blocks_now - blocks_sorted) * 1000000 div blocks_now")
+            .as("io_saved_ppm"))
+        .orderBy("pred")
+    }),
+
+    // external-sort spill planner: the lineitem global sort under three
+    // executor memory budgets — per-partition bytes from q331's byte
+    // model, spill segment count, merge passes at fan-in 16, and the total
+    // re-written bytes. ONE aggregate + a map-side budget fan-out; the
+    // readout sizes spark.sql.shuffle.partitions before the job runs
+    "q342_sort_spill_plan" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .agg(sum(expr("68L + length(l_returnflag) + length(l_linestatus)"))
+          .as("total_bytes"), count(lit(1)).as("n_rows"))
+        .select(col("total_bytes"), col("n_rows"),
+          expr("stack(3, 16777216L, 67108864L, 268435456L) AS (mem_bytes)"))
+        .withColumn("part_bytes", expr("(total_bytes + 31) div 32"))
+        .withColumn("segments",
+          expr("greatest((part_bytes + mem_bytes - 1) div mem_bytes, 1L)"))
+        .withColumn("merge_passes", expr(
+          "CAST(CASE WHEN segments <= 1 THEN 0 WHEN segments <= 16 THEN 1" +
+            " WHEN segments <= 256 THEN 2 ELSE 3 END AS BIGINT)"))
+        .withColumn("spilled_bytes", expr(
+          "CASE WHEN segments <= 1 THEN 0L ELSE total_bytes * merge_passes END"))
+        .select("mem_bytes", "n_rows", "total_bytes", "part_bytes",
+          "segments", "merge_passes", "spilled_bytes")
+        .orderBy("mem_bytes")),
+
+    // incremental dup-cluster maintenance: yesterday's labels (docs below
+    // the id midpoint) merged with today's candidate batch via
+    // ConnectedComponents.incrementalLabels — the old side enters as
+    // contracted stars, so the merge converges in a round or two. The
+    // oracle is the FULL-recompute recursive CTE (q79's chain): the
+    // incremental path must hash-match it exactly
+    "q343_incremental_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+        .select("doc_a", "doc_b").localCheckpoint(false)
+      val mid = docs.agg(expr("max(doc_id) div 2").as("mid"))
+      val cm = cand.crossJoin(broadcast(mid))
+      val oldE = cm.filter(col("doc_a") < col("mid") && col("doc_b") < col("mid"))
+        .select("doc_a", "doc_b")
+      val newE = cm.filter(!(col("doc_a") < col("mid") && col("doc_b") < col("mid")))
+        .select("doc_a", "doc_b")
+      graft.operators.ConnectedComponents.incrementalLabels(
+          graft.operators.ConnectedComponents.labels(oldE, "doc_a", "doc_b"),
+          newE, "doc_a", "doc_b")
+        .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"))
+        .orderBy("cluster_size")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

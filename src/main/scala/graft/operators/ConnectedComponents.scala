@@ -228,4 +228,29 @@ object ConnectedComponents {
         col("n_clusters"),
         ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"))
       .orderBy("cluster_size")
+
+  /** Incremental label maintenance — the nightly-ingest shape: yesterday's
+    * `(node, cluster_id)` labels contract each component to a STAR, so
+    * merging today's edge batch runs [[labels]] over |labels| + |batch|
+    * edges whose old side has diameter ≤ 2 (converges in a round or two)
+    * instead of re-clustering the full pair corpus. Components the batch
+    * never touches keep their rows unchanged (left-anti re-add), so the
+    * output is exactly `labels(oldEdges ∪ newEdges)` restricted to nodes
+    * that appear in either input — spec-proven in
+    * `ConnectedComponentsSpec`, and q343 hash-matches the full-recompute
+    * recursive-CTE oracle through this path.
+    */
+  def incrementalLabels(oldLabels: DataFrame, newEdges: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val contracted = oldLabels
+      .filter(col("node") =!= col("cluster_id"))
+      .select(col("cluster_id").as(aCol), col("node").as(bCol))
+    val merged = labels(contracted.unionByName(
+      newEdges.select(col(aCol), col(bCol))), aCol, bCol)
+    // hub self-rows of touched components are already in `merged`; only
+    // components fully outside the batch (all-singleton after contraction)
+    // need their old rows passed through
+    val untouched = oldLabels.join(merged.select("node"), Seq("node"), "left_anti")
+    merged.unionByName(untouched)
+  }
 }

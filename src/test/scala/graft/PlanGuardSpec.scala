@@ -94,7 +94,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q333_histogram_quantiles", // 1-row min/max/n + 64-bin histogram bounds
     "q334_join_estimate",      // 1-row per-side stat aggregate bounds
     "q320_damerau_linkage",    // bounded name-dictionary pair broadcast
-    "q340_runtime_filter_plan") // 1-row build-count aggregate bound
+    "q340_runtime_filter_plan", // 1-row build-count aggregate bound
+    "q341_optimize_planner")   // bounded block-stat + date-dictionary broadcasts
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString

@@ -54,6 +54,21 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(ccLabels(Seq((5L, 5L))).isEmpty)
   }
 
+  test("incremental labels over a new edge batch equal a full recompute") {
+    // old graph: {0,1,2}, {5,6}, {10,11}; batch merges {0,1,2}+{5,6} via
+    // (2,5), leaves {10,11} untouched, and adds a brand-new pair {20,21}
+    val oldE = Seq((0L, 1L), (1L, 2L), (5L, 6L), (10L, 11L))
+    val newE = Seq((2L, 5L), (20L, 21L))
+    val full = ccLabels(oldE ++ newE)
+    val inc = ConnectedComponents.incrementalLabels(
+        ConnectedComponents.labels(oldE.toDF("a", "b"), "a", "b"),
+        newE.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(inc === full)
+    assert(inc(10L) === 10L && inc(11L) === 10L) // untouched pass-through
+    assert(inc(6L) === 0L)                       // merged across batches
+  }
+
   test("labels match union-find on random graphs") {
     val genEdges = for {
       n <- Gen.choose(2, 30)
