@@ -6865,7 +6865,73 @@ object OracleSql {
          |SELECT CAST(sz AS BIGINT) AS cluster_size,
          |       CAST(count(*) AS BIGINT) AS n_clusters,
          |       CAST(sum(sz - 1) AS BIGINT) AS n_removable
-         |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q344_retention_reclaim" ->
+      """WITH bm AS (
+        |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+        |         CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST(sum(32 + length(o_orderstatus) + length(o_orderpriority)) AS BIGINT)
+        |           AS bytes
+        |  FROM orders GROUP BY 1
+        |), lt AS (SELECT max(mi) AS latest_mi FROM bm),
+        |t AS (SELECT CAST(unnest([1, 3, 12]) AS BIGINT) AS retention_months),
+        |x AS (SELECT t.retention_months, bm.bytes, lt.latest_mi - bm.mi AS age
+        |      FROM bm, lt, t)
+        |SELECT retention_months, CAST(count(*) AS BIGINT) AS n_months_total,
+        |       CAST(sum(CASE WHEN age >= retention_months THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS months_freed,
+        |       CAST(sum(CASE WHEN age >= retention_months THEN bytes ELSE 0 END) AS BIGINT)
+        |         AS bytes_freed,
+        |       CAST(sum(CASE WHEN age < retention_months THEN bytes ELSE 0 END) AS BIGINT)
+        |         AS bytes_kept,
+        |       CAST(sum(CASE WHEN age >= retention_months THEN bytes ELSE 0 END) * 1000000
+        |            // sum(bytes) AS BIGINT) AS freed_ppm
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q345_equidepth_histogram" ->
+      """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |ks AS (SELECT CAST(unnest([1, 2, 3, 4, 5, 6, 7]) AS BIGINT) AS i),
+        |kk AS (SELECT i, (i * n.n) // 8 AS k, n.n AS n FROM ks, n),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM v),
+        |b AS (SELECT kk.i, kk.k, kk.n, r.v AS boundary_cents
+        |      FROM kk JOIN r ON r.rk = kk.k),
+        |le AS (SELECT b.i, CAST(count(*) AS BIGINT) AS rows_le
+        |       FROM b JOIN v ON v.v <= b.boundary_cents GROUP BY 1)
+        |SELECT b.i AS cut, CAST(b.k AS BIGINT) AS ideal_rank, b.boundary_cents,
+        |       le.rows_le,
+        |       CAST((le.rows_le - b.k) * 1000000 // b.n AS BIGINT) AS tie_skew_ppm
+        |FROM b JOIN le USING (i) ORDER BY cut""".stripMargin,
+
+    "q346_selectivity_audit" ->
+      """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |mm AS (SELECT CAST(min(v) AS BIGINT) AS gmin, CAST(max(v) AS BIGINT) AS gmax,
+        |              CAST(count(*) AS BIGINT) AS n FROM v),
+        |h AS (SELECT (v - gmin) * 64 // (gmax - gmin + 1) AS bin,
+        |             CAST(count(*) AS BIGINT) AS c
+        |      FROM v, mm GROUP BY 1),
+        |p AS (SELECT CAST(unnest([25, 50, 90]) AS BIGINT) AS pct),
+        |px AS (SELECT pct, gmin + (gmax - gmin) * pct // 100 AS x, gmin, gmax, n
+        |       FROM p, mm),
+        |e0 AS (
+        |  SELECT px.pct, px.x, px.n, h.c,
+        |         px.gmin + (h.bin * (px.gmax - px.gmin + 1)) // 64 AS bin_lo,
+        |         px.gmin + ((h.bin + 1) * (px.gmax - px.gmin + 1)) // 64 AS bin_hi
+        |  FROM px, h
+        |), e AS (
+        |  SELECT pct, x, n,
+        |         CAST(sum(CASE WHEN bin_lo > x THEN c
+        |                       WHEN bin_hi > x THEN c * (bin_hi - x) // (bin_hi - bin_lo)
+        |                       ELSE 0 END) AS BIGINT) AS est_rows
+        |  FROM e0 GROUP BY 1, 2, 3
+        |), a AS (
+        |  SELECT px.pct, CAST(count(*) AS BIGINT) AS actual_rows
+        |  FROM v JOIN px ON v.v > px.x GROUP BY 1
+        |)
+        |SELECT e.pct, e.x AS threshold_cents, e.est_rows, a.actual_rows,
+        |       CAST((e.est_rows - a.actual_rows) * 1000000 // e.n AS BIGINT) AS err_ppm
+        |FROM e JOIN a USING (pct) ORDER BY e.pct""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

@@ -6807,6 +6807,106 @@ object SparkEntry {
         .orderBy("cluster_size")
     }),
 
+    // snapshot-retention reclaim planner: monthly order snapshots under
+    // retention windows of 1 / 3 / 12 months — months to expire, exact
+    // bytes freed vs kept (q331's byte model), freed share in ppm. ONE
+    // month-grain aggregate + a 1-row latest-month bound + map-side tier
+    // fan-out: the storage-lifecycle readout before a VACUUM
+    "q344_retention_reclaim" -> ((s, dir) => {
+      val byMon = Tables.orders(s, dir).select(
+        expr("year(o_orderdate) * 12 + month(o_orderdate)").as("mi"),
+        expr("32L + length(o_orderstatus) + length(o_orderpriority)").as("rb"))
+        .groupBy("mi").agg(count(lit(1)).as("n_rows"), sum(col("rb")).as("bytes"))
+      val latest = byMon.agg(max(col("mi")).as("latest_mi"))
+      byMon.crossJoin(broadcast(latest))
+        .withColumn("age", expr("latest_mi - mi"))
+        .select(col("age"), col("n_rows"), col("bytes"),
+          expr("stack(3, 1L, 3L, 12L) AS (retention_months)"))
+        .groupBy("retention_months")
+        .agg(count(lit(1)).as("n_months_total"),
+          sum(when(col("age") >= col("retention_months"), 1L).otherwise(0L))
+            .as("months_freed"),
+          sum(when(col("age") >= col("retention_months"), col("bytes"))
+            .otherwise(0L)).as("bytes_freed"),
+          sum(when(col("age") < col("retention_months"), col("bytes"))
+            .otherwise(0L)).as("bytes_kept"))
+        .withColumn("freed_ppm",
+          expr("bytes_freed * 1000000 div (bytes_freed + bytes_kept)"))
+        .orderBy("retention_months")
+    }),
+
+    // equi-DEPTH histogram build (the CBO stats pass q333's equi-width
+    // grid can't give): 7 octile boundaries located by the q299 two-pass
+    // trick — bounded-bin pass 1, single-bin sort pass 2 — then the exact
+    // ≤-boundary row count per cut; tie_skew_ppm measures how far value
+    // ties push the realized bucket edge off the ideal rank (the thing
+    // equi-depth stats consumers must tolerate)
+    "q345_equidepth_histogram" -> ((s, dir) => {
+      val v = Tables.orders(s, dir).select(centsOf(col("o_totalprice")).as("v"))
+        .localCheckpoint(false)
+      val n1 = v.agg(count(lit(1)).as("n"))
+      val hist = v.groupBy(expr("v div 65536").as("bin")).agg(count(lit(1)).as("c"))
+        .withColumn("cb", coalesce(sum(col("c")).over(
+          Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      val ks = s.sql(
+        "SELECT CAST(i AS BIGINT) AS i FROM VALUES (1),(2),(3),(4),(5),(6),(7) AS t(i)")
+        .crossJoin(broadcast(n1))
+        .select(col("i"), expr("(i * n) div 8").as("k"), col("n"))
+      val tb = ks.join(broadcast(hist),
+          col("cb") < col("k") && col("cb") + col("c") >= col("k"))
+        .select(col("i"), col("k"), col("n"), col("bin"),
+          (col("k") - col("cb")).as("off"))
+      val bounds = v.join(broadcast(tb), expr("v div 65536") === col("bin"))
+        .withColumn("r",
+          row_number().over(Window.partitionBy("i").orderBy("v")).cast("long"))
+        .filter(col("r") === col("off"))
+        .select(col("i"), col("k"), col("n"), col("v").as("boundary_cents"))
+        .localCheckpoint(false)
+      val rowsLe = v.join(broadcast(bounds.select("i", "boundary_cents")),
+          col("v") <= col("boundary_cents"))
+        .groupBy("i").agg(count(lit(1)).as("rows_le"))
+      bounds.join(rowsLe, Seq("i"))
+        .select(col("i").as("cut"), col("k").as("ideal_rank"),
+          col("boundary_cents"), col("rows_le"),
+          expr("(rows_le - k) * 1000000 div n").as("tie_skew_ppm"))
+        .orderBy("cut")
+    }),
+
+    // CBO range-selectivity audit: `price > X` estimated from the 64-bin
+    // equi-width histogram (full bins above X + uniform in-bin
+    // interpolation — the textbook formula every optimizer uses) against
+    // the exact count, for thresholds at 25 / 50 / 90% of the domain.
+    // err_ppm is SIGNED: the direction the optimizer would mis-plan
+    "q346_selectivity_audit" -> ((s, dir) => {
+      val v = Tables.orders(s, dir).select(centsOf(col("o_totalprice")).as("v"))
+        .localCheckpoint(false)
+      val mm = v.agg(min(col("v")).as("gmin"), max(col("v")).as("gmax"),
+        count(lit(1)).as("n"))
+      val hist = v.crossJoin(broadcast(mm))
+        .groupBy(expr("(v - gmin) * 64 div (gmax - gmin + 1)").as("bin"))
+        .agg(count(lit(1)).as("c"))
+      val preds = mm.select(col("gmin"), col("gmax"), col("n"),
+          expr("stack(3, 25L, 50L, 90L) AS (pct)"))
+        .withColumn("x", expr("gmin + (gmax - gmin) * pct div 100"))
+      val est = preds.join(broadcast(hist), lit(true))
+        .withColumn("bin_lo", expr("gmin + (bin * (gmax - gmin + 1)) div 64"))
+        .withColumn("bin_hi", expr("gmin + ((bin + 1) * (gmax - gmin + 1)) div 64"))
+        .withColumn("contrib", expr(
+          "CASE WHEN bin_lo > x THEN c" +
+            " WHEN bin_hi > x THEN c * (bin_hi - x) div (bin_hi - bin_lo)" +
+            " ELSE 0L END"))
+        .groupBy("pct", "x", "n")
+        .agg(sum(col("contrib")).as("est_rows"))
+      val actual = v.join(broadcast(preds.select("pct", "x")), col("v") > col("x"))
+        .groupBy("pct").agg(count(lit(1)).as("actual_rows"))
+      est.join(actual, Seq("pct"))
+        .select(col("pct"), col("x").as("threshold_cents"),
+          col("est_rows"), col("actual_rows"),
+          expr("(est_rows - actual_rows) * 1000000 div n").as("err_ppm"))
+        .orderBy("pct")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -95,7 +95,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q334_join_estimate",      // 1-row per-side stat aggregate bounds
     "q320_damerau_linkage",    // bounded name-dictionary pair broadcast
     "q340_runtime_filter_plan", // 1-row build-count aggregate bound
-    "q341_optimize_planner")   // bounded block-stat + date-dictionary broadcasts
+    "q341_optimize_planner",   // bounded block-stat + date-dictionary broadcasts
+    "q344_retention_reclaim",  // 1-row latest-month aggregate bound
+    "q345_equidepth_histogram", // bounded histogram + 7-cut broadcasts
+    "q346_selectivity_audit")  // 1-row min/max + 64-bin histogram broadcasts
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
