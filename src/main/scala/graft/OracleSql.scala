@@ -6931,7 +6931,35 @@ object OracleSql {
         |)
         |SELECT e.pct, e.x AS threshold_cents, e.est_rows, a.actual_rows,
         |       CAST((e.est_rows - a.actual_rows) * 1000000 // e.n AS BIGINT) AS err_ppm
-        |FROM e JOIN a USING (pct) ORDER BY e.pct""".stripMargin
+        |FROM e JOIN a USING (pct) ORDER BY e.pct""".stripMargin,
+
+    "q347_distinct_rollup" ->
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        |       CAST(count(DISTINCT text) AS BIGINT) AS n_texts,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY ROLLUP(lang, source)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q348_multi_distinct" ->
+      """SELECT source,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(count(DISTINCT text) AS BIGINT) AS n_texts,
+        |       CAST(count(DISTINCT (lang, text)) AS BIGINT) AS n_lang_texts,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q349_pivot_measures" ->
+      """SELECT source,
+        |       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en_n,
+        |       CAST(sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END) AS BIGINT) AS en_chars,
+        |       CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr_n,
+        |       CAST(sum(CASE WHEN lang = 'fr' THEN n_chars ELSE 0 END) AS BIGINT) AS fr_chars,
+        |       CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh_n,
+        |       CAST(sum(CASE WHEN lang = 'zh' THEN n_chars ELSE 0 END) AS BIGINT) AS zh_chars
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

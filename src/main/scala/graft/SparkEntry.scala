@@ -6907,6 +6907,49 @@ object SparkEntry {
         .orderBy("pct")
     }),
 
+    // exact count(DISTINCT) under ROLLUP — the Expand-operator path q52's
+    // plain cube aggregates never exercise: each input row fans out per
+    // grouping set, the distinct de-dups inside each set. Per (lang,
+    // source) grid cell, subtotal, and grand total: distinct texts + rows
+    "q347_distinct_rollup" -> ((s, dir) =>
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .rollup("lang", "source")
+        .agg(countDistinct(col("text")).as("n_texts"), count(lit(1)).as("n_docs"))
+        .select(
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_texts"), col("n_docs"))
+        .orderBy("lang", "source")),
+
+    // several count(DISTINCT ...) over DIFFERENT columns in one aggregate
+    // — the multi-Expand plan (one fan-out per distinct column set) that
+    // single-distinct queries never hit. Per source: distinct langs,
+    // distinct texts, distinct (lang, text) combos, plus a plain sum
+    "q348_multi_distinct" -> ((s, dir) =>
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .groupBy("source")
+        .agg(countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("text")).as("n_texts"),
+          countDistinct(col("lang"), col("text")).as("n_lang_texts"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("source")),
+
+    // pivot with TWO measures per pivot value (count + char sum) — the
+    // PivotFirst path where each (source, lang) cell carries a struct of
+    // aggregates, widened to typed columns; q34 pivots a single count
+    "q349_pivot_measures" -> ((s, dir) => {
+      val langs = Seq("en", "fr", "zh")
+      val piv = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .groupBy("source")
+        .pivot("lang", langs)
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      piv.select(
+        col("source") +: langs.flatMap(l => Seq(
+          coalesce(col(s"${l}_n"), lit(0L)).as(s"${l}_n"),
+          coalesce(col(s"${l}_chars"), lit(0L)).as(s"${l}_chars"))): _*)
+        .orderBy("source")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
