@@ -6959,7 +6959,44 @@ object OracleSql {
         |       CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh_n,
         |       CAST(sum(CASE WHEN lang = 'zh' THEN n_chars ELSE 0 END) AS BIGINT) AS zh_chars
         |FROM documents WHERE text IS NOT NULL
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q350_percentile_disc_cont" ->
+      """WITH v AS (SELECT o_orderpriority AS priority,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders)
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(quantile_disc(v, 0.5) AS BIGINT) AS p50_disc_cents,
+        |       round(quantile_cont(CAST(v AS DOUBLE), 0.5), 6) AS p50_cont,
+        |       CAST(count(*) % 2 AS BIGINT) AS odd_count
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q351_top_ties" ->
+      """WITH p AS (
+        |  SELECT p_brand, p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+        |         CAST(rank() OVER (PARTITION BY p_brand ORDER BY round(p_retailprice * 100) DESC)
+        |              AS BIGINT) AS rk
+        |  FROM part
+        |)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(max(rk) AS BIGINT) AS max_rank,
+        |       CAST(min(price_c) AS BIGINT) AS cutoff_cents,
+        |       CAST(sum(price_c) AS BIGINT) AS sum_cents
+        |FROM p WHERE rk <= 3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q352_group_mode" ->
+      """WITH q AS (
+        |  SELECT l_returnflag, CAST(round(l_quantity, 0) AS BIGINT) AS q,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2
+        |), r AS (
+        |  SELECT l_returnflag, q, c,
+        |         CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n_rows,
+        |         row_number() OVER (PARTITION BY l_returnflag ORDER BY c DESC, q ASC) AS rn
+        |  FROM q
+        |)
+        |SELECT l_returnflag, q AS mode_qty, c AS mode_count, n_rows,
+        |       CAST(c * 1000000 // n_rows AS BIGINT) AS mode_share_ppm
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

@@ -6950,6 +6950,60 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // PERCENTILE_DISC vs PERCENTILE_CONT side by side — the two ANSI
+    // median definitions differ exactly when a group has even count, and
+    // pipelines silently mixing them corrupt threshold logic. disc is an
+    // exact order statistic (integer cents, no rounding); cont
+    // interpolates (rounded to 6dp for the cross-engine hash)
+    "q350_percentile_disc_cont" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"), centsOf(col("o_totalprice")).as("v"))
+        .createOrReplaceTempView("q350_v")
+      s.sql(
+        """SELECT o_orderpriority AS priority,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT) AS p50_disc_cents,
+          |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY v), 6) AS p50_cont,
+          |       CAST(count(*) % 2 AS BIGINT) AS odd_count
+          |FROM q350_v GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
+    // top-3 WITH TIES per brand (rank ≤ 3, ties included — the ANSI
+    // FETCH FIRST ... WITH TIES semantics row_number-based top-k silently
+    // truncates): parts sharing the 3rd-highest price all surface
+    "q351_top_ties" -> ((s, dir) => {
+      val w = Window.partitionBy("p_brand").orderBy(col("price_c").desc)
+      Tables.part(s, dir)
+        .select(col("p_brand"), col("p_partkey"),
+          centsOf(col("p_retailprice")).as("price_c"))
+        .withColumn("rk", rank().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_rows"),
+          max(col("rk")).as("max_rank"),
+          min(col("price_c")).as("cutoff_cents"),
+          sum(col("price_c")).as("sum_cents"))
+        .orderBy("p_brand")
+    }),
+
+    // deterministic grouped MODE: the modal ship-quantity per return flag
+    // via struct-argmax (max count, ties to the SMALLEST value) — the
+    // built-in mode() leaves ties engine-dependent, so pipelines that
+    // need reproducible modal imputation use exactly this shape
+    "q352_group_mode" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          expr("CAST(round(l_quantity, 0) AS BIGINT)").as("q"))
+        .groupBy("l_returnflag", "q")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("l_returnflag")
+        .agg(max(struct(col("c"), (-col("q")).as("nq"), col("q"))).as("b"),
+          sum(col("c")).as("n_rows"))
+        .select(col("l_returnflag"), col("b.q").as("mode_qty"),
+          col("b.c").as("mode_count"), col("n_rows"),
+          expr("b.c * 1000000 div n_rows").as("mode_share_ppm"))
+        .orderBy("l_returnflag")),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
