@@ -6996,7 +6996,56 @@ object OracleSql {
         |)
         |SELECT l_returnflag, q AS mode_qty, c AS mode_count, n_rows,
         |       CAST(c * 1000000 // n_rows AS BIGINT) AS mode_share_ppm
-        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q353_activity_islands" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |         epoch_us(date_trunc('microseconds', ts)) // 86400000000 AS day
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, day,
+        |         day - dense_rank() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM d
+        |), i AS (
+        |  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len FROM g GROUP BY 1, 2
+        |)
+        |SELECT len AS island_days, CAST(count(*) AS BIGINT) AS n_islands,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q354_hierarchy_share" ->
+      """WITH rev AS (
+        |  SELECT r_name AS region, n_name AS nation,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT region, nation, rev_c,
+        |       CAST(rev_c * 1000000 // CAST(sum(rev_c) OVER (PARTITION BY region) AS BIGINT)
+        |            AS BIGINT) AS of_region_ppm,
+        |       CAST(rev_c * 1000000 // CAST(sum(rev_c) OVER () AS BIGINT) AS BIGINT)
+        |         AS of_total_ppm
+        |FROM rev ORDER BY region, nation""".stripMargin,
+
+    "q355_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |         epoch_us(date_trunc('microseconds', ts)) // 86400000000 AS day
+        |  FROM events
+        |), b AS (SELECT max(day) AS mxd FROM ud),
+        |t AS (SELECT b.mxd - 4 + x.i AS d FROM b, (SELECT unnest(range(0, 5)) AS i) x),
+        |da AS (SELECT t.d, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS dau
+        |       FROM t JOIN ud ON ud.day = t.d GROUP BY 1),
+        |wa AS (SELECT t.d, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau
+        |       FROM t JOIN ud ON ud.day > t.d - 7 AND ud.day <= t.d GROUP BY 1),
+        |ma AS (SELECT t.d, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS mau
+        |       FROM t JOIN ud ON ud.day > t.d - 28 AND ud.day <= t.d GROUP BY 1)
+        |SELECT da.d AS day, dau, wau, mau,
+        |       CAST(dau * 1000000 // mau AS BIGINT) AS stickiness_ppm
+        |FROM da JOIN wa USING (d) JOIN ma USING (d) ORDER BY day""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

@@ -7004,6 +7004,73 @@ object SparkEntry {
           expr("b.c * 1000000 div n_rows").as("mode_share_ppm"))
         .orderBy("l_returnflag")),
 
+    // gaps-and-islands: runs of CONSECUTIVE active days per user via the
+    // day − dense_rank constant-group trick (one window per user, no
+    // self-join) — the classic streak analysis; corpus-wide island-length
+    // histogram plus the longest streak
+    "q353_activity_islands" -> ((s, dir) => {
+      val days = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      days.withColumn("grp", col("day") - dense_rank().over(w))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy(col("len").as("island_days"))
+        .agg(count(lit(1)).as("n_islands"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("island_days")
+    }),
+
+    // hierarchical percent-of-parent: nation revenue as a share of its
+    // region AND of the grand total, exact ppm from integer cents — the
+    // two-level drill-down readout (q194 is single-level). Region sums
+    // come from one window over the 25-row nation aggregate; no second
+    // fact scan
+    "q354_hierarchy_share" -> ((s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("rev_c"))
+      rev
+        .withColumn("region_c", sum(col("rev_c")).over(Window.partitionBy("region")))
+        .withColumn("total_c", sum(col("rev_c")).over(Window.partitionBy()))
+        .select(col("region"), col("nation"), col("rev_c"),
+          expr("rev_c * 1000000 div region_c").as("of_region_ppm"),
+          expr("rev_c * 1000000 div total_c").as("of_total_ppm"))
+        .orderBy("region", "nation")
+    }),
+
+    // DAU / WAU / MAU stickiness: each (user, day) fans out map-side to
+    // every 7-day and 28-day window END it supports (q137's shape — never
+    // a distinct-over-range window, which can't skew-split), ONE
+    // distinct-count aggregate per grain, stickiness = DAU/MAU in ppm.
+    // Last 5 full days for a bounded, stable readout
+    "q355_stickiness" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").as("day"))
+        .distinct()
+        .localCheckpoint(false)
+      val bound = ud.agg(max(col("day")).as("mxd"))
+      def actives(span: Int, name: String): DataFrame = ud
+        .select(col("user_id"),
+          explode(expr(s"sequence(day, day + ${span - 1})")).as("d"))
+        .crossJoin(broadcast(bound))
+        .filter(col("d") > col("mxd") - 5 && col("d") <= col("mxd"))
+        .groupBy(col("d")).agg(countDistinct(col("user_id")).as(name))
+      actives(1, "dau")
+        .join(actives(7, "wau"), Seq("d"))
+        .join(actives(28, "mau"), Seq("d"))
+        .select(col("d").as("day"), col("dau"), col("wau"), col("mau"),
+          expr("dau * 1000000 div mau").as("stickiness_ppm"))
+        .orderBy("day")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

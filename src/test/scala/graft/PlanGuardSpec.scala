@@ -98,7 +98,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q341_optimize_planner",   // bounded block-stat + date-dictionary broadcasts
     "q344_retention_reclaim",  // 1-row latest-month aggregate bound
     "q345_equidepth_histogram", // bounded histogram + 7-cut broadcasts
-    "q346_selectivity_audit")  // 1-row min/max + 64-bin histogram broadcasts
+    "q346_selectivity_audit",  // 1-row min/max + 64-bin histogram broadcasts
+    "q355_stickiness")         // 1-row max-day aggregate bound
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
