@@ -3682,6 +3682,9 @@ object SparkEntry {
         .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
           col("p_partkey") === col("l_partkey"))
         .select(col("l_orderkey").as("o"), col("p_brand").as("b")).distinct()
+        // multiple consumers (per-brand counts, totals, both sides of the
+        // pair self-join) — materialize the distinct basket relation once
+        .localCheckpoint(false)
       val ni = ob.groupBy("b").agg(count(lit(1)).as("n"))
       val nn = ob.agg(countDistinct(col("o")).as("total"))
       val pr = ob.as("a").join(ob.as("c"), col("a.o") === col("c.o") && col("a.b") =!= col("c.b"))
@@ -4249,6 +4252,9 @@ object SparkEntry {
         .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
           col("p_partkey") === col("l_partkey"))
         .select(col("l_orderkey").as("o"), col("p_brand").as("b")).distinct()
+        // multiple consumers (per-brand counts, totals, both sides of the
+        // pair self-join) — materialize the distinct basket relation once
+        .localCheckpoint(false)
       val ni = ob.groupBy("b").agg(count(lit(1)).as("n"))
       val pr = ob.as("a").join(ob.as("c"), col("a.o") === col("c.o") && col("a.b") < col("c.b"))
         .groupBy(col("a.b").as("ba"), col("c.b").as("bb"))
