@@ -7045,7 +7045,43 @@ object OracleSql {
         |       FROM t JOIN ud ON ud.day > t.d - 28 AND ud.day <= t.d GROUP BY 1)
         |SELECT da.d AS day, dau, wau, mau,
         |       CAST(dau * 1000000 // mau AS BIGINT) AS stickiness_ppm
-        |FROM da JOIN wa USING (d) JOIN ma USING (d) ORDER BY day""".stripMargin
+        |FROM da JOIN wa USING (d) JOIN ma USING (d) ORDER BY day""".stripMargin,
+
+    "q356_listagg_ordered" ->
+      """WITH p AS (
+        |  SELECT p_brand, p_name,
+        |         row_number() OVER (PARTITION BY p_brand
+        |           ORDER BY round(p_retailprice * 100), p_name, p_partkey) AS rk
+        |  FROM part
+        |)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |       string_agg(p_name, ',' ORDER BY rk) AS cheapest3
+        |FROM p WHERE rk <= 3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q357_unpivot_api" ->
+      """WITH m AS (
+        |  SELECT 'extendedprice' AS metric,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+        |  UNION ALL SELECT 'discounted',
+        |         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'tax_amount',
+        |         CAST(round(l_extendedprice * l_tax * 100) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'quantity',
+        |         CAST(round(l_quantity, 0) AS BIGINT) FROM lineitem
+        |)
+        |SELECT metric, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS total
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q358_lateral_topk" ->
+      """SELECT r.r_name AS region, t.s_name, t.bal_c
+        |FROM region r,
+        |LATERAL (
+        |  SELECT s.s_name, CAST(round(s.s_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  ORDER BY bal_c DESC, s.s_name LIMIT 2
+        |) t
+        |ORDER BY region, t.bal_c DESC, t.s_name""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

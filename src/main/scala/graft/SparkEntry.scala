@@ -7077,6 +7077,65 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // ordered LISTAGG (ANSI listagg WITHIN GROUP — new in Spark 4): the
+    // three cheapest part names per brand as one comma-joined column,
+    // bounded by a rank pre-filter so no group aggregates more than 3
+    // strings (the q66 roll-up-cap discipline)
+    "q356_listagg_ordered" -> ((s, dir) => {
+      val w = Window.partitionBy("p_brand")
+        .orderBy(col("price_c"), col("p_name"), col("p_partkey"))
+      Tables.part(s, dir)
+        .select(col("p_brand"), col("p_name"),
+          centsOf(col("p_retailprice")).as("price_c"), col("p_partkey"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .createOrReplaceTempView("q356_v")
+      s.sql(
+        """SELECT p_brand,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       listagg(p_name, ',') WITHIN GROUP (ORDER BY rk) AS cheapest3
+          |FROM q356_v GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
+    // the official unpivot/melt API (Spark 3.4+) — the typed inverse of
+    // pivot, where every earlier melt in this repo used stack():
+    // lineitem's four money-ish measures to (metric, value) rows, cents
+    // summed per metric
+    "q357_unpivot_api" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"),
+          centsOf(col("l_extendedprice")).as("extendedprice"),
+          centsOf(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("discounted"),
+          centsOf(col("l_extendedprice") * col("l_tax")).as("tax_amount"),
+          expr("CAST(round(l_quantity, 0) AS BIGINT)").as("quantity"))
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("extendedprice"), col("discounted"), col("tax_amount"),
+            col("quantity")),
+          "metric", "v")
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+        .orderBy("metric")),
+
+    // LATERAL correlated subquery (SQL surface — the per-row dependent
+    // join Catalyst plans via DomainJoin rewrite): each region's two
+    // highest-balance suppliers, correlated through the nation bridge
+    "q358_lateral_topk" -> ((s, dir) => {
+      Tables.supplier(s, dir).createOrReplaceTempView("q358_s")
+      Tables.nation(s, dir).createOrReplaceTempView("q358_n")
+      Tables.region(s, dir).createOrReplaceTempView("q358_r")
+      s.sql(
+        """SELECT r.r_name AS region, t.s_name, t.bal_c
+          |FROM q358_r r,
+          |LATERAL (
+          |  SELECT s.s_name, CAST(round(s.s_acctbal * 100) AS BIGINT) AS bal_c
+          |  FROM q358_s s JOIN q358_n n ON s.s_nationkey = n.n_nationkey
+          |  WHERE n.n_regionkey = r.r_regionkey
+          |  ORDER BY bal_c DESC, s.s_name LIMIT 2
+          |) t
+          |ORDER BY region, t.bal_c DESC, t.s_name""".stripMargin)
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
