@@ -7081,7 +7081,42 @@ object OracleSql {
         |  WHERE n.n_regionkey = r.r_regionkey
         |  ORDER BY bal_c DESC, s.s_name LIMIT 2
         |) t
-        |ORDER BY region, t.bal_c DESC, t.s_name""".stripMargin
+        |ORDER BY region, t.bal_c DESC, t.s_name""".stripMargin,
+
+    "q359_recursive_projection" ->
+      """WITH RECURSIVE rev AS (
+        |  SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS mi,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY 1
+        |), bal(mi, b) AS (
+        |  SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT CAST(r.mi AS BIGINT), bal.b - bal.b // 10 + r.rev_c
+        |  FROM bal JOIN rev r ON r.mi = bal.mi + 1
+        |)
+        |SELECT mi AS month_index, CAST(b AS BIGINT) AS balance_cents
+        |FROM bal WHERE mi >= 0 ORDER BY mi""".stripMargin,
+
+    "q360_variant_json" ->
+      """WITH j AS (
+        |  SELECT '{"p":"' || o_orderpriority || '","t":' ||
+        |         CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) ||
+        |         ',"k":' || CAST(o_orderkey AS VARCHAR) || '}' AS js
+        |  FROM orders
+        |)
+        |SELECT js ->> '$.p' AS priority,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(js ->> '$.t' AS BIGINT)) AS BIGINT) AS total_cents,
+        |       CAST(max(CAST(js ->> '$.k' AS BIGINT)) AS BIGINT) AS max_key
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q361_sql_udf" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+        |       CAST(sum(CASE WHEN len(string_split(text, ' ')) BETWEEN 3 AND 500
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

@@ -7136,6 +7136,73 @@ object SparkEntry {
           |ORDER BY region, t.bal_c DESC, t.s_name""".stripMargin)
     }),
 
+    // WITH RECURSIVE in SPARK SQL (new in Spark 4.x): a LINEAR recursion —
+    // month-over-month cash projection where each level carries exactly
+    // one row (balance = prior − 10% drawdown + that month's revenue
+    // cents) and the recursion terminates when the month join empties.
+    // Spark's recursive CTEs require UNION ALL (no fixpoint dedup), so
+    // graph closures stay on ConnectedComponents.labels — this is the
+    // class of recursion the SQL surface is FOR, and the DuckDB oracle
+    // replays it statement-for-statement
+    "q359_recursive_projection" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(expr("(year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1")
+          .as("mi"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("rev_c"))
+        .createOrReplaceTempView("q359_rev")
+      s.sql(
+        """WITH RECURSIVE bal(mi, b) AS (
+          |  SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
+          |  UNION ALL
+          |  SELECT r.mi, bal.b - bal.b div 10 + r.rev_c
+          |  FROM bal JOIN q359_rev r ON r.mi = bal.mi + 1
+          |)
+          |SELECT mi AS month_index, b AS balance_cents
+          |FROM bal WHERE mi >= 0 ORDER BY mi""".stripMargin)
+    }),
+
+    // VARIANT round-trip (Spark 4's semi-structured type): a JSON payload
+    // built per order, parsed to VARIANT, fields pulled back out with
+    // typed variant_get — the schema-on-read path for event payloads that
+    // don't fit a fixed schema. The oracle replays the identical JSON via
+    // DuckDB's json_extract; totals prove the round-trip is lossless
+    "q360_variant_json" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(concat(lit("{\"p\":\""), col("o_orderpriority"),
+          lit("\",\"t\":"), centsOf(col("o_totalprice")).cast("string"),
+          lit(",\"k\":"), col("o_orderkey").cast("string"), lit("}")).as("js"))
+        .createOrReplaceTempView("q360_js")
+      s.sql(
+        """SELECT variant_get(parse_json(js), '$.p', 'string') AS priority,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(variant_get(parse_json(js), '$.t', 'long')) AS BIGINT)
+          |         AS total_cents,
+          |       CAST(max(variant_get(parse_json(js), '$.k', 'long')) AS BIGINT)
+          |         AS max_key
+          |FROM q360_js GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
+    // SQL-language UDFs (CREATE FUNCTION ... RETURN, Spark 4): the Gopher
+    // word-count rule as a named SQL function applied per document — the
+    // governed-UDF path where logic ships as SQL, stays in Catalyst (fully
+    // inlined and codegen'd — never a black-box lambda), and any engine
+    // can replay it
+    "q361_sql_udf" -> ((s, dir) => {
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("source"), col("text"))
+        .createOrReplaceTempView("q361_d")
+      s.sql("CREATE OR REPLACE TEMPORARY FUNCTION q361_wc(t STRING)" +
+        " RETURNS BIGINT RETURN CAST(size(split(t, ' ', -1)) AS BIGINT)")
+      s.sql("CREATE OR REPLACE TEMPORARY FUNCTION q361_ok(t STRING)" +
+        " RETURNS BOOLEAN RETURN q361_wc(t) BETWEEN 3 AND 500")
+      s.sql(
+        """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(q361_wc(text)) AS BIGINT) AS total_words,
+          |       CAST(sum(CASE WHEN q361_ok(text) THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_pass
+          |FROM q361_d GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
