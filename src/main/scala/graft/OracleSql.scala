@@ -7116,7 +7116,81 @@ object OracleSql {
         |       CAST(sum(CASE WHEN len(string_split(text, ' ')) BETWEEN 3 AND 500
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
         |FROM documents WHERE text IS NOT NULL
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q362_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS st,
+        |         epoch_us(date_trunc('microseconds', ts)) + 30000000 AS en
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, st, en,
+        |         max(en) OVER (PARTITION BY user_id ORDER BY st, en
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_en
+        |  FROM iv
+        |), f AS (
+        |  SELECT user_id, st, en,
+        |         CASE WHEN max_en IS NULL OR st > max_en THEN 1 ELSE 0 END AS new_island
+        |  FROM m
+        |), g AS (
+        |  SELECT user_id, st, en,
+        |         sum(new_island) OVER (PARTITION BY user_id ORDER BY st, en
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f
+        |), isl AS (
+        |  SELECT user_id, island, min(st) AS ist, max(en) AS ien
+        |  FROM g GROUP BY 1, 2
+        |), cv AS (
+        |  SELECT user_id, CAST(sum((ien - ist) // 1000000) AS BIGINT) AS covered_s,
+        |         CAST(count(*) AS BIGINT) AS n_islands
+        |  FROM isl GROUP BY 1
+        |)
+        |SELECT covered_s // 60 AS covered_min, CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(n_islands) AS BIGINT) AS total_islands
+        |FROM cv GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q363_quantile_normalize" ->
+      """WITH rk AS (
+        |  SELECT source, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS r
+        |  FROM documents WHERE text IS NOT NULL
+        |), ref AS (
+        |  SELECT r, CAST(sum(n_chars) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS c
+        |  FROM rk GROUP BY 1
+        |), rf AS (SELECT r, sv * 1000 // c AS ref_milli FROM ref),
+        |a AS (
+        |  SELECT rk.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(rk.n_chars) AS BIGINT) AS sum_raw,
+        |         CAST(sum(rf.ref_milli) AS BIGINT) AS sum_norm_milli
+        |  FROM rk JOIN rf USING (r) GROUP BY 1
+        |)
+        |SELECT source, n_docs, sum_raw, sum_norm_milli,
+        |       CAST(sum_norm_milli // n_docs - sum_raw * 1000 // n_docs AS BIGINT)
+        |         AS shift_milli
+        |FROM a ORDER BY source""".stripMargin,
+
+    "q364_von_neumann" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1
+        |), l AS (
+        |  SELECT v, v - lag(v) OVER (ORDER BY d) AS dv FROM daily
+        |), agg AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |         CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS sv,
+        |         CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS svv,
+        |         CAST(sum(CASE WHEN dv IS NOT NULL
+        |                       THEN CAST(dv AS HUGEINT) * dv ELSE 0 END) AS HUGEINT) AS sdd,
+        |         CAST(count(dv) AS HUGEINT) AS nd
+        |  FROM l
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_days,
+        |       CAST(sdd // nd AS BIGINT) AS mssd_c2,
+        |       CAST((n * svv - sv * sv) // (n * n) AS BIGINT) AS var_c2,
+        |       CAST((sdd // nd) * 1000000 // ((n * svv - sv * sv) // (n * n)) AS BIGINT)
+        |         AS vn_ratio_ppm
+        |FROM agg""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

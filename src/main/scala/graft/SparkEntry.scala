@@ -7203,6 +7203,89 @@ object SparkEntry {
           |FROM q361_d GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
 
+    // interval-union "watch time": each event opens a 30 s attention
+    // window; overlaps must not double-count, so per user the islands
+    // merge via the running-max-end trick (new island when this start
+    // exceeds every prior end) — one window pass, no self-join. Per-user
+    // covered seconds roll up to a bounded histogram
+    "q362_interval_union" -> ((s, dir) => {
+      val iv = Tables.events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("st"))
+        .withColumn("en", col("st") + 30000000L)
+      val w = Window.partitionBy("user_id").orderBy("st", "en")
+      val covered = iv
+        .withColumn("max_en", max(col("en")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_island",
+          when(col("max_en").isNull || col("st") > col("max_en"), 1L)
+            .otherwise(0L))
+        .withColumn("island",
+          sum(col("new_island")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "island")
+        .agg(min(col("st")).as("ist"), max(col("en")).as("ien"))
+        .groupBy("user_id")
+        .agg(sum(expr("(ien - ist) div 1000000")).as("covered_s"),
+          count(lit(1)).as("n_islands"))
+      covered.groupBy(expr("covered_s div 60").as("covered_min"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n_islands")).as("total_islands"))
+        .orderBy("covered_min")
+    }),
+
+    // quantile normalization (the microarray/batch-correction transform):
+    // every source's length distribution is mapped onto the common
+    // reference curve — value at rank r becomes the cross-source mean of
+    // rank-r values. Ranks come from one per-source window; the reference
+    // curve is a bounded per-rank aggregate. Readout: per source, the
+    // mean shift the normalization applies (exact integer sums)
+    "q363_quantile_normalize" -> ((s, dir) => {
+      val ranked = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("source"), col("n_chars"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("source").orderBy("n_chars")))
+      val ref = ranked.groupBy("r")
+        .agg(sum(col("n_chars")).as("sv"), count(lit(1)).as("c"))
+        .withColumn("ref_milli", expr("sv * 1000 div c"))
+      ranked.join(broadcast(ref.select("r", "ref_milli")), Seq("r"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_raw"),
+          sum(col("ref_milli")).as("sum_norm_milli"))
+        .withColumn("shift_milli",
+          expr("sum_norm_milli div n_docs - sum_raw * 1000 div n_docs"))
+        .orderBy("source")
+    }),
+
+    // von Neumann ratio (mean squared successive difference / variance)
+    // on the daily revenue series — the classic randomness-vs-trend test
+    // next to q245's lag-1 autocorrelation: VN ≈ 2 means white noise,
+    // VN < 2 positive drift. Exact decimal38 numerators, one bounded
+    // daily aggregate + one lag window over it
+    "q364_von_neumann" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(expr("CAST(o_orderdate AS DATE)").as("d"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("v"))
+      val w = Window.orderBy("d")
+      daily
+        .withColumn("dv", col("v") - lag(col("v"), 1).over(w))
+        .agg(count(lit(1)).cast(dec38).as("n"),
+          sum(col("v").cast(dec38)).as("sv"),
+          sum((col("v").cast(dec38)) * col("v").cast(dec38)).as("svv"),
+          sum(when(col("dv").isNotNull,
+            col("dv").cast(dec38) * col("dv").cast(dec38))
+            .otherwise(lit(0).cast(dec38))).as("sdd"),
+          count(col("dv")).cast(dec38).as("nd"))
+        .select(
+          col("n").cast("long").as("n_days"),
+          expr("CAST(sdd div nd AS BIGINT)").as("mssd_c2"),
+          expr("CAST((n * svv - sv * sv) div (n * n) AS BIGINT)").as("var_c2"),
+          // re-widen the floored mssd to decimal before ×1e6: cents² are
+          // ~1e17, so the product overflows long by 5 orders of magnitude
+          expr("CAST(CAST(sdd div nd AS DECIMAL(38,0)) * 1000000" +
+            " div CAST((n * svv - sv * sv) div (n * n) AS DECIMAL(38,0))" +
+            " AS BIGINT)").as("vn_ratio_ppm"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
