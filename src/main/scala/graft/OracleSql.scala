@@ -7190,7 +7190,86 @@ object OracleSql {
         |       CAST((n * svv - sv * sv) // (n * n) AS BIGINT) AS var_c2,
         |       CAST((sdd // nd) * 1000000 // ((n * svv - sv * sv) // (n * n)) AS BIGINT)
         |         AS vn_ratio_ppm
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    "q365_array_hof" ->
+      """WITH w AS (
+        |  SELECT lang, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+        |  FROM documents WHERE text IS NOT NULL
+        |), d AS (
+        |  SELECT lang, CAST(len(ws) AS BIGINT) AS n_words,
+        |         CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT)
+        |           AS char_sum,
+        |         CAST(len(list_filter(ws, x -> length(x) > 5)) AS BIGINT) AS n_long,
+        |         CAST(CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END AS BIGINT)
+        |           AS has_the
+        |  FROM w
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_words) AS BIGINT) AS total_words,
+        |       CAST(sum(char_sum) AS BIGINT) AS total_chars,
+        |       CAST(sum(n_long) AS BIGINT) AS total_long_words,
+        |       CAST(sum(has_the) AS BIGINT) AS docs_with_the
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q366_imputation" ->
+      """WITH v AS (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |         CAST(concat('0x', substr(md5('imp#' || CAST(o_orderkey AS VARCHAR)), 1, 12))
+        |              AS BIGINT) % 5 = 0 AS masked
+        |  FROM orders
+        |), obs AS (SELECT v FROM v WHERE NOT masked),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_obs, CAST(sum(v) AS BIGINT) AS s_obs
+        |       FROM obs),
+        |med AS (
+        |  SELECT v AS median_c FROM (
+        |    SELECT v, row_number() OVER (ORDER BY v) AS r FROM obs), st
+        |  WHERE r = (st.n_obs + 1) // 2
+        |), md AS (
+        |  SELECT v AS mode_c FROM (
+        |    SELECT v, count(*) AS c, row_number() OVER (ORDER BY count(*) DESC, v ASC) AS rn
+        |    FROM obs GROUP BY v)
+        |  WHERE rn = 1
+        |), tr AS (
+        |  SELECT CAST(sum(v) AS BIGINT) AS true_sum,
+        |         CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+        |  FROM v
+        |), s AS (
+        |  SELECT 'mean' AS strategy, st.s_obs + tr.n_masked * (st.s_obs // st.n_obs) AS imputed_sum,
+        |         tr.true_sum, tr.n_masked
+        |  FROM st, tr
+        |  UNION ALL SELECT 'median', st.s_obs + tr.n_masked * med.median_c, tr.true_sum, tr.n_masked
+        |  FROM st, tr, med
+        |  UNION ALL SELECT 'mode', st.s_obs + tr.n_masked * md.mode_c, tr.true_sum, tr.n_masked
+        |  FROM st, tr, md
+        |)
+        |SELECT strategy, CAST(imputed_sum AS BIGINT) AS imputed_sum, true_sum, n_masked,
+        |       CAST((imputed_sum - true_sum) * 1000000 // true_sum AS BIGINT) AS err_ppm
+        |FROM s ORDER BY strategy""".stripMargin,
+
+    "q367_conversion_windows" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'signup'
+        |                  THEN epoch_us(date_trunc('microseconds', ts)) END) AS sus,
+        |         min(CASE WHEN event_type = 'purchase'
+        |                  THEN epoch_us(date_trunc('microseconds', ts)) END) AS pus
+        |  FROM events WHERE event_type IN ('signup', 'purchase')
+        |  GROUP BY 1
+        |), d AS (
+        |  SELECT CASE WHEN pus >= sus THEN pus - sus END AS delta_us
+        |  FROM u WHERE sus IS NOT NULL
+        |), h AS (
+        |  SELECT * FROM (VALUES ('h01', CAST(3600000000 AS BIGINT)),
+        |                        ('h24', 86400000000),
+        |                        ('d7', 604800000000)) AS t(horizon, span_us)
+        |)
+        |SELECT horizon, CAST(count(*) AS BIGINT) AS n_signups,
+        |       CAST(sum(CASE WHEN delta_us <= span_us THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_converted,
+        |       CAST(sum(CASE WHEN delta_us <= span_us THEN 1 ELSE 0 END) * 1000000
+        |            // count(*) AS BIGINT) AS conversion_ppm
+        |FROM d, h GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

@@ -7286,6 +7286,99 @@ object SparkEntry {
             " AS BIGINT)").as("vn_ratio_ppm"))
     }),
 
+    // higher-order array functions as the per-row compute surface
+    // (filter / transform / aggregate / exists over the split-word array
+    // — no explode, no UDF): per language, integer word-length sums from
+    // one HOF chain. HOFs are interpreted (not codegen) — fine for
+    // per-row bounded arrays, wrong for hot shuffle paths; the explode
+    // formulations elsewhere are the hot-path shape
+    "q365_array_hof" -> ((s, dir) =>
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("lang"),
+          expr("filter(split(text, ' '), w -> length(w) > 0)").as("ws"))
+        .select(col("lang"),
+          expr("size(ws)").cast("long").as("n_words"),
+          expr("aggregate(transform(ws, w -> CAST(length(w) AS BIGINT))," +
+            " 0L, (a, x) -> a + x)").as("char_sum"),
+          expr("size(filter(ws, w -> length(w) > 5))").cast("long").as("n_long"),
+          expr("CAST(exists(ws, w -> w = 'the') AS INT)").cast("long").as("has_the"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("total_words"),
+          sum(col("char_sum")).as("total_chars"),
+          sum(col("n_long")).as("total_long_words"),
+          sum(col("has_the")).as("docs_with_the"))
+        .orderBy("lang")),
+
+    // null-imputation strategy comparison: a deterministic md5 mask nulls
+    // ~20% of order totals, then mean / median / mode imputation are
+    // compared against the TRUE sum — the data-prep decision (which
+    // strategy distorts least) as one exact-ppm table. Median via the
+    // q299 two-pass trick on observed values; mode on the cents
+    // dictionary; mean floored — every path integer-exact
+    "q366_imputation" -> ((s, dir) => {
+      val v = Tables.orders(s, dir).select(col("o_orderkey"),
+          centsOf(col("o_totalprice")).as("v"),
+          (Dedup.md5Long(concat(lit("imp#"), col("o_orderkey").cast("string")), 12) % 5 === 0)
+            .as("masked"))
+        .localCheckpoint(false)
+      val obs = v.filter(!col("masked"))
+      val stats = obs.agg(count(lit(1)).as("n_obs"), sum(col("v")).as("s_obs"))
+        .withColumn("mean_c", expr("s_obs div n_obs"))
+      // exact median of observed: bounded 65536-wide bins + one-bin sort
+      val hist = obs.groupBy(expr("v div 65536").as("bin")).agg(count(lit(1)).as("c"))
+        .withColumn("cb", coalesce(sum(col("c")).over(
+          Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val kk = stats.select(expr("(n_obs + 1) div 2").as("k"))
+      val tb = kk.join(broadcast(hist), col("cb") < col("k") && col("cb") + col("c") >= col("k"))
+        .select(col("k"), col("bin"), (col("k") - col("cb")).as("off"))
+      val median = obs.join(broadcast(tb), expr("v div 65536") === col("bin"))
+        .withColumn("r", row_number().over(Window.orderBy("v")).cast("long"))
+        .filter(col("r") === col("off"))
+        .select(col("v").as("median_c"))
+      val mode = obs.groupBy("v").agg(count(lit(1)).as("c"))
+        .agg(max(struct(col("c"), (-col("v")).as("nv"), col("v"))).as("b"))
+        .select(col("b.v").as("mode_c"))
+      val truth = v.agg(sum(col("v")).as("true_sum"), count(lit(1)).as("n_all"),
+        sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"))
+      truth.crossJoin(broadcast(stats)).crossJoin(broadcast(median))
+        .crossJoin(broadcast(mode))
+        .select(expr("stack(3," +
+          " 'mean', s_obs + n_masked * mean_c," +
+          " 'median', s_obs + n_masked * median_c," +
+          " 'mode', s_obs + n_masked * mode_c) AS (strategy, imputed_sum)"),
+          col("true_sum"), col("n_masked"))
+        .withColumn("err_ppm",
+          expr("(imputed_sum - true_sum) * 1000000 div true_sum"))
+        .orderBy("strategy")
+    }),
+
+    // multi-window conversion: signup→purchase rates at 1 h / 24 h / 7 d
+    // horizons from ONE per-user pair aggregate (first signup, first
+    // purchase after it) — the funnel-latency table marketing reads next
+    // to q171's median; exact ppm per horizon
+    "q367_conversion_windows" -> ((s, dir) => {
+      val u = Tables.events(s, dir)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "signup", unix_micros(col("ts"))))
+          .as("sus"),
+          min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+            .as("pus"))
+        .filter(col("sus").isNotNull)
+        .withColumn("delta_us",
+          when(col("pus") >= col("sus"), col("pus") - col("sus")))
+      u.select(col("delta_us"),
+          expr("stack(3, 'h01', 3600000000L, 'h24', 86400000000L," +
+            " 'd7', 604800000000L) AS (horizon, span_us)"))
+        .groupBy("horizon")
+        .agg(count(lit(1)).as("n_signups"),
+          sum(when(col("delta_us") <= col("span_us"), 1L).otherwise(0L))
+            .as("n_converted"))
+        .withColumn("conversion_ppm",
+          expr("n_converted * 1000000 div n_signups"))
+        .orderBy("horizon")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

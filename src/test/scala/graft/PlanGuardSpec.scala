@@ -99,7 +99,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q344_retention_reclaim",  // 1-row latest-month aggregate bound
     "q345_equidepth_histogram", // bounded histogram + 7-cut broadcasts
     "q346_selectivity_audit",  // 1-row min/max + 64-bin histogram broadcasts
-    "q355_stickiness")         // 1-row max-day aggregate bound
+    "q355_stickiness",         // 1-row max-day aggregate bound
+    "q366_imputation")         // 1-row stat/median/mode aggregate bounds
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
