@@ -7269,7 +7269,57 @@ object OracleSql {
         |         AS n_converted,
         |       CAST(sum(CASE WHEN delta_us <= span_us THEN 1 ELSE 0 END) * 1000000
         |            // count(*) AS BIGINT) AS conversion_ppm
-        |FROM d, h GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM d, h GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q368_lsh_cost_model" ->
+      s"""WITH ${minhashChain("documents")},
+         |pb AS (SELECT b, bsig, CAST(count(*) AS BIGINT) AS c FROM bs GROUP BY 1, 2),
+         |agg AS (SELECT b, CAST(count(*) AS BIGINT) AS n_buckets,
+         |               CAST(max(c) AS BIGINT) AS max_bucket,
+         |               CAST(sum(c * (c - 1) // 2) AS BIGINT) AS gen_pairs
+         |        FROM pb GROUP BY 1),
+         |dp AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct FROM cand),
+         |tg AS (SELECT CAST(sum(gen_pairs) AS BIGINT) AS total_gen FROM agg)
+         |SELECT CAST(agg.b AS BIGINT) AS band, n_buckets, max_bucket, gen_pairs,
+         |       dp.n_distinct,
+         |       CAST(tg.total_gen * 1000000 // greatest(dp.n_distinct, 1) AS BIGINT)
+         |         AS dup_factor_ppm
+         |FROM agg, dp, tg ORDER BY band""".stripMargin,
+
+    "q369_storage_tiering" ->
+      """WITH ls AS (
+        |  SELECT l_partkey,
+        |         max(CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |                  AS BIGINT)) AS last_day,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem GROUP BY 1
+        |), mx AS (SELECT max(last_day) AS mxd FROM ls),
+        |t AS (SELECT CASE WHEN mxd - last_day <= 30 THEN 'hot'
+        |                  WHEN mxd - last_day <= 365 THEN 'warm' ELSE 'cold' END AS tier,
+        |             rev_c
+        |      FROM ls, mx),
+        |a AS (SELECT tier, CAST(count(*) AS BIGINT) AS n_parts,
+        |             CAST(sum(rev_c) AS BIGINT) AS rev_c FROM t GROUP BY 1)
+        |SELECT tier, n_parts, rev_c,
+        |       CAST(rev_c * 1000000 // CAST(sum(rev_c) OVER () AS BIGINT) AS BIGINT)
+        |         AS rev_share_ppm
+        |FROM a ORDER BY tier""".stripMargin,
+
+    "q370_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1
+        |), r AS (
+        |  SELECT d, v,
+        |         list_sort(list(v) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |           AS lv,
+        |         row_number() OVER (ORDER BY d) AS rn
+        |  FROM daily
+        |)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, v AS revenue_c,
+        |       CAST(lv[4] AS BIGINT) AS rolling_median_c
+        |FROM r WHERE rn >= 7 ORDER BY day LIMIT 60""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

@@ -7379,6 +7379,74 @@ object SparkEntry {
         .orderBy("horizon")
     }),
 
+    // LSH cost model: per band, the bucket-size census and the exact
+    // Σ c·(c−1)/2 candidate-pair budget — the number the dedup planner
+    // commits to BEFORE running the join — against the distinct candidate
+    // count (multi-band overlap makes generated > distinct; the dup
+    // factor in ppm is the banding overhead). Reuses the production
+    // bandSignatures layout, so the model can never drift from q21
+    "q368_lsh_cost_model" -> ((s, dir) => {
+      val bands = Dedup.bandSignatures(
+        Tables.documents(s, dir), "doc_id", "text").localCheckpoint(false)
+      val perBand = bands.groupBy("b", "bsig").agg(count(lit(1)).as("c"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("n_buckets"), max(col("c")).as("max_bucket"),
+          sum(expr("c * (c - 1) div 2")).as("gen_pairs"))
+      val distinctPairs = Dedup.minhashCandidates(
+          Tables.documents(s, dir), "doc_id", "text")
+        .agg(count(lit(1)).as("n_distinct"))
+      perBand.crossJoin(broadcast(distinctPairs))
+        .withColumn("total_gen",
+          sum(col("gen_pairs")).over(Window.partitionBy()))
+        .select(col("b").cast("long").as("band"), col("n_buckets"), col("max_bucket"),
+          col("gen_pairs"), col("n_distinct"),
+          expr("total_gen * 1000000 div greatest(n_distinct, 1)")
+            .as("dup_factor_ppm"))
+        .orderBy("band")
+    }),
+
+    // storage-tiering planner: parts classified hot / warm / cold by days
+    // since their last shipment (vs the corpus max date — no wall clock),
+    // with revenue share per tier — the data-temperature readout behind
+    // tiered-storage placement. One fact aggregate + a 1-row max-date
+    // bound
+    "q369_storage_tiering" -> ((s, dir) => {
+      val lastShip = Tables.lineitem(s, dir)
+        .groupBy("l_partkey")
+        .agg(max(datediff(col("l_shipdate"), lit("1970-01-01")).cast("long"))
+          .as("last_day"),
+          sum(centsOf(col("l_extendedprice"))).as("rev_c"))
+      val mx = lastShip.agg(max(col("last_day")).as("mxd"))
+      lastShip.crossJoin(broadcast(mx))
+        .withColumn("tier", expr(
+          "CASE WHEN mxd - last_day <= 30 THEN 'hot'" +
+            " WHEN mxd - last_day <= 365 THEN 'warm' ELSE 'cold' END"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev_c")).as("rev_c"))
+        .withColumn("rev_share_ppm", expr(
+          "rev_c * 1000000 div sum(rev_c) OVER ()"))
+        .orderBy("tier")
+    }),
+
+    // exact rolling 7-day median of daily revenue: collect_list over a
+    // 7-ROW window (bounded by construction), sort, middle element — an
+    // exact integer order statistic per day, emitted only where the
+    // window is full so both engines agree on the odd-count middle
+    "q370_rolling_median" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(expr("CAST(o_orderdate AS DATE)").as("d"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("v"))
+      val w = Window.orderBy("d").rowsBetween(-6, 0)
+      daily
+        .withColumn("med",
+          element_at(sort_array(collect_list(col("v")).over(w)), 4))
+        .withColumn("rn", row_number().over(Window.orderBy("d")).cast("long"))
+        .filter(col("rn") >= 7)
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("v").as("revenue_c"), col("med").as("rolling_median_c"))
+        .orderBy("day").limit(60)
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -100,7 +100,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q345_equidepth_histogram", // bounded histogram + 7-cut broadcasts
     "q346_selectivity_audit",  // 1-row min/max + 64-bin histogram broadcasts
     "q355_stickiness",         // 1-row max-day aggregate bound
-    "q366_imputation")         // 1-row stat/median/mode aggregate bounds
+    "q366_imputation",         // 1-row stat/median/mode aggregate bounds
+    "q368_lsh_cost_model",     // 1-row distinct-candidate count bound
+    "q369_storage_tiering")    // 1-row max-date aggregate bound
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
