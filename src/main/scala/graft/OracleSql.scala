@@ -7087,7 +7087,9 @@ object OracleSql {
       """WITH RECURSIVE rev AS (
         |  SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS mi,
         |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
-        |  FROM orders GROUP BY 1
+        |  FROM orders
+        |  WHERE (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 < 24
+        |  GROUP BY 1
         |), bal(mi, b) AS (
         |  SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
         |  UNION ALL
@@ -7319,7 +7321,65 @@ object OracleSql {
         |)
         |SELECT strftime(d, '%Y-%m-%d') AS day, v AS revenue_c,
         |       CAST(lv[4] AS BIGINT) AS rolling_median_c
-        |FROM r WHERE rn >= 7 ORDER BY day LIMIT 60""".stripMargin
+        |FROM r WHERE rn >= 7 ORDER BY day LIMIT 60""".stripMargin,
+
+    "q371_seasonal_decomposition" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |           AS ed,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1
+        |), t AS (
+        |  SELECT ed, (ed + 4) % 7 AS dow, v,
+        |         count(*) OVER w AS n7,
+        |         CAST(sum(v) OVER w AS BIGINT) * 1000 // 7 AS trend_milli
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY ed ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), det AS (
+        |  SELECT dow, v * 1000 - trend_milli AS det_milli
+        |  FROM t WHERE n7 = 7
+        |), se AS (
+        |  SELECT dow, CAST(sum(det_milli) // count(*) AS BIGINT) AS s_milli
+        |  FROM det GROUP BY 1
+        |)
+        |SELECT d.dow, CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(max(se.s_milli) AS BIGINT) AS seasonal_milli,
+        |       CAST(sum(abs(d.det_milli - se.s_milli)) // count(*) AS BIGINT)
+        |         AS mean_abs_resid_milli
+        |FROM det d JOIN se USING (dow) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q372_cms_audit" ->
+      """WITH cc AS (
+        |  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1
+        |), h AS (
+        |  SELECT k, n,
+        |         CAST(concat('0x', substr(md5('cms0#' || CAST(k AS VARCHAR)), 1, 12)) AS BIGINT) % 256 AS h0,
+        |         CAST(concat('0x', substr(md5('cms1#' || CAST(k AS VARCHAR)), 1, 12)) AS BIGINT) % 256 AS h1,
+        |         CAST(concat('0x', substr(md5('cms2#' || CAST(k AS VARCHAR)), 1, 12)) AS BIGINT) % 256 AS h2,
+        |         CAST(concat('0x', substr(md5('cms3#' || CAST(k AS VARCHAR)), 1, 12)) AS BIGINT) % 256 AS h3
+        |  FROM cc
+        |), m AS (
+        |  SELECT 0 AS dd, h0 AS bucket, n FROM h
+        |  UNION ALL SELECT 1, h1, n FROM h
+        |  UNION ALL SELECT 2, h2, n FROM h
+        |  UNION ALL SELECT 3, h3, n FROM h
+        |), cnts AS (
+        |  SELECT dd, bucket, CAST(sum(n) AS BIGINT) AS cnt FROM m GROUP BY 1, 2
+        |), top AS (
+        |  SELECT * FROM h ORDER BY n DESC, k LIMIT 20
+        |), tm AS (
+        |  SELECT k, n, 0 AS dd, h0 AS bucket FROM top
+        |  UNION ALL SELECT k, n, 1, h1 FROM top
+        |  UNION ALL SELECT k, n, 2, h2 FROM top
+        |  UNION ALL SELECT k, n, 3, h3 FROM top
+        |), e AS (
+        |  SELECT tm.k, tm.n, CAST(min(c.cnt) AS BIGINT) AS est
+        |  FROM tm JOIN cnts c ON tm.dd = c.dd AND tm.bucket = c.bucket
+        |  GROUP BY 1, 2
+        |)
+        |SELECT k AS custkey, n AS exact, est,
+        |       CAST((est - n) * 1000000 // n AS BIGINT) AS over_ppm
+        |FROM e ORDER BY exact DESC, custkey""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

@@ -7149,6 +7149,13 @@ object SparkEntry {
         .groupBy(expr("(year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1")
           .as("mi"))
         .agg(sum(centsOf(col("o_totalprice"))).as("rev_c"))
+        // 24-month horizon: each recursion level is a sequential Spark
+        // job, so the projection length IS the latency knob
+        .filter(col("mi") < 24)
+        // each recursion level re-executes the view's plan — materialize
+        // the monthly relation once or the fact scan runs per level
+        // (measured 23.7 s → ~2 s at sf0.1)
+        .localCheckpoint(false)
         .createOrReplaceTempView("q359_rev")
       s.sql(
         """WITH RECURSIVE bal(mi, b) AS (
@@ -7445,6 +7452,66 @@ object SparkEntry {
         .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
           col("v").as("revenue_c"), col("med").as("rolling_median_c"))
         .orderBy("day").limit(60)
+    }),
+
+    // additive seasonal decomposition of daily revenue: trend = centered
+    // 7-day mean (full windows only), weekly seasonal = per-DOW mean of
+    // the detrended series, residual = the rest — classic STL-lite in
+    // exact milli-cents. DOW comes from epoch-day % 7 (1970-01-01 was a
+    // Thursday) — pure integer, immune to the Sunday=0-vs-1 calendar
+    // disagreements between engines. Windows run on the bounded date
+    // dictionary only
+    "q371_seasonal_decomposition" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+          .as("ed"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("v"))
+        .withColumn("dow", expr("(ed + 4) % 7"))
+      val w7 = Window.orderBy("ed").rowsBetween(-3, 3)
+      val det = daily
+        .withColumn("n7", count(lit(1)).over(w7))
+        .withColumn("trend_milli",
+          when(col("n7") === 7, expr("sum(v) OVER (ORDER BY ed" +
+            " ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) * 1000 div 7")))
+        .filter(col("trend_milli").isNotNull)
+        .withColumn("det_milli", col("v") * 1000 - col("trend_milli"))
+        .localCheckpoint(false)
+      val seasonal = det.groupBy("dow")
+        .agg(expr("sum(det_milli) div count(1)").as("s_milli"))
+      det.join(broadcast(seasonal), Seq("dow"))
+        .withColumn("resid_milli", col("det_milli") - col("s_milli"))
+        .groupBy("dow")
+        .agg(count(lit(1)).as("n_days"), max(col("s_milli")).as("seasonal_milli"),
+          expr("sum(abs(resid_milli)) div count(1)").as("mean_abs_resid_milli"))
+        .orderBy("dow")
+    }),
+
+    // count-min sketch audit: depth-4 × width-256 counters over per-
+    // customer order counts (md5-derived row hashes — portable), the
+    // min-of-counters estimate vs the exact count for the top-20 keys.
+    // over_ppm is CMS's signature one-sided error; the counters relation
+    // (4×256 rows) broadcasts, so the audit adds no shuffle beyond the
+    // base aggregate
+    "q372_cms_audit" -> ((s, dir) => {
+      val cc = Tables.orders(s, dir).groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("n")).localCheckpoint(false)
+      def hh(d: Int) =
+        Dedup.md5Long(concat(lit(s"cms$d#"), col("k").cast("string")), 12) % 256
+      val withH = cc
+        .withColumn("h0", hh(0)).withColumn("h1", hh(1))
+        .withColumn("h2", hh(2)).withColumn("h3", hh(3))
+      val counters = withH.select(col("n"),
+          expr("stack(4, 0L, h0, 1L, h1, 2L, h2, 3L, h3) AS (dd, bucket)"))
+        .groupBy("dd", "bucket").agg(sum(col("n")).as("cnt"))
+      val top = withH
+        .orderBy(col("n").desc, col("k")).limit(20)
+      top.select(col("k"), col("n"),
+          expr("stack(4, 0L, h0, 1L, h1, 2L, h2, 3L, h3) AS (dd, bucket)"))
+        .join(broadcast(counters), Seq("dd", "bucket"))
+        .groupBy("k", "n").agg(min(col("cnt")).as("est"))
+        .select(col("k").as("custkey"), col("n").as("exact"), col("est"),
+          expr("(est - n) * 1000000 div n").as("over_ppm"))
+        .orderBy(col("exact").desc, col("custkey"))
     }),
 
     // multimodal: opaque binary column + stub decode metadata
