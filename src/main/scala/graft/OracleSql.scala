@@ -7379,7 +7379,48 @@ object OracleSql {
         |)
         |SELECT k AS custkey, n AS exact, est,
         |       CAST((est - n) * 1000000 // n AS BIGINT) AS over_ppm
-        |FROM e ORDER BY exact DESC, custkey""".stripMargin
+        |FROM e ORDER BY exact DESC, custkey""".stripMargin,
+
+    "q373_postings_intersect" ->
+      """WITH p AS (SELECT DISTINCT doc_id, w FROM (
+        |        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents WHERE text IS NOT NULL) WHERE length(w) > 0),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM p),
+        |top AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1
+        |        ORDER BY df DESC, w LIMIT 5),
+        |tp AS (SELECT p.w, p.doc_id FROM p JOIN top USING (w)),
+        |a AS (SELECT x.w AS wa, y.w AS wb, CAST(count(*) AS BIGINT) AS actual
+        |      FROM tp x JOIN tp y ON x.doc_id = y.doc_id AND x.w < y.w GROUP BY 1, 2)
+        |SELECT wa, wb, ta.df AS df_a, tb.df AS df_b,
+        |       CAST(ta.df * tb.df // nd.nd AS BIGINT) AS est, a.actual,
+        |       CAST((ta.df * tb.df // nd.nd) * 1000000 // a.actual AS BIGINT) AS est_ppm
+        |FROM a JOIN top ta ON a.wa = ta.w JOIN top tb ON a.wb = tb.w, nd
+        |ORDER BY wa, wb""".stripMargin,
+
+    "q374_typed_udaf" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment AS segment, CAST(round(c_acctbal * 100) AS BIGINT) AS v
+        |  FROM customer
+        |), a AS (
+        |  SELECT segment, CAST(count(*) AS HUGEINT) AS n,
+        |         CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS s,
+        |         CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS ss
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT segment, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_c,
+        |       CAST((n * ss - s * s) // (n * n) AS BIGINT) AS variance_c2
+        |FROM a ORDER BY segment""".stripMargin,
+
+    "q375_map_type" ->
+      """WITH g AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+        |       string_agg(lang, ',' ORDER BY lang) AS langs,
+        |       CAST(sum(c) AS BIGINT) AS total_docs,
+        |       CAST(coalesce(max(CASE WHEN lang = 'en' THEN c END), 0) AS BIGINT) AS en_docs
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

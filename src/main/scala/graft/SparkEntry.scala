@@ -7514,6 +7514,70 @@ object SparkEntry {
         .orderBy(col("exact").desc, col("custkey"))
     }),
 
+    // AND-query postings intersection planner: for the top-5 document-
+    // frequency terms, every pair's estimated intersection under the
+    // planner's independence assumption (df_a·df_b / N) vs the EXACT
+    // intersection from one postings self-join on the bounded top-term
+    // set — the q277/q334 estimate-audit family applied to the inverted
+    // index
+    "q373_postings_intersect" -> ((s, dir) => {
+      val postings = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
+        .filter(length(col("w")) > 0).distinct()
+        .localCheckpoint(false)
+      val nDocs = postings.agg(countDistinct(col("doc_id")).as("nd"))
+      val top = postings.groupBy("w").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("w")).limit(5)
+      val tp = postings.join(broadcast(top), Seq("w"))
+      val actual = tp.select(col("w").as("wa"), col("doc_id"))
+        .join(tp.select(col("w").as("wb"), col("doc_id")), Seq("doc_id"))
+        .filter(col("wa") < col("wb"))
+        .groupBy("wa", "wb").agg(count(lit(1)).as("actual"))
+      actual
+        .join(broadcast(top.select(col("w").as("wa"), col("df").as("df_a"))), Seq("wa"))
+        .join(broadcast(top.select(col("w").as("wb"), col("df").as("df_b"))), Seq("wb"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("wa"), col("wb"), col("df_a"), col("df_b"),
+          expr("df_a * df_b div nd").as("est"), col("actual"),
+          expr("(df_a * df_b div nd) * 1000000 div actual").as("est_ppm"))
+        .orderBy("wa", "wb")
+    }),
+
+    // custom typed Aggregator (functions/VarianceAgg.scala — the tier
+    // between built-in aggregates and codegen expressions): exact
+    // population variance of customer balances per market segment from a
+    // flat (n, Σx, Σx²) long buffer with map-side combine; BigInt finish
+    // so n·Σx² never overflows. The oracle replays the same integer
+    // algebra in HUGEINT
+    "q374_typed_udaf" -> ((s, dir) => {
+      val varCents = udaf(graft.functions.VarianceAgg)
+      Tables.customer(s, dir)
+        .select(col("c_mktsegment").as("segment"),
+          centsOf(col("c_acctbal")).as("bal_c"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n"), sum(col("bal_c")).as("sum_c"),
+          varCents(col("bal_c")).as("variance_c2"))
+        .orderBy("segment")
+    }),
+
+    // MAP-typed columns end to end: per-source lang→count maps built with
+    // map_from_entries, carried through a shuffle, then read back via
+    // map_keys / element_at — the semi-structured column shape feature
+    // tables use; the readout proves the round-trip is lossless
+    "q375_map_type" -> ((s, dir) => {
+      val m = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(map_from_entries(sort_array(collect_list(struct(col("lang"), col("c")))))
+          .as("m"))
+      m.select(col("source"),
+          size(col("m")).cast("long").as("n_langs"),
+          array_join(map_keys(col("m")), ",").as("langs"),
+          expr("aggregate(map_values(m), 0L, (a, x) -> a + x)").as("total_docs"),
+          coalesce(element_at(col("m"), "en"), lit(0L)).as("en_docs"))
+        .orderBy("source")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
