@@ -7420,7 +7420,61 @@ object OracleSql {
         |       string_agg(lang, ',' ORDER BY lang) AS langs,
         |       CAST(sum(c) AS BIGINT) AS total_docs,
         |       CAST(coalesce(max(CASE WHEN lang = 'en' THEN c END), 0) AS BIGINT) AS en_docs
-        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q376_replica_repair" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |         CASE WHEN CAST(concat('0x', substr(md5('rep#' || CAST(o_orderkey AS VARCHAR)), 1, 12))
+        |                   AS BIGINT) % 1000 = 0 THEN 1 ELSE 0 END AS drift,
+        |         o_orderkey // 4096 AS blk
+        |  FROM orders
+        |), b AS (
+        |  SELECT blk, CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST(sum(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR) || '#'
+        |              || CAST(v AS VARCHAR)), 1, 12)) AS BIGINT)) AS BIGINT) AS dig_a,
+        |         CAST(sum(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR) || '#'
+        |              || CAST(v + drift AS VARCHAR)), 1, 12)) AS BIGINT)) AS BIGINT) AS dig_b,
+        |         CAST(sum(drift) AS BIGINT) AS n_drifted
+        |  FROM o GROUP BY 1
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+        |       CAST(sum(CASE WHEN dig_a <> dig_b THEN 1 ELSE 0 END) AS BIGINT) AS blocks_differ,
+        |       CAST(sum(CASE WHEN dig_a <> dig_b THEN n_rows ELSE 0 END) AS BIGINT) AS rows_to_sync,
+        |       CAST(sum(n_drifted) AS BIGINT) AS rows_actually_drifted,
+        |       CAST(sum(n_rows) AS BIGINT) AS total_rows,
+        |       CAST((sum(n_rows) - sum(CASE WHEN dig_a <> dig_b THEN n_rows ELSE 0 END))
+        |            * 1000000 // sum(n_rows) AS BIGINT) AS sync_saving_ppm
+        |FROM b""".stripMargin,
+
+    "q377_block_bloom" ->
+      """WITH o AS (SELECT o_orderkey // 4096 AS blk, o_custkey FROM orders),
+        |p AS (SELECT DISTINCT o_custkey AS probe FROM o ORDER BY 1 LIMIT 5),
+        |h AS (SELECT p.probe, CAST(count(DISTINCT o.blk) AS BIGINT) AS present_blocks
+        |      FROM o JOIN p ON o.o_custkey = p.probe GROUP BY 1),
+        |nb AS (SELECT CAST(count(DISTINCT blk) AS BIGINT) AS n_blocks FROM o),
+        |t AS (SELECT CAST(unnest([10000, 1000, 100]) AS BIGINT) AS fpp_ppm),
+        |x AS (SELECT probe, n_blocks, present_blocks, fpp_ppm,
+        |             present_blocks * 1000 + (n_blocks - present_blocks) * fpp_ppm // 1000
+        |               AS erm
+        |      FROM h, nb, t)
+        |SELECT probe, n_blocks, present_blocks, fpp_ppm,
+        |       CAST(erm AS BIGINT) AS expected_read_milli,
+        |       CAST((n_blocks * 1000 - erm) * 1000 // n_blocks AS BIGINT) AS skip_ppm
+        |FROM x ORDER BY probe, fpp_ppm""".stripMargin,
+
+    "q378_bitmask_rollup" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |              WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+        |              WHEN 'error' THEN 16 ELSE 32 END AS b
+        |  FROM events
+        |), m AS (SELECT user_id, CAST(bit_or(b) AS BIGINT) AS mask FROM b GROUP BY 1)
+        |SELECT mask, CAST(bit_count(mask) AS BIGINT) AS n_types,
+        |       (mask & 4) > 0 AS has_purchase,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

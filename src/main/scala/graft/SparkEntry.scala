@@ -7578,6 +7578,84 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // anti-entropy replica repair: replica B drifts deterministically
+    // (orders whose md5 lands in 1/1000 gain one cent), per-4096-key
+    // block digests (order-invariant sums of row hashes — the q132/q262
+    // discipline) localize the damage, and the readout is the repair
+    // plan: blocks to diff, rows to resync, and the transfer saving vs a
+    // full copy. ONE scan computes both replicas' digests (the drift is
+    // a pure column expression)
+    "q376_replica_repair" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        centsOf(col("o_totalprice")).as("v"))
+        .withColumn("drift",
+          (Dedup.md5Long(concat(lit("rep#"), col("o_orderkey").cast("string")), 12)
+            % 1000 === 0).cast("long"))
+        .withColumn("blk", expr("o_orderkey div 4096"))
+      val blocks = o.groupBy("blk").agg(
+        count(lit(1)).as("n_rows"),
+        sum(Dedup.md5Long(concat(col("o_orderkey").cast("string"), lit("#"),
+          col("v").cast("string")), 12)).as("dig_a"),
+        sum(Dedup.md5Long(concat(col("o_orderkey").cast("string"), lit("#"),
+          (col("v") + col("drift")).cast("string")), 12)).as("dig_b"),
+        sum(col("drift")).as("n_drifted"))
+      blocks.agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("dig_a") =!= col("dig_b"), 1L).otherwise(0L))
+          .as("blocks_differ"),
+        sum(when(col("dig_a") =!= col("dig_b"), col("n_rows")).otherwise(0L))
+          .as("rows_to_sync"),
+        sum(col("n_drifted")).as("rows_actually_drifted"),
+        sum(col("n_rows")).as("total_rows"))
+        .withColumn("sync_saving_ppm",
+          expr("(total_rows - rows_to_sync) * 1000000 div total_rows"))
+    }),
+
+    // block-level bloom data skipping for point lookups on an UNSORTED
+    // column (where q330 shows zone maps skip nothing): per 4096-key
+    // block, whether the probe custkey is present (exact), plus the
+    // expected blocks read under a per-block bloom at each q329 fpp tier
+    // — present_blocks + (absent_blocks · fpp). The readout is the
+    // skipping-index decision zone maps can't make on random layouts
+    "q377_block_bloom" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        expr("o_orderkey div 4096").as("blk"), col("o_custkey"))
+      val probes = o.select(col("o_custkey")).distinct()
+        .orderBy(col("o_custkey")).limit(5)
+        .select(col("o_custkey").as("probe"))
+      val hits = o.join(broadcast(probes), col("o_custkey") === col("probe"))
+        .select("probe", "blk").distinct()
+        .groupBy("probe").agg(count(lit(1)).as("present_blocks"))
+      val nb = o.select("blk").distinct().agg(count(lit(1)).as("n_blocks"))
+      hits.crossJoin(broadcast(nb))
+        .select(col("probe"), col("n_blocks"), col("present_blocks"),
+          expr("stack(3, 10000L, 1000L, 100L) AS (fpp_ppm)"))
+        .withColumn("expected_read_milli", expr(
+          "present_blocks * 1000 + (n_blocks - present_blocks) * fpp_ppm div 1000"))
+        .withColumn("skip_ppm", expr(
+          "(n_blocks * 1000 - expected_read_milli) * 1000 div n_blocks"))
+        .orderBy("probe", "fpp_ppm")
+    }),
+
+    // bitmask rollups: each user's event types folded into ONE long via
+    // bit_or (view=1, click=2, purchase=4, signup=8, error=16), then the
+    // segment census by exact mask — the flags-column pattern that keeps
+    // a 5-way behavioral segmentation in a single aggregate column
+    "q378_bitmask_rollup" -> ((s, dir) => {
+      val bit = expr(
+        "CASE event_type WHEN 'view' THEN 1L WHEN 'click' THEN 2L" +
+          " WHEN 'purchase' THEN 4L WHEN 'signup' THEN 8L" +
+          " WHEN 'error' THEN 16L ELSE 32L END")
+      Tables.events(s, dir)
+        .select(col("user_id"), bit.as("b"))
+        .groupBy("user_id").agg(bit_or(col("b")).as("mask"))
+        .groupBy("mask").agg(count(lit(1)).as("n_users"))
+        .withColumn("has_purchase", expr("CAST((mask & 4) > 0 AS BOOLEAN)"))
+        .withColumn("n_types", expr("bit_count(mask)").cast("long"))
+        .select("mask", "n_types", "has_purchase", "n_users")
+        .orderBy("mask")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

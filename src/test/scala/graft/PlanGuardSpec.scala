@@ -103,7 +103,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q366_imputation",         // 1-row stat/median/mode aggregate bounds
     "q368_lsh_cost_model",     // 1-row distinct-candidate count bound
     "q369_storage_tiering",    // 1-row max-date aggregate bound
-    "q373_postings_intersect") // 1-row corpus-doc-count bound
+    "q373_postings_intersect", // 1-row corpus-doc-count bound
+    "q377_block_bloom")        // 1-row block-count bound
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
