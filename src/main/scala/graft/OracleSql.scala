@@ -7474,7 +7474,64 @@ object OracleSql {
         |SELECT mask, CAST(bit_count(mask) AS BIGINT) AS n_types,
         |       (mask & 4) > 0 AS has_purchase,
         |       CAST(count(*) AS BIGINT) AS n_users
-        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q379_pipe_syntax" ->
+      """SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS total_cents
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q380_corr_matrix" ->
+      """WITH a AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |         sum(CAST(CAST(round(l_quantity, 0) AS BIGINT) AS HUGEINT)) AS sq,
+        |         sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS sp,
+        |         sum(CAST(CAST(round(l_discount * 100) AS BIGINT) AS HUGEINT)) AS sd,
+        |         sum(CAST(CAST(round(l_quantity, 0) AS BIGINT) AS HUGEINT)
+        |             * CAST(round(l_quantity, 0) AS BIGINT)) AS sqq,
+        |         sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+        |             * CAST(round(l_extendedprice * 100) AS BIGINT)) AS spp,
+        |         sum(CAST(CAST(round(l_discount * 100) AS BIGINT) AS HUGEINT)
+        |             * CAST(round(l_discount * 100) AS BIGINT)) AS sdd,
+        |         sum(CAST(CAST(round(l_quantity, 0) AS BIGINT) AS HUGEINT)
+        |             * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sqp,
+        |         sum(CAST(CAST(round(l_quantity, 0) AS BIGINT) AS HUGEINT)
+        |             * CAST(round(l_discount * 100) AS BIGINT)) AS sqd,
+        |         sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+        |             * CAST(round(l_discount * 100) AS BIGINT)) AS spd
+        |  FROM lineitem
+        |), u AS (
+        |  SELECT 'qty_price' AS pair,
+        |         round(CAST(n * sqp - sq * sp AS DOUBLE) /
+        |               (sqrt(CAST(n * sqq - sq * sq AS DOUBLE)) *
+        |                sqrt(CAST(n * spp - sp * sp AS DOUBLE))), 6) AS corr FROM a
+        |  UNION ALL
+        |  SELECT 'qty_disc',
+        |         round(CAST(n * sqd - sq * sd AS DOUBLE) /
+        |               (sqrt(CAST(n * sqq - sq * sq AS DOUBLE)) *
+        |                sqrt(CAST(n * sdd - sd * sd AS DOUBLE))), 6) FROM a
+        |  UNION ALL
+        |  SELECT 'price_disc',
+        |         round(CAST(n * spd - sp * sd AS DOUBLE) /
+        |               (sqrt(CAST(n * spp - sp * sp AS DOUBLE)) *
+        |                sqrt(CAST(n * sdd - sd * sd AS DOUBLE))), 6) FROM a
+        |)
+        |SELECT pair, corr FROM u ORDER BY pair""".stripMargin,
+
+    "q381_predicate_aggs" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS priority,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders
+        |)
+        |SELECT priority,
+        |       CAST(count(*) FILTER (WHERE c > 15000000) AS BIGINT) AS n_high_value,
+        |       bool_and(c > 100000) AS all_above_1k,
+        |       bool_or(c > 50000000) AS any_above_500k,
+        |       CAST(min(c) AS BIGINT) AS min_cents
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

@@ -7656,6 +7656,70 @@ object SparkEntry {
         .orderBy("mask")
     }),
 
+    // SQL pipe syntax (|>, new in Spark 4) — the linear dataflow dialect:
+    // scan |> filter |> extend |> aggregate |> order, reading top-to-
+    // bottom the way the DataFrame API does. Same revenue-by-priority
+    // shape as classic SQL; the point is the surface parity
+    "q379_pipe_syntax" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("q379_o")
+      s.sql(
+        """FROM q379_o
+          ||> WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          ||> EXTEND CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          ||> AGGREGATE CAST(count(*) AS BIGINT) AS n, sum(cents) AS total_cents
+          |   GROUP BY o_orderpriority
+          ||> SELECT o_orderpriority AS priority, n, total_cents
+          ||> ORDER BY priority""".stripMargin)
+    }),
+
+    // pairwise Pearson correlation MATRIX of lineitem's three measures
+    // from ONE scan — q54's discipline generalized: all moments for all
+    // three pairs accumulate exactly (decimal38, partition-invariant) in
+    // a single aggregation; only the bounded 3-row readout divides as
+    // doubles (identical integer inputs ⇒ identical IEEE result), rounded
+    // to 6dp like every corr in this library
+    "q380_corr_matrix" -> ((s, dir) => {
+      val q = expr("CAST(round(l_quantity, 0) AS BIGINT)").cast(dec38)
+      val p = centsOf(col("l_extendedprice")).cast(dec38)
+      val d = expr("CAST(round(l_discount * 100) AS BIGINT)").cast(dec38)
+      Tables.lineitem(s, dir).agg(
+        count(lit(1)).cast(dec38).as("n"),
+        sum(q).as("sq"), sum(p).as("sp"), sum(d).as("sd"),
+        sum(q * q).as("sqq"), sum(p * p).as("spp"), sum(d * d).as("sdd"),
+        sum(q * p).as("sqp"), sum(q * d).as("sqd"), sum(p * d).as("spd"))
+        .createOrReplaceTempView("q380_m")
+      def corr(name: String, sxy: String, sx: String, sy: String,
+          sxx: String, syy: String) =
+        s"SELECT '$name' AS pair," +
+          s" round(CAST(n * $sxy - $sx * $sy AS DOUBLE) /" +
+          s" (sqrt(CAST(n * $sxx - $sx * $sx AS DOUBLE)) *" +
+          s" sqrt(CAST(n * $syy - $sy * $sy AS DOUBLE))), 6) AS corr" +
+          " FROM q380_m"
+      s.sql(Seq(
+        corr("qty_price", "sqp", "sq", "sp", "sqq", "spp"),
+        corr("qty_disc", "sqd", "sq", "sd", "sqq", "sdd"),
+        corr("price_disc", "spd", "sp", "sd", "spp", "sdd"))
+        .mkString("", " UNION ALL ", " ORDER BY pair"))
+    }),
+
+    // count_if / bool_and / bool_or / any_value over groups — the
+    // predicate-aggregate surface: per order priority, how many orders
+    // are high-value, whether EVERY order cleared a floor, whether ANY
+    // hit the ceiling
+    "q381_predicate_aggs" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("priority"),
+          centsOf(col("o_totalprice")).as("c"))
+        .createOrReplaceTempView("q381_o")
+      s.sql(
+        """SELECT priority,
+          |       CAST(count_if(c > 15000000) AS BIGINT) AS n_high_value,
+          |       bool_and(c > 100000) AS all_above_1k,
+          |       bool_or(c > 50000000) AS any_above_500k,
+          |       CAST(min(c) AS BIGINT) AS min_cents
+          |FROM q381_o GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
