@@ -7531,7 +7531,93 @@ object OracleSql {
         |       bool_and(c > 100000) AS all_above_1k,
         |       bool_or(c > 50000000) AS any_above_500k,
         |       CAST(min(c) AS BIGINT) AS min_cents
-        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q382_recommendations" ->
+      """WITH bk AS (
+        |  SELECT DISTINCT o_custkey AS cust, p_brand AS b
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |), ni AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM bk GROUP BY 1),
+        |pr AS (SELECT a.b AS ba, c.b AS bb, CAST(count(*) AS BIGINT) AS n_ab
+        |       FROM bk a JOIN bk c ON a.cust = c.cust AND a.b < c.b GROUP BY 1, 2),
+        |sims AS (
+        |  SELECT ba, bb,
+        |         CAST(n_ab * 1000000
+        |              // CAST(floor(sqrt(CAST(na.n AS DOUBLE) * nb.n)) AS BIGINT)
+        |              AS BIGINT) AS sim_u
+        |  FROM pr JOIN ni na ON pr.ba = na.b JOIN ni nb ON pr.bb = nb.b
+        |), sb AS (SELECT ba, bb, sim_u FROM sims
+        |          UNION ALL SELECT bb, ba, sim_u FROM sims),
+        |sc AS (SELECT bk.cust, sb.bb AS rec, CAST(sum(sb.sim_u) AS BIGINT) AS score_u
+        |       FROM bk JOIN sb ON bk.b = sb.ba GROUP BY 1, 2),
+        |sc2 AS (SELECT sc.* FROM sc LEFT JOIN bk ON sc.cust = bk.cust AND sc.rec = bk.b
+        |        WHERE bk.b IS NULL),
+        |rk AS (SELECT cust, rec,
+        |              row_number() OVER (PARTITION BY cust ORDER BY score_u DESC, rec) AS rk
+        |       FROM sc2)
+        |SELECT rec AS brand, CAST(count(*) AS BIGINT) AS n_recommended,
+        |       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_top_pick
+        |FROM rk WHERE rk <= 3 GROUP BY 1
+        |ORDER BY n_recommended DESC, brand""".stripMargin,
+
+    "q383_seasonal_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |           AS ed,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1
+        |), t AS (
+        |  SELECT ed, (ed + 4) % 7 AS dow, v, count(*) OVER w AS n7,
+        |         CAST(sum(v) OVER w AS BIGINT) * 1000 // 7 AS trend_milli
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY ed ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), det AS (
+        |  SELECT ed, dow, v * 1000 - trend_milli AS det_milli FROM t WHERE n7 = 7
+        |), se AS (
+        |  SELECT dow, CAST(sum(det_milli) // count(*) AS BIGINT) AS s_milli
+        |  FROM det GROUP BY 1
+        |), r AS (
+        |  SELECT d.ed, abs(d.det_milli - se.s_milli) AS r FROM det d JOIN se USING (dow)
+        |), med AS (
+        |  SELECT r AS mad_milli FROM (
+        |    SELECT r, row_number() OVER (ORDER BY r) AS rn, count(*) OVER () AS n FROM r)
+        |  WHERE rn = (n + 1) // 2
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(max(med.mad_milli) AS BIGINT) AS mad_milli,
+        |       CAST(sum(CASE WHEN r.r > med.mad_milli * 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_anomalies,
+        |       CAST(max(CASE WHEN r.r > med.mad_milli * 3 THEN r.ed END) AS BIGINT)
+        |         AS last_anomaly_ed
+        |FROM r, med""".stripMargin,
+
+    "q384_reciprocity" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events
+        |), x AS (
+        |  SELECT event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+        |  FROM e
+        |), tr AS (
+        |  SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS c
+        |  FROM x WHERE nxt IS NOT NULL AND nxt <> event_type GROUP BY 1, 2
+        |), mu AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_reciprocal_edges,
+        |         CAST(coalesce(sum(least(a.c, b.c)), 0) AS BIGINT) AS n_mutual_min
+        |  FROM tr a JOIN tr b ON a.src = b.dst AND a.dst = b.src
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_edges, CAST(sum(c) AS BIGINT) AS n_transitions
+        |  FROM tr
+        |)
+        |SELECT tot.n_edges, tot.n_transitions, mu.n_reciprocal_edges, mu.n_mutual_min,
+        |       CAST(mu.n_reciprocal_edges * 1000000 // tot.n_edges AS BIGINT)
+        |         AS edge_reciprocity_ppm,
+        |       CAST(mu.n_mutual_min * 1000000 // tot.n_transitions AS BIGINT)
+        |         AS weighted_reciprocity_ppm
+        |FROM tot, mu""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

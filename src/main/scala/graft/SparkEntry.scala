@@ -7720,6 +7720,117 @@ object SparkEntry {
           |FROM q381_o GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
 
+    // item-item collaborative recommendations end to end: q250's cosine
+    // similarities scored against every customer's brand basket
+    // (score(u, b) = Σ sims to owned brands, owned excluded by an
+    // anti-join), top-3 per customer by struct-argmax over the bounded
+    // brand set, rolled up to the per-brand recommendation census. The
+    // sims relation is ≤ brands² and broadcasts; the only big join keys
+    // on the customer basket
+    "q382_recommendations" -> ((s, dir) => {
+      val baskets = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+          col("p_partkey") === col("l_partkey"))
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("p_brand").as("b")).distinct()
+        .localCheckpoint(false)
+      val ni = baskets.groupBy("b").agg(count(lit(1)).as("n"))
+      val pr = baskets.as("a").join(baskets.as("c"),
+          col("a.cust") === col("c.cust") && col("a.b") < col("c.b"))
+        .groupBy(col("a.b").as("ba"), col("c.b").as("bb"))
+        .agg(count(lit(1)).as("n_ab"))
+      val sims = pr
+        .join(broadcast(ni.select(col("b").as("ba"), col("n").as("na"))), Seq("ba"))
+        .join(broadcast(ni.select(col("b").as("bb"), col("n").as("nb"))), Seq("bb"))
+        .select(col("ba"), col("bb"),
+          // floor() before the cast: DuckDB CAST(double AS BIGINT) rounds
+          // where Spark truncates — floor makes both exact
+          expr("n_ab * 1000000 div CAST(floor(sqrt(CAST(na AS DOUBLE) * nb)) AS BIGINT)")
+            .as("sim_u"))
+      val simsBoth = sims.unionByName(sims.select(col("bb").as("ba"),
+        col("ba").as("bb"), col("sim_u"))).localCheckpoint(false)
+      val scores = baskets.join(broadcast(simsBoth), col("b") === col("ba"))
+        .groupBy(col("cust"), col("bb").as("rec"))
+        .agg(sum(col("sim_u")).as("score_u"))
+        .join(baskets.select(col("cust"), col("b").as("rec")),
+          Seq("cust", "rec"), "left_anti")
+      scores
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("cust").orderBy(col("score_u").desc, col("rec"))))
+        .filter(col("rk") <= 3)
+        .groupBy(col("rec").as("brand"))
+        .agg(count(lit(1)).as("n_recommended"),
+          sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_top_pick"))
+        .orderBy(col("n_recommended").desc, col("brand"))
+    }),
+
+    // seasonal-adjusted anomaly days: q371's residual series scored by
+    // 3×MAD control limits (median via sorted-array middle on the
+    // bounded residual relation — exact order stat, no approx) — flags
+    // revenue days that are anomalous AFTER the weekly pattern is
+    // removed, which q188's raw z-score conflates with weekends
+    "q383_seasonal_anomaly" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+          .as("ed"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("v"))
+        .withColumn("dow", expr("(ed + 4) % 7"))
+      val w7 = Window.orderBy("ed").rowsBetween(-3, 3)
+      val det = daily
+        .withColumn("n7", count(lit(1)).over(w7))
+        .withColumn("trend_milli",
+          when(col("n7") === 7, expr("sum(v) OVER (ORDER BY ed" +
+            " ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) * 1000 div 7")))
+        .filter(col("trend_milli").isNotNull)
+        .withColumn("det_milli", col("v") * 1000 - col("trend_milli"))
+        .localCheckpoint(false)
+      val seasonal = det.groupBy("dow")
+        .agg(expr("sum(det_milli) div count(1)").as("s_milli"))
+      val resid = det.join(broadcast(seasonal), Seq("dow"))
+        .withColumn("r", abs(col("det_milli") - col("s_milli")))
+        .localCheckpoint(false)
+      // exact median |residual| on the bounded daily relation
+      val med = resid.agg(
+        expr("element_at(sort_array(collect_list(r)), CAST((count(1) + 1) div 2 AS INT))")
+          .as("mad_milli"))
+      resid.crossJoin(broadcast(med))
+        .agg(
+          count(lit(1)).as("n_days"),
+          max(col("mad_milli")).as("mad_milli"),
+          sum(when(col("r") > col("mad_milli") * 3, 1L).otherwise(0L))
+            .as("n_anomalies"),
+          max(when(col("r") > col("mad_milli") * 3, col("ed"))).as("last_anomaly_ed"))
+    }),
+
+    // reciprocity of the event-transition graph: of all directed
+    // (from → to) transition pairs observed, how many have the reverse
+    // also observed — the directed-graph symmetry readout next to q287's
+    // entropy; one self-join on the bounded 25-pair transition dictionary
+    "q384_reciprocity" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val trans = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull && col("nxt") =!= col("event_type"))
+        .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val mutual = trans.as("x").join(trans.as("y"),
+          col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
+        .select(col("x.src"), col("x.dst"), col("x.c"),
+          least(col("x.c"), col("y.c")).as("m"))
+      trans.agg(count(lit(1)).as("n_edges"), sum(col("c")).as("n_transitions"))
+        .crossJoin(broadcast(mutual.agg(
+          count(lit(1)).as("n_reciprocal_edges"),
+          coalesce(sum(col("m")), lit(0L)).as("n_mutual_min"))))
+        .withColumn("edge_reciprocity_ppm",
+          expr("n_reciprocal_edges * 1000000 div n_edges"))
+        .withColumn("weighted_reciprocity_ppm",
+          expr("n_mutual_min * 1000000 div n_transitions"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -104,7 +104,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q368_lsh_cost_model",     // 1-row distinct-candidate count bound
     "q369_storage_tiering",    // 1-row max-date aggregate bound
     "q373_postings_intersect", // 1-row corpus-doc-count bound
-    "q377_block_bloom")        // 1-row block-count bound
+    "q377_block_bloom",        // 1-row block-count bound
+    "q383_seasonal_anomaly",   // 1-row MAD-median aggregate bound
+    "q384_reciprocity")        // 1-row mutual-edge aggregate bound
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
