@@ -7617,7 +7617,71 @@ object OracleSql {
         |         AS edge_reciprocity_ppm,
         |       CAST(mu.n_mutual_min * 1000000 // tot.n_transitions AS BIGINT)
         |         AS weighted_reciprocity_ppm
-        |FROM tot, mu""".stripMargin
+        |FROM tot, mu""".stripMargin,
+
+    "q385_neyman_allocation" ->
+      """WITH st AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS nh,
+        |         CAST(sum(n_chars) AS BIGINT) AS sx,
+        |         CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1
+        |), v AS (
+        |  SELECT lang, nh,
+        |         CAST(floor(sqrt(CAST((nh * sxx - sx * sx) // (nh * nh) AS DOUBLE)))
+        |              AS BIGINT) AS sh
+        |  FROM st
+        |), t AS (SELECT CAST(sum(nh * sh) AS BIGINT) AS tw FROM v),
+        |b AS (SELECT lang, nh, sh, nh * sh * 1000 // t.tw AS alloc_floor,
+        |             nh * sh * 1000 % t.tw AS rem FROM v, t),
+        |sf AS (SELECT CAST(sum(alloc_floor) AS BIGINT) AS sf FROM b),
+        |r AS (SELECT b.*, row_number() OVER (ORDER BY rem DESC, lang) AS rrk FROM b)
+        |SELECT lang, nh, sh,
+        |       CAST(alloc_floor + CASE WHEN rrk <= 1000 - sf.sf THEN 1 ELSE 0 END AS BIGINT)
+        |         AS alloc
+        |FROM r, sf ORDER BY lang""".stripMargin,
+
+    "q386_fulfillment_latency" ->
+      """WITH l AS (
+        |  SELECT o_orderpriority AS priority,
+        |         CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+        |              AS BIGINT) AS lag_d
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |)
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n,
+        |       round(quantile_cont(CAST(lag_d AS DOUBLE), 0.5), 6) AS p50_days,
+        |       round(quantile_cont(CAST(lag_d AS DOUBLE), 0.9), 6) AS p90_days,
+        |       CAST(sum(CASE WHEN lag_d <= 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_7d,
+        |       CAST(sum(CASE WHEN lag_d <= 7 THEN 1 ELSE 0 END) * 1000000 // count(*)
+        |            AS BIGINT) AS sla7_ppm
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q387_linear_interpolation" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |           AS ed,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1
+        |), bn AS (SELECT min(ed) AS lo, max(ed) AS hi FROM daily),
+        |sp AS (SELECT unnest(range(bn.lo, bn.hi + 1)) AS ed FROM bn),
+        |j AS (SELECT sp.ed, d.v FROM sp LEFT JOIN daily d USING (ed)),
+        |w AS (
+        |  SELECT ed, v,
+        |         last_value(v IGNORE NULLS) OVER wp AS pv,
+        |         last_value(CASE WHEN v IS NOT NULL THEN ed END IGNORE NULLS) OVER wp AS pe,
+        |         first_value(v IGNORE NULLS) OVER wn AS nv,
+        |         first_value(CASE WHEN v IS NOT NULL THEN ed END IGNORE NULLS) OVER wn AS ne
+        |  FROM j
+        |  WINDOW wp AS (ORDER BY ed ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (ORDER BY ed ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |), f AS (
+        |  SELECT CASE WHEN v IS NOT NULL THEN 'observed' ELSE 'interpolated' END AS kind,
+        |         CASE WHEN v IS NOT NULL THEN v
+        |              WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv
+        |              ELSE pv + (nv - pv) * (ed - pe) // (ne - pe) END AS fill
+        |  FROM w
+        |)
+        |SELECT kind, CAST(count(*) AS BIGINT) AS n_days, CAST(sum(fill) AS BIGINT) AS sum_cents
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

@@ -7831,6 +7831,85 @@ object SparkEntry {
           expr("n_mutual_min * 1000000 div n_transitions"))
     }),
 
+    // Neyman allocation for stratified sampling: a 1000-doc budget split
+    // across languages ∝ N_h·S_h (stratum size × stddev of doc length) —
+    // the optimal-variance design q169's proportional quota ignores.
+    // S_h via exact integer moments + the floor-sqrt trick (no float
+    // accumulation); integer allocation by largest remainder so the
+    // budget is conserved EXACTLY (spec-style identity in the oracle)
+    "q385_neyman_allocation" -> ((s, dir) => {
+      val st = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("nh"),
+          sum(col("n_chars")).as("sx"),
+          sum(expr("n_chars * n_chars")).as("sxx"))
+        .withColumn("var_q", expr("(nh * sxx - sx * sx) div (nh * nh)"))
+        .withColumn("sh", expr("CAST(floor(sqrt(CAST(var_q AS DOUBLE))) AS BIGINT)"))
+        .withColumn("wh", expr("nh * sh"))
+      val tot = st.agg(sum(col("wh")).as("tw"))
+      val base = st.crossJoin(broadcast(tot))
+        .withColumn("alloc_floor", expr("nh * sh * 1000 div tw"))
+        .withColumn("rem", expr("nh * sh * 1000 % tw"))
+      val spread = base
+        .withColumn("rrk", row_number().over(
+          Window.orderBy(col("rem").desc, col("lang"))).cast("long"))
+        .crossJoin(broadcast(base.agg(sum(col("alloc_floor")).as("sf"))))
+        .withColumn("alloc",
+          expr("alloc_floor + CASE WHEN rrk <= 1000 - sf THEN 1 ELSE 0 END"))
+      spread.select(col("lang"), col("nh"), col("sh"), col("alloc"))
+        .orderBy("lang")
+    }),
+
+    // fulfillment-latency SLA table: order→ship lag in days per priority
+    // — exact median and p90 (interpolating percentile over the bounded
+    // per-priority lag sets) plus the 7-day SLA pass rate in ppm; the
+    // operational readout behind the q241/q143 lateness queries
+    "q386_fulfillment_latency" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate",
+          "o_orderpriority"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag_d"))
+        .groupBy("priority")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(lag_d, 0.5D)"), 6).as("p50_days"),
+          round(expr("percentile(lag_d, 0.9D)"), 6).as("p90_days"),
+          sum(when(col("lag_d") <= 7, 1L).otherwise(0L)).as("n_within_7d"))
+        .withColumn("sla7_ppm", expr("n_within_7d * 1000000 div n"))
+        .orderBy("priority")),
+
+    // linear-interpolation gap fill: the full day spine between the first
+    // and last order date, missing days filled by EXACT integer linear
+    // interpolation between the bracketing observed days (last_value/
+    // first_value IGNORE NULLS — the other fill rule next to q128's
+    // forward fill). Readout: per fill kind, days + revenue mass
+    "q387_linear_interpolation" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+          .as("ed"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("v"))
+      val bounds = daily.agg(min(col("ed")).as("lo"), max(col("ed")).as("hi"))
+      val spine = bounds.select(explode(expr("sequence(lo, hi)")).as("ed"))
+      val wPrev = Window.orderBy("ed").rowsBetween(Window.unboundedPreceding, 0)
+      val wNext = Window.orderBy("ed").rowsBetween(0, Window.unboundedFollowing)
+      spine.join(daily, Seq("ed"), "left")
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("pe", last(when(col("v").isNotNull, col("ed")), ignoreNulls = true)
+          .over(wPrev))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("ne", first(when(col("v").isNotNull, col("ed")), ignoreNulls = true)
+          .over(wNext))
+        .withColumn("fill", expr(
+          "CASE WHEN v IS NOT NULL THEN v" +
+            " WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv" +
+            " ELSE pv + (nv - pv) * (ed - pe) div (ne - pe) END"))
+        .withColumn("kind", expr(
+          "CASE WHEN v IS NOT NULL THEN 'observed' ELSE 'interpolated' END"))
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_days"), sum(col("fill")).as("sum_cents"))
+        .orderBy("kind")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -106,7 +106,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q373_postings_intersect", // 1-row corpus-doc-count bound
     "q377_block_bloom",        // 1-row block-count bound
     "q383_seasonal_anomaly",   // 1-row MAD-median aggregate bound
-    "q384_reciprocity")        // 1-row mutual-edge aggregate bound
+    "q384_reciprocity",        // 1-row mutual-edge aggregate bound
+    "q385_neyman_allocation")  // 1-row weight-total / floor-sum bounds
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
