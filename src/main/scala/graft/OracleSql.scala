@@ -7681,7 +7681,68 @@ object OracleSql {
         |  FROM w
         |)
         |SELECT kind, CAST(count(*) AS BIGINT) AS n_days, CAST(sum(fill) AS BIGINT) AS sum_cents
-        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q388_array_setops" ->
+      """WITH s AS (
+        |  SELECT source, list_sort(list(DISTINCT lang)) AS langs
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1
+        |)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |       CAST(len(list_distinct(list_concat(a.langs, b.langs))) AS BIGINT) AS n_union,
+        |       CAST(len(list_filter(a.langs, x -> list_contains(b.langs, x))) AS BIGINT)
+        |         AS n_intersect,
+        |       CAST(len(list_filter(a.langs, x -> NOT list_contains(b.langs, x))) AS BIGINT)
+        |         AS n_only_a
+        |FROM s a JOIN s b ON a.source < b.source
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    "q389_parse_reconcile" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment AS segment, c_custkey,
+        |         regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS parsed
+        |  FROM customer
+        |), f AS (
+        |  SELECT segment,
+        |         CASE WHEN length(parsed) > 0 THEN 1 ELSE 0 END AS ok_parse,
+        |         CASE WHEN length(parsed) > 0 AND CAST(parsed AS BIGINT) = c_custkey
+        |              THEN 1 ELSE 0 END AS ok_match
+        |  FROM c
+        |)
+        |SELECT segment, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(ok_parse) AS BIGINT) AS n_parsed,
+        |       CAST(sum(ok_match) AS BIGINT) AS n_matched,
+        |       CAST(sum(ok_match) * 1000000 // count(*) AS BIGINT) AS match_ppm
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q390_bounce_rate" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events
+        |), x AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |                 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), g AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM x
+        |), se AS (
+        |  SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events FROM g GROUP BY 1, 2
+        |), fe AS (
+        |  SELECT user_id, sid, event_type AS entry_type FROM (
+        |    SELECT user_id, sid, event_type,
+        |           row_number() OVER (PARTITION BY user_id, sid
+        |             ORDER BY us, event_id, event_type) AS rn
+        |    FROM g) WHERE rn = 1
+        |)
+        |SELECT fe.entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(sum(CASE WHEN se.n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+        |       CAST(sum(CASE WHEN se.n_events = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+        |            AS BIGINT) AS bounce_ppm
+        |FROM se JOIN fe USING (user_id, sid)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

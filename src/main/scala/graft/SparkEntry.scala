@@ -7910,6 +7910,67 @@ object SparkEntry {
         .orderBy("kind")
     }),
 
+    // array set algebra (array_union / array_intersect / array_except on
+    // sorted per-source language sets): every source pair's coverage
+    // overlap from the 20-row dictionary — the array-function surface at
+    // bounded cost (never the row-exploded set ops of q51)
+    "q388_array_setops" -> ((s, dir) => {
+      val sets = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .groupBy("source")
+        .agg(sort_array(collect_set(col("lang"))).as("langs"))
+      sets.as("a").join(sets.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          size(expr("array_union(a.langs, b.langs)")).cast("long").as("n_union"),
+          size(expr("array_intersect(a.langs, b.langs)")).cast("long")
+            .as("n_intersect"),
+          size(expr("array_except(a.langs, b.langs)")).cast("long").as("n_only_a"))
+        .orderBy("src_a", "src_b")
+    }),
+
+    // key-reconciliation parse audit: the numeric id embedded in c_name
+    // ('Customer#000000001') re-extracted with a regexp group and checked
+    // against c_custkey — the ETL sanity pass that catches truncated or
+    // reformatted keys; per-segment parse and match rates in ppm
+    "q389_parse_reconcile" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_mktsegment").as("segment"), col("c_custkey"),
+          regexp_extract(col("c_name"), "Customer#([0-9]+)", 1).as("parsed"))
+        .withColumn("ok_parse", (length(col("parsed")) > 0).cast("long"))
+        .withColumn("ok_match",
+          when(col("ok_parse") === 1L,
+            (col("parsed").cast("long") === col("c_custkey")).cast("long"))
+            .otherwise(0L))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n"), sum(col("ok_parse")).as("n_parsed"),
+          sum(col("ok_match")).as("n_matched"))
+        .withColumn("match_ppm", expr("n_matched * 1000000 div n"))
+        .orderBy("segment")),
+
+    // session bounce rate: 30-minute-gap sessions per user (the q36 lag
+    // rule inline), one-event sessions are bounces, attributed to the
+    // session's ENTRY event type — the landing-quality readout per
+    // entry point
+    "q390_bounce_rate" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val sess = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+      sess.groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_events"),
+          min(struct(col("us"), col("event_id"), col("event_type"))).as("f"))
+        .groupBy(col("f.event_type").as("entry_type"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"))
+        .withColumn("bounce_ppm", expr("n_bounce * 1000000 div n_sessions"))
+        .orderBy("entry_type")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
