@@ -7742,7 +7742,42 @@ object OracleSql {
         |       CAST(sum(CASE WHEN se.n_events = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
         |            AS BIGINT) AS bounce_ppm
         |FROM se JOIN fe USING (user_id, sid)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q391_subquery_predicates" ->
+      """SELECT o_orderpriority AS priority,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CASE WHEN EXISTS (
+        |             SELECT 1 FROM lineitem
+        |             WHERE l_orderkey = o_orderkey
+        |               AND date_diff('day', CAST(o_orderdate AS DATE),
+        |                             CAST(l_shipdate AS DATE)) > 90)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_slow_shipped,
+        |       CAST(sum(CASE WHEN NOT EXISTS (
+        |             SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines,
+        |       CAST(sum(CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) >
+        |             (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT)
+        |                     // count(*) FROM orders)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q392_histogram_2d" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+        |         CAST(round(l_quantity, 0) AS BIGINT) AS q
+        |  FROM lineitem
+        |), mm AS (SELECT min(p) AS plo, max(p) AS phi, min(q) AS qlo, max(q) AS qhi FROM v),
+        |g AS (
+        |  SELECT (p - plo) * 8 // (phi - plo + 1) AS price_bin,
+        |         (q - qlo) * 8 // (qhi - qlo + 1) AS qty_bin,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM v, mm GROUP BY 1, 2
+        |)
+        |SELECT price_bin, qty_bin, n,
+        |       CAST(sum(n) OVER (PARTITION BY price_bin) AS BIGINT) AS row_total,
+        |       CAST(sum(n) OVER (PARTITION BY qty_bin) AS BIGINT) AS col_total
+        |FROM g ORDER BY price_bin, qty_bin""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

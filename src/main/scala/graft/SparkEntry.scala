@@ -7971,6 +7971,54 @@ object SparkEntry {
         .orderBy("entry_type")
     }),
 
+    // correlated-subquery predicates in one query — EXISTS, NOT EXISTS,
+    // and a scalar subquery comparison, the three shapes Catalyst's
+    // RewritePredicateSubquery turns into semi/anti/cross joins (TPC-H
+    // Q4's pattern family); per priority: orders with a late line, with
+    // no lines at all, and above the global average value
+    "q391_subquery_predicates" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("q391_o")
+      Tables.lineitem(s, dir).createOrReplaceTempView("q391_l")
+      s.sql(
+        """SELECT o_orderpriority AS priority,
+          |       CAST(count(*) AS BIGINT) AS n_orders,
+          |       CAST(sum(CASE WHEN EXISTS (
+          |             SELECT 1 FROM q391_l
+          |             WHERE l_orderkey = o_orderkey AND datediff(l_shipdate, o_orderdate) > 90)
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_slow_shipped,
+          |       CAST(sum(CASE WHEN NOT EXISTS (
+          |             SELECT 1 FROM q391_l WHERE l_orderkey = o_orderkey)
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines,
+          |       CAST(sum(CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) >
+          |             (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT)) div count(1)
+          |              FROM q391_o)
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
+          |FROM q391_o GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
+    // 2-D histogram (8×8 price × quantity grid) with marginals — the
+    // heatmap backing store: both axes on exact integer grids from 1-row
+    // min/max bounds, cell counts plus row/column totals for the
+    // conditional-distribution readout
+    "q392_histogram_2d" -> ((s, dir) => {
+      val v = Tables.lineitem(s, dir).select(
+        centsOf(col("l_extendedprice")).as("p"),
+        expr("CAST(round(l_quantity, 0) AS BIGINT)").as("q"))
+        .localCheckpoint(false)
+      val mm = v.agg(min(col("p")).as("plo"), max(col("p")).as("phi"),
+        min(col("q")).as("qlo"), max(col("q")).as("qhi"))
+      v.crossJoin(broadcast(mm))
+        .groupBy(
+          expr("(p - plo) * 8 div (phi - plo + 1)").as("price_bin"),
+          expr("(q - qlo) * 8 div (qhi - qlo + 1)").as("qty_bin"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_total",
+          sum(col("n")).over(Window.partitionBy("price_bin")))
+        .withColumn("col_total",
+          sum(col("n")).over(Window.partitionBy("qty_bin")))
+        .orderBy("price_bin", "qty_bin")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
