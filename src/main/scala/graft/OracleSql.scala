@@ -7777,7 +7777,57 @@ object OracleSql {
         |SELECT price_bin, qty_bin, n,
         |       CAST(sum(n) OVER (PARTITION BY price_bin) AS BIGINT) AS row_total,
         |       CAST(sum(n) OVER (PARTITION BY qty_bin) AS BIGINT) AS col_total
-        |FROM g ORDER BY price_bin, qty_bin""".stripMargin
+        |FROM g ORDER BY price_bin, qty_bin""".stripMargin,
+
+    "q393_dedup_savings" ->
+      s"""WITH RECURSIVE ${minhashChain("documents")},
+         |$ccLosersChain,
+         |d AS (SELECT doc_id, source, CAST(octet_length(encode(text)) AS BIGINT) AS nb
+         |      FROM documents WHERE text IS NOT NULL)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN l.doc_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_removable,
+         |       CAST(sum(nb) AS BIGINT) AS bytes_total,
+         |       CAST(sum(CASE WHEN l.doc_b IS NOT NULL THEN nb ELSE 0 END) AS BIGINT)
+         |         AS bytes_removable,
+         |       CAST(sum(CASE WHEN l.doc_b IS NOT NULL THEN nb ELSE 0 END) * 1000000
+         |            // sum(nb) AS BIGINT) AS save_ppm
+         |FROM d LEFT JOIN losers l ON d.doc_id = l.doc_b
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q394_two_hop_reach" ->
+      s"""WITH ${minhashChain("documents")},
+         |und AS (SELECT doc_a AS u, doc_b AS v FROM cand
+         |        UNION SELECT doc_b, doc_a FROM cand),
+         |th AS (SELECT u, v FROM und
+         |       UNION SELECT x.u, y.v FROM und x JOIN und y ON x.v = y.u),
+         |t2 AS (SELECT DISTINCT u, v FROM th WHERE u <> v),
+         |r AS (SELECT u, CAST(count(*) AS BIGINT) AS reach2 FROM t2 GROUP BY 1)
+         |SELECT reach2, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q395_top_movers" ->
+      """WITH bm AS (
+        |  SELECT p_brand, year(l_shipdate) * 12 + month(l_shipdate) - 1 AS mi,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1, 2
+        |), d AS (
+        |  SELECT p_brand, mi, rev_c,
+        |         lag(rev_c) OVER w AS prev, lag(mi) OVER w AS prev_mi
+        |  FROM bm WINDOW w AS (PARTITION BY p_brand ORDER BY mi)
+        |), dd AS (
+        |  SELECT p_brand, CAST(mi AS BIGINT) AS mi, rev_c,
+        |         CAST(rev_c - prev AS BIGINT) AS delta_c
+        |  FROM d WHERE prev IS NOT NULL AND prev_mi = mi - 1
+        |), u AS (
+        |  SELECT 'riser' AS direction, * FROM
+        |    (SELECT * FROM dd ORDER BY delta_c DESC, p_brand, mi LIMIT 5)
+        |  UNION ALL
+        |  SELECT 'faller', * FROM
+        |    (SELECT * FROM dd ORDER BY delta_c ASC, p_brand, mi LIMIT 5)
+        |)
+        |SELECT direction, p_brand, mi, rev_c, delta_c
+        |FROM u ORDER BY direction, delta_c, p_brand, mi""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

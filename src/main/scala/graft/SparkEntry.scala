@@ -8019,6 +8019,78 @@ object SparkEntry {
         .orderBy("price_bin", "qty_bin")
     }),
 
+    // dedup storage-ROI report: cluster losers (min-id keeper rule) priced
+    // in bytes per source — the "what does near-dedup actually save"
+    // readout a storage owner signs off on; losers from the verified
+    // clusterLosers operator, byte mass from octet lengths, save share in
+    // exact ppm
+    "q393_dedup_savings" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          octet_length(col("text")).cast("long").as("nb"))
+        .localCheckpoint(false)
+      val losers = Dedup.clusterLosers(
+        Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text")
+          .select("doc_a", "doc_b"))
+        .withColumn("is_loser", lit(true))
+      d.join(losers, col("doc_id") === col("node"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_loser"), 1L).otherwise(0L)).as("n_removable"),
+          sum(col("nb")).as("bytes_total"),
+          sum(when(col("is_loser"), col("nb")).otherwise(0L)).as("bytes_removable"))
+        .withColumn("save_ppm",
+          expr("bytes_removable * 1000000 div bytes_total"))
+        .orderBy("source")
+    }),
+
+    // exact 2-hop reach on the dup graph: per node, the distinct set of
+    // nodes within two hops (one self-join on the bounded candidate edge
+    // set + distinct) — the neighborhood-growth readout between q127's
+    // degree and q303's full BFS; histogram over reach sizes
+    "q394_two_hop_reach" -> ((s, dir) => {
+      val e = Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text")
+        .select("doc_a", "doc_b")
+      val und = e.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionByName(e.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        .distinct().localCheckpoint(false)
+      val twoHop = und
+        .unionByName(und.as("x").join(und.as("y"), col("x.v") === col("y.u"))
+          .select(col("x.u").as("u"), col("y.v").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+      twoHop.groupBy("u").agg(count(lit(1)).as("reach2"))
+        .groupBy(col("reach2")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy("reach2")
+    }),
+
+    // top movers: the five biggest month-over-month brand revenue risers
+    // and fallers (lag window over the bounded brand×month aggregate,
+    // exact cent deltas) — the BI movers panel next to q323's corpus
+    // trending terms
+    "q395_top_movers" -> ((s, dir) => {
+      val bm = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"),
+          expr("year(l_shipdate) * 12 + month(l_shipdate) - 1").as("mi"))
+        .agg(sum(centsOf(col("l_extendedprice"))).as("rev_c"))
+      val w = Window.partitionBy("p_brand").orderBy("mi")
+      val delta = bm
+        .withColumn("prev", lag(col("rev_c"), 1).over(w))
+        .withColumn("prev_mi", lag(col("mi"), 1).over(w))
+        .filter(col("prev").isNotNull && col("prev_mi") === col("mi") - 1)
+        .withColumn("delta_c", col("rev_c") - col("prev"))
+        .localCheckpoint(false)
+      val up = delta.orderBy(col("delta_c").desc, col("p_brand"), col("mi"))
+        .limit(5).withColumn("direction", lit("riser"))
+      val down = delta.orderBy(col("delta_c").asc, col("p_brand"), col("mi"))
+        .limit(5).withColumn("direction", lit("faller"))
+      up.unionByName(down)
+        .select(col("direction"), col("p_brand"), col("mi").cast("long").as("mi"),
+          col("rev_c"), col("delta_c"))
+        .orderBy("direction", "delta_c", "p_brand", "mi")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
