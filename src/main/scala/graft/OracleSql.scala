@@ -7827,7 +7827,88 @@ object OracleSql {
         |    (SELECT * FROM dd ORDER BY delta_c ASC, p_brand, mi LIMIT 5)
         |)
         |SELECT direction, p_brand, mi, rev_c, delta_c
-        |FROM u ORDER BY direction, delta_c, p_brand, mi""".stripMargin
+        |FROM u ORDER BY direction, delta_c, p_brand, mi""".stripMargin,
+
+    "q396_time_to_error" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events
+        |), x AS (
+        |  SELECT event_type,
+        |         min(CASE WHEN event_type = 'error' THEN us END)
+        |           OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) - us
+        |           AS lead_us
+        |  FROM e
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(lead_us) AS BIGINT) AS n_followed_by_error,
+        |       round(quantile_cont(CAST(lead_us AS DOUBLE), 0.5) / 1000000, 6)
+        |         AS median_lead_s,
+        |       CAST(count(lead_us) * 1000000 // count(*) AS BIGINT) AS followed_ppm
+        |FROM x WHERE event_type <> 'error'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q397_manifest_pruning" ->
+      """WITH f AS (
+        |  SELECT o_orderkey // 4096 AS blk,
+        |         (year(o_orderdate) * 12 + month(o_orderdate)) % 4 AS man,
+        |         min(CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |                  AS BIGINT)) AS fmn,
+        |         max(CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |                  AS BIGINT)) AS fmx,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1, 2
+        |), m AS (
+        |  SELECT man, min(fmn) AS mmn, max(fmx) AS mmx FROM f GROUP BY 1
+        |), mh AS (
+        |  SELECT man, CASE WHEN mmn < 9952 AND mmx >= 9862 THEN 1 ELSE 0 END AS manifest_hit
+        |  FROM m
+        |), fh AS (
+        |  SELECT f.man, f.c, mh.manifest_hit,
+        |         CASE WHEN mh.manifest_hit = 1 AND f.fmn < 9952 AND f.fmx >= 9862
+        |              THEN 1 ELSE 0 END AS file_hit
+        |  FROM f JOIN mh USING (man)
+        |)
+        |SELECT CAST(count(DISTINCT man) AS BIGINT) AS n_manifests,
+        |       CAST(sum(manifest_hit) AS BIGINT) AS file_checks,
+        |       CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(sum(file_hit) AS BIGINT) AS files_scanned,
+        |       CAST(sum(CASE WHEN file_hit = 1 THEN c ELSE 0 END) AS BIGINT) AS rows_scanned,
+        |       CAST((count(*) - sum(file_hit)) * 1000000 // count(*) AS BIGINT)
+        |         AS files_skipped_ppm
+        |FROM fh""".stripMargin,
+
+    "q398_effect_size" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment,
+        |         CAST(count(*) AS HUGEINT) AS n,
+        |         CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT))
+        |              AS HUGEINT) AS s,
+        |         CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+        |              * CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS ss
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+        |  GROUP BY 1
+        |), p AS (
+        |  SELECT max(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN n END) AS n1,
+        |         max(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN s END) AS s1,
+        |         max(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN ss END) AS ss1,
+        |         max(CASE WHEN c_mktsegment = 'BUILDING' THEN n END) AS n2,
+        |         max(CASE WHEN c_mktsegment = 'BUILDING' THEN s END) AS s2,
+        |         max(CASE WHEN c_mktsegment = 'BUILDING' THEN ss END) AS ss2
+        |  FROM g
+        |)
+        |SELECT CAST(n1 AS BIGINT) AS n_auto, CAST(n2 AS BIGINT) AS n_build,
+        |       CAST(s1 // n1 AS BIGINT) AS mean_auto_c,
+        |       CAST(s2 // n2 AS BIGINT) AS mean_build_c,
+        |       round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |              - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |             / sqrt(((CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |               + (CAST(n2 * ss2 - s2 * s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+        |               / CAST(n1 + n2 - 2 AS DOUBLE)), 6) AS cohens_d
+        |FROM p""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

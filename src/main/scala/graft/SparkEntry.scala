@@ -8091,6 +8091,103 @@ object SparkEntry {
         .orderBy("direction", "delta_c", "p_brand", "mi")
     }),
 
+    // time-to-next-error: for every event, the µs until the SAME user's
+    // next 'error' via one reverse conditional-min window (no self-join);
+    // per event type, how often an error follows at all and the exact
+    // median lead time — the reliability readout behind alert tuning
+    "q396_time_to_error" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("next_err",
+          min(when(col("event_type") === "error", col("us"))).over(w))
+        .filter(col("event_type") =!= "error")
+        .select(col("event_type"),
+          (col("next_err") - col("us")).as("lead_us"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count(col("lead_us")).as("n_followed_by_error"),
+          round(expr("percentile(lead_us, 0.5D) / 1000000"), 6)
+            .as("median_lead_s"))
+        .withColumn("followed_ppm",
+          expr("n_followed_by_error * 1000000 div n_events"))
+        .orderBy("event_type")
+    }),
+
+    // two-level manifest pruning (the Iceberg/Delta metadata shape): month
+    // MANIFESTS carry [min, max] order-date stats over their 4096-key FILE
+    // blocks; a quarter predicate prunes whole manifests first, then files
+    // inside surviving manifests. The readout counts both levels — the
+    // metadata-read savings a flat file list (q341) can't express
+    "q397_manifest_pruning" -> ((s, dir) => {
+      val files = Tables.orders(s, dir)
+        .groupBy(expr("o_orderkey div 4096").as("blk"),
+          expr("(year(o_orderdate) * 12 + month(o_orderdate)) % 4").as("man"))
+        .agg(min(datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"))
+          .as("fmn"),
+          max(datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"))
+            .as("fmx"),
+          count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val manifests = files.groupBy("man")
+        .agg(min(col("fmn")).as("mmn"), max(col("fmx")).as("mmx"),
+          count(lit(1)).as("n_files"))
+      // predicate: 1997 Q1 in epoch days [9862, 9952)
+      val mHit = manifests
+        .withColumn("manifest_hit",
+          (col("mmn") < 9952L && col("mmx") >= 9862L).cast("long"))
+      val fHit = files.join(mHit.select("man", "manifest_hit"), Seq("man"))
+        .withColumn("file_hit",
+          when(col("manifest_hit") === 1L,
+            (col("fmn") < 9952L && col("fmx") >= 9862L).cast("long"))
+            .otherwise(0L))
+      fHit.agg(
+        countDistinct(col("man")).as("n_manifests"),
+        sum(col("manifest_hit")).as("file_checks"),
+        count(lit(1)).as("n_files"),
+        sum(col("file_hit")).as("files_scanned"),
+        sum(when(col("file_hit") === 1L, col("c")).otherwise(0L))
+          .as("rows_scanned"))
+        .withColumn("files_skipped_ppm",
+          expr("(n_files - files_scanned) * 1000000 div n_files"))
+    }),
+
+    // Cohen's d effect size between the AUTOMOBILE and BUILDING segments'
+    // order values — the practical-significance companion to q232's
+    // Welch t-test: exact decimal38 moments per segment, pooled SD and d
+    // as one rounded double division at the very end
+    "q398_effect_size" -> ((s, dir) => {
+      val agg = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).cast(dec38).as("n"),
+          sum(centsOf(col("o_totalprice")).cast(dec38)).as("s"),
+          sum((centsOf(col("o_totalprice")).cast(dec38)
+            * centsOf(col("o_totalprice")).cast(dec38))).as("ss"))
+      agg.agg(
+        max(when(col("c_mktsegment") === "AUTOMOBILE", col("n"))).as("n1"),
+        max(when(col("c_mktsegment") === "AUTOMOBILE", col("s"))).as("s1"),
+        max(when(col("c_mktsegment") === "AUTOMOBILE", col("ss"))).as("ss1"),
+        max(when(col("c_mktsegment") === "BUILDING", col("n"))).as("n2"),
+        max(when(col("c_mktsegment") === "BUILDING", col("s"))).as("s2"),
+        max(when(col("c_mktsegment") === "BUILDING", col("ss"))).as("ss2"))
+        .select(
+          col("n1").cast("long").as("n_auto"),
+          col("n2").cast("long").as("n_build"),
+          expr("CAST(s1 div n1 AS BIGINT)").as("mean_auto_c"),
+          expr("CAST(s2 div n2 AS BIGINT)").as("mean_build_c"),
+          round(expr(
+            "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)" +
+              " - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))" +
+              " / sqrt(((CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / CAST(n1 AS DOUBLE))" +
+              " + (CAST(n2 * ss2 - s2 * s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))" +
+              " / CAST(n1 + n2 - 2 AS DOUBLE))"), 6).as("cohens_d"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
