@@ -7908,7 +7908,38 @@ object OracleSql {
         |             / sqrt(((CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
         |               + (CAST(n2 * ss2 - s2 * s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
         |               / CAST(n1 + n2 - 2 AS DOUBLE)), 6) AS cohens_d
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+
+    "q399_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS total_cents
+        |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin,
+
+    "q400_source_scorecard" ->
+      s"""WITH $qualityCte,
+         |q AS (
+         |  SELECT qs.doc_id, d.source, qs.text, qs.quality
+         |  FROM qs JOIN documents d ON qs.doc_id = d.doc_id
+         |  WHERE qs.text IS NOT NULL
+         |), tx AS (
+         |  SELECT text, CAST(count(DISTINCT source) AS BIGINT) AS ns FROM q GROUP BY 1
+         |), a AS (
+         |  SELECT q.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(count(DISTINCT q.text) AS BIGINT) AS uniq_texts,
+         |         CAST(sum(CASE WHEN tx.ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS xsource_docs,
+         |         CAST(sum(CASE WHEN q.quality >= 0.45 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS quality_pass,
+         |         CAST(sum(CAST(round(q.quality * 1000) AS BIGINT)) AS BIGINT) AS qsum_milli
+         |  FROM q JOIN tx ON q.text = tx.text GROUP BY 1
+         |)
+         |SELECT source, n_docs, uniq_texts,
+         |       CAST((n_docs - uniq_texts) * 1000000 // n_docs AS BIGINT) AS dup_ppm,
+         |       CAST(xsource_docs * 1000000 // n_docs AS BIGINT) AS xsource_ppm,
+         |       CAST(quality_pass * 1000000 // n_docs AS BIGINT) AS quality_pass_ppm,
+         |       CAST(qsum_milli // n_docs AS BIGINT) AS mean_quality_milli
+         |FROM a ORDER BY source""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

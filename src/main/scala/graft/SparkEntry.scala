@@ -8188,6 +8188,48 @@ object SparkEntry {
               " / CAST(n1 + n2 - 2 AS DOUBLE))"), 6).as("cohens_d"))
     }),
 
+    // GROUP BY ALL / ORDER BY ALL — the whole-projection grouping
+    // shorthand (Spark 3.4+, DuckDB-native): every non-aggregate output
+    // column groups, every output column orders, no positional lists to
+    // drift out of sync with the SELECT
+    "q399_group_by_all" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("q399_o")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          |         AS total_cents
+          |FROM q399_o GROUP BY ALL ORDER BY ALL""".stripMargin)
+    }),
+
+    // q400 — the per-source data-quality SCORECARD: the one row per
+    // source a curation owner reads before admitting it to the mixture —
+    // exact-dup rate, cross-source text leakage, quality-gate pass rate
+    // (q300's 0.45 rule), and the mean quality in milli (per-row
+    // quantized so the mean is order-invariant). One quality scan + one
+    // text-group join; every constituent is individually oracled
+    // elsewhere (q20/q78/q81/q27), this composes them into the readout
+    "q400_source_scorecard" -> ((s, dir) => {
+      val q = TextFunctions.withQualityColumns(
+        Tables.documents(s, dir).filter(col("text").isNotNull), "text")
+        .select(col("doc_id"), col("source"), col("text"), col("quality"))
+        .localCheckpoint(false)
+      val tx = q.groupBy("text").agg(countDistinct(col("source")).as("ns"))
+      q.join(tx, Seq("text"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("uniq_texts"),
+          sum(when(col("ns") > 1, 1L).otherwise(0L)).as("xsource_docs"),
+          sum(when(col("quality") >= 0.45, 1L).otherwise(0L)).as("quality_pass"),
+          sum(round(col("quality") * 1000, 0).cast("long")).as("qsum_milli"))
+        .select(col("source"), col("n_docs"), col("uniq_texts"),
+          expr("(n_docs - uniq_texts) * 1000000 div n_docs").as("dup_ppm"),
+          expr("xsource_docs * 1000000 div n_docs").as("xsource_ppm"),
+          expr("quality_pass * 1000000 div n_docs").as("quality_pass_ppm"),
+          expr("qsum_milli div n_docs").as("mean_quality_milli"))
+        .orderBy("source")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
