@@ -7939,7 +7939,46 @@ object OracleSql {
          |       CAST(xsource_docs * 1000000 // n_docs AS BIGINT) AS xsource_ppm,
          |       CAST(quality_pass * 1000000 // n_docs AS BIGINT) AS quality_pass_ppm,
          |       CAST(qsum_milli // n_docs AS BIGINT) AS mean_quality_milli
-         |FROM a ORDER BY source""".stripMargin
+         |FROM a ORDER BY source""".stripMargin,
+
+    "q401_null_safe_join" ->
+      """WITH g AS (SELECT text, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1)
+        |SELECT CAST(sum(CASE WHEN text IS NOT NULL THEN c * (c - 1) // 2 ELSE 0 END)
+        |            AS BIGINT) AS standard_pairs,
+        |       CAST(sum(c * (c - 1) // 2) AS BIGINT) AS nullsafe_pairs,
+        |       CAST(sum(CASE WHEN text IS NULL THEN c ELSE 0 END) AS BIGINT) AS null_docs,
+        |       CAST(sum(c * (c - 1) // 2)
+        |            - sum(CASE WHEN text IS NOT NULL THEN c * (c - 1) // 2 ELSE 0 END)
+        |            AS BIGINT) AS pairs_missed_by_eq
+        |FROM g""".stripMargin,
+
+    "q402_log2_histogram" ->
+      """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders)
+        |SELECT CAST(length(bin(v)) - 1 AS BIGINT) AS log2_bin,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(v) AS BIGINT) AS min_cents, CAST(max(v) AS BIGINT) AS max_cents
+        |FROM v WHERE v > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q403_expanding_slope" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |           AS ed,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1
+        |), d0 AS (SELECT min(ed) AS d0 FROM daily),
+        |h AS (SELECT CAST(unnest([90, 180, 365, 100000]) AS BIGINT) AS horizon_days),
+        |x AS (SELECT h.horizon_days, CAST(daily.ed - d0.d0 AS HUGEINT) AS x,
+        |             CAST(daily.v AS HUGEINT) AS y
+        |      FROM daily, d0, h WHERE daily.ed - d0.d0 < h.horizon_days),
+        |a AS (
+        |  SELECT horizon_days, CAST(count(*) AS HUGEINT) AS n,
+        |         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM x GROUP BY 1
+        |)
+        |SELECT horizon_days, CAST(n AS BIGINT) AS n_days,
+        |       CAST((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx) AS BIGINT)
+        |         AS slope_milli_cents_per_day
+        |FROM a ORDER BY horizon_days""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

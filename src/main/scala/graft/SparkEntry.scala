@@ -8230,6 +8230,63 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // null-safe equality (<=>): the dup-pair count over a NULLABLE key —
+    // standard equality silently drops the null-text group, null-safe
+    // equality pairs it; the delta IS the rows a pipeline loses by using
+    // the wrong operator. Counted from the text histogram (never a
+    // self-join): standard pairs Σc(c−1)/2 over non-null, null-safe adds
+    // the null group's pairs
+    "q401_null_safe_join" -> ((s, dir) => {
+      val g = Tables.documents(s, dir)
+        .groupBy("text").agg(count(lit(1)).as("c"))
+      g.agg(
+        sum(when(col("text").isNotNull, expr("c * (c - 1) div 2"))
+          .otherwise(0L)).as("standard_pairs"),
+        sum(expr("c * (c - 1) div 2")).as("nullsafe_pairs"),
+        sum(when(col("text").isNull, col("c")).otherwise(0L)).as("null_docs"))
+        .withColumn("pairs_missed_by_eq",
+          expr("nullsafe_pairs - standard_pairs"))
+    }),
+
+    // exact log2 histogram of order values: floor(log2) from the BINARY
+    // STRING length (length(bin(v)) − 1 — pure integer, no float log) —
+    // the size-class histogram for long-tailed money amounts
+    "q402_log2_histogram" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(centsOf(col("o_totalprice")).as("v"))
+        .filter(col("v") > 0)
+        .groupBy((length(expr("bin(v)")) - 1).cast("long").as("log2_bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("v")).as("min_cents"), max(col("v")).as("max_cents"))
+        .orderBy("log2_bin")),
+
+    // expanding-window regression: the daily-revenue-vs-day OLS slope
+    // after 90 / 180 / 365 days and on the full series — all four
+    // checkpoints from ONE scan via conditional exact moments (decimal38,
+    // the q139 discipline); slope drift across checkpoints is the
+    // "did the trend hold" readout
+    "q403_expanding_slope" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+          .as("ed"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("v"))
+      val start = daily.agg(min(col("ed")).as("d0"))
+      daily.crossJoin(broadcast(start))
+        .withColumn("x", (col("ed") - col("d0")).cast(dec38))
+        .withColumn("y", col("v").cast(dec38))
+        .select(col("x"), col("y"),
+          expr("stack(4, 90L, 180L, 365L, 100000L) AS (horizon_days)"))
+        .filter(col("x") < col("horizon_days"))
+        .groupBy("horizon_days")
+        .agg(count(lit(1)).cast(dec38).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(col("horizon_days"), col("n").cast("long").as("n_days"),
+          expr("CAST((n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx)" +
+            " AS BIGINT)").as("slope_milli_cents_per_day"))
+        .orderBy("horizon_days")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -109,7 +109,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q384_reciprocity",        // 1-row mutual-edge aggregate bound
     "q385_neyman_allocation",  // 1-row weight-total / floor-sum bounds
     "q388_array_setops",       // bounded 20-row source-dictionary pairs
-    "q392_histogram_2d")       // 1-row min/max bounds broadcast
+    "q392_histogram_2d",       // 1-row min/max bounds broadcast
+    "q403_expanding_slope")    // 1-row start-date aggregate bound
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
