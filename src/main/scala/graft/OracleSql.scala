@@ -7978,7 +7978,72 @@ object OracleSql {
         |SELECT horizon_days, CAST(n AS BIGINT) AS n_days,
         |       CAST((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx) AS BIGINT)
         |         AS slope_milli_cents_per_day
-        |FROM a ORDER BY horizon_days""".stripMargin
+        |FROM a ORDER BY horizon_days""".stripMargin,
+
+    "q404_schema_evolution" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, CAST(NULL AS VARCHAR) AS priority,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents, 'v1' AS gen
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CAST(round(o_totalprice * 100) AS BIGINT), 'v2'
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |)
+        |SELECT gen, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN priority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS null_priority,
+        |       CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q405_bowley_skewness" ->
+      """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |ks AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS i),
+        |kk AS (SELECT i, (i * n.n) // 4 AS k FROM ks, n),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM v),
+        |b AS (SELECT kk.i, r.v FROM kk JOIN r ON r.rk = kk.k),
+        |q AS (SELECT max(CASE WHEN i = 1 THEN v END) AS q1,
+        |             max(CASE WHEN i = 2 THEN v END) AS q2,
+        |             max(CASE WHEN i = 3 THEN v END) AS q3
+        |      FROM b)
+        |SELECT CAST(q1 AS BIGINT) AS q1_cents, CAST(q2 AS BIGINT) AS q2_cents,
+        |       CAST(q3 AS BIGINT) AS q3_cents,
+        |       CAST((q3 + q1 - 2 * q2) * 1000000 // (q3 - q1) AS BIGINT) AS bowley_ppm
+        |FROM q""".stripMargin,
+
+    "q406_ri_audit" ->
+      """WITH e1 AS (
+        |  SELECT 'lineitem_orders' AS fk_edge,
+        |         CAST(count(*) AS BIGINT) AS n_refs,
+        |         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_orphans
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_orderkey IS NOT NULL
+        |), e2 AS (
+        |  SELECT 'lineitem_part', CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+        |    ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_partkey IS NOT NULL
+        |), e3 AS (
+        |  SELECT 'lineitem_supplier', CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+        |    ON l.l_suppkey = s.s_suppkey
+        |  WHERE l.l_suppkey IS NOT NULL
+        |), e4 AS (
+        |  SELECT 'orders_customer', CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o.o_custkey = c.c_custkey
+        |  WHERE o.o_custkey IS NOT NULL
+        |), u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+        |         UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4)
+        |SELECT fk_edge, n_refs, n_orphans,
+        |       CAST(n_orphans * 1000000 // n_refs AS BIGINT) AS orphan_ppm
+        |FROM u ORDER BY fk_edge""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

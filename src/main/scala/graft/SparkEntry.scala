@@ -8287,6 +8287,85 @@ object SparkEntry {
         .orderBy("horizon_days")
     }),
 
+    // schema evolution via unionByName(allowMissingColumns): the old
+    // generation (1995-96 orders, no priority column) unioned with the
+    // new — missing columns null-fill by NAME, not position, so a
+    // reordered schema can't silently corrupt. The readout proves the
+    // fill: per generation, rows and null-priority counts
+    "q404_schema_evolution" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+      val oldGen = base.filter(col("o_orderdate") < lit("1997-01-01"))
+        .select(col("o_orderkey"), centsOf(col("o_totalprice")).as("cents"),
+          lit("v1").as("gen"))
+      val newGen = base.filter(col("o_orderdate") >= lit("1997-01-01"))
+        .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+          centsOf(col("o_totalprice")).as("cents"), lit("v2").as("gen"))
+      oldGen.unionByName(newGen, allowMissingColumns = true)
+        .groupBy("gen")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("priority").isNull, 1L).otherwise(0L)).as("null_priority"),
+          sum(col("cents")).as("total_cents"))
+        .orderBy("gen")
+    }),
+
+    // Bowley (quartile) skewness of order values: (Q3 + Q1 − 2·Q2) /
+    // (Q3 − Q1) from EXACT order statistics (the q299 two-pass trick at
+    // three cuts) in signed ppm — the robust-skewness companion to the
+    // moment-based stats, immune to the long tail it measures
+    "q405_bowley_skewness" -> ((s, dir) => {
+      val v = Tables.orders(s, dir).select(centsOf(col("o_totalprice")).as("v"))
+        .localCheckpoint(false)
+      val n1 = v.agg(count(lit(1)).as("n"))
+      val hist = v.groupBy(expr("v div 65536").as("bin")).agg(count(lit(1)).as("c"))
+        .withColumn("cb", coalesce(sum(col("c")).over(
+          Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      val ks = s.sql("SELECT CAST(i AS BIGINT) AS i FROM VALUES (1),(2),(3) AS t(i)")
+        .crossJoin(broadcast(n1))
+        .select(col("i"), expr("(i * n) div 4").as("k"))
+      val qs = ks.join(broadcast(hist),
+          col("cb") < col("k") && col("cb") + col("c") >= col("k"))
+        .select(col("i"), col("k"), col("bin"), (col("k") - col("cb")).as("off"))
+      val quart = v.join(broadcast(qs), expr("v div 65536") === col("bin"))
+        .withColumn("r",
+          row_number().over(Window.partitionBy("i").orderBy("v")).cast("long"))
+        .filter(col("r") === col("off"))
+        .groupBy()
+        .agg(max(when(col("i") === 1, col("v"))).as("q1"),
+          max(when(col("i") === 2, col("v"))).as("q2"),
+          max(when(col("i") === 3, col("v"))).as("q3"))
+      quart.select(col("q1").as("q1_cents"), col("q2").as("q2_cents"),
+        col("q3").as("q3_cents"),
+        expr("(q3 + q1 - 2 * q2) * 1000000 div (q3 - q1)").as("bowley_ppm"))
+    }),
+
+    // referential-integrity audit: orphan counts for all four FK edges of
+    // the star (lineitem→orders/part/supplier, orders→customer) via
+    // left-anti joins on the distinct key sets — the nightly RI check a
+    // lakehouse runs before trusting joins; orphan share in ppm per edge
+    "q406_ri_audit" -> ((s, dir) => {
+      def edge(name: String, fact: DataFrame, fk: String,
+          dim: DataFrame, pk: String): DataFrame = {
+        val keys = fact.select(col(fk).as("k")).filter(col("k").isNotNull)
+          .localCheckpoint(false)
+        val orphans = keys.join(dim.select(col(pk).as("k")).distinct(),
+          Seq("k"), "left_anti")
+        keys.agg(count(lit(1)).as("n_refs"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("fk_edge"), col("n_refs"), col("n_orphans"),
+            expr("n_orphans * 1000000 div n_refs").as("orphan_ppm"))
+      }
+      val li = Tables.lineitem(s, dir)
+      edge("lineitem_orders", li, "l_orderkey", Tables.orders(s, dir), "o_orderkey")
+        .unionAll(edge("lineitem_part", li, "l_partkey",
+          Tables.part(s, dir), "p_partkey"))
+        .unionAll(edge("lineitem_supplier", li, "l_suppkey",
+          Tables.supplier(s, dir), "s_suppkey"))
+        .unionAll(edge("orders_customer", Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey"))
+        .orderBy("fk_edge")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -110,7 +110,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q385_neyman_allocation",  // 1-row weight-total / floor-sum bounds
     "q388_array_setops",       // bounded 20-row source-dictionary pairs
     "q392_histogram_2d",       // 1-row min/max bounds broadcast
-    "q403_expanding_slope")    // 1-row start-date aggregate bound
+    "q403_expanding_slope",    // 1-row start-date aggregate bound
+    "q405_bowley_skewness",    // 1-row count + bounded histogram broadcasts
+    "q406_ri_audit")           // 1-row ref/orphan count pairs per edge
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
