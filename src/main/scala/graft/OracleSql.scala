@@ -8043,7 +8043,44 @@ object OracleSql {
         |         UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4)
         |SELECT fk_edge, n_refs, n_orphans,
         |       CAST(n_orphans * 1000000 // n_refs AS BIGINT) AS orphan_ppm
-        |FROM u ORDER BY fk_edge""".stripMargin
+        |FROM u ORDER BY fk_edge""".stripMargin,
+
+    "q407_rolling_corridor" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |           AS ed,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1
+        |), w AS (
+        |  SELECT ed, v, count(*) OVER win AS n7,
+        |         max(v) OVER win AS hi, min(v) OVER win AS lo
+        |  FROM daily
+        |  WINDOW win AS (ORDER BY ed ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |), f AS (SELECT * FROM w WHERE n7 = 7)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS breakouts_up,
+        |       CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS breakouts_down,
+        |       CAST(sum(hi - lo) AS BIGINT) AS corridor_width_sum_c,
+        |       CAST(sum(hi - lo) // count(*) AS BIGINT) AS mean_width_c
+        |FROM f""".stripMargin,
+
+    "q408_variant_explode" ->
+      """WITH j AS (SELECT l_orderkey, CAST(round(l_quantity, 0) AS BIGINT) AS q FROM lineitem),
+        |pc AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS c FROM j GROUP BY 1)
+        |SELECT CAST((SELECT count(*) FROM j) AS BIGINT) AS n_values,
+        |       CAST((SELECT count(*) FROM pc) AS BIGINT) AS n_orders,
+        |       CAST((SELECT sum(q) FROM j) AS BIGINT) AS total_qty,
+        |       CAST((SELECT max(c) FROM pc) AS BIGINT) AS max_lines_per_order""".stripMargin,
+
+    "q409_crosstab_api" ->
+      """SELECT o_orderpriority AS priority,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS status_F,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS status_O,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS status_P
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

@@ -8366,6 +8366,62 @@ object SparkEntry {
         .orderBy("fk_edge")
     }),
 
+    // rolling 7-day high/low corridor (Donchian channel) on daily
+    // revenue: windowed min/max over the prior 7 full days, breakout =
+    // today strictly outside yesterday's corridor — the volatility
+    // readout; exact integers end to end, bounded date-dictionary windows
+    "q407_rolling_corridor" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+          .as("ed"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("v"))
+      val w = Window.orderBy("ed").rowsBetween(-7, -1)
+      daily
+        .withColumn("n7", count(lit(1)).over(w))
+        .withColumn("hi", max(col("v")).over(w))
+        .withColumn("lo", min(col("v")).over(w))
+        .filter(col("n7") === 7)
+        .agg(
+          count(lit(1)).as("n_days"),
+          sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("breakouts_up"),
+          sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("breakouts_down"),
+          sum(expr("(hi - lo)")).as("corridor_width_sum_c"))
+        .withColumn("mean_width_c", expr("corridor_width_sum_c div n_days"))
+    }),
+
+    // variant_explode (the Spark-4 semi-structured TVF): a JSON ARRAY of
+    // per-order line quantities built from the fact table, parsed to
+    // VARIANT and exploded back laterally — the list-payload
+    // schema-on-read path q360's scalar fields don't cover; conservation
+    // proved against the flat aggregate
+    "q408_variant_explode" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(concat(lit("["),
+          array_join(sort_array(collect_list(
+            expr("CAST(round(l_quantity, 0) AS BIGINT)"))), ","),
+          lit("]")).as("js"))
+        .createOrReplaceTempView("q408_js")
+      s.sql(
+        """SELECT CAST(count(*) AS BIGINT) AS n_values,
+          |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+          |       CAST(sum(CAST(value AS BIGINT)) AS BIGINT) AS total_qty,
+          |       CAST(max(pos) + 1 AS BIGINT) AS max_lines_per_order
+          |FROM q408_js, LATERAL variant_explode(parse_json(js))""".stripMargin)
+    }),
+
+    // DataFrame.stat.crosstab — the contingency-table API (priority ×
+    // status), re-sorted and null-filled into a deterministic readout;
+    // the API twin of the q290/q119 independence audits
+    "q409_crosstab_api" -> ((s, dir) => {
+      val ct = Tables.orders(s, dir)
+        .stat.crosstab("o_orderpriority", "o_orderstatus")
+      val valueCols = ct.columns.filterNot(_ == "o_orderpriority_o_orderstatus").sorted
+      ct.select(col("o_orderpriority_o_orderstatus").as("priority") +:
+          valueCols.map(c => coalesce(col(s"`$c`"), lit(0L)).as(s"status_$c")): _*)
+        .orderBy("priority")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
