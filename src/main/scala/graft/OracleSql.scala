@@ -8080,7 +8080,72 @@ object OracleSql {
         |         AS status_O,
         |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
         |         AS status_P
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q410_systematic_sample" ->
+      """WITH r AS (
+        |  SELECT lang,
+        |         row_number() OVER (ORDER BY
+        |           CAST(concat('0x', substr(md5('sys#' || CAST(doc_id AS VARCHAR)), 1, 12))
+        |                AS BIGINT), doc_id) AS rk
+        |  FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN rk % 20 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |       CAST(sum(CASE WHEN rk % 20 = 0 THEN 1 ELSE 0 END) * 1000000 // count(*)
+        |            AS BIGINT) AS rate_ppm
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q411_tfidf_cosine" ->
+      """WITH s AS (
+        |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents
+        |    WHERE text IS NOT NULL
+        |      AND CAST(concat('0x', substr(md5('tc#' || CAST(doc_id AS VARCHAR)), 1, 12))
+        |               AS BIGINT) % 25 = 0)
+        |  WHERE length(w) > 0 GROUP BY 1, 2
+        |), df_ AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM s GROUP BY 1),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM s),
+        |wt AS (
+        |  SELECT s.doc_id, s.w,
+        |         s.tf * CAST(round(ln(CAST(nd.n AS DOUBLE) / df_.df) * 1000) AS BIGINT)
+        |           AS wgt
+        |  FROM s JOIN df_ USING (w), nd
+        |), nrm AS (
+        |  SELECT doc_id, nrm FROM (
+        |    SELECT doc_id, n2, t,
+        |           CASE WHEN (t + 1) * (t + 1) <= n2 THEN t + 1
+        |                WHEN t * t > n2 THEN t - 1 ELSE t END AS nrm
+        |    FROM (SELECT doc_id, CAST(sum(wgt * wgt) AS BIGINT) AS n2,
+        |                 CAST(floor(sqrt(CAST(sum(wgt * wgt) AS DOUBLE))) AS BIGINT) AS t
+        |          FROM wt GROUP BY 1))
+        |  WHERE nrm > 0
+        |), d AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, CAST(sum(a.wgt * b.wgt) AS BIGINT) AS dot
+        |  FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d.da, d.db, CAST(d.dot * 1000000 // (x.nrm * y.nrm) AS BIGINT) AS cos_u
+        |FROM d JOIN nrm x ON d.da = x.doc_id JOIN nrm y ON d.db = y.doc_id
+        |ORDER BY cos_u DESC, da, db LIMIT 10""".stripMargin,
+
+    "q412_topk_concentration" ->
+      """WITH cy AS (
+        |  SELECT year(o_orderdate) AS yr, o_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY 1, 2
+        |), r AS (
+        |  SELECT yr, rev_c,
+        |         row_number() OVER (PARTITION BY yr ORDER BY rev_c DESC, o_custkey) AS rk
+        |  FROM cy
+        |)
+        |SELECT CAST(yr AS BIGINT) AS yr, CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(rev_c) AS BIGINT) AS total_c,
+        |       CAST(sum(CASE WHEN rk <= 20 THEN rev_c ELSE 0 END) AS BIGINT) AS top20_c,
+        |       CAST(sum(CASE WHEN rk <= 20 THEN rev_c ELSE 0 END) * 1000000 // sum(rev_c)
+        |            AS BIGINT) AS cr20_ppm
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

@@ -8422,6 +8422,90 @@ object SparkEntry {
         .orderBy("priority")
     }),
 
+    // systematic 1-in-20 sampling on the md5 rank order: row_number over
+    // the md5 permutation, keep rank % 20 == 0 — EXACT sample size by
+    // construction (vs q46's Bernoulli threshold whose size is binomial);
+    // per-lang census proves both properties. The global permutation
+    // window runs once; at 100 TB the same rank comes from a
+    // zipWithIndex-style assignment — documented trade, not hidden
+    "q410_systematic_sample" -> ((s, dir) => {
+      val ranked = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .withColumn("h", Dedup.md5Long(concat(lit("sys#"),
+          col("doc_id").cast("string")), 12))
+        .withColumn("rk", row_number().over(Window.orderBy("h", "doc_id")))
+      ranked.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rk") % 20 === 0, 1L).otherwise(0L)).as("n_sampled"))
+        .withColumn("rate_ppm", expr("n_sampled * 1000000 div n_docs"))
+        .orderBy("lang")
+    }),
+
+    // TF-IDF cosine doc pairs over a deterministic 1-in-25 md5 sample
+    // (the bounded query-batch shape — a full doc×doc cosine is Σdf²-
+    // quadratic and belongs behind LSH like q39): per-(doc, term) weights
+    // w = tf · idf_micro (idf micro-quantized once), pair dot products
+    // via the term join on the SAMPLE only, norms exact integer; top-10
+    // most similar pairs
+    "q411_tfidf_cosine" -> ((s, dir) => {
+      val sample = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .filter(Dedup.md5Long(concat(lit("tc#"), col("doc_id").cast("string")), 12)
+          % 25 === 0)
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false)
+      val df_ = sample.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+      val nd = sample.agg(countDistinct(col("doc_id")).as("n"))
+      val wt = sample.join(broadcast(df_), Seq("w"))
+        .crossJoin(broadcast(nd))
+        .withColumn("wgt", expr(
+          "tf * CAST(round(ln(CAST(n AS DOUBLE) / df) * 1000) AS BIGINT)"))
+        .localCheckpoint(false)
+      val norms = wt.groupBy("doc_id")
+        .agg(sum(expr("wgt * wgt")).as("n2"))
+        .withColumn("t", expr("CAST(floor(sqrt(CAST(n2 AS DOUBLE))) AS BIGINT)"))
+        .withColumn("nrm", expr(
+          "CASE WHEN (t + 1) * (t + 1) <= n2 THEN t + 1" +
+            " WHEN t * t > n2 THEN t - 1 ELSE t END"))
+        // a doc whose every term has df = n has zero tf-idf mass — exclude
+        // rather than divide by zero (DuckDB // 0 errors; Spark nulls)
+        .filter(col("nrm") > 0)
+        .select("doc_id", "nrm")
+      val dots = wt.select(col("doc_id").as("da"), col("w"), col("wgt").as("wa"))
+        .join(wt.select(col("doc_id").as("db"), col("w"), col("wgt").as("wb")),
+          Seq("w"))
+        .filter(col("da") < col("db"))
+        .groupBy("da", "db").agg(sum(expr("wa * wb")).as("dot"))
+      dots
+        .join(broadcast(norms.select(col("doc_id").as("da"), col("nrm").as("na"))),
+          Seq("da"))
+        .join(broadcast(norms.select(col("doc_id").as("db"), col("nrm").as("nb"))),
+          Seq("db"))
+        .select(col("da"), col("db"),
+          expr("dot * 1000000 div (na * nb)").as("cos_u"))
+        .orderBy(col("cos_u").desc, col("da"), col("db")).limit(10)
+    }),
+
+    // revenue concentration over time: the top-20 customers' share of
+    // each year's revenue (CR20 by year) — the concentration TREND the
+    // one-shot HHI (q114) and Gini (q204) can't show; per-year rank
+    // windows over the bounded customer-year aggregate
+    "q412_topk_concentration" -> ((s, dir) => {
+      val cy = Tables.orders(s, dir)
+        .groupBy(expr("year(o_orderdate)").as("yr"), col("o_custkey"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("rev_c"))
+      val w = Window.partitionBy("yr").orderBy(col("rev_c").desc, col("o_custkey"))
+      cy.withColumn("rk", row_number().over(w))
+        .groupBy("yr")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("rev_c")).as("total_c"),
+          sum(when(col("rk") <= 20, col("rev_c")).otherwise(0L)).as("top20_c"))
+        .withColumn("cr20_ppm", expr("top20_c * 1000000 div total_c"))
+        .select(col("yr").cast("long").as("yr"), col("n_customers"),
+          col("total_c"), col("top20_c"), col("cr20_ppm"))
+        .orderBy("yr")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
