@@ -8145,7 +8145,56 @@ object OracleSql {
         |       CAST(sum(CASE WHEN rk <= 20 THEN rev_c ELSE 0 END) AS BIGINT) AS top20_c,
         |       CAST(sum(CASE WHEN rk <= 20 THEN rev_c ELSE 0 END) * 1000000 // sum(rev_c)
         |            AS BIGINT) AS cr20_ppm
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q413_regularity" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |         epoch_us(date_trunc('microseconds', ts)) // 86400000000 AS day
+        |  FROM events
+        |), u AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS active_days,
+        |         CAST(max(day) - min(day) + 1 AS BIGINT) AS span_days
+        |  FROM ud GROUP BY 1
+        |)
+        |SELECT least(active_days * 10 // span_days, 10) AS reg_decile,
+        |       CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(active_days) AS BIGINT) AS total_active_days
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q414_brand_loyalty" ->
+      """WITH cb AS (
+        |  SELECT o_custkey, p_brand, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2
+        |), a AS (
+        |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_buyers,
+        |         CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat
+        |  FROM cb GROUP BY 1
+        |)
+        |SELECT p_brand, n_buyers, n_repeat,
+        |       CAST(n_repeat * 1000000 // n_buyers AS BIGINT) AS loyalty_ppm
+        |FROM a ORDER BY loyalty_ppm DESC, p_brand LIMIT 10""".stripMargin,
+
+    "q415_srm_check" ->
+      """WITH u AS (
+        |  SELECT DISTINCT
+        |         CAST(concat('0x', substr(md5('cuped#' || CAST(o_custkey AS VARCHAR)), 1, 12))
+        |              AS BIGINT) % 2 AS arm,
+        |         o_custkey
+        |  FROM orders
+        |), a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_units,
+        |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat
+        |  FROM u
+        |)
+        |SELECT n_units, n_treat, CAST(n_units - n_treat AS BIGINT) AS n_ctrl,
+        |       CAST((2 * n_treat - n_units) * (2 * n_treat - n_units) * 1000000 // n_units
+        |            AS BIGINT) AS chi2_micro,
+        |       (2 * n_treat - n_units) * (2 * n_treat - n_units) * 1000000 // n_units
+        |         > 3841459 AS srm_suspect
+        |FROM a""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

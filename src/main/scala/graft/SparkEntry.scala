@@ -8506,6 +8506,64 @@ object SparkEntry {
         .orderBy("yr")
     }),
 
+    // activity regularity: per user, active days as a share of their
+    // first→last-day span (the engagement-regularity metric between
+    // q137's actives and q353's streaks), bucketed to a decile histogram
+    "q413_regularity" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").as("day"))
+        .distinct()
+      ud.groupBy("user_id")
+        .agg(count(lit(1)).as("active_days"),
+          (max(col("day")) - min(col("day")) + 1).as("span_days"))
+        .withColumn("reg_decile",
+          least(expr("active_days * 10 div span_days"), lit(10L)))
+        .groupBy("reg_decile")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("active_days")).as("total_active_days"))
+        .orderBy("reg_decile")
+    }),
+
+    // brand loyalty: of the customers who ever bought a brand, the share
+    // that came back for it in a LATER order — repeat-purchase rate per
+    // brand from one (customer, brand) aggregate with distinct order
+    // counts; top-10 most loyal brands
+    "q414_brand_loyalty" -> ((s, dir) => {
+      val cb = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+          col("p_partkey") === col("l_partkey"))
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"), col("p_brand"))
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"))
+      cb.groupBy("p_brand")
+        .agg(count(lit(1)).as("n_buyers"),
+          sum(when(col("n_orders") >= 2, 1L).otherwise(0L)).as("n_repeat"))
+        .withColumn("loyalty_ppm", expr("n_repeat * 1000000 div n_buyers"))
+        .orderBy(col("loyalty_ppm").desc, col("p_brand")).limit(10)
+    }),
+
+    // sample-ratio-mismatch (SRM) check on the q314 md5 experiment arms:
+    // observed 50/50 split vs expected, the chi-square statistic in micro
+    // (integer numerators ×1e6 over the expected count) — the A/B health
+    // gate that must pass before any lift readout is trusted
+    "q415_srm_check" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select((Dedup.md5Long(concat(lit("cuped#"),
+          col("o_custkey").cast("string")), 12) % 2).as("arm"),
+          col("o_custkey"))
+        .distinct()
+        .groupBy()
+        .agg(count(lit(1)).as("n_units"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"))
+        .withColumn("n_ctrl", expr("n_units - n_treat"))
+        .withColumn("delta", expr("2 * n_treat - n_units"))
+        // chi2 = (o1-e)²/e + (o2-e)²/e with e = n/2 ⇒ delta² / n, ×1e6
+        .withColumn("chi2_micro", expr("delta * delta * 1000000 div n_units"))
+        .withColumn("srm_suspect", expr("chi2_micro > 3841459"))
+        .select("n_units", "n_treat", "n_ctrl", "chi2_micro", "srm_suspect")),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
