@@ -8194,7 +8194,67 @@ object OracleSql {
         |            AS BIGINT) AS chi2_micro,
         |       (2 * n_treat - n_units) * (2 * n_treat - n_units) * 1000000 // n_units
         |         > 3841459 AS srm_suspect
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    "q416_quartile_migration" ->
+      """WITH y96 AS (
+        |  SELECT o_custkey,
+        |         CAST(ntile(4) OVER (ORDER BY sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              DESC, o_custkey) AS BIGINT) AS q_1996
+        |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey
+        |), y97 AS (
+        |  SELECT o_custkey,
+        |         CAST(ntile(4) OVER (ORDER BY sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              DESC, o_custkey) AS BIGINT) AS q_1997
+        |  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey
+        |)
+        |SELECT q_1996, q_1997, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM y96 JOIN y97 USING (o_custkey)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q417_term_trend_slopes" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |mx AS (SELECT max(doc_id) + 1 AS mxd FROM d),
+        |w AS (
+        |  SELECT d.doc_id * 12 // mx.mxd AS b, unnest(string_split(d.text, ' ')) AS w
+        |  FROM d, mx
+        |), ww AS (SELECT b, w FROM w WHERE length(w) > 0),
+        |top AS (SELECT w FROM (SELECT w, count(*) AS c FROM ww GROUP BY 1
+        |        ORDER BY c DESC, w LIMIT 5)),
+        |grid AS (
+        |  SELECT g.b, g.w, CAST(g.cw * 1000000 // t.ct AS BIGINT) AS share_ppm
+        |  FROM (SELECT b, w, CAST(count(*) AS BIGINT) AS cw FROM ww GROUP BY 1, 2) g
+        |  JOIN (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM ww GROUP BY 1) t USING (b)
+        |  JOIN top USING (w)
+        |), a AS (
+        |  SELECT w, CAST(count(*) AS HUGEINT) AS n,
+        |         CAST(sum(CAST(b AS HUGEINT)) AS HUGEINT) AS sx,
+        |         CAST(sum(CAST(share_ppm AS HUGEINT)) AS HUGEINT) AS sy,
+        |         CAST(sum(CAST(b AS HUGEINT) * share_ppm) AS HUGEINT) AS sxy,
+        |         CAST(sum(CAST(b AS HUGEINT) * b) AS HUGEINT) AS sxx
+        |  FROM grid GROUP BY 1
+        |)
+        |SELECT w AS term, CAST(n AS BIGINT) AS n_buckets,
+        |       CAST((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx) AS BIGINT)
+        |         AS slope_milli_ppm_per_bucket
+        |FROM a ORDER BY term""".stripMargin,
+
+    "q418_purchase_sequences" ->
+      """WITH ob AS (
+        |  SELECT DISTINCT o_custkey, o_orderkey, o_orderdate, p_brand
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |), so AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         lead(o_orderkey) OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS next_ok
+        |  FROM (SELECT DISTINCT o_custkey, o_orderkey, o_orderdate FROM ob)
+        |), sq AS (SELECT o_orderkey, next_ok FROM so WHERE next_ok IS NOT NULL)
+        |SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+        |       CAST(count(*) AS BIGINT) AS n_seq
+        |FROM sq JOIN ob a ON sq.o_orderkey = a.o_orderkey
+        |JOIN ob b ON sq.next_ok = b.o_orderkey
+        |GROUP BY 1, 2 ORDER BY n_seq DESC, brand_a, brand_b LIMIT 10""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

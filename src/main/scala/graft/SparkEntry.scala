@@ -8564,6 +8564,86 @@ object SparkEntry {
         .withColumn("srm_suspect", expr("chi2_micro > 3841459"))
         .select("n_units", "n_treat", "n_ctrl", "chi2_micro", "srm_suspect")),
 
+    // customer revenue-quartile MIGRATION matrix 1996→1997: ntile(4) per
+    // year (deterministic custkey tie-break), inner join on customers
+    // active both years, cell counts — the segment-mobility readout
+    // behind churn/upsell planning
+    "q416_quartile_migration" -> ((s, dir) => {
+      def quartiles(yr: Int) = Tables.orders(s, dir)
+        .filter(expr(s"year(o_orderdate) = $yr"))
+        .groupBy("o_custkey")
+        .agg(sum(centsOf(col("o_totalprice"))).as("rev_c"))
+        .withColumn("q", ntile(4).over(
+          Window.orderBy(col("rev_c").desc, col("o_custkey"))).cast("long"))
+        .select(col("o_custkey"), col("q"))
+      quartiles(1996).withColumnRenamed("q", "q_1996")
+        .join(quartiles(1997).withColumnRenamed("q", "q_1997"), Seq("o_custkey"))
+        .groupBy("q_1996", "q_1997")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("q_1996", "q_1997")
+    }),
+
+    // per-term share trend: for the top-5 corpus terms, the OLS slope of
+    // their monthly share (ppm per month index) over the ingestion
+    // timeline — the continuous-time refinement of q323's two-halves
+    // ratio; exact integer moments on the bounded term×month grid
+    "q417_term_trend_slopes" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .localCheckpoint(false)
+      val mx = docs.agg((max(col("doc_id")) + 1).as("mxd"))
+      val words = docs.crossJoin(broadcast(mx))
+        .select(expr("doc_id * 12 div mxd").as("b"),
+          explode(split(col("text"), " ", -1)).as("w"))
+        .filter(length(col("w")) > 0)
+        .localCheckpoint(false)
+      val top = words.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(5).select("w")
+      val grid = words.groupBy("b", "w").agg(count(lit(1)).as("cw"))
+        .join(words.groupBy("b").agg(count(lit(1)).as("ct")), Seq("b"))
+        .join(broadcast(top), Seq("w"))
+        .withColumn("share_ppm", expr("cw * 1000000 div ct"))
+      grid.groupBy("w")
+        .agg(count(lit(1)).cast(dec38).as("n"),
+          sum(col("b").cast(dec38)).as("sx"),
+          sum(col("share_ppm").cast(dec38)).as("sy"),
+          sum((col("b") * col("share_ppm")).cast(dec38)).as("sxy"),
+          sum((col("b") * col("b")).cast(dec38)).as("sxx"))
+        .select(col("w").as("term"), col("n").cast("long").as("n_buckets"),
+          expr("CAST((n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx)" +
+            " AS BIGINT)").as("slope_milli_ppm_per_bucket"))
+        .orderBy("term")
+    }),
+
+    // sequential purchase patterns: each customer's orders in date order,
+    // the (brand-set of order k) × (brand-set of order k+1) transition
+    // pairs — the top-10 A-then-B sequences with lift over independence;
+    // bounded brand dictionary keeps everything small after the one
+    // order-sequence window
+    "q418_purchase_sequences" -> ((s, dir) => {
+      val ob = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+          col("p_partkey") === col("l_partkey"))
+        .join(Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("p_brand")).distinct()
+        .localCheckpoint(false)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val seq_ = ob.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .distinct()
+        .withColumn("next_ok", lead(col("o_orderkey"), 1).over(w))
+        .filter(col("next_ok").isNotNull)
+      seq_.join(ob.select(col("o_orderkey"), col("p_brand").as("brand_a")),
+          Seq("o_orderkey"))
+        .join(ob.select(col("o_orderkey").as("next_ok"),
+          col("p_brand").as("brand_b")), Seq("next_ok"))
+        .groupBy("brand_a", "brand_b")
+        .agg(count(lit(1)).as("n_seq"))
+        .orderBy(col("n_seq").desc, col("brand_a"), col("brand_b")).limit(10)
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
