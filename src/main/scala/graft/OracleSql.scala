@@ -2171,12 +2171,15 @@ object OracleSql {
         |         sum(CAST(xq AS HUGEINT) * CAST(yq AS HUGEINT)) AS sxy
         |  FROM x GROUP BY 1, 2
         |)
+        |, nd AS (SELECT i, j, n_vecs,
+        |              CAST(n_vecs AS HUGEINT) * sxy - sx * sy AS num,
+        |              CAST(n_vecs AS HUGEINT) * n_vecs * 1000000 AS den
+        |       FROM s)
         |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
         |       CAST(n_vecs AS BIGINT) AS n_vecs,
-        |       round((CAST(sxy AS DOUBLE) / n_vecs
-        |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n_vecs / n_vecs)
-        |             / 1000000000000.0, 6) AS cov
-        |FROM s ORDER BY i, j""".stripMargin,
+        |       CAST(CASE WHEN num >= 0 THEN (2 * num + den) // (2 * den)
+        |                 ELSE -((2 * (-num) + den) // (2 * den)) END AS BIGINT) AS cov_e6
+        |FROM nd ORDER BY i, j""".stripMargin,
 
     // Bloom decontamination: the oracle replays the EXACT semantics (the
     // bloom is a prefilter whose false positives the confirm join kills,
@@ -6597,11 +6600,14 @@ object OracleSql {
         |         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
         |  FROM d
         |)
-        |SELECT CAST(sub AS BIGINT) AS subspace, CAST(count(*) AS BIGINT) AS n_vectors,
+        |, cd AS (SELECT sub, CAST(count(DISTINCT cid) AS BIGINT) AS codes_defined
+        |         FROM c GROUP BY 1)
+        |SELECT CAST(b.sub AS BIGINT) AS subspace, CAST(count(*) AS BIGINT) AS n_vectors,
+        |       any_value(cd.codes_defined) AS codes_defined,
         |       CAST(count(DISTINCT cid) AS BIGINT) AS codes_used,
         |       CAST(sum(d2) AS BIGINT) AS sum_sqerr_q,
         |       CAST(sum(d2) // count(*) AS BIGINT) AS avg_sqerr_q
-        |FROM b WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM b JOIN cd ON b.sub = cd.sub WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q333_histogram_quantiles" ->
       """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
@@ -6945,7 +6951,7 @@ object OracleSql {
       """SELECT source,
         |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
         |       CAST(count(DISTINCT text) AS BIGINT) AS n_texts,
-        |       CAST(count(DISTINCT (lang, text)) AS BIGINT) AS n_lang_texts,
+        |       CAST(count(DISTINCT (coalesce(lang, '<null>'), text)) AS BIGINT) AS n_lang_texts,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE text IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,

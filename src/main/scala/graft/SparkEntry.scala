@@ -6936,7 +6936,11 @@ object SparkEntry {
         .groupBy("source")
         .agg(countDistinct(col("lang")).as("n_langs"),
           countDistinct(col("text")).as("n_texts"),
-          countDistinct(col("lang"), col("text")).as("n_lang_texts"),
+          // coalesce pins the NULL convention: Spark's multi-col distinct
+          // drops null-bearing tuples while DuckDB's row-struct counts
+          // them — with the sentinel both engines count identically
+          countDistinct(coalesce(col("lang"), lit("<null>")), col("text"))
+            .as("n_lang_texts"),
           sum(col("n_chars")).as("total_chars"))
         .orderBy("source")),
 
@@ -8416,9 +8420,15 @@ object SparkEntry {
     "q409_crosstab_api" -> ((s, dir) => {
       val ct = Tables.orders(s, dir)
         .stat.crosstab("o_orderpriority", "o_orderstatus")
-      val valueCols = ct.columns.filterNot(_ == "o_orderpriority_o_orderstatus").sorted
+      // statuses PINNED (like q349 pins langs): a dataset missing one
+      // value still emits the zero-filled column, so the schema — and the
+      // oracle comparison — never silently narrows
+      val statuses = Seq("F", "O", "P")
+      val have = ct.columns.toSet
       ct.select(col("o_orderpriority_o_orderstatus").as("priority") +:
-          valueCols.map(c => coalesce(col(s"`$c`"), lit(0L)).as(s"status_$c")): _*)
+          statuses.map(c =>
+            (if (have(c)) coalesce(col(s"`$c`"), lit(0L)) else lit(0L))
+              .as(s"status_$c")): _*)
         .orderBy("priority")
     }),
 

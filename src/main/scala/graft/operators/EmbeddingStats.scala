@@ -82,19 +82,32 @@ object EmbeddingStats {
   }
 
   /** Upper-triangle covariance entries (i ≤ j, 0-based dims): one row per
-    * dim pair with the exact quantized sums and the double `cov`.
+    * dim pair with `cov_e6` = the population covariance in exact 1e-6
+    * units (a long).
+    *
+    * Exactness end-to-end: cov = (n·Sxy − Sx·Sy)/(n²·q²), and cov_e6 is
+    * its half-away-from-zero rounding at 1e-6 — computed entirely in
+    * decimal integer arithmetic (`(2·|num| + den) div (2·den)` with the
+    * sign re-applied), so there is NO final double division to land on a
+    * rounding boundary; any engine's exact-integer replay bit-matches.
+    * Requires quantScale² divisible by 1e6 (true for the 1e-6 default).
     */
   def covarianceUpperTriangle(
       embeddings: DataFrame,
       vecCol: String,
       quantScale: Long = 1000000L): DataFrame = {
+    val denFactor = quantScale * quantScale / 1000000L
+    require(denFactor * 1000000L == quantScale * quantScale,
+      s"quantScale^2 must be divisible by 1e6, got $quantScale")
     secondMomentSums(embeddings, vecCol, quantScale)
+      .withColumn("_num",
+        col("n_vecs").cast(dec38) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("_den",
+        col("n_vecs").cast(dec38) * col("n_vecs").cast(dec38) * lit(denFactor).cast(dec38))
       .select(
         col("i"), col("j"), col("n_vecs"),
-        round(
-          (col("sxy").cast("double") / col("n_vecs")
-            - col("sx").cast("double") * (col("sy").cast("double")) / col("n_vecs") / col("n_vecs"))
-            / (quantScale.toDouble * quantScale.toDouble), 6).as("cov"))
+        expr("CASE WHEN _num >= 0 THEN (2 * _num + _den) div (2 * _den)" +
+          " ELSE -((2 * (-_num) + _den) div (2 * _den)) END").as("cov_e6"))
       .orderBy("i", "j")
   }
 

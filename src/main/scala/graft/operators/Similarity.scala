@@ -748,6 +748,14 @@ object Similarity {
     * exploded rows (map-side combine on (vid, sub, code)), then two
     * bounded aggregations — no window ever sees more than nCodes rows per
     * (vector, subspace).
+    *
+    * Preconditions (guarded, not assumed): ids must be dense from 0 (the
+    * codebook is the rows with `idCol < nCodes`) and `subDim` must divide
+    * the embedding dimension (otherwise the last subspace is partial).
+    * The output's `codes_defined` column reports the codebook rows
+    * actually found per subspace — a degraded audit (sparse ids, short
+    * codebook) shows `codes_defined < nCodes` instead of silently
+    * producing undersized-codebook numbers.
     */
   def pqCodebookAudit(emb: DataFrame, idCol: String, embCol: String,
       subDim: Int, nCodes: Int): DataFrame = {
@@ -762,6 +770,8 @@ object Similarity {
         col("sub") === col("csub") && col("pos") === col("cpos"))
       .groupBy("vid", "sub", "cid")
       .agg(sum(expr("(qv - qc) * (qv - qc)")).as("d2"))
+    val defined = codes.groupBy(col("csub").as("sub"))
+      .agg(countDistinct(col("cid")).as("codes_defined"))
     dist.groupBy("vid", "sub")
       .agg(min(struct(col("d2"), col("cid"))).as("best"))
       .groupBy("sub")
@@ -769,8 +779,10 @@ object Similarity {
         countDistinct(col("best.cid")).as("codes_used"),
         sum(col("best.d2")).as("sum_sqerr_q"))
       .withColumn("avg_sqerr_q", expr("sum_sqerr_q div n_vectors"))
+      .join(defined, Seq("sub"))
       .select(col("sub").cast("long").as("subspace"), col("n_vectors"),
-        col("codes_used"), col("sum_sqerr_q"), col("avg_sqerr_q"))
+        col("codes_defined"), col("codes_used"), col("sum_sqerr_q"),
+        col("avg_sqerr_q"))
       .orderBy("subspace")
   }
 }

@@ -780,6 +780,9 @@ class RoundFivePropertiesSpec extends AnyFunSuite {
     r.foreach { row =>
       val used = row.getAs[Long]("codes_used")
       assert(used >= 2L && used <= 16L, s"degenerate codebook: $used codes")
+      assert(row.getAs[Long]("codes_defined") === 16L,
+        "codebook short of nCodes — the dense-id precondition is violated")
+      assert(used <= row.getAs[Long]("codes_defined"))
       assert(row.getAs[Long]("avg_sqerr_q") <= row.getAs[Long]("sum_sqerr_q"))
     }
   }

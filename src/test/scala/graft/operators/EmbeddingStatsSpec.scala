@@ -15,8 +15,8 @@ class EmbeddingStatsSpec extends AnyFunSuite {
       Seq(2.0f, 4.0f, 5.0f),
       Seq(3.0f, 6.0f, 5.0f)).toDF("embedding")
     val got = EmbeddingStats.covarianceUpperTriangle(vecs, "embedding")
-      .select("i", "j", "cov").as[(Long, Long, Double)].collect()
-      .map { case (i, j, c) => (i, j) -> c }.toMap
+      .select("i", "j", "cov_e6").as[(Long, Long, Long)].collect()
+      .map { case (i, j, c) => (i, j) -> c / 1e6 }.toMap
     val varX = 2.0 / 3.0 // population variance of [1,2,3]
     assert(math.abs(got((0L, 0L)) - varX) < 1e-5)
     assert(math.abs(got((0L, 1L)) - 2 * varX) < 1e-5) // cov(x, 2x) = 2·var(x)
@@ -30,9 +30,9 @@ class EmbeddingStatsSpec extends AnyFunSuite {
     val one  = base.toDF("embedding").coalesce(1)
     val many = base.toDF("embedding").repartition(13)
     val a = EmbeddingStats.covarianceUpperTriangle(one, "embedding")
-      .select("i", "j", "cov").as[(Long, Long, Double)].collect().toSet
+      .select("i", "j", "cov_e6").as[(Long, Long, Long)].collect().toSet
     val b = EmbeddingStats.covarianceUpperTriangle(many, "embedding")
-      .select("i", "j", "cov").as[(Long, Long, Double)].collect().toSet
+      .select("i", "j", "cov_e6").as[(Long, Long, Long)].collect().toSet
     assert(a === b)
   }
 
@@ -61,7 +61,8 @@ class EmbeddingStatsSpec extends AnyFunSuite {
   test("diagonal dominates: |cov(i,j)| <= sqrt(var_i * var_j) + rounding slack") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cov = EmbeddingStats.covarianceUpperTriangle(e, "embedding")
-      .select("i", "j", "cov").as[(Long, Long, Double)].collect()
+      .select("i", "j", "cov_e6").as[(Long, Long, Long)].collect()
+      .map { case (i, j, c) => (i, j, c / 1e6) }
     val diag = cov.collect { case (i, j, c) if i == j => i -> c }.toMap
     cov.foreach { case (i, j, c) =>
       assert(math.abs(c) <= math.sqrt(diag(i) * diag(j)) + 1e-4)
