@@ -8260,7 +8260,131 @@ object OracleSql {
         |       CAST(count(*) AS BIGINT) AS n_seq
         |FROM sq JOIN ob a ON sq.o_orderkey = a.o_orderkey
         |JOIN ob b ON sq.next_ok = b.o_orderkey
-        |GROUP BY 1, 2 ORDER BY n_seq DESC, brand_a, brand_b LIMIT 10""".stripMargin
+        |GROUP BY 1, 2 ORDER BY n_seq DESC, brand_a, brand_b LIMIT 10""".stripMargin,
+
+    "q419_jackknife_ratio" ->
+      """WITH cu AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), cs AS (
+        |  SELECT c_mktsegment AS segment, x, y
+        |  FROM cu JOIN customer ON c_custkey = o_custkey
+        |), t AS (
+        |  SELECT segment, CAST(sum(x) AS BIGINT) AS sx2,
+        |         CAST(sum(y) AS BIGINT) AS sy2
+        |  FROM cs GROUP BY 1
+        |), r AS (
+        |  SELECT cs.segment, sx2, sy2, (sx2 - x) // (sy2 - y) AS r
+        |  FROM cs JOIN t USING (segment) WHERE sy2 > y
+        |)
+        |SELECT segment, CAST(count(*) AS BIGINT) AS n_cust,
+        |       CAST(sx2 * 1000 // sy2 AS BIGINT) AS ratio_milli,
+        |       CAST((count(*) - 1)
+        |            * (count(*) * sum(CAST(r AS HUGEINT) * r)
+        |               - sum(CAST(r AS HUGEINT)) * sum(CAST(r AS HUGEINT)))
+        |            // (CAST(count(*) AS HUGEINT) * count(*) * count(*))
+        |            AS BIGINT) AS jk_var_cents2
+        |FROM r GROUP BY segment, sx2, sy2 ORDER BY segment""".stripMargin,
+
+    "q420_cohens_kappa" ->
+      """WITH lab AS (
+        |  SELECT lang,
+        |         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+        |         CASE WHEN len(string_split(text, ' ')) >= 55 THEN 1 ELSE 0 END AS b
+        |  FROM documents WHERE text IS NOT NULL
+        |), c AS (
+        |  SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+        |         CAST(sum(a * b) AS HUGEINT) AS n11,
+        |         CAST(sum((1 - a) * (1 - b)) AS HUGEINT) AS n00,
+        |         CAST(sum(a) AS HUGEINT) AS ra, CAST(sum(b) AS HUGEINT) AS rb
+        |  FROM lab GROUP BY 1
+        |)
+        |SELECT lang, CAST(n AS BIGINT) AS n_docs,
+        |       CAST(n11 AS BIGINT) AS n_both_pos, CAST(n00 AS BIGINT) AS n_both_neg,
+        |       CAST(CASE WHEN n * n = ra * rb + (n - ra) * (n - rb) THEN 0
+        |                 ELSE (n * (n11 + n00) - (ra * rb + (n - ra) * (n - rb))) * 1000000
+        |                      // (n * n - (ra * rb + (n - ra) * (n - rb))) END
+        |            AS BIGINT) AS kappa_ppm
+        |FROM c ORDER BY lang""".stripMargin,
+
+    "q421_t_closeness" ->
+      """WITH o AS (SELECT o_orderpriority AS qi,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders),
+        |mm AS (SELECT min(cents) AS gmin, max(cents) AS gmax FROM o),
+        |bd AS (SELECT qi, (cents - gmin) * 10 // (gmax - gmin + 1) AS band FROM o, mm),
+        |bands AS (SELECT unnest(range(0, 10)) AS band),
+        |gc AS (SELECT band, CAST(coalesce(c, 0) AS BIGINT) AS cg
+        |       FROM bands LEFT JOIN (SELECT band, count(*) AS c FROM bd GROUP BY 1)
+        |       USING (band)),
+        |grid AS (
+        |  SELECT q.qi, b.band, CAST(coalesce(a.c, 0) AS BIGINT) AS ca, gc.cg
+        |  FROM (SELECT DISTINCT qi FROM bd) q
+        |  CROSS JOIN bands b
+        |  LEFT JOIN (SELECT qi, band, count(*) AS c FROM bd GROUP BY 1, 2) a
+        |    ON a.qi = q.qi AND a.band = b.band
+        |  JOIN gc ON gc.band = b.band
+        |), cum AS (
+        |  SELECT qi, band, cg,
+        |         sum(ca) OVER (PARTITION BY qi ORDER BY band
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+        |         sum(cg) OVER (PARTITION BY qi ORDER BY band
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g,
+        |         sum(ca) OVER (PARTITION BY qi) AS na,
+        |         sum(cg) OVER (PARTITION BY qi) AS ng
+        |  FROM grid
+        |)
+        |SELECT qi, CAST(max(na) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN band < 9
+        |                     THEN abs(CAST(cum_a AS HUGEINT) * ng - CAST(cum_g AS HUGEINT) * na)
+        |                     ELSE 0 END) * 1000000
+        |            // (CAST(max(na) AS HUGEINT) * max(ng) * 9) AS BIGINT) AS t_ppm
+        |FROM cum GROUP BY qi ORDER BY qi""".stripMargin,
+
+    "q422_pps_sample" ->
+      """WITH w AS (
+        |  SELECT l_partkey,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) > 0
+        |), c AS (
+        |  SELECT l_partkey, w,
+        |         CAST(sum(w) OVER (ORDER BY l_partkey
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS BIGINT) AS cum
+        |  FROM w
+        |), t AS (SELECT max(cum) AS tw FROM c),
+        |p AS (SELECT k, (2 * k + 1) * tw // 40 AS pt
+        |      FROM (SELECT unnest(range(0, 20)) AS k), t)
+        |SELECT CAST(k AS BIGINT) AS k, l_partkey AS p_partkey, w AS w_cents
+        |FROM c JOIN p ON cum - w <= pt AND pt < cum
+        |ORDER BY k""".stripMargin,
+
+    "q423_matryoshka_recall" ->
+      """WITH b AS (
+        |  SELECT vec_id AS vid,
+        |         list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings
+        |), qs AS (SELECT vid AS query_id, q AS qq FROM b WHERE vid < 8),
+        |sc AS (
+        |  SELECT query_id, vid,
+        |         list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * q[i])) AS dot_full,
+        |         list_sum(list_transform(range(1, 17), i -> qq[i] * q[i])) AS dot_pre
+        |  FROM b, qs WHERE vid <> query_id
+        |), rk AS (
+        |  SELECT query_id, vid,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY dot_full DESC, vid) AS frk,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY dot_pre DESC, vid) AS prk
+        |  FROM sc
+        |)
+        |SELECT query_id,
+        |       CAST(sum(CASE WHEN frk <= 10 AND prk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+        |       CAST(sum(CASE WHEN frk <= 10 AND prk <= 10 THEN 1 ELSE 0 END) * 100 // 10 AS BIGINT) AS recall_pct
+        |FROM rk WHERE frk <= 10 OR prk <= 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

@@ -8654,6 +8654,170 @@ object SparkEntry {
         .orderBy(col("n_seq").desc, col("brand_a"), col("brand_b")).limit(10)
     }),
 
+    // cluster-jackknife SE of a ratio metric (revenue per order; the
+    // CUSTOMER is the resampling unit — the AB-test readout where orders
+    // within a customer are correlated, so per-order variance understates
+    // uncertainty): leave-one-customer-out ratios r_i = (Sx−x_i) div
+    // (Sy−y_i) in exact cents, variance from the n·Σr²−(Σr)² integer
+    // identity — no per-replicate recompute, no doubles. One fact agg to
+    // customer grain, one broadcast dim join, one bounded segment-totals
+    // join; nothing windows over facts
+    "q419_jackknife_ratio" -> ((s, dir) => {
+      val cust = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"),
+          count(lit(1)).as("y"))
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+          col("c_custkey") === col("o_custkey"))
+        .select("segment", "x", "y")
+        .localCheckpoint(false)
+      val tot = cust.groupBy("segment")
+        .agg(sum(col("x")).as("sx2"), sum(col("y")).as("sy2"))
+      cust.join(broadcast(tot), Seq("segment"))
+        .filter(col("sy2") > col("y"))
+        .withColumn("r", expr("(sx2 - x) div (sy2 - y)"))
+        .groupBy("segment", "sx2", "sy2")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("r").cast(dec38)).as("sr"),
+          sum((col("r") * col("r")).cast(dec38)).as("srr"))
+        .select(col("segment"), col("n_cust"),
+          expr("CAST(sx2 * 1000 div sy2 AS BIGINT)").as("ratio_milli"),
+          expr("CAST((n_cust - 1) * (n_cust * srr - sr * sr)" +
+            " div (CAST(n_cust AS DECIMAL(38,0)) * n_cust * n_cust) AS BIGINT)")
+            .as("jk_var_cents2"))
+        .orderBy("segment")
+    }),
+
+    // inter-rater agreement (Cohen's κ) between two deterministic quality
+    // raters — the rater-calibration readout before trusting any single
+    // heuristic filter: κ_ppm = (n·po − pe)·1e6 div (n² − pe) with
+    // pe = ra·rb + (n−ra)(n−rb), all exact integer counts per lang (one
+    // scan, one hash agg; decimal guards the n² products at corpus scale)
+    "q420_cohens_kappa" -> ((s, dir) =>
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("lang"),
+          (col("n_chars") >= 300).cast("long").as("a"),
+          (size(split(col("text"), " ", -1)) >= 55).cast("long").as("b"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("a * b")).as("n11"),
+          sum(expr("(1 - a) * (1 - b)")).as("n00"),
+          sum(col("a")).as("ra"), sum(col("b")).as("rb"))
+        .withColumn("pe_num",
+          expr("CAST(ra AS DECIMAL(38,0)) * rb" +
+            " + CAST(n - ra AS DECIMAL(38,0)) * (n - rb)"))
+        .select(col("lang"), col("n").as("n_docs"),
+          col("n11").as("n_both_pos"), col("n00").as("n_both_neg"),
+          expr("CAST(CASE WHEN CAST(n AS DECIMAL(38,0)) * n = pe_num THEN 0" +
+            " ELSE (CAST(n AS DECIMAL(38,0)) * (n11 + n00) - pe_num) * 1000000" +
+            " div (CAST(n AS DECIMAL(38,0)) * n - pe_num) END AS BIGINT)")
+            .as("kappa_ppm"))
+        .orderBy("lang")),
+
+    // t-closeness audit (privacy, beyond q219/q281): per QI group the
+    // earth-mover distance between its ordered sensitive-attribute
+    // distribution (price band) and the global one — EMD over an ordered
+    // attribute is the mean |ΔCDF|, here as exact cross-multiplied
+    // integer cumulative counts (no per-group share doubles). Bands are
+    // equi-width on cents (q333's convention — no global sort); the
+    // cum window runs over the 10-row-per-group zero-filled grid only
+    "q421_t_closeness" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("qi"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .localCheckpoint(false)
+      val mm = o.agg(min("cents").as("gmin"), max("cents").as("gmax"))
+      val banded = o.crossJoin(broadcast(mm))
+        .select(col("qi"), expr("(cents - gmin) * 10 div (gmax - gmin + 1)").as("band"))
+        .localCheckpoint(false)
+      val bands = s.range(10).select(col("id").as("band"))
+      val gc = bands.join(banded.groupBy("band").agg(count(lit(1)).as("cg")),
+          Seq("band"), "left").na.fill(0L, Seq("cg"))
+      val grid = banded.select("qi").distinct().crossJoin(broadcast(bands))
+        .join(banded.groupBy("qi", "band").agg(count(lit(1)).as("ca")),
+          Seq("qi", "band"), "left").na.fill(0L, Seq("ca"))
+        .join(broadcast(gc), Seq("band"))
+      val wb = Window.partitionBy("qi").orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wq = Window.partitionBy("qi")
+      grid
+        .withColumn("cum_a", sum(col("ca")).over(wb))
+        .withColumn("cum_g", sum(col("cg")).over(wb))
+        .withColumn("na", sum(col("ca")).over(wq))
+        .withColumn("ng", max(col("cum_g")).over(wq))
+        .withColumn("d", when(col("band") < 9,
+          abs(col("cum_a").cast(dec38) * col("ng")
+            - col("cum_g").cast(dec38) * col("na"))).otherwise(lit(0).cast(dec38)))
+        .groupBy("qi")
+        .agg(max(col("na")).as("n_rows"), max(col("ng")).as("ngt"),
+          sum(col("d")).as("dsum"))
+        .select(col("qi"), col("n_rows"),
+          expr("CAST(dsum * 1000000 div (CAST(n_rows AS DECIMAL(38,0)) * ngt * 9)" +
+            " AS BIGINT)").as("t_ppm"))
+        .orderBy("qi")
+    }),
+
+    // systematic PPS sample (probability ∝ revenue): cumulative-weight
+    // intervals over the part dictionary, 20 equally spaced inclusion
+    // points (2k+1)·W div 40 — the survey-sampling workhorse for corpus
+    // mixing where big sources MUST be hit deterministically. The cum
+    // window is the inherent sequential structure (q410's trade: at
+    // 100 TB the same prefix sums come from a two-pass per-partition
+    // offset scheme); the 20-point probe side broadcasts
+    "q422_pps_sample" -> ((s, dir) => {
+      val w = Tables.lineitem(s, dir)
+        .groupBy("l_partkey")
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("w"))
+        .filter(col("w") > 0)
+        .withColumn("cum", sum(col("w")).over(Window.orderBy("l_partkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .localCheckpoint(false)
+      val tot = w.agg(max("cum").as("tw"))
+      val pts = s.range(20).select(col("id").as("k")).crossJoin(broadcast(tot))
+        .select(col("k"), expr("(2 * k + 1) * tw div 40").as("pt"))
+      w.join(broadcast(pts),
+          col("cum") - col("w") <= col("pt") && col("pt") < col("cum"))
+        .select(col("k"), col("l_partkey").as("p_partkey"), col("w").as("w_cents"))
+        .orderBy("k")
+    }),
+
+    // Matryoshka truncation recall: does top-k survive keeping only the
+    // FIRST 16 of 64 dims (MRL-style prefix truncation — the cheapest
+    // index compression there is)? Rankings by exact integer dot products
+    // of the 1e-6-quantized vectors (full vs prefix), both ranks from the
+    // SAME per-(query, candidate) row — one corpus pass, bounded query
+    // broadcast (q24's batch shape); at index scale the window rank
+    // becomes a per-query top-k aggregation
+    "q423_matryoshka_recall" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("vid"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1000000d).cast("long")).as("q"))
+        .localCheckpoint(false)
+      val queries = base.filter(col("vid") < 8)
+        .select(col("vid").as("query_id"), col("q").as("qq"))
+      val scored = base.join(broadcast(queries), col("vid") =!= col("query_id"))
+        .withColumn("dot_full",
+          aggregate(zip_with(col("qq"), col("q"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x))
+        .withColumn("dot_pre",
+          aggregate(zip_with(slice(col("qq"), 1, 16), slice(col("q"), 1, 16),
+            (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+      val fk = row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dot_full").desc, col("vid")))
+      val pk = row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dot_pre").desc, col("vid")))
+      scored.withColumn("frk", fk.cast("long")).withColumn("prk", pk.cast("long"))
+        .filter(col("frk") <= 10 || col("prk") <= 10)
+        .groupBy("query_id")
+        .agg(sum(when(col("frk") <= 10 && col("prk") <= 10, 1L).otherwise(0L))
+          .as("n_overlap"))
+        .select(col("query_id"), col("n_overlap"),
+          expr("n_overlap * 100 div 10").as("recall_pct"))
+        .orderBy("query_id")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

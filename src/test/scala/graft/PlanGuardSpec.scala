@@ -101,6 +101,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q346_selectivity_audit",  // 1-row min/max + 64-bin histogram broadcasts
     "q355_stickiness",         // 1-row max-day aggregate bound
     "q366_imputation",         // 1-row stat/median/mode aggregate bounds
+    "q421_t_closeness",        // 1-row min/max band bound + 10-row band dict cross
+    "q422_pps_sample",         // 1-row total-weight bound + 20-point probe interval join
+    "q423_matryoshka_recall",  // q24-style 8-row query-broadcast inequality join
     "q368_lsh_cost_model",     // 1-row distinct-candidate count bound
     "q369_storage_tiering",    // 1-row max-date aggregate bound
     "q373_postings_intersect", // 1-row corpus-doc-count bound
