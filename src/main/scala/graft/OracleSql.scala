@@ -8384,7 +8384,119 @@ object OracleSql {
         |       CAST(sum(CASE WHEN frk <= 10 AND prk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
         |       CAST(sum(CASE WHEN frk <= 10 AND prk <= 10 THEN 1 ELSE 0 END) * 100 // 10 AS BIGINT) AS recall_pct
         |FROM rk WHERE frk <= 10 OR prk <= 10
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q424_rake_keywords" ->
+      """WITH raw AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |             FROM documents WHERE text IS NOT NULL),
+        |wd0 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+        |                i -> struct_pack(pos := i - 1, w := ws[i]))) AS u
+        |        FROM raw),
+        |wd AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM wd0 WHERE len(u.w) > 0),
+        |stop AS (SELECT w FROM (SELECT w, count(*) AS c FROM wd GROUP BY 1
+        |                        ORDER BY c DESC, w LIMIT 5)),
+        |rn AS (SELECT doc_id, pos, wd.w,
+        |              CASE WHEN stop.w IS NOT NULL THEN 1 ELSE 0 END AS is_stop,
+        |              sum(CASE WHEN stop.w IS NOT NULL THEN 1 ELSE 0 END)
+        |                OVER (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |       FROM wd LEFT JOIN stop ON wd.w = stop.w),
+        |mem AS (SELECT doc_id, run, pos, w FROM rn WHERE is_stop = 0),
+        |pl AS (SELECT doc_id, run, CAST(count(*) AS BIGINT) AS plen
+        |       FROM mem GROUP BY 1, 2),
+        |sc AS (SELECT w, CAST(sum(plen) AS BIGINT) * 1000 // count(*) AS score_milli
+        |       FROM mem JOIN pl USING (doc_id, run) GROUP BY w),
+        |ph AS (SELECT m.doc_id, m.run,
+        |              string_agg(m.w, ' ' ORDER BY m.pos) AS phrase,
+        |              CAST(sum(sc.score_milli) AS BIGINT) AS score_milli
+        |       FROM mem m JOIN sc ON m.w = sc.w GROUP BY 1, 2)
+        |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occur,
+        |       CAST(max(score_milli) AS BIGINT) AS score_milli
+        |FROM ph GROUP BY 1 ORDER BY score_milli DESC, phrase LIMIT 10""".stripMargin,
+
+    "q425_aqe_coalesce_sim" ->
+      """WITH b AS (SELECT o_orderkey % 128 AS bucket, CAST(count(*) AS BIGINT) AS sz
+        |           FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(sz) AS BIGINT) AS total FROM b),
+        |g AS (SELECT bucket, sz, (total + 15) // 16 AS target,
+        |             CAST(coalesce(sum(sz) OVER (ORDER BY bucket
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |               AS prefix
+        |      FROM b, t)
+        |SELECT prefix // target AS grp, CAST(count(*) AS BIGINT) AS n_buckets,
+        |       CAST(sum(sz) AS BIGINT) AS n_rows,
+        |       CAST(CAST(sum(sz) AS BIGINT) * 1000000 // max(target) AS BIGINT) AS fill_ppm
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q426_holt_linear" ->
+      """WITH RECURSIVE rev AS (
+        |  SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS mi,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY 1 HAVING mi >= 0 AND mi < 24
+        |), hw(mi, l, b) AS (
+        |  SELECT CAST(0 AS BIGINT), rev_c, CAST(0 AS BIGINT) FROM rev WHERE mi = 0
+        |  UNION ALL
+        |  SELECT r.mi,
+        |         (300 * r.rev_c + 700 * (hw.l + hw.b)) // 1000,
+        |         (200 * (((300 * r.rev_c + 700 * (hw.l + hw.b)) // 1000) - hw.l)
+        |          + 800 * hw.b) // 1000
+        |  FROM hw JOIN rev r ON r.mi = hw.mi + 1
+        |)
+        |SELECT mi AS month_index, l AS level_cents, b AS trend_cents,
+        |       l + b AS forecast_next_cents
+        |FROM hw ORDER BY mi""".stripMargin,
+
+    "q427_wilson_interval" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM orders GROUP BY 1
+        |), d AS (
+        |  SELECT priority, n, k,
+        |         CAST(38416000000000000 AS HUGEINT)
+        |           * (10000 * CAST(k AS HUGEINT) * (n - k) + 9604 * n) * n AS dp
+        |  FROM c
+        |), r AS (
+        |  SELECT priority, n, k, dp,
+        |         CAST(floor(sqrt(CAST(dp AS DOUBLE))) AS HUGEINT) AS t0
+        |  FROM d
+        |), nw AS (
+        |  SELECT priority, n, k, dp, (t0 + dp // t0) // 2 AS t1 FROM r
+        |), nw2 AS (
+        |  SELECT priority, n, k, dp, (t1 + dp // t1) // 2 AS t2 FROM nw
+        |), f AS (
+        |  SELECT priority, n, k,
+        |         CASE WHEN (t2 + 1) * (t2 + 1) <= dp THEN t2 + 1
+        |              WHEN t2 * t2 > dp THEN t2 - 1 ELSE t2 END AS rt
+        |  FROM nw2
+        |)
+        |SELECT priority, n, k,
+        |       CAST(k * 1000000 // n AS BIGINT) AS phat_ppm,
+        |       CAST(((CAST(20000 AS HUGEINT) * k + 38416) * 1000000 * n - 2 * rt)
+        |            // (2 * CAST(n AS HUGEINT) * (10000 * n + 38416)) AS BIGINT) AS lo_ppm,
+        |       CAST(((CAST(20000 AS HUGEINT) * k + 38416) * 1000000 * n + 2 * rt)
+        |            // (2 * CAST(n AS HUGEINT) * (10000 * n + 38416)) AS BIGINT) AS hi_ppm
+        |FROM f ORDER BY priority""".stripMargin,
+
+    "q428_quality_knapsack" ->
+      """WITH src AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS bytes,
+        |         CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS value
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1
+        |), rr AS (
+        |  SELECT source, bytes, value, value * 1000000 // bytes AS ratio_ppm
+        |  FROM src
+        |), t AS (SELECT CAST(sum(bytes) AS BIGINT) AS tb FROM src),
+        |cx AS (
+        |  SELECT source, bytes, value, ratio_ppm, tb,
+        |         CAST(coalesce(sum(bytes) OVER (ORDER BY ratio_ppm DESC, source
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |           AS prefix
+        |  FROM rr, t
+        |)
+        |SELECT source, bytes, value, CAST(ratio_ppm AS BIGINT) AS ratio_ppm,
+        |       CAST(CASE WHEN prefix < tb // 3 THEN 1 ELSE 0 END AS BIGINT) AS selected
+        |FROM cx ORDER BY ratio_ppm DESC, source""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

@@ -8818,6 +8818,159 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // RAKE keyword extraction: candidate phrases = maximal runs of
+    // non-stopwords (stopword set = corpus top-5 by frequency, the
+    // data-driven stand-in for a stoplist), word score = deg/freq over
+    // phrase instances, phrase score = Σ member scores — the classic
+    // unsupervised keyword op. Runs come from a per-doc cumulative
+    // stopword count (windows bounded by doc length); word stats live on
+    // the vocab-bounded dictionary and broadcast back
+    "q424_rake_keywords" -> ((s, dir) => {
+      val words = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), posexplode(split(col("text"), " ", -1)).as(Seq("pos", "w")))
+        .filter(length(col("w")) > 0)
+        .localCheckpoint(false)
+      val stop = words.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(5).select(col("w").as("sw"))
+      val members = words
+        .join(broadcast(stop), col("w") === col("sw"), "left")
+        .withColumn("is_stop", col("sw").isNotNull.cast("long"))
+        .withColumn("run", sum(col("is_stop")).over(
+          Window.partitionBy("doc_id").orderBy("pos")))
+        .filter(col("is_stop") === 0)
+        .select("doc_id", "run", "pos", "w")
+        .localCheckpoint(false)
+      val plen = members.groupBy("doc_id", "run").agg(count(lit(1)).as("plen"))
+      val wscore = members.join(plen, Seq("doc_id", "run"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .select(col("w"), expr("deg * 1000 div freq").as("score_milli"))
+      members.join(broadcast(wscore), Seq("w"))
+        .groupBy("doc_id", "run")
+        .agg(
+          array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w")), " ").as("phrase"),
+          sum(col("score_milli")).as("score_milli"))
+        .groupBy("phrase")
+        .agg(count(lit(1)).as("n_occur"), max(col("score_milli")).as("score_milli"))
+        .orderBy(col("score_milli").desc, col("phrase")).limit(10)
+    }),
+
+    // AQE-style shuffle-partition coalescing, simulated exactly: 128
+    // hash buckets of the fact table, target = ceil(total/16), group =
+    // exclusive-prefix div target (adjacent buckets merge until the
+    // target fills — Spark's own coalescing rule); the readout is the
+    // fill factor per coalesced partition, the "are my reducers
+    // balanced" planning twin of q199/q331. All windows on the bounded
+    // 128-row bucket relation
+    "q425_aqe_coalesce_sim" -> ((s, dir) => {
+      val buckets = Tables.orders(s, dir)
+        .groupBy(expr("o_orderkey % 128").as("bucket"))
+        .agg(count(lit(1)).as("sz"))
+      val tot = buckets.agg(sum("sz").as("total"))
+      val cumx = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      buckets.crossJoin(broadcast(tot))
+        .withColumn("target", expr("(total + 15) div 16"))
+        .withColumn("prefix", coalesce(sum(col("sz")).over(cumx), lit(0L)))
+        .withColumn("grp", expr("prefix div target"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_buckets"), sum(col("sz")).as("n_rows"),
+          max(col("target")).as("t"))
+        .select(col("grp"), col("n_buckets"), col("n_rows"),
+          expr("n_rows * 1000000 div t").as("fill_ppm"))
+        .orderBy("grp")
+    }),
+
+    // Holt double-exponential smoothing (level + trend) over the monthly
+    // revenue series, α=0.3 β=0.2 in exact integer milli arithmetic via
+    // WITH RECURSIVE (q359's materialize-then-recurse shape — each level
+    // is a sequential job, so the 24-month horizon IS the latency knob);
+    // forecast_next = l + b, the one-step-ahead readout
+    "q426_holt_linear" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(expr("(year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1")
+          .as("mi"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("rev_c"))
+        .filter(col("mi") >= 0 && col("mi") < 24)
+        .localCheckpoint(false)
+        .createOrReplaceTempView("q426_rev")
+      s.sql(
+        """WITH RECURSIVE hw(mi, l, b) AS (
+          |  SELECT CAST(0 AS BIGINT), r.rev_c, CAST(0 AS BIGINT)
+          |  FROM q426_rev r WHERE r.mi = 0
+          |  UNION ALL
+          |  SELECT r.mi,
+          |         (300 * r.rev_c + 700 * (hw.l + hw.b)) div 1000,
+          |         (200 * (((300 * r.rev_c + 700 * (hw.l + hw.b)) div 1000) - hw.l)
+          |          + 800 * hw.b) div 1000
+          |  FROM hw JOIN q426_rev r ON r.mi = hw.mi + 1
+          |)
+          |SELECT mi AS month_index, l AS level_cents, b AS trend_cents,
+          |       l + b AS forecast_next_cents
+          |FROM hw ORDER BY mi""".stripMargin)
+    }),
+
+    // Wilson score interval (95%) for a per-group binomial rate — the
+    // honest small-n confidence readout a plain ±z·sqrt(pq/n) gets wrong
+    // near 0/1: all arithmetic exact integer with z²=38416/1e4; the one
+    // radical is an integer sqrt via floor(√double) + ±1 fix-ups (the
+    // quantizedRecall isqrt trick), and the single floor-div inside the
+    // radical is identical on both engines, so the interval is
+    // bit-replayable. One scan, one hash agg, per-row closed form
+    "q427_wilson_interval" -> ((s, dir) =>
+      // the radical keeps n INSIDE (dp = z²·1e12·inner·n — a pure
+      // product, no division) because Spark's `div` always narrows its
+      // quotient to long: isqrt(dp) runs as a floor(√double) seed plus
+      // two integer Newton steps and ±1 fix-ups — every step identical
+      // integer arithmetic on both engines, so the interval bit-matches
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("k"))
+        .withColumn("dp", expr(
+          "CAST(38416000000000000 AS DECIMAL(38,0))" +
+            " * (10000 * k * (n - k) + 9604 * n) * n"))
+        .withColumn("t0",
+          floor(sqrt(col("dp").cast("double"))).cast("decimal(38,0)"))
+        .withColumn("t1", expr("(t0 + dp div t0) div 2"))
+        .withColumn("t2", expr("(t1 + dp div t1) div 2"))
+        .withColumn("rt", expr(
+          "CASE WHEN CAST(t2 + 1 AS DECIMAL(38,0)) * (t2 + 1) <= dp THEN t2 + 1" +
+            " WHEN CAST(t2 AS DECIMAL(38,0)) * t2 > dp THEN t2 - 1 ELSE t2 END"))
+        .select(col("priority"), col("n"), col("k"),
+          expr("k * 1000000 div n").as("phat_ppm"),
+          expr("(CAST(20000 AS DECIMAL(38,0)) * k + 38416) * 1000000 * n" +
+            " - 2 * rt").cast(dec38).as("lo_num"),
+          expr("(CAST(20000 AS DECIMAL(38,0)) * k + 38416) * 1000000 * n" +
+            " + 2 * rt").cast(dec38).as("hi_num"),
+          expr("2 * n * (10000 * n + 38416)").as("den"))
+        .select(col("priority"), col("n"), col("k"), col("phat_ppm"),
+          expr("lo_num div den").as("lo_ppm"),
+          expr("hi_num div den").as("hi_ppm"))
+        .orderBy("priority")),
+
+    // greedy budgeted corpus selection (the 0/1 knapsack heuristic):
+    // sources ranked by quality-per-byte (docs ≥300 chars per byte,
+    // ppm), selected whole while the running byte total stays under the
+    // B = total/3 budget — the "which sources make the training cut"
+    // decision readout on the bounded source dictionary
+    "q428_quality_knapsack" -> ((s, dir) => {
+      val src = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .groupBy("source")
+        .agg(sum(col("n_chars")).as("bytes"),
+          sum(when(col("n_chars") >= 300, 1L).otherwise(0L)).as("value"))
+        .withColumn("ratio_ppm", expr("value * 1000000 div bytes"))
+      val tot = src.agg(sum("bytes").as("tb"))
+      val cumx = Window.orderBy(col("ratio_ppm").desc, col("source"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      src.crossJoin(broadcast(tot))
+        .withColumn("prefix", coalesce(sum(col("bytes")).over(cumx), lit(0L)))
+        .select(col("source"), col("bytes"), col("value"), col("ratio_ppm"),
+          when(col("prefix") < expr("tb div 3"), 1L).otherwise(0L).as("selected"))
+        .orderBy(col("ratio_ppm").desc, col("source"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

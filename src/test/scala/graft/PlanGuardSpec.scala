@@ -104,6 +104,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q421_t_closeness",        // 1-row min/max band bound + 10-row band dict cross
     "q422_pps_sample",         // 1-row total-weight bound + 20-point probe interval join
     "q423_matryoshka_recall",  // q24-style 8-row query-broadcast inequality join
+    "q425_aqe_coalesce_sim",   // 1-row total-rows bound crossed into the 128-bucket dict
+    "q428_quality_knapsack",   // 1-row total-bytes budget bound
     "q368_lsh_cost_model",     // 1-row distinct-candidate count bound
     "q369_storage_tiering",    // 1-row max-date aggregate bound
     "q373_postings_intersect", // 1-row corpus-doc-count bound
