@@ -8496,7 +8496,136 @@ object OracleSql {
         |)
         |SELECT source, bytes, value, CAST(ratio_ppm AS BIGINT) AS ratio_ppm,
         |       CAST(CASE WHEN prefix < tb // 3 THEN 1 ELSE 0 END AS BIGINT) AS selected
-        |FROM cx ORDER BY ratio_ppm DESC, source""".stripMargin
+        |FROM cx ORDER BY ratio_ppm DESC, source""".stripMargin,
+
+    "q429_entropy_rate" ->
+      """WITH raw AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+        |             FROM documents WHERE text IS NOT NULL),
+        |wd0 AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(ws) + 1),
+        |                i -> struct_pack(pos := i - 1, w := ws[i]))) AS u
+        |        FROM raw),
+        |wd AS (SELECT doc_id, lang, u.pos AS pos, u.w AS w FROM wd0 WHERE len(u.w) > 0),
+        |bg AS (SELECT lang, w,
+        |              lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |       FROM wd),
+        |pc AS (SELECT lang, w, w2, CAST(count(*) AS BIGINT) AS c
+        |       FROM bg WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+        |sp AS (SELECT lang, CAST(sum(c) AS BIGINT) AS np,
+        |              CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))
+        |                   AS HUGEINT) AS sp
+        |       FROM pc GROUP BY 1),
+        |cc AS (SELECT lang, w, CAST(sum(c) AS BIGINT) AS cctx FROM pc GROUP BY 1, 2),
+        |scx AS (SELECT lang,
+        |               CAST(sum(cctx * CAST(round(ln(CAST(cctx AS DOUBLE)) * 1000000) AS BIGINT))
+        |                    AS HUGEINT) AS sc
+        |        FROM cc GROUP BY 1)
+        |SELECT sp.lang, np AS n_bigrams,
+        |       CAST(CAST(round(ln(CAST(np AS DOUBLE)) * 1000000) AS BIGINT)
+        |            - sp.sp // np AS BIGINT) AS h_pair_micro,
+        |       CAST(CAST(round(ln(CAST(np AS DOUBLE)) * 1000000) AS BIGINT)
+        |            - scx.sc // np AS BIGINT) AS h_ctx_micro,
+        |       CAST((scx.sc - sp.sp) // np AS BIGINT) AS h_cond_micro
+        |FROM sp JOIN scx USING (lang) ORDER BY lang""".stripMargin,
+
+    "q430_vocab_coverage" ->
+      """WITH vc AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |        FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(w) > 0 GROUP BY 1
+        |), t AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM vc),
+        |rk AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS rk,
+        |         CAST(sum(c) OVER (ORDER BY c DESC, w
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM vc
+        |)
+        |SELECT rk AS k, cum AS covered_tokens,
+        |       CAST(cum * 1000000 // nt AS BIGINT) AS coverage_ppm
+        |FROM rk, t WHERE rk IN (1, 2, 5, 10, 20) ORDER BY k""".stripMargin,
+
+    "q431_token_bucket" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT (epoch_us(date_trunc('microseconds', ts))
+        |          - (SELECT min(epoch_us(date_trunc('microseconds', ts))) FROM events))
+        |         // 3600000000 AS hi
+        |  FROM events
+        |), h AS (SELECT hi, CAST(count(*) AS BIGINT) AS arr
+        |         FROM ev WHERE hi < 48 GROUP BY 1),
+        |grid AS (SELECT g.hi, CAST(coalesce(h.arr, 0) AS BIGINT) AS arr
+        |         FROM (SELECT unnest(range(0, 48)) AS hi) g LEFT JOIN h USING (hi)),
+        |tt AS (SELECT CAST((sum(arr) + 47) // 48 AS BIGINT) AS r FROM grid),
+        |g2 AS (SELECT hi, arr, r, CAST(2 * r AS BIGINT) AS cap FROM grid, tt),
+        |tb(hi, arr, served, dropped, b) AS (
+        |  SELECT g.hi, g.arr, least(g.arr, g.cap), g.arr - least(g.arr, g.cap),
+        |         g.cap - least(g.arr, g.cap)
+        |  FROM g2 g WHERE g.hi = 0
+        |  UNION ALL
+        |  SELECT g.hi, g.arr,
+        |         least(g.arr, least(g.cap, tb.b + g.r)),
+        |         g.arr - least(g.arr, least(g.cap, tb.b + g.r)),
+        |         least(g.cap, tb.b + g.r) - least(g.arr, least(g.cap, tb.b + g.r))
+        |  FROM tb JOIN g2 g ON g.hi = tb.hi + 1
+        |)
+        |SELECT CAST(hi AS BIGINT) AS hour_index, arr AS arrivals,
+        |       CAST(served AS BIGINT) AS served, CAST(dropped AS BIGINT) AS dropped,
+        |       CAST(b AS BIGINT) AS bucket_end
+        |FROM tb ORDER BY hi""".stripMargin,
+
+    "q432_stupid_backoff" ->
+      """WITH raw AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+        |             FROM documents WHERE text IS NOT NULL),
+        |wd0 AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(ws) + 1),
+        |                i -> struct_pack(pos := i - 1, w := ws[i]))) AS u
+        |        FROM raw),
+        |wd AS (SELECT doc_id, lang, u.pos AS pos, u.w AS w FROM wd0 WHERE len(u.w) > 0),
+        |bg AS (SELECT lang, w,
+        |              lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |       FROM wd),
+        |tb AS (SELECT w AS t1, w2 AS t2, CAST(count(*) AS BIGINT) AS cb
+        |       FROM bg WHERE lang = 'en' AND w2 IS NOT NULL GROUP BY 1, 2),
+        |tu AS (SELECT w AS t, CAST(count(*) AS BIGINT) AS cu
+        |       FROM wd WHERE lang = 'en' GROUP BY 1),
+        |ntr AS (SELECT CAST(sum(cu) AS BIGINT) AS ntr FROM tu),
+        |tst AS (SELECT lang, w, w2, CAST(count(*) AS BIGINT) AS c
+        |        FROM bg WHERE lang <> 'en' AND w2 IS NOT NULL GROUP BY 1, 2, 3),
+        |j AS (SELECT tst.lang, tst.c, tb.cb, u1.cu AS cctx, u2.cu AS cu2, ntr.ntr
+        |      FROM tst LEFT JOIN tb ON tst.w = tb.t1 AND tst.w2 = tb.t2
+        |      LEFT JOIN tu u1 ON tst.w = u1.t
+        |      LEFT JOIN tu u2 ON tst.w2 = u2.t, ntr),
+        |sc AS (SELECT lang, c, cb, cu2,
+        |       CASE WHEN cb IS NOT NULL
+        |              THEN CAST(round(ln(CAST(cb AS DOUBLE) / cctx) * 1000000) AS BIGINT)
+        |            WHEN cu2 IS NOT NULL
+        |              THEN CAST(round(ln(CAST(0.4 AS DOUBLE) * cu2 / ntr) * 1000000) AS BIGINT)
+        |            ELSE CAST(round(ln(CAST(0.4 AS DOUBLE) / ntr) * 1000000) AS BIGINT)
+        |       END AS score
+        |       FROM j)
+        |SELECT lang, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(CASE WHEN cb IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_backoff,
+        |       CAST(sum(CASE WHEN cb IS NULL AND cu2 IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_oov,
+        |       CAST(sum(CAST(c AS HUGEINT) * score) // sum(c) AS BIGINT) AS mean_score_micro
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q433_bbit_minhash" ->
+      s"""$minhashCte,
+         |nm AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         (CASE WHEN a.m0 = b.m0 THEN 1 ELSE 0 END + CASE WHEN a.m1 = b.m1 THEN 1 ELSE 0 END
+         |        + CASE WHEN a.m2 = b.m2 THEN 1 ELSE 0 END + CASE WHEN a.m3 = b.m3 THEN 1 ELSE 0 END
+         |        + CASE WHEN a.m4 = b.m4 THEN 1 ELSE 0 END + CASE WHEN a.m5 = b.m5 THEN 1 ELSE 0 END
+         |        + CASE WHEN a.m6 = b.m6 THEN 1 ELSE 0 END + CASE WHEN a.m7 = b.m7 THEN 1 ELSE 0 END) AS nm,
+         |         (CASE WHEN a.m0 % 2 = b.m0 % 2 THEN 1 ELSE 0 END + CASE WHEN a.m1 % 2 = b.m1 % 2 THEN 1 ELSE 0 END
+         |        + CASE WHEN a.m2 % 2 = b.m2 % 2 THEN 1 ELSE 0 END + CASE WHEN a.m3 % 2 = b.m3 % 2 THEN 1 ELSE 0 END
+         |        + CASE WHEN a.m4 % 2 = b.m4 % 2 THEN 1 ELSE 0 END + CASE WHEN a.m5 % 2 = b.m5 % 2 THEN 1 ELSE 0 END
+         |        + CASE WHEN a.m6 % 2 = b.m6 % 2 THEN 1 ELSE 0 END + CASE WHEN a.m7 % 2 = b.m7 % 2 THEN 1 ELSE 0 END) AS nb
+         |  FROM cand c JOIN mh a ON c.doc_a = a.doc_id JOIN mh b ON c.doc_b = b.doc_id
+         |)
+         |SELECT doc_a, doc_b, CAST(nm AS BIGINT) AS n_match, CAST(nb AS BIGINT) AS n_bit,
+         |       CAST(nm * 125000 AS BIGINT) AS est_full_ppm,
+         |       CAST((nb * 2 - 8) * 125000 AS BIGINT) AS est_1bit_ppm,
+         |       CAST(abs((nb * 2 - 8) * 125000 - nm * 125000) AS BIGINT) AS err_ppm
+         |FROM nm ORDER BY doc_a, doc_b""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

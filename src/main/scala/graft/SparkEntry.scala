@@ -8971,6 +8971,154 @@ object SparkEntry {
         .orderBy(col("ratio_ppm").desc, col("source"))
     }),
 
+    // word-bigram entropy RATE per lang: H(W₂|W₁) = H(pair) − H(context),
+    // both from exact counts with the single-ln micro-nat quantization
+    // (q72's convention) — the "how predictable is this corpus" readout
+    // that separates boilerplate-heavy from diverse text. The conditional
+    // term is computed as (Σctx − Σpair) div N directly, not as a
+    // difference of two floored divisions
+    "q429_entropy_rate" -> ((s, dir) => {
+      val words = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(col("text"), " ", -1)).as(Seq("pos", "w")))
+        .filter(length(col("w")) > 0)
+      val big = words
+        .withColumn("w2", lead(col("w"), 1).over(
+          Window.partitionBy("doc_id").orderBy("pos")))
+        .filter(col("w2").isNotNull)
+        .groupBy("lang", "w", "w2").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val lnq: Column => Column = x =>
+        round(log(x.cast("double")) * 1000000, 0).cast("long")
+      val sp = big.groupBy("lang")
+        .agg(sum(col("c")).as("np"),
+          sum((col("c") * lnq(col("c"))).cast(dec38)).as("sp"))
+      val sc = big.groupBy("lang", "w").agg(sum(col("c")).as("cctx"))
+        .groupBy("lang")
+        .agg(sum((col("cctx") * lnq(col("cctx"))).cast(dec38)).as("sc"))
+      sp.join(sc, Seq("lang"))
+        .withColumn("lnn", lnq(col("np")))
+        .select(col("lang"), col("np").as("n_bigrams"),
+          expr("lnn - sp div np").as("h_pair_micro"),
+          expr("lnn - sc div np").as("h_ctx_micro"),
+          expr("(sc - sp) div np").as("h_cond_micro"))
+        .orderBy("lang")
+    }),
+
+    // vocabulary coverage curve: share of all tokens covered by the
+    // top-k most frequent words, k ∈ {1,2,5,10,20} — the tokenizer /
+    // stoplist sizing readout (q76's Heaps growth answers "how fast does
+    // vocab grow"; this answers "how little vocab buys how much mass").
+    // Rank + cumulative windows run on the bounded vocab dictionary only
+    "q430_vocab_coverage" -> ((s, dir) => {
+      import s.implicits._
+      val vc = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ", -1)).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val ord = Window.orderBy(col("c").desc, col("w"))
+      val tot = vc.agg(sum("c").as("nt"))
+      val ks = Seq(1L, 2L, 5L, 10L, 20L).toDF("k")
+      vc.withColumn("rk", row_number().over(ord).cast("long"))
+        .withColumn("cum", sum(col("c")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(ks), col("rk") === col("k"))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("cum").as("covered_tokens"),
+          expr("cum * 1000000 div nt").as("coverage_ppm"))
+        .orderBy("k")
+    }),
+
+    // token-bucket rate-limiter simulation over the hourly event arrival
+    // series (capacity 2r, refill r = ceil(total/48) per hour): the
+    // ingest-throttling capacity-planning readout — how much would a
+    // limiter at the mean rate drop during bursts? Sequential by nature:
+    // WITH RECURSIVE over the 48-hour zero-filled grid (q359's
+    // materialize-then-recurse shape; the horizon is the latency knob)
+    "q431_token_bucket" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val mn = ev.agg(min(unix_micros(col("ts"))).as("t0"))
+      val hours = ev.crossJoin(broadcast(mn))
+        .select(expr("(unix_micros(ts) - t0) div 3600000000").as("hi"))
+        .filter(col("hi") < 48)
+        .groupBy("hi").agg(count(lit(1)).as("arr"))
+      val grid = s.range(48).select(col("id").as("hi"))
+        .join(hours, Seq("hi"), "left").na.fill(0L, Seq("arr"))
+      val tot = grid.agg(expr("(sum(arr) + 47) div 48").as("r"))
+      grid.crossJoin(broadcast(tot))
+        .select(col("hi"), col("arr"), col("r"), (col("r") * 2).as("cap"))
+        .localCheckpoint(false)
+        .createOrReplaceTempView("q431_grid")
+      s.sql(
+        """WITH RECURSIVE tb(hi, arr, served, dropped, b) AS (
+          |  SELECT g.hi, g.arr, least(g.arr, g.cap), g.arr - least(g.arr, g.cap),
+          |         g.cap - least(g.arr, g.cap)
+          |  FROM q431_grid g WHERE g.hi = 0
+          |  UNION ALL
+          |  SELECT g.hi, g.arr,
+          |         least(g.arr, least(g.cap, tb.b + g.r)),
+          |         g.arr - least(g.arr, least(g.cap, tb.b + g.r)),
+          |         least(g.cap, tb.b + g.r) - least(g.arr, least(g.cap, tb.b + g.r))
+          |  FROM tb JOIN q431_grid g ON g.hi = tb.hi + 1
+          |)
+          |SELECT hi AS hour_index, arr AS arrivals, served, dropped,
+          |       b AS bucket_end
+          |FROM tb ORDER BY hi""".stripMargin)
+    }),
+
+    // Stupid Backoff bigram scoring (Brants et al.) — the CCNet-style
+    // cross-lingual quality score: train counts from the 'en' slice,
+    // score every other lang's bigrams as ln(c₁₂/cctx) when seen, else
+    // α·unigram backoff (α = 0.4), else the OOV floor — each branch ONE
+    // quantized ln. The per-lang mean is occurrence-weighted exact
+    // integer arithmetic; all count dictionaries are vocab-bounded
+    "q432_stupid_backoff" -> ((s, dir) => {
+      val words = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(col("text"), " ", -1)).as(Seq("pos", "w")))
+        .filter(length(col("w")) > 0)
+        .localCheckpoint(false)
+      val big = words
+        .withColumn("w2", lead(col("w"), 1).over(
+          Window.partitionBy("doc_id").orderBy("pos")))
+        .filter(col("w2").isNotNull)
+      val tb = big.filter(col("lang") === "en")
+        .groupBy(col("w").as("t1"), col("w2").as("t2"))
+        .agg(count(lit(1)).as("cb"))
+      val tu = words.filter(col("lang") === "en")
+        .groupBy(col("w").as("t")).agg(count(lit(1)).as("cu"))
+      val nTrain = tu.agg(sum("cu").as("ntr"))
+      big.filter(col("lang") =!= "en")
+        .groupBy("lang", "w", "w2").agg(count(lit(1)).as("c"))
+        .join(broadcast(tb), col("w") === col("t1") && col("w2") === col("t2"), "left")
+        .join(broadcast(tu.select(col("t").as("t1c"), col("cu").as("cctx"))),
+          col("w") === col("t1c"), "left")
+        .join(broadcast(tu.select(col("t").as("t2u"), col("cu").as("cu2"))),
+          col("w2") === col("t2u"), "left")
+        .crossJoin(broadcast(nTrain))
+        .withColumn("score", expr(
+          "CASE WHEN cb IS NOT NULL THEN" +
+            " CAST(round(ln(CAST(cb AS DOUBLE) / cctx) * 1000000) AS BIGINT)" +
+            " WHEN cu2 IS NOT NULL THEN" +
+            " CAST(round(ln(CAST(0.4 AS DOUBLE) * cu2 / ntr) * 1000000) AS BIGINT)" +
+            " ELSE CAST(round(ln(CAST(0.4 AS DOUBLE) / ntr) * 1000000) AS BIGINT) END"))
+        .groupBy("lang")
+        .agg(sum(col("c")).as("n_bigrams"),
+          sum(when(col("cb").isNull, col("c")).otherwise(0L)).as("n_backoff"),
+          sum(when(col("cb").isNull && col("cu2").isNull, col("c")).otherwise(0L))
+            .as("n_oov"),
+          sum((col("c") * col("score")).cast(dec38)).as("ssum"))
+        .select(col("lang"), col("n_bigrams"), col("n_backoff"), col("n_oov"),
+          expr("ssum div n_bigrams").as("mean_score_micro"))
+        .orderBy("lang")
+    }),
+
+    // b-bit (b=1) minhash estimate vs the full-width estimate on the
+    // same LSH candidate pairs (operators/Dedup.bbitEstimates) — the
+    // signature-compression error readout
+    "q433_bbit_minhash" -> ((s, dir) =>
+      Dedup.bbitEstimates(Tables.documents(s, dir), "doc_id", "text")),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

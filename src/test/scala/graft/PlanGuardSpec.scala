@@ -106,6 +106,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q423_matryoshka_recall",  // q24-style 8-row query-broadcast inequality join
     "q425_aqe_coalesce_sim",   // 1-row total-rows bound crossed into the 128-bucket dict
     "q428_quality_knapsack",   // 1-row total-bytes budget bound
+    "q430_vocab_coverage",     // 1-row token-total bound over the vocab dict
+    "q432_stupid_backoff",     // 1-row train-token-total bound (q304's shape)
     "q368_lsh_cost_model",     // 1-row distinct-candidate count bound
     "q369_storage_tiering",    // 1-row max-date aggregate bound
     "q373_postings_intersect", // 1-row corpus-doc-count bound

@@ -314,6 +314,27 @@ class DedupSpec extends AnyFunSuite {
     assert(full.getAs[Long]("n_true") >= 1L && full.getAs[Double]("max_jaccard") === 1.0)
   }
 
+  test("bbitEstimates: parity agreement dominates full agreement; exact dups read 1.0 both ways") {
+    val bb = Dedup.bbitEstimates(docs, "doc_id", "text").collect()
+    val full = Dedup.jaccardEstimates(docs, "doc_id", "text")
+      .select("doc_a", "doc_b", "n_match").as[(Long, Long, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    assert(bb.nonEmpty && bb.length === full.size)
+    bb.foreach { r =>
+      val (nm, nb) = (r.getAs[Long]("n_match"), r.getAs[Long]("n_bit"))
+      // equal minhash values force equal parities, never the reverse
+      assert(nb >= nm && nb <= 8L)
+      assert(nm === full((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))))
+      assert(r.getAs[Long]("est_full_ppm") === nm * 125000L)
+      assert(r.getAs[Long]("est_1bit_ppm") === (nb * 2 - 8) * 125000L)
+      assert(r.getAs[Long]("err_ppm") ===
+        math.abs(r.getAs[Long]("est_1bit_ppm") - r.getAs[Long]("est_full_ppm")))
+    }
+    // the exact-dup pair agrees on every hash, so both estimates read 1.0
+    val exact = bb.find(r => r.getAs[Long]("n_match") === 8L).get
+    assert(exact.getAs[Long]("est_1bit_ppm") === 1000000L)
+  }
+
   test("editDistanceVerify: exact Levenshtein on normalized prefixes, threshold verdict") {
     val d = Seq(
       (1L, "alpha beta gamma delta"),
