@@ -8625,7 +8625,133 @@ object OracleSql {
          |       CAST(nm * 125000 AS BIGINT) AS est_full_ppm,
          |       CAST((nb * 2 - 8) * 125000 AS BIGINT) AS est_1bit_ppm,
          |       CAST(abs((nb * 2 - 8) * 125000 - nm * 125000) AS BIGINT) AS err_ppm
-         |FROM nm ORDER BY doc_a, doc_b""".stripMargin
+         |FROM nm ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q434_cluster_balanced_sample" ->
+      s"""WITH RECURSIVE ${minhashChain("documents")},
+         |$ccLabelChain,
+         |dc AS (
+         |  SELECT d.doc_id, coalesce(lbl.l, d.doc_id) AS cl
+         |  FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.u
+         |  WHERE d.text IS NOT NULL
+         |), szs AS (SELECT cl, CAST(count(*) AS BIGINT) AS sz FROM dc GROUP BY 1),
+         |kp AS (
+         |  SELECT dc.doc_id, szs.sz,
+         |         CASE WHEN CAST(CAST(concat('0x', substr(md5('cbs#' || CAST(dc.doc_id AS VARCHAR)), 1, 12))
+         |                          AS BIGINT) AS HUGEINT) * szs.sz < 281474976710656
+         |              THEN 1 ELSE 0 END AS keep
+         |  FROM dc JOIN szs USING (cl)
+         |)
+         |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(keep) AS BIGINT) AS n_kept,
+         |       CAST(CAST(sum(keep) AS BIGINT) * 1000000 // count(*) AS BIGINT) AS kept_ppm
+         |FROM kp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q435_recency_weights" ->
+      """WITH rev AS (
+        |  SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS mi,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1
+        |), mx AS (SELECT max(mi) AS mxm FROM rev)
+        |SELECT mi AS month_index, rev_cents, CAST(mxm - mi AS BIGINT) AS age,
+        |       CAST(round(exp(-CAST(mxm - mi AS DOUBLE) / 6.0) * 1000000) AS BIGINT) AS w_ppm,
+        |       CAST(rev_cents * CAST(round(exp(-CAST(mxm - mi AS DOUBLE) / 6.0) * 1000000) AS BIGINT)
+        |            // 1000000 AS BIGINT) AS w_rev_cents
+        |FROM rev, mx ORDER BY month_index""".stripMargin,
+
+    "q436_abc_xyz" ->
+      """WITH pm AS (
+        |  SELECT l_partkey, (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS mi,
+        |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2 HAVING mi >= 0 AND mi < 24
+        |), per AS (
+        |  SELECT l_partkey, CAST(sum(q) AS BIGINT) AS sq,
+        |         CAST(sum(q * q) AS BIGINT) AS sqq, CAST(sum(rev) AS BIGINT) AS rev
+        |  FROM pm GROUP BY 1 HAVING sum(q) > 0
+        |), t AS (SELECT CAST(sum(rev) AS BIGINT) AS trev FROM per),
+        |cx AS (
+        |  SELECT per.*, trev,
+        |         CAST(coalesce(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+        |  FROM per, t
+        |), cls AS (
+        |  SELECT l_partkey, sq, sqq, rev,
+        |         CASE WHEN CAST(prefix AS HUGEINT) * 100 < CAST(trev AS HUGEINT) * 80 THEN 'A'
+        |              WHEN CAST(prefix AS HUGEINT) * 100 < CAST(trev AS HUGEINT) * 95 THEN 'B'
+        |              ELSE 'C' END AS abc_class,
+        |         24 * sqq - sq * sq AS vv
+        |  FROM cx
+        |), s0 AS (
+        |  SELECT *, CAST(floor(sqrt(CAST(vv AS DOUBLE))) AS BIGINT) AS t0 FROM cls
+        |), s1 AS (
+        |  SELECT *, CASE WHEN t0 > 0 THEN (t0 + vv // t0) // 2 ELSE 0 END AS t1 FROM s0
+        |), s2 AS (
+        |  SELECT *, CASE WHEN (t1 + 1) * (t1 + 1) <= vv THEN t1 + 1
+        |                 WHEN t1 * t1 > vv THEN t1 - 1 ELSE t1 END AS rt
+        |  FROM s1
+        |), xyz AS (
+        |  SELECT abc_class, rev,
+        |         CASE WHEN rt * 1000 // sq < 3000 THEN 'X'
+        |              WHEN rt * 1000 // sq < 4500 THEN 'Y' ELSE 'Z' END AS xyz_class
+        |  FROM s2
+        |)
+        |SELECT abc_class, xyz_class, CAST(count(*) AS BIGINT) AS n_parts,
+        |       CAST(sum(rev) AS BIGINT) AS rev_cents
+        |FROM xyz GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q437_funnel_exclusion" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events
+        |), x AS (
+        |  SELECT event_type,
+        |         min(CASE WHEN event_type = 'purchase' THEN us END)
+        |           OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_pur,
+        |         min(CASE WHEN event_type = 'error' THEN us END)
+        |           OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_err
+        |  FROM e
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_views,
+        |       CAST(count(next_pur) AS BIGINT) AS n_converted,
+        |       CAST(sum(CASE WHEN next_pur IS NOT NULL AND next_err IS NOT NULL
+        |                      AND next_err <= next_pur THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_excluded,
+        |       CAST((count(next_pur)
+        |             - sum(CASE WHEN next_pur IS NOT NULL AND next_err IS NOT NULL
+        |                         AND next_err <= next_pur THEN 1 ELSE 0 END))
+        |            * 1000000 // count(*) AS BIGINT) AS clean_rate_ppm
+        |FROM x WHERE event_type = 'view'""".stripMargin,
+
+    "q438_ar2_yule_walker" ->
+      """WITH rev AS (
+        |  SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS mi,
+        |         CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |              // 100000 AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), st AS (SELECT CAST(count(*) AS BIGINT) AS nm, CAST(sum(y) AS BIGINT) AS sy2 FROM rev),
+        |z AS (
+        |  SELECT nm, nm * y - sy2 AS z,
+        |         lag(nm * y - sy2, 1) OVER (ORDER BY mi) AS z1,
+        |         lag(nm * y - sy2, 2) OVER (ORDER BY mi) AS z2
+        |  FROM rev, st
+        |), c AS (
+        |  SELECT max(nm) AS n_months,
+        |         sum(CAST(z AS HUGEINT) * z) AS c0,
+        |         sum(CAST(z AS HUGEINT) * z1) AS c1,
+        |         sum(CAST(z AS HUGEINT) * z2) AS c2
+        |  FROM z
+        |)
+        |SELECT CAST(n_months AS BIGINT) AS n_months,
+        |       CAST(1000 * c1 // c0 AS BIGINT) AS r1_milli,
+        |       CAST(1000 * c2 // c0 AS BIGINT) AS r2_milli,
+        |       CAST(1000 * c1 * (c0 - c2) // (c0 * c0 - c1 * c1) AS BIGINT) AS phi1_milli,
+        |       CAST((1000 * (c2 * c0 - c1 * c1)) // (c0 * c0 - c1 * c1) AS BIGINT) AS phi2_milli
+        |FROM c""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

@@ -9119,6 +9119,152 @@ object SparkEntry {
     "q433_bbit_minhash" -> ((s, dir) =>
       Dedup.bbitEstimates(Tables.documents(s, dir), "doc_id", "text")),
 
+    // cluster-balanced sampling: keep each doc with probability
+    // 1/|its near-dup cluster| (md5-uniform u·sz < 2^48, exact integers)
+    // so every cluster contributes ~1 expected survivor — the soft
+    // alternative to hard keeper dedup (q32) that preserves intra-cluster
+    // variety; singletons (docs in no candidate pair) are their own
+    // cluster. Readout: kept rate per cluster size — the flattening proof
+    "q434_cluster_balanced_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lbl = graft.operators.ConnectedComponents.labels(
+        Dedup.minhashCandidates(docs, "doc_id", "text"), "doc_a", "doc_b")
+      val withCl = docs.filter(col("text").isNotNull).select(col("doc_id"))
+        .join(lbl.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("cl", coalesce(col("cluster_id"), col("doc_id")))
+        .localCheckpoint(false)
+      val sz = withCl.groupBy("cl").agg(count(lit(1)).as("sz"))
+      withCl.join(sz, Seq("cl"))
+        .withColumn("u", Dedup.md5Long(concat(lit("cbs#"),
+          col("doc_id").cast("string")), 12))
+        .withColumn("keep",
+          when(col("u").cast(dec38) * col("sz") < lit(Dedup.MinhashMod).cast(dec38),
+            1L).otherwise(0L))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"))
+        .withColumn("kept_ppm", expr("n_kept * 1000000 div n_docs"))
+        .orderBy("cluster_size")
+    }),
+
+    // recency-decay weighting: monthly revenue × exp(-age/6) freshness
+    // weight (one libm exp per month, micro-quantized — the ln
+    // convention's twin), the "how much does my corpus/revenue skew
+    // stale" readout behind freshness-weighted training mixes; the decay
+    // arithmetic runs on the bounded month dictionary
+    "q435_recency_weights" -> ((s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .groupBy(expr("(year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1")
+          .as("mi"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("rev_cents"))
+      val mx = rev.agg(max("mi").as("mxm"))
+      rev.crossJoin(broadcast(mx))
+        .withColumn("age", (col("mxm") - col("mi")).cast("long"))
+        .withColumn("w_ppm", expr(
+          "CAST(round(exp(-CAST(age AS DOUBLE) / 6.0) * 1000000) AS BIGINT)"))
+        .select(col("mi").cast("long").as("month_index"), col("rev_cents"), col("age"),
+          col("w_ppm"),
+          expr("rev_cents * w_ppm div 1000000").as("w_rev_cents"))
+        .orderBy("month_index")
+    }),
+
+    // ABC–XYZ inventory classification: ABC from cumulative revenue share
+    // (80/95 cuts, exact cross-multiplied integers — q239's axis), XYZ
+    // from the demand coefficient of variation over the fixed 24-month
+    // horizon (zero months count), cv = √(24·Σq²−S²)/S via the q427
+    // isqrt (seed + Newton + fix-ups) — the 9-cell planning matrix
+    "q436_abc_xyz" -> ((s, dir) => {
+      val pm = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_partkey"),
+          expr("(year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1").as("mi"))
+        .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("q"),
+          sum(centsOf(col("l_extendedprice"))).as("rev"))
+        .filter(col("mi") >= 0 && col("mi") < 24)
+      val per = pm.groupBy("l_partkey")
+        .agg(sum(col("q")).as("sq"), sum(expr("q * q")).as("sqq"),
+          sum(col("rev")).as("rev"))
+        .filter(col("sq") > 0)
+        .localCheckpoint(false)
+      val tot = per.agg(sum("rev").as("trev"))
+      val cumx = Window.orderBy(col("rev").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      per.crossJoin(broadcast(tot))
+        .withColumn("prefix", coalesce(sum(col("rev")).over(cumx), lit(0L)))
+        .withColumn("abc_class", expr(
+          "CASE WHEN prefix * 100 < trev * 80 THEN 'A'" +
+            " WHEN prefix * 100 < trev * 95 THEN 'B' ELSE 'C' END"))
+        .withColumn("vv", expr("24 * sqq - sq * sq"))
+        .withColumn("t0", floor(sqrt(col("vv").cast("double"))).cast("long"))
+        .withColumn("t1", expr("CASE WHEN t0 > 0 THEN (t0 + vv div t0) div 2 ELSE 0 END"))
+        .withColumn("rt", expr(
+          "CASE WHEN (t1 + 1) * (t1 + 1) <= vv THEN t1 + 1" +
+            " WHEN t1 * t1 > vv THEN t1 - 1 ELSE t1 END"))
+        .withColumn("cv_milli", expr("rt * 1000 div sq"))
+        .withColumn("xyz_class", expr(
+          "CASE WHEN cv_milli < 3000 THEN 'X'" +
+            " WHEN cv_milli < 4500 THEN 'Y' ELSE 'Z' END"))
+        .groupBy("abc_class", "xyz_class")
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("rev_cents"))
+        .orderBy("abc_class", "xyz_class")
+    }),
+
+    // funnel with an EXCLUSION step: view → purchase conversions that
+    // must NOT cross an error event — the "clean conversion" readout
+    // plain funnels (q69) overcount. Both next-purchase and next-error
+    // come from one reverse conditional-min window pass (q396's shape);
+    // a same-microsecond error counts as intervening (strict <)
+    "q437_funnel_exclusion" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("next_pur",
+          min(when(col("event_type") === "purchase", col("us"))).over(w))
+        .withColumn("next_err",
+          min(when(col("event_type") === "error", col("us"))).over(w))
+        .filter(col("event_type") === "view")
+        .select(
+          count(lit(1)).as("n_views"),
+          count(col("next_pur")).as("n_converted"),
+          sum(when(col("next_pur").isNotNull &&
+            col("next_err").isNotNull && col("next_err") <= col("next_pur"), 1L)
+            .otherwise(0L)).as("n_excluded"))
+        .select(col("n_views"), col("n_converted"), col("n_excluded"),
+          expr("(n_converted - n_excluded) * 1000000 div n_views")
+            .as("clean_rate_ppm"))
+    }),
+
+    // AR(2) fit by Yule–Walker on the monthly revenue series: lagged
+    // autocovariances as EXACT integers (z = N·y − S removes the mean
+    // without rationals; y in k$ keeps C₀² inside decimal38), then
+    // φ₁ = C₁(C₀−C₂)/(C₀²−C₁²), φ₂ = (C₂C₀−C₁²)/(C₀²−C₁²) in milli —
+    // the forecast-model fit whose inputs q245/q263 already audit
+    "q438_ar2_yule_walker" -> ((s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .groupBy(expr("(year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1")
+          .as("mi"))
+        .agg(expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) div 100000" +
+          " AS BIGINT)").as("y"))
+        .localCheckpoint(false)
+      val st = rev.agg(count(lit(1)).as("nm"), sum("y").as("sy2"))
+      val z = rev.crossJoin(broadcast(st))
+        .withColumn("z", expr("nm * y - sy2"))
+        .withColumn("z1", lag(col("z"), 1).over(Window.orderBy("mi")))
+        .withColumn("z2", lag(col("z"), 2).over(Window.orderBy("mi")))
+      z.agg(max(col("nm")).as("n_months"),
+          sum((col("z") * col("z")).cast(dec38)).as("c0"),
+          sum((col("z") * col("z1")).cast(dec38)).as("c1"),
+          sum((col("z") * col("z2")).cast(dec38)).as("c2"))
+        .select(col("n_months"),
+          expr("1000 * c1 div c0").as("r1_milli"),
+          expr("1000 * c2 div c0").as("r2_milli"),
+          expr("1000 * c1 * (c0 - c2) div (c0 * c0 - c1 * c1)").as("phi1_milli"),
+          expr("(1000 * (c2 * c0 - c1 * c1)) div (c0 * c0 - c1 * c1)")
+            .as("phi2_milli"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -108,6 +108,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q428_quality_knapsack",   // 1-row total-bytes budget bound
     "q430_vocab_coverage",     // 1-row token-total bound over the vocab dict
     "q432_stupid_backoff",     // 1-row train-token-total bound (q304's shape)
+    "q435_recency_weights",    // 1-row max-month bound over the month dict
+    "q436_abc_xyz",            // 1-row total-revenue bound over the part dict
+    "q438_ar2_yule_walker",    // 1-row (n, Σy) bound over the month dict
     "q368_lsh_cost_model",     // 1-row distinct-candidate count bound
     "q369_storage_tiering",    // 1-row max-date aggregate bound
     "q373_postings_intersect", // 1-row corpus-doc-count bound
