@@ -8551,10 +8551,10 @@ object OracleSql {
         |         // 3600000000 AS hi
         |  FROM events
         |), h AS (SELECT hi, CAST(count(*) AS BIGINT) AS arr
-        |         FROM ev WHERE hi < 48 GROUP BY 1),
+        |         FROM ev WHERE hi < 24 GROUP BY 1),
         |grid AS (SELECT g.hi, CAST(coalesce(h.arr, 0) AS BIGINT) AS arr
-        |         FROM (SELECT unnest(range(0, 48)) AS hi) g LEFT JOIN h USING (hi)),
-        |tt AS (SELECT CAST((sum(arr) + 47) // 48 AS BIGINT) AS r FROM grid),
+        |         FROM (SELECT unnest(range(0, 24)) AS hi) g LEFT JOIN h USING (hi)),
+        |tt AS (SELECT CAST((sum(arr) + 23) // 24 AS BIGINT) AS r FROM grid),
         |g2 AS (SELECT hi, arr, r, CAST(2 * r AS BIGINT) AS cap FROM grid, tt),
         |tb(hi, arr, served, dropped, b) AS (
         |  SELECT g.hi, g.arr, least(g.arr, g.cap), g.arr - least(g.arr, g.cap),

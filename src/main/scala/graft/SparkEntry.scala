@@ -9033,18 +9033,18 @@ object SparkEntry {
     // series (capacity 2r, refill r = ceil(total/48) per hour): the
     // ingest-throttling capacity-planning readout — how much would a
     // limiter at the mean rate drop during bursts? Sequential by nature:
-    // WITH RECURSIVE over the 48-hour zero-filled grid (q359's
+    // WITH RECURSIVE over the 24-hour zero-filled grid (q359's
     // materialize-then-recurse shape; the horizon is the latency knob)
     "q431_token_bucket" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val mn = ev.agg(min(unix_micros(col("ts"))).as("t0"))
       val hours = ev.crossJoin(broadcast(mn))
         .select(expr("(unix_micros(ts) - t0) div 3600000000").as("hi"))
-        .filter(col("hi") < 48)
+        .filter(col("hi") < 24)
         .groupBy("hi").agg(count(lit(1)).as("arr"))
-      val grid = s.range(48).select(col("id").as("hi"))
+      val grid = s.range(24).select(col("id").as("hi"))
         .join(hours, Seq("hi"), "left").na.fill(0L, Seq("arr"))
-      val tot = grid.agg(expr("(sum(arr) + 47) div 48").as("r"))
+      val tot = grid.agg(expr("(sum(arr) + 23) div 24").as("r"))
       grid.crossJoin(broadcast(tot))
         .select(col("hi"), col("arr"), col("r"), (col("r") * 2).as("cap"))
         .localCheckpoint(false)
