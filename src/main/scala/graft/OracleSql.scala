@@ -8751,7 +8751,145 @@ object OracleSql {
         |       CAST(1000 * c2 // c0 AS BIGINT) AS r2_milli,
         |       CAST(1000 * c1 * (c0 - c2) // (c0 * c0 - c1 * c1) AS BIGINT) AS phi1_milli,
         |       CAST((1000 * (c2 * c0 - c1 * c1)) // (c0 * c0 - c1 * c1) AS BIGINT) AS phi2_milli
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    "q439_mase_eval" ->
+      """WITH rev AS (
+        |  SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS mi,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), l AS (
+        |  SELECT mi, y, lag(y, 1) OVER (ORDER BY mi) AS y1,
+        |         lag(y, 12) OVER (ORDER BY mi) AS y12
+        |  FROM rev
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_months,
+        |       CAST(sum(abs(y - y1)) // count(y1) AS BIGINT) AS mae_naive_cents,
+        |       CAST(sum(abs(y - y12)) // count(y12) AS BIGINT) AS mae_seasonal_cents,
+        |       CAST(CAST(sum(abs(y - y12)) AS HUGEINT) * count(y1) * 1000
+        |            // (CAST(count(y12) AS HUGEINT) * sum(abs(y - y1))) AS BIGINT) AS mase_milli
+        |FROM l""".stripMargin,
+
+    "q440_text_tiling" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+        |  FROM documents WHERE text IS NOT NULL
+        |), b2 AS (SELECT doc_id, lang, ws, len(ws) // 20 AS nb FROM base),
+        |ks AS (SELECT doc_id, lang, ws, unnest(range(1, nb)) AS k
+        |       FROM b2 WHERE nb >= 2),
+        |j AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_slice(ws, (k - 1) * 20 + 1, k * 20)) AS ld,
+        |         list_distinct(list_slice(ws, k * 20 + 1, (k + 1) * 20)) AS rd
+        |  FROM ks
+        |), jj AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(list_intersect(ld, rd)) AS BIGINT) AS inter,
+        |         CAST(len(ld) + len(rd) - len(list_intersect(ld, rd)) AS BIGINT) AS uni
+        |  FROM j
+        |)
+        |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_bounds,
+        |       CAST(min(inter * 1000000 // uni) AS BIGINT) AS min_j_ppm,
+        |       CAST(sum(inter * 1000000 // uni) // count(*) AS BIGINT) AS mean_j_ppm
+        |FROM jj GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q441_youden_threshold" ->
+      s"""$minhashCte,
+        |dup_ids AS (SELECT doc_a AS doc_id FROM cand
+        |            UNION SELECT doc_b AS doc_id FROM cand),
+        |lab AS (
+        |  SELECT d.doc_id, d.n_chars,
+        |         CASE WHEN dup_ids.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup
+        |  FROM documents d LEFT JOIN dup_ids ON d.doc_id = dup_ids.doc_id
+        |  WHERE d.text IS NOT NULL
+        |), mm AS (SELECT min(n_chars) AS gmin, max(n_chars) AS gmax FROM lab),
+        |thr AS (SELECT i, gmin + i * (gmax - gmin + 1) // 10 AS thr
+        |        FROM (SELECT unnest(range(1, 10)) AS i), mm),
+        |agg AS (
+        |  SELECT i, thr,
+        |         CAST(sum(CASE WHEN dup = 1 AND n_chars <= thr THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |         CAST(sum(CASE WHEN dup = 0 AND n_chars <= thr THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |         CAST(sum(dup) AS BIGINT) AS p,
+        |         CAST(sum(1 - dup) AS BIGINT) AS n
+        |  FROM lab, thr GROUP BY 1, 2
+        |), r AS (
+        |  SELECT i, thr, tp * 1000000 // p AS tpr_ppm, fp * 1000000 // n AS fpr_ppm,
+        |         tp * 1000000 // p - fp * 1000000 // n AS j_ppm
+        |  FROM agg
+        |)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(thr AS BIGINT) AS thr,
+        |       CAST(tpr_ppm AS BIGINT) AS tpr_ppm, CAST(fpr_ppm AS BIGINT) AS fpr_ppm,
+        |       CAST(j_ppm AS BIGINT) AS j_ppm,
+        |       CAST(CASE WHEN row_number() OVER (ORDER BY j_ppm DESC, i) = 1
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS is_best
+        |FROM r ORDER BY i""".stripMargin,
+
+    "q442_anisotropy" ->
+      """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |           WHERE embedding IS NOT NULL),
+        |x1 AS (SELECT e, unnest(range(0, len(e))) AS i FROM v),
+        |x2 AS (SELECT i, CAST(round(e[i+1] * 1000000) AS BIGINT) AS xq,
+        |              unnest(range(i, len(e))) AS j, e
+        |       FROM x1),
+        |x AS (SELECT i, j, xq,
+        |             CAST(round(e[j+1] * 1000000) AS BIGINT) AS yq
+        |      FROM x2),
+        |s AS (
+        |  SELECT i, j, count(*) AS n_vecs,
+        |         sum(CAST(xq AS HUGEINT)) AS sx,
+        |         sum(CAST(yq AS HUGEINT)) AS sy,
+        |         sum(CAST(xq AS HUGEINT) * CAST(yq AS HUGEINT)) AS sxy
+        |  FROM x GROUP BY 1, 2
+        |), nd AS (SELECT i, j, n_vecs,
+        |              CAST(n_vecs AS HUGEINT) * sxy - sx * sy AS num,
+        |              CAST(n_vecs AS HUGEINT) * n_vecs * 1000000 AS den
+        |       FROM s),
+        |ce AS (
+        |  SELECT i, j,
+        |         CAST(CASE WHEN num >= 0 THEN (2 * num + den) // (2 * den)
+        |                   ELSE -((2 * (-num) + den) // (2 * den)) END AS BIGINT) AS cov_e6
+        |  FROM nd
+        |)
+        |SELECT CAST(max(j) + 1 AS BIGINT) AS d,
+        |       CAST(sum(CASE WHEN i = j THEN abs(cov_e6) ELSE 0 END) AS BIGINT) AS diag_mass,
+        |       CAST(sum(CASE WHEN i <> j THEN abs(cov_e6) * 2 ELSE 0 END) AS BIGINT) AS off_mass,
+        |       CAST(max(CASE WHEN i <> j THEN abs(cov_e6) ELSE 0 END) AS BIGINT) AS max_offdiag,
+        |       CAST(sum(CASE WHEN i <> j THEN abs(cov_e6) * 2 ELSE 0 END) * 1000000
+        |            // sum(CASE WHEN i = j THEN abs(cov_e6) ELSE 0 END) AS BIGINT) AS off_ratio_ppm
+        |FROM ce""".stripMargin,
+
+    "q443_smd_balance" ->
+      """WITH base AS (
+        |  SELECT CAST(concat('0x', substr(md5('smd#' || CAST(doc_id AS VARCHAR)), 1, 12))
+        |              AS BIGINT) % 2 AS arm,
+        |         CAST(n_chars AS BIGINT) AS x1,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS x2
+        |  FROM documents WHERE text IS NOT NULL
+        |), cv AS (
+        |  SELECT arm, 'n_chars' AS covariate, x1 AS x FROM base
+        |  UNION ALL SELECT arm, 'n_words' AS covariate, x2 AS x FROM base
+        |), a AS (
+        |  SELECT covariate,
+        |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+        |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nb,
+        |         CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS HUGEINT) AS sa,
+        |         CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS HUGEINT) AS sb,
+        |         CAST(sum(CASE WHEN arm = 0 THEN x * x ELSE 0 END) AS HUGEINT) AS saa,
+        |         CAST(sum(CASE WHEN arm = 1 THEN x * x ELSE 0 END) AS HUGEINT) AS sbb
+        |  FROM cv GROUP BY 1
+        |), d AS (
+        |  SELECT covariate, na, nb, sa * nb - sb * na AS dd,
+        |         nb * nb * (na * saa - sa * sa) + na * na * (nb * sbb - sb * sb) AS vv
+        |  FROM a
+        |), q AS (SELECT covariate, na, nb, 2 * dd * dd * 1000000 // vv AS q2 FROM d),
+        |s0 AS (SELECT *, CAST(floor(sqrt(CAST(q2 AS DOUBLE))) AS HUGEINT) AS t0 FROM q),
+        |s1 AS (SELECT *, CASE WHEN t0 > 0 THEN (t0 + q2 // t0) // 2 ELSE 0 END AS t1 FROM s0)
+        |SELECT covariate, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |       CAST(CASE WHEN (t1 + 1) * (t1 + 1) <= q2 THEN t1 + 1
+        |                 WHEN t1 * t1 > q2 THEN t1 - 1 ELSE t1 END AS BIGINT) AS smd_milli
+        |FROM s1 ORDER BY covariate""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

@@ -9265,6 +9265,155 @@ object SparkEntry {
             .as("phi2_milli"))
     }),
 
+    // MASE forecast evaluation on monthly revenue: seasonal-naive (lag
+    // 12) MAE over naive (lag 1) MAE — the scale-free "is seasonality
+    // worth modeling" gate run before q154/q263 commit to a forecaster;
+    // exact integer cents throughout, lags on the bounded month dict
+    "q439_mase_eval" -> ((s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .groupBy(expr("(year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1")
+          .as("mi"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("y"))
+      val w = Window.orderBy("mi")
+      rev.withColumn("y1", lag(col("y"), 1).over(w))
+        .withColumn("y12", lag(col("y"), 12).over(w))
+        .agg(count(lit(1)).as("n_months"),
+          count(col("y1")).as("n1"), count(col("y12")).as("n12"),
+          sum(abs(col("y") - col("y1"))).as("e1"),
+          sum(abs(col("y") - col("y12"))).as("e12"))
+        .select(col("n_months"),
+          expr("e1 div n1").as("mae_naive_cents"),
+          expr("e12 div n12").as("mae_seasonal_cents"),
+          expr("CAST(e12 AS DECIMAL(38,0)) * n1 * 1000 div" +
+            " (CAST(n12 AS DECIMAL(38,0)) * e1)").as("mase_milli"))
+    }),
+
+    // TextTiling-style topic-shift scores: per doc, adjacent 20-word
+    // blocks compared by distinct-word Jaccard at each boundary — low
+    // boundary cohesion flags multi-topic/stitched documents (the chunker
+    // quality signal q97's fixed-width chunks don't see). Block algebra
+    // is per-row array work (slice/distinct/intersect — no shuffle);
+    // the per-lang roll-up is one hash agg
+    "q440_text_tiling" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          filter(split(col("text"), " ", -1), x => length(x) > 0).as("ws"))
+        .withColumn("nb", expr("CAST(size(ws) AS BIGINT) div 20"))
+        .filter(col("nb") >= 2)
+      base
+        .select(col("doc_id"), col("lang"), col("ws"),
+          explode(sequence(lit(1L), col("nb") - 1)).as("k"))
+        .withColumn("ld", array_distinct(slice(col("ws"),
+          ((col("k") - 1) * 20 + 1).cast("int"), lit(20))))
+        .withColumn("rd", array_distinct(slice(col("ws"),
+          (col("k") * 20 + 1).cast("int"), lit(20))))
+        .withColumn("inter", size(array_intersect(col("ld"), col("rd"))).cast("long"))
+        .withColumn("uni",
+          size(col("ld")).cast("long") + size(col("rd")) - col("inter"))
+        .withColumn("j_ppm", expr("inter * 1000000 div uni"))
+        .groupBy("lang")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_bounds"),
+          min(col("j_ppm")).as("min_j_ppm"),
+          expr("CAST(sum(j_ppm) div count(1) AS BIGINT)").as("mean_j_ppm"))
+        .orderBy("lang")
+    }),
+
+    // Youden-J threshold selection: the near-dup label (doc appears in a
+    // MinHash/LSH candidate pair) against an n_chars ≤ t classifier
+    // swept over the 9 equi-width cut points — TPR/FPR as exact
+    // cross-multiplied ppm, the argmax flagged by a window over the
+    // 9-row sweep. The "calibrate-the-cheap-filter-against-the-
+    // expensive-label" readout behind every proxy-based curation rule
+    "q441_youden_threshold" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+      val dupIds = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+        .withColumn("dup1", lit(1L))
+      val lab = docs.select(col("doc_id"), col("n_chars"))
+        .join(dupIds, Seq("doc_id"), "left")
+        .withColumn("dup", coalesce(col("dup1"), lit(0L)))
+        .select(col("doc_id"), col("n_chars"), col("dup"))
+        .localCheckpoint(false)
+      val mm = lab.agg(min("n_chars").as("gmin"), max("n_chars").as("gmax"))
+      val thr = s.range(1, 10).select(col("id").as("i"))
+        .crossJoin(broadcast(mm))
+        .select(col("i"), expr("gmin + i * (gmax - gmin + 1) div 10").as("thr"))
+      lab.crossJoin(broadcast(thr))
+        .groupBy("i", "thr")
+        .agg(sum(when(col("dup") === 1 && col("n_chars") <= col("thr"), 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("dup") === 0 && col("n_chars") <= col("thr"), 1L)
+            .otherwise(0L)).as("fp"),
+          sum(col("dup")).as("p"),
+          sum(lit(1L) - col("dup")).as("n"))
+        .select(col("i"), col("thr"),
+          expr("tp * 1000000 div p").as("tpr_ppm"),
+          expr("fp * 1000000 div n").as("fpr_ppm"),
+          expr("tp * 1000000 div p - fp * 1000000 div n").as("j_ppm"))
+        .withColumn("is_best",
+          (row_number().over(Window.orderBy(col("j_ppm").desc, col("i"))) === 1)
+            .cast("long"))
+        .orderBy("i")
+    }),
+
+    // embedding-space anisotropy: off-diagonal vs diagonal covariance
+    // mass from the q98 exact second-moment relation — the "do I need
+    // whitening before cosine retrieval" one-row readout (Ethayarajh-
+    // style anisotropy, here as an exact integer ratio over cov_e6)
+    "q442_anisotropy" -> ((s, dir) => {
+      val cov = graft.operators.EmbeddingStats.covarianceUpperTriangle(
+        Tables.embeddings(s, dir), "embedding")
+      cov.agg((max(col("j")) + 1).as("d"),
+          sum(when(col("i") === col("j"), abs(col("cov_e6"))).otherwise(0L))
+            .as("diag_mass"),
+          sum(when(col("i") =!= col("j"), abs(col("cov_e6")) * 2).otherwise(0L))
+            .as("off_mass"),
+          max(when(col("i") =!= col("j"), abs(col("cov_e6"))).otherwise(0L))
+            .as("max_offdiag"))
+        .select(col("d"), col("diag_mass"), col("off_mass"), col("max_offdiag"),
+          expr("off_mass * 1000000 div diag_mass").as("off_ratio_ppm"))
+    }),
+
+    // covariate balance (standardized mean difference) across the q415
+    // md5 experiment arms: smd² = 2·D²/(n_B²·VA + n_A²·VB) with
+    // D = S_A·n_B − S_B·n_A and V the n-scaled central second moments —
+    // all exact decimal products, one isqrt (q427's chain) per covariate.
+    // The randomization-health twin of the SRM gate: arms can pass SRM
+    // yet arrive imbalanced on length/width covariates
+    "q443_smd_balance" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select((Dedup.md5Long(concat(lit("smd#"),
+          col("doc_id").cast("string")), 12) % 2).as("arm"),
+          col("n_chars").as("x1"),
+          size(filter(split(col("text"), " ", -1), x => length(x) > 0))
+            .cast("long").as("x2"))
+      val cov = base.select(col("arm"), lit("n_chars").as("covariate"), col("x1").as("x"))
+        .unionByName(base.select(col("arm"), lit("n_words").as("covariate"),
+          col("x2").as("x")))
+      cov.groupBy("covariate")
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+          sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sa"),
+          sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sb"),
+          sum(when(col("arm") === 0, col("x") * col("x")).otherwise(0L)).as("saa"),
+          sum(when(col("arm") === 1, col("x") * col("x")).otherwise(0L)).as("sbb"))
+        .withColumn("dd", expr("CAST(sa AS DECIMAL(38,0)) * nb" +
+          " - CAST(sb AS DECIMAL(38,0)) * na"))
+        .withColumn("vv", expr(
+          "CAST(nb AS DECIMAL(38,0)) * nb * (CAST(na AS DECIMAL(38,0)) * saa - CAST(sa AS DECIMAL(38,0)) * sa)" +
+            " + CAST(na AS DECIMAL(38,0)) * na * (CAST(nb AS DECIMAL(38,0)) * sbb - CAST(sb AS DECIMAL(38,0)) * sb)"))
+        .withColumn("q2", expr("2 * dd * dd * 1000000 div vv"))
+        .withColumn("t0", floor(sqrt(col("q2").cast("double"))).cast("long"))
+        .withColumn("t1", expr("CASE WHEN t0 > 0 THEN (t0 + q2 div t0) div 2 ELSE 0 END"))
+        .withColumn("smd_milli", expr(
+          "CASE WHEN (t1 + 1) * (t1 + 1) <= q2 THEN t1 + 1" +
+            " WHEN t1 * t1 > q2 THEN t1 - 1 ELSE t1 END"))
+        .select(col("covariate"), col("na"), col("nb"), col("smd_milli"))
+        .orderBy("covariate")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -111,6 +111,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q435_recency_weights",    // 1-row max-month bound over the month dict
     "q436_abc_xyz",            // 1-row total-revenue bound over the part dict
     "q438_ar2_yule_walker",    // 1-row (n, Σy) bound over the month dict
+    "q441_youden_threshold",   // 1-row min/max bound + 9-row threshold sweep cross
     "q368_lsh_cost_model",     // 1-row distinct-candidate count bound
     "q369_storage_tiering",    // 1-row max-date aggregate bound
     "q373_postings_intersect", // 1-row corpus-doc-count bound
