@@ -8889,7 +8889,99 @@ object OracleSql {
         |SELECT covariate, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
         |       CAST(CASE WHEN (t1 + 1) * (t1 + 1) <= q2 THEN t1 + 1
         |                 WHEN t1 * t1 > q2 THEN t1 - 1 ELSE t1 END AS BIGINT) AS smd_milli
-        |FROM s1 ORDER BY covariate""".stripMargin
+        |FROM s1 ORDER BY covariate""".stripMargin,
+
+    "q444_collation_census" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_binary,
+        |       CAST(count(DISTINCT lower(text)) AS BIGINT) AS n_distinct_lcase,
+        |       CAST(count(DISTINCT text) - count(DISTINCT lower(text)) AS BIGINT)
+        |         AS case_only_variants
+        |FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q445_sales_opportunity" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment AS segment,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS abal
+        |  FROM customer
+        |), pa AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pos, CAST(sum(abal) AS BIGINT) AS sum_pos
+        |  FROM cust WHERE abal > 0
+        |)
+        |SELECT segment, CAST(count(*) AS BIGINT) AS n_cust,
+        |       CAST(sum(abal) AS BIGINT) AS total_bal_cents
+        |FROM cust, pa
+        |WHERE CAST(abal AS HUGEINT) * n_pos > sum_pos
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q446_information_value" ->
+      s"""$minhashCte,
+        |dup_ids AS (SELECT doc_a AS doc_id FROM cand
+        |            UNION SELECT doc_b AS doc_id FROM cand),
+        |lab AS (
+        |  SELECT d.doc_id, d.n_chars,
+        |         CASE WHEN dup_ids.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup
+        |  FROM documents d LEFT JOIN dup_ids ON d.doc_id = dup_ids.doc_id
+        |  WHERE d.text IS NOT NULL
+        |), mm AS (SELECT min(n_chars) AS gmin, max(n_chars) AS gmax FROM lab),
+        |binned AS (SELECT (n_chars - gmin) * 5 // (gmax - gmin + 1) AS bin, dup
+        |           FROM lab, mm),
+        |bb AS (SELECT bin, CAST(sum(dup) AS BIGINT) AS g,
+        |              CAST(sum(1 - dup) AS BIGINT) AS b
+        |       FROM binned GROUP BY 1),
+        |t AS (SELECT CAST(sum(g) AS BIGINT) AS gt, CAST(sum(b) AS BIGINT) AS bt FROM bb),
+        |wv AS (SELECT bin, g, b, gt, bt,
+        |      CASE WHEN g > 0 AND b > 0
+        |           THEN CAST(round(ln(CAST(g AS DOUBLE) * bt / (CAST(b AS DOUBLE) * gt))
+        |                     * 1000000) AS BIGINT) ELSE 0 END AS woe_micro
+        |      FROM bb, t)
+        |SELECT CAST(bin AS BIGINT) AS bin, g AS n_dup, b AS n_nondup, woe_micro,
+        |       CAST(CASE WHEN g > 0 AND b > 0 THEN
+        |         (CAST(g AS HUGEINT) * bt - CAST(b AS HUGEINT) * gt) * (woe_micro * 1000)
+        |         // (CAST(gt AS HUGEINT) * bt) ELSE 0 END AS BIGINT) AS iv_contrib_nano
+        |FROM wv ORDER BY bin""".stripMargin,
+
+    "q447_normalization_gain" ->
+      """WITH n AS (
+        |  SELECT source, text,
+        |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |                                 ' +', ' ', 'g'))) AS nh
+        |  FROM documents WHERE text IS NOT NULL
+        |), w AS (
+        |  SELECT source,
+        |         count(*) OVER (PARTITION BY text) AS c_raw,
+        |         count(*) OVER (PARTITION BY nh) AS c_norm
+        |  FROM n
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN c_raw > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_raw,
+        |       CAST(sum(CASE WHEN c_norm > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_norm,
+        |       CAST(sum(CASE WHEN c_norm > 1 THEN 1 ELSE 0 END)
+        |            - sum(CASE WHEN c_raw > 1 THEN 1 ELSE 0 END) AS BIGINT) AS gain
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q448_anova_weekday" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS day,
+        |         CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |              // 100000 AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), d2 AS (SELECT dayofweek(day) AS wd, y FROM daily),
+        |g AS (SELECT wd, CAST(count(*) AS BIGINT) AS ng, CAST(sum(y) AS BIGINT) AS sg,
+        |             CAST(sum(y * y) AS BIGINT) AS ssg FROM d2 GROUP BY 1),
+        |u AS (SELECT wd, ng, sg, ssg,
+        |             CAST(CAST(sg AS HUGEINT) * sg // ng AS BIGINT) AS ug FROM g),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+        |             CAST(sum(sg) AS BIGINT) AS st, CAST(sum(ssg) AS BIGINT) AS sst,
+        |             CAST(sum(ug) AS BIGINT) AS su FROM u)
+        |SELECT k, n,
+        |       CAST(su - CAST(st AS HUGEINT) * st // n AS BIGINT) AS ssb,
+        |       CAST(sst - su AS BIGINT) AS ssw,
+        |       CAST(1000 * (n - k) * (su - CAST(st AS HUGEINT) * st // n)
+        |            // ((k - 1) * (CAST(sst AS HUGEINT) - su)) AS BIGINT) AS f_milli
+        |FROM a""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

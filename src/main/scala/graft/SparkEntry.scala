@@ -9414,6 +9414,130 @@ object SparkEntry {
         .orderBy("covariate")
     }),
 
+    // collation-aware distinct census (Spark 4 collations): per lang,
+    // distinct texts under binary equality vs UTF8_LCASE — the case-only
+    // variant count that decides whether dedup should fold case before
+    // hashing; the oracle replays LCASE as lower() (equivalent on this
+    // corpus's ASCII+CJK text, which has no locale-special casing)
+    "q444_collation_census" -> ((s, dir) =>
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_distinct_binary"),
+          countDistinct(expr("collate(text, 'UTF8_LCASE')"))
+            .as("n_distinct_lcase"))
+        .withColumn("case_only_variants",
+          expr("n_distinct_binary - n_distinct_lcase"))
+        .orderBy("lang")),
+
+    // TPC-H Q22-shaped sales opportunity: customers with above-average
+    // POSITIVE balance and no order since 2000 (this synthetic data has
+    // every customer ordering at least once, so the lapse cutoff is the
+    // non-degenerate form of Q22's no-orders test), per market segment —
+    // the classic anti-join + 1-row scalar-bound composition in exact
+    // cents (the cross-multiplied abal·n_pos > sum_pos test avoids the
+    // average's division entirely)
+    "q445_sales_opportunity" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          centsOf(col("c_acctbal")).as("abal"))
+      val posAvg = cust.filter(col("abal") > 0)
+        .agg(count(lit(1)).as("n_pos"), sum(col("abal")).as("sum_pos"))
+      cust.crossJoin(broadcast(posAvg))
+        .filter(col("abal").cast(dec38) * col("n_pos") > col("sum_pos").cast(dec38))
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select(col("o_custkey")).distinct(),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_cust"), sum(col("abal")).as("total_bal_cents"))
+        .orderBy("segment")
+    }),
+
+    // information value (WoE/IV) of the n_chars feature against the
+    // near-dup label — the credit-scoring-style "how predictive is this
+    // cheap feature" readout that complements q441's threshold pick:
+    // 5 equi-width bins, per-bin weight of evidence as a single
+    // quantized ln, IV contributions as exact cross-multiplied
+    // integers over the bounded bin relation
+    "q446_information_value" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+      val dupIds = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+        .withColumn("dup1", lit(1L))
+      val lab = docs.select(col("doc_id"), col("n_chars"))
+        .join(dupIds, Seq("doc_id"), "left")
+        .withColumn("dup", coalesce(col("dup1"), lit(0L)))
+        .localCheckpoint(false)
+      val mm = lab.agg(min("n_chars").as("gmin"), max("n_chars").as("gmax"))
+      val binned = lab.crossJoin(broadcast(mm))
+        .select(expr("(n_chars - gmin) * 5 div (gmax - gmin + 1)").as("bin"),
+          col("dup"))
+        .groupBy("bin")
+        .agg(sum(col("dup")).as("g"), sum(lit(1L) - col("dup")).as("b"))
+      val tot = binned.agg(sum("g").as("gt"), sum("b").as("bt"))
+      binned.crossJoin(broadcast(tot))
+        .withColumn("woe_micro", expr(
+          "CASE WHEN g > 0 AND b > 0 THEN CAST(round(ln(" +
+            "CAST(g AS DOUBLE) * bt / (CAST(b AS DOUBLE) * gt)) * 1000000)" +
+            " AS BIGINT) ELSE 0 END"))
+        .withColumn("iv_contrib_nano", expr(
+          "CASE WHEN g > 0 AND b > 0 THEN" +
+            " CAST((CAST(g AS DECIMAL(38,0)) * bt - CAST(b AS DECIMAL(38,0)) * gt)" +
+            " * (woe_micro * 1000) div (CAST(gt AS DECIMAL(38,0)) * bt) AS BIGINT)" +
+            " ELSE 0 END"))
+        .select(col("bin"), col("g").as("n_dup"), col("b").as("n_nondup"),
+          col("woe_micro"), col("iv_contrib_nano"))
+        .orderBy("bin")
+    }),
+
+    // normalization gain for dedup: docs that become duplicates only
+    // AFTER q110's normalization (lowercase, strip non-alnum, collapse
+    // spaces) — the "how much does cheap text normalization buy my exact
+    // dedup" per-source delta, from two group-count window passes over
+    // one scan
+    "q447_normalization_gain" -> ((s, dir) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("source"), col("text"), md5(norm).as("nh"))
+        .withColumn("c_raw", count(lit(1)).over(Window.partitionBy("text")))
+        .withColumn("c_norm", count(lit(1)).over(Window.partitionBy("nh")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("c_raw") > 1, 1L).otherwise(0L)).as("dup_raw"),
+          sum(when(col("c_norm") > 1, 1L).otherwise(0L)).as("dup_norm"))
+        .withColumn("gain", expr("dup_norm - dup_raw"))
+        .orderBy("source")
+    }),
+
+    // one-way ANOVA across weekdays (daily revenue in k$): F from
+    // per-group exact sums with the single floor-div U_g = S_g² div n_g
+    // convention applied identically on both engines — the "does
+    // weekday structure exist at all" gate upstream of q223's seasonal
+    // index; everything past the daily aggregation runs on ≤7 rows
+    "q448_anova_weekday" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))" +
+          " div 100000 AS BIGINT)").as("y"))
+        .select(expr("CAST(dayofweek(day) AS BIGINT)").as("wd"), col("y"))
+      val g = daily.groupBy("wd")
+        .agg(count(lit(1)).as("ng"), sum(col("y")).as("sg"),
+          sum(expr("y * y")).as("ssg"))
+        .withColumn("ug", expr("CAST(sg AS DECIMAL(38,0)) * sg div ng"))
+      g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+          sum(col("sg")).as("st"), sum(col("ssg")).as("sst"),
+          sum(col("ug").cast(dec38)).as("su"))
+        .select(col("k"), col("n"),
+          expr("su - CAST(st AS DECIMAL(38,0)) * st div n").as("ssb"),
+          expr("CAST(sst AS DECIMAL(38,0)) - su").as("ssw"))
+        .select(col("k"), col("n"),
+          col("ssb").cast("long").as("ssb"), col("ssw").cast("long").as("ssw"),
+          expr("1000 * (n - k) * ssb div ((k - 1) * ssw)").as("f_milli"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

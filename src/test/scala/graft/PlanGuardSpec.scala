@@ -112,6 +112,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q436_abc_xyz",            // 1-row total-revenue bound over the part dict
     "q438_ar2_yule_walker",    // 1-row (n, Σy) bound over the month dict
     "q441_youden_threshold",   // 1-row min/max bound + 9-row threshold sweep cross
+    "q445_sales_opportunity",  // 1-row positive-balance average bound (TPC-H Q22 shape)
+    "q446_information_value",  // 1-row min/max + (gt, bt) totals bounds
     "q368_lsh_cost_model",     // 1-row distinct-candidate count bound
     "q369_storage_tiering",    // 1-row max-date aggregate bound
     "q373_postings_intersect", // 1-row corpus-doc-count bound
