@@ -8981,7 +8981,154 @@ object OracleSql {
         |       CAST(sst - su AS BIGINT) AS ssw,
         |       CAST(1000 * (n - k) * (su - CAST(st AS HUGEINT) * st // n)
         |            // ((k - 1) * (CAST(sst AS HUGEINT) - su)) AS BIGINT) AS f_milli
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    "q449_shingle_sensitivity" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+        |  FROM documents WHERE text IS NOT NULL
+        |), gr AS (
+        |  SELECT CAST(2 AS BIGINT) AS n, doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(ws) - 0),
+        |           i -> array_to_string(list_slice(ws, i, i + 1), ' ')))) AS gram
+        |  FROM base WHERE len(ws) >= 2
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+        |           i -> array_to_string(list_slice(ws, i, i + 2), ' '))))
+        |  FROM base WHERE len(ws) >= 3
+        |  UNION ALL
+        |  SELECT CAST(5 AS BIGINT), doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+        |           i -> array_to_string(list_slice(ws, i, i + 4), ' '))))
+        |  FROM base WHERE len(ws) >= 5
+        |), shared AS (SELECT n, gram, count(*) AS cd FROM gr GROUP BY 1, 2),
+        |st AS (
+        |  SELECT n, CAST(count(*) AS BIGINT) AS n_grams,
+        |         CAST(sum(CASE WHEN cd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_grams
+        |  FROM shared GROUP BY 1
+        |), tc AS (
+        |  SELECT gr.n, CAST(count(DISTINCT gr.doc_id) AS BIGINT) AS n_docs_touched
+        |  FROM gr JOIN shared ON gr.n = shared.n AND gr.gram = shared.gram
+        |  WHERE shared.cd > 1 GROUP BY 1
+        |)
+        |SELECT st.n, st.n_grams, st.n_shared_grams,
+        |       CAST(coalesce(tc.n_docs_touched, 0) AS BIGINT) AS n_docs_touched
+        |FROM st LEFT JOIN tc ON st.n = tc.n ORDER BY st.n""".stripMargin,
+
+    "q450_user_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |), u AS (
+        |  SELECT user_id, CAST(sum(c) AS BIGINT) AS nu,
+        |         CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))
+        |              AS BIGINT) AS sl
+        |  FROM c GROUP BY 1
+        |), h AS (
+        |  SELECT user_id,
+        |         CAST(round(ln(CAST(nu AS DOUBLE)) * 1000000) AS BIGINT) - sl // nu AS h_micro
+        |  FROM u
+        |)
+        |SELECT h_micro // 100000 AS bucket, CAST(count(*) AS BIGINT) AS n_users
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q451_qte_deciles" ->
+      """WITH base AS (
+        |  SELECT CAST(concat('0x', substr(md5('qte#' || CAST(doc_id AS VARCHAR)), 1, 12))
+        |              AS BIGINT) % 2 AS arm,
+        |         n_chars, doc_id
+        |  FROM documents WHERE text IS NOT NULL
+        |), rk AS (
+        |  SELECT arm, n_chars,
+        |         CAST(row_number() OVER (PARTITION BY arm ORDER BY n_chars, doc_id)
+        |              AS BIGINT) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY arm) AS BIGINT) AS na
+        |  FROM base
+        |), pick AS (
+        |  SELECT d.d, rk.arm, rk.n_chars
+        |  FROM rk JOIN (SELECT unnest(range(1, 10)) AS d) d
+        |    ON rk.rn = greatest(1, d.d * rk.na // 10)
+        |)
+        |SELECT CAST(d AS BIGINT) AS decile,
+        |       CAST(max(CASE WHEN arm = 0 THEN n_chars END) AS BIGINT) AS v_ctrl,
+        |       CAST(max(CASE WHEN arm = 1 THEN n_chars END) AS BIGINT) AS v_treat,
+        |       CAST(max(CASE WHEN arm = 1 THEN n_chars END)
+        |            - max(CASE WHEN arm = 0 THEN n_chars END) AS BIGINT) AS qte
+        |FROM pick GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q452_text_embed_corr" ->
+      """WITH emb AS (
+        |  SELECT vec_id AS doc_id,
+        |         CAST(list_sum(list_transform(embedding,
+        |                v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)
+        |                     * CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)))
+        |              // 1000000 AS BIGINT) AS y
+        |  FROM embeddings
+        |), j AS (
+        |  SELECT d.n_chars AS x, emb.y
+        |  FROM documents d JOIN emb ON d.doc_id = emb.doc_id
+        |  WHERE d.text IS NOT NULL
+        |), a AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        |  FROM j
+        |), d2 AS (
+        |  SELECT n, n * sxy - sx * sy AS num,
+        |         (n * sxx - sx * sx) * (n * syy - sy * sy) AS dd
+        |  FROM a
+        |), s0 AS (SELECT *, CAST(floor(sqrt(CAST(dd AS DOUBLE))) AS HUGEINT) AS t0 FROM d2),
+        |s1 AS (SELECT *, (t0 + dd // t0) // 2 AS t1 FROM s0),
+        |s2 AS (SELECT *, (t1 + dd // t1) // 2 AS t2 FROM s1),
+        |f AS (
+        |  SELECT n, num,
+        |         CASE WHEN (t2 + 1) * (t2 + 1) <= dd THEN t2 + 1
+        |              WHEN t2 * t2 > dd THEN t2 - 1 ELSE t2 END AS rt
+        |  FROM s2
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_docs,
+        |       CAST(CASE WHEN num >= 0 THEN (1000 * num) // rt
+        |                 ELSE -((1000 * (-num)) // rt) END AS BIGINT) AS pearson_milli
+        |FROM f""".stripMargin,
+
+    "q453_block_bootstrap" ->
+      """WITH rev AS (
+        |  SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS mi,
+        |         CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |              // 100000 AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), rr AS (
+        |  SELECT y, CAST(row_number() OVER (ORDER BY mi) AS BIGINT) AS rn FROM rev
+        |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rr),
+        |grid AS (
+        |  SELECT r.r, j.j,
+        |         1 + CAST(concat('0x', substr(md5('bb#' || r.r || '#' || j.j), 1, 12))
+        |                  AS BIGINT) % (n - 3) AS start
+        |  FROM (SELECT unnest(range(0, 50)) AS r) r,
+        |       (SELECT unnest(range(0, 20)) AS j) j, nn
+        |  WHERE j.j < n // 4
+        |), reps AS (
+        |  SELECT g.r, CAST(count(*) AS BIGINT) AS len, CAST(sum(rr.y) AS BIGINT) AS ssum
+        |  FROM grid g CROSS JOIN (SELECT unnest(range(0, 4)) AS o) o
+        |  JOIN rr ON rr.rn = g.start + o.o
+        |  GROUP BY 1
+        |), m AS (SELECT r, ssum // len AS m FROM reps),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS b, CAST(sum(m) AS BIGINT) AS sm,
+        |         CAST(sum(CAST(m AS HUGEINT) * m) AS BIGINT) AS smm
+        |  FROM m
+        |), v AS (SELECT b, sm, (CAST(b AS HUGEINT) * smm - CAST(sm AS HUGEINT) * sm)
+        |                       // (CAST(b AS HUGEINT) * b) AS v2
+        |         FROM a),
+        |s0 AS (SELECT *, CAST(floor(sqrt(CAST(v2 AS DOUBLE))) AS HUGEINT) AS t0 FROM v),
+        |s1 AS (SELECT *, CASE WHEN t0 > 0 THEN (t0 + v2 // t0) // 2 ELSE 0 END AS t1 FROM s0)
+        |SELECT b AS n_replicates, CAST(sm // b AS BIGINT) AS boot_mean_kusd,
+        |       CAST(CASE WHEN (t1 + 1) * (t1 + 1) <= v2 THEN t1 + 1
+        |                 WHEN t1 * t1 > v2 THEN t1 - 1 ELSE t1 END AS BIGINT) AS boot_se_kusd
+        |FROM s1""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

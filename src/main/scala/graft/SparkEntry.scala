@@ -9538,6 +9538,159 @@ object SparkEntry {
           expr("1000 * (n - k) * ssb div ((k - 1) * ssw)").as("f_milli"))
     }),
 
+    // shingle-size sensitivity: how the shared-gram surface shrinks as
+    // word n-grams grow (n ∈ {2,3,5}) — the dedup-tuning sweep that
+    // decides the shingle width before committing a signature store
+    // (wider grams → fewer false candidate pairs, more missed near-dups).
+    // Per-doc distinct grams are built map-side from the word array; the
+    // only shuffles are the per-(n, gram) hash agg and the doc roll-up
+    "q449_shingle_sensitivity" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          filter(split(col("text"), " ", -1), x => length(x) > 0).as("ws"))
+        .localCheckpoint(false)
+      def gramRows(n: Int) = base
+        .filter(size(col("ws")) >= n)
+        .select(lit(n.toLong).as("n"), col("doc_id"),
+          explode(array_distinct(transform(
+            sequence(lit(1), size(col("ws")) - n + 1),
+            i => concat_ws(" ", slice(col("ws"), i, lit(n)))))).as("gram"))
+      val gr = gramRows(2).union(gramRows(3)).union(gramRows(5))
+        .localCheckpoint(false)
+      val shared = gr.groupBy("n", "gram").agg(count(lit(1)).as("cd"))
+      val stats = shared.groupBy("n")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("cd") > 1, 1L).otherwise(0L)).as("n_shared_grams"))
+      val touched = gr.join(shared.filter(col("cd") > 1).select("n", "gram"),
+          Seq("n", "gram"))
+        .groupBy("n").agg(countDistinct(col("doc_id")).as("n_docs_touched"))
+      stats.join(touched, Seq("n"), "left")
+        .na.fill(0L, Seq("n_docs_touched"))
+        .orderBy("n")
+    }),
+
+    // per-user behavioral entropy: event-type distribution entropy per
+    // user (single-ln micro-nats, q429's convention), histogrammed in
+    // 0.1-nat buckets — the "bots repeat one action, humans mix"
+    // segmentation readout; all libm work happens on the per-(user,
+    // type) count relation
+    "q450_user_entropy" -> ((s, dir) => {
+      val lnq: Column => Column = x =>
+        round(log(x.cast("double")) * 1000000, 0).cast("long")
+      Tables.events(s, dir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(sum(col("c")).as("nu"), sum(col("c") * lnq(col("c"))).as("sl"))
+        .select(col("user_id"),
+          (lnq(col("nu")) - expr("sl div nu")).as("h_micro"))
+        .groupBy(expr("h_micro div 100000").as("bucket"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("bucket")
+    }),
+
+    // quantile treatment effect: per-decile order-statistic difference
+    // of n_chars between the md5 experiment arms — where in the
+    // distribution the arms differ, which the mean-based q314/q443
+    // readouts can't localize. Order stats picked exactly at rank
+    // (d·n) div 10 via per-arm rank windows (at 100 TB the same ranks
+    // come from approx-quantile + verify); the decile join is bounded
+    "q451_qte_deciles" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select((Dedup.md5Long(concat(lit("qte#"),
+          col("doc_id").cast("string")), 12) % 2).as("arm"),
+          col("n_chars"), col("doc_id"))
+      val wa = Window.partitionBy("arm").orderBy(col("n_chars"), col("doc_id"))
+      val ranked = base
+        .withColumn("rn", row_number().over(wa).cast("long"))
+        .withColumn("na", count(lit(1)).over(Window.partitionBy("arm")))
+        .localCheckpoint(false)
+      val ds = ranked
+        .join(broadcast((1L to 9L).toDF("d")),
+          col("rn") === expr("greatest(1, d * na div 10)"))
+        .groupBy("d")
+        .agg(max(when(col("arm") === 0, col("n_chars"))).as("v_ctrl"),
+          max(when(col("arm") === 1, col("n_chars"))).as("v_treat"))
+      ds.select(col("d").as("decile"), col("v_ctrl"), col("v_treat"),
+          (col("v_treat") - col("v_ctrl")).as("qte"))
+        .orderBy("decile")
+    }),
+
+    // cross-modal sanity: Pearson correlation (milli, exact integer
+    // sums + isqrt) between a doc's n_chars and its embedding's
+    // quantized squared norm — a cheap "are these embeddings actually
+    // of these documents" alignment check before any retrieval build
+    // trusts the id join
+    "q452_text_embed_corr" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"),
+          expr("aggregate(transform(embedding," +
+            " v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))," +
+            " CAST(0 AS BIGINT), (acc, q) -> acc + q * q) div 1000000").as("y"))
+      val j = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("n_chars").as("x"))
+        .join(emb, Seq("doc_id"))
+      j.agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec38)).as("sx"), sum(col("y").cast(dec38)).as("sy"),
+          sum((col("x") * col("y")).cast(dec38)).as("sxy"),
+          sum((col("x") * col("x")).cast(dec38)).as("sxx"),
+          sum((col("y").cast(dec38) * col("y"))).as("syy"))
+        .withColumn("num", expr("n * sxy - sx * sy"))
+        .withColumn("dd", expr("(n * sxx - sx * sx) * (n * syy - sy * sy)"))
+        .withColumn("t0", floor(sqrt(col("dd").cast("double"))).cast(dec38))
+        .withColumn("t1", expr("(t0 + dd div t0) div 2"))
+        .withColumn("t2", expr("(t1 + dd div t1) div 2"))
+        .withColumn("rt", expr(
+          "CASE WHEN CAST(t2 + 1 AS DECIMAL(38,0)) * (t2 + 1) <= dd THEN t2 + 1" +
+            " WHEN CAST(t2 AS DECIMAL(38,0)) * t2 > dd THEN t2 - 1 ELSE t2 END"))
+        .select(col("n").as("n_docs"),
+          expr("CASE WHEN num >= 0 THEN (1000 * num) div rt" +
+            " ELSE -((1000 * (-num)) div rt) END").as("pearson_milli"))
+    }),
+
+    // moving-block bootstrap SE of mean monthly revenue — the honest
+    // uncertainty for an AUTOCORRELATED series (q121's iid bootstrap
+    // understates it): 50 deterministic md5 replicates × contiguous
+    // 4-month blocks, replicate means in exact k$, SE via the
+    // B·Σm²−(Σm)² identity + isqrt; the block/replicate grid is bounded
+    // and joins the month dictionary by index
+    "q453_block_bootstrap" -> ((s, dir) => {
+      import s.implicits._
+      val rev = Tables.orders(s, dir)
+        .groupBy(expr("(year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1")
+          .as("mi"))
+        // k$ units keep every variance term far inside long range (the
+        // q438 trade): cents-scale v2 would wrap the div's long quotient
+        .agg(expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))" +
+          " div 100000 AS BIGINT)").as("y"))
+        .withColumn("rn", row_number().over(Window.orderBy("mi")).cast("long"))
+        .localCheckpoint(false)
+      val nrow = rev.agg(count(lit(1)).as("n"))
+      val grid = s.range(50).select(col("id").as("r"))
+        .crossJoin(s.range(20).select(col("id").as("j")))
+        .crossJoin(broadcast(nrow))
+        .filter(col("j") < expr("n div 4"))
+        .withColumn("start", expr("1 + CAST(conv(substring(md5(" +
+          "concat('bb#', r, '#', j)), 1, 12), 16, 10) AS BIGINT) % (n - 3)"))
+      val reps = grid
+        .crossJoin(broadcast((0L to 3L).toDF("o")))
+        .withColumn("rn", col("start") + col("o"))
+        .join(rev.select("rn", "y"), Seq("rn"))
+        .groupBy("r")
+        .agg(count(lit(1)).as("len"), sum(col("y")).as("ssum"))
+        .select(col("r"), expr("ssum div len").as("m"))
+      reps.agg(count(lit(1)).as("b"),
+          sum(col("m").cast(dec38)).as("sm"),
+          sum((col("m").cast(dec38) * col("m"))).as("smm"))
+        .withColumn("v2", expr("(b * smm - sm * sm) div (CAST(b AS DECIMAL(38,0)) * b)"))
+        .withColumn("t0", floor(sqrt(col("v2").cast("double"))).cast("long"))
+        .withColumn("t1", expr("CASE WHEN t0 > 0 THEN (t0 + v2 div t0) div 2 ELSE 0 END"))
+        .select(col("b").as("n_replicates"),
+          expr("sm div b").cast("long").as("boot_mean_kusd"),
+          expr("CASE WHEN (t1 + 1) * (t1 + 1) <= v2 THEN t1 + 1" +
+            " WHEN t1 * t1 > v2 THEN t1 - 1 ELSE t1 END").as("boot_se_kusd"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -114,6 +114,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q441_youden_threshold",   // 1-row min/max bound + 9-row threshold sweep cross
     "q445_sales_opportunity",  // 1-row positive-balance average bound (TPC-H Q22 shape)
     "q446_information_value",  // 1-row min/max + (gt, bt) totals bounds
+    "q451_qte_deciles",        // 9-row decile probe × per-arm rank inequality join
+    "q453_block_bootstrap",    // 1-row month-count bound + 50×20 replicate grid
     "q368_lsh_cost_model",     // 1-row distinct-candidate count bound
     "q369_storage_tiering",    // 1-row max-date aggregate bound
     "q373_postings_intersect", // 1-row corpus-doc-count bound
