@@ -9128,7 +9128,126 @@ object OracleSql {
         |SELECT b AS n_replicates, CAST(sm // b AS BIGINT) AS boot_mean_kusd,
         |       CAST(CASE WHEN (t1 + 1) * (t1 + 1) <= v2 THEN t1 + 1
         |                 WHEN t1 * t1 > v2 THEN t1 - 1 ELSE t1 END AS BIGINT) AS boot_se_kusd
-        |FROM s1""".stripMargin
+        |FROM s1""".stripMargin,
+
+    "q454_chunk_stitch" ->
+      """WITH b AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+        |  FROM documents WHERE text IS NOT NULL
+        |), a AS (
+        |  SELECT doc_id,
+        |         array_to_string(list_slice(ws, 1, 3), ' ') AS pre,
+        |         array_to_string(list_slice(ws, len(ws) - 2, len(ws)), ' ') AS suf
+        |  FROM b WHERE len(ws) >= 3
+        |)
+        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.suf AS affix
+        |FROM a x JOIN a y ON x.suf = y.pre AND x.doc_id <> y.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q455_float_drift_audit" ->
+      """SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS revenue_cents,
+        |       abs(sum(o_totalprice) * 100
+        |           - CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE))
+        |         < greatest(CAST(1.0 AS DOUBLE), count(*) * CAST(0.001 AS DOUBLE))
+        |         AS drift_within_bound
+        |FROM orders JOIN customer ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q456_bm25_k1_sweep" ->
+      """WITH words AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(w) > 0
+        |), lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM words GROUP BY 1),
+        |tot AS (SELECT CAST(sum(len) AS HUGEINT) AS big_l, CAST(count(*) AS HUGEINT) AS big_n
+        |        FROM lens),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM words
+        |       WHERE w IN ('vector', 'stream', 'filter') GROUP BY 1, 2),
+        |idf AS (
+        |  SELECT w, CAST(round(ln(1.0 + (CAST(big_n - df AS DOUBLE) + 0.5)
+        |                              / (CAST(df AS DOUBLE) + 0.5)) * 1000000)
+        |                 AS HUGEINT) AS idf_micro
+        |  FROM (SELECT w, CAST(count(*) AS HUGEINT) AS df FROM tf GROUP BY 1), tot
+        |), base AS (
+        |  SELECT tf.doc_id, tf.tf, idf.idf_micro, lens.len, tot.big_l, tot.big_n
+        |  FROM tf JOIN idf USING (w) JOIN lens USING (doc_id), tot
+        |), cfg AS (
+        |  SELECT * FROM (VALUES (CAST(800 AS BIGINT), CAST(36 AS HUGEINT), CAST(20 AS HUGEINT), CAST(4 AS HUGEINT), CAST(12 AS HUGEINT)),
+        |                        (1200, 44, 20, 6, 18),
+        |                        (2000, 12, 4, 2, 6)) v(k1_milli, num, ctf, cl, clen)
+        |), sc AS (
+        |  SELECT cfg.k1_milli, base.doc_id,
+        |         (2 * (base.idf_micro * cfg.num * base.tf * base.big_l)
+        |          + (cfg.ctf * base.tf * base.big_l + cfg.cl * base.big_l
+        |             + cfg.clen * base.len * base.big_n))
+        |         // (2 * (cfg.ctf * base.tf * base.big_l + cfg.cl * base.big_l
+        |                  + cfg.clen * base.len * base.big_n)) AS c
+        |  FROM base CROSS JOIN cfg
+        |), agg AS (
+        |  SELECT k1_milli, doc_id, CAST(sum(c) AS BIGINT) AS bm25_micro
+        |  FROM sc GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT k1_milli, doc_id, bm25_micro,
+        |         CAST(row_number() OVER (PARTITION BY k1_milli
+        |           ORDER BY bm25_micro DESC, doc_id) AS BIGINT) AS rk
+        |  FROM agg
+        |)
+        |SELECT k1_milli, rk, doc_id, bm25_micro
+        |FROM rk WHERE rk <= 5 ORDER BY k1_milli, rk""".stripMargin,
+
+    "q457_entropy_coding_bound" ->
+      """WITH ch AS (
+        |  SELECT source, text[i] AS ch
+        |  FROM (SELECT source, text, unnest(range(1, len(text) + 1)) AS i
+        |        FROM documents WHERE text IS NOT NULL)
+        |), c AS (SELECT source, ch, CAST(count(*) AS BIGINT) AS c FROM ch GROUP BY 1, 2),
+        |a AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_chars_total,
+        |         CAST(count(*) AS BIGINT) AS n_distinct_chars,
+        |         CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))
+        |              AS HUGEINT) AS sl
+        |  FROM c GROUP BY 1
+        |), h AS (
+        |  SELECT source, n_chars_total, n_distinct_chars,
+        |         CAST(CAST(round(ln(CAST(n_chars_total AS DOUBLE)) * 1000000) AS BIGINT)
+        |              - sl // n_chars_total AS BIGINT) AS h_char_micro
+        |  FROM a
+        |)
+        |SELECT source, n_chars_total, n_distinct_chars, h_char_micro,
+        |       CAST(h_char_micro * 1000000000 // 693147181 AS BIGINT) AS bits_per_char_micro,
+        |       CAST(CAST(n_chars_total AS HUGEINT)
+        |            * (h_char_micro * 1000000000 // 693147181) // 8000000 AS BIGINT) AS est_bytes
+        |FROM h ORDER BY source""".stripMargin,
+
+    "q458_icc_design_effect" ->
+      """WITH per AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS ng,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) // 1000) AS BIGINT) AS sg,
+        |         CAST(sum((CAST(round(o_totalprice * 100) AS BIGINT) // 1000)
+        |                  * (CAST(round(o_totalprice * 100) AS BIGINT) // 1000)) AS BIGINT) AS ssg
+        |  FROM orders GROUP BY 1
+        |), u AS (
+        |  SELECT o_custkey, ng, sg, ssg,
+        |         CAST(CAST(sg AS HUGEINT) * sg // ng AS BIGINT) AS ug
+        |  FROM per
+        |), a AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS k, CAST(sum(ng) AS HUGEINT) AS n,
+        |         CAST(sum(sg) AS HUGEINT) AS st, CAST(sum(ssg) AS HUGEINT) AS sst,
+        |         CAST(sum(ug) AS HUGEINT) AS su, CAST(sum(ng * ng) AS HUGEINT) AS sn2
+        |  FROM u
+        |), d AS (
+        |  SELECT k, n, su - st * st // n AS ssb, sst - su AS ssw, sn2 FROM a
+        |)
+        |SELECT CAST(k AS BIGINT) AS k_clusters, CAST(n AS BIGINT) AS n_obs,
+        |       CAST(1000 * ((n - k) * ssb - (k - 1) * ssw)
+        |            // ((n - k) * ssb + (n - sn2 // n - k + 1) * ssw) AS BIGINT) AS icc_milli,
+        |       CAST(1000 + (n // k - 1)
+        |            * (1000 * ((n - k) * ssb - (k - 1) * ssw)
+        |               // ((n - k) * ssb + (n - sn2 // n - k + 1) * ssw)) AS BIGINT) AS deff_milli
+        |FROM d""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

@@ -9691,6 +9691,149 @@ object SparkEntry {
             " WHEN t1 * t1 > v2 THEN t1 - 1 ELSE t1 END").as("boot_se_kusd"))
     }),
 
+    // chunk-stitch detection: doc A's trailing 3 words == doc B's
+    // leading 3 words — the boundary-overlap artifact a fixed-width
+    // chunker (q97) leaves behind, invisible to whole-doc dedup. Affixes
+    // are map-side per-row slices; the only shuffle is the
+    // suffix = prefix equi-join
+    "q454_chunk_stitch" -> ((s, dir) => {
+      val affix = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          filter(split(col("text"), " ", -1), x => length(x) > 0).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("ws"), 1, 3)).as("pre"),
+          concat_ws(" ", expr("slice(ws, size(ws) - 2, 3)")).as("suf"))
+        .localCheckpoint(false)
+      affix.as("a").join(affix.as("b"),
+          col("a.suf") === col("b.pre") && col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.suf").as("affix"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // float-drift audit: the numerics-honesty check behind the
+    // everything-in-integer-cents discipline — each engine sums the raw
+    // doubles ITS OWN way (order-dependent, not comparable) and asserts
+    // the drift against the exact cents sum stays under a cent per
+    // thousand rows; only the exact sum and the bound verdict cross
+    // engines (q38's bound-check pattern)
+    "q455_float_drift_audit" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(centsOf(col("o_totalprice"))).as("revenue_cents"),
+          sum(col("o_totalprice")).as("_dsum"))
+        .select(col("segment"), col("n_orders"), col("revenue_cents"),
+          (abs(col("_dsum") * 100 - col("revenue_cents")) <
+            greatest(lit(1.0), col("n_orders") * lit(0.001))).as("drift_within_bound"))
+        .orderBy("segment")),
+
+    // BM25 k1 sensitivity sweep: the q209 scorer at k1 ∈ {0.8, 1.2, 2.0}
+    // (b = 3/4), each as exact integer rationals with per-config
+    // coefficients (num, tf·L, L, len·N) derived from k1 = p/q — the
+    // term-saturation tuning readout: does the ranking CARE about k1 on
+    // this corpus? Shared tf/idf/lens relations computed once
+    "q456_bm25_k1_sweep" -> ((s, dir) => {
+      val words = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
+        .filter(length(col("w")) > 0)
+        .localCheckpoint(false)
+      val lens = words.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val totals = lens.agg(sum(col("len")).as("big_l"), count(lit(1)).as("big_n"))
+      val tf = words.filter(col("w").isin("vector", "stream", "filter"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val idf = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(totals))
+        .select(col("w"), round(log(lit(1.0) +
+          ((col("big_n") - col("df")).cast("double") + 0.5) /
+            (col("df").cast("double") + 0.5)) * 1000000, 0).cast("long")
+          .as("idf_micro"))
+      val base = tf.join(broadcast(idf), "w").join(lens, "doc_id")
+        .crossJoin(broadcast(totals))
+        .localCheckpoint(false)
+      // k1 = p/q, b = 3/4 ⇒ score term = idf·4(p+q)·tf·L over
+      // 4qL·tf + pL + 3p·len·N (q209's 44/20/6/18 is the (6,5) row)
+      def config(k1Milli: Long, num: Long, ctf: Long, cl: Long, clen: Long) = base
+        .withColumn("_num", col("idf_micro").cast(dec38) * num * col("tf")
+          * col("big_l"))
+        .withColumn("_den", lit(ctf).cast(dec38) * col("tf") * col("big_l")
+          + lit(cl).cast(dec38) * col("big_l")
+          + lit(clen).cast(dec38) * col("len") * col("big_n"))
+        .withColumn("_c", expr("(2 * _num + _den) div (2 * _den)"))
+        .groupBy("doc_id").agg(sum(col("_c")).as("bm25_micro"))
+        .withColumn("k1_milli", lit(k1Milli))
+      val all = config(800L, 36, 20, 4, 12)
+        .union(config(1200L, 44, 20, 6, 18))
+        .union(config(2000L, 12, 4, 2, 6))
+      all.withColumn("rk", row_number().over(Window.partitionBy("k1_milli")
+          .orderBy(col("bm25_micro").desc, col("doc_id"))).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("k1_milli"), col("rk"), col("doc_id"), col("bm25_micro"))
+        .orderBy("k1_milli", "rk")
+    }),
+
+    // zero-order entropy coding bound per source: char-frequency entropy
+    // → bits/char → the best any dictionary-free entropy coder could do
+    // on this source (the storage-planning twin of q326's encoding
+    // planner, from first principles); one char explosion, single-ln
+    // micro-nat terms on the bounded (source, char) relation
+    "q457_entropy_coding_bound" -> ((s, dir) => {
+      val lnq: Column => Column = x =>
+        round(log(x.cast("double")) * 1000000, 0).cast("long")
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("source"), explode(sequence(lit(1), length(col("text")))).as("i"),
+          col("text"))
+        .select(col("source"), expr("substring(text, i, 1)").as("ch"))
+        .groupBy("source", "ch").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(col("c")).as("n_chars_total"),
+          count(lit(1)).as("n_distinct_chars"),
+          sum((col("c") * lnq(col("c"))).cast(dec38)).as("sl"))
+        .withColumn("h_char_micro", expr(
+          "CAST(CAST(round(ln(CAST(n_chars_total AS DOUBLE)) * 1000000) AS BIGINT)" +
+            " - sl div n_chars_total AS BIGINT)"))
+        .select(col("source"), col("n_chars_total"), col("n_distinct_chars"),
+          col("h_char_micro"),
+          expr("h_char_micro * 1000000000 div 693147181").as("bits_per_char_micro"),
+          expr("CAST(n_chars_total AS DECIMAL(38,0))" +
+            " * (h_char_micro * 1000000000 div 693147181) div 8000000")
+            .as("est_bytes"))
+        .orderBy("source")
+    }),
+
+    // intraclass correlation + design effect: how much do orders within
+    // a customer resemble each other, and how much does that inflate the
+    // variance of cluster sampling — DEFF = 1 + (m̄−1)·ICC, the survey
+    // statistic that justifies q419's cluster jackknife. One-way ANOVA
+    // components as exact integers with the q448 floor-div convention;
+    // the (k−1)(m₀−1) term collapses to N − Σn² div N − k + 1 exactly
+    "q458_icc_design_effect" -> ((s, dir) => {
+      val per = Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT) div 1000").as("y"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("ng"), sum(col("y")).as("sg"),
+          sum(expr("y * y")).as("ssg"))
+        .withColumn("ug", expr("CAST(sg AS DECIMAL(38,0)) * sg div ng"))
+      per.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+          sum(col("sg").cast(dec38)).as("st"), sum(col("ssg").cast(dec38)).as("sst"),
+          sum(col("ug").cast(dec38)).as("su"),
+          sum((col("ng") * col("ng")).cast(dec38)).as("sn2"))
+        .withColumn("ssb", expr("su - st * st div n"))
+        .withColumn("ssw", expr("sst - su"))
+        .withColumn("icc_milli", expr(
+          "1000 * ((n - k) * CAST(ssb AS DECIMAL(38,0)) - (k - 1) * ssw)" +
+            " div ((n - k) * CAST(ssb AS DECIMAL(38,0))" +
+            " + (n - sn2 div n - k + 1) * ssw)"))
+        .select(col("k").as("k_clusters"), col("n").as("n_obs"),
+          col("icc_milli"),
+          expr("1000 + (n div k - 1) * icc_milli").as("deff_milli"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
