@@ -9247,7 +9247,137 @@ object OracleSql {
         |       CAST(1000 + (n // k - 1)
         |            * (1000 * ((n - k) * ssb - (k - 1) * ssw)
         |               // ((n - k) * ssb + (n - sn2 // n - k + 1) * ssw)) AS BIGINT) AS deff_milli
-        |FROM d""".stripMargin
+        |FROM d""".stripMargin,
+
+    "q459_median_ci" ->
+      """WITH v AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, o_orderkey,
+        |         CAST(row_number() OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+        |                                 o_orderkey) AS BIGINT) AS rn
+        |  FROM orders
+        |), st0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |st1 AS (SELECT n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS t0 FROM st0),
+        |st2 AS (SELECT n, CASE WHEN (t0 + 1) * (t0 + 1) <= n THEN t0 + 1
+        |                       WHEN t0 * t0 > n THEN t0 - 1 ELSE t0 END AS s FROM st1),
+        |st AS (SELECT n, greatest(1, (n - 196 * s // 100) // 2) AS lo_rank,
+        |              least(n, (n + 196 * s // 100) // 2 + 1) AS hi_rank,
+        |              (n + 1) // 2 AS med_rank
+        |       FROM st2)
+        |SELECT n AS n_orders,
+        |       CAST(max(CASE WHEN rn = med_rank THEN v END) AS BIGINT) AS median_cents,
+        |       CAST(max(CASE WHEN rn = lo_rank THEN v END) AS BIGINT) AS lo_cents,
+        |       CAST(max(CASE WHEN rn = hi_rank THEN v END) AS BIGINT) AS hi_cents
+        |FROM v, st
+        |WHERE rn = lo_rank OR rn = hi_rank OR rn = med_rank
+        |GROUP BY n""".stripMargin,
+
+    "q460_ljung_box" ->
+      """WITH rev AS (
+        |  SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS mi,
+        |         CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |              // 100000 AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), st AS (SELECT CAST(count(*) AS BIGINT) AS nm, CAST(sum(y) AS BIGINT) AS sy2 FROM rev),
+        |z AS (
+        |  SELECT nm, nm * y - sy2 AS z,
+        |         lag(nm * y - sy2, 1) OVER (ORDER BY mi) AS z1,
+        |         lag(nm * y - sy2, 2) OVER (ORDER BY mi) AS z2,
+        |         lag(nm * y - sy2, 3) OVER (ORDER BY mi) AS z3,
+        |         lag(nm * y - sy2, 4) OVER (ORDER BY mi) AS z4,
+        |         lag(nm * y - sy2, 5) OVER (ORDER BY mi) AS z5,
+        |         lag(nm * y - sy2, 6) OVER (ORDER BY mi) AS z6
+        |  FROM rev, st
+        |), c AS (
+        |  SELECT max(nm) AS n,
+        |         sum(CAST(z AS HUGEINT) * z) AS c0,
+        |         sum(CAST(z AS HUGEINT) * z1) AS c1, sum(CAST(z AS HUGEINT) * z2) AS c2,
+        |         sum(CAST(z AS HUGEINT) * z3) AS c3, sum(CAST(z AS HUGEINT) * z4) AS c4,
+        |         sum(CAST(z AS HUGEINT) * z5) AS c5, sum(CAST(z AS HUGEINT) * z6) AS c6
+        |  FROM z
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_months,
+        |       CAST(n * (n + 2) * ((c1 * c1 * 1000000) // (c0 * c0 * (n - 1))
+        |         + (c2 * c2 * 1000000) // (c0 * c0 * (n - 2))
+        |         + (c3 * c3 * 1000000) // (c0 * c0 * (n - 3))
+        |         + (c4 * c4 * 1000000) // (c0 * c0 * (n - 4))
+        |         + (c5 * c5 * 1000000) // (c0 * c0 * (n - 5))
+        |         + (c6 * c6 * 1000000) // (c0 * c0 * (n - 6))) AS BIGINT) AS q_micro,
+        |       n * (n + 2) * ((c1 * c1 * 1000000) // (c0 * c0 * (n - 1))
+        |         + (c2 * c2 * 1000000) // (c0 * c0 * (n - 2))
+        |         + (c3 * c3 * 1000000) // (c0 * c0 * (n - 3))
+        |         + (c4 * c4 * 1000000) // (c0 * c0 * (n - 4))
+        |         + (c5 * c5 * 1000000) // (c0 * c0 * (n - 5))
+        |         + (c6 * c6 * 1000000) // (c0 * c0 * (n - 6))) > 12591587 AS reject_white_noise
+        |FROM c""".stripMargin,
+
+    "q461_hash_ring" ->
+      """WITH vn AS (
+        |  SELECT nd.node, v.vn,
+        |         CAST(concat('0x', substr(md5('ring#' || nd.node || '#' || v.vn), 1, 12))
+        |              AS BIGINT) AS vpos
+        |  FROM (SELECT unnest(range(0, 4)) AS node) nd,
+        |       (SELECT unnest(range(0, 8)) AS vn) v
+        |), keys AS (
+        |  SELECT p_partkey,
+        |         CAST(concat('0x', substr(md5('key#' || CAST(p_partkey AS VARCHAR)), 1, 12))
+        |              AS BIGINT) AS kpos
+        |  FROM part
+        |), asg AS (
+        |  SELECT k.p_partkey,
+        |         coalesce(
+        |           min(CASE WHEN vn.vpos >= k.kpos THEN struct_pack(vpos := vn.vpos, node := vn.node) END),
+        |           min(struct_pack(vpos := vn.vpos, node := vn.node))).node AS node
+        |  FROM keys k CROSS JOIN vn GROUP BY 1, k.kpos
+        |), cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_keys FROM asg GROUP BY 1)
+        |SELECT CAST(node AS BIGINT) AS node, n_keys,
+        |       CAST(n_keys * 1000000 // sum(n_keys) OVER () AS BIGINT) AS share_ppm
+        |FROM cnt ORDER BY node""".stripMargin,
+
+    "q462_error_budget" ->
+      """WITH ev AS (
+        |  SELECT (epoch_us(date_trunc('microseconds', ts))
+        |          - (SELECT min(epoch_us(date_trunc('microseconds', ts))) FROM events))
+        |         // 3600000000 AS hi, event_type
+        |  FROM events
+        |), h AS (
+        |  SELECT hi, CAST(count(*) AS BIGINT) AS tot,
+        |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS err
+        |  FROM ev WHERE hi < 48 GROUP BY 1
+        |), grid AS (
+        |  SELECT g.hi, CAST(coalesce(h.tot, 0) AS BIGINT) AS tot,
+        |         CAST(coalesce(h.err, 0) AS BIGINT) AS err
+        |  FROM (SELECT unnest(range(0, 48)) AS hi) g LEFT JOIN h USING (hi)
+        |), r AS (
+        |  SELECT hi, tot, err,
+        |         CAST(sum(tot) OVER w6 AS BIGINT) AS tot6,
+        |         CAST(sum(err) OVER w6 AS BIGINT) AS err6
+        |  FROM grid
+        |  WINDOW w6 AS (ORDER BY hi ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT CAST(hi AS BIGINT) AS hour_index, tot, err,
+        |       CAST(CASE WHEN tot6 > 0 THEN err6 * 100000 // tot6 ELSE 0 END AS BIGINT)
+        |         AS burn_milli_6h,
+        |       CASE WHEN tot6 > 0 THEN err6 * 100000 // tot6 ELSE 0 END > 10000 AS page
+        |FROM r ORDER BY hour_index""".stripMargin,
+
+    "q463_range_vs_rows" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders WHERE year(o_orderdate) = 1995
+        |), w AS (
+        |  SELECT d, o_orderkey, v,
+        |         CAST(sum(v) OVER (ORDER BY d, o_orderkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rows,
+        |         CAST(sum(v) OVER (ORDER BY d
+        |           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_range
+        |  FROM o
+        |)
+        |SELECT CAST(month(d) AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN cum_rows <> cum_range THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_diverging,
+        |       CAST(max(abs(cum_rows - cum_range)) AS BIGINT) AS max_gap_cents
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

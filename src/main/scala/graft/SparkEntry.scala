@@ -9834,6 +9834,151 @@ object SparkEntry {
           expr("1000 + (n div k - 1) * icc_milli").as("deff_milli"))
     }),
 
+    // nonparametric median CI: the order-statistic interval at ranks
+    // (n ± 1.96√n)/2 — distribution-free, exact integer ranks with the
+    // isqrt(n) radical (seed + fix-ups; n < 2⁵² so the double seed is
+    // already exact), order stats picked by one rank window. The
+    // "how sure is my median" readout q33/q58's point estimates lack
+    "q459_median_ci" -> ((s, dir) => {
+      val v = Tables.orders(s, dir)
+        .select(centsOf(col("o_totalprice")).as("v"), col("o_orderkey"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("v"), col("o_orderkey"))).cast("long"))
+        .localCheckpoint(false)
+      val st = v.agg(count(lit(1)).as("n"))
+        .withColumn("t0", floor(sqrt(col("n").cast("double"))).cast("long"))
+        .withColumn("s", expr(
+          "CASE WHEN (t0 + 1) * (t0 + 1) <= n THEN t0 + 1" +
+            " WHEN t0 * t0 > n THEN t0 - 1 ELSE t0 END"))
+        .withColumn("rad", expr("196 * s div 100"))
+        .select(col("n"),
+          expr("greatest(1, (n - rad) div 2)").as("lo_rank"),
+          expr("least(n, (n + rad) div 2 + 1)").as("hi_rank"),
+          expr("(n + 1) div 2").as("med_rank"))
+      v.crossJoin(broadcast(st))
+        .filter(col("rn") === col("lo_rank") || col("rn") === col("hi_rank") ||
+          col("rn") === col("med_rank"))
+        .groupBy("n")
+        .agg(max(when(col("rn") === col("med_rank"), col("v"))).as("median_cents"),
+          max(when(col("rn") === col("lo_rank"), col("v"))).as("lo_cents"),
+          max(when(col("rn") === col("hi_rank"), col("v"))).as("hi_cents"))
+        .select(col("n").as("n_orders"), col("median_cents"),
+          col("lo_cents"), col("hi_cents"))
+    }),
+
+    // Ljung–Box portmanteau test on monthly revenue (lags 1..6): is the
+    // series white noise at all, the gate before q438 fits an AR(2) —
+    // Q = n(n+2)·Σ r_k²/(n−k) from the same exact N·y−S autocovariances,
+    // each term one floor-div (C_k²·1e6 div (C_0²·(n−k))), identical on
+    // both engines; the verdict compares against χ²₆ at 95%
+    "q460_ljung_box" -> ((s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .groupBy(expr("(year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1")
+          .as("mi"))
+        .agg(expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) div 100000" +
+          " AS BIGINT)").as("y"))
+        .localCheckpoint(false)
+      val st = rev.agg(count(lit(1)).as("nm"), sum("y").as("sy2"))
+      val w = Window.orderBy("mi")
+      val z = rev.crossJoin(broadcast(st))
+        .withColumn("z", expr("nm * y - sy2"))
+      val withLags = (1 to 6).foldLeft(z) { (df, k) =>
+        df.withColumn(s"z$k", lag(col("z"), k).over(w))
+      }
+      val agg = withLags.agg(
+        max(col("nm")).as("n"),
+        sum((col("z") * col("z")).cast(dec38)).as("c0") +:
+          (1 to 6).map(k =>
+            sum((col("z") * col(s"z$k")).cast(dec38)).as(s"c$k")): _*)
+      val terms = (1 to 6).map(k =>
+        s"(c$k * c$k * 1000000) div (c0 * c0 * (n - $k))").mkString(" + ")
+      agg.select(col("n").as("n_months"),
+          expr(s"n * (n + 2) * ($terms)").as("q_micro"))
+        .withColumn("reject_white_noise", col("q_micro") > 12591587L)
+    }),
+
+    // consistent-hashing ring placement: 4 nodes × 8 md5 vnodes, every
+    // part key assigned to the first vnode clockwise (wraparound = the
+    // global min) — the alternative to q276's rendezvous hashing, with
+    // the balance readout that shows WHY vnodes exist (raw ring arcs are
+    // uneven; 8 vnodes/node tighten the spread). The 32-row vnode table
+    // broadcasts; assignment is a bounded min-struct aggregation per key
+    "q461_hash_ring" -> ((s, dir) => {
+      import s.implicits._
+      val vnodes = (for (nd <- 0 to 3; vn <- 0 to 7) yield (nd.toLong, vn.toLong))
+        .toDF("node", "vn")
+        .withColumn("vpos", Dedup.md5Long(concat(lit("ring#"), col("node"),
+          lit("#"), col("vn")), 12))
+      val keys = Tables.part(s, dir)
+        .select(col("p_partkey"),
+          Dedup.md5Long(concat(lit("key#"), col("p_partkey").cast("string")), 12)
+            .as("kpos"))
+      keys.crossJoin(broadcast(vnodes))
+        .groupBy("p_partkey")
+        .agg(
+          min(when(col("vpos") >= col("kpos"),
+            struct(col("vpos"), col("node")))).as("nxt"),
+          min(struct(col("vpos"), col("node"))).as("wrap"))
+        .select(col("p_partkey"),
+          coalesce(col("nxt.node"), col("wrap.node")).as("node"))
+        .groupBy("node")
+        .agg(count(lit(1)).as("n_keys"))
+        .withColumn("share_ppm", expr(
+          "n_keys * 1000000 div sum(n_keys) OVER ()"))
+        .orderBy("node")
+    }),
+
+    // SRE error budget / burn rate: rolling 6-hour error share against a
+    // 1% SLO over the 48-hour zero-filled grid — burn 1000 milli = the
+    // budget burning exactly at allowance, the multi-window paging rule
+    // (the q431 limiter's observability twin); windows on the bounded
+    // hour dictionary only
+    "q462_error_budget" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val mn = ev.agg(min(unix_micros(col("ts"))).as("t0"))
+      val hours = ev.crossJoin(broadcast(mn))
+        .select(expr("(unix_micros(ts) - t0) div 3600000000").as("hi"),
+          col("event_type"))
+        .filter(col("hi") < 48)
+        .groupBy("hi")
+        .agg(count(lit(1)).as("tot"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("err"))
+      val grid = s.range(48).select(col("id").as("hi"))
+        .join(hours, Seq("hi"), "left").na.fill(0L, Seq("tot", "err"))
+      val w6 = Window.orderBy("hi").rowsBetween(-5, 0)
+      grid
+        .withColumn("tot6", sum(col("tot")).over(w6))
+        .withColumn("err6", sum(col("err")).over(w6))
+        .select(col("hi").as("hour_index"), col("tot"), col("err"),
+          expr("CASE WHEN tot6 > 0 THEN err6 * 100000 div tot6 ELSE 0 END")
+            .as("burn_milli_6h"))
+        .withColumn("page", col("burn_milli_6h") > 10000L)
+        .orderBy("hour_index")
+    }),
+
+    // RANGE vs ROWS running frames, made visible: the cumulative revenue
+    // of 1995's orders under the default RANGE frame (date peers share
+    // the cum value) vs a ROWS frame with a key tiebreak — per month, how
+    // many rows diverge and by how much. The frame-semantics pitfall
+    // every windowed metric silently steps on with tied order keys
+    "q463_range_vs_rows" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(expr("year(o_orderdate) = 1995"))
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d"),
+          centsOf(col("o_totalprice")).as("v"))
+      val rowsW = Window.orderBy(col("d"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rangeW = Window.orderBy(col("d"))
+      o.withColumn("cum_rows", sum(col("v")).over(rowsW))
+        .withColumn("cum_range", sum(col("v")).over(rangeW))
+        .groupBy(expr("CAST(month(d) AS BIGINT)").as("m"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("cum_rows") =!= col("cum_range"), 1L).otherwise(0L))
+            .as("n_diverging"),
+          max(abs(col("cum_rows") - col("cum_range"))).as("max_gap_cents"))
+        .orderBy("m")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

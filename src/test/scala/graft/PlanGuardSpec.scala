@@ -116,6 +116,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q446_information_value",  // 1-row min/max + (gt, bt) totals bounds
     "q451_qte_deciles",        // 9-row decile probe × per-arm rank inequality join
     "q453_block_bootstrap",    // 1-row month-count bound + 50×20 replicate grid
+    "q459_median_ci",          // 1-row (n, ranks) bound crossed into the rank filter
+    "q460_ljung_box",          // 1-row (n, Σy) bound over the month dict
+    "q461_hash_ring",          // 32-row vnode ring crossed into the key relation
+    "q462_error_budget",       // 1-row min-ts bound over events
     "q368_lsh_cost_model",     // 1-row distinct-candidate count bound
     "q369_storage_tiering",    // 1-row max-date aggregate bound
     "q373_postings_intersect", // 1-row corpus-doc-count bound
