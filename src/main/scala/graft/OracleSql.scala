@@ -9377,7 +9377,133 @@ object OracleSql {
         |       CAST(sum(CASE WHEN cum_rows <> cum_range THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_diverging,
         |       CAST(max(abs(cum_rows - cum_range)) AS BIGINT) AS max_gap_cents
-        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q464_anova_interaction" ->
+      """WITH cells AS (
+        |  SELECT dayofweek(o_orderdate) AS wd, o_orderpriority AS pr,
+        |         CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2, 3
+        |), cc AS (
+        |  SELECT wd, pr, CAST(count(*) AS BIGINT) AS nc, CAST(sum(y) AS BIGINT) AS sc,
+        |         CAST(sum(y * y) AS BIGINT) AS ssc
+        |  FROM cells GROUP BY 1, 2
+        |), ba AS (
+        |  SELECT CAST(sum(CAST(sa AS HUGEINT) * sa // na) AS HUGEINT) AS ua,
+        |         CAST(count(*) AS HUGEINT) AS a
+        |  FROM (SELECT wd, CAST(sum(nc) AS BIGINT) AS na, CAST(sum(sc) AS BIGINT) AS sa
+        |        FROM cc GROUP BY 1)
+        |), bb AS (
+        |  SELECT CAST(sum(CAST(sb AS HUGEINT) * sb // nb) AS HUGEINT) AS ub,
+        |         CAST(count(*) AS HUGEINT) AS b
+        |  FROM (SELECT pr, CAST(sum(nc) AS BIGINT) AS nb, CAST(sum(sc) AS BIGINT) AS sb
+        |        FROM cc GROUP BY 1)
+        |), tt AS (
+        |  SELECT CAST(sum(nc) AS HUGEINT) AS n, CAST(sum(sc) AS HUGEINT) AS st,
+        |         CAST(sum(ssc) AS HUGEINT) AS sst,
+        |         CAST(sum(CAST(sc AS HUGEINT) * sc // nc) AS HUGEINT) AS uc
+        |  FROM cc
+        |)
+        |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        |       CAST(n AS BIGINT) AS n_days_cells,
+        |       CAST(uc - ua - ub + st * st // n AS BIGINT) AS ss_interaction,
+        |       CAST(sst - uc AS BIGINT) AS ss_within,
+        |       CAST(1000 * (n - a * b) * (uc - ua - ub + st * st // n)
+        |            // ((a - 1) * (b - 1) * (sst - uc)) AS BIGINT) AS f_int_milli
+        |FROM tt, ba, bb""".stripMargin,
+
+    "q465_stratified_ate" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |         CAST(concat('0x', substr(md5('qte#' || CAST(doc_id AS VARCHAR)), 1, 12))
+        |              AS BIGINT) % 2 AS arm,
+        |         n_chars
+        |  FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT lang,
+        |       CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |       CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |       CAST(1000 * (CAST(sum(CASE WHEN arm = 1 THEN n_chars ELSE 0 END) AS HUGEINT)
+        |                      * sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+        |                    - CAST(sum(CASE WHEN arm = 0 THEN n_chars ELSE 0 END) AS HUGEINT)
+        |                      * sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END))
+        |            // (CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |                * sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)) AS BIGINT) AS ate_milli
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q466_l_moments" ->
+      """WITH v AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+        |         CAST(row_number() OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+        |                                 o_orderkey) AS BIGINT) AS i
+        |  FROM orders
+        |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |a AS (
+        |  SELECT max(n) AS n, CAST(sum(x) AS HUGEINT) AS sx,
+        |         sum(CAST(i * 2 - n - 1 AS HUGEINT) * x) AS l2n,
+        |         sum(CAST(((i - 1) * (i - 2)) // 2 - 2 * (i - 1) * (n - i)
+        |                  + ((n - i) * (n - i - 1)) // 2 AS HUGEINT) * x) AS l3n
+        |  FROM v, nn
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_orders,
+        |       CAST(sx // n AS BIGINT) AS l1_mean_cents,
+        |       CAST(l2n // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) AS l2_cents,
+        |       CAST(1000 * l3n * n * (n - 1)
+        |            // (CAST(n AS HUGEINT) * (n - 1) * (n - 2) // 2 * l2n) AS BIGINT)
+        |         AS t3_milli
+        |FROM a""".stripMargin,
+
+    "q467_twap" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(date_trunc('microseconds', ts)) AS us,
+        |         CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events
+        |), d AS (
+        |  SELECT event_type, v,
+        |         lead(us) OVER (PARTITION BY event_type ORDER BY us, event_id) - us AS dt
+        |  FROM e
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
+        |       CAST(sum(dt) AS BIGINT) AS span_us,
+        |       CAST(sum(CAST(v AS HUGEINT) * dt) // CAST(sum(dt) AS HUGEINT) AS BIGINT)
+        |         AS twap_cents
+        |FROM d WHERE dt IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q468_lsh_overlap" ->
+      s"""$minhashCte,
+        |words2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |wh AS (SELECT doc_id, CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) AS hh
+        |       FROM words2),
+        |bits AS (SELECT doc_id, hh, unnest(range(0, 32)) AS j FROM wh),
+        |sb AS (
+        |  SELECT doc_id, j,
+        |         sum(CASE WHEN CAST(floor(hh / power(2, j)) AS BIGINT) % 2 = 1
+        |                  THEN 1 ELSE -1 END) AS s
+        |  FROM bits GROUP BY doc_id, j
+        |), ssh AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN s > 0 THEN CAST(floor(power(2, j)) AS BIGINT) ELSE 0 END)
+        |              AS BIGINT) AS simhash
+        |  FROM sb GROUP BY doc_id
+        |), bv AS (
+        |  SELECT doc_id, simhash, b,
+        |         CAST(floor(simhash / power(2, 8 * b)) AS BIGINT) % 256 AS band_val
+        |  FROM (SELECT doc_id, simhash, unnest(range(0, 4)) AS b FROM ssh)
+        |), sp AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bv x JOIN bv y ON x.b = y.b AND x.band_val = y.band_val
+        |    AND x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+        |), mp AS (SELECT doc_a, doc_b FROM cand)
+        |SELECT CAST((SELECT count(*) FROM mp) AS BIGINT) AS n_minhash,
+        |       CAST((SELECT count(*) FROM sp) AS BIGINT) AS n_simhash,
+        |       CAST((SELECT count(*) FROM mp JOIN sp USING (doc_a, doc_b)) AS BIGINT) AS n_both,
+        |       CAST((SELECT count(*) FROM mp) AS BIGINT)
+        |         - CAST((SELECT count(*) FROM mp JOIN sp USING (doc_a, doc_b)) AS BIGINT)
+        |         AS n_only_minhash,
+        |       CAST((SELECT count(*) FROM sp) AS BIGINT)
+        |         - CAST((SELECT count(*) FROM mp JOIN sp USING (doc_a, doc_b)) AS BIGINT)
+        |         AS n_only_simhash""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

@@ -9979,6 +9979,131 @@ object SparkEntry {
         .orderBy("m")
     }),
 
+    // two-factor ANOVA with interaction (weekday × order priority, daily
+    // order counts as the response): does the weekday effect DEPEND on
+    // priority — the q448 one-way test can't ask that. All four sums of
+    // squares from the shared U = S² div n floor convention
+    // (cells/rows/cols/total), interaction by inclusion–exclusion; the
+    // cell grid is 7×5 — everything past the first agg is bounded
+    "q464_anova_interaction" -> ((s, dir) => {
+      val cells = Tables.orders(s, dir)
+        .groupBy(expr("CAST(dayofweek(o_orderdate) AS BIGINT)").as("wd"),
+          col("o_orderpriority").as("pr"),
+          col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("y"))
+        .groupBy("wd", "pr")
+        .agg(count(lit(1)).as("nc"), sum(col("y")).as("sc"),
+          sum(expr("y * y")).as("ssc"))
+        .localCheckpoint(false)
+      val byA = cells.groupBy("wd").agg(sum("nc").as("na"), sum("sc").as("sa"))
+        .agg(sum(expr("CAST(sa AS DECIMAL(38,0)) * sa div na")).as("ua"),
+          count(lit(1)).as("a"))
+      val byB = cells.groupBy("pr").agg(sum("nc").as("nb"), sum("sc").as("sb"))
+        .agg(sum(expr("CAST(sb AS DECIMAL(38,0)) * sb div nb")).as("ub"),
+          count(lit(1)).as("b"))
+      cells.agg(sum("nc").as("n"), sum("sc").as("st"), sum("ssc").as("sst"),
+          sum(expr("CAST(sc AS DECIMAL(38,0)) * sc div nc")).as("uc"),
+          count(lit(1)).as("ncells"))
+        .crossJoin(broadcast(byA)).crossJoin(broadcast(byB))
+        .withColumn("ut", expr("CAST(st AS DECIMAL(38,0)) * st div n"))
+        .select(col("a"), col("b"), col("n").as("n_days_cells"),
+          expr("CAST(uc - ua - ub + ut AS BIGINT)").as("ss_interaction"),
+          expr("CAST(CAST(sst AS DECIMAL(38,0)) - uc AS BIGINT)").as("ss_within"),
+          expr("CAST(1000 * (n - a * b) * (uc - ua - ub + ut)" +
+            " div (CAST((a - 1) * (b - 1) AS DECIMAL(38,0))" +
+            " * (CAST(sst AS DECIMAL(38,0)) - uc)) AS BIGINT)").as("f_int_milli"))
+    }),
+
+    // stratified average treatment effect: per-lang arm contrast of
+    // n_chars (md5 arms), each stratum's ATE an exact cross-multiplied
+    // milli ratio — the Cochran-style adjustment that stops a lang-mix
+    // imbalance from masquerading as a treatment effect (q443 checks
+    // balance; this estimates THROUGH imbalance)
+    "q465_stratified_ate" -> ((s, dir) =>
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("lang"),
+          (Dedup.md5Long(concat(lit("qte#"), col("doc_id").cast("string")), 12) % 2)
+            .as("arm"),
+          col("n_chars"))
+        .groupBy("lang")
+        .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nt"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nc"),
+          sum(when(col("arm") === 1, col("n_chars")).otherwise(0L)).as("st"),
+          sum(when(col("arm") === 0, col("n_chars")).otherwise(0L)).as("sc"))
+        .withColumn("ate_milli", expr(
+          "CAST(1000 * (CAST(st AS DECIMAL(38,0)) * nc - CAST(sc AS DECIMAL(38,0)) * nt)" +
+            " div (CAST(nt AS DECIMAL(38,0)) * nc) AS BIGINT)"))
+        .select(col("lang"), col("nt"), col("nc"), col("ate_milli"))
+        .orderBy("lang")),
+
+    // L-moments of the order-total distribution: L-scale (half the Gini
+    // mean difference) and the L-skewness ratio τ₃ — the robust shape
+    // measures that exist for ANY distribution with a mean (unlike
+    // classical skewness) and come straight from rank-weighted sums:
+    // λ₂ ∝ Σ(2i−n−1)x₍ᵢ₎, λ₃ ∝ Σ[C(i−1,2) − 2(i−1)(n−i) + C(n−i,2)]x₍ᵢ₎,
+    // τ₃ exact via cross-multiplied integers. One global rank window
+    // (the documented at-scale trade), then pure integer reduction
+    "q466_l_moments" -> ((s, dir) => {
+      val v = Tables.orders(s, dir)
+        .select(centsOf(col("o_totalprice")).as("x"), col("o_orderkey"))
+        .withColumn("i", row_number().over(
+          Window.orderBy(col("x"), col("o_orderkey"))).cast("long"))
+      v.crossJoin(broadcast(v.agg(count(lit(1)).as("n"))))
+        .agg(max(col("n")).as("n"),
+          sum(col("x").cast(dec38)).as("sx"),
+          sum(expr("CAST(i * 2 - n - 1 AS DECIMAL(38,0)) * x")).as("l2n"),
+          sum(expr("CAST(((i - 1) * (i - 2)) div 2 - 2 * (i - 1) * (n - i)" +
+            " + ((n - i) * (n - i - 1)) div 2 AS DECIMAL(38,0)) * x")).as("l3n"))
+        .select(col("n").as("n_orders"),
+          expr("CAST(sx div n AS BIGINT)").as("l1_mean_cents"),
+          expr("CAST(l2n div (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)")
+            .as("l2_cents"),
+          expr("CAST(1000 * l3n * n * (n - 1)" +
+            " div (CAST(n AS DECIMAL(38,0)) * (n - 1) * (n - 2) div 2 * l2n)" +
+            " AS BIGINT)").as("t3_milli"))
+    }),
+
+    // time-weighted average value per event type (TWAP): each reading
+    // weighted by its holding interval to the next same-type event —
+    // the irregular-sampling average a plain mean gets wrong when
+    // readings cluster; Σ v·Δt div ΣΔt in exact cents×µs, intervals
+    // from one lead window per type
+    "q467_twap" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy(col("us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"), centsOf(col("value")).as("v"))
+        .withColumn("dt", lead(col("us"), 1).over(w) - col("us"))
+        .filter(col("dt").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dt")).as("span_us"),
+          sum((col("v") * col("dt")).cast(dec38)).as("vw"))
+        .select(col("event_type"), col("n_intervals"), col("span_us"),
+          expr("CAST(vw div span_us AS BIGINT)").as("twap_cents"))
+        .orderBy("event_type")
+    }),
+
+    // LSH family comparison: which near-dup candidates MinHash (word
+    // 3-gram Jaccard geometry) and SimHash (Hamming geometry) each see
+    // on the same corpus — the overlap census that picks the family (or
+    // says "run both") before a signature store is built. Two existing
+    // operator outputs, one full-outer pair join
+    "q468_lsh_overlap" -> ((s, dir) => {
+      val mh = Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_a"), col("doc_b")).withColumn("m", lit(1L))
+      val sh = Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_a"), col("doc_b")).withColumn("h", lit(1L))
+      mh.join(sh, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(sum(coalesce(col("m"), lit(0L))).as("n_minhash"),
+          sum(coalesce(col("h"), lit(0L))).as("n_simhash"),
+          sum(when(col("m").isNotNull && col("h").isNotNull, 1L).otherwise(0L))
+            .as("n_both"))
+        .select(col("n_minhash"), col("n_simhash"), col("n_both"),
+          (col("n_minhash") - col("n_both")).as("n_only_minhash"),
+          (col("n_simhash") - col("n_both")).as("n_only_simhash"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -120,6 +120,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q460_ljung_box",          // 1-row (n, Σy) bound over the month dict
     "q461_hash_ring",          // 32-row vnode ring crossed into the key relation
     "q462_error_budget",       // 1-row min-ts bound over events
+    "q464_anova_interaction",  // 1-row factor-margin aggregates crossed (7×5 grid)
+    "q466_l_moments",          // 1-row n bound crossed into the rank weights
     "q368_lsh_cost_model",     // 1-row distinct-candidate count bound
     "q369_storage_tiering",    // 1-row max-date aggregate bound
     "q373_postings_intersect", // 1-row corpus-doc-count bound
