@@ -9503,7 +9503,89 @@ object OracleSql {
         |         AS n_only_minhash,
         |       CAST((SELECT count(*) FROM sp) AS BIGINT)
         |         - CAST((SELECT count(*) FROM mp JOIN sp USING (doc_a, doc_b)) AS BIGINT)
-        |         AS n_only_simhash""".stripMargin
+        |         AS n_only_simhash""".stripMargin,
+
+    "q469_range_partitioner_sim" ->
+      """WITH v AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |           FROM orders),
+        |samp AS (
+        |  SELECT v, CAST(row_number() OVER (ORDER BY v, o_orderkey) AS BIGINT) AS rn
+        |  FROM v
+        |  WHERE CAST(concat('0x', substr(md5('rps#' || CAST(o_orderkey AS VARCHAR)), 1, 12))
+        |             AS BIGINT) % 20 = 0
+        |), m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM samp),
+        |tg AS (SELECT i, (i * m + 31) // 32 AS trn
+        |       FROM (SELECT unnest(range(1, 32)) AS i), m),
+        |splits AS (SELECT tg.i, samp.v AS s FROM tg JOIN samp ON samp.rn = tg.trn),
+        |asg AS (
+        |  SELECT v.o_orderkey,
+        |         CAST(sum(CASE WHEN v.v > splits.s THEN 1 ELSE 0 END) AS BIGINT) AS pid
+        |  FROM v CROSS JOIN splits GROUP BY 1
+        |), cnt AS (SELECT pid, CAST(count(*) AS BIGINT) AS n_rows FROM asg GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v)
+        |SELECT pid, n_rows, CAST(n_rows * 32000000 // n AS BIGINT) AS fill_ppm
+        |FROM cnt, t ORDER BY pid""".stripMargin,
+
+    "q470_pit_features" ->
+      """WITH feat AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_pre,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_pre,
+        |         CAST(min(datediff('day', o_orderdate, TIMESTAMP '1999-01-01')) AS BIGINT)
+        |           AS recency_days
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01' GROUP BY 1
+        |), lab AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        |    AND o_orderdate < TIMESTAMP '2000-01-01'
+        |)
+        |SELECT CAST(CASE WHEN lab.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS label,
+        |       CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(CAST(sum(n_pre) AS BIGINT) // count(*) AS BIGINT) AS avg_n_pre,
+        |       CAST(CAST(sum(rev_pre) AS BIGINT) // count(*) AS BIGINT) AS avg_rev_pre_cents,
+        |       CAST(CAST(sum(recency_days) AS BIGINT) // count(*) AS BIGINT) AS avg_recency_days
+        |FROM feat LEFT JOIN lab USING (o_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q471_nb_moments" ->
+      """WITH k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS k FROM events GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(k) AS HUGEINT) AS sk,
+        |             CAST(sum(k * k) AS HUGEINT) AS skk
+        |      FROM k)
+        |SELECT CAST(n AS BIGINT) AS n_users,
+        |       CAST(1000 * sk // n AS BIGINT) AS mean_milli,
+        |       CAST(1000 * (n * skk - sk * sk) // (n * n) AS BIGINT) AS var_milli,
+        |       CAST(1000 * sk * n // (n * skk - sk * sk) AS BIGINT) AS p_milli,
+        |       CAST(1000 * sk * sk // (n * skk - sk * sk - sk * n) AS BIGINT) AS r_milli
+        |FROM a""".stripMargin,
+
+    "q472_pii_mask_apply" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN props <> regexp_replace(props, '[0-9]', '#', 'g')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |       CAST(sum(length(props) - length(regexp_replace(props, '[0-9]', '', 'g')))
+        |            AS BIGINT) AS chars_masked
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q473_fleiss_kappa" ->
+      """WITH r AS (
+        |  SELECT lang,
+        |         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+        |         CASE WHEN len(string_split(text, ' ')) >= 55 THEN 1 ELSE 0 END AS b,
+        |         CASE WHEN len(list_distinct(list_filter(string_split(text, ' '),
+        |                      x -> len(x) > 0))) >= 28 THEN 1 ELSE 0 END AS c
+        |  FROM documents WHERE text IS NOT NULL
+        |), x AS (SELECT lang, a + b + c AS x FROM r),
+        |g AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n, CAST(sum(x) AS HUGEINT) AS xs,
+        |             CAST(sum((x * (x - 1) + (3 - x) * (2 - x)) // 2) AS HUGEINT) AS ap
+        |      FROM x GROUP BY 1)
+        |SELECT lang, CAST(n AS BIGINT) AS n_docs,
+        |       CAST(xs * 1000000 // (3 * n) AS BIGINT) AS p_pos_ppm,
+        |       CAST(CASE WHEN (3 * n) * (3 * n) - xs * xs
+        |                      - (3 * n - xs) * (3 * n - xs) = 0 THEN 0
+        |            ELSE (3 * n * ap - xs * xs - (3 * n - xs) * (3 * n - xs)) * 1000000
+        |                 // ((3 * n) * (3 * n) - xs * xs - (3 * n - xs) * (3 * n - xs))
+        |            END AS BIGINT) AS kappa_fleiss_ppm
+        |FROM g ORDER BY lang""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

@@ -10104,6 +10104,135 @@ object SparkEntry {
           (col("n_simhash") - col("n_both")).as("n_only_simhash"))
     }),
 
+    // RangePartitioner simulation: split points from a deterministic
+    // 1-in-20 md5 sample (rank picks at ⌈i·m/32⌉, exactly Spark's
+    // sampled range partitioning), then the EXACT balance of the full
+    // relation under those 31 splits — the "how wrong is the sample"
+    // readout behind every sorted write; the split dictionary broadcasts,
+    // the flag-sum assignment is map-side
+    "q469_range_partitioner_sim" -> ((s, dir) => {
+      import s.implicits._
+      val v = Tables.orders(s, dir)
+        .select(col("o_orderkey"), centsOf(col("o_totalprice")).as("v"))
+        .localCheckpoint(false)
+      val samp = v.filter(Dedup.md5Long(concat(lit("rps#"),
+          col("o_orderkey").cast("string")), 12) % 20 === 0)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("v"), col("o_orderkey"))).cast("long"))
+        .localCheckpoint(false)
+      val m = samp.agg(count(lit(1)).as("m"))
+      val splits = (1L to 31L).toDF("i").crossJoin(broadcast(m))
+        .join(samp, col("rn") === expr("(i * m + 31) div 32"))
+        .select(col("i"), col("v").as("s"))
+      val tot = v.agg(count(lit(1)).as("n"))
+      v.crossJoin(broadcast(splits))
+        .groupBy("o_orderkey")
+        .agg(sum(when(col("v") > col("s"), 1L).otherwise(0L)).as("pid"))
+        .groupBy("pid").agg(count(lit(1)).as("n_rows"))
+        .crossJoin(broadcast(tot))
+        .select(col("pid"), col("n_rows"),
+          expr("n_rows * 32000000 div n").as("fill_ppm"))
+        .orderBy("pid")
+    }),
+
+    // point-in-time-correct feature assembly: features strictly BEFORE
+    // the 1999-01-01 cutoff, the label strictly AFTER (any order in
+    // 1999) — the leakage discipline every churn/LTV table needs, read
+    // out as per-label feature means so a leak (post-cutoff data in a
+    // feature) would show up as an implausible separation
+    "q470_pit_features" -> ((s, dir) => {
+      val cutoff = lit("1999-01-01").cast("timestamp")
+      val horizon = lit("2000-01-01").cast("timestamp")
+      val o = Tables.orders(s, dir)
+      val feat = o.filter(col("o_orderdate") < cutoff)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_pre"),
+          sum(centsOf(col("o_totalprice"))).as("rev_pre"),
+          min(expr("CAST(datediff(TIMESTAMP '1999-01-01', o_orderdate) AS BIGINT)"))
+            .as("recency_days"))
+      val lab = o.filter(col("o_orderdate") >= cutoff && col("o_orderdate") < horizon)
+        .select(col("o_custkey")).distinct().withColumn("label", lit(1L))
+      feat.join(lab, Seq("o_custkey"), "left")
+        .withColumn("label", coalesce(col("label"), lit(0L)))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_customers"),
+          expr("CAST(sum(n_pre) div count(1) AS BIGINT)").as("avg_n_pre"),
+          expr("CAST(sum(rev_pre) div count(1) AS BIGINT)").as("avg_rev_pre_cents"),
+          expr("CAST(sum(recency_days) div count(1) AS BIGINT)")
+            .as("avg_recency_days"))
+        .orderBy("label")
+    }),
+
+    // negative-binomial moment fit of per-user event counts: p = m/v and
+    // r = m²/(v−m) as exact cross-multiplied milli ratios — the
+    // overdispersion diagnosis (r < 0 ⇒ not NB, counts are
+    // under-dispersed) behind bot-vs-human activity modeling; one user
+    // aggregation, then closed form on the 1-row moment relation
+    "q471_nb_moments" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("k"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sk"),
+          sum(expr("k * k")).as("skk"))
+        .select(col("n").as("n_users"),
+          expr("1000 * sk div n").as("mean_milli"),
+          expr("CAST(1000 * (CAST(n AS DECIMAL(38,0)) * skk - CAST(sk AS DECIMAL(38,0)) * sk)" +
+            " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("var_milli"),
+          expr("CAST(1000 * CAST(sk AS DECIMAL(38,0)) * n" +
+            " div (CAST(n AS DECIMAL(38,0)) * skk - CAST(sk AS DECIMAL(38,0)) * sk)" +
+            " AS BIGINT)").as("p_milli"),
+          expr("CAST(1000 * CAST(sk AS DECIMAL(38,0)) * sk" +
+            " div (CAST(n AS DECIMAL(38,0)) * skk - CAST(sk AS DECIMAL(38,0)) * sk" +
+            " - CAST(sk AS DECIMAL(38,0)) * n) AS BIGINT)").as("r_milli"))),
+
+    // PII masking APPLY (q102 audits, this redacts): digits in the event
+    // props payload replaced with '#', per-type census of changed rows
+    // and masked characters — the pure-transform shape of a redaction
+    // pass (one scan, two regexp evaluations, no shuffle before the
+    // roll-up)
+    "q472_pii_mask_apply" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), col("props"),
+          regexp_replace(col("props"), "[0-9]", "#").as("masked"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("props") =!= col("masked"), 1L).otherwise(0L))
+            .as("n_changed"),
+          sum((length(col("props")) -
+            length(regexp_replace(col("props"), "[0-9]", ""))).cast("long"))
+            .as("chars_masked"))
+        .orderBy("event_type")),
+
+    // Fleiss' κ for THREE deterministic raters (length, word-count, and
+    // vocab-richness rules): multi-rater agreement beyond q420's
+    // pairwise Cohen — per item the agreeing-pair count C(x,2)+C(3−x,2),
+    // κ_ppm = (3N·A − X² − (3N−X)²)·1e6 div ((3N)² − X² − (3N−X)²),
+    // all exact integers per lang
+    "q473_fleiss_kappa" -> ((s, dir) =>
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("lang"),
+          (col("n_chars") >= 300).cast("long").as("a"),
+          (size(split(col("text"), " ", -1)) >= 55).cast("long").as("b"),
+          (size(array_distinct(filter(split(col("text"), " ", -1),
+            x => length(x) > 0))) >= 28).cast("long").as("c"))
+        .withColumn("x", expr("a + b + c"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("xs"),
+          sum(expr("(x * (x - 1) + (3 - x) * (2 - x)) div 2")).as("ap"))
+        .select(col("lang"), col("n").as("n_docs"),
+          expr("xs * 1000000 div (3 * n)").as("p_pos_ppm"),
+          expr("CAST(CASE WHEN CAST(3 * n AS DECIMAL(38,0)) * (3 * n)" +
+            " - CAST(xs AS DECIMAL(38,0)) * xs" +
+            " - CAST(3 * n - xs AS DECIMAL(38,0)) * (3 * n - xs) = 0 THEN 0" +
+            " ELSE (CAST(3 * n AS DECIMAL(38,0)) * ap" +
+            " - CAST(xs AS DECIMAL(38,0)) * xs" +
+            " - CAST(3 * n - xs AS DECIMAL(38,0)) * (3 * n - xs)) * 1000000" +
+            " div (CAST(3 * n AS DECIMAL(38,0)) * (3 * n)" +
+            " - CAST(xs AS DECIMAL(38,0)) * xs" +
+            " - CAST(3 * n - xs AS DECIMAL(38,0)) * (3 * n - xs)) END AS BIGINT)")
+            .as("kappa_fleiss_ppm"))
+        .orderBy("lang")),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

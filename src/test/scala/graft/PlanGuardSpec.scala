@@ -122,6 +122,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q462_error_budget",       // 1-row min-ts bound over events
     "q464_anova_interaction",  // 1-row factor-margin aggregates crossed (7×5 grid)
     "q466_l_moments",          // 1-row n bound crossed into the rank weights
+    "q469_range_partitioner_sim", // 31-row sampled split dictionary crossed into the scan
     "q368_lsh_cost_model",     // 1-row distinct-candidate count bound
     "q369_storage_tiering",    // 1-row max-date aggregate bound
     "q373_postings_intersect", // 1-row corpus-doc-count bound
