@@ -9585,7 +9585,138 @@ object OracleSql {
         |            ELSE (3 * n * ap - xs * xs - (3 * n - xs) * (3 * n - xs)) * 1000000
         |                 // ((3 * n) * (3 * n) - xs * xs - (3 * n - xs) * (3 * n - xs))
         |            END AS BIGINT) AS kappa_fleiss_ppm
-        |FROM g ORDER BY lang""".stripMargin
+        |FROM g ORDER BY lang""".stripMargin,
+
+    "q474_brown_forsythe" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS g, CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+        |         o_orderkey
+        |  FROM orders
+        |), rk AS (
+        |  SELECT g, y,
+        |         CAST(row_number() OVER (PARTITION BY g ORDER BY y, o_orderkey) AS BIGINT) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS ng
+        |  FROM o
+        |), med AS (SELECT g, y AS med FROM rk WHERE rn = (ng + 1) // 2),
+        |z AS (SELECT o.g, abs(o.y - med.med) // 1000 AS z FROM o JOIN med USING (g)),
+        |grp AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(z) AS BIGINT) AS sz,
+        |         CAST(sum(z * z) AS BIGINT) AS szz
+        |  FROM z GROUP BY 1
+        |), u AS (SELECT g, n, sz, szz, CAST(CAST(sz AS HUGEINT) * sz // n AS BIGINT) AS u
+        |         FROM grp),
+        |a AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS k, CAST(sum(n) AS HUGEINT) AS nn,
+        |         CAST(sum(sz) AS HUGEINT) AS st, CAST(sum(szz) AS HUGEINT) AS sst,
+        |         CAST(sum(u) AS HUGEINT) AS su
+        |  FROM u
+        |)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n_orders,
+        |       CAST(su - st * st // nn AS BIGINT) AS ssb,
+        |       CAST(sst - su AS BIGINT) AS ssw,
+        |       CAST(1000 * (nn - k) * (su - st * st // nn)
+        |            // ((k - 1) * (sst - su)) AS BIGINT) AS f_milli
+        |FROM a""".stripMargin,
+
+    "q475_rolling_origin" ->
+      """WITH rev AS (
+        |  SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS mi,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), l AS (
+        |  SELECT mi, y, lag(y, 1) OVER (ORDER BY mi) AS y1,
+        |         lag(y, 12) OVER (ORDER BY mi) AS y12
+        |  FROM rev
+        |)
+        |SELECT CAST(mi AS BIGINT) AS target_month, y AS actual_cents,
+        |       CAST(abs(y - y1) AS BIGINT) AS naive_err_cents,
+        |       CAST(abs(y - y12) AS BIGINT) AS snaive_err_cents,
+        |       CAST(CASE WHEN abs(y - y12) < abs(y - y1) THEN 1 ELSE 0 END AS BIGINT)
+        |         AS seasonal_wins
+        |FROM l WHERE mi BETWEEN 18 AND 23 ORDER BY target_month""".stripMargin,
+
+    "q476_capture_recapture" ->
+      """WITH c AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |), f AS (
+        |  SELECT o_custkey,
+        |         CASE WHEN CAST(concat('0x', substr(md5('capA#' || CAST(o_custkey AS VARCHAR)), 1, 12))
+        |                        AS BIGINT) % 5 = 0 THEN 1 ELSE 0 END AS ina,
+        |         CASE WHEN CAST(concat('0x', substr(md5('capB#' || CAST(o_custkey AS VARCHAR)), 1, 12))
+        |                        AS BIGINT) % 5 = 0 THEN 1 ELSE 0 END AS inb
+        |  FROM c
+        |), a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_true, CAST(sum(ina) AS BIGINT) AS n1,
+        |         CAST(sum(inb) AS BIGINT) AS n2, CAST(sum(ina * inb) AS BIGINT) AS m
+        |  FROM f
+        |)
+        |SELECT n_true, n1, n2, m,
+        |       CAST(CASE WHEN m > 0 THEN n1 * n2 // m ELSE NULL END AS BIGINT) AS est_lp,
+        |       CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT) AS est_chapman,
+        |       CAST(abs((n1 + 1) * (n2 + 1) // (m + 1) - 1 - n_true) * 1000000 // n_true
+        |            AS BIGINT) AS chapman_err_ppm
+        |FROM a""".stripMargin,
+
+    "q477_runs_test" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |              // 100000 AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), d AS (
+        |  SELECT day, y, lag(y, 1) OVER (ORDER BY day) AS yp FROM daily
+        |), sg AS (
+        |  SELECT day, CASE WHEN y > yp THEN 1 ELSE 0 END AS s FROM d WHERE yp IS NOT NULL
+        |), sg2 AS (
+        |  SELECT s, lag(s, 1) OVER (ORDER BY day) AS sp FROM sg
+        |), a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS n1,
+        |         CAST(sum(1 - s) AS BIGINT) AS n2,
+        |         CAST(sum(CASE WHEN sp IS NOT NULL AND s <> sp THEN 1 ELSE 0 END) + 1
+        |              AS BIGINT) AS runs
+        |  FROM sg2
+        |), b AS (
+        |  SELECT n, n1, n2, runs, runs * n - 2 * n1 * n2 - n AS aa,
+        |         CAST(1000000 * CAST(runs * n - 2 * n1 * n2 - n AS HUGEINT)
+        |              * (runs * n - 2 * n1 * n2 - n) * (n - 1)
+        |              // (CAST(2 AS HUGEINT) * n1 * n2 * (2 * n1 * n2 - n)) AS BIGINT) AS x2
+        |  FROM a
+        |), c AS (
+        |  SELECT *, CAST(floor(sqrt(CAST(x2 AS DOUBLE))) AS BIGINT) AS t0 FROM b
+        |)
+        |SELECT n AS n_days, n1 AS n_up, n2 AS n_down, runs,
+        |       CAST(CASE WHEN aa >= 0 THEN 1 ELSE -1 END
+        |            * (CASE WHEN (t0 + 1) * (t0 + 1) <= x2 THEN t0 + 1
+        |                    WHEN t0 * t0 > x2 THEN t0 - 1 ELSE t0 END) AS BIGINT) AS z_milli
+        |FROM c""".stripMargin,
+
+    "q478_broadcast_planner" ->
+      """WITH stats AS (
+        |  SELECT 'customer' AS t, CAST(count(*) AS BIGINT) AS rows_,
+        |         CAST(count(*) * 64 AS BIGINT) AS bytes_ FROM customer
+        |  UNION ALL SELECT 'orders', CAST(count(*) AS BIGINT),
+        |         CAST(count(*) * 56 AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'lineitem', CAST(count(*) AS BIGINT),
+        |         CAST(count(*) * 88 AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'part', CAST(count(*) AS BIGINT),
+        |         CAST(count(*) * 72 AS BIGINT) FROM part
+        |  UNION ALL SELECT 'supplier', CAST(count(*) AS BIGINT),
+        |         CAST(count(*) * 48 AS BIGINT) FROM supplier
+        |), joins AS (
+        |  SELECT * FROM (VALUES ('orders_customer', 'orders', 'customer'),
+        |                        ('lineitem_orders', 'lineitem', 'orders'),
+        |                        ('lineitem_part', 'lineitem', 'part'),
+        |                        ('lineitem_supplier', 'lineitem', 'supplier'),
+        |                        ('part_supplier', 'part', 'supplier'))
+        |         v(join_name, probe, build)
+        |)
+        |SELECT join_name, p.rows_ AS probe_rows, b.rows_ AS build_rows,
+        |       b.bytes_ AS build_bytes,
+        |       CASE WHEN b.bytes_ < 10485760 THEN 'broadcast_hash'
+        |            ELSE 'sort_merge' END AS strategy
+        |FROM joins JOIN stats b ON b.t = joins.build
+        |JOIN stats p ON p.t = joins.probe
+        |ORDER BY join_name""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

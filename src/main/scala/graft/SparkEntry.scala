@@ -10233,6 +10233,154 @@ object SparkEntry {
             .as("kappa_fleiss_ppm"))
         .orderBy("lang")),
 
+    // Brown–Forsythe test (variance homogeneity across priorities):
+    // ANOVA on |y − group median| — the robust Levene variant whose
+    // verdict gates every pooled-variance test upstream (q232/q448
+    // assume it); group medians are exact lower-median order stats, the
+    // F ratio reuses the q448 floor-div convention on the deviations
+    "q474_brown_forsythe" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("g"), centsOf(col("o_totalprice")).as("y"),
+          col("o_orderkey"))
+      val wg = Window.partitionBy("g").orderBy(col("y"), col("o_orderkey"))
+      val ranked = o.withColumn("rn", row_number().over(wg).cast("long"))
+        .withColumn("ng", count(lit(1)).over(Window.partitionBy("g")))
+        .localCheckpoint(false)
+      val med = ranked.filter(col("rn") === expr("(ng + 1) div 2"))
+        .select(col("g"), col("y").as("med"))
+      // deviations in tens-of-dollars units (div 1000): at cents scale
+      // the S² div n terms overflow long past sf0.05 (the q458 trade)
+      val z = ranked.join(broadcast(med), Seq("g"))
+        .select(col("g"), expr("abs(y - med) div 1000").as("z"))
+      val grp = z.groupBy("g")
+        .agg(count(lit(1)).as("n"), sum(col("z")).as("sz"),
+          sum(expr("z * z")).as("szz"))
+        .withColumn("u", expr("CAST(sz AS DECIMAL(38,0)) * sz div n"))
+      grp.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+          sum(col("sz").cast(dec38)).as("st"), sum(col("szz").cast(dec38)).as("sst"),
+          sum(col("u").cast(dec38)).as("su"))
+        .select(col("k"), col("nn").as("n_orders"),
+          expr("CAST(su - st * st div nn AS BIGINT)").as("ssb"),
+          expr("CAST(sst - su AS BIGINT)").as("ssw"),
+          expr("CAST(1000 * (nn - k) * (su - st * st div nn)" +
+            " div (CAST(k - 1 AS DECIMAL(38,0)) * (sst - su)) AS BIGINT)")
+            .as("f_milli"))
+    }),
+
+    // rolling-origin forecast evaluation: six consecutive origins, each
+    // forecasting its next month with naive (lag 1) and seasonal-naive
+    // (lag 12) — the per-origin error table behind q439's aggregate MASE
+    // (one bad month can hide in an aggregate; this shows WHICH)
+    "q475_rolling_origin" -> ((s, dir) => {
+      val w = Window.orderBy("mi")
+      Tables.orders(s, dir)
+        .groupBy(expr("(year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1")
+          .as("mi"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("y"))
+        .withColumn("y1", lag(col("y"), 1).over(w))
+        .withColumn("y12", lag(col("y"), 12).over(w))
+        .filter(col("mi") >= 18 && col("mi") <= 23)
+        .select(col("mi").cast("long").as("target_month"), col("y").as("actual_cents"),
+          abs(col("y") - col("y1")).as("naive_err_cents"),
+          abs(col("y") - col("y12")).as("snaive_err_cents"),
+          (abs(col("y") - col("y12")) < abs(col("y") - col("y1")))
+            .cast("long").as("seasonal_wins"))
+        .orderBy("target_month")
+    }),
+
+    // capture–recapture population estimation: two independent md5
+    // "sightings" of the ordering-customer population, Lincoln–Petersen
+    // n₁n₂/m and the bias-corrected Chapman estimator vs the TRUE count
+    // — the mark-recapture sanity check for dedup-rate estimation from
+    // samples; everything from three semi-join-free hash aggregations
+    "q476_capture_recapture" -> ((s, dir) => {
+      val cust = Tables.orders(s, dir).select(col("o_custkey")).distinct()
+        .withColumn("ina",
+          (Dedup.md5Long(concat(lit("capA#"), col("o_custkey").cast("string")), 12)
+            % 5 === 0).cast("long"))
+        .withColumn("inb",
+          (Dedup.md5Long(concat(lit("capB#"), col("o_custkey").cast("string")), 12)
+            % 5 === 0).cast("long"))
+      cust.agg(count(lit(1)).as("n_true"),
+          sum(col("ina")).as("n1"), sum(col("inb")).as("n2"),
+          sum(col("ina") * col("inb")).as("m"))
+        .select(col("n_true"), col("n1"), col("n2"), col("m"),
+          expr("CASE WHEN m > 0 THEN n1 * n2 div m ELSE NULL END").as("est_lp"),
+          expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1").as("est_chapman"))
+        .withColumn("chapman_err_ppm",
+          expr("abs(est_chapman - n_true) * 1000000 div n_true"))
+    }),
+
+    // Wald–Wolfowitz runs test on daily revenue direction: are up/down
+    // days random, the sign-based serial check beside q364's von
+    // Neumann ratio and q460's Ljung–Box — R runs vs E[R] = 2n₁n₂/n + 1,
+    // z from the exact cross-multiplied variance with one isqrt; the
+    // sign chain is two lag windows on the day dictionary
+    "q477_runs_test" -> ((s, dir) => {
+      val w = Window.orderBy("day")
+      val signs = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) div 100000" +
+          " AS BIGINT)").as("y"))
+        .withColumn("yp", lag(col("y"), 1).over(w))
+        .filter(col("yp").isNotNull)
+        .withColumn("s", (col("y") > col("yp")).cast("long"))
+        .withColumn("sp", lag(col("s"), 1).over(w))
+      signs.agg(count(lit(1)).as("n"),
+          sum(col("s")).as("n1"),
+          sum(lit(1L) - col("s")).as("n2"),
+          (sum(when(col("sp").isNotNull && col("s") =!= col("sp"), 1L)
+            .otherwise(0L)) + 1).as("runs"))
+        .withColumn("aa", expr("runs * n - 2 * n1 * n2 - n"))
+        .withColumn("x2", expr(
+          "CAST(1000000 * CAST(aa AS DECIMAL(38,0)) * aa * (n - 1)" +
+            " div (CAST(2 AS DECIMAL(38,0)) * n1 * n2 * (2 * n1 * n2 - n))" +
+            " AS BIGINT)"))
+        .withColumn("t0", floor(sqrt(col("x2").cast("double"))).cast("long"))
+        .withColumn("rt", expr(
+          "CASE WHEN (t0 + 1) * (t0 + 1) <= x2 THEN t0 + 1" +
+            " WHEN t0 * t0 > x2 THEN t0 - 1 ELSE t0 END"))
+        .select(col("n").as("n_days"), col("n1").as("n_up"), col("n2").as("n_down"),
+          col("runs"),
+          expr("CASE WHEN aa >= 0 THEN rt ELSE -rt END").as("z_milli"))
+    }),
+
+    // broadcast-join planner audit: per-table row counts × declared row
+    // widths → which side of each core FK join clears the 10 MB
+    // autoBroadcastJoinThreshold — the cost-based strategy table Spark
+    // itself consults, externalized (q334's estimate audit for
+    // cardinality; this one for strategy). Nine 1-row counts, a 5-row
+    // join-spec dictionary, zero data movement
+    "q478_broadcast_planner" -> ((s, dir) => {
+      import s.implicits._
+      def cnt(name: String, df: DataFrame, width: Long) =
+        df.agg(count(lit(1)).as("rows")).select(lit(name).as("t"), col("rows"),
+          (col("rows") * width).as("bytes"))
+      val stats = cnt("customer", Tables.customer(s, dir), 64L)
+        .union(cnt("orders", Tables.orders(s, dir), 56L))
+        .union(cnt("lineitem", Tables.lineitem(s, dir), 88L))
+        .union(cnt("part", Tables.part(s, dir), 72L))
+        .union(cnt("supplier", Tables.supplier(s, dir), 48L))
+        .localCheckpoint(false)
+      val joins = Seq(
+        ("orders_customer", "orders", "customer"),
+        ("lineitem_orders", "lineitem", "orders"),
+        ("lineitem_part", "lineitem", "part"),
+        ("lineitem_supplier", "lineitem", "supplier"),
+        ("part_supplier", "part", "supplier"))
+        .toDF("join_name", "probe", "build")
+      joins
+        .join(broadcast(stats.select(col("t").as("build"),
+          col("rows").as("build_rows"), col("bytes").as("build_bytes"))), Seq("build"))
+        .join(broadcast(stats.select(col("t").as("probe"),
+          col("rows").as("probe_rows"))), Seq("probe"))
+        .select(col("join_name"), col("probe_rows"), col("build_rows"),
+          col("build_bytes"),
+          when(col("build_bytes") < 10485760L, lit("broadcast_hash"))
+            .otherwise(lit("sort_merge")).as("strategy"))
+        .orderBy("join_name")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
