@@ -9716,7 +9716,153 @@ object OracleSql {
         |            ELSE 'sort_merge' END AS strategy
         |FROM joins JOIN stats b ON b.t = joins.build
         |JOIN stats p ON p.t = joins.probe
-        |ORDER BY join_name""".stripMargin
+        |ORDER BY join_name""".stripMargin,
+
+    "q479_ipf_raking" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1, 2
+        |), t AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |         CAST(count(DISTINCT lang) AS BIGINT) AS nl,
+        |         CAST(count(DISTINCT source) AS BIGINT) AS ns
+        |  FROM cells
+        |), g1 AS (
+        |  SELECT cells.lang, cells.source, cells.n, nn, nl, ns,
+        |         CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS rs
+        |  FROM cells, t
+        |), g2 AS (SELECT *, (1000000 * (nn // nl)) // rs AS w1 FROM g1),
+        |g3 AS (SELECT *, CAST(sum(n * w1) OVER (PARTITION BY source) AS BIGINT) AS cs1
+        |       FROM g2),
+        |g4 AS (SELECT *, w1 * ((1000000 * (nn // ns) * 1000000) // cs1) // 1000000 AS w2
+        |       FROM g3)
+        |SELECT lang, source, n AS n_docs, CAST(w2 AS BIGINT) AS w_ppm
+        |FROM g4 ORDER BY lang, source""".stripMargin,
+
+    "q480_sprt" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS e
+        |  FROM events GROUP BY 1
+        |), l AS (
+        |  SELECT day, e * CAST(round(ln(CAST(2.0 AS DOUBLE)) * 1000000) AS BIGINT)
+        |           + (n - e) * CAST(round(ln(CAST(0.98 AS DOUBLE) / 0.99) * 1000000)
+        |                            AS BIGINT) AS llr
+        |  FROM daily
+        |), c AS (
+        |  SELECT day, CAST(sum(llr) OVER (ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+        |  FROM l
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(max(cum) AS BIGINT) AS max_cum_micro,
+        |       CAST(min(cum) AS BIGINT) AS min_cum_micro,
+        |       CAST(coalesce(min(CASE WHEN cum >= 2944439 THEN rn END), 0) AS BIGINT)
+        |         AS cross_h1_day,
+        |       CAST(coalesce(min(CASE WHEN cum <= -2944439 THEN rn END), 0) AS BIGINT)
+        |         AS cross_h0_day,
+        |       CASE WHEN coalesce(min(CASE WHEN cum >= 2944439 THEN rn END), 0) > 0
+        |             AND (coalesce(min(CASE WHEN cum <= -2944439 THEN rn END), 0) = 0
+        |                  OR min(CASE WHEN cum >= 2944439 THEN rn END)
+        |                     < min(CASE WHEN cum <= -2944439 THEN rn END))
+        |            THEN 'accept_h1'
+        |            WHEN coalesce(min(CASE WHEN cum <= -2944439 THEN rn END), 0) > 0
+        |            THEN 'accept_h0'
+        |            ELSE 'continue' END AS decision
+        |FROM c""".stripMargin,
+
+    "q481_dirichlet_lm" ->
+      """WITH words AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(w) > 0
+        |), lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM words GROUP BY 1),
+        |ctt AS (SELECT CAST(count(*) AS BIGINT) AS ct FROM words),
+        |terms AS (SELECT unnest(['vector', 'stream', 'filter']) AS w),
+        |cf AS (SELECT w, CAST(count(*) AS BIGINT) AS cf
+        |       FROM words JOIN terms USING (w) GROUP BY 1),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        |       FROM words JOIN terms USING (w) GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT lens.doc_id,
+        |         CAST(round(ln((CAST(coalesce(tf.tf, 0) AS DOUBLE) * ct
+        |                        + CAST(2000 AS DOUBLE) * cf.cf)
+        |                       / ((CAST(lens.len AS DOUBLE) + CAST(2000 AS DOUBLE))
+        |                          * cf.cf)) * 1000000) AS BIGINT) AS sc
+        |  FROM lens CROSS JOIN cf CROSS JOIN ctt
+        |  LEFT JOIN tf ON tf.doc_id = lens.doc_id AND tf.w = cf.w
+        |), agg AS (SELECT doc_id, CAST(sum(sc) AS BIGINT) AS score_micro
+        |           FROM sc GROUP BY 1),
+        |rk AS (SELECT doc_id, score_micro,
+        |              CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+        |                   AS BIGINT) AS rk
+        |       FROM agg)
+        |SELECT rk, doc_id, score_micro FROM rk WHERE rk <= 10 ORDER BY rk""".stripMargin,
+
+    "q482_weak_labels" ->
+      s"""$minhashCte,
+        |dup_ids AS (SELECT doc_a AS doc_id FROM cand
+        |            UNION SELECT doc_b AS doc_id FROM cand),
+        |r AS (
+        |  SELECT d.lang,
+        |         CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END
+        |         + CASE WHEN len(string_split(d.text, ' ')) >= 55 THEN 1 ELSE 0 END
+        |         + CASE WHEN len(list_distinct(list_filter(string_split(d.text, ' '),
+        |                        x -> len(x) > 0))) >= 28 THEN 1 ELSE 0 END AS x,
+        |         CASE WHEN dup_ids.doc_id IS NOT NULL THEN 1 ELSE 0 END AS gold
+        |  FROM documents d LEFT JOIN dup_ids ON d.doc_id = dup_ids.doc_id
+        |  WHERE d.text IS NOT NULL
+        |), p AS (SELECT lang, CASE WHEN x >= 2 THEN 1 ELSE 0 END AS pred, gold FROM r)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(pred) AS BIGINT) AS n_pred_pos,
+        |       CAST(sum(gold) AS BIGINT) AS n_gold_pos,
+        |       CAST(sum(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+        |       CAST(CAST(sum(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS BIGINT)
+        |            * 1000000 // count(*) AS BIGINT) AS acc_ppm
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q483_holm_correction" ->
+      """WITH per AS (
+        |  SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS ns,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) // 100000) AS BIGINT) AS ss,
+        |         CAST(sum((CAST(round(o_totalprice * 100) AS BIGINT) // 100000)
+        |                  * (CAST(round(o_totalprice * 100) AS BIGINT) // 100000))
+        |              AS BIGINT) AS sss
+        |  FROM orders JOIN customer ON c_custkey = o_custkey GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(ns) AS HUGEINT) AS nn, CAST(sum(ss) AS HUGEINT) AS st,
+        |         CAST(sum(sss) AS HUGEINT) AS sst
+        |  FROM per
+        |), z AS (
+        |  SELECT segment,
+        |         CAST(1000 * (CAST(ss AS HUGEINT) * nn - st * ns)
+        |              * (CAST(ss AS HUGEINT) * nn - st * ns)
+        |              // (CAST(ns AS HUGEINT) * nn * (nn * sst - st * st)) AS BIGINT)
+        |           AS z2_milli
+        |  FROM per, t
+        |), rk AS (
+        |  SELECT segment, z2_milli,
+        |         CAST(row_number() OVER (ORDER BY z2_milli DESC, segment) AS BIGINT) AS rnk
+        |  FROM z
+        |), cr AS (
+        |  SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(6635 AS BIGINT)),
+        |                        (2, 6239), (3, 5731), (4, 5024), (5, 3841))
+        |         v(rnk, crit_milli)
+        |), j AS (
+        |  SELECT rk.rnk, rk.segment, rk.z2_milli, cr.crit_milli,
+        |         CASE WHEN rk.z2_milli >= cr.crit_milli THEN 1 ELSE 0 END AS pass
+        |  FROM rk JOIN cr USING (rnk)
+        |), f AS (
+        |  SELECT *, CAST(sum(1 - pass) OVER (ORDER BY rnk
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nf
+        |  FROM j
+        |)
+        |SELECT rnk, segment, z2_milli, crit_milli,
+        |       CAST(CASE WHEN nf = 0 THEN 1 ELSE 0 END AS BIGINT) AS rejected
+        |FROM f ORDER BY rnk""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

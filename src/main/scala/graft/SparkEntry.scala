@@ -10381,6 +10381,164 @@ object SparkEntry {
         .orderBy("join_name")
     }),
 
+    // iterative proportional fitting (raking), two passes: reweight the
+    // lang×source cell grid toward uniform margins — the survey/corpus
+    // rebalancing step behind "equal lang share AND equal source share"
+    // mixing targets that one-axis temperature sampling (q68) can't hit.
+    // Row factors then column factors, each an exact ppm integer div;
+    // everything runs on the bounded 5×20 grid
+    "q479_ipf_raking" -> ((s, dir) => {
+      val cells = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        .localCheckpoint(false)
+      val tot = cells.agg(sum(col("n")).as("nn"),
+        countDistinct(col("lang")).as("nl"),
+        countDistinct(col("source")).as("ns"))
+      val g = cells.crossJoin(broadcast(tot))
+        .withColumn("rs", sum(col("n")).over(Window.partitionBy("lang")))
+        .withColumn("w1", expr("(1000000 * (nn div nl)) div rs"))
+        .withColumn("cs1", sum(col("n") * col("w1"))
+          .over(Window.partitionBy("source")))
+        .withColumn("w2", expr(
+          "w1 * ((1000000 * (nn div ns) * 1000000) div cs1) div 1000000"))
+      g.select(col("lang"), col("source"), col("n").as("n_docs"),
+          col("w2").as("w_ppm"))
+        .orderBy("lang", "source")
+    }),
+
+    // sequential probability ratio test (SPRT) on the daily error rate:
+    // H0 p=1%, H1 p=2%, α=β=5% — the cumulative log-likelihood walk
+    // with ±ln 19 boundaries, read out as the first crossing day and
+    // verdict. The always-valid monitoring rule fixed-horizon tests
+    // (q415/q232) can't give; ln constants are single libm calls, the
+    // walk is one cumsum window on the day dictionary
+    "q480_sprt" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(expr("CAST(date_trunc('DAY', ts) AS DATE)").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("e"))
+        .withColumn("llr", expr(
+          "e * CAST(round(ln(2.0D) * 1000000) AS BIGINT)" +
+            " + (n - e) * CAST(round(ln(CAST(0.98 AS DOUBLE) / 0.99) * 1000000)" +
+            " AS BIGINT)"))
+        .withColumn("cum", sum(col("llr")).over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rn", row_number().over(Window.orderBy("day")).cast("long"))
+        .localCheckpoint(false)
+      val a = 2944439L // round(ln(19)·1e6)
+      daily.agg(count(lit(1)).as("n_days"),
+          max(col("cum")).as("max_cum_micro"),
+          min(col("cum")).as("min_cum_micro"),
+          min(when(col("cum") >= a, col("rn"))).as("cross_h1_day"),
+          min(when(col("cum") <= -a, col("rn"))).as("cross_h0_day"))
+        .select(col("n_days"), col("max_cum_micro"), col("min_cum_micro"),
+          coalesce(col("cross_h1_day"), lit(0L)).as("cross_h1_day"),
+          coalesce(col("cross_h0_day"), lit(0L)).as("cross_h0_day"),
+          expr("CASE WHEN coalesce(cross_h1_day, 0) > 0" +
+            " AND (coalesce(cross_h0_day, 0) = 0 OR cross_h1_day < cross_h0_day)" +
+            " THEN 'accept_h1'" +
+            " WHEN coalesce(cross_h0_day, 0) > 0 THEN 'accept_h0'" +
+            " ELSE 'continue' END").as("decision"))
+    }),
+
+    // Dirichlet-smoothed query-likelihood retrieval (μ = 2000): the LM
+    // alternative to q209's BM25 — score = Σ ln((tf·|C| + μ·cf) /
+    // ((len+μ)·cf)), one quantized ln per (doc, term), absent terms
+    // included (their doc-length penalty is the model's point). The
+    // 3-term × collection-frequency dictionary broadcasts; top-10
+    "q481_dirichlet_lm" -> ((s, dir) => {
+      import s.implicits._
+      val words = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
+        .filter(length(col("w")) > 0)
+        .localCheckpoint(false)
+      val lens = words.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val ctot = words.agg(count(lit(1)).as("ct"))
+      val terms = Seq("vector", "stream", "filter").toDF("w")
+      val cf = words.join(broadcast(terms), Seq("w"))
+        .groupBy("w").agg(count(lit(1)).as("cf"))
+      val tf = words.join(broadcast(terms), Seq("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      lens.crossJoin(broadcast(cf)).crossJoin(broadcast(ctot))
+        .join(tf, Seq("doc_id", "w"), "left").na.fill(0L, Seq("tf"))
+        .withColumn("sc", expr(
+          "CAST(round(ln((CAST(tf AS DOUBLE) * ct + 2000.0D * cf)" +
+            " / ((CAST(len AS DOUBLE) + 2000.0D) * cf)) * 1000000) AS BIGINT)"))
+        .groupBy("doc_id").agg(sum(col("sc")).as("score_micro"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("rk"), col("doc_id"), col("score_micro"))
+        .orderBy("rk")
+    }),
+
+    // weak-supervision label model: majority vote of the three q473
+    // raters against the near-dup "gold" label — the Snorkel-style
+    // question "do my cheap labeling functions, combined, actually
+    // track the expensive label", per lang with exact ppm accuracy
+    "q482_weak_labels" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+      val dupIds = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+        .withColumn("gold1", lit(1L))
+      docs.select(col("doc_id"), col("lang"),
+          (col("n_chars") >= 300).cast("long").as("a"),
+          (size(split(col("text"), " ", -1)) >= 55).cast("long").as("b"),
+          (size(array_distinct(filter(split(col("text"), " ", -1),
+            x => length(x) > 0))) >= 28).cast("long").as("c"))
+        .withColumn("pred", (expr("a + b + c") >= 2).cast("long"))
+        .join(dupIds, Seq("doc_id"), "left")
+        .withColumn("gold", coalesce(col("gold1"), lit(0L)))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("pred")).as("n_pred_pos"),
+          sum(col("gold")).as("n_gold_pos"),
+          sum(when(col("pred") === col("gold"), 1L).otherwise(0L)).as("n_agree"))
+        .withColumn("acc_ppm", expr("n_agree * 1000000 div n_docs"))
+        .orderBy("lang")
+    }),
+
+    // Holm–Bonferroni multiple-testing correction over the five
+    // segment-mean contrasts: z² per segment from exact cross-multiplied
+    // sums (k$ units), ranked most-significant-first against the
+    // step-down χ²₁ critical ladder (α=5%), rejections stop at the
+    // first failure — the family-wise control a per-segment q232 lacks
+    "q483_holm_correction" -> ((s, dir) => {
+      import s.implicits._
+      val per = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("segment"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT) div 100000").as("y"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("ns"), sum(col("y")).as("ss"),
+          sum(expr("y * y")).as("sss"))
+        .localCheckpoint(false)
+      val tot = per.agg(sum(col("ns")).as("nn"), sum(col("ss")).as("st"),
+        sum(col("sss")).as("sst"))
+      val crit = Seq(1L -> 6635L, 2L -> 6239L, 3L -> 5731L, 4L -> 5024L,
+        5L -> 3841L).toDF("rnk", "crit_milli")
+      val z2 = per.crossJoin(broadcast(tot))
+        .withColumn("z2_milli", expr(
+          "CAST(1000 * (CAST(ss AS DECIMAL(38,0)) * nn - CAST(st AS DECIMAL(38,0)) * ns)" +
+            " * (CAST(ss AS DECIMAL(38,0)) * nn - CAST(st AS DECIMAL(38,0)) * ns)" +
+            " div (CAST(ns AS DECIMAL(38,0)) * nn" +
+            " * (CAST(nn AS DECIMAL(38,0)) * sst - CAST(st AS DECIMAL(38,0)) * st))" +
+            " AS BIGINT)"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("z2_milli").desc, col("segment"))).cast("long"))
+        .join(broadcast(crit), Seq("rnk"))
+        .withColumn("pass", (col("z2_milli") >= col("crit_milli")).cast("long"))
+      z2.withColumn("n_fail_before",
+          sum(lit(1L) - col("pass")).over(Window.orderBy("rnk")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("rnk"), col("segment"), col("z2_milli"), col("crit_milli"),
+          when(col("n_fail_before") === 0, 1L).otherwise(0L).as("rejected"))
+        .orderBy("rnk")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -123,6 +123,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q464_anova_interaction",  // 1-row factor-margin aggregates crossed (7×5 grid)
     "q466_l_moments",          // 1-row n bound crossed into the rank weights
     "q469_range_partitioner_sim", // 31-row sampled split dictionary crossed into the scan
+    "q479_ipf_raking",         // 1-row (N, margins) bound over the 5×20 cell grid
+    "q481_dirichlet_lm",       // 3-row term-cf + 1-row collection-total bounds
+    "q483_holm_correction",    // 1-row global-moment bound over the 5 segments
     "q368_lsh_cost_model",     // 1-row distinct-candidate count bound
     "q369_storage_tiering",    // 1-row max-date aggregate bound
     "q373_postings_intersect", // 1-row corpus-doc-count bound
