@@ -9862,7 +9862,134 @@ object OracleSql {
         |)
         |SELECT rnk, segment, z2_milli, crit_milli,
         |       CAST(CASE WHEN nf = 0 THEN 1 ELSE 0 END AS BIGINT) AS rejected
-        |FROM f ORDER BY rnk""".stripMargin
+        |FROM f ORDER BY rnk""".stripMargin,
+
+    "q484_eb_shrinkage" ->
+      """WITH per AS (
+        |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+        |         CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)
+        |                  * CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS syy
+        |  FROM part GROUP BY 1
+        |), u AS (SELECT *, CAST(CAST(sy AS HUGEINT) * sy // n AS BIGINT) AS u FROM per),
+        |t AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS k, CAST(sum(n) AS HUGEINT) AS nn,
+        |         CAST(sum(sy) AS HUGEINT) AS st, CAST(sum(syy) AS HUGEINT) AS sst,
+        |         CAST(sum(u) AS HUGEINT) AS su
+        |  FROM u
+        |), kp AS (
+        |  SELECT CAST((k - 1) * (sst - su)
+        |              // ((nn - k) * (su - st * st // nn)) AS BIGINT) AS kap, nn, st
+        |  FROM t
+        |)
+        |SELECT p_brand, n, CAST(sy // n AS BIGINT) AS raw_mean_cents,
+        |       CAST((CAST(sy AS HUGEINT) * nn + CAST(kap AS HUGEINT) * st)
+        |            // (nn * (n + kap)) AS BIGINT) AS shrunk_mean_cents
+        |FROM per, kp ORDER BY p_brand""".stripMargin,
+
+    "q485_pearson_residuals" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1, 2
+        |), t AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells),
+        |m AS (
+        |  SELECT cells.lang, cells.source, cells.o, nn,
+        |         CAST(sum(o) OVER (PARTITION BY lang) AS BIGINT) AS rsum,
+        |         CAST(sum(o) OVER (PARTITION BY source) AS BIGINT) AS csum
+        |  FROM cells, t
+        |), d AS (
+        |  SELECT *, o * nn - rsum * csum AS dev,
+        |         CAST(1000000 * CAST(o * nn - rsum * csum AS HUGEINT)
+        |              * (o * nn - rsum * csum)
+        |              // (CAST(nn AS HUGEINT) * nn * rsum * csum) AS BIGINT) AS q2
+        |  FROM m
+        |), s0 AS (SELECT *, CAST(floor(sqrt(CAST(q2 AS DOUBLE))) AS BIGINT) AS t0 FROM d)
+        |SELECT lang, source, o,
+        |       CAST(CASE WHEN dev >= 0 THEN 1 ELSE -1 END
+        |            * (CASE WHEN (t0 + 1) * (t0 + 1) <= q2 THEN t0 + 1
+        |                    WHEN t0 * t0 > q2 THEN t0 - 1 ELSE t0 END) AS BIGINT)
+        |         AS resid_milli,
+        |       CAST(CASE WHEN abs(CASE WHEN dev >= 0 THEN 1 ELSE -1 END
+        |                          * (CASE WHEN (t0 + 1) * (t0 + 1) <= q2 THEN t0 + 1
+        |                                  WHEN t0 * t0 > q2 THEN t0 - 1 ELSE t0 END)) > 2000
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS outlier_cell
+        |FROM s0 ORDER BY lang, source""".stripMargin,
+
+    "q486_coupon_collector" ->
+      """WITH o AS (
+        |  SELECT doc_id, source,
+        |         CAST(concat('0x', substr(md5('cc#' || CAST(doc_id AS VARCHAR)), 1, 12))
+        |              AS BIGINT) AS h
+        |  FROM documents WHERE text IS NOT NULL
+        |), p AS (
+        |  SELECT source,
+        |         CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos,
+        |         CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+        |              AS BIGINT) AS fr
+        |  FROM o
+        |), ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS ns FROM o),
+        |f AS (SELECT pos FROM p WHERE fr = 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        |       CAST(max(pos) AS BIGINT) AS cover_position,
+        |       CAST(list_sum(list_transform(range(1, ns + 1), i -> 1000000 // i))
+        |            AS BIGINT) AS harmonic_micro,
+        |       CAST(ns * CAST(list_sum(list_transform(range(1, ns + 1),
+        |                      i -> 1000000 // i)) AS BIGINT) // 1000 AS BIGINT)
+        |         AS expected_draws_milli
+        |FROM f, ns GROUP BY ns""".stripMargin,
+
+    "q487_durbin_watson" ->
+      """WITH rev AS (
+        |  SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS mi,
+        |         CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |              // 100000 AS BIGINT) AS y
+        |  FROM orders GROUP BY 1 HAVING mi >= 0 AND mi < 24
+        |), e AS (
+        |  SELECT mi, 2 * y - CAST(sum(y) OVER (PARTITION BY mi % 12) AS BIGINT) AS e
+        |  FROM rev
+        |), l AS (SELECT mi, e, lag(e, 1) OVER (ORDER BY mi) AS ep FROM e)
+        |SELECT CAST(count(*) AS BIGINT) AS n_months,
+        |       CAST(1000 * sum(CASE WHEN ep IS NOT NULL
+        |                            THEN CAST(e - ep AS HUGEINT) * (e - ep)
+        |                            ELSE 0 END)
+        |            // sum(CAST(e AS HUGEINT) * e) AS BIGINT) AS dw_milli
+        |FROM l""".stripMargin,
+
+    "q488_bh_fdr" ->
+      """WITH per AS (
+        |  SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS ns,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) // 100000) AS BIGINT) AS ss,
+        |         CAST(sum((CAST(round(o_totalprice * 100) AS BIGINT) // 100000)
+        |                  * (CAST(round(o_totalprice * 100) AS BIGINT) // 100000))
+        |              AS BIGINT) AS sss
+        |  FROM orders JOIN customer ON c_custkey = o_custkey GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(ns) AS HUGEINT) AS nn, CAST(sum(ss) AS HUGEINT) AS st,
+        |         CAST(sum(sss) AS HUGEINT) AS sst
+        |  FROM per
+        |), z AS (
+        |  SELECT segment,
+        |         CAST(1000 * (CAST(ss AS HUGEINT) * nn - st * ns)
+        |              * (CAST(ss AS HUGEINT) * nn - st * ns)
+        |              // (CAST(ns AS HUGEINT) * nn * (nn * sst - st * st)) AS BIGINT)
+        |           AS z2_milli
+        |  FROM per, t
+        |), rk AS (
+        |  SELECT segment, z2_milli,
+        |         CAST(row_number() OVER (ORDER BY z2_milli DESC, segment) AS BIGINT) AS rnk
+        |  FROM z
+        |), cr AS (
+        |  SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(6635 AS BIGINT)),
+        |                        (2, 5412), (3, 4709), (4, 4218), (5, 3841))
+        |         v(rnk, crit_milli)
+        |), j AS (
+        |  SELECT rk.rnk, rk.segment, rk.z2_milli, cr.crit_milli,
+        |         CASE WHEN rk.z2_milli >= cr.crit_milli THEN 1 ELSE 0 END AS pass
+        |  FROM rk JOIN cr USING (rnk)
+        |), mx AS (SELECT coalesce(max(CASE WHEN pass = 1 THEN rnk END), 0) AS mp FROM j)
+        |SELECT rnk, segment, z2_milli, crit_milli,
+        |       CAST(CASE WHEN rnk <= mp THEN 1 ELSE 0 END AS BIGINT) AS rejected
+        |FROM j, mx ORDER BY rnk""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

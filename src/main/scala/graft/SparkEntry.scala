@@ -10539,6 +10539,152 @@ object SparkEntry {
         .orderBy("rnk")
     }),
 
+    // empirical-Bayes shrinkage of per-brand mean prices toward the
+    // grand mean: weight n/(n+κ) with κ = within-variance over
+    // between-variance from the exact ANOVA components (floor-div at
+    // the defined points) — the hierarchical-model fix for small-n
+    // group means that q252's raw per-brand aggregates over-trust
+    "q484_eb_shrinkage" -> ((s, dir) => {
+      val per = Tables.part(s, dir)
+        .select(col("p_brand"), centsOf(col("p_retailprice")).as("y"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum(expr("y * y")).as("syy"))
+        .withColumn("u", expr("CAST(sy AS DECIMAL(38,0)) * sy div n"))
+        .localCheckpoint(false)
+      val tot = per.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+        sum(col("sy").cast(dec38)).as("st"), sum(col("syy").cast(dec38)).as("sst"),
+        sum(col("u").cast(dec38)).as("su"))
+      per.crossJoin(broadcast(tot))
+        // κ = MSW/MSB = ((k−1)·SSW)/((N−k)·SSB), SSW/SSB the q448 sums
+        .withColumn("kap", expr(
+          "CAST((k - 1) * (sst - su) div" +
+            " ((nn - k) * (su - st * st div nn)) AS BIGINT)"))
+        .select(col("p_brand"), col("n"),
+          expr("sy div n").as("raw_mean_cents"),
+          // (n·m_g + κ·m)/(n+κ) = (sy·N + κ·S_tot) / (N·(n+κ))
+          expr("CAST((CAST(sy AS DECIMAL(38,0)) * nn + CAST(kap AS DECIMAL(38,0)) * st)" +
+            " div (CAST(nn AS DECIMAL(38,0)) * (n + kap)) AS BIGINT)")
+            .as("shrunk_mean_cents"))
+        .orderBy("p_brand")
+    }),
+
+    // standardized Pearson residuals of the lang×source contingency
+    // table: which CELLS drive the q119 independence verdict —
+    // r = (o−e)/√e as sign·isqrt(1e6·(oN−rc)² div (N·rc)) in milli,
+    // flagged at |r| > 2; margins via two windows on the bounded grid
+    "q485_pearson_residuals" -> ((s, dir) => {
+      val cells = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val tot = cells.agg(sum(col("o")).as("nn"))
+      cells.crossJoin(broadcast(tot))
+        .withColumn("rsum", sum(col("o")).over(Window.partitionBy("lang")))
+        .withColumn("csum", sum(col("o")).over(Window.partitionBy("source")))
+        .withColumn("dev", expr("o * nn - rsum * csum"))
+        .withColumn("q2", expr(
+          "CAST(1000000 * CAST(dev AS DECIMAL(38,0)) * dev" +
+            " div (CAST(nn AS DECIMAL(38,0)) * nn * rsum * csum) AS BIGINT)"))
+        .withColumn("t0", floor(sqrt(col("q2").cast("double"))).cast("long"))
+        .withColumn("rt", expr(
+          "CASE WHEN (t0 + 1) * (t0 + 1) <= q2 THEN t0 + 1" +
+            " WHEN t0 * t0 > q2 THEN t0 - 1 ELSE t0 END"))
+        .select(col("lang"), col("source"), col("o"),
+          expr("CASE WHEN dev >= 0 THEN rt ELSE -rt END").as("resid_milli"))
+        .withColumn("outlier_cell", (abs(col("resid_milli")) > 2000L).cast("long"))
+        .orderBy("lang", "source")
+    }),
+
+    // coupon-collector coverage: walking the corpus in deterministic
+    // md5 order, at which position has every SOURCE been seen — the
+    // "how much do I must sample to cover all sources" readout, with
+    // the n·H_n expectation (harmonic sum as shared integer micro
+    // terms) beside the observed value
+    "q486_coupon_collector" -> ((s, dir) => {
+      val ordered = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          Dedup.md5Long(concat(lit("cc#"), col("doc_id").cast("string")), 12).as("h"))
+        .withColumn("pos", row_number().over(
+          Window.orderBy(col("h"), col("doc_id"))).cast("long"))
+        .withColumn("first_of_src", (row_number().over(
+          Window.partitionBy("source").orderBy(col("h"), col("doc_id"))) === 1)
+          .cast("long"))
+      val ns = ordered.agg(countDistinct(col("source")).as("ns"))
+      ordered.filter(col("first_of_src") === 1)
+        .agg(count(lit(1)).as("n_sources"), max(col("pos")).as("cover_position"))
+        .crossJoin(broadcast(ns))
+        .select(col("n_sources"), col("cover_position"),
+          expr("aggregate(sequence(CAST(1 AS BIGINT), ns), CAST(0 AS BIGINT)," +
+            " (acc, i) -> acc + 1000000 div i)").as("harmonic_micro"),
+          expr("CAST(ns * aggregate(sequence(CAST(1 AS BIGINT), ns), CAST(0 AS BIGINT)," +
+            " (acc, i) -> acc + 1000000 div i) div 1000 AS BIGINT)")
+            .as("expected_draws_milli"))
+    }),
+
+    // Durbin–Watson statistic on seasonally-adjusted monthly revenue
+    // (24-month window, residual e = 2y − same-calendar-month sum so
+    // every residual shares one exact scale): DW = Σ(Δe)²/Σe² in milli
+    // — the serial-correlation-of-residuals check after removing the
+    // seasonal mean, complementing q460/q477 on the raw series
+    "q487_durbin_watson" -> ((s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .groupBy(expr("(year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1")
+          .as("mi"))
+        .agg(expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) div 100000" +
+          " AS BIGINT)").as("y"))
+        .filter(col("mi") >= 0 && col("mi") < 24)
+        .withColumn("moy", expr("mi % 12"))
+        .withColumn("sm", sum(col("y")).over(Window.partitionBy("moy")))
+        .withColumn("e", expr("2 * y - sm"))
+        .withColumn("ep", lag(col("e"), 1).over(Window.orderBy("mi")))
+      rev.agg(count(lit(1)).as("n_months"),
+          sum(expr("CASE WHEN ep IS NOT NULL THEN (e - ep) * (e - ep) ELSE 0 END")
+            .cast(dec38)).as("sd"),
+          sum(expr("e * e").cast(dec38)).as("se"))
+        .select(col("n_months"),
+          expr("CAST(1000 * sd div se AS BIGINT)").as("dw_milli"))
+    }),
+
+    // Benjamini–Hochberg FDR (step-UP) over the same five segment
+    // contrasts as q483's Holm (step-down): reject every rank ≤ the
+    // LARGEST rank whose z² clears its α·r/k ladder value — the two
+    // procedures bracket multiplicity control (FWER vs FDR) on one
+    // exact-integer statistic set
+    "q488_bh_fdr" -> ((s, dir) => {
+      import s.implicits._
+      val per = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("segment"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT) div 100000").as("y"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("ns"), sum(col("y")).as("ss"),
+          sum(expr("y * y")).as("sss"))
+        .localCheckpoint(false)
+      val tot = per.agg(sum(col("ns")).as("nn"), sum(col("ss")).as("st"),
+        sum(col("sss")).as("sst"))
+      val crit = Seq(1L -> 6635L, 2L -> 5412L, 3L -> 4709L, 4L -> 4218L,
+        5L -> 3841L).toDF("rnk", "crit_milli")
+      val z2 = per.crossJoin(broadcast(tot))
+        .withColumn("z2_milli", expr(
+          "CAST(1000 * (CAST(ss AS DECIMAL(38,0)) * nn - CAST(st AS DECIMAL(38,0)) * ns)" +
+            " * (CAST(ss AS DECIMAL(38,0)) * nn - CAST(st AS DECIMAL(38,0)) * ns)" +
+            " div (CAST(ns AS DECIMAL(38,0)) * nn" +
+            " * (CAST(nn AS DECIMAL(38,0)) * sst - CAST(st AS DECIMAL(38,0)) * st))" +
+            " AS BIGINT)"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("z2_milli").desc, col("segment"))).cast("long"))
+        .join(broadcast(crit), Seq("rnk"))
+        .withColumn("pass", (col("z2_milli") >= col("crit_milli")).cast("long"))
+      z2.withColumn("max_pass_rank",
+          max(when(col("pass") === 1, col("rnk"))).over(
+            Window.partitionBy()))
+        .select(col("rnk"), col("segment"), col("z2_milli"), col("crit_milli"),
+          when(col("rnk") <= coalesce(col("max_pass_rank"), lit(0L)), 1L)
+            .otherwise(0L).as("rejected"))
+        .orderBy("rnk")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -126,6 +126,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q479_ipf_raking",         // 1-row (N, margins) bound over the 5×20 cell grid
     "q481_dirichlet_lm",       // 3-row term-cf + 1-row collection-total bounds
     "q483_holm_correction",    // 1-row global-moment bound over the 5 segments
+    "q484_eb_shrinkage",       // 1-row ANOVA-component bound over the brand dict
+    "q485_pearson_residuals",  // 1-row grand-total bound over the 5×20 grid
+    "q486_coupon_collector",   // 1-row source-count bound (harmonic expectation)
+    "q488_bh_fdr",             // 1-row global-moment bound over the 5 segments
     "q368_lsh_cost_model",     // 1-row distinct-candidate count bound
     "q369_storage_tiering",    // 1-row max-date aggregate bound
     "q373_postings_intersect", // 1-row corpus-doc-count bound
