@@ -9989,7 +9989,159 @@ object OracleSql {
         |), mx AS (SELECT coalesce(max(CASE WHEN pass = 1 THEN rnk END), 0) AS mp FROM j)
         |SELECT rnk, segment, z2_milli, crit_milli,
         |       CAST(CASE WHEN rnk <= mp THEN 1 ELSE 0 END AS BIGINT) AS rejected
-        |FROM j, mx ORDER BY rnk""".stripMargin
+        |FROM j, mx ORDER BY rnk""".stripMargin,
+
+    "q489_mcnemar" ->
+      """WITH r AS (
+        |  SELECT lang,
+        |         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+        |         CASE WHEN len(string_split(text, ' ')) >= 55 THEN 1 ELSE 0 END AS b
+        |  FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |       CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |       CAST(CASE WHEN sum(CASE WHEN a <> b THEN 1 ELSE 0 END) = 0 THEN 0
+        |            ELSE 1000 * (sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+        |                         - sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END))
+        |                 * (sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+        |                    - sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END))
+        |                 // sum(CASE WHEN a <> b THEN 1 ELSE 0 END) END AS BIGINT)
+        |         AS chi2_milli,
+        |       CAST(CASE WHEN sum(CASE WHEN a <> b THEN 1 ELSE 0 END) = 0 THEN 0
+        |            ELSE 1000 * (abs(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+        |                             - sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)) - 1)
+        |                 * (abs(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+        |                        - sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)) - 1)
+        |                 // sum(CASE WHEN a <> b THEN 1 ELSE 0 END) END AS BIGINT)
+        |         AS chi2_cc_milli
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q490_poisson_gof" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+        |), grid AS (
+        |  SELECT u.user_id, d.day, CAST(coalesce(c.k, 0) AS BIGINT) AS k
+        |  FROM (SELECT DISTINCT user_id FROM ev) u
+        |  CROSS JOIN (SELECT DISTINCT day FROM ev) d
+        |  LEFT JOIN (SELECT user_id, day, count(*) AS k FROM ev GROUP BY 1, 2) c
+        |    ON c.user_id = u.user_id AND c.day = d.day
+        |), ob AS (
+        |  SELECT least(k, 10) AS kb, CAST(count(*) AS BIGINT) AS o
+        |  FROM grid GROUP BY 1
+        |), t AS (SELECT CAST(sum(o) AS BIGINT) AS nn, CAST(sum(kb * o) AS BIGINT) AS sk
+        |         FROM ob),
+        |fact AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(1 AS BIGINT)), (1, 1),
+        |                 (2, 2), (3, 6), (4, 24), (5, 120), (6, 720), (7, 5040),
+        |                 (8, 40320), (9, 362880)) v(kb, f)),
+        |bins AS (
+        |  SELECT b.kb, CAST(coalesce(ob.o, 0) AS BIGINT) AS o, fact.f, t.nn, t.sk
+        |  FROM (SELECT unnest(range(0, 11)) AS kb) b
+        |  LEFT JOIN ob ON ob.kb = b.kb
+        |  LEFT JOIN fact ON fact.kb = b.kb
+        |  CROSS JOIN t
+        |), em AS (
+        |  SELECT kb, o, nn,
+        |         CAST(round(CASE WHEN kb <= 9 THEN nn * exp(-(CAST(sk AS DOUBLE) / nn))
+        |                              * pow(CAST(sk AS DOUBLE) / nn, kb) / f * 1000
+        |                         ELSE 0.0 END) AS BIGINT) AS e_milli
+        |  FROM bins
+        |), tl AS (SELECT CAST(max(nn) * 1000 - sum(e_milli) AS BIGINT) AS te FROM em),
+        |f2 AS (
+        |  SELECT kb, o, CASE WHEN kb = 10 THEN te ELSE e_milli END AS e2
+        |  FROM em, tl
+        |)
+        |SELECT CAST(kb AS BIGINT) AS k_bin, o, CAST(e2 AS BIGINT) AS e_milli,
+        |       CAST((o * 1000 - e2) * (o * 1000 - e2) // e2 AS BIGINT) AS contrib_milli
+        |FROM f2 WHERE e2 > 0 ORDER BY k_bin""".stripMargin,
+
+    "q491_cochran_q" ->
+      """WITH r AS (
+        |  SELECT lang,
+        |         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+        |         CASE WHEN len(string_split(text, ' ')) >= 55 THEN 1 ELSE 0 END AS b,
+        |         CASE WHEN len(list_distinct(list_filter(string_split(text, ' '),
+        |                      x -> len(x) > 0))) >= 28 THEN 1 ELSE 0 END AS c
+        |  FROM documents WHERE text IS NOT NULL
+        |), g AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(a) AS HUGEINT) AS ca, CAST(sum(b) AS HUGEINT) AS cb,
+        |         CAST(sum(c) AS HUGEINT) AS cc2,
+        |         CAST(sum(a + b + c) AS HUGEINT) AS sr,
+        |         CAST(sum((a + b + c) * (a + b + c)) AS HUGEINT) AS srr
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT lang, n_docs,
+        |       CAST(CASE WHEN 3 * sr - srr = 0 THEN 0
+        |            ELSE 1000 * 2 * (3 * (ca * ca + cb * cb + cc2 * cc2) - sr * sr)
+        |                 // (3 * sr - srr) END AS BIGINT) AS q_milli
+        |FROM g ORDER BY lang""".stripMargin,
+
+    "q492_sign_test" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CASE WHEN year(o_orderdate) = 1997
+        |                       THEN CAST(round(o_totalprice * 100) AS BIGINT)
+        |                       ELSE 0 END) AS BIGINT) AS r97,
+        |         CAST(sum(CASE WHEN year(o_orderdate) = 1998
+        |                       THEN CAST(round(o_totalprice * 100) AS BIGINT)
+        |                       ELSE 0 END) AS BIGINT) AS r98
+        |  FROM orders WHERE year(o_orderdate) IN (1997, 1998) GROUP BY 1
+        |  HAVING r97 > 0 AND r98 > 0 AND r97 <> r98
+        |), a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN r98 > r97 THEN 1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM per
+        |), b AS (
+        |  SELECT n, s, 2 * s - n AS aa, 1000000 * (2 * s - n) * (2 * s - n) // n AS x2
+        |  FROM a
+        |), c AS (SELECT *, CAST(floor(sqrt(CAST(x2 AS DOUBLE))) AS BIGINT) AS t0 FROM b)
+        |SELECT n AS n_pairs, s AS n_up,
+        |       CAST(CASE WHEN aa >= 0 THEN 1 ELSE -1 END
+        |            * (CASE WHEN (t0 + 1) * (t0 + 1) <= x2 THEN t0 + 1
+        |                    WHEN t0 * t0 > x2 THEN t0 - 1 ELSE t0 END) AS BIGINT) AS z_milli
+        |FROM c""".stripMargin,
+
+    "q493_bootstrap_ab_ci" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5('qte#' || CAST(doc_id AS VARCHAR)), 1, 12))
+        |              AS BIGINT) % 2 AS arm,
+        |         n_chars
+        |  FROM documents WHERE text IS NOT NULL
+        |), reps AS (
+        |  SELECT r.r, base.arm, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(n_chars) AS BIGINT) AS sx
+        |  FROM base CROSS JOIN (SELECT unnest(range(0, 50)) AS r) r
+        |  WHERE CAST(concat('0x', substr(md5('bs#' || r.r || '#' || CAST(base.doc_id AS VARCHAR)), 1, 12))
+        |             AS BIGINT) % 2 = 0
+        |  GROUP BY 1, 2
+        |), d AS (
+        |  SELECT r, CAST(1000 * max(CASE WHEN arm = 1 THEN sx END)
+        |                 // max(CASE WHEN arm = 1 THEN n END)
+        |                 - 1000 * max(CASE WHEN arm = 0 THEN sx END)
+        |                 // max(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS diff_milli
+        |  FROM reps GROUP BY 1
+        |), rk AS (
+        |  SELECT diff_milli,
+        |         CAST(row_number() OVER (ORDER BY diff_milli, r) AS BIGINT) AS rk
+        |  FROM d
+        |), full_ AS (
+        |  SELECT CAST(1000 * max(CASE WHEN arm = 1 THEN sx END)
+        |              // max(CASE WHEN arm = 1 THEN n END)
+        |              - 1000 * max(CASE WHEN arm = 0 THEN sx END)
+        |              // max(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS diff_full_milli
+        |  FROM (SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS sx
+        |        FROM base GROUP BY 1)
+        |)
+        |SELECT CAST((SELECT count(*) FROM rk) AS BIGINT) AS n_reps,
+        |       diff_full_milli,
+        |       (SELECT diff_milli FROM rk WHERE rk = 2) AS lo_milli,
+        |       (SELECT diff_milli FROM rk WHERE rk = 49) AS hi_milli,
+        |       CAST(CASE WHEN (SELECT diff_milli FROM rk WHERE rk = 2) <= 0
+        |                  AND (SELECT diff_milli FROM rk WHERE rk = 49) >= 0
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS covers_zero
+        |FROM full_""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

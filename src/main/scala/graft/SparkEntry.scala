@@ -10685,6 +10685,164 @@ object SparkEntry {
         .orderBy("rnk")
     }),
 
+    // McNemar's paired test between the two q420 raters: only the
+    // DISCORDANT cells carry information about which rater is stricter
+    // — χ² = (n01−n10)²/(n01+n10) plus the continuity-corrected form,
+    // exact milli per lang; the paired complement to Cohen's κ
+    // (agreement) on the same rater pair
+    "q489_mcnemar" -> ((s, dir) =>
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("lang"),
+          (col("n_chars") >= 300).cast("long").as("a"),
+          (size(split(col("text"), " ", -1)) >= 55).cast("long").as("b"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L)).as("n10"),
+          sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L)).as("n01"))
+        .select(col("lang"), col("n_docs"), col("n10"), col("n01"),
+          expr("CASE WHEN n01 + n10 = 0 THEN 0" +
+            " ELSE 1000 * (n01 - n10) * (n01 - n10) div (n01 + n10) END")
+            .as("chi2_milli"),
+          expr("CASE WHEN n01 + n10 = 0 THEN 0" +
+            " ELSE 1000 * (abs(n01 - n10) - 1) * (abs(n01 - n10) - 1)" +
+            " div (n01 + n10) END").as("chi2_cc_milli"))
+        .orderBy("lang")),
+
+    // Poisson goodness-of-fit of per-(user, day) event counts (zero
+    // days included via the user×day grid): expected bin masses from
+    // ONE quantized pmf evaluation per k (exp·pow/k!, k ≤ 9 + tail
+    // complement — so the e's sum exactly to N), χ² contributions as
+    // exact integers after that quantization — the "is activity really
+    // Poisson or is it bursty" verdict behind q471's NB fit
+    "q490_poisson_gof" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("CAST(date_trunc('DAY', ts) AS DATE)").as("day"))
+        .localCheckpoint(false)
+      val users = ev.select("user_id").distinct()
+      val days = ev.select("day").distinct()
+      val grid = users.crossJoin(days)
+        .join(ev.groupBy("user_id", "day").agg(count(lit(1)).as("k")),
+          Seq("user_id", "day"), "left").na.fill(0L, Seq("k"))
+        .withColumn("kb", least(col("k"), lit(10L)))
+        .groupBy("kb").agg(count(lit(1)).as("o"))
+        .localCheckpoint(false)
+      val tot = grid.agg(sum(col("o")).as("nn"),
+        sum(col("kb") * col("o")).as("sk"))
+      val fact = Seq(0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 6L, 4L -> 24L,
+        5L -> 120L, 6L -> 720L, 7L -> 5040L, 8L -> 40320L, 9L -> 362880L)
+        .toDF("kb", "f")
+      val bins = s.range(11).select(col("id").as("kb"))
+        .join(grid, Seq("kb"), "left").na.fill(0L, Seq("o"))
+        .join(fact, Seq("kb"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("e_milli", expr(
+          "CAST(round(CASE WHEN kb <= 9 THEN nn * exp(-(CAST(sk AS DOUBLE) / nn))" +
+            " * pow(CAST(sk AS DOUBLE) / nn, kb) / f * 1000 ELSE 0.0D END)" +
+            " AS BIGINT)"))
+        .localCheckpoint(false)
+      val tailE = bins.agg((max(col("nn")) * 1000 - sum(col("e_milli"))).as("te"))
+      bins.crossJoin(broadcast(tailE))
+        .withColumn("e2", when(col("kb") === 10, col("te")).otherwise(col("e_milli")))
+        .filter(col("e2") > 0)
+        .select(col("kb").as("k_bin"), col("o"), col("e2").as("e_milli"),
+          expr("(o * 1000 - e2) * (o * 1000 - e2) div e2").as("contrib_milli"))
+        .orderBy("k_bin")
+    }),
+
+    // Cochran's Q across the THREE q473 raters: do the raters have the
+    // same marginal positive rate — the k-rater generalization of
+    // McNemar, Q = (k−1)(kΣC²−T²)/(kΣR−ΣR²) in exact integers per lang
+    // (κ says "do they agree per item"; Q says "are they equally
+    // strict" — both needed before pooling rater votes)
+    "q491_cochran_q" -> ((s, dir) =>
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("lang"),
+          (col("n_chars") >= 300).cast("long").as("a"),
+          (size(split(col("text"), " ", -1)) >= 55).cast("long").as("b"),
+          (size(array_distinct(filter(split(col("text"), " ", -1),
+            x => length(x) > 0))) >= 28).cast("long").as("c"))
+        .withColumn("r", expr("a + b + c"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("a")).as("ca"), sum(col("b")).as("cb"), sum(col("c")).as("cc2"),
+          sum(col("r")).as("sr"), sum(expr("r * r")).as("srr"))
+        .select(col("lang"), col("n_docs"),
+          expr("CASE WHEN 3 * sr - srr = 0 THEN 0" +
+            " ELSE CAST(1000 * 2 * (3 * (CAST(ca AS DECIMAL(38,0)) * ca" +
+            " + CAST(cb AS DECIMAL(38,0)) * cb + CAST(cc2 AS DECIMAL(38,0)) * cc2)" +
+            " - CAST(sr AS DECIMAL(38,0)) * sr)" +
+            " div (CAST(3 AS DECIMAL(38,0)) * sr - srr) AS BIGINT) END")
+            .as("q_milli"))
+        .orderBy("lang")),
+
+    // paired sign test: did per-customer revenue rise from 1997 to 1998
+    // — medians-free, distribution-free, just the sign of each paired
+    // difference (ties dropped), z = (2S−n)/√n via the exact isqrt; the
+    // paired counterpart to q289's independent-samples Mann–Whitney
+    "q492_sign_test" -> ((s, dir) => {
+      val per = Tables.orders(s, dir)
+        .filter(expr("year(o_orderdate) IN (1997, 1998)"))
+        .groupBy("o_custkey")
+        .agg(sum(when(expr("year(o_orderdate) = 1997"),
+          centsOf(col("o_totalprice"))).otherwise(0L)).as("r97"),
+          sum(when(expr("year(o_orderdate) = 1998"),
+            centsOf(col("o_totalprice"))).otherwise(0L)).as("r98"))
+        .filter(col("r97") > 0 && col("r98") > 0 && col("r97") =!= col("r98"))
+      per.agg(count(lit(1)).as("n"),
+          sum(when(col("r98") > col("r97"), 1L).otherwise(0L)).as("s"))
+        .withColumn("aa", expr("2 * s - n"))
+        .withColumn("x2", expr("1000000 * aa * aa div n"))
+        .withColumn("t0", floor(sqrt(col("x2").cast("double"))).cast("long"))
+        .withColumn("rt", expr(
+          "CASE WHEN (t0 + 1) * (t0 + 1) <= x2 THEN t0 + 1" +
+            " WHEN t0 * t0 > x2 THEN t0 - 1 ELSE t0 END"))
+        .select(col("n").as("n_pairs"), col("s").as("n_up"),
+          expr("CASE WHEN aa >= 0 THEN rt ELSE -rt END").as("z_milli"))
+    }),
+
+    // deterministic half-sample bootstrap CI for the A/B mean difference
+    // (md5 arms × 50 md5 half-samples): replicate arm-mean differences
+    // in exact milli, the 2.5%/97.5% order statistics as the interval —
+    // q453's block bootstrap handles autocorrelation; this one handles
+    // the two-sample design (does the CI cover zero?)
+    "q493_bootstrap_ab_ci" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          (Dedup.md5Long(concat(lit("qte#"), col("doc_id").cast("string")), 12) % 2)
+            .as("arm"),
+          col("n_chars"))
+        .localCheckpoint(false)
+      val reps = base.crossJoin(broadcast((0L until 50L).toDF("r")))
+        .filter(Dedup.md5Long(concat(lit("bs#"), col("r"), lit("#"),
+          col("doc_id")), 12) % 2 === 0)
+        .groupBy("r", "arm")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sx"))
+        .groupBy("r")
+        .agg(expr("CAST(1000 * max(CASE WHEN arm = 1 THEN sx END)" +
+          " div max(CASE WHEN arm = 1 THEN n END)" +
+          " - 1000 * max(CASE WHEN arm = 0 THEN sx END)" +
+          " div max(CASE WHEN arm = 0 THEN n END) AS BIGINT)").as("diff_milli"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("diff_milli"), col("r"))).cast("long"))
+        .localCheckpoint(false)
+      val full = base.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sx"))
+        .agg(expr("CAST(1000 * max(CASE WHEN arm = 1 THEN sx END)" +
+          " div max(CASE WHEN arm = 1 THEN n END)" +
+          " - 1000 * max(CASE WHEN arm = 0 THEN sx END)" +
+          " div max(CASE WHEN arm = 0 THEN n END) AS BIGINT)").as("diff_full_milli"))
+      reps.agg(count(lit(1)).as("n_reps"),
+          max(when(col("rk") === 2, col("diff_milli"))).as("lo_milli"),
+          max(when(col("rk") === 49, col("diff_milli"))).as("hi_milli"))
+        .crossJoin(broadcast(full))
+        .select(col("n_reps"), col("diff_full_milli"), col("lo_milli"),
+          col("hi_milli"),
+          (col("lo_milli") <= 0L && col("hi_milli") >= 0L).cast("long")
+            .as("covers_zero"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

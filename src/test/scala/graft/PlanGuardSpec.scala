@@ -130,6 +130,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q485_pearson_residuals",  // 1-row grand-total bound over the 5×20 grid
     "q486_coupon_collector",   // 1-row source-count bound (harmonic expectation)
     "q488_bh_fdr",             // 1-row global-moment bound over the 5 segments
+    "q490_poisson_gof",        // 1-row (N, λ) + tail-mass bounds over the 11 bins
+    "q493_bootstrap_ab_ci",    // 50-row replicate dict crossed + 1-row full-diff bound
     "q368_lsh_cost_model",     // 1-row distinct-candidate count bound
     "q369_storage_tiering",    // 1-row max-date aggregate bound
     "q373_postings_intersect", // 1-row corpus-doc-count bound
