@@ -10141,7 +10141,272 @@ object OracleSql {
         |       CAST(CASE WHEN (SELECT diff_milli FROM rk WHERE rk = 2) <= 0
         |                  AND (SELECT diff_milli FROM rk WHERE rk = 49) >= 0
         |                 THEN 1 ELSE 0 END AS BIGINT) AS covers_zero
-        |FROM full_""".stripMargin
+        |FROM full_""".stripMargin,
+
+    "q494_kruskal_wallis" ->
+      """WITH j AS (SELECT o_orderpriority AS g,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |           FROM orders),
+        |vs AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM j GROUP BY 1),
+        |vc AS (SELECT v, cnt,
+        |              CAST(coalesce(sum(cnt) OVER (ORDER BY v
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |                AS BIGINT) AS cb
+        |       FROM vs),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        |               CAST(sum(cnt*cnt*cnt - cnt) AS BIGINT) AS ties
+        |        FROM vs),
+        |gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS n_gv FROM j GROUP BY 1, 2),
+        |tg AS (SELECT g, CAST(sum(n_gv * (2*cb + cnt + 1)) AS BIGINT) AS t2,
+        |              CAST(sum(n_gv) AS BIGINT) AS n_g
+        |       FROM gv JOIN vc USING (v) GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |             sum(CAST(t2 AS HUGEINT) * t2 // n_g) AS s4
+        |      FROM tg),
+        |h AS (SELECT n_groups, n,
+        |             CAST(3 * s4 * 1000000 // (CAST(n AS HUGEINT) * (n + 1))
+        |                  - 3 * (n + 1) * 1000000 AS BIGINT) AS h_micro,
+        |             ties
+        |      FROM s, tot)
+        |SELECT n_groups, n, h_micro,
+        |       CAST(CAST(h_micro AS HUGEINT) * (CAST(n AS HUGEINT)*n*n - n)
+        |            // (CAST(n AS HUGEINT)*n*n - n - ties) AS BIGINT) AS h_adj_micro
+        |FROM h""".stripMargin,
+
+    "q495_unseen_mass" ->
+      """WITH g4 AS (
+        |  SELECT source, substr(text, CAST(i AS INT), 4) AS g
+        |  FROM documents CROSS JOIN unnest(range(1, length(text) - 2)) AS u(i)
+        |  WHERE text IS NOT NULL AND length(text) >= 4
+        |), cnt AS (
+        |  SELECT source, g, CAST(count(*) AS BIGINT) AS c FROM g4 GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         CAST(count(*) AS BIGINT) AS v_types,
+        |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM cnt GROUP BY 1
+        |)
+        |SELECT source, n_tokens, v_types, n1, n2,
+        |       CAST(1000000 - n1 * 1000000 // n_tokens AS BIGINT) AS coverage_ppm,
+        |       CAST(v_types + CASE WHEN n2 > 0 THEN n1 * n1 // (2 * n2)
+        |                           ELSE n1 * (n1 - 1) // 2 END AS BIGINT) AS chao1_types
+        |FROM agg ORDER BY source""".stripMargin,
+
+    "q496_lexical_richness" ->
+      """WITH w AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE text IS NOT NULL
+        |), m AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS m
+        |  FROM w WHERE length(w) > 0 GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT source, CAST(sum(m) AS BIGINT) AS n_tokens,
+        |         CAST(count(*) AS BIGINT) AS v_types,
+        |         sum(CAST(m AS HUGEINT) * m) AS m2,
+        |         sum(CAST(m AS HUGEINT) * (m - 1)) AS rep
+        |  FROM m GROUP BY 1
+        |)
+        |SELECT source, n_tokens, v_types,
+        |       CAST(10000000 * (m2 - n_tokens)
+        |            // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT) AS yules_k_milli,
+        |       CAST(1000000 * rep
+        |            // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) AS BIGINT) AS simpson_ppm
+        |FROM agg ORDER BY source""".stripMargin,
+
+    "q497_lru_stack_distance" ->
+      """WITH sq AS (
+        |  SELECT user_id, event_type,
+        |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+        |           AS BIGINT) AS seq
+        |  FROM events
+        |), pv AS (
+        |  SELECT user_id, event_type, seq,
+        |         lag(seq) OVER (PARTITION BY user_id, event_type ORDER BY seq) AS pseq
+        |  FROM sq
+        |), dep AS (
+        |  SELECT p.user_id, p.seq,
+        |         CAST(count(DISTINCT m.event_type) + 1 AS BIGINT) AS depth
+        |  FROM pv p LEFT JOIN sq m
+        |    ON m.user_id = p.user_id AND m.seq > p.pseq AND m.seq < p.seq
+        |  WHERE p.pseq IS NOT NULL
+        |  GROUP BY 1, 2
+        |), hist AS (
+        |  SELECT depth, CAST(count(*) AS BIGINT) AS n FROM dep GROUP BY 1
+        |  UNION ALL
+        |  SELECT CAST(0 AS BIGINT) AS depth, CAST(count(*) AS BIGINT) AS n
+        |  FROM pv WHERE pseq IS NULL
+        |), tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM hist),
+        |c AS (
+        |  SELECT depth, n,
+        |         CAST(sum(CASE WHEN depth > 0 THEN n ELSE 0 END) OVER (
+        |           ORDER BY depth ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum_hits
+        |  FROM hist
+        |)
+        |SELECT depth, n AS n_accesses,
+        |       CAST(CASE WHEN depth > 0 THEN cum_hits * 1000000 // n_total
+        |                 ELSE 0 END AS BIGINT) AS hit_ratio_ppm
+        |FROM c, tot ORDER BY depth""".stripMargin,
+
+    "q498_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT CAST(concat('0x', substr(md5('kmv#' || CAST(o_orderkey AS VARCHAR)), 1, 12))
+        |           AS BIGINT) AS h
+        |  FROM (SELECT DISTINCT o_orderkey FROM orders)
+        |), topk AS (SELECT h FROM h ORDER BY h LIMIT 256),
+        |hk AS (SELECT CAST(max(h) AS BIGINT) AS hk, CAST(count(*) AS BIGINT) AS k
+        |       FROM topk),
+        |ex AS (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS exact_distinct
+        |       FROM orders),
+        |est AS (SELECT k, exact_distinct,
+        |               CAST((k - 1) * 281474976710656 // hk AS BIGINT) AS est
+        |        FROM hk, ex)
+        |SELECT k, exact_distinct, est AS kmv_estimate,
+        |       CAST(abs(est - exact_distinct) * 1000000 // exact_distinct AS BIGINT) AS err_ppm
+        |FROM est""".stripMargin,
+
+    // k-center mirror: the same 3 greedy rounds as chained CTEs, each
+    // round one distance pass against the single new centroid + least().
+    "q499_kcenter_seeding" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT vec_id, CAST(i AS BIGINT) AS pos,
+        |             CAST(round(e[CAST(i AS INT) + 1] * 1000000) AS BIGINT) AS qv
+        |      FROM v CROSS JOIN unnest(range(0, len(e))) AS u(i)),
+        |s0 AS (SELECT min(vec_id) AS vid FROM v),
+        |d1 AS (SELECT a.vec_id, CAST(sum((a.qv - c.qv) * (a.qv - c.qv)) AS BIGINT) AS mind
+        |       FROM q a JOIN q c ON c.vec_id = (SELECT vid FROM s0) AND c.pos = a.pos
+        |       GROUP BY 1),
+        |p1 AS (SELECT vec_id, mind FROM d1 WHERE vec_id <> (SELECT vid FROM s0)
+        |       ORDER BY mind DESC, vec_id LIMIT 1),
+        |e2 AS (SELECT a.vec_id, CAST(sum((a.qv - c.qv) * (a.qv - c.qv)) AS BIGINT) AS d2
+        |       FROM q a JOIN q c ON c.vec_id = (SELECT vec_id FROM p1) AND c.pos = a.pos
+        |       GROUP BY 1),
+        |m2 AS (SELECT d1.vec_id, least(d1.mind, e2.d2) AS mind
+        |       FROM d1 JOIN e2 USING (vec_id)),
+        |p2 AS (SELECT vec_id, mind FROM m2
+        |       WHERE vec_id NOT IN ((SELECT vid FROM s0), (SELECT vec_id FROM p1))
+        |       ORDER BY mind DESC, vec_id LIMIT 1),
+        |e3 AS (SELECT a.vec_id, CAST(sum((a.qv - c.qv) * (a.qv - c.qv)) AS BIGINT) AS d2
+        |       FROM q a JOIN q c ON c.vec_id = (SELECT vec_id FROM p2) AND c.pos = a.pos
+        |       GROUP BY 1),
+        |m3 AS (SELECT m2.vec_id, least(m2.mind, e3.d2) AS mind
+        |       FROM m2 JOIN e3 USING (vec_id)),
+        |p3 AS (SELECT vec_id, mind FROM m3
+        |       WHERE vec_id NOT IN ((SELECT vid FROM s0), (SELECT vec_id FROM p1),
+        |                            (SELECT vec_id FROM p2))
+        |       ORDER BY mind DESC, vec_id LIMIT 1)
+        |SELECT CAST(0 AS BIGINT) AS sel_order,
+        |       CAST((SELECT vid FROM s0) AS BIGINT) AS vec_id,
+        |       CAST(0 AS BIGINT) AS mind2_q
+        |UNION ALL SELECT CAST(1 AS BIGINT), vec_id, mind FROM p1
+        |UNION ALL SELECT CAST(2 AS BIGINT), vec_id, mind FROM p2
+        |UNION ALL SELECT CAST(3 AS BIGINT), vec_id, mind FROM p3
+        |ORDER BY sel_order""".stripMargin,
+
+    "q500_winnowing" ->
+      """WITH g AS (
+        |  SELECT source, doc_id, CAST(i AS BIGINT) AS i,
+        |         CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 5)), 1, 12))
+        |           AS BIGINT) AS h
+        |  FROM documents CROSS JOIN unnest(range(1, length(text) - 3)) AS u(i)
+        |  WHERE text IS NOT NULL AND length(text) >= 5
+        |), w AS (
+        |  SELECT source, doc_id,
+        |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
+        |  FROM g
+        |), fp AS (
+        |  SELECT source, doc_id, m, CAST(count(*) AS BIGINT) AS n_windows
+        |  FROM w GROUP BY 1, 2, 3
+        |), sh AS (
+        |  SELECT source,
+        |         CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fp
+        |  FROM (SELECT source, m, count(DISTINCT doc_id) AS nd FROM fp GROUP BY 1, 2)
+        |  GROUP BY 1
+        |), agg AS (
+        |  SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_windows) AS BIGINT) AS n_windows,
+        |         CAST(count(*) AS BIGINT) AS n_fingerprints
+        |  FROM fp GROUP BY 1
+        |)
+        |SELECT agg.source, n_docs, n_windows, n_fingerprints, n_shared_fp,
+        |       CAST(n_fingerprints * 1000000 // n_windows AS BIGINT) AS density_ppm
+        |FROM agg JOIN sh USING (source) ORDER BY agg.source""".stripMargin,
+
+    "q501_hits_trade" ->
+      """WITH cn AS (
+        |  SELECT o.o_orderkey, c.c_nationkey AS cnat,
+        |         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |), sn AS (
+        |  SELECT DISTINCT l.l_orderkey, s.s_nationkey AS snat
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |), e AS (
+        |  SELECT snat, cnat, CAST(sum(cents) AS BIGINT) AS w
+        |  FROM cn JOIN sn ON o_orderkey = l_orderkey GROUP BY 1, 2
+        |), h1r AS (SELECT snat, sum(CAST(w AS HUGEINT) * 1000000) AS h FROM e GROUP BY 1),
+        |h1 AS (SELECT snat, CAST((2 * h * 1000000 + mx) // (2 * mx) AS BIGINT) AS h
+        |       FROM h1r, (SELECT max(h) AS mx FROM h1r)),
+        |a1r AS (SELECT cnat, sum(CAST(e.w AS HUGEINT) * h1.h) AS a
+        |        FROM e JOIN h1 USING (snat) GROUP BY 1),
+        |a1 AS (SELECT cnat, CAST((2 * a * 1000000 + mx) // (2 * mx) AS BIGINT) AS a
+        |       FROM a1r, (SELECT max(a) AS mx FROM a1r)),
+        |h2r AS (SELECT snat, sum(CAST(e.w AS HUGEINT) * a1.a) AS h
+        |        FROM e JOIN a1 USING (cnat) GROUP BY 1),
+        |h2 AS (SELECT snat, CAST((2 * h * 1000000 + mx) // (2 * mx) AS BIGINT) AS h
+        |       FROM h2r, (SELECT max(h) AS mx FROM h2r))
+        |SELECT CAST(coalesce(h2.snat, a1.cnat) AS BIGINT) AS nationkey,
+        |       CAST(coalesce(h2.h, 0) AS BIGINT) AS hub_u,
+        |       CAST(coalesce(a1.a, 0) AS BIGINT) AS auth_u
+        |FROM h2 FULL OUTER JOIN a1 ON h2.snat = a1.cnat
+        |ORDER BY nationkey""".stripMargin,
+
+    "q502_price_elasticity" ->
+      """WITH b AS (
+        |  SELECT CAST(round(l_discount * 100) AS BIGINT) AS dc,
+        |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(round(ln(CAST(1 AS DOUBLE) - CAST(dc AS DOUBLE) / 100)
+        |           * 1000000) AS BIGINT) AS x,
+        |         CAST(round(ln(CAST(qty AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        |  FROM b
+        |), s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |         sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM t
+        |)
+        |SELECT n AS n_levels,
+        |       CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+        |            // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+        |         AS BIGINT) AS elasticity_micro,
+        |       CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+        |            * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+        |            // ((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+        |               * (CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy))
+        |         AS BIGINT) AS r2_ppm
+        |FROM s""".stripMargin,
+
+    // try_* boundaries replayed with explicit CASE guards: ep·10¹²
+    // overflows int64 exactly when ep > 9 223 372.
+    "q503_try_arithmetic" ->
+      """WITH l AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS ep,
+        |         CAST(round(l_discount * 100) AS BIGINT) AS dc
+        |  FROM lineitem
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN dc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_div_by_zero,
+        |       CAST(sum(CASE WHEN ep > 9223372 THEN 1 ELSE 0 END) AS BIGINT) AS n_mul_overflow,
+        |       CAST(sum(CASE WHEN ep > 9223372 THEN NULL
+        |                     ELSE CAST(ep AS HUGEINT) * 1000000000000 END)
+        |            // 1000000000000 AS BIGINT) AS sum_safe_cents,
+        |       CAST(sum(CASE WHEN dc > 0 THEN ep // dc END) AS BIGINT) AS sum_ratio
+        |FROM l""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

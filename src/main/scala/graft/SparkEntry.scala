@@ -10843,6 +10843,305 @@ object SparkEntry {
             .as("covers_zero"))
     }),
 
+    // Kruskal–Wallis H across the five order priorities (does at least
+    // one priority's price distribution differ): rank sums via the same
+    // value-grouped cumulative-count identity as q289 (never a per-row
+    // rank — the window runs over the bounded distinct-value relation),
+    // tie-corrected, every step exact integer/decimal arithmetic — the
+    // k-group generalization of q289's two-sample Mann–Whitney
+    "q494_kruskal_wallis" -> ((s, dir) => {
+      val j = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("g"), centsOf(col("o_totalprice")).as("v"))
+      val before = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      val vstats = j.groupBy("v").agg(count(lit(1)).as("cnt"))
+        .withColumn("cb", coalesce(sum(col("cnt")).over(before), lit(0L)))
+        .localCheckpoint(false)
+      val tot = vstats.agg(sum(col("cnt")).as("n"),
+        sum(expr("cnt * cnt * cnt - cnt")).as("ties"))
+      val tg = j.groupBy("g", "v").agg(count(lit(1)).as("n_gv"))
+        .join(vstats, "v")
+        .groupBy("g")
+        .agg(sum(expr("n_gv * (2 * cb + cnt + 1)")).as("t2"),
+          sum(col("n_gv")).as("n_g"))
+      tg.agg(count(lit(1)).as("n_groups"),
+          sum(expr("CAST(t2 AS DECIMAL(38,0)) * t2 div n_g")).as("s4"))
+        .crossJoin(broadcast(tot))
+        .withColumn("h_micro", expr(
+          "3 * CAST(s4 AS DECIMAL(38,0)) * 1000000 div (n * (n + 1))" +
+            " - 3 * (n + 1) * 1000000"))
+        .select(col("n_groups"), col("n"), col("h_micro"),
+          expr("CAST(h_micro AS DECIMAL(38,0))" +
+            " * (CAST(n AS DECIMAL(38,0)) * n * n - n)" +
+            " div (CAST(n AS DECIMAL(38,0)) * n * n - n - ties)")
+            .as("h_adj_micro"))
+    }),
+
+    // Good–Turing unseen mass + Chao1 richness per source over char
+    // 4-grams: coverage = 1 − N1/N is the probability the NEXT token is
+    // a known type (the "is this source mined out" readout) and Chao1 =
+    // V + N1²/(2·N2) lower-bounds the total type count — the pair that
+    // decides whether a source repays further crawling. Exact integers;
+    // the only shuffle is the (source, gram) count
+    "q495_unseen_mass" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) >= 4)
+        .select(col("source"),
+          explode(expr("sequence(1, length(text) - 3)")).as("i"), col("text"))
+        .select(col("source"), expr("substring(text, i, 4)").as("g"))
+        .groupBy("source", "g").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("v_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+        .select(col("source"), col("n_tokens"), col("v_types"), col("n1"),
+          col("n2"),
+          expr("1000000 - n1 * 1000000 div n_tokens").as("coverage_ppm"),
+          expr("v_types + CASE WHEN n2 > 0 THEN n1 * n1 div (2 * n2)" +
+            " ELSE n1 * (n1 - 1) div 2 END").as("chao1_types"))
+        .orderBy("source")),
+
+    // lexical-richness panel per source: Yule's K = 10⁴·(Σm²−N)/N² and
+    // the Simpson repeat rate Σm(m−1)/(N(N−1)) — both length-invariant
+    // repetitiveness characteristics (q295's hapax share measures the
+    // tail; these measure the head's concentration). All integer-exact
+    "q496_lexical_richness" -> ((s, dir) =>
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("source"), explode(split(col("text"), " ", -1)).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("source", "w").agg(count(lit(1)).as("m"))
+        .groupBy("source")
+        .agg(sum(col("m")).as("n_tokens"), count(lit(1)).as("v_types"),
+          sum(expr("CAST(m AS DECIMAL(38,0)) * m")).as("m2"),
+          sum(expr("CAST(m AS DECIMAL(38,0)) * (m - 1)")).as("rep"))
+        .select(col("source"), col("n_tokens"), col("v_types"),
+          expr("CAST(10000000 * (m2 - n_tokens)" +
+            " div (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens) AS BIGINT)")
+            .as("yules_k_milli"),
+          expr("CAST(1000000 * rep" +
+            " div (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1)) AS BIGINT)")
+            .as("simpson_ppm"))
+        .orderBy("source")),
+
+    // LRU stack-distance profile over per-user event_type access
+    // streams: depth d = 1 + |distinct other items touched since this
+    // item's previous access| is the Mattson stack distance — ONE pass
+    // yields the hit ratio of EVERY cache size at once (hits(C) =
+    // Σ_{0<d≤C} n_d). The between-accesses distinct count is a per-user
+    // equi-join bounded by the re-reference gap (≤ the item vocabulary
+    // on average), ordering pinned to event_id (engine-portable total
+    // order — never the nanos-vs-micros timestamp)
+    "q497_lru_stack_distance" -> ((s, dir) => {
+      val seqd = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("seq", row_number().over(
+          Window.partitionBy("user_id").orderBy("event_id")).cast("long"))
+        .localCheckpoint(false)
+      val prev = seqd.withColumn("pseq", lag(col("seq"), 1).over(
+        Window.partitionBy("user_id", "event_type").orderBy("seq")))
+      val mid = seqd.select(col("user_id").as("u2"), col("seq").as("s2"),
+        col("event_type").as("t2"))
+      val depth = prev.filter(col("pseq").isNotNull)
+        .join(mid, col("user_id") === col("u2") &&
+          col("s2") > col("pseq") && col("s2") < col("seq"), "left")
+        .groupBy(col("user_id"), col("seq"))
+        .agg((countDistinct(col("t2")) + lit(1L)).as("depth"))
+      val hist = depth.groupBy("depth").agg(count(lit(1)).as("n"))
+        .unionAll(prev.filter(col("pseq").isNull)
+          .agg(count(lit(1)).as("n")).select(lit(0L).as("depth"), col("n")))
+      hist.crossJoin(broadcast(hist.agg(sum(col("n")).as("n_total"))))
+        .withColumn("cum_hits",
+          sum(when(col("depth") > 0, col("n")).otherwise(0L)).over(
+            Window.orderBy("depth").rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("depth"), col("n").as("n_accesses"),
+          expr("CASE WHEN depth > 0 THEN cum_hits * 1000000 div n_total" +
+            " ELSE 0 END").as("hit_ratio_ppm"))
+        .orderBy("depth")
+    }),
+
+    // K-minimum-values distinct-count sketch, exactly replayed: the k-th
+    // smallest 48-bit md5 of the key estimates |D| ≈ (k−1)·2⁴⁸/h_(k)
+    // (uniform order statistics), compared against the exact distinct on
+    // the same column — the mergeable-sketch alternative to q162's HLL
+    // whose ESTIMATE (not just its bound) is engine-portable integers;
+    // top-k is a TakeOrderedAndProject, never a global sort
+    "q498_kmv_distinct" -> ((s, dir) => {
+      val hk = Tables.orders(s, dir).select(col("o_orderkey")).distinct()
+        .select(Dedup.md5Long(
+          concat(lit("kmv#"), col("o_orderkey").cast("string")), 12).as("h"))
+        .orderBy("h").limit(256)
+        .agg(max(col("h")).as("hk"), count(lit(1)).as("k"))
+      hk.crossJoin(broadcast(Tables.orders(s, dir)
+          .agg(countDistinct(col("o_orderkey")).as("exact_distinct"))))
+        .withColumn("est", expr("(k - 1) * 281474976710656 div hk"))
+        .select(col("k"), col("exact_distinct"), col("est").as("kmv_estimate"),
+          expr("abs(est - exact_distinct) * 1000000 div exact_distinct")
+            .as("err_ppm"))
+    }),
+
+    // greedy k-center (farthest-point) seeding over embeddings — the
+    // kmeans++-family initializer that maximizes coverage: 3 rounds of
+    // "pick the vector farthest from everything chosen", distances as
+    // 1e-6-quantized integer squared euclidean (q83 discipline), the
+    // running min-distance relation updated incrementally (one join per
+    // round against the ONE new centroid, never re-scanning the chosen
+    // set). Driver state is 4 (id, dist) rows — the bounded iterative-ML
+    // license kmeansFit documents; ties → lowest vec_id
+    "q499_kcenter_seeding" -> ((s, dir) => {
+      import s.implicits._
+      val q = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("pos"),
+          round(col("x") * 1000000, 0).cast("long").as("qv"))
+        .localCheckpoint(false)
+      def distTo(id: Long) = q.join(
+          broadcast(q.filter(col("vec_id") === id)
+            .select(col("pos").as("cpos"), col("qv").as("qc"))),
+          col("pos") === col("cpos"))
+        .groupBy("vec_id")
+        .agg(sum(expr("(qv - qc) * (qv - qc)")).as("mind"))
+      val seed = q.agg(min(col("vec_id"))).collect()(0).getLong(0)
+      var picks = Vector((0L, seed, 0L))
+      var mind = distTo(seed).localCheckpoint(false)
+      (1 to 3).foreach { r =>
+        val p = mind.filter(!col("vec_id").isin(picks.map(_._2): _*))
+          .orderBy(col("mind").desc, col("vec_id")).limit(1).collect()(0)
+        picks = picks :+ ((r.toLong, p.getLong(0), p.getLong(1)))
+        if (r < 3)
+          mind = mind.join(distTo(p.getLong(0)).withColumnRenamed("mind", "d2"),
+              "vec_id")
+            .select(col("vec_id"), least(col("mind"), col("d2")).as("mind"))
+            .localCheckpoint(false)
+      }
+      picks.toDF("sel_order", "vec_id", "mind2_q").orderBy("sel_order")
+    }),
+
+    // winnowing fingerprints (the MOSS plagiarism-detector selection):
+    // per doc, the minimum 48-bit 5-gram hash of every width-4 window —
+    // guarantees any ≥8-char match shares a fingerprint while storing
+    // ~2/(w+1) of the grams. Readout per source: windows, distinct
+    // fingerprints kept (the density the guarantee costs), and
+    // fingerprints shared across ≥2 docs (the dup signal). Leading
+    // partial frames included — pinned, identical frame semantics in
+    // both engines; all per-doc windows, never a global sort
+    "q500_winnowing" -> ((s, dir) => {
+      val fp = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) >= 5)
+        .select(col("source"), col("doc_id"),
+          explode(expr("sequence(1, length(text) - 4)")).as("i"), col("text"))
+        .select(col("source"), col("doc_id"), col("i"),
+          Dedup.md5Long(expr("substring(text, i, 5)"), 12).as("h"))
+        .withColumn("m", min(col("h")).over(Window.partitionBy("doc_id")
+          .orderBy("i").rowsBetween(-3, 0)))
+        .groupBy("source", "doc_id", "m")
+        .agg(count(lit(1)).as("n_windows"))
+        .localCheckpoint(false)
+      val shared = fp.groupBy("source", "m")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .groupBy("source")
+        .agg(sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_fp"))
+      fp.groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("n_windows")).as("n_windows"),
+          count(lit(1)).as("n_fingerprints"))
+        .join(shared, "source")
+        .withColumn("density_ppm",
+          expr("n_fingerprints * 1000000 div n_windows"))
+        .orderBy("source")
+    }),
+
+    // HITS hubs & authorities on the supplier-nation → customer-nation
+    // trade graph (edge weight = cents revenue): hubs = nations whose
+    // suppliers ship to authoritative buyers, authorities = nations
+    // whose customers buy from hub sellers — the mutually-recursive pair
+    // PageRank's single score conflates. Two normalized iterations in
+    // exact integer algebra (max-normalized, half-away rounding — the
+    // q163 power-iteration discipline); the edge relation is ≤ n²
+    // nation pairs, every score join broadcasts
+    "q501_hits_trade" -> ((s, dir) => {
+      val cn = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey").as("cnat"),
+          centsOf(col("o_totalprice")).as("cents"))
+      val sn = Tables.lineitem(s, dir)
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"), col("s_nationkey").as("snat"))
+        .distinct()
+      val edges = cn.join(sn, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("snat", "cnat").agg(sum(col("cents")).as("w"))
+        .localCheckpoint(false)
+      def normed(raw: DataFrame, key: String, v: String): DataFrame =
+        raw.crossJoin(broadcast(raw.agg(max(col(v)).as("mx"))))
+          .select(col(key), expr(
+            s"CAST((2 * CAST($v AS DECIMAL(38,0)) * 1000000 + mx)" +
+              s" div (2 * mx) AS BIGINT)").as(v))
+      val h1 = normed(edges.groupBy("snat")
+        .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * 1000000")).as("h")), "snat", "h")
+      val a1 = normed(edges.join(broadcast(h1), "snat")
+        .groupBy("cnat").agg(sum(expr("CAST(w AS DECIMAL(38,0)) * h")).as("a")),
+        "cnat", "a")
+      val h2 = normed(edges.join(broadcast(a1), "cnat")
+        .groupBy("snat").agg(sum(expr("CAST(w AS DECIMAL(38,0)) * a")).as("h")),
+        "snat", "h")
+      h2.join(a1, col("snat") === col("cnat"), "full_outer")
+        .select(coalesce(col("snat"), col("cnat")).cast("long").as("nationkey"),
+          coalesce(col("h"), lit(0L)).as("hub_u"),
+          coalesce(col("a"), lit(0L)).as("auth_u"))
+        .orderBy("nationkey")
+    }),
+
+    // price elasticity of demand from the discount-level demand curve:
+    // OLS of ln(total quantity) on ln(price factor 1−d) across the 11
+    // discrete discount levels — the "how much does a 1% price cut lift
+    // volume" readout. Quantized-log micro-nats (q72 convention), the
+    // regression over 11 bounded rows in exact integer algebra, slope
+    // and R² as integer-scaled divisions (never a final double)
+    "q502_price_elasticity" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(expr("CAST(round(l_discount * 100) AS BIGINT)").as("dc"))
+        .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("qty"))
+        .select(
+          expr("CAST(round(ln(1.0D - CAST(dc AS DOUBLE) / 100) * 1000000)" +
+            " AS BIGINT)").as("x"),
+          expr("CAST(round(ln(CAST(qty AS DOUBLE)) * 1000000) AS BIGINT)")
+            .as("y"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+          sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+        .select(col("n").as("n_levels"),
+          expr("CAST((CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)" +
+            " * 1000000 div (CAST(n AS DECIMAL(38,0)) * sxx" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)").as("elasticity_micro"),
+          expr("CAST((CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)" +
+            " * (CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)" +
+            " * 1000000 div ((CAST(n AS DECIMAL(38,0)) * sxx" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx)" +
+            " * (CAST(n AS DECIMAL(38,0)) * syy" +
+            " - CAST(sy AS DECIMAL(38,0)) * sy)) AS BIGINT)").as("r2_ppm"))),
+
+    // ANSI-safety census with the try_* family (Spark 4 runs ANSI mode
+    // by default — plain div-by-zero and overflow THROW): try_divide's
+    // NULL on the zero-discount rows and try_multiply's NULL past the
+    // int64 boundary (ep·10¹² overflows exactly when ep > 9 223 372),
+    // counted and summed; the oracle replays the same boundaries with
+    // explicit CASE guards — proving the nulls land where int64 says
+    // they must, not where the engine feels like it
+    "q503_try_arithmetic" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(centsOf(col("l_extendedprice")).as("ep"),
+          expr("CAST(round(l_discount * 100) AS BIGINT)").as("dc"))
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(expr("try_divide(ep, dc)"))).as("n_div_by_zero"),
+          (count(lit(1)) - count(expr("try_multiply(ep, 1000000000000L)")))
+            .as("n_mul_overflow"),
+          // Σ(ep·10¹²)/10¹² telescopes back to the exact cents sum of the
+          // non-overflowing rows — a long, never a >2⁵³ integer (those
+          // lose exactness crossing DuckDB's HUGEINT→float64 bridge)
+          expr("CAST(sum(CAST(try_multiply(ep, 1000000000000L) AS DECIMAL(38,0)))" +
+            " div 1000000000000 AS BIGINT)").as("sum_safe_cents"),
+          sum(when(col("dc") > 0, expr("ep div dc"))).as("sum_ratio"))),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

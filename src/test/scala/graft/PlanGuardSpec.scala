@@ -132,6 +132,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q488_bh_fdr",             // 1-row global-moment bound over the 5 segments
     "q490_poisson_gof",        // 1-row (N, λ) + tail-mass bounds over the 11 bins
     "q493_bootstrap_ab_ci",    // 50-row replicate dict crossed + 1-row full-diff bound
+    "q494_kruskal_wallis",     // 1-row N/ties totals crossed into the k-row group aggregate
+    "q497_lru_stack_distance", // 1-row access total crossed into the ≤|vocab|-row histogram
+    "q498_kmv_distinct",       // 1-row exact-distinct bound crossed into the 1-row sketch row
+    "q501_hits_trade",         // 1-row max-score normalizer crossed into the ≤n_nations relation
     "q368_lsh_cost_model",     // 1-row distinct-candidate count bound
     "q369_storage_tiering",    // 1-row max-date aggregate bound
     "q373_postings_intersect", // 1-row corpus-doc-count bound
