@@ -10406,7 +10406,149 @@ object OracleSql {
         |                     ELSE CAST(ep AS HUGEINT) * 1000000000000 END)
         |            // 1000000000000 AS BIGINT) AS sum_safe_cents,
         |       CAST(sum(CASE WHEN dc > 0 THEN ep // dc END) AS BIGINT) AS sum_ratio
-        |FROM l""".stripMargin
+        |FROM l""".stripMargin,
+
+    "q504_kneser_ney" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents
+        |           WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT ws[i+1] AS v, ws[i+2] AS w
+        |       FROM d CROSS JOIN unnest(range(0, len(ws) - 1)) AS u(i)),
+        |bc AS (SELECT v, w, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+        |cv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv,
+        |              CAST(count(*) AS BIGINT) AS nv FROM bc GROUP BY 1),
+        |nw AS (SELECT w, CAST(count(*) AS BIGINT) AS nw FROM bc GROUP BY 1),
+        |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n11 FROM bc)
+        |SELECT bc.v, bc.w, c AS c_vw,
+        |       CAST((4 * c - 3) * 1000000 // (4 * cv)
+        |            + (3 * nv * 1000000 // (4 * cv)) * (nw * 1000000 // n11)
+        |              // 1000000 AS BIGINT) AS kn_micro
+        |FROM bc JOIN cv USING (v) JOIN nw USING (w) CROSS JOIN n1
+        |ORDER BY kn_micro DESC, bc.v, bc.w LIMIT 20""".stripMargin,
+
+    "q505_participation_ratio" ->
+      """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT CAST(i AS BIGINT) AS pos,
+        |             CAST(round(e[CAST(i AS INT) + 1] * 1000000) AS BIGINT) AS qv
+        |      FROM v CROSS JOIN unnest(range(0, len(e))) AS u(i)),
+        |s AS (SELECT pos, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(qv) AS BIGINT) AS sx,
+        |             sum(CAST(qv AS HUGEINT) * qv) AS sxx
+        |      FROM q GROUP BY 1),
+        |vr AS (SELECT n,
+        |              CAST((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+        |                   // 1000000 AS BIGINT) AS vr
+        |       FROM s),
+        |agg AS (SELECT CAST(max(n) AS BIGINT) AS n_vecs,
+        |               CAST(count(*) AS BIGINT) AS dim,
+        |               CAST(sum(vr) AS BIGINT) AS sv,
+        |               sum(CAST(vr AS HUGEINT) * vr) AS svv,
+        |               CAST(max(vr) AS BIGINT) AS v_max_r,
+        |               CAST(min(vr) AS BIGINT) AS v_min_r
+        |        FROM vr)
+        |SELECT n_vecs, dim,
+        |       CAST(1000 * CAST(sv AS HUGEINT) * sv // svv AS BIGINT) AS pr_milli,
+        |       v_max_r, v_min_r
+        |FROM agg""".stripMargin,
+
+    "q506_speculative_tasks" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority AS stage, o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS d
+        |  FROM orders
+        |), r AS (
+        |  SELECT stage, d,
+        |         CAST(row_number() OVER (PARTITION BY stage ORDER BY d, o_orderkey)
+        |           AS BIGINT) AS rk,
+        |         CAST(count(*) OVER (PARTITION BY stage) AS BIGINT) AS n
+        |  FROM t
+        |), st AS (
+        |  SELECT stage, CAST(max(n) AS BIGINT) AS n_tasks,
+        |         CAST(max(CASE WHEN rk = (99 * n + 99) // 100 THEN d END) AS BIGINT) AS p99_ms,
+        |         CAST(max(CASE WHEN rk = (n + 1) // 2 THEN d END) AS BIGINT) AS median_ms,
+        |         CAST(max(d) AS BIGINT) AS makespan_ms
+        |  FROM r GROUP BY 1
+        |), sp AS (
+        |  SELECT r.stage, CAST(max(least(r.d, st.p99_ms + st.median_ms)) AS BIGINT) AS spec_makespan_ms
+        |  FROM r JOIN st USING (stage) GROUP BY 1
+        |)
+        |SELECT st.stage, n_tasks, p99_ms, median_ms, makespan_ms, spec_makespan_ms,
+        |       CAST((makespan_ms - spec_makespan_ms) * 1000000 // makespan_ms
+        |         AS BIGINT) AS saving_ppm
+        |FROM st JOIN sp USING (stage) ORDER BY st.stage""".stripMargin,
+
+    "q507_rouge_overlap" ->
+      s"""$minhashCte,
+         |base AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |  WHERE text IS NOT NULL AND doc_id IN (
+         |    SELECT doc_a FROM cand UNION SELECT doc_b FROM cand)
+         |), uni AS (
+         |  SELECT DISTINCT doc_id, g FROM (
+         |    SELECT doc_id, unnest(ws) AS g FROM base)
+         |  WHERE length(g) > 0
+         |), bi AS (
+         |  SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] AS g
+         |  FROM base CROSS JOIN unnest(range(0, len(ws) - 1)) AS u(i)
+         |  WHERE len(ws) >= 2
+         |), ru AS (
+         |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_uni_common
+         |  FROM cand c JOIN uni a ON a.doc_id = c.doc_a
+         |              JOIN uni b ON b.doc_id = c.doc_b AND b.g = a.g
+         |  GROUP BY 1, 2
+         |), rb AS (
+         |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_bi_common
+         |  FROM cand c JOIN bi a ON a.doc_id = c.doc_a
+         |              JOIN bi b ON b.doc_id = c.doc_b AND b.g = a.g
+         |  GROUP BY 1, 2
+         |), nu AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY 1),
+         |nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM bi GROUP BY 1)
+         |SELECT c.doc_a, c.doc_b,
+         |       CAST(coalesce(ru.n_uni_common, 0) AS BIGINT) AS n_uni_common,
+         |       CAST(coalesce(ru.n_uni_common * 1000000 // nu.n, 0) AS BIGINT) AS r1_ppm,
+         |       CAST(coalesce(rb.n_bi_common, 0) AS BIGINT) AS n_bi_common,
+         |       CAST(coalesce(rb.n_bi_common * 1000000 // nb.n, 0) AS BIGINT) AS r2_ppm
+         |FROM cand c
+         |LEFT JOIN ru ON ru.doc_a = c.doc_a AND ru.doc_b = c.doc_b
+         |LEFT JOIN rb ON rb.doc_a = c.doc_a AND rb.doc_b = c.doc_b
+         |LEFT JOIN nu ON nu.doc_id = c.doc_a
+         |LEFT JOIN nb ON nb.doc_id = c.doc_a
+         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+
+    "q508_bartlett_test" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS ng,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sx,
+        |         sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+        |             * CAST(round(o_totalprice * 100) AS BIGINT)) AS sxx
+        |  FROM orders GROUP BY 1
+        |), t AS (
+        |  SELECT ng,
+        |         CAST(ng AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS a,
+        |         CAST(round(ln(CAST(CAST(ng AS HUGEINT) * sxx
+        |                            - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |                       / (CAST(ng AS DOUBLE) * (ng - 1))) * 1000000)
+        |           AS BIGINT) AS lnv,
+        |         CAST(1000000000 // (ng - 1) AS BIGINT) AS recip
+        |  FROM g
+        |), s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k_groups, CAST(sum(ng) AS BIGINT) AS n,
+        |         CAST(sum((ng - 1) * lnv) AS BIGINT) AS sl,
+        |         CAST(sum(a // ng // 1000) AS BIGINT) AS p,
+        |         CAST(sum(recip) AS BIGINT) AS sr
+        |  FROM t
+        |)
+        |SELECT k_groups, n,
+        |       CAST((n - k_groups)
+        |            * CAST(round(ln(CAST(p AS DOUBLE) * 1000 / (n - k_groups)) * 1000000)
+        |                AS BIGINT) - sl AS BIGINT) AS t_micro,
+        |       CAST(1000000000 + (sr - 1000000000 // (n - k_groups))
+        |            // (3 * (k_groups - 1)) AS BIGINT) AS c_nano,
+        |       CAST(CAST((n - k_groups)
+        |            * CAST(round(ln(CAST(p AS DOUBLE) * 1000 / (n - k_groups)) * 1000000)
+        |                AS BIGINT) - sl AS HUGEINT) * 1000000000
+        |            // (1000000000 + (sr - 1000000000 // (n - k_groups))
+        |               // (3 * (k_groups - 1))) AS BIGINT) AS t_adj_micro
+        |FROM s""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

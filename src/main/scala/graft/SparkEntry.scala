@@ -11142,6 +11142,180 @@ object SparkEntry {
             " div 1000000000000 AS BIGINT)").as("sum_safe_cents"),
           sum(when(col("dc") > 0, expr("ep div dc"))).as("sum_ratio"))),
 
+    // interpolated Kneser–Ney bigram smoothing (D = 3/4 kept exact as a
+    // ×4 rational): max(c−D,0)/c(v) + λ(v)·P_cont(w), the continuation-
+    // probability backoff that beats Stupid Backoff (q432) and
+    // Dirichlet (q481) on re-used contexts — each factor quantized to
+    // micro BEFORE combining (pinned), top-20 smoothed bigrams. One
+    // corpus explode feeds bigram counts; contexts/continuations derive
+    // from the bigram-type relation, never a second scan
+    "q504_kneser_ney" -> ((s, dir) => {
+      val bc = Dedup.shingleRows(
+          Tables.documents(s, dir)
+            .filter(col("text").isNotNull &&
+              size(split(col("text"), " ", -1)) >= 2),
+          "doc_id", "text", 2)
+        .select(substring_index(col("s"), " ", 1).as("v"),
+          substring_index(col("s"), " ", -1).as("w"))
+        .groupBy("v", "w").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val cv = bc.groupBy("v").agg(sum(col("c")).as("cv"),
+        count(lit(1)).as("nv"))
+      val nw = bc.groupBy("w").agg(count(lit(1)).as("nw"))
+      bc.join(cv, "v").join(nw, "w")
+        .crossJoin(broadcast(bc.agg(count(lit(1)).as("n11"))))
+        .select(col("v"), col("w"), col("c").as("c_vw"),
+          expr("(4 * c - 3) * 1000000 div (4 * cv)" +
+            " + (3 * nv * 1000000 div (4 * cv)) * (nw * 1000000 div n11)" +
+            " div 1000000").as("kn_micro"))
+        .orderBy(col("kn_micro").desc, col("v"), col("w")).limit(20)
+    }),
+
+    // participation ratio (effective rank) of the embedding cloud from
+    // per-dimension variances: PR = (Σv)²/Σv² — 64 means "isotropic",
+    // ~1 means "one direction owns the cloud" (the global readout behind
+    // q191's per-dim variance table and q442's anisotropy). Variances as
+    // exact n·Σx²−(Σx)² integers on the 1e-6 grid, rescaled once (div
+    // 1e6, pinned) so the squares stay inside decimal38/HUGEINT
+    "q505_participation_ratio" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("pos", "x")))
+        .select(col("pos"), round(col("x") * 1000000, 0).cast("long").as("qv"))
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n"),
+          sum(col("qv")).as("sx"),
+          sum(expr("CAST(qv AS DECIMAL(38,0)) * qv")).as("sxx"))
+        .select(col("n"),
+          expr("(CAST(n AS DECIMAL(38,0)) * sxx" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx) div 1000000").as("vr"))
+        .agg(max(col("n")).as("n_vecs"), count(lit(1)).as("dim"),
+          sum(col("vr")).as("sv"),
+          sum(expr("CAST(vr AS DECIMAL(38,0)) * vr")).as("svv"),
+          max(col("vr")).as("v_max_r"), min(col("vr")).as("v_min_r"))
+        .select(col("n_vecs"), col("dim"),
+          expr("CAST(1000 * CAST(sv AS DECIMAL(38,0)) * sv div svv AS BIGINT)")
+            .as("pr_milli"),
+          col("v_max_r"), col("v_min_r"))),
+
+    // speculative-execution model per priority "stage": task duration =
+    // order dollars, stragglers past the exact P99 order statistic get a
+    // speculative copy that finishes at P99 + median — makespan before
+    // vs after, the "is speculation worth the duplicate work" readout.
+    // Order statistics as row_number ranks tie-broken by key (engine-
+    // portable), windows partitioned by the 5 bounded stages
+    "q506_speculative_tasks" -> ((s, dir) => {
+      val t = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("stage"), col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT) div 100").as("d"))
+        .withColumn("rk", row_number().over(Window.partitionBy("stage")
+          .orderBy(col("d"), col("o_orderkey"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("stage")))
+        .localCheckpoint(false)
+      val stats = t
+        .groupBy("stage")
+        .agg(max(col("n")).as("n_tasks"),
+          max(when(col("rk") === expr("(99 * n + 99) div 100"), col("d")))
+            .as("p99_ms"),
+          max(when(col("rk") === expr("(n + 1) div 2"), col("d")))
+            .as("median_ms"),
+          max(col("d")).as("makespan_ms"))
+      t.join(stats, "stage")
+        .groupBy("stage")
+        .agg(max(col("n_tasks")).as("n_tasks"), max(col("p99_ms")).as("p99_ms"),
+          max(col("median_ms")).as("median_ms"),
+          max(col("makespan_ms")).as("makespan_ms"),
+          max(least(col("d"), col("p99_ms") + col("median_ms")))
+            .as("spec_makespan_ms"))
+        .withColumn("saving_ppm", expr(
+          "(makespan_ms - spec_makespan_ms) * 1000000 div makespan_ms"))
+        .orderBy("stage")
+    }),
+
+    // ROUGE-1/ROUGE-2 set recall over the q21 near-dup candidate pairs
+    // (reference = doc_a): the "HOW similar, in n-gram terms" drill-down
+    // the binary candidate flag hides — MinHash says maybe, ROUGE says
+    // how much. The corpus never explodes: candidate doc ids semi-gate
+    // the unigram/bigram set build, every join an equi-join on bounded
+    // pair rows
+    "q507_rouge_overlap" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val cand = Dedup.minhashCandidates(d, "doc_id", "text")
+        .select("doc_a", "doc_b").localCheckpoint(false)
+      val ids = cand.select(col("doc_a").as("doc_id"))
+        .unionAll(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val base = d.join(ids, Seq("doc_id"), "left_semi")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+        .localCheckpoint(false)
+      val uni = base.select(col("doc_id"), explode(col("ws")).as("g"))
+        .filter(length(col("g")) > 0).distinct().localCheckpoint(false)
+      val bi = base.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 1)," +
+            " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+          .as("g")).distinct().localCheckpoint(false)
+      def recall(sets: DataFrame, cnt: String, ppm: String): DataFrame = {
+        val na = sets.groupBy("doc_id").agg(count(lit(1)).as("n_ref"))
+        cand
+          .join(sets.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+          .join(sets.select(col("doc_id"), col("g").as("g2")),
+            col("doc_b") === col("doc_id") && col("g") === col("g2"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as(cnt))
+          .join(na.select(col("doc_id").as("doc_a"), col("n_ref")), "doc_a")
+          .select(col("doc_a"), col("doc_b"), col(cnt),
+            expr(s"$cnt * 1000000 div n_ref").as(ppm))
+      }
+      cand
+        .join(recall(uni, "n_uni_common", "r1_ppm"), Seq("doc_a", "doc_b"),
+          "left")
+        .join(recall(bi, "n_bi_common", "r2_ppm"), Seq("doc_a", "doc_b"),
+          "left")
+        .select(col("doc_a"), col("doc_b"),
+          coalesce(col("n_uni_common"), lit(0L)).as("n_uni_common"),
+          coalesce(col("r1_ppm"), lit(0L)).as("r1_ppm"),
+          coalesce(col("n_bi_common"), lit(0L)).as("n_bi_common"),
+          coalesce(col("r2_ppm"), lit(0L)).as("r2_ppm"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Bartlett's variance-homogeneity test across the five priorities —
+    // the parametric sharp-nosed sibling of q474's Brown–Forsythe (which
+    // stays valid under non-normality; run both, believe Bartlett only
+    // when q474 agrees): (N−k)·ln Sp² − Σ(nᵢ−1)·ln Sᵢ², corrected by
+    // C = 1 + (Σ1/(nᵢ−1) − 1/(N−k))/(3(k−1)). Variance ratios exact
+    // integer; ONE ln per group (micro-nats) + one for the pooled term;
+    // the correction in nano-reciprocals — all engine-portable
+    "q508_bartlett_test" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("g"), centsOf(col("o_totalprice")).as("x"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("ng"), sum(col("x")).as("sx"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+        .select(col("ng"),
+          expr("CAST(ng AS DECIMAL(38,0)) * sxx" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx").as("a"),
+          expr("CAST(round(ln(CAST(CAST(ng AS DECIMAL(38,0)) * sxx" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)" +
+            " / (CAST(ng AS DOUBLE) * (ng - 1))) * 1000000) AS BIGINT)")
+            .as("lnv"),
+          expr("1000000000 div (ng - 1)").as("recip"))
+        .agg(count(lit(1)).as("k_groups"), sum(col("ng")).as("n"),
+          sum(expr("(ng - 1) * lnv")).as("sl"),
+          // a div ng ≈ (nᵢ−1)Sᵢ² in cents² reaches 6e18 per group at sf0.1 —
+          // the 5-group sum overflows long; keep the pooled term in
+          // kilo-cents² (pinned, ×1000 restored inside the ln)
+          sum(expr("a div ng div 1000")).as("p"),
+          sum(col("recip")).as("sr"))
+        .select(col("k_groups"), col("n"),
+          expr("(n - k_groups) * CAST(round(ln(CAST(p AS DOUBLE) * 1000" +
+            " / (n - k_groups)) * 1000000) AS BIGINT) - sl").as("t_micro"),
+          expr("1000000000 + (sr - 1000000000 div (n - k_groups))" +
+            " div (3 * (k_groups - 1))").as("c_nano"))
+        .withColumn("t_adj_micro",
+          expr("CAST(CAST(t_micro AS DECIMAL(38,0)) * 1000000000" +
+            " div c_nano AS BIGINT)"))),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -136,6 +136,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q497_lru_stack_distance", // 1-row access total crossed into the ≤|vocab|-row histogram
     "q498_kmv_distinct",       // 1-row exact-distinct bound crossed into the 1-row sketch row
     "q501_hits_trade",         // 1-row max-score normalizer crossed into the ≤n_nations relation
+    "q504_kneser_ney",         // 1-row bigram-type total crossed into the bounded type relation
     "q368_lsh_cost_model",     // 1-row distinct-candidate count bound
     "q369_storage_tiering",    // 1-row max-date aggregate bound
     "q373_postings_intersect", // 1-row corpus-doc-count bound
