@@ -10548,7 +10548,148 @@ object OracleSql {
         |                AS BIGINT) - sl AS HUGEINT) * 1000000000
         |            // (1000000000 + (sr - 1000000000 // (n - k_groups))
         |               // (3 * (k_groups - 1))) AS BIGINT) AS t_adj_micro
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    "q509_somers_gamma" ->
+      """WITH o AS (
+        |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS v, o_orderkey
+        |  FROM orders
+        |), t AS (
+        |  SELECT x, CAST(ntile(4) OVER (ORDER BY v, o_orderkey) AS BIGINT) AS y
+        |  FROM o
+        |), cells AS (
+        |  SELECT x, y, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1, 2
+        |), p AS (
+        |  SELECT CAST(sum(CASE WHEN a.y < b.y THEN a.n * b.n ELSE 0 END) AS BIGINT) AS c_pairs,
+        |         CAST(sum(CASE WHEN a.y > b.y THEN a.n * b.n ELSE 0 END) AS BIGINT) AS d_pairs,
+        |         CAST(sum(CASE WHEN a.y = b.y THEN a.n * b.n ELSE 0 END) AS BIGINT) AS t_y
+        |  FROM cells a JOIN cells b ON a.x < b.x
+        |)
+        |SELECT c_pairs, d_pairs, t_y,
+        |       CAST((c_pairs - d_pairs) * 1000000 // (c_pairs + d_pairs) AS BIGINT) AS gamma_ppm,
+        |       CAST((c_pairs - d_pairs) * 1000000 // (c_pairs + d_pairs + t_y)
+        |         AS BIGINT) AS somers_d_ppm
+        |FROM p""".stripMargin,
+
+    "q510_theils_u" ->
+      """WITH d AS (SELECT lang, source FROM documents),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM d),
+        |hl AS (SELECT CAST(sum(CAST(round(-(CAST(c AS DOUBLE)/nt)
+        |              * ln(CAST(c AS DOUBLE)/nt) * 1e9) AS BIGINT)) AS BIGINT) AS h
+        |       FROM (SELECT count(*) AS c FROM d GROUP BY lang), nt),
+        |hs AS (SELECT CAST(sum(CAST(round(-(CAST(c AS DOUBLE)/nt)
+        |              * ln(CAST(c AS DOUBLE)/nt) * 1e9) AS BIGINT)) AS BIGINT) AS h
+        |       FROM (SELECT count(*) AS c FROM d GROUP BY source), nt),
+        |hj AS (SELECT CAST(sum(CAST(round(-(CAST(c AS DOUBLE)/nt)
+        |              * ln(CAST(c AS DOUBLE)/nt) * 1e9) AS BIGINT)) AS BIGINT) AS h
+        |       FROM (SELECT count(*) AS c FROM d GROUP BY lang, source), nt)
+        |SELECT hl.h AS h_lang_nano, hs.h AS h_source_nano, hj.h AS h_joint_nano,
+        |       CAST((hl.h + hs.h - hj.h) * 1000000 // hl.h AS BIGINT)
+        |         AS u_lang_given_source_ppm,
+        |       CAST((hl.h + hs.h - hj.h) * 1000000 // hs.h AS BIGINT)
+        |         AS u_source_given_lang_ppm
+        |FROM hl, hs, hj""".stripMargin,
+
+    "q511_gram_schmidt" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |           WHERE vec_id <= 1),
+        |q AS (SELECT vec_id, CAST(i AS BIGINT) AS pos,
+        |             CAST(round(e[CAST(i AS INT) + 1] * 1000000) AS BIGINT) AS qv
+        |      FROM v CROSS JOIN unnest(range(0, len(e))) AS u(i)),
+        |j AS (SELECT a.pos, a.qv AS q0, b.qv AS q1
+        |      FROM q a JOIN q b ON a.pos = b.pos AND a.vec_id = 0 AND b.vec_id = 1),
+        |dots AS (SELECT sum(CAST(q1 AS HUGEINT) * q0) AS dot01,
+        |                sum(CAST(q0 AS HUGEINT) * q0) AS n0,
+        |                sum(CAST(q1 AS HUGEINT) * q1) AS n1 FROM j),
+        |c AS (SELECT dot01, n0, n1, dot01 * 1000000 // n0 AS c_micro FROM dots),
+        |r AS (SELECT c.dot01, c.n0, c.n1, c.c_micro,
+        |             q1 * 1000000 - CAST(c.c_micro AS BIGINT) * q0 AS r, q0
+        |      FROM j, c),
+        |agg AS (SELECT dot01, n0, n1, c_micro,
+        |               sum(CAST(r AS HUGEINT) * r) AS rn2,
+        |               sum(CAST(r AS HUGEINT) * q0) AS rdot0
+        |        FROM r GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(dot01 AS BIGINT) AS dot01_q, CAST(n0 AS BIGINT) AS norm0_q,
+        |       CAST(n1 AS BIGINT) AS norm1_q, CAST(c_micro AS BIGINT) AS c_micro,
+        |       CAST(rn2 // 1000000000000 AS BIGINT) AS resid_norm2_q,
+        |       CAST(rdot0 // 1000000 AS BIGINT) AS resid_dot0_micro,
+        |       CAST(CASE WHEN dot01 >= 0 THEN dot01 * dot01 * 1000000 // (n0 * n1)
+        |                 ELSE -(dot01 * dot01 * 1000000 // (n0 * n1)) END
+        |         AS BIGINT) AS cos2_signed_ppm
+        |FROM agg""".stripMargin,
+
+    "q512_moods_median" ->
+      """WITH j AS (SELECT o_orderpriority AS g,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |vs AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM j GROUP BY 1),
+        |vc AS (SELECT v, cnt,
+        |              CAST(coalesce(sum(cnt) OVER (ORDER BY v
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |                AS BIGINT) AS cb
+        |       FROM vs),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM j),
+        |med AS (SELECT v AS med, n FROM vc, nn
+        |        WHERE cb < (n + 1) // 2 AND cb + cnt >= (n + 1) // 2),
+        |cells AS (SELECT g, CASE WHEN v > med THEN 1 ELSE 0 END AS above, med, n,
+        |                 CAST(count(*) AS BIGINT) AS o
+        |          FROM j, med GROUP BY 1, 2, 3, 4),
+        |ng AS (SELECT g, CAST(sum(o) AS BIGINT) AS n_g FROM cells GROUP BY 1),
+        |ca AS (SELECT above, CAST(sum(o) AS BIGINT) AS n_a FROM cells GROUP BY 1),
+        |s AS (SELECT med, n,
+        |             CAST(sum(CAST(round(CAST(o AS DOUBLE) * o
+        |               / (CAST(n_g AS DOUBLE) * n_a) * 1000000000) AS BIGINT))
+        |               AS BIGINT) AS s9
+        |      FROM cells JOIN ng USING (g) JOIN ca USING (above) GROUP BY 1, 2)
+        |SELECT n AS n_orders, med AS median_cents,
+        |       CAST(n * (s9 - 1000000000) AS BIGINT) AS chi2_nano
+        |FROM s""".stripMargin,
+
+    "q513_variance_ratio" ->
+      """WITH day AS (
+        |  SELECT o_orderdate AS d,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+        |  FROM orders GROUP BY 1
+        |), df AS (
+        |  SELECT r - lag(r, 1) OVER (ORDER BY d) AS d1,
+        |         r - lag(r, 2) OVER (ORDER BY d) AS d2,
+        |         r - lag(r, 4) OVER (ORDER BY d) AS d4,
+        |         r - lag(r, 8) OVER (ORDER BY d) AS d8
+        |  FROM day
+        |), b AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n1, CAST(sum(d1) AS BIGINT) AS s1,
+        |         sum(CAST(d1 AS HUGEINT) * d1) AS ss1
+        |  FROM df WHERE d1 IS NOT NULL
+        |), g2 AS (SELECT CAST(count(*) AS BIGINT) AS nq, CAST(sum(d2) AS BIGINT) AS sq,
+        |                 sum(CAST(d2 AS HUGEINT) * d2) AS ssq
+        |          FROM df WHERE d2 IS NOT NULL),
+        |g4 AS (SELECT CAST(count(*) AS BIGINT) AS nq, CAST(sum(d4) AS BIGINT) AS sq,
+        |              sum(CAST(d4 AS HUGEINT) * d4) AS ssq
+        |       FROM df WHERE d4 IS NOT NULL),
+        |g8 AS (SELECT CAST(count(*) AS BIGINT) AS nq, CAST(sum(d8) AS BIGINT) AS sq,
+        |              sum(CAST(d8 AS HUGEINT) * d8) AS ssq
+        |       FROM df WHERE d8 IS NOT NULL)
+        |SELECT CAST(2 AS BIGINT) AS q, nq AS n_diffs,
+        |       CAST((CAST(nq AS HUGEINT) * ssq - CAST(sq AS HUGEINT) * sq)
+        |            * n1 * n1 * 1000000
+        |            // (2 * (CAST(n1 AS HUGEINT) * ss1 - CAST(s1 AS HUGEINT) * s1)
+        |               * nq * nq) AS BIGINT) AS vr_ppm
+        |FROM g2, b
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT), nq,
+        |       CAST((CAST(nq AS HUGEINT) * ssq - CAST(sq AS HUGEINT) * sq)
+        |            * n1 * n1 * 1000000
+        |            // (4 * (CAST(n1 AS HUGEINT) * ss1 - CAST(s1 AS HUGEINT) * s1)
+        |               * nq * nq) AS BIGINT)
+        |FROM g4, b
+        |UNION ALL
+        |SELECT CAST(8 AS BIGINT), nq,
+        |       CAST((CAST(nq AS HUGEINT) * ssq - CAST(sq AS HUGEINT) * sq)
+        |            * n1 * n1 * 1000000
+        |            // (8 * (CAST(n1 AS HUGEINT) * ss1 - CAST(s1 AS HUGEINT) * s1)
+        |               * nq * nq) AS BIGINT)
+        |FROM g8, b
+        |ORDER BY q""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

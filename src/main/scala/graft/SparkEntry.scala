@@ -11316,6 +11316,170 @@ object SparkEntry {
           expr("CAST(CAST(t_micro AS DECIMAL(38,0)) * 1000000000" +
             " div c_nano AS BIGINT)"))),
 
+    // Somers' D and Goodman–Kruskal gamma between order priority (its
+    // leading digit is the ordinal) and the price quartile: ordinal
+    // association from concordant/discordant pair counts — computed on
+    // the 5×4 CONTINGENCY CELLS (a 20×20 bounded pair join), never the
+    // N² row pairs; gamma ignores ties, Somers' D charges the
+    // y-tied pairs to the denominator (the asymmetric "does priority
+    // predict price band" readout)
+    "q509_somers_gamma" -> ((s, dir) => {
+      val cells = Tables.orders(s, dir)
+        .select(expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("x"),
+          centsOf(col("o_totalprice")).as("v"), col("o_orderkey"))
+        .withColumn("y", ntile(4).over(
+          Window.orderBy(col("v"), col("o_orderkey"))).cast("long"))
+        .groupBy("x", "y").agg(count(lit(1)).as("n"))
+        .localCheckpoint(false)
+      cells.select(col("x").as("xa"), col("y").as("ya"), col("n").as("na"))
+        .join(cells.select(col("x").as("xb"), col("y").as("yb"),
+          col("n").as("nb")), col("xa") < col("xb"))
+        .agg(
+          sum(when(col("ya") < col("yb"), col("na") * col("nb")).otherwise(0L))
+            .as("c_pairs"),
+          sum(when(col("ya") > col("yb"), col("na") * col("nb")).otherwise(0L))
+            .as("d_pairs"),
+          sum(when(col("ya") === col("yb"), col("na") * col("nb")).otherwise(0L))
+            .as("t_y"))
+        .select(col("c_pairs"), col("d_pairs"), col("t_y"),
+          expr("(c_pairs - d_pairs) * 1000000 div (c_pairs + d_pairs)")
+            .as("gamma_ppm"),
+          expr("(c_pairs - d_pairs) * 1000000 div (c_pairs + d_pairs + t_y)")
+            .as("somers_d_ppm"))
+    }),
+
+    // Theil's uncertainty coefficient U(lang|source) and U(source|lang):
+    // the NORMALIZED asymmetric cousins of q249's mutual information —
+    // "what fraction of lang's entropy does knowing source remove".
+    // Entropies summed from per-term 1e-9-quantized contributions (q90
+    // discipline: one ln per observed cell, partition-order invariant)
+    "q510_theils_u" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("lang", "source")
+        .localCheckpoint(false)
+      val nTot = broadcast(d.agg(count(lit(1)).as("nt")))
+      def ent(cols: Column*): DataFrame =
+        d.groupBy(cols: _*).agg(count(lit(1)).as("c"))
+          .crossJoin(nTot)
+          .select(expr("CAST(round(-(CAST(c AS DOUBLE)/nt)" +
+            " * ln(CAST(c AS DOUBLE)/nt) * 1e9) AS BIGINT)").as("t9"))
+          .agg(sum(col("t9")).as("h"))
+      ent(col("lang")).select(col("h").as("h_lang_nano"))
+        .crossJoin(broadcast(ent(col("source")).select(col("h").as("h_source_nano"))))
+        .crossJoin(broadcast(ent(col("lang"), col("source"))
+          .select(col("h").as("h_joint_nano"))))
+        .select(col("h_lang_nano"), col("h_source_nano"), col("h_joint_nano"),
+          expr("(h_lang_nano + h_source_nano - h_joint_nano) * 1000000" +
+            " div h_lang_nano").as("u_lang_given_source_ppm"),
+          expr("(h_lang_nano + h_source_nano - h_joint_nano) * 1000000" +
+            " div h_source_nano").as("u_source_given_lang_ppm"))
+    }),
+
+    // Gram–Schmidt orthogonalization of vector 1 against vector 0 in
+    // exact quantized arithmetic: projection coefficient ⟨v1,v0⟩/⟨v0,v0⟩
+    // in micro, residual components on the 1e-12 grid — the readout
+    // proves ⟨r,v0⟩ collapses to rounding noise (|·| ≤ ‖v0‖₁/2 from the
+    // coefficient truncation alone) without a single double. The 2-vector
+    // primitive behind QR/whitening; everything joins on the 64 dims
+    "q511_gram_schmidt" -> ((s, dir) => {
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") <= 1)
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("pos"),
+          round(col("x") * 1000000, 0).cast("long").as("qv"))
+      val v0 = q.filter(col("vec_id") === 0)
+        .select(col("pos"), col("qv").as("q0"))
+      val v1 = q.filter(col("vec_id") === 1)
+        .select(col("pos"), col("qv").as("q1"))
+      val dots = v0.join(v1, "pos")
+        .agg(sum(expr("CAST(q1 AS DECIMAL(38,0)) * q0")).as("dot01"),
+          sum(expr("CAST(q0 AS DECIMAL(38,0)) * q0")).as("n0"),
+          sum(expr("CAST(q1 AS DECIMAL(38,0)) * q1")).as("n1"))
+        .withColumn("c_micro", expr("dot01 * 1000000 div n0"))
+      v0.join(v1, "pos").crossJoin(broadcast(dots))
+        .select(col("dot01"), col("n0"), col("n1"), col("c_micro"),
+          expr("q1 * 1000000 - c_micro * q0").as("r"), col("q0"))
+        .groupBy("dot01", "n0", "n1", "c_micro")
+        .agg(
+          sum(expr("CAST(r AS DECIMAL(38,0)) * r")).as("rn2"),
+          sum(expr("CAST(r AS DECIMAL(38,0)) * q0")).as("rdot0"))
+        .select(col("dot01").cast("long").as("dot01_q"),
+          col("n0").cast("long").as("norm0_q"),
+          col("n1").cast("long").as("norm1_q"), col("c_micro"),
+          expr("CAST(rn2 div 1000000000000 AS BIGINT)").as("resid_norm2_q"),
+          expr("CAST(rdot0 div 1000000 AS BIGINT)").as("resid_dot0_micro"),
+          expr("CAST(CASE WHEN dot01 >= 0 THEN dot01 * dot01 * 1000000" +
+            " div (n0 * n1) ELSE -(dot01 * dot01 * 1000000 div (n0 * n1))" +
+            " END AS BIGINT)").as("cos2_signed_ppm"))
+    }),
+
+    // Mood's median test across the five priorities: does any priority's
+    // price distribution sit above/below the GLOBAL median more than its
+    // share — the coarsest, most outlier-proof of the k-group location
+    // tests (q494 ranks everything; this only asks "above or not"). The
+    // median is the exact (N+1)/2 order statistic from the value-grouped
+    // cumulative relation (q289 discipline); χ² via the zero-cell-free
+    // O²/E identity (q290 discipline)
+    "q512_moods_median" -> ((s, dir) => {
+      val j = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("g"), centsOf(col("o_totalprice")).as("v"))
+        .localCheckpoint(false)
+      val before = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      val med = j.groupBy("v").agg(count(lit(1)).as("cnt"))
+        .withColumn("cb", coalesce(sum(col("cnt")).over(before), lit(0L)))
+        .crossJoin(broadcast(j.agg(count(lit(1)).as("n"))))
+        .filter(col("cb") < expr("(n + 1) div 2") &&
+          expr("cb + cnt") >= expr("(n + 1) div 2"))
+        .select(col("v").as("med"), col("n"))
+      val cells = j.crossJoin(broadcast(med))
+        .select(col("g"), (col("v") > col("med")).cast("long").as("above"),
+          col("med"), col("n"))
+        .groupBy("g", "above", "med", "n").agg(count(lit(1)).as("o"))
+        .localCheckpoint(false)
+      val ng = cells.groupBy("g").agg(sum(col("o")).as("n_g"))
+      val ca = cells.groupBy("above").agg(sum(col("o")).as("n_a"))
+      cells.join(broadcast(ng), "g").join(broadcast(ca), "above")
+        .select(col("med"), col("n"),
+          expr("CAST(round(CAST(o AS DOUBLE) * o / (CAST(n_g AS DOUBLE) * n_a)" +
+            " * 1000000000) AS BIGINT)").as("t9"))
+        .groupBy("med", "n").agg(sum(col("t9")).as("s9"))
+        .select(col("n").as("n_orders"), col("med").as("median_cents"),
+          expr("n * (s9 - 1000000000)").as("chi2_nano"))
+    }),
+
+    // Lo–MacKinlay variance-ratio test on daily revenue: VR(q) =
+    // Var(q-day change)/(q·Var(1-day change)) — 1 under a random walk,
+    // >1 under momentum, <1 under mean reversion. Exact integer variance
+    // numerators on the bounded per-day relation (one window pass
+    // supplies all three lags), ratio as one decimal division per q
+    "q513_variance_ratio" -> ((s, dir) => {
+      val day = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("r"))
+      val w = Window.orderBy("d")
+      val diffs = day
+        .select(col("d"), col("r"),
+          (col("r") - lag(col("r"), 1).over(w)).as("d1"),
+          (col("r") - lag(col("r"), 2).over(w)).as("d2"),
+          (col("r") - lag(col("r"), 4).over(w)).as("d4"),
+          (col("r") - lag(col("r"), 8).over(w)).as("d8"))
+        .localCheckpoint(false)
+      val base = broadcast(diffs.filter(col("d1").isNotNull)
+        .agg(count(lit(1)).as("n1"), sum(col("d1")).as("s1"),
+          sum(expr("CAST(d1 AS DECIMAL(38,0)) * d1")).as("ss1")))
+      def vr(qq: Int): DataFrame = diffs.filter(col(s"d$qq").isNotNull)
+        .agg(count(lit(1)).as("nq"), sum(col(s"d$qq")).as("sq"),
+          sum(expr(s"CAST(d$qq AS DECIMAL(38,0)) * d$qq")).as("ssq"))
+        .crossJoin(base)
+        .select(lit(qq.toLong).as("q"), col("nq").as("n_diffs"),
+          expr(s"CAST((CAST(nq AS DECIMAL(38,0)) * ssq" +
+            s" - CAST(sq AS DECIMAL(38,0)) * sq)" +
+            s" * n1 * n1 * 1000000" +
+            s" div ($qq * (CAST(n1 AS DECIMAL(38,0)) * ss1" +
+            s" - CAST(s1 AS DECIMAL(38,0)) * s1)" +
+            s" * nq * nq) AS BIGINT)").as("vr_ppm"))
+      vr(2).unionAll(vr(4)).unionAll(vr(8)).orderBy("q")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

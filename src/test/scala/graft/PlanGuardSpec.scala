@@ -137,6 +137,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q498_kmv_distinct",       // 1-row exact-distinct bound crossed into the 1-row sketch row
     "q501_hits_trade",         // 1-row max-score normalizer crossed into the ≤n_nations relation
     "q504_kneser_ney",         // 1-row bigram-type total crossed into the bounded type relation
+    "q509_somers_gamma",       // 20×20 contingency-cell pair join on x< (bounded, never row pairs)
+    "q510_theils_u",           // three 1-row entropy totals crossed together
+    "q511_gram_schmidt",       // 1-row dot/norm row crossed into the 64-dim relation
+    "q513_variance_ratio",     // 1-row base-variance row crossed into each per-q aggregate
     "q368_lsh_cost_model",     // 1-row distinct-candidate count bound
     "q369_storage_tiering",    // 1-row max-date aggregate bound
     "q373_postings_intersect", // 1-row corpus-doc-count bound
