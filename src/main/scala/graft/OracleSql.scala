@@ -10689,7 +10689,160 @@ object OracleSql {
         |            // (8 * (CAST(n1 AS HUGEINT) * ss1 - CAST(s1 AS HUGEINT) * s1)
         |               * nq * nq) AS BIGINT)
         |FROM g8, b
-        |ORDER BY q""".stripMargin
+        |ORDER BY q""".stripMargin,
+
+    "q514_dp_noise" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY 1),
+        |e AS (SELECT unnest([100, 1000, 10000]) AS eps_milli),
+        |u AS (SELECT source, n, CAST(eps_milli AS BIGINT) AS eps_milli,
+        |             CAST(concat('0x', substr(md5('dp#' || source || '#' || eps_milli), 1, 12))
+        |               AS BIGINT) AS u48
+        |      FROM s CROSS JOIN e),
+        |t AS (SELECT source, n, eps_milli, u48,
+        |             CAST(round(ln(CAST(greatest(281474976710656
+        |                 - abs(2 * u48 - 281474976710656), 1) AS DOUBLE)
+        |               / 281474976710656) * 1000000) AS BIGINT) AS lnm
+        |      FROM u),
+        |o AS (SELECT source, eps_milli, n,
+        |             CAST(-(CASE WHEN u48 >= 140737488355328 THEN 1 ELSE -1 END)
+        |                  * lnm // eps_milli AS BIGINT) AS noise_milli
+        |      FROM t)
+        |SELECT source, eps_milli, n, noise_milli,
+        |       CAST(n * 1000 + noise_milli AS BIGINT) AS noisy_milli,
+        |       CAST(abs(noise_milli) AS BIGINT) AS abs_err_milli
+        |FROM o ORDER BY source, eps_milli""".stripMargin,
+
+    "q515_burrows_delta" ->
+      """WITH wc AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(w) > 0 GROUP BY 1, 2
+        |), ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ntok FROM wc GROUP BY 1),
+        |top AS (SELECT w FROM (SELECT w, CAST(sum(c) AS BIGINT) AS ct
+        |                       FROM wc GROUP BY 1)
+        |        ORDER BY ct DESC, w LIMIT 20),
+        |grid AS (SELECT ns.source, top.w,
+        |                CAST(coalesce(wc.c, 0) * 1000000 // ns.ntok AS BIGINT) AS f
+        |         FROM ns CROSS JOIN top
+        |         LEFT JOIN wc ON wc.source = ns.source AND wc.w = top.w),
+        |st AS (SELECT w, CAST(count(*) AS BIGINT) AS sct, CAST(sum(f) AS BIGINT) AS sf,
+        |              CAST(sum(f * f) AS BIGINT) AS sff FROM grid GROUP BY 1),
+        |sq AS (SELECT w, sct, sf, sct * sff - sf * sf AS vn,
+        |              CAST(floor(sqrt(CAST(sct * sff - sf * sf AS DOUBLE))) AS BIGINT) AS t0
+        |       FROM st),
+        |nw AS (SELECT w, sct, sf, vn,
+        |              CASE WHEN t0 > 0 THEN (t0 + vn // t0) // 2 ELSE 0 END AS t1
+        |       FROM sq),
+        |sd AS (SELECT w, sct, sf,
+        |              CASE WHEN (t1 + 1) * (t1 + 1) <= vn THEN t1 + 1
+        |                   WHEN t1 * t1 > vn THEN t1 - 1 ELSE t1 END AS sd
+        |       FROM nw),
+        |z AS (SELECT g.source, g.w,
+        |             CASE WHEN sd.sd > 0 THEN (sd.sct * g.f - sd.sf) * 1000 // sd.sd
+        |                  ELSE 0 END AS z_milli
+        |      FROM grid g JOIN sd ON g.w = sd.w),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |             CAST(sum(abs(a.z_milli - b.z_milli)) AS BIGINT) AS sabs
+        |      FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT source_a, source_b, CAST(sabs // 20 AS BIGINT) AS delta_milli
+        |FROM p ORDER BY delta_milli, source_a, source_b LIMIT 5""".stripMargin,
+
+    "q516_topic_coherence" ->
+      """WITH dw AS (
+        |  SELECT doc_id, source, w FROM (
+        |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(w) > 0
+        |), tc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |          FROM dw GROUP BY 1, 2),
+        |topw AS (SELECT source, w, rk FROM (
+        |           SELECT source, w,
+        |                  CAST(row_number() OVER (PARTITION BY source
+        |                    ORDER BY c DESC, w) AS BIGINT) AS rk
+        |           FROM tc) WHERE rk <= 5),
+        |dwt AS (SELECT DISTINCT doc_id, w FROM dw
+        |        WHERE w IN (SELECT DISTINCT w FROM topw)),
+        |dfw AS (SELECT w, CAST(count(*) AS BIGINT) AS dfw FROM dwt GROUP BY 1),
+        |co AS (SELECT a.w AS wa, b.w AS wb, CAST(count(*) AS BIGINT) AS cod
+        |       FROM dwt a JOIN dwt b ON a.doc_id = b.doc_id AND a.w <> b.w
+        |       GROUP BY 1, 2),
+        |pr AS (SELECT a.source, a.w AS wa, b.w AS wb
+        |       FROM topw a JOIN topw b ON a.source = b.source AND a.rk < b.rk),
+        |t AS (SELECT pr.source,
+        |             CAST(round(ln(CAST(coalesce(co.cod, 0) + 1 AS DOUBLE)
+        |               / dfw.dfw) * 1000000) AS BIGINT) AS t6
+        |      FROM pr LEFT JOIN co ON co.wa = pr.wa AND co.wb = pr.wb
+        |              JOIN dfw ON dfw.w = pr.wb)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(t6) AS BIGINT) AS coherence_micro
+        |FROM t GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "q517_grubbs_test" ->
+      """WITH x AS (SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS x
+        |           FROM customer),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |              sum(CAST(x AS HUGEINT) * x) AS sxx FROM x),
+        |o AS (SELECT c_custkey, x.x, n, sx, sxx, abs(n * x.x - sx) AS num
+        |      FROM x, st ORDER BY num DESC, c_custkey LIMIT 1),
+        |g AS (SELECT n AS n_customers, c_custkey AS outlier_custkey,
+        |             x AS outlier_cents,
+        |             CAST(CAST(num AS HUGEINT) * num * 1000000 * (n - 1)
+        |                  // (CAST(n AS HUGEINT)
+        |                     * (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx))
+        |               AS BIGINT) AS g2
+        |      FROM o),
+        |t AS (SELECT n_customers, outlier_custkey, outlier_cents, g2,
+        |             CAST(floor(sqrt(CAST(g2 AS DOUBLE))) AS BIGINT) AS t0 FROM g),
+        |t2 AS (SELECT n_customers, outlier_custkey, outlier_cents, g2,
+        |              CASE WHEN t0 > 0 THEN (t0 + g2 // t0) // 2 ELSE 0 END AS t1
+        |       FROM t)
+        |SELECT n_customers, outlier_custkey, outlier_cents,
+        |       CAST(CASE WHEN (t1 + 1) * (t1 + 1) <= g2 THEN t1 + 1
+        |                 WHEN t1 * t1 > g2 THEN t1 - 1 ELSE t1 END AS BIGINT) AS g_milli
+        |FROM t2""".stripMargin,
+
+    "q518_logrank_test" ->
+      """WITH seg AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS g1
+        |  FROM customer WHERE c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD')
+        |), life AS (
+        |  SELECT o.o_custkey, seg.g1,
+        |         datediff('day', min(o.o_orderdate), max(o.o_orderdate)) AS t
+        |  FROM orders o JOIN seg ON o.o_custkey = seg.c_custkey
+        |  GROUP BY 1, 2
+        |), et AS (
+        |  SELECT t, CAST(sum(g1) AS BIGINT) AS d1, CAST(count(*) AS BIGINT) AS d
+        |  FROM life GROUP BY 1
+        |), risk AS (
+        |  SELECT d1, d,
+        |         CAST(sum(d1) OVER (ORDER BY t
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n1t,
+        |         CAST(sum(d) OVER (ORDER BY t
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS nt
+        |  FROM et
+        |), ev AS (
+        |  SELECT d1, d, CAST(d * n1t * 1000000 // nt AS BIGINT) AS e1_micro,
+        |         CAST(CASE WHEN nt > 1
+        |                   THEN CAST(d AS HUGEINT) * n1t * (nt - n1t) * (nt - d)
+        |                        * 1000000
+        |                        // (CAST(nt AS HUGEINT) * nt * (nt - 1))
+        |                   ELSE 0 END AS BIGINT) AS v_micro
+        |  FROM risk
+        |), s AS (
+        |  SELECT CAST(sum(d1) AS BIGINT) AS o1, CAST(sum(d - d1) AS BIGINT) AS o2,
+        |         CAST(sum(e1_micro) AS BIGINT) AS e1_micro_total,
+        |         CAST(sum(v_micro) AS BIGINT) AS v_micro_total
+        |  FROM ev
+        |)
+        |SELECT o1, o2, e1_micro_total, v_micro_total,
+        |       CAST((CAST(o1 AS HUGEINT) * 1000000 - e1_micro_total)
+        |            * (CAST(o1 AS HUGEINT) * 1000000 - e1_micro_total)
+        |            // (CAST(v_micro_total AS HUGEINT) * 1000000) AS BIGINT) AS chi2_micro
+        |FROM s""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

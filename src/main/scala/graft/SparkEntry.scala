@@ -11480,6 +11480,191 @@ object SparkEntry {
       vr(2).unionAll(vr(4)).unionAll(vr(8)).orderBy("q")
     }),
 
+    // ε-differential-privacy Laplace mechanism on per-source counts,
+    // deterministically replayed: uniform u from the 48-bit md5 grid,
+    // noise = −(1/ε)·sgn(u−½)·ln(1−2|u−½|) in exact micro-nat algebra
+    // (the inverse-CDF identity; one ln per cell, zero-argument guarded),
+    // swept over ε ∈ {0.1, 1, 10} — the "how much utility does each
+    // privacy budget cost" readout completing the q219/q281/q421
+    // anonymity suite
+    "q514_dp_noise" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(Seq(100L, 1000L, 10000L).toDF("eps_milli")))
+        .withColumn("u48", Dedup.md5Long(concat(lit("dp#"), col("source"),
+          lit("#"), col("eps_milli")), 12))
+        .withColumn("lnm", expr(
+          "CAST(round(ln(CAST(greatest(281474976710656 - abs(2 * u48" +
+            " - 281474976710656), 1) AS DOUBLE) / 281474976710656e0)" +
+            " * 1000000) AS BIGINT)"))
+        .withColumn("noise_milli", expr(
+          "-(CASE WHEN u48 >= 140737488355328 THEN 1 ELSE -1 END)" +
+            " * lnm div eps_milli"))
+        .select(col("source"), col("eps_milli"), col("n"), col("noise_milli"),
+          expr("n * 1000 + noise_milli").as("noisy_milli"),
+          abs(col("noise_milli")).as("abs_err_milli"))
+        .orderBy("source", "eps_milli")
+    }),
+
+    // Burrows' Delta stylometry between sources: z-scores of the top-20
+    // corpus words' per-source frequencies (ppm), Δ(a,b) = mean |z_a−z_b|
+    // — the authorship-attribution distance; close pairs are "same
+    // boilerplate generator" candidates BEFORE any doc-level dedup
+    // fires. The zero cells materialize (a source MISSING a common word
+    // is signal); z via the cross-multiplied integer form with an exact
+    // isqrt, every relation bounded by sources × 20 words
+    "q515_burrows_delta" -> ((s, dir) => {
+      val wc = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("source"), explode(split(col("text"), " ", -1)).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val ns = wc.groupBy("source").agg(sum(col("c")).as("ntok"))
+      val top = wc.groupBy("w").agg(sum(col("c")).as("ct"))
+        .orderBy(col("ct").desc, col("w")).limit(20).select("w")
+      val grid = ns.crossJoin(broadcast(top))
+        .join(wc, Seq("source", "w"), "left")
+        .select(col("source"), col("w"),
+          expr("coalesce(c, 0) * 1000000 div ntok").as("f"))
+        .localCheckpoint(false)
+      val st = grid.groupBy("w")
+        .agg(count(lit(1)).as("sct"), sum(col("f")).as("sf"),
+          sum(expr("f * f")).as("sff"))
+        .withColumn("vn", expr("sct * sff - sf * sf"))
+        .withColumn("t0", floor(sqrt(col("vn").cast("double"))).cast("long"))
+        .withColumn("t1", expr(
+          "CASE WHEN t0 > 0 THEN (t0 + vn div t0) div 2 ELSE 0 END"))
+        .withColumn("sd", expr(
+          "CASE WHEN (t1 + 1) * (t1 + 1) <= vn THEN t1 + 1" +
+            " WHEN t1 * t1 > vn THEN t1 - 1 ELSE t1 END"))
+      val z = grid.join(broadcast(st.select("w", "sct", "sf", "sd")), "w")
+        .select(col("source"), col("w"),
+          expr("CASE WHEN sd > 0 THEN (sct * f - sf) * 1000 div sd" +
+            " ELSE 0 END").as("z_milli"))
+      z.select(col("source").as("source_a"), col("w"), col("z_milli").as("za"))
+        .join(z.select(col("source").as("source_b"), col("w"),
+          col("z_milli").as("zb")), "w")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(sum(abs(col("za") - col("zb"))).as("sabs"))
+        .select(col("source_a"), col("source_b"),
+          expr("sabs div 20").as("delta_milli"))
+        .orderBy(col("delta_milli"), col("source_a"), col("source_b"))
+        .limit(5)
+    }),
+
+    // UMass topic coherence of each source's top-5 terms: Σ_{i<j}
+    // ln((D(wᵢ,wⱼ)+1)/D(wⱼ)) over rank-ordered pairs — the standard "is
+    // this word cluster actually a topic" score (near 0 = the terms
+    // co-occur; very negative = the "topic" is an artifact). Doc
+    // co-occurrence counted only for the ≤|vocab| top words (semi-gated
+    // distinct postings), pairs bounded at 10 per source
+    "q516_topic_coherence" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ", -1)).as("w"))
+        .filter(length(col("w")) > 0)
+        .localCheckpoint(false)
+      val topw = docs.groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(Window.partitionBy("source")
+          .orderBy(col("c").desc, col("w"))).cast("long"))
+        .filter(col("rk") <= 5).select("source", "w", "rk")
+        .localCheckpoint(false)
+      val dwt = docs.select("doc_id", "w").distinct()
+        .join(topw.select("w").distinct(), Seq("w"), "left_semi")
+        .localCheckpoint(false)
+      val df = dwt.groupBy("w").agg(count(lit(1)).as("dfw"))
+      val co = dwt.select(col("doc_id"), col("w").as("wa"))
+        .join(dwt.select(col("doc_id"), col("w").as("wb")), "doc_id")
+        .filter(col("wa") =!= col("wb"))
+        .groupBy("wa", "wb").agg(count(lit(1)).as("cod"))
+      topw.select(col("source"), col("w").as("wa"), col("rk").as("ra"))
+        .join(topw.select(col("source"), col("w").as("wb"), col("rk").as("rb")),
+          "source")
+        .filter(col("ra") < col("rb"))
+        .join(co, Seq("wa", "wb"), "left")
+        .join(broadcast(df.select(col("w").as("wb"), col("dfw"))), "wb")
+        .select(col("source"),
+          expr("CAST(round(ln(CAST(coalesce(cod, 0) + 1 AS DOUBLE) / dfw)" +
+            " * 1000000) AS BIGINT)").as("t6"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("t6")).as("coherence_micro"))
+        .orderBy("source")
+    }),
+
+    // Grubbs' max-normed-residual outlier test on customer balances:
+    // G = max|x−x̄|/s — "is the single most extreme balance more extreme
+    // than n draws should produce" (the per-point verdict q85's MAD
+    // flags and q238's ensemble only rank). Cross-multiplied integer
+    // form: G² in milli² as one decimal division, G via the isqrt
+    // discipline; the argmax row is a TakeOrdered, never a sort
+    "q517_grubbs_test" -> ((s, dir) => {
+      val x = Tables.customer(s, dir)
+        .select(col("c_custkey"), centsOf(col("c_acctbal")).as("x"))
+        .localCheckpoint(false)
+      val stats = x.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      val out = x.crossJoin(broadcast(stats))
+        .select(col("c_custkey"), col("x"), col("n"), col("sx"), col("sxx"),
+          abs(expr("n * x - sx")).as("num"))
+        .orderBy(col("num").desc, col("c_custkey")).limit(1)
+      out.select(col("n").as("n_customers"),
+          col("c_custkey").as("outlier_custkey"), col("x").as("outlier_cents"),
+          expr("CAST(num AS DECIMAL(38,0)) * num * 1000000 * (n - 1)" +
+            " div (CAST(n AS DECIMAL(38,0))" +
+            " * (CAST(n AS DECIMAL(38,0)) * sxx" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx))").as("g2"))
+        .withColumn("t0", floor(sqrt(col("g2").cast("double"))).cast("long"))
+        .withColumn("t1", expr(
+          "CASE WHEN t0 > 0 THEN (t0 + g2 div t0) div 2 ELSE 0 END"))
+        .withColumn("g_milli", expr(
+          "CASE WHEN (t1 + 1) * (t1 + 1) <= g2 THEN t1 + 1" +
+            " WHEN t1 * t1 > g2 THEN t1 - 1 ELSE t1 END"))
+        .select("n_customers", "outlier_custkey", "outlier_cents", "g_milli")
+    }),
+
+    // two-sample log-rank test (AUTOMOBILE vs HOUSEHOLD customer
+    // "lifetimes" = first-to-last-order spans): at each distinct event
+    // time, observed group-1 deaths vs the risk-set expectation
+    // d·n₁/n, hypergeometric variance summed the same way — THE
+    // survival-curve comparison test behind q284's single-group KM
+    // curve. Risk sets as reverse-cumulative windows on the bounded
+    // distinct-time relation; E and V quantized to micro before summing
+    "q518_logrank_test" -> ((s, dir) => {
+      val seg = Tables.customer(s, dir)
+        .filter(col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD"))
+        .select(col("c_custkey"),
+          (col("c_mktsegment") === "AUTOMOBILE").cast("long").as("g1"))
+      val life = Tables.orders(s, dir)
+        .join(seg, col("o_custkey") === col("c_custkey"))
+        .groupBy("o_custkey", "g1")
+        .agg(datediff(max(col("o_orderdate")), min(col("o_orderdate"))).as("t"))
+      val et = life.groupBy("t")
+        .agg(sum(col("g1")).as("d1"), count(lit(1)).as("d"))
+        .localCheckpoint(false)
+      val after = Window.orderBy("t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val risk = et
+        .withColumn("n1t", sum(col("d1")).over(after))
+        .withColumn("nt", sum(col("d")).over(after))
+      risk
+        .select(col("d1"), col("d"), col("n1t"), col("nt"),
+          expr("d * n1t * 1000000 div nt").as("e1_micro"),
+          expr("CASE WHEN nt > 1 THEN CAST(d AS DECIMAL(38,0)) * n1t" +
+            " * (nt - n1t) * (nt - d) * 1000000" +
+            " div (CAST(nt AS DECIMAL(38,0)) * nt * (nt - 1))" +
+            " ELSE 0 END").as("v_micro"))
+        .agg(sum(col("d1")).as("o1"), sum(expr("d - d1")).as("o2"),
+          sum(col("e1_micro")).as("e1_micro_total"),
+          sum(col("v_micro")).as("v_micro_total"))
+        .select(col("o1"), col("o2"), col("e1_micro_total"),
+          col("v_micro_total"),
+          expr("CAST((CAST(o1 AS DECIMAL(38,0)) * 1000000 - e1_micro_total)" +
+            " * (CAST(o1 AS DECIMAL(38,0)) * 1000000 - e1_micro_total)" +
+            " div (v_micro_total * 1000000) AS BIGINT)").as("chi2_micro"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

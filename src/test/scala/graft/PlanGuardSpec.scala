@@ -141,6 +141,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q510_theils_u",           // three 1-row entropy totals crossed together
     "q511_gram_schmidt",       // 1-row dot/norm row crossed into the 64-dim relation
     "q513_variance_ratio",     // 1-row base-variance row crossed into each per-q aggregate
+    "q514_dp_noise",           // 3-row ε dictionary crossed into the bounded per-source counts
+    "q517_grubbs_test",        // 1-row moment row crossed into the scan for the argmax residual
     "q368_lsh_cost_model",     // 1-row distinct-candidate count bound
     "q369_storage_tiering",    // 1-row max-date aggregate bound
     "q373_postings_intersect", // 1-row corpus-doc-count bound
