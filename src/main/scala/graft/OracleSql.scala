@@ -10842,7 +10842,129 @@ object OracleSql {
         |       CAST((CAST(o1 AS HUGEINT) * 1000000 - e1_micro_total)
         |            * (CAST(o1 AS HUGEINT) * 1000000 - e1_micro_total)
         |            // (CAST(v_micro_total AS HUGEINT) * 1000000) AS BIGINT) AS chi2_micro
+        |FROM s""".stripMargin,
+
+    "q519_jonckheere" -> {
+      val ns = (1 to 5).map(g =>
+        s"CAST(sum(CASE WHEN g = $g THEN 1 ELSE 0 END) AS BIGINT) AS n$g")
+        .mkString(",\n        |       ")
+      val cbs = (1 to 5).map(g =>
+        s"CAST(coalesce(sum(n$g) OVER wb, 0) AS BIGINT) AS cb$g")
+        .mkString(",\n        |       ")
+      val pairTerms = (for (g <- 1 to 4; h <- (g + 1) to 5)
+        yield s"n$h * (2 * cb$g + n$g)").mkString(" + ")
+      val ts = (1 to 5).map(g => s"CAST(sum(n$g) AS BIGINT) AS t$g")
+        .mkString(", ")
+      val maxTerms = (for (g <- 1 to 4; h <- (g + 1) to 5)
+        yield s"t$g * t$h").mkString(" + ")
+      s"""WITH j AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |           FROM orders),
+        |vg AS (SELECT v,
+        |       $ns
+        |       FROM j GROUP BY 1),
+        |cum AS (SELECT v, n1, n2, n3, n4, n5,
+        |       $cbs
+        |        FROM vg
+        |        WINDOW wb AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |s AS (SELECT CAST(sum($pairTerms) AS BIGINT) AS jt2, $ts FROM cum)
+        |SELECT jt2, CAST(($maxTerms) * 2 AS BIGINT) AS jt2_max,
+        |       CAST(jt2 * 1000000 // (($maxTerms) * 2) AS BIGINT) AS jt_ppm
         |FROM s""".stripMargin
+    },
+
+    "q520_temperature_sweep" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+        |           FROM documents GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM documents),
+        |tt AS (SELECT CAST(t AS BIGINT) AS t FROM (SELECT unnest([1, 2, 4]) AS t)),
+        |w AS (SELECT tt.t,
+        |             CAST(round(exp(CAST(CAST(round(ln(CAST(ns AS DOUBLE) / nt)
+        |                 * 1000000) AS BIGINT) // tt.t AS DOUBLE) / 1000000)
+        |               * 1000000) AS BIGINT) AS w
+        |      FROM s, nt, tt),
+        |a AS (SELECT t, CAST(count(*) AS BIGINT) AS n_sources,
+        |             CAST(sum(w) AS BIGINT) AS sw, CAST(sum(w * w) AS BIGINT) AS sww,
+        |             CAST(max(w) AS BIGINT) AS wmax
+        |      FROM w GROUP BY 1)
+        |SELECT t, n_sources,
+        |       CAST(1000 * CAST(sw AS HUGEINT) * sw // sww AS BIGINT) AS n_eff_milli,
+        |       CAST(wmax * 1000000 // sw AS BIGINT) AS top_share_ppm
+        |FROM a ORDER BY t""".stripMargin,
+
+    "q521_friedman_w" ->
+      """WITH mp AS (SELECT date_trunc('month', o_orderdate) AS m,
+        |                  CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
+        |                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |                    AS BIGINT) AS rev
+        |            FROM orders GROUP BY 1, 2),
+        |grid AS (SELECT mm.m, gg.g, coalesce(mp.rev, 0) AS rev
+        |         FROM (SELECT DISTINCT m FROM mp) mm
+        |         CROSS JOIN (SELECT CAST(g AS BIGINT) AS g
+        |                     FROM (SELECT unnest(range(1, 6)) AS g)) gg
+        |         LEFT JOIN mp ON mp.m = mm.m AND mp.g = gg.g),
+        |rk AS (SELECT m, g,
+        |              CAST(row_number() OVER (PARTITION BY m
+        |                ORDER BY rev DESC, g) AS BIGINT) AS r
+        |       FROM grid),
+        |rg AS (SELECT g, CAST(sum(r) AS BIGINT) AS rg, CAST(count(*) AS BIGINT) AS n
+        |       FROM rk GROUP BY 1),
+        |s AS (SELECT CAST(max(n) AS BIGINT) AS n_blocks,
+        |             CAST(sum(rg * rg) AS BIGINT) AS srr FROM rg)
+        |SELECT n_blocks,
+        |       CAST(12 * srr * 1000000 // (n_blocks * 5 * 6)
+        |            - 3 * n_blocks * 6 * 1000000 AS BIGINT) AS chi2_micro,
+        |       CAST((12 * srr * 1000000 // (n_blocks * 5 * 6)
+        |             - 3 * n_blocks * 6 * 1000000) // (n_blocks * 4)
+        |         AS BIGINT) AS w_ppm
+        |FROM s""".stripMargin,
+
+    "q522_tail_dependence" ->
+      """WITH qty AS (SELECT l_orderkey,
+        |                    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS y
+        |             FROM lineitem GROUP BY 1),
+        |xy AS (SELECT o.o_orderkey AS k,
+        |              CAST(round(o.o_totalprice * 100) AS BIGINT) AS x, qty.y
+        |       FROM orders o JOIN qty ON o.o_orderkey = qty.l_orderkey),
+        |r AS (SELECT k, CAST(row_number() OVER (ORDER BY x, k) AS BIGINT) AS rx,
+        |             CAST(row_number() OVER (ORDER BY y, k) AS BIGINT) AS ry
+        |      FROM xy),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+        |qq AS (SELECT CAST(q_mille AS BIGINT) AS q_mille
+        |       FROM (SELECT unnest([900, 950, 990]) AS q_mille)),
+        |a AS (SELECT qq.q_mille, nn.n AS n_orders,
+        |             CAST(sum(CASE WHEN r.rx > nn.n * qq.q_mille // 1000
+        |                           THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed_x,
+        |             CAST(sum(CASE WHEN r.rx > nn.n * qq.q_mille // 1000
+        |                            AND r.ry > nn.n * qq.q_mille // 1000
+        |                           THEN 1 ELSE 0 END) AS BIGINT) AS n_joint
+        |      FROM r, nn, qq GROUP BY 1, 2)
+        |SELECT q_mille, n_orders, n_exceed_x, n_joint,
+        |       CAST(n_joint * 1000000 // n_exceed_x AS BIGINT) AS lambda_ppm
+        |FROM a ORDER BY q_mille""".stripMargin,
+
+    "q523_weighted_kappa" ->
+      """WITH base AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |           x -> length(x) > 0)) AS BIGINT) AS nw
+        |  FROM documents WHERE text IS NOT NULL
+        |), r AS (
+        |  SELECT doc_id,
+        |         CAST(ntile(5) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS ra,
+        |         CAST(ntile(5) OVER (ORDER BY nw, doc_id) AS BIGINT) AS rb
+        |  FROM base
+        |), conf AS (SELECT ra, rb, CAST(count(*) AS BIGINT) AS o FROM r GROUP BY 1, 2),
+        |num AS (SELECT CAST(sum(abs(ra - rb) * o) AS BIGINT) AS wo,
+        |               CAST(sum(o) AS BIGINT) AS n FROM conf),
+        |ri AS (SELECT ra, CAST(count(*) AS BIGINT) AS r_i FROM r GROUP BY 1),
+        |cj AS (SELECT rb, CAST(count(*) AS BIGINT) AS c_j FROM r GROUP BY 1),
+        |den AS (SELECT CAST(sum(abs(ra - rb) * r_i * c_j) AS BIGINT) AS wrc
+        |        FROM ri, cj)
+        |SELECT n AS n_docs, wo AS weighted_disagreement,
+        |       CAST(1000000 - CAST(n AS HUGEINT) * wo * 1000000 // wrc AS BIGINT)
+        |         AS kappa_w_ppm
+        |FROM num, den""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

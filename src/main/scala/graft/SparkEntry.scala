@@ -11665,6 +11665,156 @@ object SparkEntry {
             " div (v_micro_total * 1000000) AS BIGINT)").as("chi2_micro"))
     }),
 
+    // Jonckheere–Terpstra ordered-alternative test: do prices trend
+    // MONOTONICALLY with the priority ordinal (1-URGENT … 5-LOW) — the
+    // sharper cousin of q494's any-difference H when the alternative is
+    // ordered. 2·JT = Σ_{g<h} Σ_v n_hv·(2·cb_g(v) + n_gv) computed in
+    // ONE window pass over the distinct-value relation with the five
+    // priority counts as pinned columns; normalized against the exact
+    // pair total (500000 ppm ≡ no trend)
+    "q519_jonckheere" -> ((s, dir) => {
+      val vg = Tables.orders(s, dir)
+        .select(expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("g"),
+          centsOf(col("o_totalprice")).as("v"))
+        .groupBy("v")
+        .agg(sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"),
+          (2 to 5).map(g =>
+            sum(when(col("g") === g, 1L).otherwise(0L)).as(s"n$g")): _*)
+      val before = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      val cum = vg.select(col("v") +: (1 to 5).flatMap(g => Seq(
+        col(s"n$g"),
+        coalesce(sum(col(s"n$g")).over(before), lit(0L)).as(s"cb$g"))): _*)
+      val pairTerms = (for (g <- 1 to 4; h <- (g + 1) to 5)
+        yield s"n$h * (2 * cb$g + n$g)").mkString(" + ")
+      cum.agg(sum(expr(pairTerms)).as("jt2"),
+          (1 to 5).map(g => sum(col(s"n$g")).as(s"t$g")): _*)
+        .select(col("jt2"),
+          expr((for (g <- 1 to 4; h <- (g + 1) to 5)
+            yield s"t$g * t$h").mkString("(", " + ", ") * 2")).as("jt2_max"))
+        .select(col("jt2"), col("jt2_max"),
+          expr("jt2 * 1000000 div jt2_max").as("jt_ppm"))
+    }),
+
+    // temperature-flattened mixture sweep: source sampling shares
+    // ∝ (n_s/N)^(1/T) for T ∈ {1, 2, 4} — the "how much does each
+    // temperature actually flatten the mix" readout behind q68's single-
+    // temperature resampler and q99's weights. One ln + one exp per
+    // (source, T), both quantized at the call (micro-nat convention);
+    // the effective-source-count is the integer participation ratio of
+    // the quantized weights — no further libm calls
+    "q520_temperature_sweep" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("ns"))
+        .crossJoin(broadcast(Tables.documents(s, dir)
+          .agg(count(lit(1)).as("nt"))))
+        .crossJoin(broadcast(Seq(1L, 2L, 4L).toDF("t")))
+        .select(col("t"),
+          expr("CAST(round(exp(CAST(CAST(round(ln(CAST(ns AS DOUBLE) / nt)" +
+            " * 1000000) AS BIGINT) div t AS DOUBLE) / 1000000) * 1000000)" +
+            " AS BIGINT)").as("w"))
+        .groupBy("t")
+        .agg(count(lit(1)).as("n_sources"), sum(col("w")).as("sw"),
+          sum(expr("w * w")).as("sww"), max(col("w")).as("wmax"))
+        .select(col("t"), col("n_sources"),
+          expr("1000 * CAST(sw AS DECIMAL(38,0)) * sw div sww")
+            .as("n_eff_milli"),
+          expr("wmax * 1000000 div sw").as("top_share_ppm"))
+        .orderBy("t")
+    }),
+
+    // Friedman test + Kendall's W across the five priorities, blocked by
+    // month: within every month the priorities are RANKED by revenue
+    // (blocking removes the month-to-month level shifts q448's raw ANOVA
+    // absorbs into noise), χ²_F from the rank sums, W = χ²/(n(k−1)) the
+    // agreement strength. The month×priority grid zero-fills absent
+    // cells (pinned); ranks are per-block row_numbers tie-broken by the
+    // priority ordinal
+    "q521_friedman_w" -> ((s, dir) => {
+      import s.implicits._
+      val mp = Tables.orders(s, dir)
+        .select(expr("date_trunc('month', o_orderdate)").as("m"),
+          expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("g"),
+          centsOf(col("o_totalprice")).as("c"))
+        .groupBy("m", "g").agg(sum(col("c")).as("rev"))
+      val grid = mp.select("m").distinct()
+        .crossJoin(broadcast((1L to 5L).toDF("g")))
+        .join(mp, Seq("m", "g"), "left")
+        .select(col("m"), col("g"), coalesce(col("rev"), lit(0L)).as("rev"))
+      val rk = grid.withColumn("r", row_number().over(Window.partitionBy("m")
+        .orderBy(col("rev").desc, col("g"))).cast("long"))
+      rk.groupBy("g").agg(sum(col("r")).as("rg"),
+          count(lit(1)).as("n"))
+        .agg(max(col("n")).as("n_blocks"),
+          sum(expr("rg * rg")).as("srr"))
+        .select(col("n_blocks"),
+          expr("12 * srr * 1000000 div (n_blocks * 5 * 6)" +
+            " - 3 * n_blocks * 6 * 1000000").as("chi2_micro"))
+        .withColumn("w_ppm", expr("chi2_micro div (n_blocks * 4)"))
+    }),
+
+    // upper-tail dependence λ_U(q) = P(quantity exceeds its q-quantile |
+    // price exceeds its q-quantile) at q ∈ {0.90, 0.95, 0.99} — do the
+    // two order dimensions go extreme TOGETHER (λ→share of exceeders)
+    // or independently (λ→1−q)? Pure rank arithmetic: both margins
+    // ranked once, exceedance = rank > ⌊N·q⌋, no quantile VALUES ever
+    // extracted — the copula-style readout q54's global corr can't see
+    "q522_tail_dependence" -> ((s, dir) => {
+      import s.implicits._
+      val qty = Tables.lineitem(s, dir).groupBy("l_orderkey")
+        .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("y"))
+      val xy = Tables.orders(s, dir)
+        .join(qty, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey").as("k"), centsOf(col("o_totalprice")).as("x"),
+          col("y"))
+        .withColumn("rx", row_number().over(
+          Window.orderBy(col("x"), col("k"))).cast("long"))
+        .withColumn("ry", row_number().over(
+          Window.orderBy(col("y"), col("k"))).cast("long"))
+        .crossJoin(broadcast(Seq(900L, 950L, 990L).toDF("q_mille")))
+        .localCheckpoint(false)
+      xy.withColumn("n", count(lit(1)).over(
+          Window.partitionBy("q_mille")))
+        .withColumn("kq", expr("n * q_mille div 1000"))
+        .groupBy("q_mille")
+        .agg(max(col("n")).as("n_orders"),
+          sum(when(col("rx") > col("kq"), 1L).otherwise(0L)).as("n_exceed_x"),
+          sum(when(col("rx") > col("kq") && col("ry") > col("kq"), 1L)
+            .otherwise(0L)).as("n_joint"))
+        .withColumn("lambda_ppm",
+          expr("n_joint * 1000000 div n_exceed_x"))
+        .orderBy("q_mille")
+    }),
+
+    // linearly-weighted Cohen's kappa between the two automated quality
+    // "raters" (n_chars quintile vs word-count quintile): off-by-one
+    // disagreements cost 1/4, opposite-corner ones cost 1 — the ordinal
+    // agreement q420's unweighted kappa throws away. κ_w = 1 −
+    // N·Σw·O / Σᵢⱼ w·rᵢ·cⱼ in exact integers on the bounded 5×5
+    // confusion + margins
+    "q523_weighted_kappa" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("n_chars"),
+          size(filter(split(col("text"), " ", -1), x => length(x) > 0))
+            .cast("long").as("nw"))
+        .withColumn("ra", ntile(5).over(
+          Window.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+        .withColumn("rb", ntile(5).over(
+          Window.orderBy(col("nw"), col("doc_id"))).cast("long"))
+        .localCheckpoint(false)
+      val conf = base.groupBy("ra", "rb").agg(count(lit(1)).as("o"))
+      val num = conf.agg(sum(expr("abs(ra - rb) * o")).as("wo"),
+        sum(col("o")).as("n"))
+      val ri = base.groupBy("ra").agg(count(lit(1)).as("r_i"))
+      val cj = base.groupBy("rb").agg(count(lit(1)).as("c_j"))
+      val den = ri.crossJoin(broadcast(cj))
+        .agg(sum(expr("abs(ra - rb) * r_i * c_j")).as("wrc"))
+      num.crossJoin(broadcast(den))
+        .select(col("n").as("n_docs"), col("wo").as("weighted_disagreement"),
+          expr("1000000 - CAST(n AS DECIMAL(38,0)) * wo * 1000000 div wrc")
+            .as("kappa_w_ppm"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
