@@ -10964,7 +10964,193 @@ object OracleSql {
         |SELECT n AS n_docs, wo AS weighted_disagreement,
         |       CAST(1000000 - CAST(n AS HUGEINT) * wo * 1000000 // wrc AS BIGINT)
         |         AS kappa_w_ppm
-        |FROM num, den""".stripMargin
+        |FROM num, den""".stripMargin,
+
+    "q524_wilcoxon_signed_rank" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CASE WHEN year(o_orderdate) = 1997
+        |               THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+        |           AS BIGINT) AS r97,
+        |         CAST(sum(CASE WHEN year(o_orderdate) = 1998
+        |               THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+        |           AS BIGINT) AS r98
+        |  FROM orders WHERE year(o_orderdate) IN (1997, 1998)
+        |  GROUP BY 1
+        |), d AS (SELECT r98 - r97 AS d FROM per
+        |         WHERE r97 > 0 AND r98 > 0 AND r97 <> r98),
+        |vg AS (SELECT abs(d) AS a, CAST(count(*) AS BIGINT) AS cnt,
+        |              CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |       FROM d GROUP BY 1),
+        |vc AS (SELECT a, cnt, pos,
+        |              CAST(coalesce(sum(cnt) OVER (ORDER BY a
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |                AS BIGINT) AS cb
+        |       FROM vg),
+        |s AS (SELECT CAST(sum(pos * (2 * cb + cnt + 1)) AS BIGINT) AS w2,
+        |             CAST(sum(cnt) AS BIGINT) AS n,
+        |             CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+        |      FROM vc),
+        |f AS (SELECT n AS n_pairs, w2 AS w2_plus, 2 * w2 - n * (n + 1) AS num4,
+        |             2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) - ties AS var48
+        |      FROM s),
+        |z AS (SELECT n_pairs, w2_plus, num4,
+        |             CAST(3 * CAST(num4 AS HUGEINT) * num4 * 1000000 // var48
+        |               AS BIGINT) AS z2
+        |      FROM f),
+        |t AS (SELECT n_pairs, w2_plus, num4, z2,
+        |             CAST(floor(sqrt(CAST(z2 AS DOUBLE))) AS BIGINT) AS t0 FROM z),
+        |t2 AS (SELECT n_pairs, w2_plus, num4, z2,
+        |              CASE WHEN t0 > 0 THEN (t0 + z2 // t0) // 2 ELSE 0 END AS t1
+        |       FROM t)
+        |SELECT n_pairs, w2_plus,
+        |       CAST((CASE WHEN num4 >= 0 THEN 1 ELSE -1 END)
+        |            * (CASE WHEN (t1 + 1) * (t1 + 1) <= z2 THEN t1 + 1
+        |                    WHEN t1 * t1 > z2 THEN t1 - 1 ELSE t1 END)
+        |         AS BIGINT) AS z_milli
+        |FROM t2""".stripMargin,
+
+    "q525_page_trend" ->
+      """WITH mp AS (SELECT date_trunc('month', o_orderdate) AS m,
+        |                  CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
+        |                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |                    AS BIGINT) AS rev
+        |            FROM orders GROUP BY 1, 2),
+        |grid AS (SELECT mm.m, gg.g, coalesce(mp.rev, 0) AS rev
+        |         FROM (SELECT DISTINCT m FROM mp) mm
+        |         CROSS JOIN (SELECT CAST(g AS BIGINT) AS g
+        |                     FROM (SELECT unnest(range(1, 6)) AS g)) gg
+        |         LEFT JOIN mp ON mp.m = mm.m AND mp.g = gg.g),
+        |rk AS (SELECT m, g,
+        |              CAST(row_number() OVER (PARTITION BY m
+        |                ORDER BY rev DESC, g) AS BIGINT) AS r
+        |       FROM grid),
+        |rg AS (SELECT g, CAST(sum(r) AS BIGINT) AS rg, CAST(count(*) AS BIGINT) AS n
+        |       FROM rk GROUP BY 1),
+        |s AS (SELECT CAST(max(n) AS BIGINT) AS n_blocks,
+        |             CAST(sum(g * rg) AS BIGINT) AS l_stat FROM rg),
+        |q AS (SELECT n_blocks, l_stat, n_blocks * 1000000 AS nq FROM s),
+        |t AS (SELECT n_blocks, l_stat, nq,
+        |             CAST(floor(sqrt(CAST(nq AS DOUBLE))) AS BIGINT) AS t0 FROM q),
+        |t2 AS (SELECT n_blocks, l_stat, nq,
+        |              CASE WHEN t0 > 0 THEN (t0 + nq // t0) // 2 ELSE 0 END AS t1
+        |       FROM t)
+        |SELECT n_blocks, l_stat,
+        |       CAST((l_stat - 45 * n_blocks) * 1000000
+        |            // (5 * (CASE WHEN (t1 + 1) * (t1 + 1) <= nq THEN t1 + 1
+        |                          WHEN t1 * t1 > nq THEN t1 - 1 ELSE t1 END))
+        |         AS BIGINT) AS z_milli
+        |FROM t2""".stripMargin,
+
+    "q526_cochran_armitage" ->
+      """WITH ret AS (
+        |  SELECT l_orderkey,
+        |         CAST(max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS rf
+        |  FROM lineitem GROUP BY 1
+        |), g AS (
+        |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+        |         CAST(count(*) AS BIGINT) AS ng, CAST(sum(rf) AS BIGINT) AS rg
+        |  FROM orders o JOIN ret ON o.o_orderkey = ret.l_orderkey
+        |  GROUP BY 1
+        |), s AS (
+        |  SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(sum(rg) AS BIGINT) AS r,
+        |         CAST(sum(w * rg) AS BIGINT) AS swr,
+        |         CAST(sum(w * ng) AS BIGINT) AS swn,
+        |         CAST(sum(w * w * ng) AS BIGINT) AS swwn
+        |  FROM g
+        |), f AS (
+        |  SELECT n AS n_orders, r AS n_returned,
+        |         CAST(n AS HUGEINT) * swr - CAST(r AS HUGEINT) * swn AS tnum,
+        |         CAST(r AS HUGEINT) * (n - r)
+        |           * (CAST(n AS HUGEINT) * swwn - CAST(swn AS HUGEINT) * swn)
+        |           AS tden
+        |  FROM s
+        |), z AS (SELECT n_orders, n_returned, tnum,
+        |                CAST(tnum * tnum * n_orders * 1000000 // tden AS BIGINT) AS z2
+        |         FROM f),
+        |t AS (SELECT n_orders, n_returned, tnum, z2,
+        |             CAST(floor(sqrt(CAST(z2 AS DOUBLE))) AS BIGINT) AS t0 FROM z),
+        |t2 AS (SELECT n_orders, n_returned, tnum, z2,
+        |              CASE WHEN t0 > 0 THEN (t0 + z2 // t0) // 2 ELSE 0 END AS t1
+        |       FROM t)
+        |SELECT n_orders, n_returned,
+        |       CAST((CASE WHEN tnum >= 0 THEN 1 ELSE -1 END)
+        |            * (CASE WHEN (t1 + 1) * (t1 + 1) <= z2 THEN t1 + 1
+        |                    WHEN t1 * t1 > z2 THEN t1 - 1 ELSE t1 END)
+        |         AS BIGINT) AS z_milli
+        |FROM t2""".stripMargin,
+
+    "q527_jarque_bera" ->
+      """WITH x AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 10000 AS x
+        |           FROM orders),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s1,
+        |             sum(CAST(x AS HUGEINT) * x) AS s2,
+        |             sum(CAST(x AS HUGEINT) * x * x) AS s3,
+        |             sum(CAST(x AS HUGEINT) * x * x * x) AS s4
+        |      FROM x),
+        |m AS (SELECT n,
+        |             CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS m2,
+        |             CAST(n AS HUGEINT) * n * s3
+        |               - 3 * CAST(n AS HUGEINT) * s1 * s2
+        |               + 2 * CAST(s1 AS HUGEINT) * s1 * s1 AS m3,
+        |             CAST(n AS HUGEINT) * n * n * s4
+        |               - 4 * CAST(n AS HUGEINT) * n * s1 * s3
+        |               + 6 * CAST(n AS HUGEINT) * s1 * s1 * s2
+        |               - 3 * CAST(s1 AS HUGEINT) * s1 * s1 * s1 AS m4
+        |      FROM s),
+        |k AS (SELECT n AS n_orders,
+        |             CAST(round(CAST(m3 AS DOUBLE)
+        |               / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE))) * 1000)
+        |               AS BIGINT) AS skew_milli,
+        |             CAST(round((CAST(m4 AS DOUBLE)
+        |               / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3) * 1000)
+        |               AS BIGINT) AS kurt_excess_milli
+        |      FROM m)
+        |SELECT n_orders, skew_milli, kurt_excess_milli,
+        |       CAST((4 * n_orders * skew_milli * skew_milli
+        |             + n_orders * kurt_excess_milli * kurt_excess_milli)
+        |            // 24000 AS BIGINT) AS jb_milli
+        |FROM k""".stripMargin,
+
+    "q528_best_of_n" ->
+      """WITH vg AS (
+        |  SELECT n_chars AS q, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1
+        |), c AS (
+        |  SELECT q, cnt,
+        |         CAST(coalesce(sum(cnt) OVER (ORDER BY q
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS fp
+        |  FROM vg
+        |), c2 AS (SELECT q, cnt, fp, fp + cnt AS f FROM c),
+        |a AS (
+        |  SELECT CAST(max(f) AS BIGINT) AS nn,
+        |         CAST(sum(q * cnt) AS BIGINT) AS e1n,
+        |         sum(q * (CAST(f AS HUGEINT) * f - CAST(fp AS HUGEINT) * fp)) AS e2n,
+        |         sum(q * (CAST(f AS HUGEINT) * f * f * f
+        |                  - CAST(fp AS HUGEINT) * fp * fp * fp)) AS e4n,
+        |         sum(q * (CAST(f AS HUGEINT) * f * f * f * f * f * f * f
+        |                  - CAST(fp AS HUGEINT) * fp * fp * fp * fp * fp * fp * fp))
+        |           AS e8n
+        |  FROM c2
+        |)
+        |SELECT CAST(1 AS BIGINT) AS n_draws,
+        |       CAST(1000 * CAST(e1n AS HUGEINT) // nn AS BIGINT) AS e_max_milli
+        |FROM a
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT),
+        |       CAST(1000 * e2n // (CAST(nn AS HUGEINT) * nn) AS BIGINT) FROM a
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT),
+        |       CAST(1000 * e4n // (CAST(nn AS HUGEINT) * nn * nn * nn) AS BIGINT)
+        |FROM a
+        |UNION ALL
+        |SELECT CAST(8 AS BIGINT),
+        |       CAST(1000 * e8n // (CAST(nn AS HUGEINT) * nn * nn * nn * nn * nn
+        |                           * nn * nn) AS BIGINT)
+        |FROM a
+        |ORDER BY n_draws""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

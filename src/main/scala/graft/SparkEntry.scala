@@ -11815,6 +11815,180 @@ object SparkEntry {
             .as("kappa_w_ppm"))
     }),
 
+    // Wilcoxon signed-rank test on paired 1997→1998 customer revenue —
+    // q492's sign test upgraded with magnitude ranks (same pairs, more
+    // power): |d| ranked via the value-grouped doubled-rank identity,
+    // W⁺ from the positive-sign counts per tied block, tie-corrected
+    // variance, z via the isqrt discipline on the cross-multiplied form
+    // 3·num²/var48 — every step exact integers
+    "q524_wilcoxon_signed_rank" -> ((s, dir) => {
+      val per = Tables.orders(s, dir)
+        .filter(expr("year(o_orderdate) IN (1997, 1998)"))
+        .groupBy("o_custkey")
+        .agg(sum(when(expr("year(o_orderdate) = 1997"),
+          centsOf(col("o_totalprice"))).otherwise(0L)).as("r97"),
+          sum(when(expr("year(o_orderdate) = 1998"),
+            centsOf(col("o_totalprice"))).otherwise(0L)).as("r98"))
+        .filter(col("r97") > 0 && col("r98") > 0 && col("r97") =!= col("r98"))
+        .select((col("r98") - col("r97")).as("d"))
+      val before = Window.orderBy("a").rowsBetween(Window.unboundedPreceding, -1)
+      per.select(abs(col("d")).as("a"), (col("d") > 0).cast("long").as("p"))
+        .groupBy("a")
+        .agg(count(lit(1)).as("cnt"), sum(col("p")).as("pos"))
+        .withColumn("cb", coalesce(sum(col("cnt")).over(before), lit(0L)))
+        .agg(sum(expr("pos * (2 * cb + cnt + 1)")).as("w2"),
+          sum(col("cnt")).as("n"),
+          sum(expr("cnt * cnt * cnt - cnt")).as("ties"))
+        .select(col("n").as("n_pairs"), col("w2").as("w2_plus"),
+          expr("2 * w2 - n * (n + 1)").as("num4"),
+          expr("2 * CAST(n AS DECIMAL(38,0)) * (n + 1) * (2 * n + 1) - ties")
+            .as("var48"))
+        .withColumn("z2", expr(
+          "3 * CAST(num4 AS DECIMAL(38,0)) * num4 * 1000000 div var48"))
+        .withColumn("t0", floor(sqrt(col("z2").cast("double"))).cast("long"))
+        .withColumn("t1", expr(
+          "CASE WHEN t0 > 0 THEN (t0 + z2 div t0) div 2 ELSE 0 END"))
+        .select(col("n_pairs"), col("w2_plus"),
+          expr("(CASE WHEN num4 >= 0 THEN 1 ELSE -1 END)" +
+            " * (CASE WHEN (t1 + 1) * (t1 + 1) <= z2 THEN t1 + 1" +
+            " WHEN t1 * t1 > z2 THEN t1 - 1 ELSE t1 END)").as("z_milli"))
+    }),
+
+    // Page's L trend test on the q521 month-blocked priority ranks: is
+    // revenue rank MONOTONE in the priority ordinal across blocks (the
+    // ordered alternative Friedman's any-difference χ² dilutes)? For
+    // k=5 the variance collapses to exactly 25n, so z = (L−45n)/(5√n)
+    // — integer algebra + one isqrt on n·10⁶
+    "q525_page_trend" -> ((s, dir) => {
+      import s.implicits._
+      val mp = Tables.orders(s, dir)
+        .select(expr("date_trunc('month', o_orderdate)").as("m"),
+          expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("g"),
+          centsOf(col("o_totalprice")).as("c"))
+        .groupBy("m", "g").agg(sum(col("c")).as("rev"))
+      val rk = mp.select("m").distinct()
+        .crossJoin(broadcast((1L to 5L).toDF("g")))
+        .join(mp, Seq("m", "g"), "left")
+        .select(col("m"), col("g"), coalesce(col("rev"), lit(0L)).as("rev"))
+        .withColumn("r", row_number().over(Window.partitionBy("m")
+          .orderBy(col("rev").desc, col("g"))).cast("long"))
+      rk.groupBy("g").agg(sum(col("r")).as("rg"), count(lit(1)).as("n"))
+        .agg(max(col("n")).as("n_blocks"), sum(expr("g * rg")).as("l_stat"))
+        .withColumn("nq", expr("n_blocks * 1000000"))
+        .withColumn("t0", floor(sqrt(col("nq").cast("double"))).cast("long"))
+        .withColumn("t1", expr(
+          "CASE WHEN t0 > 0 THEN (t0 + nq div t0) div 2 ELSE 0 END"))
+        .withColumn("rtn", expr(
+          "CASE WHEN (t1 + 1) * (t1 + 1) <= nq THEN t1 + 1" +
+            " WHEN t1 * t1 > nq THEN t1 - 1 ELSE t1 END"))
+        .select(col("n_blocks"), col("l_stat"),
+          expr("(l_stat - 45 * n_blocks) * 1000000 div (5 * rtn)")
+            .as("z_milli"))
+    }),
+
+    // Cochran–Armitage trend-in-proportions: does the RETURN RATE trend
+    // monotonically with priority (scores 1..5) — the binary-outcome
+    // sibling of q519's rank trend, sharper than q119-style independence
+    // when the alternative is ordered. Exact integer cross-multiplied
+    // z², one isqrt; the per-order return flag is one max() over the
+    // lineitem join, aggregated once
+    "q526_cochran_armitage" -> ((s, dir) => {
+      val ret = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("rf"))
+      val g = Tables.orders(s, dir)
+        .join(ret, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("w"))
+        .agg(count(lit(1)).as("ng"), sum(col("rf")).as("rg"))
+      g.agg(sum(col("ng")).as("n"), sum(col("rg")).as("r"),
+          sum(expr("w * rg")).as("swr"), sum(expr("w * ng")).as("swn"),
+          sum(expr("w * w * ng")).as("swwn"))
+        .select(col("n").as("n_orders"), col("r").as("n_returned"),
+          expr("CAST(n AS DECIMAL(38,0)) * swr - CAST(r AS DECIMAL(38,0)) * swn")
+            .as("tnum"),
+          expr("CAST(r AS DECIMAL(38,0)) * (n - r)" +
+            " * (CAST(n AS DECIMAL(38,0)) * swwn" +
+            " - CAST(swn AS DECIMAL(38,0)) * swn)").as("tden"))
+        .withColumn("z2", expr(
+          "CAST(tnum AS DECIMAL(38,0)) * tnum * n_orders * 1000000 div tden"))
+        .withColumn("t0", floor(sqrt(col("z2").cast("double"))).cast("long"))
+        .withColumn("t1", expr(
+          "CASE WHEN t0 > 0 THEN (t0 + z2 div t0) div 2 ELSE 0 END"))
+        .select(col("n_orders"), col("n_returned"),
+          expr("(CASE WHEN tnum >= 0 THEN 1 ELSE -1 END)" +
+            " * (CASE WHEN (t1 + 1) * (t1 + 1) <= z2 THEN t1 + 1" +
+            " WHEN t1 * t1 > z2 THEN t1 - 1 ELSE t1 END)").as("z_milli"))
+    }),
+
+    // Jarque–Bera normality test on order prices: skewness + excess
+    // kurtosis from the EXACT central-moment identities (M2/M3/M4 as
+    // pure integer polynomials in the power sums — prices rescaled to
+    // hundreds-of-dollars so n³·Σx⁴ stays inside decimal38), the two shape
+    // stats quantized to milli through one sqrt-only double formula
+    // each, and JB reassembled from the quantized pair in integers
+    "q527_jarque_bera" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT) div 10000")
+          .as("x"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("s2"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x * x")).as("s3"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x * x * x")).as("s4"))
+        .select(col("n"),
+          expr("CAST(n AS DECIMAL(38,0)) * s2" +
+            " - CAST(s1 AS DECIMAL(38,0)) * s1").as("m2"),
+          expr("CAST(n AS DECIMAL(38,0)) * n * s3" +
+            " - 3 * CAST(n AS DECIMAL(38,0)) * s1 * s2" +
+            " + 2 * CAST(s1 AS DECIMAL(38,0)) * s1 * s1").as("m3"),
+          expr("CAST(n AS DECIMAL(38,0)) * n * n * s4" +
+            " - 4 * CAST(n AS DECIMAL(38,0)) * n * s1 * s3" +
+            " + 6 * CAST(n AS DECIMAL(38,0)) * s1 * s1 * s2" +
+            " - 3 * CAST(s1 AS DECIMAL(38,0)) * s1 * s1 * s1").as("m4"))
+        .select(col("n").as("n_orders"),
+          expr("CAST(round(CAST(m3 AS DOUBLE)" +
+            " / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE))) * 1000)" +
+            " AS BIGINT)").as("skew_milli"),
+          expr("CAST(round((CAST(m4 AS DOUBLE)" +
+            " / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3) * 1000)" +
+            " AS BIGINT)").as("kurt_excess_milli"))
+        .withColumn("jb_milli", expr(
+          "(4 * n_orders * skew_milli * skew_milli" +
+            " + n_orders * kurt_excess_milli * kurt_excess_milli)" +
+            " div 24000"))),
+
+    // best-of-n selection value: the expected MAX quality (n_chars) of
+    // n md5-uniform draws, n ∈ {1,2,4,8} — how much quality does each
+    // doubling of the candidate pool buy (the data-curation twin of
+    // RLHF's best-of-n readout). CLOSED FORM from the empirical CDF:
+    // E[max] = Σ_q q·(F_qⁿ − F_{q−}ⁿ)/Nⁿ — exact integer powers on the
+    // bounded distinct-quality relation, no sampling at all
+    "q528_best_of_n" -> ((s, dir) => {
+      val before = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("n_chars").as("q"))
+        .groupBy("q").agg(count(lit(1)).as("cnt"))
+        .withColumn("fp", coalesce(sum(col("cnt")).over(before), lit(0L)))
+        .withColumn("f", expr("fp + cnt"))
+        .agg(max(col("f")).as("nn"),
+          sum(expr("q * cnt")).as("e1n"),
+          sum(expr("q * (CAST(f AS DECIMAL(38,0)) * f" +
+            " - CAST(fp AS DECIMAL(38,0)) * fp)")).as("e2n"),
+          sum(expr("q * (CAST(f AS DECIMAL(38,0)) * f * f * f" +
+            " - CAST(fp AS DECIMAL(38,0)) * fp * fp * fp)")).as("e4n"),
+          sum(expr("q * (CAST(f AS DECIMAL(38,0)) * f * f * f * f * f * f * f" +
+            " - CAST(fp AS DECIMAL(38,0)) * fp * fp * fp * fp * fp * fp * fp)"))
+            .as("e8n"))
+        .selectExpr(
+          "stack(4," +
+            " 1L, CAST(1000 * CAST(e1n AS DECIMAL(38,0)) div nn AS BIGINT)," +
+            " 2L, CAST(1000 * e2n div (CAST(nn AS DECIMAL(38,0)) * nn) AS BIGINT)," +
+            " 4L, CAST(1000 * e4n div (CAST(nn AS DECIMAL(38,0)) * nn * nn * nn)" +
+            " AS BIGINT)," +
+            " 8L, CAST(1000 * e8n div (CAST(nn AS DECIMAL(38,0)) * nn * nn * nn" +
+            " * nn * nn * nn * nn) AS BIGINT)) AS (n_draws, e_max_milli)")
+        .orderBy("n_draws")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -145,6 +145,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q517_grubbs_test",        // 1-row moment row crossed into the scan for the argmax residual
     "q520_temperature_sweep",  // 1-row total + 3-row T dictionary crossed into per-source counts
     "q521_friedman_w",         // 5-row priority dictionary crossed into the bounded month grid
+    "q525_page_trend",         // same 5-row priority dictionary cross as q521
     "q523_weighted_kappa",     // bounded 5×5 margin cross + 1-row denominator cross
     "q368_lsh_cost_model",     // 1-row distinct-candidate count bound
     "q369_storage_tiering",    // 1-row max-date aggregate bound
