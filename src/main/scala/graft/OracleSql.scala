@@ -11150,7 +11150,151 @@ object OracleSql {
         |       CAST(1000 * e8n // (CAST(nn AS HUGEINT) * nn * nn * nn * nn * nn
         |                           * nn * nn) AS BIGINT)
         |FROM a
-        |ORDER BY n_draws""".stripMargin
+        |ORDER BY n_draws""".stripMargin,
+
+    "q529_queueing_delay" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |                  epoch_us(date_trunc('microseconds', ts)) AS us
+        |           FROM events),
+        |r AS (SELECT event_type, us,
+        |             CAST(row_number() OVER (PARTITION BY event_type
+        |               ORDER BY us, event_id) AS BIGINT) AS i
+        |      FROM e),
+        |svc AS (SELECT event_type,
+        |               CAST(((max(us) - min(us)) * 4 // 5) // count(*) AS BIGINT) AS svc
+        |        FROM r GROUP BY 1),
+        |c AS (SELECT r.event_type, r.i, svc.svc, r.i * svc.svc - r.us AS c
+        |      FROM r JOIN svc USING (event_type)),
+        |d AS (SELECT event_type, svc,
+        |             greatest(0, c - coalesce(min(c) OVER (PARTITION BY event_type
+        |               ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |               c)) AS wdelay
+        |      FROM c)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(max(svc) AS BIGINT) AS svc_us,
+        |       CAST(sum(wdelay) // count(*) AS BIGINT) AS mean_delay_us,
+        |       CAST(max(wdelay) AS BIGINT) AS max_delay_us,
+        |       CAST(sum(CASE WHEN wdelay > 0 THEN 1 ELSE 0 END) * 1000000
+        |            // count(*) AS BIGINT) AS wait_share_ppm
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q530_histogram_error" ->
+      """WITH x AS (SELECT o_orderkey AS k,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders),
+        |mm AS (SELECT CAST(min(x) AS BIGINT) AS mn,
+        |              CAST(max(x) - min(x) + 1 AS BIGINT) AS span,
+        |              CAST(count(*) AS BIGINT) AS n FROM x),
+        |rg AS (SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+        |       FROM (VALUES (10, 35), (20, 60), (50, 55), (80, 99), (0, 50))
+        |            AS t(a, b)),
+        |xr AS (SELECT x.x, mm.mn, mm.span, mm.n,
+        |              (x.x - mm.mn) * 16 // mm.span AS wb,
+        |              CAST(row_number() OVER (ORDER BY x.x, x.k) AS BIGINT) AS rk
+        |       FROM x, mm),
+        |xr2 AS (SELECT x, mn, span, n, wb, (rk - 1) * 16 // n AS db FROM xr),
+        |exact AS (SELECT rg.a, rg.b,
+        |                 CAST(sum(CASE WHEN xr2.x >= xr2.mn + xr2.span * rg.a // 100
+        |                                AND xr2.x < xr2.mn + xr2.span * rg.b // 100
+        |                               THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+        |          FROM xr2, rg GROUP BY 1, 2),
+        |wbuck AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |                 mn + span * wb // 16 AS lo,
+        |                 mn + span * (wb + 1) // 16 AS hi
+        |          FROM xr2 GROUP BY wb, mn, span),
+        |dbuck AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |                 CAST(min(x) AS BIGINT) AS lo,
+        |                 CAST(max(x) + 1 AS BIGINT) AS hi
+        |          FROM xr2 GROUP BY db),
+        |ew AS (SELECT rg.a, rg.b,
+        |              CAST(sum(wbuck.cnt * greatest(0,
+        |                least(wbuck.hi, mm.mn + mm.span * rg.b // 100)
+        |                - greatest(wbuck.lo, mm.mn + mm.span * rg.a // 100))
+        |                // greatest(wbuck.hi - wbuck.lo, 1)) AS BIGINT) AS est_width
+        |       FROM wbuck, rg, mm GROUP BY 1, 2),
+        |ed AS (SELECT rg.a, rg.b,
+        |              CAST(sum(dbuck.cnt * greatest(0,
+        |                least(dbuck.hi, mm.mn + mm.span * rg.b // 100)
+        |                - greatest(dbuck.lo, mm.mn + mm.span * rg.a // 100))
+        |                // greatest(dbuck.hi - dbuck.lo, 1)) AS BIGINT) AS est_depth
+        |       FROM dbuck, rg, mm GROUP BY 1, 2)
+        |SELECT exact.a AS range_lo_pct, exact.b AS range_hi_pct, n_exact,
+        |       est_width, est_depth,
+        |       CAST(abs(est_width - n_exact) * 1000000
+        |            // greatest(n_exact, 1) AS BIGINT) AS err_width_ppm,
+        |       CAST(abs(est_depth - n_exact) * 1000000
+        |            // greatest(n_exact, 1) AS BIGINT) AS err_depth_ppm
+        |FROM exact JOIN ew ON exact.a = ew.a AND exact.b = ew.b
+        |           JOIN ed ON exact.a = ed.a AND exact.b = ed.b
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q531_learned_index" ->
+      """WITH xr AS (SELECT x, CAST(row_number() OVER (ORDER BY x, k) AS BIGINT) AS y
+        |            FROM (SELECT o_orderkey AS k,
+        |                         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+        |                  FROM orders)),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |              CAST(sum(y) AS BIGINT) AS sy,
+        |              sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |              sum(CAST(x AS HUGEINT) * x) AS sxx
+        |       FROM xr),
+        |co AS (SELECT n, sx, sy,
+        |              CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS bnum,
+        |              CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS d
+        |       FROM st),
+        |e AS (SELECT co.n, co.bnum, co.d,
+        |             abs(CAST(co.n AS HUGEINT) * co.d * xr.y
+        |                 - (co.d * co.sy + co.n * co.bnum * xr.x
+        |                    - co.bnum * co.sx)) AS e
+        |      FROM xr, co),
+        |a AS (SELECT n, bnum, d, max(e) AS emax, sum(e) AS esum
+        |      FROM e GROUP BY 1, 2, 3)
+        |SELECT CAST(n AS BIGINT) AS n_keys,
+        |       CAST(bnum * 1000000000 // d AS BIGINT) AS slope_ppb,
+        |       CAST(emax // (CAST(n AS HUGEINT) * d) AS BIGINT) AS eps_rows,
+        |       CAST(1000 * (esum // (CAST(n AS HUGEINT) * d)) // n AS BIGINT)
+        |         AS mean_abs_err_milli
+        |FROM a""".stripMargin,
+
+    "q532_cache_ttl" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |                  epoch_us(date_trunc('microseconds', ts)) AS us
+        |           FROM events),
+        |g AS (SELECT us - lag(us) OVER (PARTITION BY user_id, event_type
+        |        ORDER BY us, event_id) AS gap FROM e),
+        |t AS (SELECT CAST(ttl_s AS BIGINT) AS ttl_s
+        |      FROM (SELECT unnest([60, 600, 3600]) AS ttl_s)),
+        |a AS (SELECT t.ttl_s, CAST(count(*) AS BIGINT) AS n_requests,
+        |             CAST(sum(CASE WHEN g.gap IS NOT NULL THEN 1 ELSE 0 END)
+        |               AS BIGINT) AS n_repeats,
+        |             CAST(sum(CASE WHEN g.gap <= t.ttl_s * 1000000
+        |                           THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        |      FROM g, t GROUP BY 1)
+        |SELECT ttl_s, n_requests, n_repeats, n_hits,
+        |       CAST(n_hits * 1000000 // n_requests AS BIGINT) AS hit_ppm
+        |FROM a ORDER BY ttl_s""".stripMargin,
+
+    "q533_median_of_means" ->
+      """WITH b AS (SELECT CAST(concat('0x',
+        |             substr(md5('mom#' || CAST(doc_id AS VARCHAR)), 1, 12))
+        |             AS BIGINT) % 16 AS bkt, n_chars
+        |           FROM documents WHERE text IS NOT NULL),
+        |m AS (SELECT bkt, CAST(count(*) AS BIGINT) AS nb,
+        |             CAST(sum(n_chars) AS BIGINT) AS sb FROM b GROUP BY 1),
+        |m2 AS (SELECT 1000 * sb // nb AS m_milli, nb, sb,
+        |              CAST(row_number() OVER (ORDER BY 1000 * sb // nb, nb)
+        |                AS BIGINT) AS rk
+        |       FROM m),
+        |a AS (SELECT CAST(sum(sb) AS BIGINT) AS stot, CAST(sum(nb) AS BIGINT) AS ntot,
+        |             CAST(sum(CASE WHEN rk = 8 THEN m_milli ELSE 0 END) AS BIGINT) AS m8,
+        |             CAST(sum(CASE WHEN rk = 9 THEN m_milli ELSE 0 END) AS BIGINT) AS m9,
+        |             CAST(sum(m_milli) AS BIGINT) AS msum,
+        |             CAST(max(m_milli) AS BIGINT) AS mmax,
+        |             CAST(min(m_milli) AS BIGINT) AS mmin
+        |      FROM m2)
+        |SELECT ntot AS n_docs, CAST(1000 * stot // ntot AS BIGINT) AS mean_milli,
+        |       CAST((m8 + m9) // 2 AS BIGINT) AS mom_milli,
+        |       CAST((msum - mmax - mmin) // 14 AS BIGINT) AS trimmed_milli
+        |FROM a""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

@@ -11989,6 +11989,167 @@ object SparkEntry {
         .orderBy("n_draws")
     }),
 
+    // exact M/D/1-style queueing delay per event type WITHOUT a
+    // sequential scan: Lindley's recursion W_i = max(0, W_{i−1}+s−gap)
+    // unrolls to W_i = max(0, c_i − min_{j<i} c_j) with c_j = j·s − t_j
+    // — ONE running-min window computes every event's queueing delay.
+    // Service time s is pinned at 80% of the type's mean interarrival
+    // (utilization 0.8), so the readout is "how bursty is this stream
+    // relative to its own rate" — all exact integer microseconds
+    "q529_queueing_delay" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy(col("us"), col("event_id"))
+      val e = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("i", row_number().over(w).cast("long"))
+      val svc = e.groupBy("event_type")
+        .agg(expr("((max(us) - min(us)) * 4 div 5) div count(1)").as("svc"))
+      val runMin = Window.partitionBy("event_type").orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.join(broadcast(svc), "event_type")
+        .withColumn("c", expr("i * svc - us"))
+        .withColumn("cmin", min(col("c")).over(runMin))
+        .withColumn("wdelay", greatest(lit(0L),
+          expr("c - coalesce(cmin, c)")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), max(col("svc")).as("svc_us"),
+          expr("sum(wdelay) div count(1)").as("mean_delay_us"),
+          max(col("wdelay")).as("max_delay_us"),
+          expr("sum(CASE WHEN wdelay > 0 THEN 1 ELSE 0 END) * 1000000" +
+            " div count(1)").as("wait_share_ppm"))
+        .orderBy("event_type")
+    }),
+
+    // optimizer-stats quality audit: 16-bucket equi-WIDTH vs equi-DEPTH
+    // histograms on order price, scored by their range-cardinality
+    // estimates against the exact counts on five pinned ranges — the
+    // "which histogram should the planner keep" readout behind q345's
+    // construction. Uniform-within-bucket interpolation pinned as
+    // integer division; every relation after the scan is ≤ 16 rows
+    "q530_histogram_error" -> ((s, dir) => {
+      import s.implicits._
+      val x = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), centsOf(col("o_totalprice")).as("x"))
+        .localCheckpoint(false)
+      val mm = broadcast(x.agg(min(col("x")).as("mn"),
+        (max(col("x")) - min(col("x")) + 1).as("span"), count(lit(1)).as("n")))
+      val ranges = broadcast(Seq((10L, 35L), (20L, 60L), (50L, 55L),
+        (80L, 99L), (0L, 50L)).toDF("a", "b"))
+      val xr = x.crossJoin(mm)
+        .select(col("x"), col("mn"), col("span"), col("n"),
+          expr("(x - mn) * 16 div span").as("wb"),
+          row_number().over(Window.orderBy(col("x"), col("k"))).cast("long")
+            .as("rk"))
+        .withColumn("db", expr("(rk - 1) * 16 div n"))
+        .localCheckpoint(false)
+      val exact = xr.crossJoin(ranges)
+        .groupBy("a", "b")
+        .agg(sum(when(col("x") >= expr("mn + span * a div 100") &&
+          col("x") < expr("mn + span * b div 100"), 1L).otherwise(0L))
+          .as("n_exact"))
+      val wbuck = xr.groupBy("wb", "mn", "span").agg(count(lit(1)).as("cnt"))
+        .select(col("cnt"), expr("mn + span * wb div 16").as("lo"),
+          expr("mn + span * (wb + 1) div 16").as("hi"))
+      val dbuck = xr.groupBy("db").agg(count(lit(1)).as("cnt"),
+        min(col("x")).as("lo"), (max(col("x")) + 1).as("hi"))
+      def est(buck: DataFrame, name: String): DataFrame = buck
+        .crossJoin(ranges).crossJoin(mm)
+        .select(col("a"), col("b"), col("cnt"), col("lo"), col("hi"),
+          expr("greatest(0, least(hi, mn + span * b div 100)" +
+            " - greatest(lo, mn + span * a div 100))").as("ov"))
+        .groupBy("a", "b")
+        .agg(sum(expr("cnt * ov div greatest(hi - lo, 1)")).as(name))
+      exact.join(est(wbuck, "est_width"), Seq("a", "b"))
+        .join(est(dbuck, "est_depth"), Seq("a", "b"))
+        .select(col("a").as("range_lo_pct"), col("b").as("range_hi_pct"),
+          col("n_exact"), col("est_width"), col("est_depth"),
+          expr("abs(est_width - n_exact) * 1000000" +
+            " div greatest(n_exact, 1)").as("err_width_ppm"),
+          expr("abs(est_depth - n_exact) * 1000000" +
+            " div greatest(n_exact, 1)").as("err_depth_ppm"))
+        .orderBy("range_lo_pct", "range_hi_pct")
+    }),
+
+    // learned-index error bound: OLS of rank on key (price cents) in
+    // exact cross-multiplied integers — ε = max |true rank − linear
+    // prediction| is the binary-search window a learned index needs
+    // (the recursive-model-index readout); mean |error| says how tight
+    // the typical probe is. No division until the final scaled readouts
+    "q531_learned_index" -> ((s, dir) => {
+      val xr = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), centsOf(col("o_totalprice")).as("x"))
+        .withColumn("y", row_number().over(
+          Window.orderBy(col("x"), col("k"))).cast("long"))
+        .localCheckpoint(false)
+      val st = broadcast(xr.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+        .select(col("n"), col("sx"), col("sy"),
+          expr("CAST(n AS DECIMAL(38,0)) * sxy" +
+            " - CAST(sx AS DECIMAL(38,0)) * sy").as("bnum"),
+          expr("CAST(n AS DECIMAL(38,0)) * sxx" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx").as("d")))
+      xr.crossJoin(st)
+        .select(col("n"), col("bnum"), col("d"),
+          expr("abs(CAST(n AS DECIMAL(38,0)) * d * y" +
+            " - (d * sy + n * bnum * x - bnum * sx))").as("e"))
+        .groupBy("n", "bnum", "d")
+        .agg(max(col("e")).as("emax"), sum(col("e")).as("esum"))
+        .select(col("n").as("n_keys"),
+          expr("CAST(bnum * 1000000000 div d AS BIGINT)").as("slope_ppb"),
+          expr("CAST(emax div (CAST(n AS DECIMAL(38,0)) * d) AS BIGINT)")
+            .as("eps_rows"),
+          expr("CAST(1000 * (esum div (CAST(n AS DECIMAL(38,0)) * d))" +
+            " div n AS BIGINT)").as("mean_abs_err_milli"))
+    }),
+
+    // result-cache TTL tuning: a (user, event_type) re-request within
+    // TTL is a cache hit — hit ratios for TTL ∈ {60 s, 10 min, 1 h}
+    // from ONE lag pass over the per-user streams (the "what TTL buys
+    // what hit rate" readout behind q324's debounce and q497's LRU
+    // depth profile)
+    "q532_cache_ttl" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .crossJoin(broadcast(Seq(60L, 600L, 3600L).toDF("ttl_s")))
+        .groupBy("ttl_s")
+        .agg(count(lit(1)).as("n_requests"),
+          sum(when(col("gap").isNotNull, 1L).otherwise(0L)).as("n_repeats"),
+          sum(when(col("gap") <= col("ttl_s") * 1000000L, 1L).otherwise(0L))
+            .as("n_hits"))
+        .withColumn("hit_ppm", expr("n_hits * 1000000 div n_requests"))
+        .orderBy("ttl_s")
+    }),
+
+    // median-of-means robust mean of doc lengths: 16 md5 buckets, the
+    // bucket-mean median (doubled-order-stat convention) and the
+    // min/max-trimmed bucket mean vs the plain mean — the estimator
+    // heavy-tail pipelines use when a single shard of garbage must not
+    // move the metric; everything after the one scan is 16 rows
+    "q533_median_of_means" -> ((s, dir) => {
+      val b = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .groupBy((Dedup.md5Long(concat(lit("mom#"),
+          col("doc_id").cast("string")), 12) % 16).as("bkt"))
+        .agg(count(lit(1)).as("nb"), sum(col("n_chars")).as("sb"))
+        .select(expr("1000 * sb div nb").as("m_milli"), col("nb"), col("sb"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("m_milli"), col("nb"))).cast("long"))
+      b.agg(sum(col("sb")).as("stot"), sum(col("nb")).as("ntot"),
+          sum(when(col("rk") === 8, col("m_milli")).otherwise(0L)).as("m8"),
+          sum(when(col("rk") === 9, col("m_milli")).otherwise(0L)).as("m9"),
+          sum(col("m_milli")).as("msum"),
+          max(col("m_milli")).as("mmax"), min(col("m_milli")).as("mmin"))
+        .select(col("ntot").as("n_docs"),
+          expr("1000 * stot div ntot").as("mean_milli"),
+          expr("(m8 + m9) div 2").as("mom_milli"),
+          expr("(msum - mmax - mmin) div 14").as("trimmed_milli"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

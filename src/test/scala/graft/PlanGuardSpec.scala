@@ -146,6 +146,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q520_temperature_sweep",  // 1-row total + 3-row T dictionary crossed into per-source counts
     "q521_friedman_w",         // 5-row priority dictionary crossed into the bounded month grid
     "q525_page_trend",         // same 5-row priority dictionary cross as q521
+    "q530_histogram_error",    // 1-row min/span row + 5-row range dict crossed into the scan
+    "q531_learned_index",      // 1-row OLS-coefficient row crossed into the ranked scan
+    "q532_cache_ttl",          // 3-row TTL dictionary crossed into the lag relation
     "q523_weighted_kappa",     // bounded 5×5 margin cross + 1-row denominator cross
     "q368_lsh_cost_model",     // 1-row distinct-candidate count bound
     "q369_storage_tiering",    // 1-row max-date aggregate bound
