@@ -11294,7 +11294,158 @@ object OracleSql {
         |SELECT ntot AS n_docs, CAST(1000 * stot // ntot AS BIGINT) AS mean_milli,
         |       CAST((m8 + m9) // 2 AS BIGINT) AS mom_milli,
         |       CAST((msum - mmax - mmin) // 14 AS BIGINT) AS trimmed_milli
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    "q534_join_order_costs" ->
+      """WITH st AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS no,
+        |         (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders) AS doc,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM customer) AS nc,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS nl,
+        |         (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS dlo
+        |), act AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |          JOIN customer c ON o.o_custkey = c.c_custkey) AS a_co,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |          JOIN lineitem l ON o.o_orderkey = l.l_orderkey) AS a_ol,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |          JOIN customer c ON o.o_custkey = c.c_custkey
+        |          JOIN lineitem l ON o.o_orderkey = l.l_orderkey) AS a_col
+        |)
+        |SELECT '1_co_then_l' AS plan,
+        |       CAST(CAST(nc AS HUGEINT) * no // greatest(nc, doc)
+        |            + (CAST(nc AS HUGEINT) * no // greatest(nc, doc)) * nl
+        |              // greatest(no, dlo) AS BIGINT) AS est_cost,
+        |       CAST(a_co + a_col AS BIGINT) AS actual_cost
+        |FROM st, act
+        |UNION ALL
+        |SELECT '2_ol_then_c',
+        |       CAST(CAST(no AS HUGEINT) * nl // greatest(no, dlo)
+        |            + (CAST(no AS HUGEINT) * nl // greatest(no, dlo)) * nc
+        |              // greatest(doc, nc) AS BIGINT),
+        |       CAST(a_ol + a_col AS BIGINT)
+        |FROM st, act
+        |UNION ALL
+        |SELECT '3_cl_cross_then_o',
+        |       CAST(CAST(nc AS HUGEINT) * nl
+        |            + (CAST(nc AS HUGEINT) * nl) * no // greatest(no, dlo)
+        |         AS BIGINT),
+        |       CAST(CAST(nc AS HUGEINT) * nl + a_col AS BIGINT)
+        |FROM st, act
+        |ORDER BY plan""".stripMargin,
+
+    "q535_load_shedding" ->
+      """WITH arr AS (
+        |  SELECT epoch_us(date_trunc('microseconds', ts)) // 1000000 AS sec,
+        |         event_type,
+        |         CASE event_type WHEN 'purchase' THEN 1 WHEN 'signup' THEN 2
+        |              WHEN 'click' THEN 3 WHEN 'view' THEN 4 ELSE 5 END AS p,
+        |         CAST(count(*) AS BIGINT) AS arr
+        |  FROM events GROUP BY 1, 2, 3
+        |), cap AS (SELECT CAST(sum(arr) // count(DISTINCT sec) + 1 AS BIGINT) AS cap
+        |           FROM arr),
+        |k AS (SELECT a.event_type, a.p, a.arr,
+        |             greatest(0, least(a.arr, cap.cap
+        |               - coalesce(sum(a.arr) OVER (PARTITION BY a.sec ORDER BY a.p
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)))
+        |               AS kept
+        |      FROM arr a, cap)
+        |SELECT event_type, CAST(p AS BIGINT) AS priority_rank,
+        |       CAST(sum(arr) AS BIGINT) AS n_arrivals,
+        |       CAST(sum(kept) AS BIGINT) AS n_kept,
+        |       CAST((sum(arr) - sum(kept)) * 1000000 // sum(arr) AS BIGINT)
+        |         AS shed_ppm
+        |FROM k GROUP BY 1, 2 ORDER BY priority_rank""".stripMargin,
+
+    "q536_shapley_attribution" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+        |         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+        |         max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS g,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1
+        |), r AS (
+        |  SELECT c, v, g, CAST(sum(conv) * 1000000 // count(*) AS BIGINT) AS r
+        |  FROM u GROUP BY 1, 2, 3
+        |), w AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN c=0 AND v=0 AND g=0 THEN r ELSE 0 END) AS BIGINT) AS r000,
+        |    CAST(sum(CASE WHEN c=0 AND v=0 AND g=1 THEN r ELSE 0 END) AS BIGINT) AS r001,
+        |    CAST(sum(CASE WHEN c=0 AND v=1 AND g=0 THEN r ELSE 0 END) AS BIGINT) AS r010,
+        |    CAST(sum(CASE WHEN c=0 AND v=1 AND g=1 THEN r ELSE 0 END) AS BIGINT) AS r011,
+        |    CAST(sum(CASE WHEN c=1 AND v=0 AND g=0 THEN r ELSE 0 END) AS BIGINT) AS r100,
+        |    CAST(sum(CASE WHEN c=1 AND v=0 AND g=1 THEN r ELSE 0 END) AS BIGINT) AS r101,
+        |    CAST(sum(CASE WHEN c=1 AND v=1 AND g=0 THEN r ELSE 0 END) AS BIGINT) AS r110,
+        |    CAST(sum(CASE WHEN c=1 AND v=1 AND g=1 THEN r ELSE 0 END) AS BIGINT) AS r111
+        |  FROM r
+        |)
+        |SELECT 'click' AS channel,
+        |       CAST(2*(r100 - r000) + (r110 - r010) + (r101 - r001)
+        |            + 2*(r111 - r011) AS BIGINT) AS phi6_ppm,
+        |       CAST((2*(r100 - r000) + (r110 - r010) + (r101 - r001)
+        |             + 2*(r111 - r011)) // 6 AS BIGINT) AS phi_ppm
+        |FROM w
+        |UNION ALL
+        |SELECT 'signup',
+        |       CAST(2*(r001 - r000) + (r101 - r100) + (r011 - r010)
+        |            + 2*(r111 - r110) AS BIGINT),
+        |       CAST((2*(r001 - r000) + (r101 - r100) + (r011 - r010)
+        |             + 2*(r111 - r110)) // 6 AS BIGINT)
+        |FROM w
+        |UNION ALL
+        |SELECT 'view',
+        |       CAST(2*(r010 - r000) + (r110 - r100) + (r011 - r001)
+        |            + 2*(r111 - r101) AS BIGINT),
+        |       CAST((2*(r010 - r000) + (r110 - r100) + (r011 - r001)
+        |             + 2*(r111 - r101)) // 6 AS BIGINT)
+        |FROM w
+        |ORDER BY channel""".stripMargin,
+
+    "q537_forecast_reconciliation" ->
+      """WITH mr AS (
+        |  SELECT r.r_name, date_trunc('month', o.o_orderdate) AS m,
+        |         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2
+        |), mx AS (SELECT max(m) AS mx FROM mr),
+        |bu AS (SELECT r_name, rev AS bu_cents FROM mr CROSS JOIN mx WHERE m = mx),
+        |tot AS (SELECT CAST(sum(bu_cents) AS BIGINT) AS tot_last FROM bu),
+        |rt AS (SELECT CAST(sum(rev) AS BIGINT) AS rev_tot FROM mr),
+        |share AS (SELECT mr.r_name,
+        |                 CAST(CAST(sum(rev) AS HUGEINT) * 1000000 // max(rt.rev_tot)
+        |                   AS BIGINT) AS share_ppm
+        |          FROM mr CROSS JOIN rt GROUP BY 1)
+        |SELECT bu.r_name, bu.bu_cents,
+        |       CAST(tot.tot_last * share.share_ppm // 1000000 AS BIGINT) AS td_cents,
+        |       CAST(abs(bu.bu_cents - tot.tot_last * share.share_ppm // 1000000)
+        |            * 1000000 // greatest(bu.bu_cents, 1) AS BIGINT) AS gap_ppm
+        |FROM bu JOIN share ON bu.r_name = share.r_name CROSS JOIN tot
+        |ORDER BY bu.r_name""".stripMargin,
+
+    "q538_epoch_shuffle" ->
+      """WITH base AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT doc_id,
+        |             CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS r0,
+        |             CAST(row_number() OVER (ORDER BY CAST(concat('0x',
+        |               substr(md5('ep#1#' || CAST(doc_id AS VARCHAR)), 1, 12))
+        |               AS BIGINT), doc_id) AS BIGINT) AS r1,
+        |             CAST(row_number() OVER (ORDER BY CAST(concat('0x',
+        |               substr(md5('ep#2#' || CAST(doc_id AS VARCHAR)), 1, 12))
+        |               AS BIGINT), doc_id) AS BIGINT) AS r2
+        |      FROM base),
+        |a AS (SELECT 'epoch1_vs_epoch2' AS pair, CAST(count(*) AS BIGINT) AS n_docs,
+        |             sum(CAST(r1 - r2 AS HUGEINT) * (r1 - r2)) AS sd2 FROM r
+        |      UNION ALL
+        |      SELECT 'corpus_vs_epoch1', CAST(count(*) AS BIGINT),
+        |             sum(CAST(r0 - r1 AS HUGEINT) * (r0 - r1)) FROM r)
+        |SELECT pair, n_docs,
+        |       CAST(1000000 - 6 * sd2 * 1000000
+        |            // (CAST(n_docs AS HUGEINT)
+        |               * (CAST(n_docs AS HUGEINT) * n_docs - 1)) AS BIGINT) AS rho_ppm
+        |FROM a ORDER BY pair""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

@@ -12150,6 +12150,178 @@ object SparkEntry {
           expr("(msum - mmax - mmin) div 14").as("trimmed_milli"))
     }),
 
+    // join-order cost enumeration audit: the three left-deep orders of
+    // customer ⋈ orders ⋈ lineitem costed with the textbook estimate
+    // |R⋈S| = |R|·|S|/max(d_R, d_S) from base-table distinct counts —
+    // including the customer×lineitem cartesian the greedy optimizer
+    // must avoid — with ESTIMATED cost (Σ intermediate sizes) laid
+    // beside the ACTUAL sizes. The readout a cost-based optimizer's
+    // regression test wants: does the estimate still rank plans right?
+    "q534_join_order_costs" -> ((s, dir) => {
+      import s.implicits._
+      val st = Tables.orders(s, dir).agg(count(lit(1)).as("no"),
+          countDistinct(col("o_custkey")).as("doc"))
+        .crossJoin(broadcast(Tables.customer(s, dir)
+          .agg(count(lit(1)).as("nc"))))
+        .crossJoin(broadcast(Tables.lineitem(s, dir)
+          .agg(count(lit(1)).as("nl"),
+            countDistinct(col("l_orderkey")).as("dlo"))))
+      val aco = Tables.orders(s, dir).join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey")).agg(count(lit(1)).as("a_co"))
+      val aol = Tables.orders(s, dir).join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey")).agg(count(lit(1)).as("a_ol"))
+      val afull = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("a_col"))
+      st.crossJoin(broadcast(aco)).crossJoin(broadcast(aol))
+        .crossJoin(broadcast(afull))
+        .selectExpr(
+          "stack(3," +
+            " '1_co_then_l'," +
+            "   CAST(CAST(nc AS DECIMAL(38,0)) * no div greatest(nc, doc)" +
+            "   + (CAST(nc AS DECIMAL(38,0)) * no div greatest(nc, doc))" +
+            "     * nl div greatest(no, dlo) AS BIGINT)," +
+            "   CAST(a_co + a_col AS BIGINT)," +
+            " '2_ol_then_c'," +
+            "   CAST(CAST(no AS DECIMAL(38,0)) * nl div greatest(no, dlo)" +
+            "   + (CAST(no AS DECIMAL(38,0)) * nl div greatest(no, dlo))" +
+            "     * nc div greatest(doc, nc) AS BIGINT)," +
+            "   CAST(a_ol + a_col AS BIGINT)," +
+            " '3_cl_cross_then_o'," +
+            "   CAST(CAST(nc AS DECIMAL(38,0)) * nl" +
+            "   + (CAST(nc AS DECIMAL(38,0)) * nl) * no div greatest(no, dlo)" +
+            "     AS BIGINT)," +
+            "   CAST(CAST(nc AS DECIMAL(38,0)) * nl + a_col AS BIGINT)" +
+            ") AS (plan, est_cost, actual_cost)")
+        .orderBy("plan")
+    }),
+
+    // priority load-shedding model: per second of arrivals, keep events
+    // in pinned business-priority order (purchase > signup > click >
+    // view > error) until the capacity — set at mean+1 events/sec —
+    // is spent; everything lower sheds. ONE 5-row window per second
+    // (cumulative of higher priorities), the per-type shed rates are
+    // the capacity-planning readout behind q431's token bucket
+    "q535_load_shedding" -> ((s, dir) => {
+      val pri = expr("CASE event_type WHEN 'purchase' THEN 1" +
+        " WHEN 'signup' THEN 2 WHEN 'click' THEN 3 WHEN 'view' THEN 4" +
+        " ELSE 5 END")
+      val arr = Tables.events(s, dir)
+        .select(col("ts"), col("event_type"), pri.as("p"))
+        .select(expr("unix_micros(ts) div 1000000").as("sec"),
+          col("event_type"), col("p"))
+        .groupBy("sec", "event_type", "p").agg(count(lit(1)).as("arr"))
+        .localCheckpoint(false)
+      val cap = broadcast(arr.agg(
+        expr("sum(arr) div count(DISTINCT sec) + 1").as("cap")))
+      val cum = Window.partitionBy("sec").orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      arr.crossJoin(cap)
+        .withColumn("cb", coalesce(sum(col("arr")).over(cum), lit(0L)))
+        .withColumn("kept",
+          greatest(lit(0L), least(col("arr"), col("cap") - col("cb"))))
+        .groupBy("event_type", "p")
+        .agg(sum(col("arr")).as("n_arrivals"), sum(col("kept")).as("n_kept"))
+        .select(col("event_type"), col("p").cast("long").as("priority_rank"),
+          col("n_arrivals"), col("n_kept"),
+          expr("(n_arrivals - n_kept) * 1000000 div n_arrivals")
+            .as("shed_ppm"))
+        .orderBy("p")
+    }),
+
+    // exact Shapley attribution over the three non-purchase channels
+    // (click/view/signup exposure → purchase conversion): coalition
+    // value v(S) = conversion rate of users exposed to EXACTLY S, the
+    // 3-player Shapley sum with ×6 integer weights (2,1,1,2) — the
+    // principled split q339's last-touch/linear heuristics approximate;
+    // everything reduces to the 8-row exposure-set relation
+    "q536_shapley_attribution" -> ((s, dir) => {
+      val u = Tables.events(s, dir).groupBy("user_id")
+        .agg(max(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+          max(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+          max(when(col("event_type") === "signup", 1L).otherwise(0L)).as("g"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+      val rates = u.groupBy("c", "v", "g")
+        .agg(expr("sum(conv) * 1000000 div count(1)").as("r"))
+      val rateCols = (for (c <- 0 to 1; v <- 0 to 1; g <- 0 to 1) yield
+        sum(when(col("c") === c && col("v") === v && col("g") === g,
+          col("r")).otherwise(0L)).as(s"r$c$v$g")).toSeq
+      val wide = rates.agg(rateCols.head, rateCols.tail: _*)
+      wide.selectExpr(
+          "stack(3," +
+            " 'click', 2*(r100 - r000) + (r110 - r010) + (r101 - r001)" +
+            " + 2*(r111 - r011)," +
+            " 'view', 2*(r010 - r000) + (r110 - r100) + (r011 - r001)" +
+            " + 2*(r111 - r101)," +
+            " 'signup', 2*(r001 - r000) + (r101 - r100) + (r011 - r010)" +
+            " + 2*(r111 - r110)" +
+            ") AS (channel, phi6_ppm)")
+        .select(col("channel"), col("phi6_ppm"),
+          expr("phi6_ppm div 6").as("phi_ppm"))
+        .orderBy("channel")
+    }),
+
+    // hierarchical forecast reconciliation: naive last-month forecasts
+    // per region (bottom-up) vs the total forecast split by trailing
+    // 12-month revenue shares (top-down) — the coherence gap between
+    // the two is the reconciliation error a grouped-time-series system
+    // must resolve before publishing. Exact cents; every relation after
+    // the star join is ≤ n_regions rows
+    "q537_forecast_reconciliation" -> ((s, dir) => {
+      val mr = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), expr("date_trunc('month', o_orderdate)").as("m"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("rev"))
+        .localCheckpoint(false)
+      val last = broadcast(mr.agg(max(col("m")).as("mx")))
+      val bu = mr.crossJoin(last).filter(col("m") === col("mx"))
+        .select(col("r_name"), col("rev").as("bu_cents"))
+      val tot = broadcast(bu.agg(sum(col("bu_cents")).as("tot_last")))
+      val share = mr.groupBy("r_name").agg(sum(col("rev")).as("rev_all"))
+        .crossJoin(broadcast(mr.agg(sum(col("rev")).as("rev_tot"))))
+        .select(col("r_name"),
+          expr("rev_all * 1000000 div rev_tot").as("share_ppm"))
+      bu.join(share, "r_name").crossJoin(tot)
+        .select(col("r_name"), col("bu_cents"),
+          expr("tot_last * share_ppm div 1000000").as("td_cents"))
+        .withColumn("gap_ppm", expr(
+          "abs(bu_cents - td_cents) * 1000000 div greatest(bu_cents, 1)"))
+        .orderBy("r_name")
+    }),
+
+    // training-epoch shuffle quality: Spearman ρ between the md5 orders
+    // of consecutive epochs, and between epoch 1 and raw corpus order —
+    // a correct shuffle shows |ρ| ≈ 0 both ways (residual correlation
+    // means curriculum leakage across epochs). Exact: ρ = 1 −
+    // 6Σd²/(n(n²−1)) in integer ppm from the two rank windows
+    "q538_epoch_shuffle" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"))
+        .withColumn("r0", row_number().over(
+          Window.orderBy("doc_id")).cast("long"))
+        .withColumn("r1", row_number().over(Window.orderBy(
+          Dedup.md5Long(concat(lit("ep#1#"), col("doc_id").cast("string")), 12),
+          col("doc_id"))).cast("long"))
+        .withColumn("r2", row_number().over(Window.orderBy(
+          Dedup.md5Long(concat(lit("ep#2#"), col("doc_id").cast("string")), 12),
+          col("doc_id"))).cast("long"))
+        .localCheckpoint(false)
+      def rho(a: String, b: String, label: String): DataFrame = base
+        .agg(count(lit(1)).as("n"),
+          sum(expr(s"CAST(($a - $b) AS DECIMAL(38,0)) * ($a - $b)")).as("sd2"))
+        .select(lit(label).as("pair"), col("n").as("n_docs"),
+          expr("CAST(1000000 - 6 * sd2 * 1000000" +
+            " div (CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1))" +
+            " AS BIGINT)").as("rho_ppm"))
+      rho("r1", "r2", "epoch1_vs_epoch2")
+        .unionAll(rho("r0", "r1", "corpus_vs_epoch1"))
+        .orderBy("pair")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -149,6 +149,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q530_histogram_error",    // 1-row min/span row + 5-row range dict crossed into the scan
     "q531_learned_index",      // 1-row OLS-coefficient row crossed into the ranked scan
     "q532_cache_ttl",          // 3-row TTL dictionary crossed into the lag relation
+    "q534_join_order_costs",   // five 1-row stat/actual aggregates crossed together
+    "q535_load_shedding",      // 1-row capacity row crossed into the per-second arrivals
+    "q537_forecast_reconciliation", // 1-row max-month/total rows crossed into ≤n_regions
     "q523_weighted_kappa",     // bounded 5×5 margin cross + 1-row denominator cross
     "q368_lsh_cost_model",     // 1-row distinct-candidate count bound
     "q369_storage_tiering",    // 1-row max-date aggregate bound
