@@ -11445,7 +11445,484 @@ object OracleSql {
         |       CAST(1000000 - 6 * sd2 * 1000000
         |            // (CAST(n_docs AS HUGEINT)
         |               * (CAST(n_docs AS HUGEINT) * n_docs - 1)) AS BIGINT) AS rho_ppm
-        |FROM a ORDER BY pair""".stripMargin
+        |FROM a ORDER BY pair""".stripMargin,
+
+    "q539_cramer_von_mises" ->
+      """WITH seg AS (SELECT c_custkey,
+        |                    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS ga
+        |             FROM customer
+        |             WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |j AS (SELECT seg.ga, CAST(round(o.o_totalprice * 100) AS BIGINT) AS v
+        |      FROM orders o JOIN seg ON o.o_custkey = seg.c_custkey),
+        |vg AS (SELECT v, CAST(sum(ga) AS BIGINT) AS na,
+        |              CAST(sum(1 - ga) AS BIGINT) AS nb FROM j GROUP BY 1),
+        |cum AS (SELECT v, na, nb,
+        |               CAST(coalesce(sum(na + nb) OVER wb, 0) AS BIGINT) AS cb,
+        |               CAST(coalesce(sum(na) OVER wb, 0) AS BIGINT) AS ca,
+        |               CAST(coalesce(sum(nb) OVER wb, 0) AS BIGINT) AS cb2
+        |        FROM vg
+        |        WINDOW wb AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |c2 AS (SELECT na, nb, ca, cb2, 2 * cb + na + nb + 1 AS cblk FROM cum),
+        |s AS (SELECT CAST(sum(na) AS BIGINT) AS n, CAST(sum(nb) AS BIGINT) AS m,
+        |             sum(CASE WHEN na > 0 THEN
+        |                   3 * na * CAST((cblk - 2 * ca) AS HUGEINT) * (cblk - 2 * ca)
+        |                   - 6 * CAST((cblk - 2 * ca) AS HUGEINT) * na * (na + 1)
+        |                   + 2 * CAST(na AS HUGEINT) * (na + 1) * (2 * na + 1)
+        |                 ELSE 0 END) AS sa12,
+        |             sum(CASE WHEN nb > 0 THEN
+        |                   3 * nb * CAST((cblk - 2 * cb2) AS HUGEINT) * (cblk - 2 * cb2)
+        |                   - 6 * CAST((cblk - 2 * cb2) AS HUGEINT) * nb * (nb + 1)
+        |                   + 2 * CAST(nb AS HUGEINT) * (nb + 1) * (2 * nb + 1)
+        |                 ELSE 0 END) AS sb12
+        |      FROM c2)
+        |SELECT n AS n_building, m AS n_machinery,
+        |       CAST((6 * (CAST(n AS HUGEINT) * sa12 + CAST(m AS HUGEINT) * sb12)
+        |             - 12 * CAST(n AS HUGEINT) * m
+        |               * (4 * CAST(n AS HUGEINT) * m - 1)) * 1000000
+        |            // (72 * CAST(n AS HUGEINT) * m * (n + m)) AS BIGINT) AS t_micro
+        |FROM s""".stripMargin,
+
+    "q540_enrichment_test" ->
+      s"""$minhashCte,
+         |d AS (SELECT doc_id, n_chars FROM documents WHERE text IS NOT NULL),
+         |vgm AS (SELECT n_chars AS q, CAST(count(*) AS BIGINT) AS cnt
+         |        FROM d GROUP BY 1),
+         |vcm AS (SELECT q, cnt,
+         |               CAST(coalesce(sum(cnt) OVER (ORDER BY q
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |                 AS BIGINT) AS cb
+         |        FROM vgm),
+         |nn0 AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d),
+         |med AS (SELECT q AS med FROM vcm, nn0
+         |        WHERE cb < (nn + 1) // 2 AND cb + cnt >= (nn + 1) // 2),
+         |dup AS (SELECT DISTINCT doc_id FROM (
+         |          SELECT doc_a AS doc_id FROM cand
+         |          UNION ALL SELECT doc_b FROM cand)),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+         |               CAST(sum(CASE WHEN d.n_chars >= med.med THEN 1 ELSE 0 END)
+         |                 AS BIGINT) AS kk,
+         |               CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |                 AS BIGINT) AS nd,
+         |               CAST(sum(CASE WHEN d.n_chars >= med.med
+         |                              AND dup.doc_id IS NOT NULL
+         |                             THEN 1 ELSE 0 END) AS BIGINT) AS k
+         |        FROM d CROSS JOIN med LEFT JOIN dup ON d.doc_id = dup.doc_id),
+         |f AS (SELECT nn, kk, nd, k,
+         |             CAST(k * nn * 1000000 // greatest(nd * kk, 1) AS BIGINT)
+         |               AS fold_ppm,
+         |             CAST((CAST(k AS HUGEINT) * nn - CAST(nd AS HUGEINT) * kk)
+         |                  * (CAST(k AS HUGEINT) * nn - CAST(nd AS HUGEINT) * kk)
+         |                  * (nn - 1) * 1000000
+         |                  // greatest(CAST(nd AS HUGEINT) * kk * (nn - kk)
+         |                     * (nn - nd), 1) AS BIGINT) AS z2
+         |      FROM agg),
+         |t AS (SELECT nn, kk, nd, k, fold_ppm, z2,
+         |             CAST(floor(sqrt(CAST(z2 AS DOUBLE))) AS BIGINT) AS t0 FROM f),
+         |t2 AS (SELECT nn, kk, nd, k, fold_ppm, z2,
+         |              CASE WHEN t0 > 0 THEN (t0 + z2 // t0) // 2 ELSE 0 END AS t1
+         |       FROM t)
+         |SELECT nn AS n_docs, kk AS n_long, nd AS n_dup, k AS n_overlap, fold_ppm,
+         |       CAST((CASE WHEN fold_ppm >= 1000000 THEN 1 ELSE -1 END)
+         |            * (CASE WHEN (t1 + 1) * (t1 + 1) <= z2 THEN t1 + 1
+         |                    WHEN t1 * t1 > z2 THEN t1 - 1 ELSE t1 END)
+         |         AS BIGINT) AS z_milli
+         |FROM t2""".stripMargin,
+
+    "q541_bradley_terry" ->
+      """WITH mr AS (
+        |  SELECT r.r_name, date_trunc('month', o.o_orderdate) AS m,
+        |         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT mm.m, rr.r_name, coalesce(mr.rev, 0) AS rev
+        |  FROM (SELECT DISTINCT m FROM mr) mm
+        |  CROSS JOIN (SELECT DISTINCT r_name FROM mr) rr
+        |  LEFT JOIN mr ON mr.m = mm.m AND mr.r_name = rr.r_name
+        |), duels AS (
+        |  SELECT a.r_name AS ra, b.r_name AS rb,
+        |         CAST(sum(CASE WHEN a.rev > b.rev THEN 1 ELSE 0 END) AS BIGINT) AS w,
+        |         CAST(count(*) AS BIGINT) AS ngames
+        |  FROM grid a JOIN grid b ON a.m = b.m AND a.r_name <> b.r_name
+        |  GROUP BY 1, 2
+        |), wins AS (SELECT ra, CAST(sum(w) AS BIGINT) AS wi FROM duels GROUP BY 1),
+        |p0 AS (SELECT ra AS r_name, CAST(1000000 AS BIGINT) AS p FROM wins),
+        |den1 AS (SELECT d.ra,
+        |                CAST(sum(d.ngames * 1000000 // (pa.p + pb.p)) AS BIGINT) AS den
+        |         FROM duels d JOIN p0 pa ON d.ra = pa.r_name
+        |                      JOIN p0 pb ON d.rb = pb.r_name
+        |         GROUP BY 1),
+        |raw1 AS (SELECT w.ra AS r_name,
+        |                CAST(w.wi * 1000000 * 1000000 // greatest(d.den, 1)
+        |                  AS BIGINT) AS praw
+        |         FROM wins w JOIN den1 d ON w.ra = d.ra),
+        |n1 AS (SELECT CAST(sum(praw) AS BIGINT) AS ptot,
+        |              CAST(count(*) AS BIGINT) AS k FROM raw1),
+        |p1 AS (SELECT r_name,
+        |              CAST(CAST(praw AS HUGEINT) * k * 1000000 // ptot AS BIGINT) AS p
+        |       FROM raw1, n1),
+        |den2 AS (SELECT d.ra,
+        |                CAST(sum(d.ngames * 1000000 // (pa.p + pb.p)) AS BIGINT) AS den
+        |         FROM duels d JOIN p1 pa ON d.ra = pa.r_name
+        |                      JOIN p1 pb ON d.rb = pb.r_name
+        |         GROUP BY 1),
+        |raw2 AS (SELECT w.ra AS r_name,
+        |                CAST(w.wi * 1000000 * 1000000 // greatest(d.den, 1)
+        |                  AS BIGINT) AS praw
+        |         FROM wins w JOIN den2 d ON w.ra = d.ra),
+        |n2 AS (SELECT CAST(sum(praw) AS BIGINT) AS ptot,
+        |              CAST(count(*) AS BIGINT) AS k FROM raw2),
+        |p2 AS (SELECT r_name,
+        |              CAST(CAST(praw AS HUGEINT) * k * 1000000 // ptot AS BIGINT) AS p
+        |       FROM raw2, n2)
+        |SELECT w.ra AS r_name, w.wi AS n_wins, p2.p AS bt_score_micro
+        |FROM wins w JOIN p2 ON w.ra = p2.r_name ORDER BY r_name""".stripMargin,
+
+    "q542_power_mde" ->
+      """WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |                  CAST(sum(n_chars) AS BIGINT) AS sx,
+        |                  sum(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+        |           FROM documents WHERE text IS NOT NULL),
+        |v AS (SELECT n, sx,
+        |             CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS vnum
+        |      FROM s),
+        |na AS (SELECT CAST(narm AS BIGINT) AS narm0
+        |       FROM (SELECT unnest([1000, 10000, 0]) AS narm)),
+        |g AS (SELECT v.n, v.sx, v.vnum,
+        |             CASE WHEN narm0 = 0 THEN v.n ELSE narm0 END AS narm
+        |      FROM v, na),
+        |m AS (SELECT n, sx, narm,
+        |             CAST(2 * 2802 * 2802 * vnum
+        |                  // (CAST(n AS HUGEINT) * (n - 1) * narm) AS BIGINT) AS mde2
+        |      FROM g),
+        |t AS (SELECT n, sx, narm, mde2,
+        |             CAST(floor(sqrt(CAST(mde2 AS DOUBLE))) AS BIGINT) AS t0 FROM m),
+        |t2 AS (SELECT n, sx, narm, mde2,
+        |              CASE WHEN t0 > 0 THEN (t0 + mde2 // t0) // 2 ELSE 0 END AS t1
+        |       FROM t),
+        |f AS (SELECT n, sx, narm AS n_per_arm,
+        |             CASE WHEN (t1 + 1) * (t1 + 1) <= mde2 THEN t1 + 1
+        |                  WHEN t1 * t1 > mde2 THEN t1 - 1 ELSE t1 END AS mde_milli
+        |      FROM t2)
+        |SELECT n_per_arm, CAST(mde_milli AS BIGINT) AS mde_milli,
+        |       CAST(mde_milli * 1000 * n // sx AS BIGINT) AS mde_rel_ppm
+        |FROM f ORDER BY n_per_arm""".stripMargin,
+
+    "q543_davies_bouldin" ->
+      s"""$ivfAssignCte,
+         |qv AS (SELECT vec_id, bucket, CAST(i AS BIGINT) AS pos,
+         |              CAST(round(e[CAST(i AS INT) + 1] * 1000000) AS BIGINT) AS qv
+         |       FROM asg CROSS JOIN unnest(range(0, len(e))) AS u(i)),
+         |cent AS (SELECT bucket, pos, CAST(sum(qv) // count(*) AS BIGINT) AS cq
+         |         FROM qv GROUP BY 1, 2),
+         |md AS (SELECT q.vec_id, q.bucket,
+         |              CAST(sum((q.qv - c.cq) * (q.qv - c.cq)) AS BIGINT) AS d2
+         |       FROM qv q JOIN cent c ON q.bucket = c.bucket AND q.pos = c.pos
+         |       GROUP BY 1, 2),
+         |md2 AS (SELECT bucket, d2,
+         |               CAST(floor(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT) AS t0 FROM md),
+         |md3 AS (SELECT bucket, d2,
+         |               CASE WHEN t0 > 0 THEN (t0 + d2 // t0) // 2 ELSE 0 END AS t1
+         |        FROM md2),
+         |md4 AS (SELECT bucket,
+         |               CASE WHEN (t1 + 1) * (t1 + 1) <= d2 THEN t1 + 1
+         |                    WHEN t1 * t1 > d2 THEN t1 - 1 ELSE t1 END AS dist
+         |        FROM md3),
+         |si AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_members,
+         |              CAST(sum(dist) // count(*) AS BIGINT) AS s_q
+         |       FROM md4 GROUP BY 1),
+         |cdp AS (SELECT a.bucket AS bi, b.bucket AS bj,
+         |               CAST(sum((a.cq - b.cq) * (a.cq - b.cq)) AS BIGINT) AS c2
+         |        FROM cent a JOIN cent b ON a.pos = b.pos AND a.bucket <> b.bucket
+         |        GROUP BY 1, 2),
+         |cd2 AS (SELECT bi, bj, c2,
+         |               CAST(floor(sqrt(CAST(c2 AS DOUBLE))) AS BIGINT) AS t0
+         |        FROM cdp),
+         |cd3 AS (SELECT bi, bj, c2,
+         |               CASE WHEN t0 > 0 THEN (t0 + c2 // t0) // 2 ELSE 0 END AS t1
+         |        FROM cd2),
+         |cd4 AS (SELECT bi, bj,
+         |               CASE WHEN (t1 + 1) * (t1 + 1) <= c2 THEN t1 + 1
+         |                    WHEN t1 * t1 > c2 THEN t1 - 1 ELSE t1 END AS dc
+         |        FROM cd3),
+         |r AS (SELECT cd.bi,
+         |             CAST(max((si1.s_q + si2.s_q) * 1000 // greatest(cd.dc, 1))
+         |               AS BIGINT) AS r_milli
+         |      FROM cd4 cd JOIN si si1 ON cd.bi = si1.bucket
+         |                  JOIN si si2 ON cd.bj = si2.bucket
+         |      GROUP BY 1),
+         |db AS (SELECT CAST(sum(r_milli) // count(*) AS BIGINT) AS db_milli FROM r)
+         |SELECT CAST(si.bucket AS BIGINT) AS bucket, si.n_members, si.s_q,
+         |       r.r_milli, db.db_milli
+         |FROM si JOIN r ON si.bucket = r.bi CROSS JOIN db
+         |ORDER BY bucket""".stripMargin,
+
+    "q544_cliffs_delta" ->
+      """WITH seg AS (SELECT c_custkey,
+        |                    CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END AS ga
+        |             FROM customer
+        |             WHERE c_mktsegment IN ('FURNITURE', 'HOUSEHOLD')),
+        |j AS (SELECT seg.ga, CAST(round(o.o_totalprice * 100) AS BIGINT) AS v
+        |      FROM orders o JOIN seg ON o.o_custkey = seg.c_custkey),
+        |vg AS (SELECT v, CAST(sum(ga) AS BIGINT) AS na,
+        |              CAST(sum(1 - ga) AS BIGINT) AS nb FROM j GROUP BY 1),
+        |cum AS (SELECT na, nb,
+        |               CAST(coalesce(sum(nb) OVER wb, 0) AS BIGINT) AS cb,
+        |               CAST(coalesce(sum(na) OVER wb, 0) AS BIGINT) AS ca
+        |        FROM vg
+        |        WINDOW wb AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |s AS (SELECT CAST(sum(na) AS BIGINT) AS n, CAST(sum(nb) AS BIGINT) AS m,
+        |             CAST(sum(na * cb) AS BIGINT) AS ugt,
+        |             CAST(sum(nb * ca) AS BIGINT) AS ult,
+        |             CAST(sum(na * nb) AS BIGINT) AS ties FROM cum)
+        |SELECT n AS n_furniture, m AS n_household,
+        |       CAST((ugt - ult) * 1000000 // (n * m) AS BIGINT) AS delta_ppm,
+        |       CAST((2 * ugt + ties) * 1000000 // (2 * n * m) AS BIGINT) AS vda_ppm
+        |FROM s""".stripMargin,
+
+    "q545_kuiper_test" ->
+      """WITH j AS (SELECT CASE WHEN EXTRACT(year FROM o_orderdate) = 1993
+        |                       THEN 1 ELSE 0 END AS ga,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |           FROM orders
+        |           WHERE EXTRACT(year FROM o_orderdate) IN (1993, 1994)),
+        |vg AS (SELECT v, CAST(sum(ga) AS BIGINT) AS na,
+        |              CAST(sum(1 - ga) AS BIGINT) AS nb FROM j GROUP BY 1),
+        |cum AS (SELECT CAST(sum(na) OVER wu AS BIGINT) AS ca,
+        |               CAST(sum(nb) OVER wu AS BIGINT) AS cb,
+        |               CAST(sum(na) OVER wf AS BIGINT) AS n,
+        |               CAST(sum(nb) OVER wf AS BIGINT) AS m
+        |        FROM vg
+        |        WINDOW wu AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |               wf AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |s AS (SELECT max(n) AS n, max(m) AS m,
+        |             max(ca * m - cb * n) AS dp, max(cb * n - ca * m) AS dm FROM cum)
+        |SELECT n AS n_1993, m AS n_1994,
+        |       CAST(dp * 1000000 // (n * m) AS BIGINT) AS dplus_ppm,
+        |       CAST(dm * 1000000 // (n * m) AS BIGINT) AS dminus_ppm,
+        |       CAST((dp + dm) * 1000000 // (n * m) AS BIGINT) AS v_ppm
+        |FROM s""".stripMargin,
+
+    "q546_anderson_darling" ->
+      """WITH seg AS (SELECT c_custkey,
+        |                    CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS ga
+        |             FROM customer
+        |             WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY')),
+        |j AS (SELECT seg.ga, CAST(round(o.o_totalprice * 100) AS BIGINT) AS v
+        |      FROM orders o JOIN seg ON o.o_custkey = seg.c_custkey),
+        |vg AS (SELECT v, CAST(sum(ga) AS BIGINT) AS na,
+        |              CAST(sum(1 - ga) AS BIGINT) AS nb FROM j GROUP BY 1),
+        |cum AS (SELECT na, nb,
+        |               CAST(coalesce(sum(na) OVER wb, 0) AS BIGINT) AS ca,
+        |               CAST(coalesce(sum(na + nb) OVER wb, 0) AS BIGINT) AS cp,
+        |               CAST(sum(na) OVER wf AS BIGINT) AS n,
+        |               CAST(sum(nb) OVER wf AS BIGINT) AS m
+        |        FROM vg
+        |        WINDOW wb AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |               wf AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |t AS (SELECT n, m, n + m AS bign, na + nb AS l,
+        |             2 * ca + na AS ma2, 2 * (cp - ca) + nb AS mb2,
+        |             2 * cp + na + nb AS b2 FROM cum),
+        |t1 AS (SELECT n, m, bign, l, ma2, mb2, b2,
+        |              b2 * (2 * bign - b2) - bign * l AS dd FROM t),
+        |t2 AS (SELECT n, m, bign,
+        |              CASE WHEN dd > 0 THEN CAST(1000000 AS HUGEINT) * l
+        |                     * CAST((bign * ma2 - n * b2) AS HUGEINT)
+        |                     * (bign * ma2 - n * b2)
+        |                     // (CAST(bign AS HUGEINT) * dd) ELSE 0 END AS ta,
+        |              CASE WHEN dd > 0 THEN CAST(1000000 AS HUGEINT) * l
+        |                     * CAST((bign * mb2 - m * b2) AS HUGEINT)
+        |                     * (bign * mb2 - m * b2)
+        |                     // (CAST(bign AS HUGEINT) * dd) ELSE 0 END AS tb
+        |       FROM t1),
+        |s AS (SELECT max(n) AS n, max(m) AS m, max(bign) AS bign,
+        |             sum(ta) AS sa, sum(tb) AS sb FROM t2)
+        |SELECT n AS n_automobile, m AS n_machinery,
+        |       CAST((CAST(bign - 1 AS HUGEINT) * (sa // n + sb // m)) // bign
+        |            AS BIGINT) AS a2_micro
+        |FROM s""".stripMargin,
+
+    "q547_mann_kendall" ->
+      """WITH mo AS (SELECT strftime(o_orderdate, '%Y-%m') AS t,
+        |                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        |            FROM orders GROUP BY 1),
+        |p AS (SELECT CAST(sum(CASE WHEN b.v > a.v THEN 1
+        |                           WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |      FROM mo a JOIN mo b ON a.t < b.t),
+        |ties AS (SELECT CAST(sum(c) AS BIGINT) AS nm,
+        |                CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tcorr
+        |         FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM mo GROUP BY v)),
+        |k AS (SELECT s_stat, nm,
+        |             nm * (nm - 1) * (2 * nm + 5) - tcorr AS var18,
+        |             18000000 * greatest(abs(s_stat) - 1, 0)
+        |               * greatest(abs(s_stat) - 1, 0)
+        |               // (nm * (nm - 1) * (2 * nm + 5) - tcorr) AS kk
+        |      FROM p CROSS JOIN ties),
+        |r0 AS (SELECT *, CAST(floor(sqrt(CAST(kk AS DOUBLE))) AS BIGINT) AS t0 FROM k),
+        |r1 AS (SELECT *, CASE WHEN t0 > 0 THEN (t0 + kk // t0) // 2 ELSE 0 END AS t1 FROM r0),
+        |r2 AS (SELECT *, CASE WHEN (t1 + 1) * (t1 + 1) <= kk THEN t1 + 1
+        |                      WHEN t1 * t1 > kk THEN t1 - 1 ELSE t1 END AS rt FROM r1)
+        |SELECT nm AS n_months, s_stat, var18,
+        |       CAST(CASE WHEN s_stat < 0 THEN -rt ELSE rt END AS BIGINT) AS z_milli
+        |FROM r2""".stripMargin,
+
+    "q548_conover_scale" ->
+      """WITH seg AS (SELECT c_custkey,
+        |                    CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END AS ga
+        |             FROM customer
+        |             WHERE c_mktsegment IN ('FURNITURE', 'BUILDING')),
+        |rw AS (SELECT seg.ga, CAST(round(o.o_totalprice * 100) AS BIGINT) AS v
+        |       FROM orders o JOIN seg ON o.o_custkey = seg.c_custkey),
+        |gs AS (SELECT ga, CAST(count(*) AS BIGINT) AS ng,
+        |              CAST(sum(v) AS BIGINT) AS sg FROM rw GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ng) AS BIGINT) AS bign,
+        |               CAST(min(CASE WHEN ga = 1 THEN ng END) AS BIGINT) AS n,
+        |               CAST(min(CASE WHEN ga = 0 THEN ng END) AS BIGINT) AS m
+        |        FROM gs),
+        |dv AS (SELECT r.ga, t.bign, t.n, t.m,
+        |              (t.bign - g.ng) * abs(g.ng * r.v - g.sg) AS d
+        |       FROM rw r JOIN gs g ON r.ga = g.ga CROSS JOIN tot t),
+        |vg AS (SELECT d, bign, n, m, CAST(sum(ga) AS BIGINT) AS na,
+        |              CAST(sum(1 - ga) AS BIGINT) AS nb
+        |       FROM dv GROUP BY 1, 2, 3, 4),
+        |cum AS (SELECT bign, n, m, na, na + nb AS l,
+        |               CAST(coalesce(sum(na + nb) OVER wb, 0) AS BIGINT) AS cp
+        |        FROM vg
+        |        WINDOW wb AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |scr AS (SELECT bign, n, m, na, l,
+        |               CAST(2 * cp + l + 1 AS HUGEINT) * (2 * cp + l + 1)
+        |                 // (4 * bign) AS scv
+        |        FROM cum),
+        |s AS (SELECT max(bign) AS bign, max(n) AS n, max(m) AS m,
+        |             sum(na * scv) AS t4a, sum(l * scv) AS m1,
+        |             sum(CAST(l AS HUGEINT) * scv * scv) AS m2 FROM scr)
+        |SELECT n AS n_furniture, m AS n_building,
+        |       CAST(t4a AS BIGINT) AS t4_scaled,
+        |       CAST((1000 * CAST(bign - 1 AS HUGEINT)
+        |             * (bign * t4a - n * m1) * (bign * t4a - n * m1))
+        |            // (CAST(n AS HUGEINT) * m * (bign * m2 - m1 * m1))
+        |            AS BIGINT) AS zsq_milli
+        |FROM s""".stripMargin,
+
+    "q549_calinski_harabasz" ->
+      s"""$ivfAssignCte,
+         |qv AS (SELECT vec_id, bucket, CAST(i AS BIGINT) AS pos,
+         |              CAST(round(e[CAST(i AS INT) + 1] * 1000000) AS BIGINT) AS qv
+         |       FROM asg CROSS JOIN unnest(range(0, len(e))) AS u(i)),
+         |cent AS (SELECT bucket, pos, CAST(sum(qv) // count(*) AS BIGINT) AS cq,
+         |                CAST(count(*) AS BIGINT) AS nb
+         |         FROM qv GROUP BY 1, 2),
+         |gl AS (SELECT pos, CAST(sum(qv) // count(*) AS BIGINT) AS gq
+         |         FROM qv GROUP BY 1),
+         |w AS (SELECT sum(CAST((q.qv - c.cq) AS HUGEINT) * (q.qv - c.cq)) AS wss
+         |      FROM qv q JOIN cent c USING (bucket, pos)),
+         |b AS (SELECT sum(CAST(c.nb AS HUGEINT) * (c.cq - g.gq) * (c.cq - g.gq)) AS bss
+         |      FROM cent c JOIN gl g USING (pos)),
+         |nk AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS nv,
+         |              CAST(count(DISTINCT bucket) AS BIGINT) AS k FROM qv)
+         |SELECT nv AS n_vectors, k AS k_clusters,
+         |       CAST(wss AS BIGINT) AS w_ssq, CAST(bss AS BIGINT) AS b_ssq,
+         |       CAST((1000 * bss * (nv - k)) // (wss * (k - 1)) AS BIGINT) AS ch_milli
+         |FROM w CROSS JOIN b CROSS JOIN nk""".stripMargin,
+
+    "q550_dunn_index" ->
+      s"""$ivfAssignCte,
+         |qv AS (SELECT vec_id, bucket, CAST(i AS BIGINT) AS pos,
+         |              CAST(round(e[CAST(i AS INT) + 1] * 1000000) AS BIGINT) AS qv
+         |       FROM asg CROSS JOIN unnest(range(0, len(e))) AS u(i)),
+         |cent AS (SELECT bucket, pos, CAST(sum(qv) // count(*) AS BIGINT) AS cq
+         |         FROM qv GROUP BY 1, 2),
+         |maxr AS (SELECT max(r2) AS max_r2 FROM (
+         |           SELECT q.vec_id, CAST(sum((q.qv - c.cq) * (q.qv - c.cq)) AS BIGINT) AS r2
+         |           FROM qv q JOIN cent c USING (bucket, pos) GROUP BY 1)),
+         |minc AS (SELECT min(c2) AS min_c2, CAST(count(*) AS BIGINT) AS n_pairs FROM (
+         |           SELECT a.bucket, b.bucket,
+         |                  CAST(sum((a.cq - b.cq) * (a.cq - b.cq)) AS BIGINT) AS c2
+         |           FROM cent a JOIN cent b ON a.pos = b.pos AND a.bucket < b.bucket
+         |           GROUP BY 1, 2))
+         |SELECT n_pairs, min_c2, max_r2,
+         |       CAST(1000 * min_c2 // (4 * max_r2) AS BIGINT) AS dunn_milli
+         |FROM minc CROSS JOIN maxr""".stripMargin,
+
+    "q551_adjusted_rand" ->
+      s"""$ivfAssignCte,
+         |cont AS (SELECT e2.label, asg.bucket, CAST(count(*) AS BIGINT) AS nij
+         |         FROM asg JOIN embeddings e2 ON asg.vec_id = e2.vec_id
+         |         GROUP BY 1, 2),
+         |p AS (SELECT CAST(sum(nij * (nij - 1)) AS BIGINT) AS pp,
+         |             CAST(sum(nij) AS BIGINT) AS n FROM cont),
+         |pa AS (SELECT CAST(sum(ai * (ai - 1)) AS BIGINT) AS aa,
+         |             CAST(count(*) AS BIGINT) AS n_labels
+         |      FROM (SELECT label, CAST(sum(nij) AS BIGINT) AS ai FROM cont GROUP BY 1)),
+         |pb AS (SELECT CAST(sum(bj * (bj - 1)) AS BIGINT) AS bb,
+         |             CAST(count(*) AS BIGINT) AS k_buckets
+         |      FROM (SELECT bucket, CAST(sum(nij) AS BIGINT) AS bj FROM cont GROUP BY 1))
+         |SELECT n AS n_vectors, n_labels, k_buckets,
+         |       CAST(CAST(1000000 AS HUGEINT)
+         |              * (2 * CAST(n * (n - 1) AS HUGEINT) * pp - 2 * CAST(aa AS HUGEINT) * bb)
+         |            // (CAST(n * (n - 1) AS HUGEINT) * (aa + bb) - 2 * CAST(aa AS HUGEINT) * bb)
+         |            AS BIGINT) AS ari_ppm
+         |FROM p CROSS JOIN pa CROSS JOIN pb""".stripMargin,
+
+    "q552_fowlkes_mallows" ->
+      s"""$ivfAssignCte,
+         |cont AS (SELECT e2.label, asg.bucket, CAST(count(*) AS BIGINT) AS nij
+         |         FROM asg JOIN embeddings e2 ON asg.vec_id = e2.vec_id
+         |         GROUP BY 1, 2),
+         |p AS (SELECT CAST(sum(nij * (nij - 1)) AS BIGINT) AS pp FROM cont),
+         |pa AS (SELECT CAST(sum(ai * (ai - 1)) AS BIGINT) AS aa
+         |      FROM (SELECT label, CAST(sum(nij) AS BIGINT) AS ai FROM cont GROUP BY 1)),
+         |pb AS (SELECT CAST(sum(bj * (bj - 1)) AS BIGINT) AS bb
+         |      FROM (SELECT bucket, CAST(sum(nij) AS BIGINT) AS bj FROM cont GROUP BY 1)),
+         |f AS (SELECT pp, aa, bb,
+         |             CAST(1000000 AS HUGEINT) * pp * (1000000 * pp)
+         |               // (CAST(aa AS HUGEINT) * bb) AS fmsq
+         |      FROM p CROSS JOIN pa CROSS JOIN pb),
+         |r0 AS (SELECT *, CAST(floor(sqrt(CAST(fmsq AS DOUBLE))) AS HUGEINT) AS t0 FROM f),
+         |r1 AS (SELECT *, CASE WHEN t0 > 0 THEN (t0 + fmsq // t0) // 2 ELSE 0 END AS t1 FROM r0),
+         |r2 AS (SELECT *, CASE WHEN (t1 + 1) * (t1 + 1) <= fmsq THEN t1 + 1
+         |                      WHEN t1 * t1 > fmsq THEN t1 - 1 ELSE t1 END AS rt FROM r1)
+         |SELECT pp AS pair_tp2,
+         |       CAST(1000000 * pp // bb AS BIGINT) AS prec_ppm,
+         |       CAST(1000000 * pp // aa AS BIGINT) AS rec_ppm,
+         |       CAST(rt AS BIGINT) AS fm_ppm
+         |FROM r2""".stripMargin,
+
+    "q553_map_eval" ->
+      s"""$ivfAssignCte,
+         |q AS (SELECT vec_id AS query_id, e AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+         |es AS (
+         |  SELECT q.query_id, n.vec_id AS neighbor_id,
+         |         round(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*n.e[i])) / (q.qn * n.nrm), 6) AS sim
+         |  FROM q, n WHERE n.vec_id <> q.query_id
+         |), er AS (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk_exact
+         |  FROM es
+         |), ex AS (SELECT query_id, neighbor_id, rk_exact FROM er WHERE rk_exact <= 10),
+         |qb AS (SELECT vec_id AS query_id, e AS qv, nrm AS qn, bucket FROM asg WHERE vec_id < 5),
+         |as2 AS (
+         |  SELECT qb.query_id, asg.vec_id AS neighbor_id,
+         |         round(list_sum(list_transform(range(1, len(qb.qv)+1), i -> qb.qv[i]*asg.e[i])) / (qb.qn * asg.nrm), 6) AS sim
+         |  FROM qb JOIN asg USING (bucket) WHERE asg.vec_id <> qb.query_id
+         |), ar AS (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS p
+         |  FROM as2
+         |), ap AS (SELECT query_id, neighbor_id, p FROM ar WHERE p <= 10),
+         |h AS (SELECT ap.query_id, ap.p,
+         |             CASE WHEN ex.rk_exact IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |      FROM ap LEFT JOIN ex USING (query_id, neighbor_id)),
+         |cc AS (SELECT query_id, p, hit,
+         |             CAST(sum(hit) OVER (PARTITION BY query_id ORDER BY p
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ch
+         |      FROM h)
+         |SELECT query_id, CAST(sum(hit) AS BIGINT) AS n_hits,
+         |       CAST(sum(CASE WHEN hit = 1 THEN ch * 1000000 // p ELSE 0 END) AS BIGINT) AS psum_micro,
+         |       CAST(sum(CASE WHEN hit = 1 THEN ch * 1000000 // p ELSE 0 END) // 10 AS BIGINT) AS ap_micro
+         |FROM cc GROUP BY 1 ORDER BY query_id""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

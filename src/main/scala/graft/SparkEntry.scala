@@ -12322,6 +12322,559 @@ object SparkEntry {
         .orderBy("pair")
     }),
 
+    // two-sample Cramér–von Mises on BUILDING vs MACHINERY order prices:
+    // the whole-CDF distance (sensitive everywhere, where q289's
+    // Mann–Whitney sees only location) — T = (6U − nm(4nm−1))/(6nmN)
+    // with U from midrank deviations, the per-tied-block square sums in
+    // CLOSED FORM (Σ(c−2k)² expands to three integer series), so one
+    // value-grouped pass with two per-group cumulatives computes it
+    // exactly
+    "q539_cramer_von_mises" -> ((s, dir) => {
+      val seg = Tables.customer(s, dir)
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(col("c_custkey"), (col("c_mktsegment") === "BUILDING")
+          .cast("long").as("ga"))
+      val vg = Tables.orders(s, dir)
+        .join(seg, col("o_custkey") === col("c_custkey"))
+        .select(col("ga"), centsOf(col("o_totalprice")).as("v"))
+        .groupBy("v")
+        .agg(sum(col("ga")).as("na"), sum(lit(1L) - col("ga")).as("nb"))
+      val before = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      val cum = vg
+        .withColumn("cb", coalesce(sum(expr("na + nb")).over(before), lit(0L)))
+        .withColumn("ca", coalesce(sum(col("na")).over(before), lit(0L)))
+        .withColumn("cb2", coalesce(sum(col("nb")).over(before), lit(0L)))
+        .withColumn("cblk", expr("2 * cb + na + nb + 1"))
+      def s12(nc: String, cc: String): Column = sum(expr(
+        s"CASE WHEN $nc > 0 THEN 3 * $nc" +
+          s" * CAST((cblk - 2 * $cc) AS DECIMAL(38,0)) * (cblk - 2 * $cc)" +
+          s" - 6 * CAST((cblk - 2 * $cc) AS DECIMAL(38,0)) * $nc * ($nc + 1)" +
+          s" + 2 * CAST($nc AS DECIMAL(38,0)) * ($nc + 1) * (2 * $nc + 1)" +
+          s" ELSE 0 END"))
+      cum.agg(sum(col("na")).as("n"), sum(col("nb")).as("m"),
+          s12("na", "ca").as("sa12"), s12("nb", "cb2").as("sb12"))
+        .select(col("n").as("n_building"), col("m").as("n_machinery"),
+          expr("CAST((6 * (CAST(n AS DECIMAL(38,0)) * sa12" +
+            " + CAST(m AS DECIMAL(38,0)) * sb12)" +
+            " - 12 * CAST(n AS DECIMAL(38,0)) * m" +
+            " * (4 * CAST(n AS DECIMAL(38,0)) * m - 1)) * 1000000" +
+            " div (72 * CAST(n AS DECIMAL(38,0)) * m * (n + m)) AS BIGINT)")
+            .as("t_micro"))
+    }),
+
+    // hypergeometric enrichment: are near-dup docs (q21 candidate
+    // members) OVER-represented among long docs (≥ the exact median
+    // n_chars) — fold change + the mean/variance z against drawing
+    // without replacement, the GSEA-style readout that says whether
+    // duplication concentrates in a quality stratum. Exact integer
+    // cross-multiplied z², one isqrt
+    "q540_enrichment_test" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("n_chars")).localCheckpoint(false)
+      val before = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+      val med = d.select(col("n_chars").as("q")).groupBy("q")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cb", coalesce(sum(col("cnt")).over(before), lit(0L)))
+        .crossJoin(broadcast(d.agg(count(lit(1)).as("nn"))))
+        .filter(col("cb") < expr("(nn + 1) div 2") &&
+          expr("cb + cnt") >= expr("(nn + 1) div 2"))
+        .select(col("q").as("med"))
+      val cand = Dedup.minhashCandidates(
+          Tables.documents(s, dir), "doc_id", "text")
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      d.crossJoin(broadcast(med))
+        .join(cand.withColumn("dup", lit(1L)), Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("nn"),
+          sum(when(col("n_chars") >= col("med"), 1L).otherwise(0L)).as("kk"),
+          sum(coalesce(col("dup"), lit(0L))).as("nd"),
+          sum(when(col("n_chars") >= col("med"), coalesce(col("dup"), lit(0L)))
+            .otherwise(0L)).as("k"))
+        .select(col("nn").as("n_docs"), col("kk").as("n_long"),
+          col("nd").as("n_dup"), col("k").as("n_overlap"),
+          expr("k * nn * 1000000 div greatest(nd * kk, 1)").as("fold_ppm"),
+          expr("CAST((CAST(k AS DECIMAL(38,0)) * nn" +
+            " - CAST(nd AS DECIMAL(38,0)) * kk)" +
+            " * (CAST(k AS DECIMAL(38,0)) * nn - CAST(nd AS DECIMAL(38,0)) * kk)" +
+            " * (nn - 1) * 1000000" +
+            " div greatest(CAST(nd AS DECIMAL(38,0)) * kk * (nn - kk)" +
+            " * (nn - nd), 1) AS BIGINT)").as("z2_micro"))
+        .withColumn("t0", floor(sqrt(col("z2_micro").cast("double"))).cast("long"))
+        .withColumn("t1", expr(
+          "CASE WHEN t0 > 0 THEN (t0 + z2_micro div t0) div 2 ELSE 0 END"))
+        .select(col("n_docs"), col("n_long"), col("n_dup"), col("n_overlap"),
+          col("fold_ppm"),
+          expr("(CASE WHEN fold_ppm >= 1000000 THEN 1 ELSE -1 END)" +
+            " * (CASE WHEN (t1 + 1) * (t1 + 1) <= z2_micro THEN t1 + 1" +
+            " WHEN t1 * t1 > z2_micro THEN t1 - 1 ELSE t1 END)").as("z_milli"))
+    }),
+
+    // Bradley–Terry preference strengths from monthly region-revenue
+    // duels — the pairwise-comparison model behind every RLHF reward
+    // fit, here ranking regions from ~960 month-level head-to-heads:
+    // two minorization–maximization updates from the uniform start,
+    // every division a pinned integer quotient on the bounded 5×5
+    // win matrix, scores renormalized to Σ = k·10⁶ each round
+    "q541_bradley_terry" -> ((s, dir) => {
+      val mr = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), expr("date_trunc('month', o_orderdate)").as("m"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("rev"))
+        .localCheckpoint(false)
+      val grid = mr.select("m").distinct()
+        .crossJoin(broadcast(mr.select("r_name").distinct()))
+        .join(mr, Seq("m", "r_name"), "left")
+        .select(col("m"), col("r_name"), coalesce(col("rev"), lit(0L)).as("rev"))
+      val duels = grid.select(col("m"), col("r_name").as("ra"), col("rev").as("va"))
+        .join(grid.select(col("m"), col("r_name").as("rb"), col("rev").as("vb")),
+          "m")
+        .filter(col("ra") =!= col("rb"))
+        .groupBy("ra", "rb")
+        .agg(sum(when(col("va") > col("vb"), 1L).otherwise(0L)).as("w"),
+          count(lit(1)).as("ngames"))
+        .localCheckpoint(false)
+      val wins = duels.groupBy("ra").agg(sum(col("w")).as("wi"))
+      def mmStep(pi: DataFrame): DataFrame = {
+        val den = duels
+          .join(pi.select(col("r_name").as("ra"), col("p").as("pa")), "ra")
+          .join(pi.select(col("r_name").as("rb"), col("p").as("pb")), "rb")
+          .groupBy("ra")
+          .agg(sum(expr("ngames * 1000000 div (pa + pb)")).as("den"))
+        val raw = wins.join(den, "ra")
+          .select(col("ra").as("r_name"),
+            expr("wi * 1000000 * 1000000 div greatest(den, 1)").as("praw"))
+        raw.crossJoin(broadcast(raw.agg(sum(col("praw")).as("ptot"),
+            count(lit(1)).as("k"))))
+          .select(col("r_name"),
+            expr("CAST(praw AS DECIMAL(38,0)) * k * 1000000 div ptot").as("p"))
+      }
+      val p0 = wins.select(col("ra").as("r_name"), lit(1000000L).as("p"))
+      val p2 = mmStep(mmStep(p0))
+      wins.select(col("ra").as("r_name"), col("wi").as("n_wins"))
+        .join(p2, "r_name")
+        .select(col("r_name"), col("n_wins"), col("p").as("bt_score_micro"))
+        .orderBy("r_name")
+    }),
+
+    // A/B power analysis: the minimum detectable effect on doc length
+    // at n ∈ {1000, 10000, full} per arm — MDE = (z_{α/2}+z_β)·σ·√(2/n)
+    // with the z-sum pinned at 2.802 milli-units (α=5%, power 80%),
+    // σ² the exact sample variance of the corpus; one isqrt per n.
+    // The "is this experiment even worth running" readout
+    "q542_power_mde" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sx"),
+          sum(expr("CAST(n_chars AS DECIMAL(38,0)) * n_chars")).as("sxx"))
+        .select(col("n"), col("sx"),
+          expr("CAST(n AS DECIMAL(38,0)) * sxx" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx").as("vnum"))
+        .crossJoin(broadcast(Seq(1000L, 10000L, 0L).toDF("narm")))
+        .select(col("n"), col("sx"), col("vnum"),
+          when(col("narm") === 0L, col("n")).otherwise(col("narm")).as("narm"))
+        .withColumn("mde2", expr(
+          "CAST(2 * 2802 * 2802 * vnum" +
+            " div (CAST(n AS DECIMAL(38,0)) * (n - 1) * narm) AS BIGINT)"))
+        .withColumn("t0", floor(sqrt(col("mde2").cast("double"))).cast("long"))
+        .withColumn("t1", expr(
+          "CASE WHEN t0 > 0 THEN (t0 + mde2 div t0) div 2 ELSE 0 END"))
+        .select(col("narm").as("n_per_arm"), col("n"), col("sx"),
+          expr("CASE WHEN (t1 + 1) * (t1 + 1) <= mde2 THEN t1 + 1" +
+            " WHEN t1 * t1 > mde2 THEN t1 - 1 ELSE t1 END").as("mde_milli"))
+        .select(col("n_per_arm"), col("mde_milli"),
+          expr("mde_milli * 1000 * n div sx").as("mde_rel_ppm"))
+        .orderBy("n_per_arm")
+    }),
+
+    // Davies–Bouldin clustering validity over the 8 IVF buckets: the
+    // worst-pair ratio (sᵢ+sⱼ)/d(cᵢ,cⱼ) per cluster and its mean — low
+    // = compact, well-separated (the companion to q182's silhouette
+    // that needs only k² centroid distances, not row pairs). Centroids
+    // as pinned truncated integer means on the 1e-6 grid; every
+    // distance an exact integer isqrt
+    "q543_davies_bouldin" -> ((s, dir) => {
+      val asg = Similarity.assignBuckets(
+          Tables.embeddings(s, dir), "vec_id", "embedding", 8)
+        .select(col("vid").as("vec_id"), col("bucket"),
+          posexplode(col("emb_d").cast("array<double>")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("bucket"), col("pos"),
+          round(col("x") * 1000000, 0).cast("long").as("qv"))
+        .localCheckpoint(false)
+      val cent = asg.groupBy("bucket", "pos")
+        .agg(sum(col("qv")).as("sq"), count(lit(1)).as("nb"))
+        .select(col("bucket"), col("pos"), expr("sq div nb").as("cq"))
+        .localCheckpoint(false)
+      def isqrtCols(df: DataFrame, in: String, out: String): DataFrame = df
+        .withColumn("_t0", floor(sqrt(col(in).cast("double"))).cast("long"))
+        .withColumn("_t1", expr(
+          s"CASE WHEN _t0 > 0 THEN (_t0 + $in div _t0) div 2 ELSE 0 END"))
+        .withColumn(out, expr(
+          s"CASE WHEN (_t1 + 1) * (_t1 + 1) <= $in THEN _t1 + 1" +
+            s" WHEN _t1 * _t1 > $in THEN _t1 - 1 ELSE _t1 END"))
+        .drop("_t0", "_t1")
+      val si = isqrtCols(
+          asg.join(cent, Seq("bucket", "pos"))
+            .groupBy("vec_id", "bucket")
+            .agg(sum(expr("(qv - cq) * (qv - cq)")).as("d2")), "d2", "dist")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_members"),
+          expr("sum(dist) div count(1)").as("s_q"))
+        .localCheckpoint(false)
+      val cd = isqrtCols(
+          cent.select(col("bucket").as("bi"), col("pos"), col("cq").as("ci"))
+            .join(cent.select(col("bucket").as("bj"), col("pos"),
+              col("cq").as("cj")), "pos")
+            .filter(col("bi") =!= col("bj"))
+            .groupBy("bi", "bj")
+            .agg(sum(expr("(ci - cj) * (ci - cj)")).as("c2")), "c2", "dc")
+      val r = cd
+        .join(si.select(col("bucket").as("bi"), col("s_q").as("si")), "bi")
+        .join(si.select(col("bucket").as("bj"), col("s_q").as("sj")), "bj")
+        .groupBy("bi")
+        .agg(max(expr("(si + sj) * 1000 div greatest(dc, 1)")).as("r_milli"))
+      si.select(col("bucket"), col("n_members"), col("s_q"))
+        .join(r.select(col("bi").as("bucket"), col("r_milli")), "bucket")
+        .crossJoin(broadcast(r.agg(
+          expr("sum(r_milli) div count(1)").as("db_milli"))))
+        .orderBy("bucket")
+    }),
+
+    // Cliff's delta + Vargha–Delaney A between two customer segments'
+    // order prices — the EFFECT-SIZE readout the q289 Mann–Whitney p-value
+    // doesn't give: δ = (P(a>b) − P(a<b)) and A = P(a>b) + P(a=b)/2, both
+    // exact integer ppm from the same value-grouped cumulative scaffold
+    // (U_gt = Σ na·cumB<, U_lt = Σ nb·cumA<, ties = Σ na·nb — one window,
+    // no pair materialization, Σbucket never squared)
+    "q544_cliffs_delta" -> ((s, dir) => {
+      val seg = Tables.customer(s, dir)
+        .filter(col("c_mktsegment").isin("FURNITURE", "HOUSEHOLD"))
+        .select(col("c_custkey"), (col("c_mktsegment") === "FURNITURE")
+          .cast("long").as("ga"))
+      val vg = Tables.orders(s, dir)
+        .join(seg, col("o_custkey") === col("c_custkey"))
+        .select(col("ga"), centsOf(col("o_totalprice")).as("v"))
+        .groupBy("v")
+        .agg(sum(col("ga")).as("na"), sum(lit(1L) - col("ga")).as("nb"))
+      val before = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      vg.withColumn("cb", coalesce(sum(col("nb")).over(before), lit(0L)))
+        .withColumn("ca", coalesce(sum(col("na")).over(before), lit(0L)))
+        .agg(sum(col("na")).as("n"), sum(col("nb")).as("m"),
+          sum(expr("na * cb")).as("ugt"),
+          sum(expr("nb * ca")).as("ult"),
+          sum(expr("na * nb")).as("ties"))
+        .select(col("n").as("n_furniture"), col("m").as("n_household"),
+          expr("(ugt - ult) * 1000000 div (n * m)").as("delta_ppm"),
+          expr("(2 * ugt + ties) * 1000000 div (2 * n * m)").as("vda_ppm"))
+    }),
+
+    // two-sample Kuiper test on order prices, 1993 vs 1994: V = D⁺ + D⁻
+    // — the cyclic-sensitive cousin of q206's KS (equal sensitivity in
+    // both tails, detects scale+location shifts KS's single sup misses).
+    // CDFs stay cross-multiplied integers (ca·m − cb·n), the full-frame
+    // window supplies n,m without a crossJoin
+    "q545_kuiper_test" -> ((s, dir) => {
+      val vg = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")).isin(1993, 1994))
+        .select((year(col("o_orderdate")) === 1993).cast("long").as("ga"),
+          centsOf(col("o_totalprice")).as("v"))
+        .groupBy("v")
+        .agg(sum(col("ga")).as("na"), sum(lit(1L) - col("ga")).as("nb"))
+      val upto = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+      val full = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      vg.withColumn("ca", sum(col("na")).over(upto))
+        .withColumn("cb", sum(col("nb")).over(upto))
+        .withColumn("n", sum(col("na")).over(full))
+        .withColumn("m", sum(col("nb")).over(full))
+        .agg(max(col("n")).as("n"), max(col("m")).as("m"),
+          max(expr("ca * m - cb * n")).as("dp"),
+          max(expr("cb * n - ca * m")).as("dm"))
+        .select(col("n").as("n_1993"), col("m").as("n_1994"),
+          expr("dp * 1000000 div (n * m)").as("dplus_ppm"),
+          expr("dm * 1000000 div (n * m)").as("dminus_ppm"),
+          expr("(dp + dm) * 1000000 div (n * m)").as("v_ppm"))
+    }),
+
+    // two-sample Anderson–Darling (Scholz–Stephens midrank/tie form) on
+    // AUTOMOBILE vs MACHINERY order prices — the tail-weighted whole-CDF
+    // test (CvM q539 weights uniformly; AD's 1/(F(1−F)) weight catches
+    // tail divergence). Doubled midranks keep every term integer:
+    // per distinct value, term_g = 10⁶·l·(N·Mg2 − n_g·B2)² div (N·D'),
+    // D' = B2(2N−B2) − N·l; A²_micro = (N−1)(Sa/n + Sb/m) div N. The
+    // 10⁶ numerator rides DECIMAL(38,0); each quotient ≤ ~4·10⁶·l·N so
+    // the long-narrowing div is safe through sf1
+    "q546_anderson_darling" -> ((s, dir) => {
+      val seg = Tables.customer(s, dir)
+        .filter(col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY"))
+        .select(col("c_custkey"), (col("c_mktsegment") === "AUTOMOBILE")
+          .cast("long").as("ga"))
+      val vg = Tables.orders(s, dir)
+        .join(seg, col("o_custkey") === col("c_custkey"))
+        .select(col("ga"), centsOf(col("o_totalprice")).as("v"))
+        .groupBy("v")
+        .agg(sum(col("ga")).as("na"), sum(lit(1L) - col("ga")).as("nb"))
+      val before = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      val full = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      vg.withColumn("ca", coalesce(sum(col("na")).over(before), lit(0L)))
+        .withColumn("cp", coalesce(sum(expr("na + nb")).over(before), lit(0L)))
+        .withColumn("n", sum(col("na")).over(full))
+        .withColumn("m", sum(col("nb")).over(full))
+        .withColumn("bign", expr("n + m"))
+        .withColumn("l", expr("na + nb"))
+        .withColumn("ma2", expr("2 * ca + na"))
+        .withColumn("mb2", expr("2 * (cp - ca) + nb"))
+        .withColumn("b2", expr("2 * cp + l"))
+        .withColumn("dd", expr("b2 * (2 * bign - b2) - bign * l"))
+        .withColumn("ta", expr(
+          "CASE WHEN dd > 0 THEN CAST(1000000 AS DECIMAL(38,0)) * l" +
+            " * CAST((bign * ma2 - n * b2) AS DECIMAL(38,0))" +
+            " * (bign * ma2 - n * b2)" +
+            " div (CAST(bign AS DECIMAL(38,0)) * dd) ELSE 0 END"))
+        .withColumn("tb", expr(
+          "CASE WHEN dd > 0 THEN CAST(1000000 AS DECIMAL(38,0)) * l" +
+            " * CAST((bign * mb2 - m * b2) AS DECIMAL(38,0))" +
+            " * (bign * mb2 - m * b2)" +
+            " div (CAST(bign AS DECIMAL(38,0)) * dd) ELSE 0 END"))
+        .agg(max(col("n")).as("n"), max(col("m")).as("m"),
+          max(col("bign")).as("bign"),
+          sum(col("ta").cast(dec38)).as("sa"),
+          sum(col("tb").cast(dec38)).as("sb"))
+        .select(col("n").as("n_automobile"), col("m").as("n_machinery"),
+          expr("CAST((CAST(bign - 1 AS DECIMAL(38,0))" +
+            " * (sa div n + sb div m)) div bign AS BIGINT)").as("a2_micro"))
+    }),
+
+    // Mann–Kendall trend test on the monthly-revenue series: S counts
+    // later-month revenue wins minus losses over all month pairs (the
+    // nonparametric twin of q235's Theil–Sen slope), tie-corrected
+    // 18·Var exact, continuity-corrected z via the isqrt chain. The
+    // month dictionary is bounded (~84 rows) so the pair join broadcasts
+    "q547_mann_kendall" -> ((s, dir) => {
+      val mo = Tables.orders(s, dir)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("t"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("v"))
+        .localCheckpoint(false)
+      val pairs = mo.select(col("t").as("t1"), col("v").as("v1"))
+        .join(broadcast(mo.select(col("t").as("t2"), col("v").as("v2"))),
+          col("t1") < col("t2"))
+        .agg(sum(signum(col("v2") - col("v1")).cast("long")).as("s_stat"))
+      val ties = mo.groupBy("v").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("nm"),
+          sum(expr("c * (c - 1) * (2 * c + 5)")).as("tcorr"))
+      pairs.crossJoin(broadcast(ties))
+        .withColumn("var18", expr("nm * (nm - 1) * (2 * nm + 5) - tcorr"))
+        .withColumn("k", expr(
+          "18000000 * greatest(abs(s_stat) - 1, 0) * greatest(abs(s_stat) - 1, 0)" +
+            " div var18"))
+        .withColumn("t0", floor(sqrt(col("k").cast("double"))).cast("long"))
+        .withColumn("t1", expr("CASE WHEN t0 > 0 THEN (t0 + k div t0) div 2 ELSE 0 END"))
+        .withColumn("rt", expr(
+          "CASE WHEN (t1 + 1) * (t1 + 1) <= k THEN t1 + 1" +
+            " WHEN t1 * t1 > k THEN t1 - 1 ELSE t1 END"))
+        .select(col("nm").as("n_months"), col("s_stat"), col("var18"),
+          expr("CASE WHEN s_stat < 0 THEN -rt ELSE rt END").as("z_milli"))
+    }),
+
+    // Conover squared-ranks test: do FURNITURE and BUILDING order prices
+    // have equal DISPERSION? Deviations from each segment's mean enter
+    // on a common integer scale (d = n_other·|n_g·v − S_g|), pooled
+    // doubled midranks give integer scores (2R)² quantized by div 4N,
+    // and the exact conditional moments give a cross-multiplied z² —
+    // the variance-sensitive complement of the q289/q544 location tests
+    "q548_conover_scale" -> ((s, dir) => {
+      val seg = Tables.customer(s, dir)
+        .filter(col("c_mktsegment").isin("FURNITURE", "BUILDING"))
+        .select(col("c_custkey"), (col("c_mktsegment") === "FURNITURE")
+          .cast("long").as("ga"))
+      val rows = Tables.orders(s, dir)
+        .join(seg, col("o_custkey") === col("c_custkey"))
+        .select(col("ga"), centsOf(col("o_totalprice")).as("v"))
+        .localCheckpoint(false)
+      val gs = rows.groupBy("ga")
+        .agg(count(lit(1)).as("ng"), sum(col("v")).as("sg"))
+      val tot = gs.agg(sum(col("ng")).as("bign"),
+        min(when(col("ga") === 1, col("ng"))).as("n"),
+        min(when(col("ga") === 0, col("ng"))).as("m"))
+      val dv = rows.join(broadcast(gs), "ga")
+        .crossJoin(broadcast(tot))
+        .select(col("ga"), col("bign"), col("n"), col("m"),
+          expr("(bign - ng) * abs(ng * v - sg)").as("d"))
+      val vg = dv.groupBy("d", "bign", "n", "m")
+        .agg(sum(col("ga")).as("na"), sum(lit(1L) - col("ga")).as("nb"))
+      val before = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+      vg.withColumn("cp", coalesce(sum(expr("na + nb")).over(before), lit(0L)))
+        .withColumn("l", expr("na + nb"))
+        .withColumn("r2", expr("2 * cp + l + 1"))
+        .withColumn("sc", expr(
+          "CAST(r2 AS DECIMAL(38,0)) * r2 div (4 * bign)"))
+        .agg(max(col("bign")).as("bign"), max(col("n")).as("n"),
+          max(col("m")).as("m"),
+          sum(expr("na * sc").cast(dec38)).as("t4a"),
+          sum(expr("l * sc").cast(dec38)).as("m1"),
+          sum(expr("CAST(l AS DECIMAL(38,0)) * sc * sc")).as("m2"))
+        .select(col("n").as("n_furniture"), col("m").as("n_building"),
+          col("t4a").cast("long").as("t4_scaled"),
+          expr("CAST((1000 * CAST(bign - 1 AS DECIMAL(38,0))" +
+            " * (bign * t4a - n * m1) * (bign * t4a - n * m1))" +
+            " div (CAST(n AS DECIMAL(38,0)) * m * (bign * m2 - m1 * m1))" +
+            " AS BIGINT)").as("zsq_milli"))
+    }),
+
+    // Calinski–Harabasz (variance-ratio) index over the IVF bucket
+    // assignment — q543's Davies–Bouldin asks "are clusters compact vs
+    // their nearest rival"; CH asks the global ANOVA question
+    // (between-SS / within-SS, df-adjusted). Coordinates quantize to
+    // 1e-6 longs, centroids are integer means (div), so W/B are exact
+    // integer sums both engines reproduce bit-for-bit
+    "q549_calinski_harabasz" -> ((s, dir) => {
+      val asg = Similarity.assignBuckets(
+          Tables.embeddings(s, dir), "vec_id", "embedding", 8)
+        .select(col("vid").as("vec_id"), col("bucket"),
+          posexplode(col("emb_d").cast("array<double>")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("bucket"), col("pos"),
+          round(col("x") * 1000000, 0).cast("long").as("qv"))
+        .localCheckpoint(false)
+      val cent = asg.groupBy("bucket", "pos")
+        .agg(sum(col("qv")).as("sq"), count(lit(1)).as("nb"))
+        .select(col("bucket"), col("pos"), expr("sq div nb").as("cq"),
+          col("nb"))
+        .localCheckpoint(false)
+      val glob = asg.groupBy("pos")
+        .agg(sum(col("qv")).as("sq"), count(lit(1)).as("cnt"))
+        .select(col("pos"), expr("sq div cnt").as("gq"))
+      val w = asg.join(cent.select("bucket", "pos", "cq"), Seq("bucket", "pos"))
+        .agg(sum(expr("(qv - cq) * (qv - cq)").cast(dec38)).as("wss"))
+      val b = cent.join(glob, "pos")
+        .agg(sum(expr("nb * (cq - gq) * (cq - gq)").cast(dec38)).as("bss"))
+      val nk = asg.agg(countDistinct(col("vec_id")).as("nv"),
+        countDistinct(col("bucket")).as("k"))
+      w.crossJoin(broadcast(b)).crossJoin(broadcast(nk))
+        .select(col("nv").as("n_vectors"), col("k").as("k_clusters"),
+          col("wss").cast("long").as("w_ssq"),
+          col("bss").cast("long").as("b_ssq"),
+          expr("(1000 * bss * (nv - k)) div (wss * (k - 1))").as("ch_milli"))
+    }),
+
+    // Dunn index (centroid form) over the same IVF assignment: worst-case
+    // separation — min inter-centroid distance² over max cluster
+    // diameter² (4·max radius²) — the pessimist's counterpart to q549's
+    // average-case ratio; all-squared so no roots are needed at all
+    "q550_dunn_index" -> ((s, dir) => {
+      val asg = Similarity.assignBuckets(
+          Tables.embeddings(s, dir), "vec_id", "embedding", 8)
+        .select(col("vid").as("vec_id"), col("bucket"),
+          posexplode(col("emb_d").cast("array<double>")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("bucket"), col("pos"),
+          round(col("x") * 1000000, 0).cast("long").as("qv"))
+        .localCheckpoint(false)
+      val cent = asg.groupBy("bucket", "pos")
+        .agg(expr("sum(qv) div count(1)").as("cq"))
+        .localCheckpoint(false)
+      val maxr = asg.join(cent, Seq("bucket", "pos"))
+        .groupBy("vec_id", "bucket")
+        .agg(sum(expr("(qv - cq) * (qv - cq)")).as("r2"))
+        .agg(max(col("r2")).as("max_r2"))
+      val minc = cent.select(col("bucket").as("bi"), col("pos"), col("cq").as("ci"))
+        .join(cent.select(col("bucket").as("bj"), col("pos"), col("cq").as("cj")), "pos")
+        .filter(col("bi") < col("bj"))
+        .groupBy("bi", "bj")
+        .agg(sum(expr("(ci - cj) * (ci - cj)")).as("c2"))
+        .agg(min(col("c2")).as("min_c2"), count(lit(1)).as("n_pairs"))
+      minc.crossJoin(broadcast(maxr))
+        .select(col("n_pairs"), col("min_c2"), col("max_r2"),
+          expr("1000 * min_c2 div (4 * max_r2)").as("dunn_milli"))
+    }),
+
+    // adjusted Rand index: does the UNSUPERVISED IVF bucketing recover
+    // the embeddings' true `label` partition? Pair-counting on the
+    // bounded label×bucket contingency, chance-corrected in one exact
+    // integer formula (doubled pair counts P/A/B, ×2T common
+    // denominator — no division until the final ppm)
+    "q551_adjusted_rand" -> ((s, dir) => {
+      val asg = Similarity.assignBuckets(
+          Tables.embeddings(s, dir), "vec_id", "embedding", 8)
+        .select(col("vid").as("vec_id"), col("bucket"))
+      val cont = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"))
+        .join(asg, "vec_id")
+        .groupBy("label", "bucket").agg(count(lit(1)).as("nij"))
+        .localCheckpoint(false)
+      val p = cont.agg(sum(expr("nij * (nij - 1)")).as("pp"),
+        sum(col("nij")).as("n"))
+      val a = cont.groupBy("label").agg(sum(col("nij")).as("ai"))
+        .agg(sum(expr("ai * (ai - 1)")).as("aa"), count(lit(1)).as("n_labels"))
+      val b = cont.groupBy("bucket").agg(sum(col("nij")).as("bj"))
+        .agg(sum(expr("bj * (bj - 1)")).as("bb"), count(lit(1)).as("k_buckets"))
+      p.crossJoin(broadcast(a)).crossJoin(broadcast(b))
+        .withColumn("t", expr("n * (n - 1)"))
+        .select(col("n").as("n_vectors"), col("n_labels"), col("k_buckets"),
+          expr("CAST(1000000 AS DECIMAL(38,0)) * (2 * t * pp - 2 * aa * bb)" +
+            " div (CAST(t AS DECIMAL(38,0)) * (aa + bb) - 2 * aa * bb)")
+            .as("ari_ppm"))
+    }),
+
+    // Fowlkes–Mallows index from the same label×bucket contingency: the
+    // geometric mean of pair precision and pair recall — reported with
+    // both components so the ARI's chance correction (q551) can be read
+    // against the raw pair-confusion trade-off; one isqrt, else integers
+    "q552_fowlkes_mallows" -> ((s, dir) => {
+      val asg = Similarity.assignBuckets(
+          Tables.embeddings(s, dir), "vec_id", "embedding", 8)
+        .select(col("vid").as("vec_id"), col("bucket"))
+      val cont = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"))
+        .join(asg, "vec_id")
+        .groupBy("label", "bucket").agg(count(lit(1)).as("nij"))
+        .localCheckpoint(false)
+      val p = cont.agg(sum(expr("nij * (nij - 1)")).as("pp"))
+      val a = cont.groupBy("label").agg(sum(col("nij")).as("ai"))
+        .agg(sum(expr("ai * (ai - 1)")).as("aa"))
+      val b = cont.groupBy("bucket").agg(sum(col("nij")).as("bj"))
+        .agg(sum(expr("bj * (bj - 1)")).as("bb"))
+      p.crossJoin(broadcast(a)).crossJoin(broadcast(b))
+        .withColumn("fmsq", expr(
+          "CAST(1000000 AS DECIMAL(38,0)) * pp * (1000000 * pp)" +
+            " div (CAST(aa AS DECIMAL(38,0)) * bb)"))
+        .withColumn("t0", floor(sqrt(col("fmsq").cast("double"))).cast("long"))
+        .withColumn("t1", expr(
+          "CASE WHEN t0 > 0 THEN (t0 + fmsq div t0) div 2 ELSE 0 END"))
+        .withColumn("rt", expr(
+          "CASE WHEN (t1 + 1) * (t1 + 1) <= fmsq THEN t1 + 1" +
+            " WHEN t1 * t1 > fmsq THEN t1 - 1 ELSE t1 END"))
+        .select(col("pp").as("pair_tp2"),
+          expr("1000000 * pp div bb").as("prec_ppm"),
+          expr("1000000 * pp div aa").as("rec_ppm"),
+          col("rt").as("fm_ppm"))
+    }),
+
+    // mean-average-precision eval of the IVF retrieval against the exact
+    // top-10 (the order-sensitive companion to q294's nDCG and q322's
+    // MRR): per query, precision accumulates at each hit position —
+    // cumulative-hit window, per-term micro floor-div, R = 10
+    "q553_map_eval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          nQueries = 5, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rk").as("rk_exact"))
+      val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
+          nCentroids = 8, nQueries = 5, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rk").as("p"))
+      val wcum = Window.partitionBy("query_id").orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      approx.join(exact, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("hit", when(col("rk_exact").isNotNull, 1L).otherwise(0L))
+        .withColumn("ch", sum(col("hit")).over(wcum))
+        .groupBy("query_id")
+        .agg(sum(col("hit")).as("n_hits"),
+          sum(when(col("hit") === 1, expr("ch * 1000000 div p"))
+            .otherwise(0L)).as("psum_micro"))
+        .withColumn("ap_micro", expr("psum_micro div 10"))
+        .orderBy("query_id")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -152,6 +152,17 @@ class PlanGuardSpec extends AnyFunSuite {
     "q534_join_order_costs",   // five 1-row stat/actual aggregates crossed together
     "q535_load_shedding",      // 1-row capacity row crossed into the per-second arrivals
     "q537_forecast_reconciliation", // 1-row max-month/total rows crossed into ≤n_regions
+    "q540_enrichment_test",    // 1-row exact-median row crossed into the doc scan
+    "q541_bradley_terry",      // ≤5-region dictionary + 1-row normalizer crossed
+    "q547_mann_kendall",       // ~84-month dictionary pair join + 1-row tie row
+    "q548_conover_scale",      // 1-row group-total row crossed into the scan
+    "q549_calinski_harabasz",  // bounded centroid cross + 1-row W/B/nk rows
+    "q550_dunn_index",         // bounded centroid cross + 1-row max-radius row
+    "q551_adjusted_rand",      // bounded centroid cross + 1-row pair-count rows
+    "q552_fowlkes_mallows",    // bounded centroid cross + 1-row pair-count rows
+    "q553_map_eval",           // bounded 5-query broadcast (q294's scaffold)
+    "q542_power_mde",          // 1-row variance row + 3-row n dictionary crossed
+    "q543_davies_bouldin",     // 1-row mean-ratio row crossed into the 8-cluster relation
     "q523_weighted_kappa",     // bounded 5×5 margin cross + 1-row denominator cross
     "q368_lsh_cost_model",     // 1-row distinct-candidate count bound
     "q369_storage_tiering",    // 1-row max-date aggregate bound
