@@ -11922,7 +11922,120 @@ object OracleSql {
          |SELECT query_id, CAST(sum(hit) AS BIGINT) AS n_hits,
          |       CAST(sum(CASE WHEN hit = 1 THEN ch * 1000000 // p ELSE 0 END) AS BIGINT) AS psum_micro,
          |       CAST(sum(CASE WHEN hit = 1 THEN ch * 1000000 // p ELSE 0 END) // 10 AS BIGINT) AS ap_micro
-         |FROM cc GROUP BY 1 ORDER BY query_id""".stripMargin
+         |FROM cc GROUP BY 1 ORDER BY query_id""".stripMargin,
+
+    "q554_nucleus_cutoff" ->
+      """WITH w AS (SELECT lang, w FROM (
+        |             SELECT lang, unnest(string_split(text, ' ')) AS w
+        |             FROM documents WHERE text IS NOT NULL)
+        |           WHERE length(w) > 0),
+        |wf AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1, 2),
+        |c AS (SELECT lang, w, cnt,
+        |             CAST(coalesce(sum(cnt) OVER (PARTITION BY lang
+        |               ORDER BY cnt DESC, w
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb,
+        |             CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS total
+        |      FROM wf),
+        |k AS (SELECT lang, cnt, total,
+        |             CASE WHEN 10 * cumb < 9 * total THEN 1 ELSE 0 END AS keep FROM c)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_vocab,
+        |       CAST(max(total) AS BIGINT) AS total_tokens,
+        |       CAST(sum(keep) AS BIGINT) AS nucleus_k,
+        |       CAST(sum(keep * cnt) * 1000000 // max(total) AS BIGINT) AS nucleus_mass_ppm
+        |FROM k GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "q555_speculative_accept" ->
+      """WITH w AS (SELECT ga, w FROM (
+        |             SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ga,
+        |                    unnest(string_split(text, ' ')) AS w
+        |             FROM documents
+        |             WHERE text IS NOT NULL AND source IN ('src0', 'src1'))
+        |           WHERE length(w) > 0),
+        |wc AS (SELECT w, CAST(sum(ga) AS BIGINT) AS ca,
+        |              CAST(sum(1 - ga) AS BIGINT) AS cb FROM w GROUP BY 1),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM wc),
+        |s AS (SELECT na, nb, CAST(sum(least(ca * nb, cb * na)) AS BIGINT) AS overlap
+        |      FROM wc CROSS JOIN t GROUP BY 1, 2),
+        |f AS (SELECT na, nb, overlap * 1000000 // (na * nb) AS a FROM s)
+        |SELECT na AS draft_tokens, nb AS target_tokens, CAST(a AS BIGINT) AS accept_ppm,
+        |       CAST(1000 + a // 1000 + CAST(a AS HUGEINT) * a // 1000000000
+        |            + CAST(a AS HUGEINT) * a * a // 1000000000000000
+        |            + CAST(a AS HUGEINT) * a * a * a // 1000000000000000000000
+        |            AS BIGINT) AS exp_len_milli
+        |FROM f""".stripMargin,
+
+    "q556_doremi_step" ->
+      """WITH w2 AS (SELECT source, w FROM (
+        |              SELECT source, unnest(string_split(text, ' ')) AS w
+        |              FROM documents WHERE text IS NOT NULL)
+        |            WHERE length(w) > 0),
+        |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM w2 GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM wc),
+        |sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n FROM w2 GROUP BY 1, 2),
+        |lp AS (SELECT sw.source, sw.n,
+        |              CAST(round(ln(CAST(wc.cnt AS DOUBLE) / t.total) * 1000000) AS BIGINT) AS lp
+        |       FROM sw JOIN wc USING (w), t),
+        |nl AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |              CAST(-sum(n * lp) AS BIGINT) AS snll FROM lp GROUP BY 1),
+        |n2 AS (SELECT source, n_tokens, snll // n_tokens AS nll_micro FROM nl),
+        |n3 AS (SELECT source, n_tokens, nll_micro,
+        |              nll_micro - min(nll_micro) OVER () AS excess_micro FROM n2),
+        |n4 AS (SELECT *, CAST(round(exp(CAST(excess_micro // 10 AS DOUBLE) / 1000000.0)
+        |                            * 1000000) AS BIGINT) AS fac FROM n3)
+        |SELECT source, n_tokens, CAST(nll_micro AS BIGINT) AS nll_micro,
+        |       CAST(excess_micro AS BIGINT) AS excess_micro,
+        |       CAST(fac * 1000000 // sum(fac) OVER () AS BIGINT) AS new_w_ppm
+        |FROM n4 ORDER BY source""".stripMargin,
+
+    "q557_err_eval" ->
+      s"""$ivfAssignCte,
+         |q AS (SELECT vec_id AS query_id, e AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+         |es AS (
+         |  SELECT q.query_id, n.vec_id AS neighbor_id,
+         |         round(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*n.e[i])) / (q.qn * n.nrm), 6) AS sim
+         |  FROM q, n WHERE n.vec_id <> q.query_id
+         |), er AS (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk_exact
+         |  FROM es
+         |), ex AS (SELECT query_id, neighbor_id, rk_exact FROM er WHERE rk_exact <= 10),
+         |qb AS (SELECT vec_id AS query_id, e AS qv, nrm AS qn, bucket FROM asg WHERE vec_id < 5),
+         |as2 AS (
+         |  SELECT qb.query_id, asg.vec_id AS neighbor_id,
+         |         round(list_sum(list_transform(range(1, len(qb.qv)+1), i -> qb.qv[i]*asg.e[i])) / (qb.qn * asg.nrm), 6) AS sim
+         |  FROM qb JOIN asg USING (bucket) WHERE asg.vec_id <> qb.query_id
+         |), ar AS (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS p
+         |  FROM as2
+         |), ap AS (SELECT query_id, neighbor_id, p FROM ar WHERE p <= 10),
+         |h AS (SELECT ap.query_id, ap.p,
+         |             least(greatest(coalesce(11 - ex.rk_exact, 0), 0), 4) AS g
+         |      FROM ap LEFT JOIN ex USING (query_id, neighbor_id)),
+         |h2 AS (SELECT query_id, p, CAST(pow(2, g) AS BIGINT) - 1 AS r16 FROM h),
+         |h3 AS (SELECT query_id, p, r16,
+         |              CAST(coalesce(product(16 - r16) OVER (PARTITION BY query_id
+         |                ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1)
+         |                AS BIGINT) AS surv
+         |       FROM h2)
+         |SELECT query_id, CAST(count(*) AS BIGINT) AS n_ranked,
+         |       CAST(sum(1000000 * r16 * surv * CAST(pow(16, 10 - p) AS BIGINT)
+         |            // (p * 1099511627776)) AS BIGINT) AS err_micro
+         |FROM h3 GROUP BY 1 ORDER BY query_id""".stripMargin,
+
+    "q558_continuous_batching" ->
+      """WITH req AS (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 1024),
+        |r2 AS (SELECT o_orderkey * 7 % 96 + 32 AS glen,
+        |              row_number() OVER (ORDER BY o_orderkey) AS rn FROM req),
+        |b AS (SELECT (rn - 1) // 32 AS batch, CAST(max(glen) AS BIGINT) AS bmax,
+        |             CAST(sum(glen) AS BIGINT) AS bsum FROM r2 GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_batches,
+        |             CAST(sum(bmax) AS BIGINT) AS static_cost,
+        |             CAST(sum(bsum) AS BIGINT) AS total_tokens FROM b)
+        |SELECT n_batches, static_cost, total_tokens,
+        |       CAST((total_tokens + 31) // 32 AS BIGINT) AS packed_cost,
+        |       CAST(1000 * static_cost // ((total_tokens + 31) // 32) AS BIGINT) AS speedup_milli
+        |FROM s""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

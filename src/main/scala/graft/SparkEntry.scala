@@ -12875,6 +12875,150 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // top-p (nucleus) truncation of each language's unigram distribution:
+    // the smallest count-descending vocab prefix holding ≥90% of token
+    // mass — the sampling-time cutoff readout (how many types survive
+    // top-p per language). Strict-integer keep test 10·cum< < 9·total,
+    // per-lang window, no doubles anywhere
+    "q554_nucleus_cutoff" -> ((s, dir) => {
+      val wc = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("lang"), explode(split(col("text"), " ", -1)).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      val byFreq = Window.partitionBy("lang")
+        .orderBy(col("cnt").desc, col("w"))
+      val full = Window.partitionBy("lang")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      wc.withColumn("cumb", coalesce(sum(col("cnt"))
+          .over(byFreq.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("total", sum(col("cnt")).over(full))
+        .withColumn("keep", when(expr("10 * cumb < 9 * total"), 1L).otherwise(0L))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_vocab"), max(col("total")).as("total_tokens"),
+          sum(col("keep")).as("nucleus_k"),
+          expr("sum(keep * cnt)").as("kept"))
+        .select(col("lang"), col("n_vocab"), col("total_tokens"),
+          col("nucleus_k"),
+          expr("kept * 1000000 div total_tokens").as("nucleus_mass_ppm"))
+        .orderBy("lang")
+    }),
+
+    // speculative-decoding acceptance rate between a draft LM (src0's
+    // unigram distribution) and the target LM (src1's): α = Σ_w
+    // min(p_draft, p_target) — exactly 1 − TV distance — cross-multiplied
+    // to integers (min(ca·Nb, cb·Na)/(Na·Nb)); plus the expected accepted
+    // run length for k=4 drafts, Σ_{i=0..4} αⁱ in pinned ppm powers
+    "q555_speculative_accept" -> ((s, dir) => {
+      val wc = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("source").isin("src0", "src1"))
+        .select((col("source") === "src0").cast("long").as("ga"),
+          explode(split(col("text"), " ", -1)).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w")
+        .agg(sum(col("ga")).as("ca"), sum(lit(1L) - col("ga")).as("cb"))
+      val full = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      wc.withColumn("na", sum(col("ca")).over(full))
+        .withColumn("nb", sum(col("cb")).over(full))
+        .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+          sum(expr("least(ca * nb, cb * na)")).as("overlap"))
+        .withColumn("a", expr("overlap * 1000000 div (na * nb)"))
+        .select(col("na").as("draft_tokens"), col("nb").as("target_tokens"),
+          col("a").as("accept_ppm"),
+          expr("1000 + a div 1000" +
+            " + CAST(a AS DECIMAL(38,0)) * a div 1000000000" +
+            " + CAST(a AS DECIMAL(38,0)) * a * a div 1000000000000000" +
+            " + CAST(a AS DECIMAL(38,0)) * a * a * a div 1000000000000000000000")
+            .as("exp_len_milli"))
+    }),
+
+    // one DoReMi-style domain-reweighting step: each source's mean NLL
+    // under the corpus unigram LM (q72's micro-nat convention), excess
+    // over the best source, multiplicative-weights update
+    // w ∝ exp(η·excess) with η = 0.1 — ONE pinned libm exp per source
+    // (20 rows), integer algebra before and after; the normalized
+    // new_w_ppm is the next epoch's sampling mixture
+    "q556_doremi_step" -> ((s, dir) => {
+      val words = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("source"), explode(split(col("text"), " ", -1)).as("w"))
+        .filter(length(col("w")) > 0)
+      val wc = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val tot = wc.agg(sum(col("cnt")).as("total"))
+      val sw = words.groupBy("source", "w").agg(count(lit(1)).as("n"))
+        .join(wc, "w").crossJoin(broadcast(tot))
+        .withColumn("lp", round(log(col("cnt").cast("double") / col("total"))
+          * 1000000, 0).cast("long"))
+        .groupBy("source")
+        .agg(sum(col("n")).as("n_tokens"),
+          expr("-sum(n * lp)").as("snll"))
+        .withColumn("nll_micro", expr("snll div n_tokens"))
+      val full = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      sw.withColumn("best", min(col("nll_micro")).over(full))
+        .withColumn("excess_micro", expr("nll_micro - best"))
+        .withColumn("fac", expr(
+          "CAST(round(exp(CAST(excess_micro div 10 AS DOUBLE) / 1000000.0)" +
+            " * 1000000) AS BIGINT)"))
+        .withColumn("fsum", sum(col("fac")).over(full))
+        .select(col("source"), col("n_tokens"), col("nll_micro"),
+          col("excess_micro"),
+          expr("fac * 1000000 div fsum").as("new_w_ppm"))
+        .orderBy("source")
+    }),
+
+    // expected reciprocal rank of the IVF retrieval against exact top-10
+    // (q294/q553's scaffold, cascade-model readout): dyadic relevance
+    // R = (2^g − 1)/16 with g = min(11−rk_exact, 4) makes every survival
+    // product an integer ≤ 16⁹ — exact in both engines (the DuckDB
+    // product() double is integer-exact below 2⁵³)
+    "q557_err_eval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          nQueries = 5, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rk").as("rk_exact"))
+      val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
+          nCentroids = 8, nQueries = 5, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rk").as("p"))
+      val wprev = Window.partitionBy("query_id").orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      approx.join(exact, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("g", least(greatest(coalesce(lit(11L) - col("rk_exact"),
+          lit(0L)), lit(0L)), lit(4L)))
+        .withColumn("r16", expr("CAST(pow(2, g) AS BIGINT) - 1"))
+        .withColumn("surv", coalesce(expr(
+          "aggregate(collect_list(16 - r16) OVER (PARTITION BY query_id" +
+            " ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)," +
+            " 1L, (acc, x) -> acc * x)"), lit(1L)))
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_ranked"),
+          sum(expr("1000000 * r16 * surv" +
+            " * CAST(pow(16, 10 - p) AS BIGINT)" +
+            " div (p * 1099511627776)")).as("err_micro"))
+        .orderBy("query_id")
+    }),
+
+    // continuous vs static batching of LLM generation: 1024 requests with
+    // deterministic generation lengths, static batches of 32 pay the
+    // batch MAX while token-level (continuous) batching pays total/32 —
+    // the padding-waste (q212) story at serving time, exact integers
+    "q558_continuous_batching" -> ((s, dir) => {
+      val req = Tables.orders(s, dir)
+        .select(col("o_orderkey"))
+        .orderBy("o_orderkey").limit(1024)
+        .withColumn("glen", expr("o_orderkey * 7 % 96 + 32"))
+        .withColumn("rn", row_number().over(Window.orderBy("o_orderkey")))
+        .withColumn("batch", expr("(rn - 1) div 32"))
+      req.groupBy("batch").agg(max(col("glen")).as("bmax"),
+          sum(col("glen")).as("bsum"))
+        .agg(count(lit(1)).as("n_batches"), sum(col("bmax")).as("static_cost"),
+          sum(col("bsum")).as("total_tokens"))
+        .select(col("n_batches"),
+          col("static_cost"), col("total_tokens"),
+          expr("(total_tokens + 31) div 32").as("packed_cost"),
+          expr("1000 * static_cost div ((total_tokens + 31) div 32)")
+            .as("speedup_milli"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

@@ -161,6 +161,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q551_adjusted_rand",      // bounded centroid cross + 1-row pair-count rows
     "q552_fowlkes_mallows",    // bounded centroid cross + 1-row pair-count rows
     "q553_map_eval",           // bounded 5-query broadcast (q294's scaffold)
+    "q556_doremi_step",        // 1-row corpus-total row crossed into the source scan
+    "q557_err_eval",           // bounded 5-query broadcast (q294's scaffold)
     "q542_power_mde",          // 1-row variance row + 3-row n dictionary crossed
     "q543_davies_bouldin",     // 1-row mean-ratio row crossed into the 8-cluster relation
     "q523_weighted_kappa",     // bounded 5×5 margin cross + 1-row denominator cross
