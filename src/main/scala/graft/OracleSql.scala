@@ -12035,7 +12035,171 @@ object OracleSql {
         |SELECT n_batches, static_cost, total_tokens,
         |       CAST((total_tokens + 31) // 32 AS BIGINT) AS packed_cost,
         |       CAST(1000 * static_cost // ((total_tokens + 31) // 32) AS BIGINT) AS speedup_milli
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    "q559_pettitt_changepoint" ->
+      """WITH mo AS (SELECT strftime(o_orderdate, '%Y-%m') AS t,
+        |                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        |           FROM orders GROUP BY 1),
+        |vg AS (SELECT v, CAST(count(*) AS BIGINT) AS l FROM mo GROUP BY 1),
+        |vr AS (SELECT v, 2 * CAST(coalesce(sum(l) OVER (ORDER BY v
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |            + l + 1 AS r2 FROM vg),
+        |u AS (SELECT mo.t, row_number() OVER (ORDER BY mo.t) AS tn,
+        |             count(*) OVER () AS nm,
+        |             sum(vr.r2) OVER (ORDER BY mo.t
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr
+        |      FROM mo JOIN vr USING (v)),
+        |u2 AS (SELECT t, tn, CAST(nm AS BIGINT) AS nm,
+        |              CAST(cr - tn * (nm + 1) AS BIGINT) AS uu FROM u WHERE tn < nm),
+        |m AS (SELECT *, max(abs(uu)) OVER () AS mx FROM u2),
+        |f AS (SELECT CAST(max(nm) AS BIGINT) AS nm, CAST(max(mx) AS BIGINT) AS k_stat,
+        |             min(t) AS cp_month FROM m WHERE abs(uu) = mx)
+        |SELECT nm AS n_months, k_stat, cp_month,
+        |       CAST(6000 * k_stat * k_stat // (nm * nm * nm + nm * nm) AS BIGINT)
+        |         AS exponent_milli
+        |FROM f""".stripMargin,
+
+    "q560_kpss_level" ->
+      """WITH mo AS (SELECT strftime(o_orderdate, '%Y-%m') AS t,
+        |                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100000
+        |                    AS BIGINT) AS v
+        |           FROM orders GROUP BY 1),
+        |w1 AS (SELECT t, v, CAST(count(*) OVER () AS BIGINT) AS nm,
+        |              CAST(sum(v) OVER () AS BIGINT) AS sv FROM mo),
+        |w2 AS (SELECT t, nm, nm * v - sv AS e FROM w1),
+        |w3 AS (SELECT nm, e,
+        |              CAST(sum(e) OVER (ORDER BY t
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS st,
+        |              lag(e, 1) OVER (ORDER BY t) AS e1,
+        |              lag(e, 2) OVER (ORDER BY t) AS e2,
+        |              lag(e, 3) OVER (ORDER BY t) AS e3,
+        |              lag(e, 4) OVER (ORDER BY t) AS e4
+        |       FROM w2),
+        |a AS (SELECT max(nm) AS nm, sum(CAST(st AS HUGEINT) * st) AS ssq,
+        |             CAST(sum(e * e) AS BIGINT) AS g0,
+        |             CAST(sum(e * coalesce(e1, 0)) AS BIGINT) AS g1,
+        |             CAST(sum(e * coalesce(e2, 0)) AS BIGINT) AS g2,
+        |             CAST(sum(e * coalesce(e3, 0)) AS BIGINT) AS g3,
+        |             CAST(sum(e * coalesce(e4, 0)) AS BIGINT) AS g4 FROM w3)
+        |SELECT nm AS n_months, g0,
+        |       CAST(5 * g0 + 2 * (4 * g1 + 3 * g2 + 2 * g3 + g4) AS BIGINT) AS lrv5,
+        |       CAST((5000000 * ssq)
+        |            // (nm * CAST(5 * g0 + 2 * (4 * g1 + 3 * g2 + 2 * g3 + g4) AS HUGEINT))
+        |            AS BIGINT) AS kpss_micro
+        |FROM a""".stripMargin,
+
+    "q561_variogram" ->
+      """WITH day AS (SELECT o_orderdate AS d,
+        |                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100000
+        |                      AS BIGINT) AS v
+        |             FROM orders GROUP BY 1),
+        |l AS (SELECT v, lag(v, 1) OVER w AS v1, lag(v, 2) OVER w AS v2,
+        |             lag(v, 4) OVER w AS v4, lag(v, 8) OVER w AS v8
+        |      FROM day WINDOW w AS (ORDER BY d))
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum((v - v1) * (v - v1)) // (2 * count(v1)) AS BIGINT) AS gamma1_q,
+        |       CAST(sum((v - v2) * (v - v2)) // (2 * count(v2)) AS BIGINT) AS gamma2_q,
+        |       CAST(sum((v - v4) * (v - v4)) // (2 * count(v4)) AS BIGINT) AS gamma4_q,
+        |       CAST(sum((v - v8) * (v - v8)) // (2 * count(v8)) AS BIGINT) AS gamma8_q
+        |FROM l""".stripMargin,
+
+    "q562_allan_variance" ->
+      """WITH day AS (SELECT o_orderdate AS d,
+        |                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100000
+        |                      AS BIGINT) AS v
+        |             FROM orders GROUP BY 1),
+        |r AS (SELECT v, row_number() OVER (ORDER BY d) AS rn FROM day),
+        |bm1 AS (SELECT (rn - 1) // 1 AS b, CAST(sum(v) AS BIGINT) AS bs, count(*) AS c
+        |        FROM r GROUP BY 1),
+        |f1 AS (SELECT bs, lag(bs) OVER (ORDER BY b) AS prev FROM bm1 WHERE c = 1),
+        |bm2 AS (SELECT (rn - 1) // 2 AS b, CAST(sum(v) AS BIGINT) AS bs, count(*) AS c
+        |        FROM r GROUP BY 1),
+        |f2 AS (SELECT bs, lag(bs) OVER (ORDER BY b) AS prev FROM bm2 WHERE c = 2),
+        |bm4 AS (SELECT (rn - 1) // 4 AS b, CAST(sum(v) AS BIGINT) AS bs, count(*) AS c
+        |        FROM r GROUP BY 1),
+        |f4 AS (SELECT bs, lag(bs) OVER (ORDER BY b) AS prev FROM bm4 WHERE c = 4)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS m, CAST(count(prev) AS BIGINT) AS npairs,
+        |         CAST(sum((bs - prev) * (bs - prev)) // (2 * count(prev) * 1 * 1)
+        |           AS BIGINT) AS avar_q FROM f1
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), CAST(count(prev) AS BIGINT),
+        |         CAST(sum((bs - prev) * (bs - prev)) // (2 * count(prev) * 2 * 2)
+        |           AS BIGINT) FROM f2
+        |  UNION ALL
+        |  SELECT CAST(4 AS BIGINT), CAST(count(prev) AS BIGINT),
+        |         CAST(sum((bs - prev) * (bs - prev)) // (2 * count(prev) * 4 * 4)
+        |           AS BIGINT) FROM f4)
+        |ORDER BY m""".stripMargin,
+
+    "q563_hurst_rs" ->
+      """WITH day AS (SELECT o_orderdate AS d,
+        |             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100000 AS BIGINT) AS v
+        |      FROM orders GROUP BY 1),
+        |r AS (SELECT v, row_number() OVER (ORDER BY d) AS rn FROM day),
+        |a16 AS (SELECT v, rn, (rn - 1) // 16 AS b FROM r),
+        |c16 AS (SELECT b, v, rn, count(*) OVER (PARTITION BY b) AS c,
+        |              CAST(sum(v) OVER (PARTITION BY b) AS BIGINT) AS bs FROM a16),
+        |e16 AS (SELECT b, 16 * v - bs AS e,
+        |              sum(16 * v - bs) OVER (PARTITION BY b ORDER BY rn
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd
+        |       FROM c16 WHERE c = 16),
+        |g16 AS (SELECT b, CAST(max(cd) - min(cd) AS BIGINT) AS rw,
+        |              CAST(sum(e * e) AS BIGINT) AS se2 FROM e16 GROUP BY 1),
+        |k16 AS (SELECT CAST(1000000 AS HUGEINT) * rw * rw * 16 // se2 AS k
+        |       FROM g16 WHERE se2 > 0),
+        |i16 AS (SELECT k, CAST(floor(sqrt(CAST(k AS DOUBLE))) AS HUGEINT) AS t0 FROM k16),
+        |j16 AS (SELECT k, CASE WHEN t0 > 0 THEN (t0 + k // t0) // 2 ELSE 0 END AS t1 FROM i16),
+        |x16 AS (SELECT CASE WHEN (t1 + 1) * (t1 + 1) <= k THEN t1 + 1
+        |              WHEN t1 * t1 > k THEN t1 - 1 ELSE t1 END AS rs FROM j16),
+        |s16 AS (SELECT CAST(16 AS BIGINT) AS w, CAST(count(*) AS BIGINT) AS n_blocks,
+        |              CAST(sum(rs) // count(*) AS BIGINT) AS mean_rs_milli FROM x16),
+        |a64 AS (SELECT v, rn, (rn - 1) // 64 AS b FROM r),
+        |c64 AS (SELECT b, v, rn, count(*) OVER (PARTITION BY b) AS c,
+        |              CAST(sum(v) OVER (PARTITION BY b) AS BIGINT) AS bs FROM a64),
+        |e64 AS (SELECT b, 64 * v - bs AS e,
+        |              sum(64 * v - bs) OVER (PARTITION BY b ORDER BY rn
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd
+        |       FROM c64 WHERE c = 64),
+        |g64 AS (SELECT b, CAST(max(cd) - min(cd) AS BIGINT) AS rw,
+        |              CAST(sum(e * e) AS BIGINT) AS se2 FROM e64 GROUP BY 1),
+        |k64 AS (SELECT CAST(1000000 AS HUGEINT) * rw * rw * 64 // se2 AS k
+        |       FROM g64 WHERE se2 > 0),
+        |i64 AS (SELECT k, CAST(floor(sqrt(CAST(k AS DOUBLE))) AS HUGEINT) AS t0 FROM k64),
+        |j64 AS (SELECT k, CASE WHEN t0 > 0 THEN (t0 + k // t0) // 2 ELSE 0 END AS t1 FROM i64),
+        |x64 AS (SELECT CASE WHEN (t1 + 1) * (t1 + 1) <= k THEN t1 + 1
+        |              WHEN t1 * t1 > k THEN t1 - 1 ELSE t1 END AS rs FROM j64),
+        |s64 AS (SELECT CAST(64 AS BIGINT) AS w, CAST(count(*) AS BIGINT) AS n_blocks,
+        |              CAST(sum(rs) // count(*) AS BIGINT) AS mean_rs_milli FROM x64),
+        |a256 AS (SELECT v, rn, (rn - 1) // 256 AS b FROM r),
+        |c256 AS (SELECT b, v, rn, count(*) OVER (PARTITION BY b) AS c,
+        |              CAST(sum(v) OVER (PARTITION BY b) AS BIGINT) AS bs FROM a256),
+        |e256 AS (SELECT b, 256 * v - bs AS e,
+        |              sum(256 * v - bs) OVER (PARTITION BY b ORDER BY rn
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd
+        |       FROM c256 WHERE c = 256),
+        |g256 AS (SELECT b, CAST(max(cd) - min(cd) AS BIGINT) AS rw,
+        |              CAST(sum(e * e) AS BIGINT) AS se2 FROM e256 GROUP BY 1),
+        |k256 AS (SELECT CAST(1000000 AS HUGEINT) * rw * rw * 256 // se2 AS k
+        |       FROM g256 WHERE se2 > 0),
+        |i256 AS (SELECT k, CAST(floor(sqrt(CAST(k AS DOUBLE))) AS HUGEINT) AS t0 FROM k256),
+        |j256 AS (SELECT k, CASE WHEN t0 > 0 THEN (t0 + k // t0) // 2 ELSE 0 END AS t1 FROM i256),
+        |x256 AS (SELECT CASE WHEN (t1 + 1) * (t1 + 1) <= k THEN t1 + 1
+        |              WHEN t1 * t1 > k THEN t1 - 1 ELSE t1 END AS rs FROM j256),
+        |s256 AS (SELECT CAST(256 AS BIGINT) AS w, CAST(count(*) AS BIGINT) AS n_blocks,
+        |              CAST(sum(rs) // count(*) AS BIGINT) AS mean_rs_milli FROM x256),
+        |uni AS (SELECT * FROM s16 UNION ALL SELECT * FROM s64
+        |        UNION ALL SELECT * FROM s256),
+        |f AS (SELECT *,
+        |             max(CASE WHEN w = 16 THEN CAST(round(ln(CAST(mean_rs_milli AS DOUBLE))
+        |               * 1000000) AS BIGINT) END) OVER () AS l16,
+        |             max(CASE WHEN w = 256 THEN CAST(round(ln(CAST(mean_rs_milli AS DOUBLE))
+        |               * 1000000) AS BIGINT) END) OVER () AS l256
+        |      FROM uni)
+        |SELECT w, n_blocks, mean_rs_milli,
+        |       CAST(1000 * (l256 - l16) // 2772589 AS BIGINT) AS hurst_milli
+        |FROM f ORDER BY w""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

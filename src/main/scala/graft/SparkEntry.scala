@@ -13019,6 +13019,185 @@ object SparkEntry {
             .as("speedup_milli"))
     }),
 
+    // Pettitt change-point test on the monthly-revenue series: the
+    // rank-based CUSUM U_t = Σ_{i≤t}(2R̄_i) − t(N+1) peaks at the most
+    // likely break month (q214's CUSUM assumes a known mean; Pettitt is
+    // distribution-free). Midranks come from the value-grouped window,
+    // the time cumulative from a second window — no pair join at all,
+    // and the significance exponent 6K²/(n³+n²) stays integer milli
+    "q559_pettitt_changepoint" -> ((s, dir) => {
+      val mo = Tables.orders(s, dir)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("t"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("v"))
+        .localCheckpoint(false)
+      val byV = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      val vg = mo.groupBy("v").agg(count(lit(1)).as("l"))
+        .withColumn("cumb", coalesce(sum(col("l")).over(byV), lit(0L)))
+        .select(col("v"), expr("2 * cumb + l + 1").as("r2"))
+      val byT = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+      val full = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      mo.join(vg, "v")
+        .withColumn("tn", row_number().over(Window.orderBy("t")))
+        .withColumn("nm", sum(lit(1L)).over(full))
+        .withColumn("u", sum(col("r2")).over(byT) - col("tn") * (col("nm") + 1))
+        .filter(col("tn") < col("nm"))
+        .withColumn("mx", max(abs(col("u"))).over(full))
+        .filter(abs(col("u")) === col("mx"))
+        .agg(max(col("nm")).as("nm"), max(col("mx")).as("k_stat"),
+          min(col("t")).as("cp_month"))
+        .select(col("nm").as("n_months"), col("k_stat"), col("cp_month"),
+          expr("6000 * k_stat * k_stat div (nm * nm * nm + nm * nm)")
+            .as("exponent_milli"))
+    }),
+
+    // KPSS level-stationarity statistic on monthly revenue (k$ units):
+    // the null here is STATIONARY — the complement of q487's
+    // Durbin–Watson / unit-root view. Residuals scale by ×n to stay
+    // integer (e = n·x − Σx), the Bartlett q=4 long-run variance is a
+    // 5×-scaled integer sum of lag products, and the n-powers cancel to
+    // KPSS_micro = 5·10⁶·ΣS² div (n·lrv5) exactly
+    "q560_kpss_level" -> ((s, dir) => {
+      val mo = Tables.orders(s, dir)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("t"))
+        .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT)) div 100000")
+          .as("v"))
+        .localCheckpoint(false)
+      val byT = Window.orderBy("t")
+      val full = byT.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      mo.withColumn("nm", sum(lit(1L)).over(full))
+        .withColumn("sv", sum(col("v")).over(full))
+        .withColumn("e", expr("nm * v - sv"))
+        .withColumn("st", sum(col("e")).over(
+          byT.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("e1", lag(col("e"), 1).over(byT))
+        .withColumn("e2", lag(col("e"), 2).over(byT))
+        .withColumn("e3", lag(col("e"), 3).over(byT))
+        .withColumn("e4", lag(col("e"), 4).over(byT))
+        .agg(max(col("nm")).as("nm"),
+          sum(expr("CAST(st AS DECIMAL(38,0)) * st")).as("ssq"),
+          sum(expr("e * e")).as("g0"),
+          sum(expr("e * coalesce(e1, 0)")).as("g1"),
+          sum(expr("e * coalesce(e2, 0)")).as("g2"),
+          sum(expr("e * coalesce(e3, 0)")).as("g3"),
+          sum(expr("e * coalesce(e4, 0)")).as("g4"))
+        .withColumn("lrv5", expr("5 * g0 + 2 * (4 * g1 + 3 * g2 + 2 * g3 + g4)"))
+        .select(col("nm").as("n_months"), col("g0"), col("lrv5"),
+          expr("CAST((5000000 * ssq) div (nm * CAST(lrv5 AS DECIMAL(38,0)))" +
+            " AS BIGINT)").as("kpss_micro"))
+    }),
+
+    // semivariogram of daily revenue at row-order lags 1/2/4/8 — the
+    // spatial-statistics readout of temporal structure (γ(h) rising with
+    // h = persistence; flat = white noise). One ordered window pass,
+    // four lag columns, quantized k$ units; pinned to OBSERVED-day
+    // row lags so gaps don't create nulls beyond the series head
+    "q561_variogram" -> ((s, dir) => {
+      val day = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT)) div 100000")
+          .as("v"))
+      val byD = Window.orderBy("d")
+      day.withColumn("v1", lag(col("v"), 1).over(byD))
+        .withColumn("v2", lag(col("v"), 2).over(byD))
+        .withColumn("v4", lag(col("v"), 4).over(byD))
+        .withColumn("v8", lag(col("v"), 8).over(byD))
+        .agg(count(lit(1)).as("n_days"),
+          count(col("v1")).as("n1"),
+          sum(expr("(v - v1) * (v - v1)")).as("s1"),
+          count(col("v2")).as("n2"),
+          sum(expr("(v - v2) * (v - v2)")).as("s2"),
+          count(col("v4")).as("n4"),
+          sum(expr("(v - v4) * (v - v4)")).as("s4"),
+          count(col("v8")).as("n8"),
+          sum(expr("(v - v8) * (v - v8)")).as("s8"))
+        .select(col("n_days"),
+          expr("s1 div (2 * n1)").as("gamma1_q"),
+          expr("s2 div (2 * n2)").as("gamma2_q"),
+          expr("s4 div (2 * n4)").as("gamma4_q"),
+          expr("s8 div (2 * n8)").as("gamma8_q"))
+    }),
+
+    // Allan variance of daily revenue at block sizes m = 1/2/4: the
+    // clock-stability metric repurposed for pipeline-throughput drift
+    // (white noise → AVAR halves per doubling; drift → it grows).
+    // Block sums keep means exact (ȳ diffs ×m), full blocks only
+    "q562_allan_variance" -> ((s, dir) => {
+      val day = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT)) div 100000")
+          .as("v"))
+        .withColumn("rn", row_number().over(Window.orderBy("d")))
+        .localCheckpoint(false)
+      def avar(m: Int): DataFrame = {
+        val byB = Window.orderBy("b")
+        day.withColumn("b", expr(s"(rn - 1) div $m"))
+          .groupBy("b")
+          .agg(sum(col("v")).as("bs"), count(lit(1)).as("c"))
+          .filter(col("c") === m)
+          .withColumn("prev", lag(col("bs"), 1).over(byB))
+          .agg(count(col("prev")).as("npairs"),
+            sum(expr("(bs - prev) * (bs - prev)")).as("sd2"))
+          .select(lit(m.toLong).as("m"), col("npairs"),
+            expr(s"sd2 div (2 * npairs * $m * $m)").as("avar_q"))
+      }
+      avar(1).union(avar(2)).union(avar(4)).orderBy("m")
+    }),
+
+    // Hurst exponent via rescaled range: R/S per full block at window
+    // sizes 16/64/256 (all-integer: range of ×w cumulative deviations,
+    // one isqrt per block), then H from the log-log endpoints — the
+    // long-memory readout (H≈0.5 random walk increments, H>0.5
+    // persistent). One ln per window size, q72's micro-nat convention
+    "q563_hurst_rs" -> ((s, dir) => {
+      val day = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT)) div 100000")
+          .as("v"))
+        .withColumn("rn", row_number().over(Window.orderBy("d")))
+        .localCheckpoint(false)
+      def rsRows(w: Int): DataFrame = {
+        val inB = Window.partitionBy("b").orderBy("rn")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val overB = Window.partitionBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        day.withColumn("b", expr(s"(rn - 1) div $w"))
+          .withColumn("c", sum(lit(1L)).over(overB))
+          .filter(col("c") === w)
+          .withColumn("bs", sum(col("v")).over(overB))
+          .withColumn("e", expr(s"$w * v - bs"))
+          .withColumn("cd", sum(col("e")).over(inB))
+          .groupBy("b")
+          .agg((max(col("cd")) - min(col("cd"))).as("rw"),
+            sum(expr("e * e")).as("se2"))
+          .filter(col("se2") > 0)
+          .withColumn("k", expr(
+            s"CAST(1000000 AS DECIMAL(38,0)) * rw * rw * $w div se2"))
+          .withColumn("t0", floor(sqrt(col("k").cast("double"))).cast("long"))
+          .withColumn("t1", expr(
+            "CASE WHEN t0 > 0 THEN (t0 + k div t0) div 2 ELSE 0 END"))
+          .withColumn("rs", expr(
+            "CASE WHEN (t1 + 1) * (t1 + 1) <= k THEN t1 + 1" +
+              " WHEN t1 * t1 > k THEN t1 - 1 ELSE t1 END"))
+          .agg(count(lit(1)).as("n_blocks"), sum(col("rs")).as("srs"))
+          .select(lit(w.toLong).as("w"), col("n_blocks"),
+            expr("srs div n_blocks").as("mean_rs_milli"))
+      }
+      val rs = rsRows(16).union(rsRows(64)).union(rsRows(256))
+      val full = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      rs.withColumn("l16", max(when(col("w") === 16,
+          round(log(col("mean_rs_milli").cast("double")) * 1000000, 0)
+            .cast("long"))).over(full))
+        .withColumn("l256", max(when(col("w") === 256,
+          round(log(col("mean_rs_milli").cast("double")) * 1000000, 0)
+            .cast("long"))).over(full))
+        .select(col("w"), col("n_blocks"), col("mean_rs_milli"),
+          expr("1000 * (l256 - l16) div 2772589").as("hurst_milli"))
+        .orderBy("w")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
