@@ -12199,7 +12199,105 @@ object OracleSql {
         |      FROM uni)
         |SELECT w, n_blocks, mean_rs_milli,
         |       CAST(1000 * (l256 - l16) // 2772589 AS BIGINT) AS hurst_milli
-        |FROM f ORDER BY w""".stripMargin
+        |FROM f ORDER BY w""".stripMargin,
+
+    "q564_newsvendor" ->
+      """WITH dd AS (SELECT o_orderdate AS d, CAST(count(*) AS BIGINT) AS dem
+        |           FROM orders GROUP BY 1),
+        |vg AS (SELECT dem, CAST(count(*) AS BIGINT) AS cnt FROM dd GROUP BY 1),
+        |c AS (SELECT dem, cnt,
+        |             CAST(sum(cnt) OVER (ORDER BY dem
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |             CAST(sum(cnt) OVER () AS BIGINT) AS tot,
+        |             CAST(sum(dem * cnt) OVER () AS BIGINT) AS tdem
+        |      FROM vg),
+        |qs AS (SELECT min(dem) AS qstar, max(tot) AS n_days,
+        |              max(tdem // tot) AS qmean FROM c WHERE 4 * cum >= 3 * tot)
+        |SELECT max(qs.n_days) AS n_days, max(qs.qstar) AS qstar, max(qs.qmean) AS qmean,
+        |       CAST(sum(cnt * (greatest(qstar - dem, 0)
+        |            + 3 * greatest(dem - qstar, 0))) AS BIGINT) AS cost_qstar_num,
+        |       CAST(sum(cnt * (greatest(qmean - dem, 0)
+        |            + 3 * greatest(dem - qmean, 0))) AS BIGINT) AS cost_qmean_num
+        |FROM vg CROSS JOIN qs""".stripMargin,
+
+    "q565_eoq_plan" ->
+      """WITH pb AS (SELECT p_partkey, p_brand,
+        |                  CAST(round(p_retailprice * 100) AS BIGINT) AS pc FROM part),
+        |d AS (SELECT p_brand,
+        |             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS dunits,
+        |             CAST(count(*) AS BIGINT) AS nl, CAST(sum(pc) AS BIGINT) AS spc
+        |      FROM lineitem JOIN pb ON l_partkey = p_partkey GROUP BY 1),
+        |h AS (SELECT p_brand, dunits, spc // (5 * nl) AS h,
+        |             2 * dunits * 10000 * (spc // (5 * nl)) AS rad FROM d),
+        |r0 AS (SELECT *, CAST(floor(sqrt(CAST(rad AS DOUBLE))) AS BIGINT) AS t0 FROM h),
+        |r1 AS (SELECT *, CASE WHEN t0 > 0 THEN (t0 + rad // t0) // 2 ELSE 0 END AS t1 FROM r0),
+        |r2 AS (SELECT *, CASE WHEN (t1 + 1) * (t1 + 1) <= rad THEN t1 + 1
+        |                      WHEN t1 * t1 > rad THEN t1 - 1 ELSE t1 END AS rt FROM r1)
+        |SELECT p_brand AS brand, dunits, CAST(h AS BIGINT) AS h_cents,
+        |       CAST(rt // h AS BIGINT) AS eoq_units,
+        |       CAST(CASE WHEN rt // h > 0 THEN dunits // (rt // h) ELSE 0 END AS BIGINT)
+        |         AS orders_per_cycle
+        |FROM r2 ORDER BY brand""".stripMargin,
+
+    "q566_randomized_response" ->
+      """WITH c AS (SELECT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS truth,
+        |                  CAST(concat('0x', substr(md5('rr#' || CAST(c_custkey AS VARCHAR)),
+        |                    1, 12)) AS BIGINT) AS u
+        |           FROM customer),
+        |y AS (SELECT truth, CASE WHEN u % 2 = 0 THEN truth ELSE (u // 2) % 2 END AS yes FROM c),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_respondents,
+        |             CAST(sum(yes) AS BIGINT) AS ny, CAST(sum(truth) AS BIGINT) AS nt FROM y)
+        |SELECT n_respondents,
+        |       CAST(ny * 1000000 // n_respondents AS BIGINT) AS yes_ppm,
+        |       CAST((4 * ny - n_respondents) * 1000000 // (2 * n_respondents) AS BIGINT) AS est_ppm,
+        |       CAST(nt * 1000000 // n_respondents AS BIGINT) AS true_ppm,
+        |       CAST((4 * ny - n_respondents) * 1000000 // (2 * n_respondents)
+        |            - nt * 1000000 // n_respondents AS BIGINT) AS err_ppm
+        |FROM s""".stripMargin,
+
+    "q567_cmh_test" ->
+      """WITH cust AS (SELECT c_custkey, r_name,
+        |                    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS ex
+        |             FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |                           JOIN region ON n_regionkey = r_regionkey),
+        |tab AS (SELECT r_name, CAST(count(*) AS BIGINT) AS n, CAST(sum(ex) AS BIGINT) AS r1,
+        |               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |               CAST(sum(ex * CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS a
+        |        FROM orders JOIN cust ON o_custkey = c_custkey GROUP BY 1),
+        |q AS (SELECT r_name,
+        |             1000000 * (a * n - r1 * c1) // n AS d_micro,
+        |             CAST(1000000 AS HUGEINT) * r1 * (n - r1) * c1 * (n - c1)
+        |               // (CAST(n AS HUGEINT) * n * (n - 1)) AS v_micro,
+        |             1000000 * (a * (n - r1 - c1 + a)) // n AS ad_micro,
+        |             1000000 * ((r1 - a) * (c1 - a)) // n AS bc_micro
+        |      FROM tab),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_strata, CAST(sum(d_micro) AS BIGINT) AS sd,
+        |             CAST(sum(v_micro) AS BIGINT) AS sv, CAST(sum(ad_micro) AS BIGINT) AS mhn,
+        |             CAST(sum(bc_micro) AS BIGINT) AS mhd FROM q)
+        |SELECT n_strata, sd AS sum_dev_micro, sv AS sum_var_micro,
+        |       CAST((1000 * CAST(sd AS HUGEINT) * sd) // (1000000 * CAST(sv AS HUGEINT))
+        |         AS BIGINT) AS chi2_milli,
+        |       CAST(1000 * mhn // mhd AS BIGINT) AS or_milli
+        |FROM s""".stripMargin,
+
+    "q568_hodges_lehmann" ->
+      """WITH mo AS (SELECT r_name, strftime(o_orderdate, '%Y-%m') AS t,
+        |                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        |           FROM orders JOIN customer ON o_custkey = c_custkey
+        |                       JOIN nation ON c_nationkey = n_nationkey
+        |                       JOIN region ON n_regionkey = r_regionkey
+        |           WHERE r_name IN ('EUROPE', 'ASIA') GROUP BY 1, 2),
+        |e AS (SELECT t AS te, v AS ve FROM mo WHERE r_name = 'EUROPE'),
+        |a AS (SELECT t AS ta, v AS va FROM mo WHERE r_name = 'ASIA'),
+        |diffs AS (SELECT ve - va AS dd, te, ta,
+        |                 CAST(row_number() OVER (ORDER BY ve - va, te, ta) AS BIGINT) AS rk
+        |          FROM e CROSS JOIN a),
+        |w AS (SELECT *, CAST(count(*) OVER () AS BIGINT) AS np FROM diffs),
+        |f AS (SELECT np, dd, CASE WHEN np % 2 = 1 THEN 2 ELSE 1 END AS mult FROM w
+        |      WHERE rk = (np + 1) // 2 OR rk = (np + 2) // 2)
+        |SELECT max(np) AS n_pairs, CAST(sum(dd * mult) AS BIGINT) AS hl2_cents,
+        |       CAST(sum(dd * mult) // 2 AS BIGINT) AS hl_cents
+        |FROM f""".stripMargin
   )
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct

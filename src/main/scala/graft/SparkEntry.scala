@@ -13198,6 +13198,163 @@ object SparkEntry {
         .orderBy("w")
     }),
 
+    // newsvendor stocking decision from the empirical daily-order-count
+    // distribution: Q* = the cu/(cu+co) = 3/4 critical fractile
+    // (value-grouped CDF, strict-integer 4·cum ≥ 3·N test) vs the naive
+    // mean-demand stock, with both EXACT expected-cost numerators (×N
+    // units: Σ cnt·[co·(Q−d)⁺ + cu·(d−Q)⁺]) — the inventory twin of
+    // q350's quantile machinery
+    "q564_newsvendor" -> ((s, dir) => {
+      val vg = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(count(lit(1)).as("dem"))
+        .groupBy("dem").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false)
+      val upto = Window.orderBy("dem").rowsBetween(Window.unboundedPreceding, 0)
+      val qs = vg.withColumn("cum", sum(col("cnt")).over(upto))
+        .withColumn("tot", sum(col("cnt")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("tdem", sum(expr("dem * cnt")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .filter(expr("4 * cum >= 3 * tot"))
+        .agg(min(col("dem")).as("qstar"), max(col("tot")).as("n_days"),
+          max(expr("tdem div tot")).as("qmean"))
+      vg.crossJoin(broadcast(qs))
+        .agg(max(col("n_days")).as("n_days"), max(col("qstar")).as("qstar"),
+          max(col("qmean")).as("qmean"),
+          sum(expr("cnt * (greatest(qstar - dem, 0)" +
+            " + 3 * greatest(dem - qstar, 0))")).as("cost_qstar_num"),
+          sum(expr("cnt * (greatest(qmean - dem, 0)" +
+            " + 3 * greatest(dem - qmean, 0))")).as("cost_qmean_num"))
+    }),
+
+    // EOQ (economic order quantity) per brand: √(2DS/h) with the radical
+    // kept a PURE product — isqrt(2·D·S·h) div h — q427's chain, so the
+    // classic closed form stays exact integers; D = annual demand units,
+    // S = 10000¢ fixed ordering cost, h = 20% of the brand's mean retail
+    // price in cents (floor). The replenishment-planning readout
+    "q565_eoq_plan" -> ((s, dir) => {
+      val pb = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"),
+          centsOf(col("p_retailprice")).as("pc"))
+      val d = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity"))
+        .join(pb, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("dunits"),
+          count(lit(1)).as("nl"), sum(col("pc")).as("spc"))
+        .withColumn("h", expr("spc div (5 * nl)"))
+        .withColumn("rad", expr("2 * dunits * 10000 * h"))
+        .withColumn("t0", floor(sqrt(col("rad").cast("double"))).cast("long"))
+        .withColumn("t1", expr(
+          "CASE WHEN t0 > 0 THEN (t0 + rad div t0) div 2 ELSE 0 END"))
+        .withColumn("rt", expr(
+          "CASE WHEN (t1 + 1) * (t1 + 1) <= rad THEN t1 + 1" +
+            " WHEN t1 * t1 > rad THEN t1 - 1 ELSE t1 END"))
+      d.select(col("p_brand").as("brand"), col("dunits"), col("h").as("h_cents"),
+          expr("rt div h").as("eoq_units"),
+          expr("CASE WHEN rt div h > 0 THEN dunits div (rt div h)" +
+            " ELSE 0 END").as("orders_per_cycle"))
+        .orderBy("brand")
+    }),
+
+    // forced-response randomized survey (Warner-style privacy mechanism):
+    // each customer answers honestly with p=1/2 else answers a forced
+    // md5 coin — the aggregate UNBIASES to p̂ = (4·yes − n)/(2n) without
+    // any row revealing its true bit (acctbal < 0). Both coins are md5
+    // parities (portable), the estimate and truth compare in exact ppm —
+    // the mechanism-level counterpart of q514's DP noise
+    "q566_randomized_response" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          (col("c_acctbal") < 0).cast("long").as("truth"),
+          Dedup.md5Long(concat(lit("rr#"), col("c_custkey").cast("string")), 12)
+            .as("u"))
+        .select(col("truth"),
+          when(col("u") % 2 === 0, col("truth"))
+            .otherwise(expr("(u div 2) % 2")).as("yes"))
+        .agg(count(lit(1)).as("n_respondents"),
+          sum(col("yes")).as("ny"), sum(col("truth")).as("nt"))
+        .select(col("n_respondents"),
+          expr("ny * 1000000 div n_respondents").as("yes_ppm"),
+          expr("(4 * ny - n_respondents) * 1000000 div (2 * n_respondents)")
+            .as("est_ppm"),
+          expr("nt * 1000000 div n_respondents").as("true_ppm"),
+          expr("(4 * ny - n_respondents) * 1000000 div (2 * n_respondents)" +
+            " - nt * 1000000 div n_respondents").as("err_ppm"))
+    }),
+
+    // Cochran–Mantel–Haenszel test: BUILDING-segment exposure vs
+    // order-status-F outcome, STRATIFIED by the customer's region — the
+    // confounder-adjusted 2×2 that q290's pooled Cramér's V can't give
+    // (q246 shows why pooling flips). Per-stratum deviation/variance
+    // quantize to micro once (single div each), plus the Mantel–Haenszel
+    // common odds ratio from the same five 2×2 tables
+    "q567_cmh_test" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .join(Tables.nation(s, dir),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("r_name"),
+          (col("c_mktsegment") === "BUILDING").cast("long").as("ex"))
+      val tab = Tables.orders(s, dir)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n"), sum(col("ex")).as("r1"),
+          sum((col("o_orderstatus") === "F").cast("long")).as("c1"),
+          sum(expr("ex * CAST(o_orderstatus = 'F' AS LONG)")).as("a"))
+        .select(col("r_name"), col("n"), col("r1"), col("c1"), col("a"),
+          expr("1000000 * (a * n - r1 * c1) div n").as("d_micro"),
+          expr("CAST(1000000 AS DECIMAL(38,0)) * r1 * (n - r1) * c1 * (n - c1)" +
+            " div (CAST(n AS DECIMAL(38,0)) * n * (n - 1))").as("v_micro"),
+          expr("1000000 * (a * (n - r1 - c1 + a)) div n").as("ad_micro"),
+          expr("1000000 * ((r1 - a) * (c1 - a)) div n").as("bc_micro"))
+      tab.agg(count(lit(1)).as("n_strata"),
+          sum(col("d_micro")).as("sd"), sum(col("v_micro")).as("sv"),
+          sum(col("ad_micro")).as("mhn"), sum(col("bc_micro")).as("mhd"))
+        .select(col("n_strata"), col("sd").as("sum_dev_micro"),
+          col("sv").as("sum_var_micro"),
+          expr("CAST((1000 * CAST(sd AS DECIMAL(38,0)) * sd)" +
+            " div (1000000 * CAST(sv AS DECIMAL(38,0))) AS BIGINT)")
+            .as("chi2_milli"),
+          expr("1000 * mhn div mhd").as("or_milli"))
+    }),
+
+    // Hodges–Lehmann shift estimate between EUROPE and ASIA monthly
+    // revenues: the median of ALL pairwise differences — the robust
+    // "how much more does Europe sell per month" number whose breakdown
+    // point q289-style rank tests only imply. Bounded 84×84 month-pair
+    // grid, doubled-order-stat median so ties stay exact
+    "q568_hodges_lehmann" -> ((s, dir) => {
+      val mo = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name").isin("EUROPE", "ASIA"))
+        .groupBy(col("r_name"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("t"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("v"))
+        .localCheckpoint(false)
+      val e = mo.filter(col("r_name") === "EUROPE")
+        .select(col("t").as("te"), col("v").as("ve"))
+      val a = mo.filter(col("r_name") === "ASIA")
+        .select(col("t").as("ta"), col("v").as("va"))
+      val diffs = e.crossJoin(broadcast(a))
+        .select((col("ve") - col("va")).as("dd"), col("te"), col("ta"))
+        .withColumn("rk", row_number()
+          .over(Window.orderBy("dd", "te", "ta")).cast("long"))
+      diffs.withColumn("np", count(lit(1)).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+        .filter(col("rk") === expr("(np + 1) div 2") ||
+          col("rk") === expr("(np + 2) div 2"))
+        .withColumn("mult", when(expr("np % 2 = 1"), 2L).otherwise(1L))
+        .agg(max(col("np")).as("n_pairs"),
+          sum(expr("dd * mult")).as("hl2_cents"))
+        .select(col("n_pairs"), col("hl2_cents"),
+          expr("hl2_cents div 2").as("hl_cents"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
