@@ -12297,6 +12297,146 @@ object OracleSql {
         |      WHERE rk = (np + 1) // 2 OR rk = (np + 2) // 2)
         |SELECT max(np) AS n_pairs, CAST(sum(dd * mult) AS BIGINT) AS hl2_cents,
         |       CAST(sum(dd * mult) // 2 AS BIGINT) AS hl_cents
+        |FROM f""".stripMargin,
+
+    "q569_katz_centrality" ->
+      """WITH cn AS (SELECT o_orderkey, c_nationkey AS cnat
+        |           FROM orders JOIN customer ON o_custkey = c_custkey),
+        |sn AS (SELECT DISTINCT l_orderkey, s_nationkey AS snat
+        |       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+        |edges AS (SELECT DISTINCT snat, cnat FROM cn JOIN sn ON o_orderkey = l_orderkey),
+        |nat AS (SELECT n_nationkey AS node, n_name FROM nation),
+        |x0 AS (SELECT node, n_name, CAST(1000 AS BIGINT) AS xv FROM nat),
+        |x1 AS (SELECT nat.node, nat.n_name,
+        |             1000 + CAST(coalesce(s.i, 0) // 4 AS BIGINT) AS xv
+        |      FROM nat LEFT JOIN (SELECT cnat, CAST(sum(x0.xv) AS BIGINT) AS i
+        |                          FROM edges JOIN x0 ON snat = x0.node
+        |                          GROUP BY 1) s ON nat.node = s.cnat),
+        |x2 AS (SELECT nat.node, nat.n_name,
+        |             1000 + CAST(coalesce(s.i, 0) // 4 AS BIGINT) AS xv
+        |      FROM nat LEFT JOIN (SELECT cnat, CAST(sum(x1.xv) AS BIGINT) AS i
+        |                          FROM edges JOIN x1 ON snat = x1.node
+        |                          GROUP BY 1) s ON nat.node = s.cnat),
+        |x3 AS (SELECT nat.node, nat.n_name,
+        |             1000 + CAST(coalesce(s.i, 0) // 4 AS BIGINT) AS xv
+        |      FROM nat LEFT JOIN (SELECT cnat, CAST(sum(x2.xv) AS BIGINT) AS i
+        |                          FROM edges JOIN x2 ON snat = x2.node
+        |                          GROUP BY 1) s ON nat.node = s.cnat),
+        |x4 AS (SELECT nat.node, nat.n_name,
+        |             1000 + CAST(coalesce(s.i, 0) // 4 AS BIGINT) AS xv
+        |      FROM nat LEFT JOIN (SELECT cnat, CAST(sum(x3.xv) AS BIGINT) AS i
+        |                          FROM edges JOIN x3 ON snat = x3.node
+        |                          GROUP BY 1) s ON nat.node = s.cnat)
+        |SELECT n_name AS nation, xv AS katz_milli FROM x4 ORDER BY nation""".stripMargin,
+
+    "q570_resource_allocation" ->
+      """WITH ob AS (
+        |  SELECT DISTINCT l_orderkey AS o, p_brand AS b
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |), pw AS (
+        |  SELECT a.b AS u, c.b AS v, CAST(count(*) AS BIGINT) AS w
+        |  FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b GROUP BY 1, 2
+        |), r AS (
+        |  SELECT u, v, w, row_number() OVER (ORDER BY w, u, v) AS rk,
+        |         CAST(count(*) OVER () AS BIGINT) AS np
+        |  FROM pw
+        |), m AS (
+        |  SELECT CAST(sum(CASE WHEN rk = (np + 1) // 2 THEN w END)
+        |           + sum(CASE WHEN rk = (np + 2) // 2 THEN w END) AS BIGINT) AS m2
+        |  FROM r
+        |), edges AS (SELECT u, v FROM pw, m WHERE w * 2 > m.m2),
+        |ed AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+        |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY 1),
+        |th AS (
+        |  SELECT e1.u AS a, e2.v AS b, e1.v AS wnode
+        |  FROM ed e1 JOIN ed e2 ON e1.v = e2.u AND e1.u < e2.v
+        |  WHERE NOT EXISTS (SELECT 1 FROM edges x WHERE x.u = e1.u AND x.v = e2.v)
+        |)
+        |SELECT th.a AS brand_a, th.b AS brand_b, CAST(count(*) AS BIGINT) AS n_common,
+        |       CAST(sum(1000000 // deg.deg) AS BIGINT) AS ra_micro
+        |FROM th JOIN deg ON deg.node = th.wnode
+        |GROUP BY 1, 2
+        |ORDER BY ra_micro DESC, brand_a, brand_b
+        |LIMIT 25""".stripMargin,
+
+    "q571_elias_fano" ->
+      """WITH post AS (SELECT DISTINCT p_brand AS brand, l_orderkey AS k
+        |              FROM lineitem JOIN part ON p_partkey = l_partkey),
+        |g AS (SELECT brand, k,
+        |             k - coalesce(lag(k) OVER (PARTITION BY brand ORDER BY k), 0) AS gap
+        |      FROM post),
+        |f AS (SELECT brand, gap, k FROM g WHERE gap > 0),
+        |a AS (SELECT brand, CAST(count(*) AS BIGINT) AS n_postings,
+        |             CAST(max(k) AS BIGINT) AS universe,
+        |             CAST(sum(length(bin(gap))) AS BIGINT) AS delta_bits FROM f GROUP BY 1)
+        |SELECT brand, n_postings, universe, delta_bits,
+        |       CAST(n_postings * (2 + length(bin(universe // n_postings)) - 1) AS BIGINT)
+        |         AS ef_bits,
+        |       CAST(n_postings * (2 + length(bin(universe // n_postings)) - 1) * 1000000
+        |            // delta_bits AS BIGINT) AS ef_vs_delta_ppm
+        |FROM a ORDER BY brand""".stripMargin,
+
+    "q572_weighted_logrank" ->
+      """WITH seg AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS g1
+        |  FROM customer WHERE c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD')
+        |), life AS (
+        |  SELECT o.o_custkey, seg.g1,
+        |         datediff('day', min(o.o_orderdate), max(o.o_orderdate)) AS t
+        |  FROM orders o JOIN seg ON o.o_custkey = seg.c_custkey
+        |  GROUP BY 1, 2
+        |), et AS (
+        |  SELECT t, CAST(sum(g1) AS BIGINT) AS d1, CAST(count(*) AS BIGINT) AS d
+        |  FROM life GROUP BY 1
+        |), risk AS (
+        |  SELECT t, d1, d,
+        |         CAST(sum(d1) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+        |           AND UNBOUNDED FOLLOWING) AS BIGINT) AS n1t,
+        |         CAST(sum(d) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+        |           AND UNBOUNDED FOLLOWING) AS BIGINT) AS nt
+        |  FROM et
+        |), r0 AS (SELECT *, CAST(floor(sqrt(CAST(nt AS DOUBLE))) AS BIGINT) AS t0 FROM risk),
+        |r1 AS (SELECT *, CASE WHEN t0 > 0 THEN (t0 + nt // t0) // 2 ELSE 0 END AS t1 FROM r0),
+        |r2 AS (SELECT *, CASE WHEN (t1 + 1) * (t1 + 1) <= nt THEN t1 + 1
+        |                      WHEN t1 * t1 > nt THEN t1 - 1 ELSE t1 END AS sq FROM r1),
+        |q AS (SELECT d1, d, n1t, nt, sq,
+        |             d1 * 1000000 - d * n1t * 1000000 // nt AS dev_micro,
+        |             CASE WHEN nt > 1 THEN CAST(d AS HUGEINT) * n1t * (nt - n1t)
+        |                    * (nt - d) * 1000000
+        |                    // (CAST(nt AS HUGEINT) * nt * (nt - 1))
+        |                  ELSE 0 END AS v_micro
+        |      FROM r2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_times,
+        |       CAST((sum(CAST(1 AS HUGEINT) * dev_micro) * sum(CAST(1 AS HUGEINT) * dev_micro))
+        |            // (1000000 * sum(CAST(1 AS HUGEINT) * v_micro)) AS BIGINT) AS logrank_chi2_micro,
+        |       CAST((sum(CAST(nt AS HUGEINT) * dev_micro) * sum(CAST(nt AS HUGEINT) * dev_micro))
+        |            // (1000000 * sum(CAST(nt AS HUGEINT) * nt * v_micro)) AS BIGINT) AS gehan_chi2_micro,
+        |       CAST((sum(CAST(sq AS HUGEINT) * dev_micro) * sum(CAST(sq AS HUGEINT) * dev_micro))
+        |            // (1000000 * sum(CAST(nt AS HUGEINT) * v_micro)) AS BIGINT) AS tw_chi2_micro
+        |FROM q""".stripMargin,
+
+    "q573_inequality_panel" ->
+      """WITH sp AS (SELECT o_custkey,
+        |                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        |           FROM orders GROUP BY 1),
+        |sp2 AS (SELECT x, CAST(round(ln(CAST(x AS DOUBLE)) * 1000000) AS BIGINT) AS lx
+        |        FROM sp WHERE x > 0),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS st,
+        |               sum(CAST(x AS HUGEINT) * lx) AS sxl,
+        |               CAST(sum(lx) AS BIGINT) AS sl FROM sp2),
+        |hv AS (SELECT sum(abs(CAST(t.n AS HUGEINT) * x - t.st)) AS sad
+        |       FROM sp2 CROSS JOIN tot t),
+        |f AS (SELECT n, st, sxl, sl, sad,
+        |             CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS lnn,
+        |             CAST(round(ln(CAST(st AS DOUBLE)) * 1000000) AS BIGINT) AS lns,
+        |             CAST(round(exp(CAST(sl // n AS DOUBLE) / 1000000.0)) AS BIGINT) AS geo
+        |      FROM tot CROSS JOIN hv)
+        |SELECT n AS n_customers, st AS total_cents,
+        |       CAST((sxl + CAST(lnn - lns AS HUGEINT) * st) // st AS BIGINT) AS theil_micro,
+        |       geo AS geomean_cents,
+        |       CAST(1000000 - CAST(geo AS HUGEINT) * n * 1000000 // st AS BIGINT) AS atkinson1_ppm,
+        |       CAST(CAST(1000000 AS HUGEINT) * sad // (2 * n * st) AS BIGINT) AS hoover_ppm
         |FROM f""".stripMargin
   )
 

@@ -13355,6 +13355,181 @@ object SparkEntry {
           expr("hl2_cents div 2").as("hl_cents"))
     }),
 
+    // truncated Katz centrality (4 attenuated steps, α = 1/4) on the
+    // directed supplier→customer nation trade graph (q501's edges): how
+    // much 1/2/3/4-hop trade flows INTO each nation, geometric damping —
+    // the path-counting view beside q501's mutually-recursive HITS. The
+    // 25-node dictionary iterates as four bounded broadcast joins;
+    // floor-div damping is pinned identically in both engines
+    "q569_katz_centrality" -> ((s, dir) => {
+      val cn = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey").as("cnat"))
+      val sn = Tables.lineitem(s, dir)
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"), col("s_nationkey").as("snat"))
+        .distinct()
+      val edges = cn.join(sn, col("o_orderkey") === col("l_orderkey"))
+        .select("snat", "cnat").distinct().localCheckpoint(false)
+      val nations = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("node"), col("n_name"))
+      def step(x: DataFrame): DataFrame = {
+        val sin = edges.join(x, col("snat") === col("node"))
+          .groupBy(col("cnat")).agg(sum(col("xv")).as("insum"))
+        nations.join(broadcast(sin), col("node") === col("cnat"), "left")
+          .select(col("node"), col("n_name"),
+            expr("1000 + coalesce(insum, 0) div 4").as("xv"))
+      }
+      val x0 = nations.withColumn("xv", lit(1000L))
+      val x4 = step(step(step(step(x0))))
+      x4.select(col("n_name").as("nation"), col("xv").as("katz_milli"))
+        .orderBy("nation")
+    }),
+
+    // resource-allocation link-prediction index on q292's brand
+    // co-occurrence graph: RA = Σ_z 1/deg(z) over common neighbors of
+    // non-adjacent pairs — the pure-integer cousin of Adamic–Adar
+    // (1e6 div deg, no logarithm) that punishes hub intermediaries
+    // harder; same median-thresholded edge set, same bounded two-hop
+    "q570_resource_allocation" -> ((s, dir) => {
+      val ob = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("p_brand")).as("bs"))
+        .select(explode(col("bs")).as("u"), col("bs"))
+        .select(col("u"), explode(col("bs")).as("v"))
+        .filter(col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("w"))
+        .localCheckpoint(false)
+      val m2 = ob
+        .withColumn("rk", row_number().over(Window.orderBy(col("w"), col("u"), col("v"))))
+        .withColumn("np", count(lit(1)).over(Window.partitionBy()))
+        .agg((sum(when(col("rk") === expr("(np + 1) div 2"), col("w"))) +
+          sum(when(col("rk") === expr("(np + 2) div 2"), col("w")))).as("m2"))
+      val edges = ob.crossJoin(broadcast(m2)).filter(col("w") * 2 > col("m2"))
+        .select("u", "v").localCheckpoint(false)
+      val ed = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val deg = ed.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      val twoHop = ed.select(col("u").as("a"), col("v").as("wnode"))
+        .join(ed.select(col("u").as("wnode"), col("v").as("b")), "wnode")
+        .filter(col("a") < col("b"))
+        .join(edges.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"), "left_anti")
+      twoHop
+        .join(broadcast(deg), col("wnode") === col("node"))
+        .groupBy(col("a").as("brand_a"), col("b").as("brand_b"))
+        .agg(count(lit(1)).as("n_common"),
+          sum(expr("1000000 div deg")).as("ra_micro"))
+        .orderBy(col("ra_micro").desc, col("brand_a"), col("brand_b"))
+        .limit(25)
+    }),
+
+    // Elias–Fano posting-list size audit: per brand, the EF space bound
+    // n·(2 + ⌊log₂(U/n)⌋) vs the measured delta-gap bits Σ|bin(gap)| of
+    // its sorted orderkey postings — which brands' postings compress and
+    // by how much (q311/q373's postings, storage-planning view). log₂
+    // comes from binary-string LENGTH so both engines stay exact
+    "q571_elias_fano" -> ((s, dir) => {
+      val post = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"), col("l_orderkey").as("k"))
+        .distinct()
+      val byK = Window.partitionBy("brand").orderBy("k")
+      post.withColumn("gap", col("k") - coalesce(lag(col("k"), 1).over(byK),
+          lit(0L)))
+        .filter(col("gap") > 0)
+        .groupBy("brand")
+        .agg(count(lit(1)).as("n_postings"), max(col("k")).as("universe"),
+          sum(length(bin(col("gap"))).cast("long")).as("delta_bits"))
+        .withColumn("ef_bits", expr(
+          "n_postings * (2 + length(bin(universe div n_postings)) - 1)"))
+        .select(col("brand"), col("n_postings"), col("universe"),
+          col("delta_bits"), col("ef_bits"),
+          expr("ef_bits * 1000000 div delta_bits").as("ef_vs_delta_ppm"))
+        .orderBy("brand")
+    }),
+
+    // weighted log-rank family on q518's AUTOMOBILE-vs-HOUSEHOLD customer
+    // lifetimes: Gehan–Breslow (w = n at risk, early-difference
+    // sensitive) and Tarone–Ware (w = isqrt(n), the compromise) beside
+    // the plain log-rank — one risk-set pass computes all three χ²,
+    // per-stratum micro quantization, one isqrt per event time
+    "q572_weighted_logrank" -> ((s, dir) => {
+      val seg = Tables.customer(s, dir)
+        .filter(col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD"))
+        .select(col("c_custkey"),
+          (col("c_mktsegment") === "AUTOMOBILE").cast("long").as("g1"))
+      val life = Tables.orders(s, dir)
+        .join(seg, col("o_custkey") === col("c_custkey"))
+        .groupBy("o_custkey", "g1")
+        .agg(datediff(max(col("o_orderdate")), min(col("o_orderdate"))).as("t"))
+      val et = life.groupBy("t")
+        .agg(sum(col("g1")).as("d1"), count(lit(1)).as("d"))
+        .localCheckpoint(false)
+      val after = Window.orderBy("t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val risk = et
+        .withColumn("n1t", sum(col("d1")).over(after))
+        .withColumn("nt", sum(col("d")).over(after))
+        .withColumn("t0", floor(sqrt(col("nt").cast("double"))).cast("long"))
+        .withColumn("t1", expr(
+          "CASE WHEN t0 > 0 THEN (t0 + nt div t0) div 2 ELSE 0 END"))
+        .withColumn("sq", expr(
+          "CASE WHEN (t1 + 1) * (t1 + 1) <= nt THEN t1 + 1" +
+            " WHEN t1 * t1 > nt THEN t1 - 1 ELSE t1 END"))
+        .select(col("d1"), col("d"), col("n1t"), col("nt"), col("sq"),
+          expr("d1 * 1000000 - d * n1t * 1000000 div nt").as("dev_micro"),
+          expr("CASE WHEN nt > 1 THEN CAST(d AS DECIMAL(38,0)) * n1t" +
+            " * (nt - n1t) * (nt - d) * 1000000" +
+            " div (CAST(nt AS DECIMAL(38,0)) * nt * (nt - 1))" +
+            " ELSE 0 END").as("v_micro"))
+      def chi2(wNum: String, wVar: String, out: String): Column = expr(
+        s"CAST((sum(CAST($wNum AS DECIMAL(38,0)) * dev_micro)" +
+          s" * sum(CAST($wNum AS DECIMAL(38,0)) * dev_micro))" +
+          s" div (1000000 * sum(CAST($wVar AS DECIMAL(38,0)) * v_micro))" +
+          s" AS BIGINT)").as(out)
+      risk.agg(count(lit(1)).as("n_times"),
+        chi2("1", "1", "logrank_chi2_micro"),
+        chi2("nt", "nt * nt", "gehan_chi2_micro"),
+        chi2("sq", "nt", "tw_chi2_micro"))
+    }),
+
+    // inequality panel over per-customer total spend: Theil T (micro-nat
+    // entropy form, one pinned ln per customer), Hoover/Robin-Hood index
+    // (exact integer Σ|n·x − S| / 2nS), and Atkinson(ε=1) via the
+    // geometric mean (mean micro-nat, ONE exp) — the decomposable
+    // complements of q204's Gini on the same concentration question
+    "q573_inequality_panel" -> ((s, dir) => {
+      val sp = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(sum(centsOf(col("o_totalprice"))).as("x"))
+        .filter(col("x") > 0)
+        .withColumn("lx", round(log(col("x").cast("double")) * 1000000, 0)
+          .cast("long"))
+        .localCheckpoint(false)
+      val tot = sp.agg(count(lit(1)).as("n"), sum(col("x")).as("st"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * lx")).as("sxl"),
+        sum(col("lx")).as("sl"))
+      val hoover = sp.crossJoin(broadcast(tot.select(col("n"), col("st"))))
+        .agg(sum(expr("abs(CAST(n AS DECIMAL(38,0)) * x - st)")).as("sad"))
+      tot.crossJoin(broadcast(hoover))
+        .withColumn("lnn", round(log(col("n").cast("double")) * 1000000, 0)
+          .cast("long"))
+        .withColumn("lns", round(log(col("st").cast("double")) * 1000000, 0)
+          .cast("long"))
+        .withColumn("geo", expr(
+          "CAST(round(exp(CAST(sl div n AS DOUBLE) / 1000000.0)) AS BIGINT)"))
+        .select(col("n").as("n_customers"), col("st").as("total_cents"),
+          expr("(sxl + CAST(lnn - lns AS DECIMAL(38,0)) * st) div st")
+            .as("theil_micro"),
+          col("geo").as("geomean_cents"),
+          expr("1000000 - CAST(geo AS DECIMAL(38,0)) * n * 1000000 div st")
+            .as("atkinson1_ppm"),
+          expr("CAST(1000000 AS DECIMAL(38,0)) * sad div (2 * n * st)")
+            .as("hoover_ppm"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

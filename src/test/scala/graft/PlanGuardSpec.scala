@@ -164,6 +164,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q556_doremi_step",        // 1-row corpus-total row crossed into the source scan
     "q564_newsvendor",         // 1-row Q*/mean row crossed into the demand dictionary
     "q568_hodges_lehmann",     // bounded 84-month dictionary crossed for pair diffs
+    "q573_inequality_panel",   // 1-row totals row crossed for the Hoover pass
     "q557_err_eval",           // bounded 5-query broadcast (q294's scaffold)
     "q542_power_mde",          // 1-row variance row + 3-row n dictionary crossed
     "q543_davies_bouldin",     // 1-row mean-ratio row crossed into the 8-cluster relation
