@@ -12437,8 +12437,207 @@ object OracleSql {
         |       geo AS geomean_cents,
         |       CAST(1000000 - CAST(geo AS HUGEINT) * n * 1000000 // st AS BIGINT) AS atkinson1_ppm,
         |       CAST(CAST(1000000 AS HUGEINT) * sad // (2 * n * st) AS BIGINT) AS hoover_ppm
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    "q574_siegel_tukey" ->
+      (twoSegRankCte + """,
+        |st AS (SELECT ga, CASE WHEN 2 * i - 1 = nn THEN nn
+        |                       WHEN i <= nn - i + 1 THEN
+        |                         CASE WHEN i % 2 = 1 THEN 2 * i - 1 ELSE 2 * i END
+        |                       ELSE CASE WHEN (nn - i + 1) % 2 = 1 THEN 2 * (nn - i + 1)
+        |                                 ELSE 2 * (nn - i + 1) - 1 END END AS st
+        |       FROM rk),
+        |ag AS (SELECT CAST(sum(ga) AS BIGINT) AS n_a, CAST(sum(1 - ga) AS BIGINT) AS n_b,
+        |              CAST(sum(CASE WHEN ga = 1 THEN st ELSE 0 END) AS BIGINT) AS w_a
+        |       FROM st)
+        |SELECT n_a, n_b, w_a,
+        |       CAST(3000 * CAST(2 * w_a - n_a * (n_a + n_b + 1) AS HUGEINT)
+        |            * (2 * w_a - n_a * (n_a + n_b + 1))
+        |            // (CAST(n_a AS HUGEINT) * n_b * (n_a + n_b + 1)) AS BIGINT) AS zsq_milli
+        |FROM ag""".stripMargin),
+
+    "q575_ansari_bradley" ->
+      (twoSegRankCte + """,
+        |ab AS (SELECT ga, least(i, nn - i + 1) AS ab FROM rk),
+        |ag AS (SELECT CAST(sum(ga) AS BIGINT) AS n_a, CAST(sum(1 - ga) AS BIGINT) AS n_b,
+        |              CAST(sum(CASE WHEN ga = 1 THEN ab ELSE 0 END) AS BIGINT) AS a_sum
+        |       FROM ab),
+        |g AS (SELECT n_a, n_b, a_sum, n_a + n_b AS nn FROM ag)
+        |SELECT n_a, n_b, a_sum,
+        |       CASE WHEN nn % 2 = 0 THEN CAST(
+        |         3000 * CAST(nn - 1 AS HUGEINT)
+        |         * (4 * a_sum - n_a * (nn + 2)) * (4 * a_sum - n_a * (nn + 2))
+        |         // (CAST(n_a AS HUGEINT) * n_b * (nn + 2) * (nn - 2)) AS BIGINT)
+        |       ELSE CAST(3000
+        |         * CAST(4 * nn * a_sum - n_a * (nn + 1) * (nn + 1) AS HUGEINT)
+        |         * (4 * nn * a_sum - n_a * (nn + 1) * (nn + 1))
+        |         // (CAST(n_a AS HUGEINT) * n_b * (nn + 1) * (nn * nn + 3)) AS BIGINT) END AS zsq_milli
+        |FROM g""".stripMargin),
+
+    "q576_lepage" ->
+      (twoSegRankCte + """,
+        |ag AS (SELECT CAST(sum(ga) AS BIGINT) AS n_a, CAST(sum(1 - ga) AS BIGINT) AS n_b,
+        |              CAST(sum(CASE WHEN ga = 1 THEN i ELSE 0 END) AS BIGINT) AS w_a,
+        |              CAST(sum(CASE WHEN ga = 1 THEN least(i, nn - i + 1) ELSE 0 END) AS BIGINT) AS a_sum
+        |       FROM rk),
+        |g AS (SELECT n_a, n_b, w_a, a_sum, n_a + n_b AS nn FROM ag),
+        |z AS (SELECT n_a, n_b,
+        |             CAST(3000 * CAST(2 * w_a - n_a * (nn + 1) AS HUGEINT)
+        |                  * (2 * w_a - n_a * (nn + 1))
+        |                  // (CAST(n_a AS HUGEINT) * n_b * (nn + 1)) AS BIGINT) AS zw2,
+        |             CASE WHEN nn % 2 = 0 THEN CAST(
+        |               3000 * CAST(nn - 1 AS HUGEINT)
+        |               * (4 * a_sum - n_a * (nn + 2)) * (4 * a_sum - n_a * (nn + 2))
+        |               // (CAST(n_a AS HUGEINT) * n_b * (nn + 2) * (nn - 2)) AS BIGINT)
+        |             ELSE CAST(3000
+        |               * CAST(4 * nn * a_sum - n_a * (nn + 1) * (nn + 1) AS HUGEINT)
+        |               * (4 * nn * a_sum - n_a * (nn + 1) * (nn + 1))
+        |               // (CAST(n_a AS HUGEINT) * n_b * (nn + 1) * (nn * nn + 3)) AS BIGINT) END AS zab2
+        |      FROM g)
+        |SELECT n_a, n_b, zw2 AS wilcoxon_zsq_milli, zab2 AS ab_zsq_milli,
+        |       zw2 + zab2 AS lepage_milli
+        |FROM z""".stripMargin),
+
+    "q577_cucconi" ->
+      (twoSegRankCte + """,
+        |ag AS (SELECT CAST(sum(ga) AS BIGINT) AS n_a, CAST(sum(1 - ga) AS BIGINT) AS n_b,
+        |              CAST(sum(CASE WHEN ga = 1 THEN i * i ELSE 0 END) AS BIGINT) AS sr2,
+        |              CAST(sum(CASE WHEN ga = 1 THEN (nn - i + 1) * (nn - i + 1) ELSE 0 END) AS BIGINT) AS sc2
+        |       FROM rk),
+        |g AS (SELECT n_a, n_b, sr2, sc2, n_a + n_b AS nn FROM ag),
+        |m AS (SELECT n_a, n_b, nn,
+        |             6 * sr2 - n_a * (nn + 1) * (2 * nn + 1) AS nu,
+        |             6 * sc2 - n_a * (nn + 1) * (2 * nn + 1) AS nv,
+        |             (2 * nn + 1) * (8 * nn + 11) AS bb,
+        |             CAST(n_a AS DOUBLE) * n_b * (nn + 1) * (2 * nn + 1) * (8 * nn + 11) / 5.0 AS dd
+        |      FROM g),
+        |d AS (SELECT n_a, n_b, nu, nv,
+        |             CAST(nu AS DOUBLE) * nu / dd AS u2,
+        |             CAST(nv AS DOUBLE) * nv / dd AS v2,
+        |             CAST(nu AS DOUBLE) * nv / dd AS uv,
+        |             CAST(2 * (nn * nn - 4) - bb AS DOUBLE) / bb AS rho
+        |      FROM m)
+        |SELECT n_a, n_b, nu, nv,
+        |       CAST(round((u2 + v2 - 2 * rho * uv) / (2 * (1 - rho * rho)) * 1000) AS BIGINT) AS cucconi_milli
+        |FROM d""".stripMargin),
+
+    "q578_quade_test" ->
+      """WITH vals AS (SELECT c_nationkey AS blk, o_orderpriority AS trt,
+        |                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        |              FROM orders JOIN customer ON o_custkey = c_custkey
+        |              GROUP BY 1, 2),
+        |r AS (SELECT blk, trt, v,
+        |             CAST(row_number() OVER (PARTITION BY blk ORDER BY v, trt) AS BIGINT) AS rr,
+        |             max(v) OVER (PARTITION BY blk) - min(v) OVER (PARTITION BY blk) AS rng,
+        |             CAST(count(*) OVER (PARTITION BY blk) AS BIGINT) AS kk
+        |      FROM vals),
+        |qd AS (SELECT blk, CAST(row_number() OVER (ORDER BY rng, blk) AS BIGINT) AS q
+        |       FROM (SELECT DISTINCT blk, rng FROM r)),
+        |sij AS (SELECT trt, r.blk, q * (2 * rr - (kk + 1)) AS s2, kk
+        |        FROM r JOIN qd ON r.blk = qd.blk),
+        |t AS (SELECT trt, CAST(sum(s2) AS HUGEINT) AS tj FROM sij GROUP BY 1),
+        |aa AS (SELECT sum(CAST(s2 AS HUGEINT) * s2) AS aa,
+        |              CAST(count(DISTINCT blk) AS BIGINT) AS b,
+        |              CAST(max(kk) AS BIGINT) AS k FROM sij),
+        |bb AS (SELECT sum(tj * tj) AS bb FROM t)
+        |SELECT b AS n_blocks, k AS n_treatments,
+        |       CAST(1000 * CAST(b - 1 AS HUGEINT) * bb // (b * aa - bb) AS BIGINT) AS f_milli
+        |FROM aa CROSS JOIN bb""".stripMargin,
+
+    "q579_hellinger_sources" ->
+      (sourceLangGridCte + """,
+        |x AS (SELECT source, CAST(CAST(1000000000000 AS HUGEINT) * c1 * c2
+        |                          // (CAST(n1 AS HUGEINT) * ng) AS BIGINT) AS x FROM grid),
+        |t0 AS (SELECT source, x, CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) AS t0 FROM x),
+        |t1 AS (SELECT source, x, CASE WHEN t0 > 0 THEN (t0 + x // t0) // 2 ELSE 0 END AS t1 FROM t0),
+        |sq AS (SELECT source, CASE WHEN (t1 + 1) * (t1 + 1) <= x THEN t1 + 1
+        |                           WHEN t1 * t1 > x THEN t1 - 1 ELSE t1 END AS sq FROM t1)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+        |       CAST(sum(sq) AS BIGINT) AS bc_micro,
+        |       1000000 - CAST(sum(sq) AS BIGINT) AS h2_micro
+        |FROM sq GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q580_tv_distance" ->
+      (sourceLangGridCte + """
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+        |       CAST(max(n1) AS BIGINT) AS n_docs,
+        |       CAST(1000000 * sum(abs(CAST(c1 AS HUGEINT) * ng - CAST(c2 AS HUGEINT) * n1))
+        |            // (2 * CAST(max(n1) AS HUGEINT) * max(ng)) AS BIGINT) AS tv_micro
+        |FROM grid GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q581_chi2_divergence" ->
+      (sourceLangGridCte + """,
+        |term AS (SELECT source,
+        |                CAST(1000000 * CAST(c1 * ng - c2 * n1 AS HUGEINT)
+        |                     * (c1 * ng - c2 * n1)
+        |                     // (CAST(n1 AS HUGEINT) * n1 * ng * c2) AS BIGINT) AS term
+        |         FROM grid)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+        |       CAST(sum(term) AS BIGINT) AS chi2_micro
+        |FROM term GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q582_good_turing" ->
+      """WITH ws AS (SELECT string_split(text, ' ') AS ws
+        |            FROM documents WHERE text IS NOT NULL),
+        |bg AS (SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS b
+        |       FROM ws WHERE len(ws) >= 2),
+        |wc AS (SELECT b, CAST(count(*) AS BIGINT) AS r FROM bg GROUP BY 1),
+        |nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM wc GROUP BY 1),
+        |ld AS (SELECT r, n_r, lead(r) OVER (ORDER BY r) AS next_r,
+        |              lead(n_r) OVER (ORDER BY r) AS next_n,
+        |              row_number() OVER (ORDER BY r) AS rk FROM nr)
+        |SELECT r, n_r,
+        |       CASE WHEN next_r = r + 1 THEN 1000 * (r + 1) * next_n // n_r
+        |            ELSE 0 END AS rstar_milli
+        |FROM ld WHERE rk <= 10 ORDER BY r""".stripMargin,
+
+    "q583_gk_gamma" ->
+      """WITH sp AS (SELECT o_custkey,
+        |                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend
+        |            FROM orders GROUP BY 1),
+        |qt AS (SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS ab, spend
+        |       FROM customer JOIN sp ON c_custkey = o_custkey),
+        |nt AS (SELECT ntile(4) OVER (ORDER BY ab, c_custkey) AS qa,
+        |              ntile(4) OVER (ORDER BY spend, c_custkey) AS qs FROM qt),
+        |cells AS (SELECT qa, qs, CAST(count(*) AS BIGINT) AS n FROM nt GROUP BY 1, 2),
+        |p AS (SELECT sum(CASE WHEN b.qa > a.qa AND b.qs > a.qs
+        |                      THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS c_pairs,
+        |             sum(CASE WHEN b.qa > a.qa AND b.qs < a.qs
+        |                      THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS d_pairs
+        |      FROM cells a CROSS JOIN cells b)
+        |SELECT CAST(c_pairs AS BIGINT) AS concordant, CAST(d_pairs AS BIGINT) AS discordant,
+        |       CAST(1000 * (c_pairs - d_pairs) // (c_pairs + d_pairs) AS BIGINT) AS gamma_milli
+        |FROM p""".stripMargin
   )
+
+  /** Two-sample per-customer spend with global deterministic ranks — the
+    * shared prefix of the q574–q577 rank-test oracles (SparkEntry
+    * `twoSegSpend` mirror, MACHINERY vs FURNITURE).
+    */
+  private def twoSegRankCte: String =
+    """WITH seg AS (SELECT c_custkey,
+      |                    CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS ga
+      |             FROM customer WHERE c_mktsegment IN ('MACHINERY', 'FURNITURE')),
+      |sp AS (SELECT o_custkey, ga,
+      |              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+      |       FROM orders JOIN seg ON o_custkey = c_custkey GROUP BY 1, 2),
+      |rk AS (SELECT ga, CAST(row_number() OVER (ORDER BY v, o_custkey) AS BIGINT) AS i,
+      |              CAST(count(*) OVER () AS BIGINT) AS nn FROM sp)""".stripMargin
+
+  /** Complete (source × global-lang) count grid with 0-filled absences —
+    * the SparkEntry `sourceLangGrid` mirror under the q579–q581
+    * divergence panel.
+    */
+  private def sourceLangGridCte: String =
+    """WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c1raw
+      |           FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+      |           GROUP BY 1, 2),
+      |ns AS (SELECT source, CAST(sum(c1raw) AS BIGINT) AS n1 FROM c GROUP BY 1),
+      |g AS (SELECT lang, CAST(sum(c1raw) AS BIGINT) AS c2 FROM c GROUP BY 1),
+      |ngv AS (SELECT CAST(sum(c1raw) AS BIGINT) AS ng FROM c),
+      |grid AS (SELECT ns.source, g.lang, coalesce(c.c1raw, 0) AS c1, ns.n1, g.c2, ngv.ng
+      |         FROM ns CROSS JOIN g CROSS JOIN ngv
+      |         LEFT JOIN c ON c.source = ns.source AND c.lang = g.lang)""".stripMargin
 
   /** Chunked postings mirror (`operators/Indexing.postingsChunks`): distinct
     * (term, doc) postings on the 2^16-doc roaring-container grid with

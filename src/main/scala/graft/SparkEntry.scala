@@ -42,6 +42,66 @@ object SparkEntry {
 
   private def centsOf(x: Column): Column = EventWindows.cents(x)
 
+  /** Per-customer total spend (cents) restricted to two market segments,
+    * `ga` = 1 for segment `a` — the shared two-sample relation under the
+    * q574–q577 rank dispersion/location tests. One hash aggregation,
+    * bounded by |customer|; the tests' global rank windows run over THIS
+    * relation, never over raw orders (RankStats discipline).
+    */
+  private def twoSegSpend(s: SparkSession, dir: String, a: String, b: String): DataFrame = {
+    val seg = Tables.customer(s, dir)
+      .filter(col("c_mktsegment").isin(a, b))
+      .select(col("c_custkey"), (col("c_mktsegment") === a).cast("long").as("ga"))
+    Tables.orders(s, dir)
+      .join(seg, col("o_custkey") === col("c_custkey"))
+      .groupBy("o_custkey", "ga")
+      .agg(sum(centsOf(col("o_totalprice"))).as("v"))
+  }
+
+  /** Complete (source × global-lang) count grid: `c1` = docs of lang in
+    * source (0-filled where absent — divergences need the union support),
+    * `n1` = source total, `c2` = global lang count, `ng` = corpus total.
+    * Shared by the q579–q581 divergence panel; langs and sources are both
+    * bounded dictionaries, so the grid is tiny and broadcast-built.
+    */
+  private def sourceLangGrid(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.documents(s, dir)
+      .filter(col("lang").isNotNull && col("source").isNotNull)
+      .groupBy("source", "lang").agg(count(lit(1)).as("c1raw"))
+      .localCheckpoint(false)
+    val ns = c.groupBy("source").agg(sum(col("c1raw")).as("n1"))
+    val g = c.groupBy("lang").agg(sum(col("c1raw")).as("c2"))
+    val ngv = c.agg(sum(col("c1raw")).as("ng"))
+    ns.crossJoin(broadcast(g)).crossJoin(broadcast(ngv))
+      .join(c, Seq("source", "lang"), "left")
+      .select(col("source"), col("lang"),
+        coalesce(col("c1raw"), lit(0L)).as("c1"),
+        col("n1"), col("c2"), col("ng"))
+  }
+
+  /** Wilcoxon rank-sum z² in milli from (n_a, n_b, nn, w_a) — the exact
+    * rational 3000·(2W − n_a(N+1))² / (n_a·n_b·(N+1)); numerator is a
+    * square so Spark `div` and DuckDB `//` agree. Shared by q574/q576.
+    */
+  private val wilcoxonZsqMilli: String =
+    "CAST(3000 * CAST(2 * w_a - n_a * (nn + 1) AS DECIMAL(38,0))" +
+      " * (2 * w_a - n_a * (nn + 1))" +
+      " div (CAST(n_a AS DECIMAL(38,0)) * n_b * (nn + 1)) AS BIGINT)"
+
+  /** Ansari–Bradley z² in milli from (n_a, n_b, nn, a_sum) — exact
+    * even/odd moment branches (scipy's closed forms made integral by the
+    * doubled-numerator trick). Shared by q575/q576.
+    */
+  private val abZsqMilli: String =
+    "CASE WHEN nn % 2 = 0 THEN CAST(" +
+      "3000 * CAST(nn - 1 AS DECIMAL(38,0))" +
+      " * (4 * a_sum - n_a * (nn + 2)) * (4 * a_sum - n_a * (nn + 2))" +
+      " div (CAST(n_a AS DECIMAL(38,0)) * n_b * (nn + 2) * (nn - 2)) AS BIGINT)" +
+      " ELSE CAST(3000" +
+      " * CAST(4 * nn * a_sum - n_a * (nn + 1) * (nn + 1) AS DECIMAL(38,0))" +
+      " * (4 * nn * a_sum - n_a * (nn + 1) * (nn + 1))" +
+      " div (CAST(n_a AS DECIMAL(38,0)) * n_b * (nn + 1) * (nn * nn + 3)) AS BIGINT) END"
+
   private def hllAlphaM2Scaled: Double = OracleSql.hllAlphaM2Scaled
 
   /** Exact-integer accumulator type (≡ DuckDB HUGEINT) for the
@@ -13528,6 +13588,252 @@ object SparkEntry {
             .as("atkinson1_ppm"),
           expr("CAST(1000000 AS DECIMAL(38,0)) * sad div (2 * n * st)")
             .as("hoover_ppm"))
+    }),
+
+    // Siegel–Tukey dispersion test on per-customer spend, MACHINERY vs
+    // FURNITURE: alternating-extreme ranks (lowest→1, two highest→2,3,
+    // next two lowest→4,5 …) turn a rank-sum difference into a SPREAD
+    // difference; Wilcoxon moments on the ST ranks give the exact-rational
+    // z². Deterministic custkey tie-break; an odd N's middle value takes
+    // rank N (the conventional discard-free assignment)
+    "q574_siegel_tukey" -> ((s, dir) => {
+      val sp = twoSegSpend(s, dir, "MACHINERY", "FURNITURE")
+      sp.withColumn("i",
+          row_number().over(Window.orderBy("v", "o_custkey")).cast("long"))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("st", expr(
+          "CASE WHEN 2 * i - 1 = nn THEN nn" +
+            " WHEN i <= nn - i + 1 THEN" +
+            " CASE WHEN i % 2 = 1 THEN 2 * i - 1 ELSE 2 * i END" +
+            " ELSE CASE WHEN (nn - i + 1) % 2 = 1 THEN 2 * (nn - i + 1)" +
+            " ELSE 2 * (nn - i + 1) - 1 END END"))
+        .agg(sum(col("ga")).as("n_a"), sum(lit(1L) - col("ga")).as("n_b"),
+          sum(when(col("ga") === 1, col("st")).otherwise(0L)).as("w_a"))
+        .withColumn("nn", col("n_a") + col("n_b"))
+        .select(col("n_a"), col("n_b"), col("w_a"),
+          expr(wilcoxonZsqMilli).as("zsq_milli"))
+    }),
+
+    // Ansari–Bradley scale test on the same two-sample spend: center-out
+    // scores min(i, N+1−i) concentrate small scores at the extremes, so a
+    // low group score-sum reads as WIDER dispersion; exact even/odd
+    // moments (the N-parity branch scipy uses), all-integer z²
+    "q575_ansari_bradley" -> ((s, dir) => {
+      val sp = twoSegSpend(s, dir, "MACHINERY", "FURNITURE")
+      sp.withColumn("i",
+          row_number().over(Window.orderBy("v", "o_custkey")).cast("long"))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("ab", least(col("i"), col("nn") - col("i") + 1))
+        .agg(sum(col("ga")).as("n_a"), sum(lit(1L) - col("ga")).as("n_b"),
+          sum(when(col("ga") === 1, col("ab")).otherwise(0L)).as("a_sum"))
+        .withColumn("nn", col("n_a") + col("n_b"))
+        .select(col("n_a"), col("n_b"), col("a_sum"),
+          expr(abZsqMilli).as("zsq_milli"))
+    }),
+
+    // Lepage location-AND-scale test: the sum of the Wilcoxon z² (plain
+    // ranks, location) and the Ansari–Bradley z² (center-out ranks,
+    // scale) — the standard omnibus for "did the distribution move OR
+    // widen". Both components from ONE rank window over the bounded
+    // per-customer relation; each exact-rational in milli
+    "q576_lepage" -> ((s, dir) => {
+      val sp = twoSegSpend(s, dir, "MACHINERY", "FURNITURE")
+      sp.withColumn("i",
+          row_number().over(Window.orderBy("v", "o_custkey")).cast("long"))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("ab", least(col("i"), col("nn") - col("i") + 1))
+        .agg(sum(col("ga")).as("n_a"), sum(lit(1L) - col("ga")).as("n_b"),
+          sum(when(col("ga") === 1, col("i")).otherwise(0L)).as("w_a"),
+          sum(when(col("ga") === 1, col("ab")).otherwise(0L)).as("a_sum"))
+        .withColumn("nn", col("n_a") + col("n_b"))
+        .withColumn("zw2", expr(wilcoxonZsqMilli))
+        .withColumn("zab2", expr(abZsqMilli))
+        .select(col("n_a"), col("n_b"),
+          col("zw2").as("wilcoxon_zsq_milli"), col("zab2").as("ab_zsq_milli"),
+          (col("zw2") + col("zab2")).as("lepage_milli"))
+    }),
+
+    // Cucconi location-scale test: squared ranks (U) and squared CONTRARY
+    // ranks (V) of group a, combined through their exact correlation
+    // ρ = (2(N²−4) − b)/b, b = (2N+1)(8N+11). Rank sums NU/NV are exact
+    // longs; only the final quadratic form runs in doubles — in the SAME
+    // literal op order as the oracle (q61 discipline), C ≥ 0 so the
+    // half-away milli rounding agrees
+    "q577_cucconi" -> ((s, dir) => {
+      val sp = twoSegSpend(s, dir, "MACHINERY", "FURNITURE")
+      sp.withColumn("i",
+          row_number().over(Window.orderBy("v", "o_custkey")).cast("long"))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+        .agg(sum(col("ga")).as("n_a"), sum(lit(1L) - col("ga")).as("n_b"),
+          sum(when(col("ga") === 1, col("i") * col("i")).otherwise(0L))
+            .as("sr2"),
+          sum(when(col("ga") === 1, (col("nn") - col("i") + 1)
+            * (col("nn") - col("i") + 1)).otherwise(0L)).as("sc2"))
+        .withColumn("nn", col("n_a") + col("n_b"))
+        .withColumn("nu", expr("6 * sr2 - n_a * (nn + 1) * (2 * nn + 1)"))
+        .withColumn("nv", expr("6 * sc2 - n_a * (nn + 1) * (2 * nn + 1)"))
+        .withColumn("bb", expr("(2 * nn + 1) * (8 * nn + 11)"))
+        .withColumn("dd", expr("CAST(n_a AS DOUBLE) * n_b * (nn + 1)" +
+          " * (2 * nn + 1) * (8 * nn + 11) / 5.0"))
+        .withColumn("u2", expr("CAST(nu AS DOUBLE) * nu / dd"))
+        .withColumn("v2", expr("CAST(nv AS DOUBLE) * nv / dd"))
+        .withColumn("uv", expr("CAST(nu AS DOUBLE) * nv / dd"))
+        .withColumn("rho", expr("CAST(2 * (nn * nn - 4) - bb AS DOUBLE) / bb"))
+        .select(col("n_a"), col("n_b"), col("nu"), col("nv"),
+          expr("CAST(round((u2 + v2 - 2 * rho * uv)" +
+            " / (2 * (1 - rho * rho)) * 1000) AS BIGINT)").as("cucconi_milli"))
+    }),
+
+    // Quade test (blocked ranks, block-importance weighted): blocks =
+    // nations, treatments = order priorities, value = total spend cents.
+    // Within-block ranks × the block's RANGE rank give S_ij; doubling
+    // (2S = Q(2r − k − 1)) keeps every term integral, and
+    // F = (b−1)·ΣT²_j / (b·ΣS²_ij − ΣT²_j) is exact (numerator and
+    // denominator both ≥ 0 by Cauchy–Schwarz, so div == //)
+    "q578_quade_test" -> ((s, dir) => {
+      val vals = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("blk"), col("o_orderpriority").as("trt"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("v"))
+        .localCheckpoint(false)
+      val inBlk = Window.partitionBy("blk")
+      val r = vals
+        .withColumn("rr", row_number()
+          .over(Window.partitionBy("blk").orderBy("v", "trt")).cast("long"))
+        .withColumn("rng", max(col("v")).over(inBlk) - min(col("v")).over(inBlk))
+        .withColumn("kk", count(lit(1)).over(inBlk))
+      val qw = r.select("blk", "rng").distinct()
+        .withColumn("q", row_number().over(Window.orderBy("rng", "blk"))
+          .cast("long"))
+      val sij = r.join(broadcast(qw.select("blk", "q")), "blk")
+        .withColumn("s2", col("q") * (lit(2L) * col("rr") - (col("kk") + 1)))
+        .localCheckpoint(false)
+      val a2 = sij.agg(sum(expr("s2 * s2").cast(dec38)).as("aa"),
+        countDistinct(col("blk")).as("b"), max(col("kk")).as("k"))
+      val b2 = sij.groupBy("trt").agg(sum(col("s2")).as("tj"))
+        .agg(sum(expr("tj * tj").cast(dec38)).as("bb"))
+      a2.crossJoin(broadcast(b2))
+        .select(col("b").as("n_blocks"), col("k").as("n_treatments"),
+          expr("CAST(1000 * CAST(b - 1 AS DECIMAL(38,0)) * bb" +
+            " div (b * aa - bb) AS BIGINT)").as("f_milli"))
+    }),
+
+    // Hellinger affinity of each source's lang mix vs the corpus mix:
+    // BC = Σ√(p·q) per source, H² = 1 − BC. Per-lang terms quantize to
+    // micro via exact isqrt of 1e12·c1·c2 div (n1·ng) — double sqrt seed,
+    // one Newton step, ±1 adjust (the q572 chain) — so both engines
+    // replay the SAME per-term integers and their sum bit-matches
+    "q579_hellinger_sources" -> ((s, dir) =>
+      sourceLangGrid(s, dir)
+        .withColumn("x", expr("CAST(CAST(1000000000000 AS DECIMAL(38,0))" +
+          " * c1 * c2 div (CAST(n1 AS DECIMAL(38,0)) * ng) AS BIGINT)"))
+        .withColumn("t0", floor(sqrt(col("x").cast("double"))).cast("long"))
+        .withColumn("t1", expr(
+          "CASE WHEN t0 > 0 THEN (t0 + x div t0) div 2 ELSE 0 END"))
+        .withColumn("sq", expr(
+          "CASE WHEN (t1 + 1) * (t1 + 1) <= x THEN t1 + 1" +
+            " WHEN t1 * t1 > x THEN t1 - 1 ELSE t1 END"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_langs"), sum(col("sq")).as("bc_micro"))
+        .withColumn("h2_micro", lit(1000000L) - col("bc_micro"))
+        .orderBy("source")),
+
+    // total-variation distance of each source's lang mix vs the corpus
+    // mix: TV = ½ Σ|p − q| — the common-denominator form
+    // Σ|c1·ng − c2·n1| / (2·n1·ng) makes it ONE exact rational per
+    // source (no per-term rounding at all, unlike the χ²/Hellinger
+    // neighbors); numerator ≥ 0 so div == //
+    "q580_tv_distance" -> ((s, dir) =>
+      sourceLangGrid(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_langs"), max(col("n1")).as("n_docs"),
+          sum(abs(col("c1") * col("ng") - col("c2") * col("n1")).cast(dec38))
+            .as("sad"),
+          max(col("ng")).as("ng"))
+        .select(col("source"), col("n_langs"), col("n_docs"),
+          expr("CAST(1000000 * sad div (2 * CAST(n_docs AS DECIMAL(38,0)) * ng)" +
+            " AS BIGINT)").as("tv_micro"))
+        .orderBy("source")),
+
+    // Pearson χ² divergence of each source's lang mix from the corpus
+    // mix: Σ (p−q)²/q = Σ (c1·ng − c2·n1)² / (n1²·ng·c2), per-lang
+    // micro-quantized then summed (per-stratum quantization, the q572
+    // discipline — deterministic on both engines; q is the GLOBAL mix so
+    // every denominator is nonzero by construction)
+    "q581_chi2_divergence" -> ((s, dir) =>
+      sourceLangGrid(s, dir)
+        .withColumn("term", expr(
+          "CAST(1000000 * CAST(c1 * ng - c2 * n1 AS DECIMAL(38,0))" +
+            " * (c1 * ng - c2 * n1)" +
+            " div (CAST(n1 AS DECIMAL(38,0)) * n1 * ng * c2) AS BIGINT)"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_langs"), sum(col("term")).as("chi2_micro"))
+        .orderBy("source")),
+
+    // Good–Turing frequency-of-frequencies over word BIGRAMS (the unigram
+    // vocab here is saturated — every word repeats; bigrams carry the
+    // long tail GT exists for): N_r = #distinct bigrams seen exactly r
+    // times, smoothed count r* = (r+1)·N_{r+1}/N_r for the 10 rarest
+    // observed r (rank head, not r ≤ 10 — robust to a shifted tail; a
+    // non-consecutive successor reads 0, the honest "no estimate").
+    // Bigrams pair via a per-doc lead window (partitioned, scalable); the
+    // GT lead runs over the BOUNDED distinct-r relation
+    "q582_good_turing" -> ((s, dir) => {
+      val nr = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .withColumn("nw", lead(col("w"), 1)
+          .over(Window.partitionBy("doc_id").orderBy("pos")))
+        .filter(col("nw").isNotNull)
+        .select(concat(col("w"), lit(" "), col("nw")).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("r"))
+        .groupBy("r").agg(count(lit(1)).as("n_r"))
+      nr.withColumn("next_r", lead(col("r"), 1).over(Window.orderBy("r")))
+        .withColumn("next_n", lead(col("n_r"), 1).over(Window.orderBy("r")))
+        .withColumn("rk", row_number().over(Window.orderBy("r")))
+        .filter(col("rk") <= 10)
+        .select(col("r"), col("n_r"),
+          when(col("next_r") === col("r") + 1,
+            expr("1000 * (r + 1) * next_n div n_r")).otherwise(lit(0L))
+            .as("rstar_milli"))
+        .orderBy("r")
+    }),
+
+    // Goodman–Kruskal gamma between a customer's balance quartile and
+    // spend quartile: concordant/discordant pair counts from the 4×4
+    // contingency table (16 cells → a 256-row broadcast self-join, never
+    // the n² customer pairs); deterministic ntile tie-break by custkey,
+    // gamma = (C−D)/(C+D) exact in milli (both engines truncate the
+    // signed quotient toward zero)
+    "q583_gk_gamma" -> ((s, dir) => {
+      val sp = Tables.orders(s, dir).groupBy("o_custkey")
+        .agg(sum(centsOf(col("o_totalprice"))).as("spend"))
+      val qt = Tables.customer(s, dir)
+        .select(col("c_custkey"), centsOf(col("c_acctbal")).as("ab"))
+        .join(sp, col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("ab"), col("spend"))
+        .withColumn("qa", ntile(4).over(Window.orderBy("ab", "c_custkey"))
+          .cast("long"))
+        .withColumn("qs", ntile(4).over(Window.orderBy("spend", "c_custkey"))
+          .cast("long"))
+      val cells = qt.groupBy("qa", "qs").agg(count(lit(1)).as("n"))
+        .localCheckpoint(false)
+      val other = cells.select(col("qa").as("qa2"), col("qs").as("qs2"),
+        col("n").as("n2"))
+      cells.crossJoin(broadcast(other))
+        .agg(
+          sum(when(col("qa2") > col("qa") && col("qs2") > col("qs"),
+            (col("n") * col("n2")).cast(dec38)).otherwise(lit(0).cast(dec38)))
+            .as("c_pairs"),
+          sum(when(col("qa2") > col("qa") && col("qs2") < col("qs"),
+            (col("n") * col("n2")).cast(dec38)).otherwise(lit(0).cast(dec38)))
+            .as("d_pairs"))
+        .select(col("c_pairs").cast("long").as("concordant"),
+          col("d_pairs").cast("long").as("discordant"),
+          expr("CAST(1000 * (c_pairs - d_pairs) div (c_pairs + d_pairs)" +
+            " AS BIGINT)").as("gamma_milli"))
     }),
 
     // multimodal: opaque binary column + stub decode metadata
