@@ -12607,7 +12607,89 @@ object OracleSql {
         |      FROM cells a CROSS JOIN cells b)
         |SELECT CAST(c_pairs AS BIGINT) AS concordant, CAST(d_pairs AS BIGINT) AS discordant,
         |       CAST(1000 * (c_pairs - d_pairs) // (c_pairs + d_pairs) AS BIGINT) AS gamma_milli
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+
+    "q584_nelson_aalen" ->
+      """WITH life AS (SELECT o_custkey,
+        |                     CAST(datediff('day', min(o_orderdate), max(o_orderdate)) AS BIGINT) AS t
+        |              FROM orders GROUP BY 1),
+        |et AS (SELECT t, CAST(count(*) AS BIGINT) AS d FROM life GROUP BY 1),
+        |r AS (SELECT t, d, CAST(sum(d) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+        |                        AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk FROM et),
+        |h AS (SELECT t, d, n_risk, 1000000 * d // n_risk AS term FROM r)
+        |SELECT t, d, n_risk,
+        |       CAST(sum(term) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |            AND CURRENT ROW) AS BIGINT) AS na_micro
+        |FROM h ORDER BY t""".stripMargin,
+
+    "q585_chow_test" ->
+      (dailySsrPrefix + """,
+        |sa AS (SELECT CASE WHEN x < datediff('day', DATE '1995-01-01', DATE '1998-04-01')
+        |                   THEN 1 ELSE 2 END AS g, * FROM days),
+        |m1 AS (""".stripMargin + ssrSelect("sa", "g") + """),
+        |m0 AS (""".stripMargin + ssrSelect("days", "0") + """),
+        |seg AS (SELECT CAST(min(CASE WHEN g = 1 THEN n END) AS BIGINT) AS n_pre,
+        |               CAST(min(CASE WHEN g = 2 THEN n END) AS BIGINT) AS n_post,
+        |               min(CASE WHEN g = 1 THEN ssr END) AS ssr1,
+        |               min(CASE WHEN g = 2 THEN ssr END) AS ssr2
+        |        FROM m1)
+        |SELECT m0.n AS n_days, n_pre, n_post, m0.ssr AS ssr_pooled,
+        |       CAST(1000 * CAST(m0.ssr - ssr1 - ssr2 AS HUGEINT) * (m0.n - 4)
+        |            // (2 * CAST(ssr1 + ssr2 AS HUGEINT)) AS BIGINT) AS f_milli
+        |FROM seg CROSS JOIN m0""".stripMargin),
+
+    "q586_goldfeld_quandt" ->
+      (dailySsrPrefix + """,
+        |tr AS (SELECT CAST(ntile(3) OVER (ORDER BY x) AS BIGINT) AS g, *
+        |       FROM days),
+        |trf AS (SELECT * FROM tr WHERE g <> 2),
+        |m1 AS (""".stripMargin + ssrSelect("trf", "g") + """)
+        |SELECT CAST(min(CASE WHEN g = 1 THEN n END) AS BIGINT) AS n_low,
+        |       CAST(min(CASE WHEN g = 3 THEN n END) AS BIGINT) AS n_high,
+        |       min(CASE WHEN g = 1 THEN ssr END) AS ssr_low,
+        |       min(CASE WHEN g = 3 THEN ssr END) AS ssr_high,
+        |       CAST(1000 * CAST(min(CASE WHEN g = 3 THEN ssr END) AS HUGEINT)
+        |            * (min(CASE WHEN g = 1 THEN n END) - 2)
+        |            // (CAST(min(CASE WHEN g = 1 THEN ssr END) AS HUGEINT)
+        |               * (min(CASE WHEN g = 3 THEN n END) - 2)) AS BIGINT) AS gq_milli
+        |FROM m1""".stripMargin),
+
+    "q587_brier_decomposition" ->
+      """WITH o AS (SELECT c_mktsegment AS sg,
+        |                  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS yy,
+        |                  o_orderdate < DATE '1998-01-01' AS is_train
+        |           FROM orders JOIN customer ON o_custkey = c_custkey),
+        |p AS (SELECT sg, 1000000 * CAST(sum(yy) AS BIGINT) // count(*) AS p_ppm
+        |      FROM o WHERE is_train GROUP BY 1),
+        |k AS (SELECT o.sg, CAST(count(*) AS BIGINT) AS nk, CAST(sum(yy) AS BIGINT) AS uk,
+        |             1000000 * CAST(sum(yy) AS BIGINT) // count(*) AS o_ppm,
+        |             min(p_ppm) AS p_ppm
+        |      FROM o JOIN p ON o.sg = p.sg WHERE NOT is_train GROUP BY o.sg),
+        |tot AS (SELECT CAST(sum(nk) AS BIGINT) AS n, CAST(sum(uk) AS BIGINT) AS u,
+        |               1000000 * CAST(sum(uk) AS BIGINT) // CAST(sum(nk) AS BIGINT) AS obar
+        |        FROM k)
+        |SELECT n AS n_test,
+        |       CAST(sum(nk * CAST(p_ppm - o_ppm AS HUGEINT) * (p_ppm - o_ppm))
+        |            // (CAST(n AS HUGEINT) * 1000000) AS BIGINT) AS rel_micro,
+        |       CAST(sum(nk * CAST(o_ppm - obar AS HUGEINT) * (o_ppm - obar))
+        |            // (CAST(n AS HUGEINT) * 1000000) AS BIGINT) AS res_micro,
+        |       obar * (1000000 - obar) // 1000000 AS unc_micro
+        |FROM k CROSS JOIN tot GROUP BY n, obar""".stripMargin,
+
+    "q588_lorenz_deciles" ->
+      """WITH sp AS (SELECT o_custkey,
+        |                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        |            FROM orders GROUP BY 1),
+        |d AS (SELECT v, ntile(10) OVER (ORDER BY v, o_custkey) AS dec_ FROM sp),
+        |g AS (SELECT CAST(dec_ AS BIGINT) AS decile, CAST(count(*) AS BIGINT) AS n_cust,
+        |             CAST(sum(v) AS BIGINT) AS sv FROM d GROUP BY 1),
+        |c AS (SELECT decile, n_cust,
+        |             CAST(sum(sv) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+        |                  AND CURRENT ROW) AS BIGINT) AS cum,
+        |             CAST(sum(sv) OVER () AS BIGINT) AS tot FROM g)
+        |SELECT decile, n_cust,
+        |       CAST(1000000 * CAST(cum AS HUGEINT) // tot AS BIGINT) AS cum_share_ppm
+        |FROM c ORDER BY decile""".stripMargin
   )
 
   /** Two-sample per-customer spend with global deterministic ranks — the
@@ -12623,6 +12705,27 @@ object OracleSql {
       |       FROM orders JOIN seg ON o_custkey = c_custkey GROUP BY 1, 2),
       |rk AS (SELECT ga, CAST(row_number() OVER (ORDER BY v, o_custkey) AS BIGINT) AS i,
       |              CAST(count(*) OVER () AS BIGINT) AS nn FROM sp)""".stripMargin
+
+  /** Daily mean order value (x = days since 1995-01-01, y = integer-mean
+    * cents) — the SparkEntry `dailyMeanSpend` mirror under q585/q586.
+    */
+  private def dailySsrPrefix: String =
+    """WITH days AS (SELECT CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS x,
+      |                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // count(*) AS BIGINT) AS y
+      |              FROM orders GROUP BY o_orderdate)""".stripMargin
+
+  /** Per-group OLS SSR (whole cents²) over (g, x, y) rows — the `olsSsrMilli`
+    * closed-form mirror (A·C − B²)/(C·n), HUGEINT-exact.
+    */
+  private def ssrSelect(src: String, gExpr: String): String =
+    s"""SELECT $gExpr AS g, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(((count(*) * sum(CAST(y AS HUGEINT) * y) - CAST(sum(y) AS HUGEINT) * sum(y))
+       |              * (count(*) * sum(CAST(x AS HUGEINT) * x) - CAST(sum(x) AS HUGEINT) * sum(x))
+       |            - (count(*) * sum(CAST(x AS HUGEINT) * y) - CAST(sum(x) AS HUGEINT) * sum(y))
+       |              * (count(*) * sum(CAST(x AS HUGEINT) * y) - CAST(sum(x) AS HUGEINT) * sum(y)))
+       |            // ((count(*) * sum(CAST(x AS HUGEINT) * x) - CAST(sum(x) AS HUGEINT) * sum(x))
+       |               * count(*)) AS BIGINT) AS ssr
+       |FROM $src GROUP BY 1""".stripMargin
 
   /** Complete (source × global-lang) count grid with 0-filled absences —
     * the SparkEntry `sourceLangGrid` mirror under the q579–q581

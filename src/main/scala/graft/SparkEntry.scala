@@ -79,6 +79,40 @@ object SparkEntry {
         col("n1"), col("c2"), col("ng"))
   }
 
+  /** Daily mean order value: one row per order day with x = days since
+    * 1992-01-01 and y = integer-mean cents (sum div count — the MEAN, not
+    * the total, so magnitudes stay SF-invariant and the q585/q586 SSR
+    * decimals never overflow). Shared regression base for the
+    * structural-break tests.
+    */
+  private def dailyMeanSpend(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderdate"))
+      .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))" +
+        " div count(1)").as("y"))
+      .select(datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+        .cast("long").as("x"), col("y"))
+
+  /** Per-group OLS sum-of-squared-residuals (whole cents², keeping the
+    * SF-grown magnitudes inside BIGINT) from (g, x, y) rows:
+    * SSR = (A·C − B²̃)/(C·n) with A = nΣy²−(Σy)², C = nΣx²−(Σx)²,
+    * B = (nΣxy−ΣxΣy)² — the closed form that never materializes per-row
+    * residuals; every sum decimal(38,0), numerator ≥ 0 by Cauchy–Schwarz
+    * so div == //. Shared by q585 (Chow) and q586 (Goldfeld–Quandt).
+    */
+  private def olsSsrMilli(rows: DataFrame, g: Column): DataFrame =
+    rows.groupBy(g.as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec38)).as("sx"),
+        sum(col("y").cast(dec38)).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+      .select(col("g"), col("n"),
+        expr("CAST(((n * syy - sy * sy) * (n * sxx - sx * sx)" +
+          " - (n * sxy - sx * sy) * (n * sxy - sx * sy))" +
+          " div ((n * sxx - sx * sx) * n) AS BIGINT)").as("ssr"))
+
   /** Wilcoxon rank-sum z² in milli from (n_a, n_b, nn, w_a) — the exact
     * rational 3000·(2W − n_a(N+1))² / (n_a·n_b·(N+1)); numerator is a
     * square so Spark `div` and DuckDB `//` agree. Shared by q574/q576.
@@ -13834,6 +13868,133 @@ object SparkEntry {
           col("d_pairs").cast("long").as("discordant"),
           expr("CAST(1000 * (c_pairs - d_pairs) div (c_pairs + d_pairs)" +
             " AS BIGINT)").as("gamma_milli"))
+    }),
+
+    // Nelson–Aalen cumulative hazard over customer lifetimes (q572's
+    // risk-set machinery, estimator instead of test): H(t) = Σ_{tᵢ≤t}
+    // dᵢ/nᵢ with nᵢ the reverse-cumulative risk set — per-event micro
+    // quantization then a running sum, both windows over the BOUNDED
+    // distinct-lifetime relation
+    "q584_nelson_aalen" -> ((s, dir) => {
+      val life = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(datediff(max(col("o_orderdate")), min(col("o_orderdate")))
+          .cast("long").as("t"))
+      val et = life.groupBy("t").agg(count(lit(1)).as("d"))
+      val after = Window.orderBy("t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val upTo = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      et.withColumn("n_risk", sum(col("d")).over(after))
+        .withColumn("term", expr("1000000 * d div n_risk"))
+        .withColumn("na_micro", sum(col("term")).over(upTo))
+        .select(col("t"), col("d"), col("n_risk"), col("na_micro"))
+        .orderBy("t")
+    }),
+
+    // Chow structural-break test on daily mean order value at the pinned
+    // 1998-04-01 break: F = ((SSR_pooled − SSR₁ − SSR₂)/k) /
+    // ((SSR₁+SSR₂)/(n−2k)), k = 2 — all three SSRs from the exact
+    // closed form (no per-row residuals), milli scale cancels in the
+    // ratio. Numerator ≥ 0 (pooled SSR dominates the split fits)
+    "q585_chow_test" -> ((s, dir) => {
+      val rows = dailyMeanSpend(s, dir).localCheckpoint(false)
+      val break_ = datediff(to_date(lit("1998-04-01")),
+        to_date(lit("1995-01-01")))
+      val seg = olsSsrMilli(rows, when(col("x") < break_, 1L).otherwise(2L))
+      val pool = olsSsrMilli(rows, lit(0L))
+        .select(col("n").as("n_days"), col("ssr").as("ssrp"))
+      seg.agg(
+          min(when(col("g") === 1, col("n"))).as("n_pre"),
+          min(when(col("g") === 2, col("n"))).as("n_post"),
+          min(when(col("g") === 1, col("ssr"))).as("ssr1"),
+          min(when(col("g") === 2, col("ssr"))).as("ssr2"))
+        .crossJoin(broadcast(pool))
+        .select(col("n_days"), col("n_pre"), col("n_post"),
+          col("ssrp").as("ssr_pooled"),
+          expr("CAST(1000 * CAST(ssrp - ssr1 - ssr2 AS DECIMAL(38,0))" +
+            " * (n_days - 4) div (2 * CAST(ssr1 + ssr2 AS DECIMAL(38,0)))" +
+            " AS BIGINT)").as("f_milli"))
+    }),
+
+    // Goldfeld–Quandt heteroskedasticity test on the same daily-mean
+    // regression: fit OLS separately on the first and last x-tercile
+    // (middle third dropped, the classic design) and ratio the
+    // df-adjusted SSRs — variance growing with x shows as GQ ≫ 1. Exact
+    // rational; tercile by deterministic ntile over unique days
+    "q586_goldfeld_quandt" -> ((s, dir) => {
+      val rows = dailyMeanSpend(s, dir)
+        .withColumn("trc", ntile(3).over(Window.orderBy("x")).cast("long"))
+        .filter(col("trc") =!= 2)
+      olsSsrMilli(rows, col("trc"))
+        .agg(
+          min(when(col("g") === 1, col("n"))).as("n_low"),
+          min(when(col("g") === 3, col("n"))).as("n_high"),
+          min(when(col("g") === 1, col("ssr"))).as("ssr_low"),
+          min(when(col("g") === 3, col("ssr"))).as("ssr_high"))
+        .select(col("n_low"), col("n_high"), col("ssr_low"),
+          col("ssr_high"),
+          expr("CAST(1000 * CAST(ssr_high AS DECIMAL(38,0))" +
+            " * (n_low - 2) div (CAST(ssr_low AS DECIMAL(38,0))" +
+            " * (n_high - 2)) AS BIGINT)").as("gq_milli"))
+    }),
+
+    // Murphy/Brier decomposition of a segment-rate urgency forecast:
+    // p(segment) = URGENT rate in the pre-1998 train window (ppm),
+    // evaluated on the 1998+ test window — reliability (calibration
+    // drift), resolution (discrimination), uncertainty (base-rate
+    // entropy), each Σ n_k(·)²/(n·1e6) over the 5 forecast bins, all
+    // integer ppm/micro arithmetic
+    "q587_brier_decomposition" -> ((s, dir) => {
+      val seg = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+      val o = Tables.orders(s, dir)
+        .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("sg"),
+          (col("o_orderpriority") === "1-URGENT").cast("long").as("yy"),
+          (col("o_orderdate") < to_date(lit("1998-01-01"))).as("is_train"))
+        .localCheckpoint(false)
+      val p = o.filter(col("is_train"))
+        .groupBy("sg")
+        .agg(expr("1000000 * sum(yy) div count(1)").as("p_ppm"))
+      val k = o.filter(!col("is_train"))
+        .groupBy("sg")
+        .agg(count(lit(1)).as("nk"), sum(col("yy")).as("uk"))
+        .withColumn("o_ppm", expr("1000000 * uk div nk"))
+        .join(broadcast(p), "sg")
+      val tot = k.agg(sum(col("nk")).as("n"), sum(col("uk")).as("u"))
+        .withColumn("obar", expr("1000000 * u div n"))
+      k.crossJoin(broadcast(tot))
+        .agg(max(col("n")).as("n_test"), max(col("obar")).as("obar"),
+          sum(expr("nk * CAST(p_ppm - o_ppm AS DECIMAL(38,0))" +
+            " * (p_ppm - o_ppm)")).as("srel"),
+          sum(expr("nk * CAST(o_ppm - obar AS DECIMAL(38,0))" +
+            " * (o_ppm - obar)")).as("sres"))
+        .select(col("n_test"),
+          expr("CAST(srel div (CAST(n_test AS DECIMAL(38,0)) * 1000000)" +
+            " AS BIGINT)").as("rel_micro"),
+          expr("CAST(sres div (CAST(n_test AS DECIMAL(38,0)) * 1000000)" +
+            " AS BIGINT)").as("res_micro"),
+          expr("obar * (1000000 - obar) div 1000000").as("unc_micro"))
+    }),
+
+    // Lorenz curve in deciles over per-customer spend: cumulative spend
+    // share (ppm) at each population decile — the curve q204's Gini
+    // integrates; deterministic ntile, running sum over the 10-row
+    // decile relation only
+    "q588_lorenz_deciles" -> ((s, dir) => {
+      val sp = Tables.orders(s, dir).groupBy("o_custkey")
+        .agg(sum(centsOf(col("o_totalprice"))).as("v"))
+        .withColumn("dec", ntile(10).over(Window.orderBy("v", "o_custkey"))
+          .cast("long"))
+      sp.groupBy("dec")
+        .agg(count(lit(1)).as("n_cust"), sum(col("v")).as("sv"))
+        .withColumn("cum", sum(col("sv")).over(Window.orderBy("dec")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum(col("sv")).over(Window.partitionBy()))
+        .select(col("dec").as("decile"), col("n_cust"),
+          expr("CAST(1000000 * CAST(cum AS DECIMAL(38,0)) div tot" +
+            " AS BIGINT)").as("cum_share_ppm"))
+        .orderBy("decile")
     }),
 
     // multimodal: opaque binary column + stub decode metadata
