@@ -12689,7 +12689,129 @@ object OracleSql {
         |             CAST(sum(sv) OVER () AS BIGINT) AS tot FROM g)
         |SELECT decile, n_cust,
         |       CAST(1000000 * CAST(cum AS HUGEINT) // tot AS BIGINT) AS cum_share_ppm
-        |FROM c ORDER BY decile""".stripMargin
+        |FROM c ORDER BY decile""".stripMargin,
+
+    "q589_clv_discounted" ->
+      """WITH o AS (SELECT c_mktsegment AS segment, c_custkey,
+        |                  CAST(year(o_orderdate) - 1995 AS BIGINT) AS yk,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |           FROM orders JOIN customer ON o_custkey = c_custkey),
+        |d AS (SELECT segment, c_custkey, v,
+        |             v * (CASE yk WHEN 0 THEN 1000 WHEN 1 THEN 900 WHEN 2 THEN 810
+        |                          WHEN 3 THEN 729 WHEN 4 THEN 656 WHEN 5 THEN 590
+        |                          ELSE 531 END) // 1000 AS dv
+        |      FROM o),
+        |g AS (SELECT segment, CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+        |             CAST(sum(v) AS BIGINT) AS nominal_cents,
+        |             CAST(sum(dv) AS BIGINT) AS clv_cents
+        |      FROM d GROUP BY 1)
+        |SELECT segment, n_customers, nominal_cents, clv_cents,
+        |       CAST(1000000 * CAST(nominal_cents - clv_cents AS HUGEINT)
+        |            // nominal_cents AS BIGINT) AS discount_loss_ppm
+        |FROM g ORDER BY 1""".stripMargin,
+
+    "q590_eccentricity" ->
+      ("""WITH rev0 AS MATERIALIZED (
+        |  -- aggregate BEFORE the <> filter: an inequality predicate between
+        |  -- two dimension columns bends DuckDB's join order into a
+        |  -- supplier×customer inequality join; over the 625-row aggregate
+        |  -- it is just a scan filter
+        |  SELECT s_nationkey AS sn, c_nationkey AS cn,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w0
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |rev AS MATERIALIZED (
+        |  SELECT least(sn, cn) AS a, greatest(sn, cn) AS b,
+        |         CAST(sum(w0) AS BIGINT) AS w
+        |  FROM rev0 WHERE sn <> cn GROUP BY 1, 2),
+        |tot AS (SELECT sum(CAST(w AS HUGEINT)) AS tw, CAST(count(*) AS BIGINT) AS np FROM rev),
+        |e0 AS (SELECT a, b FROM rev CROSS JOIN tot WHERE CAST(w AS HUGEINT) * np > tw),
+        |ed AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+        |nodes AS (SELECT DISTINCT a AS n FROM ed),
+        |d0 AS (SELECT n AS src, n AS dst, CAST(0 AS BIGINT) AS d FROM nodes
+        |       UNION ALL SELECT a AS src, b AS dst, CAST(1 AS BIGINT) AS d FROM ed)""".stripMargin +
+        (1 to 4).map { k =>
+          s""",
+             |r$k AS (SELECT src, dst, CAST(min(d) AS BIGINT) AS d FROM (
+             |         SELECT src, dst, d FROM ${if (k == 1) "d0" else s"r${k - 1}"}
+             |         UNION ALL
+             |         SELECT p.src, ed.b AS dst, p.d + 1 AS d
+             |         FROM ${if (k == 1) "d0" else s"r${k - 1}"} p JOIN ed ON p.dst = ed.a)
+             |       GROUP BY 1, 2)""".stripMargin
+        }.mkString + """,
+        |agg AS (SELECT src, CAST(count(*) AS BIGINT) AS n_reached,
+        |               CAST(max(d) AS BIGINT) AS ecc
+        |        FROM r4 GROUP BY 1)
+        |SELECT n_name AS nation, n_reached, ecc
+        |FROM agg JOIN nation ON src = n_nationkey ORDER BY 1""".stripMargin),
+
+    "q591_lsm_write_amp" ->
+      """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |                  CAST(sum(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS bytes
+        |           FROM documents WHERE text IS NOT NULL GROUP BY 1),
+        |l AS (SELECT source, n_docs, bytes,
+        |             CAST(CASE WHEN bytes <= 4194304 THEN 1
+        |                       WHEN bytes <= 41943040 THEN 2
+        |                       WHEN bytes <= 419430400 THEN 3
+        |                       WHEN bytes <= 4194304000 THEN 4
+        |                       WHEN bytes <= 41943040000 THEN 5
+        |                       WHEN bytes <= 419430400000 THEN 6 ELSE 7 END AS BIGINT) AS levels
+        |      FROM g)
+        |SELECT source, n_docs, bytes, levels,
+        |       CAST(1 + 10 * (levels - 1) AS BIGINT) AS write_amp,
+        |       levels AS read_amp
+        |FROM l ORDER BY source""".stripMargin,
+
+    "q592_mcc" ->
+      """WITH o AS (SELECT c_mktsegment AS sg,
+        |                  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS yy,
+        |                  o_orderdate < DATE '1998-01-01' AS is_train
+        |           FROM orders JOIN customer ON o_custkey = c_custkey),
+        |p AS (SELECT sg, CAST(sum(yy) AS BIGINT) AS uk, CAST(count(*) AS BIGINT) AS nk
+        |      FROM o WHERE is_train GROUP BY 1),
+        |gl AS (SELECT CAST(sum(yy) AS BIGINT) AS ug, CAST(count(*) AS BIGINT) AS ng
+        |       FROM o WHERE is_train),
+        |pred AS (SELECT sg, CAST(CASE WHEN uk * ng > ug * nk THEN 1 ELSE 0 END AS BIGINT) AS ph
+        |         FROM p CROSS JOIN gl),
+        |cm AS (SELECT CAST(sum(CASE WHEN ph = 1 AND yy = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |              CAST(sum(CASE WHEN ph = 1 AND yy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |              CAST(sum(CASE WHEN ph = 0 AND yy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |              CAST(sum(CASE WHEN ph = 0 AND yy = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |       FROM o JOIN pred ON o.sg = pred.sg WHERE NOT is_train),
+        |d2c AS (SELECT tp, fp, tn, fn,
+        |               CAST(tp + fp AS HUGEINT) * (tp + fn) * (tn + fp) * (tn + fn) AS d2
+        |        FROM cm),
+        |t0c AS (SELECT *, CAST(floor(sqrt(CAST(d2 AS DOUBLE))) AS HUGEINT) AS t0 FROM d2c),
+        |t1c AS (SELECT *, CASE WHEN t0 > 0 THEN (t0 + d2 // t0) // 2
+        |                       ELSE CAST(0 AS HUGEINT) END AS t1 FROM t0c),
+        |sqc AS (SELECT tp, fp, tn, fn, d2,
+        |               CASE WHEN (t1 + 1) * (t1 + 1) <= d2 THEN t1 + 1
+        |                    WHEN t1 * t1 > d2 THEN t1 - 1 ELSE t1 END AS sq FROM t1c)
+        |SELECT tp, fp, tn, fn,
+        |       CAST(1000 * (CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn)
+        |            // sq AS BIGINT) AS mcc_milli
+        |FROM sqc""".stripMargin,
+
+    "q593_average_precision" ->
+      """WITH sp AS (SELECT o_custkey,
+        |                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend
+        |            FROM orders GROUP BY 1),
+        |sc AS (SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS ab, spend
+        |       FROM customer JOIN sp ON c_custkey = o_custkey),
+        |r AS (SELECT c_custkey, ab,
+        |             CASE WHEN ntile(4) OVER (ORDER BY spend, c_custkey) = 4
+        |                  THEN 1 ELSE 0 END AS rel FROM sc),
+        |k AS (SELECT CAST(row_number() OVER (ORDER BY ab DESC, c_custkey) AS BIGINT) AS k,
+        |             rel FROM r),
+        |t AS (SELECT k, rel, CAST(sum(rel) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+        |                          AND CURRENT ROW) AS BIGINT) AS tp FROM k)
+        |SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rel) AS BIGINT) AS n_pos,
+        |       CAST(sum(CASE WHEN rel = 1 THEN 1000000 * tp // k ELSE 0 END)
+        |            // sum(rel) AS BIGINT) AS ap_micro
+        |FROM t""".stripMargin
   )
 
   /** Two-sample per-customer spend with global deterministic ranks — the

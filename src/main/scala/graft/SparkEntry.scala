@@ -13997,6 +13997,174 @@ object SparkEntry {
         .orderBy("decile")
     }),
 
+    // discounted customer-lifetime value per segment: yearly revenue
+    // discounted at 10%/yr with PINNED 0.9^k milli constants (k ≤ 6, the
+    // data's year span) — no pow(), so both engines replay the same
+    // integers; the ppm gap between nominal and discounted reads as
+    // revenue-recency: segments earning late lose more
+    "q589_clv_discounted" -> ((s, dir) => {
+      val dk = "CASE yk WHEN 0 THEN 1000 WHEN 1 THEN 900 WHEN 2 THEN 810" +
+        " WHEN 3 THEN 729 WHEN 4 THEN 656 WHEN 5 THEN 590 ELSE 531 END"
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+          .select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), col("c_custkey"),
+          (year(col("o_orderdate")) - 1995).cast("long").as("yk"),
+          centsOf(col("o_totalprice")).as("v"))
+        .withColumn("dv", expr(s"v * ($dk) div 1000"))
+        .groupBy("segment")
+        .agg(countDistinct(col("c_custkey")).as("n_customers"),
+          sum(col("v")).as("nominal_cents"),
+          sum(col("dv")).as("clv_cents"))
+        .withColumn("discount_loss_ppm", expr(
+          "CAST(1000000 * CAST(nominal_cents - clv_cents AS DECIMAL(38,0))" +
+            " div nominal_cents AS BIGINT)"))
+        .orderBy("segment")
+    }),
+
+    // nation trade-graph eccentricity: undirected edge where a supplier
+    // nation ↔ customer nation pair's revenue exceeds the PAIR MEAN
+    // (thins the near-complete graph without a median window), then four
+    // fixed min-plus relaxation rounds — enough for these diameters, and
+    // a shape the oracle mirrors as a plain CTE chain instead of a
+    // recursive fixpoint. The heavy work is ONE lineitem⋈orders join;
+    // the graph itself is bounded by |nation|²
+    "q590_eccentricity" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.customer(s, dir)
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .filter(col("s_nationkey") =!= col("c_nationkey"))
+        .select(least(col("s_nationkey"), col("c_nationkey")).as("a"),
+          greatest(col("s_nationkey"), col("c_nationkey")).as("b"),
+          centsOf(col("l_extendedprice")).as("w"))
+        .groupBy("a", "b").agg(sum(col("w")).as("w"))
+        .localCheckpoint(false)
+      val tot = rev.agg(sum(col("w").cast(dec38)).as("tw"),
+        count(lit(1)).as("np"))
+      val edges = rev.crossJoin(broadcast(tot))
+        .filter(expr("CAST(w AS DECIMAL(38,0)) * np > tw"))
+        .select("a", "b").localCheckpoint(false)
+      val ed = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint(false)
+      val nodes = ed.select(col("a").as("n")).distinct()
+      val d0 = nodes.select(col("n").as("src"), col("n").as("dst"),
+        lit(0L).as("d"))
+        .union(ed.select(col("a").as("src"), col("b").as("dst"),
+          lit(1L).as("d")))
+      def relax(d: DataFrame): DataFrame = {
+        val ext = d.join(ed.select(col("a").as("dst"), col("b").as("nx")),
+            "dst")
+          .select(col("src"), col("nx").as("dst"), (col("d") + 1).as("d"))
+        d.union(ext).groupBy("src", "dst").agg(min(col("d")).as("d"))
+          .localCheckpoint(false)
+      }
+      val dist = relax(relax(relax(relax(d0))))
+      dist.groupBy("src")
+        .agg(count(lit(1)).as("n_reached"), max(col("d")).as("ecc"))
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("src") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("n_reached"), col("ecc"))
+        .orderBy("nation")
+    }),
+
+    // leveled-LSM write-amplification planner per source: levels from a
+    // pinned 4 MiB memtable and size ratio 10 (CASE ladder over powers —
+    // no logarithms), WA ≈ 1 + T·(L−1), read-amp = L — which sources'
+    // corpora would sit deep in the tree and what ingest costs (the
+    // q369/q397 storage-planning family, compaction view)
+    "q591_lsm_write_amp" -> ((s, dir) => {
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(octet_length(col("text")).cast("long")).as("bytes"))
+        .withColumn("levels", expr(
+          "CASE WHEN bytes <= 4194304 THEN 1" +
+            " WHEN bytes <= 41943040 THEN 2" +
+            " WHEN bytes <= 419430400 THEN 3" +
+            " WHEN bytes <= 4194304000 THEN 4" +
+            " WHEN bytes <= 41943040000 THEN 5" +
+            " WHEN bytes <= 419430400000 THEN 6 ELSE 7 END"))
+        .select(col("source"), col("n_docs"), col("bytes"),
+          col("levels").cast("long").as("levels"),
+          expr("CAST(1 + 10 * (levels - 1) AS BIGINT)").as("write_amp"),
+          col("levels").cast("long").as("read_amp"))
+        .orderBy("source")
+    }),
+
+    // Matthews correlation of the q587 segment-rate urgency classifier
+    // (predict URGENT where the segment's train rate beats the global
+    // train rate): confusion counts on the test window, MCC denominator
+    // via the exact isqrt chain over the decimal product — mcc in milli,
+    // signed quotient truncates toward zero on both engines
+    "q592_mcc" -> ((s, dir) => {
+      val seg = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+      val o = Tables.orders(s, dir)
+        .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("sg"),
+          (col("o_orderpriority") === "1-URGENT").cast("long").as("yy"),
+          (col("o_orderdate") < to_date(lit("1998-01-01"))).as("is_train"))
+        .localCheckpoint(false)
+      val tr = o.filter(col("is_train"))
+      val p = tr.groupBy("sg")
+        .agg(sum(col("yy")).as("uk"), count(lit(1)).as("nk"))
+      val gl = tr.agg(sum(col("yy")).as("ug"), count(lit(1)).as("ng"))
+      val pred = p.crossJoin(broadcast(gl))
+        .select(col("sg"),
+          expr("CAST(CASE WHEN uk * ng > ug * nk THEN 1 ELSE 0 END" +
+            " AS BIGINT)").as("ph"))
+      val cm = o.filter(!col("is_train"))
+        .join(broadcast(pred), "sg")
+        .agg(sum(expr("CASE WHEN ph = 1 AND yy = 1 THEN 1 ELSE 0 END"))
+            .as("tp"),
+          sum(expr("CASE WHEN ph = 1 AND yy = 0 THEN 1 ELSE 0 END")).as("fp"),
+          sum(expr("CASE WHEN ph = 0 AND yy = 0 THEN 1 ELSE 0 END")).as("tn"),
+          sum(expr("CASE WHEN ph = 0 AND yy = 1 THEN 1 ELSE 0 END")).as("fn"))
+      cm.withColumn("d2", expr(
+          "CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn) * (tn + fp) * (tn + fn)"))
+        .withColumn("t0", floor(sqrt(col("d2").cast("double"))).cast(dec38))
+        .withColumn("t1", expr(
+          "CASE WHEN t0 > 0 THEN (t0 + d2 div t0) div 2 ELSE CAST(0 AS DECIMAL(38,0)) END"))
+        .withColumn("sq", expr(
+          "CASE WHEN (t1 + 1) * (t1 + 1) <= d2 THEN t1 + 1" +
+            " WHEN t1 * t1 > d2 THEN t1 - 1 ELSE t1 END"))
+        .select(col("tp"), col("fp"), col("tn"), col("fn"),
+          expr("CAST(1000 * (CAST(tp AS DECIMAL(38,0)) * tn" +
+            " - CAST(fp AS DECIMAL(38,0)) * fn) div sq AS BIGINT)")
+            .as("mcc_milli"))
+    }),
+
+    // average precision (PR-AUC proxy) of account balance predicting a
+    // top-quartile spender: AP = mean over positives of P@k down the
+    // ranked list — P@k micro-quantized per cut (deterministic), both
+    // cumsum windows over the BOUNDED per-customer relation
+    "q593_average_precision" -> ((s, dir) => {
+      val sp = Tables.orders(s, dir).groupBy("o_custkey")
+        .agg(sum(centsOf(col("o_totalprice"))).as("spend"))
+      val scored = Tables.customer(s, dir)
+        .select(col("c_custkey"), centsOf(col("c_acctbal")).as("ab"))
+        .join(sp, col("c_custkey") === col("o_custkey"))
+        .withColumn("rel",
+          (ntile(4).over(Window.orderBy("spend", "c_custkey")) === 4)
+            .cast("long"))
+        .withColumn("k", row_number()
+          .over(Window.orderBy(col("ab").desc, col("c_custkey"))).cast("long"))
+        .withColumn("tp", sum(col("rel")).over(Window.orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      scored.agg(count(lit(1)).as("n"), sum(col("rel")).as("n_pos"),
+          sum(when(col("rel") === 1, expr("1000000 * tp div k"))
+            .otherwise(0L)).as("sump"))
+        .select(col("n"), col("n_pos"),
+          expr("sump div n_pos").as("ap_micro"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
