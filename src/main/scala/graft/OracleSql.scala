@@ -12811,7 +12811,84 @@ object OracleSql {
         |SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rel) AS BIGINT) AS n_pos,
         |       CAST(sum(CASE WHEN rel = 1 THEN 1000000 * tp // k ELSE 0 END)
         |            // sum(rel) AS BIGINT) AS ap_micro
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+
+    "q594_theil_sen" ->
+      """WITH m AS (SELECT CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+        |                       AS BIGINT) AS mo,
+        |                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |           FROM orders GROUP BY 1),
+        |p AS (SELECT 1000000 * (b.rev - a.rev) // (b.mo - a.mo) AS sl,
+        |             a.mo AS mo, b.mo AS mo2
+        |      FROM m a JOIN m b ON a.mo < b.mo),
+        |r AS (SELECT sl, row_number() OVER (ORDER BY sl, mo, mo2) AS rk,
+        |             count(*) OVER () AS np FROM p)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST((CAST(sum(CASE WHEN rk = (np + 1) // 2 THEN sl END) AS BIGINT)
+        |           + CAST(sum(CASE WHEN rk = (np + 2) // 2 THEN sl END) AS BIGINT))
+        |            // 2 AS BIGINT) AS theil_sen_micro
+        |FROM r""".stripMargin,
+
+    "q595_distinct_n" ->
+      """WITH w AS (SELECT source, doc_id, string_split(text, ' ') AS ws
+        |           FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+        |u AS (SELECT source, unnest(ws) AS w FROM w),
+        |uni AS (SELECT source, CAST(count(*) AS BIGINT) AS n_uni,
+        |               CAST(count(DISTINCT w) AS BIGINT) AS d_uni FROM u GROUP BY 1),
+        |bg AS (SELECT source, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS b
+        |       FROM w WHERE len(ws) >= 2),
+        |bi AS (SELECT source, CAST(count(*) AS BIGINT) AS n_bi,
+        |              CAST(count(DISTINCT b) AS BIGINT) AS d_bi FROM bg GROUP BY 1)
+        |SELECT uni.source, n_uni, d_uni, 1000000 * d_uni // n_uni AS distinct1_ppm,
+        |       n_bi, d_bi, 1000000 * d_bi // n_bi AS distinct2_ppm
+        |FROM uni JOIN bi ON uni.source = bi.source ORDER BY 1""".stripMargin,
+
+    "q596_span_corruption" ->
+      """WITH d AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |           FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+        |x AS (SELECT source, nt, (nt * 15 + 50) // 100 AS nm FROM d),
+        |y AS (SELECT source, nt, nm,
+        |             CASE WHEN nm = 0 THEN 0 ELSE greatest(1, (nm + 1) // 3) END AS ns
+        |      FROM x),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(nt) AS BIGINT) AS raw_tokens,
+        |             CAST(sum(nt - nm + ns) AS BIGINT) AS encoder_tokens,
+        |             CAST(sum(nm + ns + 1) AS BIGINT) AS decoder_tokens
+        |      FROM y GROUP BY 1)
+        |SELECT source, n_docs, raw_tokens, encoder_tokens, decoder_tokens,
+        |       1000000 * (encoder_tokens + decoder_tokens - raw_tokens)
+        |         // raw_tokens AS overhead_ppm
+        |FROM g ORDER BY 1""".stripMargin,
+
+    "q597_life_table" ->
+      """WITH life AS (SELECT o_custkey,
+        |                     CAST(datediff('day', min(o_orderdate), max(o_orderdate)) AS BIGINT) AS t
+        |              FROM orders GROUP BY 1),
+        |b AS (SELECT t // 30 AS band, CAST(count(*) AS BIGINT) AS d FROM life GROUP BY 1),
+        |r AS (SELECT band, d,
+        |             CAST(sum(d) OVER (ORDER BY band ROWS BETWEEN CURRENT ROW
+        |                  AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk,
+        |             CAST(sum(d) OVER () AS BIGINT) AS total FROM b)
+        |SELECT band, d, n_risk, 1000000 * d // n_risk AS qx_micro,
+        |       1000000 * n_risk // total AS lx_ppm
+        |FROM r ORDER BY band""".stripMargin,
+
+    "q598_shard_rebalance" ->
+      """WITH h AS (SELECT CAST(concat('0x', substr(md5('shard#' || CAST(doc_id AS VARCHAR)), 1, 12))
+        |                       AS BIGINT) % 16 AS shard
+        |           FROM documents),
+        |c AS (SELECT shard, CAST(count(*) AS BIGINT) AS cnt FROM h GROUP BY 1),
+        |r AS (SELECT shard, cnt, CAST(sum(cnt) OVER () AS BIGINT) AS n,
+        |             CAST(row_number() OVER (ORDER BY cnt DESC, shard) AS BIGINT) AS rk
+        |      FROM c),
+        |x AS (SELECT *, CASE WHEN rk <= n % 16 THEN n // 16 + 1 ELSE n // 16 END AS cap
+        |      FROM r)
+        |SELECT CAST(max(n) AS BIGINT) AS n_docs, CAST(count(*) AS BIGINT) AS n_shards,
+        |       CAST(max(cnt) AS BIGINT) AS max_shard, CAST(min(cnt) AS BIGINT) AS min_shard,
+        |       CAST(sum(greatest(cnt - cap, 0)) AS BIGINT) AS moves,
+        |       CAST(1000000 * CAST(sum(greatest(cnt - cap, 0)) AS BIGINT)
+        |            // max(n) AS BIGINT) AS moves_ppm
+        |FROM x""".stripMargin
   )
 
   /** Two-sample per-customer spend with global deterministic ranks — the

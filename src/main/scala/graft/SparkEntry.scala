@@ -14165,6 +14165,125 @@ object SparkEntry {
           expr("sump div n_pos").as("ap_micro"))
     }),
 
+    // Theil–Sen robust slope of monthly revenue: the median of all
+    // pairwise slopes — insensitive to the outlier months OLS chases.
+    // The month relation is BOUNDED (~80 rows), so the pair join is a
+    // few-thousand-row broadcast product, never corpus-scale; slopes
+    // micro-quantized (signed div truncates the same both engines),
+    // median = mean of the two middle ranks (q570's m2 idiom)
+    "q594_theil_sen" -> ((s, dir) => {
+      val m = Tables.orders(s, dir)
+        .groupBy(((year(col("o_orderdate")) - 1995) * 12
+          + month(col("o_orderdate")) - 1).cast("long").as("mo"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("rev"))
+        .localCheckpoint(false)
+      val pairs = m.crossJoin(broadcast(
+          m.select(col("mo").as("mo2"), col("rev").as("rev2"))))
+        .filter(col("mo") < col("mo2"))
+        .select(expr("1000000 * (rev2 - rev) div (mo2 - mo)").as("sl"),
+          col("mo"), col("mo2"))
+      pairs
+        .withColumn("rk", row_number()
+          .over(Window.orderBy("sl", "mo", "mo2")))
+        .withColumn("np", count(lit(1)).over(Window.partitionBy()))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("rk") === expr("(np + 1) div 2"), col("sl"))).as("lo"),
+          sum(when(col("rk") === expr("(np + 2) div 2"), col("sl"))).as("hi"))
+        .select(col("n_pairs"),
+          expr("(lo + hi) div 2").as("theil_sen_micro"))
+    }),
+
+    // distinct-n diversity per source: unique-unigram and unique-bigram
+    // ratios over the source's whole token stream (the corpus-diversity
+    // readout generation-eval calls distinct-1/distinct-2). Bigrams pair
+    // via the per-doc lead window (q582's shape); distincts are exact
+    "q595_distinct_n" -> ((s, dir) => {
+      val w = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("source").isNotNull)
+        .select(col("source"), col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val uni = w.groupBy("source")
+        .agg(count(lit(1)).as("n_uni"), countDistinct(col("w")).as("d_uni"))
+      val bi = w.withColumn("nw", lead(col("w"), 1)
+          .over(Window.partitionBy("doc_id").orderBy("pos")))
+        .filter(col("nw").isNotNull)
+        .select(col("source"), concat(col("w"), lit(" "), col("nw")).as("b"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_bi"), countDistinct(col("b")).as("d_bi"))
+      uni.join(bi, Seq("source"))
+        .select(col("source"), col("n_uni"), col("d_uni"),
+          expr("1000000 * d_uni div n_uni").as("distinct1_ppm"),
+          col("n_bi"), col("d_bi"),
+          expr("1000000 * d_bi div n_bi").as("distinct2_ppm"))
+        .orderBy("source")
+    }),
+
+    // T5 span-corruption batch planner: per doc, mask budget = 15% of
+    // tokens (half-away rounding), mean span 3 → sentinel count; encoder
+    // keeps n−mask+spans tokens, decoder emits mask+spans+1 — the
+    // sequence-length ledger that sizes a denoising pretraining batch,
+    // rolled up per source with the sentinel overhead in ppm
+    "q596_span_corruption" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("source").isNotNull)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .withColumn("nm", expr("(nt * 15 + 50) div 100"))
+        .withColumn("ns", expr(
+          "CASE WHEN nm = 0 THEN 0 ELSE greatest(1, (nm + 1) div 3) END"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("raw_tokens"),
+          sum(expr("nt - nm + ns")).as("encoder_tokens"),
+          sum(expr("nm + ns + 1")).as("decoder_tokens"))
+        .withColumn("overhead_ppm", expr(
+          "1000000 * (encoder_tokens + decoder_tokens - raw_tokens)" +
+            " div raw_tokens"))
+        .orderBy("source")),
+
+    // actuarial life table over customer lifetimes in 30-day bands:
+    // deaths, risk set at band start (reverse cumsum), interval death
+    // probability qx, and survival lx as the EMPIRICAL risk-set share —
+    // with no censoring in this data the product-limit and empirical
+    // forms coincide, so no running product is needed (q584's sibling)
+    "q597_life_table" -> ((s, dir) => {
+      val life = Tables.orders(s, dir).groupBy("o_custkey")
+        .agg(datediff(max(col("o_orderdate")), min(col("o_orderdate")))
+          .cast("long").as("t"))
+      val bands = life.groupBy(expr("t div 30").as("band"))
+        .agg(count(lit(1)).as("d"))
+      val after = Window.orderBy("band")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      bands.withColumn("n_risk", sum(col("d")).over(after))
+        .withColumn("total", sum(col("d")).over(Window.partitionBy()))
+        .select(col("band"), col("d"), col("n_risk"),
+          expr("1000000 * d div n_risk").as("qx_micro"),
+          expr("1000000 * n_risk div total").as("lx_ppm"))
+        .orderBy("band")
+    }),
+
+    // shard rebalancing plan: docs hash into 16 shards (q410's md5
+    // uniform); the balanced target is ⌈n/16⌉ for (n mod 16) shards and
+    // ⌊n/16⌋ for the rest, caps assigned to the LARGEST shards first
+    // (min-move matching, deterministic by (count desc, shard)); moves =
+    // Σ max(0, count − cap) — the exact migration volume a rebalance
+    // would ship
+    "q598_shard_rebalance" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(Dedup.md5Long(concat(lit("shard#"),
+          col("doc_id").cast("string")), 12).as("h"))
+        .groupBy(expr("h % 16").as("shard"))
+        .agg(count(lit(1)).as("cnt"))
+      sh.withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("cnt").desc, col("shard"))).cast("long"))
+        .withColumn("cap", expr(
+          "CASE WHEN rk <= n % 16 THEN n div 16 + 1 ELSE n div 16 END"))
+        .agg(max(col("n")).as("n_docs"), count(lit(1)).as("n_shards"),
+          max(col("cnt")).as("max_shard"), min(col("cnt")).as("min_shard"),
+          sum(greatest(col("cnt") - col("cap"), lit(0L))).as("moves"))
+        .withColumn("moves_ppm", expr("1000000 * moves div n_docs"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
