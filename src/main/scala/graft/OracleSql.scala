@@ -12711,25 +12711,7 @@ object OracleSql {
         |FROM g ORDER BY 1""".stripMargin,
 
     "q590_eccentricity" ->
-      ("""WITH rev0 AS MATERIALIZED (
-        |  -- aggregate BEFORE the <> filter: an inequality predicate between
-        |  -- two dimension columns bends DuckDB's join order into a
-        |  -- supplier×customer inequality join; over the 625-row aggregate
-        |  -- it is just a scan filter
-        |  SELECT s_nationkey AS sn, c_nationkey AS cn,
-        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w0
-        |  FROM lineitem
-        |  JOIN orders ON l_orderkey = o_orderkey
-        |  JOIN supplier ON l_suppkey = s_suppkey
-        |  JOIN customer ON o_custkey = c_custkey
-        |  GROUP BY 1, 2),
-        |rev AS MATERIALIZED (
-        |  SELECT least(sn, cn) AS a, greatest(sn, cn) AS b,
-        |         CAST(sum(w0) AS BIGINT) AS w
-        |  FROM rev0 WHERE sn <> cn GROUP BY 1, 2),
-        |tot AS (SELECT sum(CAST(w AS HUGEINT)) AS tw, CAST(count(*) AS BIGINT) AS np FROM rev),
-        |e0 AS (SELECT a, b FROM rev CROSS JOIN tot WHERE CAST(w AS HUGEINT) * np > tw),
-        |ed AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+      ("WITH " + nationEdgesCte + """,
         |nodes AS (SELECT DISTINCT a AS n FROM ed),
         |d0 AS (SELECT n AS src, n AS dst, CAST(0 AS BIGINT) AS d FROM nodes
         |       UNION ALL SELECT a AS src, b AS dst, CAST(1 AS BIGINT) AS d FROM ed)""".stripMargin +
@@ -12888,7 +12870,119 @@ object OracleSql {
         |       CAST(sum(greatest(cnt - cap, 0)) AS BIGINT) AS moves,
         |       CAST(1000000 * CAST(sum(greatest(cnt - cap, 0)) AS BIGINT)
         |            // max(n) AS BIGINT) AS moves_ppm
-        |FROM x""".stripMargin
+        |FROM x""".stripMargin,
+
+    "q599_split_gini" ->
+      ("""WITH o AS (SELECT c_mktsegment AS seg, CAST(c_nationkey AS VARCHAR) AS nat,
+        |                  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS yy
+        |           FROM orders JOIN customer ON o_custkey = c_custkey),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(yy) AS BIGINT) AS u FROM o)""".stripMargin +
+        Seq("mktsegment" -> "seg", "nation" -> "nat").zipWithIndex.map { case ((fname, fcol), i) =>
+          s""",
+             |f$i AS (SELECT $fcol AS v, CAST(count(*) AS BIGINT) AS nv,
+             |               CAST(sum(yy) AS BIGINT) AS uv FROM o GROUP BY 1),
+             |t$i AS (SELECT CAST(2000000 * CAST(uv AS HUGEINT) * (nv - uv)
+             |                    // (CAST(nv AS HUGEINT) * n) AS BIGINT) AS term, n, u
+             |        FROM f$i CROSS JOIN tot),
+             |g$i AS (SELECT '$fname' AS feature, CAST(count(*) AS BIGINT) AS n_values,
+             |               CAST(max(2000000 * CAST(u AS HUGEINT) * (n - u)
+             |                    // (CAST(n AS HUGEINT) * n)) AS BIGINT) AS root_gini_micro,
+             |               CAST(sum(term) AS BIGINT) AS split_gini_micro
+             |        FROM t$i)""".stripMargin
+        }.mkString + """,
+        |uu AS (SELECT * FROM g0 UNION ALL SELECT * FROM g1)
+        |SELECT feature, n_values, root_gini_micro, split_gini_micro,
+        |       root_gini_micro - split_gini_micro AS gain_micro
+        |FROM uu ORDER BY feature""".stripMargin),
+
+    "q600_silhouette" ->
+      s"""$ivfAssignCte,
+         |qv AS (SELECT vec_id, bucket, CAST(i AS BIGINT) AS pos,
+         |              CAST(round(e[CAST(i AS INT) + 1] * 1000000) AS BIGINT) AS qv
+         |       FROM asg CROSS JOIN unnest(range(0, len(e))) AS u(i)),
+         |cent AS (SELECT bucket AS cb, pos, CAST(sum(qv) // count(*) AS BIGINT) AS cq
+         |         FROM qv GROUP BY 1, 2),
+         |d2 AS (SELECT q.vec_id, q.bucket, c.cb,
+         |              CAST(sum((q.qv - c.cq) * (q.qv - c.cq)) AS BIGINT) AS d2
+         |       FROM qv q JOIN cent c ON q.pos = c.pos GROUP BY 1, 2, 3),
+         |ab AS (SELECT vec_id, bucket,
+         |              min(CASE WHEN cb = bucket THEN d2 END) AS a2,
+         |              min(CASE WHEN cb <> bucket THEN d2 END) AS b2
+         |       FROM d2 GROUP BY 1, 2),
+         |sm AS (SELECT bucket, 1000000 * (b2 - a2) // greatest(a2, b2) AS sm
+         |       FROM ab WHERE greatest(a2, b2) > 0)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_vectors,
+         |       CAST(sum(sm) // count(*) AS BIGINT) AS mean_sil_micro
+         |FROM sm GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q601_label_propagation" ->
+      ("WITH " + nationEdgesCte + """,
+        |nodes AS (SELECT DISTINCT a AS n FROM ed),
+        |l0 AS (SELECT n, n AS lbl FROM nodes)""".stripMargin +
+        (1 to 4).map { k =>
+          s""",
+             |v$k AS (SELECT n, lbl, count(*) AS c FROM (
+             |         SELECT ed.a AS n, p.lbl FROM ed JOIN l${k - 1} p ON ed.b = p.n
+             |         UNION ALL SELECT n, lbl FROM l${k - 1}) GROUP BY 1, 2),
+             |l$k AS (SELECT n, lbl FROM (
+             |         SELECT n, lbl, row_number() OVER (PARTITION BY n
+             |           ORDER BY c DESC, lbl) AS rk FROM v$k) WHERE rk = 1)""".stripMargin
+        }.mkString + """
+        |SELECT CAST(lbl AS BIGINT) AS community, CAST(count(*) AS BIGINT) AS size
+        |FROM l4 GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q602_region_mixing" ->
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT s_nationkey AS sn, c_nationkey AS cn,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |w AS (SELECT ns.n_regionkey AS ri, nc.n_regionkey AS rj,
+        |             CAST(sum(w0.w) AS BIGINT) AS w
+        |      FROM w0
+        |      JOIN nation ns ON w0.sn = ns.n_nationkey
+        |      JOIN nation nc ON w0.cn = nc.n_nationkey
+        |      GROUP BY 1, 2),
+        |rs AS (SELECT ri, CAST(sum(w) AS BIGINT) AS rw FROM w GROUP BY 1),
+        |cs AS (SELECT rj, CAST(sum(w) AS BIGINT) AS cw FROM w GROUP BY 1),
+        |sp AS (SELECT sum(CAST(rw AS HUGEINT) * cw) AS sprod
+        |       FROM rs JOIN cs ON ri = rj),
+        |tt AS (SELECT sum(CAST(w AS HUGEINT)) AS tw,
+        |              CAST(sum(CASE WHEN ri = rj THEN w ELSE 0 END) AS BIGINT) AS diag
+        |       FROM w)
+        |SELECT CAST(tw AS BIGINT) AS total_cents, diag AS intra_cents,
+        |       CAST(1000 * (tw * CAST(diag AS HUGEINT) - sprod)
+        |            // (tw * tw - sprod) AS BIGINT) AS assort_milli
+        |FROM tt CROSS JOIN sp""".stripMargin,
+
+    "q603_percolation_sweep" ->
+      ("WITH RECURSIVE " + nationTradeCte + """,
+        |ranked AS (SELECT a, b, CAST(row_number() OVER (ORDER BY w, a, b) AS BIGINT) AS rk,
+        |                  CAST(count(*) OVER () AS BIGINT) AS np FROM rev),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nations FROM nation)""".stripMargin +
+        (1 to 3).map { k =>
+          s""",
+             |e$k AS (SELECT a, b FROM ranked WHERE rk > $k * np // 4),
+             |u$k AS (SELECT a AS u, b AS v FROM e$k UNION SELECT b, a FROM e$k),
+             |reach$k(u, l) AS (
+             |  SELECT u, u FROM (SELECT DISTINCT u FROM u$k)
+             |  UNION
+             |  SELECT u$k.u, reach$k.l FROM u$k JOIN reach$k ON u$k.v = reach$k.u),
+             |lbl$k AS (SELECT u, min(l) AS l FROM reach$k GROUP BY u),
+             |sz$k AS (SELECT l, CAST(count(*) AS BIGINT) AS sz FROM lbl$k GROUP BY 1),
+             |g$k AS (SELECT CAST($k AS BIGINT) AS quartile,
+             |               (SELECT CAST(count(*) AS BIGINT) FROM e$k) AS n_edges,
+             |               CAST(count(*) AS BIGINT) AS n_components,
+             |               CAST(sum(sz) AS BIGINT) AS n_connected,
+             |               CAST(max(sz) AS BIGINT) AS giant_size,
+             |               CAST(1000000 * max(sz) // (SELECT n_nations FROM nn) AS BIGINT) AS giant_frac_ppm
+             |        FROM sz$k)""".stripMargin
+        }.mkString + """
+        |SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3
+        |ORDER BY quartile""".stripMargin)
   )
 
   /** Two-sample per-customer spend with global deterministic ranks — the
@@ -12904,6 +12998,34 @@ object OracleSql {
       |       FROM orders JOIN seg ON o_custkey = c_custkey GROUP BY 1, 2),
       |rk AS (SELECT ga, CAST(row_number() OVER (ORDER BY v, o_custkey) AS BIGINT) AS i,
       |              CAST(count(*) OVER () AS BIGINT) AS nn FROM sp)""".stripMargin
+
+  /** Undirected nation-pair trade revenue — the SparkEntry
+    * `nationTradeRev` mirror (aggregate BEFORE the <> filter: an
+    * inequality between dimension columns bends DuckDB's join order into
+    * a supplier×customer inequality join).
+    */
+  private def nationTradeCte: String =
+    """rev0 AS MATERIALIZED (
+      |  SELECT s_nationkey AS sn, c_nationkey AS cn,
+      |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w0
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |rev AS MATERIALIZED (
+      |  SELECT least(sn, cn) AS a, greatest(sn, cn) AS b,
+      |         CAST(sum(w0) AS BIGINT) AS w
+      |  FROM rev0 WHERE sn <> cn GROUP BY 1, 2)""".stripMargin
+
+  /** Above-mean doubled edge set over [[nationTradeCte]] — the
+    * `nationTradeEdges` mirror shared by q590/q601.
+    */
+  private def nationEdgesCte: String =
+    nationTradeCte + """,
+      |tot AS (SELECT sum(CAST(w AS HUGEINT)) AS tw, CAST(count(*) AS BIGINT) AS np FROM rev),
+      |e0 AS (SELECT a, b FROM rev CROSS JOIN tot WHERE CAST(w AS HUGEINT) * np > tw),
+      |ed AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0)""".stripMargin
 
   /** Daily mean order value (x = days since 1995-01-01, y = integer-mean
     * cents) — the SparkEntry `dailyMeanSpend` mirror under q585/q586.

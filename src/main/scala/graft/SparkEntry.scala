@@ -113,6 +113,39 @@ object SparkEntry {
           " - (n * sxy - sx * sy) * (n * sxy - sx * sy))" +
           " div ((n * sxx - sx * sx) * n) AS BIGINT)").as("ssr"))
 
+  /** Undirected nation-pair trade revenue (a < b, cents): ONE
+    * lineitem⋈orders pass with broadcast supplier/customer dims — the
+    * shared graph base under q590/q601/q603. Output bounded by |nation|².
+    */
+  private def nationTradeRev(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .select(least(col("s_nationkey"), col("c_nationkey")).as("a"),
+        greatest(col("s_nationkey"), col("c_nationkey")).as("b"),
+        centsOf(col("l_extendedprice")).as("w"))
+      .groupBy("a", "b").agg(sum(col("w")).as("w"))
+
+  /** Above-mean edge set of [[nationTradeRev]], doubled to both
+    * directions — the thinned undirected adjacency q590/q601 walk.
+    */
+  private def nationTradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val rev = nationTradeRev(s, dir).localCheckpoint(false)
+    val tot = rev.agg(sum(col("w").cast(dec38)).as("tw"),
+      count(lit(1)).as("np"))
+    val e0 = rev.crossJoin(broadcast(tot))
+      .filter(expr("CAST(w AS DECIMAL(38,0)) * np > tw"))
+      .select("a", "b").localCheckpoint(false)
+    e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+  }
+
   /** Wilcoxon rank-sum z² in milli from (n_a, n_b, nn, w_a) — the exact
     * rational 3000·(2W − n_a(N+1))² / (n_a·n_b·(N+1)); numerator is a
     * square so Spark `div` and DuckDB `//` agree. Shared by q574/q576.
@@ -14031,28 +14064,7 @@ object SparkEntry {
     // recursive fixpoint. The heavy work is ONE lineitem⋈orders join;
     // the graph itself is bounded by |nation|²
     "q590_eccentricity" -> ((s, dir) => {
-      val rev = Tables.lineitem(s, dir)
-        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.supplier(s, dir)
-          .select("s_suppkey", "s_nationkey")),
-          col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(Tables.customer(s, dir)
-          .select("c_custkey", "c_nationkey")),
-          col("o_custkey") === col("c_custkey"))
-        .filter(col("s_nationkey") =!= col("c_nationkey"))
-        .select(least(col("s_nationkey"), col("c_nationkey")).as("a"),
-          greatest(col("s_nationkey"), col("c_nationkey")).as("b"),
-          centsOf(col("l_extendedprice")).as("w"))
-        .groupBy("a", "b").agg(sum(col("w")).as("w"))
-        .localCheckpoint(false)
-      val tot = rev.agg(sum(col("w").cast(dec38)).as("tw"),
-        count(lit(1)).as("np"))
-      val edges = rev.crossJoin(broadcast(tot))
-        .filter(expr("CAST(w AS DECIMAL(38,0)) * np > tw"))
-        .select("a", "b").localCheckpoint(false)
-      val ed = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-        .localCheckpoint(false)
+      val ed = nationTradeEdges(s, dir).localCheckpoint(false)
       val nodes = ed.select(col("a").as("n")).distinct()
       val d0 = nodes.select(col("n").as("src"), col("n").as("dst"),
         lit(0L).as("d"))
@@ -14282,6 +14294,162 @@ object SparkEntry {
           max(col("cnt")).as("max_shard"), min(col("cnt")).as("min_shard"),
           sum(greatest(col("cnt") - col("cap"), lit(0L))).as("moves"))
         .withColumn("moves_ppm", expr("1000000 * moves div n_docs"))
+    }),
+
+    // decision-stump Gini audit: which single feature (market segment vs
+    // customer nation) splits URGENT orders best — weighted post-split
+    // Gini Σ_v 2·u_v(n_v−u_v)/(n_v·n) vs the root impurity, per-value
+    // micro quantization (q572 discipline); the feature-selection readout
+    // a tree/GBM pipeline derives its first split from
+    "q599_split_gini" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+          .select("c_custkey", "c_mktsegment", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          col("c_nationkey").cast("string").as("nat"),
+          (col("o_orderpriority") === "1-URGENT").cast("long").as("yy"))
+        .localCheckpoint(false)
+      val tot = o.agg(count(lit(1)).as("n"), sum(col("yy")).as("u"))
+      def forFeature(fcol: String, fname: String): DataFrame =
+        o.groupBy(col(fcol).as("v"))
+          .agg(count(lit(1)).as("nv"), sum(col("yy")).as("uv"))
+          .crossJoin(broadcast(tot))
+          .withColumn("term", expr(
+            "CAST(2000000 * CAST(uv AS DECIMAL(38,0)) * (nv - uv)" +
+              " div (CAST(nv AS DECIMAL(38,0)) * n) AS BIGINT)"))
+          .agg(count(lit(1)).as("n_values"),
+            sum(col("term")).as("split_gini_micro"),
+            max(expr("CAST(2000000 * CAST(u AS DECIMAL(38,0)) * (n - u)" +
+              " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
+              .as("root_gini_micro"))
+          .select(lit(fname).as("feature"), col("n_values"),
+            col("root_gini_micro"), col("split_gini_micro"),
+            (col("root_gini_micro") - col("split_gini_micro"))
+              .as("gain_micro"))
+      forFeature("seg", "mktsegment").unionByName(forFeature("nat", "nation"))
+        .orderBy("feature")
+    }),
+
+    // centroid silhouette of the IVF bucketing (q549/q550's third lens):
+    // per vector, a² = squared distance to the OWN centroid, b² = to the
+    // nearest OTHER — s = (b²−a²)/max(a²,b²) in micro, the squared-
+    // distance silhouette variant that needs no sqrt and no pair scan
+    // (8 broadcast centroids per vector, never vector×vector)
+    "q600_silhouette" -> ((s, dir) => {
+      val qv = Similarity.assignBuckets(
+          Tables.embeddings(s, dir), "vec_id", "embedding", 8)
+        .select(col("vid").as("vec_id"), col("bucket"),
+          posexplode(col("emb_d").cast("array<double>")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("bucket"), col("pos"),
+          round(col("x") * 1000000, 0).cast("long").as("qv"))
+        .localCheckpoint(false)
+      val cent = qv.groupBy("bucket", "pos")
+        .agg(expr("sum(qv) div count(1)").as("cq"))
+        .select(col("bucket").as("cb"), col("pos"), col("cq"))
+      val d2 = qv.join(broadcast(cent), "pos")
+        .groupBy("vec_id", "bucket", "cb")
+        .agg(sum(expr("(qv - cq) * (qv - cq)")).as("d2"))
+      val ab = d2.groupBy("vec_id", "bucket")
+        .agg(min(when(col("cb") === col("bucket"), col("d2"))).as("a2"),
+          min(when(col("cb") =!= col("bucket"), col("d2"))).as("b2"))
+        .filter(greatest(col("a2"), col("b2")) > 0)
+        .withColumn("sm", expr(
+          "1000000 * (b2 - a2) div greatest(a2, b2)"))
+      ab.groupBy("bucket")
+        .agg(count(lit(1)).as("n_vectors"),
+          expr("sum(sm) div count(1)").as("mean_sil_micro"))
+        .orderBy("bucket")
+    }),
+
+    // synchronous label propagation on the thinned nation trade graph:
+    // four fixed rounds of "adopt the modal neighbor label" (self vote
+    // included; ties → smallest label) — the cheap community detector
+    // beside q264's modularity readout. Fixed rounds keep the oracle a
+    // plain CTE chain; labels are node ids so the output is reproducible
+    "q601_label_propagation" -> ((s, dir) => {
+      val ed = nationTradeEdges(s, dir).localCheckpoint(false)
+      var l = ed.select(col("a").as("n")).distinct()
+        .select(col("n"), col("n").as("lbl"))
+      for (_ <- 1 to 4) {
+        val votes = ed.join(l.select(col("n").as("b2"), col("lbl")),
+            col("b") === col("b2"))
+          .select(col("a").as("n"), col("lbl"))
+          .union(l)
+          .groupBy("n", "lbl").agg(count(lit(1)).as("c"))
+        l = votes.groupBy("n")
+          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("n"), (-col("m.nl")).as("lbl"))
+          .localCheckpoint(false)
+      }
+      l.groupBy(col("lbl").cast("long").as("community"))
+        .agg(count(lit(1)).as("size"))
+        .orderBy("community")
+    }),
+
+    // region mixing assortativity: the directed supplier-region →
+    // customer-region revenue matrix, Newman's attribute assortativity
+    // r = (Σe_ii − Σa_i·b_i)/(1 − Σa_i·b_i) as ONE exact rational over
+    // the common denominator W² — does trade stay within regions (r > 0)
+    // or cross them. The matrix is |region|², built from one fact pass
+    "q602_region_mixing" -> ((s, dir) => {
+      val natReg = Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val w = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.customer(s, dir)
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(natReg.select(col("n_nationkey").as("sn"),
+          col("n_regionkey").as("ri"))), col("s_nationkey") === col("sn"))
+        .join(broadcast(natReg.select(col("n_nationkey").as("cn"),
+          col("n_regionkey").as("rj"))), col("c_nationkey") === col("cn"))
+        .groupBy("ri", "rj")
+        .agg(sum(centsOf(col("l_extendedprice"))).as("w"))
+        .localCheckpoint(false)
+      val rs = w.groupBy("ri").agg(sum(col("w")).as("rw"))
+      val cs = w.groupBy("rj").agg(sum(col("w")).as("cw"))
+      val sprod = rs.join(cs, col("ri") === col("rj"))
+        .agg(sum(expr("CAST(rw AS DECIMAL(38,0)) * cw")).as("sprod"))
+      w.agg(sum(col("w").cast(dec38)).as("tw"),
+          sum(when(col("ri") === col("rj"), col("w")).otherwise(0L))
+            .as("diag"))
+        .crossJoin(broadcast(sprod))
+        .select(col("tw").cast("long").as("total_cents"),
+          col("diag").as("intra_cents"),
+          expr("CAST(1000 * (tw * CAST(diag AS DECIMAL(38,0)) - sprod)" +
+            " div (tw * tw - sprod) AS BIGINT)").as("assort_milli"))
+    }),
+
+    // bond-percolation sweep on the weighted nation trade graph: keep the
+    // top (4−k)/4 of edges by revenue RANK (k = 1..3 — value thresholds
+    // would tie-break unpredictably), exact connected components per
+    // threshold, and the giant-component share of all nations — where
+    // the trade network fragments as weak links drop
+    "q603_percolation_sweep" -> ((s, dir) => {
+      val rev = nationTradeRev(s, dir)
+        .withColumn("rk", row_number().over(Window.orderBy("w", "a", "b"))
+          .cast("long"))
+        .withColumn("np", count(lit(1)).over(Window.partitionBy()))
+        .localCheckpoint(false)
+      val nNations = Tables.nation(s, dir).count()
+      val parts = (1 to 3).map { k =>
+        val edges = rev.filter(expr(s"rk > $k * np div 4")).select("a", "b")
+        val nEdges = edges.count()
+        graft.operators.ConnectedComponents.labels(edges, "a", "b")
+          .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_components"),
+            sum(col("sz")).as("n_connected"), max(col("sz")).as("giant"))
+          .select(lit(k.toLong).as("quartile"), lit(nEdges).as("n_edges"),
+            col("n_components"), col("n_connected"),
+            col("giant").as("giant_size"),
+            expr(s"1000000 * giant div ${nNations}L").as("giant_frac_ppm"))
+      }
+      parts.reduce(_.unionByName(_)).orderBy("quartile")
     }),
 
     // multimodal: opaque binary column + stub decode metadata
