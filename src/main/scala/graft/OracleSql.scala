@@ -12982,7 +12982,106 @@ object OracleSql {
              |        FROM sz$k)""".stripMargin
         }.mkString + """
         |SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3
-        |ORDER BY quartile""".stripMargin)
+        |ORDER BY quartile""".stripMargin),
+
+    "q604_borda_brands" ->
+      """WITH rev AS MATERIALIZED (
+        |  SELECT c_mktsegment AS seg, p_brand AS brand,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT brand, CAST(row_number() OVER (PARTITION BY seg
+        |             ORDER BY rev DESC, brand) AS BIGINT) AS rk FROM rev),
+        |p AS (SELECT brand, greatest(11 - rk, 0) AS pts, rk FROM r)
+        |SELECT brand, CAST(sum(pts) AS BIGINT) AS borda_points,
+        |       CAST(sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_ballots
+        |FROM p GROUP BY 1 HAVING sum(pts) > 0
+        |ORDER BY borda_points DESC, brand""".stripMargin,
+
+    "q605_mauve_proxy" ->
+      (s"""$ivfAssignCte,
+         |lb AS (SELECT vec_id AS vid2, CAST(label AS BIGINT) AS label
+         |       FROM embeddings WHERE label IS NOT NULL),
+         |ag AS (SELECT lb.label, asg.bucket FROM asg JOIN lb ON asg.vec_id = lb.vid2),
+         |c0 AS (SELECT label, bucket, CAST(count(*) AS BIGINT) AS craw FROM ag GROUP BY 1, 2),
+         |nl AS (SELECT label, CAST(sum(craw) AS BIGINT) AS n FROM c0 GROUP BY 1),
+         |g AS (SELECT bucket, CAST(sum(craw) AS BIGINT) AS gc FROM c0 GROUP BY 1),
+         |ng AS (SELECT CAST(sum(craw) AS BIGINT) AS ntot FROM c0),
+         |grid AS (SELECT nl.label, g.bucket, coalesce(c0.craw, 0) AS c, nl.n, g.gc, ng.ntot
+         |         FROM nl CROSS JOIN g CROSS JOIN ng
+         |         LEFT JOIN c0 ON c0.label = nl.label AND c0.bucket = g.bucket),
+         |t AS (SELECT label, n,
+         |             CASE WHEN c = 0 THEN 0
+         |                  ELSE c * CAST(round(ln(CAST(2 * c * ntot AS DOUBLE)
+         |                         / (c * ntot + gc * n)) * 1000000) AS BIGINT) // n END AS t1,
+         |             gc * CAST(round(ln(CAST(2 * gc * n AS DOUBLE)
+         |                  / (c * ntot + gc * n)) * 1000000) AS BIGINT) // ntot AS t2
+         |      FROM grid)
+         |SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+         |       CAST((sum(t1) + sum(t2)) // 2 AS BIGINT) AS jsd_micro
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q606_hopkins" ->
+      """WITH qv AS MATERIALIZED (
+        |  SELECT vec_id, CAST(i AS BIGINT) AS pos,
+        |         CAST(round(e[CAST(i AS INT) + 1] * 1000000) AS BIGINT) AS qv
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |        WHERE embedding IS NOT NULL)
+        |  CROSS JOIN unnest(range(0, len(e))) AS u(i)),
+        |ids AS (SELECT vec_id AS sid FROM (
+        |          SELECT vec_id, row_number() OVER (ORDER BY
+        |            CAST(concat('0x', substr(md5('hop#' || CAST(vec_id AS VARCHAR)), 1, 12))
+        |                 AS BIGINT), vec_id) AS rk
+        |          FROM (SELECT DISTINCT vec_id FROM qv)) WHERE rk <= 64),
+        |sq AS (SELECT sid, pos, qv AS sq FROM qv JOIN ids ON vec_id = sid),
+        |w1 AS (SELECT sid, q.vec_id AS oid, CAST(sum((sq - q.qv) * (sq - q.qv)) AS BIGINT) AS d2
+        |       FROM sq JOIN qv q USING (pos) WHERE q.vec_id <> sid GROUP BY 1, 2),
+        |w2 AS (SELECT sid, min(d2) AS nn2 FROM w1 GROUP BY 1),
+        |w AS (SELECT CAST(sum(nn2) AS BIGINT) AS sum_w, CAST(count(*) AS BIGINT) AS m FROM w2),
+        |dims AS (SELECT pos, CAST(min(qv) AS BIGINT) AS lo, CAST(max(qv) AS BIGINT) AS hi
+        |         FROM qv GROUP BY 1),
+        |refs AS (SELECT r, pos,
+        |                lo + CAST(concat('0x', substr(md5('hopu#' || CAST(r AS VARCHAR)
+        |                     || '#' || CAST(pos AS VARCHAR)), 1, 12)) AS BIGINT)
+        |                   % (hi - lo + 1) AS uq
+        |         FROM (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS r) CROSS JOIN dims),
+        |u1 AS (SELECT r, vec_id, CAST(sum((uq - qv) * (uq - qv)) AS BIGINT) AS d2
+        |       FROM refs JOIN qv USING (pos) GROUP BY 1, 2),
+        |u2 AS (SELECT r, min(d2) AS nn2 FROM u1 GROUP BY 1),
+        |uu AS (SELECT CAST(sum(nn2) AS BIGINT) AS sum_u FROM u2)
+        |SELECT m, sum_u, sum_w,
+        |       CAST(1000000 * CAST(sum_u AS HUGEINT)
+        |            // (CAST(sum_u AS HUGEINT) + sum_w) AS BIGINT) AS hopkins_micro
+        |FROM w CROSS JOIN uu""".stripMargin,
+
+    "q607_backlog_aging" ->
+      """WITH o AS (SELECT o_orderstatus AS status,
+        |                  CAST(datediff('day', o_orderdate,
+        |                       (SELECT max(o_orderdate) FROM orders)) AS BIGINT) AS age,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |           FROM orders WHERE o_orderstatus <> 'F')
+        |SELECT status, least(age // 180, 5) AS band,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(v) AS BIGINT) AS value_cents
+        |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q608_autoscaling" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1),
+        |r AS (SELECT cnt, CAST(row_number() OVER (ORDER BY cnt, h) AS BIGINT) AS rk,
+        |             CAST(count(*) OVER () AS BIGINT) AS nh FROM h),
+        |a AS (SELECT CAST(max(nh) AS BIGINT) AS n_hours,
+        |             CAST(sum(cnt) // count(*) AS BIGINT) AS mean_per_hour,
+        |             CAST(max(CASE WHEN rk = (19 * nh + 19) // 20 THEN cnt END) AS BIGINT)
+        |               AS p95_per_hour
+        |      FROM r)
+        |SELECT n_hours, mean_per_hour, p95_per_hour,
+        |       (p95_per_hour + 999) // 1000 AS replicas,
+        |       1000000 * p95_per_hour // mean_per_hour AS burst_ratio_ppm
+        |FROM a""".stripMargin
   )
 
   /** Two-sample per-customer spend with global deterministic ranks — the

@@ -14452,6 +14452,156 @@ object SparkEntry {
       parts.reduce(_.unionByName(_)).orderBy("quartile")
     }),
 
+    // Borda rank aggregation: each market segment "votes" a brand ranking
+    // by its revenue (deterministic rank), top-10 get points 10..1; the
+    // aggregate ranking is the consensus preference — ordinal vote fusion
+    // beside q541's cardinal Bradley–Terry. One fact pass; everything
+    // downstream is |segment|·|brand| rows
+    "q604_borda_brands" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.customer(s, dir)
+          .select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"), col("p_brand").as("brand"))
+        .agg(sum(centsOf(col("l_extendedprice"))).as("rev"))
+      rev.withColumn("rk", row_number().over(Window.partitionBy("seg")
+          .orderBy(col("rev").desc, col("brand"))).cast("long"))
+        .withColumn("pts", greatest(lit(11L) - col("rk"), lit(0L)))
+        .groupBy("brand")
+        .agg(sum(col("pts")).as("borda_points"),
+          sum(when(col("rk") <= 10, 1L).otherwise(0L)).as("n_ballots"))
+        .filter(col("borda_points") > 0)
+        .orderBy(col("borda_points").desc, col("brand"))
+    }),
+
+    // MAUVE-proxy: per embedding LABEL, the Jensen–Shannon divergence
+    // between the label's IVF-bucket histogram and the global one — the
+    // cluster-histogram divergence MAUVE builds its curve from, over the
+    // exact 8-bucket assignment. Per-bucket pinned-ln micro terms (q573
+    // discipline) over a zero-filled label×bucket grid
+    "q605_mauve_proxy" -> ((s, dir) => {
+      val asg = Similarity.assignBuckets(
+          Tables.embeddings(s, dir), "vec_id", "embedding", 8)
+        .select(col("vid").as("vec_id"), col("bucket"))
+        .join(Tables.embeddings(s, dir).filter(col("label").isNotNull)
+          .select(col("vec_id").as("vid2"), col("label")),
+          col("vec_id") === col("vid2"))
+        .select(col("label").cast("long").as("label"), col("bucket"))
+        .localCheckpoint(false)
+      val c = asg.groupBy("label", "bucket").agg(count(lit(1)).as("craw"))
+      val nl = c.groupBy("label").agg(sum(col("craw")).as("n"))
+      val g = c.groupBy("bucket").agg(sum(col("craw")).as("gc"))
+      val ng = c.agg(sum(col("craw")).as("ntot"))
+      val grid = nl.crossJoin(broadcast(g)).crossJoin(broadcast(ng))
+        .join(c, Seq("label", "bucket"), "left")
+        .select(col("label"), col("bucket"),
+          coalesce(col("craw"), lit(0L)).as("c"),
+          col("n"), col("gc"), col("ntot"))
+      grid
+        .withColumn("t1", expr(
+          "CASE WHEN c = 0 THEN 0 ELSE c * CAST(round(ln(" +
+            "CAST(2 * c * ntot AS DOUBLE) / (c * ntot + gc * n)) * 1000000)" +
+            " AS BIGINT) div n END"))
+        .withColumn("t2", expr(
+          "gc * CAST(round(ln(CAST(2 * gc * n AS DOUBLE)" +
+            " / (c * ntot + gc * n)) * 1000000) AS BIGINT) div ntot"))
+        .groupBy("label")
+        .agg(max(col("n")).as("n_vecs"),
+          expr("(sum(t1) + sum(t2)) div 2").as("jsd_micro"))
+        .orderBy("label")
+    }),
+
+    // Hopkins clusterability statistic: m = 64 md5-chosen corpus vectors'
+    // nearest-neighbor distances (W) vs 64 md5-synthesized uniform points
+    // in the per-dim quantized bounding box (U); H = ΣU/(ΣU+ΣW) → 1 when
+    // the corpus clusters, ½ when it's itself uniform. Everything is
+    // bounded m·|N| squared-distance pairs — exact integers, and the
+    // pseudo-uniform refs replay from md5 on both engines
+    "q606_hopkins" -> ((s, dir) => {
+      val qv = Tables.embeddings(s, dir)
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "x")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          round(col("x") * 1000000, 0).cast("long").as("qv"))
+        .localCheckpoint(false)
+      val ids = qv.select("vec_id").distinct()
+        .withColumn("h", Dedup.md5Long(concat(lit("hop#"),
+          col("vec_id").cast("string")), 12))
+        .withColumn("rk", row_number().over(Window.orderBy("h", "vec_id")))
+        .filter(col("rk") <= 64)
+        .select(col("vec_id").as("sid"))
+      val sampleQ = qv.join(broadcast(ids), col("vec_id") === col("sid"))
+        .select(col("sid"), col("pos"), col("qv").as("sq"))
+      val w = sampleQ.join(qv.withColumnRenamed("vec_id", "oid"), "pos")
+        .filter(col("oid") =!= col("sid"))
+        .groupBy("sid", "oid")
+        .agg(sum(expr("(sq - qv) * (sq - qv)")).as("d2"))
+        .groupBy("sid").agg(min(col("d2")).as("nn2"))
+        .agg(sum(col("nn2")).as("sum_w"), count(lit(1)).as("m"))
+      val dims = qv.groupBy("pos")
+        .agg(min(col("qv")).as("lo"), max(col("qv")).as("hi"))
+      val refs = s.range(64).toDF("r")
+        .crossJoin(broadcast(dims))
+        .select(col("r"), col("pos"),
+          (col("lo") + Dedup.md5Long(concat(lit("hopu#"),
+            col("r").cast("string"), lit("#"), col("pos").cast("string")), 12)
+            % (col("hi") - col("lo") + 1)).as("uq"))
+      val u = refs.join(qv, "pos")
+        .groupBy("r", "vec_id")
+        .agg(sum(expr("(uq - qv) * (uq - qv)")).as("d2"))
+        .groupBy("r").agg(min(col("d2")).as("nn2"))
+        .agg(sum(col("nn2")).as("sum_u"))
+      w.crossJoin(broadcast(u))
+        .select(col("m"), col("sum_u"), col("sum_w"),
+          expr("CAST(1000000 * CAST(sum_u AS DECIMAL(38,0))" +
+            " div (CAST(sum_u AS DECIMAL(38,0)) + sum_w) AS BIGINT)")
+            .as("hopkins_micro"))
+    }),
+
+    // order-backlog aging at the data's horizon: non-finished orders
+    // bucketed by 180-day age bands (capped at 5) per status — the
+    // open-work ledger an ops review reads; cutoff = max order date so
+    // the query is reproducible at any SF
+    "q607_backlog_aging" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("cutoff", max(col("o_orderdate"))
+          .over(Window.partitionBy()))
+        .filter(col("o_orderstatus") =!= "F")
+        .select(col("o_orderstatus").as("status"),
+          datediff(col("cutoff"), col("o_orderdate")).cast("long").as("age"),
+          centsOf(col("o_totalprice")).as("v"))
+        .groupBy(col("status"), least(expr("age div 180"), lit(5L)).as("band"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("v")).as("value_cents"))
+        .orderBy("status", "band")),
+
+    // autoscaling headroom: hourly event arrival rates → mean, exact-rank
+    // p95 hour, replicas at 1000 events/hour capacity (ceil), and the
+    // burst ratio — the capacity-planning readout beside q513's queueing
+    // delay. The hour relation is bounded by the time span, never |events|
+    "q608_autoscaling" -> ((s, dir) => {
+      val hours = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      hours
+        .withColumn("rk", row_number().over(Window.orderBy("cnt", "h"))
+          .cast("long"))
+        .withColumn("nh", count(lit(1)).over(Window.partitionBy()))
+        .agg(max(col("nh")).as("n_hours"),
+          expr("sum(cnt) div count(1)").as("mean_per_hour"),
+          max(when(col("rk") === expr("(19 * nh + 19) div 20"), col("cnt")))
+            .as("p95_per_hour"))
+        .select(col("n_hours"), col("mean_per_hour"), col("p95_per_hour"),
+          expr("(p95_per_hour + 999) div 1000").as("replicas"),
+          expr("1000000 * p95_per_hour div mean_per_hour")
+            .as("burst_ratio_ppm"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
