@@ -13081,6 +13081,93 @@ object OracleSql {
         |SELECT n_hours, mean_per_hour, p95_per_hour,
         |       (p95_per_hour + 999) // 1000 AS replicas,
         |       1000000 * p95_per_hour // mean_per_hour AS burst_ratio_ppm
+        |FROM a""".stripMargin,
+
+    "q609_cdc_chunking" ->
+      """WITH base AS (SELECT source, doc_id, text, CAST(length(text) AS BIGINT) AS len
+        |              FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+        |pos AS (SELECT source, unnest([substr(text, i, 8) for i in range(1, len(text) - 6)]) AS w
+        |        FROM base WHERE len >= 8),
+        |cuts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_positions,
+        |                CAST(sum(CASE WHEN CAST(concat('0x', substr(md5(w), 1, 12)) AS BIGINT)
+        |                              % 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
+        |         FROM pos GROUP BY 1),
+        |b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(len) AS BIGINT) AS n_chars FROM base GROUP BY 1)
+        |SELECT b.source, n_docs, n_chars, n_cuts,
+        |       n_chars // (n_cuts + n_docs) AS mean_chunk_len,
+        |       1000000 * n_cuts // n_positions AS cut_rate_ppm
+        |FROM b JOIN cuts ON b.source = cuts.source ORDER BY 1""".stripMargin,
+
+    "q610_cross_source_dups" ->
+      (s"""WITH ${minhashChain("documents")},
+         |src AS (SELECT doc_id, source FROM documents),
+         |m AS (SELECT least(a.source, b.source) AS source_a,
+         |             greatest(a.source, b.source) AS source_b
+         |      FROM cand JOIN src a ON cand.doc_a = a.doc_id
+         |                JOIN src b ON cand.doc_b = b.doc_id)
+         |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q611_index_advisor" ->
+      """WITH m AS MATERIALIZED (
+        |  SELECT o_orderkey, 'o_custkey' AS colname, CAST(o_custkey AS VARCHAR) AS val FROM orders
+        |  UNION ALL SELECT o_orderkey, 'o_orderdate', CAST(o_orderdate AS VARCHAR) FROM orders
+        |  UNION ALL SELECT o_orderkey, 'o_orderpriority', o_orderpriority FROM orders
+        |  UNION ALL SELECT o_orderkey, 'o_orderstatus', o_orderstatus FROM orders),
+        |c AS (SELECT colname, val,
+        |             CASE WHEN val = lag(val) OVER (PARTITION BY colname ORDER BY o_orderkey)
+        |                  THEN 0 ELSE 1 END AS chg
+        |      FROM m),
+        |g AS (SELECT colname, CAST(count(*) AS BIGINT) AS n_rows,
+        |             CAST(count(DISTINCT val) AS BIGINT) AS ndv,
+        |             CAST(sum(chg) AS BIGINT) AS runs FROM c GROUP BY 1),
+        |a AS (SELECT *, n_rows // runs AS avg_run_len FROM g)
+        |SELECT colname, n_rows, ndv, runs, avg_run_len,
+        |       CASE WHEN ndv <= 16 AND avg_run_len >= 4 THEN 'rle'
+        |            WHEN ndv <= 1024 THEN 'dict'
+        |            WHEN ndv * 10 >= n_rows THEN 'minmax'
+        |            ELSE 'bloom' END AS advice
+        |FROM a ORDER BY colname""".stripMargin,
+
+    "q612_benford_second" ->
+      """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 2, 1) AS BIGINT) AS d2
+        |      FROM v WHERE v >= 10),
+        |g AS (SELECT d2, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+        |t AS (SELECT d2, n_obs, CAST(sum(n_obs) OVER () AS BIGINT) AS n FROM g),
+        |e AS (SELECT *, CASE d2 WHEN 0 THEN 119679 WHEN 1 THEN 113890
+        |                        WHEN 2 THEN 108821 WHEN 3 THEN 104330
+        |                        WHEN 4 THEN 100308 WHEN 5 THEN 96677
+        |                        WHEN 6 THEN 93375 WHEN 7 THEN 90352
+        |                        WHEN 8 THEN 87570 ELSE 84997 END AS ex FROM t)
+        |SELECT d2 AS digit, n_obs, 1000000 * n_obs // n AS obs_ppm,
+        |       CAST(ex AS BIGINT) AS exp_ppm,
+        |       1000000 * n_obs // n - ex AS dev_ppm
+        |FROM e ORDER BY digit""".stripMargin,
+
+    "q613_winners_curse" ->
+      """WITH h AS (SELECT o_custkey,
+        |                  CAST(sum(CASE WHEN o_orderdate < DATE '1998-07-01'
+        |                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
+        |                           ELSE 0 END) AS BIGINT) AS s1,
+        |                  CAST(sum(CASE WHEN o_orderdate >= DATE '1998-07-01'
+        |                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
+        |                           ELSE 0 END) AS BIGINT) AS s2
+        |           FROM orders GROUP BY 1),
+        |f AS (SELECT * FROM h WHERE s1 > 0),
+        |t AS (SELECT s1, s2, ntile(10) OVER (ORDER BY s1, o_custkey) AS dec_ FROM f),
+        |a AS (SELECT CAST(sum(CASE WHEN dec_ = 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+        |             CAST(sum(CASE WHEN dec_ = 10 THEN s1 ELSE 0 END) AS BIGINT) AS top_h1,
+        |             CAST(sum(CASE WHEN dec_ = 10 THEN s2 ELSE 0 END) AS BIGINT) AS top_h2,
+        |             CAST(sum(s1) AS BIGINT) AS all_h1, CAST(sum(s2) AS BIGINT) AS all_h2
+        |      FROM t)
+        |SELECT n_top, top_h1, top_h2,
+        |       CAST(1000000 * CAST(top_h2 AS HUGEINT) // top_h1 AS BIGINT) AS top_ratio_ppm,
+        |       CAST(1000000 * CAST(all_h2 AS HUGEINT) // all_h1 AS BIGINT) AS all_ratio_ppm,
+        |       CAST(1000000 * CAST(all_h2 AS HUGEINT) // all_h1
+        |            - 1000000 * CAST(top_h2 AS HUGEINT) // top_h1 AS BIGINT)
+        |         AS regression_gap_ppm
         |FROM a""".stripMargin
   )
 

@@ -14602,6 +14602,142 @@ object SparkEntry {
             .as("burst_ratio_ppm"))
     }),
 
+    // content-defined chunking audit (Rabin-style): a cut lands wherever
+    // the 8-char window hash ≡ 0 (mod 64) — chunk boundaries survive
+    // insertions, unlike q97's fixed offsets, which is WHY dedup stores
+    // chunk this way. Per source: measured cut density vs the 1/64
+    // design point and the resulting mean chunk length. Position scan is
+    // one explode, O(total chars), no window
+    "q609_cdc_chunking" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("source").isNotNull)
+        .select(col("source"), col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("len"))
+        .localCheckpoint(false)
+      val cuts = base.filter(col("len") >= 8)
+        .select(col("source"),
+          explode(expr("sequence(1, len - 7)")).as("i"), col("text"))
+        .select(col("source"),
+          (Dedup.md5Long(expr("substring(text, i, 8)"), 12) % 64 === 0)
+            .cast("long").as("isCut"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_positions"), sum(col("isCut")).as("n_cuts"))
+      base.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_chars"))
+        .join(cuts, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_chars"), col("n_cuts"),
+          expr("n_chars div (n_cuts + n_docs)").as("mean_chunk_len"),
+          expr("1000000 * n_cuts div n_positions").as("cut_rate_ppm"))
+        .orderBy("source")
+    }),
+
+    // cross-source near-dup contamination matrix: q21's MinHash/LSH
+    // candidate pairs rolled up by (source, source) — which corpora leak
+    // into each other (the off-diagonal mass is what decontamination
+    // actually has to move). Reuses the flagship band-join verbatim;
+    // the roll-up is two broadcast dim joins on the candidate relation
+    "q610_cross_source_dups" -> ((s, dir) => {
+      val src = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+      val cand = Dedup.minhashCandidates(
+        Tables.documents(s, dir), "doc_id", "text")
+      cand
+        .join(broadcast(src.select(col("doc_id").as("doc_a"),
+          col("source").as("sa"))), "doc_a")
+        .join(broadcast(src.select(col("doc_id").as("doc_b"),
+          col("source").as("sb"))), "doc_b")
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    }),
+
+    // encoding/index advisor over the order columns: per column, NDV,
+    // runs in o_orderkey order (unique key — deterministic lag), and the
+    // pinned rule ladder (long runs + tiny NDV → RLE; small NDV → dict;
+    // huge NDV → minmax zone maps only). ONE scan via stack(), runs from
+    // a per-column lag window — the storage-layout recommendation the
+    // q591/q369 planners consume
+    "q611_index_advisor" -> ((s, dir) => {
+      val melted = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          expr("stack(4, 'o_custkey', CAST(o_custkey AS STRING)," +
+            " 'o_orderdate', CAST(o_orderdate AS STRING)," +
+            " 'o_orderpriority', o_orderpriority," +
+            " 'o_orderstatus', o_orderstatus)")
+            .as(Seq("colname", "val")))
+      val byKey = Window.partitionBy("colname").orderBy("o_orderkey")
+      melted
+        .withColumn("chg",
+          when(col("val") === lag(col("val"), 1).over(byKey), 0L)
+            .otherwise(1L))
+        .groupBy("colname")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("val")).as("ndv"), sum(col("chg")).as("runs"))
+        .withColumn("avg_run_len", expr("n_rows div runs"))
+        .withColumn("advice", expr(
+          "CASE WHEN ndv <= 16 AND avg_run_len >= 4 THEN 'rle'" +
+            " WHEN ndv <= 1024 THEN 'dict'" +
+            " WHEN ndv * 10 >= n_rows THEN 'minmax'" +
+            " ELSE 'bloom' END"))
+        .orderBy("colname")
+    }),
+
+    // Benford SECOND-digit test on order totals (cents): the forensic
+    // refinement that survives unit changes better than the leading
+    // digit; expected ppm per digit are the PINNED Σ log10(1 + 1/(10a+d))
+    // constants, so no logarithm runs in-query and the χ² contribution
+    // per digit is pure integer arithmetic
+    "q612_benford_second" -> ((s, dir) => {
+      val exp = "CASE d2 WHEN 0 THEN 119679 WHEN 1 THEN 113890" +
+        " WHEN 2 THEN 108821 WHEN 3 THEN 104330 WHEN 4 THEN 100308" +
+        " WHEN 5 THEN 96677 WHEN 6 THEN 93375 WHEN 7 THEN 90352" +
+        " WHEN 8 THEN 87570 ELSE 84997 END"
+      Tables.orders(s, dir)
+        .select(centsOf(col("o_totalprice")).as("v"))
+        .filter(col("v") >= 10)
+        .select(expr("CAST(substring(CAST(v AS STRING), 2, 1) AS BIGINT)")
+          .as("d2"))
+        .groupBy("d2").agg(count(lit(1)).as("n_obs"))
+        .withColumn("n", sum(col("n_obs")).over(Window.partitionBy()))
+        .select(col("d2").as("digit"), col("n_obs"),
+          expr("1000000 * n_obs div n").as("obs_ppm"),
+          expr(s"CAST($exp AS BIGINT)").as("exp_ppm"),
+          expr(s"1000000 * n_obs div n - ($exp)").as("dev_ppm"))
+        .orderBy("digit")
+    }),
+
+    // winner's-curse audit (regression to the mean): the top spend-decile
+    // of the FIRST half-window keeps only part of its lead in the second
+    // — their H2/H1 ppm ratio vs everyone's; the gap is the shrinkage a
+    // naive "reward last period's winners" policy ignores (q-EB
+    // shrinkage's empirical cousin)
+    "q613_winners_curse" -> ((s, dir) => {
+      val h = Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          (col("o_orderdate") < to_date(lit("1998-07-01"))).as("h1"),
+          centsOf(col("o_totalprice")).as("v"))
+        .groupBy("o_custkey")
+        .agg(sum(when(col("h1"), col("v")).otherwise(0L)).as("s1"),
+          sum(when(!col("h1"), col("v")).otherwise(0L)).as("s2"))
+        .filter(col("s1") > 0)
+      val t = h.withColumn("dec",
+        ntile(10).over(Window.orderBy("s1", "o_custkey")))
+      t.agg(
+          sum(when(col("dec") === 10, 1L).otherwise(0L)).as("n_top"),
+          sum(when(col("dec") === 10, col("s1")).otherwise(0L)).as("top_h1"),
+          sum(when(col("dec") === 10, col("s2")).otherwise(0L)).as("top_h2"),
+          sum(col("s1")).as("all_h1"), sum(col("s2")).as("all_h2"))
+        .select(col("n_top"), col("top_h1"), col("top_h2"),
+          expr("CAST(1000000 * CAST(top_h2 AS DECIMAL(38,0)) div top_h1" +
+            " AS BIGINT)").as("top_ratio_ppm"),
+          expr("CAST(1000000 * CAST(all_h2 AS DECIMAL(38,0)) div all_h1" +
+            " AS BIGINT)").as("all_ratio_ppm"),
+          expr("CAST(1000000 * CAST(all_h2 AS DECIMAL(38,0)) div all_h1" +
+            " - 1000000 * CAST(top_h2 AS DECIMAL(38,0)) div top_h1" +
+            " AS BIGINT)").as("regression_gap_ppm"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
