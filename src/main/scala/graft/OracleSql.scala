@@ -13168,7 +13168,104 @@ object OracleSql {
         |       CAST(1000000 * CAST(all_h2 AS HUGEINT) // all_h1
         |            - 1000000 * CAST(top_h2 AS HUGEINT) // top_h1 AS BIGINT)
         |         AS regression_gap_ppm
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    "q614_sq_sweep" ->
+      """WITH qv AS (SELECT CAST(i AS BIGINT) AS pos,
+        |                  CAST(round(e[CAST(i AS INT) + 1] * 1000000) AS BIGINT) AS x
+        |            FROM (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |                  WHERE embedding IS NOT NULL)
+        |            CROSS JOIN unnest(range(0, len(e))) AS u(i)),
+        |dims AS (SELECT pos, CAST(min(x) AS BIGINT) AS lo, CAST(max(x) AS BIGINT) AS hi
+        |         FROM qv GROUP BY 1),
+        |j AS (SELECT x, lo, hi - lo AS span, unnest([4, 6, 8]) AS b
+        |      FROM qv JOIN dims USING (pos)),
+        |q AS (SELECT CAST(b AS BIGINT) AS b, x, lo, span,
+        |             CAST(CASE b WHEN 4 THEN 15 WHEN 6 THEN 63 ELSE 255 END AS BIGINT) AS lv
+        |      FROM j),
+        |c AS (SELECT b, x, lo, span, lv,
+        |             CASE WHEN span = 0 THEN 0
+        |                  ELSE ((x - lo) * lv + span // 2) // span END AS code FROM q),
+        |r AS (SELECT b, x, lo + (code * span + lv // 2) // lv AS recon FROM c),
+        |g AS (SELECT b, CAST(count(*) AS BIGINT) AS n_vals,
+        |             sum(CAST((x - recon) AS HUGEINT) * (x - recon)) AS se
+        |      FROM r GROUP BY 1)
+        |SELECT b AS bits, n_vals, CAST(se // n_vals AS BIGINT) AS mse_per_val,
+        |       1000000 * b // 32 AS size_vs_f32_ppm
+        |FROM g ORDER BY bits""".stripMargin,
+
+    "q615_dobrushin" ->
+      """WITH tr AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT event_type AS cur,
+        |           lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS nxt
+        |    FROM events) WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |states AS (SELECT DISTINCT cur AS st FROM tr),
+        |rws AS (SELECT cur, CAST(sum(c) AS BIGINT) AS n FROM tr GROUP BY 1),
+        |grid AS (SELECT rws.cur, states.st, coalesce(tr.c, 0) AS c, rws.n
+        |         FROM rws CROSS JOIN states
+        |         LEFT JOIN tr ON tr.cur = rws.cur AND tr.nxt = states.st),
+        |pair AS (SELECT x.cur AS state_a, y.cur AS state_b,
+        |                CAST(max(x.n) AS BIGINT) AS n1, CAST(max(y.n) AS BIGINT) AS n2,
+        |                sum(abs(CAST(x.c AS HUGEINT) * y.n - CAST(y.c AS HUGEINT) * x.n)) AS sad
+        |         FROM grid x JOIN grid y ON x.st = y.st AND x.cur < y.cur
+        |         GROUP BY 1, 2),
+        |tv AS (SELECT state_a, state_b,
+        |              CAST(1000000 * sad // (2 * CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS tv_ppm
+        |       FROM pair),
+        |top AS (SELECT * FROM tv ORDER BY tv_ppm DESC, state_a, state_b LIMIT 1),
+        |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_transitions,
+        |              CAST(count(DISTINCT cur) AS BIGINT) AS n_states FROM tr)
+        |SELECT n_states, n_transitions, state_a, state_b, tv_ppm AS dobrushin_ppm
+        |FROM top CROSS JOIN nt""".stripMargin,
+
+    "q616_char_entropy" ->
+      """WITH ch0 AS (SELECT source, unnest([substr(text, i, 1) for i in range(1, len(text) + 1)]) AS ch
+        |             FROM documents
+        |             WHERE text IS NOT NULL AND source IS NOT NULL AND len(text) > 0),
+        |g AS (SELECT source, ch, CAST(count(*) AS BIGINT) AS c FROM ch0 GROUP BY 1, 2),
+        |a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |             CAST(count(*) AS BIGINT) AS n_distinct_chars,
+        |             CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS scl
+        |      FROM g GROUP BY 1)
+        |SELECT source, n AS n_chars, n_distinct_chars,
+        |       CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) - scl // n AS entropy_micro
+        |FROM a ORDER BY 1""".stripMargin,
+
+    "q617_price_endings" ->
+      """WITH e AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) % 100 AS ending FROM orders),
+        |g AS (SELECT ending, CAST(count(*) AS BIGINT) AS n_obs FROM e GROUP BY 1),
+        |t AS (SELECT ending, n_obs, CAST(sum(n_obs) OVER () AS BIGINT) AS n,
+        |             row_number() OVER (ORDER BY n_obs DESC, ending) AS rk FROM g)
+        |SELECT ending, n_obs, 1000000 * n_obs // n AS obs_ppm,
+        |       1000000 * n_obs // n - 10000 AS dev_ppm
+        |FROM t WHERE rk <= 10 ORDER BY n_obs DESC, ending""".stripMargin,
+
+    "q618_ks_two_sample" ->
+      """WITH sp AS (SELECT o_custkey,
+        |                   CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS g1,
+        |                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        |            FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |bv AS (SELECT v, CAST(sum(g1) AS BIGINT) AS d1,
+        |              CAST(sum(1 - g1) AS BIGINT) AS d2 FROM sp GROUP BY 1),
+        |cw AS (SELECT v,
+        |              CAST(sum(d1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |                   AND CURRENT ROW) AS BIGINT) AS c1,
+        |              CAST(sum(d2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |                   AND CURRENT ROW) AS BIGINT) AS c2,
+        |              CAST(sum(d1) OVER () AS BIGINT) AS n1,
+        |              CAST(sum(d2) OVER () AS BIGINT) AS n2
+        |       FROM bv),
+        |a AS (SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+        |             CAST(max(1000000 * abs(c1 * n2 - c2 * n1) // (n1 * n2)) AS BIGINT) AS d_ppm
+        |      FROM cw),
+        |x0 AS (SELECT *, 1000000 * n1 * n2 // (n1 + n2) AS x FROM a),
+        |t0c AS (SELECT *, CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) AS t0 FROM x0),
+        |t1c AS (SELECT *, CASE WHEN t0 > 0 THEN (t0 + x // t0) // 2 ELSE 0 END AS t1 FROM t0c),
+        |sqc AS (SELECT n1, n2, d_ppm,
+        |               CASE WHEN (t1 + 1) * (t1 + 1) <= x THEN t1 + 1
+        |                    WHEN t1 * t1 > x THEN t1 - 1 ELSE t1 END AS sq FROM t1c)
+        |SELECT n1, n2, d_ppm, d_ppm * sq // 1000000 AS ks_lambda_milli
+        |FROM sqc""".stripMargin
   )
 
   /** Two-sample per-customer spend with global deterministic ranks — the

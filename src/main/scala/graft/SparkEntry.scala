@@ -14738,6 +14738,164 @@ object SparkEntry {
             " AS BIGINT)").as("regression_gap_ppm"))
     }),
 
+    // scalar-quantization sweep for the embedding store: 4/6/8-bit
+    // per-dim codes in the exact bounding box, half-away integer
+    // round-trip, exact squared reconstruction error — the bits-vs-MSE
+    // curve that picks an SQ width before committing an index (q?PQ
+    // audit's scalar sibling). One pass; the ×3 width fan-out is a
+    // map-side explode
+    "q614_sq_sweep" -> ((s, dir) => {
+      val qv = Tables.embeddings(s, dir).filter(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "xx")))
+        .select(col("pos").cast("long").as("pos"),
+          round(col("xx") * 1000000, 0).cast("long").as("x"))
+      val dims = qv.groupBy("pos")
+        .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      qv.join(broadcast(dims), "pos")
+        .select(col("x"), col("lo"), (col("hi") - col("lo")).as("span"))
+        .withColumn("b", explode(array(lit(4L), lit(6L), lit(8L))))
+        .withColumn("lv", expr(
+          "CASE b WHEN 4 THEN 15 WHEN 6 THEN 63 ELSE 255 END"))
+        .withColumn("code", expr("CASE WHEN span = 0 THEN 0" +
+          " ELSE ((x - lo) * lv + span div 2) div span END"))
+        .withColumn("recon", expr(
+          "lo + (code * span + lv div 2) div lv"))
+        .withColumn("err", expr("(x - recon) * (x - recon)"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("n_vals"),
+          sum(col("err").cast(dec38)).as("se"))
+        .select(col("b").as("bits"), col("n_vals"),
+          expr("CAST(se div n_vals AS BIGINT)").as("mse_per_val"),
+          expr("1000000 * b div 32").as("size_vs_f32_ppm"))
+        .orderBy("bits")
+    }),
+
+    // Dobrushin ergodicity coefficient of the event-type Markov chain:
+    // δ = ½ max over state pairs of the TV distance between their
+    // outgoing rows — δ < 1 certifies geometric mixing, and the arg-max
+    // pair names the two states that disagree most about what follows.
+    // Exact rational on the common n_i·n_i' denominator over the
+    // zero-filled |states|² grid; transitions from ONE lead window
+    "q615_dobrushin" -> ((s, dir) => {
+      // event_id is the arrival-order key: ordering by raw ts would
+      // tie-break differently across engines after the µs truncation
+      val tr = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type").as("cur"))
+        .withColumn("nxt", lead(col("cur"), 1)
+          .over(Window.partitionBy("user_id").orderBy("event_id")))
+        .filter(col("nxt").isNotNull)
+        .groupBy("cur", "nxt").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val states = tr.select(col("cur").as("st")).distinct()
+      val rows_ = tr.groupBy("cur").agg(sum(col("c")).as("n"))
+      val grid = rows_.crossJoin(broadcast(states))
+        .join(tr.withColumnRenamed("nxt", "st"), Seq("cur", "st"), "left")
+        .select(col("cur"), col("st"),
+          coalesce(col("c"), lit(0L)).as("c"), col("n"))
+      val pair = grid.as("x")
+        .join(grid.withColumnRenamed("cur", "cur2")
+          .withColumnRenamed("c", "c2").withColumnRenamed("n", "n2").as("y"),
+          Seq("st"))
+        .filter(col("cur") < col("cur2"))
+        .groupBy(col("cur").as("state_a"), col("cur2").as("state_b"))
+        .agg(max(col("n")).as("n1"), max(col("n2")).as("n2"),
+          sum(abs(col("c") * col("n2") - col("c2") * col("n")).cast(dec38))
+            .as("sad"))
+        .select(col("state_a"), col("state_b"),
+          expr("CAST(1000000 * sad div (2 * CAST(n1 AS DECIMAL(38,0)) * n2)" +
+            " AS BIGINT)").as("tv_ppm"))
+      val nTot = tr.agg(sum(col("c")).as("n_transitions"),
+        countDistinct(col("cur")).as("n_states"))
+      pair.orderBy(col("tv_ppm").desc, col("state_a"), col("state_b"))
+        .limit(1)
+        .crossJoin(broadcast(nTot))
+        .select(col("n_states"), col("n_transitions"),
+          col("state_a"), col("state_b"),
+          col("tv_ppm").as("dobrushin_ppm"))
+    }),
+
+    // 0-order character entropy per source (nats, micro): H = ln n −
+    // (Σ c·ln c)/n over the bounded character alphabet — the
+    // byte-level signal that separates prose from markup/code where
+    // the word-level entropies can't (q?entropy-rate's char sibling).
+    // Pinned-ln per count (q573 discipline); the char explode is one
+    // O(total chars) pass
+    "q616_char_entropy" -> ((s, dir) => {
+      val ch = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("source").isNotNull)
+        .select(col("source"), col("text"),
+          length(col("text")).cast("long").as("len"))
+        .filter(col("len") > 0)
+        .select(col("source"), explode(expr("sequence(1, len)")).as("i"),
+          col("text"))
+        .select(col("source"), expr("substring(text, i, 1)").as("ch"))
+        .groupBy("source", "ch").agg(count(lit(1)).as("c"))
+      ch.groupBy("source")
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct_chars"),
+          sum(expr("c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000)" +
+            " AS BIGINT)")).as("scl"))
+        .select(col("source"), col("n").as("n_chars"),
+          col("n_distinct_chars"),
+          expr("CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)" +
+            " - scl div n").as("entropy_micro"))
+        .orderBy("source")
+    }),
+
+    // price-ending forensics: the cents-mod-100 distribution of order
+    // totals — psychological pricing (.99) or rounding artifacts show
+    // as mass away from the uniform 1% line; top-10 endings with their
+    // ppm deviation (Benford's retail cousin, q612's neighbor)
+    "q617_price_endings" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select((centsOf(col("o_totalprice")) % 100).as("ending"))
+        .groupBy("ending").agg(count(lit(1)).as("n_obs"))
+        .withColumn("n", sum(col("n_obs")).over(Window.partitionBy()))
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("n_obs").desc, col("ending"))))
+        .filter(col("rk") <= 10)
+        .select(col("ending"), col("n_obs"),
+          expr("1000000 * n_obs div n").as("obs_ppm"),
+          expr("1000000 * n_obs div n - 10000").as("dev_ppm"))
+        .orderBy(col("n_obs").desc, col("ending"))),
+
+    // two-sample Kolmogorov–Smirnov: D = max |F₁ − F₂| between
+    // AUTOMOBILE customers' spend distribution and everyone else's —
+    // exact on the common n₁·n₂ denominator at every distinct value
+    // (ties accumulate correctly because the grid is per-VALUE), with
+    // the √(n₁n₂/(n₁+n₂)) scaling via the exact isqrt chain
+    "q618_ks_two_sample" -> ((s, dir) => {
+      val sp = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+          .select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_custkey"),
+          (col("c_mktsegment") === "AUTOMOBILE").cast("long").as("g1"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("v"))
+      val byV = sp.groupBy("v")
+        .agg(sum(col("g1")).as("d1"), sum(lit(1L) - col("g1")).as("d2"))
+      val upTo = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byV
+        .withColumn("c1", sum(col("d1")).over(upTo))
+        .withColumn("c2", sum(col("d2")).over(upTo))
+        .withColumn("n1", sum(col("d1")).over(Window.partitionBy()))
+        .withColumn("n2", sum(col("d2")).over(Window.partitionBy()))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          max(expr("1000000 * abs(c1 * n2 - c2 * n1)" +
+            " div (n1 * n2)")).as("d_ppm"))
+        .withColumn("x", expr("1000000 * n1 * n2 div (n1 + n2)"))
+        .withColumn("t0", floor(sqrt(col("x").cast("double"))).cast("long"))
+        .withColumn("t1", expr(
+          "CASE WHEN t0 > 0 THEN (t0 + x div t0) div 2 ELSE 0 END"))
+        .withColumn("sq", expr(
+          "CASE WHEN (t1 + 1) * (t1 + 1) <= x THEN t1 + 1" +
+            " WHEN t1 * t1 > x THEN t1 - 1 ELSE t1 END"))
+        .select(col("n1"), col("n2"), col("d_ppm"),
+          expr("d_ppm * sq div 1000000").as("ks_lambda_milli"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
