@@ -13265,7 +13265,77 @@ object OracleSql {
         |               CASE WHEN (t1 + 1) * (t1 + 1) <= x THEN t1 + 1
         |                    WHEN t1 * t1 > x THEN t1 - 1 ELSE t1 END AS sq FROM t1c)
         |SELECT n1, n2, d_ppm, d_ppm * sq // 1000000 AS ks_lambda_milli
-        |FROM sqc""".stripMargin
+        |FROM sqc""".stripMargin,
+
+    "q619_footrule" ->
+      """WITH b AS (SELECT p_brand AS brand,
+        |                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev,
+        |                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |           FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+        |r AS (SELECT brand,
+        |             CAST(row_number() OVER (ORDER BY rev DESC, brand) AS BIGINT) AS r1,
+        |             CAST(row_number() OVER (ORDER BY qty DESC, brand) AS BIGINT) AS r2
+        |      FROM b)
+        |SELECT CAST(count(*) AS BIGINT) AS n_brands,
+        |       CAST(sum(abs(r1 - r2)) AS BIGINT) AS footrule_sum,
+        |       CAST(1000000 * CAST(sum(abs(r1 - r2)) AS BIGINT)
+        |            // (count(*) * count(*) // 2) AS BIGINT) AS footrule_ppm
+        |FROM r""".stripMargin,
+
+    "q620_german_tank" ->
+      """WITH s AS (SELECT o_orderkey,
+        |                  row_number() OVER (ORDER BY
+        |                    CAST(concat('0x', substr(md5('tank#' || CAST(o_orderkey AS VARCHAR)), 1, 12))
+        |                         AS BIGINT), o_orderkey) AS rk
+        |           FROM orders),
+        |k AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(max(o_orderkey) AS BIGINT) AS max_seen
+        |      FROM s WHERE rk <= 200),
+        |t AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS true_max FROM orders)
+        |SELECT k, max_seen, max_seen + max_seen // k - 1 AS estimate, true_max,
+        |       1000000 * (max_seen + max_seen // k - 1 - true_max) // true_max AS err_ppm
+        |FROM k CROSS JOIN t""".stripMargin,
+
+    "q621_chao1" ->
+      """WITH ws AS (SELECT source, string_split(text, ' ') AS ws
+        |            FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+        |bg0 AS (SELECT source, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS b
+        |        FROM ws WHERE len(ws) >= 2),
+        |bg AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c FROM bg0 GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS s_obs,
+        |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |       CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        |       CAST(count(*) + sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |            * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)
+        |            // (2 * (sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1)) AS BIGINT) AS chao1
+        |FROM bg GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q622_birthday_audit" ->
+      """WITH c AS (SELECT CAST(concat('0x', substr(md5('bday#' || CAST(doc_id AS VARCHAR)), 1, 12))
+        |                       AS BIGINT) % 4096 AS bucket, CAST(count(*) AS BIGINT) AS c
+        |           FROM documents GROUP BY 1),
+        |a AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |             CAST(sum(c * (c - 1) // 2) AS BIGINT) AS obs_pairs FROM c)
+        |SELECT n, CAST(4096 AS BIGINT) AS m, obs_pairs,
+        |       n * (n - 1) // 2 // 4096 AS exp_pairs,
+        |       CAST(1000000 * CAST(obs_pairs AS HUGEINT) * 4096
+        |            // (CAST(n AS HUGEINT) * (n - 1) // 2) AS BIGINT) AS ratio_ppm
+        |FROM a""".stripMargin,
+
+    "q623_fanout_tail" ->
+      """WITH p AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |                  CAST(sum(CASE WHEN value > 15.0 THEN 1 ELSE 0 END) AS BIGINT) AS slow
+        |           FROM events GROUP BY 1),
+        |l AS (SELECT *,
+        |             CAST(round(ln(CAST(n - slow AS DOUBLE) / n) * 1000000) AS BIGINT) AS l,
+        |             1000000 * slow // n AS p_ppm
+        |      FROM p),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_types, CAST(sum(l) AS BIGINT) AS lsum,
+        |             CAST(max(p_ppm) AS BIGINT) AS max_single_ppm FROM l),
+        |e AS (SELECT *, CAST(round(exp(CAST(lsum AS DOUBLE) / 1000000.0) * 1000000)
+        |                     AS BIGINT) AS surv_ppm FROM a)
+        |SELECT n_types, max_single_ppm, 1000000 - surv_ppm AS any_slow_ppm,
+        |       1000 * (1000000 - surv_ppm) // max_single_ppm AS amplification_milli
+        |FROM e""".stripMargin
   )
 
   /** Two-sample per-customer spend with global deterministic ranks — the

@@ -14896,6 +14896,119 @@ object SparkEntry {
           expr("d_ppm * sq div 1000000").as("ks_lambda_milli"))
     }),
 
+    // Spearman footrule distance between the revenue and the quantity
+    // brand rankings: F = Σ|r₁ − r₂| normalized by its ⌊n²/2⌋ maximum —
+    // the displacement metric (how far did positions MOVE) next to
+    // q254's concordance view; two rank windows over the bounded brand
+    // relation from one fact pass
+    "q619_footrule" -> ((s, dir) => {
+      val b = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(sum(centsOf(col("l_extendedprice"))).as("rev"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+      b.withColumn("r1", row_number()
+          .over(Window.orderBy(col("rev").desc, col("brand"))).cast("long"))
+        .withColumn("r2", row_number()
+          .over(Window.orderBy(col("qty").desc, col("brand"))).cast("long"))
+        .agg(count(lit(1)).as("n_brands"),
+          sum(abs(col("r1") - col("r2"))).as("footrule_sum"))
+        .select(col("n_brands"), col("footrule_sum"),
+          expr("1000000 * footrule_sum div (n_brands * n_brands div 2)")
+            .as("footrule_ppm"))
+    }),
+
+    // German tank estimator: from k = 200 md5-sampled orders, estimate
+    // the maximum order key as m̂ = m + m/k − 1 (the serial-number MVU
+    // estimator) and audit it against the true max — the classic
+    // estimate-population-from-a-sample drill, useful as a key-space
+    // probe when scanning the full table is off-budget
+    "q620_german_tank" -> ((s, dir) => {
+      val sample = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          Dedup.md5Long(concat(lit("tank#"),
+            col("o_orderkey").cast("string")), 12).as("h"))
+        .withColumn("rk", row_number().over(Window.orderBy("h", "o_orderkey")))
+        .filter(col("rk") <= 200)
+        .agg(count(lit(1)).as("k"), max(col("o_orderkey")).as("max_seen"))
+      val truth = Tables.orders(s, dir)
+        .agg(max(col("o_orderkey")).as("true_max"))
+      sample.crossJoin(broadcast(truth))
+        .select(col("k"), col("max_seen"),
+          expr("max_seen + max_seen div k - 1").as("estimate"),
+          col("true_max"),
+          expr("1000000 * (max_seen + max_seen div k - 1 - true_max)" +
+            " div true_max").as("err_ppm"))
+    }),
+
+    // Chao1 richness estimator over per-source word BIGRAMS (unigrams
+    // saturate here — q582's reasoning): Ŝ = S + F₁(F₁−1)/(2(F₂+1)),
+    // the bias-corrected form that reads how much unseen vocabulary the
+    // singleton/doubleton head implies — the "how much is left" twin of
+    // Good–Turing's unseen mass
+    "q621_chao1" -> ((s, dir) => {
+      val bg = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("source").isNotNull)
+        .select(col("source"), col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .withColumn("nw", lead(col("w"), 1)
+          .over(Window.partitionBy("doc_id").orderBy("pos")))
+        .filter(col("nw").isNotNull)
+        .groupBy(col("source"), concat(col("w"), lit(" "), col("nw")).as("b"))
+        .agg(count(lit(1)).as("c"))
+      bg.groupBy("source")
+        .agg(count(lit(1)).as("s_obs"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+        .select(col("source"), col("s_obs"), col("f1"), col("f2"),
+          expr("s_obs + f1 * (f1 - 1) div (2 * (f2 + 1))").as("chao1"))
+        .orderBy("source")
+    }),
+
+    // birthday-paradox hash audit: docs hashed into 4096 md5 buckets —
+    // observed colliding pairs Σ C(c,2) vs the uniform expectation
+    // C(n,2)/m as ONE exact ratio; a ratio far from 1e6 ppm means the
+    // hash (or the id space) is not behaving uniformly — the q598
+    // rebalancer's pre-flight check
+    "q622_birthday_audit" -> ((s, dir) => {
+      val c = Tables.documents(s, dir)
+        .select((Dedup.md5Long(concat(lit("bday#"),
+          col("doc_id").cast("string")), 12) % 4096).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("c"))
+      c.agg(sum(col("c")).as("n"),
+          sum(expr("c * (c - 1) div 2")).as("obs_pairs"))
+        .select(col("n"), lit(4096L).as("m"), col("obs_pairs"),
+          expr("n * (n - 1) div 2 div 4096").as("exp_pairs"),
+          expr("CAST(1000000 * CAST(obs_pairs AS DECIMAL(38,0)) * 4096" +
+            " div (CAST(n AS DECIMAL(38,0)) * (n - 1) div 2) AS BIGINT)")
+            .as("ratio_ppm"))
+    }),
+
+    // fan-out tail amplification: a request touching one event of EACH
+    // type is slow if ANY leg is slow (value > 15) — P(any) = 1 − Π(1−pᵢ)
+    // via summed pinned micro-nat logs and ONE exp (q573's geomean
+    // discipline), against the worst single leg; the "tail at scale"
+    // readout for fan-out services
+    "q623_fanout_tail" -> ((s, dir) => {
+      val p = Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") > 15.0, 1L).otherwise(0L)).as("slow"))
+        .withColumn("l", expr(
+          "CAST(round(ln(CAST(n - slow AS DOUBLE) / n) * 1000000) AS BIGINT)"))
+        .withColumn("p_ppm", expr("1000000 * slow div n"))
+      p.agg(count(lit(1)).as("n_types"), sum(col("l")).as("lsum"),
+          max(col("p_ppm")).as("max_single_ppm"))
+        .withColumn("surv_ppm", expr(
+          "CAST(round(exp(CAST(lsum AS DOUBLE) / 1000000.0) * 1000000)" +
+            " AS BIGINT)"))
+        .select(col("n_types"), col("max_single_ppm"),
+          (lit(1000000L) - col("surv_ppm")).as("any_slow_ppm"),
+          expr("1000 * (1000000 - surv_ppm) div max_single_ppm")
+            .as("amplification_milli"))
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
