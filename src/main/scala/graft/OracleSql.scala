@@ -13335,7 +13335,118 @@ object OracleSql {
         |                     AS BIGINT) AS surv_ppm FROM a)
         |SELECT n_types, max_single_ppm, 1000000 - surv_ppm AS any_slow_ppm,
         |       1000 * (1000000 - surv_ppm) // max_single_ppm AS amplification_milli
-        |FROM e""".stripMargin
+        |FROM e""".stripMargin,
+
+    "q624_roc_deciles" ->
+      """WITH sp AS (SELECT o_custkey,
+        |                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend
+        |            FROM orders GROUP BY 1),
+        |sc AS (SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS ab, spend
+        |       FROM customer JOIN sp ON c_custkey = o_custkey),
+        |r AS (SELECT CASE WHEN ntile(4) OVER (ORDER BY spend, c_custkey) = 4
+        |                  THEN 1 ELSE 0 END AS rel,
+        |             ntile(10) OVER (ORDER BY ab DESC, c_custkey) AS dec_ FROM sc),
+        |d AS (SELECT CAST(dec_ AS BIGINT) AS decile, CAST(sum(rel) AS BIGINT) AS pos,
+        |             CAST(sum(1 - rel) AS BIGINT) AS neg FROM r GROUP BY 1),
+        |c AS (SELECT decile,
+        |             CAST(sum(pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+        |                  AND CURRENT ROW) AS BIGINT) AS tp,
+        |             CAST(sum(neg) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+        |                  AND CURRENT ROW) AS BIGINT) AS fp,
+        |             CAST(sum(pos) OVER () AS BIGINT) AS p,
+        |             CAST(sum(neg) OVER () AS BIGINT) AS ng
+        |      FROM d)
+        |SELECT decile, 1000000 * tp // p AS tpr_ppm, 1000000 * fp // ng AS fpr_ppm,
+        |       1000000 * tp // (tp + fp) AS precision_ppm
+        |FROM c ORDER BY decile""".stripMargin,
+
+    "q625_scc_directed" ->
+      """WITH RECURSIVE d0 AS MATERIALIZED (
+        |  SELECT s_nationkey AS a, c_nationkey AS b,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT a, b FROM (SELECT * FROM d0 WHERE a <> b) d
+        |  CROSS JOIN (SELECT sum(CAST(w AS HUGEINT)) AS tw,
+        |                     CAST(count(*) AS BIGINT) AS np
+        |              FROM d0 WHERE a <> b) t
+        |  WHERE CAST(w AS HUGEINT) * np > tw),
+        |reach(a, b) AS (SELECT a, b FROM e
+        |                UNION SELECT reach.a, e.b FROM reach JOIN e ON reach.b = e.a),
+        |mutual AS (SELECT r1.a, r1.b FROM reach r1
+        |           JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+        |nodes AS (SELECT a AS node FROM reach UNION SELECT b FROM reach),
+        |lbl AS (SELECT n.node, least(min(m.b), min(n.node)) AS scc
+        |        FROM nodes n LEFT JOIN mutual m ON m.a = n.node GROUP BY n.node)
+        |SELECT CAST(scc AS BIGINT) AS scc_id, CAST(count(*) AS BIGINT) AS size
+        |FROM lbl GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q626_absorption_reach" ->
+      ("""WITH tr AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT event_type AS cur,
+        |           lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS nxt
+        |    FROM events) WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |rws AS (SELECT cur, CAST(sum(c) AS BIGINT) AS n FROM tr GROUP BY 1),
+        |direct AS (SELECT rws.cur, rws.n, coalesce(p.c, 0) AS cp
+        |           FROM rws LEFT JOIN (SELECT cur, c FROM tr WHERE nxt = 'purchase') p
+        |           ON rws.cur = p.cur),
+        |cont AS (SELECT cur, nxt, c FROM tr WHERE nxt <> 'purchase'),
+        |r1 AS (SELECT cur AS st, 1000000 * cp // n AS rp FROM direct)""".stripMargin +
+        (2 to 4).map { k =>
+          s""",
+             |r$k AS (SELECT d.cur AS st, (1000000 * d.cp + coalesce(s.srp, 0)) // d.n AS rp
+             |       FROM direct d LEFT JOIN (
+             |         SELECT cont.cur, CAST(sum(cont.c * r${k - 1}.rp) AS BIGINT) AS srp
+             |         FROM cont JOIN r${k - 1} ON cont.nxt = r${k - 1}.st GROUP BY 1) s
+             |       ON d.cur = s.cur)""".stripMargin
+        }.mkString + """
+        |SELECT d.cur AS state, d.n AS n_out, r1.rp AS reach1_ppm, r4.rp AS reach4_ppm
+        |FROM direct d JOIN r1 ON d.cur = r1.st JOIN r4 ON d.cur = r4.st
+        |WHERE d.cur <> 'purchase' ORDER BY 1""".stripMargin),
+
+    "q627_gorilla_ts" ->
+      """WITH t AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+        |d AS (SELECT event_type, user_id, event_id,
+        |             t - lag(t) OVER (PARTITION BY user_id ORDER BY event_id) AS d
+        |      FROM t),
+        |dd AS (SELECT event_type,
+        |              d - lag(d) OVER (PARTITION BY user_id ORDER BY event_id) AS dod
+        |       FROM d),
+        |b AS (SELECT event_type, dod,
+        |             CASE WHEN dod = 0 THEN 1 WHEN abs(dod) <= 64 THEN 9
+        |                  WHEN abs(dod) <= 256 THEN 12 WHEN abs(dod) <= 2048 THEN 16
+        |                  ELSE 36 END AS bits
+        |      FROM dd WHERE dod IS NOT NULL)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(1000000 * sum(CASE WHEN dod = 0 THEN 1 ELSE 0 END) // count(*)
+        |            AS BIGINT) AS zero_dod_ppm,
+        |       CAST(1000 * sum(bits) // count(*) AS BIGINT) AS bits_per_ts_milli,
+        |       CAST(1000000 * sum(bits) // (64 * count(*)) AS BIGINT) AS vs_raw_ppm
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q628_ltv_payback" ->
+      """WITH first_ AS (SELECT o_custkey AS ck, date_trunc('quarter', min(o_orderdate)) AS cohort
+        |                FROM orders GROUP BY 1),
+        |mrev AS (SELECT cohort,
+        |                CAST((year(o_orderdate) - year(cohort)) * 12
+        |                     + month(o_orderdate) - month(cohort) AS BIGINT) AS mi,
+        |                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |         FROM orders JOIN first_ ON o_custkey = ck GROUP BY 1, 2),
+        |nc AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers FROM first_ GROUP BY 1),
+        |c AS (SELECT cohort, mi, rev,
+        |             CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY mi
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |             CAST(first_value(rev) OVER (PARTITION BY cohort ORDER BY mi) AS BIGINT) AS m0
+        |      FROM mrev),
+        |g AS (SELECT cohort, CAST(max(m0) AS BIGINT) AS m0_cents,
+        |             min(CASE WHEN cum >= 2 * m0 THEN mi END) AS payback
+        |      FROM c GROUP BY 1)
+        |SELECT strftime(g.cohort, '%Y-%m') AS cohort, n_customers, m0_cents,
+        |       CAST(coalesce(payback, -1) AS BIGINT) AS payback_month
+        |FROM g JOIN nc ON g.cohort = nc.cohort ORDER BY 1""".stripMargin
   )
 
   /** Two-sample per-customer spend with global deterministic ranks — the

@@ -15009,6 +15009,194 @@ object SparkEntry {
             .as("amplification_milli"))
     }),
 
+    // ROC curve at decile cuts: account balance scoring the top-quartile
+    // spender label (q593's pair), one (tpr, fpr, precision) point per
+    // score decile — the table a threshold choice actually reads, next
+    // to the single-number AUC/AP/Youden family. Cumulative counts over
+    // the 10-row decile relation only
+    "q624_roc_deciles" -> ((s, dir) => {
+      val sp = Tables.orders(s, dir).groupBy("o_custkey")
+        .agg(sum(centsOf(col("o_totalprice"))).as("spend"))
+      val scored = Tables.customer(s, dir)
+        .select(col("c_custkey"), centsOf(col("c_acctbal")).as("ab"))
+        .join(sp, col("c_custkey") === col("o_custkey"))
+        .withColumn("rel",
+          (ntile(4).over(Window.orderBy("spend", "c_custkey")) === 4)
+            .cast("long"))
+        .withColumn("dec", ntile(10)
+          .over(Window.orderBy(col("ab").desc, col("c_custkey"))).cast("long"))
+      val d = scored.groupBy("dec")
+        .agg(sum(col("rel")).as("pos"), sum(lit(1L) - col("rel")).as("neg"))
+      val upTo = Window.orderBy("dec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("tp", sum(col("pos")).over(upTo))
+        .withColumn("fp", sum(col("neg")).over(upTo))
+        .withColumn("p", sum(col("pos")).over(Window.partitionBy()))
+        .withColumn("ng", sum(col("neg")).over(Window.partitionBy()))
+        .select(col("dec").as("decile"),
+          expr("1000000 * tp div p").as("tpr_ppm"),
+          expr("1000000 * fp div ng").as("fpr_ppm"),
+          expr("1000000 * tp div (tp + fp)").as("precision_ppm"))
+        .orderBy("decile")
+    }),
+
+    // strongly connected components of the DIRECTED trade graph
+    // (supplier nation → customer nation, above-mean pair revenue):
+    // exact reach closure by path doubling (converges in ⌈log₂ diam⌉
+    // driver rounds, actions on counts only — the CC-labels discipline),
+    // SCC id = min mutually-reachable node. The oracle replays the
+    // closure as a recursive CTE fixpoint
+    "q625_scc_directed" -> ((s, dir) => {
+      val d0 = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.customer(s, dir)
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("s_nationkey").as("a"), col("c_nationkey").as("b"))
+        .agg(sum(centsOf(col("l_extendedprice"))).as("w"))
+        .filter(col("a") =!= col("b"))
+        .localCheckpoint(false)
+      val tot = d0.agg(sum(col("w").cast(dec38)).as("tw"),
+        count(lit(1)).as("np"))
+      var reach = d0.crossJoin(broadcast(tot))
+        .filter(expr("CAST(w AS DECIMAL(38,0)) * np > tw"))
+        .select("a", "b").localCheckpoint(false)
+      var n = reach.count()
+      var grown = true
+      var rounds = 0
+      while (grown && rounds < 6) {
+        val nxt = reach.union(
+            reach.join(reach.select(col("a").as("m"), col("b").as("b2")),
+              col("b") === col("m"))
+              .select(col("a"), col("b2").as("b")))
+          .distinct().localCheckpoint(false)
+        val n2 = nxt.count()
+        grown = n2 > n
+        n = n2
+        reach = nxt
+        rounds += 1
+      }
+      val mutual = reach
+        .join(reach.select(col("b").as("a"), col("a").as("b")),
+          Seq("a", "b"), "left_semi")
+      val nodes = reach.select(col("a").as("node"))
+        .union(reach.select(col("b").as("node"))).distinct()
+      nodes
+        .join(mutual.select(col("a").as("node"), col("b").as("m")),
+          Seq("node"), "left")
+        .groupBy("node")
+        .agg(least(min(col("m")), min(col("node"))).as("scc"))
+        .groupBy(col("scc").cast("long").as("scc_id"))
+        .agg(count(lit(1)).as("size"))
+        .orderBy("scc_id")
+    }),
+
+    // absorption reach of the event chain: P(hit 'purchase' within k
+    // steps) from each state, k = 1 and 4 — the "how close is every
+    // state to converting" readout; four exact ppm value-iteration
+    // rounds over the bounded transition matrix (each round one join on
+    // |states|² rows), event_id arrival order (q615's convention)
+    "q626_absorption_reach" -> ((s, dir) => {
+      val tr = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type").as("cur"))
+        .withColumn("nxt", lead(col("cur"), 1)
+          .over(Window.partitionBy("user_id").orderBy("event_id")))
+        .filter(col("nxt").isNotNull)
+        .groupBy("cur", "nxt").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val rows_ = tr.groupBy("cur").agg(sum(col("c")).as("n"))
+      val direct = rows_.join(
+          tr.filter(col("nxt") === "purchase")
+            .select(col("cur"), col("c").as("cp")), Seq("cur"), "left")
+        .select(col("cur"), col("n"), coalesce(col("cp"), lit(0L)).as("cp"))
+        .localCheckpoint(false)
+      val cont = tr.filter(col("nxt") =!= "purchase")
+      var r = direct.select(col("cur").as("st"),
+        expr("1000000 * cp div n").as("rp"))
+      val r1 = r
+      for (_ <- 1 to 3) {
+        val step = cont.join(r.withColumnRenamed("st", "nxt"), "nxt")
+          .groupBy("cur").agg(sum(expr("c * rp")).as("srp"))
+        r = direct.join(step, Seq("cur"), "left")
+          .select(col("cur").as("st"),
+            expr("(1000000 * cp + coalesce(srp, 0)) div n").as("rp"))
+          .localCheckpoint(false)
+      }
+      direct.select(col("cur").as("st"), col("n"))
+        .join(r1.select(col("st"), col("rp").as("reach1_ppm")), "st")
+        .join(r.select(col("st"), col("rp").as("reach4_ppm")), "st")
+        .filter(col("st") =!= "purchase")
+        .select(col("st").as("state"), col("n").as("n_out"),
+          col("reach1_ppm"), col("reach4_ppm"))
+        .orderBy("state")
+    }),
+
+    // Gorilla timestamp-compression audit: per event type, the
+    // delta-of-delta bit classes of the (µs) arrival stream — share of
+    // dod = 0 (1 bit), |dod| ≤ 64 (9), ≤ 256 (12), ≤ 2048 (16), else
+    // (36) — and the implied bits/timestamp vs the raw 64: the TSDB
+    // encoding readout for the events table. Two lags per user stream
+    "q627_gorilla_ts" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("event_id")
+      val dod = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"))
+        .withColumn("d", col("t") - lag(col("t"), 1).over(byUser))
+        .withColumn("dod", col("d") - lag(col("d"), 1).over(byUser))
+        .filter(col("dod").isNotNull)
+        .withColumn("bits", expr("CASE WHEN dod = 0 THEN 1" +
+          " WHEN abs(dod) <= 64 THEN 9 WHEN abs(dod) <= 256 THEN 12" +
+          " WHEN abs(dod) <= 2048 THEN 16 ELSE 36 END"))
+      dod.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("dod") === 0, 1L).otherwise(0L)).as("n_zero"),
+          sum(col("bits").cast("long")).as("total_bits"))
+        .select(col("event_type"), col("n"),
+          expr("1000000 * n_zero div n").as("zero_dod_ppm"),
+          expr("1000 * total_bits div n").as("bits_per_ts_milli"),
+          expr("1000000 * total_bits div (64 * n)").as("vs_raw_ppm"))
+        .orderBy("event_type")
+    }),
+
+    // cohort LTV payback: for each signup quarter, the months until
+    // cumulative revenue reaches 2× the cohort's first month — the
+    // "when does a cohort repay acquisition" curve; month index is
+    // integer calendar arithmetic, cumulative over the bounded
+    // (cohort × month) relation
+    "q628_ltv_payback" -> ((s, dir) => {
+      val first = Tables.orders(s, dir).groupBy("o_custkey")
+        .agg(min(col("o_orderdate")).as("f"))
+        .select(col("o_custkey").as("ck"),
+          date_trunc("quarter", col("f")).as("cohort"))
+      val mrev = Tables.orders(s, dir)
+        .join(first, col("o_custkey") === col("ck"))
+        .groupBy(col("cohort"),
+          ((year(col("o_orderdate")) - year(col("cohort"))) * 12
+            + month(col("o_orderdate")) - month(col("cohort")))
+            .cast("long").as("mi"))
+        .agg(sum(centsOf(col("o_totalprice"))).as("rev"))
+      val nc = first.groupBy("cohort")
+        .agg(countDistinct(col("ck")).as("n_customers"))
+      val upTo = Window.partitionBy("cohort").orderBy("mi")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      mrev.withColumn("cum", sum(col("rev")).over(upTo))
+        .withColumn("m0", first_value(col("rev"))
+          .over(Window.partitionBy("cohort").orderBy("mi")))
+        .groupBy("cohort")
+        .agg(max(col("m0")).as("m0_cents"),
+          min(when(col("cum") >= lit(2L) * col("m0"), col("mi")))
+            .as("payback"))
+        .join(broadcast(nc), "cohort")
+        .select(date_format(col("cohort"), "yyyy-MM").as("cohort"),
+          col("n_customers"), col("m0_cents"),
+          coalesce(col("payback"), lit(-1L)).as("payback_month"))
+        .orderBy("cohort")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")

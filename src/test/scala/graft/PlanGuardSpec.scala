@@ -180,7 +180,22 @@ class PlanGuardSpec extends AnyFunSuite {
     "q392_histogram_2d",       // 1-row min/max bounds broadcast
     "q403_expanding_slope",    // 1-row start-date aggregate bound
     "q405_bowley_skewness",    // 1-row count + bounded histogram broadcasts
-    "q406_ri_audit")           // 1-row ref/orphan count pairs per edge
+    "q406_ri_audit",           // 1-row ref/orphan count pairs per edge
+    "q578_quade_test",         // 1-row A-sum crossed with the 1-row T-sum
+    "q579_hellinger_sources",  // 1-row corpus-total row in the lang grid
+    "q580_tv_distance",        // same sourceLangGrid 1-row total
+    "q581_chi2_divergence",    // same sourceLangGrid 1-row total
+    "q583_gk_gamma",           // bounded 16-cell contingency self-cross
+    "q585_chow_test",          // 1-row pooled-SSR row crossed into the split row
+    "q587_brier_decomposition",// 1-row test-total row crossed into 5 bins
+    "q592_mcc",                // 1-row train-global row + 1-row confusion row
+    "q594_theil_sen",          // bounded ~80-month dictionary pair cross
+    "q599_split_gini",         // 1-row root-impurity totals per feature
+    "q602_region_mixing",      // 1-row Σa·b row crossed into the totals row
+    "q605_mauve_proxy",        // 1-row corpus-total row in the label grid
+    "q606_hopkins",            // 1-row ΣU row crossed into the 1-row ΣW row
+    "q615_dobrushin",          // 1-row transition-total row behind LIMIT 1
+    "q620_german_tank")        // 1-row true-max row crossed into the sample row
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
