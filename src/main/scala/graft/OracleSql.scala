@@ -13446,7 +13446,125 @@ object OracleSql {
         |      FROM c GROUP BY 1)
         |SELECT strftime(g.cohort, '%Y-%m') AS cohort, n_customers, m0_cents,
         |       CAST(coalesce(payback, -1) AS BIGINT) AS payback_month
-        |FROM g JOIN nc ON g.cohort = nc.cohort ORDER BY 1""".stripMargin
+        |FROM g JOIN nc ON g.cohort = nc.cohort ORDER BY 1""".stripMargin,
+
+    "q629_hedging_audit" ->
+      """WITH r AS (SELECT event_type, value,
+        |                  CAST(row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value, event_id) AS BIGINT) AS rk,
+        |                  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |           FROM events)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |       max(CASE WHEN rk = (n + 1) // 2 THEN value END) AS p50,
+        |       max(CASE WHEN rk = (9 * n + 9) // 10 THEN value END) AS p90,
+        |       max(CASE WHEN rk = (99 * n + 99) // 100 THEN value END) AS p99,
+        |       max(CASE WHEN rk = (9 * n + 9) // 10 THEN value END) AS hedged_p99,
+        |       CAST(1000000 * (max(n) - (max(n) + 1) // 2) // max(n) AS BIGINT) AS extra_load_ppm
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q630_bin_width_rules" ->
+      """WITH sp AS (SELECT o_custkey,
+        |                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        |            FROM orders GROUP BY 1),
+        |r AS (SELECT v, CAST(row_number() OVER (ORDER BY v, o_custkey) AS BIGINT) AS rk,
+        |             CAST(count(*) OVER () AS BIGINT) AS n FROM sp),
+        |a AS (SELECT CAST(max(n) AS BIGINT) AS n, CAST(min(v) AS BIGINT) AS mn,
+        |             CAST(max(v) AS BIGINT) AS mx,
+        |             CAST(max(CASE WHEN rk = (n + 3) // 4 THEN v END) AS BIGINT) AS q1,
+        |             CAST(max(CASE WHEN rk = (3 * n + 3) // 4 THEN v END) AS BIGINT) AS q3,
+        |             sum(CAST(v AS HUGEINT)) AS sx, sum(CAST(v AS HUGEINT) * v) AS sxx
+        |      FROM r),
+        |b AS (SELECT *, q3 - q1 AS iqr,
+        |             CAST((n * sxx - sx * sx) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS vr
+        |      FROM a),
+        |s0c AS (SELECT *, CAST(floor(sqrt(CAST(vr AS DOUBLE))) AS BIGINT) AS s0 FROM b),
+        |s1c AS (SELECT *, CASE WHEN s0 > 0 THEN (s0 + vr // s0) // 2 ELSE 0 END AS s1 FROM s0c),
+        |sg AS (SELECT *, CASE WHEN (s1 + 1) * (s1 + 1) <= vr THEN s1 + 1
+        |                      WHEN s1 * s1 > vr THEN s1 - 1 ELSE s1 END AS sig FROM s1c),
+        |c0c AS (SELECT *, CAST(round(pow(CAST(n AS DOUBLE), 0.3333333333333333)) AS BIGINT) AS c0
+        |        FROM sg),
+        |cbc AS (SELECT *, CASE WHEN (c0 + 1) * (c0 + 1) * (c0 + 1) <= n THEN c0 + 1
+        |                       WHEN c0 * c0 * c0 > n THEN c0 - 1 ELSE c0 END AS cb FROM c0c)
+        |SELECT n, iqr AS iqr_cents, sig AS sigma_cents,
+        |       (mx - mn) * cb // (2 * iqr) AS bins_fd,
+        |       (mx - mn) * cb * 1000 // (3490 * sig) AS bins_scott,
+        |       CAST(length(bin(n)) AS BIGINT) AS bins_sturges
+        |FROM cbc""".stripMargin,
+
+    "q631_hazard_ratio" ->
+      """WITH seg AS (SELECT c_custkey,
+        |                    CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS g1
+        |             FROM customer WHERE c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD')),
+        |life AS (SELECT o.o_custkey, seg.g1,
+        |                datediff('day', min(o.o_orderdate), max(o.o_orderdate)) AS t
+        |         FROM orders o JOIN seg ON o.o_custkey = seg.c_custkey GROUP BY 1, 2),
+        |et AS (SELECT t, CAST(sum(g1) AS BIGINT) AS d1, CAST(count(*) AS BIGINT) AS d
+        |       FROM life GROUP BY 1),
+        |r AS (SELECT t, d1, d,
+        |             CAST(sum(d1) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+        |                  AND UNBOUNDED FOLLOWING) AS BIGINT) AS n1t,
+        |             CAST(sum(d) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+        |                  AND UNBOUNDED FOLLOWING) AS BIGINT) AS nt
+        |      FROM et)
+        |SELECT CAST(sum(d1) AS BIGINT) AS o1,
+        |       CAST(sum(1000000 * d * n1t // nt) AS BIGINT) AS e1_micro,
+        |       CAST(sum(d - d1) AS BIGINT) AS o2,
+        |       CAST(sum(1000000 * d * (nt - n1t) // nt) AS BIGINT) AS e2_micro,
+        |       CAST(1000 * CAST(sum(d1) AS HUGEINT)
+        |            * sum(1000000 * d * (nt - n1t) // nt)
+        |            // (CAST(sum(d - d1) AS HUGEINT) * sum(1000000 * d * n1t // nt))
+        |            AS BIGINT) AS hr_milli
+        |FROM r""".stripMargin,
+
+    "q632_stuart_maxwell" ->
+      """WITH ma AS (SELECT o_custkey AS ck_a, st AS st_a FROM (
+        |    SELECT o_custkey, o_orderstatus AS st, count(*) AS c,
+        |           row_number() OVER (PARTITION BY o_custkey
+        |             ORDER BY count(*) DESC, o_orderstatus) AS rk
+        |    FROM orders WHERE o_orderdate < DATE '1998-07-01' GROUP BY 1, 2)
+        |    WHERE rk = 1),
+        |mb AS (SELECT o_custkey AS ck_b, st AS st_b FROM (
+        |    SELECT o_custkey, o_orderstatus AS st, count(*) AS c,
+        |           row_number() OVER (PARTITION BY o_custkey
+        |             ORDER BY count(*) DESC, o_orderstatus) AS rk
+        |    FROM orders WHERE o_orderdate >= DATE '1998-07-01' GROUP BY 1, 2)
+        |    WHERE rk = 1),
+        |p AS (SELECT st_a, st_b, CAST(count(*) AS BIGINT) AS nij
+        |      FROM ma JOIN mb ON ck_a = ck_b GROUP BY 1, 2),
+        |m AS (SELECT CAST(sum(nij) AS BIGINT) AS np,
+        |             CAST(sum(CASE WHEN st_a = 'F' THEN nij ELSE 0 END) AS BIGINT) AS r1,
+        |             CAST(sum(CASE WHEN st_a = 'O' THEN nij ELSE 0 END) AS BIGINT) AS r2,
+        |             CAST(sum(CASE WHEN st_b = 'F' THEN nij ELSE 0 END) AS BIGINT) AS c1,
+        |             CAST(sum(CASE WHEN st_b = 'O' THEN nij ELSE 0 END) AS BIGINT) AS c2,
+        |             CAST(sum(CASE WHEN st_a = 'F' AND st_b = 'F' THEN nij ELSE 0 END) AS BIGINT) AS n11,
+        |             CAST(sum(CASE WHEN st_a = 'O' AND st_b = 'O' THEN nij ELSE 0 END) AS BIGINT) AS n22,
+        |             CAST(sum(CASE WHEN st_a = 'F' AND st_b = 'O' THEN nij ELSE 0 END) AS BIGINT) AS n12,
+        |             CAST(sum(CASE WHEN st_a = 'O' AND st_b = 'F' THEN nij ELSE 0 END) AS BIGINT) AS n21
+        |      FROM p)
+        |SELECT np AS n_pairs, r1 - c1 AS d1, r2 - c2 AS d2,
+        |       CAST(1000 * ((r2 + c2 - 2 * n22) * CAST(r1 - c1 AS HUGEINT) * (r1 - c1)
+        |            + 2 * (n12 + n21) * CAST(r1 - c1 AS HUGEINT) * (r2 - c2)
+        |            + (r1 + c1 - 2 * n11) * CAST(r2 - c2 AS HUGEINT) * (r2 - c2))
+        |            // ((r1 + c1 - 2 * n11) * CAST(r2 + c2 - 2 * n22 AS HUGEINT)
+        |               - CAST(n12 + n21 AS HUGEINT) * (n12 + n21)) AS BIGINT) AS chi2_milli
+        |FROM m""".stripMargin,
+
+    "q633_grace_hash_plan" ->
+      """WITH rows_ AS (
+        |  SELECT 'lineitem' AS tbl, CAST(count(*) * 120 AS BIGINT) AS bytes FROM lineitem
+        |  UNION ALL SELECT 'orders', CAST(count(*) * 100 AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'customer', CAST(count(*) * 180 AS BIGINT) FROM customer
+        |  UNION ALL SELECT 'documents', CAST(count(*) * 300 AS BIGINT) FROM documents),
+        |j AS (SELECT tbl, bytes, unnest([67108864, 268435456, 1073741824]) AS mem FROM rows_),
+        |p AS (SELECT tbl, bytes, CAST(mem AS BIGINT) AS mem,
+        |             CAST(CASE WHEN bytes <= mem THEN 1
+        |                  ELSE (bytes * 6 // 5 + mem - 1) // mem END AS BIGINT) AS partitions,
+        |             CAST(CASE WHEN bytes <= mem THEN 0
+        |                  WHEN bytes <= mem * 256 THEN 1
+        |                  WHEN bytes <= mem * 65536 THEN 2 ELSE 3 END AS BIGINT) AS depth
+        |      FROM j)
+        |SELECT tbl, bytes, mem, partitions, depth, 2 * depth + 1 AS io_multiplier
+        |FROM p ORDER BY tbl, mem""".stripMargin
   )
 
   /** Two-sample per-customer spend with global deterministic ranks — the

@@ -15197,6 +15197,182 @@ object SparkEntry {
         .orderBy("cohort")
     }),
 
+    // request-hedging audit: per event type the exact-rank p50/p90/p99 of
+    // `value`, the independence identity hedged-p99 = single-p90 (fire a
+    // duplicate after p50 → both-slow probability squares), and the
+    // extra-load share — the "tail at scale" hedging trade-off in one
+    // table. Quantiles are VALUES FROM THE DATA (no interpolation), so
+    // doubles cross engines untouched
+    "q629_hedging_audit" -> ((s, dir) => {
+      val byT = Window.partitionBy("event_type").orderBy("value", "event_id")
+      val r = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("rk", row_number().over(byT).cast("long"))
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy("event_type")))
+      r.groupBy("event_type")
+        .agg(max(col("n")).as("n"),
+          max(when(col("rk") === expr("(n + 1) div 2"), col("value")))
+            .as("p50"),
+          max(when(col("rk") === expr("(9 * n + 9) div 10"), col("value")))
+            .as("p90"),
+          max(when(col("rk") === expr("(99 * n + 99) div 100"), col("value")))
+            .as("p99"))
+        .select(col("event_type"), col("n"), col("p50"), col("p90"),
+          col("p99"), col("p90").as("hedged_p99"),
+          expr("1000000 * (n - (n + 1) div 2) div n").as("extra_load_ppm"))
+        .orderBy("event_type")
+    }),
+
+    // histogram bin-count rules on per-customer spend: Freedman–Diaconis
+    // (2·IQR/n^⅓), Scott (3.49σ/n^⅓), Sturges (1+log₂n) — the three
+    // classic widths disagree exactly when the tail is heavy, which is
+    // the decision this panel surfaces. n^⅓ by exact integer cbrt
+    // (double seed ±1 adjust), σ by the isqrt chain, log₂ from bin()
+    // length — no float in any ratio
+    "q630_bin_width_rules" -> ((s, dir) => {
+      val sp = Tables.orders(s, dir).groupBy("o_custkey")
+        .agg(sum(centsOf(col("o_totalprice"))).as("v"))
+      val r = sp.withColumn("rk", row_number()
+          .over(Window.orderBy("v", "o_custkey")).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      r.agg(max(col("n")).as("n"), min(col("v")).as("mn"),
+          max(col("v")).as("mx"),
+          max(when(col("rk") === expr("(n + 3) div 4"), col("v"))).as("q1"),
+          max(when(col("rk") === expr("(3 * n + 3) div 4"), col("v")))
+            .as("q3"),
+          sum(col("v").cast(dec38)).as("sx"),
+          sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("sxx"))
+        .withColumn("iqr", col("q3") - col("q1"))
+        .withColumn("vr", expr(
+          "CAST((n * sxx - sx * sx) div (CAST(n AS DECIMAL(38,0)) * n)" +
+            " AS BIGINT)"))
+        .withColumn("s0", floor(sqrt(col("vr").cast("double"))).cast("long"))
+        .withColumn("s1", expr(
+          "CASE WHEN s0 > 0 THEN (s0 + vr div s0) div 2 ELSE 0 END"))
+        .withColumn("sig", expr(
+          "CASE WHEN (s1 + 1) * (s1 + 1) <= vr THEN s1 + 1" +
+            " WHEN s1 * s1 > vr THEN s1 - 1 ELSE s1 END"))
+        .withColumn("c0", expr(
+          "CAST(round(pow(CAST(n AS DOUBLE), 0.3333333333333333)) AS BIGINT)"))
+        .withColumn("cb", expr(
+          "CASE WHEN (c0 + 1) * (c0 + 1) * (c0 + 1) <= n THEN c0 + 1" +
+            " WHEN c0 * c0 * c0 > n THEN c0 - 1 ELSE c0 END"))
+        .select(col("n"), col("iqr").as("iqr_cents"),
+          col("sig").as("sigma_cents"),
+          expr("(mx - mn) * cb div (2 * iqr)").as("bins_fd"),
+          expr("(mx - mn) * cb * 1000 div (3490 * sig)").as("bins_scott"),
+          length(expr("bin(n)")).cast("long").as("bins_sturges"))
+    }),
+
+    // log-rank hazard ratio, AUTOMOBILE vs HOUSEHOLD lifetimes: observed
+    // vs expected events per arm from q572's shared risk-set pass,
+    // HR = (O₁/E₁)/(O₂/E₂) — the effect-SIZE readout the q572 χ² only
+    // tests; expected events per-time micro-quantized, micro cancels in
+    // the ratio
+    "q631_hazard_ratio" -> ((s, dir) => {
+      val seg = Tables.customer(s, dir)
+        .filter(col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD"))
+        .select(col("c_custkey"),
+          (col("c_mktsegment") === "AUTOMOBILE").cast("long").as("g1"))
+      val life = Tables.orders(s, dir)
+        .join(seg, col("o_custkey") === col("c_custkey"))
+        .groupBy("o_custkey", "g1")
+        .agg(datediff(max(col("o_orderdate")), min(col("o_orderdate")))
+          .as("t"))
+      val et = life.groupBy("t")
+        .agg(sum(col("g1")).as("d1"), count(lit(1)).as("d"))
+      val after = Window.orderBy("t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      et.withColumn("n1t", sum(col("d1")).over(after))
+        .withColumn("nt", sum(col("d")).over(after))
+        .agg(sum(col("d1")).as("o1"),
+          sum(expr("1000000 * d * n1t div nt")).as("e1_micro"),
+          sum(expr("d - d1")).as("o2"),
+          sum(expr("1000000 * d * (nt - n1t) div nt")).as("e2_micro"))
+        .select(col("o1"), col("e1_micro"), col("o2"), col("e2_micro"),
+          expr("CAST(1000 * CAST(o1 AS DECIMAL(38,0)) * e2_micro" +
+            " div (CAST(o2 AS DECIMAL(38,0)) * e1_micro) AS BIGINT)")
+            .as("hr_milli"))
+    }),
+
+    // Stuart–Maxwell marginal-homogeneity test: each customer's modal
+    // order status in the two half-windows forms a paired 3×3 table; did
+    // the status MARGINS shift between halves? χ² from the exact 2×2
+    // inverse closed form — all integer, the paired-categorical
+    // counterpart of q567's CMH
+    "q632_stuart_maxwell" -> ((s, dir) => {
+      def modal(half: Column, name: String): DataFrame =
+        Tables.orders(s, dir).filter(half)
+          .groupBy("o_custkey", "o_orderstatus")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("o_custkey")
+          .agg(max(struct(col("c"),
+            (-ascii(col("o_orderstatus"))).as("neg"),
+            col("o_orderstatus").as("st"))).as("m"))
+          .select(col("o_custkey").as(s"ck_$name"),
+            col("m.st").as(s"st_$name"))
+      val pairs = modal(col("o_orderdate") < to_date(lit("1998-07-01")), "a")
+        .join(modal(col("o_orderdate") >= to_date(lit("1998-07-01")), "b"),
+          col("ck_a") === col("ck_b"))
+        .groupBy(col("st_a"), col("st_b")).agg(count(lit(1)).as("nij"))
+        .localCheckpoint(false)
+      val m = pairs.agg(
+        sum(col("nij")).as("np"),
+        sum(when(col("st_a") === "F", col("nij")).otherwise(0L)).as("r1"),
+        sum(when(col("st_a") === "O", col("nij")).otherwise(0L)).as("r2"),
+        sum(when(col("st_b") === "F", col("nij")).otherwise(0L)).as("c1"),
+        sum(when(col("st_b") === "O", col("nij")).otherwise(0L)).as("c2"),
+        sum(when(col("st_a") === "F" && col("st_b") === "F", col("nij"))
+          .otherwise(0L)).as("n11"),
+        sum(when(col("st_a") === "O" && col("st_b") === "O", col("nij"))
+          .otherwise(0L)).as("n22"),
+        sum(when(col("st_a") === "F" && col("st_b") === "O", col("nij"))
+          .otherwise(0L)).as("n12"),
+        sum(when(col("st_a") === "O" && col("st_b") === "F", col("nij"))
+          .otherwise(0L)).as("n21"))
+      m.select(col("np").as("n_pairs"),
+          (col("r1") - col("c1")).as("d1"), (col("r2") - col("c2")).as("d2"),
+          expr("CAST(1000 * ((r2 + c2 - 2 * n22)" +
+            " * CAST(r1 - c1 AS DECIMAL(38,0)) * (r1 - c1)" +
+            " + 2 * (n12 + n21) * CAST(r1 - c1 AS DECIMAL(38,0)) * (r2 - c2)" +
+            " + (r1 + c1 - 2 * n11) * CAST(r2 - c2 AS DECIMAL(38,0)) * (r2 - c2))" +
+            " div ((r1 + c1 - 2 * n11) * CAST(r2 + c2 - 2 * n22 AS DECIMAL(38,0))" +
+            " - CAST(n12 + n21 AS DECIMAL(38,0)) * (n12 + n21)) AS BIGINT)")
+            .as("chi2_milli"))
+    }),
+
+    // grace-hash-join partitioning plan: for each fact table (measured
+    // rows × pinned row width) and memory budget, the partition fan-out
+    // needed, recursion depth at fan-out 256, and the I/O multiplier
+    // (2 passes per level + final probe) — the q591 ladder aimed at
+    // join spill instead of compaction
+    "q633_grace_hash_plan" -> ((s, dir) => {
+      val sizes = Seq(
+        ("lineitem", Tables.lineitem(s, dir), 120L),
+        ("orders", Tables.orders(s, dir), 100L),
+        ("customer", Tables.customer(s, dir), 180L),
+        ("documents", Tables.documents(s, dir), 300L))
+      val rows = sizes.map { case (name, df, w) =>
+        df.agg((count(lit(1)) * w).as("bytes"))
+          .select(lit(name).as("tbl"), col("bytes"))
+      }.reduce(_.unionByName(_))
+      rows
+        .withColumn("mem", explode(array(lit(67108864L), lit(268435456L),
+          lit(1073741824L))))
+        .withColumn("partitions", expr(
+          "CASE WHEN bytes <= mem THEN 1" +
+            " ELSE (bytes * 6 div 5 + mem - 1) div mem END"))
+        .withColumn("depth", expr(
+          "CAST(CASE WHEN bytes <= mem THEN 0" +
+            " WHEN bytes <= mem * 256 THEN 1" +
+            " WHEN bytes <= mem * 65536 THEN 2 ELSE 3 END AS BIGINT)"))
+        .select(col("tbl"), col("bytes"), col("mem"), col("partitions"),
+          col("depth"),
+          expr("2 * depth + 1").as("io_multiplier"))
+        .orderBy("tbl", "mem")
+    }),
+
     // multimodal: opaque binary column + stub decode metadata
     "q31_multimodal_meta" -> ((s, dir) => {
       val nb = octet_length(col("text").cast("binary")).cast("long")
