@@ -13555,8 +13555,10 @@ object OracleSql {
         |  UNION ALL SELECT 'orders', CAST(count(*) * 100 AS BIGINT) FROM orders
         |  UNION ALL SELECT 'customer', CAST(count(*) * 180 AS BIGINT) FROM customer
         |  UNION ALL SELECT 'documents', CAST(count(*) * 300 AS BIGINT) FROM documents),
-        |j AS (SELECT tbl, bytes, unnest([67108864, 268435456, 1073741824]) AS mem FROM rows_),
-        |p AS (SELECT tbl, bytes, CAST(mem AS BIGINT) AS mem,
+        |j AS (SELECT tbl, bytes,
+        |             CAST(unnest([67108864, 268435456, 1073741824]) AS BIGINT) AS mem
+        |      FROM rows_),
+        |p AS (SELECT tbl, bytes, mem,
         |             CAST(CASE WHEN bytes <= mem THEN 1
         |                  ELSE (bytes * 6 // 5 + mem - 1) // mem END AS BIGINT) AS partitions,
         |             CAST(CASE WHEN bytes <= mem THEN 0
