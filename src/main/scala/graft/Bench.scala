@@ -43,11 +43,25 @@ object Bench {
       System.gc()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Full per-query map → a committed FILE (the 633-entry map is ~25 kB,
+    // which overflowed the driver's stdout capture in round 6 and left
+    // BENCH_r06.json unparseable); stdout gets a compact line — total +
+    // the 20 slowest queries — that always fits the capture window.
+    val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "07")
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"/root/repo/BENCH_LOCAL_r$round.json")
+    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qsFull,"errors":$errs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] full-map write failed: ${e.getMessage}") }
+    val top = results.toSeq.sortBy(-_._2).take(20)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$top,"queries_note":"20 slowest; full map in $fullPath","errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

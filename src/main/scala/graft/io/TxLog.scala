@@ -1,0 +1,221 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Minimal lakehouse transaction log over parquet — the append/overwrite
+  * commit protocol of Delta Lake (Armbrust et al., VLDB 2020) re-derived at
+  * its smallest useful size, with snapshot isolation and time travel.
+  *
+  * Layout:
+  * {{{
+  *   <root>/data/<txn-uuid>/part-*.parquet    immutable data files
+  *   <root>/_txlog/v00000001.json             one manifest per version
+  * }}}
+  *
+  * The manifest chain is the source of truth. A reader lists `_txlog`,
+  * pins a version (head by default), and replays manifests v1..vN in
+  * order: `append` adds the manifest's files to the live set, `overwrite`
+  * resets the live set to them. Data files are never rewritten in place,
+  * so a resolved file list stays readable forever — that is what makes
+  * snapshot reads repeatable and time travel free.
+  *
+  * Commit protocol (optimistic concurrency):
+  *   1. write the data files under a fresh uuid dir — invisible to every
+  *      reader because no manifest references them yet;
+  *   2. write the FULL manifest to a temp file and fsync it;
+  *   3. claim version N by hard-linking the temp file to `vN.json` —
+  *      link(2) fails atomically with EEXIST if someone else claimed N
+  *      first, in which case re-read the head and retry with N+1.
+  * The loser never damages the winner (its data dir is simply unreferenced
+  * garbage until a vacuum), and readers can never observe a partial
+  * manifest because the link publishes fully-written bytes or nothing.
+  *
+  * 100 TB shape: a commit's cost is one manifest write — independent of
+  * table size; readers touch only the manifest chain (KBs) plus the data
+  * files their snapshot actually lists. On an object store the atomic
+  * claim in step 3 becomes a conditional PUT (`If-None-Match: *`) and the
+  * local fsync/link pair disappears; everything else is unchanged. The
+  * replay cost of a very long chain is bounded in real systems by
+  * checkpoint manifests every K versions — out of scope here, noted for
+  * honesty.
+  */
+object TxLog {
+
+  sealed trait Action { def name: String }
+  case object Append extends Action { val name = "append" }
+  case object Overwrite extends Action { val name = "overwrite" }
+
+  final case class Manifest(version: Long, action: String, files: Seq[String])
+
+  private val versionFile: Regex = """v(\d{8})\.json""".r
+  private val fileField: Regex = """"([^"]+\.parquet)"""".r
+  private val actionField: Regex = """"action":"(append|overwrite)"""".r
+
+  private def logDir(root: String): Path = Paths.get(root, "_txlog")
+
+  /** All committed versions, ascending (empty for a fresh table). */
+  def versions(root: String): Seq[Long] = {
+    val dir = logDir(root)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val it = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala
+          .flatMap(p => versionFile.findFirstMatchIn(p.getFileName.toString)
+            .map(_.group(1).toLong))
+          .toSeq.sorted
+      } finally it.close()
+    }
+  }
+
+  def headVersion(root: String): Long = versions(root).lastOption.getOrElse(0L)
+
+  private def readManifest(root: String, v: Long): Manifest = {
+    val txt = new String(
+      Files.readAllBytes(logDir(root).resolve(f"v$v%08d.json")),
+      StandardCharsets.UTF_8)
+    val action = actionField.findFirstMatchIn(txt)
+      .map(_.group(1))
+      .getOrElse(throw new java.io.IOException(s"txlog: bad manifest v$v"))
+    Manifest(v, action, fileField.findAllMatchIn(txt).map(_.group(1)).toSeq)
+  }
+
+  /** Replay manifests 1..upTo into the live file list (absolute paths). */
+  def liveFiles(root: String, upTo: Long): Seq[String] = {
+    var live = Vector.empty[String]
+    versions(root).takeWhile(_ <= upTo).foreach { v =>
+      val m = readManifest(root, v)
+      live = if (m.action == Overwrite.name) m.files.toVector
+             else live ++ m.files
+    }
+    live.map(f => s"$root/$f")
+  }
+
+  /** Commit `df` and return the version it landed as. */
+  def commit(spark: SparkSession, root: String, df: DataFrame, action: Action): Long = {
+    Files.createDirectories(logDir(root))
+    val txn = java.util.UUID.randomUUID().toString.take(12)
+    val dataDir = s"$root/data/txn-$txn"
+    // step 1: data files land first, unreferenced by any manifest
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
+    import scala.jdk.CollectionConverters._
+    val written = {
+      val it = Files.list(Paths.get(dataDir))
+      try it.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+      finally it.close()
+    }.map(n => s"data/txn-$txn/$n")
+    // steps 2+3: publish, retrying the version claim on lost races
+    var attempt = 0
+    while (true) {
+      val next = headVersion(root) + 1
+      val body = written.map("\"" + _ + "\"").mkString(
+        s"""{"version":$next,"action":"${action.name}","files":[""", ",", "]}")
+      val tmp = logDir(root).resolve(s".tmp-$txn-$attempt")
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      try {
+        ch.write(java.nio.ByteBuffer.wrap(body.getBytes(StandardCharsets.UTF_8)))
+        ch.force(true) // the link below must publish durable, complete bytes
+      } finally ch.close()
+      try {
+        Files.createLink(logDir(root).resolve(f"v$next%08d.json"), tmp)
+        Files.delete(tmp)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.delete(tmp) // lost the race for `next`; re-read head, retry
+          attempt += 1
+          if (attempt > 1000)
+            throw new java.io.IOException(s"txlog: gave up claiming a version after $attempt attempts")
+      }
+    }
+    -1L // unreachable
+  }
+
+  def append(spark: SparkSession, root: String, df: DataFrame): Long =
+    commit(spark, root, df, Append)
+
+  def overwrite(spark: SparkSession, root: String, df: DataFrame): Long =
+    commit(spark, root, df, Overwrite)
+
+  /** Snapshot read: the table as of `version` (head when None). The file
+    * list is resolved ONCE here; later commits only add files this list
+    * never mentions, so the returned DataFrame is a consistent snapshot no
+    * matter when (or how often) it is executed.
+    */
+  def snapshot(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(headVersion(root))
+    val files = liveFiles(root, v)
+    require(files.nonEmpty, s"txlog: snapshot v$v of $root lists no files")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Commit history as a DataFrame — the audit surface (DESCRIBE HISTORY). */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    versions(root).map { v =>
+      val m = readManifest(root, v)
+      (m.version, m.action, m.files.size.toLong)
+    }.toDF("version", "action", "n_files")
+  }
+
+  /** Garbage-collect data files no snapshot ≥ `retainFrom` can reach:
+    * aborted-commit residue (data dirs whose manifest never published) and
+    * files dropped by an overwrite at or before the retention horizon.
+    * Time travel BELOW `retainFrom` stops working afterwards — the same
+    * contract as Delta's VACUUM retention window, and why the default
+    * retains everything (`retainFrom = 1`).
+    *
+    * Safe under concurrent readers of retained versions (their files are
+    * kept) but NOT under a concurrent committer whose data dir is written
+    * and unpublished at scan time — run vacuum from a maintenance window or
+    * track in-flight txn ids; documented, not solved, at this size.
+    *
+    * @return number of data files deleted
+    */
+  def vacuum(root: String, retainFrom: Long = 1L): Int = {
+    import scala.jdk.CollectionConverters._
+    val vs = versions(root)
+    if (vs.isEmpty) return 0
+    // every file any retained snapshot lists (replay includes pre-horizon
+    // appends that survive into retained live sets)
+    val keep: Set[String] =
+      vs.filter(_ >= retainFrom).flatMap(v => liveFiles(root, v)).toSet
+    val dataRoot = Paths.get(root, "data")
+    if (!Files.isDirectory(dataRoot)) return 0
+    var deleted = 0
+    val dirs = {
+      val it = Files.list(dataRoot)
+      try it.iterator().asScala.toList finally it.close()
+    }
+    dirs.foreach { d =>
+      val files = {
+        val it = Files.list(d)
+        try it.iterator().asScala.toList finally it.close()
+      }
+      files.foreach { f =>
+        val canonical = s"$root/data/${d.getFileName}/${f.getFileName}"
+        if (f.getFileName.toString.endsWith(".parquet") && !keep.contains(canonical)) {
+          Files.delete(f); deleted += 1
+        } else if (!f.getFileName.toString.endsWith(".parquet") &&
+                   !files.exists(g => keep.contains(s"$root/data/${d.getFileName}/${g.getFileName}"))) {
+          // write markers (_SUCCESS, .crc) go with their dir when nothing in it is kept
+          Files.delete(f)
+        }
+      }
+      val remaining = {
+        val it = Files.list(d)
+        try it.iterator().asScala.toList finally it.close()
+      }
+      if (remaining.isEmpty) Files.delete(d)
+    }
+    deleted
+  }
+}

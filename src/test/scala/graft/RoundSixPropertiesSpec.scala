@@ -114,10 +114,15 @@ class RoundSixPropertiesSpec extends AnyFunSuite {
     val shares = r.map(_.getAs[Long]("cum_share_ppm"))
     assert(shares.zip(shares.tail).forall { case (a, b) => b >= a })
     assert(shares.last === 1000000L, s"Lorenz does not end at 1: ${shares.last}")
-    // ascending-spend deciles: each decile's increment must not shrink
+    // ascending-spend deciles: the PER-CAPITA mean of each decile must
+    // not shrink. Raw increments are not comparable when ntile hands the
+    // early buckets an extra row (n % 10 != 0), so cross-multiply by the
+    // decile sizes; each share carries ≤1 ppm rounding → sa+sb slack
+    val sizes = r.map(_.getAs[Long]("n_cust"))
     val inc = (shares.head +: shares.tail.zip(shares.init).map { case (b, a) => b - a })
-    assert(inc.zip(inc.tail).forall { case (a, b) => b >= a - 1 }, // −1 for ppm rounding
-      s"Lorenz increments not convex: ${inc.toSeq}")
+    assert(inc.zip(sizes).zip(inc.tail.zip(sizes.tail)).forall {
+      case ((a, sa), (b, sb)) => b * sa >= a * sb - (sa + sb)
+    }, s"Lorenz per-capita increments not monotone: inc=${inc.toSeq} sizes=${sizes.toSeq}")
   }
 
   test("q592: MCC confusion counts partition the test window and mcc is in [-1, 1]") {

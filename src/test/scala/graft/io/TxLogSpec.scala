@@ -1,0 +1,136 @@
+package graft.io
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The transaction-log guarantees, each proven mechanically:
+  * concurrent committers serialize without loss, snapshots are immune to
+  * later commits, overwrite resets the live set, and time travel replays
+  * any historical version byte-for-byte.
+  */
+class TxLogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshTable(): String = Zones.tempDir("txlog")
+
+  private def batch(lo: Int, hi: Int) = {
+    import spark.implicits._
+    (lo until hi).map(i => (i.toLong, s"row-$i")).toDF("id", "payload")
+  }
+
+  test("append commits are serialized and contiguous under 8 concurrent committers") {
+    val root = freshTable()
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val commits = (0 until 8).map { k =>
+        Future(TxLog.append(spark, root, batch(k * 10, k * 10 + 10)))
+      }
+      val versions = Await.result(Future.sequence(commits), 120.seconds)
+      // every committer got a DISTINCT version and the chain has no gaps —
+      // the atomic hard-link claim is what forces this
+      assert(versions.sorted == (1L to 8L))
+      assert(TxLog.versions(root) == (1L to 8L))
+      val all = TxLog.snapshot(spark, root)
+      assert(all.count() === 80L)
+      assert(all.agg(countDistinct(col("id"))).head.getLong(0) === 80L)
+    } finally pool.shutdown()
+  }
+
+  test("a pinned snapshot is repeatable while later commits land") {
+    val root = freshTable()
+    TxLog.append(spark, root, batch(0, 5))
+    TxLog.append(spark, root, batch(5, 10))
+    val pinned = TxLog.snapshot(spark, root, Some(2L))
+    val before = pinned.orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(before == (0L until 10L))
+    // commits after the pin: the resolved file list never mentions them
+    TxLog.append(spark, root, batch(10, 15))
+    TxLog.overwrite(spark, root, batch(100, 103))
+    val after = pinned.orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(after == before, "snapshot changed under a concurrent writer")
+    assert(TxLog.snapshot(spark, root).count() === 3L, "head must see only the overwrite")
+  }
+
+  test("overwrite resets the live set; time travel still reads every older version") {
+    val root = freshTable()
+    TxLog.append(spark, root, batch(0, 4))     // v1
+    TxLog.append(spark, root, batch(4, 6))     // v2
+    TxLog.overwrite(spark, root, batch(50, 53)) // v3
+    TxLog.append(spark, root, batch(53, 54))   // v4
+    assert(TxLog.snapshot(spark, root, Some(1L)).count() === 4L)
+    assert(TxLog.snapshot(spark, root, Some(2L)).count() === 6L)
+    assert(TxLog.snapshot(spark, root, Some(3L)).count() === 3L)
+    assert(TxLog.snapshot(spark, root, Some(4L)).count() === 4L)
+    val ids4 = TxLog.snapshot(spark, root, Some(4L))
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(ids4 == (50L until 54L), "post-overwrite chain must not resurrect pre-overwrite files")
+  }
+
+  test("history reports one row per version with the committed action") {
+    val root = freshTable()
+    TxLog.append(spark, root, batch(0, 2))
+    TxLog.overwrite(spark, root, batch(2, 4))
+    val h = TxLog.history(spark, root).orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(h.map(_.getString(1)).toSeq == Seq("append", "overwrite"))
+    assert(h.forall(_.getLong(2) >= 1L))
+  }
+
+  test("manifests reference only fully-written parquet files (no partial visibility)") {
+    val root = freshTable()
+    TxLog.append(spark, root, batch(0, 10))
+    val files = TxLog.liveFiles(root, 1L)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val p = java.nio.file.Paths.get(f)
+      assert(java.nio.file.Files.exists(p), s"manifest lists missing file $f")
+      assert(java.nio.file.Files.size(p) > 0L, s"manifest lists empty file $f")
+    }
+    // no temp-claim residue in the log directory
+    val leftovers = {
+      val it = java.nio.file.Files.list(java.nio.file.Paths.get(root, "_txlog"))
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala.map(_.getFileName.toString).filter(_.startsWith(".tmp")).toList
+      } finally it.close()
+    }
+    assert(leftovers.isEmpty, s"unreclaimed claim temps: $leftovers")
+  }
+
+  test("vacuum removes only what no retained snapshot can reach") {
+    val root = freshTable()
+    TxLog.append(spark, root, batch(0, 5))       // v1
+    TxLog.overwrite(spark, root, batch(10, 15))  // v2 — v1's files now unreachable from v2+
+    TxLog.append(spark, root, batch(15, 20))     // v3
+    // full retention: nothing reachable may go
+    assert(TxLog.vacuum(root, retainFrom = 1L) === 0)
+    assert(TxLog.snapshot(spark, root, Some(1L)).count() === 5L)
+    // retain from v2: v1's overwritten files are the only garbage
+    val deleted = TxLog.vacuum(root, retainFrom = 2L)
+    assert(deleted >= 1, "the overwritten v1 data must be collected")
+    assert(TxLog.snapshot(spark, root, Some(2L)).count() === 5L)
+    assert(TxLog.snapshot(spark, root, Some(3L)).count() === 10L)
+    intercept[Throwable] { // pre-horizon time travel is gone by contract
+      TxLog.snapshot(spark, root, Some(1L)).count()
+    }
+  }
+
+  test("vacuum collects aborted-commit residue (data dir with no manifest)") {
+    val root = freshTable()
+    TxLog.append(spark, root, batch(0, 5))
+    // simulate a crash between data write and manifest publish
+    batch(90, 95).write.parquet(s"$root/data/txn-aborted0001")
+    val deleted = TxLog.vacuum(root)
+    assert(deleted >= 1, "unpublished data files must be collected")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/data/txn-aborted0001")))
+    assert(TxLog.snapshot(spark, root).count() === 5L, "published data must survive")
+  }
+}
