@@ -55,6 +55,7 @@ object TxLog {
   private val versionFile: Regex = """v(\d{8})\.json""".r
   private val fileField: Regex = """"([^"]+\.parquet)"""".r
   private val actionField: Regex = """"action":"(append|overwrite)"""".r
+  private val txnField: Regex = """"txnId":"([^"]*)"""".r
 
   private def logDir(root: String): Path = Paths.get(root, "_txlog")
 
@@ -97,8 +98,22 @@ object TxLog {
     live.map(f => s"$root/$f")
   }
 
+  /** The txnId each committed version carries (empty when none). */
+  private def committedTxnIds(root: String): Map[String, Long] =
+    versions(root).flatMap { v =>
+      val txt = new String(
+        Files.readAllBytes(logDir(root).resolve(f"v$v%08d.json")),
+        StandardCharsets.UTF_8)
+      txnField.findFirstMatchIn(txt).map(_.group(1) -> v)
+    }.toMap
+
   /** Commit `df` and return the version it landed as. */
-  def commit(spark: SparkSession, root: String, df: DataFrame, action: Action): Long = {
+  def commit(
+      spark: SparkSession,
+      root: String,
+      df: DataFrame,
+      action: Action,
+      txnId: Option[String] = None): Long = {
     Files.createDirectories(logDir(root))
     val txn = java.util.UUID.randomUUID().toString.take(12)
     val dataDir = s"$root/data/txn-$txn"
@@ -115,8 +130,9 @@ object TxLog {
     var attempt = 0
     while (true) {
       val next = headVersion(root) + 1
+      val txnPart = txnId.map(t => s""","txnId":"$t"""").getOrElse("")
       val body = written.map("\"" + _ + "\"").mkString(
-        s"""{"version":$next,"action":"${action.name}","files":[""", ",", "]}")
+        s"""{"version":$next,"action":"${action.name}"$txnPart,"files":[""", ",", "]}")
       val tmp = logDir(root).resolve(s".tmp-$txn-$attempt")
       val ch = java.nio.channels.FileChannel.open(tmp,
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
@@ -144,6 +160,40 @@ object TxLog {
 
   def overwrite(spark: SparkSession, root: String, df: DataFrame): Long =
     commit(spark, root, df, Overwrite)
+
+  /** Exactly-once append: a replay of the same `txnId` (a Structured
+    * Streaming batchId after failure recovery, an orchestrator retry) is a
+    * no-op returning the original version. This is the idempotence contract
+    * a streaming sink needs — wire it as
+    * `ds.writeStream.foreachBatch((df, id) => TxLog.appendOnce(spark, root,
+    * s"stream#$id", df))` and a re-delivered microbatch can't double-land.
+    * Assumes replays are sequential (a failed writer restarts; two LIVE
+    * writers racing the same txnId is an orchestration bug this does not
+    * solve — the check-then-commit window is documented, same stance as
+    * Delta's txn appId/version userMetadata).
+    */
+  def appendOnce(spark: SparkSession, root: String, txnId: String, df: DataFrame): Long =
+    committedTxnIds(root).get(txnId) match {
+      case Some(v) => v
+      case None    => commit(spark, root, df, Append, Some(txnId))
+    }
+
+  /** Copy-on-write MERGE (upsert): rows of `updates` replace current rows
+    * sharing `keyCol`; unmatched update rows insert. One overwrite commit
+    * of (current ⟕anti update-keys) ∪ updates — correct because data files
+    * are immutable, so the read side of the rewrite can never see its own
+    * writes. This is Delta's copy-on-write MERGE without a file-level match
+    * index: at scale you'd first join the update keys against per-file
+    * min/max key ranges (the manifest would carry them) and rewrite ONLY
+    * matching files, appending the rest — noted, not built, at this size.
+    */
+  def merge(spark: SparkSession, root: String, updates: DataFrame, keyCol: String): Long = {
+    val current = snapshot(spark, root)
+    val merged = current
+      .join(updates.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+      .unionByName(updates)
+    overwrite(spark, root, merged)
+  }
 
   /** Snapshot read: the table as of `version` (head when None). The file
     * list is resolved ONCE here; later commits only add files this list

@@ -1121,6 +1121,19 @@ private[graft] object OracleShard10 {
         |SELECT * FROM v2 UNION ALL SELECT * FROM hd
         |ORDER BY snap, o_orderpriority""".stripMargin,
 
+    "q637_txlog_merge" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |                  month(o_orderdate) AS mm
+        |           FROM orders
+        |           WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 3),
+        |st AS (SELECT o_orderpriority,
+        |              CASE WHEN mm = 2 THEN 2 * v ELSE v END AS v
+        |       FROM o)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(v) AS BIGINT) AS cents
+        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q636_media_decode" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |       CAST(CASE WHEN doc_id % 2 = 0 THEN 54

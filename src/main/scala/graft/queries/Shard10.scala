@@ -1710,6 +1710,34 @@ private[graft] object Shard10 {
         .orderBy("snap", "o_orderpriority")
     }),
 
+    // lakehouse MERGE (upsert) on the transaction log: seed the table
+    // with Jan+Feb orders, then merge a batch that UPDATES every Feb row
+    // (cents doubled) and INSERTS Mar — the CDC-apply-onto-the-lake shape
+    // (q189 models the pure-SQL semantics; this runs it through real
+    // copy-on-write commits). The oracle recomputes the end state from
+    // orders directly, so a merge that loses an unmatched row, keeps a
+    // stale matched row, or duplicates a key breaks the hash
+    "q637_txlog_merge" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(expr("year(o_orderdate) = 1995 AND month(o_orderdate) <= 3"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          centsOf(col("o_totalprice")).as("v"),
+          month(col("o_orderdate")).as("mm"))
+      val root = io.Zones.tempDir(s"graft_merge_${new java.io.File(dir).getName}")
+      io.TxLog.append(s, root,
+        o.filter(col("mm") <= 2).select("o_orderkey", "o_orderpriority", "v"))
+      val updates = o.filter(col("mm") === 2)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          (col("v") * 2).as("v"))
+        .unionByName(o.filter(col("mm") === 3)
+          .select("o_orderkey", "o_orderpriority", "v"))
+      io.TxLog.merge(s, root, updates, "o_orderkey")
+      io.TxLog.snapshot(s, root)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // REAL multimodal byte decode (q31's stub grown up): synthesize a
     // bit-exact BMP (even keys) or RIFF/WAV (odd keys) container per
     // document and run the actual header parsers over the binary column

@@ -123,6 +123,39 @@ class TxLogSpec extends AnyFunSuite {
     }
   }
 
+  test("appendOnce is exactly-once under batch replay") {
+    val root = freshTable()
+    assert(TxLog.appendOnce(spark, root, "stream#0", batch(0, 5)) === 1L)
+    assert(TxLog.appendOnce(spark, root, "stream#1", batch(5, 10)) === 2L)
+    // failure recovery re-delivers batch 1: same version back, no new data
+    assert(TxLog.appendOnce(spark, root, "stream#1", batch(5, 10)) === 2L)
+    assert(TxLog.headVersion(root) === 2L)
+    assert(TxLog.snapshot(spark, root).count() === 10L)
+    // an interleaved plain append does not confuse the txn bookkeeping
+    TxLog.append(spark, root, batch(10, 12))
+    assert(TxLog.appendOnce(spark, root, "stream#2", batch(12, 15)) === 4L)
+    assert(TxLog.appendOnce(spark, root, "stream#2", batch(12, 15)) === 4L)
+    assert(TxLog.snapshot(spark, root).count() === 15L)
+  }
+
+  test("merge upserts by key: matched rows replaced, unmatched inserted, history preserved") {
+    val root = freshTable()
+    TxLog.append(spark, root, batch(0, 6)) // ids 0..5, payload row-i
+    import spark.implicits._
+    val updates = Seq((4L, "UPDATED-4"), (5L, "UPDATED-5"), (9L, "NEW-9"))
+      .toDF("id", "payload")
+    val v = TxLog.merge(spark, root, updates, "id")
+    assert(v === 2L)
+    val now = TxLog.snapshot(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(now === Seq(0L -> "row-0", 1L -> "row-1", 2L -> "row-2",
+      3L -> "row-3", 4L -> "UPDATED-4", 5L -> "UPDATED-5", 9L -> "NEW-9"))
+    // pre-merge snapshot is intact (copy-on-write, not in-place)
+    val old = TxLog.snapshot(spark, root, Some(1L)).filter(col("id") === 4L)
+      .head.getString(1)
+    assert(old === "row-4")
+  }
+
   test("vacuum collects aborted-commit residue (data dir with no manifest)") {
     val root = freshTable()
     TxLog.append(spark, root, batch(0, 5))
