@@ -40,9 +40,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * files their snapshot actually lists. On an object store the atomic
   * claim in step 3 becomes a conditional PUT (`If-None-Match: *`) and the
   * local fsync/link pair disappears; everything else is unchanged. The
-  * replay cost of a very long chain is bounded in real systems by
-  * checkpoint manifests every K versions — out of scope here, noted for
-  * honesty.
+  * replay cost of a long chain is bounded by checkpoint manifests: every
+  * [[TxLog.CheckpointEvery]] commits the full live set is written as
+  * `cNNNNNNNN.json` (best-effort, derived state) and readers replay only
+  * the suffix after the newest checkpoint at or below their pin.
   */
 object TxLog {
 
@@ -53,9 +54,16 @@ object TxLog {
   final case class Manifest(version: Long, action: String, files: Seq[String])
 
   private val versionFile: Regex = """v(\d{8})\.json""".r
+  private val checkpointFile: Regex = """c(\d{8})\.json""".r
   private val fileField: Regex = """"([^"]+\.parquet)"""".r
   private val actionField: Regex = """"action":"(append|overwrite)"""".r
   private val txnField: Regex = """"txnId":"([^"]*)"""".r
+
+  /** A checkpoint manifest (full live set) is written every K commits so
+    * reader replay cost is O(K), not O(total versions) — the Delta
+    * `_last_checkpoint` idea at this size.
+    */
+  val CheckpointEvery: Long = 10L
 
   private def logDir(root: String): Path = Paths.get(root, "_txlog")
 
@@ -87,14 +95,44 @@ object TxLog {
     Manifest(v, action, fileField.findAllMatchIn(txt).map(_.group(1)).toSeq)
   }
 
-  /** Replay manifests 1..upTo into the live file list (absolute paths). */
-  def liveFiles(root: String, upTo: Long): Seq[String] = {
-    var live = Vector.empty[String]
-    versions(root).takeWhile(_ <= upTo).foreach { v =>
-      val m = readManifest(root, v)
-      live = if (m.action == Overwrite.name) m.files.toVector
-             else live ++ m.files
+  /** Committed checkpoint versions, ascending. */
+  private def checkpointVersions(root: String): Seq[Long] = {
+    val dir = logDir(root)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val it = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala
+          .flatMap(p => checkpointFile.findFirstMatchIn(p.getFileName.toString)
+            .map(_.group(1).toLong))
+          .toSeq.sorted
+      } finally it.close()
     }
+  }
+
+  /** Replay into the live file list (absolute paths): start from the
+    * newest checkpoint ≤ upTo (skipping every older manifest), then apply
+    * the ≤ CheckpointEvery manifests after it — reader cost is bounded by
+    * the checkpoint interval, not the table's commit count.
+    */
+  def liveFiles(root: String, upTo: Long): Seq[String] = {
+    val base = checkpointVersions(root).filter(_ <= upTo).lastOption
+    var live: Vector[String] = base match {
+      case Some(cv) =>
+        val txt = new String(
+          Files.readAllBytes(logDir(root).resolve(f"c$cv%08d.json")),
+          StandardCharsets.UTF_8)
+        fileField.findAllMatchIn(txt).map(_.group(1)).toVector
+      case None => Vector.empty
+    }
+    versions(root)
+      .filter(v => v <= upTo && v > base.getOrElse(0L))
+      .foreach { v =>
+        val m = readManifest(root, v)
+        live = if (m.action == Overwrite.name) m.files.toVector
+               else live ++ m.files
+      }
     live.map(f => s"$root/$f")
   }
 
@@ -143,6 +181,7 @@ object TxLog {
       try {
         Files.createLink(logDir(root).resolve(f"v$next%08d.json"), tmp)
         Files.delete(tmp)
+        if (next % CheckpointEvery == 0) writeCheckpoint(root, next)
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -154,6 +193,27 @@ object TxLog {
     }
     -1L // unreachable
   }
+
+  /** Best-effort: a checkpoint is pure derived state, so a failure (or a
+    * concurrent winner) must never fail the commit that triggered it —
+    * readers just replay a longer manifest suffix.
+    */
+  private def writeCheckpoint(root: String, v: Long): Unit =
+    try {
+      val files = liveFiles(root, v).map(_.stripPrefix(s"$root/"))
+      val body = files.map("\"" + _ + "\"").mkString(
+        s"""{"version":$v,"action":"checkpoint","files":[""", ",", "]}")
+      val tmp = logDir(root).resolve(s".ckpt-tmp-$v-${java.util.UUID.randomUUID().toString.take(8)}")
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      try {
+        ch.write(java.nio.ByteBuffer.wrap(body.getBytes(StandardCharsets.UTF_8)))
+        ch.force(true)
+      } finally ch.close()
+      try Files.createLink(logDir(root).resolve(f"c$v%08d.json"), tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      Files.delete(tmp)
+    } catch { case _: Throwable => () }
 
   def append(spark: SparkSession, root: String, df: DataFrame): Long =
     commit(spark, root, df, Append)

@@ -44,7 +44,7 @@ object RankStats {
       .withColumn("_ry", row_number().over(wy).cast("long"))
       .agg(
         count(lit(1)).as("n"),
-        sum((col("_rx") * col("_ry")).cast(dec38)).as("_sxy"))
+        sum(col("_rx").cast(dec38) * col("_ry")).as("_sxy"))  // cast BEFORE: rank² wraps LONG past ~3e9 entities
       .withColumn("_nd", col("n").cast(dec38))
       .withColumn("_num",
         lit(12) * col("_sxy") - lit(3) * col("_nd") * (col("_nd") + 1) * (col("_nd") + 1))

@@ -203,12 +203,13 @@ private[graft] object OracleShard04 {
         |  SELECT x, CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i FROM pu
         |), a AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_users, CAST(sum(x) AS BIGINT) AS total_events,
-        |         CAST(sum(i * x) AS BIGINT) AS siw
+        |         sum(CAST(i AS HUGEINT) * x) AS siw
         |  FROM r
         |)
         |SELECT n_users, total_events,
-        |       CAST((2 * (2 * siw - (n_users + 1) * total_events) * 1000000
-        |             + n_users * total_events) // (2 * n_users * total_events)
+        |       CAST((2 * (2 * siw - CAST(n_users + 1 AS HUGEINT) * total_events) * 1000000
+        |             + CAST(n_users AS HUGEINT) * total_events)
+        |            // (2 * CAST(n_users AS HUGEINT) * total_events)
         |            AS DOUBLE) / 1000000.0 AS gini
         |FROM a""".stripMargin,
 

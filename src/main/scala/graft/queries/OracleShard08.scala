@@ -468,8 +468,9 @@ private[graft] object OracleShard08 {
         |a AS (
         |  SELECT max(n) AS n, CAST(sum(x) AS HUGEINT) AS sx,
         |         sum(CAST(i * 2 - n - 1 AS HUGEINT) * x) AS l2n,
-        |         sum(CAST(((i - 1) * (i - 2)) // 2 - 2 * (i - 1) * (n - i)
-        |                  + ((n - i) * (n - i - 1)) // 2 AS HUGEINT) * x) AS l3n
+        |         sum(CAST(((CAST(i AS HUGEINT) - 1) * (i - 2)) // 2
+        |                  - 2 * (CAST(i AS HUGEINT) - 1) * (n - i)
+        |                  + ((CAST(n AS HUGEINT) - i) * (n - i - 1)) // 2 AS HUGEINT) * x) AS l3n
         |  FROM v, nn
         |)
         |SELECT CAST(n AS BIGINT) AS n_orders,
@@ -678,9 +679,9 @@ private[graft] object OracleShard08 {
         |  FROM f
         |)
         |SELECT n_true, n1, n2, m,
-        |       CAST(CASE WHEN m > 0 THEN n1 * n2 // m ELSE NULL END AS BIGINT) AS est_lp,
-        |       CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT) AS est_chapman,
-        |       CAST(abs((n1 + 1) * (n2 + 1) // (m + 1) - 1 - n_true) * 1000000 // n_true
+        |       CAST(CASE WHEN m > 0 THEN CAST(n1 AS HUGEINT) * n2 // m ELSE NULL END AS BIGINT) AS est_lp,
+        |       CAST(CAST(n1 + 1 AS HUGEINT) * (n2 + 1) // (m + 1) - 1 AS BIGINT) AS est_chapman,
+        |       CAST(abs(CAST(n1 + 1 AS HUGEINT) * (n2 + 1) // (m + 1) - 1 - n_true) * 1000000 // n_true
         |            AS BIGINT) AS chapman_err_ppm
         |FROM a""".stripMargin,
 

@@ -488,32 +488,37 @@ private[graft] object OracleShard09 {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |           AS BIGINT) AS fp
         |  FROM vg
-        |), c2 AS (SELECT q, cnt, fp, fp + cnt AS f FROM c),
+        |), c2 AS (SELECT q, cnt, fp, fp + cnt AS f,
+        |                 CAST(sum(cnt) OVER () AS BIGINT) AS nn FROM c),
+        |c3 AS (SELECT q, cnt, nn,
+        |              10000 * CAST(f AS HUGEINT) // nn AS g,
+        |              10000 * CAST(fp AS HUGEINT) // nn AS gp
+        |       FROM c2),
         |a AS (
-        |  SELECT CAST(max(f) AS BIGINT) AS nn,
+        |  SELECT CAST(max(nn) AS BIGINT) AS nn,
         |         CAST(sum(q * cnt) AS BIGINT) AS e1n,
-        |         sum(q * (CAST(f AS HUGEINT) * f - CAST(fp AS HUGEINT) * fp)) AS e2n,
-        |         sum(q * (CAST(f AS HUGEINT) * f * f * f
-        |                  - CAST(fp AS HUGEINT) * fp * fp * fp)) AS e4n,
-        |         sum(q * (CAST(f AS HUGEINT) * f * f * f * f * f * f * f
-        |                  - CAST(fp AS HUGEINT) * fp * fp * fp * fp * fp * fp * fp))
+        |         sum(q * (CAST(g AS HUGEINT) * g - CAST(gp AS HUGEINT) * gp)) AS e2n,
+        |         sum(q * (CAST(g AS HUGEINT) * g * g * g
+        |                  - CAST(gp AS HUGEINT) * gp * gp * gp)) AS e4n,
+        |         sum(q * (CAST(g AS HUGEINT) * g * g * g * g * g * g * g
+        |                  - CAST(gp AS HUGEINT) * gp * gp * gp * gp * gp * gp * gp))
         |           AS e8n
-        |  FROM c2
+        |  FROM c3
         |)
         |SELECT CAST(1 AS BIGINT) AS n_draws,
         |       CAST(1000 * CAST(e1n AS HUGEINT) // nn AS BIGINT) AS e_max_milli
         |FROM a
         |UNION ALL
         |SELECT CAST(2 AS BIGINT),
-        |       CAST(1000 * e2n // (CAST(nn AS HUGEINT) * nn) AS BIGINT) FROM a
+        |       CAST(1000 * e2n // CAST(100000000 AS HUGEINT) AS BIGINT) FROM a
         |UNION ALL
         |SELECT CAST(4 AS BIGINT),
-        |       CAST(1000 * e4n // (CAST(nn AS HUGEINT) * nn * nn * nn) AS BIGINT)
+        |       CAST(1000 * e4n // CAST(10000000000000000 AS HUGEINT) AS BIGINT)
         |FROM a
         |UNION ALL
         |SELECT CAST(8 AS BIGINT),
-        |       CAST(1000 * e8n // (CAST(nn AS HUGEINT) * nn * nn * nn * nn * nn
-        |                           * nn * nn) AS BIGINT)
+        |       CAST(1000 * (e8n // CAST(100000000000000000000 AS HUGEINT))
+        |            // 1000000000000 AS BIGINT)
         |FROM a
         |ORDER BY n_draws""".stripMargin,
 
@@ -1216,18 +1221,18 @@ private[graft] object OracleShard09 {
          |cont AS (SELECT e2.label, asg.bucket, CAST(count(*) AS BIGINT) AS nij
          |         FROM asg JOIN embeddings e2 ON asg.vec_id = e2.vec_id
          |         GROUP BY 1, 2),
-         |p AS (SELECT CAST(sum(nij * (nij - 1)) AS BIGINT) AS pp,
+         |p AS (SELECT sum(CAST(nij AS HUGEINT) * (nij - 1)) AS pp,
          |             CAST(sum(nij) AS BIGINT) AS n FROM cont),
-         |pa AS (SELECT CAST(sum(ai * (ai - 1)) AS BIGINT) AS aa,
+         |pa AS (SELECT sum(CAST(ai AS HUGEINT) * (ai - 1)) AS aa,
          |             CAST(count(*) AS BIGINT) AS n_labels
          |      FROM (SELECT label, CAST(sum(nij) AS BIGINT) AS ai FROM cont GROUP BY 1)),
-         |pb AS (SELECT CAST(sum(bj * (bj - 1)) AS BIGINT) AS bb,
+         |pb AS (SELECT sum(CAST(bj AS HUGEINT) * (bj - 1)) AS bb,
          |             CAST(count(*) AS BIGINT) AS k_buckets
          |      FROM (SELECT bucket, CAST(sum(nij) AS BIGINT) AS bj FROM cont GROUP BY 1))
          |SELECT n AS n_vectors, n_labels, k_buckets,
-         |       CAST(CAST(1000000 AS HUGEINT)
-         |              * (2 * CAST(n * (n - 1) AS HUGEINT) * pp - 2 * CAST(aa AS HUGEINT) * bb)
-         |            // (CAST(n * (n - 1) AS HUGEINT) * (aa + bb) - 2 * CAST(aa AS HUGEINT) * bb)
+         |       CAST(round(1000000
+         |              * (2 * CAST(n AS DOUBLE) * (n - 1) * pp - 2 * CAST(aa AS DOUBLE) * bb)
+         |            / (CAST(n AS DOUBLE) * (n - 1) * (aa + bb) - 2 * CAST(aa AS DOUBLE) * bb))
          |            AS BIGINT) AS ari_ppm
          |FROM p CROSS JOIN pa CROSS JOIN pb""".stripMargin,
 
@@ -1236,20 +1241,19 @@ private[graft] object OracleShard09 {
          |cont AS (SELECT e2.label, asg.bucket, CAST(count(*) AS BIGINT) AS nij
          |         FROM asg JOIN embeddings e2 ON asg.vec_id = e2.vec_id
          |         GROUP BY 1, 2),
-         |p AS (SELECT CAST(sum(nij * (nij - 1)) AS BIGINT) AS pp FROM cont),
-         |pa AS (SELECT CAST(sum(ai * (ai - 1)) AS BIGINT) AS aa
+         |p AS (SELECT sum(CAST(nij AS HUGEINT) * (nij - 1)) AS pp FROM cont),
+         |pa AS (SELECT sum(CAST(ai AS HUGEINT) * (ai - 1)) AS aa
          |      FROM (SELECT label, CAST(sum(nij) AS BIGINT) AS ai FROM cont GROUP BY 1)),
-         |pb AS (SELECT CAST(sum(bj * (bj - 1)) AS BIGINT) AS bb
+         |pb AS (SELECT sum(CAST(bj AS HUGEINT) * (bj - 1)) AS bb
          |      FROM (SELECT bucket, CAST(sum(nij) AS BIGINT) AS bj FROM cont GROUP BY 1)),
          |f AS (SELECT pp, aa, bb,
-         |             CAST(1000000 AS HUGEINT) * pp * (1000000 * pp)
-         |               // (CAST(aa AS HUGEINT) * bb) AS fmsq
+         |             (1000000 * pp // bb) * (1000000 * pp // aa) AS x
          |      FROM p CROSS JOIN pa CROSS JOIN pb),
-         |r0 AS (SELECT *, CAST(floor(sqrt(CAST(fmsq AS DOUBLE))) AS HUGEINT) AS t0 FROM f),
-         |r1 AS (SELECT *, CASE WHEN t0 > 0 THEN (t0 + fmsq // t0) // 2 ELSE 0 END AS t1 FROM r0),
-         |r2 AS (SELECT *, CASE WHEN (t1 + 1) * (t1 + 1) <= fmsq THEN t1 + 1
-         |                      WHEN t1 * t1 > fmsq THEN t1 - 1 ELSE t1 END AS rt FROM r1)
-         |SELECT pp AS pair_tp2,
+         |r0 AS (SELECT *, CAST(floor(sqrt(CAST(x AS DOUBLE))) AS HUGEINT) AS t0 FROM f),
+         |r1 AS (SELECT *, CASE WHEN t0 > 0 THEN (t0 + x // t0) // 2 ELSE 0 END AS t1 FROM r0),
+         |r2 AS (SELECT *, CASE WHEN (t1 + 1) * (t1 + 1) <= x THEN t1 + 1
+         |                      WHEN t1 * t1 > x THEN t1 - 1 ELSE t1 END AS rt FROM r1)
+         |SELECT CAST(pp AS BIGINT) AS pair_tp2,
          |       CAST(1000000 * pp // bb AS BIGINT) AS prec_ppm,
          |       CAST(1000000 * pp // aa AS BIGINT) AS rec_ppm,
          |       CAST(rt AS BIGINT) AS fm_ppm
@@ -1813,51 +1817,54 @@ private[graft] object OracleShard09 {
         |                                 ELSE 2 * (nn - i + 1) - 1 END END AS st
         |       FROM rk),
         |ag AS (SELECT CAST(sum(ga) AS BIGINT) AS n_a, CAST(sum(1 - ga) AS BIGINT) AS n_b,
-        |              CAST(sum(CASE WHEN ga = 1 THEN st ELSE 0 END) AS BIGINT) AS w_a
-        |       FROM st)
-        |SELECT n_a, n_b, w_a,
-        |       CAST(3000 * CAST(2 * w_a - n_a * (n_a + n_b + 1) AS HUGEINT)
-        |            * (2 * w_a - n_a * (n_a + n_b + 1))
-        |            // (CAST(n_a AS HUGEINT) * n_b * (n_a + n_b + 1)) AS BIGINT) AS zsq_milli
-        |FROM ag""".stripMargin),
+        |              sum(CASE WHEN ga = 1 THEN st ELSE 0 END) AS w_a
+        |       FROM st),
+        |g AS (SELECT n_a, n_b, w_a, n_a + n_b AS nn FROM ag)
+        |SELECT n_a, n_b, CAST(w_a AS BIGINT) AS w_a,
+        |       CAST(round(3000 * (2 * CAST(w_a AS DOUBLE) - CAST(n_a AS DOUBLE) * (nn + 1))
+        |            * (2 * CAST(w_a AS DOUBLE) - CAST(n_a AS DOUBLE) * (nn + 1))
+        |            / (CAST(n_a AS DOUBLE) * n_b * (nn + 1))) AS BIGINT) AS zsq_milli
+        |FROM g""".stripMargin),
 
     "q575_ansari_bradley" ->
       (twoSegRankCte + """,
         |ab AS (SELECT ga, least(i, nn - i + 1) AS ab FROM rk),
         |ag AS (SELECT CAST(sum(ga) AS BIGINT) AS n_a, CAST(sum(1 - ga) AS BIGINT) AS n_b,
-        |              CAST(sum(CASE WHEN ga = 1 THEN ab ELSE 0 END) AS BIGINT) AS a_sum
+        |              sum(CASE WHEN ga = 1 THEN ab ELSE 0 END) AS a_sum
         |       FROM ab),
         |g AS (SELECT n_a, n_b, a_sum, n_a + n_b AS nn FROM ag)
-        |SELECT n_a, n_b, a_sum,
-        |       CASE WHEN nn % 2 = 0 THEN CAST(
-        |         3000 * CAST(nn - 1 AS HUGEINT)
-        |         * (4 * a_sum - n_a * (nn + 2)) * (4 * a_sum - n_a * (nn + 2))
-        |         // (CAST(n_a AS HUGEINT) * n_b * (nn + 2) * (nn - 2)) AS BIGINT)
-        |       ELSE CAST(3000
-        |         * CAST(4 * nn * a_sum - n_a * (nn + 1) * (nn + 1) AS HUGEINT)
-        |         * (4 * nn * a_sum - n_a * (nn + 1) * (nn + 1))
-        |         // (CAST(n_a AS HUGEINT) * n_b * (nn + 1) * (nn * nn + 3)) AS BIGINT) END AS zsq_milli
+        |SELECT n_a, n_b, CAST(a_sum AS BIGINT) AS a_sum,
+        |       CASE WHEN nn % 2 = 0 THEN CAST(round(
+        |         3000 * (nn - 1)
+        |         * (4 * CAST(a_sum AS DOUBLE) - CAST(n_a AS DOUBLE) * (nn + 2))
+        |         * (4 * CAST(a_sum AS DOUBLE) - CAST(n_a AS DOUBLE) * (nn + 2))
+        |         / (CAST(n_a AS DOUBLE) * n_b * (nn + 2) * (nn - 2))) AS BIGINT)
+        |       ELSE CAST(round(3000
+        |         * (4 * CAST(nn AS DOUBLE) * a_sum - CAST(n_a AS DOUBLE) * (nn + 1) * (nn + 1))
+        |         * (4 * CAST(nn AS DOUBLE) * a_sum - CAST(n_a AS DOUBLE) * (nn + 1) * (nn + 1))
+        |         / (CAST(n_a AS DOUBLE) * n_b * (nn + 1) * (CAST(nn AS DOUBLE) * nn + 3))) AS BIGINT) END AS zsq_milli
         |FROM g""".stripMargin),
 
     "q576_lepage" ->
       (twoSegRankCte + """,
         |ag AS (SELECT CAST(sum(ga) AS BIGINT) AS n_a, CAST(sum(1 - ga) AS BIGINT) AS n_b,
-        |              CAST(sum(CASE WHEN ga = 1 THEN i ELSE 0 END) AS BIGINT) AS w_a,
-        |              CAST(sum(CASE WHEN ga = 1 THEN least(i, nn - i + 1) ELSE 0 END) AS BIGINT) AS a_sum
+        |              sum(CASE WHEN ga = 1 THEN i ELSE 0 END) AS w_a,
+        |              sum(CASE WHEN ga = 1 THEN least(i, nn - i + 1) ELSE 0 END) AS a_sum
         |       FROM rk),
         |g AS (SELECT n_a, n_b, w_a, a_sum, n_a + n_b AS nn FROM ag),
         |z AS (SELECT n_a, n_b,
-        |             CAST(3000 * CAST(2 * w_a - n_a * (nn + 1) AS HUGEINT)
-        |                  * (2 * w_a - n_a * (nn + 1))
-        |                  // (CAST(n_a AS HUGEINT) * n_b * (nn + 1)) AS BIGINT) AS zw2,
-        |             CASE WHEN nn % 2 = 0 THEN CAST(
-        |               3000 * CAST(nn - 1 AS HUGEINT)
-        |               * (4 * a_sum - n_a * (nn + 2)) * (4 * a_sum - n_a * (nn + 2))
-        |               // (CAST(n_a AS HUGEINT) * n_b * (nn + 2) * (nn - 2)) AS BIGINT)
-        |             ELSE CAST(3000
-        |               * CAST(4 * nn * a_sum - n_a * (nn + 1) * (nn + 1) AS HUGEINT)
-        |               * (4 * nn * a_sum - n_a * (nn + 1) * (nn + 1))
-        |               // (CAST(n_a AS HUGEINT) * n_b * (nn + 1) * (nn * nn + 3)) AS BIGINT) END AS zab2
+        |             CAST(round(3000 * (2 * CAST(w_a AS DOUBLE) - CAST(n_a AS DOUBLE) * (nn + 1))
+        |                  * (2 * CAST(w_a AS DOUBLE) - CAST(n_a AS DOUBLE) * (nn + 1))
+        |                  / (CAST(n_a AS DOUBLE) * n_b * (nn + 1))) AS BIGINT) AS zw2,
+        |             CASE WHEN nn % 2 = 0 THEN CAST(round(
+        |               3000 * (nn - 1)
+        |               * (4 * CAST(a_sum AS DOUBLE) - CAST(n_a AS DOUBLE) * (nn + 2))
+        |               * (4 * CAST(a_sum AS DOUBLE) - CAST(n_a AS DOUBLE) * (nn + 2))
+        |               / (CAST(n_a AS DOUBLE) * n_b * (nn + 2) * (nn - 2))) AS BIGINT)
+        |             ELSE CAST(round(3000
+        |               * (4 * CAST(nn AS DOUBLE) * a_sum - CAST(n_a AS DOUBLE) * (nn + 1) * (nn + 1))
+        |               * (4 * CAST(nn AS DOUBLE) * a_sum - CAST(n_a AS DOUBLE) * (nn + 1) * (nn + 1))
+        |               / (CAST(n_a AS DOUBLE) * n_b * (nn + 1) * (CAST(nn AS DOUBLE) * nn + 3))) AS BIGINT) END AS zab2
         |      FROM g)
         |SELECT n_a, n_b, zw2 AS wilcoxon_zsq_milli, zab2 AS ab_zsq_milli,
         |       zw2 + zab2 AS lepage_milli

@@ -13,23 +13,23 @@ private[graft] object OracleShard10 {
     "q577_cucconi" ->
       (twoSegRankCte + """,
         |ag AS (SELECT CAST(sum(ga) AS BIGINT) AS n_a, CAST(sum(1 - ga) AS BIGINT) AS n_b,
-        |              CAST(sum(CASE WHEN ga = 1 THEN i * i ELSE 0 END) AS BIGINT) AS sr2,
-        |              CAST(sum(CASE WHEN ga = 1 THEN (nn - i + 1) * (nn - i + 1) ELSE 0 END) AS BIGINT) AS sc2
+        |              sum(CASE WHEN ga = 1 THEN CAST(i AS HUGEINT) * i ELSE 0 END) AS sr2,
+        |              sum(CASE WHEN ga = 1 THEN CAST(nn - i + 1 AS HUGEINT) * (nn - i + 1) ELSE 0 END) AS sc2
         |       FROM rk),
         |g AS (SELECT n_a, n_b, sr2, sc2, n_a + n_b AS nn FROM ag),
         |m AS (SELECT n_a, n_b, nn,
-        |             6 * sr2 - n_a * (nn + 1) * (2 * nn + 1) AS nu,
-        |             6 * sc2 - n_a * (nn + 1) * (2 * nn + 1) AS nv,
-        |             (2 * nn + 1) * (8 * nn + 11) AS bb,
+        |             6 * sr2 - CAST(n_a AS HUGEINT) * (nn + 1) * (2 * nn + 1) AS nu,
+        |             6 * sc2 - CAST(n_a AS HUGEINT) * (nn + 1) * (2 * nn + 1) AS nv,
+        |             CAST(2 * nn + 1 AS HUGEINT) * (8 * nn + 11) AS bb,
         |             CAST(n_a AS DOUBLE) * n_b * (nn + 1) * (2 * nn + 1) * (8 * nn + 11) / 5.0 AS dd
         |      FROM g),
         |d AS (SELECT n_a, n_b, nu, nv,
         |             CAST(nu AS DOUBLE) * nu / dd AS u2,
         |             CAST(nv AS DOUBLE) * nv / dd AS v2,
         |             CAST(nu AS DOUBLE) * nv / dd AS uv,
-        |             CAST(2 * (nn * nn - 4) - bb AS DOUBLE) / bb AS rho
+        |             (2 * (CAST(nn AS DOUBLE) * nn - 4) - CAST(bb AS DOUBLE)) / CAST(bb AS DOUBLE) AS rho
         |      FROM m)
-        |SELECT n_a, n_b, nu, nv,
+        |SELECT n_a, n_b, CAST(nu AS BIGINT) AS nu, CAST(nv AS BIGINT) AS nv,
         |       CAST(round((u2 + v2 - 2 * rho * uv) / (2 * (1 - rho * rho)) * 1000) AS BIGINT) AS cucconi_milli
         |FROM d""".stripMargin),
 

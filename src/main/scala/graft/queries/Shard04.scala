@@ -255,11 +255,15 @@ private[graft] object Shard04 {
         .agg(
           count(lit(1)).as("n_users"),
           sum(col("x")).as("total_events"),
-          sum(col("i") * col("x")).as("siw"))
+          // rank×weight is O(n_users·events) per term — decimal before
+          // the multiply (wraps LONG past ~3e9 users)
+          sum(col("i").cast(dec38) * col("x")).as("siw"))
         .select(
           col("n_users"), col("total_events"),
-          (expr("(2 * (2 * siw - (n_users + 1) * total_events) * 1000000 " +
-            "+ n_users * total_events) div (2 * n_users * total_events)")
+          (expr("(2 * (2 * siw - CAST(n_users + 1 AS DECIMAL(38,0)) * total_events)" +
+            " * 1000000 " +
+            "+ CAST(n_users AS DECIMAL(38,0)) * total_events)" +
+            " div (2 * CAST(n_users AS DECIMAL(38,0)) * total_events)")
             .cast("double") / 1000000.0).as("gini"))
     }),
 

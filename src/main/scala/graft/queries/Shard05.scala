@@ -611,8 +611,10 @@ private[graft] object Shard05 {
         .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
         .agg(count(lit(1)).as("m2"),
           sum(col("du").cast(dec38)).as("sx"),
-          sum((col("du") * col("du")).cast(dec38)).as("sx2"),
-          sum((col("du") * col("dv")).cast(dec38)).as("sxy"))
+          // cast BEFORE the product: a pathological dup cluster can push
+          // pair-graph degrees toward corpus scale, wrapping degree² LONGs
+          sum(col("du").cast(dec38) * col("du")).as("sx2"),
+          sum(col("du").cast(dec38) * col("dv")).as("sxy"))
         .select(expr("m2 div 2").as("n_edges"),
           expr("CASE WHEN m2 * sx2 - sx * sx = 0 THEN CAST(0 AS BIGINT)" +
             " ELSE CAST((m2 * sxy - sx * sx) * 1000000" +
@@ -1004,7 +1006,10 @@ private[graft] object Shard05 {
           sum(when(col("g") === "AUTOMOBILE", 1L).otherwise(0L)).as("na"),
           sum(when(col("g") =!= "AUTOMOBILE", 1L).otherwise(0L)).as("nb"))))
         .select(col("na"), col("nb"),
-          (abs(col("ca") * col("nb") - col("cb") * col("na")).cast(dec38) *
+          // cumulative-count × group-count products wrap LONG past
+          // ~3e9 customers: widen before multiplying
+          (abs(col("ca").cast(dec38) * col("nb")
+            - col("cb").cast(dec38) * col("na")) *
             col("dv").cast(dec38)).as("t"))
         .groupBy("na", "nb")
         .agg(count(lit(1)).as("n_grid"), sum(col("t")).as("s"))

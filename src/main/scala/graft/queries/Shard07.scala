@@ -1263,7 +1263,7 @@ private[graft] object Shard07 {
           sum(when(col("cb").isNull, col("c")).otherwise(0L)).as("n_backoff"),
           sum(when(col("cb").isNull && col("cu2").isNull, col("c")).otherwise(0L))
             .as("n_oov"),
-          sum((col("c") * col("score")).cast(dec38)).as("ssum"))
+          sum(col("c").cast(dec38) * col("score")).as("ssum"))  // hot-bigram count × micro-log wraps LONG at the 1e18 edge
         .select(col("lang"), col("n_bigrams"), col("n_backoff"), col("n_oov"),
           expr("ssum div n_bigrams").as("mean_score_micro"))
         .orderBy("lang")
@@ -1410,9 +1410,11 @@ private[graft] object Shard07 {
         .withColumn("z1", lag(col("z"), 1).over(Window.orderBy("mi")))
         .withColumn("z2", lag(col("z"), 2).over(Window.orderBy("mi")))
       z.agg(max(col("nm")).as("n_months"),
-          sum((col("z") * col("z")).cast(dec38)).as("c0"),
-          sum((col("z") * col("z1")).cast(dec38)).as("c1"),
-          sum((col("z") * col("z2")).cast(dec38)).as("c2"))
+          // cast BEFORE the square: z ~ months × monthly-mean grows with
+          // SF and z² wraps LONG near z ≈ 3e9
+          sum(col("z").cast(dec38) * col("z")).as("c0"),
+          sum(col("z").cast(dec38) * col("z1")).as("c1"),
+          sum(col("z").cast(dec38) * col("z2")).as("c2"))
         .select(col("n_months"),
           expr("1000 * c1 div c0").as("r1_milli"),
           expr("1000 * c2 div c0").as("r2_milli"),

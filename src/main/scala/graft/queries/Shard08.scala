@@ -338,9 +338,10 @@ private[graft] object Shard08 {
       }
       val agg = withLags.agg(
         max(col("nm")).as("n"),
-        sum((col("z") * col("z")).cast(dec38)).as("c0") +:
+        // cast BEFORE the square: z grows with SF (q438's fix applied)
+        sum(col("z").cast(dec38) * col("z")).as("c0") +:
           (1 to 6).map(k =>
-            sum((col("z") * col(s"z$k")).cast(dec38)).as(s"c$k")): _*)
+            sum(col("z").cast(dec38) * col(s"z$k")).as(s"c$k")): _*)
       val terms = (1 to 6).map(k =>
         s"(c$k * c$k * 1000000) div (c0 * c0 * (n - $k))").mkString(" + ")
       agg.select(col("n").as("n_months"),
@@ -503,8 +504,14 @@ private[graft] object Shard08 {
         .agg(max(col("n")).as("n"),
           sum(col("x").cast(dec38)).as("sx"),
           sum(expr("CAST(i * 2 - n - 1 AS DECIMAL(38,0)) * x")).as("l2n"),
-          sum(expr("CAST(((i - 1) * (i - 2)) div 2 - 2 * (i - 1) * (n - i)" +
-            " + ((n - i) * (n - i - 1)) div 2 AS DECIMAL(38,0)) * x")).as("l3n"))
+          // the rank binomials are O(n²) per TERM: widen i before the
+          // products (they wrap LONG past ~3e9 orders). l3n itself is
+          // O(n³·x) — within decimal(38) to ~9e10 rows; past that the
+          // τ₃ formulation needs the normalized-double path, documented
+          sum(expr("((CAST(i AS DECIMAL(38,0)) - 1) * (i - 2)) div 2" +
+            " - 2 * (CAST(i AS DECIMAL(38,0)) - 1) * (n - i)" +
+            " + ((CAST(n AS DECIMAL(38,0)) - i) * (n - i - 1)) div 2")
+            .cast(dec38) * col("x")).as("l3n"))
         .select(col("n").as("n_orders"),
           expr("CAST(sx div n AS BIGINT)").as("l1_mean_cents"),
           expr("CAST(l2n div (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)")
@@ -622,8 +629,9 @@ private[graft] object Shard08 {
     "q471_nb_moments" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy("user_id").agg(count(lit(1)).as("k"))
+        // one hot bot user can push k toward corpus scale — widen k²
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sk"),
-          sum(expr("k * k")).as("skk"))
+          sum(expr("CAST(k AS DECIMAL(38,0)) * k")).as("skk"))
         .select(col("n").as("n_users"),
           expr("1000 * sk div n").as("mean_milli"),
           expr("CAST(1000 * (CAST(n AS DECIMAL(38,0)) * skk - CAST(sk AS DECIMAL(38,0)) * sk)" +
@@ -756,8 +764,12 @@ private[graft] object Shard08 {
           sum(col("ina")).as("n1"), sum(col("inb")).as("n2"),
           sum(col("ina") * col("inb")).as("m"))
         .select(col("n_true"), col("n1"), col("n2"), col("m"),
-          expr("CASE WHEN m > 0 THEN n1 * n2 div m ELSE NULL END").as("est_lp"),
-          expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1").as("est_chapman"))
+          // n1·n2 is capture-count² — reaches the LONG edge (9e18) at
+          // ~3e9 captures per sample; widen the product
+          expr("CASE WHEN m > 0 THEN CAST(n1 AS DECIMAL(38,0)) * n2 div m" +
+            " ELSE NULL END").as("est_lp"),
+          expr("CAST(n1 + 1 AS DECIMAL(38,0)) * (n2 + 1) div (m + 1) - 1")
+            .as("est_chapman"))
         .withColumn("chapman_err_ppm",
           expr("abs(est_chapman - n_true) * 1000000 div n_true"))
     }),

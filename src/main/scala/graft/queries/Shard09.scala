@@ -509,23 +509,33 @@ private[graft] object Shard09 {
         .groupBy("q").agg(count(lit(1)).as("cnt"))
         .withColumn("fp", coalesce(sum(col("cnt")).over(before), lit(0L)))
         .withColumn("f", expr("fp + cnt"))
-        .agg(max(col("f")).as("nn"),
+        .withColumn("nn", sum(col("cnt")).over(Window.partitionBy()))
+        // CDF on a 1e4 grid: raw F^8 is O(nn⁸) — past decimal(38)/HUGEINT
+        // already at ~56k docs — while G^8 ≤ 1e32 always fits. The grid
+        // costs ≤ ~1e-3 relative error on the readout (telescoping keeps
+        // Σ q·(G^k − Gp^k) ≤ q_max·1e4ᵏ exactly), and the oracle replays
+        // the identical quantization, so the hash gate stays exact
+        .withColumn("g", expr("10000 * CAST(f AS DECIMAL(38,0)) div nn"))
+        .withColumn("gp", expr("10000 * CAST(fp AS DECIMAL(38,0)) div nn"))
+        .agg(max(col("nn")).as("nn"),
           sum(expr("q * cnt")).as("e1n"),
-          sum(expr("q * (CAST(f AS DECIMAL(38,0)) * f" +
-            " - CAST(fp AS DECIMAL(38,0)) * fp)")).as("e2n"),
-          sum(expr("q * (CAST(f AS DECIMAL(38,0)) * f * f * f" +
-            " - CAST(fp AS DECIMAL(38,0)) * fp * fp * fp)")).as("e4n"),
-          sum(expr("q * (CAST(f AS DECIMAL(38,0)) * f * f * f * f * f * f * f" +
-            " - CAST(fp AS DECIMAL(38,0)) * fp * fp * fp * fp * fp * fp * fp)"))
+          sum(expr("q * (CAST(g AS DECIMAL(38,0)) * g" +
+            " - CAST(gp AS DECIMAL(38,0)) * gp)")).as("e2n"),
+          sum(expr("q * (CAST(g AS DECIMAL(38,0)) * g * g * g" +
+            " - CAST(gp AS DECIMAL(38,0)) * gp * gp * gp)")).as("e4n"),
+          sum(expr("q * (CAST(g AS DECIMAL(38,0)) * g * g * g * g * g * g * g" +
+            " - CAST(gp AS DECIMAL(38,0)) * gp * gp * gp * gp * gp * gp * gp)"))
             .as("e8n"))
         .selectExpr(
           "stack(4," +
             " 1L, CAST(1000 * CAST(e1n AS DECIMAL(38,0)) div nn AS BIGINT)," +
-            " 2L, CAST(1000 * e2n div (CAST(nn AS DECIMAL(38,0)) * nn) AS BIGINT)," +
-            " 4L, CAST(1000 * e4n div (CAST(nn AS DECIMAL(38,0)) * nn * nn * nn)" +
+            " 2L, CAST(1000 * e2n div CAST(100000000 AS DECIMAL(38,0)) AS BIGINT)," +
+            " 4L, CAST(1000 * e4n div CAST(10000000000000000 AS DECIMAL(38,0))" +
             " AS BIGINT)," +
-            " 8L, CAST(1000 * e8n div (CAST(nn AS DECIMAL(38,0)) * nn * nn * nn" +
-            " * nn * nn * nn * nn) AS BIGINT)) AS (n_draws, e_max_milli)")
+            // 1e32 in two stages so 1000·e8n never has to exist as one
+            // decimal(38) value at a large q_max
+            " 8L, CAST(1000 * (e8n div CAST(100000000000000000000 AS DECIMAL(38,0)))" +
+            " div 1000000000000 AS BIGINT)) AS (n_draws, e_max_milli)")
         .orderBy("n_draws")
     }),
 
@@ -1342,17 +1352,27 @@ private[graft] object Shard09 {
         .join(asg, "vec_id")
         .groupBy("label", "bucket").agg(count(lit(1)).as("nij"))
         .localCheckpoint(false)
-      val p = cont.agg(sum(expr("nij * (nij - 1)")).as("pp"),
+      // pair-count sums are O(n²) per term and the ARI ratio is O(n⁴)
+      // over O(n⁴) — decimal sums (order-invariant), then ONE double
+      // ratio on the 1-row aggregate in literal-identical op order on
+      // both engines (the rank-test discipline; no fixed-precision
+      // integer holds n⁴ at corpus scale)
+      val p = cont.agg(
+        sum(expr("CAST(nij AS DECIMAL(38,0)) * (nij - 1)")).as("pp"),
         sum(col("nij")).as("n"))
       val a = cont.groupBy("label").agg(sum(col("nij")).as("ai"))
-        .agg(sum(expr("ai * (ai - 1)")).as("aa"), count(lit(1)).as("n_labels"))
+        .agg(sum(expr("CAST(ai AS DECIMAL(38,0)) * (ai - 1)")).as("aa"),
+          count(lit(1)).as("n_labels"))
       val b = cont.groupBy("bucket").agg(sum(col("nij")).as("bj"))
-        .agg(sum(expr("bj * (bj - 1)")).as("bb"), count(lit(1)).as("k_buckets"))
+        .agg(sum(expr("CAST(bj AS DECIMAL(38,0)) * (bj - 1)")).as("bb"),
+          count(lit(1)).as("k_buckets"))
       p.crossJoin(broadcast(a)).crossJoin(broadcast(b))
-        .withColumn("t", expr("n * (n - 1)"))
         .select(col("n").as("n_vectors"), col("n_labels"), col("k_buckets"),
-          expr("CAST(1000000 AS DECIMAL(38,0)) * (2 * t * pp - 2 * aa * bb)" +
-            " div (CAST(t AS DECIMAL(38,0)) * (aa + bb) - 2 * aa * bb)")
+          expr("CAST(round(1000000" +
+            " * (2 * CAST(n AS DOUBLE) * (n - 1) * pp" +
+            " - 2 * CAST(aa AS DOUBLE) * bb)" +
+            " / (CAST(n AS DOUBLE) * (n - 1) * (aa + bb)" +
+            " - 2 * CAST(aa AS DOUBLE) * bb)) AS BIGINT)")
             .as("ari_ppm"))
     }),
 
@@ -1369,25 +1389,31 @@ private[graft] object Shard09 {
         .join(asg, "vec_id")
         .groupBy("label", "bucket").agg(count(lit(1)).as("nij"))
         .localCheckpoint(false)
-      val p = cont.agg(sum(expr("nij * (nij - 1)")).as("pp"))
+      // same O(n²)-per-term sums as q551: decimal accumulation, and the
+      // geometric mean via double sqrt (pp² is O(n⁴) — past any fixed
+      // precision at corpus scale; IEEE sqrt is engine-identical)
+      val p = cont.agg(
+        sum(expr("CAST(nij AS DECIMAL(38,0)) * (nij - 1)")).as("pp"))
       val a = cont.groupBy("label").agg(sum(col("nij")).as("ai"))
-        .agg(sum(expr("ai * (ai - 1)")).as("aa"))
+        .agg(sum(expr("CAST(ai AS DECIMAL(38,0)) * (ai - 1)")).as("aa"))
       val b = cont.groupBy("bucket").agg(sum(col("nij")).as("bj"))
-        .agg(sum(expr("bj * (bj - 1)")).as("bb"))
+        .agg(sum(expr("CAST(bj AS DECIMAL(38,0)) * (bj - 1)")).as("bb"))
       p.crossJoin(broadcast(a)).crossJoin(broadcast(b))
-        .withColumn("fmsq", expr(
-          "CAST(1000000 AS DECIMAL(38,0)) * pp * (1000000 * pp)" +
-            " div (CAST(aa AS DECIMAL(38,0)) * bb)"))
-        .withColumn("t0", floor(sqrt(col("fmsq").cast("double"))).cast("long"))
+        // fm as the integer isqrt of prec·rec: each ratio is ≤ 1e6 so the
+        // product fits LONG at ANY corpus size, and the all-integer path
+        // has no double rounding boundary (a raw round(1e6·pp/√(aa·bb))
+        // landed exactly on a .5 where the engines' round() diverge)
+        .withColumn("x", expr(
+          "(1000000 * pp div bb) * (1000000 * pp div aa)"))
+        .withColumn("t0", floor(sqrt(col("x").cast("double"))).cast("long"))
         .withColumn("t1", expr(
-          "CASE WHEN t0 > 0 THEN (t0 + fmsq div t0) div 2 ELSE 0 END"))
-        .withColumn("rt", expr(
-          "CASE WHEN (t1 + 1) * (t1 + 1) <= fmsq THEN t1 + 1" +
-            " WHEN t1 * t1 > fmsq THEN t1 - 1 ELSE t1 END"))
-        .select(col("pp").as("pair_tp2"),
-          expr("1000000 * pp div bb").as("prec_ppm"),
-          expr("1000000 * pp div aa").as("rec_ppm"),
-          col("rt").as("fm_ppm"))
+          "CASE WHEN t0 > 0 THEN (t0 + x div t0) div 2 ELSE 0 END"))
+        .select(col("pp").cast("long").as("pair_tp2"),
+          expr("CAST(1000000 * pp div bb AS BIGINT)").as("prec_ppm"),
+          expr("CAST(1000000 * pp div aa AS BIGINT)").as("rec_ppm"),
+          expr("CAST(CASE WHEN (t1 + 1) * (t1 + 1) <= x THEN t1 + 1" +
+            " WHEN t1 * t1 > x THEN t1 - 1 ELSE t1 END AS BIGINT)")
+            .as("fm_ppm"))
     }),
 
     // mean-average-precision eval of the IVF retrieval against the exact
@@ -2087,10 +2113,13 @@ private[graft] object Shard09 {
             " CASE WHEN i % 2 = 1 THEN 2 * i - 1 ELSE 2 * i END" +
             " ELSE CASE WHEN (nn - i + 1) % 2 = 1 THEN 2 * (nn - i + 1)" +
             " ELSE 2 * (nn - i + 1) - 1 END END"))
+        // rank sums grow O(nn²): decimal accumulation (the output casts
+        // back to BIGINT — a readout; the statistic uses the exact sum)
         .agg(sum(col("ga")).as("n_a"), sum(lit(1L) - col("ga")).as("n_b"),
-          sum(when(col("ga") === 1, col("st")).otherwise(0L)).as("w_a"))
+          sum(when(col("ga") === 1, col("st")).otherwise(0L).cast(dec38))
+            .as("w_a"))
         .withColumn("nn", col("n_a") + col("n_b"))
-        .select(col("n_a"), col("n_b"), col("w_a"),
+        .select(col("n_a"), col("n_b"), col("w_a").cast("long").as("w_a"),
           expr(wilcoxonZsqMilli).as("zsq_milli"))
     }),
 
@@ -2104,10 +2133,12 @@ private[graft] object Shard09 {
           row_number().over(Window.orderBy("v", "o_custkey")).cast("long"))
         .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
         .withColumn("ab", least(col("i"), col("nn") - col("i") + 1))
+        // center-out score sum grows O(nn²): decimal accumulation
         .agg(sum(col("ga")).as("n_a"), sum(lit(1L) - col("ga")).as("n_b"),
-          sum(when(col("ga") === 1, col("ab")).otherwise(0L)).as("a_sum"))
+          sum(when(col("ga") === 1, col("ab")).otherwise(0L).cast(dec38))
+            .as("a_sum"))
         .withColumn("nn", col("n_a") + col("n_b"))
-        .select(col("n_a"), col("n_b"), col("a_sum"),
+        .select(col("n_a"), col("n_b"), col("a_sum").cast("long").as("a_sum"),
           expr(abZsqMilli).as("zsq_milli"))
     }),
 
@@ -2123,8 +2154,10 @@ private[graft] object Shard09 {
         .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
         .withColumn("ab", least(col("i"), col("nn") - col("i") + 1))
         .agg(sum(col("ga")).as("n_a"), sum(lit(1L) - col("ga")).as("n_b"),
-          sum(when(col("ga") === 1, col("i")).otherwise(0L)).as("w_a"),
-          sum(when(col("ga") === 1, col("ab")).otherwise(0L)).as("a_sum"))
+          sum(when(col("ga") === 1, col("i")).otherwise(0L).cast(dec38))
+            .as("w_a"),
+          sum(when(col("ga") === 1, col("ab")).otherwise(0L).cast(dec38))
+            .as("a_sum"))
         .withColumn("nn", col("n_a") + col("n_b"))
         .withColumn("zw2", expr(wilcoxonZsqMilli))
         .withColumn("zab2", expr(abZsqMilli))
@@ -2144,22 +2177,32 @@ private[graft] object Shard09 {
       sp.withColumn("i",
           row_number().over(Window.orderBy("v", "o_custkey")).cast("long"))
         .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+        // squared ranks are O(nn²) per TERM and O(nn³) summed — decimal
+        // from the first multiply; nu/nv/bb likewise (n_a·nn² wraps LONG
+        // at ~2e6 two-segment customers)
         .agg(sum(col("ga")).as("n_a"), sum(lit(1L) - col("ga")).as("n_b"),
-          sum(when(col("ga") === 1, col("i") * col("i")).otherwise(0L))
-            .as("sr2"),
-          sum(when(col("ga") === 1, (col("nn") - col("i") + 1)
-            * (col("nn") - col("i") + 1)).otherwise(0L)).as("sc2"))
+          sum(when(col("ga") === 1, col("i").cast(dec38) * col("i"))
+            .otherwise(lit(0).cast(dec38))).as("sr2"),
+          sum(when(col("ga") === 1, (col("nn") - col("i") + 1).cast(dec38)
+            * (col("nn") - col("i") + 1))
+            .otherwise(lit(0).cast(dec38))).as("sc2"))
         .withColumn("nn", col("n_a") + col("n_b"))
-        .withColumn("nu", expr("6 * sr2 - n_a * (nn + 1) * (2 * nn + 1)"))
-        .withColumn("nv", expr("6 * sc2 - n_a * (nn + 1) * (2 * nn + 1)"))
-        .withColumn("bb", expr("(2 * nn + 1) * (8 * nn + 11)"))
+        .withColumn("nu", expr(
+          "6 * sr2 - CAST(n_a AS DECIMAL(38,0)) * (nn + 1) * (2 * nn + 1)"))
+        .withColumn("nv", expr(
+          "6 * sc2 - CAST(n_a AS DECIMAL(38,0)) * (nn + 1) * (2 * nn + 1)"))
+        .withColumn("bb", expr(
+          "CAST(2 * nn + 1 AS DECIMAL(38,0)) * (8 * nn + 11)"))
         .withColumn("dd", expr("CAST(n_a AS DOUBLE) * n_b * (nn + 1)" +
           " * (2 * nn + 1) * (8 * nn + 11) / 5.0"))
         .withColumn("u2", expr("CAST(nu AS DOUBLE) * nu / dd"))
         .withColumn("v2", expr("CAST(nv AS DOUBLE) * nv / dd"))
         .withColumn("uv", expr("CAST(nu AS DOUBLE) * nv / dd"))
-        .withColumn("rho", expr("CAST(2 * (nn * nn - 4) - bb AS DOUBLE) / bb"))
-        .select(col("n_a"), col("n_b"), col("nu"), col("nv"),
+        .withColumn("rho", expr(
+          "(2 * (CAST(nn AS DOUBLE) * nn - 4) - CAST(bb AS DOUBLE))" +
+            " / CAST(bb AS DOUBLE)"))
+        .select(col("n_a"), col("n_b"),
+          col("nu").cast("long").as("nu"), col("nv").cast("long").as("nv"),
           expr("CAST(round((u2 + v2 - 2 * rho * uv)" +
             " / (2 * (1 - rho * rho)) * 1000) AS BIGINT)").as("cucconi_milli"))
     }),

@@ -170,11 +170,13 @@ private[graft] object Shard10 {
         col("n").as("n2"))
       cells.crossJoin(broadcast(other))
         .agg(
+          // quartile-cell count products reach the LONG edge near
+          // ~4e10 customers: widen before multiplying
           sum(when(col("qa2") > col("qa") && col("qs2") > col("qs"),
-            (col("n") * col("n2")).cast(dec38)).otherwise(lit(0).cast(dec38)))
+            col("n").cast(dec38) * col("n2")).otherwise(lit(0).cast(dec38)))
             .as("c_pairs"),
           sum(when(col("qa2") > col("qa") && col("qs2") < col("qs"),
-            (col("n") * col("n2")).cast(dec38)).otherwise(lit(0).cast(dec38)))
+            col("n").cast(dec38) * col("n2")).otherwise(lit(0).cast(dec38)))
             .as("d_pairs"))
         .select(col("c_pairs").cast("long").as("concordant"),
           col("d_pairs").cast("long").as("discordant"),
@@ -1084,8 +1086,9 @@ private[graft] object Shard10 {
         .filter(col("cur") < col("cur2"))
         .groupBy(col("cur").as("state_a"), col("cur2").as("state_b"))
         .agg(max(col("n")).as("n1"), max(col("n2")).as("n2"),
-          sum(abs(col("c") * col("n2") - col("c2") * col("n")).cast(dec38))
-            .as("sad"))
+          // transition-count products wrap LONG past ~3e9 events/state
+          sum(abs(col("c").cast(dec38) * col("n2")
+            - col("c2").cast(dec38) * col("n"))).as("sad"))
         .select(col("state_a"), col("state_b"),
           expr("CAST(1000000 * sad div (2 * CAST(n1 AS DECIMAL(38,0)) * n2)" +
             " AS BIGINT)").as("tv_ppm"))

@@ -142,23 +142,30 @@ private[graft] object Shared {
     * square so Spark `div` and DuckDB `//` agree. Shared by q574/q576.
     */
   private[graft] val wilcoxonZsqMilli: String =
-    "CAST(3000 * CAST(2 * w_a - n_a * (nn + 1) AS DECIMAL(38,0))" +
-      " * (2 * w_a - n_a * (nn + 1))" +
-      " div (CAST(n_a AS DECIMAL(38,0)) * n_b * (nn + 1)) AS BIGINT)"
+    // exact decimal SUMS feed one final double ratio in literal-identical
+    // op order on both engines (q577's discipline). An all-integer
+    // rational is impossible at scale: the numerator is O(nn⁴), past
+    // decimal(38)/HUGEINT on a ~1e10-row two-sample relation, while the
+    // one-row double ratio is deterministic and loses < 1 milli
+    "CAST(round(3000 * (2 * CAST(w_a AS DOUBLE) - CAST(n_a AS DOUBLE) * (nn + 1))" +
+      " * (2 * CAST(w_a AS DOUBLE) - CAST(n_a AS DOUBLE) * (nn + 1))" +
+      " / (CAST(n_a AS DOUBLE) * n_b * (nn + 1))) AS BIGINT)"
 
   /** Ansari–Bradley z² in milli from (n_a, n_b, nn, a_sum) — exact
     * even/odd moment branches (scipy's closed forms made integral by the
     * doubled-numerator trick). Shared by q575/q576.
     */
   private[graft] val abZsqMilli: String =
-    "CASE WHEN nn % 2 = 0 THEN CAST(" +
-      "3000 * CAST(nn - 1 AS DECIMAL(38,0))" +
-      " * (4 * a_sum - n_a * (nn + 2)) * (4 * a_sum - n_a * (nn + 2))" +
-      " div (CAST(n_a AS DECIMAL(38,0)) * n_b * (nn + 2) * (nn - 2)) AS BIGINT)" +
-      " ELSE CAST(3000" +
-      " * CAST(4 * nn * a_sum - n_a * (nn + 1) * (nn + 1) AS DECIMAL(38,0))" +
-      " * (4 * nn * a_sum - n_a * (nn + 1) * (nn + 1))" +
-      " div (CAST(n_a AS DECIMAL(38,0)) * n_b * (nn + 1) * (nn * nn + 3)) AS BIGINT) END"
+    // same decimal-sums + double-final-ratio shape as [[wilcoxonZsqMilli]]
+    "CASE WHEN nn % 2 = 0 THEN CAST(round(" +
+      "3000 * (nn - 1)" +
+      " * (4 * CAST(a_sum AS DOUBLE) - CAST(n_a AS DOUBLE) * (nn + 2))" +
+      " * (4 * CAST(a_sum AS DOUBLE) - CAST(n_a AS DOUBLE) * (nn + 2))" +
+      " / (CAST(n_a AS DOUBLE) * n_b * (nn + 2) * (nn - 2))) AS BIGINT)" +
+      " ELSE CAST(round(3000" +
+      " * (4 * CAST(nn AS DOUBLE) * a_sum - CAST(n_a AS DOUBLE) * (nn + 1) * (nn + 1))" +
+      " * (4 * CAST(nn AS DOUBLE) * a_sum - CAST(n_a AS DOUBLE) * (nn + 1) * (nn + 1))" +
+      " / (CAST(n_a AS DOUBLE) * n_b * (nn + 1) * (CAST(nn AS DOUBLE) * nn + 3))) AS BIGINT) END"
 
   private[graft] def hllAlphaM2Scaled: Double = OracleShared.hllAlphaM2Scaled
 

@@ -156,6 +156,32 @@ class TxLogSpec extends AnyFunSuite {
     assert(old === "row-4")
   }
 
+  test("checkpoints bound replay: reads above a checkpoint never touch older manifests") {
+    val root = freshTable()
+    // 25 commits with CheckpointEvery = 10 → checkpoints at v10 and v20
+    (0 until 25).foreach(k => TxLog.append(spark, root, batch(k * 2, k * 2 + 2)))
+    val ckpts = {
+      val it = java.nio.file.Files.list(java.nio.file.Paths.get(root, "_txlog"))
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.matches("""c\d{8}\.json""")).toList.sorted
+      } finally it.close()
+    }
+    assert(ckpts === List("c00000010.json", "c00000020.json"))
+    assert(TxLog.snapshot(spark, root).count() === 50L)
+    assert(TxLog.snapshot(spark, root, Some(15L)).count() === 30L)
+    // destroy an early manifest: replay for any pin ≥ 10 starts at a
+    // checkpoint and must not care; a pin below the first checkpoint needs
+    // it and must fail — proof the replay REALLY starts at the checkpoint
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_txlog", "v00000003.json"),
+      "garbage".getBytes)
+    assert(TxLog.snapshot(spark, root).count() === 50L)
+    assert(TxLog.snapshot(spark, root, Some(12L)).count() === 24L)
+    intercept[Throwable] { TxLog.snapshot(spark, root, Some(5L)).count() }
+  }
+
   test("vacuum collects aborted-commit residue (data dir with no manifest)") {
     val root = freshTable()
     TxLog.append(spark, root, batch(0, 5))
