@@ -56,6 +56,8 @@ object TxLog {
   private val versionFile: Regex = """v(\d{8})\.json""".r
   private val checkpointFile: Regex = """c(\d{8})\.json""".r
   private val fileField: Regex = """"([^"]+\.parquet)"""".r
+  private val fileStatsField: Regex =
+    """\{"p":"([^"]+\.parquet)","lo":(-?\d+),"hi":(-?\d+)\}""".r
   private val actionField: Regex = """"action":"(append|overwrite)"""".r
   private val txnField: Regex = """"txnId":"([^"]*)"""".r
 
@@ -136,6 +138,33 @@ object TxLog {
     live.map(f => s"$root/$f")
   }
 
+  /** Per-file column stats carried by a manifest: min/max of the stats
+    * column for data skipping (the Delta/Iceberg per-file zone-map idea).
+    * Stored inline as `{"p":path,"lo":L,"hi":H}` next to plain-string
+    * entries, so stats-free and stats-bearing commits interleave freely.
+    */
+  final case class FileStat(path: String, lo: Long, hi: Long)
+
+  /** Stats of every live file at `upTo` that HAS stats (absolute paths).
+    * Files committed without stats are absent — callers must treat them
+    * as "may contain anything" (see [[snapshotRange]]).
+    */
+  def liveStats(root: String, upTo: Long): Map[String, (Long, Long)] = {
+    val vs = versions(root).filter(_ <= upTo)
+    var acc = Map.empty[String, (Long, Long)]
+    vs.foreach { v =>
+      val txt = new String(
+        Files.readAllBytes(logDir(root).resolve(f"v$v%08d.json")),
+        StandardCharsets.UTF_8)
+      val action = actionField.findFirstMatchIn(txt).map(_.group(1))
+      if (action.contains(Overwrite.name)) acc = Map.empty
+      fileStatsField.findAllMatchIn(txt).foreach { m =>
+        acc += (s"$root/${m.group(1)}" -> (m.group(2).toLong, m.group(3).toLong))
+      }
+    }
+    acc
+  }
+
   /** The txnId each committed version carries (empty when none). */
   private def committedTxnIds(root: String): Map[String, Long] =
     versions(root).flatMap { v =>
@@ -151,7 +180,8 @@ object TxLog {
       root: String,
       df: DataFrame,
       action: Action,
-      txnId: Option[String] = None): Long = {
+      txnId: Option[String] = None,
+      statsCol: Option[String] = None): Long = {
     Files.createDirectories(logDir(root))
     val txn = java.util.UUID.randomUUID().toString.take(12)
     val dataDir = s"$root/data/txn-$txn"
@@ -164,12 +194,29 @@ object TxLog {
         .filter(_.endsWith(".parquet")).toSeq.sorted
       finally it.close()
     }.map(n => s"data/txn-$txn/$n")
+    // optional per-file zone map: min/max of `statsCol` per written file,
+    // serialized into the manifest so readers can skip files whose range
+    // can't match (the Delta/Iceberg data-skipping idea). One footer-sized
+    // job per file at COMMIT time — proportional to the commit, never to
+    // the table; readers pay nothing until they prune.
+    val entries: Seq[String] = statsCol match {
+      case Some(c) =>
+        written.map { rel =>
+          val r = spark.read.parquet(s"$root/$rel")
+            .agg(org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col(c).cast("long")),
+              org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col(c).cast("long")))
+            .head()
+          if (r.isNullAt(0)) "\"" + rel + "\"" // empty/all-null file: no stats
+          else s"""{"p":"$rel","lo":${r.getLong(0)},"hi":${r.getLong(1)}}"""
+        }
+      case None => written.map("\"" + _ + "\"")
+    }
     // steps 2+3: publish, retrying the version claim on lost races
     var attempt = 0
     while (true) {
       val next = headVersion(root) + 1
       val txnPart = txnId.map(t => s""","txnId":"$t"""").getOrElse("")
-      val body = written.map("\"" + _ + "\"").mkString(
+      val body = entries.mkString(
         s"""{"version":$next,"action":"${action.name}"$txnPart,"files":[""", ",", "]}")
       val tmp = logDir(root).resolve(s".tmp-$txn-$attempt")
       val ch = java.nio.channels.FileChannel.open(tmp,
@@ -265,6 +312,48 @@ object TxLog {
     val files = liveFiles(root, v)
     require(files.nonEmpty, s"txlog: snapshot v$v of $root lists no files")
     spark.read.parquet(files: _*)
+  }
+
+  /** Range read with data skipping: only files whose [lo, hi] zone map
+    * can intersect [lo, hi] are opened; files committed WITHOUT stats are
+    * conservatively always read. The residual filter still applies (zone
+    * maps prune files, they don't evaluate predicates). At 100 TB this is
+    * the difference between listing a snapshot and scanning it — commits
+    * that range-partition or sort by the stats column make the zone maps
+    * disjoint and pruning near-perfect (see io.ZOrder for the 2-D case).
+    */
+  def snapshotRange(
+      spark: SparkSession,
+      root: String,
+      col: String,
+      lo: Long,
+      hi: Long,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(headVersion(root))
+    val live = liveFiles(root, v)
+    require(live.nonEmpty, s"txlog: no live files at v$v of $root")
+    val files = prunedFiles(root, v, lo, hi)
+    // every zone map misses the range: correct answer is EMPTY, with the
+    // table's schema (read one live file, keep no rows)
+    val base =
+      if (files.nonEmpty) spark.read.parquet(files: _*)
+      else spark.read.parquet(live.head)
+        .filter(org.apache.spark.sql.functions.lit(false))
+    base.filter(org.apache.spark.sql.functions.col(col).cast("long")
+      .between(lo, hi))
+  }
+
+  /** The file list [[snapshotRange]] would read — exposed so specs can
+    * assert the PRUNING, not just the result.
+    */
+  def prunedFiles(root: String, v: Long, lo: Long, hi: Long): Seq[String] = {
+    val stats = liveStats(root, v)
+    liveFiles(root, v).filter { f =>
+      stats.get(f) match {
+        case Some((flo, fhi)) => fhi >= lo && flo <= hi
+        case None             => true // stats-free commit: cannot skip
+      }
+    }
   }
 
   /** Commit history as a DataFrame — the audit surface (DESCRIBE HISTORY). */

@@ -1741,6 +1741,31 @@ private[graft] object Shard10 {
         .orderBy("o_orderpriority")
     }),
 
+    // transaction-log data skipping: three monthly commits carrying
+    // per-file zone maps (min/max of the day offset), then a range read
+    // for February that opens ONLY the February file — the manifest-level
+    // pruning a 100 TB table needs before any parquet footer is touched.
+    // TxLogSpec asserts the pruning (candidate-file count); this query
+    // oracles the ANSWER against the source table, so a zone map that
+    // skips a matching file (or an off-by-one boundary) breaks the hash
+    "q638_txlog_skipping" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(expr("year(o_orderdate) = 1995 AND month(o_orderdate) <= 3"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          centsOf(col("o_totalprice")).as("v"),
+          datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+            .cast("long").as("d"),
+          month(col("o_orderdate")).as("mm"))
+      val root = io.Zones.tempDir(s"graft_skip_${new java.io.File(dir).getName}")
+      (1 to 3).foreach(m => io.TxLog.commit(s, root,
+        o.filter(col("mm") === m).drop("mm").coalesce(1), io.TxLog.Append,
+        statsCol = Some("d")))
+      io.TxLog.snapshotRange(s, root, "d", 31, 58) // Feb 1995, day offsets
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // REAL multimodal byte decode (q31's stub grown up): synthesize a
     // bit-exact BMP (even keys) or RIFF/WAV (odd keys) container per
     // document and run the actual header parsers over the binary column

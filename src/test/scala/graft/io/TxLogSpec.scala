@@ -182,6 +182,33 @@ class TxLogSpec extends AnyFunSuite {
     intercept[Throwable] { TxLog.snapshot(spark, root, Some(5L)).count() }
   }
 
+  test("per-file stats prune a range read to the matching commits only") {
+    val root = freshTable()
+    // 4 commits with disjoint id ranges, stats on id — zone maps disjoint
+    (0 until 4).foreach { k =>
+      TxLog.commit(spark, root, batch(k * 100, k * 100 + 100).coalesce(1),
+        TxLog.Append, statsCol = Some("id"))
+    }
+    // plus one stats-free commit: must never be skipped
+    TxLog.append(spark, root, batch(1000, 1001).coalesce(1))
+    val v = TxLog.headVersion(root)
+    val all = TxLog.liveFiles(root, v)
+    val pruned = TxLog.prunedFiles(root, v, 150, 160)
+    assert(pruned.size < all.size, "pruning must drop non-matching files")
+    // exactly: the k=1 commit's file + the stats-free file
+    assert(pruned.size === 2, s"expected 2 candidate files, got ${pruned.size}")
+    val got = TxLog.snapshotRange(spark, root, "id", 150, 160)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got === (150L to 160L))
+    // boundary inclusivity: a range touching a file's max must read it
+    assert(TxLog.snapshotRange(spark, root, "id", 99, 100).count() === 2L)
+    // stats survive replay order under an overwrite reset
+    TxLog.commit(spark, root, batch(5000, 5100).coalesce(1),
+      TxLog.Overwrite, statsCol = Some("id"))
+    assert(TxLog.prunedFiles(root, TxLog.headVersion(root), 0, 400).isEmpty,
+      "overwrite must reset the zone maps with the live set")
+  }
+
   test("vacuum collects aborted-commit residue (data dir with no manifest)") {
     val root = freshTable()
     TxLog.append(spark, root, batch(0, 5))
