@@ -302,6 +302,32 @@ object TxLog {
     overwrite(spark, root, merged)
   }
 
+  /** OPTIMIZE: rewrite the current live set into `targetFiles` files —
+    * the compaction a long-lived table needs once incremental appends
+    * accumulate small files (footer reads + task-per-file scheduling
+    * dominate scan cost at 100 TB; see Zones.compact for the raw-prefix
+    * variant). With `sortCol`, rows are range-repartitioned on it first
+    * so the rewritten files' zone maps become near-disjoint and
+    * [[snapshotRange]] pruning approaches one-file-per-range — the
+    * OPTIMIZE ZORDER story in one dimension. Committed as one overwrite;
+    * data files are immutable, so every pre-optimize snapshot keeps
+    * reading its own files untouched (time travel across an OPTIMIZE is
+    * free, unlike an in-place rewrite).
+    */
+  def optimize(
+      spark: SparkSession,
+      root: String,
+      targetFiles: Int,
+      sortCol: Option[String] = None): Long = {
+    val cur = snapshot(spark, root)
+    val laid = sortCol match {
+      case Some(c) => cur.repartitionByRange(
+        targetFiles, org.apache.spark.sql.functions.col(c))
+      case None => cur.repartition(targetFiles)
+    }
+    commit(spark, root, laid, Overwrite, statsCol = sortCol)
+  }
+
   /** Snapshot read: the table as of `version` (head when None). The file
     * list is resolved ONCE here; later commits only add files this list
     * never mentions, so the returned DataFrame is a consistent snapshot no

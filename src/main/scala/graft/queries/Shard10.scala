@@ -1766,6 +1766,31 @@ private[graft] object Shard10 {
         .orderBy("o_orderpriority")
     }),
 
+    // transaction-log OPTIMIZE: three stats-FREE monthly commits (no
+    // zone maps, so nothing prunable), then one range-clustered rewrite
+    // (repartitionByRange on the day offset, stats computed on the new
+    // files) and a February range read over the optimized snapshot. The
+    // oracle is the source-table answer, so a rewrite that drops,
+    // duplicates, or mis-stats any row breaks the hash; TxLogSpec asserts
+    // the compaction/pruning/time-travel mechanics
+    "q639_txlog_optimize" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(expr("year(o_orderdate) = 1995 AND month(o_orderdate) <= 3"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          centsOf(col("o_totalprice")).as("v"),
+          datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+            .cast("long").as("d"),
+          month(col("o_orderdate")).as("mm"))
+      val root = io.Zones.tempDir(s"graft_opt_${new java.io.File(dir).getName}")
+      (1 to 3).foreach(m =>
+        io.TxLog.append(s, root, o.filter(col("mm") === m).drop("mm")))
+      io.TxLog.optimize(s, root, targetFiles = 4, sortCol = Some("d"))
+      io.TxLog.snapshotRange(s, root, "d", 31, 58) // Feb 1995
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // REAL multimodal byte decode (q31's stub grown up): synthesize a
     // bit-exact BMP (even keys) or RIFF/WAV (odd keys) container per
     // document and run the actual header parsers over the binary column

@@ -209,6 +209,36 @@ class TxLogSpec extends AnyFunSuite {
       "overwrite must reset the zone maps with the live set")
   }
 
+  test("optimize compacts and range-clusters without changing content or history") {
+    val root = freshTable()
+    // 6 interleaved commits: ids NOT clustered by file
+    (0 until 6).foreach { k =>
+      import spark.implicits._
+      val rows = (0 until 60).filter(_ % 6 == k)
+        .map(i => (i.toLong, s"row-$i")).toDF("id", "payload")
+      TxLog.append(spark, root, rows.coalesce(1))
+    }
+    val before = TxLog.snapshot(spark, root).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    val preVersion = TxLog.headVersion(root)
+    // every file spans nearly the whole id range: pruning is useless
+    assert(TxLog.prunedFiles(root, preVersion, 10, 15).size ===
+      TxLog.liveFiles(root, preVersion).size)
+    val v = TxLog.optimize(spark, root, targetFiles = 3, sortCol = Some("id"))
+    assert(v === preVersion + 1)
+    // content byte-identical, file count compacted
+    val after = TxLog.snapshot(spark, root).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(after === before, "optimize must not change table content")
+    assert(TxLog.liveFiles(root, v).size === 3)
+    // range clustering: a narrow range now touches ONE file
+    assert(TxLog.prunedFiles(root, v, 10, 15).size === 1,
+      "range-sorted rewrite must make zone maps disjoint")
+    // pre-optimize snapshots read their own (untouched) files
+    assert(TxLog.snapshot(spark, root, Some(preVersion)).count() === 60L)
+    assert(TxLog.snapshot(spark, root, Some(3L)).count() === 30L)
+  }
+
   test("vacuum collects aborted-commit residue (data dir with no manifest)") {
     val root = freshTable()
     TxLog.append(spark, root, batch(0, 5))
