@@ -51,6 +51,11 @@ object TxLog {
   case object Append extends Action { val name = "append" }
   case object Overwrite extends Action { val name = "overwrite" }
 
+  /** A read-modify-write commit observed a head it didn't base itself on
+    * — the caller must re-read and recompute (see [[merge]]).
+    */
+  final class CommitConflict(msg: String) extends RuntimeException(msg)
+
   final case class Manifest(version: Long, action: String, files: Seq[String])
 
   private val versionFile: Regex = """v(\d{8})\.json""".r
@@ -181,7 +186,8 @@ object TxLog {
       df: DataFrame,
       action: Action,
       txnId: Option[String] = None,
-      statsCol: Option[String] = None): Long = {
+      statsCol: Option[String] = None,
+      expectHead: Option[Long] = None): Long = {
     Files.createDirectories(logDir(root))
     val txn = java.util.UUID.randomUUID().toString.take(12)
     val dataDir = s"$root/data/txn-$txn"
@@ -215,6 +221,15 @@ object TxLog {
     var attempt = 0
     while (true) {
       val next = headVersion(root) + 1
+      // serializable read-modify-write: a caller that derived `df` FROM a
+      // snapshot declares the head it read; if anything committed since,
+      // blindly claiming next would silently drop that commit's effect
+      // (lost update) — conflict instead, so the caller re-reads
+      expectHead.foreach { h =>
+        if (next - 1 != h)
+          throw new CommitConflict(
+            s"txlog: based on v$h but head is v${next - 1}")
+      }
       val txnPart = txnId.map(t => s""","txnId":"$t"""").getOrElse("")
       val body = entries.mkString(
         s"""{"version":$next,"action":"${action.name}"$txnPart,"files":[""", ",", "]}")
@@ -295,11 +310,30 @@ object TxLog {
     * matching files, appending the rest — noted, not built, at this size.
     */
   def merge(spark: SparkSession, root: String, updates: DataFrame, keyCol: String): Long = {
-    val current = snapshot(spark, root)
-    val merged = current
-      .join(updates.select(keyCol).distinct(), Seq(keyCol), "left_anti")
-      .unionByName(updates)
-    overwrite(spark, root, merged)
+    // serializable read-modify-write: pin the version the rewrite is based
+    // on; if anything commits in between, the conditional commit throws
+    // and the WHOLE read-modify-write reruns against the new head — a
+    // blind overwrite would silently drop the interleaved commit (lost
+    // update). The retry rewrites the data files (same copy-on-write
+    // conflict cost as Delta); the abandoned attempt's files are
+    // unreferenced garbage until a vacuum.
+    var attempts = 0
+    while (true) {
+      val base = headVersion(root)
+      val merged = snapshot(spark, root, Some(base))
+        .join(updates.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+        .unionByName(updates)
+      try {
+        return commit(spark, root, merged, Overwrite, expectHead = Some(base))
+      } catch {
+        case _: CommitConflict =>
+          attempts += 1
+          if (attempts > 50)
+            throw new java.io.IOException(
+              s"txlog: merge lost $attempts conflicts in a row; giving up")
+      }
+    }
+    -1L // unreachable
   }
 
   /** OPTIMIZE: rewrite the current live set into `targetFiles` files —
@@ -337,7 +371,11 @@ object TxLog {
     val v = version.getOrElse(headVersion(root))
     val files = liveFiles(root, v)
     require(files.nonEmpty, s"txlog: snapshot v$v of $root lists no files")
-    spark.read.parquet(files: _*)
+    // mergeSchema: a table that GAINED a column mid-history reads as the
+    // union schema with nulls backfilled in pre-evolution files; a
+    // time-travel read below the evolution sees only the old columns
+    // (its file list predates them) — additive schema evolution for free
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
   /** Range read with data skipping: only files whose [lo, hi] zone map

@@ -239,6 +239,46 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.snapshot(spark, root, Some(3L)).count() === 30L)
   }
 
+  test("concurrent merges serialize: no lost update under read-modify-write races") {
+    import spark.implicits._
+    val root = freshTable()
+    TxLog.append(spark, root, batch(0, 10)) // ids 0..9, payload row-i
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // two merges over DISJOINT keys race; without the expectHead
+      // conflict check, whichever overwrite lands second was derived from
+      // the PRE-race snapshot and silently reverts the first one
+      val m1 = Future(TxLog.merge(spark, root,
+        Seq((2L, "M1-2"), (20L, "M1-20")).toDF("id", "payload"), "id"))
+      val m2 = Future(TxLog.merge(spark, root,
+        Seq((5L, "M2-5"), (50L, "M2-50")).toDF("id", "payload"), "id"))
+      Await.result(Future.sequence(Seq(m1, m2)), 180.seconds)
+      val now = TxLog.snapshot(spark, root).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(now.size === 12, s"expected 12 rows, got ${now.size}")
+      assert(now(2L) === "M1-2" && now(20L) === "M1-20", "merge 1 effect lost")
+      assert(now(5L) === "M2-5" && now(50L) === "M2-50", "merge 2 effect lost")
+    } finally pool.shutdown()
+  }
+
+  test("additive schema evolution: head reads the union schema, time travel the old one") {
+    import spark.implicits._
+    val root = freshTable()
+    TxLog.append(spark, root, batch(0, 3)) // (id, payload)
+    TxLog.append(spark, root,
+      Seq((10L, "row-10", "en")).toDF("id", "payload", "lang"))
+    val head = TxLog.snapshot(spark, root)
+    assert(head.columns.sorted.toSeq === Seq("id", "lang", "payload"))
+    val byId = head.collect().map(r => r.getLong(0) ->
+      Option(r.getAs[String]("lang"))).toMap
+    assert(byId(10L) === Some("en"))
+    assert(byId(0L) === None, "pre-evolution rows must backfill null")
+    // time travel below the evolution: old schema only
+    assert(TxLog.snapshot(spark, root, Some(1L)).columns.sorted.toSeq
+      === Seq("id", "payload"))
+  }
+
   test("vacuum collects aborted-commit residue (data dir with no manifest)") {
     val root = freshTable()
     TxLog.append(spark, root, batch(0, 5))
