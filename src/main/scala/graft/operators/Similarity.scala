@@ -777,11 +777,14 @@ object Similarity {
       .groupBy("sub")
       .agg(count(lit(1)).as("n_vectors"),
         countDistinct(col("best.cid")).as("codes_used"),
-        sum(col("best.d2")).as("sum_sqerr_q"))
-      .withColumn("avg_sqerr_q", expr("sum_sqerr_q div n_vectors"))
+        // per-vector d2 is bounded (~4e12·subDim) but the corpus-wide sum
+        // grows with the vector count — accumulate in decimal, report long
+        sum(col("best.d2").cast("decimal(38,0)")).as("sum_dec"))
+      .withColumn("avg_sqerr_q", expr("sum_dec div n_vectors"))
       .join(defined, Seq("sub"))
       .select(col("sub").cast("long").as("subspace"), col("n_vectors"),
-        col("codes_defined"), col("codes_used"), col("sum_sqerr_q"),
+        col("codes_defined"), col("codes_used"),
+        col("sum_dec").cast("long").as("sum_sqerr_q"),
         col("avg_sqerr_q"))
       .orderBy("subspace")
   }
