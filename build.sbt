@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach the real stdout RAW: sbt's default
+// LoggedOutput prefixes every line with "[info] ", which is why the
+// driver's JSON parse of the bench line failed in rounds 1-7
+// (`[info] {"metric":...}` is not JSON). StdoutOutput makes the forked
+// JVM inherit stdout directly — applies to run/runMain/test alike.
+ThisBuild / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and suppress sbt's own "[success] Total time" epilogue so the
+// bench JSON is the LAST stdout line, with nothing after it.
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

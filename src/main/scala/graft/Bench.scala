@@ -45,23 +45,47 @@ object Bench {
     }
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Full per-query map → a committed FILE (the 633-entry map is ~25 kB,
+    // Full per-query map → a committed FILE (the 639-entry map is ~25 kB,
     // which overflowed the driver's stdout capture in round 6 and left
-    // BENCH_r06.json unparseable); stdout gets a compact line — total +
-    // the 20 slowest queries — that always fits the capture window.
-    val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "07")
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      s"/root/repo/BENCH_LOCAL_r$round.json")
+    // BENCH_r06.json unparseable); stdout gets a compact <1 kB line —
+    // total + the 10 slowest — emitted LAST, after spark.stop(), so no
+    // shutdown logging can follow it on stdout.
+    val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", deriveRound())
+    // never silently overwrite an existing local bench file: round 7's
+    // driver run clobbered the committed builder run because both
+    // defaulted to the same literal — collide into a fresh suffixed name
+    val fullPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
+      val base = s"/root/repo/BENCH_LOCAL_r$round"
+      Iterator.single(s"$base.json")
+        .concat(Iterator.from(2).map(k => s"$base.$k.json"))
+        .find(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+        .get
+    }
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qsFull,"errors":$errs,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] full-map write failed: ${e.getMessage}") }
-    val top = results.toSeq.sortBy(-_._2).take(20)
+    val top = results.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$top,"queries_note":"20 slowest; full map in $fullPath","errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    System.out.println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$top,"queries_note":"10 slowest; full map in $fullPath","errors":$errs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
+
+  /** The current build round, derived from the newest driver artifact
+    * (`VERDICT.md` header "round N" describes the PREVIOUS round) so the
+    * default bench filename can't collide with a past round's committed
+    * history. Env `SPARK_GRAFT_ROUND` still overrides.
+    */
+  private def deriveRound(): String =
+    try {
+      val head = scala.io.Source.fromFile("/root/repo/VERDICT.md")
+      val n = try "round (\\d+)".r.findFirstMatchIn(head.getLines().next())
+        .map(_.group(1).toInt).getOrElse(0)
+      finally head.close()
+      f"${n + 1}%02d"
+    } catch { case _: Throwable => "99" }
 }

@@ -99,7 +99,7 @@ object Multimodal {
 
   /** Minimal bit-exact BMP (54-byte BITMAPINFOHEADER, no pixel payload —
     * the decoders here read only headers): fixture generator for specs and
-    * the q637 real-decode query, since the sandbox ships no real media.
+    * the q636 real-decode query, since the sandbox ships no real media.
     */
   def makeBmp(width: Int, height: Int): Array[Byte] = {
     val b = new Array[Byte](54)
@@ -154,7 +154,7 @@ object Multimodal {
     // and a text that happens to start with 'BM' must not be data-
     // dependently parsed as an image under the stub-arithmetic oracle.
     // Pass [[decode]] explicitly when the media column holds real
-    // containers (q637 does).
+    // containers (q636 does).
     df.select(col(idCol).cast("long"), col("media"))
       .filter(col("media").isNotNull)
       .as[(Long, Array[Byte])]

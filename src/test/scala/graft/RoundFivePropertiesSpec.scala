@@ -783,7 +783,9 @@ class RoundFivePropertiesSpec extends AnyFunSuite {
       assert(row.getAs[Long]("codes_defined") === 16L,
         "codebook short of nCodes — the dense-id precondition is violated")
       assert(used <= row.getAs[Long]("codes_defined"))
-      assert(row.getAs[Long]("avg_sqerr_q") <= row.getAs[Long]("sum_sqerr_q"))
+      // sum_sqerr_q is decimal(38,0) — it grows with the corpus, past long
+      assert(BigDecimal(row.getAs[Long]("avg_sqerr_q")) <=
+        BigDecimal(row.getAs[java.math.BigDecimal]("sum_sqerr_q")))
     }
   }
 
