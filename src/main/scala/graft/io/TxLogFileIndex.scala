@@ -1,0 +1,143 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{Decimal, StructType}
+
+/** A [[FileIndex]] over a [[TxLog]] snapshot whose `listFiles` consults
+  * the manifests' per-file zone maps — the piece that puts lakehouse data
+  * skipping on the ORDINARY read path. Catalyst plans a
+  * `TxLog.snapshot(...)` read as a normal parquet `FileSourceScanExec`;
+  * at planning time the scan asks this index for its file list, passing
+  * the pushed-down data filters, and any range/equality/IN predicate on a
+  * zone-mapped column drops every file whose manifest [lo, hi] can't
+  * match — BEFORE a single parquet footer is opened. That is how
+  * Delta/Iceberg surface file pruning (a custom file index under a plain
+  * `filter`), and at 100 TB it is the difference between listing a
+  * snapshot and scanning it. Everything downstream stays stock Spark:
+  * column pruning, parquet row-group skipping via pushed filters, and
+  * whole-stage codegen all apply to the surviving files.
+  *
+  * Pruning is conservative by construction: files without stats for the
+  * filtered column are always kept, unsupported predicate shapes prune
+  * nothing, and the full predicate is still evaluated on every surviving
+  * row (zone maps prune files, they don't answer queries).
+  */
+final class TxLogFileIndex(
+    spark: SparkSession,
+    root: String,
+    files: Seq[String], // absolute paths, snapshot order
+    stats: Map[String, TxLog.ColStats]) extends FileIndex {
+
+  // one driver-side status fetch per live file, at index construction —
+  // a real deployment caches these in the manifest (Delta stores file
+  // sizes in the log for exactly this reason); the shape stays O(live
+  // files), never O(table bytes)
+  private val statuses: Seq[FileStatus] = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    files.map(f => fs.getFileStatus(new Path(f)))
+  }
+
+  override def rootPaths: Seq[Path] = Seq(new Path(root))
+  override def partitionSchema: StructType = new StructType()
+  override def inputFiles: Array[String] = files.toArray
+  override def refresh(): Unit = ()
+  override def sizeInBytes: Long = statuses.map(_.getLen).sum
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept = statuses.filter { st =>
+      val key = st.getPath.toUri.getPath
+      val cs = stats.getOrElse(key, Map.empty)
+      dataFilters.forall(f => TxLogFileIndex.mayMatch(f, cs))
+    }
+    TxLogFileIndex.lastListed = kept.map(_.getPath.toUri.getPath)
+    Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+  }
+}
+
+object TxLogFileIndex {
+
+  /** The file list the most recent scan planning kept — a spec hook so
+    * tests assert the PRUNING (plan-time file set), not just the answer.
+    */
+  @volatile var lastListed: Seq[String] = Nil
+
+  /** Build the snapshot DataFrame for a resolved replay: stock parquet
+    * [[HadoopFsRelation]] over a [[TxLogFileIndex]], schema = union of
+    * the live files' schemas (additive evolution reads with nulls
+    * backfilled; time travel below an evolution sees only old columns,
+    * because its file list predates them).
+    */
+  private[io] def read(spark: SparkSession, root: String, r: TxLog.Replay): DataFrame = {
+    val abs = r.files.map(f => s"$root/$f")
+    val schema = spark.read.option("mergeSchema", "true").parquet(abs: _*).schema
+    val index = new TxLogFileIndex(spark, root, abs,
+      r.stats.map { case (p, cs) => s"$root/$p" -> cs })
+    val rel = HadoopFsRelation(index, new StructType(), schema, None,
+      new ParquetFileFormat, Map("mergeSchema" -> "true"))(spark)
+    spark.baseRelationToDataFrame(rel)
+  }
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case i: Int     => Some(i.toLong)
+    case l: Long    => Some(l)
+    case s: Short   => Some(s.toLong)
+    case b: Byte    => Some(b.toLong)
+    case d: Decimal if d.scale == 0 => Some(d.toLong)
+    case _          => None
+  }
+
+  /** Could a file with zone maps `cs` contain a row satisfying `e`?
+    * False ONLY when the predicate provably excludes the file's range —
+    * every unknown shape answers true (prune nothing, stay correct).
+    */
+  private[io] def mayMatch(e: Expression, cs: TxLog.ColStats): Boolean = {
+    def rng(a: Attribute): Option[(Long, Long)] = cs.get(a.name)
+    e match {
+      case And(l, r) => mayMatch(l, cs) && mayMatch(r, cs)
+      case Or(l, r)  => mayMatch(l, cs) || mayMatch(r, cs)
+      case EqualTo(a: Attribute, Literal(v, _)) =>
+        keepIf(rng(a), asLong(v)) { case ((lo, hi), x) => lo <= x && x <= hi }
+      case EqualTo(Literal(v, _), a: Attribute) =>
+        keepIf(rng(a), asLong(v)) { case ((lo, hi), x) => lo <= x && x <= hi }
+      case GreaterThanOrEqual(a: Attribute, Literal(v, _)) => // a >= v
+        keepIf(rng(a), asLong(v)) { case ((_, hi), x) => hi >= x }
+      case GreaterThan(a: Attribute, Literal(v, _)) =>        // a > v
+        keepIf(rng(a), asLong(v)) { case ((_, hi), x) => hi > x }
+      case LessThanOrEqual(a: Attribute, Literal(v, _)) =>    // a <= v
+        keepIf(rng(a), asLong(v)) { case ((lo, _), x) => lo <= x }
+      case LessThan(a: Attribute, Literal(v, _)) =>           // a < v
+        keepIf(rng(a), asLong(v)) { case ((lo, _), x) => lo < x }
+      case GreaterThanOrEqual(Literal(v, _), a: Attribute) => // v >= a ⇔ a <= v
+        keepIf(rng(a), asLong(v)) { case ((lo, _), x) => lo <= x }
+      case GreaterThan(Literal(v, _), a: Attribute) =>        // v > a ⇔ a < v
+        keepIf(rng(a), asLong(v)) { case ((lo, _), x) => lo < x }
+      case LessThanOrEqual(Literal(v, _), a: Attribute) =>    // v <= a ⇔ a >= v
+        keepIf(rng(a), asLong(v)) { case ((_, hi), x) => hi >= x }
+      case LessThan(Literal(v, _), a: Attribute) =>           // v < a ⇔ a > v
+        keepIf(rng(a), asLong(v)) { case ((_, hi), x) => hi > x }
+      case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        rng(a) match {
+          case None => true
+          case Some((lo, hi)) => vs.exists {
+            case Literal(v, _) => asLong(v).forall(x => lo <= x && x <= hi)
+            case _             => true
+          }
+        }
+      case _ => true
+    }
+  }
+
+  private def keepIf(r: Option[(Long, Long)], v: Option[Long])(
+      p: ((Long, Long), Long) => Boolean): Boolean =
+    (r, v) match {
+      case (Some(range), Some(x)) => p(range, x)
+      case _                      => true // no stats / non-integral literal
+    }
+}

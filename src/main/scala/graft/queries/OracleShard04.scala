@@ -838,8 +838,13 @@ private[graft] object OracleShard04 {
         |ORDER BY fd""".stripMargin,
 
     "q235_theilsen_slope" ->
-      """WITH p AS (SELECT p_brand, CAST(p_size AS BIGINT) x,
-        |                  CAST(round(p_retailprice * 100) AS BIGINT) y FROM part),
+      """WITH raw AS (SELECT p_brand, CAST(p_size AS BIGINT) x,
+        |                    CAST(round(p_retailprice * 100) AS BIGINT) y FROM part),
+        |p AS (
+        |  SELECT p_brand, x,
+        |         CAST(CAST(sum(CAST(y AS HUGEINT)) // count(*) AS BIGINT) AS BIGINT) AS y
+        |  FROM raw GROUP BY 1, 2
+        |),
         |pairs AS (
         |  SELECT a.p_brand,
         |    CASE WHEN (b.y - a.y) >= 0

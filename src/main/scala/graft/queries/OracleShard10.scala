@@ -1152,6 +1152,37 @@ private[graft] object OracleShard10 {
         |       CAST(sum(v) AS BIGINT) AS cents
         |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q640_txlog_cdf" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |                  month(o_orderdate) AS mm
+        |           FROM orders
+        |           WHERE year(o_orderdate) = 1995 AND month(o_orderdate) IN (2, 3))
+        |SELECT CAST(mm AS BIGINT) AS commit_v, o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS cents
+        |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q641_txlog_filter_pushdown" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |           FROM orders
+        |           WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 2)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(v) AS BIGINT) AS cents
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q642_txlog_zorder_2d" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |           FROM orders
+        |           WHERE year(o_orderdate) = 1995
+        |             AND date_diff('day', DATE '1995-01-01', o_orderdate)
+        |                 BETWEEN 31 AND 58
+        |             AND o_custkey % 1024 BETWEEN 100 AND 300)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(v) AS BIGINT) AS cents
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q636_media_decode" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |       CAST(CASE WHEN doc_id % 2 = 0 THEN 54

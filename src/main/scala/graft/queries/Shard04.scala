@@ -853,23 +853,34 @@ private[graft] object Shard04 {
         .orderBy("fd")
     }),
 
-    // Theil-Sen robust slope of retail price vs size per brand: all
-    // distinct-size pairs generated map-side against the broadcast dim
-    // (no shuffle for pair generation), slope as a half-away-rounded
-    // milli integer (sign split keeps floor semantics engine-identical),
-    // lower median by rank — outlier-resistant vs the q139 OLS.
-    // This EXACT path is for dictionary-bounded dims only (the pair
-    // relation is O(Σ n_b²)); q634/ops.TheilSen is the point-sampled
-    // default that stays ≤ k²/2 pairs per group at any corpus size
+    // Theil-Sen robust slope of retail price vs size per brand, EXACT,
+    // over a genuinely dictionary-bounded point set: the fact table is
+    // first collapsed to one point per (brand, size) — y = floor mean
+    // cents, computed as an exact decimal sum div count — and the pair
+    // relation is built over THOSE points, so it holds ≤ C(50,2) = 1,225
+    // pairs per brand at ANY corpus size (p_size is a 1..50 dictionary;
+    // brand is 25 values). Until round 8 this query paired raw part rows
+    // (O(Σ n_b²) over an SF-growing dim — the registry's last known
+    // scale-killer, 7.6 s at sf0.1 and quadratic beyond); the raw-row
+    // robust path at scale is q634/ops.TheilSen (point-sampled, ≤ k²/2
+    // pairs per group). Slope stays a half-away-rounded milli integer
+    // (sign split keeps div semantics engine-identical), lower median by
+    // rank over the ≤1,225-row per-brand windows
     "q235_theilsen_slope" -> ((s, dir) => {
-      val p = Tables.part(s, dir).select(col("p_brand"),
-        col("p_size").cast("long").as("x"), centsOf(col("p_retailprice")).as("y"))
-      // the single-file dim arrives as ONE partition — spread the probe
-      // side so the O(n²/brand) pair generation uses every core
-      val pairs = p.repartition(col("p_brand"), col("x")).as("a")
-        .join(broadcast(p.as("b")),
-          col("a.p_brand") === col("b.p_brand") && col("a.x") < col("b.x"))
-        .select(col("a.p_brand").as("p_brand"),
+      val pts = Tables.part(s, dir)
+        .select(col("p_brand"), col("p_size").cast("long").as("x"),
+          centsOf(col("p_retailprice")).as("y"))
+        .groupBy(col("p_brand"), col("x"))
+        // exact decimal sum BEFORE the floor-mean div: cents × rows/cell
+        // wraps long only past ~1e14 rows per (brand, size) — decimal38
+        // makes it a non-issue at any SF (the width-audit discipline)
+        .agg(expr("CAST(sum(CAST(y AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+          .as("y"))
+        .withColumnRenamed("p_brand", "pb")
+      val pairs = pts.as("a")
+        .join(pts.as("b"),
+          col("a.pb") === col("b.pb") && col("a.x") < col("b.x"))
+        .select(col("a.pb").as("p_brand"),
           // outer x-guard: predicate pushdown may evaluate this expression
           // alongside (not after) the a.x < b.x join residual — under ANSI
           // an unguarded div would throw on the x-equal rows it never keeps
@@ -878,38 +889,16 @@ private[graft] object Shard04 {
             " THEN (2 * (b.y - a.y) * 1000 + (b.x - a.x)) div (2 * (b.x - a.x))" +
             " ELSE -((2 * (a.y - b.y) * 1000 + (b.x - a.x)) div (2 * (b.x - a.x))) END")
             .as("slope_milli"))
-      // per-brand pair counts in CLOSED FORM from the (brand, size)
-      // histogram — n = (T² − Σc²)/2 — so the multi-million-row pair
-      // relation is generated once (for the median window), not twice;
-      // the count-over-partition variant additionally sorted it twice
-      val nc = p.groupBy(col("p_brand"), col("x")).agg(count(lit(1)).as("c"))
-        .groupBy("p_brand")
-        .agg(expr("(sum(c) * sum(c) - sum(c * c)) div 2").as("n"))
-      // two-pass exact median (the q299 histogram trick): pass 1 bins the
-      // pair relation (hash agg, map-side combine — no sort), the cumsum
-      // locates each brand's median bin, pass 2 regenerates the pairs but
-      // sorts ONLY the median bin's rows (~1/bins of the relation). Pair
-      // generation is a map-side broadcast join, so generating twice is
-      // far cheaper than one full per-brand sort of the 8M-row relation.
-      val hist = pairs
-        .groupBy(col("p_brand"), expr("slope_milli div 256").as("bin"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("cb", coalesce(sum(col("c")).over(
-          Window.partitionBy("p_brand").orderBy("bin")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      val tb = hist.join(broadcast(nc), "p_brand")
-        .filter(col("cb") < expr("(n + 1) div 2") &&
-          col("cb") + col("c") >= expr("(n + 1) div 2"))
-        .select(col("p_brand"), col("bin"), (expr("(n + 1) div 2") - col("cb")).as("off"),
-          col("n"))
+      // ≤ 30,625 pairs total: a direct per-brand rank window is the right
+      // plan (the two-pass histogram median this replaced was built for
+      // the 8M-row raw-pair relation that no longer exists)
       pairs
-        .join(broadcast(tb),
-          pairs("p_brand") === tb("p_brand") && expr("slope_milli div 256") === tb("bin"))
-        .drop(tb("p_brand"))
-        .withColumn("rn", row_number().over(Window.partitionBy("p_brand").orderBy("slope_milli")))
-        .filter(col("rn") === col("off"))
-        .groupBy("p_brand")
-        .agg(max(col("n")).as("n_pairs"), min(col("slope_milli")).as("median_slope_milli"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("p_brand").orderBy("slope_milli")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("p_brand")))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("p_brand"), col("n").as("n_pairs"),
+          col("slope_milli").as("median_slope_milli"))
         .orderBy("p_brand")
     }),
 

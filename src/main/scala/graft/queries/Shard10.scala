@@ -1759,7 +1759,7 @@ private[graft] object Shard10 {
       val root = io.Zones.tempDir(s"graft_skip_${new java.io.File(dir).getName}")
       (1 to 3).foreach(m => io.TxLog.commit(s, root,
         o.filter(col("mm") === m).drop("mm").coalesce(1), io.TxLog.Append,
-        statsCol = Some("d")))
+        statsCols = Seq("d")))
       io.TxLog.snapshotRange(s, root, "d", 31, 58) // Feb 1995, day offsets
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
@@ -1827,6 +1827,84 @@ private[graft] object Shard10 {
           (nb * 7 % 512).as("height"),
           (nb % 16).as("n_frames"))
         .orderBy("doc_id")
+    }),
+
+    // change-data-feed read on the transaction log: three monthly append
+    // commits, then `changes(v1, v3)` — the incremental-consumer
+    // subscription (downstream re-aggregation without rescanning the
+    // table; cost = the appended files only). Commit versions line up
+    // with months by construction (v1=Jan..v3=Mar), so the oracle
+    // recomputes the delta straight from orders: a CDF that drops a
+    // version, double-counts a file, or mis-tags `_commit_version`
+    // breaks the hash
+    "q640_txlog_cdf" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(expr("year(o_orderdate) = 1995 AND month(o_orderdate) <= 3"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          centsOf(col("o_totalprice")).as("v"),
+          month(col("o_orderdate")).as("mm"))
+      val root = io.Zones.tempDir(s"graft_cdf_${new java.io.File(dir).getName}")
+      (1 to 3).foreach(m =>
+        io.TxLog.append(s, root, o.filter(col("mm") === m).drop("mm")))
+      io.TxLog.changes(s, root, 1L, 3L)
+        .groupBy(col("_commit_version").as("commit_v"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
+        .orderBy("commit_v", "o_orderpriority")
+    }),
+
+    // zone-map pruning on the ORDINARY read path: stats-bearing monthly
+    // commits, then a PLAIN `snapshot().filter(between)` — no range API
+    // named — planned through TxLogFileIndex, which consults the
+    // manifest zone maps at plan time and opens only the February file.
+    // TxLogScaleSpec asserts the planned file set equals the pruning;
+    // this query oracles the ANSWER, so a file index that drops a
+    // matching file (or mis-handles a pushed-down predicate) breaks the
+    // hash. q638 keeps the explicit-API variant alive side by side
+    "q641_txlog_filter_pushdown" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(expr("year(o_orderdate) = 1995 AND month(o_orderdate) <= 3"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          centsOf(col("o_totalprice")).as("v"),
+          datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+            .cast("long").as("d"),
+          month(col("o_orderdate")).as("mm"))
+      val root = io.Zones.tempDir(s"graft_push_${new java.io.File(dir).getName}")
+      (1 to 3).foreach(m => io.TxLog.commit(s, root,
+        o.filter(col("mm") === m).drop("mm").coalesce(1), io.TxLog.Append,
+        statsCols = Seq("d")))
+      io.TxLog.snapshot(s, root)
+        .filter(col("d").between(31, 58)) // Feb 1995 — pruned at plan time
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // 2-D zone maps + z-order clustering: one commit laid out along the
+    // Morton curve of (day offset, customer bucket) carrying per-file
+    // stats on BOTH columns, then a rectangle read — each predicate
+    // prunes independently at plan time (a 1-D sort would make the
+    // second column's zone maps useless; see io.ZOrder). The oracle
+    // recomputes the rectangle from orders, so clustering or stats that
+    // lose/duplicate a row break the hash; TxLogScaleSpec asserts the
+    // 2-D pruning file set itself
+    "q642_txlog_zorder_2d" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(expr("year(o_orderdate) = 1995 AND month(o_orderdate) <= 6"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          centsOf(col("o_totalprice")).as("v"),
+          datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+            .cast("long").as("d"),
+          (col("o_custkey") % 1024).cast("long").as("ck"))
+      val root = io.Zones.tempDir(s"graft_z2d_${new java.io.File(dir).getName}")
+      val zv = io.ZOrder.zvalue(o, "d", "ck", bits = 8)
+      io.TxLog.commit(s, root,
+        o.repartitionByRange(8, zv).sortWithinPartitions(zv),
+        io.TxLog.Append, statsCols = Seq("d", "ck"))
+      io.TxLog.snapshot(s, root)
+        .filter(col("d").between(31, 58) && col("ck").between(100, 300))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
+        .orderBy("o_orderpriority")
     }),
   )
 }

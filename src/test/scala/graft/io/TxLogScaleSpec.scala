@@ -1,0 +1,212 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The round-8 scale contracts of the transaction log, each proven
+  * mechanically: checkpoint-bounded STATS replay (not just file lists),
+  * one-job commit stats, file-granular MERGE, plan-time pruning on the
+  * ordinary `snapshot().filter(...)` read path, change-data-feed reads,
+  * and the vacuum retention clamp.
+  */
+class TxLogScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshTable(): String = Zones.tempDir("txlog8")
+
+  private def batch(lo: Int, hi: Int) = {
+    import spark.implicits._
+    (lo until hi).map(i => (i.toLong, s"row-$i")).toDF("id", "payload")
+  }
+
+  test("stats replay is checkpoint-bounded: a range read at v25 reads ≤ CheckpointEvery+1 manifests") {
+    val root = freshTable()
+    // 25 stats-bearing commits, CheckpointEvery = 10 → checkpoints at 10, 20
+    (0 until 25).foreach { k =>
+      TxLog.commit(spark, root, batch(k * 100, k * 100 + 100).coalesce(1),
+        TxLog.Append, statsCols = Seq("id"))
+    }
+    val v = TxLog.headVersion(root)
+    assert(v === 25L)
+    TxLog.manifestReads.set(0L)
+    val pruned = TxLog.prunedFiles(root, v, "id", 450, 460)
+    val reads = TxLog.manifestReads.get()
+    assert(pruned.size === 1, s"disjoint zone maps must isolate one file, got ${pruned.size}")
+    // ONE replay: the c20 checkpoint + v21..v25 = 6 log reads; the bound
+    // the checkpoint design promises is ≤ CheckpointEvery + 1, version-
+    // count-independent — round 7's liveStats scanned all 25 from v1
+    assert(reads <= TxLog.CheckpointEvery + 1,
+      s"stats replay read $reads manifests; checkpoint bound is ${TxLog.CheckpointEvery + 1}")
+    // and the checkpoint really CARRIES the stats: destroy every
+    // pre-checkpoint manifest — the pruned range read must not care
+    (1 to 19).foreach { k =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, "_txlog", f"v$k%08d.json"),
+        "garbage".getBytes)
+    }
+    val got = TxLog.snapshotRange(spark, root, "id", 450, 460)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got === (450L to 460L),
+      "stats-bearing checkpoint must reconstruct zone maps without old manifests")
+    assert(TxLog.prunedFiles(root, v, "id", 450, 460).size === 1)
+  }
+
+  test("commit computes N-file stats in O(1) Spark jobs, not one job per file") {
+    val root = freshTable()
+    val df = batch(0, 4000).repartitionByRange(16, col("id"))
+    spark.sparkContext.setJobGroup("txlog8-commit", "commit under test", true)
+    try TxLog.commit(spark, root, df, TxLog.Append, statsCols = Seq("id"))
+    finally spark.sparkContext.clearJobGroup()
+    // status store updates are async — poll briefly before asserting
+    def jobs(): Int = spark.sparkContext.statusTracker
+      .getJobIdsForGroup("txlog8-commit").length
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (jobs() == 0 && System.nanoTime() < deadline) Thread.sleep(50)
+    val n = jobs()
+    // the write (plus its range-sampling pass) and ONE grouped stats job
+    // — a fixed handful regardless of file count. Round 7 launched one
+    // stats job PER FILE: this 16-file commit would be ≥ 17 jobs, a
+    // 1,000-file commit 1,000 sequential driver round-trips
+    assert(n >= 1 && n < 16, s"commit of a 16-file batch launched $n jobs (per-file loop?)")
+    // and the stats are per-file and correct: 16 disjoint range files
+    val stats = TxLog.liveStats(root, 1L)
+    assert(stats.size === 16, s"expected 16 stats-bearing files, got ${stats.size}")
+    val ranges = stats.values.map(_("id")).toSeq.sortBy(_._1)
+    assert(ranges.head._1 === 0L && ranges.last._2 === 3999L)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, "range files must be disjoint")
+      case _ => ()
+    }
+  }
+
+  test("merge rewrites ONLY the files whose key zone map intersects the batch") {
+    val root = freshTable()
+    // 10 range-disjoint files with id zone maps
+    TxLog.commit(spark, root, batch(0, 1000).repartitionByRange(10, col("id")),
+      TxLog.Append, statsCols = Seq("id"))
+    val before = TxLog.liveFiles(root, TxLog.headVersion(root)).toSet
+    assert(before.size === 10)
+    import spark.implicits._
+    // updates land inside ONE file's range (plus one brand-new key)
+    val updates = Seq((150L, "UPDATED-150"), (160L, "UPDATED-160"), (5000L, "NEW-5000"))
+      .toDF("id", "payload")
+    TxLog.merge(spark, root, updates, "id")
+    val after = TxLog.liveFiles(root, TxLog.headVersion(root)).toSet
+    val carried = before.intersect(after)
+    assert(carried.size === 9,
+      s"exactly one data file should be rewritten; ${before.size - carried.size} were")
+    // carried files keep their zone maps (the NEXT merge stays granular)
+    val stats = TxLog.liveStats(root, TxLog.headVersion(root))
+    carried.foreach(f => assert(stats.contains(f), s"carried file lost its stats: $f"))
+    // and the content is a correct upsert
+    val now = TxLog.snapshot(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(now.size === 1001)
+    assert(now(150L) === "UPDATED-150" && now(160L) === "UPDATED-160")
+    assert(now(5000L) === "NEW-5000")
+    assert(now(149L) === "row-149" && now(161L) === "row-161")
+    // an all-new-key batch touches NOTHING: zero rewrites, pure insert
+    val before2 = TxLog.liveFiles(root, TxLog.headVersion(root)).toSet
+    TxLog.merge(spark, root, Seq((7000L, "NEW-7000")).toDF("id", "payload"), "id")
+    val after2 = TxLog.liveFiles(root, TxLog.headVersion(root)).toSet
+    assert(before2.subsetOf(after2), "an insert-only merge must rewrite no file")
+    assert(TxLog.snapshot(spark, root).count() === 1002L)
+  }
+
+  test("plain snapshot().filter(...) prunes files at plan time via the file index") {
+    val root = freshTable()
+    (0 until 4).foreach { k =>
+      TxLog.commit(spark, root, batch(k * 100, k * 100 + 100).coalesce(1),
+        TxLog.Append, statsCols = Seq("id"))
+    }
+    val v = TxLog.headVersion(root)
+    val q = TxLog.snapshot(spark, root).filter(col("id").between(150, 160))
+    val got = q.orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got === (150L to 160L))
+    // the scan's planned file list must equal the zone-map pruning —
+    // the caller never named a range API, the ordinary filter did it
+    assert(TxLogFileIndex.lastListed.toSet ===
+      TxLog.prunedFiles(root, v, "id", 150, 160).toSet)
+    assert(TxLogFileIndex.lastListed.size === 1)
+    // unsupported predicate shapes prune nothing and stay correct
+    val all = TxLog.snapshot(spark, root)
+      .filter(length(col("payload")) === lit(7)).count() // row-N, N<10 → len 5..7
+    assert(TxLogFileIndex.lastListed.size === 4)
+    assert(all === 300L) // row-100..row-399 have length 7
+  }
+
+  test("changes(v1, v2) is the row-level delta of an append-only range") {
+    val root = freshTable()
+    TxLog.append(spark, root, batch(0, 10))   // v1
+    TxLog.append(spark, root, batch(10, 25))  // v2
+    TxLog.append(spark, root, batch(25, 30))  // v3
+    val delta = TxLog.changes(spark, root, 1L, 3L)
+    assert(delta.columns.contains("_commit_version"))
+    val byV = delta.groupBy("_commit_version").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byV === Map(2L -> 15L, 3L -> 5L))
+    // the subscription contract: snapshot(to) ≡ snapshot(from) ∪ changes
+    val rebuilt = TxLog.snapshot(spark, root, Some(1L))
+      .unionByName(delta.drop("_commit_version"))
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    val direct = TxLog.snapshot(spark, root, Some(3L))
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(rebuilt === direct)
+    // an empty range is empty but schema-complete
+    assert(TxLog.changes(spark, root, 3L, 3L).count() === 0L)
+    // a rewrite in range refuses: its row delta does not exist
+    TxLog.overwrite(spark, root, batch(100, 103)) // v4
+    intercept[IllegalArgumentException] {
+      TxLog.changes(spark, root, 3L, 4L)
+    }
+    // ... but ranges strictly after the rewrite work again
+    TxLog.append(spark, root, batch(103, 105)) // v5
+    assert(TxLog.changes(spark, root, 4L, 5L).count() === 2L)
+  }
+
+  test("2-D z-order zone maps: a rectangle read prunes on both columns at once") {
+    import spark.implicits._
+    val root = freshTable()
+    // 64×64 grid; z-order layout gives each of 16 files a small (x, y)
+    // rectangle, so BOTH columns' zone maps are selective
+    val grid = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong, x * 64L + y)).toDF("x", "y", "payload")
+    val zv = ZOrder.zvalue(grid, "x", "y", bits = 6)
+    TxLog.commit(spark, root,
+      grid.repartitionByRange(16, zv).sortWithinPartitions(zv),
+      TxLog.Append, statsCols = Seq("x", "y"))
+    val v = TxLog.headVersion(root)
+    val stats = TxLog.liveStats(root, v)
+    assert(stats.size === 16)
+    val q = TxLog.snapshot(spark, root)
+      .filter(col("x").between(10, 15) && col("y").between(20, 25))
+    assert(q.count() === 36L)
+    // plan-time file set == the 2-D zone-map intersection, and it prunes
+    val expected = TxLog.liveFiles(root, v).filter { f =>
+      val cs = stats.getOrElse(f, Map.empty)
+      cs.get("x").forall { case (lo, hi) => hi >= 10 && lo <= 15 } &&
+        cs.get("y").forall { case (lo, hi) => hi >= 20 && lo <= 25 }
+    }
+    assert(TxLogFileIndex.lastListed.toSet === expected.toSet)
+    assert(expected.size < 16,
+      s"z-order rectangle read should prune some of 16 files, kept ${expected.size}")
+    // a 1-D slice on the SECOND column alone also prunes — the property
+    // a plain x-sort cannot give
+    TxLog.snapshot(spark, root).filter(col("y").between(0, 3)).count()
+    assert(TxLogFileIndex.lastListed.size < 16,
+      "y-only predicate must prune under z-order layout")
+  }
+
+  test("vacuum clamps the retention horizon to the head: current files always survive") {
+    val root = freshTable()
+    TxLog.append(spark, root, batch(0, 5))      // v1
+    TxLog.overwrite(spark, root, batch(10, 15)) // v2
+    // a horizon PAST the head must behave as retain-head, never delete-all
+    val deleted = TxLog.vacuum(root, retainFrom = 99L)
+    assert(TxLog.snapshot(spark, root).count() === 5L,
+      "head snapshot files must survive any retention horizon")
+    assert(deleted >= 1, "the overwritten v1 files are legitimately collectable")
+  }
+}

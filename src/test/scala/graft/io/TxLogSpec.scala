@@ -187,13 +187,13 @@ class TxLogSpec extends AnyFunSuite {
     // 4 commits with disjoint id ranges, stats on id — zone maps disjoint
     (0 until 4).foreach { k =>
       TxLog.commit(spark, root, batch(k * 100, k * 100 + 100).coalesce(1),
-        TxLog.Append, statsCol = Some("id"))
+        TxLog.Append, statsCols = Seq("id"))
     }
     // plus one stats-free commit: must never be skipped
     TxLog.append(spark, root, batch(1000, 1001).coalesce(1))
     val v = TxLog.headVersion(root)
     val all = TxLog.liveFiles(root, v)
-    val pruned = TxLog.prunedFiles(root, v, 150, 160)
+    val pruned = TxLog.prunedFiles(root, v, "id", 150, 160)
     assert(pruned.size < all.size, "pruning must drop non-matching files")
     // exactly: the k=1 commit's file + the stats-free file
     assert(pruned.size === 2, s"expected 2 candidate files, got ${pruned.size}")
@@ -204,8 +204,8 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.snapshotRange(spark, root, "id", 99, 100).count() === 2L)
     // stats survive replay order under an overwrite reset
     TxLog.commit(spark, root, batch(5000, 5100).coalesce(1),
-      TxLog.Overwrite, statsCol = Some("id"))
-    assert(TxLog.prunedFiles(root, TxLog.headVersion(root), 0, 400).isEmpty,
+      TxLog.Overwrite, statsCols = Seq("id"))
+    assert(TxLog.prunedFiles(root, TxLog.headVersion(root), "id", 0, 400).isEmpty,
       "overwrite must reset the zone maps with the live set")
   }
 
@@ -222,7 +222,7 @@ class TxLogSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     val preVersion = TxLog.headVersion(root)
     // every file spans nearly the whole id range: pruning is useless
-    assert(TxLog.prunedFiles(root, preVersion, 10, 15).size ===
+    assert(TxLog.prunedFiles(root, preVersion, "id", 10, 15).size ===
       TxLog.liveFiles(root, preVersion).size)
     val v = TxLog.optimize(spark, root, targetFiles = 3, sortCol = Some("id"))
     assert(v === preVersion + 1)
@@ -232,7 +232,7 @@ class TxLogSpec extends AnyFunSuite {
     assert(after === before, "optimize must not change table content")
     assert(TxLog.liveFiles(root, v).size === 3)
     // range clustering: a narrow range now touches ONE file
-    assert(TxLog.prunedFiles(root, v, 10, 15).size === 1,
+    assert(TxLog.prunedFiles(root, v, "id", 10, 15).size === 1,
       "range-sorted rewrite must make zone maps disjoint")
     // pre-optimize snapshots read their own (untouched) files
     assert(TxLog.snapshot(spark, root, Some(preVersion)).count() === 60L)
