@@ -75,21 +75,99 @@ object TxLog {
     */
   type ColStats = Map[String, (Long, Long)]
 
-  /** The resolved state of a version: live files (relative paths) plus
-    * whatever zone-map stats they carry — produced by ONE
+  /** One live-file entry: relative path, byte size (carried in the
+    * manifest so readers never stat data files — Delta stores sizes in
+    * the log for the same reason; absent only in hand-written legacy
+    * entries), and per-column zone maps.
+    */
+  final case class Entry(path: String, bytes: Option[Long], stats: ColStats)
+
+  /** The resolved state of a version: live entries (relative paths with
+    * sizes + zone maps) plus the snapshot's schema — produced by ONE
     * checkpoint-bounded replay, shared by every read API so no path pays
     * more than ≤ CheckpointEvery+1 manifest reads.
+    *
+    * `schema` is the additive union of the schemas the contributing
+    * manifests recorded at commit time (overwrite resets it, matching
+    * the live set); `None` when any contributing manifest predates
+    * schema recording — readers then fall back to footer inference.
     */
-  final case class Replay(files: Vector[String], stats: Map[String, ColStats])
+  final case class Replay(
+      entries: Vector[Entry],
+      schema: Option[org.apache.spark.sql.types.StructType]) {
+    def files: Vector[String] = entries.map(_.path)
+    def stats: Map[String, ColStats] =
+      entries.iterator.filter(_.stats.nonEmpty).map(e => e.path -> e.stats).toMap
+  }
 
   private val versionFile: Regex = """v(\d{8})\.json""".r
   private val checkpointFile: Regex = """c(\d{8})\.json""".r
-  // a manifest entry is either "rel/path.parquet" or
-  // {"p":"rel/path.parquet","s":{"col":[lo,hi],...}} — the entry regex
-  // matches both (group 1 = path, group 3 = the stats body when present)
+  // a manifest entry is either a bare "rel/path.parquet" or an object
+  // {"p":"rel/path.parquet","b":bytes,"s":{"col":[lo,hi],...}} with "b"
+  // and "s" independently optional — group 1 = bare path, group 2 = obj
+  // path, group 3 = bytes, group 4 = stats body
   private val entryField: Regex =
-    """(?:"([^"{]+\.parquet)")|(?:\{"p":"([^"]+\.parquet)","s":\{([^}]*)\}\})""".r
+    """(?:"([^"{]+\.parquet)")|(?:\{"p":"([^"]+\.parquet)"(?:,"b":(\d+))?(?:,"s":\{([^}]*)\})?\})""".r
   private val colStatField: Regex = """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r
+
+  private val schemaField: Regex = """"schemaB64":"([A-Za-z0-9+/=]*)"""".r
+
+  private def schemaToB64(s: org.apache.spark.sql.types.StructType): String =
+    java.util.Base64.getEncoder.encodeToString(
+      s.json.getBytes(StandardCharsets.UTF_8))
+
+  private def schemaOfLog(txt: String): Option[org.apache.spark.sql.types.StructType] =
+    schemaField.findFirstMatchIn(txt).map { m =>
+      org.apache.spark.sql.types.DataType.fromJson(new String(
+        java.util.Base64.getDecoder.decode(m.group(1)), StandardCharsets.UTF_8))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+
+  /** Additive union of two recorded schemas: fields joined by name, new
+    * columns appended. A same-name TYPE conflict is not additive
+    * evolution — resolve to None so the reader falls back to footer
+    * inference rather than guessing.
+    */
+  private def mergeSchemas(
+      a: Option[org.apache.spark.sql.types.StructType],
+      b: Option[org.apache.spark.sql.types.StructType])
+      : Option[org.apache.spark.sql.types.StructType] =
+    (a, b) match {
+      case (Some(x), Some(y)) =>
+        val byName = x.fields.map(f => f.name -> f).toMap
+        val conflict = y.fields.exists(f =>
+          byName.get(f.name).exists(_.dataType != f.dataType))
+        if (conflict) None
+        else Some(org.apache.spark.sql.types.StructType(
+          x.fields ++ y.fields.filterNot(f => byName.contains(f.name))))
+      case _ => None
+    }
+
+  /** The recorded schema is normalized deep-nullable: parquet reads
+    * surface every column nullable, and the recorded schema must match
+    * what a reader would have inferred.
+    */
+  private def deepNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+      case a: ArrayType => a.copy(elementType = deepNullable(a.elementType))
+      case m: MapType => m.copy(valueType = deepNullable(m.valueType))
+      case o => o
+    }
+  }
+
+  private def renderEntry(e: Entry): String =
+    if (e.bytes.isEmpty && e.stats.isEmpty) "\"" + e.path + "\""
+    else {
+      val b = e.bytes.map(n => s""","b":$n""").getOrElse("")
+      val s = if (e.stats.isEmpty) "" else e.stats.toSeq.sortBy(_._1)
+        .map { case (c, (lo, hi)) => s""""$c":[$lo,$hi]""" }
+        .mkString(""","s":{""", ",", "}")
+      s"""{"p":"${e.path}"$b$s}"""
+    }
   private val actionField: Regex = """"action":"(append|overwrite|checkpoint)"""".r
   private val txnField: Regex = """"txnId":"([^"]*)"""".r
 
@@ -130,12 +208,16 @@ object TxLog {
 
   def headVersion(root: String): Long = versions(root).lastOption.getOrElse(0L)
 
-  /** Entries of one log file: (relative path, its column stats). */
-  private def parseEntries(txt: String): Seq[(String, ColStats)] =
+  /** Entries of one log file. */
+  private def parseEntries(txt: String): Seq[Entry] =
     entryField.findAllMatchIn(txt).map { m =>
-      if (m.group(1) != null) m.group(1) -> Map.empty[String, (Long, Long)]
-      else m.group(2) -> colStatField.findAllMatchIn(m.group(3))
-        .map(c => c.group(1) -> (c.group(2).toLong, c.group(3).toLong)).toMap
+      if (m.group(1) != null) Entry(m.group(1), None, Map.empty)
+      else Entry(
+        m.group(2),
+        Option(m.group(3)).map(_.toLong),
+        Option(m.group(4)).map(s => colStatField.findAllMatchIn(s)
+          .map(c => c.group(1) -> (c.group(2).toLong, c.group(3).toLong)).toMap)
+          .getOrElse(Map.empty))
     }.toSeq
 
   private def readManifest(root: String, v: Long): Manifest = {
@@ -143,7 +225,7 @@ object TxLog {
     val action = actionField.findFirstMatchIn(txt)
       .map(_.group(1))
       .getOrElse(throw new java.io.IOException(s"txlog: bad manifest v$v"))
-    Manifest(v, action, parseEntries(txt).map(_._1))
+    Manifest(v, action, parseEntries(txt).map(_.path))
   }
 
   /** Committed checkpoint versions, ascending. */
@@ -171,17 +253,16 @@ object TxLog {
     */
   def replay(root: String, upTo: Long): Replay = {
     val base = checkpointVersions(root).filter(_ <= upTo).lastOption
-    var files = Vector.empty[String]
-    var stats = Map.empty[String, ColStats]
-    def apply(entries: Seq[(String, ColStats)], reset: Boolean): Unit = {
-      if (reset) { files = Vector.empty; stats = Map.empty }
-      entries.foreach { case (p, cs) =>
-        files :+= p
-        if (cs.nonEmpty) stats += (p -> cs)
-      }
-    }
+    var entries = Vector.empty[Entry]
+    // empty-known start: the first append's recorded schema becomes the
+    // table's; any contributing manifest WITHOUT one poisons to None
+    // (footer-inference fallback) so a recorded schema is never partial
+    var schema: Option[org.apache.spark.sql.types.StructType] =
+      Some(org.apache.spark.sql.types.StructType(Nil))
     base.foreach { cv =>
-      apply(parseEntries(readLogFile(root, f"c$cv%08d.json")), reset = true)
+      val txt = readLogFile(root, f"c$cv%08d.json")
+      entries = parseEntries(txt).toVector
+      schema = schemaOfLog(txt)
     }
     versions(root)
       .filter(v => v <= upTo && v > base.getOrElse(0L))
@@ -189,9 +270,16 @@ object TxLog {
         val txt = readLogFile(root, f"v$v%08d.json")
         val action = actionField.findFirstMatchIn(txt).map(_.group(1))
           .getOrElse(throw new java.io.IOException(s"txlog: bad manifest v$v"))
-        apply(parseEntries(txt), reset = action == Overwrite.name)
+        val es = parseEntries(txt)
+        if (action == Overwrite.name) {
+          entries = es.toVector
+          schema = schemaOfLog(txt)
+        } else {
+          entries = entries ++ es
+          schema = mergeSchemas(schema, schemaOfLog(txt))
+        }
       }
-    Replay(files, stats)
+    Replay(entries, schema.filter(_.fields.nonEmpty))
   }
 
   /** Live file list at `upTo` (absolute paths). */
@@ -219,10 +307,19 @@ object TxLog {
     * min/max (grouped by `input_file_name`), so an N-file commit costs
     * one write job plus one stats job, never N footer jobs.
     *
-    * `carry`: pre-existing live entries (relative path → stats) to
+    * `carry`: pre-existing live entries (path + size + stats) to
     * re-reference in this manifest WITHOUT rewriting their data — the
     * file-granular MERGE uses it to keep untouched files (and their zone
     * maps) live across an overwrite commit.
+    *
+    * Written entries carry their BYTE SIZE in the manifest, so the read
+    * path plans scans without ever statting a data file (the log is the
+    * only metadata a reader touches before the footers of the files it
+    * actually opens).
+    *
+    * An in-flight marker (`_txlog/inflight/txn-*`) brackets the
+    * data-write → manifest-link window so a concurrent [[vacuum]] can
+    * tell "being committed right now" from aborted residue.
     */
   def commit(
       spark: SparkSession,
@@ -231,20 +328,51 @@ object TxLog {
       action: Action,
       txnId: Option[String] = None,
       statsCols: Seq[String] = Nil,
-      carry: Seq[(String, ColStats)] = Nil,
+      carry: Seq[Entry] = Nil,
+      carrySchema: Option[org.apache.spark.sql.types.StructType] = None,
       expectHead: Option[Long] = None): Long = {
     Files.createDirectories(logDir(root))
     val txn = java.util.UUID.randomUUID().toString.take(12)
     val dataDir = s"$root/data/txn-$txn"
+    val marker = inflightDir(root).resolve(s"txn-$txn")
+    Files.createDirectories(inflightDir(root))
+    Files.createFile(marker)
+    try {
+      commitInner(spark, root, df, action, txnId, statsCols, carry,
+        carrySchema, expectHead, txn, dataDir)
+    } finally {
+      // marker gone ⇒ either the manifest published (files referenced)
+      // or the attempt aborted (files are ordinary vacuumable residue)
+      try Files.deleteIfExists(marker) catch { case _: Throwable => () }
+    }
+  }
+
+  private def inflightDir(root: String): Path =
+    Paths.get(root, "_txlog", "inflight")
+
+  private def commitInner(
+      spark: SparkSession,
+      root: String,
+      df: DataFrame,
+      action: Action,
+      txnId: Option[String],
+      statsCols: Seq[String],
+      carry: Seq[Entry],
+      carrySchema: Option[org.apache.spark.sql.types.StructType],
+      expectHead: Option[Long],
+      txn: String,
+      dataDir: String): Long = {
     // step 1: data files land first, unreferenced by any manifest
     df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
     import scala.jdk.CollectionConverters._
-    val written = {
+    val writtenSizes: Map[String, Long] = {
       val it = Files.list(Paths.get(dataDir))
-      try it.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.endsWith(".parquet")).toSeq.sorted
+      try it.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => s"data/txn-$txn/${p.getFileName}" -> Files.size(p)).toMap
       finally it.close()
-    }.map(n => s"data/txn-$txn/$n")
+    }
+    val written = writtenSizes.keys.toSeq.sorted
     // optional per-file zone maps: min/max of each stats column per
     // written file, serialized into the manifest so readers can skip
     // files whose range can't match. ONE aggregation job over the
@@ -270,14 +398,9 @@ object TxLog {
             s"data/txn-$txn/$base" -> cs
           }.toMap
       }
-    def render(p: String, cs: ColStats): String =
-      if (cs.isEmpty) "\"" + p + "\""
-      else cs.toSeq.sortBy(_._1)
-        .map { case (c, (lo, hi)) => s""""$c":[$lo,$hi]""" }
-        .mkString(s"""{"p":"$p","s":{""", ",", "}}")
     val entries: Seq[String] =
-      carry.map { case (p, cs) => render(p, cs) } ++
-        written.map(p => render(p, fileStats.getOrElse(p, Map.empty)))
+      carry.map(renderEntry) ++ written.map(p =>
+        renderEntry(Entry(p, writtenSizes.get(p), fileStats.getOrElse(p, Map.empty))))
     // steps 2+3: publish, retrying the version claim on lost races
     var attempt = 0
     while (true) {
@@ -292,8 +415,22 @@ object TxLog {
             s"txlog: based on v$h but head is v${next - 1}")
       }
       val txnPart = txnId.map(t => s""","txnId":"$t"""").getOrElse("")
+      // record the commit's schema so readers resolve theirs from the
+      // LOG, never from O(live files) footer reads; a carry-bearing
+      // commit must cover the carried files' columns too, so it merges
+      // the caller-supplied carry schema (unknown carry schema → omit,
+      // and readers of this range fall back to inference)
+      val recorded: Option[org.apache.spark.sql.types.StructType] = {
+        val own = Some(deepNullable(df.schema)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        if (carry.isEmpty) own
+        else mergeSchemas(carrySchema.map(s => deepNullable(s)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]), own)
+      }
+      val schemaPart = recorded
+        .map(s => s""","schemaB64":"${schemaToB64(s)}"""").getOrElse("")
       val body = entries.mkString(
-        s"""{"version":$next,"action":"${action.name}"$txnPart,"files":[""", ",", "]}")
+        s"""{"version":$next,"action":"${action.name}"$txnPart$schemaPart,"files":[""", ",", "]}")
       val tmp = logDir(root).resolve(s".tmp-$txn-$attempt")
       val ch = java.nio.channels.FileChannel.open(tmp,
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
@@ -326,14 +463,10 @@ object TxLog {
   private def writeCheckpoint(root: String, v: Long): Unit =
     try {
       val r = replay(root, v)
-      val body = r.files.map { p =>
-        r.stats.get(p) match {
-          case Some(cs) if cs.nonEmpty => cs.toSeq.sortBy(_._1)
-            .map { case (c, (lo, hi)) => s""""$c":[$lo,$hi]""" }
-            .mkString(s"""{"p":"$p","s":{""", ",", "}}")
-          case _ => "\"" + p + "\""
-        }
-      }.mkString(s"""{"version":$v,"action":"checkpoint","files":[""", ",", "]}")
+      val schemaPart = r.schema
+        .map(s => s""","schemaB64":"${schemaToB64(s)}"""").getOrElse("")
+      val body = r.entries.map(renderEntry)
+        .mkString(s"""{"version":$v,"action":"checkpoint"$schemaPart,"files":[""", ",", "]}")
       val tmp = logDir(root).resolve(s".ckpt-tmp-$v-${java.util.UUID.randomUUID().toString.take(8)}")
       val ch = java.nio.channels.FileChannel.open(tmp,
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
@@ -437,15 +570,19 @@ object TxLog {
         else {
           val untouched = {
             val t = touched.toSet
-            r.files.filterNot(t)
-              .map(p => p -> r.stats.getOrElse(p, Map.empty[String, (Long, Long)]))
+            r.entries.filterNot(e => t(e.path))
           }
+          // allowMissingColumns both ways: updates against an evolved
+          // table backfill null for columns they don't carry (a MERGE
+          // row defines the whole row), and updates CARRYING a new
+          // column evolve the table through the merge
           val rewritten = spark.read.option("mergeSchema", "true")
             .parquet(touched.map(p => s"$root/$p"): _*)
             .join(updates.select(keyCol).distinct(), Seq(keyCol), "left_anti")
-            .unionByName(updates)
+            .unionByName(updates, allowMissingColumns = true)
           commit(spark, root, rewritten, Overwrite,
-            statsCols = Seq(keyCol), carry = untouched, expectHead = Some(base))
+            statsCols = Seq(keyCol), carry = untouched,
+            carrySchema = r.schema, expectHead = Some(base))
         }
       } catch {
         case _: CommitConflict =>
@@ -592,16 +729,39 @@ object TxLog {
     * retains everything (`retainFrom = 1`).
     *
     * Safe under concurrent readers of retained versions (their files are
-    * kept) but NOT under a concurrent committer whose data dir is written
-    * and unpublished at scan time — run vacuum from a maintenance window or
-    * track in-flight txn ids; documented, not solved, at this size.
+    * kept) AND under concurrent committers: every commit brackets its
+    * data-write → manifest-link window with an in-flight marker
+    * (`_txlog/inflight/txn-*`), and vacuum skips any unreferenced data
+    * dir whose marker is younger than `inflightGraceMs` — "being
+    * committed right now" is distinguishable from aborted residue. A
+    * crashed committer's marker goes stale after the grace and its
+    * files become ordinary garbage (markers are GC'd with them). The
+    * same double-check Delta's VACUUM does with its retention clock.
     *
     * @return number of data files deleted
     */
-  def vacuum(root: String, retainFrom: Long = 1L): Int = {
+  def vacuum(
+      root: String,
+      retainFrom: Long = 1L,
+      inflightGraceMs: Long = 24L * 3600 * 1000): Int = {
     import scala.jdk.CollectionConverters._
     val vs = versions(root)
     if (vs.isEmpty) return 0
+    // txn dirs currently inside a commit window: skip them wholesale
+    val now = System.currentTimeMillis()
+    val inflight: Set[String] =
+      if (!Files.isDirectory(inflightDir(root))) Set.empty
+      else {
+        val it = Files.list(inflightDir(root))
+        try it.iterator().asScala.flatMap { m =>
+          val fresh = try
+            now - Files.getLastModifiedTime(m).toMillis < inflightGraceMs
+          catch { case _: Throwable => false }
+          if (fresh) Some(m.getFileName.toString)
+          else { try Files.deleteIfExists(m) catch { case _: Throwable => () }; None }
+        }.toSet
+        finally it.close()
+      }
     // clamp the horizon to the head: retainFrom > headVersion would
     // otherwise produce an EMPTY keep-set and delete the current
     // snapshot's own files — Delta's VACUUM never deletes current-head
@@ -619,6 +779,8 @@ object TxLog {
       try it.iterator().asScala.toList finally it.close()
     }
     dirs.foreach { d =>
+      if (inflight.contains(d.getFileName.toString)) ()
+      else {
       val files = {
         val it = Files.list(d)
         try it.iterator().asScala.toList finally it.close()
@@ -638,6 +800,7 @@ object TxLog {
         try it.iterator().asScala.toList finally it.close()
       }
       if (remaining.isEmpty) Files.delete(d)
+      }
     }
     deleted
   }

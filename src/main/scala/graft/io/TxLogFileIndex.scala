@@ -31,15 +31,22 @@ final class TxLogFileIndex(
     spark: SparkSession,
     root: String,
     files: Seq[String], // absolute paths, snapshot order
+    sizes: Map[String, Long], // manifest-carried byte sizes
     stats: Map[String, TxLog.ColStats]) extends FileIndex {
 
-  // one driver-side status fetch per live file, at index construction —
-  // a real deployment caches these in the manifest (Delta stores file
-  // sizes in the log for exactly this reason); the shape stays O(live
-  // files), never O(table bytes)
+  // file statuses come from the MANIFEST (the log stores sizes, as
+  // Delta does, precisely so the read path never stats a data file —
+  // on an object store that is one avoided HEAD per file per query);
+  // a legacy entry without a size falls back to one driver-side stat
   private val statuses: Seq[FileStatus] = {
-    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    files.map(f => fs.getFileStatus(new Path(f)))
+    lazy val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    files.map { f =>
+      sizes.get(f) match {
+        case Some(len) =>
+          new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L, new Path(f))
+        case None => fs.getFileStatus(new Path(f))
+      }
+    }
   }
 
   override def rootPaths: Seq[Path] = Seq(new Path(root))
@@ -76,8 +83,14 @@ object TxLogFileIndex {
     */
   private[io] def read(spark: SparkSession, root: String, r: TxLog.Replay): DataFrame = {
     val abs = r.files.map(f => s"$root/$f")
-    val schema = spark.read.option("mergeSchema", "true").parquet(abs: _*).schema
+    // the schema comes from the LOG when every contributing manifest
+    // recorded one (the normal case) — a snapshot then plans from
+    // manifest bytes alone, zero data-file footer reads; legacy chains
+    // fall back to a mergeSchema inference pass over the live files
+    val schema = r.schema.getOrElse(
+      spark.read.option("mergeSchema", "true").parquet(abs: _*).schema)
     val index = new TxLogFileIndex(spark, root, abs,
+      r.entries.iterator.flatMap(e => e.bytes.map(b => s"$root/${e.path}" -> b)).toMap,
       r.stats.map { case (p, cs) => s"$root/$p" -> cs })
     val rel = HadoopFsRelation(index, new StructType(), schema, None,
       new ParquetFileFormat, Map("mergeSchema" -> "true"))(spark)

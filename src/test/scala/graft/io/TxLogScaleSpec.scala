@@ -199,6 +199,67 @@ class TxLogScaleSpec extends AnyFunSuite {
       "y-only predicate must prune under z-order layout")
   }
 
+  test("manifests carry sizes and schema: a snapshot resolves from log bytes alone") {
+    import spark.implicits._
+    val root = freshTable()
+    TxLog.append(spark, root, batch(0, 5)) // (id, payload)
+    TxLog.append(spark, root,
+      Seq((10L, "row-10", "en")).toDF("id", "payload", "lang")) // evolved
+    val r = TxLog.replay(root, 2L)
+    // every entry records its real byte size — the read path never stats
+    // a data file (and on an object store never HEADs one)
+    r.entries.foreach { e =>
+      assert(e.bytes.contains(
+        java.nio.file.Files.size(java.nio.file.Paths.get(s"$root/${e.path}"))),
+        s"entry ${e.path} missing/mismatching manifest size ${e.bytes}")
+    }
+    // the snapshot schema is replayed from the manifests: additive union
+    // at head, old schema below the evolution — no footer inference
+    assert(r.schema.map(_.fieldNames.sorted.toSeq) === Some(Seq("id", "lang", "payload")))
+    assert(TxLog.replay(root, 1L).schema.map(_.fieldNames.sorted.toSeq)
+      === Some(Seq("id", "payload")))
+    // a carry-bearing merge keeps the recorded schema complete
+    TxLog.merge(spark, root, Seq((0L, "U-0")).toDF("id", "payload"), "id")
+    val rm = TxLog.replay(root, TxLog.headVersion(root))
+    assert(rm.schema.map(_.fieldNames.sorted.toSeq) === Some(Seq("id", "lang", "payload")))
+    val head = TxLog.snapshot(spark, root).collect()
+      .map(x => x.getLong(0) -> Option(x.getAs[String]("lang"))).toMap
+    assert(head(10L) === Some("en") && head(0L) === None)
+  }
+
+  test("vacuum skips an in-flight commit window and collects it once stale") {
+    val root = freshTable()
+    TxLog.append(spark, root, batch(0, 5)) // v1
+    // a normal commit leaves no marker behind
+    val inflightDir = java.nio.file.Paths.get(root, "_txlog", "inflight")
+    val listMarkers = () => {
+      import scala.jdk.CollectionConverters._
+      if (!java.nio.file.Files.isDirectory(inflightDir)) Nil
+      else {
+        val it = java.nio.file.Files.list(inflightDir)
+        try it.iterator().asScala.map(_.getFileName.toString).toList
+        finally it.close()
+      }
+    }
+    assert(listMarkers() === Nil, "commit must clear its in-flight marker")
+    // simulate a committer mid-window: marker + unpublished data dir
+    java.nio.file.Files.createDirectories(inflightDir)
+    val marker = inflightDir.resolve("txn-window01")
+    java.nio.file.Files.createFile(marker)
+    batch(90, 95).coalesce(1).write.parquet(s"$root/data/txn-window01")
+    assert(TxLog.vacuum(root) === 0,
+      "a live in-flight window's files must survive vacuum")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/data/txn-window01")))
+    // the committer crashed: the marker ages past the grace and the
+    // residue becomes ordinary garbage (marker GC'd with it)
+    java.nio.file.Files.setLastModifiedTime(marker,
+      java.nio.file.attribute.FileTime.fromMillis(0L))
+    assert(TxLog.vacuum(root) >= 1, "stale in-flight residue must be collected")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/data/txn-window01")))
+    assert(listMarkers() === Nil, "stale marker must be GC'd")
+    assert(TxLog.snapshot(spark, root).count() === 5L)
+  }
+
   test("vacuum clamps the retention horizon to the head: current files always survive") {
     val root = freshTable()
     TxLog.append(spark, root, batch(0, 5))      // v1
