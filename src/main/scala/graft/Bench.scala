@@ -82,10 +82,15 @@ object Bench {
     */
   private def deriveRound(): String =
     try {
-      val head = scala.io.Source.fromFile("/root/repo/VERDICT.md")
-      val n = try "round (\\d+)".r.findFirstMatchIn(head.getLines().next())
+      // explicit UTF-8: the header's em dash breaks the Java-17 POSIX
+      // default (ASCII) decoder with MalformedInputException
+      val head = new String(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/root/repo/VERDICT.md")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val n = "round (\\d+)".r.findFirstMatchIn(head.linesIterator.next())
         .map(_.group(1).toInt).getOrElse(0)
-      finally head.close()
+      require(n > 0, "no round number in VERDICT.md header")
       f"${n + 1}%02d"
     } catch { case _: Throwable => "99" }
 }
