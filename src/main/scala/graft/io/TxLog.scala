@@ -401,32 +401,46 @@ object TxLog {
     val entries: Seq[String] =
       carry.map(renderEntry) ++ written.map(p =>
         renderEntry(Entry(p, writtenSizes.get(p), fileStats.getOrElse(p, Map.empty))))
-    // steps 2+3: publish, retrying the version claim on lost races
+    // record the commit's schema so readers resolve theirs from the
+    // LOG, never from O(live files) footer reads; a carry-bearing
+    // commit must cover the carried files' columns too, so it merges
+    // the caller-supplied carry schema (unknown carry schema → omit,
+    // and readers of this range fall back to inference)
+    val recorded: Option[org.apache.spark.sql.types.StructType] = {
+      val own = Some(deepNullable(df.schema)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      if (carry.isEmpty) own
+      else mergeSchemas(carrySchema.map(s => deepNullable(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]), own)
+    }
+    publish(root, entries, action, txnId, recorded, expectHead, txn)
+  }
+
+  /** Steps 2+3 of the protocol: write the full manifest to a temp file,
+    * fsync, and claim the next version by atomic hard link — retrying
+    * lost races unless the caller pinned `expectHead`.
+    */
+  private def publish(
+      root: String,
+      entries: Seq[String],
+      action: Action,
+      txnId: Option[String],
+      recorded: Option[org.apache.spark.sql.types.StructType],
+      expectHead: Option[Long],
+      txn: String): Long = {
     var attempt = 0
     while (true) {
       val next = headVersion(root) + 1
-      // serializable read-modify-write: a caller that derived `df` FROM a
-      // snapshot declares the head it read; if anything committed since,
-      // blindly claiming next would silently drop that commit's effect
-      // (lost update) — conflict instead, so the caller re-reads
+      // serializable read-modify-write: a caller that derived its state
+      // FROM a snapshot declares the head it read; if anything committed
+      // since, blindly claiming next would silently drop that commit's
+      // effect (lost update) — conflict instead, so the caller re-reads
       expectHead.foreach { h =>
         if (next - 1 != h)
           throw new CommitConflict(
             s"txlog: based on v$h but head is v${next - 1}")
       }
       val txnPart = txnId.map(t => s""","txnId":"$t"""").getOrElse("")
-      // record the commit's schema so readers resolve theirs from the
-      // LOG, never from O(live files) footer reads; a carry-bearing
-      // commit must cover the carried files' columns too, so it merges
-      // the caller-supplied carry schema (unknown carry schema → omit,
-      // and readers of this range fall back to inference)
-      val recorded: Option[org.apache.spark.sql.types.StructType] = {
-        val own = Some(deepNullable(df.schema)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-        if (carry.isEmpty) own
-        else mergeSchemas(carrySchema.map(s => deepNullable(s)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]), own)
-      }
       val schemaPart = recorded
         .map(s => s""","schemaB64":"${schemaToB64(s)}"""").getOrElse("")
       val body = entries.mkString(
@@ -452,6 +466,26 @@ object TxLog {
       }
     }
     -1L // unreachable
+  }
+
+  /** RESTORE the table to the state of `version`: ONE metadata-only
+    * overwrite commit that re-references that version's entries (files,
+    * sizes, zone maps, schema) — data files are immutable, so restoring
+    * a 100 TB table costs one manifest write, no data movement (Delta's
+    * RESTORE). History is preserved: the restore is a NEW version, every
+    * intermediate state stays time-travelable, and vacuum semantics are
+    * unchanged (the restored files are live again, so no retention
+    * window can collect them).
+    */
+  def restore(spark: SparkSession, root: String, version: Long): Long = {
+    val head = headVersion(root)
+    require(version >= 1 && version <= head,
+      s"txlog: cannot restore $root to v$version (head is v$head)")
+    val r = replay(root, version)
+    require(r.entries.nonEmpty, s"txlog: v$version of $root lists no files")
+    publish(root, r.entries.map(renderEntry), Overwrite, txnId = None,
+      recorded = r.schema, expectHead = None,
+      txn = java.util.UUID.randomUUID().toString.take(12))
   }
 
   /** Best-effort: a checkpoint is pure derived state, so a failure (or a
@@ -689,17 +723,25 @@ object TxLog {
     * ONLY the appended data files — independent of table size, which is
     * what makes a 100 TB table subscribable.
     */
-  def changes(spark: SparkSession, root: String, from: Long, to: Long): DataFrame = {
+  def changes(
+      spark: SparkSession,
+      root: String,
+      from: Long,
+      to: Long,
+      skipRewrites: Boolean = false): DataFrame = {
     require(from <= to, s"txlog: changes range v$from..v$to is inverted")
     val head = headVersion(root)
     require(to <= head, s"txlog: changes upper bound v$to exceeds head v$head")
-    val perVersion = ((from + 1) to to).map { v =>
+    val perVersion = ((from + 1) to to).flatMap { v =>
       val m = readManifest(root, v)
-      if (m.action != Append.name)
-        throw new IllegalArgumentException(
+      if (m.action != Append.name) {
+        // `skipRewrites` is Delta's skipChangeCommits: the subscriber
+        // sees appends only and knowingly misses the rewrite's effects
+        if (skipRewrites) None
+        else throw new IllegalArgumentException(
           s"txlog: changes(v$from, v$to) crosses a ${m.action} at v$v — " +
             "row-level deltas don't exist across a rewrite; diff snapshots instead")
-      v -> m.files
+      } else Some(v -> m.files)
     }
     val withV = perVersion.collect { case (v, files) if files.nonEmpty =>
       spark.read.option("mergeSchema", "true")

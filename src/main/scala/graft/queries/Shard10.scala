@@ -1791,6 +1791,29 @@ private[graft] object Shard10 {
         .orderBy("o_orderpriority")
     }),
 
+    // lakehouse RESTORE: seed Jan+Feb, overwrite with Mar only (the
+    // "bad deploy"), restore to the pre-overwrite version — ONE
+    // metadata-only commit re-referencing the old files (no data moved
+    // at any table size), then aggregate the restored head. The oracle
+    // recomputes Jan+Feb from orders, so a restore that resurrects the
+    // wrong version, loses a file, or drops the recorded schema breaks
+    // the hash; TxLogScaleSpec asserts the by-reference mechanics
+    "q643_txlog_restore" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(expr("year(o_orderdate) = 1995 AND month(o_orderdate) <= 3"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          centsOf(col("o_totalprice")).as("v"),
+          month(col("o_orderdate")).as("mm"))
+      val root = io.Zones.tempDir(s"graft_rst_${new java.io.File(dir).getName}")
+      io.TxLog.append(s, root, o.filter(col("mm") <= 2).drop("mm")) // v1
+      io.TxLog.overwrite(s, root, o.filter(col("mm") === 3).drop("mm")) // v2
+      io.TxLog.restore(s, root, 1L) // v3 ≡ v1, by reference
+      io.TxLog.snapshot(s, root)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // REAL multimodal byte decode (q31's stub grown up): synthesize a
     // bit-exact BMP (even keys) or RIFF/WAV (odd keys) container per
     // document and run the actual header parsers over the binary column

@@ -1,0 +1,130 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.StreamSourceProvider
+import org.apache.spark.sql.types.{LongType, StructType}
+
+import graft.io.TxLog
+
+/** Structured Streaming SOURCE over a [[TxLog]] table — the "table as a
+  * stream" half of the lakehouse streaming story (the exactly-once
+  * `appendOnce` foreachBatch sink is the other half; together they chain
+  * txlog → transform → txlog pipelines end-to-end with no duplicate and
+  * no loss, the Delta streaming-source/sink pattern at this size).
+  *
+  * Offsets ARE table versions: `getOffset` reports the head version and
+  * each microbatch is exactly `TxLog.changes(from, to)` — the appended
+  * rows of the claimed version range, tagged `_commit_version`. That
+  * makes the source incremental by construction (a microbatch reads
+  * ONLY the appended files — never the table) and replayable: offsets
+  * live in the stream's checkpoint, and re-planning any committed range
+  * re-reads the same immutable files, so recovery is deterministic.
+  *
+  * Rewrite commits (merge/optimize/compaction) have no row-level delta;
+  * by default the stream FAILS on one (the reader must choose a policy,
+  * Delta's stance) — `.option("skipRewrites", "true")` subscribes to
+  * appends only and knowingly skips them.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream
+  *     .format("graft.streaming.TxLogSourceProvider")
+  *     .option("root", tableRoot)
+  *     .load()
+  * }}}
+  */
+class TxLogSourceProvider extends StreamSourceProvider {
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    ("graft-txlog", TxLogSource.streamSchema(parameters))
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source =
+    new TxLogSource(
+      sqlContext,
+      parameters.getOrElse("root",
+        throw new IllegalArgumentException("graft-txlog source needs .option(\"root\", ...)")),
+      parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      parameters.get("skipRewrites").exists(_.toBoolean),
+      TxLogSource.streamSchema(parameters))
+}
+
+object TxLogSource {
+  /** Table schema from the LOG (manifest-recorded, checkpoint-bounded
+    * replay — no footers) + the `_commit_version` tag. The table must
+    * have at least one commit when the stream starts, the same
+    * precondition as a Delta streaming read of a not-yet-created table.
+    */
+  private[streaming] def streamSchema(parameters: Map[String, String]): StructType = {
+    val root = parameters.getOrElse("root",
+      throw new IllegalArgumentException("graft-txlog source needs .option(\"root\", ...)"))
+    val head = TxLog.headVersion(root)
+    require(head > 0, s"graft-txlog source: $root has no committed version yet")
+    val base = TxLog.replay(root, head).schema.getOrElse(
+      throw new IllegalStateException(
+        s"graft-txlog source: $root predates schema-recording manifests"))
+    base.add("_commit_version", LongType, nullable = false)
+  }
+
+  /** The v1 Source contract requires getBatch's DataFrame to carry
+    * isStreaming = true; the only constructor for that is the session's
+    * `private[sql] internalCreateDataFrame` (what FileStreamSource
+    * itself uses). One reflective call keeps us out of Spark's package
+    * namespace; the plan is the batch's own physical RDD, so the data
+    * path is identical to the batch read.
+    */
+  private[streaming] def asStreamingFrame(batch: DataFrame): DataFrame = {
+    val session = batch.sparkSession
+    val m = session.getClass.getMethod("internalCreateDataFrame",
+      classOf[org.apache.spark.rdd.RDD[_]],
+      classOf[StructType],
+      java.lang.Boolean.TYPE)
+    m.invoke(session, batch.queryExecution.toRdd, batch.schema,
+      java.lang.Boolean.TRUE).asInstanceOf[DataFrame]
+  }
+}
+
+class TxLogSource(
+    sqlContext: SQLContext,
+    root: String,
+    startingVersion: Long,
+    skipRewrites: Boolean,
+    override val schema: StructType) extends Source {
+
+  private val spark = sqlContext.sparkSession
+
+  override def getOffset: Option[V1Offset] = {
+    val head = TxLog.headVersion(root)
+    if (head <= startingVersion) None else Some(LongOffset(head))
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val from = start.map(asVersion).getOrElse(startingVersion)
+    val to = asVersion(end)
+    val batch = TxLog.changes(spark, root, from, to, skipRewrites)
+      .select(schema.fieldNames.map(col): _*) // pin the declared column order
+    TxLogSource.asStreamingFrame(batch)
+  }
+
+  // offsets arrive as LongOffset from this source or SerializedOffset
+  // from checkpoint recovery; both serialize as the bare version number
+  private def asVersion(o: V1Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other         => other.json.trim.toLong
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"TxLogSource[$root]"
+}

@@ -260,6 +260,28 @@ class TxLogScaleSpec extends AnyFunSuite {
     assert(TxLog.snapshot(spark, root).count() === 5L)
   }
 
+  test("restore is a metadata-only commit: old state back, history intact, no data moved") {
+    val root = freshTable()
+    TxLog.commit(spark, root, batch(0, 10).coalesce(1), TxLog.Append,
+      statsCols = Seq("id"))                       // v1
+    TxLog.overwrite(spark, root, batch(100, 103))  // v2 — bad deploy
+    val dataFilesBefore = TxLog.liveFiles(root, 1L).toSet
+    val v = TxLog.restore(spark, root, 1L)         // v3
+    assert(v === 3L)
+    // the restored head IS v1's state: same files BY REFERENCE (no new
+    // data dir — a 100 TB restore moves zero bytes), same rows, and the
+    // zone maps came along (pruning still works)
+    assert(TxLog.liveFiles(root, v).toSet === dataFilesBefore)
+    assert(TxLog.snapshot(spark, root).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq === (0L until 10L))
+    assert(TxLog.prunedFiles(root, v, "id", 3, 4).size === 1)
+    // history preserved: the bad v2 is still time-travelable
+    assert(TxLog.snapshot(spark, root, Some(2L)).count() === 3L)
+    // and the schema restored from the log (no inference fallback)
+    assert(TxLog.replay(root, v).schema.map(_.fieldNames.sorted.toSeq)
+      === Some(Seq("id", "payload")))
+  }
+
   test("vacuum clamps the retention horizon to the head: current files always survive") {
     val root = freshTable()
     TxLog.append(spark, root, batch(0, 5))      // v1

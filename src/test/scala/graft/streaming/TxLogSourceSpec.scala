@@ -1,0 +1,146 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.io.TxLog
+
+/** Streaming OUT of the transaction log: the txlog as a Structured
+  * Streaming source whose offsets are table versions and whose
+  * microbatches are `changes(from, to)` — plus the end-to-end
+  * lakehouse pipeline (txlog source → transform → exactly-once txlog
+  * sink) the source/sink pair exists for.
+  */
+class TxLogSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def batch(lo: Int, hi: Int) = {
+    import spark.implicits._
+    (lo until hi).map(i => (i.toLong, s"row-$i")).toDF("id", "payload")
+  }
+
+  test("the source delivers each commit exactly once, tagged with its version") {
+    val root = Files.createTempDirectory("graft_src_txlog").toString
+    TxLog.append(spark, root, batch(0, 10))  // v1
+    TxLog.append(spark, root, batch(10, 25)) // v2
+
+    val ck = Files.createTempDirectory("graft_src_ck").toString
+    // foreachBatch accumulator (the memory sink can't recover from a
+    // checkpoint, and checkpointed recovery is exactly what's under test)
+    val delivered = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format("graft.streaming.TxLogSourceProvider")
+        .option("root", root)
+        .load()
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => delivered.add(
+            (r.getAs[Long]("id"), r.getAs[Long]("_commit_version"))))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    drain()
+    import scala.jdk.CollectionConverters._
+    val got1 = delivered.asScala.toSeq
+    // startingVersion defaults to 0: v1 and v2 both delivered, each row
+    // tagged with the version that landed it
+    assert(got1.length === 25)
+    assert(got1.filter(_._2 == 1L).map(_._1).sorted === (0L until 10L))
+    assert(got1.filter(_._2 == 2L).map(_._1).sorted === (10L until 25L))
+
+    // later commits arrive incrementally on the SAME checkpoint — the
+    // already-delivered versions are not re-read (offset = version)
+    TxLog.append(spark, root, batch(25, 30)) // v3
+    drain()
+    val got2 = delivered.asScala.toSeq
+    assert(got2.length === 30, "exactly the v3 delta must be appended")
+    assert(got2.count(_._2 == 3L) === 5)
+  }
+
+  test("a rewrite commit fails the stream by default and is skippable by option") {
+    val root = Files.createTempDirectory("graft_src_txlog2").toString
+    TxLog.append(spark, root, batch(0, 5))      // v1
+    TxLog.overwrite(spark, root, batch(50, 53)) // v2 — no row-level delta
+    TxLog.append(spark, root, batch(53, 55))    // v3
+
+    def drain(skip: Boolean, name: String): Unit = {
+      val q = spark.readStream
+        .format("graft.streaming.TxLogSourceProvider")
+        .option("root", root)
+        .option("skipRewrites", skip.toString)
+        .load()
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          Files.createTempDirectory(s"graft_src_ck_$name").toString)
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+      q.awaitTermination()
+    }
+
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(skip = false, "txlog_src_fail")
+    }
+    assert(e.getMessage.contains("overwrite") || Option(e.getCause)
+      .exists(_.getMessage.contains("overwrite")),
+      s"stream must fail naming the rewrite; got: ${e.getMessage}")
+
+    drain(skip = true, "txlog_src_skip")
+    val got = spark.table("txlog_src_skip").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("_commit_version")))
+    assert(got.map(_._1).sorted.toSeq === Seq(0L, 1L, 2L, 3L, 4L, 53L, 54L),
+      "skipRewrites must deliver the appends on both sides of the rewrite")
+    assert(!got.exists(r => r._1 >= 50L && r._1 < 53L), "rewrite rows must be skipped")
+    spark.sql("DROP TABLE IF EXISTS txlog_src_skip")
+  }
+
+  test("end-to-end lakehouse pipeline: txlog source → transform → exactly-once txlog sink") {
+    val src = Files.createTempDirectory("graft_pipe_src").toString
+    val dst = Files.createTempDirectory("graft_pipe_dst").toString
+    val ck = Files.createTempDirectory("graft_pipe_ck").toString
+    TxLog.append(spark, src, batch(0, 10))
+    TxLog.append(spark, src, batch(10, 20))
+
+    def run(): Unit = {
+      val q = spark.readStream
+        .format("graft.streaming.TxLogSourceProvider")
+        .option("root", src)
+        .load()
+        .withColumn("id2", col("id") * 2)
+        .drop("_commit_version")
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          TxLog.appendOnce(df.sparkSession, dst, s"pipe#$id", df)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    run()
+    assert(TxLog.snapshot(spark, dst).count() === 20L)
+    // incremental: one more upstream commit flows through on restart,
+    // and only that commit is re-processed
+    TxLog.append(spark, src, batch(20, 23))
+    run()
+    val out = TxLog.snapshot(spark, dst)
+    assert(out.count() === 23L)
+    assert(out.agg(countDistinct(col("id"))).head.getLong(0) === 23L,
+      "source offsets + idempotent sink must yield exactly-once end to end")
+    assert(out.filter(col("id2") =!= col("id") * 2).count() === 0L)
+  }
+}
