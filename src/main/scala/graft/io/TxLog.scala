@@ -94,7 +94,8 @@ object TxLog {
     */
   final case class Replay(
       entries: Vector[Entry],
-      schema: Option[org.apache.spark.sql.types.StructType]) {
+      schema: Option[org.apache.spark.sql.types.StructType],
+      txns: Map[String, Long]) {
     def files: Vector[String] = entries.map(_.path)
     def stats: Map[String, ColStats] =
       entries.iterator.filter(_.stats.nonEmpty).map(e => e.path -> e.stats).toMap
@@ -170,6 +171,10 @@ object TxLog {
     }
   private val actionField: Regex = """"action":"(append|overwrite|checkpoint)"""".r
   private val txnField: Regex = """"txnId":"([^"]*)"""".r
+  // checkpoint-carried txnId→version map (exactly-once bookkeeping must
+  // survive checkpoint-bounded replay — and rewrites, so it never resets)
+  private val txnsField: Regex = """"txns":\{([^}]*)\}""".r
+  private val txnsEntry: Regex = """"([^"]+)":(\d+)""".r
 
   /** A checkpoint manifest (full live set) is written every K commits so
     * reader replay cost is O(K), not O(total versions) — the Delta
@@ -259,10 +264,14 @@ object TxLog {
     // (footer-inference fallback) so a recorded schema is never partial
     var schema: Option[org.apache.spark.sql.types.StructType] =
       Some(org.apache.spark.sql.types.StructType(Nil))
+    var txns = Map.empty[String, Long]
     base.foreach { cv =>
       val txt = readLogFile(root, f"c$cv%08d.json")
       entries = parseEntries(txt).toVector
       schema = schemaOfLog(txt)
+      txns = txnsField.findFirstMatchIn(txt).map(m =>
+        txnsEntry.findAllMatchIn(m.group(1))
+          .map(e => e.group(1) -> e.group(2).toLong).toMap).getOrElse(Map.empty)
     }
     versions(root)
       .filter(v => v <= upTo && v > base.getOrElse(0L))
@@ -278,8 +287,11 @@ object TxLog {
           entries = entries ++ es
           schema = mergeSchemas(schema, schemaOfLog(txt))
         }
+        // exactly-once bookkeeping is monotone: a rewrite must NOT reset
+        // it, or a replayed microbatch could double-land after an OPTIMIZE
+        txnField.findFirstMatchIn(txt).foreach(m => txns += (m.group(1) -> v))
       }
-    Replay(entries, schema.filter(_.fields.nonEmpty))
+    Replay(entries, schema.filter(_.fields.nonEmpty), txns)
   }
 
   /** Live file list at `upTo` (absolute paths). */
@@ -293,12 +305,13 @@ object TxLog {
   def liveStats(root: String, upTo: Long): Map[String, ColStats] =
     replay(root, upTo).stats.map { case (p, cs) => s"$root/$p" -> cs }
 
-  /** The txnId each committed version carries (empty when none). */
+  /** The txnId each committed version carries — checkpoint-bounded like
+    * every other replay (checkpoints persist the full monotone map), so
+    * an [[appendOnce]] streaming sink pays O(CheckpointEvery) manifest
+    * reads per microbatch, not O(stream lifetime).
+    */
   private def committedTxnIds(root: String): Map[String, Long] =
-    versions(root).flatMap { v =>
-      val txt = readLogFile(root, f"v$v%08d.json")
-      txnField.findFirstMatchIn(txt).map(_.group(1) -> v)
-    }.toMap
+    replay(root, headVersion(root)).txns
 
   /** Commit `df` and return the version it landed as.
     *
@@ -331,6 +344,11 @@ object TxLog {
       carry: Seq[Entry] = Nil,
       carrySchema: Option[org.apache.spark.sql.types.StructType] = None,
       expectHead: Option[Long] = None): Long = {
+    // an APPEND manifest's files ARE the commit's row-level delta — the
+    // change-data-feed depends on that — so re-referencing pre-existing
+    // files is an overwrite-only affordance
+    require(carry.isEmpty || action == Overwrite,
+      "txlog: carry entries are only valid on an overwrite commit")
     Files.createDirectories(logDir(root))
     val txn = java.util.UUID.randomUUID().toString.take(12)
     val dataDir = s"$root/data/txn-$txn"
@@ -499,8 +517,13 @@ object TxLog {
       val r = replay(root, v)
       val schemaPart = r.schema
         .map(s => s""","schemaB64":"${schemaToB64(s)}"""").getOrElse("")
+      val txnsPart =
+        if (r.txns.isEmpty) ""
+        else r.txns.toSeq.sortBy(_._2)
+          .map { case (t, tv) => s""""$t":$tv""" }
+          .mkString(""","txns":{""", ",", "}")
       val body = r.entries.map(renderEntry)
-        .mkString(s"""{"version":$v,"action":"checkpoint"$schemaPart,"files":[""", ",", "]}")
+        .mkString(s"""{"version":$v,"action":"checkpoint"$schemaPart$txnsPart,"files":[""", ",", "]}")
       val tmp = logDir(root).resolve(s".ckpt-tmp-$v-${java.util.UUID.randomUUID().toString.take(8)}")
       val ch = java.nio.channels.FileChannel.open(tmp,
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
@@ -743,15 +766,26 @@ object TxLog {
             "row-level deltas don't exist across a rewrite; diff snapshots instead")
       } else Some(v -> m.files)
     }
-    val withV = perVersion.collect { case (v, files) if files.nonEmpty =>
-      spark.read.option("mergeSchema", "true")
-        .parquet(files.map(f => s"$root/$f"): _*)
-        .withColumn("_commit_version", lit(v))
-    }
-    if (withV.nonEmpty) withV.reduce(_.unionByName(_, allowMissingColumns = true))
-    else // empty range: the table's schema + the version tag, zero rows
+    val nonEmpty = perVersion.filter(_._2.nonEmpty)
+    if (nonEmpty.isEmpty) // empty range: the table's schema + the version tag, zero rows
       snapshot(spark, root, Some(to)).filter(lit(false))
         .withColumn("_commit_version", lit(from))
+    else {
+      // ONE scan over all appended files, the version derived map-side
+      // from each file's txn-dir component (every commit writes under
+      // its own uuid dir) — a per-version read unioned N times would
+      // bloat the plan linearly with the catch-up range
+      import org.apache.spark.sql.functions.{element_at, regexp_extract}
+      val all = nonEmpty.flatMap(_._2).map(f => s"$root/$f")
+      val dirToV = nonEmpty.flatMap { case (v, fs) =>
+        fs.map(f => f.split("/")(1) -> v)
+      }.distinct
+      val mapCol = org.apache.spark.sql.functions.map(
+        dirToV.flatMap { case (d, v) => Seq(lit(d), lit(v)) }: _*)
+      spark.read.option("mergeSchema", "true").parquet(all: _*)
+        .withColumn("_commit_version",
+          element_at(mapCol, regexp_extract(input_file_name(), "/(txn-[^/]+)/", 1)))
+    }
   }
 
   /** Commit history as a DataFrame — the audit surface (DESCRIBE HISTORY). */

@@ -260,6 +260,37 @@ class TxLogScaleSpec extends AnyFunSuite {
     assert(TxLog.snapshot(spark, root).count() === 5L)
   }
 
+  test("exactly-once bookkeeping is checkpoint-bounded and survives rewrites") {
+    val root = freshTable()
+    // 25 idempotent-keyed commits: the txnId→version map crosses two
+    // checkpoints (CheckpointEvery = 10)
+    (0 until 25).foreach(k =>
+      TxLog.appendOnce(spark, root, s"batch#$k", batch(k * 2, k * 2 + 2)))
+    TxLog.manifestReads.set(0L)
+    // replaying a txnId COMMITTED BEFORE the last checkpoint must be a
+    // no-op (the checkpoint carries the map) at checkpoint-bounded cost
+    // — round 7's bookkeeping scanned every manifest per appendOnce,
+    // O(stream-lifetime²) over a streaming sink's life
+    assert(TxLog.appendOnce(spark, root, "batch#3", batch(6, 8)) === 4L)
+    assert(TxLog.manifestReads.get() <= TxLog.CheckpointEvery + 1,
+      s"appendOnce read ${TxLog.manifestReads.get()} manifests; bound is ${TxLog.CheckpointEvery + 1}")
+    assert(TxLog.headVersion(root) === 25L)
+    assert(TxLog.snapshot(spark, root).count() === 50L)
+    // a rewrite must NOT reset the map: replay after OPTIMIZE still no-ops
+    TxLog.optimize(spark, root, targetFiles = 2, sortCol = Some("id")) // v26
+    assert(TxLog.appendOnce(spark, root, "batch#7", batch(14, 16)) === 8L)
+    assert(TxLog.headVersion(root) === 26L,
+      "a replayed batch after a rewrite must not double-land")
+    // ... and destroying the pre-checkpoint manifests doesn't lose it
+    (1 to 19).foreach { k =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, "_txlog", f"v$k%08d.json"),
+        "garbage".getBytes)
+    }
+    assert(TxLog.appendOnce(spark, root, "batch#2", batch(4, 6)) === 3L)
+    assert(TxLog.headVersion(root) === 26L)
+  }
+
   test("restore is a metadata-only commit: old state back, history intact, no data moved") {
     val root = freshTable()
     TxLog.commit(spark, root, batch(0, 10).coalesce(1), TxLog.Append,
