@@ -144,6 +144,19 @@ object TxLog {
       case _ => None
     }
 
+  /** Zone maps are long-valued, so only integral columns carry them —
+    * a non-integral stats/merge-key column degrades gracefully (no
+    * skipping / whole-table copy-on-write) instead of failing an ANSI
+    * cast mid-job.
+    */
+  private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+  }
+
   /** The recorded schema is normalized deep-nullable: parquet reads
     * surface every column nullable, and the recorded schema must match
     * what a reader would have inferred.
@@ -396,10 +409,14 @@ object TxLog {
     // files whose range can't match. ONE aggregation job over the
     // written directory (grouped by input_file_name) — proportional to
     // the commit, never to the table, and never one-job-per-file
+    val statables = {
+      val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      statsCols.filter(c => byName.get(c).exists(isIntegral))
+    }
     val fileStats: Map[String, ColStats] =
-      if (statsCols.isEmpty || written.isEmpty) Map.empty
+      if (statables.isEmpty || written.isEmpty) Map.empty
       else {
-        val aggs = statsCols.flatMap(c => Seq(
+        val aggs = statables.flatMap(c => Seq(
           min(col(c).cast("long")).as(s"lo_$c"),
           max(col(c).cast("long")).as(s"hi_$c")))
         spark.read.parquet(dataDir)
@@ -408,7 +425,7 @@ object TxLog {
           .collect()
           .map { r =>
             val base = new java.io.File(new java.net.URI(r.getString(0)).getPath).getName
-            val cs: ColStats = statsCols.flatMap { c =>
+            val cs: ColStats = statables.flatMap { c =>
               val lo = r.getAs[Any](s"lo_$c"); val hi = r.getAs[Any](s"hi_$c")
               if (lo == null || hi == null) None // all-null file: no stats
               else Some(c -> (lo.asInstanceOf[Long], hi.asInstanceOf[Long]))
@@ -582,8 +599,12 @@ object TxLog {
     */
   def merge(spark: SparkSession, root: String, updates: DataFrame, keyCol: String): Long = {
     val keyL = col(keyCol).cast("long")
+    // zone maps are long-valued: only an integral key gets file-granular
+    // matching; any other key type is a classic whole-table copy-on-write
+    val keyIsIntegral = updates.schema.fields
+      .find(_.name == keyCol).exists(f => isIntegral(f.dataType))
     // the updates' key span: one tiny agg job, reused across retries
-    val kr = updates.agg(min(keyL), max(keyL)).head()
+    val kr = if (keyIsIntegral) Some(updates.agg(min(keyL), max(keyL)).head()) else None
     var attempts = 0
     while (true) {
       val base = headVersion(root)
@@ -591,8 +612,10 @@ object TxLog {
       val (statted, unstatted) =
         r.files.partition(p => r.stats.get(p).exists(_.contains(keyCol)))
       val touched: Vector[String] =
-        if (kr.isNullAt(0)) Vector.empty // no non-null update keys: pure insert
+        if (!keyIsIntegral) r.files // no zone maps possible: rewrite all
+        else if (kr.get.isNullAt(0)) Vector.empty // no non-null update keys: pure insert
         else {
+          val krr = kr.get
           // coarse pass: zone maps intersecting the batch's [min, max]
           // span — cheap, but a single outlier insert key would widen the
           // span over the whole table, so refine each span candidate with
@@ -603,7 +626,7 @@ object TxLog {
           // are conservatively always rewritten.
           val spanC = statted.filter { p =>
             val (lo, hi) = r.stats(p)(keyCol)
-            hi >= kr.getLong(0) && lo <= kr.getLong(1)
+            hi >= krr.getLong(0) && lo <= krr.getLong(1)
           }
           val hit: Set[String] =
             if (spanC.isEmpty) Set.empty
@@ -671,13 +694,31 @@ object TxLog {
       root: String,
       targetFiles: Int,
       sortCol: Option[String] = None): Long = {
-    val cur = snapshot(spark, root)
-    val laid = sortCol match {
-      case Some(c) => cur.repartitionByRange(
-        targetFiles, org.apache.spark.sql.functions.col(c))
-      case None => cur.repartition(targetFiles)
+    // serializable read-modify-write, same as merge: the rewrite is
+    // derived FROM a snapshot, so a commit that lands in between (e.g. a
+    // concurrent append) would be silently erased by a blind overwrite —
+    // pin the base version, conflict, re-snapshot, retry
+    var attempts = 0
+    while (true) {
+      val base = headVersion(root)
+      val cur = snapshot(spark, root, Some(base))
+      val laid = sortCol match {
+        case Some(c) => cur.repartitionByRange(
+          targetFiles, org.apache.spark.sql.functions.col(c))
+        case None => cur.repartition(targetFiles)
+      }
+      try {
+        return commit(spark, root, laid, Overwrite,
+          statsCols = sortCol.toSeq, expectHead = Some(base))
+      } catch {
+        case _: CommitConflict =>
+          attempts += 1
+          if (attempts > 50)
+            throw new java.io.IOException(
+              s"txlog: optimize lost $attempts conflicts in a row; giving up")
+      }
     }
-    commit(spark, root, laid, Overwrite, statsCols = sortCol.toSeq)
+    -1L // unreachable
   }
 
   /** Snapshot read: the table as of `version` (head when None). The file
