@@ -1,0 +1,90 @@
+package graft.io
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Model-based check: a seeded random program of append / overwrite /
+  * merge / optimize / restore / vacuum runs against BOTH the real log
+  * and a trivial in-memory reference model (a Map and a version-indexed
+  * history). After every operation the table must equal the model, and
+  * at the end every historical version must equal the model's history —
+  * the whole API surface composed in random orders, not the
+  * hand-picked orders the per-feature specs use.
+  */
+class TxLogModelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def toDf(m: Map[Long, String]) = {
+    import spark.implicits._
+    m.toSeq.toDF("id", "payload")
+  }
+
+  private def tableState(root: String, v: Option[Long] = None): Map[Long, String] =
+    TxLog.snapshot(spark, root, v).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("random append/overwrite/merge/optimize/restore/vacuum programs match the model") {
+    val rnd = new Random(20260815L)
+    val root = Zones.tempDir("txlog_model")
+
+    var model = Map(1L -> "init-1", 2L -> "init-2")
+    TxLog.append(spark, root, toDf(model))
+    // version → model state, for the end-of-program time-travel sweep
+    var history = Map(1L -> model)
+    var nextKey = 100L
+
+    def freshKeys(n: Int): Seq[Long] = {
+      val ks = nextKey until (nextKey + n); nextKey += n; ks
+    }
+
+    (1 to 30).foreach { step =>
+      rnd.nextInt(6) match {
+        case 0 => // append disjoint fresh rows
+          val rows = freshKeys(1 + rnd.nextInt(4)).map(k => k -> s"a$step-$k").toMap
+          val v = TxLog.append(spark, root, toDf(rows))
+          model = model ++ rows
+          history += (v -> model)
+        case 1 => // overwrite with a fresh small table
+          val rows = freshKeys(1 + rnd.nextInt(3)).map(k => k -> s"o$step-$k").toMap
+          val v = TxLog.overwrite(spark, root, toDf(rows))
+          model = rows
+          history += (v -> model)
+        case 2 => // merge: update up to 2 existing keys, insert 1 fresh
+          val upd = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(3))
+            .map(k => k -> s"u$step-$k").toMap
+          val ins = freshKeys(1).map(k => k -> s"i$step-$k").toMap
+          val v = TxLog.merge(spark, root, toDf(upd ++ ins), "id")
+          model = model ++ upd ++ ins
+          history += (v -> model)
+        case 3 => // optimize: content-neutral rewrite
+          val v = TxLog.optimize(spark, root,
+            targetFiles = 1 + rnd.nextInt(3), sortCol = Some("id"))
+          history += (v -> model)
+        case 4 => // restore to a random historical version
+          val target = history.keys.toSeq(rnd.nextInt(history.size))
+          val v = TxLog.restore(spark, root, target)
+          model = history(target)
+          history += (v -> model)
+        case 5 => // full-retention vacuum: must never change any state
+          TxLog.vacuum(root)
+      }
+      assert(tableState(root) === model, s"state diverged after step $step")
+    }
+
+    // time travel: EVERY recorded version still equals the model's history
+    history.foreach { case (v, m) =>
+      assert(tableState(root, Some(v)) === m, s"time travel to v$v diverged")
+    }
+    // version chain is contiguous and fully parseable
+    val vs = TxLog.versions(root)
+    assert(vs === (1L to vs.last))
+    assert(TxLog.history(spark, root).count() === vs.last)
+    // retention vacuum from the newest restore-reachable point keeps head
+    TxLog.vacuum(root, retainFrom = vs.last)
+    assert(tableState(root) === model, "head must survive max-retention vacuum")
+  }
+}
