@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** SQL surface for graft's custom expressions.
   *
@@ -25,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minHashFunction)
     ext.injectFunction(GraftExtensions.jaroWinklerFunction)
     ext.injectFunction(GraftExtensions.damerauFunction)
+    ext.injectTableFunction(GraftExtensions.txlogTableFunction)
+    ext.injectTableFunction(GraftExtensions.txlogChangesFunction)
+    ext.injectTableFunction(GraftExtensions.txlogHistoryFunction)
   }
 }
 
@@ -129,6 +133,80 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DamerauLevenshtein].getName, "graft_damerau_levenshtein"),
     damerauBuilder)
 
+  // ---- lakehouse table-valued functions ---------------------------------
+  // SQL surface for graft.io.TxLog: `SELECT * FROM graft_txlog('/t')`,
+  // time travel `graft_txlog('/t', 2)`, the change-data-feed
+  // `graft_txlog_changes('/t', 1, 3)`, and `graft_txlog_history('/t')` —
+  // the DESCRIBE HISTORY / VERSION AS OF story without a catalog plugin.
+  // Builders resolve at ANALYSIS time on the active session; arguments
+  // must be literals (the usual TVF contract).
+
+  private def evalString(e: Expression, fn: String): String = {
+    require(e.foldable, s"$fn expects literal arguments")
+    String.valueOf(e.eval())
+  }
+  private def evalLong(e: Expression, fn: String): Long = {
+    require(e.foldable, s"$fn expects literal arguments")
+    e.eval().asInstanceOf[Number].longValue()
+  }
+
+  private val txlogBuilder: Seq[Expression] => LogicalPlan = { args =>
+    val spark = SparkSession.active
+    args match {
+      case Seq(root) =>
+        graft.io.TxLog.snapshot(spark, evalString(root, "graft_txlog"))
+          .queryExecution.logical
+      case Seq(root, v) =>
+        graft.io.TxLog.snapshot(spark, evalString(root, "graft_txlog"),
+          Some(evalLong(v, "graft_txlog"))).queryExecution.logical
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft_txlog expects (root [, version]), got ${other.size} arguments")
+    }
+  }
+
+  val txlogTableFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_txlog"),
+    new ExpressionInfo("graft.io.TxLog", "graft_txlog"),
+    txlogBuilder)
+
+  private val txlogChangesBuilder: Seq[Expression] => LogicalPlan = { args =>
+    val spark = SparkSession.active
+    args match {
+      case Seq(root, from, to) =>
+        graft.io.TxLog.changes(spark, evalString(root, "graft_txlog_changes"),
+          evalLong(from, "graft_txlog_changes"), evalLong(to, "graft_txlog_changes"))
+          .queryExecution.logical
+      case Seq(root, from, to, skip) =>
+        graft.io.TxLog.changes(spark, evalString(root, "graft_txlog_changes"),
+          evalLong(from, "graft_txlog_changes"), evalLong(to, "graft_txlog_changes"),
+          skipRewrites = skip.eval().asInstanceOf[Boolean])
+          .queryExecution.logical
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft_txlog_changes expects (root, from, to [, skipRewrites]), got ${other.size} arguments")
+    }
+  }
+
+  val txlogChangesFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_txlog_changes"),
+    new ExpressionInfo("graft.io.TxLog", "graft_txlog_changes"),
+    txlogChangesBuilder)
+
+  private val txlogHistoryBuilder: Seq[Expression] => LogicalPlan = {
+    case Seq(root) =>
+      graft.io.TxLog.history(SparkSession.active,
+        evalString(root, "graft_txlog_history")).queryExecution.logical
+    case other =>
+      throw new IllegalArgumentException(
+        s"graft_txlog_history expects (root), got ${other.size} arguments")
+  }
+
+  val txlogHistoryFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_txlog_history"),
+    new ExpressionInfo("graft.io.TxLog", "graft_txlog_history"),
+    txlogHistoryBuilder)
+
   /** Imperative registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -147,5 +225,11 @@ object GraftExtensions {
       "graft_jaro_winkler", jaroWinklerBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_damerau_levenshtein", damerauBuilder, "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_txlog", txlogBuilder, "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_txlog_changes", txlogChangesBuilder, "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_txlog_history", txlogHistoryBuilder, "built-in")
   }
 }

@@ -1192,6 +1192,21 @@ private[graft] object OracleShard10 {
         |       CAST(sum(v) AS BIGINT) AS cents
         |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q644_txlog_sql" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |                  month(o_orderdate) AS mm
+        |           FROM orders
+        |           WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 3),
+        |v2 AS (SELECT 'v2' AS snap, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(v) AS BIGINT) AS cents
+        |       FROM o WHERE mm <= 2 GROUP BY 2),
+        |cdf AS (SELECT 'cdf' AS snap, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(v) AS BIGINT) AS cents
+        |        FROM o WHERE mm = 3 GROUP BY 2)
+        |SELECT * FROM v2 UNION ALL SELECT * FROM cdf
+        |ORDER BY snap, o_orderpriority""".stripMargin,
+
     "q636_media_decode" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |       CAST(CASE WHEN doc_id % 2 = 0 THEN 54

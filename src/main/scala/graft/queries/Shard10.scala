@@ -1814,6 +1814,33 @@ private[graft] object Shard10 {
         .orderBy("o_orderpriority")
     }),
 
+    // the lakehouse SQL surface end to end: monthly commits, then PURE
+    // SQL over the graft_txlog table-valued functions — a time-travel
+    // read of the pre-March version UNION'd with the v2→v3 change feed,
+    // no DataFrame API in the query text. Exercises TVF resolution,
+    // literal-arg time travel, and the CDF tag through Catalyst's SQL
+    // path; the oracle recomputes both halves from orders
+    "q644_txlog_sql" -> ((s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val o = Tables.orders(s, dir)
+        .filter(expr("year(o_orderdate) = 1995 AND month(o_orderdate) <= 3"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          centsOf(col("o_totalprice")).as("v"),
+          month(col("o_orderdate")).as("mm"))
+      val root = io.Zones.tempDir(s"graft_sql_${new java.io.File(dir).getName}")
+      (1 to 3).foreach(m =>
+        io.TxLog.append(s, root, o.filter(col("mm") === m).drop("mm")))
+      s.sql(
+        s"""SELECT 'v2' AS snap, o_orderpriority,
+           |       CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS cents
+           |FROM graft_txlog('$root', 2) GROUP BY 2
+           |UNION ALL
+           |SELECT 'cdf' AS snap, o_orderpriority,
+           |       CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS cents
+           |FROM graft_txlog_changes('$root', 2, 3) GROUP BY 2
+           |ORDER BY snap, o_orderpriority""".stripMargin)
+    }),
+
     // REAL multimodal byte decode (q31's stub grown up): synthesize a
     // bit-exact BMP (even keys) or RIFF/WAV (odd keys) container per
     // document and run the actual header parsers over the binary column
