@@ -202,10 +202,24 @@ object TxLog {
 
   private def logDir(root: String): Path = Paths.get(root, "_txlog")
 
+  /** Highest manifest format this reader understands. Manifests carry
+    * `"fmt":N`; a HIGHER N means a future writer used features this
+    * reader would silently misparse — refuse loudly instead (Delta's
+    * protocol-version action). Absent fmt (pre-round-8 logs) reads as 1.
+    */
+  val FormatVersion: Long = 2L
+  private val fmtField: Regex = """"fmt":(\d+)""".r
+
   private def readLogFile(root: String, name: String): String = {
     manifestReads.incrementAndGet()
-    new String(Files.readAllBytes(logDir(root).resolve(name)),
+    val txt = new String(Files.readAllBytes(logDir(root).resolve(name)),
       StandardCharsets.UTF_8)
+    fmtField.findFirstMatchIn(txt).map(_.group(1).toLong).foreach { f =>
+      if (f > FormatVersion)
+        throw new java.io.IOException(
+          s"txlog: $name uses format v$f but this reader supports ≤ v$FormatVersion — upgrade before reading")
+    }
+    txt
   }
 
   /** All committed versions, ascending (empty for a fresh table). */
@@ -479,7 +493,7 @@ object TxLog {
       val schemaPart = recorded
         .map(s => s""","schemaB64":"${schemaToB64(s)}"""").getOrElse("")
       val body = entries.mkString(
-        s"""{"version":$next,"action":"${action.name}"$txnPart$schemaPart,"files":[""", ",", "]}")
+        s"""{"version":$next,"fmt":$FormatVersion,"action":"${action.name}"$txnPart$schemaPart,"files":[""", ",", "]}")
       val tmp = logDir(root).resolve(s".tmp-$txn-$attempt")
       val ch = java.nio.channels.FileChannel.open(tmp,
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
@@ -540,7 +554,7 @@ object TxLog {
           .map { case (t, tv) => s""""$t":$tv""" }
           .mkString(""","txns":{""", ",", "}")
       val body = r.entries.map(renderEntry)
-        .mkString(s"""{"version":$v,"action":"checkpoint"$schemaPart$txnsPart,"files":[""", ",", "]}")
+        .mkString(s"""{"version":$v,"fmt":$FormatVersion,"action":"checkpoint"$schemaPart$txnsPart,"files":[""", ",", "]}")
       val tmp = logDir(root).resolve(s".ckpt-tmp-$v-${java.util.UUID.randomUUID().toString.take(8)}")
       val ch = java.nio.channels.FileChannel.open(tmp,
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)

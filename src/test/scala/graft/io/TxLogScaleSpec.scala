@@ -313,6 +313,24 @@ class TxLogScaleSpec extends AnyFunSuite {
       === Some(Seq("id", "payload")))
   }
 
+  test("a future-format manifest is refused loudly, never silently misparsed") {
+    val root = freshTable()
+    TxLog.append(spark, root, batch(0, 5)) // v1, fmt = current
+    assert(TxLog.snapshot(spark, root).count() === 5L)
+    // a v3-format writer committed something this reader can't understand
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_txlog", "v00000002.json"),
+      s"""{"version":2,"fmt":${TxLog.FormatVersion + 1},"action":"append","files":[]}"""
+        .getBytes)
+    val e = intercept[java.io.IOException] {
+      TxLog.snapshot(spark, root).count()
+    }
+    assert(e.getMessage.contains("format"), e.getMessage)
+    // versions BELOW the upgrade stay readable (their replay never
+    // touches the future manifest)
+    assert(TxLog.snapshot(spark, root, Some(1L)).count() === 5L)
+  }
+
   test("vacuum clamps the retention horizon to the head: current files always survive") {
     val root = freshTable()
     TxLog.append(spark, root, batch(0, 5))      // v1
