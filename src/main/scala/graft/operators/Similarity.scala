@@ -784,12 +784,15 @@ object Similarity {
       .join(defined, Seq("sub"))
       .select(col("sub").cast("long").as("subspace"), col("n_vectors"),
         col("codes_defined"), col("codes_used"),
-        // report the corpus-wide sum AS decimal(38,0): per-vector d2 is
-        // ~3e13, so a long report would wrap near 3e5 vectors — exactly
-        // the silent-at-sf0.1, wrong-at-100 TB class the width audit
-        // removed elsewhere (non-ANSI cast → NULL in Spark, error in
-        // DuckDB); the oracle mirrors with CAST(.. AS DECIMAL(38,0))
-        col("sum_dec").as("sum_sqerr_q"),
+        // report the corpus-wide sum as the DECIMAL'S DIGITS: per-vector
+        // d2 is ~3e13, so a long report would wrap near 3e5 vectors —
+        // the accumulation stays decimal(38,0), but the REPORTED column
+        // is its canonical string form, because engines canonicalize
+        // decimal values differently at the wire (round 8's only red:
+        // values byte-identical cross-engine, hashes diverged on the
+        // decimal representation). Digits of an exact integer are
+        // engine-independent; the oracle mirrors with CAST(.. AS VARCHAR)
+        col("sum_dec").cast("string").as("sum_sqerr_q"),
         col("avg_sqerr_q"))
       .orderBy("subspace")
   }

@@ -335,7 +335,7 @@ private[graft] object OracleShard06 {
         |SELECT CAST(b.sub AS BIGINT) AS subspace, CAST(count(*) AS BIGINT) AS n_vectors,
         |       any_value(cd.codes_defined) AS codes_defined,
         |       CAST(count(DISTINCT cid) AS BIGINT) AS codes_used,
-        |       CAST(sum(d2) AS DECIMAL(38,0)) AS sum_sqerr_q,
+        |       CAST(CAST(sum(d2) AS DECIMAL(38,0)) AS VARCHAR) AS sum_sqerr_q,
         |       CAST(sum(d2) // count(*) AS BIGINT) AS avg_sqerr_q
         |FROM b JOIN cd ON b.sub = cd.sub WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
 

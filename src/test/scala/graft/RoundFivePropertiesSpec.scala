@@ -783,9 +783,11 @@ class RoundFivePropertiesSpec extends AnyFunSuite {
       assert(row.getAs[Long]("codes_defined") === 16L,
         "codebook short of nCodes — the dense-id precondition is violated")
       assert(used <= row.getAs[Long]("codes_defined"))
-      // sum_sqerr_q is decimal(38,0) — it grows with the corpus, past long
+      // sum_sqerr_q accumulates in decimal(38,0) (grows with the corpus,
+      // past long) but is REPORTED as its digit string — the one
+      // representation both engines hash identically (round 8's only red)
       assert(BigDecimal(row.getAs[Long]("avg_sqerr_q")) <=
-        BigDecimal(row.getAs[java.math.BigDecimal]("sum_sqerr_q")))
+        BigDecimal(row.getAs[String]("sum_sqerr_q")))
     }
   }
 
