@@ -298,7 +298,23 @@ object TxLog {
       schema = schemaOfLog(txt)
       txns = txnsField.findFirstMatchIn(txt).map(m =>
         txnsEntry.findAllMatchIn(m.group(1))
-          .map(e => e.group(1) -> e.group(2).toLong).toMap).getOrElse(Map.empty)
+          .map(e => e.group(1) -> e.group(2).toLong).toMap).getOrElse {
+        // a pre-fmt-2 checkpoint carries no txns map: absent there means
+        // UNKNOWN, not empty — replaying from it would silently forget
+        // every txnId committed at or below it, and a recovered streaming
+        // sink's appendOnce could double-land a microbatch. Reconstruct
+        // once from the pre-checkpoint manifests (the pre-round-8 cost,
+        // paid only on legacy chains; the next checkpoint write records
+        // the map and retires this path). A fmt-2 checkpoint omits the
+        // field only when the map is genuinely empty.
+        val legacy = fmtField.findFirstMatchIn(txt)
+          .map(_.group(1).toLong).getOrElse(1L) < 2L
+        if (!legacy) Map.empty[String, Long]
+        else versions(root).filter(_ <= cv).flatMap { v =>
+          val vtxt = readLogFile(root, f"v$v%08d.json")
+          txnField.findFirstMatchIn(vtxt).map(m => m.group(1) -> v)
+        }.toMap
+      }
     }
     versions(root)
       .filter(v => v <= upTo && v > base.getOrElse(0L))
@@ -763,6 +779,12 @@ object TxLog {
     * filter still applies (zone maps prune files, they don't evaluate
     * predicates); files committed WITHOUT `col` stats are conservatively
     * always read.
+    *
+    * The filter column is cast to long FIRST — the legacy contract: a
+    * non-integral column truncates toward zero before the bound check
+    * (a double 58.9 is kept by between(31, 58)). Pruning is unaffected:
+    * zone maps exist only for integral columns, where the upcast is
+    * value-preserving and [[TxLogFileIndex.mayMatch]] unwraps it.
     */
   def snapshotRange(
       spark: SparkSession,
@@ -772,7 +794,7 @@ object TxLog {
       hi: Long,
       version: Option[Long] = None): DataFrame =
     snapshot(spark, root, version)
-      .filter(org.apache.spark.sql.functions.col(col).between(lo, hi))
+      .filter(org.apache.spark.sql.functions.col(col).cast("long").between(lo, hi))
 
   /** The file list a `[lo, hi]` range read of `col` opens — exposed so
     * specs can assert the PRUNING, not just the result.
@@ -860,14 +882,25 @@ object TxLog {
     * retains everything (`retainFrom = 1`).
     *
     * Safe under concurrent readers of retained versions (their files are
-    * kept) AND under concurrent committers: every commit brackets its
-    * data-write → manifest-link window with an in-flight marker
-    * (`_txlog/inflight/txn-*`), and vacuum skips any unreferenced data
-    * dir whose marker is younger than `inflightGraceMs` — "being
-    * committed right now" is distinguishable from aborted residue. A
-    * crashed committer's marker goes stale after the grace and its
-    * files become ordinary garbage (markers are GC'd with them). The
-    * same double-check Delta's VACUUM does with its retention clock.
+    * kept) AND under concurrent committers, by two ordered checks:
+    * every commit brackets its data-write → manifest-link window with an
+    * in-flight marker (`_txlog/inflight/txn-*`), and vacuum re-lists the
+    * markers AFTER listing the data dirs — a commit's marker exists
+    * before its data dir does, so any dir vacuum can see either has a
+    * visible marker in one of the two scans or has already published its
+    * manifest, and the head is re-read after the second scan to fold
+    * such just-published commits into the keep-set (round 8 scanned
+    * markers once, before the slow keep-set replay: a commit starting in
+    * that window could lose its files — the TOCTOU the second scan
+    * closes). A crashed committer's marker goes stale after
+    * `inflightGraceMs` and its files become ordinary garbage (markers
+    * are GC'd with them) — Delta VACUUM's file-age double-check.
+    *
+    * Cost: the keep-set is ONE forward replay — a checkpoint-bounded
+    * resolve at the horizon, then one manifest read per later version,
+    * accumulating the union of retained live sets as it rolls (round 8
+    * replayed per retained version: O(versions · CheckpointEvery)
+    * manifest reads; TxLogScaleSpec counts the bound).
     *
     * @return number of data files deleted
     */
@@ -880,7 +913,7 @@ object TxLog {
     if (vs.isEmpty) return 0
     // txn dirs currently inside a commit window: skip them wholesale
     val now = System.currentTimeMillis()
-    val inflight: Set[String] =
+    def listInflight(gcStale: Boolean): Set[String] =
       if (!Files.isDirectory(inflightDir(root))) Set.empty
       else {
         val it = Files.list(inflightDir(root))
@@ -889,19 +922,31 @@ object TxLog {
             now - Files.getLastModifiedTime(m).toMillis < inflightGraceMs
           catch { case _: Throwable => false }
           if (fresh) Some(m.getFileName.toString)
-          else { try Files.deleteIfExists(m) catch { case _: Throwable => () }; None }
+          else if (gcStale) {
+            try Files.deleteIfExists(m) catch { case _: Throwable => () }; None
+          } else None
         }.toSet
         finally it.close()
       }
+    val inflight1 = listInflight(gcStale = true)
     // clamp the horizon to the head: retainFrom > headVersion would
     // otherwise produce an EMPTY keep-set and delete the current
     // snapshot's own files — Delta's VACUUM never deletes current-head
     // files no matter the retention window, and neither does this
     val horizon = math.min(retainFrom, vs.last)
-    // every file any retained snapshot lists (replay includes pre-horizon
-    // appends that survive into retained live sets)
-    val keep: Set[String] =
-      vs.filter(_ >= horizon).flatMap(v => liveFiles(root, v)).toSet
+    // every file any retained snapshot lists, in ONE forward pass: the
+    // horizon's live set (checkpoint-bounded), then roll version by
+    // version, folding each intermediate live set into the union
+    var cur: Set[String] = replay(root, horizon).files.map(f => s"$root/$f").toSet
+    var keep: Set[String] = cur
+    def roll(fromV: Long, toV: Long): Unit = (fromV to toV).foreach { v =>
+      val m = readManifest(root, v)
+      val fs = m.files.map(f => s"$root/$f").toSet
+      cur = if (m.action == Overwrite.name) fs else cur ++ fs
+      keep ++= cur
+    }
+    var upper = vs.last
+    roll(horizon + 1, upper)
     val dataRoot = Paths.get(root, "data")
     if (!Files.isDirectory(dataRoot)) return 0
     var deleted = 0
@@ -909,6 +954,14 @@ object TxLog {
       val it = Files.list(dataRoot)
       try it.iterator().asScala.toList finally it.close()
     }
+    // TOCTOU closure, in this order: (1) data dirs listed above, (2)
+    // markers re-listed — any commit whose dir we can see created its
+    // marker first, so it is visible here unless it already published —
+    // (3) head re-read, folding commits that published since the replay
+    // into the keep-set
+    val inflight = inflight1 ++ listInflight(gcStale = false)
+    val h2 = headVersion(root)
+    if (h2 > upper) { roll(upper + 1, h2); upper = h2 }
     dirs.foreach { d =>
       if (inflight.contains(d.getFileName.toString)) ()
       else {

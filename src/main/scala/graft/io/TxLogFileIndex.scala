@@ -3,7 +3,7 @@ package graft.io
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.{Decimal, StructType}
@@ -55,6 +55,14 @@ final class TxLogFileIndex(
   override def refresh(): Unit = ()
   override def sizeInBytes: Long = statuses.map(_.getLen).sum
 
+  /** The file list this index's most recent scan planning kept — a spec
+    * hook so tests assert the PRUNING (plan-time file set), not just the
+    * answer. Per-index (each snapshot builds its own), so concurrent or
+    * AQE-re-planned queries never race one process-wide slot; fish the
+    * index out of a snapshot with [[TxLogFileIndex.of]].
+    */
+  @volatile var lastListed: Seq[String] = Nil
+
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -63,17 +71,24 @@ final class TxLogFileIndex(
       val cs = stats.getOrElse(key, Map.empty)
       dataFilters.forall(f => TxLogFileIndex.mayMatch(f, cs))
     }
-    TxLogFileIndex.lastListed = kept.map(_.getPath.toUri.getPath)
+    lastListed = kept.map(_.getPath.toUri.getPath)
     Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
   }
 }
 
 object TxLogFileIndex {
 
-  /** The file list the most recent scan planning kept — a spec hook so
-    * tests assert the PRUNING (plan-time file set), not just the answer.
+  /** The [[TxLogFileIndex]] a snapshot DataFrame plans through (for specs
+    * asserting that frame's pruning via its own `lastListed`).
     */
-  @volatile var lastListed: Seq[String] = Nil
+  def of(df: DataFrame): TxLogFileIndex =
+    df.queryExecution.logical.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[HadoopFsRelation] &&
+            l.relation.asInstanceOf[HadoopFsRelation].location.isInstanceOf[TxLogFileIndex] =>
+        l.relation.asInstanceOf[HadoopFsRelation].location.asInstanceOf[TxLogFileIndex]
+    }.getOrElse(throw new IllegalArgumentException(
+      "not a TxLog.snapshot-derived DataFrame"))
 
   /** Build the snapshot DataFrame for a resolved replay: stock parquet
     * [[HadoopFsRelation]] over a [[TxLogFileIndex]], schema = union of
@@ -106,6 +121,33 @@ object TxLogFileIndex {
     case _          => None
   }
 
+  /** Unwraps a value-preserving integral upcast around an attribute, so
+    * a legacy `col.cast("long").between(lo, hi)` filter still prunes.
+    * Catalyst's UnwrapCastInBinaryComparison usually removes these
+    * before they reach the index; this covers the shapes it leaves.
+    * Zone maps are long-valued, so the range test is unchanged by the
+    * upcast — only WIDENING integral casts unwrap (a narrowing cast can
+    * change the value and must not).
+    */
+  private object AttrOrCast {
+    import org.apache.spark.sql.types._
+    private def width(dt: DataType): Int = dt match {
+      case ByteType => 1; case ShortType => 2
+      case IntegerType => 4; case LongType => 8
+      case _ => 0
+    }
+    def unapply(e: Expression): Option[Attribute] = e match {
+      case a: Attribute => Some(a)
+      case c: Cast => c.child match {
+        case a: Attribute
+            if width(a.dataType) > 0 && width(c.dataType) >= width(a.dataType) =>
+          Some(a)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
   /** Could a file with zone maps `cs` contain a row satisfying `e`?
     * False ONLY when the predicate provably excludes the file's range —
     * every unknown shape answers true (prune nothing, stay correct).
@@ -115,27 +157,27 @@ object TxLogFileIndex {
     e match {
       case And(l, r) => mayMatch(l, cs) && mayMatch(r, cs)
       case Or(l, r)  => mayMatch(l, cs) || mayMatch(r, cs)
-      case EqualTo(a: Attribute, Literal(v, _)) =>
+      case EqualTo(AttrOrCast(a), Literal(v, _)) =>
         keepIf(rng(a), asLong(v)) { case ((lo, hi), x) => lo <= x && x <= hi }
-      case EqualTo(Literal(v, _), a: Attribute) =>
+      case EqualTo(Literal(v, _), AttrOrCast(a)) =>
         keepIf(rng(a), asLong(v)) { case ((lo, hi), x) => lo <= x && x <= hi }
-      case GreaterThanOrEqual(a: Attribute, Literal(v, _)) => // a >= v
+      case GreaterThanOrEqual(AttrOrCast(a), Literal(v, _)) => // a >= v
         keepIf(rng(a), asLong(v)) { case ((_, hi), x) => hi >= x }
-      case GreaterThan(a: Attribute, Literal(v, _)) =>        // a > v
+      case GreaterThan(AttrOrCast(a), Literal(v, _)) =>        // a > v
         keepIf(rng(a), asLong(v)) { case ((_, hi), x) => hi > x }
-      case LessThanOrEqual(a: Attribute, Literal(v, _)) =>    // a <= v
+      case LessThanOrEqual(AttrOrCast(a), Literal(v, _)) =>    // a <= v
         keepIf(rng(a), asLong(v)) { case ((lo, _), x) => lo <= x }
-      case LessThan(a: Attribute, Literal(v, _)) =>           // a < v
+      case LessThan(AttrOrCast(a), Literal(v, _)) =>           // a < v
         keepIf(rng(a), asLong(v)) { case ((lo, _), x) => lo < x }
-      case GreaterThanOrEqual(Literal(v, _), a: Attribute) => // v >= a ⇔ a <= v
+      case GreaterThanOrEqual(Literal(v, _), AttrOrCast(a)) => // v >= a ⇔ a <= v
         keepIf(rng(a), asLong(v)) { case ((lo, _), x) => lo <= x }
-      case GreaterThan(Literal(v, _), a: Attribute) =>        // v > a ⇔ a < v
+      case GreaterThan(Literal(v, _), AttrOrCast(a)) =>        // v > a ⇔ a < v
         keepIf(rng(a), asLong(v)) { case ((lo, _), x) => lo < x }
-      case LessThanOrEqual(Literal(v, _), a: Attribute) =>    // v <= a ⇔ a >= v
+      case LessThanOrEqual(Literal(v, _), AttrOrCast(a)) =>    // v <= a ⇔ a >= v
         keepIf(rng(a), asLong(v)) { case ((_, hi), x) => hi >= x }
-      case LessThan(Literal(v, _), a: Attribute) =>           // v < a ⇔ a > v
+      case LessThan(Literal(v, _), AttrOrCast(a)) =>           // v < a ⇔ a > v
         keepIf(rng(a), asLong(v)) { case ((_, hi), x) => hi > x }
-      case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      case In(AttrOrCast(a), vs) if vs.forall(_.isInstanceOf[Literal]) =>
         rng(a) match {
           case None => true
           case Some((lo, hi)) => vs.exists {

@@ -77,6 +77,20 @@ object TxLogSource {
     base.add("_commit_version", LongType, nullable = false)
   }
 
+  /** Pin a batch to the stream's declared column order, backfilling
+    * typed nulls for declared columns the batch lacks: a catch-up batch
+    * over appends that predate an additive schema evolution reads only
+    * pre-evolution files, and a bare select of the new column would kill
+    * the stream at recovery.
+    */
+  private[streaming] def conform(batch: DataFrame, schema: StructType): DataFrame = {
+    val have = batch.columns.toSet
+    batch.select(schema.fields.toSeq.map { f =>
+      if (have(f.name)) col(f.name)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
   /** The v1 Source contract requires getBatch's DataFrame to carry
     * isStreaming = true; the only constructor for that is the session's
     * `private[sql] internalCreateDataFrame` (what FileStreamSource
@@ -113,8 +127,7 @@ class TxLogSource(
     val from = start.map(asVersion).getOrElse(startingVersion)
     val to = asVersion(end)
     val batch = TxLog.changes(spark, root, from, to, skipRewrites)
-      .select(schema.fieldNames.map(col): _*) // pin the declared column order
-    TxLogSource.asStreamingFrame(batch)
+    TxLogSource.asStreamingFrame(TxLogSource.conform(batch, schema))
   }
 
   // offsets arrive as LongOffset from this source or SerializedOffset

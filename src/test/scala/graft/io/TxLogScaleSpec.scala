@@ -127,14 +127,15 @@ class TxLogScaleSpec extends AnyFunSuite {
     assert(got === (150L to 160L))
     // the scan's planned file list must equal the zone-map pruning —
     // the caller never named a range API, the ordinary filter did it
-    assert(TxLogFileIndex.lastListed.toSet ===
+    // (read per-index: the global hook raced concurrent planning)
+    assert(TxLogFileIndex.of(q).lastListed.toSet ===
       TxLog.prunedFiles(root, v, "id", 150, 160).toSet)
-    assert(TxLogFileIndex.lastListed.size === 1)
+    assert(TxLogFileIndex.of(q).lastListed.size === 1)
     // unsupported predicate shapes prune nothing and stay correct
-    val all = TxLog.snapshot(spark, root)
-      .filter(length(col("payload")) === lit(7)).count() // row-N, N<10 → len 5..7
-    assert(TxLogFileIndex.lastListed.size === 4)
-    assert(all === 300L) // row-100..row-399 have length 7
+    val q2 = TxLog.snapshot(spark, root)
+      .filter(length(col("payload")) === lit(7)) // row-N, N<10 → len 5..7
+    assert(q2.count() === 300L) // row-100..row-399 have length 7
+    assert(TxLogFileIndex.of(q2).lastListed.size === 4)
   }
 
   test("changes(v1, v2) is the row-level delta of an append-only range") {
@@ -189,13 +190,14 @@ class TxLogScaleSpec extends AnyFunSuite {
       cs.get("x").forall { case (lo, hi) => hi >= 10 && lo <= 15 } &&
         cs.get("y").forall { case (lo, hi) => hi >= 20 && lo <= 25 }
     }
-    assert(TxLogFileIndex.lastListed.toSet === expected.toSet)
+    assert(TxLogFileIndex.of(q).lastListed.toSet === expected.toSet)
     assert(expected.size < 16,
       s"z-order rectangle read should prune some of 16 files, kept ${expected.size}")
     // a 1-D slice on the SECOND column alone also prunes — the property
     // a plain x-sort cannot give
-    TxLog.snapshot(spark, root).filter(col("y").between(0, 3)).count()
-    assert(TxLogFileIndex.lastListed.size < 16,
+    val qy = TxLog.snapshot(spark, root).filter(col("y").between(0, 3))
+    qy.count()
+    assert(TxLogFileIndex.of(qy).lastListed.size < 16,
       "y-only predicate must prune under z-order layout")
   }
 
@@ -329,6 +331,75 @@ class TxLogScaleSpec extends AnyFunSuite {
     // versions BELOW the upgrade stay readable (their replay never
     // touches the future manifest)
     assert(TxLog.snapshot(spark, root, Some(1L)).count() === 5L)
+  }
+
+  test("vacuum's keep-set is ONE forward replay, not one replay per retained version") {
+    val root = freshTable()
+    (0 until 25).foreach(k => TxLog.append(spark, root, batch(k * 10, k * 10 + 10)))
+    TxLog.overwrite(spark, root, batch(0, 5)) // v26
+    TxLog.manifestReads.set(0L)
+    assert(TxLog.vacuum(root) === 0) // full retention: nothing collectable
+    val reads = TxLog.manifestReads.get()
+    // checkpoint-bounded resolve at the horizon + ONE manifest read per
+    // later version (+ slack for the TOCTOU head re-check) — round 8
+    // replayed per retained version, O(versions · CheckpointEvery)
+    val bound = 26 + TxLog.CheckpointEvery + 2
+    assert(reads <= bound,
+      s"vacuum read $reads manifests; one-forward-pass bound is $bound")
+    // and the collection semantics are unchanged: retain-head collects
+    // the pre-overwrite files, the head snapshot survives
+    assert(TxLog.vacuum(root, retainFrom = 26L) >= 1)
+    assert(TxLog.snapshot(spark, root).count() === 5L)
+  }
+
+  test("a legacy checkpoint without a txns map falls back to manifest scan, not amnesia") {
+    val root = freshTable()
+    (0 until 12).foreach(k =>
+      TxLog.appendOnce(spark, root, s"batch#$k", batch(k * 2, k * 2 + 2)))
+    // simulate a pre-fmt-2 checkpoint: strip the fmt and txns fields
+    val cp = java.nio.file.Paths.get(root, "_txlog", "c00000010.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(cp),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val legacy = txt.replaceAll(""""fmt":\d+,""", "")
+      .replaceAll(""","txns":\{[^}]*\}""", "")
+    assert(legacy != txt, "fixture must actually strip the fmt-2 fields")
+    java.nio.file.Files.write(cp,
+      legacy.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // replaying a txnId committed BELOW the legacy checkpoint must still
+    // no-op: absent-from-checkpoint means UNKNOWN on a legacy chain, and
+    // the fallback rescans the pre-checkpoint manifests once
+    assert(TxLog.appendOnce(spark, root, "batch#3", batch(6, 8)) === 4L)
+    assert(TxLog.headVersion(root) === 12L,
+      "a replayed microbatch double-landed off a legacy checkpoint")
+  }
+
+  test("snapshotRange keeps the legacy truncate-toward-zero boundary on non-integral columns") {
+    import spark.implicits._
+    val root = freshTable()
+    TxLog.append(spark, root,
+      Seq((58.9, "edge"), (30.2, "low"), (59.5, "out")).toDF("d", "tag"))
+    // the filter column casts to long FIRST: 58.9 → 58 is kept by
+    // between(31, 58); 30.2 → 30 and 59.5 → 59 are out
+    val kept = TxLog.snapshotRange(spark, root, "d", 31, 58)
+      .collect().map(_.getString(1)).toSet
+    assert(kept === Set("edge"), s"got $kept")
+  }
+
+  test("snapshotRange's long-cast wrapper still prunes integral zone maps") {
+    import spark.implicits._
+    val root = freshTable()
+    (0 until 4).foreach { k =>
+      TxLog.commit(spark, root,
+        (k * 100 until (k + 1) * 100).map(i => (i, s"row-$i"))
+          .toDF("iid", "payload").coalesce(1),
+        TxLog.Append, statsCols = Seq("iid"))
+    }
+    // iid is INT: the wrapper's cast("long") wraps the attribute, and the
+    // index (or Catalyst's unwrap rule) must see through the upcast
+    val q = TxLog.snapshotRange(spark, root, "iid", 150, 160)
+    assert(q.count() === 11L)
+    assert(TxLogFileIndex.of(q).lastListed.size === 1,
+      "cast(long) range filter lost zone-map pruning")
   }
 
   test("vacuum clamps the retention horizon to the head: current files always survive") {

@@ -143,4 +143,26 @@ class TxLogSourceSpec extends AnyFunSuite {
       "source offsets + idempotent sink must yield exactly-once end to end")
     assert(out.filter(col("id2") =!= col("id") * 2).count() === 0L)
   }
+
+  test("a catch-up batch predating an additive evolution conforms to the stream schema") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("txsrc_evo").toString
+    TxLog.append(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "payload")) // v1
+    TxLog.append(spark, root,
+      Seq((3L, "c", "en")).toDF("id", "payload", "lang")) // v2: evolved
+    // the stream pins the HEAD schema (id, payload, lang); a recovery
+    // batch over v1 alone reads files without `lang` — conform must
+    // backfill a typed null, not let the select kill the stream
+    val schema = TxLogSource.streamSchema(Map("root" -> root))
+    assert(schema.fieldNames.contains("lang"))
+    val b = TxLogSource.conform(TxLog.changes(spark, root, 0L, 1L), schema)
+    assert(b.columns.toSeq === schema.fieldNames.toSeq)
+    assert(b.schema("lang").dataType === org.apache.spark.sql.types.StringType)
+    val rows = b.collect()
+    assert(rows.length === 2)
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("lang"))))
+    // a post-evolution batch carries the real values untouched
+    val b2 = TxLogSource.conform(TxLog.changes(spark, root, 1L, 2L), schema)
+    assert(b2.collect().map(_.getAs[String]("lang")).toSeq === Seq("en"))
+  }
 }
