@@ -75,12 +75,30 @@ object TxLog {
     */
   type ColStats = Map[String, (Long, Long)]
 
+  /** String-column zone map: [lo, hi] in UTF-8 binary order (Spark's own
+    * string ordering, so min/max computed by the commit's stats job and
+    * the pruning comparison agree byte for byte). Values longer than
+    * [[StrStatMaxLen]] truncate: `lo` to a prefix (a prefix is byte-wise
+    * ≤ the full value, so it remains a valid lower bound) and `hi` to
+    * None — "unbounded above" — because no finite truncated upper bound
+    * exists without a sentinel past every code point (Delta appends
+    * U+10FFFF and accepts the same caveat; this keeps the log exact).
+    * The LLM-pipeline's hottest predicates are string equality
+    * (`lang = 'en'`, `source = 'web'`, date strings) — integral-only
+    * zone maps pruned nothing on exactly those columns before round 9.
+    */
+  type StrColStats = Map[String, (String, Option[String])]
+
   /** One live-file entry: relative path, byte size (carried in the
     * manifest so readers never stat data files — Delta stores sizes in
     * the log for the same reason; absent only in hand-written legacy
-    * entries), and per-column zone maps.
+    * entries), and per-column zone maps (integral and string).
     */
-  final case class Entry(path: String, bytes: Option[Long], stats: ColStats)
+  final case class Entry(
+      path: String,
+      bytes: Option[Long],
+      stats: ColStats,
+      strStats: StrColStats = Map.empty)
 
   /** The resolved state of a version: live entries (relative paths with
     * sizes + zone maps) plus the snapshot's schema — produced by ONE
@@ -99,17 +117,56 @@ object TxLog {
     def files: Vector[String] = entries.map(_.path)
     def stats: Map[String, ColStats] =
       entries.iterator.filter(_.stats.nonEmpty).map(e => e.path -> e.stats).toMap
+    def strStats: Map[String, StrColStats] =
+      entries.iterator.filter(_.strStats.nonEmpty)
+        .map(e => e.path -> e.strStats).toMap
   }
 
   private val versionFile: Regex = """v(\d{8})\.json""".r
   private val checkpointFile: Regex = """c(\d{8})\.json""".r
   // a manifest entry is either a bare "rel/path.parquet" or an object
-  // {"p":"rel/path.parquet","b":bytes,"s":{"col":[lo,hi],...}} with "b"
-  // and "s" independently optional — group 1 = bare path, group 2 = obj
-  // path, group 3 = bytes, group 4 = stats body
+  // {"p":"rel/path.parquet","b":bytes,"s":{"col":[lo,hi],...},
+  //  "t":{"col":["lo","hi"],...}} with "b"/"s"/"t" independently optional
+  // — group 1 = bare path, group 2 = obj path, group 3 = bytes,
+  // group 4 = integral stats body, group 5 = string stats body
   private val entryField: Regex =
-    """(?:"([^"{]+\.parquet)")|(?:\{"p":"([^"]+\.parquet)"(?:,"b":(\d+))?(?:,"s":\{([^}]*)\})?\})""".r
+    """(?:"([^"{]+\.parquet)")|(?:\{"p":"([^"]+\.parquet)"(?:,"b":(\d+))?(?:,"s":\{([^}]*)\})?(?:,"t":\{([^}]*)\})?\})""".r
   private val colStatField: Regex = """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r
+  // string stat: "col":["lo","hi"] — truncated-max entries carry null;
+  // values are \uXXXX-escaped (see escStr), so a raw quote/brace can
+  // never terminate the stats object early
+  private val strStatField: Regex =
+    """"([^"]+)":\["([^"]*)",(?:"([^"]*)"|null)\]""".r
+
+  /** Truncation bound for string zone maps (chars). */
+  val StrStatMaxLen: Int = 64
+
+  private def truncLo(s: String): String =
+    if (s.length <= StrStatMaxLen) s
+    else {
+      val t = s.substring(0, StrStatMaxLen)
+      // never split a surrogate pair: an unpaired high surrogate would
+      // re-encode as U+FFFD and could break the lower-bound property
+      if (Character.isHighSurrogate(t.last)) t.dropRight(1) else t
+    }
+  private def truncHi(s: String): Option[String] =
+    if (s.length <= StrStatMaxLen) Some(s) else None
+
+  /** Manifest string-value escaping: every char that could confuse the
+    * manifest's line-oriented regexes (quote, backslash, braces,
+    * brackets) and all control chars become JSON \\uXXXX escapes — all
+    * of which are valid JSON string escapes, so the manifest stays
+    * parseable by any strict JSON reader too.
+    */
+  private def escStr(s: String): String = s.flatMap {
+    case c @ ('"' | '\\' | '{' | '}' | '[' | ']') => f"\\u${c.toInt}%04x"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+  private val uEscField: Regex = """\\u([0-9a-fA-F]{4})""".r
+  private def unescStr(s: String): String =
+    uEscField.replaceAllIn(s, m => Regex.quoteReplacement(
+      Integer.parseInt(m.group(1), 16).toChar.toString))
 
   private val schemaField: Regex = """"schemaB64":"([A-Za-z0-9+/=]*)"""".r
 
@@ -174,13 +231,19 @@ object TxLog {
   }
 
   private def renderEntry(e: Entry): String =
-    if (e.bytes.isEmpty && e.stats.isEmpty) "\"" + e.path + "\""
+    if (e.bytes.isEmpty && e.stats.isEmpty && e.strStats.isEmpty) "\"" + e.path + "\""
     else {
       val b = e.bytes.map(n => s""","b":$n""").getOrElse("")
       val s = if (e.stats.isEmpty) "" else e.stats.toSeq.sortBy(_._1)
         .map { case (c, (lo, hi)) => s""""$c":[$lo,$hi]""" }
         .mkString(""","s":{""", ",", "}")
-      s"""{"p":"${e.path}"$b$s}"""
+      val t = if (e.strStats.isEmpty) "" else e.strStats.toSeq.sortBy(_._1)
+        .map { case (c, (lo, hi)) =>
+          val hiR = hi.map(h => "\"" + escStr(h) + "\"").getOrElse("null")
+          s""""${escStr(c)}":["${escStr(lo)}",$hiR]"""
+        }
+        .mkString(""","t":{""", ",", "}")
+      s"""{"p":"${e.path}"$b$s$t}"""
     }
   private val actionField: Regex = """"action":"(append|overwrite|checkpoint)"""".r
   private val txnField: Regex = """"txnId":"([^"]*)"""".r
@@ -249,6 +312,10 @@ object TxLog {
         Option(m.group(3)).map(_.toLong),
         Option(m.group(4)).map(s => colStatField.findAllMatchIn(s)
           .map(c => c.group(1) -> (c.group(2).toLong, c.group(3).toLong)).toMap)
+          .getOrElse(Map.empty),
+        Option(m.group(5)).map(s => strStatField.findAllMatchIn(s)
+          .map(c => unescStr(c.group(1)) ->
+            (unescStr(c.group(2)), Option(c.group(3)).map(unescStr))).toMap)
           .getOrElse(Map.empty))
     }.toSeq
 
@@ -348,6 +415,12 @@ object TxLog {
   def liveStats(root: String, upTo: Long): Map[String, ColStats] =
     replay(root, upTo).stats.map { case (p, cs) => s"$root/$p" -> cs }
 
+  /** String zone maps of every live file at `upTo` that has them
+    * (absolute paths → column → (lo, truncated-aware hi)).
+    */
+  def liveStrStats(root: String, upTo: Long): Map[String, StrColStats] =
+    replay(root, upTo).strStats.map { case (p, cs) => s"$root/$p" -> cs }
+
   /** The txnId each committed version carries — checkpoint-bounded like
     * every other replay (checkpoints persist the full monotone map), so
     * an [[appendOnce]] streaming sink pays O(CheckpointEvery) manifest
@@ -437,35 +510,52 @@ object TxLog {
     // optional per-file zone maps: min/max of each stats column per
     // written file, serialized into the manifest so readers can skip
     // files whose range can't match. ONE aggregation job over the
-    // written directory (grouped by input_file_name) — proportional to
-    // the commit, never to the table, and never one-job-per-file
-    val statables = {
-      val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
-      statsCols.filter(c => byName.get(c).exists(isIntegral))
-    }
-    val fileStats: Map[String, ColStats] =
-      if (statables.isEmpty || written.isEmpty) Map.empty
+    // written directory (grouped by input_file_name) covers integral AND
+    // string columns — proportional to the commit, never to the table,
+    // and never one-job-per-file
+    val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val intCols = statsCols.filter(c => byName.get(c).exists(isIntegral))
+    val strCols = statsCols.filter(c =>
+      byName.get(c).contains(org.apache.spark.sql.types.StringType))
+    val (fileStats: Map[String, ColStats], fileStrStats: Map[String, StrColStats]) =
+      if ((intCols.isEmpty && strCols.isEmpty) || written.isEmpty)
+        (Map.empty[String, ColStats], Map.empty[String, StrColStats])
       else {
-        val aggs = statables.flatMap(c => Seq(
+        val aggs = intCols.flatMap(c => Seq(
           min(col(c).cast("long")).as(s"lo_$c"),
-          max(col(c).cast("long")).as(s"hi_$c")))
-        spark.read.parquet(dataDir)
+          max(col(c).cast("long")).as(s"hi_$c"))) ++
+          strCols.flatMap(c => Seq(
+            min(col(c)).as(s"slo_$c"),
+            max(col(c)).as(s"shi_$c")))
+        val rows = spark.read.parquet(dataDir)
           .groupBy(input_file_name().as("_f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
-          .map { r =>
-            val base = new java.io.File(new java.net.URI(r.getString(0)).getPath).getName
-            val cs: ColStats = statables.flatMap { c =>
-              val lo = r.getAs[Any](s"lo_$c"); val hi = r.getAs[Any](s"hi_$c")
-              if (lo == null || hi == null) None // all-null file: no stats
-              else Some(c -> (lo.asInstanceOf[Long], hi.asInstanceOf[Long]))
-            }.toMap
-            s"data/txn-$txn/$base" -> cs
+        val ints = rows.map { r =>
+          val base = new java.io.File(new java.net.URI(r.getString(0)).getPath).getName
+          val cs: ColStats = intCols.flatMap { c =>
+            val lo = r.getAs[Any](s"lo_$c"); val hi = r.getAs[Any](s"hi_$c")
+            if (lo == null || hi == null) None // all-null file: no stats
+            else Some(c -> (lo.asInstanceOf[Long], hi.asInstanceOf[Long]))
           }.toMap
+          s"data/txn-$txn/$base" -> cs
+        }.toMap
+        val strs = rows.map { r =>
+          val base = new java.io.File(new java.net.URI(r.getString(0)).getPath).getName
+          val cs: StrColStats = strCols.flatMap { c =>
+            val lo = r.getAs[String](s"slo_$c"); val hi = r.getAs[String](s"shi_$c")
+            if (lo == null || hi == null) None // all-null file: no stats
+            else Some(c -> (truncLo(lo), truncHi(hi)))
+          }.toMap
+          s"data/txn-$txn/$base" -> cs
+        }.toMap
+        (ints, strs)
       }
     val entries: Seq[String] =
       carry.map(renderEntry) ++ written.map(p =>
-        renderEntry(Entry(p, writtenSizes.get(p), fileStats.getOrElse(p, Map.empty))))
+        renderEntry(Entry(p, writtenSizes.get(p),
+          fileStats.getOrElse(p, Map.empty),
+          fileStrStats.getOrElse(p, Map.empty))))
     // record the commit's schema so readers resolve theirs from the
     // LOG, never from O(live files) footer reads; a carry-bearing
     // commit must cover the carried files' columns too, so it merges

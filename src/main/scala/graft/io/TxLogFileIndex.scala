@@ -3,7 +3,8 @@ package graft.io
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or, StartsWith}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.{Decimal, StructType}
@@ -32,7 +33,8 @@ final class TxLogFileIndex(
     root: String,
     files: Seq[String], // absolute paths, snapshot order
     sizes: Map[String, Long], // manifest-carried byte sizes
-    stats: Map[String, TxLog.ColStats]) extends FileIndex {
+    stats: Map[String, TxLog.ColStats],
+    strStats: Map[String, TxLog.StrColStats] = Map.empty) extends FileIndex {
 
   // file statuses come from the MANIFEST (the log stores sizes, as
   // Delta does, precisely so the read path never stats a data file —
@@ -69,7 +71,8 @@ final class TxLogFileIndex(
     val kept = statuses.filter { st =>
       val key = st.getPath.toUri.getPath
       val cs = stats.getOrElse(key, Map.empty)
-      dataFilters.forall(f => TxLogFileIndex.mayMatch(f, cs))
+      val ts = strStats.getOrElse(key, Map.empty)
+      dataFilters.forall(f => TxLogFileIndex.mayMatch(f, cs, ts))
     }
     lastListed = kept.map(_.getPath.toUri.getPath)
     Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
@@ -106,7 +109,8 @@ object TxLogFileIndex {
       spark.read.option("mergeSchema", "true").parquet(abs: _*).schema)
     val index = new TxLogFileIndex(spark, root, abs,
       r.entries.iterator.flatMap(e => e.bytes.map(b => s"$root/${e.path}" -> b)).toMap,
-      r.stats.map { case (p, cs) => s"$root/$p" -> cs })
+      r.stats.map { case (p, cs) => s"$root/$p" -> cs },
+      r.strStats.map { case (p, cs) => s"$root/$p" -> cs })
     val rel = HadoopFsRelation(index, new StructType(), schema, None,
       new ParquetFileFormat, Map("mergeSchema" -> "true"))(spark)
     spark.baseRelationToDataFrame(rel)
@@ -148,51 +152,103 @@ object TxLogFileIndex {
     }
   }
 
-  /** Could a file with zone maps `cs` contain a row satisfying `e`?
-    * False ONLY when the predicate provably excludes the file's range —
-    * every unknown shape answers true (prune nothing, stay correct).
+  private def asBytes(v: Any): Option[Array[Byte]] = v match {
+    case u: UTF8String => Some(u.getBytes)
+    case s: String     => Some(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case _             => None
+  }
+
+  /** Unsigned byte-wise compare — EXACTLY Spark's own string ordering
+    * (UTF8String compares UTF-8 bytes unsigned), so the pruning decision
+    * and the min/max the commit's stats job computed agree; Java's
+    * String.compareTo (UTF-16 code units) would disagree on
+    * supplementary characters.
     */
-  private[io] def mayMatch(e: Expression, cs: TxLog.ColStats): Boolean = {
-    def rng(a: Attribute): Option[(Long, Long)] = cs.get(a.name)
+  private def cmpB(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Could a file with integral zone maps `cs` and string zone maps `ss`
+    * contain a row satisfying `e`? False ONLY when the predicate provably
+    * excludes the file's range — every unknown shape answers true (prune
+    * nothing, stay correct). A string map's `hi = None` means "truncated:
+    * unbounded above" — only its lower bound can prune.
+    */
+  private[io] def mayMatch(
+      e: Expression,
+      cs: TxLog.ColStats,
+      ss: TxLog.StrColStats = Map.empty): Boolean = {
+    // per-shape keep tests: `fi` over an integral range, `fs` over a
+    // string range; no stats (or a literal of neither kind) keeps the file
+    def keep(a: Attribute, v: Any)(fi: ((Long, Long), Long) => Boolean)(
+        fs: ((Array[Byte], Option[Array[Byte]]), Array[Byte]) => Boolean): Boolean =
+      (cs.get(a.name), asLong(v)) match {
+        case (Some(r), Some(x)) => fi(r, x)
+        case _ => (ss.get(a.name), asBytes(v)) match {
+          case (Some((lo, hi)), Some(x)) =>
+            fs((lo.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              hi.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))), x)
+          case _ => true
+        }
+      }
+    def eqK(a: Attribute, v: Any) =                       // a = v
+      keep(a, v) { case ((lo, hi), x) => lo <= x && x <= hi } {
+        case ((lo, hi), x) => cmpB(lo, x) <= 0 && hi.forall(h => cmpB(x, h) <= 0)
+      }
+    def geK(a: Attribute, v: Any) =                       // a >= v possible
+      keep(a, v) { case ((_, hi), x) => hi >= x } {
+        case ((_, hi), x) => hi.forall(h => cmpB(h, x) >= 0)
+      }
+    def gtK(a: Attribute, v: Any) =                       // a > v possible
+      keep(a, v) { case ((_, hi), x) => hi > x } {
+        case ((_, hi), x) => hi.forall(h => cmpB(h, x) > 0)
+      }
+    def leK(a: Attribute, v: Any) =                       // a <= v possible
+      keep(a, v) { case ((lo, _), x) => lo <= x } {
+        case ((lo, _), x) => cmpB(lo, x) <= 0
+      }
+    def ltK(a: Attribute, v: Any) =                       // a < v possible
+      keep(a, v) { case ((lo, _), x) => lo < x } {
+        case ((lo, _), x) => cmpB(lo, x) < 0
+      }
     e match {
-      case And(l, r) => mayMatch(l, cs) && mayMatch(r, cs)
-      case Or(l, r)  => mayMatch(l, cs) || mayMatch(r, cs)
-      case EqualTo(AttrOrCast(a), Literal(v, _)) =>
-        keepIf(rng(a), asLong(v)) { case ((lo, hi), x) => lo <= x && x <= hi }
-      case EqualTo(Literal(v, _), AttrOrCast(a)) =>
-        keepIf(rng(a), asLong(v)) { case ((lo, hi), x) => lo <= x && x <= hi }
-      case GreaterThanOrEqual(AttrOrCast(a), Literal(v, _)) => // a >= v
-        keepIf(rng(a), asLong(v)) { case ((_, hi), x) => hi >= x }
-      case GreaterThan(AttrOrCast(a), Literal(v, _)) =>        // a > v
-        keepIf(rng(a), asLong(v)) { case ((_, hi), x) => hi > x }
-      case LessThanOrEqual(AttrOrCast(a), Literal(v, _)) =>    // a <= v
-        keepIf(rng(a), asLong(v)) { case ((lo, _), x) => lo <= x }
-      case LessThan(AttrOrCast(a), Literal(v, _)) =>           // a < v
-        keepIf(rng(a), asLong(v)) { case ((lo, _), x) => lo < x }
-      case GreaterThanOrEqual(Literal(v, _), AttrOrCast(a)) => // v >= a ⇔ a <= v
-        keepIf(rng(a), asLong(v)) { case ((lo, _), x) => lo <= x }
-      case GreaterThan(Literal(v, _), AttrOrCast(a)) =>        // v > a ⇔ a < v
-        keepIf(rng(a), asLong(v)) { case ((lo, _), x) => lo < x }
-      case LessThanOrEqual(Literal(v, _), AttrOrCast(a)) =>    // v <= a ⇔ a >= v
-        keepIf(rng(a), asLong(v)) { case ((_, hi), x) => hi >= x }
-      case LessThan(Literal(v, _), AttrOrCast(a)) =>           // v < a ⇔ a > v
-        keepIf(rng(a), asLong(v)) { case ((_, hi), x) => hi > x }
-      case In(AttrOrCast(a), vs) if vs.forall(_.isInstanceOf[Literal]) =>
-        rng(a) match {
+      case And(l, r) => mayMatch(l, cs, ss) && mayMatch(r, cs, ss)
+      case Or(l, r)  => mayMatch(l, cs, ss) || mayMatch(r, cs, ss)
+      case EqualTo(AttrOrCast(a), Literal(v, _)) => eqK(a, v)
+      case EqualTo(Literal(v, _), AttrOrCast(a)) => eqK(a, v)
+      case GreaterThanOrEqual(AttrOrCast(a), Literal(v, _)) => geK(a, v)
+      case GreaterThan(AttrOrCast(a), Literal(v, _))        => gtK(a, v)
+      case LessThanOrEqual(AttrOrCast(a), Literal(v, _))    => leK(a, v)
+      case LessThan(AttrOrCast(a), Literal(v, _))           => ltK(a, v)
+      case GreaterThanOrEqual(Literal(v, _), AttrOrCast(a)) => leK(a, v) // v >= a ⇔ a <= v
+      case GreaterThan(Literal(v, _), AttrOrCast(a))        => ltK(a, v) // v > a ⇔ a < v
+      case LessThanOrEqual(Literal(v, _), AttrOrCast(a))    => geK(a, v) // v <= a ⇔ a >= v
+      case LessThan(Literal(v, _), AttrOrCast(a))           => gtK(a, v) // v < a ⇔ a > v
+      case In(AttrOrCast(a), vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists { case Literal(v, _) => eqK(a, v); case _ => true }
+      case StartsWith(a: Attribute, Literal(p, _)) =>
+        // strings with prefix p form [p, p·∞): overlap with [lo, hi]
+        // needs p ≤ hi (h starting with p implies p ≤ h byte-wise) and
+        // lo's first |p| bytes ≤ p (else every prefixed string < lo)
+        asBytes(p) match {
           case None => true
-          case Some((lo, hi)) => vs.exists {
-            case Literal(v, _) => asLong(v).forall(x => lo <= x && x <= hi)
-            case _             => true
+          case Some(pb) => ss.get(a.name) match {
+            case None => true
+            case Some((lo, hi)) =>
+              val lob = lo.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              hi.forall(h => cmpB(pb,
+                h.getBytes(java.nio.charset.StandardCharsets.UTF_8)) <= 0) &&
+                cmpB(lob.take(pb.length), pb) <= 0
           }
         }
       case _ => true
     }
   }
-
-  private def keepIf(r: Option[(Long, Long)], v: Option[Long])(
-      p: ((Long, Long), Long) => Boolean): Boolean =
-    (r, v) match {
-      case (Some(range), Some(x)) => p(range, x)
-      case _                      => true // no stats / non-integral literal
-    }
 }

@@ -1207,6 +1207,12 @@ private[graft] object OracleShard10 {
         |SELECT * FROM v2 UNION ALL SELECT * FROM cdf
         |ORDER BY snap, o_orderpriority""".stripMargin,
 
+    "q645_txlog_string_skipping" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q636_media_decode" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |       CAST(CASE WHEN doc_id % 2 = 0 THEN 54

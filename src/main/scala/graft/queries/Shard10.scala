@@ -1956,5 +1956,28 @@ private[graft] object Shard10 {
         .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
         .orderBy("o_orderpriority")
     }),
+
+    // STRING zone maps on the lakehouse read path: the corpus commits
+    // range-clustered by (lang, doc_id) carrying string stats, then a
+    // PLAIN snapshot().filter(lang = 'en') — the LLM pipeline's hottest
+    // predicate shape — prunes non-matching files at plan time (round 8
+    // zone-mapped only integral columns, so a lang-partitioned 100 TB
+    // corpus pruned nothing on its most selective filter). TxLogScaleSpec
+    // asserts the planned file set; this query oracles the answer, so a
+    // truncation bound or UTF-8-order bug that skips a matching file
+    // breaks the hash
+    "q645_txlog_string_skipping" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val root = io.Zones.tempDir(s"graft_strskip_${new java.io.File(dir).getName}")
+      io.TxLog.commit(s, root,
+        d.repartitionByRange(8, col("lang"), col("doc_id")),
+        io.TxLog.Append, statsCols = Seq("lang", "source", "doc_id"))
+      io.TxLog.snapshot(s, root)
+        .filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("source")
+    }),
   )
 }

@@ -61,6 +61,40 @@ class MayMatchSpec extends AnyFunSuite {
     check(In(d, Seq(lit(100))), true)
   }
 
+  test("string zone maps prune equality/range/IN/prefix in UTF-8 byte order") {
+    import org.apache.spark.sql.types.StringType
+    val s = AttributeReference("lang", StringType)()
+    val ss: TxLog.StrColStats = Map("lang" -> ("de", Some("fr")))
+    def slit(v: String) = Literal(v)
+    def checkS(e: Expression, expected: Boolean): Unit =
+      assert(TxLogFileIndex.mayMatch(e, Map.empty, ss) === expected, e.toString)
+    checkS(EqualTo(s, slit("en")), true)
+    checkS(EqualTo(s, slit("de")), true)   // lo boundary
+    checkS(EqualTo(s, slit("fr")), true)   // hi boundary
+    checkS(EqualTo(s, slit("da")), false)  // < lo
+    checkS(EqualTo(s, slit("zh")), false)  // > hi
+    checkS(EqualTo(slit("en"), s), true)   // reversed operands
+    checkS(EqualTo(slit("zh"), s), false)
+    checkS(GreaterThanOrEqual(s, slit("fr")), true)
+    checkS(GreaterThanOrEqual(s, slit("fs")), false)
+    checkS(GreaterThan(s, slit("fr")), false)
+    checkS(LessThanOrEqual(s, slit("de")), true)
+    checkS(LessThan(s, slit("de")), false)
+    checkS(In(s, Seq(slit("aa"), slit("en"))), true)
+    checkS(In(s, Seq(slit("aa"), slit("zz"))), false)
+    checkS(StartsWith(s, slit("e")), true)
+    checkS(StartsWith(s, slit("fr")), true)
+    checkS(StartsWith(s, slit("fs")), false) // every "fs…" > hi
+    checkS(StartsWith(s, slit("d")), true)
+    checkS(StartsWith(s, slit("c")), false)  // every "c…" < lo
+    // a truncated max (hi = None) prunes on the lower bound ONLY
+    val trunc: TxLog.StrColStats = Map("lang" -> ("de", None))
+    assert(TxLogFileIndex.mayMatch(EqualTo(s, slit("zz")), Map.empty, trunc))
+    assert(!TxLogFileIndex.mayMatch(EqualTo(s, slit("da")), Map.empty, trunc))
+    assert(!TxLogFileIndex.mayMatch(LessThan(s, slit("de")), Map.empty, trunc))
+    assert(TxLogFileIndex.mayMatch(GreaterThan(s, slit("zz")), Map.empty, trunc))
+  }
+
   test("anything unprovable keeps the file (conservative by construction)") {
     // stats-free column
     check(EqualTo(other, lit(5)), true)

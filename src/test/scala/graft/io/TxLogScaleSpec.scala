@@ -402,6 +402,59 @@ class TxLogScaleSpec extends AnyFunSuite {
       "cast(long) range filter lost zone-map pruning")
   }
 
+  test("string zone maps prune a lang-clustered corpus on its hottest predicates") {
+    import spark.implicits._
+    val root = freshTable()
+    val langs = Seq("de", "en", "fr", "ja")
+    langs.foreach { l =>
+      TxLog.commit(spark, root,
+        (0 until 50).map(i => (l, s"$l-doc-$i")).toDF("lang", "text").coalesce(1),
+        TxLog.Append, statsCols = Seq("lang"))
+    }
+    // equality — the `lang = 'en'` shape a 100 TB corpus filters hardest on
+    val q = TxLog.snapshot(spark, root).filter(col("lang") === "en")
+    assert(q.count() === 50L)
+    assert(TxLogFileIndex.of(q).lastListed.size === 1,
+      "lang = 'en' must open only the en file")
+    // IN-list and prefix predicates prune too
+    val q2 = TxLog.snapshot(spark, root).filter(col("lang").isin("de", "fr"))
+    assert(q2.count() === 100L)
+    assert(TxLogFileIndex.of(q2).lastListed.size === 2)
+    val q3 = TxLog.snapshot(spark, root).filter(col("lang").startsWith("j"))
+    assert(q3.count() === 50L)
+    assert(TxLogFileIndex.of(q3).lastListed.size === 1)
+    // a >64-char value truncates: max degrades to unbounded-above, min
+    // stays a valid (prefix) lower bound — and still prunes an 'en' probe
+    TxLog.commit(spark, root,
+      Seq(("zz" + "x" * 100, "long")).toDF("lang", "text").coalesce(1),
+      TxLog.Append, statsCols = Seq("lang"))
+    val v = TxLog.headVersion(root)
+    val longStats = TxLog.liveStrStats(root, v).values.flatMap(_.get("lang")).toSeq
+    assert(longStats.exists { case (lo, hi) =>
+      lo.length == TxLog.StrStatMaxLen && hi.isEmpty })
+    val q4 = TxLog.snapshot(spark, root).filter(col("lang") === "en")
+    assert(q4.count() === 50L)
+    assert(TxLogFileIndex.of(q4).lastListed.size === 1,
+      "the truncated file's lower bound must still exclude an 'en' probe")
+  }
+
+  test("string stats with hostile characters round-trip the manifest") {
+    import spark.implicits._
+    val root = freshTable()
+    // quotes, backslashes, braces, brackets, control chars — anything
+    // that could terminate the manifest's stats object early
+    val nasty = Seq("a\"b\\c{d}e[f]\n\ttail", "zz-plain")
+    TxLog.commit(spark, root, nasty.map(x => (x, 1)).toDF("s", "n").coalesce(1),
+      TxLog.Append, statsCols = Seq("s"))
+    val st = TxLog.liveStrStats(root, 1L).values.head("s")
+    assert(st._1 === nasty.min && st._2 === Some(nasty.max))
+    assert(TxLog.snapshot(spark, root).count() === 2L)
+    // and the escaped entry never breaks a later-appended plain one
+    TxLog.commit(spark, root, Seq(("mm", 2)).toDF("s", "n").coalesce(1),
+      TxLog.Append, statsCols = Seq("s"))
+    assert(TxLog.liveStrStats(root, 2L).size === 2)
+  }
+
   test("vacuum clamps the retention horizon to the head: current files always survive") {
     val root = freshTable()
     TxLog.append(spark, root, batch(0, 5))      // v1
