@@ -63,7 +63,11 @@ object TxLog {
     */
   final class CommitConflict(msg: String) extends RuntimeException(msg)
 
-  final case class Manifest(version: Long, action: String, files: Seq[String])
+  final case class Manifest(
+      version: Long,
+      action: String,
+      files: Seq[String],
+      cdf: Option[String] = None)
 
   /** Per-file, per-column zone map carried by a manifest entry: min/max
     * of each stats column for data skipping (the Delta/Iceberg per-file
@@ -247,6 +251,11 @@ object TxLog {
     }
   private val actionField: Regex = """"action":"(append|overwrite|checkpoint)"""".r
   private val txnField: Regex = """"txnId":"([^"]*)"""".r
+  // an overwrite manifest's row-level delta: "" = content-preserving
+  // rewrite (optimize/compact — the delta is EMPTY by construction), a
+  // dir name = change rows persisted under _change_data/<dir> (merge);
+  // absent = delta unknown (plain overwrite, restore, legacy manifests)
+  private val cdfField: Regex = """"cdf":"([^"]*)"""".r
   // checkpoint-carried txnId→version map (exactly-once bookkeeping must
   // survive checkpoint-bounded replay — and rewrites, so it never resets)
   private val txnsField: Regex = """"txns":\{([^}]*)\}""".r
@@ -324,7 +333,8 @@ object TxLog {
     val action = actionField.findFirstMatchIn(txt)
       .map(_.group(1))
       .getOrElse(throw new java.io.IOException(s"txlog: bad manifest v$v"))
-    Manifest(v, action, parseEntries(txt).map(_.path))
+    Manifest(v, action, parseEntries(txt).map(_.path),
+      cdfField.findFirstMatchIn(txt).map(_.group(1)))
   }
 
   /** Committed checkpoint versions, ascending. */
@@ -459,7 +469,8 @@ object TxLog {
       statsCols: Seq[String] = Nil,
       carry: Seq[Entry] = Nil,
       carrySchema: Option[org.apache.spark.sql.types.StructType] = None,
-      expectHead: Option[Long] = None): Long = {
+      expectHead: Option[Long] = None,
+      cdf: Option[String] = None): Long = {
     // an APPEND manifest's files ARE the commit's row-level delta — the
     // change-data-feed depends on that — so re-referencing pre-existing
     // files is an overwrite-only affordance
@@ -473,7 +484,7 @@ object TxLog {
     Files.createFile(marker)
     try {
       commitInner(spark, root, df, action, txnId, statsCols, carry,
-        carrySchema, expectHead, txn, dataDir)
+        carrySchema, expectHead, cdf, txn, dataDir)
     } finally {
       // marker gone ⇒ either the manifest published (files referenced)
       // or the attempt aborted (files are ordinary vacuumable residue)
@@ -494,6 +505,7 @@ object TxLog {
       carry: Seq[Entry],
       carrySchema: Option[org.apache.spark.sql.types.StructType],
       expectHead: Option[Long],
+      cdf: Option[String],
       txn: String,
       dataDir: String): Long = {
     // step 1: data files land first, unreferenced by any manifest
@@ -568,7 +580,7 @@ object TxLog {
       else mergeSchemas(carrySchema.map(s => deepNullable(s)
         .asInstanceOf[org.apache.spark.sql.types.StructType]), own)
     }
-    publish(root, entries, action, txnId, recorded, expectHead, txn)
+    publish(root, entries, action, txnId, recorded, expectHead, txn, cdf)
   }
 
   /** Steps 2+3 of the protocol: write the full manifest to a temp file,
@@ -582,7 +594,8 @@ object TxLog {
       txnId: Option[String],
       recorded: Option[org.apache.spark.sql.types.StructType],
       expectHead: Option[Long],
-      txn: String): Long = {
+      txn: String,
+      cdf: Option[String] = None): Long = {
     var attempt = 0
     while (true) {
       val next = headVersion(root) + 1
@@ -596,10 +609,11 @@ object TxLog {
             s"txlog: based on v$h but head is v${next - 1}")
       }
       val txnPart = txnId.map(t => s""","txnId":"$t"""").getOrElse("")
+      val cdfPart = cdf.map(d => s""","cdf":"$d"""").getOrElse("")
       val schemaPart = recorded
         .map(s => s""","schemaB64":"${schemaToB64(s)}"""").getOrElse("")
       val body = entries.mkString(
-        s"""{"version":$next,"fmt":$FormatVersion,"action":"${action.name}"$txnPart$schemaPart,"files":[""", ",", "]}")
+        s"""{"version":$next,"fmt":$FormatVersion,"action":"${action.name}"$txnPart$cdfPart$schemaPart,"files":[""", ",", "]}")
       val tmp = logDir(root).resolve(s".tmp-$txn-$attempt")
       val ch = java.nio.channels.FileChannel.open(tmp,
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
@@ -765,6 +779,8 @@ object TxLog {
         return if (touched.isEmpty)
           // no live file can hold a matched key: the merge is a pure
           // insert — ONE append commit, no rewrite, smallest manifest
+          // (an append's files ARE its row-level delta, so no change
+          // files are needed for the CDF to read through it)
           commit(spark, root, updates, Append,
             statsCols = Seq(keyCol), expectHead = Some(base))
         else {
@@ -776,13 +792,35 @@ object TxLog {
           // table backfill null for columns they don't carry (a MERGE
           // row defines the whole row), and updates CARRYING a new
           // column evolve the table through the merge
-          val rewritten = spark.read.option("mergeSchema", "true")
+          val old = spark.read.option("mergeSchema", "true")
             .parquet(touched.map(p => s"$root/$p"): _*)
-            .join(updates.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+          val updKeys = updates.select(keyCol).distinct()
+          val rewritten = old
+            .join(updKeys, Seq(keyCol), "left_anti")
             .unionByName(updates, allowMissingColumns = true)
+          // the merge KNOWS its row-level delta right here — persist it
+          // under _change_data/ so changes() and the streaming source
+          // survive the rewrite (Delta's CDF): pre/post images for
+          // matched keys, inserts for the rest. Cost: one more pass over
+          // the TOUCHED files only — proportional to the batch, and the
+          // one moment the delta is computable at all
+          val matched = old.join(updKeys, Seq(keyCol), "left_semi")
+            .select(keyCol).distinct()
+          val pre = old.join(matched, Seq(keyCol), "left_semi")
+            .withColumn("_change_type", lit("update_preimage"))
+          val post = updates.join(matched, Seq(keyCol), "left_semi")
+            .withColumn("_change_type", lit("update_postimage"))
+          val ins = updates.join(matched, Seq(keyCol), "left_anti")
+            .withColumn("_change_type", lit("insert"))
+          val cdfDir = s"txn-${java.util.UUID.randomUUID().toString.take(12)}"
+          pre.unionByName(post, allowMissingColumns = true)
+            .unionByName(ins, allowMissingColumns = true)
+            .write.mode(SaveMode.ErrorIfExists)
+            .parquet(s"$root/_change_data/$cdfDir")
           commit(spark, root, rewritten, Overwrite,
             statsCols = Seq(keyCol), carry = untouched,
-            carrySchema = r.schema, expectHead = Some(base))
+            carrySchema = r.schema, expectHead = Some(base),
+            cdf = Some(cdfDir))
         }
       } catch {
         case _: CommitConflict =>
@@ -828,14 +866,63 @@ object TxLog {
         case None => cur.repartition(targetFiles)
       }
       try {
+        // cdf = "": an optimize's row-level delta is EMPTY by
+        // construction, so the change feed and the streaming source pass
+        // through it instead of dying on "rewrite in range"
         return commit(spark, root, laid, Overwrite,
-          statsCols = sortCol.toSeq, expectHead = Some(base))
+          statsCols = sortCol.toSeq, expectHead = Some(base),
+          cdf = Some(""))
       } catch {
         case _: CommitConflict =>
           attempts += 1
           if (attempts > 50)
             throw new java.io.IOException(
               s"txlog: optimize lost $attempts conflicts in a row; giving up")
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** File-selective compaction: rewrite ONLY the live files smaller than
+    * `smallBytes`, carrying every full-size file (and its zone maps) by
+    * reference — [[merge]]'s carry mechanism pointed at the small-file
+    * backlog. [[optimize]] stays the full re-layout (global re-sort /
+    * re-cluster); this is the routine maintenance op, because at 100 TB
+    * an all-table rewrite is an O(table) write nobody schedules, while
+    * compaction cost must be proportional to the backlog the appends
+    * actually created. Entries without a manifest-carried size are
+    * conservatively treated as small (legacy chains). Content-preserving,
+    * so the commit carries an empty change-data marker and the CDF reads
+    * straight through it. Serializable read-modify-write like merge and
+    * optimize. Returns the committed version — or the current head,
+    * untouched, when fewer than two files qualify.
+    */
+  def compact(
+      spark: SparkSession,
+      root: String,
+      smallBytes: Long = 64L * 1024 * 1024,
+      statsCols: Seq[String] = Nil): Long = {
+    var attempts = 0
+    while (true) {
+      val base = headVersion(root)
+      val r = replay(root, base)
+      val (small, big) = r.entries.partition(_.bytes.forall(_ < smallBytes))
+      if (small.size <= 1) return base
+      val totalSmall = math.max(small.flatMap(_.bytes).sum, 1L)
+      val nOut = math.max(1L, (totalSmall + smallBytes - 1) / smallBytes).toInt
+      val rewritten = spark.read.option("mergeSchema", "true")
+        .parquet(small.map(e => s"$root/${e.path}"): _*)
+        .repartition(nOut)
+      try {
+        return commit(spark, root, rewritten, Overwrite,
+          statsCols = statsCols, carry = big, carrySchema = r.schema,
+          expectHead = Some(base), cdf = Some(""))
+      } catch {
+        case _: CommitConflict =>
+          attempts += 1
+          if (attempts > 50)
+            throw new java.io.IOException(
+              s"txlog: compact lost $attempts conflicts in a row; giving up")
       }
     }
     -1L // unreachable
@@ -899,59 +986,106 @@ object TxLog {
     }.map(p => s"$root/$p")
   }
 
-  /** Change-data-feed read: the rows APPENDED between `from` (exclusive)
-    * and `to` (inclusive), each tagged with the `_commit_version` that
-    * landed it — the incremental-consumer subscription surface
-    * (`snapshot(to) ≡ snapshot(from) ∪ changes(from, to)` for an
-    * append-only range; TxLogSpec proves it). Reading THROUGH an
-    * overwrite (merge/optimize/compaction) is refused: the row-level
-    * delta of a rewrite is not recoverable from file lists, and
-    * silently returning the rewritten files would double-count — the
-    * caller must fall back to a snapshot diff (the q109 content-hash CDC
-    * pattern) across that boundary, exactly Delta's CDF stance without
-    * its persisted change files. Cost: the manifests in (from, to] plus
-    * ONLY the appended data files — independent of table size, which is
-    * what makes a 100 TB table subscribable.
+  /** Change-data-feed read: the row-level delta between `from`
+    * (exclusive) and `to` (inclusive), each row tagged with the
+    * `_commit_version` that landed it — the incremental-consumer
+    * subscription surface (`snapshot(to) ≡ snapshot(from) ∪
+    * changes(from, to)` for an append-only range; TxLogSpec proves it,
+    * and TxLogCdfSpec proves the typed equivalent ACROSS a merge).
+    *
+    * Rewrite commits in range, by kind:
+    *   - empty-delta rewrites (optimize/compact mark `"cdf":""`):
+    *     contribute nothing and the read passes through — a compaction
+    *     must never kill a subscriber;
+    *   - merges persist their delta under `_change_data/` at commit time
+    *     (the one moment it is computable); with `withChangeType = true`
+    *     those rows flow tagged `update_preimage` / `update_postimage` /
+    *     `insert` (appends tag `insert`), Delta's CDF row types;
+    *   - rewrites with NO recorded delta (plain overwrite, restore,
+    *     legacy manifests) refuse unless `skipRewrites` (Delta's
+    *     skipChangeCommits: the subscriber knowingly misses them), since
+    *     silently returning rewritten files would double-count.
+    * A merge in range without `withChangeType` also refuses — its delta
+    * includes updates a plain "appended rows" reader would misapply.
+    *
+    * Cost: the manifests in (from, to] plus ONLY the appended/change
+    * files — independent of table size, which is what makes a 100 TB
+    * table subscribable.
     */
   def changes(
       spark: SparkSession,
       root: String,
       from: Long,
       to: Long,
-      skipRewrites: Boolean = false): DataFrame = {
+      skipRewrites: Boolean = false,
+      withChangeType: Boolean = false): DataFrame = {
     require(from <= to, s"txlog: changes range v$from..v$to is inverted")
     val head = headVersion(root)
     require(to <= head, s"txlog: changes upper bound v$to exceeds head v$head")
-    val perVersion = ((from + 1) to to).flatMap { v =>
-      val m = readManifest(root, v)
-      if (m.action != Append.name) {
-        // `skipRewrites` is Delta's skipChangeCommits: the subscriber
-        // sees appends only and knowingly misses the rewrite's effects
-        if (skipRewrites) None
-        else throw new IllegalArgumentException(
-          s"txlog: changes(v$from, v$to) crosses a ${m.action} at v$v — " +
+    import scala.jdk.CollectionConverters._
+    val perVersion: Seq[(Long, Seq[String])] = ((from + 1) to to).flatMap { v =>
+      val txt = readLogFile(root, f"v$v%08d.json")
+      val action = actionField.findFirstMatchIn(txt).map(_.group(1))
+        .getOrElse(throw new java.io.IOException(s"txlog: bad manifest v$v"))
+      if (action == Append.name) Some(v -> parseEntries(txt).map(_.path))
+      else (cdfField.findFirstMatchIn(txt).map(_.group(1)), skipRewrites) match {
+        case (Some(""), _) => None // content-preserving rewrite: empty delta
+        case (_, true)     => None // subscriber opted out of rewrite effects
+        case (Some(dir), _) if withChangeType =>
+          val cd = Paths.get(root, "_change_data", dir)
+          val fs = {
+            val it = Files.list(cd)
+            try it.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .map(p => s"_change_data/$dir/${p.getFileName}").toSeq
+            finally it.close()
+          }
+          Some(v -> fs)
+        case (Some(_), _) => throw new IllegalArgumentException(
+          s"txlog: changes(v$from, v$to) crosses a $action at v$v that " +
+            "persisted change data — read it with withChangeType = true " +
+            "(or skipRewrites = true to ignore it)")
+        case (None, _) => throw new IllegalArgumentException(
+          s"txlog: changes(v$from, v$to) crosses a $action at v$v — " +
             "row-level deltas don't exist across a rewrite; diff snapshots instead")
-      } else Some(v -> m.files)
+      }
     }
     val nonEmpty = perVersion.filter(_._2.nonEmpty)
-    if (nonEmpty.isEmpty) // empty range: the table's schema + the version tag, zero rows
-      snapshot(spark, root, Some(to)).filter(lit(false))
-        .withColumn("_commit_version", lit(from))
+    val tagged =
+      if (nonEmpty.isEmpty) // empty range: the table's schema + tags, zero rows
+        snapshot(spark, root, Some(to)).filter(lit(false))
+          .withColumn("_commit_version", lit(from))
+      else {
+        // ONE scan over all appended/change files, the version derived
+        // map-side from each file's txn-dir component (every commit and
+        // every change set writes under its own uuid dir) — a per-version
+        // read unioned N times would bloat the plan linearly with the
+        // catch-up range
+        import org.apache.spark.sql.functions.{element_at, regexp_extract}
+        val all = nonEmpty.flatMap(_._2).map(f => s"$root/$f")
+        val dirToV = nonEmpty.flatMap { case (v, fs) =>
+          fs.map(f => f.split("/")(1) -> v)
+        }.distinct
+        val mapCol = org.apache.spark.sql.functions.map(
+          dirToV.flatMap { case (d, v) => Seq(lit(d), lit(v)) }: _*)
+        spark.read.option("mergeSchema", "true").parquet(all: _*)
+          .withColumn("_commit_version",
+            element_at(mapCol, regexp_extract(input_file_name(), "/(txn-[^/]+)/", 1)))
+      }
+    if (!withChangeType) tagged
     else {
-      // ONE scan over all appended files, the version derived map-side
-      // from each file's txn-dir component (every commit writes under
-      // its own uuid dir) — a per-version read unioned N times would
-      // bloat the plan linearly with the catch-up range
-      import org.apache.spark.sql.functions.{element_at, regexp_extract}
-      val all = nonEmpty.flatMap(_._2).map(f => s"$root/$f")
-      val dirToV = nonEmpty.flatMap { case (v, fs) =>
-        fs.map(f => f.split("/")(1) -> v)
-      }.distinct
-      val mapCol = org.apache.spark.sql.functions.map(
-        dirToV.flatMap { case (d, v) => Seq(lit(d), lit(v)) }: _*)
-      spark.read.option("mergeSchema", "true").parquet(all: _*)
-        .withColumn("_commit_version",
-          element_at(mapCol, regexp_extract(input_file_name(), "/(txn-[^/]+)/", 1)))
+      // append files carry no _change_type column: they ARE inserts
+      val typed =
+        if (tagged.columns.contains("_change_type"))
+          tagged.withColumn("_change_type",
+            org.apache.spark.sql.functions.coalesce(
+              col("_change_type"), lit("insert")))
+        else tagged.withColumn("_change_type", lit("insert"))
+      // pin the tag columns last, data columns in table order first
+      val dataCols = typed.columns.toSeq
+        .filterNot(c => c == "_change_type" || c == "_commit_version")
+      typed.select((dataCols.map(col) :+ col("_change_type") :+
+        col("_commit_version")): _*)
     }
   }
 
@@ -1029,11 +1163,15 @@ object TxLog {
     // version, folding each intermediate live set into the union
     var cur: Set[String] = replay(root, horizon).files.map(f => s"$root/$f").toSet
     var keep: Set[String] = cur
+    // change-data dirs any retained changes() read can still reference
+    var keepCdf: Set[String] =
+      if (horizon >= 1) readManifest(root, horizon).cdf.toSet - "" else Set.empty
     def roll(fromV: Long, toV: Long): Unit = (fromV to toV).foreach { v =>
       val m = readManifest(root, v)
       val fs = m.files.map(f => s"$root/$f").toSet
       cur = if (m.action == Overwrite.name) fs else cur ++ fs
       keep ++= cur
+      keepCdf ++= m.cdf.toSet - ""
     }
     var upper = vs.last
     roll(horizon + 1, upper)
@@ -1074,6 +1212,31 @@ object TxLog {
         try it.iterator().asScala.toList finally it.close()
       }
       if (remaining.isEmpty) Files.delete(d)
+      }
+    }
+    // GC change-data dirs no retained changes() read can reference. A
+    // dir younger than the grace may belong to a merge whose commit
+    // window is still open (change data lands BEFORE the commit's
+    // in-flight marker exists), so unreferenced change dirs are
+    // age-gated exactly like crashed-committer residue
+    val cdRoot = Paths.get(root, "_change_data")
+    if (Files.isDirectory(cdRoot)) {
+      val cds = {
+        val it = Files.list(cdRoot)
+        try it.iterator().asScala.toList finally it.close()
+      }
+      cds.foreach { d =>
+        val fresh = try
+          now - Files.getLastModifiedTime(d).toMillis < inflightGraceMs
+        catch { case _: Throwable => true }
+        if (!keepCdf.contains(d.getFileName.toString) && !fresh) {
+          val fs = {
+            val it = Files.list(d)
+            try it.iterator().asScala.toList finally it.close()
+          }
+          fs.foreach(f => try Files.delete(f) catch { case _: Throwable => () })
+          try Files.delete(d) catch { case _: Throwable => () }
+        }
       }
     }
     deleted

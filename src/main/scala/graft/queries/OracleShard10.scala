@@ -1213,6 +1213,31 @@ private[graft] object OracleShard10 {
         |FROM documents WHERE lang = 'en'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q646_txlog_compact" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |           FROM orders
+        |           WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 2)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(v) AS BIGINT) AS cents
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q647_txlog_cdf_merge" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |                  month(o_orderdate) AS mm
+        |           FROM orders
+        |           WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 3)
+        |SELECT * FROM (
+        |  SELECT 'update_preimage' AS change_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(v) AS BIGINT) AS cents FROM o WHERE mm = 2
+        |  UNION ALL
+        |  SELECT 'update_postimage', CAST(count(*) AS BIGINT),
+        |         CAST(sum(v * 2) AS BIGINT) FROM o WHERE mm = 2
+        |  UNION ALL
+        |  SELECT 'insert', CAST(count(*) AS BIGINT),
+        |         CAST(sum(v) AS BIGINT) FROM o WHERE mm = 3
+        |) ORDER BY change_type""".stripMargin,
+
     "q636_media_decode" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |       CAST(CASE WHEN doc_id % 2 = 0 THEN 54

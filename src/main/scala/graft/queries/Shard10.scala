@@ -1979,5 +1979,63 @@ private[graft] object Shard10 {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
         .orderBy("source")
     }),
+
+    // file-selective COMPACT: one full-month file plus a weekly
+    // small-file backlog, then a compaction whose threshold spares the
+    // big file — it is carried by reference while only the backlog
+    // rewrites (at 100 TB an all-table OPTIMIZE is an O(table) write;
+    // routine maintenance must cost O(backlog)). TxLogCdfSpec asserts
+    // the manifest diff (exactly the small files replaced); this query
+    // oracles the content across the compaction
+    "q646_txlog_compact" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(expr("year(o_orderdate) = 1995 AND month(o_orderdate) <= 2"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          centsOf(col("o_totalprice")).as("v"),
+          month(col("o_orderdate")).as("mm"),
+          dayofmonth(col("o_orderdate")).as("dd"))
+      val root = io.Zones.tempDir(s"graft_cmp_${new java.io.File(dir).getName}")
+      io.TxLog.append(s, root,
+        o.filter(col("mm") === 1).drop("mm", "dd").coalesce(1)) // v1: one big file
+      (1 to 4).foreach(w => io.TxLog.append(s, root, o.filter(
+        col("mm") === 2 && col("dd").between(w * 7 - 6, if (w == 4) 31 else w * 7))
+        .drop("mm", "dd").coalesce(1))) // v2..v5: weekly small files
+      val r = io.TxLog.replay(root, 1L)
+      io.TxLog.compact(s, root, smallBytes = r.entries.map(_.bytes.get).min)
+      io.TxLog.snapshot(s, root)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // change-data-feed THROUGH a merge: the merge persists its row-level
+    // delta (pre/post images + inserts) at commit time — the one moment
+    // it is computable — and changes(withChangeType) reads it back, so
+    // incremental consumers survive rewrites instead of falling back to
+    // snapshot diffs. The oracle recomputes all three row types from
+    // orders, so a delta that misses a matched key, mislabels an insert,
+    // or loses a preimage breaks the hash; TxLogCdfSpec proves
+    // snapshot(from) + delta ≡ snapshot(to)
+    "q647_txlog_cdf_merge" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(expr("year(o_orderdate) = 1995 AND month(o_orderdate) <= 3"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          centsOf(col("o_totalprice")).as("v"),
+          month(col("o_orderdate")).as("mm"))
+      val root = io.Zones.tempDir(s"graft_cdfm_${new java.io.File(dir).getName}")
+      io.TxLog.commit(s, root,
+        o.filter(col("mm") <= 2).drop("mm")
+          .repartitionByRange(4, col("o_orderkey")),
+        io.TxLog.Append, statsCols = Seq("o_orderkey")) // v1
+      val updates = o.filter(col("mm") === 2)
+        .select(col("o_orderkey"), col("o_orderpriority"), (col("v") * 2).as("v"))
+        .unionByName(o.filter(col("mm") === 3)
+          .select("o_orderkey", "o_orderpriority", "v"))
+      val v2 = io.TxLog.merge(s, root, updates, "o_orderkey")
+      io.TxLog.changes(s, root, 1L, v2, withChangeType = true)
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
+        .orderBy("change_type")
+    }),
   )
 }

@@ -23,10 +23,20 @@ import graft.io.TxLog
   * live in the stream's checkpoint, and re-planning any committed range
   * re-reads the same immutable files, so recovery is deterministic.
   *
-  * Rewrite commits (merge/optimize/compaction) have no row-level delta;
-  * by default the stream FAILS on one (the reader must choose a policy,
-  * Delta's stance) — `.option("skipRewrites", "true")` subscribes to
-  * appends only and knowingly skips them.
+  * Rewrite handling: empty-delta rewrites (optimize/compact) pass
+  * through — a compaction never kills a subscriber. A MERGE persists its
+  * row-level delta; `.option("changeTypes", "true")` consumes it (rows
+  * gain a `_change_type` tag: insert / update_preimage /
+  * update_postimage, appends tagging insert — Delta's CDF stream). By
+  * default the stream still FAILS on a delta-bearing rewrite (the reader
+  * must choose a policy, Delta's stance), and
+  * `.option("skipRewrites", "true")` subscribes to appends only,
+  * knowingly missing rewrite effects.
+  *
+  * `.option("maxVersionsPerBatch", n)` bounds catch-up: after downtime
+  * the backlog is chunked into microbatches of ≤ n versions instead of
+  * planning one giant batch over thousands of commits (Delta's
+  * maxFilesPerTrigger shape, in versions because versions ARE offsets).
   *
   * Usage:
   * {{{
@@ -57,6 +67,8 @@ class TxLogSourceProvider extends StreamSourceProvider {
         throw new IllegalArgumentException("graft-txlog source needs .option(\"root\", ...)")),
       parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
       parameters.get("skipRewrites").exists(_.toBoolean),
+      parameters.get("changeTypes").exists(_.toBoolean),
+      parameters.get("maxVersionsPerBatch").map(_.toLong),
       TxLogSource.streamSchema(parameters))
 }
 
@@ -74,7 +86,12 @@ object TxLogSource {
     val base = TxLog.replay(root, head).schema.getOrElse(
       throw new IllegalStateException(
         s"graft-txlog source: $root predates schema-recording manifests"))
-    base.add("_commit_version", LongType, nullable = false)
+    val withType =
+      if (parameters.get("changeTypes").exists(_.toBoolean))
+        base.add("_change_type", org.apache.spark.sql.types.StringType,
+          nullable = false)
+      else base
+    withType.add("_commit_version", LongType, nullable = false)
   }
 
   /** Pin a batch to the stream's declared column order, backfilling
@@ -114,19 +131,35 @@ class TxLogSource(
     root: String,
     startingVersion: Long,
     skipRewrites: Boolean,
+    changeTypes: Boolean,
+    maxVersionsPerBatch: Option[Long],
     override val schema: StructType) extends Source {
 
   private val spark = sqlContext.sparkSession
 
+  // highest version already claimed by an offer or a (recovered) batch —
+  // the rate-control floor; monotone, never beyond the head
+  @volatile private var claimed: Long = startingVersion
+
   override def getOffset: Option[V1Offset] = {
     val head = TxLog.headVersion(root)
-    if (head <= startingVersion) None else Some(LongOffset(head))
+    val floor = math.max(claimed, startingVersion)
+    // bound the catch-up: offer at most maxVersionsPerBatch versions per
+    // microbatch so a post-downtime backlog chunks instead of planning
+    // one scan over thousands of commits
+    val next = maxVersionsPerBatch
+      .map(m => math.min(head, floor + math.max(1L, m)))
+      .getOrElse(head)
+    if (next <= floor) None
+    else { claimed = next; Some(LongOffset(next)) }
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(asVersion).getOrElse(startingVersion)
     val to = asVersion(end)
-    val batch = TxLog.changes(spark, root, from, to, skipRewrites)
+    if (to > claimed) claimed = to // recovery replay: resume rate control past it
+    val batch = TxLog.changes(spark, root, from, to, skipRewrites,
+      withChangeType = changeTypes)
     TxLogSource.asStreamingFrame(TxLogSource.conform(batch, schema))
   }
 

@@ -1,0 +1,146 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Round-9 lakehouse maintenance contracts: file-selective compaction
+  * (rewrite the small-file backlog ONLY, never the table) and the
+  * persisted change-data feed that lets incremental consumers read
+  * THROUGH rewrites instead of dying on them.
+  */
+class TxLogCdfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshTable(): String = Zones.tempDir("txlog9")
+
+  private def batch(lo: Int, hi: Int) = {
+    import spark.implicits._
+    (lo until hi).map(i => (i.toLong, s"row-$i")).toDF("id", "payload")
+  }
+
+  test("compact rewrites ONLY the small files, carrying full-size files by reference") {
+    val root = freshTable()
+    // 2 "large" files in one commit + 8 small single-file append commits
+    TxLog.commit(spark, root, batch(0, 2000).repartition(2),
+      TxLog.Append, statsCols = Seq("id"))
+    (0 until 8).foreach(k => TxLog.append(spark, root,
+      batch(2000 + k * 10, 2000 + k * 10 + 10).coalesce(1)))
+    val before = TxLog.replay(root, TxLog.headVersion(root))
+    assert(before.files.size === 10)
+    val largePaths = TxLog.replay(root, 1L).files.toSet
+    val threshold = before.entries
+      .filter(e => largePaths(e.path)).map(_.bytes.get).min
+    val sumBefore = TxLog.snapshot(spark, root).agg(sum("id")).head.getLong(0)
+
+    val v = TxLog.compact(spark, root, smallBytes = threshold,
+      statsCols = Seq("id"))
+    val after = TxLog.replay(root, v)
+    // the 2 full-size files are carried BY REFERENCE (same paths, zone
+    // maps intact); the 8-small backlog became a bounded rewrite
+    assert(after.files.toSet.intersect(before.files.toSet) === largePaths,
+      "full-size files must be carried by reference, small ones replaced")
+    assert(after.files.size < before.files.size)
+    largePaths.foreach(p => assert(after.stats.contains(p),
+      s"carried file lost its zone maps: $p"))
+    // content-preserving
+    assert(TxLog.snapshot(spark, root).count() === 2080L)
+    assert(TxLog.snapshot(spark, root).agg(sum("id")).head.getLong(0) === sumBefore)
+    // idempotent: one merged small file left below threshold → no-op
+    assert(TxLog.compact(spark, root, smallBytes = threshold) === v,
+      "a second compact with nothing to do must not commit")
+    // the change feed reads THROUGH a compact (empty delta by construction)
+    TxLog.append(spark, root, batch(9000, 9005))
+    val delta = TxLog.changes(spark, root, v - 1, TxLog.headVersion(root))
+    assert(delta.count() === 5L,
+      "a compact in range must contribute nothing, not refuse the read")
+  }
+
+  test("changes(withChangeType) survives a merge: the typed delta applies exactly") {
+    val root = freshTable()
+    TxLog.commit(spark, root, batch(0, 100).repartitionByRange(4, col("id")),
+      TxLog.Append, statsCols = Seq("id")) // v1
+    import spark.implicits._
+    val updates = Seq((10L, "U-10"), (55L, "U-55"), (200L, "NEW-200"))
+      .toDF("id", "payload")
+    val v2 = TxLog.merge(spark, root, updates, "id")
+    val delta = TxLog.changes(spark, root, 1L, v2, withChangeType = true)
+    val byType = delta.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType === Map(
+      "update_preimage" -> 2L, "update_postimage" -> 2L, "insert" -> 1L))
+    // preimages carry the OLD row images
+    assert(delta.filter(col("_change_type") === "update_preimage")
+      .orderBy("id").collect().map(_.getAs[String]("payload")).toSeq
+      === Seq("row-10", "row-55"))
+    assert(delta.select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(v2))
+    // THE contract: snapshot(v1) + typed delta ≡ snapshot(v2)
+    val updatedKeys = delta
+      .filter(col("_change_type") === "update_postimage").select("id")
+    val applied = TxLog.snapshot(spark, root, Some(1L))
+      .join(updatedKeys, Seq("id"), "left_anti")
+      .unionByName(delta
+        .filter(col("_change_type").isin("update_postimage", "insert"))
+        .select("id", "payload"))
+    val direct = TxLog.snapshot(spark, root, Some(v2)).select("id", "payload")
+    assert(applied.exceptAll(direct).count() === 0L)
+    assert(direct.exceptAll(applied).count() === 0L)
+    // a plain (untyped) read across the merge still refuses: update rows
+    // would be misapplied as appends by an additive consumer
+    val e = intercept[IllegalArgumentException] {
+      TxLog.changes(spark, root, 1L, v2).collect()
+    }
+    assert(e.getMessage.contains("withChangeType"), e.getMessage)
+  }
+
+  test("the change feed passes through empty-delta rewrites") {
+    val root = freshTable()
+    TxLog.append(spark, root, batch(0, 10))      // v1
+    TxLog.append(spark, root, batch(10, 20))     // v2
+    TxLog.optimize(spark, root, targetFiles = 1) // v3: cdf = ""
+    TxLog.append(spark, root, batch(20, 25))     // v4
+    val byV = TxLog.changes(spark, root, 1L, 4L)
+      .groupBy("_commit_version").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byV === Map(2L -> 10L, 4L -> 5L),
+      "an optimize in range contributes nothing and must not refuse")
+    val typed = TxLog.changes(spark, root, 1L, 4L, withChangeType = true)
+    assert(typed.count() === 15L)
+    assert(typed.filter(col("_change_type") =!= "insert").count() === 0L)
+    // a plain overwrite still has NO recoverable delta: refuse (not skip)
+    TxLog.overwrite(spark, root, batch(100, 103)) // v5
+    intercept[IllegalArgumentException] {
+      TxLog.changes(spark, root, 4L, 5L)
+    }
+    assert(TxLog.changes(spark, root, 4L, 5L, skipRewrites = true).count() === 0L)
+  }
+
+  test("vacuum keeps referenced change data, collects aged unreferenced residue") {
+    val root = freshTable()
+    TxLog.commit(spark, root, batch(0, 100).repartitionByRange(4, col("id")),
+      TxLog.Append, statsCols = Seq("id"))
+    import spark.implicits._
+    val v2 = TxLog.merge(spark, root,
+      Seq((10L, "U-10")).toDF("id", "payload"), "id")
+    val cdRoot = java.nio.file.Paths.get(root, "_change_data")
+    def changeDirs(): Seq[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      val it = java.nio.file.Files.list(cdRoot)
+      try it.iterator().asScala.toList finally it.close()
+    }
+    assert(changeDirs().size === 1)
+    // an abandoned change dir (merge retry loser) ages out; the
+    // referenced one survives any retention because v2 still reads it
+    val orphan = cdRoot.resolve("txn-deadbeef0000")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("part-0.parquet"), Array[Byte](1))
+    java.nio.file.Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(0L))
+    TxLog.vacuum(root)
+    assert(changeDirs().map(_.getFileName.toString) !== Seq("txn-deadbeef0000"))
+    assert(changeDirs().size === 1, "referenced change data must survive vacuum")
+    assert(TxLog.changes(spark, root, 1L, v2, withChangeType = true).count() === 2L)
+  }
+}

@@ -144,6 +144,73 @@ class TxLogSourceSpec extends AnyFunSuite {
     assert(out.filter(col("id2") =!= col("id") * 2).count() === 0L)
   }
 
+  test("changeTypes streams THROUGH a merge as a typed CDF; optimize passes silently") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_src_cdf").toString
+    TxLog.commit(spark, root, batch(0, 20).repartitionByRange(2, col("id")),
+      TxLog.Append, statsCols = Seq("id"))                         // v1
+    TxLog.merge(spark, root,
+      Seq((5L, "U-5"), (100L, "NEW-100")).toDF("id", "payload"), "id") // v2
+    TxLog.optimize(spark, root, targetFiles = 1, sortCol = Some("id")) // v3
+    TxLog.append(spark, root, batch(200, 202))                     // v4
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val q = spark.readStream
+      .format("graft.streaming.TxLogSourceProvider")
+      .option("root", root)
+      .option("changeTypes", "true")
+      .load()
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_src_cdf_ck").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => rows.add((r.getAs[Long]("id"),
+          r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version"))))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val got = rows.asScala.toSeq
+    // v1 appends (20 inserts) + v2 merge (pre+post for 5, insert for 100)
+    // + v3 optimize (NOTHING) + v4 appends (2 inserts)
+    assert(got.count(_._3 == 1L) === 20)
+    assert(got.filter(_._3 == 2L).map(t => (t._1, t._2)).sorted === Seq(
+      (5L, "update_postimage"), (5L, "update_preimage"), (100L, "insert")))
+    assert(got.count(_._3 == 3L) === 0, "an optimize must stream zero rows")
+    assert(got.count(_._3 == 4L) === 2)
+  }
+
+  test("maxVersionsPerBatch chunks a catch-up backlog into bounded microbatches") {
+    val root = Files.createTempDirectory("graft_src_rate").toString
+    (0 until 20).foreach(k => TxLog.append(spark, root, batch(k * 2, k * 2 + 2)))
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    // NOT AvailableNow: its wrapper pins the source's first offered
+    // offset as the final target, so a rate-limited source would stop
+    // after one chunk per run — the continuous trigger exercises the
+    // chunking end to end and processAllAvailable() drains the backlog
+    val q = spark.readStream
+      .format("graft.streaming.TxLogSourceProvider")
+      .option("root", root)
+      .option("maxVersionsPerBatch", "5")
+      .load()
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_src_rate_ck").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.add(df.count()); ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val sizes = batchSizes.asScala.toSeq
+    assert(sizes.sum === 40L, "every commit must be delivered exactly once")
+    assert(sizes.forall(_ <= 10L),
+      s"a microbatch must cover at most 5 versions (10 rows); got $sizes")
+    assert(sizes.length >= 4, s"a 20-commit backlog must chunk; got ${sizes.length} batches")
+  }
+
   test("a catch-up batch predating an additive evolution conforms to the stream schema") {
     import spark.implicits._
     val root = Files.createTempDirectory("txsrc_evo").toString
