@@ -117,7 +117,8 @@ object TxLog {
   final case class Replay(
       entries: Vector[Entry],
       schema: Option[org.apache.spark.sql.types.StructType],
-      txns: Map[String, Long]) {
+      txns: Map[String, Long],
+      partitionBy: Option[Seq[String]] = Some(Nil)) {
     def files: Vector[String] = entries.map(_.path)
     def stats: Map[String, ColStats] =
       entries.iterator.filter(_.stats.nonEmpty).map(e => e.path -> e.stats).toMap
@@ -256,6 +257,15 @@ object TxLog {
   // dir name = change rows persisted under _change_data/<dir> (merge);
   // absent = delta unknown (plain overwrite, restore, legacy manifests)
   private val cdfField: Regex = """"cdf":"([^"]*)"""".r
+  // hive-style partition spec of the commit's files (data lands under
+  // k=v dirs and the partition columns are NOT in the data files);
+  // absent/empty = unpartitioned
+  private val partitionByField: Regex = """"partitionBy":\[([^\]]*)\]""".r
+  private val partitionByItem: Regex = """"([^"]+)"""".r
+  private def partitionByOfLog(txt: String): Seq[String] =
+    partitionByField.findFirstMatchIn(txt)
+      .map(m => partitionByItem.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+      .getOrElse(Nil)
   // checkpoint-carried txnId→version map (exactly-once bookkeeping must
   // survive checkpoint-bounded replay — and rewrites, so it never resets)
   private val txnsField: Regex = """"txns":\{([^}]*)\}""".r
@@ -369,9 +379,18 @@ object TxLog {
     var schema: Option[org.apache.spark.sql.types.StructType] =
       Some(org.apache.spark.sql.types.StructType(Nil))
     var txns = Map.empty[String, Long]
+    // partition layout: overwrite resets it, an append must agree with
+    // it — a disagreement (mixed layouts in one live set) resolves to
+    // None and the READ refuses loudly rather than misparse k=v dirs
+    var partitionBy: Option[Seq[String]] = Some(Nil)
+    def foldPartitionBy(manifest: Seq[String], isOverwrite: Boolean,
+        hasEntries: Boolean, liveWasEmpty: Boolean): Unit =
+      if (isOverwrite || liveWasEmpty) partitionBy = Some(manifest)
+      else if (hasEntries && partitionBy.exists(_ != manifest)) partitionBy = None
     base.foreach { cv =>
       val txt = readLogFile(root, f"c$cv%08d.json")
       entries = parseEntries(txt).toVector
+      partitionBy = Some(partitionByOfLog(txt))
       schema = schemaOfLog(txt)
       txns = txnsField.findFirstMatchIn(txt).map(m =>
         txnsEntry.findAllMatchIn(m.group(1))
@@ -400,6 +419,8 @@ object TxLog {
         val action = actionField.findFirstMatchIn(txt).map(_.group(1))
           .getOrElse(throw new java.io.IOException(s"txlog: bad manifest v$v"))
         val es = parseEntries(txt)
+        foldPartitionBy(partitionByOfLog(txt), action == Overwrite.name,
+          es.nonEmpty, entries.isEmpty)
         if (action == Overwrite.name) {
           entries = es.toVector
           schema = schemaOfLog(txt)
@@ -411,7 +432,7 @@ object TxLog {
         // it, or a replayed microbatch could double-land after an OPTIMIZE
         txnField.findFirstMatchIn(txt).foreach(m => txns += (m.group(1) -> v))
       }
-    Replay(entries, schema.filter(_.fields.nonEmpty), txns)
+    Replay(entries, schema.filter(_.fields.nonEmpty), txns, partitionBy)
   }
 
   /** Live file list at `upTo` (absolute paths). */
@@ -470,12 +491,32 @@ object TxLog {
       carry: Seq[Entry] = Nil,
       carrySchema: Option[org.apache.spark.sql.types.StructType] = None,
       expectHead: Option[Long] = None,
-      cdf: Option[String] = None): Long = {
+      cdf: Option[String] = None,
+      partitionBy: Seq[String] = Nil): Long = {
     // an APPEND manifest's files ARE the commit's row-level delta — the
     // change-data-feed depends on that — so re-referencing pre-existing
     // files is an overwrite-only affordance
     require(carry.isEmpty || action == Overwrite,
       "txlog: carry entries are only valid on an overwrite commit")
+    // hive-style partition values must be parseable back from dir names:
+    // string and integral columns only (the types the reader casts)
+    partitionBy.foreach { c =>
+      val dt = df.schema.fields.find(_.name == c).map(_.dataType)
+        .getOrElse(throw new IllegalArgumentException(
+          s"txlog: partition column $c is not in the commit's schema"))
+      require(isIntegral(dt) || dt == org.apache.spark.sql.types.StringType,
+        s"txlog: partition column $c must be integral or string, got $dt")
+    }
+    // a PARTITIONED append must agree with the table's current layout —
+    // a mixed live set is unreadable (one checkpoint-bounded replay,
+    // paid only by partitioned commits; plain appends stay replay-free
+    // and a layout violation by one still fails LOUDLY at read time)
+    if (partitionBy.nonEmpty && action == Append && headVersion(root) > 0) {
+      val cur = replay(root, headVersion(root))
+      require(cur.entries.isEmpty || cur.partitionBy.contains(partitionBy),
+        s"txlog: table is partitioned by ${cur.partitionBy} but the " +
+          s"commit declares $partitionBy")
+    }
     Files.createDirectories(logDir(root))
     val txn = java.util.UUID.randomUUID().toString.take(12)
     val dataDir = s"$root/data/txn-$txn"
@@ -484,7 +525,7 @@ object TxLog {
     Files.createFile(marker)
     try {
       commitInner(spark, root, df, action, txnId, statsCols, carry,
-        carrySchema, expectHead, cdf, txn, dataDir)
+        carrySchema, expectHead, cdf, partitionBy, txn, dataDir)
     } finally {
       // marker gone ⇒ either the manifest published (files referenced)
       // or the attempt aborted (files are ordinary vacuumable residue)
@@ -506,17 +547,23 @@ object TxLog {
       carrySchema: Option[org.apache.spark.sql.types.StructType],
       expectHead: Option[Long],
       cdf: Option[String],
+      partitionBy: Seq[String],
       txn: String,
       dataDir: String): Long = {
-    // step 1: data files land first, unreferenced by any manifest
-    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
+    // step 1: data files land first, unreferenced by any manifest —
+    // hive-layout (k=v dirs) when partitioned, flat otherwise
+    if (partitionBy.isEmpty) df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
+    else df.write.mode(SaveMode.ErrorIfExists)
+      .partitionBy(partitionBy: _*).parquet(dataDir)
     import scala.jdk.CollectionConverters._
+    val dataDirAbs = Paths.get(dataDir).toAbsolutePath
     val writtenSizes: Map[String, Long] = {
-      val it = Files.list(Paths.get(dataDir))
-      try it.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(p => s"data/txn-$txn/${p.getFileName}" -> Files.size(p)).toMap
-      finally it.close()
+      val walk = Files.walk(dataDirAbs)
+      try walk.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(p => s"data/txn-$txn/${dataDirAbs.relativize(p)}" -> Files.size(p))
+        .toMap
+      finally walk.close()
     }
     val written = writtenSizes.keys.toSeq.sorted
     // optional per-file zone maps: min/max of each stats column per
@@ -539,27 +586,37 @@ object TxLog {
           strCols.flatMap(c => Seq(
             min(col(c)).as(s"slo_$c"),
             max(col(c)).as(s"shi_$c")))
-        val rows = spark.read.parquet(dataDir)
+        // pin the commit's own schema: partition-value type INFERENCE
+        // could otherwise re-type a numeric-looking string partition
+        // column and break the stats extraction
+        val rows = spark.read
+          .schema(deepNullable(df.schema)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .parquet(dataDir)
           .groupBy(input_file_name().as("_f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
+        // key stats by the file's path RELATIVE to the txn dir, so a
+        // partitioned commit's k=v subdirs key identically to manifests
+        def rel(uri: String): String = {
+          val p = Paths.get(new java.net.URI(uri).getPath).toAbsolutePath
+          s"data/txn-$txn/${dataDirAbs.relativize(p)}"
+        }
         val ints = rows.map { r =>
-          val base = new java.io.File(new java.net.URI(r.getString(0)).getPath).getName
           val cs: ColStats = intCols.flatMap { c =>
             val lo = r.getAs[Any](s"lo_$c"); val hi = r.getAs[Any](s"hi_$c")
             if (lo == null || hi == null) None // all-null file: no stats
             else Some(c -> (lo.asInstanceOf[Long], hi.asInstanceOf[Long]))
           }.toMap
-          s"data/txn-$txn/$base" -> cs
+          rel(r.getString(0)) -> cs
         }.toMap
         val strs = rows.map { r =>
-          val base = new java.io.File(new java.net.URI(r.getString(0)).getPath).getName
           val cs: StrColStats = strCols.flatMap { c =>
             val lo = r.getAs[String](s"slo_$c"); val hi = r.getAs[String](s"shi_$c")
             if (lo == null || hi == null) None // all-null file: no stats
             else Some(c -> (truncLo(lo), truncHi(hi)))
           }.toMap
-          s"data/txn-$txn/$base" -> cs
+          rel(r.getString(0)) -> cs
         }.toMap
         (ints, strs)
       }
@@ -580,7 +637,8 @@ object TxLog {
       else mergeSchemas(carrySchema.map(s => deepNullable(s)
         .asInstanceOf[org.apache.spark.sql.types.StructType]), own)
     }
-    publish(root, entries, action, txnId, recorded, expectHead, txn, cdf)
+    publish(root, entries, action, txnId, recorded, expectHead, txn, cdf,
+      partitionBy)
   }
 
   /** Steps 2+3 of the protocol: write the full manifest to a temp file,
@@ -595,7 +653,8 @@ object TxLog {
       recorded: Option[org.apache.spark.sql.types.StructType],
       expectHead: Option[Long],
       txn: String,
-      cdf: Option[String] = None): Long = {
+      cdf: Option[String] = None,
+      partitionBy: Seq[String] = Nil): Long = {
     var attempt = 0
     while (true) {
       val next = headVersion(root) + 1
@@ -610,10 +669,14 @@ object TxLog {
       }
       val txnPart = txnId.map(t => s""","txnId":"$t"""").getOrElse("")
       val cdfPart = cdf.map(d => s""","cdf":"$d"""").getOrElse("")
+      val partPart =
+        if (partitionBy.isEmpty) ""
+        else partitionBy.map(c => "\"" + c + "\"")
+          .mkString(""","partitionBy":[""", ",", "]")
       val schemaPart = recorded
         .map(s => s""","schemaB64":"${schemaToB64(s)}"""").getOrElse("")
       val body = entries.mkString(
-        s"""{"version":$next,"fmt":$FormatVersion,"action":"${action.name}"$txnPart$cdfPart$schemaPart,"files":[""", ",", "]}")
+        s"""{"version":$next,"fmt":$FormatVersion,"action":"${action.name}"$txnPart$cdfPart$partPart$schemaPart,"files":[""", ",", "]}")
       val tmp = logDir(root).resolve(s".tmp-$txn-$attempt")
       val ch = java.nio.channels.FileChannel.open(tmp,
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
@@ -654,7 +717,8 @@ object TxLog {
     require(r.entries.nonEmpty, s"txlog: v$version of $root lists no files")
     publish(root, r.entries.map(renderEntry), Overwrite, txnId = None,
       recorded = r.schema, expectHead = None,
-      txn = java.util.UUID.randomUUID().toString.take(12))
+      txn = java.util.UUID.randomUUID().toString.take(12),
+      partitionBy = r.partitionBy.getOrElse(Nil))
   }
 
   /** Best-effort: a checkpoint is pure derived state, so a failure (or a
@@ -666,6 +730,15 @@ object TxLog {
   private def writeCheckpoint(root: String, v: Long): Unit =
     try {
       val r = replay(root, v)
+      // a MIXED partition layout cannot be represented in a checkpoint —
+      // skip writing one (derived state; readers replay from an older
+      // base and keep seeing the mixed marker)
+      val partCols = r.partitionBy.getOrElse(
+        throw new IllegalStateException("mixed partition layout"))
+      val partPart =
+        if (partCols.isEmpty) ""
+        else partCols.map(c => "\"" + c + "\"")
+          .mkString(""","partitionBy":[""", ",", "]")
       val schemaPart = r.schema
         .map(s => s""","schemaB64":"${schemaToB64(s)}"""").getOrElse("")
       val txnsPart =
@@ -674,7 +747,7 @@ object TxLog {
           .map { case (t, tv) => s""""$t":$tv""" }
           .mkString(""","txns":{""", ",", "}")
       val body = r.entries.map(renderEntry)
-        .mkString(s"""{"version":$v,"fmt":$FormatVersion,"action":"checkpoint"$schemaPart$txnsPart,"files":[""", ",", "]}")
+        .mkString(s"""{"version":$v,"fmt":$FormatVersion,"action":"checkpoint"$partPart$schemaPart$txnsPart,"files":[""", ",", "]}")
       val tmp = logDir(root).resolve(s".ckpt-tmp-$v-${java.util.UUID.randomUUID().toString.take(8)}")
       val ch = java.nio.channels.FileChannel.open(tmp,
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
@@ -776,24 +849,28 @@ object TxLog {
           unstatted ++ spanC.filter(hit)
         }
       try {
+        val layout = r.partitionBy.getOrElse(throw new IllegalStateException(
+          s"txlog: $root has a mixed partition layout; restore a clean version first"))
         return if (touched.isEmpty)
           // no live file can hold a matched key: the merge is a pure
           // insert — ONE append commit, no rewrite, smallest manifest
           // (an append's files ARE its row-level delta, so no change
           // files are needed for the CDF to read through it)
           commit(spark, root, updates, Append,
-            statsCols = Seq(keyCol), expectHead = Some(base))
+            statsCols = Seq(keyCol), expectHead = Some(base),
+            partitionBy = layout)
         else {
           val untouched = {
             val t = touched.toSet
             r.entries.filterNot(e => t(e.path))
           }
-          // allowMissingColumns both ways: updates against an evolved
-          // table backfill null for columns they don't carry (a MERGE
-          // row defines the whole row), and updates CARRYING a new
-          // column evolve the table through the merge
-          val old = spark.read.option("mergeSchema", "true")
-            .parquet(touched.map(p => s"$root/$p"): _*)
+          // read the touched files THROUGH the file index: the table's
+          // recorded (union) schema backfills columns they lack — the
+          // mergeSchema behavior, resolved from the log — and hive
+          // partition values attach from the k=v dirs, so a merge on a
+          // partitioned table round-trips the layout
+          val old = TxLogFileIndex.read(spark, root, r.copy(entries =
+            r.entries.filter(e => touched.contains(e.path))))
           val updKeys = updates.select(keyCol).distinct()
           val rewritten = old
             .join(updKeys, Seq(keyCol), "left_anti")
@@ -820,7 +897,7 @@ object TxLog {
           commit(spark, root, rewritten, Overwrite,
             statsCols = Seq(keyCol), carry = untouched,
             carrySchema = r.schema, expectHead = Some(base),
-            cdf = Some(cdfDir))
+            cdf = Some(cdfDir), partitionBy = layout)
         }
       } catch {
         case _: CommitConflict =>
@@ -859,7 +936,9 @@ object TxLog {
     var attempts = 0
     while (true) {
       val base = headVersion(root)
-      val cur = snapshot(spark, root, Some(base))
+      val r = replay(root, base)
+      require(r.entries.nonEmpty, s"txlog: optimize of $root found no files")
+      val cur = TxLogFileIndex.read(spark, root, r)
       val laid = sortCol match {
         case Some(c) => cur.repartitionByRange(
           targetFiles, org.apache.spark.sql.functions.col(c))
@@ -871,7 +950,8 @@ object TxLog {
         // through it instead of dying on "rewrite in range"
         return commit(spark, root, laid, Overwrite,
           statsCols = sortCol.toSeq, expectHead = Some(base),
-          cdf = Some(""))
+          cdf = Some(""),
+          partitionBy = r.partitionBy.getOrElse(Nil))
       } catch {
         case _: CommitConflict =>
           attempts += 1
@@ -910,13 +990,17 @@ object TxLog {
       if (small.size <= 1) return base
       val totalSmall = math.max(small.flatMap(_.bytes).sum, 1L)
       val nOut = math.max(1L, (totalSmall + smallBytes - 1) / smallBytes).toInt
-      val rewritten = spark.read.option("mergeSchema", "true")
-        .parquet(small.map(e => s"$root/${e.path}"): _*)
+      // index-read of JUST the small entries: the recorded union schema
+      // backfills evolved columns and partition values attach, so a
+      // compaction of a partitioned table round-trips the layout
+      val rewritten = TxLogFileIndex
+        .read(spark, root, r.copy(entries = small))
         .repartition(nOut)
       try {
         return commit(spark, root, rewritten, Overwrite,
           statsCols = statsCols, carry = big, carrySchema = r.schema,
-          expectHead = Some(base), cdf = Some(""))
+          expectHead = Some(base), cdf = Some(""),
+          partitionBy = r.partitionBy.getOrElse(Nil))
       } catch {
         case _: CommitConflict =>
           attempts += 1
@@ -1061,16 +1145,30 @@ object TxLog {
         // every change set writes under its own uuid dir) — a per-version
         // read unioned N times would bloat the plan linearly with the
         // catch-up range
-        import org.apache.spark.sql.functions.{element_at, regexp_extract}
+        import org.apache.spark.sql.functions.{coalesce, element_at, regexp_extract, when}
         val all = nonEmpty.flatMap(_._2).map(f => s"$root/$f")
         val dirToV = nonEmpty.flatMap { case (v, fs) =>
           fs.map(f => f.split("/")(1) -> v)
         }.distinct
         val mapCol = org.apache.spark.sql.functions.map(
           dirToV.flatMap { case (d, v) => Seq(lit(d), lit(v)) }: _*)
-        spark.read.option("mergeSchema", "true").parquet(all: _*)
+        val scanned = spark.read.option("mergeSchema", "true").parquet(all: _*)
           .withColumn("_commit_version",
             element_at(mapCol, regexp_extract(input_file_name(), "/(txn-[^/]+)/", 1)))
+        // hive-partitioned tables keep partition values in k=v DIRS, not
+        // in the leaf files this one-scan read lists — re-derive them
+        // from the path (change files carry the full row, so coalesce)
+        val rp = replay(root, to)
+        rp.partitionBy.getOrElse(Nil).foldLeft(scanned) { (df, c) =>
+          val dt = rp.schema.flatMap(_.fields.find(_.name == c))
+            .map(_.dataType)
+            .getOrElse(org.apache.spark.sql.types.StringType)
+          val raw = regexp_extract(input_file_name(),
+            "/" + java.util.regex.Pattern.quote(c) + "=([^/]+)/", 1)
+          val typed = when(raw === "", lit(null)).otherwise(raw).cast(dt)
+          if (df.columns.contains(c)) df.withColumn(c, coalesce(col(c), typed))
+          else df.withColumn(c, typed)
+        }
       }
     if (!withChangeType) tagged
     else {

@@ -3,7 +3,7 @@ package graft.io
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or, StartsWith}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, BoundReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or, Predicate, StartsWith}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -34,7 +34,8 @@ final class TxLogFileIndex(
     files: Seq[String], // absolute paths, snapshot order
     sizes: Map[String, Long], // manifest-carried byte sizes
     stats: Map[String, TxLog.ColStats],
-    strStats: Map[String, TxLog.StrColStats] = Map.empty) extends FileIndex {
+    strStats: Map[String, TxLog.StrColStats] = Map.empty,
+    partSchema: StructType = new StructType()) extends FileIndex {
 
   // file statuses come from the MANIFEST (the log stores sizes, as
   // Delta does, precisely so the read path never stats a data file —
@@ -52,10 +53,41 @@ final class TxLogFileIndex(
   }
 
   override def rootPaths: Seq[Path] = Seq(new Path(root))
-  override def partitionSchema: StructType = new StructType()
+  override def partitionSchema: StructType = partSchema
   override def inputFiles: Array[String] = files.toArray
   override def refresh(): Unit = ()
   override def sizeInBytes: Long = statuses.map(_.getLen).sum
+
+  /** Hive partition values of one file, parsed from its k=v path
+    * segments in `partSchema` order (log-declared layout, so no
+    * discovery pass and no type inference — the recorded schema IS the
+    * type authority).
+    */
+  private def partValueKey(path: String): Seq[Any] =
+    if (partSchema.isEmpty) Nil
+    else {
+      val kv = path.split("/").dropRight(1).iterator.flatMap { s =>
+        val i = s.indexOf('=')
+        if (i <= 0) None
+        else Some(s.substring(0, i) -> TxLogFileIndex.unescapePath(s.substring(i + 1)))
+      }.toMap
+      partSchema.fields.toSeq.map { f =>
+        kv.get(f.name) match {
+          case None | Some("__HIVE_DEFAULT_PARTITION__") => null
+          case Some(v) =>
+            import org.apache.spark.sql.types._
+            f.dataType match {
+              case StringType  => UTF8String.fromString(v)
+              case LongType    => v.toLong
+              case IntegerType => v.toInt
+              case ShortType   => v.toShort
+              case ByteType    => v.toByte
+              case dt => throw new IllegalStateException(
+                s"txlog: unsupported partition column type $dt for ${f.name}")
+            }
+        }
+      }
+    }
 
   /** The file list this index's most recent scan planning kept — a spec
     * hook so tests assert the PRUNING (plan-time file set), not just the
@@ -74,8 +106,32 @@ final class TxLogFileIndex(
       val ts = strStats.getOrElse(key, Map.empty)
       dataFilters.forall(f => TxLogFileIndex.mayMatch(f, cs, ts))
     }
-    lastListed = kept.map(_.getPath.toUri.getPath)
-    Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+    if (partSchema.isEmpty) {
+      lastListed = kept.map(_.getPath.toUri.getPath)
+      Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+    } else {
+      // group surviving files by their hive partition values and apply
+      // the pushed-down partition filters — Spark REMOVES them from the
+      // post-scan filter trusting this listing, so evaluation here is a
+      // correctness obligation, not an optimization (the same contract
+      // PartitioningAwareFileIndex.prunePartitions fulfils)
+      val groups = kept.groupBy(st => partValueKey(st.getPath.toUri.getPath))
+      val pred = if (partitionFilters.isEmpty) None else Some(
+        Predicate.create(partitionFilters.reduce(And).transform {
+          case a: AttributeReference =>
+            val i = partSchema.fields.indexWhere(_.name == a.name)
+            if (i < 0) throw new IllegalStateException(
+              s"txlog: partition filter references unknown column ${a.name}")
+            BoundReference(i, partSchema.fields(i).dataType, nullable = true)
+        }))
+      val pruned = groups.filter { case (values, _) =>
+        pred.forall(_.eval(InternalRow.fromSeq(values)))
+      }
+      lastListed = pruned.values.flatten.map(_.getPath.toUri.getPath).toSeq
+      pruned.map { case (values, sts) =>
+        PartitionDirectory(InternalRow.fromSeq(values), sts.toArray)
+      }.toSeq
+    }
   }
 }
 
@@ -97,24 +153,68 @@ object TxLogFileIndex {
     * [[HadoopFsRelation]] over a [[TxLogFileIndex]], schema = union of
     * the live files' schemas (additive evolution reads with nulls
     * backfilled; time travel below an evolution sees only old columns,
-    * because its file list predates them).
+    * because its file list predates them). A log-declared hive partition
+    * layout splits the recorded schema into data + partition halves, so
+    * directory pruning composes with the zone maps — and there is no
+    * discovery pass: the LOG is the partition-spec authority, exactly as
+    * it is for file lists and sizes.
     */
   private[io] def read(spark: SparkSession, root: String, r: TxLog.Replay): DataFrame = {
     val abs = r.files.map(f => s"$root/$f")
-    // the schema comes from the LOG when every contributing manifest
-    // recorded one (the normal case) — a snapshot then plans from
-    // manifest bytes alone, zero data-file footer reads; legacy chains
-    // fall back to a mergeSchema inference pass over the live files
-    val schema = r.schema.getOrElse(
-      spark.read.option("mergeSchema", "true").parquet(abs: _*).schema)
-    val index = new TxLogFileIndex(spark, root, abs,
-      r.entries.iterator.flatMap(e => e.bytes.map(b => s"$root/${e.path}" -> b)).toMap,
-      r.stats.map { case (p, cs) => s"$root/$p" -> cs },
-      r.strStats.map { case (p, cs) => s"$root/$p" -> cs })
-    val rel = HadoopFsRelation(index, new StructType(), schema, None,
-      new ParquetFileFormat, Map("mergeSchema" -> "true"))(spark)
-    spark.baseRelationToDataFrame(rel)
+    val partCols = r.partitionBy.getOrElse(throw new IllegalStateException(
+      s"txlog: $root's live set mixes partition layouts (an append declared " +
+        "a different partitionBy than the table); restore a clean version"))
+    val sizesM = r.entries.iterator
+      .flatMap(e => e.bytes.map(b => s"$root/${e.path}" -> b)).toMap
+    val statsM = r.stats.map { case (p, cs) => s"$root/$p" -> cs }
+    val strStatsM = r.strStats.map { case (p, cs) => s"$root/$p" -> cs }
+    if (partCols.isEmpty) {
+      // the schema comes from the LOG when every contributing manifest
+      // recorded one (the normal case) — a snapshot then plans from
+      // manifest bytes alone, zero data-file footer reads; legacy chains
+      // fall back to a mergeSchema inference pass over the live files
+      val schema = r.schema.getOrElse(
+        spark.read.option("mergeSchema", "true").parquet(abs: _*).schema)
+      val index = new TxLogFileIndex(spark, root, abs, sizesM, statsM, strStatsM)
+      val rel = HadoopFsRelation(index, new StructType(), schema, None,
+        new ParquetFileFormat, Map("mergeSchema" -> "true"))(spark)
+      spark.baseRelationToDataFrame(rel)
+    } else {
+      val full = r.schema.getOrElse(throw new IllegalStateException(
+        s"txlog: partitioned table $root has no recorded schema — " +
+          "partition column types cannot be inferred from data files"))
+      val partSchema = StructType(partCols.map(c =>
+        full.fields.find(_.name == c).getOrElse(
+          throw new IllegalStateException(
+            s"txlog: partition column $c missing from the recorded schema"))))
+      val dataSchema = StructType(full.fields.filterNot(f => partCols.contains(f.name)))
+      val index = new TxLogFileIndex(spark, root, abs, sizesM, statsM,
+        strStatsM, partSchema)
+      val rel = HadoopFsRelation(index, partSchema, dataSchema, None,
+        new ParquetFileFormat, Map("mergeSchema" -> "true"))(spark)
+      spark.baseRelationToDataFrame(rel)
+    }
   }
+
+  /** Minimal inverse of Spark's hive-path escaping (%XX per escaped
+    * char); non-escaped text passes through untouched.
+    */
+  private[io] def unescapePath(s: String): String =
+    if (!s.contains('%')) s
+    else {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 3 <= s.length) {
+          try {
+            sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+            i += 3
+          } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
 
   private def asLong(v: Any): Option[Long] = v match {
     case i: Int     => Some(i.toLong)

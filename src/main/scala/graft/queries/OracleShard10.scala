@@ -1238,6 +1238,12 @@ private[graft] object OracleShard10 {
         |         CAST(sum(v) AS BIGINT) FROM o WHERE mm = 3
         |) ORDER BY change_type""".stripMargin,
 
+    "q648_txlog_partitioned" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE lang IN ('en', 'fr')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q636_media_decode" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |       CAST(CASE WHEN doc_id % 2 = 0 THEN 54

@@ -2037,5 +2037,27 @@ private[graft] object Shard10 {
         .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
         .orderBy("change_type")
     }),
+
+    // hive-style partition columns ON the transaction log: the commit
+    // declares partitionBy in the manifest (the LOG is the partition-spec
+    // authority — no directory discovery, no type inference), data lands
+    // under lang=... dirs without the column in the files, and a filter
+    // on the partition column prunes DIRECTORIES at plan time while zone
+    // maps keep pruning files inside survivors (TxLogPartitionSpec
+    // asserts PartitionFilters in the plan + the pruned file set; this
+    // query oracles the answer, so value parsing or a dropped partition
+    // breaks the hash)
+    "q648_txlog_partitioned" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val root = io.Zones.tempDir(s"graft_part_${new java.io.File(dir).getName}")
+      io.TxLog.commit(s, root, d, io.TxLog.Append,
+        statsCols = Seq("doc_id"), partitionBy = Seq("lang"))
+      io.TxLog.snapshot(s, root)
+        .filter(col("lang").isin("en", "fr"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("lang", "source")
+    }),
   )
 }

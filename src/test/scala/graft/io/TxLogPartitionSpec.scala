@@ -1,0 +1,134 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Hive-style partition columns on the transaction log: the LOG declares
+  * the layout (no directory discovery, no type inference), the file
+  * index populates real partition values, pushed-down partition filters
+  * prune DIRECTORIES, and zone maps still prune FILES inside surviving
+  * partitions — the two prunings compose.
+  */
+class TxLogPartitionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshTable(): String = Zones.tempDir("txlogp")
+
+  private def corpus(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      (i.toLong, Seq("de", "en", "fr", "ja")(i % 4), s"doc-$i")
+    }.toDF("id", "lang", "text")
+  }
+
+  test("a partitioned snapshot reads values from k=v dirs and prunes partitions at plan time") {
+    val root = freshTable()
+    TxLog.commit(spark, root, corpus(400).repartition(2), TxLog.Append,
+      statsCols = Seq("id"), partitionBy = Seq("lang"))
+    // partition values round-trip with their recorded type
+    val q = TxLog.snapshot(spark, root).filter(col("lang") === "en")
+    val rows = q.collect()
+    assert(rows.length === 100)
+    assert(rows.forall(_.getAs[String]("lang") === "en"))
+    // the filter became a PARTITION filter: only en's files were listed
+    val listed = TxLogFileIndex.of(q).lastListed
+    assert(listed.nonEmpty && listed.forall(_.contains("lang=en")),
+      s"partition pruning must keep only lang=en files, got $listed")
+    // ... and the plan says so
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"expected a partition filter in the plan:\n$plan")
+    // partition pruning COMPOSES with zone maps: id range prunes files
+    // WITHIN the surviving partition
+    val q2 = TxLog.snapshot(spark, root)
+      .filter(col("lang") === "en" && col("id") < 10)
+    assert(q2.count() === 3L) // ids 1, 5, 9 are lang=en (i % 4 == 1)
+    val listed2 = TxLogFileIndex.of(q2).lastListed
+    assert(listed2.forall(_.contains("lang=en")))
+    assert(listed2.size <= listed.size)
+  }
+
+  test("merge, optimize, and compact round-trip a partitioned layout") {
+    import spark.implicits._
+    val root = freshTable()
+    TxLog.commit(spark, root, corpus(100), TxLog.Append,
+      statsCols = Seq("id"), partitionBy = Seq("lang"))
+    // merge: update one row, insert one — layout preserved
+    TxLog.merge(spark, root,
+      Seq((5L, "en", "UPDATED"), (1000L, "zh", "NEW")).toDF("id", "lang", "text"),
+      "id")
+    val afterMerge = TxLog.replay(root, TxLog.headVersion(root))
+    assert(afterMerge.partitionBy === Some(Seq("lang")))
+    assert(afterMerge.files.forall(_.contains("lang=")),
+      s"merge must rewrite partitioned files partitioned: ${afterMerge.files}")
+    // partition columns surface LAST in a file-source scan (stock Spark
+    // layout: dataSchema ++ partitionSchema) — read by name
+    val m = TxLog.snapshot(spark, root).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("lang"), r.getAs[String]("text"))).toMap
+    assert(m.size === 101)
+    assert(m(5L) === ("en", "UPDATED") && m(1000L) === ("zh", "NEW"))
+    assert(m(6L) === ("fr", "doc-6"))
+    // optimize: re-layouts WITHIN the declared partitioning
+    TxLog.optimize(spark, root, targetFiles = 2, sortCol = Some("id"))
+    val afterOpt = TxLog.replay(root, TxLog.headVersion(root))
+    assert(afterOpt.partitionBy === Some(Seq("lang")))
+    assert(TxLog.snapshot(spark, root).count() === 101L)
+    // compact: everything is tiny at this scale, so all files qualify —
+    // the rewrite must come out partitioned again
+    TxLog.compact(spark, root, smallBytes = 64L * 1024 * 1024,
+      statsCols = Seq("id"))
+    val afterCmp = TxLog.replay(root, TxLog.headVersion(root))
+    assert(afterCmp.partitionBy === Some(Seq("lang")))
+    assert(afterCmp.files.forall(_.contains("lang=")))
+    assert(TxLog.snapshot(spark, root).count() === 101L)
+    // a partitioned append declaring a DIFFERENT layout is refused
+    val c = intercept[IllegalArgumentException] {
+      TxLog.commit(spark, root, corpus(8), TxLog.Append,
+        partitionBy = Seq("text"))
+    }
+    assert(c.getMessage.contains("partitioned"), c.getMessage)
+  }
+
+  test("a mixed-layout live set refuses reads loudly instead of misparsing dirs") {
+    val root = freshTable()
+    TxLog.commit(spark, root, corpus(40), TxLog.Append,
+      partitionBy = Seq("lang"))
+    // an UNPARTITIONED append slips in (no commit-time replay on the
+    // cheap path — the contract is loud failure at read time)
+    TxLog.append(spark, root, corpus(4))
+    val e = intercept[IllegalStateException] {
+      TxLog.snapshot(spark, root).count()
+    }
+    assert(e.getMessage.contains("partition layout"), e.getMessage)
+    // time travel BELOW the bad append still reads fine
+    assert(TxLog.snapshot(spark, root, Some(1L)).count() === 40L)
+  }
+
+  test("the change feed restores partition values for partitioned appends and merges") {
+    import spark.implicits._
+    val root = freshTable()
+    TxLog.commit(spark, root, corpus(40), TxLog.Append,
+      statsCols = Seq("id"), partitionBy = Seq("lang")) // v1
+    TxLog.commit(spark, root,
+      corpus(8).withColumn("id", col("id") + 100), TxLog.Append,
+      statsCols = Seq("id"), partitionBy = Seq("lang")) // v2
+    val delta = TxLog.changes(spark, root, 1L, 2L)
+    assert(delta.count() === 8L)
+    assert(delta.columns.contains("lang"))
+    val langs = delta.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("lang")).toMap
+    assert(langs(100L) === "de" && langs(101L) === "en")
+    // through a merge, typed: change files carry the full row while
+    // append files re-derive lang from the path — both must agree
+    val v3 = TxLog.merge(spark, root,
+      Seq((101L, "en", "U-101")).toDF("id", "lang", "text"), "id")
+    val typed = TxLog.changes(spark, root, 2L, v3, withChangeType = true)
+    val byType = typed.collect()
+      .map(r => r.getAs[String]("_change_type") -> r.getAs[String]("lang"))
+    assert(byType.toSet === Set(
+      "update_preimage" -> "en", "update_postimage" -> "en"))
+  }
+}
