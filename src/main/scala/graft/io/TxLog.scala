@@ -128,7 +128,6 @@ object TxLog {
   }
 
   private val versionFile: Regex = """v(\d{8})\.json""".r
-  private val checkpointFile: Regex = """c(\d{8})\.json""".r
   // a manifest entry is either a bare "rel/path.parquet" or an object
   // {"p":"rel/path.parquet","b":bytes,"s":{"col":[lo,hi],...},
   //  "t":{"col":["lo","hi"],...}} with "b"/"s"/"t" independently optional
@@ -186,10 +185,36 @@ object TxLog {
         .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
 
+  /** Value-preserving upcasts the parquet readers evaluate natively
+    * (Spark 4 reads an int32 file column as LongType and a float column
+    * as DoubleType), so a same-name change along these edges is safe
+    * additive evolution — the recorded schema takes the WIDER type and
+    * old files keep reading.
+    */
+  private def widen(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    def rank(dt: DataType): Int = dt match {
+      case ByteType => 1; case ShortType => 2
+      case IntegerType => 3; case LongType => 4
+      case _ => 0
+    }
+    if (a == b) Some(a)
+    else if (rank(a) > 0 && rank(b) > 0) Some(if (rank(a) >= rank(b)) a else b)
+    else (a, b) match {
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+      case _ => None
+    }
+  }
+
   /** Additive union of two recorded schemas: fields joined by name, new
-    * columns appended. A same-name TYPE conflict is not additive
-    * evolution — resolve to None so the reader falls back to footer
-    * inference rather than guessing.
+    * columns appended, same-name types resolved by [[widen]]. A
+    * non-widenable type conflict is not additive evolution — resolve to
+    * None so the reader falls back to footer inference rather than
+    * guessing (round 8 poisoned on ANY type change, so an int→long
+    * evolution condemned every later read to inference forever).
     */
   private def mergeSchemas(
       a: Option[org.apache.spark.sql.types.StructType],
@@ -198,11 +223,20 @@ object TxLog {
     (a, b) match {
       case (Some(x), Some(y)) =>
         val byName = x.fields.map(f => f.name -> f).toMap
-        val conflict = y.fields.exists(f =>
-          byName.get(f.name).exists(_.dataType != f.dataType))
-        if (conflict) None
+        var ok = true
+        val merged = x.fields.map { f =>
+          y.fields.find(_.name == f.name) match {
+            case Some(g) if g.dataType != f.dataType =>
+              widen(f.dataType, g.dataType) match {
+                case Some(dt) => f.copy(dataType = dt)
+                case None     => ok = false; f
+              }
+            case _ => f
+          }
+        }
+        if (!ok) None
         else Some(org.apache.spark.sql.types.StructType(
-          x.fields ++ y.fields.filterNot(f => byName.contains(f.name))))
+          merged ++ y.fields.filterNot(f => byName.contains(f.name))))
       case _ => None
     }
 
@@ -282,6 +316,12 @@ object TxLog {
     */
   private[io] val manifestReads = new AtomicLong(0L)
 
+  /** Count of `_txlog` directory LISTs — on an object store each one is
+    * a paged, billed O(V) call, so the steady state must be zero per
+    * commit/read (specs assert it).
+    */
+  private[io] val dirLists = new AtomicLong(0L)
+
   private def logDir(root: String): Path = Paths.get(root, "_txlog")
 
   /** Highest manifest format this reader understands. Manifests carry
@@ -304,23 +344,69 @@ object TxLog {
     txt
   }
 
-  /** All committed versions, ascending (empty for a fresh table). */
+  /** All committed versions, ascending (empty for a fresh table).
+    * Versions are DENSE by construction — every claim links head+1 — so
+    * the list is just 1..head, resolved through the head pointer without
+    * an O(V) directory LIST per call.
+    */
   def versions(root: String): Seq[Long] = {
+    val h = headVersion(root)
+    if (h <= 0) Seq.empty else 1L to h
+  }
+
+  private def listedHead(root: String): Long = {
     val dir = logDir(root)
-    if (!Files.isDirectory(dir)) Seq.empty
+    if (!Files.isDirectory(dir)) 0L
     else {
+      dirLists.incrementAndGet()
       val it = Files.list(dir)
       try {
         import scala.jdk.CollectionConverters._
         it.iterator().asScala
           .flatMap(p => versionFile.findFirstMatchIn(p.getFileName.toString)
             .map(_.group(1).toLong))
-          .toSeq.sorted
+          .foldLeft(0L)(math.max)
       } finally it.close()
     }
   }
 
-  def headVersion(root: String): Long = versions(root).lastOption.getOrElse(0L)
+  /** The current head version. A best-effort `_txlog/_head` pointer
+    * (Delta's `_last_checkpoint` idea) gives a verified floor and the
+    * suffix is PROBED by existence — a stale pointer costs a few extra
+    * existence checks, never a wrong answer, and only a pointer-less
+    * legacy chain pays a directory LIST (its next commit writes one).
+    */
+  def headVersion(root: String): Long = {
+    val dir = logDir(root)
+    val hinted: Option[Long] =
+      try {
+        val ptr = dir.resolve("_head")
+        if (!Files.exists(ptr)) None
+        else {
+          val v = new String(Files.readAllBytes(ptr), StandardCharsets.UTF_8)
+            .trim.toLong
+          if (v >= 1 && Files.exists(dir.resolve(f"v$v%08d.json"))) Some(v)
+          else None
+        }
+      } catch { case _: Throwable => None }
+    var v = hinted.getOrElse(listedHead(root))
+    while (Files.exists(dir.resolve(f"v${v + 1}%08d.json"))) v += 1
+    v
+  }
+
+  /** Best-effort head pointer update after a successful claim: written
+    * atomically (temp + rename), and a concurrent regression is harmless
+    * — readers probe forward past any stale value.
+    */
+  private def writeHeadPointer(root: String, v: Long): Unit =
+    try {
+      val tmp = logDir(root)
+        .resolve(s".head-${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, logDir(root).resolve("_head"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case _: Throwable => () }
 
   /** Entries of one log file. */
   private def parseEntries(txt: String): Seq[Entry] =
@@ -347,20 +433,18 @@ object TxLog {
       cdfField.findFirstMatchIn(txt).map(_.group(1)))
   }
 
-  /** Committed checkpoint versions, ascending. */
-  private def checkpointVersions(root: String): Seq[Long] = {
-    val dir = logDir(root)
-    if (!Files.isDirectory(dir)) Seq.empty
-    else {
-      val it = Files.list(dir)
-      try {
-        import scala.jdk.CollectionConverters._
-        it.iterator().asScala
-          .flatMap(p => checkpointFile.findFirstMatchIn(p.getFileName.toString)
-            .map(_.group(1).toLong))
-          .toSeq.sorted
-      } finally it.close()
+  /** Newest checkpoint ≤ `upTo`, probed by existence: checkpoints land
+    * only at multiples of [[CheckpointEvery]], so walking the multiples
+    * downward needs no directory LIST — each miss is a (rare) failed
+    * best-effort checkpoint write.
+    */
+  private def baseCheckpoint(root: String, upTo: Long): Option[Long] = {
+    var c = (upTo / CheckpointEvery) * CheckpointEvery
+    while (c >= CheckpointEvery) {
+      if (Files.exists(logDir(root).resolve(f"c$c%08d.json"))) return Some(c)
+      c -= CheckpointEvery
     }
+    None
   }
 
   /** THE replay: start from the newest checkpoint ≤ `upTo` (skipping
@@ -371,7 +455,7 @@ object TxLog {
     * bounded by the checkpoint interval, not the table's commit count.
     */
   def replay(root: String, upTo: Long): Replay = {
-    val base = checkpointVersions(root).filter(_ <= upTo).lastOption
+    val base = baseCheckpoint(root, upTo)
     var entries = Vector.empty[Entry]
     // empty-known start: the first append's recorded schema becomes the
     // table's; any contributing manifest WITHOUT one poisons to None
@@ -687,6 +771,7 @@ object TxLog {
       try {
         Files.createLink(logDir(root).resolve(f"v$next%08d.json"), tmp)
         Files.delete(tmp)
+        writeHeadPointer(root, next)
         if (next % CheckpointEvery == 0) writeCheckpoint(root, next)
         return next
       } catch {

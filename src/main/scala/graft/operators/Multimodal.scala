@@ -79,7 +79,8 @@ object Multimodal {
         }
         val start = i
         while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
-        if (i > start) Some(new String(b, start, i - start).toInt) else None
+        if (i > start) Some(new String(b, start, i - start,
+          java.nio.charset.StandardCharsets.US_ASCII).toInt) else None
       }
       for (w <- nextInt(); h <- nextInt(); _ <- nextInt())
         yield (b.length.toLong, w, h, 1)

@@ -455,6 +455,35 @@ class TxLogScaleSpec extends AnyFunSuite {
     assert(TxLog.liveStrStats(root, 2L).size === 2)
   }
 
+  test("steady-state commits and reads never LIST the log directory (head pointer)") {
+    val root = freshTable()
+    TxLog.append(spark, root, batch(0, 5))
+    TxLog.append(spark, root, batch(5, 10))
+    // a commit resolves the head from the pointer + forward probes; on
+    // an object store a LIST is a paged billed O(V) call per attempt
+    TxLog.dirLists.set(0L)
+    TxLog.append(spark, root, batch(10, 15))
+    assert(TxLog.dirLists.get() === 0L,
+      s"a steady-state commit LISTed the log dir ${TxLog.dirLists.get()}×")
+    TxLog.dirLists.set(0L)
+    assert(TxLog.snapshot(spark, root).count() === 15L)
+    assert(TxLog.dirLists.get() === 0L, "a snapshot read LISTed the log dir")
+    // stale pointer: probes walk forward past it, never a wrong answer
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_txlog", "_head"), "1".getBytes)
+    assert(TxLog.headVersion(root) === 3L)
+    // pointer-less legacy chain: ONE list rebuilds, the next commit
+    // restores the pointer
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "_txlog", "_head"))
+    TxLog.dirLists.set(0L)
+    assert(TxLog.headVersion(root) === 3L)
+    assert(TxLog.dirLists.get() >= 1L)
+    TxLog.append(spark, root, batch(15, 20))
+    TxLog.dirLists.set(0L)
+    assert(TxLog.headVersion(root) === 4L)
+    assert(TxLog.dirLists.get() === 0L)
+  }
+
   test("vacuum clamps the retention horizon to the head: current files always survive") {
     val root = freshTable()
     TxLog.append(spark, root, batch(0, 5))      // v1
