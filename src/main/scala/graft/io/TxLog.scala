@@ -328,8 +328,17 @@ object TxLog {
     * `"fmt":N`; a HIGHER N means a future writer used features this
     * reader would silently misparse — refuse loudly instead (Delta's
     * protocol-version action). Absent fmt (pre-round-8 logs) reads as 1.
+    *
+    * The fmt each manifest WRITES is feature-gated (Delta's
+    * minReaderVersion): 3 only when the manifest carries string zone
+    * maps or a partition layout — a v2 reader's entry regex would
+    * silently DROP a "t"-bearing entry from the live set, and would
+    * read a partitioned table without its partition column — otherwise
+    * 2, so plain commits stay readable by older readers.
     */
-  val FormatVersion: Long = 2L
+  val FormatVersion: Long = 3L
+  private def manifestFmt(entries: Seq[String], partitionBy: Seq[String]): Long =
+    if (partitionBy.nonEmpty || entries.exists(_.contains("\"t\":{"))) 3L else 2L
   private val fmtField: Regex = """"fmt":(\d+)""".r
 
   private def readLogFile(root: String, name: String): String = {
@@ -760,7 +769,7 @@ object TxLog {
       val schemaPart = recorded
         .map(s => s""","schemaB64":"${schemaToB64(s)}"""").getOrElse("")
       val body = entries.mkString(
-        s"""{"version":$next,"fmt":$FormatVersion,"action":"${action.name}"$txnPart$cdfPart$partPart$schemaPart,"files":[""", ",", "]}")
+        s"""{"version":$next,"fmt":${manifestFmt(entries, partitionBy)},"action":"${action.name}"$txnPart$cdfPart$partPart$schemaPart,"files":[""", ",", "]}")
       val tmp = logDir(root).resolve(s".tmp-$txn-$attempt")
       val ch = java.nio.channels.FileChannel.open(tmp,
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
@@ -831,8 +840,9 @@ object TxLog {
         else r.txns.toSeq.sortBy(_._2)
           .map { case (t, tv) => s""""$t":$tv""" }
           .mkString(""","txns":{""", ",", "}")
-      val body = r.entries.map(renderEntry)
-        .mkString(s"""{"version":$v,"fmt":$FormatVersion,"action":"checkpoint"$partPart$schemaPart$txnsPart,"files":[""", ",", "]}")
+      val rendered = r.entries.map(renderEntry)
+      val body = rendered
+        .mkString(s"""{"version":$v,"fmt":${manifestFmt(rendered, partCols)},"action":"checkpoint"$partPart$schemaPart$txnsPart,"files":[""", ",", "]}")
       val tmp = logDir(root).resolve(s".ckpt-tmp-$v-${java.util.UUID.randomUUID().toString.take(8)}")
       val ch = java.nio.channels.FileChannel.open(tmp,
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
