@@ -872,10 +872,16 @@ object TxLog {
     * solve — the check-then-commit window is documented, same stance as
     * Delta's txn appId/version userMetadata).
     */
-  def appendOnce(spark: SparkSession, root: String, txnId: String, df: DataFrame): Long =
+  def appendOnce(
+      spark: SparkSession,
+      root: String,
+      txnId: String,
+      df: DataFrame,
+      partitionBy: Seq[String] = Nil): Long =
     committedTxnIds(root).get(txnId) match {
       case Some(v) => v
-      case None    => commit(spark, root, df, Append, Some(txnId))
+      case None    => commit(spark, root, df, Append, Some(txnId),
+        partitionBy = partitionBy)
     }
 
   /** File-granular copy-on-write MERGE (upsert): rows of `updates`
@@ -1053,6 +1059,124 @@ object TxLog {
           if (attempts > 50)
             throw new java.io.IOException(
               s"txlog: optimize lost $attempts conflicts in a row; giving up")
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Copy-on-write DELETE: remove the rows matching `predicate`,
+    * rewriting ONLY the files that can contain one — candidates are
+    * selected at PLAN time by running the predicate's optimized
+    * conjuncts through the same zone-map + partition pruning an ordinary
+    * scan uses, so a `lang = 'x'` or key-range delete (the GDPR shape)
+    * touches its files, not the table. Untouched files carry by
+    * reference. Rows where the predicate is NULL are KEPT (Delta/ANSI
+    * DELETE semantics). The deleted rows persist as `delete`-typed
+    * change rows, so `changes(withChangeType = true)` and a changeTypes
+    * stream read straight through the rewrite. The predicate must be
+    * deterministic — it is evaluated twice (keep-set and preimages).
+    * Serializable read-modify-write like merge. Returns the committed
+    * version, or the head untouched when no file can match.
+    */
+  def delete(
+      spark: SparkSession,
+      root: String,
+      predicate: org.apache.spark.sql.Column,
+      statsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{coalesce, not}
+    var attempts = 0
+    while (true) {
+      val base = headVersion(root)
+      val r = replay(root, base)
+      if (r.entries.isEmpty) return base
+      val snap = TxLogFileIndex.read(spark, root, r)
+      val index = TxLogFileIndex.of(snap)
+      // plan-time candidate selection: take the optimized filter's
+      // conjuncts and ask the index which files could hold a match —
+      // zero jobs, zero footer reads, identical pruning to a real scan
+      val conjuncts = snap.filter(predicate).queryExecution.optimizedPlan
+        .collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            splitAnds(f.condition)
+        }.flatten
+      val partCols = index.partitionSchema.fieldNames.toSet
+      val (pf, df) = conjuncts.partition(e =>
+        e.references.nonEmpty && e.references.forall(a => partCols(a.name)))
+      index.listFiles(pf, df)
+      val candidates = index.lastListed.toSet
+      val touched = r.entries.filter(e => candidates(s"$root/${e.path}"))
+      if (touched.isEmpty) return base // provably no matching row anywhere
+      val untouched = {
+        val t = touched.map(_.path).toSet
+        r.entries.filterNot(e => t(e.path))
+      }
+      val layout = r.partitionBy.getOrElse(throw new IllegalStateException(
+        s"txlog: $root has a mixed partition layout; restore a clean version first"))
+      val old = TxLogFileIndex.read(spark, root, r.copy(entries = touched))
+      // NULL predicate ⇒ not deleted: both branches coalesce to false
+      val hit = coalesce(predicate, lit(false))
+      val cdfDir = s"txn-${java.util.UUID.randomUUID().toString.take(12)}"
+      old.filter(hit).withColumn("_change_type", lit("delete"))
+        .write.mode(SaveMode.ErrorIfExists)
+        .parquet(s"$root/_change_data/$cdfDir")
+      try {
+        return commit(spark, root, old.filter(not(hit)), Overwrite,
+          statsCols = statsCols, carry = untouched, carrySchema = r.schema,
+          expectHead = Some(base), cdf = Some(cdfDir), partitionBy = layout)
+      } catch {
+        case _: CommitConflict =>
+          attempts += 1
+          if (attempts > 50)
+            throw new java.io.IOException(
+              s"txlog: delete lost $attempts conflicts in a row; giving up")
+      }
+    }
+    -1L // unreachable
+  }
+
+  private def splitAnds(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitAnds(l) ++ splitAnds(r)
+    case other => Seq(other)
+  }
+
+  /** OPTIMIZE ZORDER: rewrite the live set clustered along the Morton
+    * curve of TWO columns, committing per-file zone maps on both — each
+    * file then covers a small rectangle of the (a, b) plane, so range
+    * predicates on EITHER column prune (a 1-D sort makes the second
+    * column's zone maps useless; see [[graft.io.ZOrder]]). The Delta
+    * `OPTIMIZE ... ZORDER BY (a, b)` command as a first-class API; q642
+    * proves the pruning shape on a manually laid-out commit, this makes
+    * the layout a one-call maintenance op. Empty-delta (cdf = "") like
+    * optimize, so subscribers read through it.
+    */
+  def optimizeZOrder(
+      spark: SparkSession,
+      root: String,
+      targetFiles: Int,
+      colA: String,
+      colB: String,
+      bits: Int = 8): Long = {
+    var attempts = 0
+    while (true) {
+      val base = headVersion(root)
+      val r = replay(root, base)
+      require(r.entries.nonEmpty, s"txlog: optimize of $root found no files")
+      val cur = TxLogFileIndex.read(spark, root, r)
+      val zv = ZOrder.zvalue(cur, colA, colB, bits)
+      val laid = cur.repartitionByRange(targetFiles, zv).sortWithinPartitions(zv)
+      try {
+        return commit(spark, root, laid, Overwrite,
+          statsCols = Seq(colA, colB), expectHead = Some(base),
+          cdf = Some(""), partitionBy = r.partitionBy.getOrElse(Nil))
+      } catch {
+        case _: CommitConflict =>
+          attempts += 1
+          if (attempts > 50)
+            throw new java.io.IOException(
+              s"txlog: optimizeZOrder lost $attempts conflicts in a row; giving up")
       }
     }
     -1L // unreachable

@@ -182,9 +182,15 @@ object GraftExtensions {
           evalLong(from, "graft_txlog_changes"), evalLong(to, "graft_txlog_changes"),
           skipRewrites = skip.eval().asInstanceOf[Boolean])
           .queryExecution.logical
+      case Seq(root, from, to, skip, typed) =>
+        graft.io.TxLog.changes(spark, evalString(root, "graft_txlog_changes"),
+          evalLong(from, "graft_txlog_changes"), evalLong(to, "graft_txlog_changes"),
+          skipRewrites = skip.eval().asInstanceOf[Boolean],
+          withChangeType = typed.eval().asInstanceOf[Boolean])
+          .queryExecution.logical
       case other =>
         throw new IllegalArgumentException(
-          s"graft_txlog_changes expects (root, from, to [, skipRewrites]), got ${other.size} arguments")
+          s"graft_txlog_changes expects (root, from, to [, skipRewrites [, withChangeType]]), got ${other.size} arguments")
     }
   }
 

@@ -2059,5 +2059,32 @@ private[graft] object Shard10 {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
         .orderBy("lang", "source")
     }),
+
+    // copy-on-write DELETE (the GDPR shape): a day-range predicate is
+    // pruned through the file index at PLAN time, so only the files
+    // whose zone maps can hold a matching row rewrite — the rest carry
+    // by reference; rows where the predicate is NULL are kept (ANSI),
+    // and the deleted rows persist as delete-typed change rows
+    // (TxLogCdfSpec proves the apply contract + the manifest diff). The
+    // oracle recomputes the survivors straight from orders, so a delete
+    // that loses a non-matching row or keeps a matching one breaks the
+    // hash
+    "q649_txlog_delete" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(expr("year(o_orderdate) = 1995 AND month(o_orderdate) <= 3"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          centsOf(col("o_totalprice")).as("v"),
+          datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+            .cast("long").as("d"))
+      val root = io.Zones.tempDir(s"graft_del_${new java.io.File(dir).getName}")
+      io.TxLog.commit(s, root, o.repartitionByRange(6, col("d")),
+        io.TxLog.Append, statsCols = Seq("d"))
+      io.TxLog.delete(s, root, col("d").between(31, 58), // drop Feb 1995
+        statsCols = Seq("d"))
+      io.TxLog.snapshot(s, root)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
+        .orderBy("o_orderpriority")
+    }),
   )
 }

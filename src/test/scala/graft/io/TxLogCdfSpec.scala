@@ -117,6 +117,60 @@ class TxLogCdfSpec extends AnyFunSuite {
     assert(TxLog.changes(spark, root, 4L, 5L, skipRewrites = true).count() === 0L)
   }
 
+  test("DELETE rewrites only candidate files, keeps NULL-predicate rows, feeds the CDF") {
+    val root = freshTable()
+    TxLog.commit(spark, root, batch(0, 1000).repartitionByRange(10, col("id")),
+      TxLog.Append, statsCols = Seq("id")) // 10 range-disjoint files
+    val before = TxLog.liveFiles(root, 1L).toSet
+    val v = TxLog.delete(spark, root, col("id").between(150, 160),
+      statsCols = Seq("id"))
+    val after = TxLog.liveFiles(root, v).toSet
+    assert(before.intersect(after).size === 9,
+      "a key-range delete must rewrite exactly the one candidate file")
+    assert(TxLog.snapshot(spark, root).count() === 989L)
+    assert(TxLog.snapshot(spark, root)
+      .filter(col("id").between(150, 160)).count() === 0L)
+    // the deleted rows flow through the typed change feed...
+    val delta = TxLog.changes(spark, root, 1L, v, withChangeType = true)
+    val deleted = delta.filter(col("_change_type") === "delete")
+    assert(deleted.count() === 11L)
+    // ...and applying them reconstructs the post-delete snapshot
+    val applied = TxLog.snapshot(spark, root, Some(1L))
+      .join(deleted.select("id"), Seq("id"), "left_anti")
+    assert(applied.exceptAll(TxLog.snapshot(spark, root, Some(v))).count() === 0L)
+    // a provably-no-match delete is a pure no-op: no commit, same head
+    assert(TxLog.delete(spark, root, col("id") === 99999L) === v)
+    assert(TxLog.headVersion(root) === v)
+    // NULL predicate means NOT deleted (ANSI/Delta DELETE semantics)
+    import spark.implicits._
+    val root2 = freshTable()
+    TxLog.append(spark, root2,
+      Seq((1L, Some(5L)), (2L, None), (3L, Some(9L))).toDF("id", "x"))
+    TxLog.delete(spark, root2, col("x") > 4)
+    assert(TxLog.snapshot(spark, root2).select("id")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("optimizeZOrder re-clusters so range reads on BOTH columns prune") {
+    import spark.implicits._
+    val root = freshTable()
+    val grid = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong, x * 64L + y)).toDF("x", "y", "p")
+    TxLog.append(spark, root, grid.repartition(4)) // unclustered, stats-free
+    TxLog.optimizeZOrder(spark, root, targetFiles = 16, "x", "y", bits = 6)
+    val q = TxLog.snapshot(spark, root)
+      .filter(col("x").between(10, 15) && col("y").between(20, 25))
+    assert(q.count() === 36L)
+    assert(TxLogFileIndex.of(q).lastListed.size < 16,
+      "rectangle read must prune z-ordered files")
+    val qy = TxLog.snapshot(spark, root).filter(col("y").between(0, 3))
+    qy.count()
+    assert(TxLogFileIndex.of(qy).lastListed.size < 16,
+      "the SECOND column's predicate must prune after ZORDER — a 1-D sort can't")
+    // content-preserving: the change feed reads through it
+    assert(TxLog.changes(spark, root, 1L, TxLog.headVersion(root)).count() === 0L)
+  }
+
   test("vacuum keeps referenced change data, collects aged unreferenced residue") {
     val root = freshTable()
     TxLog.commit(spark, root, batch(0, 100).repartitionByRange(4, col("id")),

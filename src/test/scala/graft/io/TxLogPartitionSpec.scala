@@ -107,6 +107,25 @@ class TxLogPartitionSpec extends AnyFunSuite {
     assert(TxLog.snapshot(spark, root, Some(1L)).count() === 40L)
   }
 
+  test("DELETE on a partition predicate touches only that partition's files") {
+    val root = freshTable()
+    TxLog.commit(spark, root, corpus(200), TxLog.Append,
+      statsCols = Seq("id"), partitionBy = Seq("lang"))
+    val before = TxLog.liveFiles(root, 1L).toSet
+    val v = TxLog.delete(spark, root, col("lang") === "en")
+    val after = TxLog.liveFiles(root, v).toSet
+    assert(before.intersect(after) === before.filterNot(_.contains("lang=en")),
+      "every non-en file must carry by reference; every en file must go")
+    assert(TxLog.snapshot(spark, root).filter(col("lang") === "en").count() === 0L)
+    assert(TxLog.snapshot(spark, root).count() === 150L)
+    // the 50 deleted rows are typed change rows with their lang restored
+    val deleted = TxLog.changes(spark, root, 1L, v, withChangeType = true)
+      .filter(col("_change_type") === "delete")
+    assert(deleted.count() === 50L)
+    assert(deleted.select("lang").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("en"))
+  }
+
   test("the change feed restores partition values for partitioned appends and merges") {
     import spark.implicits._
     val root = freshTable()
