@@ -1510,25 +1510,36 @@ object TxLog {
     dirs.foreach { d =>
       if (inflight.contains(d.getFileName.toString)) ()
       else {
-      val files = {
-        val it = Files.list(d)
-        try it.iterator().asScala.toList finally it.close()
+      // recursive walk: a partitioned commit nests its files under k=v
+      // subdirs, so a flat listing would try to delete non-empty dirs
+      val all = {
+        val w = Files.walk(d)
+        try w.iterator().asScala.filter(p => Files.isRegularFile(p)).toList
+        finally w.close()
       }
-      files.foreach { f =>
-        val canonical = s"$root/data/${d.getFileName}/${f.getFileName}"
-        if (f.getFileName.toString.endsWith(".parquet") && !keep.contains(canonical)) {
-          Files.delete(f); deleted += 1
-        } else if (!f.getFileName.toString.endsWith(".parquet") &&
-                   !files.exists(g => keep.contains(s"$root/data/${d.getFileName}/${g.getFileName}"))) {
-          // write markers (_SUCCESS, .crc) go with their dir when nothing in it is kept
+      def canonical(f: Path) = s"$root/data/${d.getFileName}/${d.relativize(f)}"
+      val anyKept = all.exists(f => keep.contains(canonical(f)))
+      all.foreach { f =>
+        if (f.getFileName.toString.endsWith(".parquet")) {
+          if (!keep.contains(canonical(f))) { Files.delete(f); deleted += 1 }
+        } else if (!anyKept) {
+          // write markers (_SUCCESS, .crc) go when nothing in the dir is kept
           Files.delete(f)
         }
       }
-      val remaining = {
-        val it = Files.list(d)
-        try it.iterator().asScala.toList finally it.close()
+      // drop now-empty dirs bottom-up (deepest first)
+      val subdirs = {
+        val w = Files.walk(d)
+        try w.iterator().asScala.filter(p => Files.isDirectory(p)).toList
+        finally w.close()
       }
-      if (remaining.isEmpty) Files.delete(d)
+      subdirs.sortBy(-_.getNameCount).foreach { sd =>
+        val empty = {
+          val it = Files.list(sd)
+          try !it.iterator().hasNext finally it.close()
+        }
+        if (empty) try Files.delete(sd) catch { case _: Throwable => () }
+      }
       }
     }
     // GC change-data dirs no retained changes() read can reference. A

@@ -126,6 +126,22 @@ class TxLogPartitionSpec extends AnyFunSuite {
       .map(_.getString(0)).toSeq === Seq("en"))
   }
 
+  test("vacuum collects a partitioned table's dropped files without touching the head") {
+    val root = freshTable()
+    TxLog.commit(spark, root, corpus(100), TxLog.Append,
+      statsCols = Seq("id"), partitionBy = Seq("lang")) // v1
+    TxLog.commit(spark, root, corpus(20), TxLog.Overwrite,
+      statsCols = Seq("id"), partitionBy = Seq("lang")) // v2
+    // retain-head: v1's nested k=v files are collectable; the flat
+    // listing of round 8 would crash on the non-empty partition dirs
+    val deleted = TxLog.vacuum(root, retainFrom = 2L)
+    assert(deleted >= 1, "the overwritten partitioned files must collect")
+    assert(TxLog.snapshot(spark, root).count() === 20L)
+    assert(TxLog.snapshot(spark, root).filter(col("lang") === "en").count() === 5L)
+    // full-retention vacuum stays a no-op
+    assert(TxLog.vacuum(root) === 0)
+  }
+
   test("the change feed restores partition values for partitioned appends and merges") {
     import spark.implicits._
     val root = freshTable()
