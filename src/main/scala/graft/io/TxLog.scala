@@ -1142,6 +1142,85 @@ object TxLog {
     case other => Seq(other)
   }
 
+  /** Copy-on-write UPDATE: apply the SET assignments to the rows
+    * matching `predicate`, rewriting only the files that can contain a
+    * match (same plan-time candidate selection as [[delete]]). SQL
+    * UPDATE semantics throughout: every SET right-hand side evaluates
+    * against the OLD row (so `SET a = b, b = a` swaps), a NULL predicate
+    * leaves the row untouched, and assignments must target existing
+    * columns (evolution goes through merge). Pre/post images persist as
+    * change rows, so the typed CDF reads through the rewrite. Rows of a
+    * touched file that don't match are rewritten verbatim. Updating a
+    * hive partition column is fine — the rewrite re-lands each row in
+    * its new k=v dir. Returns the committed version, or the head
+    * untouched when no file can match.
+    */
+  def update(
+      spark: SparkSession,
+      root: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      statsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{coalesce, when}
+    require(set.nonEmpty, "txlog: UPDATE needs at least one SET assignment")
+    var attempts = 0
+    while (true) {
+      val base = headVersion(root)
+      val r = replay(root, base)
+      if (r.entries.isEmpty) return base
+      val snap = TxLogFileIndex.read(spark, root, r)
+      val index = TxLogFileIndex.of(snap)
+      val conjuncts = snap.filter(predicate).queryExecution.optimizedPlan
+        .collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            splitAnds(f.condition)
+        }.flatten
+      val partCols = index.partitionSchema.fieldNames.toSet
+      val (pf, df) = conjuncts.partition(e =>
+        e.references.nonEmpty && e.references.forall(a => partCols(a.name)))
+      index.listFiles(pf, df)
+      val candidates = index.lastListed.toSet
+      val touched = r.entries.filter(e => candidates(s"$root/${e.path}"))
+      if (touched.isEmpty) return base
+      val untouched = {
+        val t = touched.map(_.path).toSet
+        r.entries.filterNot(e => t(e.path))
+      }
+      val layout = r.partitionBy.getOrElse(throw new IllegalStateException(
+        s"txlog: $root has a mixed partition layout; restore a clean version first"))
+      val old = TxLogFileIndex.read(spark, root, r.copy(entries = touched))
+      val unknown = set.keySet -- old.columns.toSet
+      require(unknown.isEmpty,
+        s"txlog: UPDATE SET targets unknown columns ${unknown.mkString(", ")}")
+      // materialize the hit flag FIRST so every assignment and both
+      // change images evaluate against the old row, even when the
+      // predicate or a RHS references a column another assignment changes
+      val flagged = old.withColumn("__hit", coalesce(predicate, lit(false)))
+      val newCols = old.columns.toSeq.map(c => set.get(c)
+        .map(e => when(col("__hit"), e).otherwise(col(c)).as(c))
+        .getOrElse(col(c)))
+      val cdfDir = s"txn-${java.util.UUID.randomUUID().toString.take(12)}"
+      flagged.filter(col("__hit")).drop("__hit")
+        .withColumn("_change_type", lit("update_preimage"))
+        .unionByName(flagged.filter(col("__hit")).select(newCols: _*)
+          .withColumn("_change_type", lit("update_postimage")))
+        .write.mode(SaveMode.ErrorIfExists)
+        .parquet(s"$root/_change_data/$cdfDir")
+      try {
+        return commit(spark, root, flagged.select(newCols: _*), Overwrite,
+          statsCols = statsCols, carry = untouched, carrySchema = r.schema,
+          expectHead = Some(base), cdf = Some(cdfDir), partitionBy = layout)
+      } catch {
+        case _: CommitConflict =>
+          attempts += 1
+          if (attempts > 50)
+            throw new java.io.IOException(
+              s"txlog: update lost $attempts conflicts in a row; giving up")
+      }
+    }
+    -1L // unreachable
+  }
+
   /** OPTIMIZE ZORDER: rewrite the live set clustered along the Morton
     * curve of TWO columns, committing per-file zone maps on both — each
     * file then covers a small rectangle of the (a, b) plane, so range

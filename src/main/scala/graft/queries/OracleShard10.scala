@@ -1255,6 +1255,17 @@ private[graft] object OracleShard10 {
         |       CAST(sum(v) AS BIGINT) AS cents
         |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q650_txlog_update" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) *
+        |                  CASE WHEN date_diff('day', DATE '1995-01-01', o_orderdate)
+        |                            BETWEEN 31 AND 58 THEN 3 ELSE 1 END AS v
+        |           FROM orders
+        |           WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 3)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(v) AS BIGINT) AS cents
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q636_media_decode" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |       CAST(CASE WHEN doc_id % 2 = 0 THEN 54

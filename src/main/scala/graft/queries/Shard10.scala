@@ -2086,5 +2086,30 @@ private[graft] object Shard10 {
         .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
         .orderBy("o_orderpriority")
     }),
+
+    // copy-on-write UPDATE: a day-range SET (triple February's cents)
+    // rewrites only the files whose zone maps can hold a match, every
+    // SET right-hand side evaluating against the OLD row (TxLogCdfSpec
+    // pins swap semantics + the manifest diff + the typed pre/post
+    // images). The oracle recomputes the post-update table from orders,
+    // so an update that touches a non-matching row, misses a matching
+    // one, or reads its RHS post-assignment breaks the hash
+    "q650_txlog_update" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(expr("year(o_orderdate) = 1995 AND month(o_orderdate) <= 3"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          centsOf(col("o_totalprice")).as("v"),
+          datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+            .cast("long").as("d"))
+      val root = io.Zones.tempDir(s"graft_upd_${new java.io.File(dir).getName}")
+      io.TxLog.commit(s, root, o.repartitionByRange(6, col("d")),
+        io.TxLog.Append, statsCols = Seq("d"))
+      io.TxLog.update(s, root, col("d").between(31, 58), // Feb 1995
+        Map("v" -> col("v") * 3), statsCols = Seq("d"))
+      io.TxLog.snapshot(s, root)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
+        .orderBy("o_orderpriority")
+    }),
   )
 }

@@ -151,6 +151,43 @@ class TxLogCdfSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("UPDATE evaluates SET against the OLD row, touches only candidates, feeds the CDF") {
+    import spark.implicits._
+    val root = freshTable()
+    TxLog.commit(spark, root,
+      (0 until 1000).map(i => (i.toLong, i.toLong * 10, i.toLong * 100))
+        .toDF("id", "a", "b").repartitionByRange(10, col("id")),
+      TxLog.Append, statsCols = Seq("id"))
+    val before = TxLog.liveFiles(root, 1L).toSet
+    // swap semantics: both RHS see the OLD row
+    val v = TxLog.update(spark, root, col("id").between(150, 152),
+      Map("a" -> col("b"), "b" -> col("a")), statsCols = Seq("id"))
+    val after = TxLog.liveFiles(root, v).toSet
+    assert(before.intersect(after).size === 9,
+      "a key-range update must rewrite exactly the one candidate file")
+    val m = TxLog.snapshot(spark, root).filter(col("id").between(149, 153))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(150L) === (15000L, 1500L) && m(152L) === (15200L, 1520L),
+      s"SET a = b, b = a must swap using OLD values: $m")
+    assert(m(149L) === (1490L, 14900L) && m(153L) === (1530L, 15300L),
+      "non-matching rows in a touched file rewrite verbatim")
+    assert(TxLog.snapshot(spark, root).count() === 1000L)
+    // pre/post images flow typed, and applying them reconstructs v
+    val delta = TxLog.changes(spark, root, 1L, v, withChangeType = true)
+    val post = delta.filter(col("_change_type") === "update_postimage")
+    assert(post.count() === 3L)
+    val applied = TxLog.snapshot(spark, root, Some(1L))
+      .join(post.select("id"), Seq("id"), "left_anti")
+      .unionByName(post.select("id", "a", "b"))
+    assert(applied.exceptAll(TxLog.snapshot(spark, root, Some(v))).count() === 0L)
+    // unknown SET column refuses; no-candidate update is a no-op
+    intercept[IllegalArgumentException] {
+      TxLog.update(spark, root, col("id") === 1L, Map("nope" -> lit(1)))
+    }
+    assert(TxLog.update(spark, root, col("id") === 99999L,
+      Map("a" -> lit(0L))) === v)
+  }
+
   test("optimizeZOrder re-clusters so range reads on BOTH columns prune") {
     import spark.implicits._
     val root = freshTable()
