@@ -67,7 +67,8 @@ object TxLog {
       version: Long,
       action: String,
       files: Seq[String],
-      cdf: Option[String] = None)
+      cdf: Option[String] = None,
+      ts: Option[Long] = None)
 
   /** Per-file, per-column zone map carried by a manifest entry: min/max
     * of each stats column for data skipping (the Delta/Iceberg per-file
@@ -253,6 +254,30 @@ object TxLog {
     }
   }
 
+  /** The long-valued image of a column for its zone map, chosen so it
+    * EQUALS the Catalyst-internal value a pushed-down literal of that
+    * type carries — the file index then compares apples to apples with
+    * no reader-side conversion: integral → the value itself, date → days
+    * since epoch (a DateType literal IS an Int day count), timestamp →
+    * microseconds since epoch (a TimestampType literal IS a Long micros
+    * instant, timezone-independent). `o_orderdate BETWEEN date'..' AND
+    * date'..'` — the fact-table predicate shape — pruned nothing while
+    * zone maps were integral-only.
+    */
+  private def zoneMapExpr(
+      c: String,
+      dt: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{datediff, to_date, unix_micros}
+    dt match {
+      case _ if isIntegral(dt) => Some(col(c).cast("long"))
+      case DateType => Some(datediff(col(c), to_date(lit("1970-01-01"))).cast("long"))
+      case TimestampType => Some(unix_micros(col(c)))
+      case _ => None
+    }
+  }
+
   /** The recorded schema is normalized deep-nullable: parquet reads
     * surface every column nullable, and the recorded schema must match
     * what a reader would have inferred.
@@ -291,6 +316,9 @@ object TxLog {
   // dir name = change rows persisted under _change_data/<dir> (merge);
   // absent = delta unknown (plain overwrite, restore, legacy manifests)
   private val cdfField: Regex = """"cdf":"([^"]*)"""".r
+  // commit wall-clock, for TIMESTAMP AS OF / DESCRIBE HISTORY (absent in
+  // pre-round-9 manifests)
+  private val tsField: Regex = """"ts":(\d+)""".r
   // hive-style partition spec of the commit's files (data lands under
   // k=v dirs and the partition columns are NOT in the data files);
   // absent/empty = unpartitioned
@@ -439,7 +467,8 @@ object TxLog {
       .map(_.group(1))
       .getOrElse(throw new java.io.IOException(s"txlog: bad manifest v$v"))
     Manifest(v, action, parseEntries(txt).map(_.path),
-      cdfField.findFirstMatchIn(txt).map(_.group(1)))
+      cdfField.findFirstMatchIn(txt).map(_.group(1)),
+      tsField.findFirstMatchIn(txt).map(_.group(1).toLong))
   }
 
   /** Newest checkpoint ≤ `upTo`, probed by existence: checkpoints land
@@ -666,16 +695,20 @@ object TxLog {
     // string columns — proportional to the commit, never to the table,
     // and never one-job-per-file
     val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    val intCols = statsCols.filter(c => byName.get(c).exists(isIntegral))
+    // long-valued zone maps: integral columns, plus date/timestamp via
+    // their Catalyst-internal day/micros image (see zoneMapExpr)
+    val intCols: Seq[(String, org.apache.spark.sql.Column)] =
+      statsCols.flatMap(c => byName.get(c).flatMap(dt => zoneMapExpr(c, dt))
+        .map(e => c -> e))
     val strCols = statsCols.filter(c =>
       byName.get(c).contains(org.apache.spark.sql.types.StringType))
     val (fileStats: Map[String, ColStats], fileStrStats: Map[String, StrColStats]) =
       if ((intCols.isEmpty && strCols.isEmpty) || written.isEmpty)
         (Map.empty[String, ColStats], Map.empty[String, StrColStats])
       else {
-        val aggs = intCols.flatMap(c => Seq(
-          min(col(c).cast("long")).as(s"lo_$c"),
-          max(col(c).cast("long")).as(s"hi_$c"))) ++
+        val aggs = intCols.flatMap { case (c, e) => Seq(
+          min(e).as(s"lo_$c"),
+          max(e).as(s"hi_$c")) } ++
           strCols.flatMap(c => Seq(
             min(col(c)).as(s"slo_$c"),
             max(col(c)).as(s"shi_$c")))
@@ -696,7 +729,7 @@ object TxLog {
           s"data/txn-$txn/${dataDirAbs.relativize(p)}"
         }
         val ints = rows.map { r =>
-          val cs: ColStats = intCols.flatMap { c =>
+          val cs: ColStats = intCols.flatMap { case (c, _) =>
             val lo = r.getAs[Any](s"lo_$c"); val hi = r.getAs[Any](s"hi_$c")
             if (lo == null || hi == null) None // all-null file: no stats
             else Some(c -> (lo.asInstanceOf[Long], hi.asInstanceOf[Long]))
@@ -769,7 +802,7 @@ object TxLog {
       val schemaPart = recorded
         .map(s => s""","schemaB64":"${schemaToB64(s)}"""").getOrElse("")
       val body = entries.mkString(
-        s"""{"version":$next,"fmt":${manifestFmt(entries, partitionBy)},"action":"${action.name}"$txnPart$cdfPart$partPart$schemaPart,"files":[""", ",", "]}")
+        s"""{"version":$next,"fmt":${manifestFmt(entries, partitionBy)},"ts":${System.currentTimeMillis()},"action":"${action.name}"$txnPart$cdfPart$partPart$schemaPart,"files":[""", ",", "]}")
       val tmp = logDir(root).resolve(s".tmp-$txn-$attempt")
       val ch = java.nio.channels.FileChannel.open(tmp,
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
@@ -1490,8 +1523,29 @@ object TxLog {
     import spark.implicits._
     versions(root).map { v =>
       val m = readManifest(root, v)
-      (m.version, m.action, m.files.size.toLong)
-    }.toDF("version", "action", "n_files")
+      (m.version, m.action, m.files.size.toLong, m.ts.getOrElse(0L))
+    }.toDF("version", "action", "n_files", "commit_ts")
+  }
+
+  /** TIMESTAMP AS OF: the snapshot at the newest version whose commit
+    * timestamp is ≤ `tsMillis` — resolved by binary search over the
+    * dense version range, O(log V) manifest reads (commit timestamps are
+    * monotone up to clock skew between writers, the Delta caveat; a
+    * pre-round-9 manifest without a timestamp reads as 0 = always
+    * eligible). Refuses a timestamp before the first commit.
+    */
+  def snapshotAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame = {
+    val head = headVersion(root)
+    require(head >= 1, s"txlog: $root has no committed version yet")
+    def ts(v: Long): Long = readManifest(root, v).ts.getOrElse(0L)
+    require(ts(1L) <= tsMillis,
+      s"txlog: no version of $root exists at or before timestamp $tsMillis")
+    var lo = 1L; var hi = head
+    while (lo < hi) { // invariant: ts(lo) <= tsMillis
+      val mid = lo + (hi - lo + 1) / 2
+      if (ts(mid) <= tsMillis) lo = mid else hi = mid - 1
+    }
+    snapshot(spark, root, Some(lo))
   }
 
   /** Garbage-collect data files no snapshot ≥ `retainFrom` can reach:

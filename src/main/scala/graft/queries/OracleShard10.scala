@@ -1266,6 +1266,15 @@ private[graft] object OracleShard10 {
         |       CAST(sum(v) AS BIGINT) AS cents
         |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q651_txlog_date_skipping" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |           FROM orders
+        |           WHERE o_orderdate BETWEEN DATE '1995-02-01' AND DATE '1995-02-28')
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(v) AS BIGINT) AS cents
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q636_media_decode" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |       CAST(CASE WHEN doc_id % 2 = 0 THEN 54

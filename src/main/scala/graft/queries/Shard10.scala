@@ -2111,5 +2111,30 @@ private[graft] object Shard10 {
         .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
         .orderBy("o_orderpriority")
     }),
+
+    // DATE zone maps: the table is range-laid on o_orderdate itself and a
+    // date-LITERAL between — the fact-table predicate shape, no derived
+    // day-offset column — prunes at plan time via the date's
+    // Catalyst-internal day image (round 8 zone-mapped only integral
+    // columns, so this shape read everything). TxLogScaleSpec asserts the
+    // pruned file set for date and timestamp; the oracle recomputes
+    // February from orders, so a day-image off-by-one (epoch, timezone)
+    // breaks the hash
+    "q651_txlog_date_skipping" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(expr("year(o_orderdate) = 1995 AND month(o_orderdate) <= 3"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          centsOf(col("o_totalprice")).as("v"), col("o_orderdate"))
+      val root = io.Zones.tempDir(s"graft_date_${new java.io.File(dir).getName}")
+      io.TxLog.commit(s, root, o.repartitionByRange(6, col("o_orderdate")),
+        io.TxLog.Append, statsCols = Seq("o_orderdate"))
+      io.TxLog.snapshot(s, root)
+        .filter(col("o_orderdate").between(
+          lit(java.sql.Date.valueOf("1995-02-01")),
+          lit(java.sql.Date.valueOf("1995-02-28"))))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
+        .orderBy("o_orderpriority")
+    }),
   )
 }

@@ -484,6 +484,57 @@ class TxLogScaleSpec extends AnyFunSuite {
     assert(TxLog.dirLists.get() === 0L)
   }
 
+  test("date and timestamp columns carry zone maps in their Catalyst-internal image") {
+    import spark.implicits._
+    val root = freshTable()
+    val rows = (0 until 90).map { i =>
+      (i.toLong,
+        java.sql.Date.valueOf(java.time.LocalDate.of(1995, 1, 1).plusDays(i)),
+        java.sql.Timestamp.from(
+          java.time.Instant.parse("1995-01-01T00:00:00Z").plusSeconds(i * 86400L)))
+    }.toDF("id", "dt", "ts")
+    (0 until 3).foreach(m => TxLog.commit(spark, root,
+      rows.filter(col("id").between(m * 30, m * 30 + 29)).coalesce(1),
+      TxLog.Append, statsCols = Seq("dt", "ts")))
+    // a date-literal range — the fact-table predicate shape — prunes to
+    // the one file whose day range can match
+    val q = TxLog.snapshot(spark, root).filter(col("dt").between(
+      lit(java.sql.Date.valueOf("1995-02-01")),
+      lit(java.sql.Date.valueOf("1995-02-10"))))
+    assert(q.count() === 10L)
+    assert(TxLogFileIndex.of(q).lastListed.size === 1,
+      "date zone maps must isolate the one covering file")
+    // a timestamp lower bound prunes files entirely below it
+    val q2 = TxLog.snapshot(spark, root).filter(col("ts") >= lit(
+      java.sql.Timestamp.from(java.time.Instant.parse("1995-03-05T00:00:00Z"))))
+    assert(q2.count() === 27L)
+    assert(TxLogFileIndex.of(q2).lastListed.size === 1,
+      "timestamp zone maps must drop files ending before the bound")
+  }
+
+  test("TIMESTAMP AS OF resolves by commit time in O(log V) manifest reads") {
+    val root = freshTable()
+    (0 until 12).foreach(k => TxLog.append(spark, root, batch(k * 5, k * 5 + 5)))
+    val hist = TxLog.history(spark, root).orderBy("version").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("commit_ts")).toMap
+    assert(hist.values.forall(_ > 0L), "every commit must record its timestamp")
+    // pick a version whose successor committed in a LATER millisecond, so
+    // the boundary is unambiguous (parquet commits take ≫1 ms, but don't
+    // bet a test on it)
+    val v = (1L to 11L).find(v => hist(v + 1) > hist(v)).get
+    assert(TxLog.snapshotAsOf(spark, root, hist(v)).count() === v * 5)
+    assert(TxLog.snapshotAsOf(spark, root, System.currentTimeMillis())
+      .count() === 60L)
+    intercept[IllegalArgumentException] {
+      TxLog.snapshotAsOf(spark, root, hist(1L) - 1)
+    }
+    // binary search, not a per-version scan
+    TxLog.manifestReads.set(0L)
+    TxLog.snapshotAsOf(spark, root, hist(v)).count()
+    assert(TxLog.manifestReads.get() <= 6 + TxLog.CheckpointEvery + 1,
+      s"asOf read ${TxLog.manifestReads.get()} manifests; want ~log2(12) + one replay")
+  }
+
   test("vacuum clamps the retention horizon to the head: current files always survive") {
     val root = freshTable()
     TxLog.append(spark, root, batch(0, 5))      // v1
