@@ -126,6 +126,19 @@ class TxLogPartitionSpec extends AnyFunSuite {
       .map(_.getString(0)).toSeq === Seq("en"))
   }
 
+  test("appendOnce lands partitioned and replays idempotently") {
+    val root = freshTable()
+    TxLog.appendOnce(spark, root, "mb#0", corpus(40), partitionBy = Seq("lang"))
+    // the replayed microbatch no-ops; the landed one is really partitioned
+    assert(TxLog.appendOnce(spark, root, "mb#0", corpus(40),
+      partitionBy = Seq("lang")) === 1L)
+    assert(TxLog.headVersion(root) === 1L)
+    assert(TxLog.replay(root, 1L).partitionBy === Some(Seq("lang")))
+    val q = TxLog.snapshot(spark, root).filter(col("lang") === "de")
+    assert(q.count() === 10L)
+    assert(TxLogFileIndex.of(q).lastListed.forall(_.contains("lang=de")))
+  }
+
   test("vacuum collects a partitioned table's dropped files without touching the head") {
     val root = freshTable()
     TxLog.commit(spark, root, corpus(100), TxLog.Append,
