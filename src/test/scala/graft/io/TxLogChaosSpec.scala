@@ -11,13 +11,14 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
 /** Mixed-workload concurrency: appenders, idempotent appenders, mergers,
-  * an OPTIMIZE, and vacuums all race on one table — then every invariant
-  * the log promises is checked at once. This is the composition test the
-  * per-feature specs can't give: in-flight markers must protect racing
-  * commit windows from the vacuums, merges must serialize against
-  * appends AND each other, checkpoints written mid-race must carry
-  * consistent entries/schema/txns, and the final replay must account for
-  * every row exactly once.
+  * an OPTIMIZE, a DELETE, an UPDATE, a COMPACT, and vacuums all race on
+  * one table — then every invariant the log promises is checked at once.
+  * This is the composition test the per-feature specs can't give:
+  * in-flight markers must protect racing commit windows from the
+  * vacuums, every read-modify-write (merge/delete/update/optimize/
+  * compact) must serialize against appends AND each other, checkpoints
+  * written mid-race must carry consistent entries/schema/txns, and the
+  * final replay must account for every row exactly once.
   */
 class TxLogChaosSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -30,7 +31,8 @@ class TxLogChaosSpec extends AnyFunSuite {
   test("appends, idempotent appends, merges, optimize, and vacuum race without loss") {
     val root = Zones.tempDir("txlog_chaos")
     TxLog.append(spark, root, rows("seed", 0, 10)) // v1
-    val pool = Executors.newFixedThreadPool(10)
+    TxLog.append(spark, root, rows("del", 0, 5))   // v2: the delete's prey
+    val pool = Executors.newFixedThreadPool(12)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val work: Seq[Future[Any]] =
@@ -49,8 +51,16 @@ class TxLogChaosSpec extends AnyFunSuite {
             Seq((s"seed-$k", s"UPD-$k"), (s"new-$k", s"INS-$k"))
               .toDF("id", "payload"), "id"))
         } ++
-        // an OPTIMIZE (whole-table rewrite racing everything)
-        Seq(Future(TxLog.optimize(spark, root, targetFiles = 2))) ++
+        Seq(
+          // an OPTIMIZE (whole-table rewrite racing everything)
+          Future(TxLog.optimize(spark, root, targetFiles = 2)),
+          // a copy-on-write DELETE of the pre-seeded prey rows
+          Future(TxLog.delete(spark, root, col("id").startsWith("del-"))),
+          // a copy-on-write UPDATE of one seed row nobody else touches
+          Future(TxLog.update(spark, root, col("id") === "seed-5",
+            Map("payload" -> lit("UPDATED-5")))),
+          // a file-selective compact (content-preserving by contract)
+          Future(TxLog.compact(spark, root))) ++
         // 2 vacuums mid-race (in-flight markers must protect open windows)
         (0 until 2).map(_ => Future(TxLog.vacuum(root)))
       Await.result(Future.sequence(work), 600.seconds)
@@ -61,11 +71,14 @@ class TxLogChaosSpec extends AnyFunSuite {
     assert(vs === (1L to vs.last), s"version chain has gaps: $vs")
     assert(TxLog.history(spark, root).count() === vs.last)
 
-    // exact row accounting: 10 seed (2 possibly updated) + 40 appended
-    // + 10 idempotent (NOT 20) + 2 merge inserts
+    // exact row accounting: 10 seed (2 merged, 1 updated) + 5 prey rows
+    // DELETED + 40 appended + 10 idempotent (NOT 20) + 2 merge inserts
     val now = TxLog.snapshot(spark, root)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(now.size === 62, s"expected 62 rows, got ${now.size}")
+    (0 until 5).foreach(i =>
+      assert(!now.contains(s"del-$i"), s"deleted row del-$i resurrected"))
+    assert(now("seed-5") === "UPDATED-5", "racing update lost")
     (0 until 4).foreach(k => (0 until 10).foreach(i =>
       assert(now.contains(s"app$k-$i"), s"lost append row app$k-$i")))
     (0 until 2).foreach(k => (0 until 5).foreach(i =>

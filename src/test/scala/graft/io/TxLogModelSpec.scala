@@ -8,12 +8,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
 /** Model-based check: a seeded random program of append / overwrite /
-  * merge / optimize / restore / vacuum runs against BOTH the real log
-  * and a trivial in-memory reference model (a Map and a version-indexed
-  * history). After every operation the table must equal the model, and
-  * at the end every historical version must equal the model's history —
-  * the whole API surface composed in random orders, not the
-  * hand-picked orders the per-feature specs use.
+  * merge / delete / update / optimize / compact / restore / vacuum runs
+  * against BOTH the real log and a trivial in-memory reference model (a
+  * Map and a version-indexed history). After every operation the table
+  * must equal the model, and at the end every historical version must
+  * equal the model's history — the whole API surface composed in random
+  * orders, not the hand-picked orders the per-feature specs use.
   */
 class TxLogModelSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -27,7 +27,7 @@ class TxLogModelSpec extends AnyFunSuite {
     TxLog.snapshot(spark, root, v).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
 
-  test("random append/overwrite/merge/optimize/restore/vacuum programs match the model") {
+  test("random append/overwrite/merge/delete/update/optimize/compact/restore/vacuum programs match the model") {
     val rnd = new Random(20260815L)
     val root = Zones.tempDir("txlog_model")
 
@@ -41,8 +41,8 @@ class TxLogModelSpec extends AnyFunSuite {
       val ks = nextKey until (nextKey + n); nextKey += n; ks
     }
 
-    (1 to 30).foreach { step =>
-      rnd.nextInt(6) match {
+    (1 to 40).foreach { step =>
+      rnd.nextInt(9) match {
         case 0 => // append disjoint fresh rows
           val rows = freshKeys(1 + rnd.nextInt(4)).map(k => k -> s"a$step-$k").toMap
           val v = TxLog.append(spark, root, toDf(rows))
@@ -71,6 +71,29 @@ class TxLogModelSpec extends AnyFunSuite {
           history += (v -> model)
         case 5 => // full-retention vacuum: must never change any state
           TxLog.vacuum(root)
+        case 6 => // delete a random key range (possibly matching nothing)
+          val keys = model.keys.toSeq.sorted
+          val lo = keys(rnd.nextInt(keys.size))
+          val hi = lo + rnd.nextInt(5)
+          val surviving = model.filterNot { case (k, _) => k >= lo && k <= hi }
+          if (surviving.nonEmpty) { // an empty table has no snapshot to compare
+            val v = TxLog.delete(spark, root, col("id").between(lo, hi))
+            model = surviving
+            // a provably-no-match delete commits nothing
+            if (!history.contains(v)) history += (v -> model)
+          }
+        case 7 => // update up to 2 existing keys in place
+          val targets = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(2))
+          val v = TxLog.update(spark, root,
+            col("id").isin(targets: _*),
+            Map("payload" -> concat(col("payload"), lit(s"+u$step"))))
+          model = model.map { case (k, p) =>
+            k -> (if (targets.contains(k)) s"$p+u$step" else p)
+          }
+          if (!history.contains(v)) history += (v -> model)
+        case 8 => // compact: content-neutral small-file rewrite
+          val v = TxLog.compact(spark, root)
+          if (!history.contains(v)) history += (v -> model)
       }
       assert(tableState(root) === model, s"state diverged after step $step")
     }
