@@ -1527,6 +1527,21 @@ object TxLog {
     }.toDF("version", "action", "n_files", "commit_ts")
   }
 
+  /** One-row table summary — the DESCRIBE DETAIL surface: head version,
+    * live file count, manifest-carried total bytes, the declared
+    * partition layout, and the recorded column count (zero jobs — every
+    * number comes from the checkpoint-bounded replay).
+    */
+  def detail(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val head = headVersion(root)
+    val r = replay(root, head)
+    Seq((head, r.entries.size.toLong, r.entries.flatMap(_.bytes).sum,
+      r.partitionBy.map(_.mkString(",")).getOrElse("MIXED"),
+      r.schema.map(_.fields.length.toLong).getOrElse(-1L)))
+      .toDF("version", "n_files", "total_bytes", "partition_by", "n_columns")
+  }
+
   /** TIMESTAMP AS OF: the snapshot at the newest version whose commit
     * timestamp is ≤ `tsMillis` — resolved by binary search over the
     * dense version range, O(log V) manifest reads (commit timestamps are

@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.txlogTableFunction)
     ext.injectTableFunction(GraftExtensions.txlogChangesFunction)
     ext.injectTableFunction(GraftExtensions.txlogHistoryFunction)
+    ext.injectTableFunction(GraftExtensions.txlogDetailFunction)
   }
 }
 
@@ -156,12 +157,18 @@ object GraftExtensions {
       case Seq(root) =>
         graft.io.TxLog.snapshot(spark, evalString(root, "graft_txlog"))
           .queryExecution.logical
+      case Seq(root, v) if v.dataType ==
+          org.apache.spark.sql.types.TimestampType =>
+        // TIMESTAMP AS OF: a TimestampType literal evaluates to its
+        // Catalyst-internal micros instant
+        graft.io.TxLog.snapshotAsOf(spark, evalString(root, "graft_txlog"),
+          evalLong(v, "graft_txlog") / 1000L).queryExecution.logical
       case Seq(root, v) =>
         graft.io.TxLog.snapshot(spark, evalString(root, "graft_txlog"),
           Some(evalLong(v, "graft_txlog"))).queryExecution.logical
       case other =>
         throw new IllegalArgumentException(
-          s"graft_txlog expects (root [, version]), got ${other.size} arguments")
+          s"graft_txlog expects (root [, version | timestamp]), got ${other.size} arguments")
     }
   }
 
@@ -213,6 +220,20 @@ object GraftExtensions {
     new ExpressionInfo("graft.io.TxLog", "graft_txlog_history"),
     txlogHistoryBuilder)
 
+  private val txlogDetailBuilder: Seq[Expression] => LogicalPlan = {
+    case Seq(root) =>
+      graft.io.TxLog.detail(SparkSession.active,
+        evalString(root, "graft_txlog_detail")).queryExecution.logical
+    case other =>
+      throw new IllegalArgumentException(
+        s"graft_txlog_detail expects (root), got ${other.size} arguments")
+  }
+
+  val txlogDetailFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_txlog_detail"),
+    new ExpressionInfo("graft.io.TxLog", "graft_txlog_detail"),
+    txlogDetailBuilder)
+
   /** Imperative registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -237,5 +258,7 @@ object GraftExtensions {
       "graft_txlog_changes", txlogChangesBuilder, "built-in")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_txlog_history", txlogHistoryBuilder, "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_txlog_detail", txlogDetailBuilder, "built-in")
   }
 }

@@ -48,4 +48,38 @@ class TxLogTvfSpec extends AnyFunSuite {
       spark.sql(s"SELECT * FROM graft_txlog('$root', 1, 2, 3)").collect()
     }
   }
+
+  test("TIMESTAMP AS OF, typed CDF, and DESCRIBE DETAIL answer plain SQL") {
+    GraftExtensions.register(spark)
+    val root = Zones.tempDir("txlog_tvf2")
+    TxLog.append(spark, root, batch(0, 10))  // v1
+    TxLog.append(spark, root, batch(10, 25)) // v2
+    import spark.implicits._
+    TxLog.merge(spark, root,
+      Seq((5L, "U-5"), (100L, "NEW-100")).toDF("id", "payload"), "id") // v3
+
+    // TIMESTAMP AS OF: a timestamp literal between v1 and v2 resolves v1
+    val ts = TxLog.history(spark, root).orderBy("version").collect()
+      .map(_.getAs[Long]("commit_ts"))
+    assume(ts(0) < ts(1), "commits landed in one millisecond; boundary ambiguous")
+    val t1 = java.time.Instant.ofEpochMilli(ts(0)).toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_txlog('$root', TIMESTAMP '${t1.replace("T", " ").stripSuffix("Z")}Z')")
+      .head().getLong(0) === 10L)
+    // typed change feed through the merge, in SQL
+    val typed = spark.sql(
+      s"""SELECT _change_type, count(*) AS n
+         |FROM graft_txlog_changes('$root', 2, 3, false, true)
+         |GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(typed === Seq("insert" -> 1L, "update_postimage" -> 1L,
+      "update_preimage" -> 1L))
+    // DESCRIBE DETAIL: head version + replay-derived numbers, zero jobs
+    val d = spark.sql(s"SELECT * FROM graft_txlog_detail('$root')").head()
+    assert(d.getAs[Long]("version") === 3L)
+    assert(d.getAs[Long]("n_files") >= 1L)
+    assert(d.getAs[Long]("total_bytes") > 0L)
+    assert(d.getAs[Long]("n_columns") === 2L)
+    assert(d.getAs[String]("partition_by") === "")
+  }
 }
