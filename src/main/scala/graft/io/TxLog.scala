@@ -917,6 +917,38 @@ object TxLog {
         partitionBy = partitionBy)
     }
 
+  /** Serializable read-modify-write driver shared by every rewrite op
+    * (merge/delete/update/optimize/zorder/compact): resolve the head,
+    * hand `body` its replay, and rerun on a [[CommitConflict]] — the
+    * body's `commit(expectHead = Some(base))` turns a lost update into
+    * a retry instead of a silent erase; an abandoned attempt's files
+    * are unreferenced garbage until a vacuum.
+    */
+  private def readModifyWrite(root: String, op: String)(
+      body: (Long, Replay) => Long): Long = {
+    var attempts = 0
+    while (true) {
+      val base = headVersion(root)
+      val r = replay(root, base)
+      try return body(base, r)
+      catch {
+        case _: CommitConflict =>
+          attempts += 1
+          if (attempts > 50)
+            throw new java.io.IOException(
+              s"txlog: $op lost $attempts conflicts in a row; giving up")
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** The declared partition layout of a replay, refusing a mixed one
+    * (a rewrite over a mixed layout would bake the corruption in).
+    */
+  private def layoutOf(root: String, r: Replay): Seq[String] =
+    r.partitionBy.getOrElse(throw new IllegalStateException(
+      s"txlog: $root has a mixed partition layout; restore a clean version first"))
+
   /** File-granular copy-on-write MERGE (upsert): rows of `updates`
     * replace current rows sharing `keyCol`; unmatched update rows
     * insert. Only files whose `keyCol` zone map can intersect the
@@ -946,10 +978,7 @@ object TxLog {
       .find(_.name == keyCol).exists(f => isIntegral(f.dataType))
     // the updates' key span: one tiny agg job, reused across retries
     val kr = if (keyIsIntegral) Some(updates.agg(min(keyL), max(keyL)).head()) else None
-    var attempts = 0
-    while (true) {
-      val base = headVersion(root)
-      val r = replay(root, base)
+    readModifyWrite(root, "merge") { (base, r) =>
       val (statted, unstatted) =
         r.files.partition(p => r.stats.get(p).exists(_.contains(keyCol)))
       val touched: Vector[String] =
@@ -982,10 +1011,8 @@ object TxLog {
             }
           unstatted ++ spanC.filter(hit)
         }
-      try {
-        val layout = r.partitionBy.getOrElse(throw new IllegalStateException(
-          s"txlog: $root has a mixed partition layout; restore a clean version first"))
-        return if (touched.isEmpty)
+      val layout = layoutOf(root, r)
+      if (touched.isEmpty)
           // no live file can hold a matched key: the merge is a pure
           // insert — ONE append commit, no rewrite, smallest manifest
           // (an append's files ARE its row-level delta, so no change
@@ -1033,15 +1060,7 @@ object TxLog {
             carrySchema = r.schema, expectHead = Some(base),
             cdf = Some(cdfDir), partitionBy = layout)
         }
-      } catch {
-        case _: CommitConflict =>
-          attempts += 1
-          if (attempts > 50)
-            throw new java.io.IOException(
-              s"txlog: merge lost $attempts conflicts in a row; giving up")
-      }
     }
-    -1L // unreachable
   }
 
   /** OPTIMIZE: rewrite the current live set into `targetFiles` files —
@@ -1063,14 +1082,7 @@ object TxLog {
       root: String,
       targetFiles: Int,
       sortCol: Option[String] = None): Long = {
-    // serializable read-modify-write, same as merge: the rewrite is
-    // derived FROM a snapshot, so a commit that lands in between (e.g. a
-    // concurrent append) would be silently erased by a blind overwrite —
-    // pin the base version, conflict, re-snapshot, retry
-    var attempts = 0
-    while (true) {
-      val base = headVersion(root)
-      val r = replay(root, base)
+    readModifyWrite(root, "optimize") { (base, r) =>
       require(r.entries.nonEmpty, s"txlog: optimize of $root found no files")
       val cur = TxLogFileIndex.read(spark, root, r)
       val laid = sortCol match {
@@ -1078,23 +1090,13 @@ object TxLog {
           targetFiles, org.apache.spark.sql.functions.col(c))
         case None => cur.repartition(targetFiles)
       }
-      try {
-        // cdf = "": an optimize's row-level delta is EMPTY by
-        // construction, so the change feed and the streaming source pass
-        // through it instead of dying on "rewrite in range"
-        return commit(spark, root, laid, Overwrite,
-          statsCols = sortCol.toSeq, expectHead = Some(base),
-          cdf = Some(""),
-          partitionBy = r.partitionBy.getOrElse(Nil))
-      } catch {
-        case _: CommitConflict =>
-          attempts += 1
-          if (attempts > 50)
-            throw new java.io.IOException(
-              s"txlog: optimize lost $attempts conflicts in a row; giving up")
-      }
+      // cdf = "": an optimize's row-level delta is EMPTY by
+      // construction, so the change feed and the streaming source pass
+      // through it instead of dying on "rewrite in range"
+      commit(spark, root, laid, Overwrite,
+        statsCols = sortCol.toSeq, expectHead = Some(base),
+        cdf = Some(""), partitionBy = layoutOf(root, r))
     }
-    -1L // unreachable
   }
 
   /** Copy-on-write DELETE: remove the rows matching `predicate`,
@@ -1117,54 +1119,29 @@ object TxLog {
       predicate: org.apache.spark.sql.Column,
       statsCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{coalesce, not}
-    var attempts = 0
-    while (true) {
-      val base = headVersion(root)
-      val r = replay(root, base)
-      if (r.entries.isEmpty) return base
-      val snap = TxLogFileIndex.read(spark, root, r)
-      val index = TxLogFileIndex.of(snap)
-      // plan-time candidate selection: take the optimized filter's
-      // conjuncts and ask the index which files could hold a match —
-      // zero jobs, zero footer reads, identical pruning to a real scan
-      val conjuncts = snap.filter(predicate).queryExecution.optimizedPlan
-        .collect {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-            splitAnds(f.condition)
-        }.flatten
-      val partCols = index.partitionSchema.fieldNames.toSet
-      val (pf, df) = conjuncts.partition(e =>
-        e.references.nonEmpty && e.references.forall(a => partCols(a.name)))
-      index.listFiles(pf, df)
-      val candidates = index.lastListed.toSet
-      val touched = r.entries.filter(e => candidates(s"$root/${e.path}"))
-      if (touched.isEmpty) return base // provably no matching row anywhere
-      val untouched = {
-        val t = touched.map(_.path).toSet
-        r.entries.filterNot(e => t(e.path))
-      }
-      val layout = r.partitionBy.getOrElse(throw new IllegalStateException(
-        s"txlog: $root has a mixed partition layout; restore a clean version first"))
-      val old = TxLogFileIndex.read(spark, root, r.copy(entries = touched))
-      // NULL predicate ⇒ not deleted: both branches coalesce to false
-      val hit = coalesce(predicate, lit(false))
-      val cdfDir = s"txn-${java.util.UUID.randomUUID().toString.take(12)}"
-      old.filter(hit).withColumn("_change_type", lit("delete"))
-        .write.mode(SaveMode.ErrorIfExists)
-        .parquet(s"$root/_change_data/$cdfDir")
-      try {
-        return commit(spark, root, old.filter(not(hit)), Overwrite,
+    readModifyWrite(root, "delete") { (base, r) =>
+      val touched =
+        if (r.entries.isEmpty) Vector.empty
+        else candidateEntries(spark, root, r, predicate)
+      if (touched.isEmpty) base // provably no matching row anywhere: no-op
+      else {
+        val untouched = {
+          val t = touched.map(_.path).toSet
+          r.entries.filterNot(e => t(e.path))
+        }
+        val old = TxLogFileIndex.read(spark, root, r.copy(entries = touched))
+        // NULL predicate ⇒ not deleted: both branches coalesce to false
+        val hit = coalesce(predicate, lit(false))
+        val cdfDir = s"txn-${java.util.UUID.randomUUID().toString.take(12)}"
+        old.filter(hit).withColumn("_change_type", lit("delete"))
+          .write.mode(SaveMode.ErrorIfExists)
+          .parquet(s"$root/_change_data/$cdfDir")
+        commit(spark, root, old.filter(not(hit)), Overwrite,
           statsCols = statsCols, carry = untouched, carrySchema = r.schema,
-          expectHead = Some(base), cdf = Some(cdfDir), partitionBy = layout)
-      } catch {
-        case _: CommitConflict =>
-          attempts += 1
-          if (attempts > 50)
-            throw new java.io.IOException(
-              s"txlog: delete lost $attempts conflicts in a row; giving up")
+          expectHead = Some(base), cdf = Some(cdfDir),
+          partitionBy = layoutOf(root, r))
       }
     }
-    -1L // unreachable
   }
 
   private def splitAnds(
@@ -1173,6 +1150,32 @@ object TxLog {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
       splitAnds(l) ++ splitAnds(r)
     case other => Seq(other)
+  }
+
+  /** Plan-time candidate selection for predicate-driven rewrites
+    * (delete/update): run the predicate's optimized conjuncts through
+    * the snapshot's own index pruning — zone maps AND partition dirs —
+    * with zero jobs and zero footer reads, returning the entries that
+    * could hold a matching row.
+    */
+  private def candidateEntries(
+      spark: SparkSession,
+      root: String,
+      r: Replay,
+      predicate: org.apache.spark.sql.Column): Vector[Entry] = {
+    val snap = TxLogFileIndex.read(spark, root, r)
+    val index = TxLogFileIndex.of(snap)
+    val conjuncts = snap.filter(predicate).queryExecution.optimizedPlan
+      .collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          splitAnds(f.condition)
+      }.flatten
+    val partCols = index.partitionSchema.fieldNames.toSet
+    val (pf, df) = conjuncts.partition(e =>
+      e.references.nonEmpty && e.references.forall(a => partCols(a.name)))
+    index.listFiles(pf, df)
+    val kept = index.lastListed.toSet
+    r.entries.filter(e => kept(s"$root/${e.path}"))
   }
 
   /** Copy-on-write UPDATE: apply the SET assignments to the rows
@@ -1196,62 +1199,40 @@ object TxLog {
       statsCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{coalesce, when}
     require(set.nonEmpty, "txlog: UPDATE needs at least one SET assignment")
-    var attempts = 0
-    while (true) {
-      val base = headVersion(root)
-      val r = replay(root, base)
-      if (r.entries.isEmpty) return base
-      val snap = TxLogFileIndex.read(spark, root, r)
-      val index = TxLogFileIndex.of(snap)
-      val conjuncts = snap.filter(predicate).queryExecution.optimizedPlan
-        .collect {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-            splitAnds(f.condition)
-        }.flatten
-      val partCols = index.partitionSchema.fieldNames.toSet
-      val (pf, df) = conjuncts.partition(e =>
-        e.references.nonEmpty && e.references.forall(a => partCols(a.name)))
-      index.listFiles(pf, df)
-      val candidates = index.lastListed.toSet
-      val touched = r.entries.filter(e => candidates(s"$root/${e.path}"))
-      if (touched.isEmpty) return base
-      val untouched = {
-        val t = touched.map(_.path).toSet
-        r.entries.filterNot(e => t(e.path))
-      }
-      val layout = r.partitionBy.getOrElse(throw new IllegalStateException(
-        s"txlog: $root has a mixed partition layout; restore a clean version first"))
-      val old = TxLogFileIndex.read(spark, root, r.copy(entries = touched))
-      val unknown = set.keySet -- old.columns.toSet
-      require(unknown.isEmpty,
-        s"txlog: UPDATE SET targets unknown columns ${unknown.mkString(", ")}")
-      // materialize the hit flag FIRST so every assignment and both
-      // change images evaluate against the old row, even when the
-      // predicate or a RHS references a column another assignment changes
-      val flagged = old.withColumn("__hit", coalesce(predicate, lit(false)))
-      val newCols = old.columns.toSeq.map(c => set.get(c)
-        .map(e => when(col("__hit"), e).otherwise(col(c)).as(c))
-        .getOrElse(col(c)))
-      val cdfDir = s"txn-${java.util.UUID.randomUUID().toString.take(12)}"
-      flagged.filter(col("__hit")).drop("__hit")
-        .withColumn("_change_type", lit("update_preimage"))
-        .unionByName(flagged.filter(col("__hit")).select(newCols: _*)
-          .withColumn("_change_type", lit("update_postimage")))
-        .write.mode(SaveMode.ErrorIfExists)
-        .parquet(s"$root/_change_data/$cdfDir")
-      try {
-        return commit(spark, root, flagged.select(newCols: _*), Overwrite,
+    readModifyWrite(root, "update") { (base, r) =>
+      val touched =
+        if (r.entries.isEmpty) Vector.empty
+        else candidateEntries(spark, root, r, predicate)
+      if (touched.isEmpty) base // provably no matching row anywhere: no-op
+      else {
+        val untouched = {
+          val t = touched.map(_.path).toSet
+          r.entries.filterNot(e => t(e.path))
+        }
+        val old = TxLogFileIndex.read(spark, root, r.copy(entries = touched))
+        val unknown = set.keySet -- old.columns.toSet
+        require(unknown.isEmpty,
+          s"txlog: UPDATE SET targets unknown columns ${unknown.mkString(", ")}")
+        // materialize the hit flag FIRST so every assignment and both
+        // change images evaluate against the old row, even when the
+        // predicate or a RHS references a column another assignment changes
+        val flagged = old.withColumn("__hit", coalesce(predicate, lit(false)))
+        val newCols = old.columns.toSeq.map(c => set.get(c)
+          .map(e => when(col("__hit"), e).otherwise(col(c)).as(c))
+          .getOrElse(col(c)))
+        val cdfDir = s"txn-${java.util.UUID.randomUUID().toString.take(12)}"
+        flagged.filter(col("__hit")).drop("__hit")
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(flagged.filter(col("__hit")).select(newCols: _*)
+            .withColumn("_change_type", lit("update_postimage")))
+          .write.mode(SaveMode.ErrorIfExists)
+          .parquet(s"$root/_change_data/$cdfDir")
+        commit(spark, root, flagged.select(newCols: _*), Overwrite,
           statsCols = statsCols, carry = untouched, carrySchema = r.schema,
-          expectHead = Some(base), cdf = Some(cdfDir), partitionBy = layout)
-      } catch {
-        case _: CommitConflict =>
-          attempts += 1
-          if (attempts > 50)
-            throw new java.io.IOException(
-              s"txlog: update lost $attempts conflicts in a row; giving up")
+          expectHead = Some(base), cdf = Some(cdfDir),
+          partitionBy = layoutOf(root, r))
       }
     }
-    -1L // unreachable
   }
 
   /** OPTIMIZE ZORDER: rewrite the live set clustered along the Morton
@@ -1270,29 +1251,16 @@ object TxLog {
       targetFiles: Int,
       colA: String,
       colB: String,
-      bits: Int = 8): Long = {
-    var attempts = 0
-    while (true) {
-      val base = headVersion(root)
-      val r = replay(root, base)
+      bits: Int = 8): Long =
+    readModifyWrite(root, "optimizeZOrder") { (base, r) =>
       require(r.entries.nonEmpty, s"txlog: optimize of $root found no files")
       val cur = TxLogFileIndex.read(spark, root, r)
       val zv = ZOrder.zvalue(cur, colA, colB, bits)
       val laid = cur.repartitionByRange(targetFiles, zv).sortWithinPartitions(zv)
-      try {
-        return commit(spark, root, laid, Overwrite,
-          statsCols = Seq(colA, colB), expectHead = Some(base),
-          cdf = Some(""), partitionBy = r.partitionBy.getOrElse(Nil))
-      } catch {
-        case _: CommitConflict =>
-          attempts += 1
-          if (attempts > 50)
-            throw new java.io.IOException(
-              s"txlog: optimizeZOrder lost $attempts conflicts in a row; giving up")
-      }
+      commit(spark, root, laid, Overwrite,
+        statsCols = Seq(colA, colB), expectHead = Some(base),
+        cdf = Some(""), partitionBy = layoutOf(root, r))
     }
-    -1L // unreachable
-  }
 
   /** File-selective compaction: rewrite ONLY the live files smaller than
     * `smallBytes`, carrying every full-size file (and its zone maps) by
@@ -1312,36 +1280,25 @@ object TxLog {
       spark: SparkSession,
       root: String,
       smallBytes: Long = 64L * 1024 * 1024,
-      statsCols: Seq[String] = Nil): Long = {
-    var attempts = 0
-    while (true) {
-      val base = headVersion(root)
-      val r = replay(root, base)
+      statsCols: Seq[String] = Nil): Long =
+    readModifyWrite(root, "compact") { (base, r) =>
       val (small, big) = r.entries.partition(_.bytes.forall(_ < smallBytes))
-      if (small.size <= 1) return base
-      val totalSmall = math.max(small.flatMap(_.bytes).sum, 1L)
-      val nOut = math.max(1L, (totalSmall + smallBytes - 1) / smallBytes).toInt
-      // index-read of JUST the small entries: the recorded union schema
-      // backfills evolved columns and partition values attach, so a
-      // compaction of a partitioned table round-trips the layout
-      val rewritten = TxLogFileIndex
-        .read(spark, root, r.copy(entries = small))
-        .repartition(nOut)
-      try {
-        return commit(spark, root, rewritten, Overwrite,
+      if (small.size <= 1) base // nothing worth rewriting: no-op
+      else {
+        val totalSmall = math.max(small.flatMap(_.bytes).sum, 1L)
+        val nOut = math.max(1L, (totalSmall + smallBytes - 1) / smallBytes).toInt
+        // index-read of JUST the small entries: the recorded union schema
+        // backfills evolved columns and partition values attach, so a
+        // compaction of a partitioned table round-trips the layout
+        val rewritten = TxLogFileIndex
+          .read(spark, root, r.copy(entries = small))
+          .repartition(nOut)
+        commit(spark, root, rewritten, Overwrite,
           statsCols = statsCols, carry = big, carrySchema = r.schema,
           expectHead = Some(base), cdf = Some(""),
-          partitionBy = r.partitionBy.getOrElse(Nil))
-      } catch {
-        case _: CommitConflict =>
-          attempts += 1
-          if (attempts > 50)
-            throw new java.io.IOException(
-              s"txlog: compact lost $attempts conflicts in a row; giving up")
+          partitionBy = layoutOf(root, r))
       }
     }
-    -1L // unreachable
-  }
 
   /** Snapshot read: the table as of `version` (head when None). The file
     * list is resolved ONCE here; later commits only add files this list
