@@ -1499,14 +1499,14 @@ object TxLog {
       .toDF("version", "n_files", "total_bytes", "partition_by", "n_columns")
   }
 
-  /** TIMESTAMP AS OF: the snapshot at the newest version whose commit
-    * timestamp is ≤ `tsMillis` — resolved by binary search over the
-    * dense version range, O(log V) manifest reads (commit timestamps are
-    * monotone up to clock skew between writers, the Delta caveat; a
-    * pre-round-9 manifest without a timestamp reads as 0 = always
-    * eligible). Refuses a timestamp before the first commit.
+  /** The newest version whose commit timestamp is ≤ `tsMillis` —
+    * resolved by binary search over the dense version range, O(log V)
+    * manifest reads (commit timestamps are monotone up to clock skew
+    * between writers, the Delta caveat; a pre-round-9 manifest without a
+    * timestamp reads as 0 = always eligible). Refuses a timestamp before
+    * the first commit.
     */
-  def snapshotAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame = {
+  def versionAsOf(root: String, tsMillis: Long): Long = {
     val head = headVersion(root)
     require(head >= 1, s"txlog: $root has no committed version yet")
     def ts(v: Long): Long = readManifest(root, v).ts.getOrElse(0L)
@@ -1517,8 +1517,12 @@ object TxLog {
       val mid = lo + (hi - lo + 1) / 2
       if (ts(mid) <= tsMillis) lo = mid else hi = mid - 1
     }
-    snapshot(spark, root, Some(lo))
+    lo
   }
+
+  /** TIMESTAMP AS OF: the snapshot at [[versionAsOf]] `tsMillis`. */
+  def snapshotAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
+    snapshot(spark, root, Some(versionAsOf(root, tsMillis)))
 
   /** Garbage-collect data files no snapshot ≥ `retainFrom` can reach:
     * aborted-commit residue (data dirs whose manifest never published) and

@@ -60,16 +60,28 @@ class TxLogSourceProvider extends StreamSourceProvider {
       metadataPath: String,
       schema: Option[StructType],
       providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    val root = parameters.getOrElse("root",
+      throw new IllegalArgumentException("graft-txlog source needs .option(\"root\", ...)"))
+    // startingTimestamp (epoch millis or ISO-8601 instant): subscribe to
+    // commits STRICTLY AFTER the newest version at or before it —
+    // resolved once at stream creation via the asOf binary search
+    val startingVersion = parameters.get("startingVersion").map(_.toLong)
+      .orElse(parameters.get("startingTimestamp").map { t =>
+        val ms = scala.util.Try(t.toLong)
+          .getOrElse(java.time.Instant.parse(t).toEpochMilli)
+        TxLog.versionAsOf(root, ms)
+      })
+      .getOrElse(0L)
     new TxLogSource(
       sqlContext,
-      parameters.getOrElse("root",
-        throw new IllegalArgumentException("graft-txlog source needs .option(\"root\", ...)")),
-      parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      root,
+      startingVersion,
       parameters.get("skipRewrites").exists(_.toBoolean),
       parameters.get("changeTypes").exists(_.toBoolean),
       parameters.get("maxVersionsPerBatch").map(_.toLong),
       TxLogSource.streamSchema(parameters))
+  }
 }
 
 object TxLogSource {

@@ -211,6 +211,35 @@ class TxLogSourceSpec extends AnyFunSuite {
     assert(sizes.length >= 4, s"a 20-commit backlog must chunk; got ${sizes.length} batches")
   }
 
+  test("startingTimestamp subscribes strictly after the version at that instant") {
+    val root = Files.createTempDirectory("graft_src_ts").toString
+    TxLog.append(spark, root, batch(0, 5))   // v1
+    TxLog.append(spark, root, batch(5, 12))  // v2
+    TxLog.append(spark, root, batch(12, 20)) // v3
+    val ts = TxLog.history(spark, root).orderBy("version").collect()
+      .map(_.getAs[Long]("commit_ts"))
+    assume(ts(0) < ts(1), "commits landed in one millisecond; boundary ambiguous")
+    val q = spark.readStream
+      .format("graft.streaming.TxLogSourceProvider")
+      .option("root", root)
+      .option("startingTimestamp", ts(0).toString) // = v1's instant
+      .load()
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_src_ts_ck").toString)
+      .format("memory")
+      .queryName("txlog_src_ts")
+      .outputMode("append")
+      .start()
+    q.awaitTermination()
+    val got = spark.table("txlog_src_ts").collect()
+      .map(_.getAs[Long]("_commit_version"))
+    assert(got.length === 15, "only v2+v3 rows must stream")
+    assert(got.toSet === Set(2L, 3L))
+    spark.sql("DROP TABLE IF EXISTS txlog_src_ts")
+  }
+
   test("a catch-up batch predating an additive evolution conforms to the stream schema") {
     import spark.implicits._
     val root = Files.createTempDirectory("txsrc_evo").toString
