@@ -1275,6 +1275,16 @@ private[graft] object OracleShard10 {
         |       CAST(sum(v) AS BIGINT) AS cents
         |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q652_txlog_widening" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |           FROM orders
+        |           WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 2)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(v) AS BIGINT) AS cents,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS keysum
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q636_media_decode" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |       CAST(CASE WHEN doc_id % 2 = 0 THEN 54

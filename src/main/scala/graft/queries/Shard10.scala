@@ -2136,5 +2136,34 @@ private[graft] object Shard10 {
         .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
         .orderBy("o_orderpriority")
     }),
+
+    // type-WIDENING schema evolution oracled end to end: January commits
+    // the key as INT32, February as INT64 — the recorded schema widens
+    // int→long instead of poisoning to footer inference (round 8's
+    // behavior condemned every later read of such a table), and the head
+    // snapshot reads the old int32 files THROUGH the widened long schema
+    // (Spark 4's parquet readers evaluate the upcast natively). The
+    // oracle recomputes counts, cents, and the key sum from orders, so a
+    // widening that drops a file, misreads int32 values, or wrecks the
+    // aggregate types breaks the hash; SchemaEvolutionSpec pins the
+    // recorded-schema mechanics
+    "q652_txlog_widening" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(expr("year(o_orderdate) = 1995 AND month(o_orderdate) <= 2"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          centsOf(col("o_totalprice")).as("v"),
+          month(col("o_orderdate")).as("mm"))
+      val root = io.Zones.tempDir(s"graft_wide_${new java.io.File(dir).getName}")
+      io.TxLog.append(s, root, o.filter(col("mm") === 1)
+        .select(col("o_orderkey").cast("int").as("k"),
+          col("o_orderpriority"), col("v")))
+      io.TxLog.append(s, root, o.filter(col("mm") === 2)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"), col("v")))
+      io.TxLog.snapshot(s, root)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"),
+          sum(col("k")).as("keysum"))
+        .orderBy("o_orderpriority")
+    }),
   )
 }
