@@ -80,6 +80,7 @@ class TxLogSourceProvider extends StreamSourceProvider {
       parameters.get("skipRewrites").exists(_.toBoolean),
       parameters.get("changeTypes").exists(_.toBoolean),
       parameters.get("maxVersionsPerBatch").map(_.toLong),
+      metadataPath,
       TxLogSource.streamSchema(parameters))
   }
 }
@@ -145,17 +146,46 @@ class TxLogSource(
     skipRewrites: Boolean,
     changeTypes: Boolean,
     maxVersionsPerBatch: Option[Long],
+    metadataPath: String,
     override val schema: StructType) extends Source {
 
   private val spark = sqlContext.sparkSession
 
-  // highest version already claimed by an offer or a (recovered) batch —
-  // the rate-control floor; monotone, never beyond the head
-  @volatile private var claimed: Long = startingVersion
+  // The rate-control floor: the highest version already claimed by an
+  // offer or a (recovered) batch — monotone, never beyond the head.
+  // PERSISTED under the stream's own metadataPath, because a v1 source
+  // cannot see the engine's committed offset at restart: a clean restart
+  // would otherwise reset the floor to startingVersion and getOffset
+  // could offer an offset AT OR BELOW the committed one — the engine
+  // treats "available != committed" as new data, so the stream stalls
+  // on equality or plans an inverted range below it. The claim is
+  // written BEFORE the batch commits, so the persisted floor is always
+  // ≥ the committed offset; a floor ahead of committed only makes the
+  // next microbatch larger, never wrong.
+  private val claimedFile =
+    new org.apache.hadoop.fs.Path(metadataPath, "claimed-version")
+  private lazy val metaFs =
+    claimedFile.getFileSystem(spark.sessionState.newHadoopConf())
+  @volatile private var claimed: Long = {
+    val persisted =
+      try {
+        if (!metaFs.exists(claimedFile)) None
+        else {
+          val in = metaFs.open(claimedFile)
+          try Some(in.readLong()) finally in.close()
+        }
+      } catch { case _: Throwable => None }
+    math.max(startingVersion, persisted.getOrElse(startingVersion))
+  }
+  private def persistClaim(v: Long): Unit =
+    try {
+      val out = metaFs.create(claimedFile, true)
+      try out.writeLong(v) finally out.close()
+    } catch { case _: Throwable => () } // best-effort: worst case re-offers
 
   override def getOffset: Option[V1Offset] = {
     val head = TxLog.headVersion(root)
-    val floor = math.max(claimed, startingVersion)
+    val floor = claimed
     // bound the catch-up: offer at most maxVersionsPerBatch versions per
     // microbatch so a post-downtime backlog chunks instead of planning
     // one scan over thousands of commits
@@ -163,13 +193,13 @@ class TxLogSource(
       .map(m => math.min(head, floor + math.max(1L, m)))
       .getOrElse(head)
     if (next <= floor) None
-    else { claimed = next; Some(LongOffset(next)) }
+    else { claimed = next; persistClaim(next); Some(LongOffset(next)) }
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(asVersion).getOrElse(startingVersion)
     val to = asVersion(end)
-    if (to > claimed) claimed = to // recovery replay: resume rate control past it
+    if (to > claimed) { claimed = to; persistClaim(to) } // recovery replay
     val batch = TxLog.changes(spark, root, from, to, skipRewrites,
       withChangeType = changeTypes)
     TxLogSource.asStreamingFrame(TxLogSource.conform(batch, schema))

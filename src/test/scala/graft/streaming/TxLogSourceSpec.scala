@@ -211,6 +211,43 @@ class TxLogSourceSpec extends AnyFunSuite {
     assert(sizes.length >= 4, s"a 20-commit backlog must chunk; got ${sizes.length} batches")
   }
 
+  test("a rate-limited stream keeps draining its backlog across restarts") {
+    val root = Files.createTempDirectory("graft_src_rate_rs").toString
+    (0 until 12).foreach(k => TxLog.append(spark, root, batch(k * 2, k * 2 + 2)))
+    val ck = Files.createTempDirectory("graft_src_rate_rs_ck").toString
+    val delivered = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def run(): Unit = {
+      // AvailableNow pins the FIRST offered offset as the run's target, so
+      // each run drains exactly one ≤4-version chunk and commits cleanly —
+      // the restart then begins from a COMPLETE offset log, the case where
+      // a v1 source sees no getBatch before its first getOffset and an
+      // unpersisted rate-control floor would reset to startingVersion
+      // (offering ≤ the committed offset: a stalled or inverted stream)
+      val q = spark.readStream
+        .format("graft.streaming.TxLogSourceProvider")
+        .option("root", root)
+        .option("maxVersionsPerBatch", "4")
+        .load()
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => delivered.add(r.getAs[Long]("id")))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    import scala.jdk.CollectionConverters._
+    assert(delivered.asScala.size === 8, "run 1 must drain exactly one 4-version chunk")
+    run()
+    assert(delivered.asScala.size === 16, "run 2 must drain the NEXT chunk, not stall at the committed offset")
+    run()
+    assert(delivered.asScala.toSeq.sorted === (0L until 24L),
+      "three chunked runs must deliver the whole backlog exactly once")
+  }
+
   test("startingTimestamp subscribes strictly after the version at that instant") {
     val root = Files.createTempDirectory("graft_src_ts").toString
     TxLog.append(spark, root, batch(0, 5))   // v1
