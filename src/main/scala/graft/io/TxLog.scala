@@ -94,16 +94,33 @@ object TxLog {
     */
   type StrColStats = Map[String, (String, Option[String])]
 
+  /** Per-file bloom-filter index declaration: column → the column's
+    * WRITE-TIME Spark type (`catalogString`). The bitset itself is a
+    * sidecar file at `<data path>.bloom` (Spark's `sketch.BloomFilter`
+    * serialized form, which self-describes its bit count and hash
+    * count) — manifests stay skinny while the index scales with the
+    * data it covers, the Parquet/Iceberg-Puffin layout rather than
+    * Delta's deprecated in-log stats blobs. The recorded type is the
+    * hash-reconciliation authority: values were hashed AS that type
+    * (`xxhash64` is width-sensitive), so a reader whose filter literal
+    * arrives widened by schema evolution must down-convert
+    * value-preservingly before probing — or, when the value provably
+    * can't fit the write-time type, skip the file outright.
+    */
+  type BloomCols = Map[String, String]
+
   /** One live-file entry: relative path, byte size (carried in the
     * manifest so readers never stat data files — Delta stores sizes in
     * the log for the same reason; absent only in hand-written legacy
-    * entries), and per-column zone maps (integral and string).
+    * entries), per-column zone maps (integral and string), and the
+    * bloom-indexed columns (bitsets live in sidecars).
     */
   final case class Entry(
       path: String,
       bytes: Option[Long],
       stats: ColStats,
-      strStats: StrColStats = Map.empty)
+      strStats: StrColStats = Map.empty,
+      blooms: BloomCols = Map.empty)
 
   /** The resolved state of a version: live entries (relative paths with
     * sizes + zone maps) plus the snapshot's schema — produced by ONE
@@ -131,11 +148,13 @@ object TxLog {
   private val versionFile: Regex = """v(\d{8})\.json""".r
   // a manifest entry is either a bare "rel/path.parquet" or an object
   // {"p":"rel/path.parquet","b":bytes,"s":{"col":[lo,hi],...},
-  //  "t":{"col":["lo","hi"],...}} with "b"/"s"/"t" independently optional
-  // — group 1 = bare path, group 2 = obj path, group 3 = bytes,
-  // group 4 = integral stats body, group 5 = string stats body
+  //  "t":{"col":["lo","hi"],...},"m":{"col":"type",...}} with
+  // "b"/"s"/"t"/"m" independently optional — group 1 = bare path,
+  // group 2 = obj path, group 3 = bytes, group 4 = integral stats body,
+  // group 5 = string stats body, group 6 = bloom column body
   private val entryField: Regex =
-    """(?:"([^"{]+\.parquet)")|(?:\{"p":"([^"]+\.parquet)"(?:,"b":(\d+))?(?:,"s":\{([^}]*)\})?(?:,"t":\{([^}]*)\})?\})""".r
+    """(?:"([^"{]+\.parquet)")|(?:\{"p":"([^"]+\.parquet)"(?:,"b":(\d+))?(?:,"s":\{([^}]*)\})?(?:,"t":\{([^}]*)\})?(?:,"m":\{([^}]*)\})?\})""".r
+  private val bloomColField: Regex = """"([^"]+)":"([^"]*)"""".r
   private val colStatField: Regex = """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r
   // string stat: "col":["lo","hi"] — truncated-max entries carry null;
   // values are \uXXXX-escaped (see escStr), so a raw quote/brace can
@@ -295,7 +314,8 @@ object TxLog {
   }
 
   private def renderEntry(e: Entry): String =
-    if (e.bytes.isEmpty && e.stats.isEmpty && e.strStats.isEmpty) "\"" + e.path + "\""
+    if (e.bytes.isEmpty && e.stats.isEmpty && e.strStats.isEmpty &&
+      e.blooms.isEmpty) "\"" + e.path + "\""
     else {
       val b = e.bytes.map(n => s""","b":$n""").getOrElse("")
       val s = if (e.stats.isEmpty) "" else e.stats.toSeq.sortBy(_._1)
@@ -307,7 +327,10 @@ object TxLog {
           s""""${escStr(c)}":["${escStr(lo)}",$hiR]"""
         }
         .mkString(""","t":{""", ",", "}")
-      s"""{"p":"${e.path}"$b$s$t}"""
+      val m = if (e.blooms.isEmpty) "" else e.blooms.toSeq.sortBy(_._1)
+        .map { case (c, dt) => s""""${escStr(c)}":"${escStr(dt)}"""" }
+        .mkString(""","m":{""", ",", "}")
+      s"""{"p":"${e.path}"$b$s$t$m}"""
     }
   private val actionField: Regex = """"action":"(append|overwrite|checkpoint)"""".r
   private val txnField: Regex = """"txnId":"([^"]*)"""".r
@@ -352,21 +375,34 @@ object TxLog {
 
   private def logDir(root: String): Path = Paths.get(root, "_txlog")
 
+  /** Resolve a manifest entry path against the table root. Entries are
+    * root-relative (`data/txn-.../file.parquet`) except EXTERNAL entries
+    * written by a shallow clone, which are absolute (and fmt-gated so a
+    * pre-clone reader never mis-resolves them against its own root).
+    */
+  private[io] def absPath(root: String, p: String): String =
+    if (p.startsWith("/")) p else s"$root/$p"
+
   /** Highest manifest format this reader understands. Manifests carry
     * `"fmt":N`; a HIGHER N means a future writer used features this
     * reader would silently misparse — refuse loudly instead (Delta's
     * protocol-version action). Absent fmt (pre-round-8 logs) reads as 1.
     *
     * The fmt each manifest WRITES is feature-gated (Delta's
-    * minReaderVersion): 3 only when the manifest carries string zone
-    * maps or a partition layout — a v2 reader's entry regex would
-    * silently DROP a "t"-bearing entry from the live set, and would
-    * read a partitioned table without its partition column — otherwise
-    * 2, so plain commits stay readable by older readers.
+    * minReaderVersion): 4 only when the manifest carries bloom-index
+    * declarations or external (absolute-path) entries — a v3 reader
+    * would drop a "m"-bearing entry's stats and mis-resolve an external
+    * path against its own root; 3 only when it carries string zone maps
+    * or a partition layout — a v2 reader's entry regex would silently
+    * DROP a "t"-bearing entry from the live set, and would read a
+    * partitioned table without its partition column — otherwise 2, so
+    * plain commits stay readable by older readers.
     */
-  val FormatVersion: Long = 3L
+  val FormatVersion: Long = 4L
   private def manifestFmt(entries: Seq[String], partitionBy: Seq[String]): Long =
-    if (partitionBy.nonEmpty || entries.exists(_.contains("\"t\":{"))) 3L else 2L
+    if (entries.exists(e => e.contains("\"m\":{") || e.contains("\"p\":\"/"))) 4L
+    else if (partitionBy.nonEmpty || entries.exists(_.contains("\"t\":{"))) 3L
+    else 2L
   private val fmtField: Regex = """"fmt":(\d+)""".r
 
   private def readLogFile(root: String, name: String): String = {
@@ -458,6 +494,9 @@ object TxLog {
         Option(m.group(5)).map(s => strStatField.findAllMatchIn(s)
           .map(c => unescStr(c.group(1)) ->
             (unescStr(c.group(2)), Option(c.group(3)).map(unescStr))).toMap)
+          .getOrElse(Map.empty),
+        Option(m.group(6)).map(s => bloomColField.findAllMatchIn(s)
+          .map(c => unescStr(c.group(1)) -> unescStr(c.group(2))).toMap)
           .getOrElse(Map.empty))
     }.toSeq
 
@@ -602,6 +641,16 @@ object TxLog {
     * An in-flight marker (`_txlog/inflight/txn-*`) brackets the
     * data-write → manifest-link window so a concurrent [[vacuum]] can
     * tell "being committed right now" from aborted residue.
+    *
+    * `bloomCols`: column → expected distinct values PER FILE to
+    * bloom-index. Each written file gets a sidecar bitset
+    * (`<file>.bloom`) built in the SAME single stats job, and the
+    * manifest entry records the indexed columns — point lookups
+    * (`id = X`, `id IN (...)`) on a NON-clustering column then prune at
+    * plan time where min/max zone maps are provably useless (a secondary
+    * key's per-file range spans the whole table). Sized at write by the
+    * caller's estimate (Delta's bloom index and Parquet's bloom take the
+    * same parameter) and capped at [[Bloom.MaxBits]].
     */
   def commit(
       spark: SparkSession,
@@ -614,7 +663,8 @@ object TxLog {
       carrySchema: Option[org.apache.spark.sql.types.StructType] = None,
       expectHead: Option[Long] = None,
       cdf: Option[String] = None,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil,
+      bloomCols: Map[String, Long] = Map.empty): Long = {
     // an APPEND manifest's files ARE the commit's row-level delta — the
     // change-data-feed depends on that — so re-referencing pre-existing
     // files is an overwrite-only affordance
@@ -647,7 +697,7 @@ object TxLog {
     Files.createFile(marker)
     try {
       commitInner(spark, root, df, action, txnId, statsCols, carry,
-        carrySchema, expectHead, cdf, partitionBy, txn, dataDir)
+        carrySchema, expectHead, cdf, partitionBy, txn, dataDir, bloomCols)
     } finally {
       // marker gone ⇒ either the manifest published (files referenced)
       // or the attempt aborted (files are ordinary vacuumable residue)
@@ -671,7 +721,8 @@ object TxLog {
       cdf: Option[String],
       partitionBy: Seq[String],
       txn: String,
-      dataDir: String): Long = {
+      dataDir: String,
+      bloomCols: Map[String, Long] = Map.empty): Long = {
     // step 1: data files land first, unreferenced by any manifest —
     // hive-layout (k=v dirs) when partitioned, flat otherwise
     if (partitionBy.isEmpty) df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
@@ -702,16 +753,25 @@ object TxLog {
         .map(e => c -> e))
     val strCols = statsCols.filter(c =>
       byName.get(c).contains(org.apache.spark.sql.types.StringType))
-    val (fileStats: Map[String, ColStats], fileStrStats: Map[String, StrColStats]) =
-      if ((intCols.isEmpty && strCols.isEmpty) || written.isEmpty)
-        (Map.empty[String, ColStats], Map.empty[String, StrColStats])
+    // bloom-indexed columns present in this commit's schema, with the
+    // caller's per-file distinct estimate (bitset sizing)
+    val bloomSpecs: Seq[(String, Long)] = bloomCols.toSeq
+      .filter { case (c, _) => byName.contains(c) }.sortBy(_._1)
+    val (fileStats: Map[String, ColStats],
+      fileStrStats: Map[String, StrColStats],
+      fileBloomed: Set[String]) =
+      if ((intCols.isEmpty && strCols.isEmpty && bloomSpecs.isEmpty) ||
+        written.isEmpty)
+        (Map.empty[String, ColStats], Map.empty[String, StrColStats],
+          Set.empty[String])
       else {
         val aggs = intCols.flatMap { case (c, e) => Seq(
           min(e).as(s"lo_$c"),
           max(e).as(s"hi_$c")) } ++
           strCols.flatMap(c => Seq(
             min(col(c)).as(s"slo_$c"),
-            max(col(c)).as(s"shi_$c")))
+            max(col(c)).as(s"shi_$c"))) ++
+          bloomSpecs.map { case (c, n) => Bloom.agg(col(c), n).as(s"bf_$c") }
         // pin the commit's own schema: partition-value type INFERENCE
         // could otherwise re-type a numeric-looking string partition
         // column and break the stats extraction
@@ -744,13 +804,38 @@ object TxLog {
           }.toMap
           rel(r.getString(0)) -> cs
         }.toMap
-        (ints, strs)
+        // sidecar bitsets land next to their data files BEFORE the
+        // manifest references them (same ordering discipline as the data
+        // itself) — a driver round-trip bounded by the commit's file
+        // count × capped bitset size, never by the table
+        val bloomed: Set[String] =
+          if (bloomSpecs.isEmpty) Set.empty
+          else rows.flatMap { r =>
+            val p = rel(r.getString(0))
+            val wrote = bloomSpecs.forall { case (c, _) =>
+              val bytes = r.getAs[Array[Byte]](s"bf_$c")
+              if (bytes == null) false
+              else {
+                Files.write(
+                  Paths.get(root).resolve(Bloom.sidecar(p, c)), bytes)
+                true
+              }
+            }
+            if (wrote) Some(p) else None
+          }.toSet
+        (ints, strs, bloomed)
       }
+    val bloomTypes: BloomCols = bloomSpecs.map { case (c, _) =>
+      c -> byName(c).catalogString
+    }.toMap
     val entries: Seq[String] =
       carry.map(renderEntry) ++ written.map(p =>
         renderEntry(Entry(p, writtenSizes.get(p),
           fileStats.getOrElse(p, Map.empty),
-          fileStrStats.getOrElse(p, Map.empty))))
+          fileStrStats.getOrElse(p, Map.empty),
+          // a file the stats job never saw (a zero-row part file) gets
+          // no sidecar and therefore declares no bloom — readers keep it
+          if (fileBloomed.contains(p)) bloomTypes else Map.empty)))
     // record the commit's schema so readers resolve theirs from the
     // LOG, never from O(live files) footer reads; a carry-bearing
     // commit must cover the carried files' columns too, so it merges
@@ -890,6 +975,18 @@ object TxLog {
 
   def append(spark: SparkSession, root: String, df: DataFrame): Long =
     commit(spark, root, df, Append)
+
+  /** Append with zone maps and/or bloom indexes — the per-batch ingest
+    * wrapper (`bloomCols`: column → expected distinct values per file).
+    */
+  def append(
+      spark: SparkSession,
+      root: String,
+      df: DataFrame,
+      statsCols: Seq[String],
+      bloomCols: Map[String, Long]): Long =
+    commit(spark, root, df, Append, statsCols = statsCols,
+      bloomCols = bloomCols)
 
   def overwrite(spark: SparkSession, root: String, df: DataFrame): Long =
     commit(spark, root, df, Overwrite)
@@ -1631,9 +1728,14 @@ object TxLog {
       all.foreach { f =>
         if (f.getFileName.toString.endsWith(".parquet")) {
           if (!keep.contains(canonical(f))) { Files.delete(f); deleted += 1 }
-        } else if (!anyKept) {
-          // write markers (_SUCCESS, .crc) go when nothing in the dir is kept
-          Files.delete(f)
+        } else Bloom.sidecarOf(canonical(f)) match {
+          case Some(dataPath) =>
+            // a bloom sidecar lives exactly as long as its data file
+            if (!keep.contains(dataPath)) Files.delete(f)
+          case None if !anyKept =>
+            // write markers (_SUCCESS, .crc) go when nothing in the dir is kept
+            Files.delete(f)
+          case None => ()
         }
       }
       // drop now-empty dirs bottom-up (deepest first)

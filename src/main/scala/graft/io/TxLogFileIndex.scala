@@ -35,7 +35,8 @@ final class TxLogFileIndex(
     sizes: Map[String, Long], // manifest-carried byte sizes
     stats: Map[String, TxLog.ColStats],
     strStats: Map[String, TxLog.StrColStats] = Map.empty,
-    partSchema: StructType = new StructType()) extends FileIndex {
+    partSchema: StructType = new StructType(),
+    blooms: Map[String, TxLog.BloomCols] = Map.empty) extends FileIndex {
 
   // file statuses come from the MANIFEST (the log stores sizes, as
   // Delta does, precisely so the read path never stats a data file —
@@ -97,6 +98,38 @@ final class TxLogFileIndex(
     */
   @volatile var lastListed: Seq[String] = Nil
 
+  /** Sidecar bitsets, loaded lazily per (file, column) on the FIRST
+    * equality probe that survives the zone maps and cached for the
+    * index's lifetime — a snapshot's planning pays at most one sidecar
+    * GET per (surviving file, probed column), counted so specs can
+    * assert the bound. A missing/corrupt sidecar caches as `None` and
+    * keeps the file (conservative, never a false skip).
+    */
+  private val sidecars = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Option[org.apache.spark.util.sketch.BloomFilter]]
+
+  private def bloomKeep(
+      file: String,
+      bl: TxLog.BloomCols,
+      a: Attribute,
+      l: Literal): Boolean =
+    bl.get(a.name) match {
+      case None => true // column not bloom-indexed in this file
+      case Some(dt) => Bloom.probeHash(l.value, l.dataType, dt) match {
+        case None          => true  // types don't reconcile: keep
+        case Some(Left(_)) => false // value can't fit the write-time type
+        case Some(Right(h)) =>
+          sidecars.getOrElseUpdate((file, a.name), {
+            TxLogFileIndex.bloomReads.incrementAndGet()
+            Bloom.readSidecar(
+              java.nio.file.Paths.get(Bloom.sidecar(file, a.name)))
+          }) match {
+            case None     => true
+            case Some(bf) => bf.mightContainLong(h)
+          }
+      }
+    }
+
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -104,7 +137,15 @@ final class TxLogFileIndex(
       val key = st.getPath.toUri.getPath
       val cs = stats.getOrElse(key, Map.empty)
       val ts = strStats.getOrElse(key, Map.empty)
-      dataFilters.forall(f => TxLogFileIndex.mayMatch(f, cs, ts))
+      // bloom probes run INSIDE the zone-map predicate walk (equality
+      // arms only), so a file min/max already excludes never pays a
+      // sidecar read — and Or-composition stays correct for free
+      val bloomFn: (Attribute, Literal) => Boolean =
+        blooms.get(key) match {
+          case Some(bl) if bl.nonEmpty => (a, l) => bloomKeep(key, bl, a, l)
+          case _                       => TxLogFileIndex.keepAll
+        }
+      dataFilters.forall(f => TxLogFileIndex.mayMatch(f, cs, ts, bloomFn))
     }
     if (partSchema.isEmpty) {
       lastListed = kept.map(_.getPath.toUri.getPath)
@@ -137,6 +178,16 @@ final class TxLogFileIndex(
 
 object TxLogFileIndex {
 
+  /** Sidecar bitset reads across all indexes — specs assert a point
+    * lookup's planning opens at most (zone-surviving files × probed
+    * columns) sidecars, the same read-counting discipline as
+    * `TxLog.manifestReads`.
+    */
+  private[io] val bloomReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The no-bloom hook: every equality probe keeps the file. */
+  private[io] val keepAll: (Attribute, Literal) => Boolean = (_, _) => true
+
   /** The [[TxLogFileIndex]] a snapshot DataFrame plans through (for specs
     * asserting that frame's pruning via its own `lastListed`).
     */
@@ -160,14 +211,16 @@ object TxLogFileIndex {
     * it is for file lists and sizes.
     */
   private[io] def read(spark: SparkSession, root: String, r: TxLog.Replay): DataFrame = {
-    val abs = r.files.map(f => s"$root/$f")
+    val abs = r.files.map(f => TxLog.absPath(root, f))
     val partCols = r.partitionBy.getOrElse(throw new IllegalStateException(
       s"txlog: $root's live set mixes partition layouts (an append declared " +
         "a different partitionBy than the table); restore a clean version"))
     val sizesM = r.entries.iterator
-      .flatMap(e => e.bytes.map(b => s"$root/${e.path}" -> b)).toMap
-    val statsM = r.stats.map { case (p, cs) => s"$root/$p" -> cs }
-    val strStatsM = r.strStats.map { case (p, cs) => s"$root/$p" -> cs }
+      .flatMap(e => e.bytes.map(b => TxLog.absPath(root, e.path) -> b)).toMap
+    val statsM = r.stats.map { case (p, cs) => TxLog.absPath(root, p) -> cs }
+    val strStatsM = r.strStats.map { case (p, cs) => TxLog.absPath(root, p) -> cs }
+    val bloomsM = r.entries.iterator.filter(_.blooms.nonEmpty)
+      .map(e => TxLog.absPath(root, e.path) -> e.blooms).toMap
     if (partCols.isEmpty) {
       // the schema comes from the LOG when every contributing manifest
       // recorded one (the normal case) — a snapshot then plans from
@@ -175,7 +228,8 @@ object TxLogFileIndex {
       // fall back to a mergeSchema inference pass over the live files
       val schema = r.schema.getOrElse(
         spark.read.option("mergeSchema", "true").parquet(abs: _*).schema)
-      val index = new TxLogFileIndex(spark, root, abs, sizesM, statsM, strStatsM)
+      val index = new TxLogFileIndex(spark, root, abs, sizesM, statsM, strStatsM,
+        blooms = bloomsM)
       val rel = HadoopFsRelation(index, new StructType(), schema, None,
         new ParquetFileFormat, Map("mergeSchema" -> "true"))(spark)
       spark.baseRelationToDataFrame(rel)
@@ -189,7 +243,7 @@ object TxLogFileIndex {
             s"txlog: partition column $c missing from the recorded schema"))))
       val dataSchema = StructType(full.fields.filterNot(f => partCols.contains(f.name)))
       val index = new TxLogFileIndex(spark, root, abs, sizesM, statsM,
-        strStatsM, partSchema)
+        strStatsM, partSchema, bloomsM)
       val rel = HadoopFsRelation(index, partSchema, dataSchema, None,
         new ParquetFileFormat, Map("mergeSchema" -> "true"))(spark)
       spark.baseRelationToDataFrame(rel)
@@ -284,7 +338,8 @@ object TxLogFileIndex {
   private[io] def mayMatch(
       e: Expression,
       cs: TxLog.ColStats,
-      ss: TxLog.StrColStats = Map.empty): Boolean = {
+      ss: TxLog.StrColStats = Map.empty,
+      bloom: (Attribute, Literal) => Boolean = keepAll): Boolean = {
     // per-shape keep tests: `fi` over an integral range, `fs` over a
     // string range; no stats (or a literal of neither kind) keeps the file
     def keep(a: Attribute, v: Any)(fi: ((Long, Long), Long) => Boolean)(
@@ -319,10 +374,10 @@ object TxLogFileIndex {
         case ((lo, _), x) => cmpB(lo, x) < 0
       }
     e match {
-      case And(l, r) => mayMatch(l, cs, ss) && mayMatch(r, cs, ss)
-      case Or(l, r)  => mayMatch(l, cs, ss) || mayMatch(r, cs, ss)
-      case EqualTo(AttrOrCast(a), Literal(v, _)) => eqK(a, v)
-      case EqualTo(Literal(v, _), AttrOrCast(a)) => eqK(a, v)
+      case And(l, r) => mayMatch(l, cs, ss, bloom) && mayMatch(r, cs, ss, bloom)
+      case Or(l, r)  => mayMatch(l, cs, ss, bloom) || mayMatch(r, cs, ss, bloom)
+      case EqualTo(AttrOrCast(a), l: Literal) => eqK(a, l.value) && bloom(a, l)
+      case EqualTo(l: Literal, AttrOrCast(a)) => eqK(a, l.value) && bloom(a, l)
       case GreaterThanOrEqual(AttrOrCast(a), Literal(v, _)) => geK(a, v)
       case GreaterThan(AttrOrCast(a), Literal(v, _))        => gtK(a, v)
       case LessThanOrEqual(AttrOrCast(a), Literal(v, _))    => leK(a, v)
@@ -332,7 +387,7 @@ object TxLogFileIndex {
       case LessThanOrEqual(Literal(v, _), AttrOrCast(a))    => geK(a, v) // v <= a ⇔ a >= v
       case LessThan(Literal(v, _), AttrOrCast(a))           => gtK(a, v) // v < a ⇔ a > v
       case In(AttrOrCast(a), vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-        vs.exists { case Literal(v, _) => eqK(a, v); case _ => true }
+        vs.exists { case l: Literal => eqK(a, l.value) && bloom(a, l); case _ => true }
       case StartsWith(a: Attribute, Literal(p, _)) =>
         // strings with prefix p form [p, p·∞): overlap with [lo, hi]
         // needs p ≤ hi (h starting with p implies p ≤ h byte-wise) and

@@ -1296,5 +1296,10 @@ private[graft] object OracleShard10 {
         |       CAST(CASE WHEN doc_id % 2 = 0 THEN 1
         |                 ELSE doc_id % 50 END AS INTEGER) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q653_txlog_bloom" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents WHERE doc_id IN (7, 103, 211, 339, 491)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -2165,5 +2165,30 @@ private[graft] object Shard10 {
           sum(col("k")).as("keysum"))
         .orderBy("o_orderpriority")
     }),
+
+    // per-file BLOOM indexes on the lakehouse read path: the corpus
+    // commits interleaved by doc_id % 8, so every file's doc_id
+    // [min, max] spans essentially the whole table and zone maps prune
+    // NOTHING for a point lookup — the secondary-key shape (Delta's
+    // bloom index / Parquet bloom design point). Each commit builds a
+    // sidecar bitset per file inside the SAME single stats job, and the
+    // plain snapshot().filter(doc_id IN ...) consults them at plan time,
+    // opening only files that can hold the probed ids. TxLogBloomSpec
+    // asserts the planned file set and the sidecar-read bound; this
+    // query oracles the ANSWER, so a false skip (hash-reconciliation
+    // bug, lost sidecar on carry) breaks the hash
+    "q653_txlog_bloom" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val root = io.Zones.tempDir(s"graft_bloom_${new java.io.File(dir).getName}")
+      (0 until 8).foreach(b => io.TxLog.commit(s, root,
+        d.filter(pmod(col("doc_id"), lit(8)) === b).coalesce(1),
+        io.TxLog.Append, statsCols = Seq("doc_id"),
+        bloomCols = Map("doc_id" -> 8192L)))
+      io.TxLog.snapshot(s, root)
+        .filter(col("doc_id").isin(7L, 103L, 211L, 339L, 491L))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
   )
 }
