@@ -7,7 +7,7 @@ import java.util.concurrent.atomic.AtomicLong
 import scala.util.matching.Regex
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
+import org.apache.spark.sql.functions.{col, expr, input_file_name, lit, max, min}
 
 /** Minimal lakehouse transaction log over parquet — the append/overwrite
   * commit protocol of Delta Lake (Armbrust et al., VLDB 2020) re-derived at
@@ -62,6 +62,12 @@ object TxLog {
     * — the caller must re-read and recompute (see [[merge]]).
     */
   final class CommitConflict(msg: String) extends RuntimeException(msg)
+
+  /** A commit's rows (or, at ADD CONSTRAINT time, the existing table)
+    * fail a CHECK constraint — the commit is refused before its manifest
+    * publishes, so the table never holds the bad rows.
+    */
+  final class ConstraintViolation(msg: String) extends RuntimeException(msg)
 
   final case class Manifest(
       version: Long,
@@ -136,7 +142,8 @@ object TxLog {
       entries: Vector[Entry],
       schema: Option[org.apache.spark.sql.types.StructType],
       txns: Map[String, Long],
-      partitionBy: Option[Seq[String]] = Some(Nil)) {
+      partitionBy: Option[Seq[String]] = Some(Nil),
+      constraints: Map[String, String] = Map.empty) {
     def files: Vector[String] = entries.map(_.path)
     def stats: Map[String, ColStats] =
       entries.iterator.filter(_.stats.nonEmpty).map(e => e.path -> e.stats).toMap
@@ -355,6 +362,24 @@ object TxLog {
   // survive checkpoint-bounded replay — and rewrites, so it never resets)
   private val txnsField: Regex = """"txns":\{([^}]*)\}""".r
   private val txnsEntry: Regex = """"([^"]+)":(\d+)""".r
+  // table CHECK constraints: name → base64(SQL expression). Add/drop
+  // commits and checkpoints write the FULL current map; replay keeps the
+  // most recent field seen (absent = no change, present-empty = reset
+  // after the last drop). Base64 because expressions contain exactly the
+  // characters the line-oriented manifest regexes key on.
+  private val constraintsField: Regex = """"constraints":\{([^}]*)\}""".r
+  private val constraintEntry: Regex = """"([^"]+)":"([A-Za-z0-9+/=]*)"""".r
+  private def constraintsOfLog(txt: String): Option[Map[String, String]] =
+    constraintsField.findFirstMatchIn(txt).map(m =>
+      constraintEntry.findAllMatchIn(m.group(1)).map(e =>
+        unescStr(e.group(1)) -> new String(
+          java.util.Base64.getDecoder.decode(e.group(2)),
+          StandardCharsets.UTF_8)).toMap)
+  private def renderConstraints(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (n, ex) =>
+      s""""${escStr(n)}":"${java.util.Base64.getEncoder
+        .encodeToString(ex.getBytes(StandardCharsets.UTF_8))}""""
+    }.mkString(""","constraints":{""", ",", "}")
 
   /** A checkpoint manifest (full live set) is written every K commits so
     * reader replay cost is O(K), not O(total versions) — the Delta
@@ -540,6 +565,10 @@ object TxLog {
     var schema: Option[org.apache.spark.sql.types.StructType] =
       Some(org.apache.spark.sql.types.StructType(Nil))
     var txns = Map.empty[String, Long]
+    // CHECK constraints: table metadata, so rewrites never reset it —
+    // only an explicit constraints field (add/drop commit, checkpoint)
+    // replaces the map
+    var constraints = Map.empty[String, String]
     // partition layout: overwrite resets it, an append must agree with
     // it — a disagreement (mixed layouts in one live set) resolves to
     // None and the READ refuses loudly rather than misparse k=v dirs
@@ -553,6 +582,9 @@ object TxLog {
       entries = parseEntries(txt).toVector
       partitionBy = Some(partitionByOfLog(txt))
       schema = schemaOfLog(txt)
+      // a checkpoint is full state: an absent field means NO constraints
+      // (every checkpoint written since constraints exist records them)
+      constraints = constraintsOfLog(txt).getOrElse(Map.empty)
       txns = txnsField.findFirstMatchIn(txt).map(m =>
         txnsEntry.findAllMatchIn(m.group(1))
           .map(e => e.group(1) -> e.group(2).toLong).toMap).getOrElse {
@@ -592,26 +624,28 @@ object TxLog {
         // exactly-once bookkeeping is monotone: a rewrite must NOT reset
         // it, or a replayed microbatch could double-land after an OPTIMIZE
         txnField.findFirstMatchIn(txt).foreach(m => txns += (m.group(1) -> v))
+        constraintsOfLog(txt).foreach(m => constraints = m)
       }
-    Replay(entries, schema.filter(_.fields.nonEmpty), txns, partitionBy)
+    Replay(entries, schema.filter(_.fields.nonEmpty), txns, partitionBy,
+      constraints)
   }
 
   /** Live file list at `upTo` (absolute paths). */
   def liveFiles(root: String, upTo: Long): Seq[String] =
-    replay(root, upTo).files.map(f => s"$root/$f")
+    replay(root, upTo).files.map(f => absPath(root, f))
 
   /** Zone-map stats of every live file at `upTo` that HAS them (absolute
     * paths → column → [lo, hi]). Files committed without stats are absent
     * — callers must treat them as "may contain anything".
     */
   def liveStats(root: String, upTo: Long): Map[String, ColStats] =
-    replay(root, upTo).stats.map { case (p, cs) => s"$root/$p" -> cs }
+    replay(root, upTo).stats.map { case (p, cs) => absPath(root, p) -> cs }
 
   /** String zone maps of every live file at `upTo` that has them
     * (absolute paths → column → (lo, truncated-aware hi)).
     */
   def liveStrStats(root: String, upTo: Long): Map[String, StrColStats] =
-    replay(root, upTo).strStats.map { case (p, cs) => s"$root/$p" -> cs }
+    replay(root, upTo).strStats.map { case (p, cs) => absPath(root, p) -> cs }
 
   /** The txnId each committed version carries — checkpoint-bounded like
     * every other replay (checkpoints persist the full monotone map), so
@@ -708,6 +742,16 @@ object TxLog {
   private def inflightDir(root: String): Path =
     Paths.get(root, "_txlog", "inflight")
 
+  /** Fast-path hint that this table has (ever had) CHECK constraints.
+    * Created BEFORE the add's manifest publishes, never removed — purely
+    * an optimization gate (the LOG is the authority), so a stale marker
+    * on a dropped-to-empty table costs one checkpoint-bounded replay per
+    * commit, and an absent marker is only possible on a table where no
+    * constraint was ever added.
+    */
+  private def constraintsMarker(root: String): Path =
+    logDir(root).resolve("_constraints")
+
   private def commitInner(
       spark: SparkSession,
       root: String,
@@ -739,6 +783,33 @@ object TxLog {
       finally walk.close()
     }
     val written = writtenSizes.keys.toSeq.sorted
+    // CHECK constraints: a read-back scan of the commit's OWN files —
+    // proportional to the commit, never to the table (carried files were
+    // validated when written, and [[addConstraint]] validates the whole
+    // table once at add time). The `_constraints` marker keeps
+    // constraint-free tables at ZERO extra replay on the append hot
+    // path; with it present the lookup is checkpoint-bounded. SQL CHECK
+    // semantics: a row fails only when the expression is provably FALSE
+    // (NULL passes).
+    if (written.nonEmpty && Files.exists(constraintsMarker(root))) {
+      val cons = replay(root, headVersion(root)).constraints
+      if (cons.nonEmpty) {
+        val back = spark.read
+          .schema(deepNullable(df.schema)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .parquet(dataDir)
+        val anyBad = cons.values.map(ex => expr(ex) <=> lit(false))
+          .reduce(_ || _)
+        if (!back.filter(anyBad).isEmpty) {
+          val which = cons.keys.toSeq.sorted.filter(n =>
+            !back.filter(expr(cons(n)) <=> lit(false)).isEmpty)
+          throw new ConstraintViolation(
+            s"txlog: commit to $root violates CHECK constraint(s) " +
+              which.mkString(", ") +
+              " — no manifest published, the rejected files are vacuumable residue")
+        }
+      }
+    }
     // optional per-file zone maps: min/max of each stats column per
     // written file, serialized into the manifest so readers can skip
     // files whose range can't match. ONE aggregation job over the
@@ -865,7 +936,8 @@ object TxLog {
       expectHead: Option[Long],
       txn: String,
       cdf: Option[String] = None,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil,
+      constraints: Option[Map[String, String]] = None): Long = {
     var attempt = 0
     while (true) {
       val next = headVersion(root) + 1
@@ -886,8 +958,14 @@ object TxLog {
           .mkString(""","partitionBy":[""", ",", "]")
       val schemaPart = recorded
         .map(s => s""","schemaB64":"${schemaToB64(s)}"""").getOrElse("")
+      val consPart = constraints.map(renderConstraints).getOrElse("")
+      // constraints-bearing manifests are fmt 4: an older writer's
+      // checkpoint would silently DROP the field (derived state), losing
+      // enforcement for every later reader
+      val fmt = math.max(manifestFmt(entries, partitionBy),
+        if (consPart.nonEmpty) 4L else 0L)
       val body = entries.mkString(
-        s"""{"version":$next,"fmt":${manifestFmt(entries, partitionBy)},"ts":${System.currentTimeMillis()},"action":"${action.name}"$txnPart$cdfPart$partPart$schemaPart,"files":[""", ",", "]}")
+        s"""{"version":$next,"fmt":$fmt,"ts":${System.currentTimeMillis()},"action":"${action.name}"$txnPart$cdfPart$partPart$schemaPart$consPart,"files":[""", ",", "]}")
       val tmp = logDir(root).resolve(s".tmp-$txn-$attempt")
       val ch = java.nio.channels.FileChannel.open(tmp,
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
@@ -933,6 +1011,105 @@ object TxLog {
       partitionBy = r.partitionBy.getOrElse(Nil))
   }
 
+  /** Shallow CLONE: a metadata-only fork of `srcRoot`'s snapshot at
+    * `version` (head when None) into `dstRoot` — ONE manifest write
+    * whose entries reference the source's files by ABSOLUTE path
+    * (external entries, fmt-gated to 4), carrying their sizes, zone
+    * maps, string stats, and bloom declarations, plus the recorded
+    * schema and partition layout. At 100 TB a dev/test fork costs
+    * kilobytes of metadata and zero data movement — Delta's SHALLOW
+    * CLONE, Iceberg's snapshot-ref idea. Data files are immutable, so
+    * the fork is a consistent snapshot forever.
+    *
+    * Writes to the clone are ordinary commits into its OWN data dirs;
+    * the rewrite ops (merge/delete/update/compact/optimize) read
+    * external files through the shared [[TxLogFileIndex]] path and
+    * copy-on-write the touched ones INTO the clone — the source is never
+    * modified, and untouched external entries keep being carried by
+    * reference. The clone's own [[vacuum]] never deletes external files
+    * (it only walks `dstRoot/data`). The flip side is Delta's documented
+    * shallow-clone caveat: a vacuum ON THE SOURCE can delete files a
+    * clone still references — the source's retention policy must cover
+    * its clones' lifetimes.
+    */
+  def cloneTable(
+      srcRoot: String,
+      dstRoot: String,
+      version: Option[Long] = None): Long = {
+    val v = version.getOrElse(headVersion(srcRoot))
+    val r = replay(srcRoot, v)
+    require(r.entries.nonEmpty, s"txlog: clone of $srcRoot v$v lists no files")
+    require(headVersion(dstRoot) == 0L,
+      s"txlog: clone target $dstRoot already has a log")
+    val srcAbs = Paths.get(srcRoot).toAbsolutePath.toString
+    val ext = r.entries.map(e => e.copy(path = absPath(srcAbs, e.path)))
+    Files.createDirectories(logDir(dstRoot))
+    publish(dstRoot, ext.map(renderEntry), Overwrite, txnId = None,
+      recorded = r.schema, expectHead = None,
+      txn = java.util.UUID.randomUUID().toString.take(12),
+      partitionBy = layoutOf(srcRoot, r))
+  }
+
+  /** Current CHECK constraints (name → SQL expression). */
+  def constraintsOf(root: String): Map[String, String] =
+    if (headVersion(root) == 0L) Map.empty
+    else replay(root, headVersion(root)).constraints
+
+  /** ADD a CHECK constraint: validates the EXISTING table in one scan
+    * (Delta's ADD CONSTRAINT semantics — a constraint is a guarantee, so
+    * it must hold retroactively or be refused), then publishes a
+    * metadata commit carrying the current entries by reference plus the
+    * updated constraint map. Every later commit's rows are validated
+    * against it (SQL semantics: NULL passes, only provably-FALSE rows
+    * violate) with a read-back scan proportional to the commit.
+    * Serializable like every rewrite: a racing commit conflicts and the
+    * add re-validates against the new head. Content-preserving
+    * (`cdf = ""`), so change-feed subscribers read straight through it.
+    */
+  def addConstraint(
+      spark: SparkSession,
+      root: String,
+      name: String,
+      sqlExpr: String): Long = {
+    require(name.nonEmpty, "txlog: constraint name must be non-empty")
+    readModifyWrite(root, "addConstraint") { (base, r) =>
+      require(!r.constraints.contains(name),
+        s"txlog: constraint $name already exists on $root")
+      if (r.entries.nonEmpty) {
+        val bad = TxLogFileIndex.read(spark, root, r)
+          .filter(expr(sqlExpr) <=> lit(false))
+        if (!bad.isEmpty)
+          throw new ConstraintViolation(
+            s"txlog: existing rows of $root violate CHECK $name ($sqlExpr); not added")
+      }
+      // marker BEFORE the manifest: any commit racing past the publish
+      // already sees the hint and resolves constraints from the log
+      Files.createDirectories(logDir(root))
+      try Files.createFile(constraintsMarker(root))
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      publish(root, r.entries.map(renderEntry), Overwrite, txnId = None,
+        recorded = r.schema, expectHead = Some(base),
+        txn = java.util.UUID.randomUUID().toString.take(12),
+        cdf = Some(""), partitionBy = layoutOf(root, r),
+        constraints = Some(r.constraints + (name -> sqlExpr)))
+    }
+  }
+
+  /** DROP a CHECK constraint: a metadata commit writing the full updated
+    * (possibly empty) map — replay treats present-empty as reset, so the
+    * drop survives checkpoints.
+    */
+  def dropConstraint(root: String, name: String): Long =
+    readModifyWrite(root, "dropConstraint") { (base, r) =>
+      require(r.constraints.contains(name),
+        s"txlog: no constraint $name on $root")
+      publish(root, r.entries.map(renderEntry), Overwrite, txnId = None,
+        recorded = r.schema, expectHead = Some(base),
+        txn = java.util.UUID.randomUUID().toString.take(12),
+        cdf = Some(""), partitionBy = layoutOf(root, r),
+        constraints = Some(r.constraints - name))
+    }
+
   /** Best-effort: a checkpoint is pure derived state, so a failure (or a
     * concurrent winner) must never fail the commit that triggered it —
     * readers just replay a longer manifest suffix. Stats entries are
@@ -958,9 +1135,13 @@ object TxLog {
         else r.txns.toSeq.sortBy(_._2)
           .map { case (t, tv) => s""""$t":$tv""" }
           .mkString(""","txns":{""", ",", "}")
+      val consPart =
+        if (r.constraints.isEmpty) "" else renderConstraints(r.constraints)
       val rendered = r.entries.map(renderEntry)
+      val fmt = math.max(manifestFmt(rendered, partCols),
+        if (consPart.nonEmpty) 4L else 0L)
       val body = rendered
-        .mkString(s"""{"version":$v,"fmt":${manifestFmt(rendered, partCols)},"action":"checkpoint"$partPart$schemaPart$txnsPart,"files":[""", ",", "]}")
+        .mkString(s"""{"version":$v,"fmt":$fmt,"action":"checkpoint"$partPart$schemaPart$txnsPart$consPart,"files":[""", ",", "]}")
       val tmp = logDir(root).resolve(s".ckpt-tmp-$v-${java.util.UUID.randomUUID().toString.take(8)}")
       val ch = java.nio.channels.FileChannel.open(tmp,
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
@@ -1272,7 +1453,7 @@ object TxLog {
       e.references.nonEmpty && e.references.forall(a => partCols(a.name)))
     index.listFiles(pf, df)
     val kept = index.lastListed.toSet
-    r.entries.filter(e => kept(s"$root/${e.path}"))
+    r.entries.filter(e => kept(absPath(root, e.path)))
   }
 
   /** Copy-on-write UPDATE: apply the SET assignments to the rows
@@ -1452,7 +1633,7 @@ object TxLog {
         case Some((flo, fhi)) => fhi >= lo && flo <= hi
         case None             => true // no zone map for col: cannot skip
       }
-    }.map(p => s"$root/$p")
+    }.map(p => absPath(root, p))
   }
 
   /** Change-data-feed read: the row-level delta between `from`
@@ -1684,14 +1865,14 @@ object TxLog {
     // every file any retained snapshot lists, in ONE forward pass: the
     // horizon's live set (checkpoint-bounded), then roll version by
     // version, folding each intermediate live set into the union
-    var cur: Set[String] = replay(root, horizon).files.map(f => s"$root/$f").toSet
+    var cur: Set[String] = replay(root, horizon).files.map(f => absPath(root, f)).toSet
     var keep: Set[String] = cur
     // change-data dirs any retained changes() read can still reference
     var keepCdf: Set[String] =
       if (horizon >= 1) readManifest(root, horizon).cdf.toSet - "" else Set.empty
     def roll(fromV: Long, toV: Long): Unit = (fromV to toV).foreach { v =>
       val m = readManifest(root, v)
-      val fs = m.files.map(f => s"$root/$f").toSet
+      val fs = m.files.map(f => absPath(root, f)).toSet
       cur = if (m.action == Overwrite.name) fs else cur ++ fs
       keep ++= cur
       keepCdf ++= m.cdf.toSet - ""

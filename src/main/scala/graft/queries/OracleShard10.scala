@@ -1301,5 +1301,19 @@ private[graft] object OracleShard10 {
       """SELECT doc_id, lang, source, n_chars
         |FROM documents WHERE doc_id IN (7, 103, 211, 339, 491)
         |ORDER BY doc_id""".stripMargin,
+
+    "q654_txlog_clone" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q655_txlog_constraints" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

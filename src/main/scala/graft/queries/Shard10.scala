@@ -2190,5 +2190,71 @@ private[graft] object Shard10 {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),
+
+    // shallow CLONE: a metadata-only fork — one manifest referencing the
+    // source's files by absolute path, zero data movement (at 100 TB a
+    // dev/test fork costs kilobytes). The source is then MERGED (prices
+    // doubled for February) AFTER the fork; the clone must keep reading
+    // the pre-merge state through its external references while the
+    // source moves on — the oracle recomputes the ORIGINAL two months
+    // from orders, so a clone that leaks source writes, mis-resolves an
+    // external path, or loses a carried file breaks the hash.
+    // TxLogCloneSpec pins zero-copy, both isolation directions,
+    // copy-on-write rewrites INTO the clone, and vacuum safety
+    "q654_txlog_clone" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(expr("year(o_orderdate) = 1995 AND month(o_orderdate) <= 2"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          centsOf(col("o_totalprice")).as("v"),
+          month(col("o_orderdate")).as("mm"))
+      val src = io.Zones.tempDir(s"graft_clsrc_${new java.io.File(dir).getName}")
+      (1 to 2).foreach(m => io.TxLog.commit(s, src,
+        o.filter(col("mm") === m).drop("mm").coalesce(1), io.TxLog.Append,
+        statsCols = Seq("o_orderkey")))
+      val dst = io.Zones.tempDir(s"graft_cldst_${new java.io.File(dir).getName}")
+      io.TxLog.cloneTable(src, dst)
+      // the source moves on: February prices double — the clone must not see it
+      io.TxLog.merge(s, src,
+        o.filter(col("mm") === 2).select(col("o_orderkey"),
+          col("o_orderpriority"), (col("v") * 2).as("v")), "o_orderkey")
+      io.TxLog.snapshot(s, dst)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // CHECK constraints: a write-time guarantee on the lakehouse —
+    // ADD CONSTRAINT validates the existing table in one scan, then
+    // every commit's rows are validated by a read-back proportional to
+    // the COMMIT (never the table; constraint-free tables pay zero).
+    // A poisoned February batch (negated prices) is refused WHOLE —
+    // atomically, no manifest published — and the correct batch then
+    // lands. The oracle recomputes both months from orders, so
+    // enforcement that admits the bad batch, drops the good one, or
+    // tears a commit breaks the hash. TxLogConstraintSpec pins SQL NULL
+    // semantics, retroactive ADD validation, checkpoint survival, DROP,
+    // merge enforcement, and the zero-cost fast path
+    "q655_txlog_constraints" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(expr("year(o_orderdate) = 1995 AND month(o_orderdate) <= 2"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          centsOf(col("o_totalprice")).as("v"),
+          month(col("o_orderdate")).as("mm"))
+      val root = io.Zones.tempDir(s"graft_cons_${new java.io.File(dir).getName}")
+      io.TxLog.append(s, root, o.filter(col("mm") === 1).drop("mm"))
+      io.TxLog.addConstraint(s, root, "pos_cents", "v > 0")
+      val refused =
+        try {
+          io.TxLog.append(s, root,
+            o.filter(col("mm") === 2).drop("mm").withColumn("v", -col("v")))
+          false
+        } catch { case _: io.TxLog.ConstraintViolation => true }
+      require(refused, "txlog: constraint failed to fire on the poisoned batch")
+      io.TxLog.append(s, root, o.filter(col("mm") === 2).drop("mm"))
+      io.TxLog.snapshot(s, root)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
+        .orderBy("o_orderpriority")
+    }),
   )
 }
