@@ -74,7 +74,8 @@ object TxLog {
       action: String,
       files: Seq[String],
       cdf: Option[String] = None,
-      ts: Option[Long] = None)
+      ts: Option[Long] = None,
+      dvRefs: Set[String] = Set.empty)
 
   /** Per-file, per-column zone map carried by a manifest entry: min/max
     * of each stats column for data skipping (the Delta/Iceberg per-file
@@ -126,7 +127,8 @@ object TxLog {
       bytes: Option[Long],
       stats: ColStats,
       strStats: StrColStats = Map.empty,
-      blooms: BloomCols = Map.empty)
+      blooms: BloomCols = Map.empty,
+      dvs: Vector[String] = Vector.empty)
 
   /** The resolved state of a version: live entries (relative paths with
     * sizes + zone maps) plus the snapshot's schema — produced by ONE
@@ -155,13 +157,15 @@ object TxLog {
   private val versionFile: Regex = """v(\d{8})\.json""".r
   // a manifest entry is either a bare "rel/path.parquet" or an object
   // {"p":"rel/path.parquet","b":bytes,"s":{"col":[lo,hi],...},
-  //  "t":{"col":["lo","hi"],...},"m":{"col":"type",...}} with
-  // "b"/"s"/"t"/"m" independently optional — group 1 = bare path,
-  // group 2 = obj path, group 3 = bytes, group 4 = integral stats body,
-  // group 5 = string stats body, group 6 = bloom column body
+  //  "t":{"col":["lo","hi"],...},"m":{"col":"type",...},"d":[dvRef,...]}
+  // with "b"/"s"/"t"/"m"/"d" independently optional — group 1 = bare
+  // path, group 2 = obj path, group 3 = bytes, group 4 = integral stats
+  // body, group 5 = string stats body, group 6 = bloom column body,
+  // group 7 = deletion-vector refs
   private val entryField: Regex =
-    """(?:"([^"{]+\.parquet)")|(?:\{"p":"([^"]+\.parquet)"(?:,"b":(\d+))?(?:,"s":\{([^}]*)\})?(?:,"t":\{([^}]*)\})?(?:,"m":\{([^}]*)\})?\})""".r
+    """(?:"([^"{]+\.parquet)")|(?:\{"p":"([^"]+\.parquet)"(?:,"b":(\d+))?(?:,"s":\{([^}]*)\})?(?:,"t":\{([^}]*)\})?(?:,"m":\{([^}]*)\})?(?:,"d":\[([^\]]*)\])?\})""".r
   private val bloomColField: Regex = """"([^"]+)":"([^"]*)"""".r
+  private val dvRefField: Regex = """"([^"]+)"""".r
   private val colStatField: Regex = """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r
   // string stat: "col":["lo","hi"] — truncated-max entries carry null;
   // values are \uXXXX-escaped (see escStr), so a raw quote/brace can
@@ -337,7 +341,9 @@ object TxLog {
       val m = if (e.blooms.isEmpty) "" else e.blooms.toSeq.sortBy(_._1)
         .map { case (c, dt) => s""""${escStr(c)}":"${escStr(dt)}"""" }
         .mkString(""","m":{""", ",", "}")
-      s"""{"p":"${e.path}"$b$s$t$m}"""
+      val d = if (e.dvs.isEmpty) "" else e.dvs
+        .map(r => "\"" + escStr(r) + "\"").mkString(""","d":[""", ",", "]")
+      s"""{"p":"${e.path}"$b$s$t$m$d}"""
     }
   private val actionField: Regex = """"action":"(append|overwrite|checkpoint)"""".r
   private val txnField: Regex = """"txnId":"([^"]*)"""".r
@@ -425,7 +431,8 @@ object TxLog {
     */
   val FormatVersion: Long = 4L
   private def manifestFmt(entries: Seq[String], partitionBy: Seq[String]): Long =
-    if (entries.exists(e => e.contains("\"m\":{") || e.contains("\"p\":\"/"))) 4L
+    if (entries.exists(e => e.contains("\"m\":{") || e.contains("\"p\":\"/") ||
+      e.contains("\"d\":["))) 4L
     else if (partitionBy.nonEmpty || entries.exists(_.contains("\"t\":{"))) 3L
     else 2L
   private val fmtField: Regex = """"fmt":(\d+)""".r
@@ -522,7 +529,10 @@ object TxLog {
           .getOrElse(Map.empty),
         Option(m.group(6)).map(s => bloomColField.findAllMatchIn(s)
           .map(c => unescStr(c.group(1)) -> unescStr(c.group(2))).toMap)
-          .getOrElse(Map.empty))
+          .getOrElse(Map.empty),
+        Option(m.group(7)).map(s => dvRefField.findAllMatchIn(s)
+          .map(c => unescStr(c.group(1))).toVector)
+          .getOrElse(Vector.empty))
     }.toSeq
 
   private def readManifest(root: String, v: Long): Manifest = {
@@ -530,9 +540,11 @@ object TxLog {
     val action = actionField.findFirstMatchIn(txt)
       .map(_.group(1))
       .getOrElse(throw new java.io.IOException(s"txlog: bad manifest v$v"))
-    Manifest(v, action, parseEntries(txt).map(_.path),
+    val es = parseEntries(txt)
+    Manifest(v, action, es.map(_.path),
       cdfField.findFirstMatchIn(txt).map(_.group(1)),
-      tsField.findFirstMatchIn(txt).map(_.group(1).toLong))
+      tsField.findFirstMatchIn(txt).map(_.group(1).toLong),
+      es.iterator.flatMap(_.dvs).toSet)
   }
 
   /** Newest checkpoint ≤ `upTo`, probed by existence: checkpoints land
@@ -1042,7 +1054,10 @@ object TxLog {
     require(headVersion(dstRoot) == 0L,
       s"txlog: clone target $dstRoot already has a log")
     val srcAbs = Paths.get(srcRoot).toAbsolutePath.toString
-    val ext = r.entries.map(e => e.copy(path = absPath(srcAbs, e.path)))
+    // data paths AND deletion-vector refs absolutize against the source
+    val ext = r.entries.map(e => e.copy(
+      path = absPath(srcAbs, e.path),
+      dvs = e.dvs.map(d => absPath(srcAbs, d))))
     Files.createDirectories(logDir(dstRoot))
     publish(dstRoot, ext.map(renderEntry), Overwrite, txnId = None,
       recorded = r.schema, expectHead = None,
@@ -1418,6 +1433,83 @@ object TxLog {
           statsCols = statsCols, carry = untouched, carrySchema = r.schema,
           expectHead = Some(base), cdf = Some(cdfDir),
           partitionBy = layoutOf(root, r))
+      }
+    }
+  }
+
+  /** Merge-on-read DELETE via deletion vectors: instead of rewriting
+    * every file that holds a matching row ([[delete]]'s copy-on-write,
+    * O(touched data)), write only the matched rows' PHYSICAL POSITIONS
+    * — `(file, row_index)` pairs under `_dv/` — and re-reference every
+    * data file untouched, the matched ones with a deletion-vector ref
+    * appended to their manifest entry. Readers subtract the positions
+    * with one broadcast anti-join above the scan (Delta's deletion
+    * vectors / Iceberg's positional deletes). Commit cost is O(matched
+    * rows): deleting 0.1% of a 100 TB table writes megabytes, not the
+    * terabytes copy-on-write would — the difference between a routine
+    * GDPR pass and a weekend job. The trade is read-side: each read pays
+    * the (broadcast, position-only) anti-join until a rewrite op
+    * (compact / optimize / merge touching the file) materializes the
+    * deletes — rewrites read through the DV-applied view, so their
+    * output files drop the refs naturally and carried files keep theirs.
+    *
+    * Positions come from the scan's `_metadata.row_index` (physical row
+    * position, stable because data files are immutable), computed over
+    * the CURRENT DV-applied view so a twice-deleted row is neither
+    * re-reported to the change feed nor double-counted. Plan-time
+    * pruning bounds the scan to candidate files exactly as [[delete]]'s.
+    * Deleted rows persist to `_change_data/` tagged `delete`, so the
+    * typed CDF reads through this commit identically to a copy-on-write
+    * delete. Zone maps and blooms of a DV-bearing file stay valid
+    * (conservative: they may keep a file whose matches are all deleted —
+    * never the reverse). NULL predicate rows are not deleted (SQL
+    * DELETE semantics).
+    */
+  def deleteVectors(
+      spark: SparkSession,
+      root: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce}
+    readModifyWrite(root, "deleteVectors") { (base, r) =>
+      val touched =
+        if (r.entries.isEmpty) Vector.empty
+        else candidateEntries(spark, root, r, predicate)
+      if (touched.isEmpty) base // provably no matching row anywhere: no-op
+      else {
+        val tagged = TxLogFileIndex.readTagged(spark, root,
+          r.copy(entries = touched))
+        val hit = coalesce(predicate, lit(false))
+        val matched = tagged.filter(hit)
+        val cdfDir = s"txn-${java.util.UUID.randomUUID().toString.take(12)}"
+        matched.drop(TxLogFileIndex.FpCol, TxLogFileIndex.PosCol)
+          .withColumn("_change_type", lit("delete"))
+          .write.mode(SaveMode.ErrorIfExists)
+          .parquet(s"$root/_change_data/$cdfDir")
+        // the positions, keyed by the file's MANIFEST path (suffix-join
+        // against the candidate entry list handles relative and external
+        // paths alike), written as one compact file
+        val paths = spark.createDataFrame(touched.map(e => Tuple1(e.path)))
+          .toDF("p")
+        val dvDir = s"_dv/txn-${java.util.UUID.randomUUID().toString.take(12)}"
+        matched
+          .select(col(TxLogFileIndex.FpCol).as("fp"),
+            col(TxLogFileIndex.PosCol).as("pos"))
+          .join(broadcast(paths), col("fp").endsWith(col("p")))
+          .select("p", "pos")
+          .repartition(1)
+          .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$dvDir")
+        // which files actually hold a match: read the (tiny) vector back
+        val dvFiles = spark.read.parquet(s"$root/$dvDir")
+          .select("p").distinct().collect().map(_.getString(0)).toSet
+        if (dvFiles.isEmpty) base // no row matched: no-op, dirs are residue
+        else {
+          val entries = r.entries.map(e =>
+            if (dvFiles(e.path)) e.copy(dvs = e.dvs :+ dvDir) else e)
+          publish(root, entries.map(renderEntry), Overwrite, txnId = None,
+            recorded = r.schema, expectHead = Some(base),
+            txn = java.util.UUID.randomUUID().toString.take(12),
+            cdf = Some(cdfDir), partitionBy = layoutOf(root, r))
+        }
       }
     }
   }
@@ -1865,17 +1957,21 @@ object TxLog {
     // every file any retained snapshot lists, in ONE forward pass: the
     // horizon's live set (checkpoint-bounded), then roll version by
     // version, folding each intermediate live set into the union
-    var cur: Set[String] = replay(root, horizon).files.map(f => absPath(root, f)).toSet
+    val horizonReplay = replay(root, horizon)
+    var cur: Set[String] = horizonReplay.files.map(f => absPath(root, f)).toSet
     var keep: Set[String] = cur
     // change-data dirs any retained changes() read can still reference
     var keepCdf: Set[String] =
       if (horizon >= 1) readManifest(root, horizon).cdf.toSet - "" else Set.empty
+    // deletion-vector dirs any retained snapshot still subtracts
+    var keepDv: Set[String] = horizonReplay.entries.iterator.flatMap(_.dvs).toSet
     def roll(fromV: Long, toV: Long): Unit = (fromV to toV).foreach { v =>
       val m = readManifest(root, v)
       val fs = m.files.map(f => absPath(root, f)).toSet
       cur = if (m.action == Overwrite.name) fs else cur ++ fs
       keep ++= cur
       keepCdf ++= m.cdf.toSet - ""
+      keepDv ++= m.dvRefs
     }
     var upper = vs.last
     roll(horizon + 1, upper)
@@ -1939,17 +2035,18 @@ object TxLog {
     // window is still open (change data lands BEFORE the commit's
     // in-flight marker exists), so unreferenced change dirs are
     // age-gated exactly like crashed-committer residue
-    val cdRoot = Paths.get(root, "_change_data")
-    if (Files.isDirectory(cdRoot)) {
-      val cds = {
-        val it = Files.list(cdRoot)
+    def gcSideDirs(sub: String, keepNames: String => Boolean): Unit = {
+      val dirRoot = Paths.get(root, sub)
+      if (!Files.isDirectory(dirRoot)) return
+      val ds = {
+        val it = Files.list(dirRoot)
         try it.iterator().asScala.toList finally it.close()
       }
-      cds.foreach { d =>
+      ds.foreach { d =>
         val fresh = try
           now - Files.getLastModifiedTime(d).toMillis < inflightGraceMs
         catch { case _: Throwable => true }
-        if (!keepCdf.contains(d.getFileName.toString) && !fresh) {
+        if (!keepNames(d.getFileName.toString) && !fresh) {
           val fs = {
             val it = Files.list(d)
             try it.iterator().asScala.toList finally it.close()
@@ -1959,6 +2056,10 @@ object TxLog {
         }
       }
     }
+    gcSideDirs("_change_data", keepCdf.contains)
+    // deletion-vector dirs follow the same rule (a dv lands BEFORE its
+    // commit publishes, so unreferenced young dirs may be in-window)
+    gcSideDirs("_dv", n => keepDv.contains(s"_dv/$n"))
     deleted
   }
 }

@@ -210,7 +210,53 @@ object TxLogFileIndex {
     * discovery pass: the LOG is the partition-spec authority, exactly as
     * it is for file lists and sizes.
     */
-  private[io] def read(spark: SparkSession, root: String, r: TxLog.Replay): DataFrame = {
+  /** Helper-column names the deletion-vector machinery uses (prefixed to
+    * dodge user schemas): the scan's file path and physical row index,
+    * materialized as ordinary columns by [[readTagged]].
+    */
+  private[io] val FpCol = "_gdv_fp"
+  private[io] val PosCol = "_gdv_pos"
+
+  private[io] def read(spark: SparkSession, root: String, r: TxLog.Replay): DataFrame =
+    if (r.entries.forall(_.dvs.isEmpty)) readRaw(spark, root, r)
+    else {
+      import org.apache.spark.sql.functions.col
+      val tagged = readTagged(spark, root, r)
+      val dataCols = tagged.columns
+        .filterNot(c => c == FpCol || c == PosCol).map(col)
+      tagged.select(dataCols.toSeq: _*)
+    }
+
+  /** [[readRaw]] plus the scan's `_metadata` file path and physical row
+    * index as ordinary columns — the coordinates deletion vectors are
+    * expressed in (a parquet file is immutable, so its row indexes are
+    * stable forever) — with any live deletion vectors already
+    * subtracted: ONE broadcast anti-join above the scan. Data-column
+    * predicates still push through the join into the scan (the left
+    * side of a left_anti), so plan-time pruning and parquet pushdown
+    * are unaffected, and the join side is positions only — megabytes at
+    * a 100 TB table's routine delete rates. A caller computing NEW
+    * deletions over this view therefore never re-deletes (or re-reports
+    * to the change feed) an already-deleted row.
+    */
+  private[io] def readTagged(spark: SparkSession, root: String, r: TxLog.Replay): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val tagged = readRaw(spark, root, r)
+      .withColumn(FpCol, col("_metadata.file_path"))
+      .withColumn(PosCol, col("_metadata.row_index"))
+    val dvDirs = r.entries.iterator.flatMap(_.dvs).toSeq.distinct
+    if (dvDirs.isEmpty) tagged
+    else {
+      val dv = spark.read
+        .parquet(dvDirs.map(d => TxLog.absPath(root, d)): _*)
+        .select(col("p").as("_dv_p"), col("pos").as("_dv_pos"))
+      tagged.join(broadcast(dv),
+        col(PosCol) === col("_dv_pos") && col(FpCol).endsWith(col("_dv_p")),
+        "left_anti")
+    }
+  }
+
+  private def readRaw(spark: SparkSession, root: String, r: TxLog.Replay): DataFrame = {
     val abs = r.files.map(f => TxLog.absPath(root, f))
     val partCols = r.partitionBy.getOrElse(throw new IllegalStateException(
       s"txlog: $root's live set mixes partition layouts (an append declared " +

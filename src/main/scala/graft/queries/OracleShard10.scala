@@ -1315,5 +1315,13 @@ private[graft] object OracleShard10 {
         |FROM orders
         |WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q656_txlog_dv" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 2
+        |  AND o_orderkey % 10 >= 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -2256,5 +2256,31 @@ private[graft] object Shard10 {
         .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
         .orderBy("o_orderpriority")
     }),
+
+    // DELETION VECTORS (merge-on-read DELETE): the delete writes only
+    // the matched rows' (file, row_index) positions under _dv/ and
+    // re-references every data file untouched — commit cost O(matched
+    // rows), not O(rewritten files); at 100 TB that is the difference
+    // between a routine GDPR pass and rewriting terabytes. The plain
+    // snapshot read subtracts the positions with one broadcast anti-join
+    // above the scan (pruning and pushdown unaffected). The oracle
+    // recomputes the survivors from orders, so a wrong position, a
+    // dropped vector, or a resurrected row breaks the hash; TxLogDvSpec
+    // pins untouched data files, composition, CDF, rewrite
+    // materialization, vacuum lifetime, and clone resolution
+    "q656_txlog_dv" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(expr("year(o_orderdate) = 1995 AND month(o_orderdate) <= 2"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          centsOf(col("o_totalprice")).as("v"))
+      val root = io.Zones.tempDir(s"graft_dv_${new java.io.File(dir).getName}")
+      io.TxLog.commit(s, root, o.repartitionByRange(4, col("o_orderkey")),
+        io.TxLog.Append, statsCols = Seq("o_orderkey"))
+      io.TxLog.deleteVectors(s, root, pmod(col("o_orderkey"), lit(10)) < 3)
+      io.TxLog.snapshot(s, root)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
+        .orderBy("o_orderpriority")
+    }),
   )
 }

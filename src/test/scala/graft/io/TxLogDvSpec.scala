@@ -1,0 +1,143 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Deletion vectors (merge-on-read DELETE): a delete writes matched
+  * POSITIONS, not rewritten files — commit cost O(matched rows). Proven:
+  * no data file is touched, reads subtract exactly the deleted rows,
+  * deletes compose and never re-report, time travel sees pre-delete
+  * state, rewrites materialize the deletes and drop the refs, the typed
+  * CDF reads through a DV delete, vacuum ties DV-dir lifetime to the
+  * manifests that reference them, and clones resolve external DVs.
+  */
+class TxLogDvSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** 4 range-clustered files: file f holds ids [1000f, 1000f+999]. */
+  private def table(): String = {
+    import spark.implicits._
+    val root = Zones.tempDir("txdv")
+    (0 until 4).foreach { f =>
+      val df = (0 until 1000).map(i => (1000L * f + i, s"row-$f-$i"))
+        .toDF("id", "payload")
+      TxLog.commit(spark, root, df.coalesce(1), TxLog.Append,
+        statsCols = Seq("id"))
+    }
+    root
+  }
+
+  private def dataFiles(root: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val w = java.nio.file.Files.walk(java.nio.file.Paths.get(root, "data"))
+    try w.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString).toSet
+    finally w.close()
+  }
+
+  test("a DV delete removes exactly the matching rows without touching a data file") {
+    val root = table()
+    val before = dataFiles(root)
+    val v = TxLog.deleteVectors(spark, root, col("id") % 10 === 3)
+    assert(v === 5L)
+    assert(dataFiles(root) === before, "merge-on-read must not rewrite data files")
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.count() === 3600L)
+    assert(snap.filter(col("id") % 10 === 3).count() === 0L)
+    // every file held matches: every entry carries the dv ref
+    val r = TxLog.replay(root, v)
+    assert(r.entries.forall(_.dvs.size === 1))
+    // time travel below the delete still sees everything
+    assert(TxLog.snapshot(spark, root, Some(4L)).count() === 4000L)
+  }
+
+  test("DV deletes compose, and a re-matching predicate never re-reports") {
+    val root = table()
+    val v1 = TxLog.deleteVectors(spark, root, col("id") < 100L)
+    // overlapping second predicate: the 100 already-deleted rows must
+    // not re-enter the vector or the change feed
+    val v2 = TxLog.deleteVectors(spark, root, col("id") < 200L)
+    assert(TxLog.snapshot(spark, root).count() === 3800L)
+    val d2 = TxLog.changes(spark, root, v1, v2, withChangeType = true)
+    assert(d2.count() === 100L, "second delete must report only newly deleted rows")
+    assert(d2.agg(min(col("id"))).head().getLong(0) === 100L)
+    // only file 0 matched either delete: one entry carries 2 refs
+    val r = TxLog.replay(root, v2)
+    assert(r.entries.map(_.dvs.size).sorted === Vector(0, 0, 0, 2))
+  }
+
+  test("the typed CDF reads through a DV delete like a copy-on-write one") {
+    val root = table()
+    val base = TxLog.headVersion(root)
+    val v = TxLog.deleteVectors(spark, root, col("id").between(500L, 509L))
+    val d = TxLog.changes(spark, root, base, v, withChangeType = true)
+    assert(d.filter(col("_change_type") === "delete").count() === 10L)
+    assert(d.count() === 10L)
+  }
+
+  test("a rewrite materializes the deletes and drops the refs; carried files keep theirs") {
+    import spark.implicits._
+    val root = table()
+    TxLog.deleteVectors(spark, root, col("id") % 10 === 7)
+    // merge touching only file 1: its rewrite materializes file 1's
+    // deletes; files 0/2/3 carry their refs
+    TxLog.merge(spark, root, Seq((1500L, "patched")).toDF("id", "payload"), "id")
+    val r = TxLog.replay(root, TxLog.headVersion(root))
+    assert(r.entries.count(_.dvs.nonEmpty) === 3)
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.filter(col("id") % 10 === 7).count() === 0L)
+    assert(snap.count() === 3600L)
+    assert(snap.filter(col("id") === 1500L).head().getString(1) === "patched")
+    // full compact materializes everything: no refs left
+    TxLog.compact(spark, root, smallBytes = Long.MaxValue, statsCols = Seq("id"))
+    val r2 = TxLog.replay(root, TxLog.headVersion(root))
+    assert(r2.entries.forall(_.dvs.isEmpty))
+    assert(TxLog.snapshot(spark, root).count() === 3600L)
+  }
+
+  test("plan-time pruning still applies on a DV-bearing table") {
+    val root = table()
+    TxLog.deleteVectors(spark, root, col("id") === 2500L)
+    val q = TxLog.snapshot(spark, root).filter(col("id").between(2400L, 2600L))
+    assert(q.count() === 200L) // 201 minus the deleted row
+    assert(TxLogFileIndex.of(q).lastListed.size === 1,
+      "zone maps must keep pruning under the DV anti-join")
+  }
+
+  test("vacuum keeps referenced DV dirs and collects them once a rewrite drops the refs") {
+    val root = table()
+    TxLog.deleteVectors(spark, root, col("id") % 10 === 1)
+    def dvDirs(): Int = {
+      val p = java.nio.file.Paths.get(root, "_dv")
+      if (!java.nio.file.Files.isDirectory(p)) 0
+      else {
+        import scala.jdk.CollectionConverters._
+        val it = java.nio.file.Files.list(p)
+        try it.iterator().asScala.size finally it.close()
+      }
+    }
+    assert(dvDirs() === 1)
+    // retained-from-head vacuum while the head still references the dv
+    TxLog.vacuum(root, retainFrom = TxLog.headVersion(root), inflightGraceMs = 0L)
+    assert(dvDirs() === 1, "a referenced DV dir must survive vacuum")
+    assert(TxLog.snapshot(spark, root).count() === 3600L)
+    // optimize materializes the deletes; the refs drop; vacuum collects
+    TxLog.optimize(spark, root, targetFiles = 2, sortCol = Some("id"))
+    TxLog.vacuum(root, retainFrom = TxLog.headVersion(root), inflightGraceMs = 0L)
+    assert(dvDirs() === 0, "an unreferenced DV dir must be collected")
+    assert(TxLog.snapshot(spark, root).count() === 3600L)
+  }
+
+  test("a clone resolves the source's deletion vectors externally") {
+    val root = table()
+    TxLog.deleteVectors(spark, root, col("id") % 10 === 9)
+    val dst = Zones.tempDir("txdvclone")
+    TxLog.cloneTable(root, dst)
+    val snap = TxLog.snapshot(spark, dst)
+    assert(snap.count() === 3600L)
+    assert(snap.filter(col("id") % 10 === 9).count() === 0L)
+  }
+}
