@@ -1514,6 +1514,78 @@ object TxLog {
     }
   }
 
+  /** Merge-on-read UPDATE: the old row images become deletion-vector
+    * positions (no data file rewritten) and the post-images land as ONE
+    * appended file in the same commit — write cost O(matched rows),
+    * where [[update]]'s copy-on-write rewrites every row of every
+    * touched file. Same SQL semantics as [[update]]: every SET
+    * right-hand side evaluates against the OLD row (`SET a = b, b = a`
+    * swaps), a NULL predicate leaves the row untouched, assignments must
+    * target existing columns. Pre/post images persist to the typed
+    * change feed identically to the copy-on-write path; CHECK
+    * constraints validate the post-images (the commit's read-back covers
+    * exactly the new rows); updating a hive partition column re-lands
+    * each post-image row in its new k=v dir. Matched-position
+    * bookkeeping is [[deleteVectors]]'s, so composition, rewrite
+    * materialization, vacuum lifetime, and clone resolution all hold.
+    */
+  def updateVectors(
+      spark: SparkSession,
+      root: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      statsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce}
+    require(set.nonEmpty, "txlog: UPDATE needs at least one SET assignment")
+    readModifyWrite(root, "updateVectors") { (base, r) =>
+      val touched =
+        if (r.entries.isEmpty) Vector.empty
+        else candidateEntries(spark, root, r, predicate)
+      if (touched.isEmpty) base // provably no matching row anywhere: no-op
+      else {
+        val tagged = TxLogFileIndex.readTagged(spark, root,
+          r.copy(entries = touched))
+        val dataCols = tagged.columns.filterNot(c =>
+          c == TxLogFileIndex.FpCol || c == TxLogFileIndex.PosCol).toSeq
+        val unknown = set.keySet -- dataCols.toSet
+        require(unknown.isEmpty,
+          s"txlog: UPDATE SET targets unknown columns ${unknown.mkString(", ")}")
+        val matched = tagged.filter(coalesce(predicate, lit(false)))
+        // only matched rows are rewritten, so every RHS reads the old
+        // row directly — no hit-flag gymnastics needed here
+        val post = matched.select(dataCols.map(c =>
+          set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+        val cdfDir = s"txn-${java.util.UUID.randomUUID().toString.take(12)}"
+        matched.select(dataCols.map(col): _*)
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(post.withColumn("_change_type", lit("update_postimage")))
+          .write.mode(SaveMode.ErrorIfExists)
+          .parquet(s"$root/_change_data/$cdfDir")
+        val paths = spark.createDataFrame(touched.map(e => Tuple1(e.path)))
+          .toDF("p")
+        val dvDir = s"_dv/txn-${java.util.UUID.randomUUID().toString.take(12)}"
+        matched
+          .select(col(TxLogFileIndex.FpCol).as("fp"),
+            col(TxLogFileIndex.PosCol).as("pos"))
+          .join(broadcast(paths), col("fp").endsWith(col("p")))
+          .select("p", "pos")
+          .repartition(1)
+          .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$dvDir")
+        val dvFiles = spark.read.parquet(s"$root/$dvDir")
+          .select("p").distinct().collect().map(_.getString(0)).toSet
+        if (dvFiles.isEmpty) base // no row matched: no-op, dirs are residue
+        else {
+          val carried = r.entries.map(e =>
+            if (dvFiles(e.path)) e.copy(dvs = e.dvs :+ dvDir) else e)
+          commit(spark, root, post, Overwrite,
+            statsCols = statsCols, carry = carried, carrySchema = r.schema,
+            expectHead = Some(base), cdf = Some(cdfDir),
+            partitionBy = layoutOf(root, r))
+        }
+      }
+    }
+  }
+
   private def splitAnds(
       e: org.apache.spark.sql.catalyst.expressions.Expression)
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {

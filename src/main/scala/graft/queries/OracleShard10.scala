@@ -1323,5 +1323,15 @@ private[graft] object OracleShard10 {
         |WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 2
         |  AND o_orderkey % 10 >= 3
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q657_txlog_mor_update" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN o_orderkey % 10 < 3
+        |                     THEN 2 * CAST(round(o_totalprice * 100) AS BIGINT)
+        |                     ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+        |            AS BIGINT) AS cents
+        |FROM orders
+        |WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -2282,5 +2282,31 @@ private[graft] object Shard10 {
         .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
         .orderBy("o_orderpriority")
     }),
+
+    // merge-on-read UPDATE: old row images become deletion-vector
+    // positions and the post-images land as one appended file — write
+    // cost O(matched rows) where copy-on-write UPDATE rewrites every row
+    // of every touched file. SET evaluates against the OLD row (q650's
+    // contract), the read subtracts+appends transparently. The oracle
+    // recomputes the post-update table from orders (a CASE mirror), so a
+    // lost post-image, an un-deleted old image (double counting), or a
+    // misapplied assignment breaks the hash; TxLogDvSpec pins swap
+    // semantics, the one-appended-file shape, CDF images, and constraint
+    // enforcement on post-images
+    "q657_txlog_mor_update" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(expr("year(o_orderdate) = 1995 AND month(o_orderdate) <= 2"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          centsOf(col("o_totalprice")).as("v"))
+      val root = io.Zones.tempDir(s"graft_dvu_${new java.io.File(dir).getName}")
+      io.TxLog.commit(s, root, o.repartitionByRange(4, col("o_orderkey")),
+        io.TxLog.Append, statsCols = Seq("o_orderkey"))
+      io.TxLog.updateVectors(s, root,
+        pmod(col("o_orderkey"), lit(10)) < 3, Map("v" -> col("v") * 2))
+      io.TxLog.snapshot(s, root)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
+        .orderBy("o_orderpriority")
+    }),
   )
 }

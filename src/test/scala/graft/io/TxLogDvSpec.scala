@@ -131,6 +131,55 @@ class TxLogDvSpec extends AnyFunSuite {
     assert(TxLog.snapshot(spark, root).count() === 3600L)
   }
 
+  test("merge-on-read UPDATE vectorizes old positions and appends post-images") {
+    import spark.implicits._
+    val root = Zones.tempDir("txdvu")
+    (0 until 2).foreach { f =>
+      val df = (0 until 100).map(i => (100L * f + i, 10L + i, 1000L + i))
+        .toDF("id", "a", "b")
+      TxLog.commit(spark, root, df.coalesce(1), TxLog.Append,
+        statsCols = Seq("id"))
+    }
+    val before = dataFiles(root)
+    val base = TxLog.headVersion(root)
+    // swap semantics: both RHS read the OLD row
+    val v = TxLog.updateVectors(spark, root, col("id") === 105L,
+      Map("a" -> col("b"), "b" -> col("a")))
+    val after = dataFiles(root)
+    assert(before.subsetOf(after), "MoR update must not rewrite old files")
+    assert((after -- before).size === 1, "post-images should land as one appended file")
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.count() === 200L)
+    val row = snap.filter(col("id") === 105L).head()
+    assert(row.getAs[Long]("a") === 1005L && row.getAs[Long]("b") === 15L)
+    // an unmatched row is untouched
+    val other = snap.filter(col("id") === 7L).head()
+    assert(other.getAs[Long]("a") === 17L && other.getAs[Long]("b") === 1007L)
+    // typed CDF: one pre-image + one post-image
+    val d = TxLog.changes(spark, root, base, v, withChangeType = true)
+    assert(d.filter(col("_change_type") === "update_preimage").count() === 1L)
+    assert(d.filter(col("_change_type") === "update_postimage")
+      .head().getAs[Long]("a") === 1005L)
+    // time travel below the update sees the old values
+    assert(TxLog.snapshot(spark, root, Some(base)).filter(col("id") === 105L)
+      .head().getAs[Long]("a") === 15L)
+  }
+
+  test("merge-on-read UPDATE validates CHECK constraints on its post-images") {
+    import spark.implicits._
+    val root = Zones.tempDir("txdvuc")
+    TxLog.commit(spark, root,
+      (0 until 10).map(i => (i.toLong, 10L + i)).toDF("id", "a").coalesce(1),
+      TxLog.Append, statsCols = Seq("id"))
+    TxLog.addConstraint(spark, root, "a_pos", "a > 0")
+    val head = TxLog.headVersion(root)
+    assertThrows[TxLog.ConstraintViolation](
+      TxLog.updateVectors(spark, root, col("id") === 3L, Map("a" -> -col("a"))))
+    assert(TxLog.headVersion(root) === head)
+    assert(TxLog.snapshot(spark, root).filter(col("id") === 3L)
+      .head().getAs[Long]("a") === 13L)
+  }
+
   test("a clone resolves the source's deletion vectors externally") {
     val root = table()
     TxLog.deleteVectors(spark, root, col("id") % 10 === 9)
