@@ -128,7 +128,9 @@ object TxLog {
       stats: ColStats,
       strStats: StrColStats = Map.empty,
       blooms: BloomCols = Map.empty,
-      dvs: Vector[String] = Vector.empty)
+      dvs: Vector[String] = Vector.empty,
+      rows: Option[Long] = None,
+      dvRows: Long = 0L)
 
   /** The resolved state of a version: live entries (relative paths with
     * sizes + zone maps) plus the snapshot's schema — produced by ONE
@@ -163,7 +165,7 @@ object TxLog {
   // body, group 5 = string stats body, group 6 = bloom column body,
   // group 7 = deletion-vector refs
   private val entryField: Regex =
-    """(?:"([^"{]+\.parquet)")|(?:\{"p":"([^"]+\.parquet)"(?:,"b":(\d+))?(?:,"s":\{([^}]*)\})?(?:,"t":\{([^}]*)\})?(?:,"m":\{([^}]*)\})?(?:,"d":\[([^\]]*)\])?\})""".r
+    """(?:"([^"{]+\.parquet)")|(?:\{"p":"([^"]+\.parquet)"(?:,"b":(\d+))?(?:,"s":\{([^}]*)\})?(?:,"t":\{([^}]*)\})?(?:,"m":\{([^}]*)\})?(?:,"d":\[([^\]]*)\])?(?:,"r":(\d+))?(?:,"x":(\d+))?\})""".r
   private val bloomColField: Regex = """"([^"]+)":"([^"]*)"""".r
   private val dvRefField: Regex = """"([^"]+)"""".r
   private val colStatField: Regex = """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r
@@ -326,7 +328,8 @@ object TxLog {
 
   private def renderEntry(e: Entry): String =
     if (e.bytes.isEmpty && e.stats.isEmpty && e.strStats.isEmpty &&
-      e.blooms.isEmpty) "\"" + e.path + "\""
+      e.blooms.isEmpty && e.dvs.isEmpty && e.rows.isEmpty && e.dvRows == 0L)
+      "\"" + e.path + "\""
     else {
       val b = e.bytes.map(n => s""","b":$n""").getOrElse("")
       val s = if (e.stats.isEmpty) "" else e.stats.toSeq.sortBy(_._1)
@@ -343,7 +346,9 @@ object TxLog {
         .mkString(""","m":{""", ",", "}")
       val d = if (e.dvs.isEmpty) "" else e.dvs
         .map(r => "\"" + escStr(r) + "\"").mkString(""","d":[""", ",", "]")
-      s"""{"p":"${e.path}"$b$s$t$m$d}"""
+      val rc = e.rows.map(n => s""","r":$n""").getOrElse("")
+      val xc = if (e.dvRows == 0L) "" else s""","x":${e.dvRows}"""
+      s"""{"p":"${e.path}"$b$s$t$m$d$rc$xc}"""
     }
   private val actionField: Regex = """"action":"(append|overwrite|checkpoint)"""".r
   private val txnField: Regex = """"txnId":"([^"]*)"""".r
@@ -430,6 +435,12 @@ object TxLog {
     * plain commits stay readable by older readers.
     */
   val FormatVersion: Long = 4L
+  // NOT fmt-gated: "r" (per-file row count) — an older reader's entry
+  // regex degrades an "r"-bearing object entry to its bare path, losing
+  // stats/size for that entry but never a file or a row (rowCount simply
+  // doesn't exist below v4); "x" (deleted-row count) only ever co-occurs
+  // with the gated "d". Correctness-bearing fields gate; free metadata
+  // doesn't condemn plain tables to a version bump.
   private def manifestFmt(entries: Seq[String], partitionBy: Seq[String]): Long =
     if (entries.exists(e => e.contains("\"m\":{") || e.contains("\"p\":\"/") ||
       e.contains("\"d\":["))) 4L
@@ -532,7 +543,9 @@ object TxLog {
           .getOrElse(Map.empty),
         Option(m.group(7)).map(s => dvRefField.findAllMatchIn(s)
           .map(c => unescStr(c.group(1))).toVector)
-          .getOrElse(Vector.empty))
+          .getOrElse(Vector.empty),
+        Option(m.group(8)).map(_.toLong),
+        Option(m.group(9)).map(_.toLong).getOrElse(0L))
     }.toSeq
 
   private def readManifest(root: String, v: Long): Manifest = {
@@ -840,17 +853,24 @@ object TxLog {
     // caller's per-file distinct estimate (bitset sizing)
     val bloomSpecs: Seq[(String, Long)] = bloomCols.toSeq
       .filter { case (c, _) => byName.contains(c) }.sortBy(_._1)
+    val statsJobRuns =
+      (intCols.nonEmpty || strCols.nonEmpty || bloomSpecs.nonEmpty) &&
+        written.nonEmpty
     val (fileStats: Map[String, ColStats],
       fileStrStats: Map[String, StrColStats],
-      fileBloomed: Set[String]) =
-      if ((intCols.isEmpty && strCols.isEmpty && bloomSpecs.isEmpty) ||
-        written.isEmpty)
+      fileBloomed: Set[String],
+      fileRows: Map[String, Long]) =
+      if (!statsJobRuns)
         (Map.empty[String, ColStats], Map.empty[String, StrColStats],
-          Set.empty[String])
+          Set.empty[String], Map.empty[String, Long])
       else {
-        val aggs = intCols.flatMap { case (c, e) => Seq(
-          min(e).as(s"lo_$c"),
-          max(e).as(s"hi_$c")) } ++
+        // row counts ride the same job for free — Delta's numRecords;
+        // with every live entry counted, COUNT(*) resolves from the log
+        // alone (see rowCount)
+        val aggs = Seq(org.apache.spark.sql.functions.count(lit(1)).as("_rc")) ++
+          intCols.flatMap { case (c, e) => Seq(
+            min(e).as(s"lo_$c"),
+            max(e).as(s"hi_$c")) } ++
           strCols.flatMap(c => Seq(
             min(col(c)).as(s"slo_$c"),
             max(col(c)).as(s"shi_$c"))) ++
@@ -906,7 +926,8 @@ object TxLog {
             }
             if (wrote) Some(p) else None
           }.toSet
-        (ints, strs, bloomed)
+        val rcs = rows.map(r => rel(r.getString(0)) -> r.getAs[Long]("_rc")).toMap
+        (ints, strs, bloomed, rcs)
       }
     val bloomTypes: BloomCols = bloomSpecs.map { case (c, _) =>
       c -> byName(c).catalogString
@@ -918,7 +939,11 @@ object TxLog {
           fileStrStats.getOrElse(p, Map.empty),
           // a file the stats job never saw (a zero-row part file) gets
           // no sidecar and therefore declares no bloom — readers keep it
-          if (fileBloomed.contains(p)) bloomTypes else Map.empty)))
+          if (fileBloomed.contains(p)) bloomTypes else Map.empty,
+          // a written file the stats job saw no rows for is a zero-row
+          // part file: its count is exactly 0, not unknown
+          rows = fileRows.get(p)
+            .orElse(if (statsJobRuns) Some(0L) else None))))
     // record the commit's schema so readers resolve theirs from the
     // LOG, never from O(live files) footer reads; a carry-bearing
     // commit must cover the carried files' columns too, so it merges
@@ -1063,6 +1088,23 @@ object TxLog {
       recorded = r.schema, expectHead = None,
       txn = java.util.UUID.randomUUID().toString.take(12),
       partitionBy = layoutOf(srcRoot, r))
+  }
+
+  /** Metadata-only COUNT(*): Σ per-file recorded row counts minus each
+    * file's deleted-position count, resolved from the LOG alone — the
+    * signature takes no SparkSession because no data file (or even
+    * footer) is touched, which at 100 TB is the difference between an
+    * instant answer and a full scan (Delta answers `count(*)` from
+    * numRecords the same way). `None` when any live entry predates
+    * row-count recording or was committed without a stats job — the
+    * caller falls back to `snapshot(...).count()`, never to a wrong
+    * number. Row counts ride the commit's existing stats job for free;
+    * deletion vectors maintain per-file deleted counts at delete time.
+    */
+  def rowCount(root: String, version: Option[Long] = None): Option[Long] = {
+    val r = replay(root, version.getOrElse(headVersion(root)))
+    if (r.entries.isEmpty || r.entries.exists(_.rows.isEmpty)) None
+    else Some(r.entries.iterator.map(e => e.rows.get - e.dvRows).sum)
   }
 
   /** Current CHECK constraints (name → SQL expression). */
@@ -1498,13 +1540,18 @@ object TxLog {
           .select("p", "pos")
           .repartition(1)
           .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$dvDir")
-        // which files actually hold a match: read the (tiny) vector back
-        val dvFiles = spark.read.parquet(s"$root/$dvDir")
-          .select("p").distinct().collect().map(_.getString(0)).toSet
-        if (dvFiles.isEmpty) base // no row matched: no-op, dirs are residue
+        // which files actually hold a match (and how many rows): read
+        // the (tiny) vector back — the per-file deleted counts keep
+        // metadata-only COUNT(*) exact (see rowCount)
+        val dvCounts: Map[String, Long] = spark.read.parquet(s"$root/$dvDir")
+          .groupBy("p").count().collect()
+          .map(r0 => r0.getString(0) -> r0.getLong(1)).toMap
+        if (dvCounts.isEmpty) base // no row matched: no-op, dirs are residue
         else {
-          val entries = r.entries.map(e =>
-            if (dvFiles(e.path)) e.copy(dvs = e.dvs :+ dvDir) else e)
+          val entries = r.entries.map(e => dvCounts.get(e.path) match {
+            case Some(n) => e.copy(dvs = e.dvs :+ dvDir, dvRows = e.dvRows + n)
+            case None    => e
+          })
           publish(root, entries.map(renderEntry), Overwrite, txnId = None,
             recorded = r.schema, expectHead = Some(base),
             txn = java.util.UUID.randomUUID().toString.take(12),
@@ -1571,12 +1618,15 @@ object TxLog {
           .select("p", "pos")
           .repartition(1)
           .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$dvDir")
-        val dvFiles = spark.read.parquet(s"$root/$dvDir")
-          .select("p").distinct().collect().map(_.getString(0)).toSet
-        if (dvFiles.isEmpty) base // no row matched: no-op, dirs are residue
+        val dvCounts: Map[String, Long] = spark.read.parquet(s"$root/$dvDir")
+          .groupBy("p").count().collect()
+          .map(r0 => r0.getString(0) -> r0.getLong(1)).toMap
+        if (dvCounts.isEmpty) base // no row matched: no-op, dirs are residue
         else {
-          val carried = r.entries.map(e =>
-            if (dvFiles(e.path)) e.copy(dvs = e.dvs :+ dvDir) else e)
+          val carried = r.entries.map(e => dvCounts.get(e.path) match {
+            case Some(n) => e.copy(dvs = e.dvs :+ dvDir, dvRows = e.dvRows + n)
+            case None    => e
+          })
           commit(spark, root, post, Overwrite,
             statsCols = statsCols, carry = carried, carrySchema = r.schema,
             expectHead = Some(base), cdf = Some(cdfDir),

@@ -1333,5 +1333,9 @@ private[graft] object OracleShard10 {
         |FROM orders
         |WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q658_txlog_rowcount" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows
+        |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
   )
 }

@@ -2308,5 +2308,27 @@ private[graft] object Shard10 {
         .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
         .orderBy("o_orderpriority")
     }),
+
+    // metadata-only COUNT(*): per-file row counts ride the commit's
+    // stats job (Delta's numRecords) and the DV ops maintain per-file
+    // deleted counts, so rowCount answers from the LOG alone — the API
+    // takes no SparkSession, which is the proof no data file or footer
+    // is touched (at 100 TB: an instant answer vs a full scan). The
+    // oracle recomputes the surviving count from documents, so a stale
+    // ledger (missed delete, double-counted post-image) breaks the hash;
+    // TxLogRowCountSpec pins the ledger across commits, DV deletes, MoR
+    // updates, merges, and the None degradation for stats-free commits
+    "q658_txlog_rowcount" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val root = io.Zones.tempDir(s"graft_rc_${new java.io.File(dir).getName}")
+      io.TxLog.commit(s, root, d.repartitionByRange(4, col("doc_id")),
+        io.TxLog.Append, statsCols = Seq("doc_id"))
+      io.TxLog.deleteVectors(s, root, pmod(col("doc_id"), lit(7)) === 0)
+      val n = io.TxLog.rowCount(root).getOrElse(
+        sys.error("txlog: rowCount unavailable on a fully-counted table"))
+      import s.implicits._
+      Seq(n).toDF("n_rows")
+    }),
   )
 }

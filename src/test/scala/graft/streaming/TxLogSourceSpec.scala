@@ -181,6 +181,40 @@ class TxLogSourceSpec extends AnyFunSuite {
     assert(got.count(_._3 == 4L) === 2)
   }
 
+  test("changeTypes streams THROUGH a deletion-vector delete and a merge-on-read update") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_src_dv").toString
+    TxLog.commit(spark, root, batch(0, 20).repartitionByRange(2, col("id")),
+      TxLog.Append, statsCols = Seq("id"))                            // v1
+    TxLog.deleteVectors(spark, root, col("id") === 3L)                // v2
+    TxLog.updateVectors(spark, root, col("id") === 7L,
+      Map("payload" -> org.apache.spark.sql.functions.lit("U-7")))    // v3
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val q = spark.readStream
+      .format("graft.streaming.TxLogSourceProvider")
+      .option("root", root)
+      .option("changeTypes", "true")
+      .load()
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_src_dv_ck").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => rows.add((r.getAs[Long]("id"),
+          r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version"))))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val got = rows.asScala.toSeq
+    assert(got.count(_._3 == 1L) === 20)
+    // the DV delete streams its deleted row; the MoR update its images
+    assert(got.filter(_._3 == 2L).map(t => (t._1, t._2)) === Seq((3L, "delete")))
+    assert(got.filter(_._3 == 3L).map(t => (t._1, t._2)).sorted === Seq(
+      (7L, "update_postimage"), (7L, "update_preimage")))
+  }
+
   test("maxVersionsPerBatch chunks a catch-up backlog into bounded microbatches") {
     val root = Files.createTempDirectory("graft_src_rate").toString
     (0 until 20).foreach(k => TxLog.append(spark, root, batch(k * 2, k * 2 + 2)))
