@@ -1245,11 +1245,14 @@ object TxLog {
       root: String,
       txnId: String,
       df: DataFrame,
-      partitionBy: Seq[String] = Nil): Long =
+      partitionBy: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil,
+      bloomCols: Map[String, Long] = Map.empty): Long =
     committedTxnIds(root).get(txnId) match {
       case Some(v) => v
       case None    => commit(spark, root, df, Append, Some(txnId),
-        partitionBy = partitionBy)
+        statsCols = statsCols, partitionBy = partitionBy,
+        bloomCols = bloomCols)
     }
 
   /** Serializable read-modify-write driver shared by every rewrite op
@@ -1768,6 +1771,46 @@ object TxLog {
     * optimize. Returns the committed version — or the current head,
     * untouched, when fewer than two files qualify.
     */
+  /** Incremental clustered compaction: [[compact]]'s file-selectivity
+    * composed with [[optimizeZOrder]]'s layout — ONLY the small-file
+    * backlog rewrites, laid out along the Morton curve of `(colA, colB)`
+    * with fresh 2-D zone maps, while every full-size file (typically the
+    * output of earlier clustered compactions, zone maps intact) is
+    * carried by reference. This is the maintenance loop a continuously
+    * ingested 100 TB table actually runs: a full OPTIMIZE ZORDER is an
+    * O(table) rewrite nobody schedules, while the append backlog must
+    * keep joining the clustered layout incrementally (the gap Delta's
+    * liquid clustering exists to close; this is that idea at txlog
+    * size). Each incremental pass covers only its backlog's value range
+    * — global clustering quality converges over passes rather than being
+    * perfect per pass, the documented trade. Serializable
+    * read-modify-write; content-preserving (`cdf = ""`), so change-feed
+    * subscribers read straight through it. Returns the committed
+    * version, or the head untouched when fewer than two files qualify.
+    */
+  def compactZOrder(
+      spark: SparkSession,
+      root: String,
+      colA: String,
+      colB: String,
+      smallBytes: Long = 64L * 1024 * 1024,
+      bits: Int = 8): Long =
+    readModifyWrite(root, "compactZOrder") { (base, r) =>
+      val (small, big) = r.entries.partition(_.bytes.forall(_ < smallBytes))
+      if (small.size <= 1) base // nothing worth rewriting: no-op
+      else {
+        val totalSmall = math.max(small.flatMap(_.bytes).sum, 1L)
+        val nOut = math.max(1L, (totalSmall + smallBytes - 1) / smallBytes).toInt
+        val backlog = TxLogFileIndex.read(spark, root, r.copy(entries = small))
+        val zv = ZOrder.zvalue(backlog, colA, colB, bits)
+        commit(spark, root,
+          backlog.repartitionByRange(nOut, zv).sortWithinPartitions(zv),
+          Overwrite, statsCols = Seq(colA, colB), carry = big,
+          carrySchema = r.schema, expectHead = Some(base), cdf = Some(""),
+          partitionBy = layoutOf(root, r))
+      }
+    }
+
   def compact(
       spark: SparkSession,
       root: String,

@@ -1337,5 +1337,17 @@ private[graft] object OracleShard10 {
     "q658_txlog_rowcount" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows
         |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
+
+    "q659_txlog_compact_zorder" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |           FROM orders
+        |           WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 6
+        |             AND date_diff('day', DATE '1995-01-01', o_orderdate)
+        |                 BETWEEN 31 AND 58
+        |             AND o_custkey % 1024 BETWEEN 100 AND 300)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(v) AS BIGINT) AS cents
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

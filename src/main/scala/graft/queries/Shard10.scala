@@ -2330,5 +2330,43 @@ private[graft] object Shard10 {
       import s.implicits._
       Seq(n).toDF("n_rows")
     }),
+
+    // INCREMENTAL clustered compaction: a z-ordered base plus a
+    // small-file append backlog, then compactZOrder rewrites ONLY the
+    // backlog along the Morton curve of (day offset, customer bucket) —
+    // full OPTIMIZE ZORDER is an O(table) rewrite nobody schedules at
+    // 100 TB, while the ingest backlog must keep joining the clustered
+    // layout (the liquid-clustering maintenance loop). The rectangle
+    // read after the pass is oracled against orders, so a compaction
+    // that loses/duplicates a backlog row or wrecks either dimension's
+    // zone maps breaks the hash; CompactSpec pins the manifest diff
+    // (base carried by reference, backlog ≤ half its file count, fresh
+    // 2-D stats)
+    "q659_txlog_compact_zorder" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(expr("year(o_orderdate) = 1995 AND month(o_orderdate) <= 6"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          centsOf(col("o_totalprice")).as("v"),
+          datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+            .cast("long").as("d"),
+          (col("o_custkey") % 1024).cast("long").as("ck"),
+          month(col("o_orderdate")).as("mm"))
+      val root = io.Zones.tempDir(s"graft_czo_${new java.io.File(dir).getName}")
+      val base = o.filter(col("mm") <= 4).drop("mm")
+      val zv = io.ZOrder.zvalue(base, "d", "ck", bits = 8)
+      io.TxLog.commit(s, root,
+        base.repartitionByRange(4, zv).sortWithinPartitions(zv),
+        io.TxLog.Append, statsCols = Seq("d", "ck")) // clustered base
+      (5 to 6).foreach(m => io.TxLog.commit(s, root,
+        o.filter(col("mm") === m).drop("mm").coalesce(1), io.TxLog.Append,
+        statsCols = Seq("d", "ck"))) // ingest backlog
+      val smallest = io.TxLog.replay(root, 1L).entries.flatMap(_.bytes).min
+      io.TxLog.compactZOrder(s, root, "d", "ck", smallBytes = smallest)
+      io.TxLog.snapshot(s, root)
+        .filter(col("d").between(31, 58) && col("ck").between(100, 300))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
+        .orderBy("o_orderpriority")
+    }),
   )
 }

@@ -29,4 +29,36 @@ class CompactSpec extends AnyFunSuite {
     assert(parts === 1)
     assert(fingerprint === before)
   }
+
+  test("compactZOrder clusters only the backlog and carries clustered files by reference") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Zones.tempDir("txczo")
+    def rows(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, (i * 37 % 1024).toLong, s"r$i")).toDF("a", "b", "payload")
+    // one clustered base (2 full-size files by this test's threshold)...
+    TxLog.commit(spark, root, rows(0, 4000).repartition(2), TxLog.Append,
+      statsCols = Seq("a", "b"))
+    val baseFiles = TxLog.replay(root, TxLog.headVersion(root)).files.toSet
+    val threshold = TxLog.replay(root, TxLog.headVersion(root))
+      .entries.flatMap(_.bytes).min
+    // ...then a small-file append backlog
+    (0 until 4).foreach(k => TxLog.commit(spark, root,
+      rows(4000 + k * 100, 4100 + k * 100).coalesce(1), TxLog.Append,
+      statsCols = Seq("a", "b")))
+    TxLog.compactZOrder(spark, root, "a", "b", smallBytes = threshold)
+    val r = TxLog.replay(root, TxLog.headVersion(root))
+    // the 2 base files are carried untouched; the 4-file backlog became
+    // ≤ 2 clustered files with fresh 2-D zone maps
+    assert(baseFiles.subsetOf(r.files.toSet), "clustered base must be carried by reference")
+    val rewritten = r.entries.filterNot(e => baseFiles(e.path))
+    assert(rewritten.nonEmpty && rewritten.size < 4)
+    assert(rewritten.forall(e =>
+      e.stats.contains("a") && e.stats.contains("b")),
+      "backlog output must carry 2-D zone maps")
+    // content identical
+    assert(TxLog.snapshot(spark, root).count() === 4400L)
+    assert(TxLog.snapshot(spark, root).agg(sum(col("a"))).head().getLong(0)
+      === (0L until 4400L).sum)
+  }
 }

@@ -144,6 +144,44 @@ class TxLogSourceSpec extends AnyFunSuite {
     assert(out.filter(col("id2") =!= col("id") * 2).count() === 0L)
   }
 
+  test("the txlog sink is a writeStream FORMAT: exactly-once, stats-bearing, restart-safe") {
+    val src = Files.createTempDirectory("graft_sinkf_src").toString
+    val dst = Files.createTempDirectory("graft_sinkf_dst").toString
+    val ck = Files.createTempDirectory("graft_sinkf_ck").toString
+    TxLog.commit(spark, src, batch(0, 10), TxLog.Append, statsCols = Seq("id"))
+    TxLog.commit(spark, src, batch(10, 20), TxLog.Append, statsCols = Seq("id"))
+
+    def run(): Unit = {
+      val q = spark.readStream
+        .format("graft.streaming.TxLogSourceProvider")
+        .option("root", src)
+        .load()
+        .drop("_commit_version")
+        .writeStream
+        .format("graft.streaming.TxLogSinkProvider")
+        .option("root", dst)
+        .option("statsCols", "id")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .start()
+      q.awaitTermination()
+    }
+
+    run()
+    assert(TxLog.snapshot(spark, dst).count() === 20L)
+    // a no-new-data restart lands nothing; a new upstream commit flows
+    // through exactly once
+    run()
+    assert(TxLog.snapshot(spark, dst).count() === 20L)
+    TxLog.append(spark, src, batch(20, 25))
+    run()
+    val out = TxLog.snapshot(spark, dst)
+    assert(out.count() === 25L)
+    assert(out.agg(countDistinct(col("id"))).head.getLong(0) === 25L)
+    // statsCols flowed through: the sink table is born metadata-countable
+    assert(TxLog.rowCount(dst) === Some(25L))
+  }
+
   test("changeTypes streams THROUGH a merge as a typed CDF; optimize passes silently") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_src_cdf").toString
