@@ -2028,10 +2028,22 @@ object TxLog {
     import spark.implicits._
     val head = headVersion(root)
     val r = replay(root, head)
+    // n_rows: the metadata-only ledger, -1 when any entry predates
+    // counting (same degradation contract as rowCount)
+    val nRows =
+      if (r.entries.isEmpty || r.entries.exists(_.rows.isEmpty)) -1L
+      else r.entries.iterator.map(e => e.rows.get - e.dvRows).sum
     Seq((head, r.entries.size.toLong, r.entries.flatMap(_.bytes).sum,
       r.partitionBy.map(_.mkString(",")).getOrElse("MIXED"),
-      r.schema.map(_.fields.length.toLong).getOrElse(-1L)))
-      .toDF("version", "n_files", "total_bytes", "partition_by", "n_columns")
+      r.schema.map(_.fields.length.toLong).getOrElse(-1L),
+      nRows,
+      r.entries.count(_.dvs.nonEmpty).toLong,
+      r.entries.iterator.map(_.dvRows).sum,
+      r.constraints.size.toLong,
+      r.entries.iterator.flatMap(_.blooms.keys).toSet.size.toLong))
+      .toDF("version", "n_files", "total_bytes", "partition_by", "n_columns",
+        "n_rows", "n_dv_files", "n_deleted_rows", "n_constraints",
+        "n_bloom_cols")
   }
 
   /** The newest version whose commit timestamp is ≤ `tsMillis` —

@@ -40,6 +40,12 @@ class TxLogRowCountSpec extends AnyFunSuite {
       Seq((5L, "patched"), (9999L, "new")).toDF("id", "payload"), "id")
     assert(TxLog.rowCount(root) === Some(271L))
     assert(TxLog.snapshot(spark, root).count() === 271L)
+    // DESCRIBE DETAIL surfaces the ledger (SQL TVF reads this frame)
+    val d = TxLog.detail(spark, root).head()
+    assert(d.getAs[Long]("n_rows") === 271L)
+    assert(d.getAs[Long]("n_deleted_rows") >= 30L)
+    assert(d.getAs[Long]("n_dv_files") >= 1L)
+    assert(d.getAs[Long]("n_constraints") === 0L)
   }
 
   test("a stats-free commit degrades rowCount to None, never to a wrong number") {
