@@ -723,7 +723,8 @@ object TxLog {
       expectHead: Option[Long] = None,
       cdf: Option[String] = None,
       partitionBy: Seq[String] = Nil,
-      bloomCols: Map[String, Long] = Map.empty): Long = {
+      bloomCols: Map[String, Long] = Map.empty,
+      rebaseAppends: Boolean = false): Long = {
     // an APPEND manifest's files ARE the commit's row-level delta — the
     // change-data-feed depends on that — so re-referencing pre-existing
     // files is an overwrite-only affordance
@@ -756,7 +757,8 @@ object TxLog {
     Files.createFile(marker)
     try {
       commitInner(spark, root, df, action, txnId, statsCols, carry,
-        carrySchema, expectHead, cdf, partitionBy, txn, dataDir, bloomCols)
+        carrySchema, expectHead, cdf, partitionBy, txn, dataDir, bloomCols,
+        rebaseAppends)
     } finally {
       // marker gone ⇒ either the manifest published (files referenced)
       // or the attempt aborted (files are ordinary vacuumable residue)
@@ -791,7 +793,8 @@ object TxLog {
       partitionBy: Seq[String],
       txn: String,
       dataDir: String,
-      bloomCols: Map[String, Long] = Map.empty): Long = {
+      bloomCols: Map[String, Long] = Map.empty,
+      rebaseAppends: Boolean = false): Long = {
     // step 1: data files land first, unreferenced by any manifest —
     // hive-layout (k=v dirs) when partitioned, flat otherwise
     if (partitionBy.isEmpty) df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
@@ -957,12 +960,32 @@ object TxLog {
         .asInstanceOf[org.apache.spark.sql.types.StructType]), own)
     }
     publish(root, entries, action, txnId, recorded, expectHead, txn, cdf,
-      partitionBy)
+      partitionBy, rebaseAppends = rebaseAppends)
   }
+
+  /** Test-only race injection: invoked once at the next publish attempt
+    * (self-resetting), so specs can land a commit deterministically
+    * inside another commit's compute→publish window — the interleaving
+    * chaos tests can only hit probabilistically.
+    */
+  private[io] var testRaceHook: () => Unit = () => ()
 
   /** Steps 2+3 of the protocol: write the full manifest to a temp file,
     * fsync, and claim the next version by atomic hard link — retrying
     * lost races unless the caller pinned `expectHead`.
+    *
+    * `rebaseAppends` (content-preserving rewrites only — optimize /
+    * compact / their z-order variants): when the head moved past
+    * `expectHead` but every interleaved commit is a PLAIN APPEND in the
+    * same layout, fold those appends' entries (and recorded schemas)
+    * into this manifest by reference and publish anyway — equivalent to
+    * serializing the rewrite FIRST and the appends after it, which is
+    * exactly Delta's write-serializable reordering for blind appends.
+    * Without this, a compaction racing a continuous ingest stream
+    * re-reads and re-writes its whole input per lost round and can
+    * starve — the one maintenance behavior a 100 TB table cannot
+    * afford. Anything other than a plain append (a rewrite, a layout
+    * change, a constraint edit) still conflicts and the caller re-reads.
     */
   private def publish(
       root: String,
@@ -974,18 +997,44 @@ object TxLog {
       txn: String,
       cdf: Option[String] = None,
       partitionBy: Seq[String] = Nil,
-      constraints: Option[Map[String, String]] = None): Long = {
+      constraints: Option[Map[String, String]] = None,
+      rebaseAppends: Boolean = false): Long = {
+    val hook = testRaceHook
+    testRaceHook = () => ()
+    hook()
     var attempt = 0
+    var curEntries = entries
+    var curRecorded = recorded
+    var curBase = expectHead
     while (true) {
       val next = headVersion(root) + 1
       // serializable read-modify-write: a caller that derived its state
       // FROM a snapshot declares the head it read; if anything committed
       // since, blindly claiming next would silently drop that commit's
       // effect (lost update) — conflict instead, so the caller re-reads
-      expectHead.foreach { h =>
-        if (next - 1 != h)
-          throw new CommitConflict(
-            s"txlog: based on v$h but head is v${next - 1}")
+      curBase.foreach { h =>
+        if (next - 1 != h) {
+          if (!rebaseAppends)
+            throw new CommitConflict(
+              s"txlog: based on v$h but head is v${next - 1}")
+          (h + 1 to next - 1).foreach { v =>
+            val txt = readLogFile(root, f"v$v%08d.json")
+            if (!actionField.findFirstMatchIn(txt).map(_.group(1))
+              .contains(Append.name))
+              throw new CommitConflict(
+                s"txlog: based on v$h but v$v is not a plain append")
+            if (partitionByOfLog(txt) != partitionBy)
+              throw new CommitConflict(
+                s"txlog: based on v$h but v$v declares a different layout")
+            // fold by reference: the append's entries (stats, blooms,
+            // sizes — a parse→render round trip preserves every field)
+            // and its recorded schema, merged with the rewrite's exactly
+            // as replay would have merged them
+            curEntries = curEntries ++ parseEntries(txt).map(renderEntry)
+            curRecorded = mergeSchemas(curRecorded, schemaOfLog(txt))
+          }
+          curBase = Some(next - 1)
+        }
       }
       val txnPart = txnId.map(t => s""","txnId":"$t"""").getOrElse("")
       val cdfPart = cdf.map(d => s""","cdf":"$d"""").getOrElse("")
@@ -993,15 +1042,15 @@ object TxLog {
         if (partitionBy.isEmpty) ""
         else partitionBy.map(c => "\"" + c + "\"")
           .mkString(""","partitionBy":[""", ",", "]")
-      val schemaPart = recorded
+      val schemaPart = curRecorded
         .map(s => s""","schemaB64":"${schemaToB64(s)}"""").getOrElse("")
       val consPart = constraints.map(renderConstraints).getOrElse("")
       // constraints-bearing manifests are fmt 4: an older writer's
       // checkpoint would silently DROP the field (derived state), losing
       // enforcement for every later reader
-      val fmt = math.max(manifestFmt(entries, partitionBy),
+      val fmt = math.max(manifestFmt(curEntries, partitionBy),
         if (consPart.nonEmpty) 4L else 0L)
-      val body = entries.mkString(
+      val body = curEntries.mkString(
         s"""{"version":$next,"fmt":$fmt,"ts":${System.currentTimeMillis()},"action":"${action.name}"$txnPart$cdfPart$partPart$schemaPart$consPart,"files":[""", ",", "]}")
       val tmp = logDir(root).resolve(s".tmp-$txn-$attempt")
       val ch = java.nio.channels.FileChannel.open(tmp,
@@ -1433,7 +1482,8 @@ object TxLog {
       // through it instead of dying on "rewrite in range"
       commit(spark, root, laid, Overwrite,
         statsCols = sortCol.toSeq, expectHead = Some(base),
-        cdf = Some(""), partitionBy = layoutOf(root, r))
+        cdf = Some(""), partitionBy = layoutOf(root, r),
+        rebaseAppends = true)
     }
   }
 
@@ -1754,7 +1804,8 @@ object TxLog {
       val laid = cur.repartitionByRange(targetFiles, zv).sortWithinPartitions(zv)
       commit(spark, root, laid, Overwrite,
         statsCols = Seq(colA, colB), expectHead = Some(base),
-        cdf = Some(""), partitionBy = layoutOf(root, r))
+        cdf = Some(""), partitionBy = layoutOf(root, r),
+        rebaseAppends = true)
     }
 
   /** File-selective compaction: rewrite ONLY the live files smaller than
@@ -1807,7 +1858,7 @@ object TxLog {
           backlog.repartitionByRange(nOut, zv).sortWithinPartitions(zv),
           Overwrite, statsCols = Seq(colA, colB), carry = big,
           carrySchema = r.schema, expectHead = Some(base), cdf = Some(""),
-          partitionBy = layoutOf(root, r))
+          partitionBy = layoutOf(root, r), rebaseAppends = true)
       }
     }
 
@@ -1831,7 +1882,7 @@ object TxLog {
         commit(spark, root, rewritten, Overwrite,
           statsCols = statsCols, carry = big, carrySchema = r.schema,
           expectHead = Some(base), cdf = Some(""),
-          partitionBy = layoutOf(root, r))
+          partitionBy = layoutOf(root, r), rebaseAppends = true)
       }
     }
 
@@ -2104,7 +2155,8 @@ object TxLog {
   def vacuum(
       root: String,
       retainFrom: Long = 1L,
-      inflightGraceMs: Long = 24L * 3600 * 1000): Int = {
+      inflightGraceMs: Long = 24L * 3600 * 1000,
+      dryRun: Boolean = false): Int = {
     import scala.jdk.CollectionConverters._
     val vs = versions(root)
     if (vs.isEmpty) return 0
@@ -2125,7 +2177,11 @@ object TxLog {
         }.toSet
         finally it.close()
       }
-    val inflight1 = listInflight(gcStale = true)
+    // dryRun previews the reclaim count with ZERO filesystem mutation
+    // (Delta's VACUUM DRY RUN) — the operator's what-if before committing
+    // to a retention horizon; stale-marker GC is a mutation too, so it
+    // is equally gated
+    val inflight1 = listInflight(gcStale = !dryRun)
     // clamp the horizon to the head: retainFrom > headVersion would
     // otherwise produce an EMPTY keep-set and delete the current
     // snapshot's own files — Delta's VACUUM never deletes current-head
@@ -2181,29 +2237,35 @@ object TxLog {
       val anyKept = all.exists(f => keep.contains(canonical(f)))
       all.foreach { f =>
         if (f.getFileName.toString.endsWith(".parquet")) {
-          if (!keep.contains(canonical(f))) { Files.delete(f); deleted += 1 }
+          if (!keep.contains(canonical(f))) {
+            if (!dryRun) Files.delete(f)
+            deleted += 1
+          }
         } else Bloom.sidecarOf(canonical(f)) match {
           case Some(dataPath) =>
             // a bloom sidecar lives exactly as long as its data file
-            if (!keep.contains(dataPath)) Files.delete(f)
+            if (!keep.contains(dataPath) && !dryRun) Files.delete(f)
           case None if !anyKept =>
             // write markers (_SUCCESS, .crc) go when nothing in the dir is kept
-            Files.delete(f)
+            if (!dryRun) Files.delete(f)
           case None => ()
         }
       }
-      // drop now-empty dirs bottom-up (deepest first)
-      val subdirs = {
-        val w = Files.walk(d)
-        try w.iterator().asScala.filter(p => Files.isDirectory(p)).toList
-        finally w.close()
-      }
-      subdirs.sortBy(-_.getNameCount).foreach { sd =>
-        val empty = {
-          val it = Files.list(sd)
-          try !it.iterator().hasNext finally it.close()
+      // drop now-empty dirs bottom-up (deepest first) — a mutation, so
+      // dry runs skip it (they deleted nothing, so nothing is empty)
+      if (!dryRun) {
+        val subdirs = {
+          val w = Files.walk(d)
+          try w.iterator().asScala.filter(p => Files.isDirectory(p)).toList
+          finally w.close()
         }
-        if (empty) try Files.delete(sd) catch { case _: Throwable => () }
+        subdirs.sortBy(-_.getNameCount).foreach { sd =>
+          val empty = {
+            val it = Files.list(sd)
+            try !it.iterator().hasNext finally it.close()
+          }
+          if (empty) try Files.delete(sd) catch { case _: Throwable => () }
+        }
       }
       }
     }
@@ -2233,10 +2295,12 @@ object TxLog {
         }
       }
     }
-    gcSideDirs("_change_data", keepCdf.contains)
-    // deletion-vector dirs follow the same rule (a dv lands BEFORE its
-    // commit publishes, so unreferenced young dirs may be in-window)
-    gcSideDirs("_dv", n => keepDv.contains(s"_dv/$n"))
+    if (!dryRun) {
+      gcSideDirs("_change_data", keepCdf.contains)
+      // deletion-vector dirs follow the same rule (a dv lands BEFORE its
+      // commit publishes, so unreferenced young dirs may be in-window)
+      gcSideDirs("_dv", n => keepDv.contains(s"_dv/$n"))
+    }
     deleted
   }
 }
