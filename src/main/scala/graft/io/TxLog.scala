@@ -75,7 +75,8 @@ object TxLog {
       files: Seq[String],
       cdf: Option[String] = None,
       ts: Option[Long] = None,
-      dvRefs: Set[String] = Set.empty)
+      dvRefs: Set[String] = Set.empty,
+      op: Option[String] = None)
 
   /** Per-file, per-column zone map carried by a manifest entry: min/max
     * of each stats column for data skipping (the Delta/Iceberg per-file
@@ -360,6 +361,11 @@ object TxLog {
   // commit wall-clock, for TIMESTAMP AS OF / DESCRIBE HISTORY (absent in
   // pre-round-9 manifests)
   private val tsField: Regex = """"ts":(\d+)""".r
+  // the OPERATION that produced the commit (MERGE, OPTIMIZE, CLONE, ...)
+  // — DESCRIBE HISTORY's audit column; plain append/overwrite carry none
+  // and render as their action (Delta's operation field, ignorable by
+  // any reader so not fmt-gated)
+  private val opField: Regex = """"op":"([^"]*)"""".r
   // hive-style partition spec of the commit's files (data lands under
   // k=v dirs and the partition columns are NOT in the data files);
   // absent/empty = unpartitioned
@@ -557,7 +563,8 @@ object TxLog {
     Manifest(v, action, es.map(_.path),
       cdfField.findFirstMatchIn(txt).map(_.group(1)),
       tsField.findFirstMatchIn(txt).map(_.group(1).toLong),
-      es.iterator.flatMap(_.dvs).toSet)
+      es.iterator.flatMap(_.dvs).toSet,
+      opField.findFirstMatchIn(txt).map(_.group(1)))
   }
 
   /** Newest checkpoint ≤ `upTo`, probed by existence: checkpoints land
@@ -724,7 +731,8 @@ object TxLog {
       cdf: Option[String] = None,
       partitionBy: Seq[String] = Nil,
       bloomCols: Map[String, Long] = Map.empty,
-      rebaseAppends: Boolean = false): Long = {
+      rebaseAppends: Boolean = false,
+      op: Option[String] = None): Long = {
     // an APPEND manifest's files ARE the commit's row-level delta — the
     // change-data-feed depends on that — so re-referencing pre-existing
     // files is an overwrite-only affordance
@@ -758,7 +766,7 @@ object TxLog {
     try {
       commitInner(spark, root, df, action, txnId, statsCols, carry,
         carrySchema, expectHead, cdf, partitionBy, txn, dataDir, bloomCols,
-        rebaseAppends)
+        rebaseAppends, op)
     } finally {
       // marker gone ⇒ either the manifest published (files referenced)
       // or the attempt aborted (files are ordinary vacuumable residue)
@@ -794,7 +802,8 @@ object TxLog {
       txn: String,
       dataDir: String,
       bloomCols: Map[String, Long] = Map.empty,
-      rebaseAppends: Boolean = false): Long = {
+      rebaseAppends: Boolean = false,
+      op: Option[String] = None): Long = {
     // step 1: data files land first, unreferenced by any manifest —
     // hive-layout (k=v dirs) when partitioned, flat otherwise
     if (partitionBy.isEmpty) df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
@@ -960,7 +969,7 @@ object TxLog {
         .asInstanceOf[org.apache.spark.sql.types.StructType]), own)
     }
     publish(root, entries, action, txnId, recorded, expectHead, txn, cdf,
-      partitionBy, rebaseAppends = rebaseAppends)
+      partitionBy, rebaseAppends = rebaseAppends, op = op)
   }
 
   /** Test-only race injection: invoked once at the next publish attempt
@@ -998,7 +1007,8 @@ object TxLog {
       cdf: Option[String] = None,
       partitionBy: Seq[String] = Nil,
       constraints: Option[Map[String, String]] = None,
-      rebaseAppends: Boolean = false): Long = {
+      rebaseAppends: Boolean = false,
+      op: Option[String] = None): Long = {
     val hook = testRaceHook
     testRaceHook = () => ()
     hook()
@@ -1037,6 +1047,7 @@ object TxLog {
         }
       }
       val txnPart = txnId.map(t => s""","txnId":"$t"""").getOrElse("")
+      val opPart = op.map(o => s""","op":"${escStr(o)}"""").getOrElse("")
       val cdfPart = cdf.map(d => s""","cdf":"$d"""").getOrElse("")
       val partPart =
         if (partitionBy.isEmpty) ""
@@ -1051,7 +1062,7 @@ object TxLog {
       val fmt = math.max(manifestFmt(curEntries, partitionBy),
         if (consPart.nonEmpty) 4L else 0L)
       val body = curEntries.mkString(
-        s"""{"version":$next,"fmt":$fmt,"ts":${System.currentTimeMillis()},"action":"${action.name}"$txnPart$cdfPart$partPart$schemaPart$consPart,"files":[""", ",", "]}")
+        s"""{"version":$next,"fmt":$fmt,"ts":${System.currentTimeMillis()},"action":"${action.name}"$txnPart$opPart$cdfPart$partPart$schemaPart$consPart,"files":[""", ",", "]}")
       val tmp = logDir(root).resolve(s".tmp-$txn-$attempt")
       val ch = java.nio.channels.FileChannel.open(tmp,
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
@@ -1094,7 +1105,7 @@ object TxLog {
     publish(root, r.entries.map(renderEntry), Overwrite, txnId = None,
       recorded = r.schema, expectHead = None,
       txn = java.util.UUID.randomUUID().toString.take(12),
-      partitionBy = r.partitionBy.getOrElse(Nil))
+      partitionBy = r.partitionBy.getOrElse(Nil), op = Some("RESTORE"))
   }
 
   /** Shallow CLONE: a metadata-only fork of `srcRoot`'s snapshot at
@@ -1136,7 +1147,7 @@ object TxLog {
     publish(dstRoot, ext.map(renderEntry), Overwrite, txnId = None,
       recorded = r.schema, expectHead = None,
       txn = java.util.UUID.randomUUID().toString.take(12),
-      partitionBy = layoutOf(srcRoot, r))
+      partitionBy = layoutOf(srcRoot, r), op = Some("CLONE"))
   }
 
   /** Metadata-only COUNT(*): Σ per-file recorded row counts minus each
@@ -1197,7 +1208,8 @@ object TxLog {
         recorded = r.schema, expectHead = Some(base),
         txn = java.util.UUID.randomUUID().toString.take(12),
         cdf = Some(""), partitionBy = layoutOf(root, r),
-        constraints = Some(r.constraints + (name -> sqlExpr)))
+        constraints = Some(r.constraints + (name -> sqlExpr)),
+        op = Some("ADD CONSTRAINT"))
     }
   }
 
@@ -1213,7 +1225,8 @@ object TxLog {
         recorded = r.schema, expectHead = Some(base),
         txn = java.util.UUID.randomUUID().toString.take(12),
         cdf = Some(""), partitionBy = layoutOf(root, r),
-        constraints = Some(r.constraints - name))
+        constraints = Some(r.constraints - name),
+        op = Some("DROP CONSTRAINT"))
     }
 
   /** Best-effort: a checkpoint is pure derived state, so a failure (or a
@@ -1406,7 +1419,7 @@ object TxLog {
           // files are needed for the CDF to read through it)
           commit(spark, root, updates, Append,
             statsCols = Seq(keyCol), expectHead = Some(base),
-            partitionBy = layout)
+            partitionBy = layout, op = Some("MERGE"))
         else {
           val untouched = {
             val t = touched.toSet
@@ -1445,7 +1458,7 @@ object TxLog {
           commit(spark, root, rewritten, Overwrite,
             statsCols = Seq(keyCol), carry = untouched,
             carrySchema = r.schema, expectHead = Some(base),
-            cdf = Some(cdfDir), partitionBy = layout)
+            cdf = Some(cdfDir), partitionBy = layout, op = Some("MERGE"))
         }
     }
   }
@@ -1483,7 +1496,7 @@ object TxLog {
       commit(spark, root, laid, Overwrite,
         statsCols = sortCol.toSeq, expectHead = Some(base),
         cdf = Some(""), partitionBy = layoutOf(root, r),
-        rebaseAppends = true)
+        rebaseAppends = true, op = Some("OPTIMIZE"))
     }
   }
 
@@ -1527,7 +1540,7 @@ object TxLog {
         commit(spark, root, old.filter(not(hit)), Overwrite,
           statsCols = statsCols, carry = untouched, carrySchema = r.schema,
           expectHead = Some(base), cdf = Some(cdfDir),
-          partitionBy = layoutOf(root, r))
+          partitionBy = layoutOf(root, r), op = Some("DELETE"))
       }
     }
   }
@@ -1608,7 +1621,8 @@ object TxLog {
           publish(root, entries.map(renderEntry), Overwrite, txnId = None,
             recorded = r.schema, expectHead = Some(base),
             txn = java.util.UUID.randomUUID().toString.take(12),
-            cdf = Some(cdfDir), partitionBy = layoutOf(root, r))
+            cdf = Some(cdfDir), partitionBy = layoutOf(root, r),
+            op = Some("DELETE VECTORS"))
         }
       }
     }
@@ -1683,7 +1697,7 @@ object TxLog {
           commit(spark, root, post, Overwrite,
             statsCols = statsCols, carry = carried, carrySchema = r.schema,
             expectHead = Some(base), cdf = Some(cdfDir),
-            partitionBy = layoutOf(root, r))
+            partitionBy = layoutOf(root, r), op = Some("UPDATE VECTORS"))
         }
       }
     }
@@ -1775,7 +1789,7 @@ object TxLog {
         commit(spark, root, flagged.select(newCols: _*), Overwrite,
           statsCols = statsCols, carry = untouched, carrySchema = r.schema,
           expectHead = Some(base), cdf = Some(cdfDir),
-          partitionBy = layoutOf(root, r))
+          partitionBy = layoutOf(root, r), op = Some("UPDATE"))
       }
     }
   }
@@ -1805,7 +1819,7 @@ object TxLog {
       commit(spark, root, laid, Overwrite,
         statsCols = Seq(colA, colB), expectHead = Some(base),
         cdf = Some(""), partitionBy = layoutOf(root, r),
-        rebaseAppends = true)
+        rebaseAppends = true, op = Some("OPTIMIZE ZORDER"))
     }
 
   /** File-selective compaction: rewrite ONLY the live files smaller than
@@ -1858,7 +1872,8 @@ object TxLog {
           backlog.repartitionByRange(nOut, zv).sortWithinPartitions(zv),
           Overwrite, statsCols = Seq(colA, colB), carry = big,
           carrySchema = r.schema, expectHead = Some(base), cdf = Some(""),
-          partitionBy = layoutOf(root, r), rebaseAppends = true)
+          partitionBy = layoutOf(root, r), rebaseAppends = true,
+          op = Some("COMPACT ZORDER"))
       }
     }
 
@@ -1882,7 +1897,8 @@ object TxLog {
         commit(spark, root, rewritten, Overwrite,
           statsCols = statsCols, carry = big, carrySchema = r.schema,
           expectHead = Some(base), cdf = Some(""),
-          partitionBy = layoutOf(root, r), rebaseAppends = true)
+          partitionBy = layoutOf(root, r), rebaseAppends = true,
+          op = Some("COMPACT"))
       }
     }
 
@@ -2066,8 +2082,9 @@ object TxLog {
     import spark.implicits._
     versions(root).map { v =>
       val m = readManifest(root, v)
-      (m.version, m.action, m.files.size.toLong, m.ts.getOrElse(0L))
-    }.toDF("version", "action", "n_files", "commit_ts")
+      (m.version, m.action, m.op.getOrElse(m.action.toUpperCase),
+        m.files.size.toLong, m.ts.getOrElse(0L))
+    }.toDF("version", "action", "operation", "n_files", "commit_ts")
   }
 
   /** One-row table summary — the DESCRIBE DETAIL surface: head version,

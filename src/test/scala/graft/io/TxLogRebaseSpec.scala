@@ -61,6 +61,10 @@ class TxLogRebaseSpec extends AnyFunSuite {
       "the interleaved append's rows must survive the rewrite")
     // the optimize manifest carries the appended file by reference
     assert(TxLog.replay(root, 5L).files.size === 3) // 2 optimized + 1 appended
+    // and the audit trail names both operations
+    val ops = TxLog.history(spark, root).orderBy("version").collect()
+      .map(_.getAs[String]("operation")).toSeq
+    assert(ops === Seq("APPEND", "APPEND", "APPEND", "APPEND", "OPTIMIZE"))
   }
 
   test("compactZOrder rebases too, and the folded entry keeps its zone maps") {

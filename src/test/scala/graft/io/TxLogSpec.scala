@@ -81,7 +81,9 @@ class TxLogSpec extends AnyFunSuite {
     val h = TxLog.history(spark, root).orderBy("version").collect()
     assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L))
     assert(h.map(_.getString(1)).toSeq == Seq("append", "overwrite"))
-    assert(h.forall(_.getLong(2) >= 1L))
+    assert(h.forall(_.getAs[Long]("n_files") >= 1L))
+    // plain commits render their action as the operation
+    assert(h.map(_.getAs[String]("operation")).toSeq == Seq("APPEND", "OVERWRITE"))
   }
 
   test("manifests reference only fully-written parquet files (no partial visibility)") {
