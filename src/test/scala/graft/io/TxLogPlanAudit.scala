@@ -33,4 +33,29 @@ class TxLogPlanAudit extends AnyFunSuite {
       s"the txlog scan must use the vectorized parquet reader:\n$plan")
     assert(q.count() === 21L)
   }
+
+  test("a DV-bearing snapshot plans the subtraction as a broadcast hash anti-join") {
+    import spark.implicits._
+    val root = Zones.tempDir("txlog_plan_dv")
+    TxLog.commit(spark, root,
+      (0 until 1000).map(i => (i.toLong, s"p-$i")).toDF("id", "payload")
+        .repartitionByRange(4, col("id")),
+      TxLog.Append, statsCols = Seq("id"))
+    TxLog.deleteVectors(spark, root, col("id") % 10 === 0)
+    val q = TxLog.snapshot(spark, root).filter(col("id").between(100, 120))
+    val plan = q.queryExecution.executedPlan.toString
+    // the position subtraction: hash anti-join on the equi key (row
+    // index), deletion side broadcast — NEVER a nested-loop/cartesian
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"DV subtraction must be a broadcast hash anti-join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"DV subtraction must not degrade to a nested loop:\n$plan")
+    // the data predicate still reaches the parquet reader THROUGH the join
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(id,100\\).*"),
+      s"predicates must push through the DV anti-join into the scan:\n$plan")
+    assert(plan.contains("Batched: true"),
+      s"the DV read must keep the vectorized parquet reader:\n$plan")
+    assert(q.count() === 18L) // 21 minus the deleted 100, 110, 120
+  }
 }
