@@ -151,6 +151,31 @@ class TxLogBloomSpec extends AnyFunSuite {
     assert(q.count() === 0L)
   }
 
+  test("string-keyed blooms prune point lookups — the url/doc-id shape of an LLM corpus") {
+    import spark.implicits._
+    val root = Zones.tempDir("txbloomstr")
+    // interleave by hash so every file's string [min, max] spans the
+    // whole key domain — only the bloom can isolate a key
+    (0 until 8).foreach { f =>
+      val df = (0 until 1000).map { i =>
+        val k = f"doc-${i * 8 + f}%06d"
+        (k, s"payload-$k")
+      }.toDF("key", "payload")
+      TxLog.commit(spark, root, df.coalesce(1), TxLog.Append,
+        statsCols = Seq("key"), bloomCols = Map("key" -> 1000L))
+    }
+    // present key: i*8+f = 4022 → i=502, f=6
+    val hit = TxLog.snapshot(spark, root).filter(col("key") === "doc-004022")
+    assert(hit.count() === 1L)
+    assert(TxLogFileIndex.of(hit).lastListed.size <= 3,
+      "string bloom pruned nothing on a present-key lookup")
+    // absent key inside every file's [min, max] lexicographic range
+    val miss = TxLog.snapshot(spark, root).filter(col("key") === "doc-004021x")
+    assert(miss.count() === 0L)
+    assert(TxLogFileIndex.of(miss).lastListed.size <= 1,
+      "string bloom should prove absence")
+  }
+
   test("probeHash reconciles widened literals against the write-time type") {
     import org.apache.spark.sql.types._
     // long literal probing an int-typed bloom hashes the INT image

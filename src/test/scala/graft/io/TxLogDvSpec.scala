@@ -180,6 +180,28 @@ class TxLogDvSpec extends AnyFunSuite {
       .head().getAs[Long]("a") === 13L)
   }
 
+  test("deletion vectors work on a hive-partitioned table") {
+    import spark.implicits._
+    val root = Zones.tempDir("txdvpart")
+    val df = (0 until 1000).map(i =>
+      (i.toLong, if (i % 3 == 0) "en" else "fr", s"row-$i"))
+      .toDF("id", "lang", "payload")
+    TxLog.commit(spark, root, df, TxLog.Append,
+      statsCols = Seq("id"), partitionBy = Seq("lang"))
+    val v = TxLog.deleteVectors(spark, root,
+      col("lang") === "en" && col("id") < 300L)
+    assert(v === 2L)
+    val snap = TxLog.snapshot(spark, root)
+    // deleted: multiples of 3 below 300 → 100 rows
+    assert(snap.count() === 900L)
+    assert(snap.filter(col("lang") === "en" && col("id") < 300L).count() === 0L)
+    assert(snap.filter(col("lang") === "fr").count() === 666L)
+    // partition-column reads still resolve (values come from k=v dirs)
+    assert(snap.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      === Map("en" -> 234L, "fr" -> 666L))
+  }
+
   test("a clone resolves the source's deletion vectors externally") {
     val root = table()
     TxLog.deleteVectors(spark, root, col("id") % 10 === 9)

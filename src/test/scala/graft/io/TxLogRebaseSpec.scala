@@ -67,6 +67,20 @@ class TxLogRebaseSpec extends AnyFunSuite {
     assert(ops === Seq("APPEND", "APPEND", "APPEND", "APPEND", "OPTIMIZE"))
   }
 
+  test("rebase folds a WHOLE BURST of interleaved appends, not just one") {
+    val root = table3()
+    TxLog.testRaceHook = () => {
+      (0 until 3).foreach(k =>
+        TxLog.append(spark, root, batch(900 + k * 10, 910 + k * 10).coalesce(1)))
+      ()
+    }
+    val v = TxLog.optimize(spark, root, targetFiles = 2, sortCol = Some("id"))
+    assert(v === 7L) // 3 base + 3 interleaved appends + the optimize
+    assert(dataDirs(root) === 7, "still exactly one rewrite")
+    assert(TxLog.snapshot(spark, root).count() === 330L)
+    assert(TxLog.replay(root, 7L).files.size === 5) // 2 optimized + 3 appended
+  }
+
   test("compactZOrder rebases too, and the folded entry keeps its zone maps") {
     val root = table3()
     TxLog.testRaceHook =
