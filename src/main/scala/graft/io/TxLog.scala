@@ -1599,12 +1599,15 @@ object TxLog {
         val paths = spark.createDataFrame(touched.map(e => Tuple1(e.path)))
           .toDF("p")
         val dvDir = s"_dv/txn-${java.util.UUID.randomUUID().toString.take(12)}"
+        // position writes parallelize BY FILE, task count bounded — a
+        // billion-row GDPR pass must not funnel its whole vector through
+        // one writer (readers read the dir as a unit either way)
         matched
           .select(col(TxLogFileIndex.FpCol).as("fp"),
             col(TxLogFileIndex.PosCol).as("pos"))
           .join(broadcast(paths), col("fp").endsWith(col("p")))
           .select("p", "pos")
-          .repartition(1)
+          .repartition(math.max(1, math.min(64, touched.size)), col("p"))
           .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$dvDir")
         // which files actually hold a match (and how many rows): read
         // the (tiny) vector back — the per-file deleted counts keep
@@ -1683,7 +1686,7 @@ object TxLog {
             col(TxLogFileIndex.PosCol).as("pos"))
           .join(broadcast(paths), col("fp").endsWith(col("p")))
           .select("p", "pos")
-          .repartition(1)
+          .repartition(math.max(1, math.min(64, touched.size)), col("p"))
           .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$dvDir")
         val dvCounts: Map[String, Long] = spark.read.parquet(s"$root/$dvDir")
           .groupBy("p").count().collect()

@@ -178,6 +178,28 @@ final class TxLogFileIndex(
 
 object TxLogFileIndex {
 
+  /** Deletion vectors at or below this total size broadcast into the
+    * anti-join; above it the subtraction shuffles (a var so specs can
+    * pin the fallback plan without materializing 64 MB of positions).
+    */
+  private[io] var broadcastDvBytes: Long = 64L << 20
+
+  /** Total bytes under a directory, driver-side (the dv dirs a read
+    * subtracts — a handful of files, no Spark job).
+    */
+  private[io] def dirBytes(dir: String): Long = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(p)) 0L
+    else {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(p)
+      try w.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size(_)).sum
+      finally w.close()
+    }
+  }
+
   /** Sidecar bitset reads across all indexes — specs assert a point
     * lookup's planning opens at most (zone-surviving files × probed
     * columns) sidecars, the same read-counting discipline as
@@ -247,10 +269,17 @@ object TxLogFileIndex {
     val dvDirs = r.entries.iterator.flatMap(_.dvs).toSeq.distinct
     if (dvDirs.isEmpty) tagged
     else {
-      val dv = spark.read
-        .parquet(dvDirs.map(d => TxLog.absPath(root, d)): _*)
+      val paths = dvDirs.map(d => TxLog.absPath(root, d))
+      val dv = spark.read.parquet(paths: _*)
         .select(col("p").as("_dv_p"), col("pos").as("_dv_pos"))
-      tagged.join(broadcast(dv),
+      // broadcast the vector only while it actually fits an executor —
+      // routine deletes are megabytes, but a table carrying a massive
+      // un-compacted backlog of deletions must fall back to a shuffled
+      // anti-join rather than OOM every reader (the dir sizes are on
+      // the driver's filesystem view, one cheap walk, no job)
+      val dvBytes = paths.map(TxLogFileIndex.dirBytes).sum
+      val right = if (dvBytes <= broadcastDvBytes) broadcast(dv) else dv
+      tagged.join(right,
         col(PosCol) === col("_dv_pos") && col(FpCol).endsWith(col("_dv_p")),
         "left_anti")
     }

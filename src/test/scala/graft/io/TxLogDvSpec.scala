@@ -180,6 +180,30 @@ class TxLogDvSpec extends AnyFunSuite {
       .head().getAs[Long]("a") === 13L)
   }
 
+  test("an oversized deletion vector falls back to a shuffled anti-join, results identical") {
+    val root = table()
+    TxLog.deleteVectors(spark, root, col("id") % 10 === 6)
+    val was = TxLogFileIndex.broadcastDvBytes
+    val wasAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // over the explicit threshold AND past Spark's own auto-broadcast
+      // sizing (which a genuinely huge vector would exceed anyway): the
+      // subtraction must plan WITHOUT forcing a broadcast
+      TxLogFileIndex.broadcastDvBytes = 0L
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val q = TxLog.snapshot(spark, root)
+      val plan = q.queryExecution.executedPlan.toString // pre-execution
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"an over-threshold vector must not be force-broadcast:\n$plan")
+      assert(plan.contains("LeftAnti"), s"still an anti-join:\n$plan")
+      assert(q.count() === 3600L)
+      assert(q.filter(col("id") % 10 === 6).count() === 0L)
+    } finally {
+      TxLogFileIndex.broadcastDvBytes = was
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", wasAuto)
+    }
+  }
+
   test("deletion vectors work on a hive-partitioned table") {
     import spark.implicits._
     val root = Zones.tempDir("txdvpart")
