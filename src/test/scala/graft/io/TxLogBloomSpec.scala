@@ -176,6 +176,20 @@ class TxLogBloomSpec extends AnyFunSuite {
       "string bloom should prove absence")
   }
 
+  test("a bloom stays conservatively correct after a DV delete of its only match") {
+    val root = interleavedTable()
+    // delete the single row the bloom would route a lookup to: the
+    // (unchanged) bloom still KEEPS the file — a false keep, never a
+    // false skip — and the DV subtraction returns zero rows
+    val present = 8L * (502 * 8 + 6)
+    TxLog.deleteVectors(spark, root, col("id") === present)
+    val q = TxLog.snapshot(spark, root).filter(col("id") === present)
+    assert(q.count() === 0L, "deleted row must not resurrect through the bloom path")
+    // a different key in the same file still reads
+    assert(TxLog.snapshot(spark, root)
+      .filter(col("id") === 8L * (501 * 8 + 6)).count() === 1L)
+  }
+
   test("probeHash reconciles widened literals against the write-time type") {
     import org.apache.spark.sql.types._
     // long literal probing an int-typed bloom hashes the INT image

@@ -95,6 +95,29 @@ class TxLogRebaseSpec extends AnyFunSuite {
     assert(folded.size === 1, "rebase must preserve the folded entry's zone maps")
   }
 
+  test("a rebased publish landing on a checkpoint boundary carries the folded entries") {
+    val root = Zones.tempDir("txrebck")
+    // 8 commits, then an optimize racing an append: append claims v9,
+    // the rebased optimize claims v10 — the CHECKPOINT version
+    (0 until 8).foreach(k => TxLog.commit(spark, root,
+      batch(k * 100, k * 100 + 100).coalesce(1), TxLog.Append,
+      statsCols = Seq("id")))
+    TxLog.testRaceHook =
+      () => { TxLog.append(spark, root, batch(900, 910).coalesce(1)); () }
+    val v = TxLog.optimize(spark, root, targetFiles = 2, sortCol = Some("id"))
+    assert(v === 10L && v % TxLog.CheckpointEvery === 0L)
+    // destroy every pre-checkpoint manifest: replay must reconstruct the
+    // rebased state (optimized files + the folded append) from c10 alone
+    (1 to 9).foreach { k =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, "_txlog", f"v$k%08d.json"),
+        "garbage".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.count() === 810L)
+    assert(snap.filter(col("id") >= 900L).count() === 10L)
+  }
+
   test("a non-append interloper still conflicts: the rewrite re-reads and stays correct") {
     val root = table3()
     TxLog.testRaceHook =
