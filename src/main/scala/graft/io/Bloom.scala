@@ -126,4 +126,14 @@ object Bloom {
       if (!Files.isRegularFile(p)) None
       else Some(BloomFilter.readFrom(new ByteArrayInputStream(Files.readAllBytes(p))))
     } catch { case _: Throwable => None }
+
+  /** Deserialize an already-fetched sidecar (any [[graft.io.LogStore]]
+    * can produce the bytes); null or structurally broken bytes read as
+    * `None` — keep the file, pruning stays conservative.
+    */
+  def readSidecarBytes(bytes: Array[Byte]): Option[BloomFilter] =
+    try {
+      if (bytes == null) None
+      else Some(BloomFilter.readFrom(new ByteArrayInputStream(bytes)))
+    } catch { case _: Throwable => None }
 }

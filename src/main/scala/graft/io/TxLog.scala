@@ -148,7 +148,14 @@ object TxLog {
       schema: Option[org.apache.spark.sql.types.StructType],
       txns: Map[String, Long],
       partitionBy: Option[Seq[String]] = Some(Nil),
-      constraints: Map[String, String] = Map.empty) {
+      constraints: Map[String, String] = Map.empty,
+      dvBytes: Map[String, Long] = Map.empty,
+      colMap: Map[String, String] = Map.empty,
+      droppedPhys: Set[String] = Set.empty) {
+    /** Physical (file) column name of logical `name` — identity unless a
+      * RENAME/re-add mapped it (Delta's column mapping, at txlog size).
+      */
+    def physName(name: String): String = colMap.getOrElse(name, name)
     def files: Vector[String] = entries.map(_.path)
     def stats: Map[String, ColStats] =
       entries.iterator.filter(_.stats.nonEmpty).map(e => e.path -> e.stats).toMap
@@ -194,10 +201,13 @@ object TxLog {
     * manifest's line-oriented regexes (quote, backslash, braces,
     * brackets) and all control chars become JSON \\uXXXX escapes — all
     * of which are valid JSON string escapes, so the manifest stays
-    * parseable by any strict JSON reader too.
+    * parseable by any strict JSON reader too. The DOT escapes as well:
+    * a quoted escStr'd value can then never end in the literal
+    * `.parquet`, so no metadata string (a txnId, a touched path, a
+    * column name) can impersonate a bare file entry to the entry regex.
     */
   private def escStr(s: String): String = s.flatMap {
-    case c @ ('"' | '\\' | '{' | '}' | '[' | ']') => f"\\u${c.toInt}%04x"
+    case c @ ('"' | '\\' | '{' | '}' | '[' | ']' | '.') => f"\\u${c.toInt}%04x"
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   }
@@ -392,6 +402,88 @@ object TxLog {
         unescStr(e.group(1)) -> new String(
           java.util.Base64.getDecoder.decode(e.group(2)),
           StandardCharsets.UTF_8)).toMap)
+  // deletion-vector dir byte sizes, recorded by the commit that wrote
+  // the dir so the read path's broadcast-vs-shuffle decision is
+  // metadata-only (no LIST per dv dir per planning). Accumulative across
+  // manifests — dir names are uuid-unique, an overwrite never reuses one
+  // — and checkpoints persist the map restricted to live refs. Free
+  // metadata, NOT fmt-gated: an older reader falls back to walking.
+  private val dvbField: Regex = """"dvb":\{([^}]*)\}""".r
+  private val dvbEntry: Regex = """"([^"]+)":(\d+)""".r
+  private def dvbOfLog(txt: String): Map[String, Long] =
+    dvbField.findFirstMatchIn(txt).map(m =>
+      dvbEntry.findAllMatchIn(m.group(1)).map(e =>
+        unescStr(e.group(1)) -> e.group(2).toLong).toMap).getOrElse(Map.empty)
+  private def renderDvb(m: Map[String, Long]): String =
+    if (m.isEmpty) ""
+    else m.toSeq.sortBy(_._1).map { case (d, b) => s""""${escStr(d)}":$b""" }
+      .mkString(""","dvb":{""", ",", "}")
+
+  // COLUMN MAPPING (RENAME/DROP COLUMN): the recorded schema carries
+  // LOGICAL names; data files carry PHYSICAL names; `colmap` maps the
+  // non-identity pairs. Replay folds the fields: `colunmap` removals
+  // apply first, then `colmap` additions, and `coldrop` (retired
+  // physical names — a re-added logical column must get a FRESH
+  // physical, or old files' dropped data would resurface) unions.
+  // Checkpoints write the full folded state. Gated at fmt 5: a reader
+  // without the map would hand a renamed column's old bytes to the new
+  // logical name — wrong results, not degraded metadata.
+  private val colmapField: Regex = """"colmap":\{([^}]*)\}""".r
+  private val colmapEntry: Regex = """"([^"]+)":"([^"]*)"""".r
+  private val colunmapField: Regex = """"colunmap":\[([^\]]*)\]""".r
+  private val coldropField: Regex = """"coldrop":\[([^\]]*)\]""".r
+  private val quotedItem: Regex = """"([^"]*)"""".r
+  private def colmapOfLog(txt: String): Map[String, String] =
+    colmapField.findFirstMatchIn(txt).map(m =>
+      colmapEntry.findAllMatchIn(m.group(1)).map(e =>
+        unescStr(e.group(1)) -> unescStr(e.group(2))).toMap)
+      .getOrElse(Map.empty)
+  private def colunmapOfLog(txt: String): Set[String] =
+    colunmapField.findFirstMatchIn(txt).map(m =>
+      quotedItem.findAllMatchIn(m.group(1)).map(e => unescStr(e.group(1))).toSet)
+      .getOrElse(Set.empty)
+  private def coldropOfLog(txt: String): Set[String] =
+    coldropField.findFirstMatchIn(txt).map(m =>
+      quotedItem.findAllMatchIn(m.group(1)).map(e => unescStr(e.group(1))).toSet)
+      .getOrElse(Set.empty)
+  private def renderColmap(m: Map[String, String]): String =
+    if (m.isEmpty) ""
+    else m.toSeq.sortBy(_._1)
+      .map { case (l, p) => s""""${escStr(l)}":"${escStr(p)}"""" }
+      .mkString(""","colmap":{""", ",", "}")
+  private def renderStrList(field: String, s: Set[String]): String =
+    if (s.isEmpty) ""
+    else s.toSeq.sorted.map(x => "\"" + escStr(x) + "\"")
+      .mkString(s""","$field":[""", ",", "]")
+
+  /** Fast-path hint that this table has (ever had) a column mapping —
+    * same contract as the constraints marker: the LOG is the authority,
+    * the marker only spares unmapped tables the per-commit replay.
+    */
+  private def colmapMarker(root: String): String = logPath(root, "_colmap")
+
+  // the set of pre-existing files whose DV state a row-level commit
+  // changed — advisory metadata (not fmt-gated: ignoring it only costs
+  // rebase opportunities, never correctness) that lets a RACING
+  // row-level op on DISJOINT files fold instead of conflict
+  private val touchedField: Regex = """"touched":\[([^\]]*)\]""".r
+  private def touchedOfLog(txt: String): Option[Set[String]] =
+    touchedField.findFirstMatchIn(txt).map(m =>
+      quotedItem.findAllMatchIn(m.group(1)).map(e => unescStr(e.group(1))).toSet)
+
+  /** The path of a rendered manifest entry (bare string or object form). */
+  private def pathOfRendered(e: String): String =
+    entryField.findFirstMatchIn(e)
+      .map(m => Option(m.group(1)).getOrElse(m.group(2)))
+      .getOrElse(throw new IllegalStateException(s"txlog: unparseable entry $e"))
+
+  /** Conflict-retry count across all read-modify-write ops — specs
+    * assert a disjoint-file DV race commits in ONE attempt (fold, not
+    * retry), the way Delta's conflict checker admits disjoint row-level
+    * ops.
+    */
+  private[io] val rmwConflicts = new AtomicLong(0L)
+
   private def renderConstraints(m: Map[String, String]): String =
     m.toSeq.sortBy(_._1).map { case (n, ex) =>
       s""""${escStr(n)}":"${java.util.Base64.getEncoder
@@ -415,15 +507,29 @@ object TxLog {
     */
   private[io] val dirLists = new AtomicLong(0L)
 
-  private def logDir(root: String): Path = Paths.get(root, "_txlog")
+  /** Every log-side byte this object touches goes through a [[LogStore]]
+    * resolved from the ROOT's scheme — schemeless paths keep the original
+    * fully-atomic `java.nio` hard-link store, `scheme://` roots route to
+    * the Hadoop FileSystem store (HDFS-atomic rename claim; see
+    * [[LogStore]] for the per-scheme consistency contract). Data files
+    * were always Hadoop-pathed via Spark; this closes the gap that bound
+    * the commit protocol itself to the local filesystem.
+    */
+  private def store(root: String): LogStore = LogStore.forRoot(root)
+
+  private def logDir(root: String): String = s"$root/_txlog"
+  private def logPath(root: String, name: String): String =
+    s"$root/_txlog/$name"
 
   /** Resolve a manifest entry path against the table root. Entries are
     * root-relative (`data/txn-.../file.parquet`) except EXTERNAL entries
-    * written by a shallow clone, which are absolute (and fmt-gated so a
-    * pre-clone reader never mis-resolves them against its own root).
+    * written by a shallow clone, which are absolute — plain-absolute or
+    * scheme-ful — and fmt-gated so a pre-clone reader never mis-resolves
+    * them against its own root.
     */
   private[io] def absPath(root: String, p: String): String =
-    if (p.startsWith("/")) p else s"$root/$p"
+    if (p.startsWith("/") || p.contains("://") || p.startsWith("file:")) p
+    else s"$root/$p"
 
   /** Highest manifest format this reader understands. Manifests carry
     * `"fmt":N`; a HIGHER N means a future writer used features this
@@ -438,9 +544,12 @@ object TxLog {
     * or a partition layout — a v2 reader's entry regex would silently
     * DROP a "t"-bearing entry from the live set, and would read a
     * partitioned table without its partition column — otherwise 2, so
-    * plain commits stay readable by older readers.
+    * plain commits stay readable by older readers. 5 only when the
+    * manifest carries COLUMN-MAPPING state (colmap/colunmap/coldrop): a
+    * v4 reader would hand a renamed column's old physical bytes to the
+    * wrong logical name.
     */
-  val FormatVersion: Long = 4L
+  val FormatVersion: Long = 5L
   // NOT fmt-gated: "r" (per-file row count) — an older reader's entry
   // regex degrades an "r"-bearing object entry to its bare path, losing
   // stats/size for that entry but never a file or a row (rowCount simply
@@ -456,8 +565,7 @@ object TxLog {
 
   private def readLogFile(root: String, name: String): String = {
     manifestReads.incrementAndGet()
-    val txt = new String(Files.readAllBytes(logDir(root).resolve(name)),
-      StandardCharsets.UTF_8)
+    val txt = store(root).readText(logPath(root, name))
     fmtField.findFirstMatchIn(txt).map(_.group(1).toLong).foreach { f =>
       if (f > FormatVersion)
         throw new java.io.IOException(
@@ -477,18 +585,13 @@ object TxLog {
   }
 
   private def listedHead(root: String): Long = {
-    val dir = logDir(root)
-    if (!Files.isDirectory(dir)) 0L
+    val s = store(root)
+    if (!s.isDir(logDir(root))) 0L
     else {
       dirLists.incrementAndGet()
-      val it = Files.list(dir)
-      try {
-        import scala.jdk.CollectionConverters._
-        it.iterator().asScala
-          .flatMap(p => versionFile.findFirstMatchIn(p.getFileName.toString)
-            .map(_.group(1).toLong))
-          .foldLeft(0L)(math.max)
-      } finally it.close()
+      s.list(logDir(root)).iterator
+        .flatMap(n => versionFile.findFirstMatchIn(n).map(_.group(1).toLong))
+        .foldLeft(0L)(math.max)
     }
   }
 
@@ -499,20 +602,19 @@ object TxLog {
     * legacy chain pays a directory LIST (its next commit writes one).
     */
   def headVersion(root: String): Long = {
-    val dir = logDir(root)
+    val s = store(root)
     val hinted: Option[Long] =
       try {
-        val ptr = dir.resolve("_head")
-        if (!Files.exists(ptr)) None
+        val ptr = logPath(root, "_head")
+        if (!s.exists(ptr)) None
         else {
-          val v = new String(Files.readAllBytes(ptr), StandardCharsets.UTF_8)
-            .trim.toLong
-          if (v >= 1 && Files.exists(dir.resolve(f"v$v%08d.json"))) Some(v)
+          val v = s.readText(ptr).trim.toLong
+          if (v >= 1 && s.exists(logPath(root, f"v$v%08d.json"))) Some(v)
           else None
         }
       } catch { case _: Throwable => None }
     var v = hinted.getOrElse(listedHead(root))
-    while (Files.exists(dir.resolve(f"v${v + 1}%08d.json"))) v += 1
+    while (s.exists(logPath(root, f"v${v + 1}%08d.json"))) v += 1
     v
   }
 
@@ -521,14 +623,9 @@ object TxLog {
     * — readers probe forward past any stale value.
     */
   private def writeHeadPointer(root: String, v: Long): Unit =
-    try {
-      val tmp = logDir(root)
-        .resolve(s".head-${java.util.UUID.randomUUID().toString.take(8)}")
-      Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, logDir(root).resolve("_head"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } catch { case _: Throwable => () }
+    try store(root).putReplace(logPath(root, "_head"),
+      v.toString.getBytes(StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
 
   /** Entries of one log file. */
   private def parseEntries(txt: String): Seq[Entry] =
@@ -573,9 +670,10 @@ object TxLog {
     * best-effort checkpoint write.
     */
   private def baseCheckpoint(root: String, upTo: Long): Option[Long] = {
+    val s = store(root)
     var c = (upTo / CheckpointEvery) * CheckpointEvery
     while (c >= CheckpointEvery) {
-      if (Files.exists(logDir(root).resolve(f"c$c%08d.json"))) return Some(c)
+      if (s.exists(logPath(root, f"c$c%08d.json"))) return Some(c)
       c -= CheckpointEvery
     }
     None
@@ -601,6 +699,11 @@ object TxLog {
     // only an explicit constraints field (add/drop commit, checkpoint)
     // replaces the map
     var constraints = Map.empty[String, String]
+    // dv-dir byte ledger: accumulative (uuid dirs never collide)
+    var dvBytes = Map.empty[String, Long]
+    // column mapping: fold removals, then additions; retirements union
+    var colMap = Map.empty[String, String]
+    var droppedPhys = Set.empty[String]
     // partition layout: overwrite resets it, an append must agree with
     // it — a disagreement (mixed layouts in one live set) resolves to
     // None and the READ refuses loudly rather than misparse k=v dirs
@@ -617,9 +720,12 @@ object TxLog {
       // a checkpoint is full state: an absent field means NO constraints
       // (every checkpoint written since constraints exist records them)
       constraints = constraintsOfLog(txt).getOrElse(Map.empty)
+      dvBytes = dvbOfLog(txt)
+      colMap = colmapOfLog(txt)
+      droppedPhys = coldropOfLog(txt)
       txns = txnsField.findFirstMatchIn(txt).map(m =>
         txnsEntry.findAllMatchIn(m.group(1))
-          .map(e => e.group(1) -> e.group(2).toLong).toMap).getOrElse {
+          .map(e => unescStr(e.group(1)) -> e.group(2).toLong).toMap).getOrElse {
         // a pre-fmt-2 checkpoint carries no txns map: absent there means
         // UNKNOWN, not empty — replaying from it would silently forget
         // every txnId committed at or below it, and a recovered streaming
@@ -633,7 +739,7 @@ object TxLog {
         if (!legacy) Map.empty[String, Long]
         else versions(root).filter(_ <= cv).flatMap { v =>
           val vtxt = readLogFile(root, f"v$v%08d.json")
-          txnField.findFirstMatchIn(vtxt).map(m => m.group(1) -> v)
+          txnField.findFirstMatchIn(vtxt).map(m => unescStr(m.group(1)) -> v)
         }.toMap
       }
     }
@@ -655,11 +761,15 @@ object TxLog {
         }
         // exactly-once bookkeeping is monotone: a rewrite must NOT reset
         // it, or a replayed microbatch could double-land after an OPTIMIZE
-        txnField.findFirstMatchIn(txt).foreach(m => txns += (m.group(1) -> v))
+        txnField.findFirstMatchIn(txt).foreach(m =>
+          txns += (unescStr(m.group(1)) -> v))
         constraintsOfLog(txt).foreach(m => constraints = m)
+        dvBytes ++= dvbOfLog(txt)
+        colMap = (colMap -- colunmapOfLog(txt)) ++ colmapOfLog(txt)
+        droppedPhys ++= coldropOfLog(txt)
       }
     Replay(entries, schema.filter(_.fields.nonEmpty), txns, partitionBy,
-      constraints)
+      constraints, dvBytes, colMap, droppedPhys)
   }
 
   /** Live file list at `upTo` (absolute paths). */
@@ -732,7 +842,10 @@ object TxLog {
       partitionBy: Seq[String] = Nil,
       bloomCols: Map[String, Long] = Map.empty,
       rebaseAppends: Boolean = false,
-      op: Option[String] = None): Long = {
+      op: Option[String] = None,
+      dvb: Map[String, Long] = Map.empty,
+      touched: Set[String] = Set.empty,
+      rebaseDvTouched: Option[Set[String]] = None): Long = {
     // an APPEND manifest's files ARE the commit's row-level delta — the
     // change-data-feed depends on that — so re-referencing pre-existing
     // files is an overwrite-only affordance
@@ -757,25 +870,25 @@ object TxLog {
         s"txlog: table is partitioned by ${cur.partitionBy} but the " +
           s"commit declares $partitionBy")
     }
-    Files.createDirectories(logDir(root))
+    val s = store(root)
+    s.mkdirs(logDir(root))
     val txn = java.util.UUID.randomUUID().toString.take(12)
     val dataDir = s"$root/data/txn-$txn"
-    val marker = inflightDir(root).resolve(s"txn-$txn")
-    Files.createDirectories(inflightDir(root))
-    Files.createFile(marker)
+    val marker = s"${inflightDir(root)}/txn-$txn"
+    s.mkdirs(inflightDir(root))
+    s.createMarker(marker)
     try {
       commitInner(spark, root, df, action, txnId, statsCols, carry,
         carrySchema, expectHead, cdf, partitionBy, txn, dataDir, bloomCols,
-        rebaseAppends, op)
+        rebaseAppends, op, dvb, touched, rebaseDvTouched)
     } finally {
       // marker gone ⇒ either the manifest published (files referenced)
       // or the attempt aborted (files are ordinary vacuumable residue)
-      try Files.deleteIfExists(marker) catch { case _: Throwable => () }
+      try s.delete(marker) catch { case _: Throwable => () }
     }
   }
 
-  private def inflightDir(root: String): Path =
-    Paths.get(root, "_txlog", "inflight")
+  private def inflightDir(root: String): String = s"$root/_txlog/inflight"
 
   /** Fast-path hint that this table has (ever had) CHECK constraints.
     * Created BEFORE the add's manifest publishes, never removed — purely
@@ -784,8 +897,8 @@ object TxLog {
     * commit, and an absent marker is only possible on a table where no
     * constraint was ever added.
     */
-  private def constraintsMarker(root: String): Path =
-    logDir(root).resolve("_constraints")
+  private def constraintsMarker(root: String): String =
+    logPath(root, "_constraints")
 
   private def commitInner(
       spark: SparkSession,
@@ -803,22 +916,46 @@ object TxLog {
       dataDir: String,
       bloomCols: Map[String, Long] = Map.empty,
       rebaseAppends: Boolean = false,
-      op: Option[String] = None): Long = {
+      op: Option[String] = None,
+      dvb: Map[String, Long] = Map.empty,
+      touched: Set[String] = Set.empty,
+      rebaseDvTouched: Option[Set[String]] = None): Long = {
+    // COLUMN MAPPING write path: files of a mapped table carry PHYSICAL
+    // names (the recorded schema stays logical). A column the table
+    // doesn't know whose name is RETIRED (renamed away or dropped) gets
+    // a fresh physical name recorded in this manifest, so re-adding a
+    // dropped column never resurfaces the old files' bytes. Unmapped
+    // tables skip all of it (one marker existence probe).
+    val (colMap: Map[String, String], droppedPhys: Set[String]) =
+      if (!store(root).exists(colmapMarker(root)))
+        (Map.empty[String, String], Set.empty[String])
+      else {
+        val rp = replay(root, headVersion(root))
+        (rp.colMap, rp.droppedPhys)
+      }
+    val takenPhys = droppedPhys ++ colMap.values
+    val freshAssign: Map[String, String] = df.columns.toSeq
+      .filter(c => !colMap.contains(c) && takenPhys(c))
+      .map(c => c -> s"c_${java.util.UUID.randomUUID().toString.take(8)}")
+      .toMap
+    require(freshAssign.keySet.intersect(partitionBy.toSet).isEmpty,
+      s"txlog: partition column cannot reuse a retired column name")
+    val effMap = colMap ++ freshAssign
+    def phys(c: String): String = effMap.getOrElse(c, c)
+    val physDf =
+      if (effMap.isEmpty) df
+      else df.select(df.columns.toSeq.map(c => col(c).as(phys(c))): _*)
     // step 1: data files land first, unreferenced by any manifest —
     // hive-layout (k=v dirs) when partitioned, flat otherwise
-    if (partitionBy.isEmpty) df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
-    else df.write.mode(SaveMode.ErrorIfExists)
+    if (partitionBy.isEmpty) physDf.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
+    else physDf.write.mode(SaveMode.ErrorIfExists)
       .partitionBy(partitionBy: _*).parquet(dataDir)
-    import scala.jdk.CollectionConverters._
-    val dataDirAbs = Paths.get(dataDir).toAbsolutePath
-    val writtenSizes: Map[String, Long] = {
-      val walk = Files.walk(dataDirAbs)
-      try walk.iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .map(p => s"data/txn-$txn/${dataDirAbs.relativize(p)}" -> Files.size(p))
-        .toMap
-      finally walk.close()
-    }
+    // ONE recursive store walk returns every written file with its size
+    // (on an object store that is one paged LIST, never stat-per-file)
+    val writtenSizes: Map[String, Long] = store(root).walk(dataDir).iterator
+      .filter(_.relPath.endsWith(".parquet"))
+      .map(m => s"data/txn-$txn/${m.relPath}" -> m.size)
+      .toMap
     val written = writtenSizes.keys.toSeq.sorted
     // CHECK constraints: a read-back scan of the commit's OWN files —
     // proportional to the commit, never to the table (carried files were
@@ -828,13 +965,18 @@ object TxLog {
     // path; with it present the lookup is checkpoint-bounded. SQL CHECK
     // semantics: a row fails only when the expression is provably FALSE
     // (NULL passes).
-    if (written.nonEmpty && Files.exists(constraintsMarker(root))) {
-      val cons = replay(root, headVersion(root)).constraints
+    def validateConstraints(cons: Map[String, String]): Unit =
       if (cons.nonEmpty) {
-        val back = spark.read
-          .schema(deepNullable(df.schema)
+        // read back physical, alias to logical — constraint expressions
+        // are written against logical names
+        val backPhys = spark.read
+          .schema(deepNullable(physDf.schema)
             .asInstanceOf[org.apache.spark.sql.types.StructType])
           .parquet(dataDir)
+        val back =
+          if (effMap.isEmpty) backPhys
+          else backPhys.select(df.columns.toSeq.map(c =>
+            col(phys(c)).as(c)): _*)
         val anyBad = cons.values.map(ex => expr(ex) <=> lit(false))
           .reduce(_ || _)
         if (!back.filter(anyBad).isEmpty) {
@@ -846,7 +988,24 @@ object TxLog {
               " — no manifest published, the rejected files are vacuumable residue")
         }
       }
-    }
+    // constraint enforcement is a two-phase check: validate against the
+    // map as of the head read HERE, and remember that head — publish
+    // re-scans any manifest that lands in the lookup-to-claim window for
+    // a constraints field and re-validates against the newest map, so an
+    // ADD CONSTRAINT racing this commit can never let violating rows
+    // slip in unvalidated (the add itself cannot see these files: they
+    // are unreferenced until our manifest links)
+    val consReadHead = headVersion(root)
+    val consValidated: Map[String, String] =
+      if (written.nonEmpty && store(root).exists(constraintsMarker(root))) {
+        val cons = replay(root, consReadHead).constraints
+        validateConstraints(cons)
+        cons
+      } else Map.empty
+    val consRecheck: Option[(Long, Map[String, String] => Unit)] =
+      if (written.isEmpty) None
+      else Some((consReadHead,
+        m => if (m != consValidated) validateConstraints(m)))
     // optional per-file zone maps: min/max of each stats column per
     // written file, serialized into the manifest so readers can skip
     // files whose range can't match. ONE aggregation job over the
@@ -854,20 +1013,29 @@ object TxLog {
     // string columns — proportional to the commit, never to the table,
     // and never one-job-per-file
     val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    // stats/bloom columns resolve through the mapping: manifests key
+    // zone maps and bloom declarations by PHYSICAL name — exactly the
+    // attribute names pushed-down filters carry once the optimizer has
+    // rewritten them through the logical-alias projection
     // long-valued zone maps: integral columns, plus date/timestamp via
     // their Catalyst-internal day/micros image (see zoneMapExpr)
     val intCols: Seq[(String, org.apache.spark.sql.Column)] =
-      statsCols.flatMap(c => byName.get(c).flatMap(dt => zoneMapExpr(c, dt))
-        .map(e => c -> e))
+      statsCols.flatMap(c => byName.get(c).flatMap(dt => zoneMapExpr(phys(c), dt))
+        .map(e => phys(c) -> e))
     val strCols = statsCols.filter(c =>
-      byName.get(c).contains(org.apache.spark.sql.types.StringType))
+      byName.get(c).contains(org.apache.spark.sql.types.StringType)).map(phys)
     // bloom-indexed columns present in this commit's schema, with the
     // caller's per-file distinct estimate (bitset sizing)
     val bloomSpecs: Seq[(String, Long)] = bloomCols.toSeq
-      .filter { case (c, _) => byName.contains(c) }.sortBy(_._1)
-    val statsJobRuns =
-      (intCols.nonEmpty || strCols.nonEmpty || bloomSpecs.nonEmpty) &&
-        written.nonEmpty
+      .filter { case (c, _) => byName.contains(c) }
+      .map { case (c, n) => phys(c) -> n }.sortBy(_._1)
+    // the stats job runs for EVERY commit that wrote files — even with no
+    // zone-map/bloom column requested it still records per-file row
+    // counts (count(lit(1)) rides the same single job at negligible
+    // cost), so metadata-only COUNT(*)/DESCRIBE DETAIL never degrade to
+    // a scan just because one caller forgot statsCols (the reference
+    // lakehouse engines always record numRecords for the same reason)
+    val statsJobRuns = written.nonEmpty
     val (fileStats: Map[String, ColStats],
       fileStrStats: Map[String, StrColStats],
       fileBloomed: Set[String],
@@ -891,7 +1059,7 @@ object TxLog {
         // could otherwise re-type a numeric-looking string partition
         // column and break the stats extraction
         val rows = spark.read
-          .schema(deepNullable(df.schema)
+          .schema(deepNullable(physDf.schema)
             .asInstanceOf[org.apache.spark.sql.types.StructType])
           .parquet(dataDir)
           .groupBy(input_file_name().as("_f"))
@@ -899,9 +1067,14 @@ object TxLog {
           .collect()
         // key stats by the file's path RELATIVE to the txn dir, so a
         // partitioned commit's k=v subdirs key identically to manifests
+        // (tail extraction off the uuid dir works for local paths and
+        // scheme-ful URIs alike — the uuid cannot recur inside the path)
         def rel(uri: String): String = {
-          val p = Paths.get(new java.net.URI(uri).getPath).toAbsolutePath
-          s"data/txn-$txn/${dataDirAbs.relativize(p)}"
+          val p = try new java.net.URI(uri).getPath catch { case _: Throwable => uri }
+          val tag = s"data/txn-$txn/"
+          val i = p.lastIndexOf(tag)
+          require(i >= 0, s"txlog: unexpected written-file uri $uri")
+          p.substring(i)
         }
         val ints = rows.map { r =>
           val cs: ColStats = intCols.flatMap { case (c, _) =>
@@ -931,8 +1104,7 @@ object TxLog {
               val bytes = r.getAs[Array[Byte]](s"bf_$c")
               if (bytes == null) false
               else {
-                Files.write(
-                  Paths.get(root).resolve(Bloom.sidecar(p, c)), bytes)
+                store(root).putReplace(s"$root/${Bloom.sidecar(p, c)}", bytes)
                 true
               }
             }
@@ -941,9 +1113,9 @@ object TxLog {
         val rcs = rows.map(r => rel(r.getString(0)) -> r.getAs[Long]("_rc")).toMap
         (ints, strs, bloomed, rcs)
       }
-    val bloomTypes: BloomCols = bloomSpecs.map { case (c, _) =>
-      c -> byName(c).catalogString
-    }.toMap
+    val bloomTypes: BloomCols = bloomCols.toSeq
+      .filter { case (c, _) => byName.contains(c) }
+      .map { case (c, _) => phys(c) -> byName(c).catalogString }.toMap
     val entries: Seq[String] =
       carry.map(renderEntry) ++ written.map(p =>
         renderEntry(Entry(p, writtenSizes.get(p),
@@ -969,7 +1141,13 @@ object TxLog {
         .asInstanceOf[org.apache.spark.sql.types.StructType]), own)
     }
     publish(root, entries, action, txnId, recorded, expectHead, txn, cdf,
-      partitionBy, rebaseAppends = rebaseAppends, op = op)
+      partitionBy, rebaseAppends = rebaseAppends, op = op,
+      consRecheck = consRecheck, dvb = dvb,
+      // a schema-evolving commit re-adding a retired name records its
+      // fresh physical assignment in the same manifest (fold-merged, so
+      // a racing rename's mapping is never clobbered)
+      colMapAdd = freshAssign,
+      touched = touched, rebaseDvTouched = rebaseDvTouched)
   }
 
   /** Test-only race injection: invoked once at the next publish attempt
@@ -1008,7 +1186,14 @@ object TxLog {
       partitionBy: Seq[String] = Nil,
       constraints: Option[Map[String, String]] = None,
       rebaseAppends: Boolean = false,
-      op: Option[String] = None): Long = {
+      op: Option[String] = None,
+      consRecheck: Option[(Long, Map[String, String] => Unit)] = None,
+      dvb: Map[String, Long] = Map.empty,
+      colMapAdd: Map[String, String] = Map.empty,
+      colUnmap: Set[String] = Set.empty,
+      colDrop: Set[String] = Set.empty,
+      touched: Set[String] = Set.empty,
+      rebaseDvTouched: Option[Set[String]] = None): Long = {
     val hook = testRaceHook
     testRaceHook = () => ()
     hook()
@@ -1016,37 +1201,96 @@ object TxLog {
     var curEntries = entries
     var curRecorded = recorded
     var curBase = expectHead
+    var curDvb = dvb
+    // CHECK-race closure: the version up to which interleaved manifests
+    // have been scanned for a constraints change (see commitInner)
+    var consScanned = consRecheck.map(_._1).getOrElse(Long.MaxValue)
     while (true) {
       val next = headVersion(root) + 1
+      // before claiming: if anything committed since the constraint map
+      // was read, look for a constraints-bearing manifest among the
+      // interleaved versions and re-validate this commit's files against
+      // the newest map — zero reads in the uncontended case
+      consRecheck.foreach { case (_, fn) =>
+        if (next - 1 > consScanned) {
+          var latest: Option[Map[String, String]] = None
+          ((consScanned + 1) to (next - 1)).foreach { v =>
+            val txt = readLogFile(root, f"v$v%08d.json")
+            constraintsOfLog(txt).foreach(m => latest = Some(m))
+          }
+          consScanned = next - 1
+          latest.foreach(fn)
+        }
+      }
       // serializable read-modify-write: a caller that derived its state
       // FROM a snapshot declares the head it read; if anything committed
       // since, blindly claiming next would silently drop that commit's
       // effect (lost update) — conflict instead, so the caller re-reads
       curBase.foreach { h =>
         if (next - 1 != h) {
-          if (!rebaseAppends)
+          if (!rebaseAppends && rebaseDvTouched.isEmpty)
             throw new CommitConflict(
               s"txlog: based on v$h but head is v${next - 1}")
+          // DV-mode folding works at ENTRY granularity (path-keyed), so
+          // a racing row-level op on disjoint files can hand over its
+          // entries' dv state without conflicting
+          lazy val entryMap: scala.collection.mutable.LinkedHashMap[String, String] = {
+            val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+            curEntries.foreach(e => m(pathOfRendered(e)) = e)
+            m
+          }
+          var usedMap = false
           (h + 1 to next - 1).foreach { v =>
             val txt = readLogFile(root, f"v$v%08d.json")
-            if (!actionField.findFirstMatchIn(txt).map(_.group(1))
-              .contains(Append.name))
-              throw new CommitConflict(
-                s"txlog: based on v$h but v$v is not a plain append")
+            val act = actionField.findFirstMatchIn(txt).map(_.group(1))
             if (partitionByOfLog(txt) != partitionBy)
               throw new CommitConflict(
                 s"txlog: based on v$h but v$v declares a different layout")
-            // fold by reference: the append's entries (stats, blooms,
-            // sizes — a parse→render round trip preserves every field)
-            // and its recorded schema, merged with the rewrite's exactly
-            // as replay would have merged them
-            curEntries = curEntries ++ parseEntries(txt).map(renderEntry)
-            curRecorded = mergeSchemas(curRecorded, schemaOfLog(txt))
+            if (act.contains(Append.name)) {
+              // fold by reference: the append's entries (stats, blooms,
+              // sizes — a parse→render round trip preserves every
+              // field) and its recorded schema, merged exactly as
+              // replay would have merged them. For a row-level op this
+              // is write-serializable reordering too: the op serializes
+              // FIRST, the blind append after it (its rows are not
+              // subject to the op's predicate — Delta's semantics)
+              if (rebaseDvTouched.isEmpty)
+                curEntries = curEntries ++ parseEntries(txt).map(renderEntry)
+              else {
+                usedMap = true
+                parseEntries(txt).foreach(e => entryMap(e.path) = renderEntry(e))
+              }
+              curRecorded = mergeSchemas(curRecorded, schemaOfLog(txt))
+              curDvb ++= dvbOfLog(txt)
+            } else if (rebaseDvTouched.nonEmpty && act.contains(Overwrite.name) &&
+              touchedOfLog(txt).exists(_.intersect(rebaseDvTouched.get).isEmpty)) {
+              // a racing row-level op that touched DISJOINT files: adopt
+              // its entry state for exactly the files IT touched, plus
+              // any file it added (MoR post-images) — equivalent to
+              // serializing it before this commit, which is what Delta's
+              // conflict checker admits for disjoint row-level ops. An
+              // overlapping touched set (or any commit without a touched
+              // declaration) still conflicts and the caller re-reads.
+              usedMap = true
+              val theirT = touchedOfLog(txt).get
+              parseEntries(txt).foreach { e =>
+                if (theirT.contains(e.path) || !entryMap.contains(e.path))
+                  entryMap(e.path) = renderEntry(e)
+              }
+              curRecorded = mergeSchemas(curRecorded, schemaOfLog(txt))
+              curDvb ++= dvbOfLog(txt)
+            } else throw new CommitConflict(
+              s"txlog: based on v$h but v$v is not foldable " +
+                s"(${act.getOrElse("?")}${touchedOfLog(txt).map(t => s", touched=${t.size}").getOrElse("")})")
           }
+          if (usedMap) curEntries = entryMap.values.toSeq
           curBase = Some(next - 1)
         }
       }
-      val txnPart = txnId.map(t => s""","txnId":"$t"""").getOrElse("")
+      // escaped like every other user-supplied string: a quote or
+      // backslash in a caller's txnId (streaming txnPrefix flows here
+      // verbatim) must not be able to corrupt the manifest line
+      val txnPart = txnId.map(t => s""","txnId":"${escStr(t)}"""").getOrElse("")
       val opPart = op.map(o => s""","op":"${escStr(o)}"""").getOrElse("")
       val cdfPart = cdf.map(d => s""","cdf":"$d"""").getOrElse("")
       val partPart =
@@ -1056,32 +1300,31 @@ object TxLog {
       val schemaPart = curRecorded
         .map(s => s""","schemaB64":"${schemaToB64(s)}"""").getOrElse("")
       val consPart = constraints.map(renderConstraints).getOrElse("")
+      val dvbPart = renderDvb(curDvb)
+      val touchedPart = renderStrList("touched", touched)
+      val mapPart = renderColmap(colMapAdd) +
+        renderStrList("colunmap", colUnmap) +
+        renderStrList("coldrop", colDrop)
       // constraints-bearing manifests are fmt 4: an older writer's
       // checkpoint would silently DROP the field (derived state), losing
-      // enforcement for every later reader
+      // enforcement for every later reader; column-mapping state gates 5
       val fmt = math.max(manifestFmt(curEntries, partitionBy),
-        if (consPart.nonEmpty) 4L else 0L)
+        math.max(if (consPart.nonEmpty) 4L else 0L,
+          if (mapPart.nonEmpty) 5L else 0L))
       val body = curEntries.mkString(
-        s"""{"version":$next,"fmt":$fmt,"ts":${System.currentTimeMillis()},"action":"${action.name}"$txnPart$opPart$cdfPart$partPart$schemaPart$consPart,"files":[""", ",", "]}")
-      val tmp = logDir(root).resolve(s".tmp-$txn-$attempt")
-      val ch = java.nio.channels.FileChannel.open(tmp,
-        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-      try {
-        ch.write(java.nio.ByteBuffer.wrap(body.getBytes(StandardCharsets.UTF_8)))
-        ch.force(true) // the link below must publish durable, complete bytes
-      } finally ch.close()
-      try {
-        Files.createLink(logDir(root).resolve(f"v$next%08d.json"), tmp)
-        Files.delete(tmp)
+        s"""{"version":$next,"fmt":$fmt,"ts":${System.currentTimeMillis()},"action":"${action.name}"$txnPart$opPart$cdfPart$partPart$schemaPart$consPart$dvbPart$touchedPart$mapPart,"files":[""", ",", "]}")
+      // the atomic claim: complete durable bytes at vN or nothing — the
+      // store's contract (hard link locally, exclusive rename on HDFS)
+      if (store(root).putIfAbsent(logPath(root, f"v$next%08d.json"),
+        body.getBytes(StandardCharsets.UTF_8))) {
         writeHeadPointer(root, next)
         if (next % CheckpointEvery == 0) writeCheckpoint(root, next)
         return next
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.delete(tmp) // lost the race for `next`; re-read head, retry
-          attempt += 1
-          if (attempt > 1000)
-            throw new java.io.IOException(s"txlog: gave up claiming a version after $attempt attempts")
+      } else {
+        attempt += 1 // lost the race for `next`; re-read head, retry
+        if (attempt > 1000)
+          throw new java.io.IOException(
+            s"txlog: gave up claiming a version after $attempt attempts")
       }
     }
     -1L // unreachable
@@ -1138,16 +1381,21 @@ object TxLog {
     require(r.entries.nonEmpty, s"txlog: clone of $srcRoot v$v lists no files")
     require(headVersion(dstRoot) == 0L,
       s"txlog: clone target $dstRoot already has a log")
-    val srcAbs = Paths.get(srcRoot).toAbsolutePath.toString
+    val srcAbs =
+      if (srcRoot.contains("://") || srcRoot.startsWith("file:")) srcRoot
+      else Paths.get(srcRoot).toAbsolutePath.toString
     // data paths AND deletion-vector refs absolutize against the source
     val ext = r.entries.map(e => e.copy(
       path = absPath(srcAbs, e.path),
       dvs = e.dvs.map(d => absPath(srcAbs, d))))
-    Files.createDirectories(logDir(dstRoot))
+    store(dstRoot).mkdirs(logDir(dstRoot))
+    // the source's dv-byte ledger rides along, keyed by the absolutized
+    // refs the clone's entries now carry
+    val extDvb = r.dvBytes.map { case (d, b) => absPath(srcAbs, d) -> b }
     publish(dstRoot, ext.map(renderEntry), Overwrite, txnId = None,
       recorded = r.schema, expectHead = None,
       txn = java.util.UUID.randomUUID().toString.take(12),
-      partitionBy = layoutOf(srcRoot, r), op = Some("CLONE"))
+      partitionBy = layoutOf(srcRoot, r), op = Some("CLONE"), dvb = extDvb)
   }
 
   /** Metadata-only COUNT(*): Σ per-file recorded row counts minus each
@@ -1201,9 +1449,9 @@ object TxLog {
       }
       // marker BEFORE the manifest: any commit racing past the publish
       // already sees the hint and resolves constraints from the log
-      Files.createDirectories(logDir(root))
-      try Files.createFile(constraintsMarker(root))
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      store(root).mkdirs(logDir(root))
+      try store(root).createMarker(constraintsMarker(root))
+      catch { case _: Throwable => () } // already hinted: fine
       publish(root, r.entries.map(renderEntry), Overwrite, txnId = None,
         recorded = r.schema, expectHead = Some(base),
         txn = java.util.UUID.randomUUID().toString.take(12),
@@ -1229,6 +1477,89 @@ object TxLog {
         op = Some("DROP CONSTRAINT"))
     }
 
+  /** Column names a CHECK constraint expression references (unresolved
+    * parse — no session needed), so RENAME/DROP can refuse to orphan one.
+    */
+  private def constraintRefs(ex: String): Set[String] =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(ex)
+      .collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head
+      }.toSet
+
+  /** RENAME COLUMN — metadata only, zero data movement. The logical name
+    * changes in the recorded schema; the files' PHYSICAL column keeps
+    * its name via a `colmap` entry (Delta's column mapping), so every
+    * pre-rename file reads through the new name and every pre-rename
+    * zone map / bloom index keeps pruning (stats are keyed physical).
+    * Refused for partition columns (their name IS the directory layout)
+    * and for columns a CHECK constraint references. Content-preserving
+    * (`cdf = ""`): change-feed subscribers read through it, surfacing
+    * the new name from this version on. Serializable like every
+    * metadata commit.
+    */
+  def renameColumn(root: String, oldName: String, newName: String): Long =
+    readModifyWrite(root, "renameColumn") { (base, r) =>
+      val schema = r.schema.getOrElse(throw new IllegalStateException(
+        s"txlog: $root has no recorded schema — column mapping needs one"))
+      require(schema.fieldNames.contains(oldName),
+        s"txlog: no column $oldName on $root")
+      require(!schema.fieldNames.contains(newName),
+        s"txlog: column $newName already exists on $root")
+      val layout = layoutOf(root, r)
+      require(!layout.contains(oldName),
+        s"txlog: cannot rename partition column $oldName")
+      r.constraints.foreach { case (n, ex) =>
+        require(!constraintRefs(ex).contains(oldName),
+          s"txlog: CHECK constraint $n references $oldName; drop it first")
+      }
+      val physOld = r.physName(oldName)
+      val newSchema = org.apache.spark.sql.types.StructType(schema.fields.map(
+        f => if (f.name == oldName) f.copy(name = newName) else f))
+      store(root).mkdirs(logDir(root))
+      try store(root).createMarker(colmapMarker(root))
+      catch { case _: Throwable => () }
+      publish(root, r.entries.map(renderEntry), Overwrite, txnId = None,
+        recorded = Some(newSchema), expectHead = Some(base),
+        txn = java.util.UUID.randomUUID().toString.take(12),
+        cdf = Some(""), partitionBy = layout, op = Some("RENAME COLUMN"),
+        colMapAdd = Map(newName -> physOld), colUnmap = Set(oldName))
+    }
+
+  /** DROP COLUMN — metadata only: the field leaves the recorded schema
+    * and its physical name RETIRES (`coldrop`), so a later re-add of the
+    * same logical name gets a fresh physical and the old files' bytes
+    * never resurface. Time travel below the drop still sees the column.
+    * Same refusals as rename (partition / constraint-referenced).
+    */
+  def dropColumn(root: String, name: String): Long =
+    readModifyWrite(root, "dropColumn") { (base, r) =>
+      val schema = r.schema.getOrElse(throw new IllegalStateException(
+        s"txlog: $root has no recorded schema — column mapping needs one"))
+      require(schema.fieldNames.contains(name),
+        s"txlog: no column $name on $root")
+      require(schema.fields.length > 1,
+        s"txlog: cannot drop the last column of $root")
+      val layout = layoutOf(root, r)
+      require(!layout.contains(name),
+        s"txlog: cannot drop partition column $name")
+      r.constraints.foreach { case (n, ex) =>
+        require(!constraintRefs(ex).contains(name),
+          s"txlog: CHECK constraint $n references $name; drop it first")
+      }
+      val physOld = r.physName(name)
+      val newSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(_.name == name))
+      store(root).mkdirs(logDir(root))
+      try store(root).createMarker(colmapMarker(root))
+      catch { case _: Throwable => () }
+      publish(root, r.entries.map(renderEntry), Overwrite, txnId = None,
+        recorded = Some(newSchema), expectHead = Some(base),
+        txn = java.util.UUID.randomUUID().toString.take(12),
+        cdf = Some(""), partitionBy = layout, op = Some("DROP COLUMN"),
+        colUnmap = Set(name), colDrop = Set(physOld))
+    }
+
   /** Best-effort: a checkpoint is pure derived state, so a failure (or a
     * concurrent winner) must never fail the commit that triggered it —
     * readers just replay a longer manifest suffix. Stats entries are
@@ -1252,25 +1583,28 @@ object TxLog {
       val txnsPart =
         if (r.txns.isEmpty) ""
         else r.txns.toSeq.sortBy(_._2)
-          .map { case (t, tv) => s""""$t":$tv""" }
+          .map { case (t, tv) => s""""${escStr(t)}":$tv""" }
           .mkString(""","txns":{""", ",", "}")
       val consPart =
         if (r.constraints.isEmpty) "" else renderConstraints(r.constraints)
+      // the dv-byte ledger survives checkpoint-bounded replay, pruned to
+      // the refs the live set still subtracts
+      val dvbPart = {
+        val live = r.entries.iterator.flatMap(_.dvs).toSet
+        renderDvb(r.dvBytes.filter { case (d, _) => live(d) })
+      }
+      // full folded column-mapping state (replay-from-checkpoint resets)
+      val mapPart = renderColmap(r.colMap) +
+        renderStrList("coldrop", r.droppedPhys)
       val rendered = r.entries.map(renderEntry)
       val fmt = math.max(manifestFmt(rendered, partCols),
-        if (consPart.nonEmpty) 4L else 0L)
+        math.max(if (consPart.nonEmpty) 4L else 0L,
+          if (mapPart.nonEmpty) 5L else 0L))
       val body = rendered
-        .mkString(s"""{"version":$v,"fmt":$fmt,"action":"checkpoint"$partPart$schemaPart$txnsPart$consPart,"files":[""", ",", "]}")
-      val tmp = logDir(root).resolve(s".ckpt-tmp-$v-${java.util.UUID.randomUUID().toString.take(8)}")
-      val ch = java.nio.channels.FileChannel.open(tmp,
-        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-      try {
-        ch.write(java.nio.ByteBuffer.wrap(body.getBytes(StandardCharsets.UTF_8)))
-        ch.force(true)
-      } finally ch.close()
-      try Files.createLink(logDir(root).resolve(f"c$v%08d.json"), tmp)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      Files.delete(tmp)
+        .mkString(s"""{"version":$v,"fmt":$fmt,"action":"checkpoint"$partPart$schemaPart$txnsPart$consPart$dvbPart$mapPart,"files":[""", ",", "]}")
+      store(root).putIfAbsent(logPath(root, f"c$v%08d.json"),
+        body.getBytes(StandardCharsets.UTF_8)) // concurrent winner: fine
+      ()
     } catch { case _: Throwable => () }
 
   def append(spark: SparkSession, root: String, df: DataFrame): Long =
@@ -1317,6 +1651,16 @@ object TxLog {
         bloomCols = bloomCols)
     }
 
+  /** Logical→physical column rename for a mapped table's SIDE files
+    * (change data): every file under the root then shares the physical
+    * naming, and [[changes]] reverse-maps once at the end. Identity for
+    * unmapped tables. Tag columns (`_change_type`) are never mapped.
+    */
+  private def toPhysical(df: DataFrame, r: Replay): DataFrame =
+    if (r.colMap.isEmpty) df
+    else df.select(df.columns.toSeq.map(c =>
+      col(c).as(r.colMap.getOrElse(c, c))): _*)
+
   /** Serializable read-modify-write driver shared by every rewrite op
     * (merge/delete/update/optimize/zorder/compact): resolve the head,
     * hand `body` its replay, and rerun on a [[CommitConflict]] — the
@@ -1333,6 +1677,7 @@ object TxLog {
       try return body(base, r)
       catch {
         case _: CommitConflict =>
+          rmwConflicts.incrementAndGet()
           attempts += 1
           if (attempts > 50)
             throw new java.io.IOException(
@@ -1379,8 +1724,11 @@ object TxLog {
     // the updates' key span: one tiny agg job, reused across retries
     val kr = if (keyIsIntegral) Some(updates.agg(min(keyL), max(keyL)).head()) else None
     readModifyWrite(root, "merge") { (base, r) =>
+      // zone maps are keyed by the key's PHYSICAL name (identity unless
+      // the column was renamed)
+      val physKey = r.physName(keyCol)
       val (statted, unstatted) =
-        r.files.partition(p => r.stats.get(p).exists(_.contains(keyCol)))
+        r.files.partition(p => r.stats.get(p).exists(_.contains(physKey)))
       val touched: Vector[String] =
         if (!keyIsIntegral) r.files // no zone maps possible: rewrite all
         else if (kr.get.isNullAt(0)) Vector.empty // no non-null update keys: pure insert
@@ -1395,14 +1743,14 @@ object TxLog {
           // actually lands inside its range; `keyCol`-stats-free files
           // are conservatively always rewritten.
           val spanC = statted.filter { p =>
-            val (lo, hi) = r.stats(p)(keyCol)
+            val (lo, hi) = r.stats(p)(physKey)
             hi >= krr.getLong(0) && lo <= krr.getLong(1)
           }
           val hit: Set[String] =
             if (spanC.isEmpty) Set.empty
             else {
               val ranges = spark.createDataFrame(spanC.map { p =>
-                val (lo, hi) = r.stats(p)(keyCol); (p, lo, hi)
+                val (lo, hi) = r.stats(p)(physKey); (p, lo, hi)
               }).toDF("_p", "_flo", "_fhi")
               updates.select(keyL.as("_k"))
                 .join(org.apache.spark.sql.functions.broadcast(ranges),
@@ -1451,8 +1799,8 @@ object TxLog {
           val ins = updates.join(matched, Seq(keyCol), "left_anti")
             .withColumn("_change_type", lit("insert"))
           val cdfDir = s"txn-${java.util.UUID.randomUUID().toString.take(12)}"
-          pre.unionByName(post, allowMissingColumns = true)
-            .unionByName(ins, allowMissingColumns = true)
+          toPhysical(pre.unionByName(post, allowMissingColumns = true)
+            .unionByName(ins, allowMissingColumns = true), r)
             .write.mode(SaveMode.ErrorIfExists)
             .parquet(s"$root/_change_data/$cdfDir")
           commit(spark, root, rewritten, Overwrite,
@@ -1534,7 +1882,7 @@ object TxLog {
         // NULL predicate ⇒ not deleted: both branches coalesce to false
         val hit = coalesce(predicate, lit(false))
         val cdfDir = s"txn-${java.util.UUID.randomUUID().toString.take(12)}"
-        old.filter(hit).withColumn("_change_type", lit("delete"))
+        toPhysical(old.filter(hit).withColumn("_change_type", lit("delete")), r)
           .write.mode(SaveMode.ErrorIfExists)
           .parquet(s"$root/_change_data/$cdfDir")
         commit(spark, root, old.filter(not(hit)), Overwrite,
@@ -1588,24 +1936,21 @@ object TxLog {
           r.copy(entries = touched))
         val hit = coalesce(predicate, lit(false))
         val matched = tagged.filter(hit)
-        val cdfDir = s"txn-${java.util.UUID.randomUUID().toString.take(12)}"
-        matched.drop(TxLogFileIndex.FpCol, TxLogFileIndex.PosCol)
-          .withColumn("_change_type", lit("delete"))
-          .write.mode(SaveMode.ErrorIfExists)
-          .parquet(s"$root/_change_data/$cdfDir")
-        // the positions, keyed by the file's MANIFEST path (suffix-join
-        // against the candidate entry list handles relative and external
-        // paths alike), written as one compact file
-        val paths = spark.createDataFrame(touched.map(e => Tuple1(e.path)))
-          .toDF("p")
+        // the positions, keyed by the file's manifest path — resolved by
+        // EXACT txn-tail equality against the candidate entry list
+        // (relative, external, and URI forms all share the tail; a
+        // suffix test could alias under a tail collision, which
+        // readTagged refuses loudly), written as one compact dir
+        val paths = spark.createDataFrame(touched.map(e =>
+          (e.path, TxLogFileIndex.pathTail(e.path)))).toDF("p", "tail")
         val dvDir = s"_dv/txn-${java.util.UUID.randomUUID().toString.take(12)}"
         // position writes parallelize BY FILE, task count bounded — a
         // billion-row GDPR pass must not funnel its whole vector through
         // one writer (readers read the dir as a unit either way)
         matched
-          .select(col(TxLogFileIndex.FpCol).as("fp"),
-            col(TxLogFileIndex.PosCol).as("pos"))
-          .join(broadcast(paths), col("fp").endsWith(col("p")))
+          .select(TxLogFileIndex.pathTailCol(col(TxLogFileIndex.FpCol))
+            .as("ftail"), col(TxLogFileIndex.PosCol).as("pos"))
+          .join(broadcast(paths), col("ftail") === col("tail"))
           .select("p", "pos")
           .repartition(math.max(1, math.min(64, touched.size)), col("p"))
           .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$dvDir")
@@ -1615,17 +1960,34 @@ object TxLog {
         val dvCounts: Map[String, Long] = spark.read.parquet(s"$root/$dvDir")
           .groupBy("p").count().collect()
           .map(r0 => r0.getString(0) -> r0.getLong(1)).toMap
-        if (dvCounts.isEmpty) base // no row matched: no-op, dirs are residue
-        else {
+        if (dvCounts.isEmpty) {
+          // no row matched: a clean no-op — remove the empty vector dir
+          // rather than leaving vacuum-bait residue, and write no change
+          // data at all (the delta is empty by construction)
+          deleteDirRecursive(s"$root/$dvDir")
+          base
+        } else {
+          // the delta is provably non-empty: NOW persist it for the CDF
+          val cdfDir = s"txn-${java.util.UUID.randomUUID().toString.take(12)}"
+          toPhysical(matched.drop(TxLogFileIndex.FpCol, TxLogFileIndex.PosCol)
+            .withColumn("_change_type", lit("delete")), r)
+            .write.mode(SaveMode.ErrorIfExists)
+            .parquet(s"$root/_change_data/$cdfDir")
           val entries = r.entries.map(e => dvCounts.get(e.path) match {
             case Some(n) => e.copy(dvs = e.dvs :+ dvDir, dvRows = e.dvRows + n)
             case None    => e
           })
+          // record the vector's byte size in the manifest, so readers
+          // size the broadcast-vs-shuffle decision from the log alone
+          val dvSize = store(root).walk(s"$root/$dvDir").iterator
+            .map(_.size).sum
           publish(root, entries.map(renderEntry), Overwrite, txnId = None,
             recorded = r.schema, expectHead = Some(base),
             txn = java.util.UUID.randomUUID().toString.take(12),
             cdf = Some(cdfDir), partitionBy = layoutOf(root, r),
-            op = Some("DELETE VECTORS"))
+            op = Some("DELETE VECTORS"), dvb = Map(dvDir -> dvSize),
+            touched = dvCounts.keySet,
+            rebaseDvTouched = Some(dvCounts.keySet))
         }
       }
     }
@@ -1672,39 +2034,73 @@ object TxLog {
         // row directly — no hit-flag gymnastics needed here
         val post = matched.select(dataCols.map(c =>
           set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
-        val cdfDir = s"txn-${java.util.UUID.randomUUID().toString.take(12)}"
-        matched.select(dataCols.map(col): _*)
-          .withColumn("_change_type", lit("update_preimage"))
-          .unionByName(post.withColumn("_change_type", lit("update_postimage")))
-          .write.mode(SaveMode.ErrorIfExists)
-          .parquet(s"$root/_change_data/$cdfDir")
-        val paths = spark.createDataFrame(touched.map(e => Tuple1(e.path)))
-          .toDF("p")
+        // positions first (exact txn-tail identity, see deleteVectors);
+        // the change images land only once a match is proven, so a
+        // no-match update leaves no residue behind
+        val paths = spark.createDataFrame(touched.map(e =>
+          (e.path, TxLogFileIndex.pathTail(e.path)))).toDF("p", "tail")
         val dvDir = s"_dv/txn-${java.util.UUID.randomUUID().toString.take(12)}"
         matched
-          .select(col(TxLogFileIndex.FpCol).as("fp"),
-            col(TxLogFileIndex.PosCol).as("pos"))
-          .join(broadcast(paths), col("fp").endsWith(col("p")))
+          .select(TxLogFileIndex.pathTailCol(col(TxLogFileIndex.FpCol))
+            .as("ftail"), col(TxLogFileIndex.PosCol).as("pos"))
+          .join(broadcast(paths), col("ftail") === col("tail"))
           .select("p", "pos")
           .repartition(math.max(1, math.min(64, touched.size)), col("p"))
           .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$dvDir")
         val dvCounts: Map[String, Long] = spark.read.parquet(s"$root/$dvDir")
           .groupBy("p").count().collect()
           .map(r0 => r0.getString(0) -> r0.getLong(1)).toMap
-        if (dvCounts.isEmpty) base // no row matched: no-op, dirs are residue
-        else {
+        if (dvCounts.isEmpty) {
+          deleteDirRecursive(s"$root/$dvDir") // clean no-op, no residue
+          base
+        } else {
+          val cdfDir = s"txn-${java.util.UUID.randomUUID().toString.take(12)}"
+          toPhysical(matched.select(dataCols.map(col): _*)
+            .withColumn("_change_type", lit("update_preimage"))
+            .unionByName(post.withColumn("_change_type", lit("update_postimage"))), r)
+            .write.mode(SaveMode.ErrorIfExists)
+            .parquet(s"$root/_change_data/$cdfDir")
           val carried = r.entries.map(e => dvCounts.get(e.path) match {
             case Some(n) => e.copy(dvs = e.dvs :+ dvDir, dvRows = e.dvRows + n)
             case None    => e
           })
+          val dvSize = store(root).walk(s"$root/$dvDir").iterator
+            .map(_.size).sum
           commit(spark, root, post, Overwrite,
             statsCols = statsCols, carry = carried, carrySchema = r.schema,
             expectHead = Some(base), cdf = Some(cdfDir),
-            partitionBy = layoutOf(root, r), op = Some("UPDATE VECTORS"))
+            partitionBy = layoutOf(root, r), op = Some("UPDATE VECTORS"),
+            dvb = Map(dvDir -> dvSize), touched = dvCounts.keySet,
+            rebaseDvTouched = Some(dvCounts.keySet))
         }
       }
     }
   }
+
+  /** Driver-side recursive delete of a small abandoned side dir (an
+    * empty deletion vector after a no-match DML) — bounded by the dir's
+    * own file count, best-effort (anything left is ordinary vacuumable
+    * residue, so a failure here costs nothing).
+    */
+  private def deleteDirRecursive(dir: String): Unit =
+    try {
+      val s = LogStore.forRoot(dir)
+      if (s.isDir(dir)) {
+        s.walk(dir).foreach(f =>
+          try s.delete(s"$dir/${f.relPath}") catch { case _: Throwable => () })
+        (s.walkDirs(dir).map(r => s"$dir/$r") :+ dir)
+          .sortBy(-_.count(_ == '/'))
+          .foreach(d => try s.delete(d) catch { case _: Throwable => () })
+        // and the now-maybe-empty parent (`_dv`/`_change_data`) — delete
+        // refuses a non-empty dir, so this is safe — keeping a no-op DML
+        // from leaving any trace in the table tree
+        val cut = dir.lastIndexOf('/')
+        if (cut > 0) {
+          val parent = dir.substring(0, cut)
+          try s.delete(parent) catch { case _: Throwable => () }
+        }
+      }
+    } catch { case _: Throwable => () }
 
   private def splitAnds(
       e: org.apache.spark.sql.catalyst.expressions.Expression)
@@ -1737,7 +2133,8 @@ object TxLog {
       e.references.nonEmpty && e.references.forall(a => partCols(a.name)))
     index.listFiles(pf, df)
     val kept = index.lastListed.toSet
-    r.entries.filter(e => kept(absPath(root, e.path)))
+    r.entries.filter(e =>
+      kept(TxLogFileIndex.canonKey(absPath(root, e.path))))
   }
 
   /** Copy-on-write UPDATE: apply the SET assignments to the rows
@@ -1783,10 +2180,10 @@ object TxLog {
           .map(e => when(col("__hit"), e).otherwise(col(c)).as(c))
           .getOrElse(col(c)))
         val cdfDir = s"txn-${java.util.UUID.randomUUID().toString.take(12)}"
-        flagged.filter(col("__hit")).drop("__hit")
+        toPhysical(flagged.filter(col("__hit")).drop("__hit")
           .withColumn("_change_type", lit("update_preimage"))
           .unionByName(flagged.filter(col("__hit")).select(newCols: _*)
-            .withColumn("_change_type", lit("update_postimage")))
+            .withColumn("_change_type", lit("update_postimage"))), r)
           .write.mode(SaveMode.ErrorIfExists)
           .parquet(s"$root/_change_data/$cdfDir")
         commit(spark, root, flagged.select(newCols: _*), Overwrite,
@@ -1877,6 +2274,54 @@ object TxLog {
           carrySchema = r.schema, expectHead = Some(base), cdf = Some(""),
           partitionBy = layoutOf(root, r), rebaseAppends = true,
           op = Some("COMPACT ZORDER"))
+      }
+    }
+
+  /** DV PURGE: rewrite ONLY the files whose deleted fraction
+    * `dvRows / rows` exceeds `threshold`, materializing their deletion
+    * vectors; every other file — including lightly-deleted ones — is
+    * carried by reference, refs intact. This is the maintenance op the
+    * merge-on-read trade requires: a large file that is 90% deleted
+    * never qualifies for the small-file COMPACT backlog, so without a
+    * deleted-fraction selector it pays its read-side anti-join forever.
+    * Cost is O(selected live rows); a file with unknown row counts but
+    * live DV refs is conservatively selected. Content-preserving
+    * (`cdf = ""`) and append-rebase-safe like compact, so it survives
+    * racing ingest without recompute. Returns the committed version, or
+    * the head untouched when nothing crosses the threshold.
+    */
+  def purge(
+      spark: SparkSession,
+      root: String,
+      threshold: Double = 0.3,
+      statsCols: Seq[String] = Nil,
+      targetBytes: Long = 64L * 1024 * 1024): Long =
+    readModifyWrite(root, "purge") { (base, r) =>
+      val (hot, cold) = r.entries.partition(e => e.dvs.nonEmpty &&
+        (e.rows match {
+          case Some(n) if n > 0L => e.dvRows.toDouble / n > threshold
+          case _                 => true // unknown counts + live refs: rewrite
+        }))
+      if (hot.isEmpty) base
+      else {
+        // read the selected files DV-APPLIED (the index subtracts the
+        // positions), sized to the surviving fraction
+        val liveBytes = hot.iterator.map { e =>
+          val b = e.bytes.getOrElse(targetBytes)
+          e.rows match {
+            case Some(n) if n > 0L => (b * (n - e.dvRows).toDouble / n).toLong
+            case _                 => b
+          }
+        }.sum
+        val nOut = math.max(1L, (liveBytes + targetBytes - 1) / targetBytes).toInt
+        val rewritten = TxLogFileIndex
+          .read(spark, root, r.copy(entries = hot))
+          .repartition(nOut)
+        commit(spark, root, rewritten, Overwrite,
+          statsCols = statsCols, carry = cold, carrySchema = r.schema,
+          expectHead = Some(base), cdf = Some(""),
+          partitionBy = layoutOf(root, r), rebaseAppends = true,
+          op = Some("PURGE"))
       }
     }
 
@@ -2009,14 +2454,9 @@ object TxLog {
         case (Some(""), _) => None // content-preserving rewrite: empty delta
         case (_, true)     => None // subscriber opted out of rewrite effects
         case (Some(dir), _) if withChangeType =>
-          val cd = Paths.get(root, "_change_data", dir)
-          val fs = {
-            val it = Files.list(cd)
-            try it.iterator().asScala
-              .filter(_.getFileName.toString.endsWith(".parquet"))
-              .map(p => s"_change_data/$dir/${p.getFileName}").toSeq
-            finally it.close()
-          }
+          val fs = store(root).list(s"$root/_change_data/$dir")
+            .filter(_.endsWith(".parquet"))
+            .map(n => s"_change_data/$dir/$n")
           Some(v -> fs)
         case (Some(_), _) => throw new IllegalArgumentException(
           s"txlog: changes(v$from, v$to) crosses a $action at v$v that " +
@@ -2052,7 +2492,7 @@ object TxLog {
         // in the leaf files this one-scan read lists — re-derive them
         // from the path (change files carry the full row, so coalesce)
         val rp = replay(root, to)
-        rp.partitionBy.getOrElse(Nil).foldLeft(scanned) { (df, c) =>
+        val withParts = rp.partitionBy.getOrElse(Nil).foldLeft(scanned) { (df, c) =>
           val dt = rp.schema.flatMap(_.fields.find(_.name == c))
             .map(_.dataType)
             .getOrElse(org.apache.spark.sql.types.StringType)
@@ -2062,6 +2502,14 @@ object TxLog {
           if (df.columns.contains(c)) df.withColumn(c, coalesce(col(c), typed))
           else df.withColumn(c, typed)
         }
+        // mapped tables' data + change files carry PHYSICAL names —
+        // surface the logical schema as of `to` (a pre-rename file's
+        // column flows out under its post-rename name, Delta's CDF
+        // column-mapping behavior)
+        val inv = rp.colMap.map(_.swap)
+        if (inv.isEmpty) withParts
+        else withParts.select(withParts.columns.toSeq.map(c =>
+          col(c).as(inv.getOrElse(c, c))): _*)
       }
     if (!withChangeType) tagged
     else {
@@ -2177,26 +2625,21 @@ object TxLog {
       retainFrom: Long = 1L,
       inflightGraceMs: Long = 24L * 3600 * 1000,
       dryRun: Boolean = false): Int = {
-    import scala.jdk.CollectionConverters._
     val vs = versions(root)
     if (vs.isEmpty) return 0
+    val s = store(root)
     // txn dirs currently inside a commit window: skip them wholesale
     val now = System.currentTimeMillis()
     def listInflight(gcStale: Boolean): Set[String] =
-      if (!Files.isDirectory(inflightDir(root))) Set.empty
-      else {
-        val it = Files.list(inflightDir(root))
-        try it.iterator().asScala.flatMap { m =>
-          val fresh = try
-            now - Files.getLastModifiedTime(m).toMillis < inflightGraceMs
-          catch { case _: Throwable => false }
-          if (fresh) Some(m.getFileName.toString)
-          else if (gcStale) {
-            try Files.deleteIfExists(m) catch { case _: Throwable => () }; None
-          } else None
-        }.toSet
-        finally it.close()
-      }
+      s.list(inflightDir(root)).flatMap { n =>
+        val m = s"${inflightDir(root)}/$n"
+        val fresh = try now - s.mtimeMillis(m) < inflightGraceMs
+        catch { case _: Throwable => false }
+        if (fresh) Some(n)
+        else if (gcStale) {
+          try s.delete(m) catch { case _: Throwable => () }; None
+        } else None
+      }.toSet
     // dryRun previews the reclaim count with ZERO filesystem mutation
     // (Delta's VACUUM DRY RUN) — the operator's what-if before committing
     // to a retention horizon; stale-marker GC is a mutation too, so it
@@ -2228,13 +2671,10 @@ object TxLog {
     }
     var upper = vs.last
     roll(horizon + 1, upper)
-    val dataRoot = Paths.get(root, "data")
-    if (!Files.isDirectory(dataRoot)) return 0
+    val dataRoot = s"$root/data"
+    if (!s.isDir(dataRoot)) return 0
     var deleted = 0
-    val dirs = {
-      val it = Files.list(dataRoot)
-      try it.iterator().asScala.toList finally it.close()
-    }
+    val dirs = s.list(dataRoot)
     // TOCTOU closure, in this order: (1) data dirs listed above, (2)
     // markers re-listed — any commit whose dir we can see created its
     // marker first, so it is visible here unless it already published —
@@ -2244,49 +2684,38 @@ object TxLog {
     val h2 = headVersion(root)
     if (h2 > upper) { roll(upper + 1, h2); upper = h2 }
     dirs.foreach { d =>
-      if (inflight.contains(d.getFileName.toString)) ()
+      if (inflight.contains(d)) ()
       else {
-      // recursive walk: a partitioned commit nests its files under k=v
-      // subdirs, so a flat listing would try to delete non-empty dirs
-      val all = {
-        val w = Files.walk(d)
-        try w.iterator().asScala.filter(p => Files.isRegularFile(p)).toList
-        finally w.close()
-      }
-      def canonical(f: Path) = s"$root/data/${d.getFileName}/${d.relativize(f)}"
-      val anyKept = all.exists(f => keep.contains(canonical(f)))
-      all.foreach { f =>
-        if (f.getFileName.toString.endsWith(".parquet")) {
-          if (!keep.contains(canonical(f))) {
-            if (!dryRun) Files.delete(f)
-            deleted += 1
+        val dirPath = s"$dataRoot/$d"
+        // recursive walk: a partitioned commit nests its files under k=v
+        // subdirs, so a flat listing would try to delete non-empty dirs
+        val all = s.walk(dirPath)
+        def canonical(rel: String) = s"$dataRoot/$d/$rel"
+        val anyKept = all.exists(f => keep.contains(canonical(f.relPath)))
+        all.foreach { f =>
+          val cp = canonical(f.relPath)
+          if (f.relPath.endsWith(".parquet")) {
+            if (!keep.contains(cp)) {
+              if (!dryRun) s.delete(cp)
+              deleted += 1
+            }
+          } else Bloom.sidecarOf(cp) match {
+            case Some(dataPath) =>
+              // a bloom sidecar lives exactly as long as its data file
+              if (!keep.contains(dataPath) && !dryRun) s.delete(cp)
+            case None if !anyKept =>
+              // write markers (_SUCCESS, .crc) go when nothing in the dir is kept
+              if (!dryRun) s.delete(cp)
+            case None => ()
           }
-        } else Bloom.sidecarOf(canonical(f)) match {
-          case Some(dataPath) =>
-            // a bloom sidecar lives exactly as long as its data file
-            if (!keep.contains(dataPath) && !dryRun) Files.delete(f)
-          case None if !anyKept =>
-            // write markers (_SUCCESS, .crc) go when nothing in the dir is kept
-            if (!dryRun) Files.delete(f)
-          case None => ()
         }
-      }
-      // drop now-empty dirs bottom-up (deepest first) — a mutation, so
-      // dry runs skip it (they deleted nothing, so nothing is empty)
-      if (!dryRun) {
-        val subdirs = {
-          val w = Files.walk(d)
-          try w.iterator().asScala.filter(p => Files.isDirectory(p)).toList
-          finally w.close()
+        // drop now-empty dirs bottom-up (deepest first; delete refuses a
+        // non-empty dir) — a mutation, so dry runs skip it
+        if (!dryRun) {
+          (s.walkDirs(dirPath).map(r0 => s"$dirPath/$r0") :+ dirPath)
+            .sortBy(-_.count(_ == '/'))
+            .foreach(sd => try s.delete(sd) catch { case _: Throwable => () })
         }
-        subdirs.sortBy(-_.getNameCount).foreach { sd =>
-          val empty = {
-            val it = Files.list(sd)
-            try !it.iterator().hasNext finally it.close()
-          }
-          if (empty) try Files.delete(sd) catch { case _: Throwable => () }
-        }
-      }
       }
     }
     // GC change-data dirs no retained changes() read can reference. A
@@ -2295,23 +2724,16 @@ object TxLog {
     // in-flight marker exists), so unreferenced change dirs are
     // age-gated exactly like crashed-committer residue
     def gcSideDirs(sub: String, keepNames: String => Boolean): Unit = {
-      val dirRoot = Paths.get(root, sub)
-      if (!Files.isDirectory(dirRoot)) return
-      val ds = {
-        val it = Files.list(dirRoot)
-        try it.iterator().asScala.toList finally it.close()
-      }
-      ds.foreach { d =>
-        val fresh = try
-          now - Files.getLastModifiedTime(d).toMillis < inflightGraceMs
+      val dirRoot = s"$root/$sub"
+      if (!s.isDir(dirRoot)) return
+      s.list(dirRoot).foreach { n =>
+        val d = s"$dirRoot/$n"
+        val fresh = try now - s.mtimeMillis(d) < inflightGraceMs
         catch { case _: Throwable => true }
-        if (!keepNames(d.getFileName.toString) && !fresh) {
-          val fs = {
-            val it = Files.list(d)
-            try it.iterator().asScala.toList finally it.close()
-          }
-          fs.foreach(f => try Files.delete(f) catch { case _: Throwable => () })
-          try Files.delete(d) catch { case _: Throwable => () }
+        if (!keepNames(n) && !fresh) {
+          s.walk(d).foreach(f =>
+            try s.delete(s"$d/${f.relPath}") catch { case _: Throwable => () })
+          try s.delete(d) catch { case _: Throwable => () }
         }
       }
     }

@@ -32,11 +32,12 @@ final class TxLogFileIndex(
     spark: SparkSession,
     root: String,
     files: Seq[String], // absolute paths, snapshot order
-    sizes: Map[String, Long], // manifest-carried byte sizes
+    sizes: Map[String, Long], // manifest-carried byte sizes (canon keys)
     stats: Map[String, TxLog.ColStats],
     strStats: Map[String, TxLog.StrColStats] = Map.empty,
     partSchema: StructType = new StructType(),
-    blooms: Map[String, TxLog.BloomCols] = Map.empty) extends FileIndex {
+    blooms: Map[String, TxLog.BloomCols] = Map.empty,
+    liveFracs: Seq[Double] = Nil) extends FileIndex {
 
   // file statuses come from the MANIFEST (the log stores sizes, as
   // Delta does, precisely so the read path never stats a data file —
@@ -45,7 +46,7 @@ final class TxLogFileIndex(
   private val statuses: Seq[FileStatus] = {
     lazy val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     files.map { f =>
-      sizes.get(f) match {
+      sizes.get(TxLogFileIndex.canonKey(f)) match {
         case Some(len) =>
           new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L, new Path(f))
         case None => fs.getFileStatus(new Path(f))
@@ -57,7 +58,20 @@ final class TxLogFileIndex(
   override def partitionSchema: StructType = partSchema
   override def inputFiles: Array[String] = files.toArray
   override def refresh(): Unit = ()
-  override def sizeInBytes: Long = statuses.map(_.getLen).sum
+
+  /** Catalyst's size estimate for this snapshot, FROM THE LOG: each
+    * file's manifest bytes scaled by its live-row fraction
+    * `(rows − dvRows) / rows` (the q658 row-count ledger). A dimension
+    * table that is mostly deleted through deletion vectors then
+    * ESTIMATES at its live size, so the broadcast-join planner picks
+    * BroadcastHashJoin where raw file bytes alone would shuffle — CBO
+    * statistics derived from log metadata, zero data reads (scan split
+    * planning still uses the true per-file lengths above).
+    */
+  override def sizeInBytes: Long =
+    if (liveFracs.size != statuses.size) statuses.map(_.getLen).sum
+    else statuses.iterator.zip(liveFracs.iterator)
+      .map { case (st, f) => (st.getLen * f).toLong }.sum
 
   /** Hive partition values of one file, parsed from its k=v path
     * segments in `partSchema` order (log-declared layout, so no
@@ -119,11 +133,21 @@ final class TxLogFileIndex(
         case None          => true  // types don't reconcile: keep
         case Some(Left(_)) => false // value can't fit the write-time type
         case Some(Right(h)) =>
-          sidecars.getOrElseUpdate((file, a.name), {
-            TxLogFileIndex.bloomReads.incrementAndGet()
-            Bloom.readSidecar(
-              java.nio.file.Paths.get(Bloom.sidecar(file, a.name)))
-          }) match {
+          // NOT getOrElseUpdate: that can run the loader twice under
+          // concurrent planning and over-count the read counter specs
+          // assert as an exact bound — compute, then putIfAbsent, and
+          // count only the insert that actually won
+          val cached = sidecars.get((file, a.name)).getOrElse {
+            val loaded = Bloom.readSidecarBytes(
+              try LogStore.forRoot(root).readBytes(Bloom.sidecar(file, a.name))
+              catch { case _: Throwable => null })
+            sidecars.putIfAbsent((file, a.name), loaded) match {
+              case Some(prev) => prev // lost the race: other read counts
+              case None =>
+                TxLogFileIndex.bloomReads.incrementAndGet(); loaded
+            }
+          }
+          cached match {
             case None     => true
             case Some(bf) => bf.mightContainLong(h)
           }
@@ -184,20 +208,50 @@ object TxLogFileIndex {
     */
   private[io] var broadcastDvBytes: Long = 64L << 20
 
-  /** Total bytes under a directory, driver-side (the dv dirs a read
-    * subtracts — a handful of files, no Spark job).
+  /** Total bytes under a directory, driver-side — the LEGACY fallback
+    * for dv dirs committed before manifests carried dv byte sizes; new
+    * commits record them, so the steady-state read path never lists a
+    * dv dir (one avoided LIST per dv dir per planning on object stores).
     */
-  private[io] def dirBytes(dir: String): Long = {
-    val p = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.isDirectory(p)) 0L
-    else {
-      import scala.jdk.CollectionConverters._
-      val w = java.nio.file.Files.walk(p)
-      try w.iterator().asScala
-        .filter(java.nio.file.Files.isRegularFile(_))
-        .map(java.nio.file.Files.size(_)).sum
-      finally w.close()
-    }
+  private[io] def dirBytes(dir: String): Long =
+    LogStore.forRoot(dir).walk(dir).iterator.map(_.size).sum
+
+  /** The canonical lookup key of an absolute file path: scheme-ful URIs
+    * reduce to their path component — EXACTLY the form a planned scan's
+    * `FileStatus.getPath.toUri.getPath` reports back to [[listFiles]],
+    * so stats keyed here always match there regardless of root scheme.
+    */
+  private[io] def canonKey(p: String): String =
+    if (p.contains("://") || p.startsWith("file:"))
+      new Path(p).toUri.getPath
+    else p
+
+  /** The unique `txn-<uuid>/…` tail of a data path — the identity
+    * deletion-vector positions are keyed by. Every data file lives under
+    * a fresh `data/txn-<uuid>/` dir, so the tail after the LAST
+    * `data/txn-` is the same string whether the path arrives
+    * manifest-relative (`data/txn-u/f.parquet`), external-absolute (a
+    * clone's `/src/data/txn-u/f.parquet`), or as a scan's file URI
+    * (`file:///root/t/data/txn-u/f.parquet`) — which makes tail EQUALITY
+    * an exact match where the previous suffix test (`fp.endsWith(p)`)
+    * could, with a pathological uuid collision between a clone's
+    * external entries and local ones, attribute positions to the wrong
+    * file. [[readTagged]] enforces the tails' uniqueness across the live
+    * set, so the equality can never silently alias.
+    */
+  private[io] def pathTail(p: String): String = {
+    val i = p.lastIndexOf("data/txn-")
+    if (i >= 0) p.substring(i + "data/".length) else p
+  }
+
+  /** `pathTail` as a Catalyst expression over a path column (the `.*`
+    * prefix is greedy, so the LAST `data/txn-` anchors — same choice as
+    * the driver-side helper).
+    */
+  private[io] def pathTailCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{coalesce, nullif, regexp_extract}
+    coalesce(nullif(regexp_extract(c, "^.*data/(txn-[^/]+/.+)$", 1),
+      org.apache.spark.sql.functions.lit("")), c)
   }
 
   /** Sidecar bitset reads across all indexes — specs assert a point
@@ -269,18 +323,28 @@ object TxLogFileIndex {
     val dvDirs = r.entries.iterator.flatMap(_.dvs).toSeq.distinct
     if (dvDirs.isEmpty) tagged
     else {
+      // position identity is the file's txn tail — EXACT equality, and
+      // provably unambiguous because the live set's tails are distinct
+      // (uuid dirs make a collision pathological; this makes it loud)
+      val tails = r.entries.map(e => pathTail(e.path))
+      require(tails.distinct.size == tails.size,
+        s"txlog: $root's live set has colliding txn path tails — cannot " +
+          s"attribute deletion vectors safely: ${tails.mkString(", ")}")
       val paths = dvDirs.map(d => TxLog.absPath(root, d))
       val dv = spark.read.parquet(paths: _*)
-        .select(col("p").as("_dv_p"), col("pos").as("_dv_pos"))
+        .select(pathTailCol(col("p")).as("_dv_tail"),
+          col("pos").as("_dv_pos"))
       // broadcast the vector only while it actually fits an executor —
       // routine deletes are megabytes, but a table carrying a massive
       // un-compacted backlog of deletions must fall back to a shuffled
-      // anti-join rather than OOM every reader (the dir sizes are on
-      // the driver's filesystem view, one cheap walk, no job)
-      val dvBytes = paths.map(TxLogFileIndex.dirBytes).sum
+      // anti-join rather than OOM every reader (sizes come from the
+      // manifests' dv-byte ledger; only a legacy chain walks the dirs)
+      val dvBytes = dvDirs.map(d => r.dvBytes.getOrElse(d,
+        TxLogFileIndex.dirBytes(TxLog.absPath(root, d)))).sum
       val right = if (dvBytes <= broadcastDvBytes) broadcast(dv) else dv
       tagged.join(right,
-        col(PosCol) === col("_dv_pos") && col(FpCol).endsWith(col("_dv_p")),
+        col(PosCol) === col("_dv_pos") &&
+          pathTailCol(col(FpCol)) === col("_dv_tail"),
         "left_anti")
     }
   }
@@ -290,24 +354,50 @@ object TxLogFileIndex {
     val partCols = r.partitionBy.getOrElse(throw new IllegalStateException(
       s"txlog: $root's live set mixes partition layouts (an append declared " +
         "a different partitionBy than the table); restore a clean version"))
+    def key(p: String): String = canonKey(TxLog.absPath(root, p))
     val sizesM = r.entries.iterator
-      .flatMap(e => e.bytes.map(b => TxLog.absPath(root, e.path) -> b)).toMap
-    val statsM = r.stats.map { case (p, cs) => TxLog.absPath(root, p) -> cs }
-    val strStatsM = r.strStats.map { case (p, cs) => TxLog.absPath(root, p) -> cs }
+      .flatMap(e => e.bytes.map(b => key(e.path) -> b)).toMap
+    val statsM = r.stats.map { case (p, cs) => key(p) -> cs }
+    val strStatsM = r.strStats.map { case (p, cs) => key(p) -> cs }
     val bloomsM = r.entries.iterator.filter(_.blooms.nonEmpty)
-      .map(e => TxLog.absPath(root, e.path) -> e.blooms).toMap
+      .map(e => key(e.path) -> e.blooms).toMap
+    // per-file live fraction from the row-count ledger — the log-stats
+    // input to the index's Catalyst size estimate (unknown rows → 1.0)
+    val fracs: Seq[Double] = r.entries.map(e => e.rows match {
+      case Some(n) if n > 0L => math.max(0L, n - e.dvRows).toDouble / n
+      case Some(_)           => 1.0
+      case None              => 1.0
+    })
+    // COLUMN MAPPING read path: the relation is declared with PHYSICAL
+    // field names (what the files and the manifests' stats actually
+    // carry) and a projection aliases them back to the logical schema.
+    // Pushed-down filters rewrite through the aliases during
+    // optimization, so zone-map/bloom pruning sees physical attribute
+    // names — the same identities the commit's stats job recorded.
+    val cm = r.colMap
+    import org.apache.spark.sql.functions.col
     if (partCols.isEmpty) {
       // the schema comes from the LOG when every contributing manifest
       // recorded one (the normal case) — a snapshot then plans from
       // manifest bytes alone, zero data-file footer reads; legacy chains
       // fall back to a mergeSchema inference pass over the live files
-      val schema = r.schema.getOrElse(
-        spark.read.option("mergeSchema", "true").parquet(abs: _*).schema)
+      val logical = r.schema.getOrElse {
+        if (cm.nonEmpty) throw new IllegalStateException(
+          s"txlog: $root has a column mapping but no recorded schema")
+        spark.read.option("mergeSchema", "true").parquet(abs: _*).schema
+      }
+      val physSchema =
+        if (cm.isEmpty) logical
+        else StructType(logical.fields.map(f =>
+          f.copy(name = cm.getOrElse(f.name, f.name))))
       val index = new TxLogFileIndex(spark, root, abs, sizesM, statsM, strStatsM,
-        blooms = bloomsM)
-      val rel = HadoopFsRelation(index, new StructType(), schema, None,
+        blooms = bloomsM, liveFracs = fracs)
+      val rel = HadoopFsRelation(index, new StructType(), physSchema, None,
         new ParquetFileFormat, Map("mergeSchema" -> "true"))(spark)
-      spark.baseRelationToDataFrame(rel)
+      val df = spark.baseRelationToDataFrame(rel)
+      if (cm.isEmpty) df
+      else df.select(logical.fields.toSeq.map(f =>
+        col(cm.getOrElse(f.name, f.name)).as(f.name)): _*)
     } else {
       val full = r.schema.getOrElse(throw new IllegalStateException(
         s"txlog: partitioned table $root has no recorded schema — " +
@@ -316,12 +406,23 @@ object TxLogFileIndex {
         full.fields.find(_.name == c).getOrElse(
           throw new IllegalStateException(
             s"txlog: partition column $c missing from the recorded schema"))))
-      val dataSchema = StructType(full.fields.filterNot(f => partCols.contains(f.name)))
+      // partition columns are never mapped (rename refuses them)
+      val dataFields = full.fields.filterNot(f => partCols.contains(f.name))
+      val dataSchema =
+        if (cm.isEmpty) StructType(dataFields)
+        else StructType(dataFields.map(f =>
+          f.copy(name = cm.getOrElse(f.name, f.name))))
       val index = new TxLogFileIndex(spark, root, abs, sizesM, statsM,
-        strStatsM, partSchema, bloomsM)
+        strStatsM, partSchema, bloomsM, liveFracs = fracs)
       val rel = HadoopFsRelation(index, partSchema, dataSchema, None,
         new ParquetFileFormat, Map("mergeSchema" -> "true"))(spark)
-      spark.baseRelationToDataFrame(rel)
+      val df = spark.baseRelationToDataFrame(rel)
+      if (cm.isEmpty) df
+      // preserve the scan's column order: data fields first, then the
+      // (unmapped) partition columns
+      else df.select(dataFields.toSeq.map(f =>
+        col(cm.getOrElse(f.name, f.name)).as(f.name)) ++
+        partCols.map(col): _*)
     }
   }
 

@@ -2368,5 +2368,40 @@ private[graft] object Shard10 {
         .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
         .orderBy("o_orderpriority")
     }),
+
+    // COLUMN MAPPING (RENAME COLUMN) oracled end to end: January commits
+    // under the original names, TWO renames land as metadata-only
+    // commits (zero data movement — the point at 100 TB), February
+    // commits under the new names, and the head snapshot filters +
+    // aggregates the RENAMED columns across both generations of files.
+    // The mapping keys manifests' stats by PHYSICAL name, so January's
+    // pre-rename string zone map still prunes the `priority` predicate;
+    // the oracle recomputes from orders, so a mis-mapped column (old
+    // bytes under the new name, lost January rows, a clobbered stats
+    // key) breaks the hash. ColumnMappingSpec pins the mechanics
+    // (drop-then-re-add freshness, checkpoint survival, DML across a
+    // rename, collision-free re-append)
+    "q660_txlog_rename" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(expr("year(o_orderdate) = 1995 AND month(o_orderdate) <= 2"))
+        .select(col("o_orderkey").as("k"),
+          col("o_orderpriority").as("prio"),
+          centsOf(col("o_totalprice")).as("v"),
+          month(col("o_orderdate")).as("mm"))
+      val root = io.Zones.tempDir(s"graft_ren_${new java.io.File(dir).getName}")
+      io.TxLog.commit(s, root, o.filter(col("mm") === 1).drop("mm").coalesce(1),
+        io.TxLog.Append, statsCols = Seq("k", "prio"))
+      io.TxLog.renameColumn(root, "prio", "priority")
+      io.TxLog.renameColumn(root, "v", "cents_amount")
+      io.TxLog.commit(s, root, o.filter(col("mm") === 2).drop("mm")
+        .withColumnRenamed("prio", "priority")
+        .withColumnRenamed("v", "cents_amount").coalesce(1),
+        io.TxLog.Append, statsCols = Seq("k", "priority"))
+      io.TxLog.snapshot(s, root)
+        .filter(col("priority") >= "3")
+        .groupBy("priority")
+        .agg(count(lit(1)).as("n"), sum(col("cents_amount")).as("cents"))
+        .orderBy("priority")
+    }),
   )
 }

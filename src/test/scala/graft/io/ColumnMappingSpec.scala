@@ -1,0 +1,173 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Column mapping (RENAME/DROP COLUMN): logical names live in the
+  * recorded schema, physical names live in the files, `colmap` bridges
+  * them — so a rename is one metadata commit, pre-rename files read
+  * through the new name, pre-rename zone maps and blooms keep pruning,
+  * a dropped column's bytes never resurface on re-add, and the state
+  * survives checkpoints. Delta's column-mapping semantics at txlog size.
+  */
+class ColumnMappingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def batch(lo: Int, hi: Int, tag: String = "v") = {
+    import spark.implicits._
+    (lo until hi).map(i => (i.toLong, s"$tag-$i")).toDF("id", "payload")
+  }
+
+  test("RENAME COLUMN reads pre-rename files through the new name; old zone maps keep pruning") {
+    val root = Zones.tempDir("cmren")
+    (0 until 3).foreach(f => TxLog.commit(spark, root,
+      batch(1000 * f, 1000 * f + 1000).coalesce(1), TxLog.Append,
+      statsCols = Seq("id"), bloomCols = Map("payload" -> 1000L)))
+    val v = TxLog.renameColumn(root, "payload", "text")
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.columns.toSeq === Seq("id", "text"))
+    assert(snap.count() === 3000L)
+    assert(snap.filter(col("text") === "v-42").count() === 1L)
+    // pre-rename ZONE MAPS prune through the mapping (id untouched here,
+    // but the point lookup runs under the renamed schema)
+    val q = snap.filter(col("id").between(1100L, 1200L))
+    assert(q.count() === 101L)
+    assert(TxLogFileIndex.of(q).lastListed.size === 1)
+    // pre-rename BLOOM sidecars prune on the RENAMED column
+    val b = TxLog.snapshot(spark, root).filter(col("text") === "v-2042")
+    assert(b.count() === 1L)
+    assert(TxLogFileIndex.of(b).lastListed.size === 1,
+      "a bloom built under the old name must prune under the new one")
+    // time travel below the rename sees the old name
+    assert(TxLog.snapshot(spark, root, Some(v - 1)).columns.toSeq
+      === Seq("id", "payload"))
+    // appends under the NEW name interleave with old files seamlessly
+    import spark.implicits._
+    TxLog.commit(spark, root,
+      Seq((9000L, "new-0")).toDF("id", "text").coalesce(1), TxLog.Append,
+      statsCols = Seq("id"))
+    val all = TxLog.snapshot(spark, root)
+    assert(all.count() === 3001L)
+    assert(all.filter(col("text") === "new-0").count() === 1L)
+    assert(all.filter(col("text") === "v-7").count() === 1L)
+  }
+
+  test("DML (merge / DV delete / MoR update / compact) works across a rename") {
+    import spark.implicits._
+    val root = Zones.tempDir("cmdml")
+    (0 until 2).foreach(f => TxLog.commit(spark, root,
+      batch(1000 * f, 1000 * f + 1000).coalesce(1), TxLog.Append,
+      statsCols = Seq("id")))
+    TxLog.renameColumn(root, "payload", "text")
+    // merge on the unmapped key: file-granular, logical-name updates df
+    TxLog.merge(spark, root, Seq((1500L, "patched")).toDF("id", "text"), "id")
+    assert(TxLog.snapshot(spark, root).filter(col("id") === 1500L)
+      .head().getString(1) === "patched")
+    // DV delete filtered on the RENAMED column
+    val base = TxLog.headVersion(root)
+    val v = TxLog.deleteVectors(spark, root, col("text") === "v-42")
+    assert(TxLog.snapshot(spark, root).count() === 1999L)
+    // the typed CDF surfaces the logical (renamed) schema
+    val d = TxLog.changes(spark, root, base, v, withChangeType = true)
+    assert(d.columns.contains("text") && !d.columns.contains("payload"))
+    assert(d.filter(col("_change_type") === "delete").count() === 1L)
+    // MoR update through the mapping
+    TxLog.updateVectors(spark, root, col("id") === 7L,
+      Map("text" -> lit("u7")))
+    assert(TxLog.snapshot(spark, root).filter(col("id") === 7L)
+      .head().getString(1) === "u7")
+    // compact materializes everything and keeps the logical schema
+    TxLog.compact(spark, root, smallBytes = Long.MaxValue, statsCols = Seq("id"))
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.columns.toSeq === Seq("id", "text"))
+    assert(snap.count() === 1999L)
+    assert(snap.filter(col("id") === 7L).head().getString(1) === "u7")
+    assert(TxLog.rowCount(root) === Some(1999L))
+  }
+
+  test("DROP then RE-ADD: the old column's bytes never resurface") {
+    import spark.implicits._
+    val root = Zones.tempDir("cmdrop")
+    TxLog.commit(spark, root,
+      (0 until 100).map(i => (i.toLong, s"secret-$i")).toDF("id", "payload")
+        .coalesce(1), TxLog.Append, statsCols = Seq("id"))
+    TxLog.dropColumn(root, "payload")
+    assert(TxLog.snapshot(spark, root).columns.toSeq === Seq("id"))
+    // re-add the same logical name via an evolving append: fresh
+    // physical, so rows from the OLD files read NULL, never "secret-*"
+    TxLog.commit(spark, root,
+      (100 until 110).map(i => (i.toLong, s"fresh-$i")).toDF("id", "payload")
+        .coalesce(1), TxLog.Append, statsCols = Seq("id"))
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.count() === 110L)
+    assert(snap.filter(col("payload").startsWith("secret")).count() === 0L,
+      "dropped bytes must not resurface on re-add")
+    assert(snap.filter(col("payload").startsWith("fresh")).count() === 10L)
+    assert(snap.filter(col("id") < 100L && col("payload").isNull).count() === 100L)
+    // time travel below the drop still sees the secrets (immutability)
+    assert(TxLog.snapshot(spark, root, Some(1L))
+      .filter(col("payload").startsWith("secret")).count() === 100L)
+  }
+
+  test("mapping state survives a checkpoint and refuses guarded columns") {
+    import spark.implicits._
+    val root = Zones.tempDir("cmckpt")
+    TxLog.commit(spark, root, batch(0, 100).coalesce(1), TxLog.Append,
+      statsCols = Seq("id"), partitionBy = Nil)
+    TxLog.renameColumn(root, "payload", "text")
+    // push past a checkpoint boundary (CheckpointEvery = 10)
+    (0 until 10).foreach(i => TxLog.append(spark, root,
+      Seq((1000L + i, s"t-$i")).toDF("id", "text")))
+    assert(TxLog.headVersion(root) >= TxLog.CheckpointEvery)
+    val r = TxLog.replay(root, TxLog.headVersion(root))
+    assert(r.colMap === Map("text" -> "payload"),
+      "the mapping must survive checkpoint-bounded replay")
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.columns.toSeq === Seq("id", "text"))
+    assert(snap.filter(col("text") === "v-5").count() === 1L)
+    assert(snap.count() === 110L)
+    // a constraint-referenced column refuses rename/drop
+    TxLog.addConstraint(spark, root, "id_pos", "id >= 0")
+    assertThrows[IllegalArgumentException](TxLog.renameColumn(root, "id", "key"))
+    assertThrows[IllegalArgumentException](TxLog.dropColumn(root, "id"))
+    // a partitioned table refuses renaming its partition column
+    val proot = Zones.tempDir("cmpart")
+    TxLog.commit(spark, proot,
+      Seq((1L, "en", "a"), (2L, "fr", "b")).toDF("id", "lang", "t"),
+      TxLog.Append, partitionBy = Seq("lang"))
+    assertThrows[IllegalArgumentException](
+      TxLog.renameColumn(proot, "lang", "language"))
+    // but renaming a DATA column of a partitioned table works
+    TxLog.renameColumn(proot, "t", "body")
+    val ps = TxLog.snapshot(spark, proot)
+    assert(ps.count() === 2L)
+    assert(ps.filter(col("lang") === "en").head()
+      .getAs[String]("body") === "a")
+  }
+
+  test("rename then re-append under the OLD name makes a fresh column, not a collision") {
+    import spark.implicits._
+    val root = Zones.tempDir("cmcollide")
+    TxLog.commit(spark, root, batch(0, 50).coalesce(1), TxLog.Append,
+      statsCols = Seq("id"))
+    TxLog.renameColumn(root, "payload", "text")
+    // an old writer still appending `payload`: becomes a NEW logical
+    // column with a fresh physical — the renamed column's bytes stay put
+    TxLog.commit(spark, root,
+      Seq((500L, "t", "p")).toDF("id", "text", "payload").coalesce(1),
+      TxLog.Append, statsCols = Seq("id"))
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.columns.toSet === Set("id", "text", "payload"))
+    assert(snap.filter(col("payload").isNotNull).count() === 1L,
+      "only the new row carries the re-added column")
+    assert(snap.filter(col("text") === "v-7").count() === 1L,
+      "the renamed column still reads the old files' bytes")
+    val r = TxLog.replay(root, TxLog.headVersion(root))
+    assert(r.colMap("text") === "payload")
+    assert(r.colMap.contains("payload") &&
+      r.colMap("payload").startsWith("c_"),
+      s"the re-added column needs a fresh physical name: ${r.colMap}")
+  }
+}

@@ -92,6 +92,26 @@ class TxLogConstraintSpec extends AnyFunSuite {
       .head().getString(1) === "y")
   }
 
+  test("an ADD CONSTRAINT landing inside a commit's publish window is still enforced") {
+    val root = Zones.tempDir("txconsrace")
+    TxLog.append(spark, root, df(1L -> "a"))
+    // the race: the append read the (empty) constraint map, wrote its
+    // files, and THEN the constraint publishes — deterministically, via
+    // the publish-window hook. The append must re-validate and refuse.
+    TxLog.testRaceHook =
+      () => { TxLog.addConstraint(spark, root, "pos_id", "id > 0"); () }
+    assertThrows[TxLog.ConstraintViolation](
+      TxLog.append(spark, root, df(-5L -> "bad")))
+    assert(TxLog.constraintsOf(root) === Map("pos_id" -> "id > 0"))
+    assert(TxLog.snapshot(spark, root).filter(col("id") < 0L).count() === 0L)
+    // a CONFORMING commit sails through the same window: re-validated, kept
+    TxLog.testRaceHook =
+      () => { TxLog.addConstraint(spark, root, "no_z", "payload <> 'z'"); () }
+    TxLog.append(spark, root, df(2L -> "b"))
+    assert(TxLog.snapshot(spark, root).count() === 2L)
+    assert(TxLog.constraintsOf(root).keySet === Set("pos_id", "no_z"))
+  }
+
   test("constraint-free tables pay zero extra manifest reads per append") {
     val root = Zones.tempDir("txconsfree")
     TxLog.append(spark, root, df(1L -> "a"))

@@ -131,6 +131,26 @@ class TxLogDvSpec extends AnyFunSuite {
     assert(TxLog.snapshot(spark, root).count() === 3600L)
   }
 
+  test("a no-match DV delete/update is a clean no-op: no residue dirs, head unchanged") {
+    val root = table()
+    def side(sub: String): Boolean =
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(root, sub))
+    val head = TxLog.headVersion(root)
+    // payload carries no zone map, so every file is a candidate — the
+    // position scan runs and finds nothing; the op must clean up after
+    // itself instead of leaving vacuum-bait `_dv`/`_change_data` residue
+    assert(TxLog.deleteVectors(spark, root,
+      col("payload") === "no-such-row") === head)
+    assert(!side("_dv") && !side("_change_data"),
+      "a no-match DV delete must leave no residue dirs")
+    assert(TxLog.updateVectors(spark, root, col("payload") === "no-such-row",
+      Map("payload" -> lit("x"))) === head)
+    assert(!side("_dv") && !side("_change_data"),
+      "a no-match MoR update must leave no residue dirs")
+    assert(TxLog.headVersion(root) === head)
+    assert(TxLog.snapshot(spark, root).count() === 4000L)
+  }
+
   test("merge-on-read UPDATE vectorizes old positions and appends post-images") {
     import spark.implicits._
     val root = Zones.tempDir("txdvu")
@@ -224,6 +244,73 @@ class TxLogDvSpec extends AnyFunSuite {
     assert(snap.groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
       === Map("en" -> 234L, "fr" -> 666L))
+  }
+
+  test("purge rewrites only files past the deleted-fraction threshold; the anti-join disappears when none remain") {
+    val root = table()
+    // file 0: 90% deleted; file 2: one row deleted — only file 0 crosses θ=0.5
+    TxLog.deleteVectors(spark, root, col("id") < 900L)
+    TxLog.deleteVectors(spark, root, col("id") === 2500L)
+    val before = dataFiles(root)
+    val v = TxLog.purge(spark, root, threshold = 0.5, statsCols = Seq("id"))
+    val r = TxLog.replay(root, v)
+    // files 1/3 carried untouched, file 2 carried WITH its ref, file 0
+    // materialized into fresh file(s) without refs
+    assert(r.entries.count(_.dvs.nonEmpty) === 1,
+      "the lightly-deleted file must carry its ref")
+    assert(before.subsetOf(dataFiles(root)), "purge must not delete data files")
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.count() === 4000L - 900L - 1L)
+    assert(snap.filter(col("id") < 900L).count() === 0L)
+    assert(TxLog.rowCount(root) === Some(3099L))
+    // a below-threshold pass is a no-op
+    assert(TxLog.purge(spark, root, threshold = 0.5) === v)
+    // θ=0 purges the rest: no refs remain and the READ PLAN loses the
+    // anti-join entirely — the merge-on-read debt is paid off
+    TxLog.purge(spark, root, threshold = 0.0, statsCols = Seq("id"))
+    val r2 = TxLog.replay(root, TxLog.headVersion(root))
+    assert(r2.entries.forall(_.dvs.isEmpty))
+    val plan = TxLog.snapshot(spark, root).queryExecution.executedPlan.toString
+    assert(!plan.contains("LeftAnti"),
+      s"after a full purge the read plan must drop the DV anti-join:\n$plan")
+    assert(TxLog.snapshot(spark, root).count() === 3099L)
+  }
+
+  test("two concurrent DV deletes on DISJOINT files both commit in one attempt (fold, not retry)") {
+    val root = table()
+    val base = TxLog.headVersion(root)
+    val conflictsBefore = TxLog.rmwConflicts.get()
+    // the race: a delete over file 3 lands inside the publish window of
+    // a delete over file 0 — zone maps make each op's candidate set one
+    // file, the touched sets are disjoint, so the loser FOLDS
+    TxLog.testRaceHook = () => {
+      TxLog.deleteVectors(spark, root,
+        col("id") >= 3000L && col("id") % 10 === 1L); ()
+    }
+    val v = TxLog.deleteVectors(spark, root,
+      col("id") < 1000L && col("id") % 10 === 2L)
+    assert(v === base + 2, "the folded delete must land AFTER the interloper")
+    assert(TxLog.rmwConflicts.get() === conflictsBefore,
+      "a disjoint-file race must fold, never conflict-retry")
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.count() === 3800L)
+    assert(snap.filter(col("id") < 1000L && col("id") % 10 === 2L).count() === 0L)
+    assert(snap.filter(col("id") >= 3000L && col("id") % 10 === 1L).count() === 0L)
+    val r = TxLog.replay(root, v)
+    assert(r.entries.map(_.dvs.size).sorted === Vector(0, 0, 1, 1))
+    assert(TxLog.rowCount(root) === Some(3800L))
+    // contrast: an OVERLAPPING race (same file) still conflicts and
+    // retries — and stays correct
+    TxLog.testRaceHook = () => {
+      TxLog.deleteVectors(spark, root,
+        col("id") < 1000L && col("id") % 10 === 3L); ()
+    }
+    TxLog.deleteVectors(spark, root,
+      col("id") < 1000L && col("id") % 10 === 4L)
+    assert(TxLog.rmwConflicts.get() > conflictsBefore,
+      "an overlapping race must conflict-retry")
+    assert(TxLog.snapshot(spark, root).count() === 3600L)
+    assert(TxLog.rowCount(root) === Some(3600L))
   }
 
   test("a clone resolves the source's deletion vectors externally") {

@@ -58,4 +58,41 @@ class TxLogPlanAudit extends AnyFunSuite {
       s"the DV read must keep the vectorized parquet reader:\n$plan")
     assert(q.count() === 18L) // 21 minus the deleted 100, 110, 120
   }
+
+  test("log statistics drive join planning: a mostly-deleted dim broadcasts by LIVE size") {
+    import spark.implicits._
+    val root = Zones.tempDir("txlog_plan_stats")
+    // a dim whose FILE bytes are big but whose live fraction is tiny:
+    // 20k fat rows, then a DV delete of 95% — bytes-only estimation sees
+    // the full file, the log's row-count ledger sees 5%
+    TxLog.commit(spark, root,
+      (0 until 20000).map(i => (i.toLong, "x" * 64 + i)).toDF("k", "pay")
+        .coalesce(1),
+      TxLog.Append, statsCols = Seq("k"))
+    TxLog.deleteVectors(spark, root, col("k") % 20 =!= 0L)
+    val r = TxLog.replay(root, TxLog.headVersion(root))
+    val rawBytes = r.entries.flatMap(_.bytes).sum
+    val scaled = TxLogFileIndex.of(TxLog.snapshot(spark, root)).sizeInBytes
+    assert(scaled < rawBytes / 10,
+      s"the index's Catalyst size must reflect the live fraction: $scaled vs $rawBytes")
+    val fact = spark.range(0, 100000).toDF("k")
+    def innerJoinKind(threshold: Long): String = {
+      val was = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+        val j = fact.join(TxLog.snapshot(spark, root), "k")
+        val lines = j.queryExecution.executedPlan.toString.split("\n")
+        if (lines.exists(l => l.contains("BroadcastHashJoin") && l.contains("Inner")))
+          "broadcast"
+        else "shuffle"
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", was)
+    }
+    // threshold BETWEEN live and raw: bytes-only estimation would refuse
+    // the broadcast; the log-stats estimate takes it
+    assert(innerJoinKind((scaled + rawBytes) / 2) === "broadcast",
+      "the planner must broadcast the dim from log stats alone")
+    // sanity: below the live size even log stats refuse
+    assert(innerJoinKind(math.max(1L, scaled / 2)) === "shuffle",
+      "an estimate below the threshold must not broadcast")
+  }
 }

@@ -48,11 +48,25 @@ class TxLogRowCountSpec extends AnyFunSuite {
     assert(d.getAs[Long]("n_constraints") === 0L)
   }
 
-  test("a stats-free commit degrades rowCount to None, never to a wrong number") {
+  test("every commit records counts now — even a plain statsCols-free append") {
     val root = Zones.tempDir("txrcn")
     TxLog.commit(spark, root, batch(0, 50), TxLog.Append, statsCols = Seq("id"))
     assert(TxLog.rowCount(root) === Some(50L))
-    TxLog.append(spark, root, batch(50, 60)) // no stats job: no count
+    TxLog.append(spark, root, batch(50, 60)) // counts ride the stats job free
+    assert(TxLog.rowCount(root) === Some(60L))
+    assert(TxLog.snapshot(spark, root).count() === 60L)
+  }
+
+  test("a LEGACY count-free manifest degrades rowCount to None, never to a wrong number") {
+    val root = Zones.tempDir("txrcl")
+    TxLog.commit(spark, root, batch(0, 50), TxLog.Append, statsCols = Seq("id"))
+    TxLog.append(spark, root, batch(50, 60))
+    // simulate a pre-row-count chain: strip the "r" fields from v2
+    val m = java.nio.file.Paths.get(root, "_txlog", "v00000002.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(m),
+      java.nio.charset.StandardCharsets.UTF_8)
+    java.nio.file.Files.write(m, txt.replaceAll(""","r":\d+""", "")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     assert(TxLog.rowCount(root) === None)
     assert(TxLog.snapshot(spark, root).count() === 60L)
   }
