@@ -39,9 +39,13 @@ import org.apache.spark.sql.functions.{col, expr, input_file_name, lit, max, min
   *
   * 100 TB shape: a commit's cost is one manifest write — independent of
   * table size; readers touch only the manifest chain (KBs) plus the data
-  * files their snapshot actually lists. On an object store the atomic
-  * claim in step 3 becomes a conditional PUT (`If-None-Match: *`) and the
-  * local fsync/link pair disappears; everything else is unchanged. The
+  * files their snapshot actually lists. The log's I/O goes through the
+  * [[LogStore]] interface: schemeless roots use the local hard-link
+  * claim, `scheme://` roots the Hadoop FileSystem store (HDFS-atomic
+  * rename claim, proven end-to-end on `file:///` by LogStoreSpec); an
+  * object store slots in as one more [[LogStore]] whose claim is a
+  * conditional PUT (`If-None-Match: *`) — see the per-scheme consistency
+  * contract on [[LogStore]]. The
   * replay cost of a long chain is bounded by checkpoint manifests: every
   * [[TxLog.CheckpointEvery]] commits the full live set — file list AND
   * per-file zone-map stats — is written as `cNNNNNNNN.json` (best-effort,
@@ -151,7 +155,8 @@ object TxLog {
       constraints: Map[String, String] = Map.empty,
       dvBytes: Map[String, Long] = Map.empty,
       colMap: Map[String, String] = Map.empty,
-      droppedPhys: Set[String] = Set.empty) {
+      droppedPhys: Set[String] = Set.empty,
+      clusterBy: Seq[String] = Nil) {
     /** Physical (file) column name of logical `name` — identity unless a
       * RENAME/re-add mapped it (Delta's column mapping, at txlog size).
       */
@@ -462,6 +467,21 @@ object TxLog {
     */
   private def colmapMarker(root: String): String = logPath(root, "_colmap")
 
+  // the table's declared CLUSTERING KEYS (liquid-clustering style):
+  // pure layout metadata recorded in the log so maintenance runs need no
+  // out-of-band configuration, replace-ruled like constraints (an
+  // explicit field replaces, checkpoints persist, present-empty resets).
+  // Changing the keys is a METADATA commit — no rewrite: old files keep
+  // their old-key zone maps (which keep pruning old-key predicates),
+  // and incremental compaction clusters new backlog by the new keys.
+  // Not fmt-gated: a reader ignoring it loses nothing but layout hints.
+  private val clusterField: Regex = """"cluster":\[([^\]]*)\]""".r
+  private def clusterOfLog(txt: String): Option[Seq[String]] =
+    clusterField.findFirstMatchIn(txt).map(m =>
+      quotedItem.findAllMatchIn(m.group(1)).map(e => unescStr(e.group(1))).toSeq)
+  private def renderSeqField(field: String, s: Seq[String]): String =
+    s.map(x => "\"" + escStr(x) + "\"").mkString(s""","$field":[""", ",", "]")
+
   // the set of pre-existing files whose DV state a row-level commit
   // changed — advisory metadata (not fmt-gated: ignoring it only costs
   // rebase opportunities, never correctness) that lets a RACING
@@ -704,14 +724,17 @@ object TxLog {
     // column mapping: fold removals, then additions; retirements union
     var colMap = Map.empty[String, String]
     var droppedPhys = Set.empty[String]
-    // partition layout: overwrite resets it, an append must agree with
-    // it — a disagreement (mixed layouts in one live set) resolves to
-    // None and the READ refuses loudly rather than misparse k=v dirs
+    // clustering keys: explicit field replaces
+    var clusterBy: Seq[String] = Nil
+    // partition layout: the CURRENT spec is the latest entries-bearing
+    // commit's declaration (Iceberg's partition-spec evolution) — new
+    // writes and rewrites use it, while the READ derives each file's own
+    // layout from its k=v path segments, so mixed generations read
+    // correctly instead of refusing (pre-round-10 behavior)
     var partitionBy: Option[Seq[String]] = Some(Nil)
     def foldPartitionBy(manifest: Seq[String], isOverwrite: Boolean,
         hasEntries: Boolean, liveWasEmpty: Boolean): Unit =
-      if (isOverwrite || liveWasEmpty) partitionBy = Some(manifest)
-      else if (hasEntries && partitionBy.exists(_ != manifest)) partitionBy = None
+      if (isOverwrite || liveWasEmpty || hasEntries) partitionBy = Some(manifest)
     base.foreach { cv =>
       val txt = readLogFile(root, f"c$cv%08d.json")
       entries = parseEntries(txt).toVector
@@ -723,6 +746,7 @@ object TxLog {
       dvBytes = dvbOfLog(txt)
       colMap = colmapOfLog(txt)
       droppedPhys = coldropOfLog(txt)
+      clusterBy = clusterOfLog(txt).getOrElse(Nil)
       txns = txnsField.findFirstMatchIn(txt).map(m =>
         txnsEntry.findAllMatchIn(m.group(1))
           .map(e => unescStr(e.group(1)) -> e.group(2).toLong).toMap).getOrElse {
@@ -767,9 +791,10 @@ object TxLog {
         dvBytes ++= dvbOfLog(txt)
         colMap = (colMap -- colunmapOfLog(txt)) ++ colmapOfLog(txt)
         droppedPhys ++= coldropOfLog(txt)
+        clusterOfLog(txt).foreach(c => clusterBy = c)
       }
     Replay(entries, schema.filter(_.fields.nonEmpty), txns, partitionBy,
-      constraints, dvBytes, colMap, droppedPhys)
+      constraints, dvBytes, colMap, droppedPhys, clusterBy)
   }
 
   /** Live file list at `upTo` (absolute paths). */
@@ -845,7 +870,9 @@ object TxLog {
       op: Option[String] = None,
       dvb: Map[String, Long] = Map.empty,
       touched: Set[String] = Set.empty,
-      rebaseDvTouched: Option[Set[String]] = None): Long = {
+      rebaseDvTouched: Option[Set[String]] = None,
+      evolvePartitions: Boolean = false,
+      cluster: Option[Seq[String]] = None): Long = {
     // an APPEND manifest's files ARE the commit's row-level delta — the
     // change-data-feed depends on that — so re-referencing pre-existing
     // files is an overwrite-only affordance
@@ -860,15 +887,18 @@ object TxLog {
       require(isIntegral(dt) || dt == org.apache.spark.sql.types.StringType,
         s"txlog: partition column $c must be integral or string, got $dt")
     }
-    // a PARTITIONED append must agree with the table's current layout —
-    // a mixed live set is unreadable (one checkpoint-bounded replay,
-    // paid only by partitioned commits; plain appends stay replay-free
-    // and a layout violation by one still fails LOUDLY at read time)
-    if (partitionBy.nonEmpty && action == Append && headVersion(root) > 0) {
+    // a PARTITIONED append must agree with the table's current layout
+    // unless the caller EXPLICITLY evolves the spec — evolution is a
+    // legitimate layout change at a commit boundary (each generation's
+    // files read under their own k=v layout; a later compact migrates
+    // them), while a silent disagreement is almost always a bug
+    if (partitionBy.nonEmpty && action == Append && !evolvePartitions &&
+      headVersion(root) > 0) {
       val cur = replay(root, headVersion(root))
       require(cur.entries.isEmpty || cur.partitionBy.contains(partitionBy),
         s"txlog: table is partitioned by ${cur.partitionBy} but the " +
-          s"commit declares $partitionBy")
+          s"commit declares $partitionBy (pass evolvePartitions = true " +
+          "to change the layout at this commit boundary)")
     }
     val s = store(root)
     s.mkdirs(logDir(root))
@@ -880,7 +910,7 @@ object TxLog {
     try {
       commitInner(spark, root, df, action, txnId, statsCols, carry,
         carrySchema, expectHead, cdf, partitionBy, txn, dataDir, bloomCols,
-        rebaseAppends, op, dvb, touched, rebaseDvTouched)
+        rebaseAppends, op, dvb, touched, rebaseDvTouched, cluster)
     } finally {
       // marker gone ⇒ either the manifest published (files referenced)
       // or the attempt aborted (files are ordinary vacuumable residue)
@@ -919,7 +949,8 @@ object TxLog {
       op: Option[String] = None,
       dvb: Map[String, Long] = Map.empty,
       touched: Set[String] = Set.empty,
-      rebaseDvTouched: Option[Set[String]] = None): Long = {
+      rebaseDvTouched: Option[Set[String]] = None,
+      cluster: Option[Seq[String]] = None): Long = {
     // COLUMN MAPPING write path: files of a mapped table carry PHYSICAL
     // names (the recorded schema stays logical). A column the table
     // doesn't know whose name is RETIRED (renamed away or dropped) gets
@@ -1035,15 +1066,33 @@ object TxLog {
     // cost), so metadata-only COUNT(*)/DESCRIBE DETAIL never degrade to
     // a scan just because one caller forgot statsCols (the reference
     // lakehouse engines always record numRecords for the same reason)
-    val statsJobRuns = written.nonEmpty
+    val statsJobRuns = written.nonEmpty &&
+      (intCols.nonEmpty || strCols.nonEmpty || bloomSpecs.nonEmpty ||
+        written.size > 32)
     val (fileStats: Map[String, ColStats],
       fileStrStats: Map[String, StrColStats],
       fileBloomed: Set[String],
       fileRows: Map[String, Long]) =
-      if (!statsJobRuns)
+      if (written.isEmpty)
         (Map.empty[String, ColStats], Map.empty[String, StrColStats],
           Set.empty[String], Map.empty[String, Long])
-      else {
+      else if (!statsJobRuns) {
+        // a count-only commit (no zone-map/bloom column requested) reads
+        // the row counts straight out of the just-written parquet
+        // FOOTERS, driver-side — cheaper than scheduling a Spark job for
+        // a handful of files, and bounded by the commit's own file count
+        // (past 32 files the one stats job amortizes better and takes
+        // over via the gate above)
+        val conf = spark.sparkContext.hadoopConfiguration
+        val counts = written.map { p =>
+          val f = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(absPath(root, p)), conf))
+          try p -> f.getRecordCount finally f.close()
+        }.toMap
+        (Map.empty[String, ColStats], Map.empty[String, StrColStats],
+          Set.empty[String], counts)
+      } else {
         // row counts ride the same job for free — Delta's numRecords;
         // with every live entry counted, COUNT(*) resolves from the log
         // alone (see rowCount)
@@ -1125,9 +1174,10 @@ object TxLog {
           // no sidecar and therefore declares no bloom — readers keep it
           if (fileBloomed.contains(p)) bloomTypes else Map.empty,
           // a written file the stats job saw no rows for is a zero-row
-          // part file: its count is exactly 0, not unknown
+          // part file: its count is exactly 0, not unknown (the footer
+          // path counts every file directly)
           rows = fileRows.get(p)
-            .orElse(if (statsJobRuns) Some(0L) else None))))
+            .orElse(if (written.nonEmpty) Some(0L) else None))))
     // record the commit's schema so readers resolve theirs from the
     // LOG, never from O(live files) footer reads; a carry-bearing
     // commit must cover the carried files' columns too, so it merges
@@ -1147,7 +1197,8 @@ object TxLog {
       // fresh physical assignment in the same manifest (fold-merged, so
       // a racing rename's mapping is never clobbered)
       colMapAdd = freshAssign,
-      touched = touched, rebaseDvTouched = rebaseDvTouched)
+      touched = touched, rebaseDvTouched = rebaseDvTouched,
+      cluster = cluster)
   }
 
   /** Test-only race injection: invoked once at the next publish attempt
@@ -1193,7 +1244,8 @@ object TxLog {
       colUnmap: Set[String] = Set.empty,
       colDrop: Set[String] = Set.empty,
       touched: Set[String] = Set.empty,
-      rebaseDvTouched: Option[Set[String]] = None): Long = {
+      rebaseDvTouched: Option[Set[String]] = None,
+      cluster: Option[Seq[String]] = None): Long = {
     val hook = testRaceHook
     testRaceHook = () => ()
     hook()
@@ -1302,6 +1354,7 @@ object TxLog {
       val consPart = constraints.map(renderConstraints).getOrElse("")
       val dvbPart = renderDvb(curDvb)
       val touchedPart = renderStrList("touched", touched)
+      val clusterPart = cluster.map(renderSeqField("cluster", _)).getOrElse("")
       val mapPart = renderColmap(colMapAdd) +
         renderStrList("colunmap", colUnmap) +
         renderStrList("coldrop", colDrop)
@@ -1312,7 +1365,7 @@ object TxLog {
         math.max(if (consPart.nonEmpty) 4L else 0L,
           if (mapPart.nonEmpty) 5L else 0L))
       val body = curEntries.mkString(
-        s"""{"version":$next,"fmt":$fmt,"ts":${System.currentTimeMillis()},"action":"${action.name}"$txnPart$opPart$cdfPart$partPart$schemaPart$consPart$dvbPart$touchedPart$mapPart,"files":[""", ",", "]}")
+        s"""{"version":$next,"fmt":$fmt,"ts":${System.currentTimeMillis()},"action":"${action.name}"$txnPart$opPart$cdfPart$partPart$schemaPart$consPart$dvbPart$touchedPart$clusterPart$mapPart,"files":[""", ",", "]}")
       // the atomic claim: complete durable bytes at vN or nothing — the
       // store's contract (hard link locally, exclusive rename on HDFS)
       if (store(root).putIfAbsent(logPath(root, f"v$next%08d.json"),
@@ -1596,12 +1649,15 @@ object TxLog {
       // full folded column-mapping state (replay-from-checkpoint resets)
       val mapPart = renderColmap(r.colMap) +
         renderStrList("coldrop", r.droppedPhys)
+      val clusterPart =
+        if (r.clusterBy.isEmpty) ""
+        else renderSeqField("cluster", r.clusterBy)
       val rendered = r.entries.map(renderEntry)
       val fmt = math.max(manifestFmt(rendered, partCols),
         math.max(if (consPart.nonEmpty) 4L else 0L,
           if (mapPart.nonEmpty) 5L else 0L))
       val body = rendered
-        .mkString(s"""{"version":$v,"fmt":$fmt,"action":"checkpoint"$partPart$schemaPart$txnsPart$consPart$dvbPart$mapPart,"files":[""", ",", "]}")
+        .mkString(s"""{"version":$v,"fmt":$fmt,"action":"checkpoint"$partPart$schemaPart$txnsPart$consPart$dvbPart$mapPart$clusterPart,"files":[""", ",", "]}")
       store(root).putIfAbsent(logPath(root, f"c$v%08d.json"),
         body.getBytes(StandardCharsets.UTF_8)) // concurrent winner: fine
       ()
@@ -2121,6 +2177,12 @@ object TxLog {
       root: String,
       r: Replay,
       predicate: org.apache.spark.sql.Column): Vector[Entry] = {
+    // a live set spanning partition-layout GENERATIONS (mid-evolution)
+    // reads as a union of scans — plan-time pruning below assumes one
+    // index, so fall back to "every file is a candidate" (conservative,
+    // correct; the state is transitional until a compact migrates it)
+    if (r.entries.map(e => TxLogFileIndex.layoutOfPath(e.path)).distinct.size > 1)
+      return r.entries
     val snap = TxLogFileIndex.read(spark, root, r)
     val index = TxLogFileIndex.of(snap)
     val conjuncts = snap.filter(predicate).queryExecution.optimizedPlan
@@ -2219,7 +2281,8 @@ object TxLog {
       commit(spark, root, laid, Overwrite,
         statsCols = Seq(colA, colB), expectHead = Some(base),
         cdf = Some(""), partitionBy = layoutOf(root, r),
-        rebaseAppends = true, op = Some("OPTIMIZE ZORDER"))
+        rebaseAppends = true, op = Some("OPTIMIZE ZORDER"),
+        cluster = Some(Seq(colA, colB)))
     }
 
   /** File-selective compaction: rewrite ONLY the live files smaller than
@@ -2273,9 +2336,57 @@ object TxLog {
           Overwrite, statsCols = Seq(colA, colB), carry = big,
           carrySchema = r.schema, expectHead = Some(base), cdf = Some(""),
           partitionBy = layoutOf(root, r), rebaseAppends = true,
-          op = Some("COMPACT ZORDER"))
+          op = Some("COMPACT ZORDER"),
+          // every clustered pass records its keys, so the maintenance
+          // loop is self-describing from then on (see clusterKeysOf)
+          cluster = Some(Seq(colA, colB)))
       }
     }
+
+  /** Declare (or CHANGE) the table's clustering keys — ONE metadata
+    * commit, no rewrite (the liquid-clustering idea: the key is table
+    * metadata, not a property baked into every file). Already-clustered
+    * files keep their old-key zone maps — which keep pruning old-key
+    * predicates exactly as before — while every subsequent keyless
+    * [[compactZOrder]] pass clusters the ingest backlog by the NEW keys,
+    * so the layout converges generation by generation without the
+    * O(table) rewrite a key change classically costs.
+    */
+  def setClusterKeys(root: String, cols: Seq[String]): Long = {
+    require(cols.size == 2,
+      s"txlog: clustering is 2-D (Morton curve) — got ${cols.size} keys")
+    readModifyWrite(root, "setClusterKeys") { (base, r) =>
+      publish(root, r.entries.map(renderEntry), Overwrite, txnId = None,
+        recorded = r.schema, expectHead = Some(base),
+        txn = java.util.UUID.randomUUID().toString.take(12),
+        cdf = Some(""), partitionBy = layoutOf(root, r),
+        op = Some("SET CLUSTER"), cluster = Some(cols))
+    }
+  }
+
+  /** The table's recorded clustering keys (empty when never declared). */
+  def clusterKeysOf(root: String): Seq[String] =
+    if (headVersion(root) == 0L) Nil
+    else replay(root, headVersion(root)).clusterBy
+
+  /** Keyless incremental clustered compaction: the keys come from the
+    * LOG (recorded by [[setClusterKeys]] or a previous keyed pass), so
+    * the routine maintenance job needs zero configuration and
+    * automatically follows a key change.
+    */
+  def compactZOrder(
+      spark: SparkSession,
+      root: String,
+      smallBytes: Long): Long = {
+    val keys = clusterKeysOf(root)
+    require(keys.size == 2,
+      s"txlog: $root has no recorded clustering keys — declare them with " +
+        "setClusterKeys or run a keyed compactZOrder/optimizeZOrder once")
+    compactZOrder(spark, root, keys.head, keys(1), smallBytes)
+  }
+
+  def compactZOrder(spark: SparkSession, root: String): Long =
+    compactZOrder(spark, root, 64L * 1024 * 1024)
 
   /** DV PURGE: rewrite ONLY the files whose deleted fraction
     * `dvRows / rows` exceeds `threshold`, materializing their deletion

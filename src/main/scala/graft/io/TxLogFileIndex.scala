@@ -303,6 +303,22 @@ object TxLogFileIndex {
       tagged.select(dataCols.toSeq: _*)
     }
 
+  /** The hive partition layout a data file's OWN path declares — the
+    * k=v segments between its txn dir and its file name, in order. This
+    * is the per-file layout authority that makes PARTITION EVOLUTION
+    * readable: after a layout change at a commit boundary (Iceberg's
+    * spec evolution), each generation's files still state their own
+    * layout, so the read needs no per-entry metadata.
+    */
+  private[io] def layoutOfPath(p: String): Seq[String] = {
+    val segs = pathTail(p).split("/")
+    if (segs.length <= 2) Nil
+    else segs.iterator.slice(1, segs.length - 1)
+      .filter(s => s.indexOf('=') > 0)
+      .map(s => s.substring(0, s.indexOf('=')))
+      .toSeq
+  }
+
   /** [[readRaw]] plus the scan's `_metadata` file path and physical row
     * index as ordinary columns — the coordinates deletion vectors are
     * expressed in (a parquet file is immutable, so its row indexes are
@@ -317,9 +333,13 @@ object TxLogFileIndex {
     */
   private[io] def readTagged(spark: SparkSession, root: String, r: TxLog.Replay): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    val tagged = readRaw(spark, root, r)
-      .withColumn(FpCol, col("_metadata.file_path"))
-      .withColumn(PosCol, col("_metadata.row_index"))
+    // _metadata resolves only through projections over a file scan — a
+    // union does not propagate it, so each layout generation tags its
+    // own scan BEFORE the generations union
+    val tagged = readRawParts(spark, root, r).map(df =>
+      df.withColumn(FpCol, col("_metadata.file_path"))
+        .withColumn(PosCol, col("_metadata.row_index")))
+      .reduce(_.unionByName(_))
     val dvDirs = r.entries.iterator.flatMap(_.dvs).toSeq.distinct
     if (dvDirs.isEmpty) tagged
     else {
@@ -349,11 +369,44 @@ object TxLogFileIndex {
     }
   }
 
-  private def readRaw(spark: SparkSession, root: String, r: TxLog.Replay): DataFrame = {
+  private def readRaw(spark: SparkSession, root: String, r: TxLog.Replay): DataFrame =
+    readRawParts(spark, root, r).reduce(_.unionByName(_))
+
+  /** One DataFrame per partition-layout GENERATION of the live set —
+    * normally exactly one; after a partition evolution (the layout
+    * changed at a commit boundary, Iceberg's spec evolution) one per
+    * generation, each scanning its own files with its own partition
+    * schema so directory pruning keeps applying per generation, the
+    * caller unioning them by name. A later compact/optimize naturally
+    * migrates everything to the current layout and collapses this back
+    * to one.
+    */
+  private def readRawParts(
+      spark: SparkSession,
+      root: String,
+      r: TxLog.Replay): Seq[DataFrame] = {
+    val grouped = r.entries.groupBy(e => layoutOfPath(e.path))
+    if (grouped.size <= 1)
+      // the files' own paths are the layout authority (they agree with
+      // the declared spec on any well-formed uniform table)
+      Seq(readRawUniform(spark, root, r, grouped.keys.headOption.getOrElse(Nil)))
+    else {
+      if (r.schema.isEmpty) throw new IllegalStateException(
+        s"txlog: $root mixes partition layouts and has no recorded schema — " +
+          "partition column types cannot be inferred")
+      grouped.toSeq.sortBy(_._1.mkString(" "))
+        .map { case (layout, es) =>
+          readRawUniform(spark, root, r.copy(entries = es), layout)
+        }
+    }
+  }
+
+  private def readRawUniform(
+      spark: SparkSession,
+      root: String,
+      r: TxLog.Replay,
+      partCols: Seq[String]): DataFrame = {
     val abs = r.files.map(f => TxLog.absPath(root, f))
-    val partCols = r.partitionBy.getOrElse(throw new IllegalStateException(
-      s"txlog: $root's live set mixes partition layouts (an append declared " +
-        "a different partitionBy than the table); restore a clean version"))
     def key(p: String): String = canonKey(TxLog.absPath(root, p))
     val sizesM = r.entries.iterator
       .flatMap(e => e.bytes.map(b => key(e.path) -> b)).toMap

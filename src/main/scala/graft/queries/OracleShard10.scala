@@ -1357,5 +1357,13 @@ private[graft] object OracleShard10 {
         |WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 2
         |  AND o_orderpriority >= '3'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q661_txlog_partition_evolution" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 2
+        |  AND o_orderpriority >= '3'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -2403,5 +2403,34 @@ private[graft] object Shard10 {
         .agg(count(lit(1)).as("n"), sum(col("cents_amount")).as("cents"))
         .orderBy("priority")
     }),
+
+    // PARTITION EVOLUTION oracled end to end: January lands FLAT,
+    // February lands hive-partitioned by priority with an explicit
+    // `evolvePartitions` commit (Iceberg's spec evolution at txlog
+    // size) — the head read unions both layout generations per-file
+    // (January's priority comes from the files, February's from k=v
+    // dirs, with directory pruning still applying to the partitioned
+    // generation) and the oracle recomputes from orders, so a dropped
+    // generation, a misparsed dir, or a lost partition value breaks the
+    // hash. TxLogPartitionSpec pins the mechanics (mixed reads, DML on
+    // mixed, compact migrating everything to the current spec)
+    "q661_txlog_partition_evolution" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(expr("year(o_orderdate) = 1995 AND month(o_orderdate) <= 2"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          centsOf(col("o_totalprice")).as("v"),
+          month(col("o_orderdate")).as("mm"))
+      val root = io.Zones.tempDir(s"graft_pevo_${new java.io.File(dir).getName}")
+      io.TxLog.commit(s, root, o.filter(col("mm") === 1).drop("mm").coalesce(1),
+        io.TxLog.Append, statsCols = Seq("o_orderkey"))
+      io.TxLog.commit(s, root, o.filter(col("mm") === 2).drop("mm"),
+        io.TxLog.Append, statsCols = Seq("o_orderkey"),
+        partitionBy = Seq("o_orderpriority"), evolvePartitions = true)
+      io.TxLog.snapshot(s, root)
+        .filter(col("o_orderpriority") >= "3")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
+        .orderBy("o_orderpriority")
+    }),
   )
 }

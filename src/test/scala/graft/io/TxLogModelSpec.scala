@@ -27,7 +27,7 @@ class TxLogModelSpec extends AnyFunSuite {
     TxLog.snapshot(spark, root, v).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
 
-  test("random append/overwrite/merge/delete/update/optimize/compact/restore/vacuum programs match the model") {
+  test("random append/overwrite/merge/delete/update/DV-delete/MoR-update/purge/optimize/compact/restore/vacuum programs match the model") {
     val rnd = new Random(20260815L)
     val root = Zones.tempDir("txlog_model")
 
@@ -41,8 +41,8 @@ class TxLogModelSpec extends AnyFunSuite {
       val ks = nextKey until (nextKey + n); nextKey += n; ks
     }
 
-    (1 to 40).foreach { step =>
-      rnd.nextInt(9) match {
+    (1 to 48).foreach { step =>
+      rnd.nextInt(12) match {
         case 0 => // append disjoint fresh rows
           val rows = freshKeys(1 + rnd.nextInt(4)).map(k => k -> s"a$step-$k").toMap
           val v = TxLog.append(spark, root, toDf(rows))
@@ -93,6 +93,28 @@ class TxLogModelSpec extends AnyFunSuite {
           if (!history.contains(v)) history += (v -> model)
         case 8 => // compact: content-neutral small-file rewrite
           val v = TxLog.compact(spark, root)
+          if (!history.contains(v)) history += (v -> model)
+        case 9 => // merge-on-read DELETE (deletion vectors)
+          val keys = model.keys.toSeq.sorted
+          val lo = keys(rnd.nextInt(keys.size))
+          val hi = lo + rnd.nextInt(5)
+          val surviving = model.filterNot { case (k, _) => k >= lo && k <= hi }
+          if (surviving.nonEmpty) {
+            val v = TxLog.deleteVectors(spark, root, col("id").between(lo, hi))
+            model = surviving
+            if (!history.contains(v)) history += (v -> model)
+          }
+        case 10 => // merge-on-read UPDATE (old positions vectorized)
+          val targets = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(2))
+          val v = TxLog.updateVectors(spark, root,
+            col("id").isin(targets: _*),
+            Map("payload" -> concat(col("payload"), lit(s"+m$step"))))
+          model = model.map { case (k, p) =>
+            k -> (if (targets.contains(k)) s"$p+m$step" else p)
+          }
+          if (!history.contains(v)) history += (v -> model)
+        case 11 => // purge: content-neutral DV materialization
+          val v = TxLog.purge(spark, root, threshold = rnd.nextDouble() * 0.8)
           if (!history.contains(v)) history += (v -> model)
       }
       assert(tableState(root) === model, s"state diverged after step $step")

@@ -92,19 +92,62 @@ class TxLogPartitionSpec extends AnyFunSuite {
     assert(c.getMessage.contains("partitioned"), c.getMessage)
   }
 
-  test("a mixed-layout live set refuses reads loudly instead of misparsing dirs") {
+  test("mixed layout generations READ correctly per-file (partition evolution, not refusal)") {
     val root = freshTable()
     TxLog.commit(spark, root, corpus(40), TxLog.Append,
       partitionBy = Seq("lang"))
-    // an UNPARTITIONED append slips in (no commit-time replay on the
-    // cheap path — the contract is loud failure at read time)
+    // an UNPARTITIONED append lands: its files carry lang IN-FILE while
+    // the older generation keeps it in k=v dirs — each file reads under
+    // its own path-declared layout (Iceberg's spec evolution semantics)
     TxLog.append(spark, root, corpus(4))
-    val e = intercept[IllegalStateException] {
-      TxLog.snapshot(spark, root).count()
-    }
-    assert(e.getMessage.contains("partition layout"), e.getMessage)
-    // time travel BELOW the bad append still reads fine
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.count() === 44L)
+    val byLang = snap.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang === Map("de" -> 11L, "en" -> 11L, "fr" -> 11L, "ja" -> 11L))
+    // doc ids 0-3 exist in BOTH generations now
+    assert(snap.filter(col("id") === 1L).count() === 2L)
+    // time travel below the evolution sees one uniform generation
     assert(TxLog.snapshot(spark, root, Some(1L)).count() === 40L)
+  }
+
+  test("explicit partition evolution: a layout change at a commit boundary reads, prunes, and compacts away") {
+    val root = freshTable()
+    // generation 1: flat; generation 2: partitioned by lang — an
+    // explicit spec change (the default still refuses disagreement)
+    TxLog.commit(spark, root, corpus(40), TxLog.Append, statsCols = Seq("id"))
+    TxLog.commit(spark, root,
+      corpus(40).withColumn("id", col("id") + 100), TxLog.Append,
+      statsCols = Seq("id"), partitionBy = Seq("lang"),
+      evolvePartitions = true)
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.count() === 80L)
+    assert(snap.groupBy("lang").count().collect()
+      .map(_.getLong(1)).forall(_ === 20L))
+    // the CURRENT spec is the latest declaration: a plain same-layout
+    // append keeps working, a disagreeing one still refuses
+    TxLog.commit(spark, root,
+      corpus(4).withColumn("id", col("id") + 900), TxLog.Append,
+      partitionBy = Seq("lang"))
+    assertThrows[IllegalArgumentException] {
+      TxLog.commit(spark, root, corpus(4), TxLog.Append,
+        partitionBy = Seq("text"))
+    }
+    assert(TxLog.snapshot(spark, root).count() === 84L)
+    // a DV delete on the mixed table is conservative but CORRECT
+    TxLog.deleteVectors(spark, root, col("lang") === "ja")
+    assert(TxLog.snapshot(spark, root).count() === 63L)
+    assert(TxLog.snapshot(spark, root)
+      .filter(col("lang") === "ja").count() === 0L)
+    // compact MIGRATES every generation to the current spec: uniform again
+    TxLog.compact(spark, root, smallBytes = Long.MaxValue, statsCols = Seq("id"))
+    val r = TxLog.replay(root, TxLog.headVersion(root))
+    assert(r.files.forall(_.contains("lang=")),
+      s"compaction must migrate old-generation files to the current layout: ${r.files}")
+    val q = TxLog.snapshot(spark, root).filter(col("lang") === "en")
+    assert(q.count() === 21L)
+    assert(TxLogFileIndex.of(q).lastListed.forall(_.contains("lang=en")),
+      "after migration, partition pruning applies to the whole table")
   }
 
   test("DELETE on a partition predicate touches only that partition's files") {
