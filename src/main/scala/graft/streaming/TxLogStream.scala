@@ -202,6 +202,26 @@ class TxLogSource(
     if (to > claimed) { claimed = to; persistClaim(to) } // recovery replay
     val batch = TxLog.changes(spark, root, from, to, skipRewrites,
       withChangeType = changeTypes)
+    // a declared column MISSING from the batch is either pre-evolution
+    // data (the column was added after these files — backfill nulls) or
+    // a RENAME/DROP that happened during the stream. The two are
+    // indistinguishable from columns alone, so consult the log's schema
+    // as of `to`: a declared column no longer in it was renamed/dropped —
+    // null-filling it would be silent data loss, so fail loudly and let
+    // the restart adopt the new schema (Delta's column-mapping stream
+    // stance). Zero cost on the steady path (no missing column, no
+    // replay).
+    val declaredData = schema.fields.map(_.name).toSet -
+      "_commit_version" - "_change_type"
+    val missing = declaredData -- batch.columns.toSet
+    if (missing.nonEmpty) {
+      val cur = TxLog.replay(root, to).schema
+      val gone = missing.filter(m => cur.exists(s => !s.fieldNames.contains(m)))
+      if (gone.nonEmpty) throw new IllegalStateException(
+        s"graft-txlog source: column(s) ${gone.mkString(", ")} were renamed " +
+          "or dropped during the stream — restart the stream to adopt the " +
+          "new schema")
+    }
     TxLogSource.asStreamingFrame(TxLogSource.conform(batch, schema))
   }
 

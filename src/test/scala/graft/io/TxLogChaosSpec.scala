@@ -31,8 +31,9 @@ class TxLogChaosSpec extends AnyFunSuite {
   test("appends, idempotent appends, merges, optimize, and vacuum race without loss") {
     val root = Zones.tempDir("txlog_chaos")
     TxLog.append(spark, root, rows("seed", 0, 10)) // v1
-    TxLog.append(spark, root, rows("del", 0, 5))   // v2: the delete's prey
-    val pool = Executors.newFixedThreadPool(12)
+    TxLog.append(spark, root, rows("del", 0, 5))   // v2: the CoW delete's prey
+    TxLog.append(spark, root, rows("dvd", 0, 5))   // v3: the DV delete's prey
+    val pool = Executors.newFixedThreadPool(14)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val work: Seq[Future[Any]] =
@@ -56,11 +57,20 @@ class TxLogChaosSpec extends AnyFunSuite {
           Future(TxLog.optimize(spark, root, targetFiles = 2)),
           // a copy-on-write DELETE of the pre-seeded prey rows
           Future(TxLog.delete(spark, root, col("id").startsWith("del-"))),
+          // a merge-on-read DELETE of ITS prey (deletion vectors racing
+          // everything, including the rewrites that materialize them)
+          Future(TxLog.deleteVectors(spark, root, col("id").startsWith("dvd-"))),
+          // a merge-on-read UPDATE of one seed row nobody else touches
+          Future(TxLog.updateVectors(spark, root, col("id") === "seed-7",
+            Map("payload" -> lit("MOR-7")))),
           // a copy-on-write UPDATE of one seed row nobody else touches
           Future(TxLog.update(spark, root, col("id") === "seed-5",
             Map("payload" -> lit("UPDATED-5")))),
           // a file-selective compact (content-preserving by contract)
-          Future(TxLog.compact(spark, root))) ++
+          Future(TxLog.compact(spark, root)),
+          // a DV purge (content-preserving materialization of whatever
+          // vectors exist when it lands)
+          Future(TxLog.purge(spark, root, threshold = 0.0))) ++
         // 2 vacuums mid-race (in-flight markers must protect open windows)
         (0 until 2).map(_ => Future(TxLog.vacuum(root)))
       Await.result(Future.sequence(work), 600.seconds)
@@ -71,14 +81,17 @@ class TxLogChaosSpec extends AnyFunSuite {
     assert(vs === (1L to vs.last), s"version chain has gaps: $vs")
     assert(TxLog.history(spark, root).count() === vs.last)
 
-    // exact row accounting: 10 seed (2 merged, 1 updated) + 5 prey rows
+    // exact row accounting: 10 seed (2 merged, 2 updated) + 2×5 prey rows
     // DELETED + 40 appended + 10 idempotent (NOT 20) + 2 merge inserts
     val now = TxLog.snapshot(spark, root)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(now.size === 62, s"expected 62 rows, got ${now.size}")
-    (0 until 5).foreach(i =>
-      assert(!now.contains(s"del-$i"), s"deleted row del-$i resurrected"))
-    assert(now("seed-5") === "UPDATED-5", "racing update lost")
+    (0 until 5).foreach { i =>
+      assert(!now.contains(s"del-$i"), s"deleted row del-$i resurrected")
+      assert(!now.contains(s"dvd-$i"), s"DV-deleted row dvd-$i resurrected")
+    }
+    assert(now("seed-5") === "UPDATED-5", "racing CoW update lost")
+    assert(now("seed-7") === "MOR-7", "racing MoR update lost")
     (0 until 4).foreach(k => (0 until 10).foreach(i =>
       assert(now.contains(s"app$k-$i"), s"lost append row app$k-$i")))
     (0 until 2).foreach(k => (0 until 5).foreach(i =>

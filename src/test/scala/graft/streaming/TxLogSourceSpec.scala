@@ -370,4 +370,61 @@ class TxLogSourceSpec extends AnyFunSuite {
     val b2 = TxLogSource.conform(TxLog.changes(spark, root, 1L, 2L), schema)
     assert(b2.collect().map(_.getAs[String]("lang")).toSeq === Seq("en"))
   }
+
+  test("a RENAME during the stream fails loudly; the restarted stream adopts the new schema") {
+    val root = Files.createTempDirectory("graft_src_ren").toString
+    TxLog.append(spark, root, batch(0, 5)) // v1
+    val ck = Files.createTempDirectory("graft_src_ren_ck").toString
+    val delivered = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def drain(col0: String): Unit = {
+      val q = spark.readStream
+        .format("graft.streaming.TxLogSourceProvider")
+        .option("root", root)
+        .load()
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => delivered.add(r.getAs[String](col0)))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    drain("payload")
+    assert(delivered.size === 5)
+    // the rename + a post-rename append land while the stream is down
+    TxLog.renameColumn(root, "payload", "text")          // v2
+    import spark.implicits._
+    TxLog.append(spark, root,
+      Seq((9L, "after")).toDF("id", "text"))             // v3
+    // catch-up: null-filling `payload` would be silent data loss — the
+    // stream must DIE with a restart instruction instead
+    val e = intercept[Exception](drain("payload"))
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).filter(_ != null)).mkString(" | ")
+    assert(rootMsg(e).contains("renamed"),
+      s"expected the rename-detected failure, got: ${rootMsg(e)}")
+    // a FRESH stream (new checkpoint) declares the new schema and reads
+    // every generation through the mapping
+    val ck2 = Files.createTempDirectory("graft_src_ren_ck2").toString
+    val texts = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q2 = spark.readStream
+      .format("graft.streaming.TxLogSourceProvider")
+      .option("root", root)
+      .load()
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ck2)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => texts.add(r.getAs[String]("text")))
+        ()
+      }
+      .start()
+    q2.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    assert(texts.asScala.toSeq.sorted ===
+      (Seq("after") ++ (0 until 5).map(i => s"row-$i")).sorted)
+  }
 }
