@@ -302,8 +302,17 @@ object HadoopLogStore extends LogStore {
       s".rep-${java.util.UUID.randomUUID().toString.take(12)}")
     val out = f.create(tmp, false)
     try out.write(bytes) finally out.close()
-    f.delete(dst, false)
-    if (!f.rename(tmp, dst)) { f.delete(tmp, false) }
+    // FileContext rename with OVERWRITE is the atomic replace the trait
+    // contract requires (readers see old or new content, never an absent
+    // window); delete-then-rename is only the fallback for filesystems
+    // without a FileContext binding
+    try org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      case _: Throwable =>
+        f.delete(dst, false)
+        if (!f.rename(tmp, dst)) f.delete(tmp, false)
+    }
   }
 
   override def createMarker(path: String): Unit = {

@@ -387,9 +387,14 @@ object TxLog {
   private val partitionByField: Regex = """"partitionBy":\[([^\]]*)\]""".r
   private val partitionByItem: Regex = """"([^"]+)"""".r
   private def partitionByOfLog(txt: String): Seq[String] =
+    partitionByDeclOf(txt).getOrElse(Nil)
+  // presence-aware: Some(Nil) = the commit EXPLICITLY declared a flat
+  // layout (partition evolution to unpartitioned), None = no declaration
+  // — the distinction keeps a blind statsless append from silently
+  // flipping a partitioned table's current spec
+  private def partitionByDeclOf(txt: String): Option[Seq[String]] =
     partitionByField.findFirstMatchIn(txt)
       .map(m => partitionByItem.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
-      .getOrElse(Nil)
   // checkpoint-carried txnId→version map (exactly-once bookkeeping must
   // survive checkpoint-bounded replay — and rewrites, so it never resets)
   private val txnsField: Regex = """"txns":\{([^}]*)\}""".r
@@ -727,14 +732,19 @@ object TxLog {
     // clustering keys: explicit field replaces
     var clusterBy: Seq[String] = Nil
     // partition layout: the CURRENT spec is the latest entries-bearing
-    // commit's declaration (Iceberg's partition-spec evolution) — new
-    // writes and rewrites use it, while the READ derives each file's own
-    // layout from its k=v path segments, so mixed generations read
-    // correctly instead of refusing (pre-round-10 behavior)
+    // commit's EXPLICIT declaration (Iceberg's partition-spec evolution)
+    // — new writes and rewrites use it, while the READ derives each
+    // file's own layout from its k=v path segments, so mixed generations
+    // read correctly instead of refusing (pre-round-10 behavior). An
+    // append WITHOUT a declaration never changes the spec: a blind flat
+    // append onto a partitioned table adds a flat generation (read
+    // correctly, migrated by the next compact) but must not silently
+    // unpartition the table's future rewrites.
     var partitionBy: Option[Seq[String]] = Some(Nil)
-    def foldPartitionBy(manifest: Seq[String], isOverwrite: Boolean,
+    def foldPartitionBy(decl: Option[Seq[String]], isOverwrite: Boolean,
         hasEntries: Boolean, liveWasEmpty: Boolean): Unit =
-      if (isOverwrite || liveWasEmpty || hasEntries) partitionBy = Some(manifest)
+      if (isOverwrite || liveWasEmpty) partitionBy = Some(decl.getOrElse(Nil))
+      else if (hasEntries && decl.isDefined) partitionBy = decl
     base.foreach { cv =>
       val txt = readLogFile(root, f"c$cv%08d.json")
       entries = parseEntries(txt).toVector
@@ -774,7 +784,7 @@ object TxLog {
         val action = actionField.findFirstMatchIn(txt).map(_.group(1))
           .getOrElse(throw new java.io.IOException(s"txlog: bad manifest v$v"))
         val es = parseEntries(txt)
-        foldPartitionBy(partitionByOfLog(txt), action == Overwrite.name,
+        foldPartitionBy(partitionByDeclOf(txt), action == Overwrite.name,
           es.nonEmpty, entries.isEmpty)
         if (action == Overwrite.name) {
           entries = es.toVector
@@ -887,19 +897,6 @@ object TxLog {
       require(isIntegral(dt) || dt == org.apache.spark.sql.types.StringType,
         s"txlog: partition column $c must be integral or string, got $dt")
     }
-    // a PARTITIONED append must agree with the table's current layout
-    // unless the caller EXPLICITLY evolves the spec — evolution is a
-    // legitimate layout change at a commit boundary (each generation's
-    // files read under their own k=v layout; a later compact migrates
-    // them), while a silent disagreement is almost always a bug
-    if (partitionBy.nonEmpty && action == Append && !evolvePartitions &&
-      headVersion(root) > 0) {
-      val cur = replay(root, headVersion(root))
-      require(cur.entries.isEmpty || cur.partitionBy.contains(partitionBy),
-        s"txlog: table is partitioned by ${cur.partitionBy} but the " +
-          s"commit declares $partitionBy (pass evolvePartitions = true " +
-          "to change the layout at this commit boundary)")
-    }
     val s = store(root)
     s.mkdirs(logDir(root))
     val txn = java.util.UUID.randomUUID().toString.take(12)
@@ -910,7 +907,8 @@ object TxLog {
     try {
       commitInner(spark, root, df, action, txnId, statsCols, carry,
         carrySchema, expectHead, cdf, partitionBy, txn, dataDir, bloomCols,
-        rebaseAppends, op, dvb, touched, rebaseDvTouched, cluster)
+        rebaseAppends, op, dvb, touched, rebaseDvTouched, cluster,
+        evolvePartitions)
     } finally {
       // marker gone ⇒ either the manifest published (files referenced)
       // or the attempt aborted (files are ordinary vacuumable residue)
@@ -950,7 +948,28 @@ object TxLog {
       dvb: Map[String, Long] = Map.empty,
       touched: Set[String] = Set.empty,
       rebaseDvTouched: Option[Set[String]] = None,
-      cluster: Option[Seq[String]] = None): Long = {
+      cluster: Option[Seq[String]] = None,
+      evolvePartitions: Boolean = false): Long = {
+    // ONE head resolution + (at most) ONE checkpoint-bounded replay
+    // serves every pre-write consumer below: the partition-layout
+    // agreement check, the column mapping, and the CHECK-constraint map.
+    // Tables needing none of them (unpartitioned commits on unmapped,
+    // constraint-free tables — the hot path) never force the replay.
+    val consReadHead = headVersion(root)
+    lazy val headReplay = replay(root, consReadHead)
+    // a PARTITIONED append must agree with the table's current layout
+    // unless the caller EXPLICITLY evolves the spec — evolution is a
+    // legitimate layout change at a commit boundary (each generation's
+    // files read under their own k=v layout; a later compact migrates
+    // them), while a silent disagreement is almost always a bug
+    if (partitionBy.nonEmpty && action == Append && !evolvePartitions &&
+      consReadHead > 0) {
+      require(headReplay.entries.isEmpty ||
+        headReplay.partitionBy.contains(partitionBy),
+        s"txlog: table is partitioned by ${headReplay.partitionBy} but the " +
+          s"commit declares $partitionBy (pass evolvePartitions = true " +
+          "to change the layout at this commit boundary)")
+    }
     // COLUMN MAPPING write path: files of a mapped table carry PHYSICAL
     // names (the recorded schema stays logical). A column the table
     // doesn't know whose name is RETIRED (renamed away or dropped) gets
@@ -960,10 +979,7 @@ object TxLog {
     val (colMap: Map[String, String], droppedPhys: Set[String]) =
       if (!store(root).exists(colmapMarker(root)))
         (Map.empty[String, String], Set.empty[String])
-      else {
-        val rp = replay(root, headVersion(root))
-        (rp.colMap, rp.droppedPhys)
-      }
+      else (headReplay.colMap, headReplay.droppedPhys)
     val takenPhys = droppedPhys ++ colMap.values
     val freshAssign: Map[String, String] = df.columns.toSeq
       .filter(c => !colMap.contains(c) && takenPhys(c))
@@ -1020,16 +1036,19 @@ object TxLog {
         }
       }
     // constraint enforcement is a two-phase check: validate against the
-    // map as of the head read HERE, and remember that head — publish
-    // re-scans any manifest that lands in the lookup-to-claim window for
-    // a constraints field and re-validates against the newest map, so an
-    // ADD CONSTRAINT racing this commit can never let violating rows
-    // slip in unvalidated (the add itself cannot see these files: they
-    // are unreferenced until our manifest links)
-    val consReadHead = headVersion(root)
+    // map as of the head read at commit start, and remember that head —
+    // publish re-scans any manifest that lands in the lookup-to-claim
+    // window for a constraints field and re-validates against the newest
+    // map, so an ADD CONSTRAINT racing this commit can never let
+    // violating rows slip in unvalidated (the add itself cannot see
+    // these files: they are unreferenced until our manifest links). The
+    // same window scan guards the COLUMN MAPPING this commit's physical
+    // names assumed: a RENAME/DROP landing mid-window conflicts loudly
+    // (retrying re-reads the mapping) instead of letting retired bytes
+    // resurface under a re-merged logical name.
     val consValidated: Map[String, String] =
       if (written.nonEmpty && store(root).exists(constraintsMarker(root))) {
-        val cons = replay(root, consReadHead).constraints
+        val cons = headReplay.constraints
         validateConstraints(cons)
         cons
       } else Map.empty
@@ -1198,7 +1217,8 @@ object TxLog {
       // a racing rename's mapping is never clobbered)
       colMapAdd = freshAssign,
       touched = touched, rebaseDvTouched = rebaseDvTouched,
-      cluster = cluster)
+      cluster = cluster,
+      declareFlatLayout = evolvePartitions && partitionBy.isEmpty)
   }
 
   /** Test-only race injection: invoked once at the next publish attempt
@@ -1245,7 +1265,8 @@ object TxLog {
       colDrop: Set[String] = Set.empty,
       touched: Set[String] = Set.empty,
       rebaseDvTouched: Option[Set[String]] = None,
-      cluster: Option[Seq[String]] = None): Long = {
+      cluster: Option[Seq[String]] = None,
+      declareFlatLayout: Boolean = false): Long = {
     val hook = testRaceHook
     testRaceHook = () => ()
     hook()
@@ -1269,6 +1290,18 @@ object TxLog {
           ((consScanned + 1) to (next - 1)).foreach { v =>
             val txt = readLogFile(root, f"v$v%08d.json")
             constraintsOfLog(txt).foreach(m => latest = Some(m))
+            // a COLUMN-MAPPING change in the window invalidates the
+            // physical names this commit's files were written under —
+            // conflict loudly (a read-modify-write caller retries with
+            // the new mapping; a plain append surfaces the error and its
+            // files are vacuumable residue) rather than letting replay
+            // merge the old logical name back in over retired bytes
+            if (colmapOfLog(txt).nonEmpty || colunmapOfLog(txt).nonEmpty ||
+              coldropOfLog(txt).nonEmpty)
+              throw new CommitConflict(
+                s"txlog: the column mapping changed at v$v inside this " +
+                  "commit's write window — retry the commit against the " +
+                  "new mapping")
           }
           consScanned = next - 1
           latest.foreach(fn)
@@ -1346,9 +1379,14 @@ object TxLog {
       val opPart = op.map(o => s""","op":"${escStr(o)}"""").getOrElse("")
       val cdfPart = cdf.map(d => s""","cdf":"$d"""").getOrElse("")
       val partPart =
-        if (partitionBy.isEmpty) ""
-        else partitionBy.map(c => "\"" + c + "\"")
-          .mkString(""","partitionBy":[""", ",", "]")
+        if (partitionBy.nonEmpty)
+          partitionBy.map(c => "\"" + c + "\"")
+            .mkString(""","partitionBy":[""", ",", "]")
+        // an EXPLICIT evolution to a flat layout declares the empty spec
+        // (present-empty ≠ absent: replay's fold only moves the current
+        // spec on a declaration)
+        else if (declareFlatLayout) ""","partitionBy":[]"""
+        else ""
       val schemaPart = curRecorded
         .map(s => s""","schemaB64":"${schemaToB64(s)}"""").getOrElse("")
       val consPart = constraints.map(renderConstraints).getOrElse("")
@@ -1360,10 +1398,14 @@ object TxLog {
         renderStrList("coldrop", colDrop)
       // constraints-bearing manifests are fmt 4: an older writer's
       // checkpoint would silently DROP the field (derived state), losing
-      // enforcement for every later reader; column-mapping state gates 5
+      // enforcement for every later reader; column-mapping state gates 5,
+      // and so does a txnId that ESCAPES differently than it reads — an
+      // older reader would store the escaped bytes and fail the
+      // exactly-once lookup, double-landing a replayed microbatch
       val fmt = math.max(manifestFmt(curEntries, partitionBy),
         math.max(if (consPart.nonEmpty) 4L else 0L,
-          if (mapPart.nonEmpty) 5L else 0L))
+          math.max(if (mapPart.nonEmpty) 5L else 0L,
+            if (txnId.exists(t => escStr(t) != t)) 5L else 0L)))
       val body = curEntries.mkString(
         s"""{"version":$next,"fmt":$fmt,"ts":${System.currentTimeMillis()},"action":"${action.name}"$txnPart$opPart$cdfPart$partPart$schemaPart$consPart$dvbPart$touchedPart$clusterPart$mapPart,"files":[""", ",", "]}")
       // the atomic claim: complete durable bytes at vN or nothing — the
@@ -1655,7 +1697,8 @@ object TxLog {
       val rendered = r.entries.map(renderEntry)
       val fmt = math.max(manifestFmt(rendered, partCols),
         math.max(if (consPart.nonEmpty) 4L else 0L,
-          if (mapPart.nonEmpty) 5L else 0L))
+          math.max(if (mapPart.nonEmpty) 5L else 0L,
+            if (r.txns.keys.exists(t => escStr(t) != t)) 5L else 0L)))
       val body = rendered
         .mkString(s"""{"version":$v,"fmt":$fmt,"action":"checkpoint"$partPart$schemaPart$txnsPart$consPart$dvbPart$mapPart$clusterPart,"files":[""", ",", "]}")
       store(root).putIfAbsent(logPath(root, f"c$v%08d.json"),

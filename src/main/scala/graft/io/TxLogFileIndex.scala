@@ -123,7 +123,8 @@ final class TxLogFileIndex(
     .empty[(String, String), Option[org.apache.spark.util.sketch.BloomFilter]]
 
   private def bloomKeep(
-      file: String,
+      file: String,     // canonical (scheme-less) cache/stats key
+      fullPath: String, // the scan's own path form — the one the store reads
       bl: TxLog.BloomCols,
       a: Attribute,
       l: Literal): Boolean =
@@ -136,10 +137,14 @@ final class TxLogFileIndex(
           // NOT getOrElseUpdate: that can run the loader twice under
           // concurrent planning and over-count the read counter specs
           // assert as an exact bound — compute, then putIfAbsent, and
-          // count only the insert that actually won
+          // count only the insert that actually won. The sidecar GET
+          // uses the SCHEME-FUL path (a stripped path would resolve
+          // against fs.defaultFS on an object-store root and silently
+          // disable bloom pruning there).
           val cached = sidecars.get((file, a.name)).getOrElse {
             val loaded = Bloom.readSidecarBytes(
-              try LogStore.forRoot(root).readBytes(Bloom.sidecar(file, a.name))
+              try LogStore.forRoot(fullPath)
+                .readBytes(Bloom.sidecar(fullPath, a.name))
               catch { case _: Throwable => null })
             sidecars.putIfAbsent((file, a.name), loaded) match {
               case Some(prev) => prev // lost the race: other read counts
@@ -166,8 +171,10 @@ final class TxLogFileIndex(
       // sidecar read — and Or-composition stays correct for free
       val bloomFn: (Attribute, Literal) => Boolean =
         blooms.get(key) match {
-          case Some(bl) if bl.nonEmpty => (a, l) => bloomKeep(key, bl, a, l)
-          case _                       => TxLogFileIndex.keepAll
+          case Some(bl) if bl.nonEmpty =>
+            val full = st.getPath.toString
+            (a, l) => bloomKeep(key, full, bl, a, l)
+          case _ => TxLogFileIndex.keepAll
         }
       dataFilters.forall(f => TxLogFileIndex.mayMatch(f, cs, ts, bloomFn))
     }

@@ -147,6 +147,30 @@ class ColumnMappingSpec extends AnyFunSuite {
       .getAs[String]("body") === "a")
   }
 
+  test("a RENAME landing inside an append's write window conflicts loudly, never resurrects") {
+    val root = Zones.tempDir("cmrace")
+    TxLog.commit(spark, root, batch(0, 50).coalesce(1), TxLog.Append,
+      statsCols = Seq("id"))
+    // the race: the append wrote its files under the OLD physical names,
+    // then the rename publishes first — merging the append's recorded
+    // schema would resurrect the old logical name over retired bytes, so
+    // the append must conflict instead (deterministic via the
+    // publish-window hook)
+    TxLog.testRaceHook =
+      () => { TxLog.renameColumn(root, "payload", "text"); () }
+    assertThrows[TxLog.CommitConflict](TxLog.append(spark, root, batch(50, 60)))
+    assert(TxLog.snapshot(spark, root).columns.toSeq === Seq("id", "text"))
+    assert(TxLog.snapshot(spark, root).count() === 50L,
+      "the conflicted append must leave no rows behind")
+    // a retry under the new schema lands cleanly
+    import spark.implicits._
+    TxLog.append(spark, root, Seq((50L, "ok")).toDF("id", "text"))
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.count() === 51L)
+    assert(snap.filter(col("text") === "v-7").count() === 1L)
+    assert(snap.filter(col("text") === "ok").count() === 1L)
+  }
+
   test("rename then re-append under the OLD name makes a fresh column, not a collision") {
     import spark.implicits._
     val root = Zones.tempDir("cmcollide")

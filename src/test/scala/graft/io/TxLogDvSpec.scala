@@ -313,6 +313,43 @@ class TxLogDvSpec extends AnyFunSuite {
     assert(TxLog.rowCount(root) === Some(3600L))
   }
 
+  test("a disjoint DV fold landing on a checkpoint boundary reconstructs from the checkpoint alone") {
+    import spark.implicits._
+    val root = table() // v1-v4
+    (0 until 4).foreach(k => TxLog.commit(spark, root,
+      (0 until 10).map(i => (10000L + 10 * k + i, s"x-$k-$i"))
+        .toDF("id", "payload").coalesce(1),
+      TxLog.Append, statsCols = Seq("id"))) // v5-v8
+    // the race: the interloper claims v9, the folded delete claims v10 —
+    // the CHECKPOINT version, whose replay must carry BOTH vectors' refs,
+    // counts, and byte-ledger entries
+    TxLog.testRaceHook = () => {
+      TxLog.deleteVectors(spark, root,
+        col("id") >= 3000L && col("id") < 4000L && col("id") % 10 === 1L); ()
+    }
+    val v = TxLog.deleteVectors(spark, root,
+      col("id") < 1000L && col("id") % 10 === 2L)
+    assert(v === 10L && v % TxLog.CheckpointEvery === 0L)
+    // destroy every pre-checkpoint manifest: reads must reconstruct the
+    // folded state (both DV refs + the appends) from c10 alone
+    (1 to 9).foreach { k =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, "_txlog", f"v$k%08d.json"),
+        "garbage".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.count() === 4000L + 40L - 200L)
+    assert(snap.filter(col("id") < 1000L && col("id") % 10 === 2L).count() === 0L)
+    assert(snap.filter(col("id") >= 3000L && col("id") < 4000L &&
+      col("id") % 10 === 1L).count() === 0L)
+    assert(TxLog.rowCount(root) === Some(3840L))
+    val r = TxLog.replay(root, TxLog.headVersion(root))
+    assert(r.entries.count(_.dvs.nonEmpty) === 2)
+    val live = r.entries.iterator.flatMap(_.dvs).toSet
+    assert(live.forall(r.dvBytes.contains),
+      "the checkpoint must carry the dv-byte ledger for live refs")
+  }
+
   test("a clone resolves the source's deletion vectors externally") {
     val root = table()
     TxLog.deleteVectors(spark, root, col("id") % 10 === 9)

@@ -109,6 +109,16 @@ class TxLogPartitionSpec extends AnyFunSuite {
     assert(snap.filter(col("id") === 1L).count() === 2L)
     // time travel below the evolution sees one uniform generation
     assert(TxLog.snapshot(spark, root, Some(1L)).count() === 40L)
+    // crucially the BLIND flat append did not change the current spec —
+    // only an explicit declaration moves it, so rewrites keep
+    // partitioning and the flat generation migrates at the next compact
+    assert(TxLog.replay(root, TxLog.headVersion(root)).partitionBy
+      === Some(Seq("lang")))
+    TxLog.compact(spark, root, smallBytes = Long.MaxValue)
+    val r = TxLog.replay(root, TxLog.headVersion(root))
+    assert(r.files.forall(_.contains("lang=")),
+      s"compaction must migrate the blind flat generation back: ${r.files}")
+    assert(TxLog.snapshot(spark, root).count() === 44L)
   }
 
   test("explicit partition evolution: a layout change at a commit boundary reads, prunes, and compacts away") {
