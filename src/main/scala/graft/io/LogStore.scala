@@ -18,18 +18,24 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   *  - [[LocalLogStore]] (schemeless paths): write temp + fsync + hard
   *    link (`link(2)` fails atomically with EEXIST) — fully atomic, the
   *    implementation every spec races deterministically.
-  *  - [[HadoopLogStore]] (`scheme://` paths): write temp (+ hsync where
-  *    the FS supports it) + `FileSystem.rename(tmp, dst)`. On HDFS a
-  *    rename onto an existing destination FAILS, so the claim is atomic.
-  *    On `file://` Hadoop's local FS maps to `rename(2)`, which can
-  *    OVERWRITE an existing destination — the pre-rename existence check
-  *    narrows but does not close that window, so `file://` through the
-  *    Hadoop store is a single-writer/dev scheme (multi-writer local
-  *    tables should use schemeless paths → [[LocalLogStore]]). On an
-  *    object store (s3a/gcs) rename is copy+delete and NOT a claim: the
-  *    port there is a conditional PUT (`If-None-Match: *`, S3/GCS both
-  *    support it) in a dedicated store — the documented TxLog design
-  *    note, now an interface away instead of a rewrite away.
+  *  - [[FileSchemeLogStore]] (`file:` paths): the same hard-link claim
+  *    with the scheme stripped. Routed here rather than through Hadoop
+  *    because Hadoop's LOCAL FileSystem maps rename onto `rename(2)`,
+  *    which can OVERWRITE an existing destination — two committers
+  *    racing a `file://` root through the Hadoop store could both claim
+  *    the same version and silently lose one commit.
+  *  - [[HadoopLogStore]] (`hdfs://` and other rename-atomic schemes):
+  *    write temp (+ hsync where the FS supports it) +
+  *    `FileSystem.rename(tmp, dst)` — on HDFS a rename onto an existing
+  *    destination FAILS, so the claim is atomic and exclusive.
+  *  - [[ObjectStoreLogStore]] (`mem://`, and the S3 port): object
+  *    stores have NO rename (s3a/gcs "rename" is copy+delete — never a
+  *    claim), so the claim is a conditional PUT (`If-None-Match: *`,
+  *    supported by S3 and GCS). [[InMemoryObjectStore]] is the
+  *    in-process implementation the protocol specs race under exactly
+  *    these semantics (CAS put, paged LIST, no directories);
+  *    [[S3ObjectStore]] is the SigV4-signed REST implementation for a
+  *    real endpoint when a network exists.
   *
   * Everything else is plain metadata I/O (read/list/walk/delete) with
   * object-store-shaped signatures: one recursive [[walk]] instead of
@@ -88,13 +94,55 @@ object LogStore {
     */
   final case class FileMeta(relPath: String, size: Long, mtimeMillis: Long)
 
-  /** Scheme-ful roots route to the Hadoop FileSystem implementation;
-    * plain local paths keep the hard-link store (and its fully atomic
-    * claim). One instance each — both are stateless.
+  /** Per-scheme routing (see the trait doc for each store's claim
+    * semantics): `mem://` to the object store, `file:` to the local
+    * hard-link store with the scheme stripped (Hadoop's local rename
+    * can overwrite — not a claim), other schemes to the Hadoop store,
+    * plain paths to the local store.
     */
   def forRoot(root: String): LogStore =
-    if (root.contains("://") || root.startsWith("file:")) HadoopLogStore
+    if (root.startsWith(ObjectStoreLogStore.MemScheme)) ObjectStoreLogStore.Mem
+    else if (root.startsWith("file:")) FileSchemeLogStore
+    else if (root.contains("://")) HadoopLogStore
     else LocalLogStore
+}
+
+/** `file:`-scheme adapter over [[LocalLogStore]]: strips the scheme and
+  * keeps the fully atomic hard-link claim. See [[LogStore.forRoot]] —
+  * routing `file:` through the Hadoop store would ride the local FS's
+  * overwriting `rename(2)` and lose a racing commit.
+  */
+object FileSchemeLogStore extends LogStore {
+  import LogStore.FileMeta
+
+  private[io] def strip(p: String): String = {
+    val s = p.stripPrefix("file:")
+    if (s.startsWith("//")) {
+      val rest = s.drop(2)
+      require(rest.startsWith("/"),
+        s"file: URI with a non-empty authority is not local: $p")
+      rest
+    } else s
+  }
+
+  override def readBytes(path: String): Array[Byte] =
+    LocalLogStore.readBytes(strip(path))
+  override def exists(path: String): Boolean = LocalLogStore.exists(strip(path))
+  override def isDir(path: String): Boolean = LocalLogStore.isDir(strip(path))
+  override def list(dir: String): Seq[String] = LocalLogStore.list(strip(dir))
+  override def walk(dir: String): Seq[FileMeta] = LocalLogStore.walk(strip(dir))
+  override def walkDirs(dir: String): Seq[String] =
+    LocalLogStore.walkDirs(strip(dir))
+  override def mtimeMillis(path: String): Long =
+    LocalLogStore.mtimeMillis(strip(path))
+  override def mkdirs(dir: String): Unit = LocalLogStore.mkdirs(strip(dir))
+  override def putIfAbsent(path: String, bytes: Array[Byte]): Boolean =
+    LocalLogStore.putIfAbsent(strip(path), bytes)
+  override def putReplace(path: String, bytes: Array[Byte]): Unit =
+    LocalLogStore.putReplace(strip(path), bytes)
+  override def createMarker(path: String): Unit =
+    LocalLogStore.createMarker(strip(path))
+  override def delete(path: String): Boolean = LocalLogStore.delete(strip(path))
 }
 
 /** `java.nio` implementation for schemeless local paths — the original
@@ -192,9 +240,10 @@ object LocalLogStore extends LogStore {
     catch { case _: java.nio.file.DirectoryNotEmptyException => false }
 }
 
-/** Hadoop `FileSystem` implementation for scheme-ful roots (`hdfs://`,
-  * `file://`, ...) — the claim is temp-write + rename (atomic and
-  * exclusive on HDFS; see [[LogStore]] for the per-scheme contract).
+/** Hadoop `FileSystem` implementation for rename-atomic scheme-ful
+  * roots (`hdfs://`, ...) — the claim is temp-write + rename (atomic
+  * and exclusive on HDFS; see [[LogStore]] for the per-scheme
+  * contract; `file:` and `mem://` roots route elsewhere).
   * The configuration comes from the active Spark session when one
   * exists (so `fs.*` settings apply), else a vanilla Hadoop default.
   */

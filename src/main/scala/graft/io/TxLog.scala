@@ -1484,13 +1484,29 @@ object TxLog {
       path = absPath(srcAbs, e.path),
       dvs = e.dvs.map(d => absPath(srcAbs, d))))
     store(dstRoot).mkdirs(logDir(dstRoot))
+    // FULL metadata state rides along, not just entries: the source's
+    // column mapping (external files carry PHYSICAL names — a clone
+    // without the map would look logical names up directly and read
+    // every renamed column as NULL), its retired physicals (so a re-add
+    // in the clone can never resurface old bytes), its CHECK
+    // constraints, and its clustering keys. The hint markers land
+    // BEFORE the manifest, same ordering as rename/addConstraint.
+    if (r.colMap.nonEmpty || r.droppedPhys.nonEmpty)
+      try store(dstRoot).createMarker(colmapMarker(dstRoot))
+      catch { case scala.util.control.NonFatal(_) => () } // already hinted: fine
+    if (r.constraints.nonEmpty)
+      try store(dstRoot).createMarker(constraintsMarker(dstRoot))
+      catch { case scala.util.control.NonFatal(_) => () } // already hinted: fine
     // the source's dv-byte ledger rides along, keyed by the absolutized
     // refs the clone's entries now carry
     val extDvb = r.dvBytes.map { case (d, b) => absPath(srcAbs, d) -> b }
     publish(dstRoot, ext.map(renderEntry), Overwrite, txnId = None,
       recorded = r.schema, expectHead = None,
       txn = java.util.UUID.randomUUID().toString.take(12),
-      partitionBy = layoutOf(srcRoot, r), op = Some("CLONE"), dvb = extDvb)
+      partitionBy = layoutOf(srcRoot, r), op = Some("CLONE"), dvb = extDvb,
+      colMapAdd = r.colMap, colDrop = r.droppedPhys,
+      constraints = if (r.constraints.isEmpty) None else Some(r.constraints),
+      cluster = if (r.clusterBy.isEmpty) None else Some(r.clusterBy))
   }
 
   /** Metadata-only COUNT(*): Σ per-file recorded row counts minus each
@@ -1546,7 +1562,7 @@ object TxLog {
       // already sees the hint and resolves constraints from the log
       store(root).mkdirs(logDir(root))
       try store(root).createMarker(constraintsMarker(root))
-      catch { case _: Throwable => () } // already hinted: fine
+      catch { case scala.util.control.NonFatal(_) => () } // already hinted: fine
       publish(root, r.entries.map(renderEntry), Overwrite, txnId = None,
         recorded = r.schema, expectHead = Some(base),
         txn = java.util.UUID.randomUUID().toString.take(12),
@@ -1613,12 +1629,19 @@ object TxLog {
         f => if (f.name == oldName) f.copy(name = newName) else f))
       store(root).mkdirs(logDir(root))
       try store(root).createMarker(colmapMarker(root))
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () } // already hinted: fine
+      // recorded clustering keys follow the rename in the SAME commit,
+      // so a keyless compactZOrder after the rename resolves — and can
+      // never cluster by a stranger re-added under the old name
+      val newCluster =
+        if (!r.clusterBy.contains(oldName)) None
+        else Some(r.clusterBy.map(c => if (c == oldName) newName else c))
       publish(root, r.entries.map(renderEntry), Overwrite, txnId = None,
         recorded = Some(newSchema), expectHead = Some(base),
         txn = java.util.UUID.randomUUID().toString.take(12),
         cdf = Some(""), partitionBy = layout, op = Some("RENAME COLUMN"),
-        colMapAdd = Map(newName -> physOld), colUnmap = Set(oldName))
+        colMapAdd = Map(newName -> physOld), colUnmap = Set(oldName),
+        cluster = newCluster)
     }
 
   /** DROP COLUMN — metadata only: the field leaves the recorded schema
@@ -1638,6 +1661,9 @@ object TxLog {
       val layout = layoutOf(root, r)
       require(!layout.contains(name),
         s"txlog: cannot drop partition column $name")
+      require(!r.clusterBy.contains(name),
+        s"txlog: $name is a recorded clustering key; clusterBy without " +
+          "it (or compact) first")
       r.constraints.foreach { case (n, ex) =>
         require(!constraintRefs(ex).contains(name),
           s"txlog: CHECK constraint $n references $name; drop it first")
@@ -1647,7 +1673,7 @@ object TxLog {
         schema.fields.filterNot(_.name == name))
       store(root).mkdirs(logDir(root))
       try store(root).createMarker(colmapMarker(root))
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () } // already hinted: fine
       publish(root, r.entries.map(renderEntry), Overwrite, txnId = None,
         recorded = Some(newSchema), expectHead = Some(base),
         txn = java.util.UUID.randomUUID().toString.take(12),

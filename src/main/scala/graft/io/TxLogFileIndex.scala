@@ -135,21 +135,22 @@ final class TxLogFileIndex(
         case Some(Left(_)) => false // value can't fit the write-time type
         case Some(Right(h)) =>
           // NOT getOrElseUpdate: that can run the loader twice under
-          // concurrent planning and over-count the read counter specs
-          // assert as an exact bound — compute, then putIfAbsent, and
-          // count only the insert that actually won. The sidecar GET
+          // concurrent planning — compute, then putIfAbsent (first
+          // insert wins; a racing loser's duplicate load still COUNTS,
+          // because bloomReads tracks actual sidecar I/O, not cache
+          // population — see the counter's doc). The sidecar GET
           // uses the SCHEME-FUL path (a stripped path would resolve
           // against fs.defaultFS on an object-store root and silently
           // disable bloom pruning there).
           val cached = sidecars.get((file, a.name)).getOrElse {
+            TxLogFileIndex.bloomReads.incrementAndGet() // every real GET
             val loaded = Bloom.readSidecarBytes(
               try LogStore.forRoot(fullPath)
                 .readBytes(Bloom.sidecar(fullPath, a.name))
               catch { case _: Throwable => null })
             sidecars.putIfAbsent((file, a.name), loaded) match {
-              case Some(prev) => prev // lost the race: other read counts
-              case None =>
-                TxLogFileIndex.bloomReads.incrementAndGet(); loaded
+              case Some(prev) => prev // lost the insert race: cache wins
+              case None       => loaded
             }
           }
           cached match {
@@ -261,10 +262,12 @@ object TxLogFileIndex {
       org.apache.spark.sql.functions.lit("")), c)
   }
 
-  /** Sidecar bitset reads across all indexes — specs assert a point
-    * lookup's planning opens at most (zone-surviving files × probed
-    * columns) sidecars, the same read-counting discipline as
-    * `TxLog.manifestReads`.
+  /** Sidecar bitset reads across all indexes — counts every ACTUAL
+    * sidecar GET (including a concurrent planner's duplicate load that
+    * loses the cache-insert race), so it is an honest I/O meter; specs
+    * assert a single-threaded point lookup's planning opens at most
+    * (zone-surviving files × probed columns) sidecars, the same
+    * read-counting discipline as `TxLog.manifestReads`.
     */
   private[io] val bloomReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
@@ -401,7 +404,7 @@ object TxLogFileIndex {
       if (r.schema.isEmpty) throw new IllegalStateException(
         s"txlog: $root mixes partition layouts and has no recorded schema — " +
           "partition column types cannot be inferred")
-      grouped.toSeq.sortBy(_._1.mkString(" "))
+      grouped.toSeq.sortBy(_._1.mkString("\u0000"))
         .map { case (layout, es) =>
           readRawUniform(spark, root, r.copy(entries = es), layout)
         }

@@ -12,5 +12,8 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // in-process object store (CAS put, paged LIST, no rename) — the
+    // txlog protocol specs run tables end-to-end on mem:// roots
+    .config("spark.hadoop.fs.mem.impl", "graft.io.MemFileSystem")
     .getOrCreate()
 }

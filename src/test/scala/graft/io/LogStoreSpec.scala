@@ -21,10 +21,15 @@ class LogStoreSpec extends AnyFunSuite {
     (lo until hi).map(i => (i.toLong, s"row-$i")).toDF("id", "payload")
   }
 
-  test("store routing: scheme-ful roots take the Hadoop store, plain paths the local one") {
+  test("store routing: every scheme reaches the store whose claim is atomic there") {
     assert(LogStore.forRoot("/tmp/x") eq LocalLogStore)
-    assert(LogStore.forRoot("file:///tmp/x") eq HadoopLogStore)
+    // file: must NOT reach the Hadoop store: its local rename can
+    // overwrite, so two racing committers could both claim one version
+    assert(LogStore.forRoot("file:///tmp/x") eq FileSchemeLogStore)
+    assert(FileSchemeLogStore.strip("file:///tmp/x") === "/tmp/x")
+    assert(FileSchemeLogStore.strip("file:/tmp/x") === "/tmp/x")
     assert(LogStore.forRoot("hdfs://nn/x") eq HadoopLogStore)
+    assert(LogStore.forRoot("mem://b/x") eq ObjectStoreLogStore.Mem)
   }
 
   test("both stores: putIfAbsent claims exactly once and publishes complete bytes") {
