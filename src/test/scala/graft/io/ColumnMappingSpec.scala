@@ -194,4 +194,73 @@ class ColumnMappingSpec extends AnyFunSuite {
       r.colMap("payload").startsWith("c_"),
       s"the re-added column needs a fresh physical name: ${r.colMap}")
   }
+
+  test("clone carries the mapping: a clone-after-rename reads real values, not NULLs") {
+    import spark.implicits._
+    val src = Zones.tempDir("cmclsrc")
+    TxLog.commit(spark, src,
+      (0 until 100).map(i => (i.toLong, s"keep-$i", s"secret-$i"))
+        .toDF("id", "payload", "extra").coalesce(1),
+      TxLog.Append, statsCols = Seq("id"))
+    TxLog.commit(spark, src,
+      (100 until 120).map(i => (i.toLong, s"keep-$i", s"secret-$i"))
+        .toDF("id", "payload", "extra").coalesce(1),
+      TxLog.Append, statsCols = Seq("id")) // 2nd file so zorder rewrites
+    TxLog.renameColumn(src, "payload", "text") // colMap
+    TxLog.dropColumn(src, "extra")             // droppedPhys
+    TxLog.addConstraint(spark, src, "id_pos", "id >= 0") // constraints
+    TxLog.compactZOrder(spark, src, "id", "id",
+      smallBytes = Long.MaxValue) // records cluster keys
+    assert(TxLog.clusterKeysOf(src) === Seq("id", "id"))
+
+    val dst = Zones.tempDir("cmcldst")
+    TxLog.cloneTable(src, dst)
+    // the clone's scan resolves logical→physical through the carried
+    // map: every pre-rename value reads back, none as NULL
+    val snap = TxLog.snapshot(spark, dst)
+    assert(snap.columns.toSeq === Seq("id", "text"))
+    assert(snap.filter(col("text").isNull).count() === 0L,
+      "a clone without the column mapping reads every renamed column as NULL")
+    assert(snap.filter(col("text") === "keep-42").count() === 1L)
+    val r = TxLog.replay(dst, TxLog.headVersion(dst))
+    assert(r.colMap === Map("text" -> "payload"))
+    assert(r.droppedPhys === Set("extra"),
+      "retired physicals must ride the clone or a re-add resurfaces bytes")
+    assert(r.constraints === Map("id_pos" -> "id >= 0"))
+    assert(TxLog.clusterKeysOf(dst) === Seq("id", "id"))
+    // re-adding the dropped name in the CLONE gets a fresh physical:
+    // the source's "secret-*" bytes never resurface
+    TxLog.commit(spark, dst,
+      Seq((500L, "t-500", "fresh")).toDF("id", "text", "extra").coalesce(1),
+      TxLog.Append, statsCols = Seq("id"))
+    val snap2 = TxLog.snapshot(spark, dst)
+    assert(snap2.filter(col("extra").startsWith("secret")).count() === 0L,
+      "dropped bytes must not resurface through a clone")
+    assert(snap2.filter(col("extra") === "fresh").count() === 1L)
+    // the carried constraint is live in the clone
+    intercept[TxLog.ConstraintViolation](TxLog.commit(spark, dst,
+      Seq((-1L, "bad")).toDF("id", "text").coalesce(1), TxLog.Append))
+  }
+
+  test("rename of a recorded cluster key rewrites the keys; drop of one refuses") {
+    import spark.implicits._
+    val root = Zones.tempDir("cmclkey")
+    TxLog.commit(spark, root,
+      (0 until 100).map(i => (i.toLong, i.toLong * 7 % 100, s"v-$i"))
+        .toDF("a", "b", "payload").coalesce(1),
+      TxLog.Append, statsCols = Seq("a", "b"))
+    TxLog.append(spark, root, Seq((500L, 1L, "x")).toDF("a", "b", "payload"))
+    TxLog.compactZOrder(spark, root, "a", "b", smallBytes = Long.MaxValue)
+    assert(TxLog.clusterKeysOf(root) === Seq("a", "b"))
+    TxLog.renameColumn(root, "b", "bucket")
+    assert(TxLog.clusterKeysOf(root) === Seq("a", "bucket"),
+      "cluster keys must follow the rename in the same commit")
+    // keyless re-cluster resolves through the rewritten keys
+    TxLog.append(spark, root, Seq((600L, 2L, "y")).toDF("a", "bucket", "payload"))
+    TxLog.compactZOrder(spark, root)
+    assert(TxLog.snapshot(spark, root).count() === 102L)
+    // dropping a recorded cluster key is refused, like a partition column
+    val e = intercept[IllegalArgumentException](TxLog.dropColumn(root, "bucket"))
+    assert(e.getMessage.contains("clustering key"))
+  }
 }

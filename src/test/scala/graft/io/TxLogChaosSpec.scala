@@ -18,7 +18,9 @@ import graft.TestSpark
   * vacuums, every read-modify-write (merge/delete/update/optimize/
   * compact) must serialize against appends AND each other, checkpoints
   * written mid-race must carry consistent entries/schema/txns, and the
-  * final replay must account for every row exactly once.
+  * final replay must account for every row exactly once. Runs over BOTH
+  * store flavors ([[StoreFlavors]]): the local hard-link claim and the
+  * object store's conditional PUT under paged LISTs and no rename.
   */
 class TxLogChaosSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -28,8 +30,9 @@ class TxLogChaosSpec extends AnyFunSuite {
     (lo until hi).map(i => (s"$tag-$i", s"payload-$tag-$i")).toDF("id", "payload")
   }
 
-  test("appends, idempotent appends, merges, optimize, and vacuum race without loss") {
-    val root = Zones.tempDir("txlog_chaos")
+  for ((flavor, mkRoot) <- StoreFlavors.flavors("txlog_chaos"))
+  test(s"appends, idempotent appends, merges, optimize, and vacuum race without loss [$flavor]") {
+    val root = mkRoot()
     TxLog.append(spark, root, rows("seed", 0, 10)) // v1
     TxLog.append(spark, root, rows("del", 0, 5))   // v2: the CoW delete's prey
     TxLog.append(spark, root, rows("dvd", 0, 5))   // v3: the DV delete's prey

@@ -27,9 +27,10 @@ class TxLogModelSpec extends AnyFunSuite {
     TxLog.snapshot(spark, root, v).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
 
-  test("random append/overwrite/merge/delete/update/DV-delete/MoR-update/purge/optimize/compact/restore/vacuum programs match the model") {
+  for ((flavor, mkRoot) <- StoreFlavors.flavors("txlog_model"))
+  test(s"random append/overwrite/merge/delete/update/DV-delete/MoR-update/purge/optimize/compact/restore/vacuum programs match the model [$flavor]") {
     val rnd = new Random(20260815L)
-    val root = Zones.tempDir("txlog_model")
+    val root = mkRoot()
 
     var model = Map(1L -> "init-1", 2L -> "init-2")
     TxLog.append(spark, root, toDf(model))
