@@ -993,10 +993,14 @@ object TxLog {
       if (effMap.isEmpty) df
       else df.select(df.columns.toSeq.map(c => col(c).as(phys(c))): _*)
     // step 1: data files land first, unreferenced by any manifest —
-    // hive-layout (k=v dirs) when partitioned, flat otherwise
+    // hive-layout (k=v dirs) when partitioned, flat otherwise. Partition
+    // DIRECTORIES use PHYSICAL names (like every other file byte): a
+    // renamed partition column keeps writing the directory name every
+    // older generation already has, so the layout stays physically
+    // uniform and the read resolves it back through the mapping.
     if (partitionBy.isEmpty) physDf.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
     else physDf.write.mode(SaveMode.ErrorIfExists)
-      .partitionBy(partitionBy: _*).parquet(dataDir)
+      .partitionBy(partitionBy.map(phys): _*).parquet(dataDir)
     // ONE recursive store walk returns every written file with its size
     // (on an object store that is one paged LIST, never stat-per-file)
     val writtenSizes: Map[String, Long] = store(root).walk(dataDir).iterator
@@ -1603,8 +1607,11 @@ object TxLog {
     * its name via a `colmap` entry (Delta's column mapping), so every
     * pre-rename file reads through the new name and every pre-rename
     * zone map / bloom index keeps pruning (stats are keyed physical).
-    * Refused for partition columns (their name IS the directory layout)
-    * and for columns a CHECK constraint references. Content-preserving
+    * PARTITION columns rename too (Iceberg's semantics): the layout
+    * declaration moves with the logical name while the k=v directories
+    * keep the physical one — old generations, new writes, and directory
+    * pruning all resolve through the mapping. Refused only for columns
+    * a CHECK constraint references. Content-preserving
     * (`cdf = ""`): change-feed subscribers read through it, surfacing
     * the new name from this version on. Serializable like every
     * metadata commit.
@@ -1618,13 +1625,17 @@ object TxLog {
       require(!schema.fieldNames.contains(newName),
         s"txlog: column $newName already exists on $root")
       val layout = layoutOf(root, r)
-      require(!layout.contains(oldName),
-        s"txlog: cannot rename partition column $oldName")
       r.constraints.foreach { case (n, ex) =>
         require(!constraintRefs(ex).contains(oldName),
           s"txlog: CHECK constraint $n references $oldName; drop it first")
       }
       val physOld = r.physName(oldName)
+      // a PARTITION column renames too (Iceberg allows it): the layout
+      // declaration moves to the new logical name in the same commit,
+      // while the k=v directories — physical bytes, like file columns —
+      // keep the physical name, which new writes keep using (see the
+      // commit write path) and the read resolves back through the map
+      val newLayout = layout.map(c => if (c == oldName) newName else c)
       val newSchema = org.apache.spark.sql.types.StructType(schema.fields.map(
         f => if (f.name == oldName) f.copy(name = newName) else f))
       store(root).mkdirs(logDir(root))
@@ -1639,7 +1650,7 @@ object TxLog {
       publish(root, r.entries.map(renderEntry), Overwrite, txnId = None,
         recorded = Some(newSchema), expectHead = Some(base),
         txn = java.util.UUID.randomUUID().toString.take(12),
-        cdf = Some(""), partitionBy = layout, op = Some("RENAME COLUMN"),
+        cdf = Some(""), partitionBy = newLayout, op = Some("RENAME COLUMN"),
         colMapAdd = Map(newName -> physOld), colUnmap = Set(oldName),
         cluster = newCluster)
     }
@@ -1690,11 +1701,13 @@ object TxLog {
   private def writeCheckpoint(root: String, v: Long): Unit =
     try {
       val r = replay(root, v)
-      // a MIXED partition layout cannot be represented in a checkpoint —
-      // skip writing one (derived state; readers replay from an older
-      // base and keep seeing the mixed marker)
-      val partCols = r.partitionBy.getOrElse(
-        throw new IllegalStateException("mixed partition layout"))
+      // a MIXED partition layout checkpoints fine: the record carries the
+      // CURRENT declared spec, while each entry's own k=v path segments
+      // carry its generation's layout — exactly what the read derives
+      // them from — so an evolved table's replay stays checkpoint-bounded
+      // instead of replaying an ever-growing manifest suffix
+      // (TxLogPartitionSpec's mixed-layout case proves the bound)
+      val partCols = r.partitionBy.getOrElse(Nil)
       val partPart =
         if (partCols.isEmpty) ""
         else partCols.map(c => "\"" + c + "\"")
@@ -2529,6 +2542,79 @@ object TxLog {
           op = Some("COMPACT"))
       }
     }
+
+  /** Logical stats columns worth preserving across a maintenance
+    * rewrite, FROM THE LOG: the distinct zone-map keys the live entries
+    * already carry (physical), mapped back to logical names and
+    * filtered to the current schema — so [[maintain]]'s rewrites keep
+    * the data-skipping the original commits paid for, without the
+    * caller re-declaring anything.
+    */
+  private def ledgerStatsCols(r: Replay): Seq[String] = {
+    val inv = r.colMap.map(_.swap) // physical → logical
+    r.entries.iterator
+      .flatMap(e => e.stats.keysIterator ++ e.strStats.keysIterator)
+      .toSeq.distinct
+      .map(p => inv.getOrElse(p, p))
+      .filter(c => r.schema.forall(_.fieldNames.contains(c)))
+  }
+
+  /** ONE-CALL maintenance policy, decided entirely from the LOG's own
+    * ledger (manifest file sizes, per-file row/deleted counts, recorded
+    * clustering keys) — zero data reads to DECIDE, data jobs only for
+    * the rewrites it actually chooses. In dependency order:
+    *
+    *  1. [[purge]] when any live file's deleted fraction crosses
+    *     `dvThreshold` — materializing heavy deletion vectors FIRST so
+    *     the compaction below never re-carries their positions;
+    *  2. [[compactZOrder]] through the log-recorded clustering keys
+    *     when the table has them and ≥ 2 small files exist (a plain
+    *     compact would destroy the clustering a prior zorder paid
+    *     for); plain [[compact]] otherwise;
+    *  3. [[vacuum]] retaining the last `retainVersions` snapshots.
+    *
+    * Stats columns for the rewrites come from the ledger too
+    * ([[ledgerStatsCols]]): whatever zone maps the live files already
+    * carry survive the rewrite. Returns the (op, result) pairs actually
+    * performed; a healthy table is all-skips and ZERO Spark jobs, so
+    * the operator's whole maintenance loop is `TxLog.maintain(spark,
+    * root)` on a schedule — Delta's OPTIMIZE + VACUUM cron in one call.
+    */
+  def maintain(
+      spark: SparkSession,
+      root: String,
+      smallBytes: Long = 64L * 1024 * 1024,
+      dvThreshold: Double = 0.3,
+      retainVersions: Long = 10L,
+      inflightGraceMs: Long = 24L * 3600 * 1000): Seq[(String, Long)] = {
+    val head0 = headVersion(root)
+    if (head0 == 0L) return Nil
+    val out = Seq.newBuilder[(String, Long)]
+    val r0 = replay(root, head0)
+    val needsPurge = r0.entries.exists(e => e.dvs.nonEmpty && (e.rows match {
+      case Some(n) if n > 0L => e.dvRows.toDouble / n > dvThreshold
+      case _                 => true // unknown counts + live refs: rewrite
+    }))
+    if (needsPurge)
+      out += ("PURGE" -> purge(spark, root, dvThreshold,
+        statsCols = ledgerStatsCols(r0), targetBytes = smallBytes))
+    // re-resolve: the purge may have rewritten (or folded) entries
+    val r1 = replay(root, headVersion(root))
+    if (r1.entries.count(_.bytes.forall(_ < smallBytes)) >= 2) {
+      val keys = r1.clusterBy
+      if (keys.size == 2)
+        out += ("ZORDER" -> compactZOrder(spark, root, keys.head, keys(1),
+          smallBytes))
+      else
+        out += ("COMPACT" -> compact(spark, root, smallBytes,
+          statsCols = ledgerStatsCols(r1)))
+    }
+    val horizon = math.max(1L, headVersion(root) - retainVersions + 1)
+    val reclaimed = vacuum(root, retainFrom = horizon,
+      inflightGraceMs = inflightGraceMs)
+    if (reclaimed > 0) out += ("VACUUM" -> reclaimed.toLong)
+    out.result()
+  }
 
   /** Snapshot read: the table as of `version` (head when None). The file
     * list is resolved ONCE here; later commits only add files this list

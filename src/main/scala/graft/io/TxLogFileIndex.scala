@@ -286,6 +286,60 @@ object TxLogFileIndex {
     }.getOrElse(throw new IllegalArgumentException(
       "not a TxLog.snapshot-derived DataFrame"))
 
+  /** DataFrame over `rel` whose LogicalRelation carries
+    * `CatalogStatistics` FROM THE LOG: the live-fraction-scaled
+    * sizeInBytes the index already estimates, plus the EXACT live row
+    * count from the manifest row-count ledger (`Σ rows − dvRows`, the
+    * q658 path) — so cost-based planning (`spark.sql.cbo.enabled` /
+    * `spark.sql.statistics.planStats.enabled`) sees log-exact
+    * cardinality with zero data reads, fixing join-order estimates
+    * that bytes alone get wrong (deletion-vector-heavy tables look big
+    * in bytes while being small in rows). Counts are LIVE rows — the
+    * post-DV-subtraction cardinality downstream operators actually see
+    * — matching the sizeInBytes convention. The two private hops
+    * (`LogicalRelation.apply(rel, table)`, `Dataset.ofRows`) go through
+    * reflection to stay out of Spark's namespace (the
+    * TxLogSource.asStreamingFrame stance); any failure falls back to
+    * the public stats-less constructor, losing only the estimate.
+    */
+  private def ofRelationWithStats(
+      spark: SparkSession,
+      rel: HadoopFsRelation,
+      rowCount: Option[Long],
+      sizeInBytes: Long): DataFrame =
+    try {
+      import org.apache.spark.sql.catalyst.TableIdentifier
+      import org.apache.spark.sql.catalyst.catalog.{CatalogStatistics, CatalogStorageFormat, CatalogTable, CatalogTableType}
+      val tbl = CatalogTable(
+        identifier = TableIdentifier("txlog_snapshot"),
+        tableType = CatalogTableType.EXTERNAL,
+        storage = CatalogStorageFormat.empty,
+        schema = rel.schema,
+        provider = Some("parquet"),
+        stats = Some(CatalogStatistics(
+          BigInt(math.max(1L, sizeInBytes)), rowCount.map(BigInt(_)))))
+      val lrMod = Class.forName(
+        "org.apache.spark.sql.execution.datasources.LogicalRelation$")
+      val lr = lrMod.getField("MODULE$").get(null)
+      val plan = lrMod.getMethod("apply",
+        classOf[org.apache.spark.sql.sources.BaseRelation],
+        classOf[CatalogTable]).invoke(lr, rel, tbl)
+      val dsMod = Class.forName("org.apache.spark.sql.classic.Dataset$")
+      val ds = dsMod.getField("MODULE$").get(null)
+      val ofRows = dsMod.getMethods.find(m =>
+        m.getName == "ofRows" && m.getParameterCount == 2).get
+      ofRows.invoke(ds, spark, plan).asInstanceOf[DataFrame]
+    } catch {
+      case scala.util.control.NonFatal(_) => spark.baseRelationToDataFrame(rel)
+    }
+
+  /** Exact LIVE row count of a replay subset from the ledger — `None`
+    * (no estimate) when any entry predates row-count recording.
+    */
+  private def ledgerRowCount(r: TxLog.Replay): Option[Long] =
+    if (r.entries.isEmpty || r.entries.exists(_.rows.isEmpty)) None
+    else Some(r.entries.iterator.map(e => e.rows.get - e.dvRows).sum)
+
   /** Build the snapshot DataFrame for a resolved replay: stock parquet
     * [[HadoopFsRelation]] over a [[TxLogFileIndex]], schema = union of
     * the live files' schemas (additive evolution reads with nulls
@@ -457,7 +511,8 @@ object TxLogFileIndex {
         blooms = bloomsM, liveFracs = fracs)
       val rel = HadoopFsRelation(index, new StructType(), physSchema, None,
         new ParquetFileFormat, Map("mergeSchema" -> "true"))(spark)
-      val df = spark.baseRelationToDataFrame(rel)
+      val df = ofRelationWithStats(spark, rel, ledgerRowCount(r),
+        index.sizeInBytes)
       if (cm.isEmpty) df
       else df.select(logical.fields.toSeq.map(f =>
         col(cm.getOrElse(f.name, f.name)).as(f.name)): _*)
@@ -465,12 +520,21 @@ object TxLogFileIndex {
       val full = r.schema.getOrElse(throw new IllegalStateException(
         s"txlog: partitioned table $root has no recorded schema — " +
           "partition column types cannot be inferred from data files"))
-      val partSchema = StructType(partCols.map(c =>
-        full.fields.find(_.name == c).getOrElse(
-          throw new IllegalStateException(
-            s"txlog: partition column $c missing from the recorded schema"))))
-      // partition columns are never mapped (rename refuses them)
-      val dataFields = full.fields.filterNot(f => partCols.contains(f.name))
+      // partCols arrive PHYSICAL (derived from the k=v dir names the
+      // files actually carry); a renamed partition column resolves its
+      // logical field through the mapping, the partition schema keeps
+      // the physical name (so path parsing keys match), and the final
+      // projection aliases it back — same discipline as data columns
+      val partFields = partCols.map { c =>
+        val logical = full.fields.find(f => cm.getOrElse(f.name, f.name) == c)
+          .getOrElse(throw new IllegalStateException(
+            s"txlog: partition column $c missing from the recorded schema"))
+        logical.copy(name = c) -> logical.name
+      }
+      val partSchema = StructType(partFields.map(_._1))
+      val physPartNames = partCols.toSet
+      val dataFields = full.fields.filterNot(f =>
+        physPartNames.contains(cm.getOrElse(f.name, f.name)))
       val dataSchema =
         if (cm.isEmpty) StructType(dataFields)
         else StructType(dataFields.map(f =>
@@ -479,13 +543,14 @@ object TxLogFileIndex {
         strStatsM, partSchema, bloomsM, liveFracs = fracs)
       val rel = HadoopFsRelation(index, partSchema, dataSchema, None,
         new ParquetFileFormat, Map("mergeSchema" -> "true"))(spark)
-      val df = spark.baseRelationToDataFrame(rel)
+      val df = ofRelationWithStats(spark, rel, ledgerRowCount(r),
+        index.sizeInBytes)
       if (cm.isEmpty) df
       // preserve the scan's column order: data fields first, then the
-      // (unmapped) partition columns
+      // partition columns (aliased back to their logical names)
       else df.select(dataFields.toSeq.map(f =>
         col(cm.getOrElse(f.name, f.name)).as(f.name)) ++
-        partCols.map(col): _*)
+        partFields.map { case (pf, logical) => col(pf.name).as(logical) }: _*)
     }
   }
 

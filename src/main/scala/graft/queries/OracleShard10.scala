@@ -1365,5 +1365,13 @@ private[graft] object OracleShard10 {
         |WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 2
         |  AND o_orderpriority >= '3'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q662_txlog_partition_rename" ->
+      """SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 2
+        |  AND o_orderpriority >= '3'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -2432,5 +2432,38 @@ private[graft] object Shard10 {
         .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
         .orderBy("o_orderpriority")
     }),
+
+    // PARTITION-COLUMN RENAME oracled end to end: January lands
+    // hive-partitioned by o_orderpriority, the PARTITION column then
+    // renames to `priority` (metadata-only — the k=v directories keep
+    // the physical name and new writes keep using it, so the layout
+    // stays physically uniform), February lands under the NEW
+    // declaration, and the read groups by the renamed column across
+    // both eras with directory pruning resolving through the mapping.
+    // The oracle recomputes from the base orders table, so a
+    // NULL-filled renamed partition value, a lost era, or a misrouted
+    // post-rename write breaks the hash. ColumnMappingSpec pins the
+    // mechanics (old dirs + new writes + pruning + checkpoint survival)
+    "q662_txlog_partition_rename" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(expr("year(o_orderdate) = 1995 AND month(o_orderdate) <= 2"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          centsOf(col("o_totalprice")).as("v"),
+          month(col("o_orderdate")).as("mm"))
+      val root = io.Zones.tempDir(s"graft_pren_${new java.io.File(dir).getName}")
+      io.TxLog.commit(s, root, o.filter(col("mm") === 1).drop("mm"),
+        io.TxLog.Append, statsCols = Seq("o_orderkey"),
+        partitionBy = Seq("o_orderpriority"))
+      io.TxLog.renameColumn(root, "o_orderpriority", "priority")
+      io.TxLog.commit(s, root, o.filter(col("mm") === 2).drop("mm")
+        .withColumnRenamed("o_orderpriority", "priority"),
+        io.TxLog.Append, statsCols = Seq("o_orderkey"),
+        partitionBy = Seq("priority"))
+      io.TxLog.snapshot(s, root)
+        .filter(col("priority") >= "3")
+        .groupBy("priority")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
+        .orderBy("priority")
+    }),
   )
 }

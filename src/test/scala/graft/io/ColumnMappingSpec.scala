@@ -132,19 +132,79 @@ class ColumnMappingSpec extends AnyFunSuite {
     TxLog.addConstraint(spark, root, "id_pos", "id >= 0")
     assertThrows[IllegalArgumentException](TxLog.renameColumn(root, "id", "key"))
     assertThrows[IllegalArgumentException](TxLog.dropColumn(root, "id"))
-    // a partitioned table refuses renaming its partition column
+    // a partitioned table renames BOTH kinds of column: data columns as
+    // always, and the partition column itself through the mapping (the
+    // dedicated partition-rename case covers dirs/pruning/checkpoints)
     val proot = Zones.tempDir("cmpart")
     TxLog.commit(spark, proot,
       Seq((1L, "en", "a"), (2L, "fr", "b")).toDF("id", "lang", "t"),
       TxLog.Append, partitionBy = Seq("lang"))
-    assertThrows[IllegalArgumentException](
-      TxLog.renameColumn(proot, "lang", "language"))
-    // but renaming a DATA column of a partitioned table works
     TxLog.renameColumn(proot, "t", "body")
+    TxLog.renameColumn(proot, "lang", "language")
     val ps = TxLog.snapshot(spark, proot)
+    assert(ps.columns.toSet === Set("id", "language", "body"))
     assert(ps.count() === 2L)
-    assert(ps.filter(col("lang") === "en").head()
+    assert(ps.filter(col("language") === "en").head()
       .getAs[String]("body") === "a")
+  }
+
+  test("PARTITION column rename: old dirs, new writes, pruning, and checkpoints all resolve") {
+    import spark.implicits._
+    val root = Zones.tempDir("cmpren")
+    def rows(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, Seq("de", "en", "fr", "ja")(i % 4), s"doc-$i"))
+      .toDF("id", "lang", "text")
+    TxLog.commit(spark, root, rows(0, 80), TxLog.Append,
+      statsCols = Seq("id"), partitionBy = Seq("lang"))
+    TxLog.renameColumn(root, "lang", "language")
+    // pre-rename generation reads through the new logical name
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.columns.toSeq === Seq("id", "text", "language"))
+    assert(snap.filter(col("language").isNull).count() === 0L)
+    assert(snap.groupBy("language").count().collect()
+      .map(_.getLong(1)).forall(_ === 20L))
+    // new writes declare the NEW name but land in the OLD physical dirs:
+    // the layout stays physically uniform (one generation, no union)
+    TxLog.commit(spark, root,
+      rows(80, 120).withColumnRenamed("lang", "language"), TxLog.Append,
+      statsCols = Seq("id"), partitionBy = Seq("language"))
+    assert(TxLog.replay(root, TxLog.headVersion(root)).files
+      .forall(_.contains("lang=")),
+      "post-rename writes must keep the physical directory name")
+    // directory PRUNING applies across both eras under the new name
+    val q = TxLog.snapshot(spark, root).filter(col("language") === "en")
+    assert(q.count() === 30L)
+    assert(TxLogFileIndex.of(q).lastListed.forall(_.contains("lang=en")),
+      "partition pruning must resolve the renamed column to its dirs")
+    // a stale writer still declaring the OLD name refuses loudly
+    assertThrows[IllegalArgumentException](TxLog.commit(spark, root,
+      rows(200, 204), TxLog.Append, partitionBy = Seq("lang")))
+    // DML across the renamed partition column stays partition-granular
+    val before = TxLog.replay(root, TxLog.headVersion(root)).files.toSet
+    TxLog.delete(spark, root, col("language") === "ja")
+    val after = TxLog.replay(root, TxLog.headVersion(root)).files.toSet
+    assert(before.intersect(after) === before.filterNot(_.contains("lang=ja")),
+      "delete must touch only the renamed partition's files")
+    assert(TxLog.snapshot(spark, root).filter(col("language") === "ja")
+      .count() === 0L)
+    // push past a checkpoint boundary; the mapping + layout survive
+    (0 until 10).foreach(i => TxLog.commit(spark, root,
+      Seq((2000L + i, "en", s"late-$i")).toDF("id", "language", "text"),
+      TxLog.Append, partitionBy = Seq("language")))
+    val head = TxLog.headVersion(root)
+    assert(head >= TxLog.CheckpointEvery)
+    val ckpt = (head / TxLog.CheckpointEvery) * TxLog.CheckpointEvery
+    assert(LogStore.forRoot(root).exists(f"$root/_txlog/c$ckpt%08d.json"))
+    (1L until ckpt).foreach(k => LogStore.forRoot(root).putReplace(
+      f"$root/_txlog/v$k%08d.json",
+      "garbage".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val r = TxLog.replay(root, head)
+    assert(r.partitionBy === Some(Seq("language")))
+    assert(r.colMap.get("language") === Some("lang"),
+      "the partition mapping must survive checkpoint-bounded replay")
+    val s2 = TxLog.snapshot(spark, root)
+    assert(s2.count() === 90L + 10L) // 120 − 30 ja + 10 late
+    assert(s2.filter(col("language") === "en").count() === 40L)
   }
 
   test("a RENAME landing inside an append's write window conflicts loudly, never resurrects") {

@@ -232,4 +232,51 @@ class TxLogPartitionSpec extends AnyFunSuite {
     assert(byType.toSet === Set(
       "update_preimage" -> "en", "update_postimage" -> "en"))
   }
+
+  test("a MIXED-layout table still checkpoints: replay stays bounded while generations coexist") {
+    val root = freshTable()
+    // generation 1: flat; generation 2: partitioned by lang — then keep
+    // committing WITHOUT compacting, across two checkpoint boundaries.
+    // A checkpoint skip here would mean O(history) replay on every
+    // evolved high-commit-rate table — the exact failure checkpoints
+    // exist to prevent.
+    TxLog.commit(spark, root, corpus(40), TxLog.Append, statsCols = Seq("id"))
+    TxLog.commit(spark, root,
+      corpus(40).withColumn("id", col("id") + 100), TxLog.Append,
+      statsCols = Seq("id"), partitionBy = Seq("lang"),
+      evolvePartitions = true)
+    (0 until 20).foreach(k => TxLog.commit(spark, root,
+      corpus(4).withColumn("id", col("id") + 1000 + k * 10), TxLog.Append,
+      statsCols = Seq("id"), partitionBy = Seq("lang")))
+    val head = TxLog.headVersion(root)
+    assert(head === 22L)
+    val ckpt = (head / TxLog.CheckpointEvery) * TxLog.CheckpointEvery
+    assert(LogStore.forRoot(root).exists(f"$root/_txlog/c$ckpt%08d.json"),
+      "a mixed partition layout must not skip checkpoints")
+    // ONE replay at head reads the checkpoint + the suffix, bounded
+    TxLog.manifestReads.set(0L)
+    val r = TxLog.replay(root, head)
+    assert(TxLog.manifestReads.get() <= TxLog.CheckpointEvery + 1,
+      s"mixed-layout replay read ${TxLog.manifestReads.get()} manifests")
+    assert(r.partitionBy === Some(Seq("lang")),
+      "the checkpoint must preserve the CURRENT declared spec")
+    // destroy every pre-checkpoint manifest: both GENERATIONS must
+    // reconstruct from the checkpoint alone (entries carry their own
+    // k=v layouts; the read derives each file's layout from its path)
+    (1L until ckpt).foreach(k => LogStore.forRoot(root).putReplace(
+      f"$root/_txlog/v$k%08d.json",
+      "garbage".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.count() === 40L + 40L + 20L * 4L)
+    assert(snap.filter(col("lang") === "en").count() === 10L + 10L + 20L)
+    // per-generation directory pruning still applies post-checkpoint
+    val q = snap.filter(col("lang") === "ja")
+    assert(q.count() === 40L)
+    // and the mixed state still migrates away cleanly
+    TxLog.compact(spark, root, smallBytes = Long.MaxValue, statsCols = Seq("id"))
+    val rc = TxLog.replay(root, TxLog.headVersion(root))
+    assert(rc.files.forall(_.contains("lang=")),
+      "compact must migrate the flat generation to the current spec")
+    assert(TxLog.snapshot(spark, root).count() === 160L)
+  }
 }

@@ -95,4 +95,60 @@ class TxLogPlanAudit extends AnyFunSuite {
     assert(innerJoinKind(math.max(1L, scaled / 2)) === "shuffle",
       "an estimate below the threshold must not broadcast")
   }
+
+  test("the row-count ledger reaches Catalyst: exact rowCount stats and a CBO join reorder bytes can't make") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def mk(tag: String, n: Int): String = {
+      val root = Zones.tempDir(s"txlog_rc_$tag")
+      TxLog.commit(spark, root,
+        (0 until n).map(i => (i.toLong, s"$tag-$i")).toDF(s"k_$tag", s"p_$tag")
+          .coalesce(1), TxLog.Append, statsCols = Seq(s"k_$tag"))
+      root
+    }
+    val big = mk("big", 20000)
+    val mid = mk("mid", 2000)
+    val tiny = mk("tiny", 50)
+    def relStats(root: String) = TxLog.snapshot(spark, root)
+      .queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.stats
+      }.get
+    // the INNERMOST inner join of the optimized 3-table plan — whose
+    // participants reveal the chosen join ORDER (attribute names carry
+    // their table tag). The DV anti-join never matches (LeftAnti).
+    def innermostInnerCols(): Set[String] = {
+      val j = TxLog.snapshot(spark, big)
+        .join(TxLog.snapshot(spark, mid), col("k_big") === col("k_mid"))
+        .join(TxLog.snapshot(spark, tiny), col("k_mid") === col("k_tiny"))
+      j.queryExecution.optimizedPlan.collect {
+        case jn: Join if jn.joinType == org.apache.spark.sql.catalyst.plans.Inner &&
+          jn.children.forall(_.collect {
+            case inner: Join if inner.joinType == org.apache.spark.sql.catalyst.plans.Inner => inner
+          }.isEmpty) => jn
+      }.head.output.map(_.name).filter(_.startsWith("k_")).toSet
+    }
+    val confs = Seq("spark.sql.cbo.planStats.enabled",
+      "spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    try {
+      // WITHOUT the stats flags: the written (worst) order survives —
+      // the big table is in the innermost join
+      assert(innermostInnerCols().contains("k_big"),
+        "bytes-only planning must keep the as-written join order")
+      confs.foreach(spark.conf.set(_, "true"))
+      // exact cardinality, straight from the manifest row ledger
+      assert(relStats(big).rowCount === Some(BigInt(20000)))
+      // ... and it tracks deletion vectors: LIVE rows, not file rows
+      TxLog.deleteVectors(spark, big, col("k_big") % 2 === 0L)
+      assert(relStats(big).rowCount === Some(BigInt(10000)),
+        "rowCount must be live rows (ledger rows − dvRows)")
+      // CBO join reorder — possible ONLY because every base relation
+      // carries a rowCount (CostBasedJoinReorder skips otherwise): the
+      // two small tables join first, the 20k-row table moves outermost
+      val cols = innermostInnerCols()
+      assert(cols.contains("k_mid") && cols.contains("k_tiny") &&
+        !cols.contains("k_big"),
+        s"row-based cost must join the small tables first, got $cols")
+    } finally confs.foreach(spark.conf.unset)
+  }
 }
