@@ -981,8 +981,15 @@ object TxLog {
         (Map.empty[String, String], Set.empty[String])
       else (headReplay.colMap, headReplay.droppedPhys)
     val takenPhys = droppedPhys ++ colMap.values
+    // a taken name is exempt when the CURRENT recorded schema already
+    // carries it unmapped: that logical is being read identity-physical
+    // from the live files right now (a RESTORE below a DROP resurrects
+    // columns into exactly this state), so a fresh physical would orphan
+    // them — NULLing a live column to "protect" dead bytes is backwards
+    val liveIdentity: String => Boolean =
+      c => headReplay.schema.exists(_.fieldNames.contains(c))
     val freshAssign: Map[String, String] = df.columns.toSeq
-      .filter(c => !colMap.contains(c) && takenPhys(c))
+      .filter(c => !colMap.contains(c) && takenPhys(c) && !liveIdentity(c))
       .map(c => c -> s"c_${java.util.UUID.randomUUID().toString.take(8)}")
       .toMap
     require(freshAssign.keySet.intersect(partitionBy.toSet).isEmpty,
@@ -1444,10 +1451,22 @@ object TxLog {
       s"txlog: cannot restore $root to v$version (head is v$head)")
     val r = replay(root, version)
     require(r.entries.nonEmpty, s"txlog: v$version of $root lists no files")
+    // the COLUMN MAPPING is table state too: a restore below a RENAME
+    // must rewind it, or the next append under the restored (old) name
+    // sees its physical as "taken" (colMap.values), takes a fresh one,
+    // and every restored file reads that column as NULL. Unmap the
+    // head's stale keys and re-add the restored map; retirements
+    // (droppedPhys) stay monotone — a restored colMap entry overrides
+    // the taken-check for its own logical name, so resurrected columns
+    // keep reading, while the retired physicals still can never be
+    // REASSIGNED to a different logical.
+    val cur = replay(root, head)
     publish(root, r.entries.map(renderEntry), Overwrite, txnId = None,
       recorded = r.schema, expectHead = None,
       txn = java.util.UUID.randomUUID().toString.take(12),
-      partitionBy = r.partitionBy.getOrElse(Nil), op = Some("RESTORE"))
+      partitionBy = r.partitionBy.getOrElse(Nil), op = Some("RESTORE"),
+      colMapAdd = r.colMap,
+      colUnmap = cur.colMap.keySet.diff(r.colMap.keySet))
   }
 
   /** Shallow CLONE: a metadata-only fork of `srcRoot`'s snapshot at
@@ -2762,11 +2781,17 @@ object TxLog {
           val dt = rp.schema.flatMap(_.fields.find(_.name == c))
             .map(_.dataType)
             .getOrElse(org.apache.spark.sql.types.StringType)
+          // the k=v DIRECTORIES carry the PHYSICAL name (a renamed
+          // partition column's declaration is logical, its dirs are
+          // not) — extract physical, create the column physical, and
+          // let the mapped-table select below surface it logical
+          val physC = rp.colMap.getOrElse(c, c)
           val raw = regexp_extract(input_file_name(),
-            "/" + java.util.regex.Pattern.quote(c) + "=([^/]+)/", 1)
+            "/" + java.util.regex.Pattern.quote(physC) + "=([^/]+)/", 1)
           val typed = when(raw === "", lit(null)).otherwise(raw).cast(dt)
-          if (df.columns.contains(c)) df.withColumn(c, coalesce(col(c), typed))
-          else df.withColumn(c, typed)
+          if (df.columns.contains(physC))
+            df.withColumn(physC, coalesce(col(physC), typed))
+          else df.withColumn(physC, typed)
         }
         // mapped tables' data + change files carry PHYSICAL names —
         // surface the logical schema as of `to` (a pre-rename file's

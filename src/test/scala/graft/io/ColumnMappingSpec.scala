@@ -207,6 +207,31 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(s2.filter(col("language") === "en").count() === 40L)
   }
 
+  test("CDF across a partition-column rename restores k=v values from the PHYSICAL dirs") {
+    import spark.implicits._
+    val root = Zones.tempDir("cmprencdf")
+    def rows(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, Seq("de", "en")(i % 2), s"doc-$i"))
+      .toDF("id", "lang", "text")
+    TxLog.commit(spark, root, rows(0, 20), TxLog.Append,
+      partitionBy = Seq("lang"))                       // v1: pre-rename era
+    TxLog.renameColumn(root, "lang", "language")       // v2: content-preserving
+    TxLog.commit(spark, root,
+      rows(100, 110).withColumnRenamed("lang", "language"), TxLog.Append,
+      partitionBy = Seq("language"))                   // v3: post-rename era
+    val cdf = TxLog.changes(spark, root, 0L, 3L, withChangeType = true)
+    // subscribers see the logical name as of `to`, with the partition
+    // values re-derived from the physical lang= dirs — never NULL
+    assert(cdf.columns.contains("language") && !cdf.columns.contains("lang"))
+    assert(cdf.count() === 30L)
+    assert(cdf.filter(col("language").isNull).count() === 0L,
+      "CDF must restore renamed partition values from the physical dirs")
+    assert(cdf.filter(col("language") === "en").count() === 15L)
+    val v3 = cdf.filter(col("_commit_version") === 3L)
+    assert(v3.count() === 10L &&
+      v3.collect().forall(_.getAs[String]("_change_type") == "insert"))
+  }
+
   test("a RENAME landing inside an append's write window conflicts loudly, never resurrects") {
     val root = Zones.tempDir("cmrace")
     TxLog.commit(spark, root, batch(0, 50).coalesce(1), TxLog.Append,
@@ -300,6 +325,65 @@ class ColumnMappingSpec extends AnyFunSuite {
     // the carried constraint is live in the clone
     intercept[TxLog.ConstraintViolation](TxLog.commit(spark, dst,
       Seq((-1L, "bad")).toDF("id", "text").coalesce(1), TxLog.Append))
+  }
+
+  test("RESTORE below a rename rewinds the mapping: the old name appends and reads again") {
+    import spark.implicits._
+    val root = Zones.tempDir("cmrestren")
+    TxLog.commit(spark, root, batch(0, 50).coalesce(1), TxLog.Append,
+      statsCols = Seq("id"))                       // v1: payload era
+    TxLog.renameColumn(root, "payload", "text")    // v2
+    TxLog.append(spark, root,
+      Seq((900L, "post")).toDF("id", "text"))      // v3: text era
+    TxLog.restore(spark, root, 1L)                 // v4: payload again
+    val r = TxLog.replay(root, TxLog.headVersion(root))
+    assert(r.colMap.isEmpty,
+      s"restore below the rename must rewind the mapping: ${r.colMap}")
+    // the old name appends IDENTITY-mapped — no fresh physical, so the
+    // restored files keep reading (the pre-fix behavior NULLed them)
+    TxLog.append(spark, root, Seq((901L, "new")).toDF("id", "payload"))
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.columns.toSeq === Seq("id", "payload"))
+    assert(snap.count() === 51L)
+    assert(snap.filter(col("payload").isNull).count() === 0L,
+      "post-restore appends must not orphan the restored files' column")
+    assert(snap.filter(col("payload") === "v-7").count() === 1L)
+    assert(snap.filter(col("payload") === "new").count() === 1L)
+    // time travel into the text era still reads through ITS mapping
+    assert(TxLog.snapshot(spark, root, Some(3L))
+      .filter(col("text") === "v-7").count() === 1L)
+  }
+
+  test("RESTORE below a drop resurrects the column: identity physical, no NULLing append") {
+    import spark.implicits._
+    val root = Zones.tempDir("cmrestdrop")
+    TxLog.commit(spark, root,
+      (0 until 40).map(i => (i.toLong, s"keep-$i")).toDF("id", "extra")
+        .coalesce(1), TxLog.Append, statsCols = Seq("id"))  // v1
+    TxLog.dropColumn(root, "extra")                          // v2
+    TxLog.restore(spark, root, 1L)                           // v3: extra is back
+    assert(TxLog.snapshot(spark, root)
+      .filter(col("extra").startsWith("keep")).count() === 40L,
+      "restore must resurrect the dropped column's values")
+    // an append under the resurrected name keeps the IDENTITY physical
+    // (the schema reads it live), so nothing NULLs out
+    TxLog.append(spark, root, Seq((500L, "fresh")).toDF("id", "extra"))
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.count() === 41L)
+    assert(snap.filter(col("extra").isNull).count() === 0L,
+      "an append after restore-below-drop must not orphan the column")
+    assert(snap.filter(col("extra") === "fresh").count() === 1L)
+    val r = TxLog.replay(root, TxLog.headVersion(root))
+    assert(!r.colMap.contains("extra"),
+      s"the resurrected column must stay identity-mapped: ${r.colMap}")
+    // the retirement ledger stays monotone — dropping AGAIN and
+    // re-adding still takes a fresh physical (no byte resurfacing)
+    TxLog.dropColumn(root, "extra")
+    TxLog.append(spark, root, Seq((600L, "readd")).toDF("id", "extra"))
+    val snap2 = TxLog.snapshot(spark, root)
+    assert(snap2.filter(col("extra").startsWith("keep")).count() === 0L,
+      "re-add after a live drop must still never resurface old bytes")
+    assert(snap2.filter(col("extra") === "readd").count() === 1L)
   }
 
   test("rename of a recorded cluster key rewrites the keys; drop of one refuses") {
