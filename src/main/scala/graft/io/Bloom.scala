@@ -125,7 +125,7 @@ object Bloom {
     try {
       if (!Files.isRegularFile(p)) None
       else Some(BloomFilter.readFrom(new ByteArrayInputStream(Files.readAllBytes(p))))
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Deserialize an already-fetched sidecar (any [[graft.io.LogStore]]
     * can produce the bytes); null or structurally broken bytes read as
@@ -135,5 +135,5 @@ object Bloom {
     try {
       if (bytes == null) None
       else Some(BloomFilter.readFrom(new ByteArrayInputStream(bytes)))
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -358,7 +358,7 @@ object HadoopLogStore extends LogStore {
     try org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
       .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     catch {
-      case _: Throwable =>
+      case scala.util.control.NonFatal(_) =>
         f.delete(dst, false)
         if (!f.rename(tmp, dst)) f.delete(tmp, false)
     }

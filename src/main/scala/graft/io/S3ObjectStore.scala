@@ -37,6 +37,51 @@ final class S3ObjectStore(
   private val http = HttpClient.newHttpClient()
   private val host = URI.create(endpoint).getHost
 
+  /** Bounded exponential backoff for S3's transient failures (503
+    * SlowDown under request-rate pressure, 500, connection resets) —
+    * the client-side half of S3's documented throttling contract.
+    * GET/HEAD/LIST/DELETE are idempotent and the unconditional PUT is
+    * last-write-wins, so blind retry is safe for them. Returns the
+    * final response plus whether any AMBIGUOUS failure happened along
+    * the way (an IOException or a 500 — the request may have LANDED
+    * server-side even though we never saw success): the conditional
+    * PUT must disambiguate a post-retry 412 against that flag (see
+    * [[putIfNoneMatch]]) or it would misread its own lost-response
+    * write as a competitor's claim.
+    */
+  private def sendRetrying(
+      method: String,
+      key: String,
+      query: Seq[(String, String)],
+      body: Array[Byte],
+      extraHeaders: Seq[(String, String)])
+      : (HttpResponse[Array[Byte]], Boolean) = {
+    var attempt = 0
+    var ambiguous = false
+    while (true) {
+      val r: Either[java.io.IOException, HttpResponse[Array[Byte]]] =
+        try Right(send(method, key, query, body, extraHeaders))
+        catch { case e: java.io.IOException => Left(e) }
+      val retriable = r match {
+        case Left(_)     => true
+        case Right(resp) => resp.statusCode() == 500 || resp.statusCode() == 503
+      }
+      r match { // 503 = service REFUSED (not landed); 500/IO = unknown
+        case Left(_) => ambiguous = true
+        case Right(resp) if resp.statusCode() == 500 => ambiguous = true
+        case _ => ()
+      }
+      if (!retriable) return (r.toOption.get, ambiguous)
+      attempt += 1
+      if (attempt > 5) r match {
+        case Left(e)     => throw e
+        case Right(resp) => return (resp, ambiguous) // caller raises it
+      }
+      Thread.sleep(math.min(8000L, 100L << attempt)) // 200ms..6.4s
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def send(
       method: String,
       key: String,
@@ -70,14 +115,14 @@ final class S3ObjectStore(
   }
 
   override def get(key: String): Option[Array[Byte]] = {
-    val r = send("GET", key, Nil, Array.emptyByteArray, Nil)
+    val (r, _) = sendRetrying("GET", key, Nil, Array.emptyByteArray, Nil)
     if (r.statusCode() == 404) None
     else if (r.statusCode() / 100 == 2) Some(r.body())
     else throw new java.io.IOException(s"S3 GET $key: HTTP ${r.statusCode()}")
   }
 
   override def head(key: String): Option[ObjMeta] = {
-    val r = send("HEAD", key, Nil, Array.emptyByteArray, Nil)
+    val (r, _) = sendRetrying("HEAD", key, Nil, Array.emptyByteArray, Nil)
     if (r.statusCode() == 404) None
     else if (r.statusCode() / 100 == 2)
       Some(ObjMeta(key,
@@ -90,14 +135,24 @@ final class S3ObjectStore(
   }
 
   override def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean = {
-    val r = send("PUT", key, Nil, bytes, Seq("if-none-match" -> "*"))
+    val (r, ambiguous) =
+      sendRetrying("PUT", key, Nil, bytes, Seq("if-none-match" -> "*"))
     if (r.statusCode() / 100 == 2) true
-    else if (r.statusCode() == 412 || r.statusCode() == 409) false // taken
+    else if (r.statusCode() == 412 || r.statusCode() == 409) {
+      // "taken" — but after an ambiguous failure the existing object may
+      // be OUR OWN earlier attempt whose success response was lost.
+      // Disambiguate by read-back: commit bytes are unique per claim
+      // (the txn uuid is inside the manifest), so byte equality means
+      // the claim is ours and this call SUCCEEDED. Without this, a
+      // committer misreads its own write as a competitor's and the
+      // rebase loop would fold its rows twice.
+      ambiguous && get(key).exists(java.util.Arrays.equals(_, bytes))
+    }
     else throw new java.io.IOException(s"S3 PUT $key: HTTP ${r.statusCode()}")
   }
 
   override def put(key: String, bytes: Array[Byte]): Unit = {
-    val r = send("PUT", key, Nil, bytes, Nil)
+    val (r, _) = sendRetrying("PUT", key, Nil, bytes, Nil)
     if (r.statusCode() / 100 != 2)
       throw new java.io.IOException(s"S3 PUT $key: HTTP ${r.statusCode()}")
   }
@@ -107,7 +162,7 @@ final class S3ObjectStore(
     val q = Seq("list-type" -> "2", "prefix" -> prefix,
       "max-keys" -> maxKeys.toString) ++
       (if (startAfter.nonEmpty) Seq("start-after" -> startAfter) else Nil)
-    val r = send("GET", "", q, Array.emptyByteArray, Nil)
+    val (r, _) = sendRetrying("GET", "", q, Array.emptyByteArray, Nil)
     if (r.statusCode() / 100 != 2)
       throw new java.io.IOException(s"S3 LIST $prefix: HTTP ${r.statusCode()}")
     val xml = new String(r.body(), StandardCharsets.UTF_8)
@@ -119,7 +174,7 @@ final class S3ObjectStore(
   }
 
   override def delete(key: String): Unit = {
-    val r = send("DELETE", key, Nil, Array.emptyByteArray, Nil)
+    val (r, _) = sendRetrying("DELETE", key, Nil, Array.emptyByteArray, Nil)
     if (r.statusCode() / 100 != 2 && r.statusCode() != 404)
       throw new java.io.IOException(s"S3 DELETE $key: HTTP ${r.statusCode()}")
   }

@@ -637,7 +637,7 @@ object TxLog {
           if (v >= 1 && s.exists(logPath(root, f"v$v%08d.json"))) Some(v)
           else None
         }
-      } catch { case _: Throwable => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
     var v = hinted.getOrElse(listedHead(root))
     while (s.exists(logPath(root, f"v${v + 1}%08d.json"))) v += 1
     v
@@ -650,7 +650,7 @@ object TxLog {
   private def writeHeadPointer(root: String, v: Long): Unit =
     try store(root).putReplace(logPath(root, "_head"),
       v.toString.getBytes(StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
 
   /** Entries of one log file. */
   private def parseEntries(txt: String): Seq[Entry] =
@@ -912,7 +912,7 @@ object TxLog {
     } finally {
       // marker gone ⇒ either the manifest published (files referenced)
       // or the attempt aborted (files are ordinary vacuumable residue)
-      try s.delete(marker) catch { case _: Throwable => () }
+      try s.delete(marker) catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 
@@ -1149,7 +1149,7 @@ object TxLog {
         // (tail extraction off the uuid dir works for local paths and
         // scheme-ful URIs alike — the uuid cannot recur inside the path)
         def rel(uri: String): String = {
-          val p = try new java.net.URI(uri).getPath catch { case _: Throwable => uri }
+          val p = try new java.net.URI(uri).getPath catch { case scala.util.control.NonFatal(_) => uri }
           val tag = s"data/txn-$txn/"
           val i = p.lastIndexOf(tag)
           require(i >= 0, s"txlog: unexpected written-file uri $uri")
@@ -1762,7 +1762,7 @@ object TxLog {
       store(root).putIfAbsent(logPath(root, f"c$v%08d.json"),
         body.getBytes(StandardCharsets.UTF_8)) // concurrent winner: fine
       ()
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   def append(spark: SparkSession, root: String, df: DataFrame): Long =
     commit(spark, root, df, Append)
@@ -2244,20 +2244,20 @@ object TxLog {
       val s = LogStore.forRoot(dir)
       if (s.isDir(dir)) {
         s.walk(dir).foreach(f =>
-          try s.delete(s"$dir/${f.relPath}") catch { case _: Throwable => () })
+          try s.delete(s"$dir/${f.relPath}") catch { case scala.util.control.NonFatal(_) => () })
         (s.walkDirs(dir).map(r => s"$dir/$r") :+ dir)
           .sortBy(-_.count(_ == '/'))
-          .foreach(d => try s.delete(d) catch { case _: Throwable => () })
+          .foreach(d => try s.delete(d) catch { case scala.util.control.NonFatal(_) => () })
         // and the now-maybe-empty parent (`_dv`/`_change_data`) — delete
         // refuses a non-empty dir, so this is safe — keeping a no-op DML
         // from leaving any trace in the table tree
         val cut = dir.lastIndexOf('/')
         if (cut > 0) {
           val parent = dir.substring(0, cut)
-          try s.delete(parent) catch { case _: Throwable => () }
+          try s.delete(parent) catch { case scala.util.control.NonFatal(_) => () }
         }
       }
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   private def splitAnds(
       e: org.apache.spark.sql.catalyst.expressions.Expression)
@@ -2925,10 +2925,10 @@ object TxLog {
       s.list(inflightDir(root)).flatMap { n =>
         val m = s"${inflightDir(root)}/$n"
         val fresh = try now - s.mtimeMillis(m) < inflightGraceMs
-        catch { case _: Throwable => false }
+        catch { case scala.util.control.NonFatal(_) => false }
         if (fresh) Some(n)
         else if (gcStale) {
-          try s.delete(m) catch { case _: Throwable => () }; None
+          try s.delete(m) catch { case scala.util.control.NonFatal(_) => () }; None
         } else None
       }.toSet
     // dryRun previews the reclaim count with ZERO filesystem mutation
@@ -3005,7 +3005,7 @@ object TxLog {
         if (!dryRun) {
           (s.walkDirs(dirPath).map(r0 => s"$dirPath/$r0") :+ dirPath)
             .sortBy(-_.count(_ == '/'))
-            .foreach(sd => try s.delete(sd) catch { case _: Throwable => () })
+            .foreach(sd => try s.delete(sd) catch { case scala.util.control.NonFatal(_) => () })
         }
       }
     }
@@ -3020,11 +3020,11 @@ object TxLog {
       s.list(dirRoot).foreach { n =>
         val d = s"$dirRoot/$n"
         val fresh = try now - s.mtimeMillis(d) < inflightGraceMs
-        catch { case _: Throwable => true }
+        catch { case scala.util.control.NonFatal(_) => true }
         if (!keepNames(n) && !fresh) {
           s.walk(d).foreach(f =>
-            try s.delete(s"$d/${f.relPath}") catch { case _: Throwable => () })
-          try s.delete(d) catch { case _: Throwable => () }
+            try s.delete(s"$d/${f.relPath}") catch { case scala.util.control.NonFatal(_) => () })
+          try s.delete(d) catch { case scala.util.control.NonFatal(_) => () }
         }
       }
     }

@@ -147,7 +147,7 @@ final class TxLogFileIndex(
             val loaded = Bloom.readSidecarBytes(
               try LogStore.forRoot(fullPath)
                 .readBytes(Bloom.sidecar(fullPath, a.name))
-              catch { case _: Throwable => null })
+              catch { case scala.util.control.NonFatal(_) => null })
             sidecars.putIfAbsent((file, a.name), loaded) match {
               case Some(prev) => prev // lost the insert race: cache wins
               case None       => loaded

@@ -174,14 +174,14 @@ class TxLogSource(
           val in = metaFs.open(claimedFile)
           try Some(in.readLong()) finally in.close()
         }
-      } catch { case _: Throwable => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
     math.max(startingVersion, persisted.getOrElse(startingVersion))
   }
   private def persistClaim(v: Long): Unit =
     try {
       val out = metaFs.create(claimedFile, true)
       try out.writeLong(v) finally out.close()
-    } catch { case _: Throwable => () } // best-effort: worst case re-offers
+    } catch { case scala.util.control.NonFatal(_) => () } // best-effort: worst case re-offers
 
   override def getOffset: Option[V1Offset] = {
     val head = TxLog.headVersion(root)
