@@ -74,6 +74,34 @@ class ObjectStoreSpec extends AnyFunSuite {
     assert(api.get("k/a").isEmpty)
   }
 
+  test("the conditional PUT is a true CAS: 32 racing writers, exactly one winner") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val api = new InMemoryObjectStore("cas-race")
+    val pool = Executors.newFixedThreadPool(32)
+    try {
+      (0 until 20).foreach { round =>
+        val key = s"log/v$round.json"
+        val start = new CountDownLatch(1)
+        val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+        val done = new CountDownLatch(32)
+        (0 until 32).foreach { w =>
+          pool.execute(() => {
+            start.await()
+            if (api.putIfNoneMatch(key, s"writer-$w".getBytes("UTF-8")))
+              wins.incrementAndGet()
+            done.countDown()
+          })
+        }
+        start.countDown() // all 32 release on the same claim at once
+        assert(done.await(30, TimeUnit.SECONDS))
+        assert(wins.get() === 1, s"round $round: ${wins.get()} claims won")
+        // every loser observes the winner's COMPLETE bytes
+        val body = new String(api.get(key).get, "UTF-8")
+        assert(body.startsWith("writer-"), s"partial/corrupt claim: $body")
+      }
+    } finally pool.shutdown()
+  }
+
   test("ObjectStoreLogStore meets the LogStore contract on the fake") {
     val root = freshRoot("lscontract")
     val s = LogStore.forRoot(root)
