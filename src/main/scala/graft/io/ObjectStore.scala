@@ -93,6 +93,13 @@ final class InMemoryObjectStore(
   private val objects =
     new java.util.concurrent.ConcurrentSkipListMap[String, (Array[Byte], Long)]()
 
+  /** LIST pages served — the read-count meter for the protocol's
+    * object-store cost specs (LIST is the expensive, rate-limited call
+    * on real stores; a steady-state commit must pay O(1) pages, never
+    * O(history)).
+    */
+  val listPageCalls = new java.util.concurrent.atomic.AtomicLong(0L)
+
   override def get(key: String): Option[Array[Byte]] =
     Option(objects.get(key)).map(_._1.clone())
 
@@ -108,6 +115,7 @@ final class InMemoryObjectStore(
 
   override def listPage(prefix: String, startAfter: String, maxKeys: Int)
       : (Seq[ObjMeta], Boolean) = {
+    listPageCalls.incrementAndGet()
     val from = if (startAfter > prefix) startAfter else prefix
     val it = objects.tailMap(from, /*inclusive=*/ startAfter < prefix)
       .entrySet().iterator()

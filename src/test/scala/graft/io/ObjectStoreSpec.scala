@@ -136,6 +136,34 @@ class ObjectStoreSpec extends AnyFunSuite {
     assert(s.walkDirs(s"$root/deep").toSet === (0 until 25).map(i => f"x$i%02d").toSet)
   }
 
+  test("a steady-state append pays O(1) LIST pages — independent of table history") {
+    // LIST is the expensive, rate-limited call on a real object store;
+    // a commit whose LIST cost grew with the table's history would be
+    // the metadata analogue of a full scan. Measure the SAME single-file
+    // append against a 5-commit table and a 35-commit table (3
+    // checkpoints deep): the page counts must be EQUAL, and small.
+    def appendPages(history: Int): Long = {
+      val bucket = s"lp-${java.util.UUID.randomUUID().toString.take(8)}"
+      val root = s"mem://$bucket/tbl"
+      (0 until history).foreach(k =>
+        TxLog.append(spark, root, batch(k * 10, k * 10 + 10).coalesce(1)))
+      val api = InMemoryObjectStore.bucket(bucket)
+      api.listPageCalls.set(0L)
+      TxLog.append(spark, root, batch(9000, 9010).coalesce(1))
+      api.listPageCalls.get()
+    }
+    val shallow = appendPages(5)
+    val deep = appendPages(35)
+    assert(deep === shallow,
+      s"append LIST cost must not grow with history: $shallow -> $deep")
+    // ~17 pages at the fake's deliberately tiny 7-key pages (committer
+    // staging listings + existence probes + the commit's own dir walk);
+    // the EQUALITY above is the scale guard, this bound just keeps the
+    // constant honest
+    assert(shallow <= 24L,
+      s"a single-file append paid $shallow LIST pages; bound is 24")
+  }
+
   test("a txlog table runs end-to-end on a mem:// object-store root") {
     val root = freshRoot("lse2e")
     // three zone-mapped, bloom-indexed commits, Spark data I/O through
