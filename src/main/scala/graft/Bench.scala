@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -22,14 +23,14 @@ object Bench {
     // a full run — matching the driver's protocol — or every selected query
     // on a filtered dev run, where per-query JIT warmth is the point)
     (if (only.isDefined) selected else selected.take(1)).foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).count() catch { case NonFatal(_) => () }
       spark.catalog.clearCache()
     }
     val failed = scala.collection.mutable.ListBuffer[String]()
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
+        case NonFatal(e) =>
           // a failed query must not masquerade as a fast one
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -66,7 +67,7 @@ object Bench {
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qsFull,"errors":$errs,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] full-map write failed: ${e.getMessage}") }
+    catch { case NonFatal(e) => System.err.println(s"[bench] full-map write failed: ${e.getMessage}") }
     val top = results.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -92,5 +93,5 @@ object Bench {
         .map(_.group(1).toInt).getOrElse(0)
       require(n > 0, "no round number in VERDICT.md header")
       f"${n + 1}%02d"
-    } catch { case _: Throwable => "99" }
+    } catch { case NonFatal(_) => "99" }
 }

@@ -94,17 +94,35 @@ object LogStore {
     */
   final case class FileMeta(relPath: String, size: Long, mtimeMillis: Long)
 
+  /** Deployment-registered per-scheme stores — how a real bucket plugs
+    * in: `LogStore.registerScheme("s3", new ObjectStoreLogStore(p =>
+    * (s3Client, keyOf(p))))` routes every `s3://` root's log I/O through
+    * the conditional-PUT claim instead of Hadoop's rename (which on an
+    * object store is copy+delete — never a claim). `mem://` is
+    * pre-registered to the in-process fake.
+    */
+  private val schemeStores =
+    scala.collection.concurrent.TrieMap[String, LogStore](
+      "mem" -> ObjectStoreLogStore.Mem)
+
+  def registerScheme(scheme: String, store: LogStore): Unit = {
+    schemeStores.put(scheme, store); ()
+  }
+
   /** Per-scheme routing (see the trait doc for each store's claim
-    * semantics): `mem://` to the object store, `file:` to the local
-    * hard-link store with the scheme stripped (Hadoop's local rename
-    * can overwrite — not a claim), other schemes to the Hadoop store,
-    * plain paths to the local store.
+    * semantics): registered schemes (`mem://`, deployment-added object
+    * stores) to their store, `file:` to the local hard-link store with
+    * the scheme stripped (Hadoop's local rename can overwrite — not a
+    * claim), other schemes to the Hadoop store, plain paths to the
+    * local store.
     */
   def forRoot(root: String): LogStore =
-    if (root.startsWith(ObjectStoreLogStore.MemScheme)) ObjectStoreLogStore.Mem
-    else if (root.startsWith("file:")) FileSchemeLogStore
-    else if (root.contains("://")) HadoopLogStore
-    else LocalLogStore
+    if (root.startsWith("file:")) FileSchemeLogStore
+    else {
+      val i = root.indexOf("://")
+      if (i > 0) schemeStores.getOrElse(root.substring(0, i), HadoopLogStore)
+      else LocalLogStore
+    }
 }
 
 /** `file:`-scheme adapter over [[LocalLogStore]]: strips the scheme and
@@ -116,13 +134,29 @@ object FileSchemeLogStore extends LogStore {
   import LogStore.FileMeta
 
   private[io] def strip(p: String): String = {
-    val s = p.stripPrefix("file:")
-    if (s.startsWith("//")) {
-      val rest = s.drop(2)
-      require(rest.startsWith("/"),
+    // Hadoop Path/URI semantics, which these roots previously rode:
+    // a file: URI carries PERCENT-ENCODED octets, so `file:/a/my%20table`
+    // names the `/a/my table` directory. Decode through java.net.URI
+    // when the string parses as one; a root with raw reserved characters
+    // (spaces, ...) fails URI parsing and falls back to the literal
+    // prefix-strip, so unencoded paths keep working byte-for-byte.
+    def rawStrip: String = {
+      val s = p.stripPrefix("file:")
+      if (s.startsWith("//")) {
+        val rest = s.drop(2)
+        require(rest.startsWith("/"),
+          s"file: URI with a non-empty authority is not local: $p")
+        rest
+      } else s
+    }
+    try {
+      val u = new java.net.URI(p)
+      val auth = u.getAuthority
+      require(auth == null || auth.isEmpty,
         s"file: URI with a non-empty authority is not local: $p")
-      rest
-    } else s
+      val path = u.getPath // decoded
+      if (path != null && path.nonEmpty) path else rawStrip
+    } catch { case _: java.net.URISyntaxException => rawStrip }
   }
 
   override def readBytes(path: String): Array[Byte] =

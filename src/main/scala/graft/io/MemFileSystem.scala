@@ -8,12 +8,12 @@ import org.apache.hadoop.fs.{CreateFlag, FileAlreadyExistsException, FileStatus,
 import org.apache.hadoop.fs.permission.FsPermission
 import org.apache.hadoop.util.Progressable
 
-/** Hadoop `FileSystem` over [[InMemoryObjectStore]] buckets
-  * (`mem://<bucket>/...`), with OBJECT-STORE semantics throughout — the
-  * piece that lets a whole txlog table (Spark-written parquet data files
-  * AND the log, via [[ObjectStoreLogStore]]) live in the in-process
-  * fake, so the chaos/model/rebase/vacuum specs exercise the commit
-  * protocol end-to-end under the semantics S3/GCS impose:
+/** Hadoop `FileSystem` over ANY [[ObjectStoreApi]] bucket — the s3a
+  * shape re-derived at the trait's six calls, so Spark's parquet data
+  * I/O can live wherever the transaction log does (the in-process fake
+  * via [[MemFileSystem]], or an HTTP S3 endpoint via a subclass that
+  * resolves its buckets to [[S3ObjectStore]] clients). OBJECT-STORE
+  * semantics throughout:
   *
   *  - `create` buffers and the object appears ONLY at close (a PUT);
   *  - `rename` is per-key copy+delete, NOT atomic, NOT exclusive —
@@ -23,30 +23,26 @@ import org.apache.hadoop.util.Progressable
   *  - directories are key prefixes; `mkdirs` writes s3a-style zero-byte
   *    `key/` markers so empty staging dirs survive listing;
   *  - `listStatus`/`getFileStatus` derive children from paged LISTs.
-  *
-  * Registered in a session via
-  * `spark.hadoop.fs.mem.impl = graft.io.MemFileSystem`. Test-fake by
-  * intent, but a faithful one: every operation is thread-safe and
-  * instantly consistent across the JVM's threads (S3's post-2020
-  * read-after-write model).
   */
-final class MemFileSystem extends FileSystem {
+abstract class ObjectStoreFileSystem extends FileSystem {
   private var fsUri: URI = _
-  private var store: InMemoryObjectStore = _
+  private var store: ObjectStoreApi = _
   private var workDir: Path = _
+
+  /** The store client of a named bucket (the URI authority). */
+  protected def resolveBucket(bucket: String): ObjectStoreApi
 
   override def initialize(name: URI, conf: Configuration): Unit = {
     super.initialize(name, conf)
     require(name.getAuthority != null && name.getAuthority.nonEmpty,
-      s"mem:// URIs need a bucket authority: $name")
-    fsUri = URI.create(s"mem://${name.getAuthority}")
-    store = InMemoryObjectStore.bucket(name.getAuthority)
+      s"$getScheme:// URIs need a bucket authority: $name")
+    fsUri = URI.create(s"$getScheme://${name.getAuthority}")
+    store = resolveBucket(name.getAuthority)
     workDir = new Path(fsUri.toString + "/")
     setConf(conf)
   }
 
   override def getUri: URI = fsUri
-  override def getScheme: String = "mem"
   override def getWorkingDirectory: Path = workDir
   override def setWorkingDirectory(dir: Path): Unit = { workDir = dir }
 
@@ -107,7 +103,7 @@ final class MemFileSystem extends FileSystem {
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     val bytes = store.get(keyOf(f))
       .getOrElse(throw new FileNotFoundException(f.toString))
-    new FSDataInputStream(new MemFileSystem.SeekableBytes(bytes))
+    new FSDataInputStream(new ObjectStoreFileSystem.SeekableBytes(bytes))
   }
 
   override def create(
@@ -132,7 +128,7 @@ final class MemFileSystem extends FileSystem {
 
   override def append(f: Path, bufferSize: Int, progress: Progressable)
       : FSDataOutputStream =
-    throw new IOException("mem:// objects are immutable; append unsupported")
+    throw new IOException(s"$getScheme:// objects are immutable; append unsupported")
 
   /** Copy+delete per key — the object-store truth (s3a does the same).
     * POSIX-ish surface for the committer: renaming onto an existing
@@ -179,7 +175,21 @@ final class MemFileSystem extends FileSystem {
   }
 }
 
-object MemFileSystem {
+/** The `mem://` instance: buckets resolve to the process-wide
+  * [[InMemoryObjectStore]] fakes. Registered in a session via
+  * `spark.hadoop.fs.mem.impl = graft.io.MemFileSystem`; lets the
+  * chaos/model/rebase/vacuum specs run whole tables end-to-end under
+  * the semantics S3/GCS impose. Test-fake by intent, but a faithful
+  * one: thread-safe, instantly consistent across the JVM's threads
+  * (S3's post-2020 read-after-write model).
+  */
+final class MemFileSystem extends ObjectStoreFileSystem {
+  override def getScheme: String = "mem"
+  override protected def resolveBucket(bucket: String): ObjectStoreApi =
+    InMemoryObjectStore.bucket(bucket)
+}
+
+object ObjectStoreFileSystem {
   /** Seekable in-memory byte stream (parquet footers seek backwards). */
   private final class SeekableBytes(bytes: Array[Byte])
       extends java.io.ByteArrayInputStream(bytes)

@@ -34,8 +34,25 @@ final class S3ObjectStore(
   import ObjectStoreApi.ObjMeta
   import S3ObjectStore._
 
-  private val http = HttpClient.newHttpClient()
-  private val host = URI.create(endpoint).getHost
+  // HTTP/1.1 pinned: S3 speaks 1.1, and the JDK default (HTTP_2) sends
+  // h2c upgrade headers over plain http endpoints that some compatible
+  // servers mishandle
+  private val http =
+    HttpClient.newBuilder().version(HttpClient.Version.HTTP_1_1).build()
+
+  /** The `host` value that is SIGNED must be the authority the client
+    * actually puts on the wire: the JDK client sends `Host: host:port`
+    * whenever the port is non-default for the scheme (MinIO on :9000, a
+    * loopback test endpoint), and the server reconstructs the canonical
+    * request from that wire header — signing the bare hostname verifies
+    * only against default-port endpoints.
+    */
+  private val host = {
+    val u = URI.create(endpoint)
+    val defaultPort = if (u.getScheme == "https") 443 else 80
+    if (u.getPort > 0 && u.getPort != defaultPort) s"${u.getHost}:${u.getPort}"
+    else u.getHost
+  }
 
   /** Bounded exponential backoff for S3's transient failures (503
     * SlowDown under request-rate pressure, 500, connection resets) —
@@ -135,20 +152,45 @@ final class S3ObjectStore(
   }
 
   override def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean = {
-    val (r, ambiguous) =
-      sendRetrying("PUT", key, Nil, bytes, Seq("if-none-match" -> "*"))
-    if (r.statusCode() / 100 == 2) true
-    else if (r.statusCode() == 412 || r.statusCode() == 409) {
-      // "taken" — but after an ambiguous failure the existing object may
-      // be OUR OWN earlier attempt whose success response was lost.
-      // Disambiguate by read-back: commit bytes are unique per claim
-      // (the txn uuid is inside the manifest), so byte equality means
-      // the claim is ours and this call SUCCEEDED. Without this, a
-      // committer misreads its own write as a competitor's and the
-      // rebase loop would fold its rows twice.
-      ambiguous && get(key).exists(java.util.Arrays.equals(_, bytes))
+    var conflicts = 0
+    var ambiguousEver = false
+    while (true) {
+      val (r, ambiguous) =
+        sendRetrying("PUT", key, Nil, bytes, Seq("if-none-match" -> "*"))
+      ambiguousEver ||= ambiguous
+      r.statusCode() match {
+        case c if c / 100 == 2 => return true
+        case 412 =>
+          // "taken" — but after an ambiguous failure the existing object
+          // may be OUR OWN earlier attempt whose success response was
+          // lost. Disambiguate by read-back: commit bytes are unique per
+          // claim (the txn uuid is inside the manifest), so byte equality
+          // means the claim is ours and this call SUCCEEDED. Without
+          // this, a committer misreads its own write as a competitor's
+          // and the rebase loop would fold its rows twice.
+          return ambiguousEver && get(key).exists(java.util.Arrays.equals(_, bytes))
+        case 409 =>
+          // ConditionalRequestConflict: a CONCURRENT conditional write on
+          // this key is in progress and neither outcome is known — AWS
+          // documents it as retryable, and it is NOT "slot taken" (no
+          // object may exist at the key). Re-probe: if an object landed,
+          // the race has a winner (ours iff the bytes read back equal);
+          // otherwise back off and retry the conditional PUT. Returning
+          // false here would make BOTH racers report "lost" and the
+          // claimed version would belong to nobody.
+          conflicts += 1
+          head(key) match {
+            case Some(_) =>
+              return get(key).exists(java.util.Arrays.equals(_, bytes))
+            case None =>
+              if (conflicts > 5) throw new java.io.IOException(
+                s"S3 PUT $key: persistent 409 ConditionalRequestConflict")
+              Thread.sleep(math.min(2000L, 50L << conflicts))
+          }
+        case c => throw new java.io.IOException(s"S3 PUT $key: HTTP $c")
+      }
     }
-    else throw new java.io.IOException(s"S3 PUT $key: HTTP ${r.statusCode()}")
+    throw new IllegalStateException("unreachable")
   }
 
   override def put(key: String, bytes: Array[Byte]): Unit = {
@@ -165,12 +207,7 @@ final class S3ObjectStore(
     val (r, _) = sendRetrying("GET", "", q, Array.emptyByteArray, Nil)
     if (r.statusCode() / 100 != 2)
       throw new java.io.IOException(s"S3 LIST $prefix: HTTP ${r.statusCode()}")
-    val xml = new String(r.body(), StandardCharsets.UTF_8)
-    val keys = contentsField.findAllMatchIn(xml).map { m =>
-      ObjMeta(xmlUnescape(m.group(1)), m.group(3).toLong,
-        java.time.Instant.parse(m.group(2)).toEpochMilli)
-    }.toVector
-    (keys, xml.contains("<IsTruncated>true</IsTruncated>"))
+    parseList(r.body())
   }
 
   override def delete(key: String): Unit = {
@@ -181,12 +218,53 @@ final class S3ObjectStore(
 }
 
 object S3ObjectStore {
-  private val contentsField =
-    """<Contents><Key>([^<]*)</Key><LastModified>([^<]*)</LastModified>(?:<ETag>[^<]*</ETag>)?<Size>(\d+)</Size>.*?</Contents>""".r
+  import ObjectStoreApi.ObjMeta
 
-  private def xmlUnescape(s: String): String = s
-    .replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
-    .replace("&apos;", "'").replace("&amp;", "&")
+  /** Order-independent ListObjectsV2 response parse via a REAL XML
+    * parser (JDK DOM): each `<Contents>` element contributes one object,
+    * with `Key`/`LastModified`/`Size` extracted BY NAME from its child
+    * elements wherever they sit — so the extra elements current AWS
+    * responses interleave (`ETag`, `ChecksumAlgorithm`/`ChecksumType`
+    * since the 2025 default-checksum rollout, `StorageClass`, `Owner`)
+    * and the whitespace/element-order liberties other S3-compatible
+    * endpoints take can never silently DROP an entry the way a
+    * fixed-sequence regex did (a dropped `<Contents>` made versions()
+    * read the log as empty with no error). Entity unescaping is the
+    * parser's. External entities and DTDs are disabled (the response is
+    * untrusted bytes off the wire). A `<Contents>` MISSING one of the
+    * three required fields is a protocol violation and throws loudly.
+    */
+  private[io] def parseList(body: Array[Byte]): (Seq[ObjMeta], Boolean) = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    f.setNamespaceAware(false)
+    f.setExpandEntityReferences(false)
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    val doc = f.newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(body))
+    def childText(e: org.w3c.dom.Element, name: String): Option[String] = {
+      val kids = e.getChildNodes
+      (0 until kids.getLength).iterator
+        .map(kids.item)
+        .collectFirst {
+          case c: org.w3c.dom.Element if c.getTagName == name =>
+            c.getTextContent
+        }
+    }
+    val contents = doc.getElementsByTagName("Contents")
+    val keys = (0 until contents.getLength).map { i =>
+      val e = contents.item(i).asInstanceOf[org.w3c.dom.Element]
+      def req(name: String): String = childText(e, name).getOrElse(
+        throw new java.io.IOException(
+          s"S3 LIST response: <Contents> #$i missing <$name>"))
+      ObjMeta(req("Key"), req("Size").trim.toLong,
+        java.time.Instant.parse(req("LastModified").trim).toEpochMilli)
+    }
+    val truncated = {
+      val t = doc.getElementsByTagName("IsTruncated")
+      t.getLength > 0 && t.item(0).getTextContent.trim.equalsIgnoreCase("true")
+    }
+    (keys, truncated)
+  }
 
   private[io] def hexSha256(bytes: Array[Byte]): String =
     MessageDigest.getInstance("SHA-256").digest(bytes)

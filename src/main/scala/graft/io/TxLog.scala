@@ -1446,9 +1446,9 @@ object TxLog {
     * window can collect them).
     */
   def restore(spark: SparkSession, root: String, version: Long): Long = {
-    val head = headVersion(root)
-    require(version >= 1 && version <= head,
-      s"txlog: cannot restore $root to v$version (head is v$head)")
+    val head0 = headVersion(root)
+    require(version >= 1 && version <= head0,
+      s"txlog: cannot restore $root to v$version (head is v$head0)")
     val r = replay(root, version)
     require(r.entries.nonEmpty, s"txlog: v$version of $root lists no files")
     // the COLUMN MAPPING is table state too: a restore below a RENAME
@@ -1460,13 +1460,22 @@ object TxLog {
     // the taken-check for its own logical name, so resurrected columns
     // keep reading, while the retired physicals still can never be
     // REASSIGNED to a different logical.
-    val cur = replay(root, head)
-    publish(root, r.entries.map(renderEntry), Overwrite, txnId = None,
-      recorded = r.schema, expectHead = None,
-      txn = java.util.UUID.randomUUID().toString.take(12),
-      partitionBy = r.partitionBy.getOrElse(Nil), op = Some("RESTORE"),
-      colMapAdd = r.colMap,
-      colUnmap = cur.colMap.keySet.diff(r.colMap.keySet))
+    //
+    // Serializable read-modify-write with the claim PINNED to the head
+    // the current mapping was read at: a RENAME committing between the
+    // head read and the claim would otherwise leave its colMap entry out
+    // of colUnmap — the stale mapping survives the restore and a later
+    // write of that renamed logical lands in the restored column's
+    // physical bytes (silent column collision). The conflict retry
+    // recomputes cur.colMap per attempt, like rename/drop.
+    readModifyWrite(root, "restore") { (head, cur) =>
+      publish(root, r.entries.map(renderEntry), Overwrite, txnId = None,
+        recorded = r.schema, expectHead = Some(head),
+        txn = java.util.UUID.randomUUID().toString.take(12),
+        partitionBy = r.partitionBy.getOrElse(Nil), op = Some("RESTORE"),
+        colMapAdd = r.colMap,
+        colUnmap = cur.colMap.keySet.diff(r.colMap.keySet))
+    }
   }
 
   /** Shallow CLONE: a metadata-only fork of `srcRoot`'s snapshot at
@@ -2423,7 +2432,8 @@ object TxLog {
       colA: String,
       colB: String,
       smallBytes: Long = 64L * 1024 * 1024,
-      bits: Int = 8): Long =
+      bits: Int = 8,
+      statsCols: Seq[String] = Nil): Long =
     readModifyWrite(root, "compactZOrder") { (base, r) =>
       val (small, big) = r.entries.partition(_.bytes.forall(_ < smallBytes))
       if (small.size <= 1) base // nothing worth rewriting: no-op
@@ -2434,7 +2444,12 @@ object TxLog {
         val zv = ZOrder.zvalue(backlog, colA, colB, bits)
         commit(spark, root,
           backlog.repartitionByRange(nOut, zv).sortWithinPartitions(zv),
-          Overwrite, statsCols = Seq(colA, colB), carry = big,
+          // the cluster keys always get zone maps; extra statsCols (e.g.
+          // maintain's ledger-derived set) survive the rewrite too, so
+          // routine maintenance never REGRESSES data skipping on a
+          // non-key column the live files already carried stats for
+          Overwrite, statsCols = (Seq(colA, colB) ++ statsCols).distinct,
+          carry = big,
           carrySchema = r.schema, expectHead = Some(base), cdf = Some(""),
           partitionBy = layoutOf(root, r), rebaseAppends = true,
           op = Some("COMPACT ZORDER"),
@@ -2623,7 +2638,7 @@ object TxLog {
       val keys = r1.clusterBy
       if (keys.size == 2)
         out += ("ZORDER" -> compactZOrder(spark, root, keys.head, keys(1),
-          smallBytes))
+          smallBytes, statsCols = ledgerStatsCols(r1)))
       else
         out += ("COMPACT" -> compact(spark, root, smallBytes,
           statsCols = ledgerStatsCols(r1)))

@@ -354,6 +354,39 @@ class ColumnMappingSpec extends AnyFunSuite {
       .filter(col("text") === "v-7").count() === 1L)
   }
 
+  test("a RENAME landing inside RESTORE's window is not lost: the claim is head-pinned") {
+    import spark.implicits._
+    val root = Zones.tempDir("cmrestrace")
+    TxLog.commit(spark, root, batch(0, 50).coalesce(1), TxLog.Append,
+      statsCols = Seq("id"))                       // v1: payload era
+    TxLog.renameColumn(root, "payload", "text")    // v2
+    // the race: a SECOND rename (text → label) commits between restore's
+    // head/mapping read and its claim. An unpinned restore would compute
+    // colUnmap from the stale mapping ({text}), miss {label}, and leave
+    // label → payload-physical alive after the restore — a later append
+    // of a "label" column would then write into the restored payload
+    // column's bytes (silent collision). The pinned claim conflicts,
+    // rereads, and unmaps the mapping that actually holds at commit time.
+    TxLog.testRaceHook =
+      () => { TxLog.renameColumn(root, "text", "label"); () }
+    TxLog.restore(spark, root, 1L)
+    val r = TxLog.replay(root, TxLog.headVersion(root))
+    assert(r.colMap.isEmpty,
+      s"the interleaved rename's mapping must be unmapped too: ${r.colMap}")
+    // appending a fresh "label" column now makes a NEW column — it must
+    // never alias the restored payload's physical bytes
+    TxLog.append(spark, root,
+      Seq((900L, "old-style", "fresh")).toDF("id", "payload", "label"))
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.count() === 51L)
+    assert(snap.filter(col("payload") === "v-7").count() === 1L,
+      "restored payload bytes must read back intact")
+    assert(snap.filter(col("label").isNotNull).count() === 1L,
+      "label is a fresh column: null for every restored row, set for the new one")
+    assert(snap.filter(col("label") === "fresh" &&
+      col("payload") === "old-style").count() === 1L)
+  }
+
   test("RESTORE below a drop resurrects the column: identity physical, no NULLing append") {
     import spark.implicits._
     val root = Zones.tempDir("cmrestdrop")

@@ -30,6 +30,18 @@ class LogStoreSpec extends AnyFunSuite {
     assert(FileSchemeLogStore.strip("file:/tmp/x") === "/tmp/x")
     assert(LogStore.forRoot("hdfs://nn/x") eq HadoopLogStore)
     assert(LogStore.forRoot("mem://b/x") eq ObjectStoreLogStore.Mem)
+    // Hadoop Path/URI semantics: file: URIs carry percent-encoded
+    // octets — an encoded root must resolve to the DECODED directory the
+    // table previously lived at, not a literal '%20' path
+    assert(FileSchemeLogStore.strip("file:/data/my%20table") === "/data/my table")
+    assert(FileSchemeLogStore.strip("file:///a/b%2Bc") === "/a/b+c")
+    // a raw (unencoded) path with characters a URI refuses keeps working
+    // byte-for-byte via the literal fallback
+    assert(FileSchemeLogStore.strip("file:/data/my table") === "/data/my table")
+    // deployment-registered schemes route to their object store
+    val probe = new ObjectStoreLogStore(p => (InMemoryObjectStore.bucket("rt"), p))
+    LogStore.registerScheme("probe", probe)
+    assert(LogStore.forRoot("probe://b/x") eq probe)
   }
 
   test("both stores: putIfAbsent claims exactly once and publishes complete bytes") {

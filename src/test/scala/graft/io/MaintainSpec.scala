@@ -66,6 +66,29 @@ class MaintainSpec extends AnyFunSuite {
       assert(TxLog.headVersion(root) === headBefore)
     }
 
+    test(s"maintain's ZORDER keeps ledger stats on NON-key columns [$flavor]") {
+      import spark.implicits._
+      val root = mkRoot()
+      // three small files whose zone maps cover a column that is NOT a
+      // cluster key ("extra"): the clustered rewrite must re-record it,
+      // or routine maintenance regresses data skipping on that column
+      (0 until 3).foreach(k => TxLog.commit(spark, root,
+        (k * 100 until k * 100 + 100)
+          .map(i => (i.toLong, i.toLong * 31 % 97, i.toLong * 7, s"p-$i"))
+          .toDF("id", "bucket", "extra", "payload").coalesce(1),
+        TxLog.Append, statsCols = Seq("id", "bucket", "extra")))
+      TxLog.setClusterKeys(root, Seq("id", "bucket"))
+      val ops = TxLog.maintain(spark, root, smallBytes = Long.MaxValue,
+        retainVersions = 1L, inflightGraceMs = 0L)
+      assert(ops.map(_._1) === Seq("ZORDER", "VACUUM"))
+      val r = TxLog.replay(root, TxLog.headVersion(root))
+      assert(r.entries.nonEmpty && r.entries.forall(e =>
+        e.stats.contains("extra") && e.stats.contains("id") &&
+          e.stats.contains("bucket")),
+        s"ZORDER must carry the ledger's non-key stats columns: ${r.entries}")
+      assert(TxLog.snapshot(spark, root).count() === 300L)
+    }
+
     test(s"without recorded keys the compaction is plain COMPACT [$flavor]") {
       val root = mkRoot()
       (0 until 3).foreach(k => TxLog.commit(spark, root,
