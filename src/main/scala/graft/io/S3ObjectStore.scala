@@ -178,6 +178,7 @@ final class S3ObjectStore(
           // otherwise back off and retry the conditional PUT. Returning
           // false here would make BOTH racers report "lost" and the
           // claimed version would belong to nobody.
+          ambiguousEver = true // our 409'd attempt's own fate is unknown
           conflicts += 1
           head(key) match {
             case Some(_) =>

@@ -30,7 +30,7 @@ import org.apache.spark.sql.types.{Decimal, StructType}
   */
 final class TxLogFileIndex(
     spark: SparkSession,
-    root: String,
+    val root: String,
     files: Seq[String], // absolute paths, snapshot order
     sizes: Map[String, Long], // manifest-carried byte sizes (canon keys)
     stats: Map[String, TxLog.ColStats],
@@ -273,6 +273,31 @@ object TxLogFileIndex {
 
   /** The no-bloom hook: every equality probe keeps the file. */
   private[io] val keepAll: (Attribute, Literal) => Boolean = (_, _) => true
+
+  /** The snapshot as ONE bare [[HadoopFsRelation]] when its semantics
+    * fit one — no live deletion vectors (whose anti-join sits above the
+    * scan), no column mapping (whose aliasing projection does), one
+    * partition-layout generation (no union). This is the steady state of
+    * any maintained table (compact/purge collapse all three), and the
+    * fast path external V1 surfaces (`spark.read.format("graft")`) hand
+    * straight to Spark: the plan then shows the parquet scan, pushdown,
+    * and zone-map pruning directly. `None` means the snapshot carries
+    * merge-on-read state only a full plan can express — callers fall
+    * back to [[graft.sources.GraftSnapshotRelation]]. Decided by
+    * PATTERN, not by re-deriving the three conditions: whatever
+    * [[read]] planned, a bare relation qualifies and anything else
+    * doesn't, so the two can never disagree.
+    */
+  private[graft] def bareRelation(
+      spark: SparkSession,
+      root: String,
+      r: TxLog.Replay): Option[HadoopFsRelation] =
+    read(spark, root, r).queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[HadoopFsRelation] =>
+        Some(l.relation.asInstanceOf[HadoopFsRelation])
+      case _ => None
+    }
 
   /** The [[TxLogFileIndex]] a snapshot DataFrame plans through (for specs
     * asserting that frame's pruning via its own `lastListed`).

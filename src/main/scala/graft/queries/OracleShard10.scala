@@ -1373,5 +1373,46 @@ private[graft] object OracleShard10 {
         |WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 2
         |  AND o_orderpriority >= '3'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q663_graft_format_read" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, CAST(month(o_orderdate) AS BIGINT) AS mm,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders
+        |  WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 6
+        |)
+        |SELECT mm, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(v) AS BIGINT) AS cents, 'head' AS era
+        |FROM base WHERE o_orderkey % 10 <> 7 GROUP BY mm
+        |UNION ALL
+        |SELECT mm, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(v) AS BIGINT) AS cents, 'v2' AS era
+        |FROM base GROUP BY mm
+        |ORDER BY era, mm""".stripMargin,
+
+    "q664_graft_sql_dml" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders
+        |  WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 2
+        |), state AS ( -- DELETE on the original value, then UPDATE
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderstatus = 'F' THEN v + 7 ELSE v END AS v
+        |  FROM base WHERE v >= 5000000
+        |), src AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) * 2 AS v
+        |  FROM orders
+        |  WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 3
+        |    AND o_orderkey % 5 = 0
+        |), merged AS ( -- MERGE: source overrides matched keys, inserts rest
+        |  SELECT * FROM state
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        |  UNION ALL SELECT * FROM src
+        |)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(v) AS BIGINT) AS cents
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

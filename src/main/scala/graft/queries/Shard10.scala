@@ -2465,5 +2465,75 @@ private[graft] object Shard10 {
         .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
         .orderBy("priority")
     }),
+
+    // the data-source surface end-to-end: a table WRITTEN through
+    // `df.write.format("graft")` (two appends), then a merge-on-read
+    // DELETE — and READ back through `spark.read.format("graft")` on
+    // BOTH relation paths in one result: the head read plans the
+    // deletion vectors through the wrapper relation, the
+    // versionAsOf(2) read plans the pre-delete snapshot as the bare
+    // index-backed file source. Oracle recomputes both eras from the
+    // base table.
+    "q663_graft_format_read" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(expr("year(o_orderdate) = 1995 AND month(o_orderdate) <= 6"))
+        .select(col("o_orderkey"),
+          month(col("o_orderdate")).cast("long").as("mm"),
+          centsOf(col("o_totalprice")).as("v"))
+      val root = io.Zones.tempDir(s"graft_fmt_${new java.io.File(dir).getName}")
+      o.filter(col("mm") <= 3)
+        .write.format("graft").mode("append").save(root) // v1
+      o.filter(col("mm") > 3)
+        .write.format("graft").mode("append").save(root) // v2
+      io.TxLog.deleteVectors(s, root, col("o_orderkey") % 10 === 7L) // v3
+      val head = s.read.format("graft").load(root)
+        .groupBy("mm").agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
+        .withColumn("era", lit("head"))
+      val preDelete = s.read.format("graft").option("versionAsOf", "2")
+        .load(root)
+        .groupBy("mm").agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
+        .withColumn("era", lit("v2"))
+      head.unionByName(preDelete).orderBy("era", "mm")
+    }),
+
+    // SQL DML over the txlog: DELETE (merge-on-read vectors), UPDATE
+    // (post-images + vectors, SET referencing the column itself), and
+    // MERGE (file-granular upsert) driven as PLAIN SQL STATEMENTS
+    // through the extension session, against a catalog `USING graft`
+    // table. Oracle replays the three statements relationally: delete
+    // on the ORIGINAL value, update adds after, merge = source rows
+    // override matched keys and insert the rest.
+    "q664_graft_sql_dml" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+        .filter(expr("year(o_orderdate) = 1995 AND month(o_orderdate) <= 2"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          centsOf(col("o_totalprice")).as("v"))
+      val root = io.Zones.tempDir(s"graft_dml_${new java.io.File(dir).getName}")
+      io.TxLog.commit(s, root, base.coalesce(1), io.TxLog.Append,
+        statsCols = Seq("o_orderkey"))
+      val s2 = sources.GraftSession.withDml(s)
+      val tbl = s"q664_${java.util.UUID.randomUUID().toString.take(8)}"
+      s2.sql(s"CREATE TABLE $tbl USING graft LOCATION '$root'")
+      try {
+        s2.sql(s"DELETE FROM $tbl WHERE v < 5000000")
+        s2.sql(s"UPDATE $tbl SET v = v + 7 WHERE o_orderstatus = 'F'")
+        val srcTbl = s"${tbl}_src"
+        Tables.orders(s2, dir)
+          .filter(expr(
+            "year(o_orderdate) = 1995 AND month(o_orderdate) = 3 " +
+              "AND o_orderkey % 5 = 0"))
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (centsOf(col("o_totalprice")) * 2).as("v"))
+          .createOrReplaceTempView(srcTbl)
+        s2.sql(
+          s"""MERGE INTO $tbl USING $srcTbl ON $tbl.o_orderkey = $srcTbl.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      } finally s2.sql(s"DROP TABLE IF EXISTS $tbl")
+      io.TxLog.snapshot(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
+        .orderBy("o_orderstatus")
+    }),
   )
 }

@@ -265,7 +265,9 @@ final class S3StubServer(
        |""".stripMargin.getBytes(StandardCharsets.UTF_8)
   }
 
-  private def pollFault(method: String): Option[Fault] = {
+  // peek+poll atomically: two concurrent requests must never each
+  // consume the OTHER's fault directive
+  private def pollFault(method: String): Option[Fault] = faults.synchronized {
     val head = faults.peek()
     if (head != null && head.method == method) Option(faults.poll())
     else None
