@@ -1791,6 +1791,83 @@ object TxLog {
   def overwrite(spark: SparkSession, root: String, df: DataFrame): Long =
     commit(spark, root, df, Overwrite)
 
+  /** Atomically replace exactly the hive partitions named by `spec`
+    * (logical partition column → value) with `df`'s rows — SQL
+    * `INSERT OVERWRITE ... PARTITION (k=v)` / Delta's partition-scoped
+    * `replaceWhere`, as ONE overwrite commit: the spec-matching live
+    * entries are dropped, every other live file is carried BY REFERENCE
+    * (stats intact, zero data reads to decide — files are
+    * partition-homogeneous so entry paths answer membership exactly),
+    * and the new files land under the same layout. Readers never see an
+    * intermediate state, and a concurrent append rebases on top
+    * (serializable as append-after-replace).
+    *
+    * `df` must already be confined to the replaced partitions — guarded
+    * by one column-pruned pass over the spec columns (for the SQL path
+    * the spec values are injected literals, so the optimizer folds the
+    * guard to a no-op). The written files inherit the table's recorded
+    * zone-map columns, so routine SQL overwrites keep data skipping
+    * alive without the caller re-declaring anything.
+    */
+  def replacePartitions(
+      spark: SparkSession,
+      root: String,
+      df: DataFrame,
+      spec: Map[String, String]): Long = {
+    require(spec.nonEmpty, "txlog: replacePartitions needs a non-empty spec")
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    readModifyWrite(root, "replacePartitions") { (base, r) =>
+      val layout = layoutOf(root, r)
+      val bad = spec.keys.filterNot(layout.contains)
+      require(bad.isEmpty,
+        s"txlog: replacePartitions spec names non-partition columns " +
+          s"${bad.mkString(", ")} (layout: ${layout.mkString(", ")})")
+      val schema = r.schema.getOrElse(throw new IllegalStateException(
+        s"txlog: $root has no recorded schema; cannot type the partition spec"))
+      // dir segment per spec column: PHYSICAL name (k=v dirs keep
+      // physical names through a column rename), value canonicalized
+      // through the recorded type so "07" and "7" name the same partition
+      val typed: Map[String, (org.apache.spark.sql.types.DataType, String)] =
+        spec.map { case (k, v) =>
+          val dt = schema.fields.find(_.name == k).map(_.dataType)
+            .getOrElse(throw new IllegalArgumentException(
+              s"txlog: partition column $k missing from the recorded schema"))
+          val canon = dt match {
+            case org.apache.spark.sql.types.StringType => v
+            case _ => v.trim.toLong.toString
+          }
+          k -> (dt, canon)
+        }
+      val segs = typed.map { case (k, (_, canon)) =>
+        s"${escapePathName(r.physName(k))}=${escapePathName(canon)}"
+      }.toSet
+      def hit(e: Entry): Boolean =
+        segs.subsetOf(e.path.split("/").dropRight(1).toSet)
+      val keep = r.entries.filterNot(hit)
+      val confined = typed.map { case (k, (dt, canon)) =>
+        col(k) <=> lit(canon).cast(dt)
+      }.reduce(_ && _)
+      require(df.filter(!confined).isEmpty,
+        s"txlog: replacePartitions data contains rows outside " +
+          s"${spec.map { case (k, v) => s"$k=$v" }.mkString(", ")}")
+      commit(spark, root, df, Overwrite,
+        statsCols = ledgerStatsCols(r), carry = keep, carrySchema = r.schema,
+        expectHead = Some(base), partitionBy = layout, rebaseAppends = true,
+        op = Some("REPLACE PARTITIONS"))
+    }
+  }
+
+  /** The zone-map columns the table's live files already carry, mapped
+    * to logical names — what a routine write should declare as
+    * `statsCols` so it lands as prunable as the data around it (the SQL
+    * INSERT path's default; [[maintain]] uses the same ledger-derived
+    * set for its rewrites).
+    */
+  def recordedStatsCols(root: String): Seq[String] = {
+    val head = headVersion(root)
+    if (head == 0L) Nil else ledgerStatsCols(replay(root, head))
+  }
+
   /** Exactly-once append: a replay of the same `txnId` (a Structured
     * Streaming batchId after failure recovery, an orchestrator retry) is a
     * no-op returning the original version. This is the idempotence contract

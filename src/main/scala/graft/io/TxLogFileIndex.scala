@@ -28,7 +28,7 @@ import org.apache.spark.sql.types.{Decimal, StructType}
   * nothing, and the full predicate is still evaluated on every surviving
   * row (zone maps prune files, they don't answer queries).
   */
-final class TxLogFileIndex(
+class TxLogFileIndex(
     spark: SparkSession,
     val root: String,
     files: Seq[String], // absolute paths, snapshot order
@@ -58,6 +58,25 @@ final class TxLogFileIndex(
   override def partitionSchema: StructType = partSchema
   override def inputFiles: Array[String] = files.toArray
   override def refresh(): Unit = ()
+
+  /** This index with `rootPaths` reporting the data root AND the log dir
+    * — identical in every read respect (same files, stats, pruning), but
+    * Spark's `DataSourceAnalysis` refuses to build its direct-to-path
+    * insert command over a multi-path location AT ANALYSIS TIME. That
+    * refusal is the ONLY pre-mutation hook a V1 relation gets: the
+    * insert command deletes overwritten partitions BEFORE it touches the
+    * file format, so in an extension-less session a partition-spec
+    * `INSERT OVERWRITE` over a single-path index would destroy
+    * manifest-referenced files (and the log itself) before any format
+    * guard could fire. The catalog-facing relation wraps this variant;
+    * internal snapshot reads keep the single-path original.
+    */
+  private[graft] def insertGuarded: TxLogFileIndex =
+    new TxLogFileIndex(spark, root, files, sizes, stats, strStats,
+      partSchema, blooms, liveFracs) {
+      override def rootPaths: Seq[Path] =
+        Seq(new Path(root), new Path(s"$root/_txlog"))
+    }
 
   /** Catalyst's size estimate for this snapshot, FROM THE LOG: each
     * file's manifest bytes scaled by its live-row fraction

@@ -1414,5 +1414,21 @@ private[graft] object OracleShard10 {
         |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(v) AS BIGINT) AS cents
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q665_graft_sql_insert" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, CAST(month(o_orderdate) AS BIGINT) AS mm,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders WHERE year(o_orderdate) = 1995
+        |), state AS ( -- months 1+3 as loaded/appended; 4 via the static
+        |              -- spec insert; 2 replaced by the tripled subset
+        |  SELECT o_orderkey, mm, v FROM b WHERE mm IN (1, 3, 4)
+        |  UNION ALL
+        |  SELECT o_orderkey, mm, v * 3 AS v FROM b
+        |  WHERE mm = 2 AND o_orderkey % 3 = 0
+        |)
+        |SELECT mm, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(v) AS BIGINT) AS cents
+        |FROM state GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

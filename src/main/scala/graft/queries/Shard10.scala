@@ -2535,5 +2535,53 @@ private[graft] object Shard10 {
         .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
         .orderBy("o_orderstatus")
     }),
+
+    // SQL INSERT over a partitioned txlog catalog table: plain INSERT
+    // INTO (transactional append), a static-spec INSERT INTO PARTITION
+    // (value injected as a typed literal), and INSERT OVERWRITE
+    // PARTITION (the atomic partition replace — only the named
+    // partition's files drop, everything else carries by reference).
+    // Oracle replays the journey relationally: months 1 and 3 as
+    // loaded/appended, month 4 from the static-spec insert, month 2
+    // replaced wholesale by the tripled subset.
+    "q665_graft_sql_insert" -> ((s, dir) => {
+      val b = Tables.orders(s, dir)
+        .filter(expr("year(o_orderdate) = 1995"))
+        .select(col("o_orderkey"),
+          month(col("o_orderdate")).cast("long").as("mm"),
+          centsOf(col("o_totalprice")).as("v"))
+      val root = io.Zones.tempDir(s"graft_ins_${new java.io.File(dir).getName}")
+      io.TxLog.commit(s, root, b.filter(col("mm") <= 2).coalesce(1),
+        io.TxLog.Append, statsCols = Seq("o_orderkey"),
+        partitionBy = Seq("mm"))
+      val s2 = sources.GraftSession.withDml(s)
+      val tbl = s"q665_${java.util.UUID.randomUUID().toString.take(8)}"
+      s2.sql(s"CREATE TABLE $tbl USING graft LOCATION '$root'")
+      try {
+        // temp views are SESSION-scoped: build them in the DML session
+        val b2 = Tables.orders(s2, dir)
+          .filter(expr("year(o_orderdate) = 1995"))
+          .select(col("o_orderkey"),
+            month(col("o_orderdate")).cast("long").as("mm"),
+            centsOf(col("o_totalprice")).as("v"))
+        // positional order is the VISIBLE schema (o_orderkey, v, mm) —
+        // data columns first, partition column last, as SELECT * shows
+        b2.filter(col("mm") === 3).createOrReplaceTempView(s"${tbl}_mar")
+        s2.sql(s"INSERT INTO $tbl SELECT o_orderkey, v, mm FROM ${tbl}_mar")
+        b2.filter(col("mm") === 4).select(col("o_orderkey"), col("v"))
+          .createOrReplaceTempView(s"${tbl}_apr")
+        s2.sql(s"INSERT INTO $tbl PARTITION (mm=4) " +
+          s"SELECT o_orderkey, v FROM ${tbl}_apr")
+        b2.filter(col("mm") === 2 && col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), (col("v") * 3).as("v"))
+          .createOrReplaceTempView(s"${tbl}_feb3")
+        s2.sql(s"INSERT OVERWRITE $tbl PARTITION (mm=2) " +
+          s"SELECT o_orderkey, v FROM ${tbl}_feb3")
+      } finally s2.sql(s"DROP TABLE IF EXISTS $tbl")
+      io.TxLog.snapshot(s, root)
+        .groupBy("mm")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
+        .orderBy("mm")
+    }),
   )
 }

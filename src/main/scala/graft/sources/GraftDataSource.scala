@@ -4,11 +4,15 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.util.CaseInsensitiveMap
 import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.io.{TxLog, TxLogFileIndex}
+import graft.streaming.{TxLogSinkProvider, TxLogSourceProvider}
 
 /** `spark.read.format("graft")` / `df.write.format("graft")` / the
   * session catalog's `USING graft`: the transaction-log table as a
@@ -52,12 +56,53 @@ import graft.io.{TxLog, TxLogFileIndex}
   * Options: `versionAsOf` (long) / `timestampAsOf` (millis or ISO-8601
   * instant) select a snapshot; writes honor `SaveMode.Append` /
   * `Overwrite` / `ErrorIfExists` / `Ignore` and `partitionBy`.
+  *
+  * The SAME format string also serves Structured Streaming —
+  * `readStream.format("graft").load(root)` (incremental per-commit
+  * microbatches) and `writeStream.format("graft")` (exactly-once
+  * appends) delegate to the txlog stream source/sink. And the one V1
+  * hazard — Spark routing an extension-less INSERT to its destructive
+  * direct-to-path command — is closed structurally: see
+  * [[GraftBareRelation]].
   */
 final class GraftDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
   import GraftDataSource._
 
   override def shortName(): String = "graft"
+
+  // ----------------------------------------------------- streaming path
+  // `readStream.format("graft").load(root)` / `writeStream
+  // .format("graft")...` delegate to the txlog stream source/sink, so
+  // ONE format string covers batch reads, batch writes, catalog tables,
+  // and both streaming halves (Delta's surface shape). The path operand
+  // maps onto the providers' `root` option.
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    new TxLogSourceProvider().sourceSchema(
+      sqlContext, schema, providerName, withRoot(parameters))
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source =
+    new TxLogSourceProvider().createSource(
+      sqlContext, metadataPath, schema, providerName, withRoot(parameters))
+
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink =
+    new TxLogSinkProvider().createSink(
+      sqlContext, withRoot(parameters), partitionColumns, outputMode)
 
   // ---------------------------------------------------------- scan path
 
@@ -66,7 +111,7 @@ final class GraftDataSource extends RelationProvider
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val (root, version) = resolve(CaseInsensitiveMap(parameters))
-    relationFor(spark, root, version)
+    relationFor(spark, root, version, parameters)
   }
 
   // ------------------------------------------------------ V1 write path
@@ -98,11 +143,28 @@ final class GraftDataSource extends RelationProvider
         TxLog.commit(spark, root, data, TxLog.Append,
           partitionBy = partitionBy.distinct)
     }
-    relationFor(spark, root, None)
+    relationFor(spark, root, None, parameters)
   }
 }
 
 object GraftDataSource {
+
+  /** Streaming option map: the load-path operand (or `location` from a
+    * catalog table) becomes the stream providers' `root`; an explicit
+    * `root` option wins.
+    */
+  private def withRoot(parameters: Map[String, String]): Map[String, String] = {
+    val params = CaseInsensitiveMap(parameters)
+    params.get("root") match {
+      case Some(_) => parameters
+      case None =>
+        val root = params.get("path").orElse(params.get("location")).getOrElse(
+          throw new IllegalArgumentException(
+            "graft stream: a table path is required — " +
+              "readStream.format(\"graft\").load(root)"))
+        parameters + ("root" -> root)
+    }
+  }
 
   /** (root, pinned version) from reader/writer/catalog options. */
   private[graft] def resolve(
@@ -129,12 +191,56 @@ object GraftDataSource {
   private[graft] def relationFor(
       spark: SparkSession,
       root: String,
-      version: Option[Long]): BaseRelation = {
+      version: Option[Long],
+      parameters: Map[String, String]): BaseRelation = {
     val v = version.getOrElse(TxLog.headVersion(root))
     val r = TxLog.replay(root, v)
     require(r.files.nonEmpty, s"txlog: snapshot v$v of $root lists no files")
     TxLogFileIndex.bareRelation(spark, root, r)
+      .map { h =>
+        val idx = h.location.asInstanceOf[TxLogFileIndex].insertGuarded
+        // options = the provider parameters VERBATIM: on a catalog
+        // cache hit, FindDataSourceTable compares the cached relation's
+        // options against the freshly generated ones (path + storage
+        // properties — exactly what this provider was handed) and, on
+        // ANY mismatch, rebuilds the relation via the case-class copy —
+        // which would re-instantiate the PARENT HadoopFsRelation and
+        // silently drop this class's InsertableRelation. The internal
+        // relation's own options (mergeSchema) are not load-bearing
+        // here: the data schema is already declared, never re-inferred.
+        new GraftBareRelation(spark, root, idx, h.partitionSchema,
+          h.dataSchema, parameters)
+      }
       .getOrElse(GraftSnapshotRelation(spark, root, v))
+  }
+
+  /** The `InsertableRelation` body shared by both relation shapes:
+    * `data` arrives pre-aligned to the relation schema (Spark's
+    * `PreprocessTableInsertion` casts, pads, and reorders, partition
+    * columns last); re-order by name to the log-recorded schema and
+    * commit through the log, inheriting the table's recorded zone-map
+    * columns so SQL-inserted files land as prunable as the data around
+    * them.
+    */
+  private[sources] def transactionalInsert(
+      spark: SparkSession,
+      root: String,
+      data: DataFrame,
+      overwrite: Boolean): Unit = {
+    val r = TxLog.replay(root, TxLog.headVersion(root))
+    val layout = r.partitionBy.getOrElse(throw new IllegalStateException(
+      s"graft: $root has a mixed partition layout; restore first"))
+    val ordered = r.schema match {
+      case Some(rec) =>
+        val present = data.columns.toSet
+        data.select(rec.fieldNames.toSeq.filter(present).map(col): _*)
+      case None => data
+    }
+    TxLog.commit(spark, root, ordered,
+      if (overwrite) TxLog.Overwrite else TxLog.Append,
+      statsCols = TxLog.recordedStatsCols(root), partitionBy = layout,
+      op = Some(if (overwrite) "INSERT OVERWRITE" else "INSERT"))
+    ()
   }
 
   /** Minimal parse of the `["a","b"]` shape DataFrameWriter encodes
@@ -143,6 +249,77 @@ object GraftDataSource {
   private def parseJsonStringArray(s: String): Seq[String] =
     "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(s)
       .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+}
+
+/** Parquet reads, no parquet writes: the `FileFormat` inside the bare
+  * graft relation. Every read surface is inherited from
+  * [[ParquetFileFormat]] byte-for-byte — vectorized reader, schema
+  * pruning, pushdown (rules matching on the parquet class see a
+  * subclass) — while `prepareWrite`, the entry point of Spark's
+  * direct-to-directory insert command, refuses with the transactional
+  * alternatives. Defense in depth behind the analysis-time multi-path
+  * guard ([[graft.io.TxLogFileIndex.insertGuarded]]): even if some path
+  * reaches the physical write, no file can land outside the log.
+  */
+final class GraftReadOnlyParquetFormat
+    extends org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat {
+  override def prepareWrite(
+      sparkSession: SparkSession,
+      job: org.apache.hadoop.mapreduce.Job,
+      options: Map[String, String],
+      dataSchema: StructType)
+      : org.apache.spark.sql.execution.datasources.OutputWriterFactory =
+    throw new UnsupportedOperationException(
+      "graft: writing files directly into a transaction-log table would " +
+        "bypass the log (rows would never become visible). Write through " +
+        "df.write.format(\"graft\").mode(...), TxLog.append/overwrite, or " +
+        "SQL INSERT with GraftDmlExtensions enabled.")
+}
+
+/** The catalog/format-surface bare relation: the internal snapshot's
+  * own `HadoopFsRelation` (same [[TxLogFileIndex]], so pushdown,
+  * zone-map pruning, and partition pruning sit directly in the user's
+  * plan) hardened for the one statement family V1 file relations get
+  * wrong — INSERT. Without [[GraftDmlExtensions]], Spark would route an
+  * INSERT on this relation to its direct-to-path command, which DELETES
+  * the overwritten paths (manifest-referenced immutable files, the log
+  * dir itself on a full overwrite) before writing, then lands files no
+  * manifest references; the guarded index's multi-path `rootPaths`
+  * makes that command REFUSE AT ANALYSIS instead — loud, zero mutation
+  * — and the read-only format refuses any residual direct write. With
+  * extensions (or [[GraftSession.withDml]]), [[GraftDmlRule]] rewrites
+  * every INSERT shape into transactional commits before any of this is
+  * consulted.
+  *
+  * It also implements [[sources.InsertableRelation]] (a transactional
+  * append/overwrite). On Spark 4.1 the catalog path cannot reach it for
+  * THIS class — resolution of an INSERT target injects a
+  * write-privilege option, and the resulting options mismatch makes
+  * `FindDataSourceTable` rebuild the cached relation via the case-class
+  * copy, which re-instantiates plain `HadoopFsRelation` and drops the
+  * mixin — but the merge-on-read wrapper ([[GraftSnapshotRelation]], no
+  * case-class copy applies) does serve extension-less `INSERT INTO`
+  * through it, and any direct `InsertIntoDataSourceCommand` stays
+  * correct here.
+  */
+final class GraftBareRelation(
+    spark: SparkSession,
+    val root: String,
+    index: graft.io.TxLogFileIndex,
+    partitionSchema0: StructType,
+    dataSchema0: StructType,
+    options0: Map[String, String])
+    extends HadoopFsRelation(index, partitionSchema0, dataSchema0, None,
+      new GraftReadOnlyParquetFormat, options0)(spark)
+    with sources.InsertableRelation {
+
+  /** `data` arrives aligned to this relation's schema (Spark's
+    * `PreprocessTableInsertion` casts and reorders, partition columns
+    * last); re-order by name to the log-recorded schema and commit. The
+    * written files inherit the table's recorded zone-map columns.
+    */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit =
+    GraftDataSource.transactionalInsert(spark, root, data, overwrite)
 }
 
 /** Full-semantics snapshot scan for merge-on-read state a bare
@@ -161,7 +338,8 @@ object GraftDataSource {
 final case class GraftSnapshotRelation(
     @transient spark: SparkSession,
     root: String,
-    version: Long) extends BaseRelation with PrunedFilteredScan {
+    version: Long) extends BaseRelation with PrunedFilteredScan
+    with sources.InsertableRelation {
 
   @transient private lazy val snap: DataFrame =
     TxLog.snapshot(spark, root, Some(version))
@@ -175,6 +353,12 @@ final case class GraftSnapshotRelation(
   override def needConversion: Boolean = false
   override def sizeInBytes: Long =
     TxLog.replay(root, version).entries.flatMap(_.bytes).sum max 1L
+
+  /** Same transactional insert as [[GraftBareRelation.insert]] — an
+    * extension-less `INSERT INTO` works on merge-on-read tables too.
+    */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit =
+    GraftDataSource.transactionalInsert(spark, root, data, overwrite)
 
   override def buildScan(
       requiredColumns: Array[String],

@@ -9,19 +9,23 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, lit}
+import org.apache.spark.sql.types.{LongType, StructField}
 
 import graft.io.{TxLog, TxLogFileIndex}
 import graft.plans.GraftExtensions
 
 /** SQL DML over the transaction log: `DELETE FROM` / `UPDATE` /
-  * `MERGE INTO` statements on `USING graft` tables, rewritten during
-  * analysis into commands that drive the existing serializable
-  * row-level APIs — [[TxLog.deleteVectors]] (merge-on-read deletes:
-  * position vectors, no data rewrite), [[TxLog.updateVectors]]
-  * (post-image files + vectors over the pre-images), and
-  * [[TxLog.merge]] (file-granular copy-on-write upsert). The rewrite
+  * `MERGE INTO` / `INSERT` statements on `USING graft` tables,
+  * rewritten during analysis into commands that drive the existing
+  * serializable row-level APIs — [[TxLog.deleteVectors]]
+  * (merge-on-read deletes: position vectors, no data rewrite),
+  * [[TxLog.updateVectors]] (post-image files + vectors over the
+  * pre-images), [[TxLog.merge]] (file-granular copy-on-write upsert),
+  * and [[TxLog.replacePartitions]] / append commits for the INSERT
+  * family (plain `INSERT INTO`/`OVERWRITE` also work WITHOUT
+  * extensions through the relations' `InsertableRelation`; this rule
+  * additionally covers the PARTITION-clause shapes). The rewrite
   * happens in the RESOLUTION phase, after the target table and the
   * condition are resolved but before `CheckAnalysis` would reject the
   * statement ("DELETE is only supported with v2 tables" — the v1
@@ -90,6 +94,26 @@ final class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           s"got ${m.matchedActions} / ${m.notMatchedActions}")
       GraftMergeCommand(root, keyCol, source,
         allowUpdate = matched.nonEmpty, allowInsert = notMatched.nonEmpty)
+
+    // INSERT INTO / INSERT OVERWRITE [PARTITION (...)]: without this
+    // rewrite the statement reaches Spark's own
+    // InsertIntoHadoopFsRelationCommand, which writes files the log
+    // never learns about (the bare relation's read-only format refuses
+    // that at execution; THIS is the path that makes the statement
+    // work). Matched before PreprocessTableInsertion pads/validates —
+    // the command does its own positional/by-name alignment against the
+    // log-recorded schema.
+    case InsertIntoStatement(GraftTarget(root), partitionSpec, userCols,
+        query, overwrite, ifPartitionNotExists, byName) if query.resolved =>
+      if (ifPartitionNotExists) fail(
+        "INSERT ... IF NOT EXISTS is not supported on graft tables")
+      val static = partitionSpec.collect { case (k, Some(v)) => k -> v }
+      val dynamic = partitionSpec.collect { case (k, None) => k }.toSeq
+      if (overwrite && dynamic.nonEmpty) fail(
+        "INSERT OVERWRITE PARTITION on a graft table needs static values " +
+          "(PARTITION (k='v')); dynamic-partition overwrite is not supported")
+      GraftInsertCommand(root, static, dynamic, userCols, query,
+        overwrite = overwrite, byName = byName)
   }
 
   /** `t.k = s.k` (either side order, resolved or not) → the shared key
@@ -203,6 +227,111 @@ final case class GraftMergeCommand(
           src.join(keys, Seq(keyCol), "left_anti")
       }
     Seq(Row(TxLog.merge(spark, root, updates, keyCol)))
+  }
+}
+
+/** `INSERT INTO` → a transactional append; `INSERT OVERWRITE` → a full
+  * overwrite commit; `INSERT OVERWRITE ... PARTITION (k=v)` →
+  * [[TxLog.replacePartitions]]'s atomic partition replace (only the
+  * named partitions' files drop; everything else carries by reference).
+  * Alignment is against the USER-VISIBLE schema (the scan's
+  * data-then-partition column order — what `SELECT *` shows): positional
+  * with casts (ANSI `INSERT` semantics), `BY NAME` by resolved name,
+  * static partition values injected as typed literals, dynamic partition
+  * columns expected LAST in the query output (Hive's rule). Written
+  * files inherit the table's recorded zone-map columns
+  * ([[TxLog.recordedStatsCols]]), so SQL-inserted data lands as
+  * prunable as the data around it.
+  */
+final case class GraftInsertCommand(
+    root: String,
+    static: Map[String, String],
+    dynamic: Seq[String],
+    userCols: Seq[String],
+    query: LogicalPlan,
+    overwrite: Boolean,
+    byName: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val head = TxLog.headVersion(root)
+    val r = TxLog.replay(root, head)
+    // positional semantics follow the USER-VISIBLE schema — what
+    // `SELECT *` and `DESCRIBE` show, i.e. the scan's data-columns-then-
+    // partition-columns order — NOT the log-recorded writer order (the
+    // two can differ after a compaction rewrote through the scan)
+    val visible = TxLog.snapshot(spark, root).schema
+    val layout = r.partitionBy.getOrElse(throw new IllegalStateException(
+      s"graft DML: $root has a mixed partition layout; restore first"))
+    def fieldOf(name: String): StructField =
+      visible.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft DML: column $name is not in the table schema " +
+            s"(${visible.fieldNames.mkString(", ")})"))
+    val staticFields = static.toSeq.map { case (k, v) => (fieldOf(k), v) }
+    val staticNames = staticFields.map(_._1.name).toSet
+    val src = GraftSession.ofRows(spark, query)
+
+    val aligned: DataFrame =
+      if (byName) {
+        val fields = src.columns.toSeq.map(fieldOf)
+        val dup = fields.map(_.name).filter(staticNames)
+        require(dup.isEmpty, s"graft DML: INSERT BY NAME supplies static " +
+          s"partition column(s) ${dup.mkString(", ")}")
+        src.select(src.columns.toSeq.zip(fields).map { case (c, f) =>
+          col(c).cast(f.dataType).as(f.name)
+        }: _*)
+      } else {
+        // positional: the user-listed columns, else the visible schema
+        // minus static spec columns, dynamic partition columns last
+        val expected: Seq[StructField] =
+          if (userCols.nonEmpty) {
+            val fields = userCols.map(fieldOf)
+            val dup = fields.map(_.name).filter(staticNames)
+            require(dup.isEmpty, s"graft DML: INSERT column list names " +
+              s"static partition column(s) ${dup.mkString(", ")}")
+            fields
+          } else {
+            val dyn = dynamic.map(fieldOf)
+            val dynNames = dyn.map(_.name).toSet
+            visible.fields.toSeq.filterNot(f =>
+              staticNames(f.name) || dynNames(f.name)) ++ dyn
+          }
+        require(src.columns.length == expected.size,
+          s"graft DML: INSERT provides ${src.columns.length} column(s), " +
+            s"expected ${expected.size} (${expected.map(_.name).mkString(", ")})")
+        src.select(src.columns.toSeq.zip(expected).map { case (c, f) =>
+          col(c).cast(f.dataType).as(f.name)
+        }: _*)
+      }
+
+    val withStatic = staticFields.foldLeft(aligned) { case (d, (f, v)) =>
+      d.withColumn(f.name, lit(v).cast(f.dataType))
+    }
+    // visible column order for the supplied subset (absent columns stay
+    // absent — the log's additive schema backfills nulls on read)
+    val present = withStatic.columns.toSet
+    val out = withStatic.select(
+      visible.fieldNames.toSeq.filter(present).map(col): _*)
+    layout.foreach(c => require(out.columns.contains(c),
+      s"graft DML: INSERT must supply partition column $c " +
+        "(in the query, the column list, or the PARTITION spec)"))
+
+    val version =
+      if (overwrite && static.nonEmpty)
+        TxLog.replacePartitions(spark, root, out,
+          staticFields.map { case (f, v) => f.name -> v }.toMap)
+      else if (overwrite)
+        TxLog.commit(spark, root, out, TxLog.Overwrite,
+          statsCols = TxLog.recordedStatsCols(root), partitionBy = layout,
+          op = Some("INSERT OVERWRITE"))
+      else
+        TxLog.commit(spark, root, out, TxLog.Append,
+          statsCols = TxLog.recordedStatsCols(root), partitionBy = layout,
+          op = Some("INSERT"))
+    Seq(Row(version))
   }
 }
 

@@ -170,4 +170,139 @@ class GraftDataSourceSpec extends AnyFunSuite {
       assert(after.filter(col("id") === 200L).count() === 1L)
     } finally s2.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("SQL INSERT: append, overwrite, and atomic partition replace through the log") {
+    val root = Zones.tempDir("dsins")
+    import spark.implicits._
+    (0 until 60).map(i => (i.toLong, s"g${i % 3}", s"p-$i"))
+      .toDF("id", "grp", "payload")
+      .write.format("graft").partitionBy("grp").mode("append").save(root)
+    TxLog.compact(spark, root, statsCols = Seq("id")) // give files id stats
+    val s2 = GraftSession.withDml(spark)
+    val tbl = s"graft_ins_${java.util.UUID.randomUUID().toString.take(8).replace("-", "")}"
+    s2.sql(s"CREATE TABLE $tbl USING graft LOCATION '$root'")
+    try {
+      // INSERT INTO, positional with a cast (int literal → long column)
+      // — positional order is the VISIBLE schema: (id, payload, grp),
+      // partition column last, exactly what SELECT * shows
+      s2.sql(s"INSERT INTO $tbl VALUES (100, 'ins-100', 'g0'), (101, 'ins-101', 'g1')")
+      assert(TxLog.snapshot(spark, root).count() === 62L)
+      assert(TxLog.snapshot(spark, root)
+        .filter(col("payload") === "ins-100").select("grp")
+        .head().getString(0) === "g0")
+      // static PARTITION spec: the value is injected, files land in k=v
+      s2.sql(s"INSERT INTO $tbl PARTITION (grp='g9') SELECT 200, 'ins-200'")
+      val r1 = TxLog.replay(root, TxLog.headVersion(root))
+      assert(r1.entries.exists(_.path.contains("grp=g9")))
+      // SQL-inserted files inherit the table's recorded stats columns
+      assert(r1.entries.filter(_.path.contains("grp=g9"))
+        .forall(_.stats.contains("id")),
+        "INSERT-written files must carry the ledger's zone-map columns")
+      // INSERT OVERWRITE PARTITION replaces exactly one partition; every
+      // other partition's files carry BY REFERENCE (same entry paths)
+      val before = TxLog.replay(root, TxLog.headVersion(root))
+      val keepPaths = before.entries.filterNot(_.path.contains("grp=g1"))
+        .map(_.path).toSet
+      s2.sql(s"INSERT OVERWRITE $tbl PARTITION (grp='g1') SELECT 300, 'only-g1'")
+      val after = TxLog.replay(root, TxLog.headVersion(root))
+      assert(after.entries.map(_.path).toSet.filterNot(_.contains("grp=g1"))
+        === keepPaths, "untouched partitions must carry by reference")
+      val g1 = TxLog.snapshot(spark, root).filter(col("grp") === "g1")
+      assert(g1.count() === 1L && g1.select("payload").head().getString(0) === "only-g1")
+      // 21 g0 (incl ins-100) + 20 g2 + 1 g9 + 1 new g1
+      assert(TxLog.snapshot(spark, root).count() === 43L)
+      // full INSERT OVERWRITE resets the table, keeping the layout
+      s2.sql(s"INSERT OVERWRITE $tbl VALUES (1, 'fresh', 'g0')")
+      assert(TxLog.snapshot(spark, root).count() === 1L)
+      assert(TxLog.replay(root, TxLog.headVersion(root))
+        .entries.forall(_.path.contains("grp=g0")))
+      // rejected shapes fail loudly, not silently
+      val dynErr = intercept[Exception](
+        s2.sql(s"INSERT OVERWRITE $tbl PARTITION (grp) SELECT 1, 'x', 'g0'"))
+      assert(dynErr.getMessage.contains("dynamic-partition overwrite"))
+    } finally s2.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("an extension-less INSERT can NEVER bypass (or destroy) the log") {
+    val root = Zones.tempDir("dspoison")
+    import spark.implicits._
+    (0 until 50).map(i => (i.toLong, s"g${i % 2}", s"p-$i"))
+      .toDF("id", "grp", "payload")
+      .write.format("graft").partitionBy("grp").mode("append").save(root)
+    val tbl = s"graft_ro_${java.util.UUID.randomUUID().toString.take(8).replace("-", "")}"
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$root'")
+    try {
+      // without GraftDmlExtensions, Spark resolves an INSERT on the
+      // bare relation to its direct-to-path command — which DELETES the
+      // overwritten paths (on a full overwrite, the table root
+      // INCLUDING the log) before writing. The guarded index forces an
+      // ANALYSIS-TIME refusal instead: loud, zero mutation.
+      val before = TxLog.replay(root, TxLog.headVersion(root))
+      def refused(sql: String): Unit = {
+        val e = intercept[org.apache.spark.sql.AnalysisException](
+          spark.sql(sql))
+        assert(e.getMessage.toLowerCase.contains("path"), s"got: $e")
+      }
+      refused(s"INSERT INTO $tbl VALUES (999, 'ghost', 'g0')")
+      refused(s"INSERT OVERWRITE $tbl VALUES (1, 'boom', 'g0')")
+      refused(s"INSERT OVERWRITE $tbl PARTITION (grp='g0') VALUES (1, 'boom')")
+      assert(TxLog.headVersion(root) === 1L, "no commit may publish")
+      assert(TxLog.snapshot(spark, root).count() === 50L, "no rows may land")
+      val store = graft.io.LogStore.forRoot(root)
+      before.entries.foreach(en => assert(store.exists(s"$root/${en.path}"),
+        s"data file ${en.path} must survive the refused insert"))
+      // the SAME statement through the DML session commits through the
+      // log — the extensions posture (Delta's: SQL DML rides extensions)
+      val s2 = GraftSession.withDml(spark)
+      s2.sql(s"INSERT INTO $tbl VALUES (999, 'ghost', 'g0')")
+      assert(TxLog.headVersion(root) === 2L)
+      assert(TxLog.snapshot(spark, root)
+        .filter(col("payload") === "ghost").count() === 1L)
+      // an extension-less INSERT INTO a MERGE-ON-READ table (wrapper
+      // relation, no case-class copy in the catalog cache) goes through
+      // InsertableRelation — transactional even without extensions
+      TxLog.deleteVectors(spark, root, col("id") === 0L) // v3: make MoR
+      val tbl2 = s"graft_mor_${java.util.UUID.randomUUID().toString.take(8).replace("-", "")}"
+      spark.sql(s"CREATE TABLE $tbl2 USING graft LOCATION '$root'")
+      try {
+        spark.sql(s"INSERT INTO $tbl2 VALUES (1000, 'viaIR', 'g0')")
+        assert(TxLog.headVersion(root) === 4L, "the insert must be a commit")
+        assert(TxLog.snapshot(spark, root)
+          .filter(col("payload") === "viaIR").count() === 1L)
+      } finally spark.sql(s"DROP TABLE IF EXISTS $tbl2")
+      // defense in depth: the bare relation's file format refuses
+      // direct writes even if some future path reaches it
+      intercept[UnsupportedOperationException](
+        new GraftReadOnlyParquetFormat().prepareWrite(spark, null, Map.empty,
+          new org.apache.spark.sql.types.StructType))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("streaming reads and writes under the same format string, exactly once") {
+    val src = Zones.tempDir("dsstream_src")
+    val dst = Zones.tempDir("dsstream_dst")
+    val ck = java.nio.file.Files.createTempDirectory("dsstream_ck").toString
+    TxLog.append(spark, src, batch(0, 10))  // v1
+    TxLog.append(spark, src, batch(10, 25)) // v2
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format("graft").load(src)
+        .filter(col("id") % 2 === 0)
+        .select(col("id"), col("payload"))
+        .writeStream
+        .format("graft")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .start(dst)
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.format("graft").load(dst).count() === 13L)
+    TxLog.append(spark, src, batch(25, 30)) // v3: catch-up on the same ck
+    drain()
+    val out = spark.read.format("graft").load(dst)
+    assert(out.count() === 15L, "exactly the v3 delta must append")
+    assert(out.agg(sum(col("id"))).head().getLong(0) ===
+      (0 until 30 by 2).sum.toLong)
+  }
 }
