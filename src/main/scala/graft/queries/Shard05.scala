@@ -1218,8 +1218,13 @@ private[graft] object Shard05 {
     // shape as a CC round, statically unrolled so both engines share
     // the exact three-step structure.
     "q303_keeper_hops" -> ((s, dir) => {
+      // cand feeds CC round-0 AND the undirected edge list, whose
+      // references multiply through the three relaxation levels (up to 7
+      // copies of the LSH candidate subtree in the final plan) — one lazy
+      // localCheckpoint pins the signature pass to a single execution
+      // (guide §5); the downstream joins then read executor-local blocks.
       val cand = Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text")
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b").localCheckpoint(false)
       val und = cand.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .union(cand.select(col("doc_b").as("u"), col("doc_a").as("v")))
       var dist = graft.operators.ConnectedComponents.labels(cand, "doc_a", "doc_b")

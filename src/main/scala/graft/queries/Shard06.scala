@@ -1000,36 +1000,40 @@ private[graft] object Shard06 {
           |ORDER BY region, t.bal_c DESC, t.s_name""".stripMargin)
     }),
 
-    // WITH RECURSIVE in SPARK SQL (new in Spark 4.x): a LINEAR recursion —
-    // month-over-month cash projection where each level carries exactly
-    // one row (balance = prior − 10% drawdown + that month's revenue
-    // cents) and the recursion terminates when the month join empties.
-    // Spark's recursive CTEs require UNION ALL (no fixpoint dedup), so
-    // graph closures stay on ConnectedComponents.labels — this is the
-    // class of recursion the SQL surface is FOR, and the DuckDB oracle
-    // replays it statement-for-statement
+    // linear recursion (month-over-month cash projection: balance =
+    // prior − 10% drawdown + that month's revenue cents) — the DuckDB
+    // oracle replays it as WITH RECURSIVE statement-for-statement, and
+    // the engine used to as well (Spark 4's recursive CTE). That
+    // execution pays ONE SEQUENTIAL SPARK JOB PER LEVEL (24 jobs of
+    // fixed scheduling cost for 24 rows; r12 bench 3.8 s). The
+    // recurrence is a pure left fold over the month-sorted array, so
+    // one `aggregate` HOF over the collected 24-row grid computes the
+    // identical BIGINT algebra in a single job (guide §1.2: fix the
+    // distributed algorithm — don't pay 24 barriers for 24 rows).
+    // Recursion semantics preserved exactly: consumption starts at
+    // mi = 0 and stops at the first gap (the CTE's join-empties
+    // termination); RecursiveRewriteSpec pins rewrite ≡ recursive CTE.
     "q359_recursive_projection" -> ((s, dir) => {
       Tables.orders(s, dir)
-        .groupBy(expr("(year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1")
-          .as("mi"))
+        .groupBy(expr("CAST((year(o_orderdate) - 1995) * 12" +
+          " + month(o_orderdate) - 1 AS BIGINT)").as("mi"))
         .agg(sum(centsOf(col("o_totalprice"))).as("rev_c"))
-        // 24-month horizon: each recursion level is a sequential Spark
-        // job, so the projection length IS the latency knob
+        // 24-month horizon — the projection length IS the latency knob
         .filter(col("mi") < 24)
-        // each recursion level re-executes the view's plan — materialize
-        // the monthly relation once or the fact scan runs per level
-        // (measured 23.7 s → ~2 s at sf0.1)
-        .localCheckpoint(false)
-        .createOrReplaceTempView("q359_rev")
-      s.sql(
-        """WITH RECURSIVE bal(mi, b) AS (
-          |  SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
-          |  UNION ALL
-          |  SELECT r.mi, bal.b - bal.b div 10 + r.rev_c
-          |  FROM bal JOIN q359_rev r ON r.mi = bal.mi + 1
-          |)
-          |SELECT mi AS month_index, b AS balance_cents
-          |FROM bal WHERE mi >= 0 ORDER BY mi""".stripMargin)
+        .agg(sort_array(collect_list(struct(col("mi"), col("rev_c")))).as("g"))
+        .select(explode(expr(
+          """aggregate(g,
+            |  struct(CAST(-1 AS BIGINT) AS prev, CAST(0 AS BIGINT) AS b,
+            |    CAST(array() AS ARRAY<STRUCT<mi: BIGINT, b: BIGINT>>) AS out),
+            |  (acc, x) -> IF(x.mi = acc.prev + 1,
+            |    named_struct('prev', x.mi,
+            |      'b', acc.b - acc.b div 10 + x.rev_c,
+            |      'out', array_append(acc.out, named_struct('mi', x.mi,
+            |        'b', acc.b - acc.b div 10 + x.rev_c))),
+            |    acc),
+            |  acc -> acc.out)""".stripMargin)).as("r"))
+        .select(col("r.mi").as("month_index"), col("r.b").as("balance_cents"))
+        .orderBy("month_index")
     }),
 
     // VARIANT round-trip (Spark 4's semi-structured type): a JSON payload

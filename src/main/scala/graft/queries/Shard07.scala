@@ -1044,27 +1044,44 @@ private[graft] object Shard07 {
     // is a sequential job, so the 24-month horizon IS the latency knob);
     // forecast_next = l + b, the one-step-ahead readout
     "q426_holt_linear" -> ((s, dir) => {
+      // the α=0.3/β=0.2 milli recursion is a pure left fold over the
+      // month-sorted array: one `aggregate` HOF job replaces the
+      // recursive CTE's 24 sequential Spark jobs (q359 rationale; the
+      // DuckDB oracle still replays WITH RECURSIVE level-by-level, and
+      // RecursiveRewriteSpec pins rewrite ≡ recursive CTE). Anchor
+      // semantics preserved: level seeds at mi = 0 (absent ⇒ empty),
+      // consumption stops at the first month gap.
       Tables.orders(s, dir)
-        .groupBy(expr("(year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1")
-          .as("mi"))
+        .groupBy(expr("CAST((year(o_orderdate) - 1995) * 12" +
+          " + month(o_orderdate) - 1 AS BIGINT)").as("mi"))
         .agg(sum(centsOf(col("o_totalprice"))).as("rev_c"))
         .filter(col("mi") >= 0 && col("mi") < 24)
-        .localCheckpoint(false)
-        .createOrReplaceTempView("q426_rev")
-      s.sql(
-        """WITH RECURSIVE hw(mi, l, b) AS (
-          |  SELECT CAST(0 AS BIGINT), r.rev_c, CAST(0 AS BIGINT)
-          |  FROM q426_rev r WHERE r.mi = 0
-          |  UNION ALL
-          |  SELECT r.mi,
-          |         (300 * r.rev_c + 700 * (hw.l + hw.b)) div 1000,
-          |         (200 * (((300 * r.rev_c + 700 * (hw.l + hw.b)) div 1000) - hw.l)
-          |          + 800 * hw.b) div 1000
-          |  FROM hw JOIN q426_rev r ON r.mi = hw.mi + 1
-          |)
-          |SELECT mi AS month_index, l AS level_cents, b AS trend_cents,
-          |       l + b AS forecast_next_cents
-          |FROM hw ORDER BY mi""".stripMargin)
+        .agg(sort_array(collect_list(struct(col("mi"), col("rev_c")))).as("g"))
+        .select(explode(expr(
+          """aggregate(g,
+            |  struct(CAST(-1 AS BIGINT) AS prev, CAST(0 AS BIGINT) AS l,
+            |    CAST(0 AS BIGINT) AS b,
+            |    CAST(array() AS ARRAY<STRUCT<mi: BIGINT, l: BIGINT, b: BIGINT>>) AS out),
+            |  (acc, x) -> IF(x.mi = acc.prev + 1,
+            |    IF(acc.prev = -1,
+            |      named_struct('prev', x.mi, 'l', x.rev_c,
+            |        'b', CAST(0 AS BIGINT),
+            |        'out', array_append(acc.out, named_struct('mi', x.mi,
+            |          'l', x.rev_c, 'b', CAST(0 AS BIGINT)))),
+            |      named_struct('prev', x.mi,
+            |        'l', (300 * x.rev_c + 700 * (acc.l + acc.b)) div 1000,
+            |        'b', (200 * (((300 * x.rev_c + 700 * (acc.l + acc.b)) div 1000)
+            |          - acc.l) + 800 * acc.b) div 1000,
+            |        'out', array_append(acc.out, named_struct('mi', x.mi,
+            |          'l', (300 * x.rev_c + 700 * (acc.l + acc.b)) div 1000,
+            |          'b', (200 * (((300 * x.rev_c + 700 * (acc.l + acc.b)) div 1000)
+            |            - acc.l) + 800 * acc.b) div 1000)))),
+            |    acc),
+            |  acc -> acc.out)""".stripMargin)).as("r"))
+        .select(col("r.mi").as("month_index"), col("r.l").as("level_cents"),
+          col("r.b").as("trend_cents"),
+          (col("r.l") + col("r.b")).as("forecast_next_cents"))
+        .orderBy("month_index")
     }),
 
     // Wilson score interval (95%) for a per-group binomial rate — the
@@ -1188,9 +1205,14 @@ private[graft] object Shard07 {
     // token-bucket rate-limiter simulation over the hourly event arrival
     // series (capacity 2r, refill r = ceil(total/48) per hour): the
     // ingest-throttling capacity-planning readout — how much would a
-    // limiter at the mean rate drop during bursts? Sequential by nature:
-    // WITH RECURSIVE over the 24-hour zero-filled grid (q359's
-    // materialize-then-recurse shape; the horizon is the latency knob)
+    // limiter at the mean rate drop during bursts? Sequential by nature,
+    // but the horizon is 24 rows: the recurrence runs as one `aggregate`
+    // HOF left fold over the hour-sorted grid array instead of the
+    // recursive CTE's 24 sequential Spark jobs (q359 rationale; the
+    // DuckDB oracle still replays WITH RECURSIVE, RecursiveRewriteSpec
+    // pins rewrite ≡ recursive CTE). Anchor preserved: hour 0 starts
+    // with a FULL bucket (available = cap), every later hour refills
+    // r capped at cap — encoded as available = IF(first, cap, …).
     "q431_token_bucket" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val mn = ev.agg(min(unix_micros(col("ts"))).as("t0"))
@@ -1203,23 +1225,32 @@ private[graft] object Shard07 {
       val tot = grid.agg(expr("(sum(arr) + 23) div 24").as("r"))
       grid.crossJoin(broadcast(tot))
         .select(col("hi"), col("arr"), col("r"), (col("r") * 2).as("cap"))
-        .localCheckpoint(false)
-        .createOrReplaceTempView("q431_grid")
-      s.sql(
-        """WITH RECURSIVE tb(hi, arr, served, dropped, b) AS (
-          |  SELECT g.hi, g.arr, least(g.arr, g.cap), g.arr - least(g.arr, g.cap),
-          |         g.cap - least(g.arr, g.cap)
-          |  FROM q431_grid g WHERE g.hi = 0
-          |  UNION ALL
-          |  SELECT g.hi, g.arr,
-          |         least(g.arr, least(g.cap, tb.b + g.r)),
-          |         g.arr - least(g.arr, least(g.cap, tb.b + g.r)),
-          |         least(g.cap, tb.b + g.r) - least(g.arr, least(g.cap, tb.b + g.r))
-          |  FROM tb JOIN q431_grid g ON g.hi = tb.hi + 1
-          |)
-          |SELECT hi AS hour_index, arr AS arrivals, served, dropped,
-          |       b AS bucket_end
-          |FROM tb ORDER BY hi""".stripMargin)
+        .agg(sort_array(collect_list(
+          struct(col("hi"), col("arr"), col("r"), col("cap")))).as("g"))
+        .select(explode(expr(
+          """aggregate(g,
+            |  struct(CAST(-1 AS BIGINT) AS prev, CAST(0 AS BIGINT) AS b,
+            |    CAST(array() AS ARRAY<STRUCT<hi: BIGINT, arr: BIGINT,
+            |      served: BIGINT, dropped: BIGINT, b: BIGINT>>) AS out),
+            |  (acc, x) -> IF(x.hi = acc.prev + 1,
+            |    named_struct('prev', x.hi,
+            |      'b', IF(acc.prev = -1, x.cap, least(x.cap, acc.b + x.r))
+            |        - least(x.arr, IF(acc.prev = -1, x.cap, least(x.cap, acc.b + x.r))),
+            |      'out', array_append(acc.out, named_struct(
+            |        'hi', x.hi, 'arr', x.arr,
+            |        'served', least(x.arr,
+            |          IF(acc.prev = -1, x.cap, least(x.cap, acc.b + x.r))),
+            |        'dropped', x.arr - least(x.arr,
+            |          IF(acc.prev = -1, x.cap, least(x.cap, acc.b + x.r))),
+            |        'b', IF(acc.prev = -1, x.cap, least(x.cap, acc.b + x.r))
+            |          - least(x.arr,
+            |            IF(acc.prev = -1, x.cap, least(x.cap, acc.b + x.r)))))),
+            |    acc),
+            |  acc -> acc.out)""".stripMargin)).as("t"))
+        .select(col("t.hi").as("hour_index"), col("t.arr").as("arrivals"),
+          col("t.served").as("served"), col("t.dropped").as("dropped"),
+          col("t.b").as("bucket_end"))
+        .orderBy("hour_index")
     }),
 
     // Stupid Backoff bigram scoring (Brants et al.) — the CCNet-style

@@ -716,24 +716,38 @@ private[graft] object Shard10 {
     // threshold, and the giant-component share of all nations — where
     // the trade network fragments as weak links drop
     "q603_percolation_sweep" -> ((s, dir) => {
+      // the three threshold sweeps are INDEPENDENT CC runs over an
+      // eagerly-materialized ranked edge relation — run them as three
+      // concurrent driver threads (guide §2.6: overlap independent jobs
+      // so one sweep's convergence tail back-fills the others' rounds;
+      // r12 bench 3.9 s sequential). Each sweep's result is assembled
+      // in its own slot, so the combined output is order-deterministic.
       val rev = nationTradeRev(s, dir)
         .withColumn("rk", row_number().over(Window.orderBy("w", "a", "b"))
           .cast("long"))
         .withColumn("np", count(lit(1)).over(Window.partitionBy()))
-        .localCheckpoint(false)
+        .localCheckpoint() // eager: shared by all three sweep threads
       val nNations = Tables.nation(s, dir).count()
-      val parts = (1 to 3).map { k =>
-        val edges = rev.filter(expr(s"rk > $k * np div 4")).select("a", "b")
-        val nEdges = edges.count()
-        graft.operators.ConnectedComponents.labels(edges, "a", "b")
-          .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
-          .agg(count(lit(1)).as("n_components"),
-            sum(col("sz")).as("n_connected"), max(col("sz")).as("giant"))
-          .select(lit(k.toLong).as("quartile"), lit(nEdges).as("n_edges"),
-            col("n_components"), col("n_connected"),
-            col("giant").as("giant_size"),
-            expr(s"1000000 * giant div ${nNations}L").as("giant_frac_ppm"))
-      }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val parts =
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence((1 to 3).map { k =>
+            scala.concurrent.Future {
+              val edges = rev.filter(expr(s"rk > $k * np div 4")).select("a", "b")
+              val nEdges = edges.count()
+              graft.operators.ConnectedComponents.labels(edges, "a", "b")
+                .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+                .agg(count(lit(1)).as("n_components"),
+                  sum(col("sz")).as("n_connected"), max(col("sz")).as("giant"))
+                .select(lit(k.toLong).as("quartile"), lit(nEdges).as("n_edges"),
+                  col("n_components"), col("n_connected"),
+                  col("giant").as("giant_size"),
+                  expr(s"1000000 * giant div ${nNations}L").as("giant_frac_ppm"))
+            }
+          }), scala.concurrent.duration.Duration.Inf)
+        finally pool.shutdown()
       parts.reduce(_.unionByName(_)).orderBy("quartile")
     }),
 
