@@ -25,7 +25,7 @@ object Fingerprint {
     * md5 — fits a signed 64-bit lane in any engine).
     */
   private def rowHash(canonical: Column): Column =
-    conv(substring(md5(canonical), 1, 15), 16, 10).cast("long")
+    graft.plans.Md5LongExpr(canonical, 15)
 
   /** One-row fingerprint of `df` under the canonical projection
     * `cols` (caller quantizes floats / formats dates — canonical

@@ -1596,6 +1596,15 @@ private[graft] object Shard06 {
     // sims relation is ≤ brands² and broadcasts; the only big join keys
     // on the customer basket
     "q382_recommendations" -> ((s, dir) => {
+      // baskets are REPARTITIONED BY cust (AFTER the checkpoint — a
+      // LogicalRDD reports UnknownPartitioning, so the repartition node
+      // is what downstream operators see): every keyed step — the pair
+      // self-join (cust), the score groupBy (cust, rec), the seen-brand
+      // anti-join (cust, rec), and the top-3 window (cust) — is then
+      // satisfied by hash(cust) clustering, so the 24-way sims fan-out
+      // (~7M rows at sf0.1) aggregates WITHOUT an exchange and all
+      // consumers read the ONE reused cust exchange (guide §2.4:
+      // establish the partitioning once)
       val baskets = Tables.lineitem(s, dir)
         .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
           col("p_partkey") === col("l_partkey"))
@@ -1603,6 +1612,7 @@ private[graft] object Shard06 {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("cust"), col("p_brand").as("b")).distinct()
         .localCheckpoint(false)
+        .repartition(col("cust"))
       val ni = baskets.groupBy("b").agg(count(lit(1)).as("n"))
       val pr = baskets.as("a").join(baskets.as("c"),
           col("a.cust") === col("c.cust") && col("a.b") < col("c.b"))
@@ -1618,10 +1628,15 @@ private[graft] object Shard06 {
             .as("sim_u"))
       val simsBoth = sims.unionByName(sims.select(col("bb").as("ba"),
         col("ba").as("bb"), col("sim_u"))).localCheckpoint(false)
+      // the anti side broadcasts (the basket relation is a bounded
+      // |cust|·|brand| key list): a shuffled anti-join would force BOTH
+      // sides onto hash(cust, rec) — co-partitioned joins require all
+      // keys by default — re-exchanging the score relation the window
+      // then re-exchanges back to hash(cust)
       val scores = baskets.join(broadcast(simsBoth), col("b") === col("ba"))
         .groupBy(col("cust"), col("bb").as("rec"))
         .agg(sum(col("sim_u")).as("score_u"))
-        .join(baskets.select(col("cust"), col("b").as("rec")),
+        .join(broadcast(baskets.select(col("cust"), col("b").as("rec"))),
           Seq("cust", "rec"), "left_anti")
       scores
         .withColumn("rk", row_number().over(
