@@ -801,10 +801,14 @@ private[graft] object Shard07 {
         .distinct()
         .withColumn("next_ok", lead(col("o_orderkey"), 1).over(w))
         .filter(col("next_ok").isNotNull)
-      seq_.join(ob.select(col("o_orderkey"), col("p_brand").as("brand_a")),
+      // both brand attachments broadcast the checkpointed (orderkey,
+      // brand) projection (bounded: distinct order-brand pairs) — the
+      // sort-merge form shuffled the sequence relation twice on different
+      // keys (guide §3.1: the small side is known, force it)
+      seq_.join(broadcast(ob.select(col("o_orderkey"), col("p_brand").as("brand_a"))),
           Seq("o_orderkey"))
-        .join(ob.select(col("o_orderkey").as("next_ok"),
-          col("p_brand").as("brand_b")), Seq("next_ok"))
+        .join(broadcast(ob.select(col("o_orderkey").as("next_ok"),
+          col("p_brand").as("brand_b"))), Seq("next_ok"))
         .groupBy("brand_a", "brand_b")
         .agg(count(lit(1)).as("n_seq"))
         .orderBy(col("n_seq").desc, col("brand_a"), col("brand_b")).limit(10)
