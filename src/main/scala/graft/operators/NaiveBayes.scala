@@ -49,11 +49,19 @@ object NaiveBayes {
     // reads the materialized blocks.
     val dw = words.groupBy("doc_id", "actual", "w").agg(count(lit(1)).as("n"))
       .localCheckpoint(false)
+      // hash(doc_id) AFTER the checkpoint (a LogicalRDD reports
+      // UnknownPartitioning): adjSum's (doc_id, actual, lbl) aggregate,
+      // nWords' and best's doc_id aggregates are all satisfied by this
+      // one clustering, so the doc-grain half of the plan runs on a
+      // single reused exchange (guide §2.4)
+      .repartition(col("doc_id"))
     val lw = dw.groupBy(col("actual").as("lbl"), col("w")).agg(sum(col("n")).as("c"))
     val lt = lw.groupBy("lbl").agg(sum(col("c")).as("t"))
     val vocab = lw.select("w").distinct().agg(count(lit(1)).as("v"))
     val nDocs = base.groupBy(col("actual").as("lbl")).agg(count(lit(1)).as("nd"))
-    val nTot = base.agg(count(lit(1)).as("ntot"))
+    // Σ per-label doc counts — same value as a fresh corpus count without
+    // the extra scan branch
+    val nTot = nDocs.agg(sum(col("nd")).as("ntot"))
     // per-label constants, micro-quantized (bounded: one row per label)
     val consts = lt.join(nDocs, "lbl").crossJoin(broadcast(vocab)).crossJoin(broadcast(nTot))
       .select(
@@ -62,19 +70,24 @@ object NaiveBayes {
         round(log(col("nd").cast("double") / col("ntot")) * 1000000, 0).cast("long").as("prior"),
         col("t"), col("v"))
     // observed-token adjustment term, joined on token only
-    val lp = lw.join(consts, "lbl")
+    val lp = lw.join(broadcast(consts), "lbl")
       .select(
         col("lbl"), col("w"),
         (round(log((col("c") + 1).cast("double") / (col("t") + col("v"))) * 1000000, 0)
           .cast("long") - col("lp0")).as("adj"))
-    val adjSum = dw.join(lp, "w")
+    // the vocab-bounded adjustment relation broadcasts into the doc-grain
+    // side, so dw's hash(doc_id) clustering carries through every step
+    val adjSum = dw.join(broadcast(lp), "w")
       .groupBy("doc_id", "actual", "lbl")
       .agg(sum(col("n") * col("adj")).as("s_adj"))
     val nWords = dw.groupBy("doc_id").agg(sum(col("n")).as("n_words"))
     // full score per (doc, label): every label's base term applies to
-    // every doc, so the label-constant side is a bounded broadcast cross
+    // every doc, so the label-constant side is a bounded broadcast cross;
+    // the adjustment side broadcasts too (≤ docs×labels observed rows) —
+    // a shuffled join would force BOTH sides onto hash(doc_id, lbl)
     val scored = nWords.crossJoin(broadcast(consts.select(col("lbl"), col("lp0"), col("prior"))))
-      .join(adjSum.select(col("doc_id"), col("lbl"), col("s_adj")), Seq("doc_id", "lbl"), "left")
+      .join(broadcast(adjSum.select(col("doc_id"), col("lbl"), col("s_adj"))),
+        Seq("doc_id", "lbl"), "left")
       .select(
         col("doc_id"), col("lbl"),
         (col("n_words") * col("lp0") + coalesce(col("s_adj"), lit(0L)) + col("prior"))
@@ -83,7 +96,7 @@ object NaiveBayes {
       .groupBy("doc_id")
       .agg(min(struct((-col("score")).as("neg"), col("lbl").as("lbl"))).as("b"))
       .select(col("doc_id"), col("b.lbl").as("pred"))
-    base.select(col("doc_id"), col("actual"))
+    broadcast(base.select(col("doc_id"), col("actual")))
       .join(best, "doc_id")
       .groupBy(col("actual").as("actual_label"), col("pred").as("pred_label"))
       .agg(count(lit(1)).as("n_docs"))
