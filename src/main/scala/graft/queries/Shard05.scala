@@ -168,15 +168,18 @@ private[graft] object Shard05 {
         .select(col("node").as("u"), col("cluster_id").as("l"))
       val und = cand.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .unionByName(cand.select(col("doc_b").as("u"), col("doc_a").as("v"))).distinct()
+      // the label relation is candidate-bounded — broadcast its three
+      // attachments (8 nested SortMergeJoins over ≤ thousands of rows
+      // otherwise)
       val cin = cand
-        .join(lbl.select(col("u").as("doc_a"), col("l").as("la")), "doc_a")
-        .join(lbl.select(col("u").as("doc_b"), col("l").as("lb")), "doc_b")
+        .join(broadcast(lbl.select(col("u").as("doc_a"), col("l").as("la"))), "doc_a")
+        .join(broadcast(lbl.select(col("u").as("doc_b"), col("l").as("lb"))), "doc_b")
         .filter(col("la") === col("lb"))
         .groupBy(col("la").as("l")).agg(count(lit(1)).as("in_c"))
       val cdeg = und.groupBy("u").agg(count(lit(1)).as("d"))
-        .join(lbl, "u")
+        .join(broadcast(lbl), "u")
         .groupBy("l").agg(sum(col("d")).as("deg_c"))
-      val agg = cdeg.join(cin, Seq("l"), "left").na.fill(0L, Seq("in_c"))
+      val agg = cdeg.join(broadcast(cin), Seq("l"), "left").na.fill(0L, Seq("in_c"))
         .agg(sum(col("in_c")).as("sin"), sum(col("deg_c") * col("deg_c")).as("sdeg2"),
           count(lit(1)).as("n_comm"))
       val mm = cand.agg(count(lit(1)).as("m"))
@@ -895,12 +898,16 @@ private[graft] object Shard05 {
           sum(when(col("rk") === expr("(np + 2) div 2"), col("w")))).as("m2"))
       val edges = ob.crossJoin(broadcast(m2)).filter(col("w") * 2 > col("m2"))
         .select("u", "v").localCheckpoint(false)
+      // the filtered edge relation is ≤ brands²/2 rows — broadcast the
+      // two-hop attachment and the known-edge anti side (4 nested
+      // SortMergeJoins over a few hundred rows otherwise)
       val ed = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val deg = ed.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
       val twoHop = ed.select(col("u").as("a"), col("v").as("wnode"))
-        .join(ed.select(col("u").as("wnode"), col("v").as("b")), "wnode")
+        .join(broadcast(ed.select(col("u").as("wnode"), col("v").as("b"))), "wnode")
         .filter(col("a") < col("b"))
-        .join(edges.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"), "left_anti")
+        .join(broadcast(edges.select(col("u").as("a"), col("v").as("b"))),
+          Seq("a", "b"), "left_anti")
       twoHop
         .join(broadcast(deg), col("wnode") === col("node"))
         .groupBy(col("a").as("brand_a"), col("b").as("brand_b"))
@@ -1230,10 +1237,13 @@ private[graft] object Shard05 {
       var dist = graft.operators.ConnectedComponents.labels(cand, "doc_a", "doc_b")
         .select(col("node").as("u"),
           when(col("node") === col("cluster_id"), 0L).otherwise(1000000L).as("d"))
+      // the frontier relations are candidate-bounded (≤ nodes rows):
+      // broadcast them so the 3 relaxation levels don't nest 56 tiny
+      // SortMergeJoins (each 2 exchanges + 2 sorts) through the fan-out
       for (_ <- 1 to 3) {
-        val nd = und.join(dist, "u")
+        val nd = und.join(broadcast(dist), "u")
           .groupBy(col("v")).agg((min(col("d")) + lit(1L)).as("nd"))
-        dist = dist.join(nd.withColumnRenamed("v", "u"), Seq("u"), "left")
+        dist = dist.join(broadcast(nd.withColumnRenamed("v", "u")), Seq("u"), "left")
           .select(col("u"), least(col("d"), coalesce(col("nd"), lit(1000000L))).as("d"))
       }
       dist.groupBy(expr("CASE WHEN d >= 1000000 THEN -1 ELSE d END").as("hop"))

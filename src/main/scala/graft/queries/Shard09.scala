@@ -986,13 +986,16 @@ private[graft] object Shard09 {
           count(lit(1)).as("ngames"))
         .localCheckpoint(false)
       val wins = duels.groupBy("ra").agg(sum(col("w")).as("wi"))
+      // every per-iteration relation is |regions| rows — broadcast them
+      // all: the un-hinted form nested 62 SortMergeJoins (2 exchanges +
+      // 2 sorts each) across the two MM steps' reference fan-out
       def mmStep(pi: DataFrame): DataFrame = {
         val den = duels
-          .join(pi.select(col("r_name").as("ra"), col("p").as("pa")), "ra")
-          .join(pi.select(col("r_name").as("rb"), col("p").as("pb")), "rb")
+          .join(broadcast(pi.select(col("r_name").as("ra"), col("p").as("pa"))), "ra")
+          .join(broadcast(pi.select(col("r_name").as("rb"), col("p").as("pb"))), "rb")
           .groupBy("ra")
           .agg(sum(expr("ngames * 1000000 div (pa + pb)")).as("den"))
-        val raw = wins.join(den, "ra")
+        val raw = wins.join(broadcast(den), "ra")
           .select(col("ra").as("r_name"),
             expr("wi * 1000000 * 1000000 div greatest(den, 1)").as("praw"))
         raw.crossJoin(broadcast(raw.agg(sum(col("praw")).as("ptot"),
@@ -1003,7 +1006,7 @@ private[graft] object Shard09 {
       val p0 = wins.select(col("ra").as("r_name"), lit(1000000L).as("p"))
       val p2 = mmStep(mmStep(p0))
       wins.select(col("ra").as("r_name"), col("wi").as("n_wins"))
-        .join(p2, "r_name")
+        .join(broadcast(p2), "r_name")
         .select(col("r_name"), col("n_wins"), col("p").as("bt_score_micro"))
         .orderBy("r_name")
     }),

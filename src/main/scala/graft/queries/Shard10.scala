@@ -1379,8 +1379,10 @@ private[graft] object Shard10 {
       var grown = true
       var rounds = 0
       while (grown && rounds < 6) {
+        // ≤ nations² reach rows: broadcast the hop side — the shuffled
+        // form nested a SortMergeJoin (2 exchanges + sorts) per round
         val nxt = reach.union(
-            reach.join(reach.select(col("a").as("m"), col("b").as("b2")),
+            reach.join(broadcast(reach.select(col("a").as("m"), col("b").as("b2"))),
               col("b") === col("m"))
               .select(col("a"), col("b2").as("b")))
           .distinct().localCheckpoint(false)
@@ -1391,12 +1393,12 @@ private[graft] object Shard10 {
         rounds += 1
       }
       val mutual = reach
-        .join(reach.select(col("b").as("a"), col("a").as("b")),
+        .join(broadcast(reach.select(col("b").as("a"), col("a").as("b"))),
           Seq("a", "b"), "left_semi")
       val nodes = reach.select(col("a").as("node"))
         .union(reach.select(col("b").as("node"))).distinct()
       nodes
-        .join(mutual.select(col("a").as("node"), col("b").as("m")),
+        .join(broadcast(mutual.select(col("a").as("node"), col("b").as("m"))),
           Seq("node"), "left")
         .groupBy("node")
         .agg(least(min(col("m")), min(col("node"))).as("scc"))
