@@ -107,6 +107,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q425_aqe_coalesce_sim",   // 1-row total-rows bound crossed into the 128-bucket dict
     "q428_quality_knapsack",   // 1-row total-bytes budget bound
     "q430_vocab_coverage",     // 1-row token-total bound over the vocab dict
+    "q431_token_bucket",       // 1-row refill-rate row crossed into the 24-hour grid (r12 fold rewrite)
     "q432_stupid_backoff",     // 1-row train-token-total bound (q304's shape)
     "q435_recency_weights",    // 1-row max-month bound over the month dict
     "q436_abc_xyz",            // 1-row total-revenue bound over the part dict
