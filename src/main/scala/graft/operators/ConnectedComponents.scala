@@ -71,9 +71,9 @@ object ConnectedComponents {
       case Some(dir) =>
         df.sparkSession.sparkContext.setCheckpointDir(dir)
         df.persist()
-        val out = df.checkpoint()
-        df.unpersist()
-        out
+        // `finally` so a cancelled speculative round (see labels) never
+        // leaks the guard persist
+        try df.checkpoint() finally df.unpersist()
       case None => df.localCheckpoint()
     }
 
@@ -159,13 +159,55 @@ object ConnectedComponents {
     // pipeline is the whole LSH candidate generation).
     var edges = persistRound(canonical(pairs, aCol, bCol), nextRoundDir(0))
     dropPrev(nextRoundDir(0))
-    var converged = isStarForest(edges) // also true for empty input
+    var converged = false
     var round = 0
+    // Convergence detection OVERLAPPED with the next star round (guide
+    // §2.6): round i+1 depends only on round i's materialized edges,
+    // never on round i's convergence verdict, so the star round runs
+    // speculatively on a driver thread while isStarForest runs here. The
+    // common case (not yet converged) pays zero extra work and removes
+    // the check's sequential job barrier from every round; the CONVERGING
+    // round cancels the speculative job (bounded waste: one cancelled
+    // round per labels() call — its partial blocks are unreferenced and
+    // reaped by the context cleaner). Results are identical: the same
+    // rounds are accepted in the same order.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     while (!converged && round < maxRounds) {
-      round += 1
-      edges = persistRound(smallStar(largeStar(edges)), nextRoundDir(round))
-      dropPrev(nextRoundDir(round))
+      val specRound = round + 1
+      val specDir = nextRoundDir(specRound)
+      val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val group =
+        s"graft-cc-spec-${java.util.UUID.randomUUID().toString.take(8)}"
+      val cur = edges
+      val spec: Future[Option[DataFrame]] = Future {
+        if (cancelled.get) None
+        else {
+          // job group set INSIDE the future (thread-locals don't carry
+          // into a pooled thread), unique per speculation so the cancel
+          // can never touch another thread's jobs (q603 runs several
+          // labels() calls concurrently)
+          sc.setJobGroup(group, s"cc speculative round $specRound",
+            interruptOnCancel = true)
+          try Some(persistRound(smallStar(largeStar(cur)), specDir))
+          finally sc.clearJobGroup()
+        }
+      }
       converged = isStarForest(edges)
+      if (converged) {
+        cancelled.set(true)
+        sc.cancelJobGroup(group)
+        try { Await.result(spec, Duration.Inf); () }
+        catch { case scala.util.control.NonFatal(_) => () }
+        specDir.foreach(deleteQuietly(sc.hadoopConfiguration, _))
+      } else {
+        // a non-cancelled speculation either yields the round or throws
+        // the round's real failure — propagate the latter unchanged
+        edges = Await.result(spec, Duration.Inf).get
+        round = specRound
+        dropPrev(specDir)
+      }
     }
     // The final round's checkpoint backs the lazy result — defer its
     // delete to JVM exit; restore the session's checkpoint root for

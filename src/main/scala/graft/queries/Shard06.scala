@@ -495,23 +495,17 @@ private[graft] object Shard06 {
         .join(broadcast(names.select(col("na").as("nb"))), col("na") <= col("nb"))
         .filter(round(JaroWinkler(col("na"), col("nb")), 6) >= 0.88)
         .select("na", "nb")
-      val edges = b.select(col("k").as("doc_a"), col("p_brand").as("brand"),
-          col("p_type").as("ptype"), col("p_name").as("name_a"))
-        .join(b.select(col("k").as("doc_b"), col("p_brand").as("brand_b"),
-          col("p_type").as("ptype_b"), col("p_name").as("name_b")),
-          col("brand") === col("brand_b") && col("ptype") === col("ptype_b")
-            && col("doc_a") < col("doc_b"))
-        .withColumn("na", least(col("name_a"), col("name_b")))
-        .withColumn("nb", greatest(col("name_a"), col("name_b")))
-        .join(broadcast(simNames), Seq("na", "nb"))
-        .select("doc_a", "doc_b")
-      graft.operators.ConnectedComponents.labels(edges, "doc_a", "doc_b")
-        .join(b, col("node") === col("k"))
-        .groupBy("cluster_id")
-        .agg(count(lit(1)).as("n_members"),
-          countDistinct(col("p_name")).as("n_names"),
-          min(col("price_c")).as("min_price_c"),
-          max(col("psize")).as("max_size"))
+      // the part-pair edge graph (same block + similar names) contracts
+      // exactly onto (brand, type, name) supernodes — the iterative CC
+      // over 52k part-pair edges (quadratic in block size at scale)
+      // collapses to one supernode aggregation + a per-block union-find
+      // over the bounded name dictionary; equivalence vs the
+      // uncontracted ConnectedComponents pipeline pinned in
+      // GoldenRecordSpec, results hash-matched by the recursive-CTE
+      // oracle
+      graft.operators.GoldenRecord.clusters(b,
+          Seq("p_brand", "p_type"), "p_name", "k", "price_c", "psize",
+          simNames)
         .orderBy(col("n_members").desc, col("cluster_id")).limit(25)
     }),
 

@@ -1488,8 +1488,21 @@ private[graft] object Shard08 {
     // partial frames included — pinned, identical frame semantics in
     // both engines; all per-doc windows, never a global sort
     "q500_winnowing" -> ((s, dir) => {
+      // repartition the DOC rows by doc_id BEFORE the position explode:
+      // the shuffle moves one skinny text row per doc instead of the
+      // ~position-count hash rows the per-doc window would otherwise
+      // exchange (the explode multiplies rows ~250×), and the gram-hash
+      // CPU runs across the cluster instead of inside the scan task
+      // (single-row-group inputs scan as ONE task). hash(doc_id) then
+      // satisfies the window and the (source, doc_id, m) aggregate
+      // alike. The partition count is pinned to the session's shuffle
+      // parallelism (scale-adaptive conf, never a constant): AQE sizes
+      // coalescing by the exchange's BYTES, which here are ~250× smaller
+      // than the exploded rows the stage actually processes — left
+      // advisory it collapses the whole gram pipeline onto one core
       val fp = Tables.documents(s, dir)
         .filter(col("text").isNotNull && length(col("text")) >= 5)
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
         .select(col("source"), col("doc_id"),
           explode(expr("sequence(1, length(text) - 4)")).as("i"), col("text"))
         .select(col("source"), col("doc_id"), col("i"),
