@@ -1090,39 +1090,73 @@ object TxLog {
     val bloomSpecs: Seq[(String, Long)] = bloomCols.toSeq
       .filter { case (c, _) => byName.contains(c) }
       .map { case (c, n) => phys(c) -> n }.sortBy(_._1)
-    // the stats job runs for EVERY commit that wrote files — even with no
+    // the stats pass runs for EVERY commit that wrote files — even with no
     // zone-map/bloom column requested it still records per-file row
-    // counts (count(lit(1)) rides the same single job at negligible
-    // cost), so metadata-only COUNT(*)/DESCRIBE DETAIL never degrade to
+    // counts, so metadata-only COUNT(*)/DESCRIBE DETAIL never degrade to
     // a scan just because one caller forgot statsCols (the reference
-    // lakehouse engines always record numRecords for the same reason)
+    // lakehouse engines always record numRecords for the same reason).
+    //
+    // Integral/date zone maps come straight out of the just-written
+    // parquet FOOTERS driver-side (r13: one fewer Spark job per commit —
+    // the write job's own chunk statistics ARE the min/max the agg
+    // computed; exact for INT32/INT64 physical types, and the date image
+    // is the footer's INT32 day count verbatim). Strings (writer-side
+    // truncation semantics), timestamps (INT96 default carries no
+    // stats), blooms (need the values) and partition-valued stats
+    // columns (not in the file bytes) keep the one-job read-back, as do
+    // >32-file commits where the job amortizes better than sequential
+    // driver round-trips.
+    val footerZoneMaps = intCols.nonEmpty && strCols.isEmpty &&
+      bloomSpecs.isEmpty &&
+      statsCols.flatMap(byName.get).forall(dt =>
+        isIntegral(dt) || dt == org.apache.spark.sql.types.DateType) &&
+      statsCols.map(phys).toSet
+        .intersect(partitionBy.map(phys).toSet).isEmpty
     val statsJobRuns = written.nonEmpty &&
-      (intCols.nonEmpty || strCols.nonEmpty || bloomSpecs.nonEmpty ||
-        written.size > 32)
-    val (fileStats: Map[String, ColStats],
-      fileStrStats: Map[String, StrColStats],
-      fileBloomed: Set[String],
-      fileRows: Map[String, Long]) =
-      if (written.isEmpty)
-        (Map.empty[String, ColStats], Map.empty[String, StrColStats],
-          Set.empty[String], Map.empty[String, Long])
-      else if (!statsJobRuns) {
-        // a count-only commit (no zone-map/bloom column requested) reads
-        // the row counts straight out of the just-written parquet
-        // FOOTERS, driver-side — cheaper than scheduling a Spark job for
-        // a handful of files, and bounded by the commit's own file count
-        // (past 32 files the one stats job amortizes better and takes
-        // over via the gate above)
-        val conf = spark.sparkContext.hadoopConfiguration
-        val counts = written.map { p =>
-          val f = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              new org.apache.hadoop.fs.Path(absPath(root, p)), conf))
-          try p -> f.getRecordCount finally f.close()
-        }.toMap
-        (Map.empty[String, ColStats], Map.empty[String, StrColStats],
-          Set.empty[String], counts)
-      } else {
+      (strCols.nonEmpty || bloomSpecs.nonEmpty || written.size > 32 ||
+        (intCols.nonEmpty && !footerZoneMaps))
+    def viaFooters(): (Map[String, ColStats], Map[String, StrColStats],
+        Set[String], Map[String, Long]) = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val wanted = intCols.map(_._1).toSet
+      val perFile = written.map { p =>
+        val f = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(absPath(root, p)), conf))
+        try {
+          val acc = scala.collection.mutable.Map[String, (Long, Long)]()
+          if (wanted.nonEmpty) {
+            f.getFooter.getBlocks.forEach { blk =>
+              blk.getColumns.forEach { ch =>
+                val c = ch.getPath.toDotString
+                if (wanted(c)) {
+                  val st = ch.getStatistics
+                  // a chunk whose statistics were never written can't
+                  // prove anything — bail to the aggregation job
+                  require(st != null && (st.hasNonNullValue || st.isNumNullsSet),
+                    s"txlog: footer stats absent for $c in $p")
+                  if (st.hasNonNullValue) {
+                    val lo = st.genericGetMin.asInstanceOf[Number].longValue
+                    val hi = st.genericGetMax.asInstanceOf[Number].longValue
+                    val cur = acc.get(c)
+                    acc(c) = (cur.fold(lo)(v => math.min(v._1, lo)),
+                      cur.fold(hi)(v => math.max(v._2, hi)))
+                  }
+                }
+              }
+            }
+          }
+          // an all-null column contributes no chunk stats → omitted,
+          // exactly like the aggregation path's null-lo/hi skip
+          (p, acc.toMap: ColStats, f.getRecordCount)
+        } finally f.close()
+      }
+      (perFile.map(t => t._1 -> t._2).toMap,
+        Map.empty[String, StrColStats], Set.empty[String],
+        perFile.map(t => t._1 -> t._3).toMap)
+    }
+    def viaAggJob(): (Map[String, ColStats], Map[String, StrColStats],
+        Set[String], Map[String, Long]) = {
         // row counts ride the same job for free — Delta's numRecords;
         // with every live entry counted, COUNT(*) resolves from the log
         // alone (see rowCount)
@@ -1192,6 +1226,19 @@ object TxLog {
         val rcs = rows.map(r => rel(r.getString(0)) -> r.getAs[Long]("_rc")).toMap
         (ints, strs, bloomed, rcs)
       }
+    val (fileStats: Map[String, ColStats],
+      fileStrStats: Map[String, StrColStats],
+      fileBloomed: Set[String],
+      fileRows: Map[String, Long]) =
+      if (written.isEmpty)
+        (Map.empty[String, ColStats], Map.empty[String, StrColStats],
+          Set.empty[String], Map.empty[String, Long])
+      else if (!statsJobRuns) {
+        // footer extraction is conservative: any chunk with absent
+        // statistics bails out to the one aggregation job
+        try viaFooters()
+        catch { case scala.util.control.NonFatal(_) => viaAggJob() }
+      } else viaAggJob()
     val bloomTypes: BloomCols = bloomCols.toSeq
       .filter { case (c, _) => byName.contains(c) }
       .map { case (c, _) => phys(c) -> byName(c).catalogString }.toMap

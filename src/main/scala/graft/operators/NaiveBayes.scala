@@ -53,8 +53,13 @@ object NaiveBayes {
       // UnknownPartitioning): adjSum's (doc_id, actual, lbl) aggregate,
       // nWords' and best's doc_id aggregates are all satisfied by this
       // one clustering, so the doc-grain half of the plan runs on a
-      // single reused exchange (guide §2.4)
-      .repartition(col("doc_id"))
+      // single reused exchange (guide §2.4). Partition count PINNED to
+      // the session's shuffle parallelism: the advisory form's exchange
+      // is only a few MB, so AQE (which sizes coalescing by bytes, blind
+      // to downstream CPU) collapses every doc-grain aggregate onto one
+      // core (r13: measured 4.6× on the q382 twin of this shape)
+      .repartition(words.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
     val lw = dw.groupBy(col("actual").as("lbl"), col("w")).agg(sum(col("n")).as("c"))
     val lt = lw.groupBy("lbl").agg(sum(col("c")).as("t"))
     val vocab = lw.select("w").distinct().agg(count(lit(1)).as("v"))

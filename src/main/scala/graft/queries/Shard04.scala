@@ -1218,6 +1218,13 @@ private[graft] object Shard04 {
       // rewrite): ONE shuffle on orderkey replaces the distinct + self-
       // join + pair-shuffle chain — same (u,v,w) relation, same oracle
       val ob = Tables.lineitem(s, dir)
+        // keyed repartition off the one-task scan (r13): the brand probe
+        // and the collect_set partials otherwise run serially, and
+        // hash(l_orderkey) satisfies the basket aggregate so this
+        // REPLACES the aggregate's exchange (same shuffle count)
+        .select("l_partkey", "l_orderkey")
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("l_orderkey"))
         .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
           col("p_partkey") === col("l_partkey"))
         .groupBy(col("l_orderkey").as("o"))

@@ -1599,14 +1599,26 @@ private[graft] object Shard06 {
       // (~7M rows at sf0.1) aggregates WITHOUT an exchange and all
       // consumers read the ONE reused cust exchange (guide §2.4:
       // establish the partitioning once)
+      // lineitem repartitioned on the orders-join key straight off the
+      // scan (r13): the single-row-group input scans as ONE task, so the
+      // two dimension probes and the distinct's partial aggregation ran
+      // serially; at scale this exchange coincides with the shuffle a
+      // non-broadcast orders join needs anyway
       val baskets = Tables.lineitem(s, dir)
+        .select("l_partkey", "l_orderkey")
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("l_orderkey"))
         .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
           col("p_partkey") === col("l_partkey"))
         .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("cust"), col("p_brand").as("b")).distinct()
         .localCheckpoint(false)
-        .repartition(col("cust"))
+        // partition count PINNED (r13): the advisory repartition(cust)
+        // carries only a few MB, so AQE's byte-sized coalescing collapsed
+        // it to ~one partition and serialized the 24-way fan-out
+        // aggregate below (measured 4.6×: fan-out agg 1.38 → 0.30 s)
+        .repartition(s.sessionState.conf.numShufflePartitions, col("cust"))
       val ni = baskets.groupBy("b").agg(count(lit(1)).as("n"))
       val pr = baskets.as("a").join(baskets.as("c"),
           col("a.cust") === col("c.cust") && col("a.b") < col("c.b"))

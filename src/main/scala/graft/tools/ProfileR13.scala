@@ -66,6 +66,85 @@ object ProfileR13 {
         graft.SparkEntry.queries("q500_winnowing")(spark, sfDir).count())
     }
 
+    if (on("q382pin")) {
+      // does AQE coalesce the advisory repartition(cust) to ~1 partition
+      // and serialize the 7M-row fan-out? A/B the pinned variant.
+      def basketsBy(pin: Boolean): DataFrame = {
+        val base = Tables.lineitem(spark, sfDir)
+          .join(broadcast(Tables.part(spark, sfDir).select("p_partkey", "p_brand")),
+            col("p_partkey") === col("l_partkey"))
+          .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"), col("p_brand").as("b")).distinct()
+          .localCheckpoint(false)
+        if (pin) base.repartition(spark.sessionState.conf.numShufflePartitions,
+          col("cust"))
+        else base.repartition(col("cust"))
+      }
+      for (pin <- Seq(false, true)) {
+        val baskets = basketsBy(pin)
+        val ni = baskets.groupBy("b").agg(count(lit(1)).as("n"))
+        val pr = baskets.as("a").join(baskets.as("c"),
+            col("a.cust") === col("c.cust") && col("a.b") < col("c.b"))
+          .groupBy(col("a.b").as("ba"), col("c.b").as("bb"))
+          .agg(count(lit(1)).as("n_ab"))
+        val sims = pr
+          .join(broadcast(ni.select(col("b").as("ba"), col("n").as("na"))), Seq("ba"))
+          .join(broadcast(ni.select(col("b").as("bb"), col("n").as("nb"))), Seq("bb"))
+          .select(col("ba"), col("bb"),
+            expr("n_ab * 1000000 div CAST(floor(sqrt(CAST(na AS DOUBLE) * nb)) AS BIGINT)")
+              .as("sim_u"))
+        val simsBoth = sims.unionByName(sims.select(col("bb").as("ba"),
+          col("ba").as("bb"), col("sim_u"))).localCheckpoint(false)
+        val scoresRaw = baskets.join(broadcast(simsBoth), col("b") === col("ba"))
+          .groupBy(col("cust"), col("bb").as("rec"))
+          .agg(sum(col("sim_u")).as("score_u"))
+        time(s"q382 pin=$pin fanout-agg noop")(noop(scoresRaw))
+      }
+    }
+
+    if (on("q382")) {
+      val baskets = Tables.lineitem(spark, sfDir)
+        .join(broadcast(Tables.part(spark, sfDir).select("p_partkey", "p_brand")),
+          col("p_partkey") === col("l_partkey"))
+        .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("p_brand").as("b")).distinct()
+        .localCheckpoint(false)
+        .repartition(col("cust"))
+      time("q382 baskets build+repart")(baskets.count())
+      val ni = baskets.groupBy("b").agg(count(lit(1)).as("n"))
+      val pr = baskets.as("a").join(baskets.as("c"),
+          col("a.cust") === col("c.cust") && col("a.b") < col("c.b"))
+        .groupBy(col("a.b").as("ba"), col("c.b").as("bb"))
+        .agg(count(lit(1)).as("n_ab"))
+      time("q382 pair self-join agg")(pr.count())
+      val sims = pr
+        .join(broadcast(ni.select(col("b").as("ba"), col("n").as("na"))), Seq("ba"))
+        .join(broadcast(ni.select(col("b").as("bb"), col("n").as("nb"))), Seq("bb"))
+        .select(col("ba"), col("bb"),
+          expr("n_ab * 1000000 div CAST(floor(sqrt(CAST(na AS DOUBLE) * nb)) AS BIGINT)")
+            .as("sim_u"))
+      val simsBoth = sims.unionByName(sims.select(col("bb").as("ba"),
+        col("ba").as("bb"), col("sim_u"))).localCheckpoint(false)
+      time("q382 simsBoth ckpt")(simsBoth.count())
+      val fanout = baskets.join(broadcast(simsBoth), col("b") === col("ba"))
+      time("q382 fan-out noop")(noop(fanout))
+      val scoresRaw = fanout.groupBy(col("cust"), col("bb").as("rec"))
+        .agg(sum(col("sim_u")).as("score_u"))
+      time("q382 fan-out agg noop")(noop(scoresRaw))
+      val scores = scoresRaw
+        .join(broadcast(baskets.select(col("cust"), col("b").as("rec"))),
+          Seq("cust", "rec"), "left_anti")
+      time("q382 +anti noop")(noop(scores))
+      val ranked = scores.withColumn("rk", row_number().over(
+          Window.partitionBy("cust").orderBy(col("score_u").desc, col("rec"))))
+        .filter(col("rk") <= 3)
+      time("q382 +window noop")(noop(ranked))
+      time("q382 full")(
+        graft.SparkEntry.queries("q382_recommendations")(spark, sfDir).count())
+    }
+
     // q500's localCheckpoint hides the gram pipeline from the final
     // query's explain — dump the PRE-checkpoint segment for both shapes
     // (old: explode in the scan task, exchange AFTER the fan-out; new:
