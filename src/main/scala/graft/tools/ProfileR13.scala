@@ -66,6 +66,39 @@ object ProfileR13 {
         graft.SparkEntry.queries("q500_winnowing")(spark, sfDir).count())
     }
 
+    if (on("spread")) {
+      // one-JVM A/B of the spreadByKey shapes feeding the LSH pipeline:
+      // none vs advisory repartition (AQE-coalescable) vs pinned
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      def bands(spreadMode: String): DataFrame = {
+        val base = spreadMode match {
+          case "none"     => docs
+          case "advisory" => docs.repartition(col("doc_id"))
+          case "pinned"   => docs.repartition(
+            spark.sessionState.conf.numShufflePartitions, col("doc_id"))
+        }
+        val mh = base.filter(col("text").isNotNull)
+          .select(col("doc_id"), graft.plans.MinHashExpr(col("text"), 8).as("m"))
+        val bandCols = (0 until 2).map { b =>
+          struct(lit(b).as("b"),
+            md5(concat_ws("-", (0 until 4).map(i =>
+              element_at(col("m"), b * 4 + i + 1).cast("string")): _*)).as("bsig"))
+        }
+        val bb = mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+          .select(col("doc_id"), col("bb.b").as("b"), col("bb.bsig").as("bsig"))
+        bb.as("x").hint("shuffle_merge").join(bb.as("y"),
+            col("x.b") === col("y.b") && col("x.bsig") === col("y.bsig") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
+      }
+      for (r <- 1 to 3; m <- Seq("none", "advisory", "pinned")) {
+        val t0 = System.nanoTime(); val n = bands(m).count()
+        println(f"[p] rep$r spread=$m%-10s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (rows=$n)")
+      }
+    }
+
     if (on("q382pin")) {
       // does AQE coalesce the advisory repartition(cust) to ~1 partition
       // and serialize the 7M-row fan-out? A/B the pinned variant.
