@@ -649,8 +649,13 @@ private[graft] object Shard04 {
       val b = Tables.part(s, dir).select(
         col("p_partkey").as("k"), col("p_brand"),
         length(col("p_name")).as("ln"), col("p_name"))
+      // probe side spread pinned (r13, the q310 shape): the broadcast
+      // block join otherwise runs every per-pair Levenshtein inside the
+      // one scan task of the single-row-group input
       val lhs = b.select(col("k").as("part_a"), col("p_brand").as("brand"),
         col("ln"), col("p_name").as("name_a"))
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("brand"), col("ln"))
       val rhs = b.select(col("k").as("part_b"), col("p_brand").as("brand_b"),
         col("ln").as("ln_b"), col("p_name").as("name_b"))
       lhs.join(rhs, col("brand") === col("brand_b") && col("ln") === col("ln_b")

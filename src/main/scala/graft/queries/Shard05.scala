@@ -1439,8 +1439,15 @@ private[graft] object Shard05 {
     "q310_jaro_winkler" -> ((s, dir) => {
       val b = Tables.part(s, dir).select(
         col("p_partkey").as("k"), col("p_brand"), col("p_type"), col("p_name"))
+      // probe side spread across the cluster (r13): the broadcast block
+      // join evaluates a JaroWinkler per matched pair in the JOIN
+      // CONDITION, and a single-row-group part scan would run every one
+      // of those ~5·|part| evaluations inside one task; pinned count
+      // because AQE sizes coalescing by the exchange's (tiny) bytes
       val lhs = b.select(col("k").as("part_a"), col("p_brand").as("brand"),
         col("p_type").as("ptype"), col("p_name").as("name_a"))
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("brand"), col("ptype"))
       val rhs = b.select(col("k").as("part_b"), col("p_brand").as("brand_b"),
         col("p_type").as("ptype_b"), col("p_name").as("name_b"))
       lhs.join(rhs, col("brand") === col("brand_b") && col("ptype") === col("ptype_b")

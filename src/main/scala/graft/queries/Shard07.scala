@@ -986,7 +986,11 @@ private[graft] object Shard07 {
     // stopword count (windows bounded by doc length); word stats live on
     // the vocab-bounded dictionary and broadcast back
     "q424_rake_keywords" -> ((s, dir) => {
+      // pinned doc-key spread before the ~150× position explode (r13
+      // q500 shape): split+explode+checkpoint of the 300k-row word
+      // relation otherwise all run inside the single scan task
       val words = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
         .select(col("doc_id"), posexplode(split(col("text"), " ", -1)).as(Seq("pos", "w")))
         .filter(length(col("w")) > 0)
         .localCheckpoint(false)

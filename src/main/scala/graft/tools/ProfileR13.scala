@@ -66,6 +66,48 @@ object ProfileR13 {
         graft.SparkEntry.queries("q500_winnowing")(spark, sfDir).count())
     }
 
+    if (on("q216")) {
+      val (tauNum, tauDen) = (9, 10)
+      val toks = Tables.documents(spark, sfDir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(array_distinct(graft.plans.WordShingles(col("text"), 2))).as("w"))
+        .localCheckpoint(false)
+      time("q216 toks ckpt")(toks.count())
+      val dfreq = toks.groupBy("w").agg(count(lit(1)).as("df"))
+      time("q216 dfreq")(dfreq.count())
+      val wDoc = Window.partitionBy("doc_id")
+      val ranked = toks.join(dfreq, "w")
+        .select(col("doc_id"), col("w"),
+          count(lit(1)).over(wDoc).as("n"),
+          row_number().over(wDoc.orderBy("df", "w")).as("rn"))
+      time("q216 ranked noop")(noop(ranked))
+      val prefix = ranked
+        .filter(col("rn") <= col("n") - expr(s"($tauNum * n + ${tauDen - 1}) div $tauDen") + 1)
+        .select("doc_id", "w", "n", "rn")
+      val cand = prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id")
+            && col("a.n") * tauNum <= col("b.n") * tauDen
+            && col("b.n") * tauNum <= col("a.n") * tauDen
+            && (least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) + 1) *
+              (tauNum + tauDen) >= (col("a.n") + col("b.n")) * tauNum)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n").as("sz_a"), col("b.n").as("sz_b"))
+        .distinct()
+      time("q216 cand")(cand.count())
+      val docSets = toks.groupBy("doc_id").agg(collect_set(col("w")).as("ws"))
+      time("q216 docSets noop")(noop(docSets))
+      val inter = cand
+        .join(docSets.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")), "doc_a")
+        .join(docSets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"),
+          size(array_intersect(col("ws_a"), col("ws_b"))).cast("long").as("inter"))
+      time("q216 inter noop")(noop(inter))
+      time("q216 full")(
+        graft.SparkEntry.queries("q216_prefix_filter_join")(spark, sfDir).count())
+    }
+
     if (on("spread")) {
       // one-JVM A/B of the spreadByKey shapes feeding the LSH pipeline:
       // none vs advisory repartition (AQE-coalescable) vs pinned
