@@ -591,17 +591,41 @@ private[graft] object Shard04 {
     // first price where 2·cumw ≥ total weight (exact integers, no
     // interpolation ambiguity)
     "q224_weighted_median" -> ((s, dir) => {
+      // two-pass binned form (r13 re-land of the r12-proven rewrite):
+      // the direct cumulative window has parallelism |return flags| = 3 —
+      // a guaranteed straggler at scale. Pass A finds each flag's target
+      // 65536-cent bin from the bounded per-bin aggregate (and the
+      // cumulative weight BEFORE that bin); pass B runs the cumulative
+      // window over the target bin's prices only (≤ 65536 rows per flag
+      // by construction). Same first-crossing price: the target bin is
+      // the first whose cumulative reaches half, so the global crossing
+      // happens inside it at base + within-bin cumulative.
       val li = Tables.lineitem(s, dir)
         .select(col("l_returnflag"),
           centsOf(col("l_extendedprice")).as("price_c"),
           round(col("l_quantity"), 0).cast("long").as("qty"))
         .groupBy("l_returnflag", "price_c")
         .agg(sum(col("qty")).as("w"))
-      val wCum = Window.partitionBy("l_returnflag").orderBy("price_c")
+        .localCheckpoint(false) // both passes read this relation
+      val wBin = Window.partitionBy("l_returnflag").orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, 0)
-      val wTot = Window.partitionBy("l_returnflag")
-      li.withColumn("cumw", sum(col("w")).over(wCum))
-        .withColumn("totw", sum(col("w")).over(wTot))
+      val target = li
+        .groupBy(col("l_returnflag"), expr("price_c div 65536").as("bin"))
+        .agg(sum(col("w")).as("bw"))
+        .withColumn("cumbw", sum(col("bw")).over(wBin))
+        .withColumn("totw", sum(col("bw")).over(
+          Window.partitionBy("l_returnflag")))
+        .filter(col("cumbw") * 2 >= col("totw"))
+        .groupBy("l_returnflag")
+        .agg(min(struct(col("bin"), (col("cumbw") - col("bw")).as("base"))).as("t"),
+          max(col("totw")).as("totw"))
+        .select(col("l_returnflag"), col("t.bin").as("tbin"),
+          col("t.base").as("base"), col("totw"))
+      val wIn = Window.partitionBy("l_returnflag").orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      li.join(broadcast(target), Seq("l_returnflag"))
+        .filter(expr("price_c div 65536") === col("tbin"))
+        .withColumn("cumw", col("base") + sum(col("w")).over(wIn))
         .filter(col("cumw") * 2 >= col("totw"))
         .groupBy("l_returnflag")
         .agg(min(col("price_c")).as("median_price_c"), max(col("totw")).as("total_qty"))

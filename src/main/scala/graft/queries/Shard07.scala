@@ -786,7 +786,14 @@ private[graft] object Shard07 {
     // bounded brand dictionary keeps everything small after the one
     // order-sequence window
     "q418_purchase_sequences" -> ((s, dir) => {
+      val nsp = s.sessionState.conf.numShufflePartitions
+      // keyed repartition off the one-task scan (r13, the q382 shape):
+      // the dimension probes and the distinct's partials ran serially;
+      // the join's key equivalence (o_orderkey = l_orderkey) lets the
+      // (cust, order, date, brand) distinct reuse this same exchange
       val ob = Tables.lineitem(s, dir)
+        .select("l_partkey", "l_orderkey")
+        .repartition(nsp, col("l_orderkey"))
         .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
           col("p_partkey") === col("l_partkey"))
         .join(Tables.orders(s, dir)
@@ -797,7 +804,11 @@ private[graft] object Shard07 {
         .localCheckpoint(false)
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate"), col("o_orderkey"))
+      // one pinned hash(cust) exchange serves the order-grain distinct
+      // (subset clustering) AND the lead() window — the unhinted form
+      // exchanged twice on different keys
       val seq_ = ob.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .repartition(nsp, col("o_custkey"))
         .distinct()
         .withColumn("next_ok", lead(col("o_orderkey"), 1).over(w))
         .filter(col("next_ok").isNotNull)

@@ -32,6 +32,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // (q157's 1-row max bound does NOT appear here: the equality filter
     // over its cross join collapses into a BroadcastHashJoin condition)
     "q188_daily_anomaly",       // 1-row global mean/stddev aggregate bound
+    "q338_golden_record",       // name-dictionary all-pairs (≤64² rows; was
+                                // hidden behind the CC checkpoint before the
+                                // r13 supernode contraction)
     "q136_nb_attribution",      // 1-row vocab/corpus totals + label-constant row set
     "q137_rolling_active",      // 1-row max-day aggregate bound
     "q146_lsh_eval",            // 1-row true-pair-count aggregate
@@ -221,6 +224,20 @@ class PlanGuardSpec extends AnyFunSuite {
     // funnel every row into one window partition.
     Seq("q73_group_sample", "q86_logodds_terms", "q89_weighted_sample").foreach { name =>
       assert(planOf(name).contains("WindowGroupLimit"), s"rank-filter pushdown vanished from $name")
+    }
+  }
+
+  test("r12 broadcast batch stays broadcast (q541/q303/q264/q292/q625)") {
+    // r12 replaced 62/56/8/4/4 SortMergeJoins nested through these
+    // queries' iteration fan-outs with broadcasts of dictionary-bounded
+    // sides (brand/nation/candidate cardinality). A stats change or a
+    // Spark upgrade silently re-introducing the SMJ nest is exactly what
+    // this pins (r12 verdict item 7).
+    Seq("q541_bradley_terry", "q303_keeper_hops", "q264_modularity",
+        "q292_adamic_adar", "q625_scc_directed").foreach { name =>
+      val p = planOf(name)
+      assert(!p.contains("SortMergeJoin"), s"$name re-nested SortMergeJoins")
+      assert(p.contains("BroadcastHashJoin"), s"$name lost its broadcast joins")
     }
   }
 
