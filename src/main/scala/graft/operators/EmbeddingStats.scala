@@ -38,8 +38,14 @@ object EmbeddingStats {
       quantScale: Long = 1000000L): DataFrame = {
     val q: Column => Column = x => round(x.cast("double") * quantScale).cast("long")
     // (i, xi, suffix from i): one row per dim, carrying only the tail.
-    val byDim = embeddings
-      .filter(col(vecCol).isNotNull)
+    // The d²/2-per-vector pair fan-out below would otherwise run inside
+    // the ONE scan task of a single-row-group input — pinned spread by
+    // the vector bytes first (r13, the q500 shape; partials are grouped
+    // by spark_partition_id, and the final decimal merge makes the sums
+    // partitioning-independent)
+    val byDim = Dedup.spreadByKeyPinned(
+        embeddings.filter(col(vecCol).isNotNull).select(col(vecCol)),
+        col(vecCol))
       .select(posexplode(col(vecCol)).as(Seq("i", "_xi")), col(vecCol).as("_v"))
       .select(
         col("i"), q(col("_xi")).as("xq"),

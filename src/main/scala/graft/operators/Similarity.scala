@@ -39,7 +39,12 @@ object Similarity {
     round(dot(qv, cv) / (qn * cn), 6)
 
   /** Normed corpus view (vid, emb_d, nrm) — the shared base of every
-    * search/assignment path.
+    * search/assignment path. Deliberately NOT spread off the single-task
+    * local scan (r13 A/B): the |N|·k assignment fan-out with native
+    * VecDot is light enough that a pinned vid repartition measured
+    * +0.3–0.6 s across q116/q117/q25/q83 — the spread pays only for
+    * ≥100× fan-outs or expensive per-row functions (q500/q112/q310/q163
+    * class), not k=8 dot products.
     */
   private def normed(emb: DataFrame, idCol: String, embCol: String): DataFrame =
     withNorm(emb, embCol).select(col(idCol).as("vid"), col("emb_d"), col("nrm"))

@@ -66,6 +66,56 @@ object ProfileR13 {
         graft.SparkEntry.queries("q500_winnowing")(spark, sfDir).count())
     }
 
+    if (on("tail")) {
+      // where does the sub-1s tail's per-query cost go? Decompose a
+      // representative sample: DataFrame construction (analysis),
+      // physical planning (optimization+strategies), first execution
+      // (codegen+jobs), second execution (warm jobs only).
+      val sample = Seq("q03_group_size_stats", "q15_filter_events",
+        "q150_order_count_dist", "q199_partition_balance",
+        "q223_seasonal_index", "q257_rank_panel", "q290_cramers_v",
+        "q308_hill_tail_index", "q355_stickiness", "q436_abc_xyz",
+        "q509_somers_gamma", "q617_price_endings")
+      for (r <- 1 to 2; n <- sample) {
+        val t0 = System.nanoTime()
+        val df = graft.SparkEntry.queries(n)(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.queryExecution.executedPlan
+        val t2 = System.nanoTime()
+        df.count()
+        val t3 = System.nanoTime()
+        df.count()
+        val t4 = System.nanoTime()
+        println(f"[p] rep$r tail $n%-26s analyze=${(t1 - t0) / 1e9}%5.2f " +
+          f"plan=${(t2 - t1) / 1e9}%5.2f exec1=${(t3 - t2) / 1e9}%5.2f " +
+          f"exec2=${(t4 - t3) / 1e9}%5.2f")
+      }
+    }
+
+    if (on("q436")) {
+      for (r <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val pm = Tables.lineitem(spark, sfDir)
+          .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderdate")),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_partkey"),
+            expr("(year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1").as("mi"))
+          .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("q"),
+            sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("rev"))
+          .filter(col("mi") >= 0 && col("mi") < 24)
+        val t1 = System.nanoTime()
+        val per0 = pm.groupBy("l_partkey")
+          .agg(sum(col("q")).as("sq"), sum(expr("q * q")).as("sqq"),
+            sum(col("rev")).as("rev"))
+          .filter(col("sq") > 0)
+        val t2 = System.nanoTime()
+        val per = per0.localCheckpoint(false)
+        val t3 = System.nanoTime()
+        println(f"[p] rep$r q436 pm=${(t1 - t0) / 1e9}%5.2f per=${(t2 - t1) / 1e9}%5.2f " +
+          f"ckpt=${(t3 - t2) / 1e9}%5.2f")
+      }
+    }
+
     if (on("q216")) {
       val (tauNum, tauDen) = (9, 10)
       val toks = Tables.documents(spark, sfDir)
