@@ -92,6 +92,23 @@ object ProfileR13 {
       }
     }
 
+    if (on("ccsort")) {
+      // does minhashCandidates' trailing orderBy survive under CC's
+      // canonical() distinct (a wasted range exchange + sampling job per
+      // round-0), or does EliminateSorts drop it?
+      val cand = Dedup.minhashCandidates(
+        Tables.documents(spark, sfDir), "doc_id", "text").select("doc_a", "doc_b")
+      val canonical = cand
+        .filter(col("doc_a").isNotNull && col("doc_b").isNotNull &&
+          col("doc_a") =!= col("doc_b"))
+        .select(greatest(col("doc_a"), col("doc_b")).as("src"),
+          least(col("doc_a"), col("doc_b")).as("dst"))
+        .distinct()
+      val p = canonical.queryExecution.executedPlan.toString
+      println(s"[p] ccsort rangepartitioning=${p.contains("rangepartitioning")} " +
+        s"sorts=${"Sort ".r.findAllIn(p).size}")
+    }
+
     if (on("q436")) {
       for (r <- 1 to 3) {
         val t0 = System.nanoTime()
